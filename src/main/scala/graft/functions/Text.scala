@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions (tokenize, shingle, quality signals).
+  * Pure built-in expressions — codegen-friendly, no UDFs, and each has
+  * an exact ANSI-SQL equivalent so the DuckDB oracle can verify them.
+  */
+object Text {
+
+  /** Whitespace tokenization (single-space convention of the synthetic
+    * corpus). `split` keeps empty strings, matching SQL string_split. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles: ["a","b","c","d"], n=3 →
+    * ["a b c", "b c d"]. Empty array when fewer than n tokens (guarded —
+    * Spark's `sequence(0, negative)` would count DOWN, not return empty).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Token count by whitespace. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("bigint")
+
+  /** BPE-ish subword-piece count: alphanumeric runs and individual
+    * non-space punctuation each count as one piece (a cheap, regex-only
+    * proxy for a BPE pre-tokenizer — deterministic and SQL-matchable). */
+  def pieceCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+      .cast("bigint")
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[^A-Za-z0-9 ]", ""))
+
+  /** Ratio of tokens found in `stop` (a small in-literal stopword set).
+    * Built as array_size(filter(tokens, in-set)) / token_count. */
+  def stopwordRatio(text: Column, stop: Seq[String]): Column = {
+    val toks = tokens(text)
+    size(filter(toks, t => t.isin(stop.map(s => s: Any): _*))).cast("double") /
+      size(toks).cast("double")
+  }
+}

@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level vector math over `array<float|double>` embedding
+  * columns, built entirely from codegen'd higher-order functions
+  * (`transform`/`zip_with`/`aggregate`) — no UDFs, so the expressions
+  * stay inside whole-stage codegen and work on any Dataset without
+  * serialization round-trips.
+  *
+  * All math is promoted to float64 first: summation is sequential
+  * left-to-right inside `aggregate`, which makes results deterministic
+  * and reproducible across engines (the DuckDB oracle does the same).
+  */
+object Vectors {
+
+  /** Cast array<float> → array<double> element-wise. */
+  def toDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Sequential dot product in float64. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  /** Sum of squares, sequential. */
+  def sq(a: Column): Column =
+    aggregate(a, lit(0.0d), (acc, v) => acc + v * v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(sq(a))
+
+  /** Cosine similarity of two float64 arrays. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine given precomputed norms (the shape used in top-k search:
+    * norms are computed once per row before the join fan-out, not per
+    * candidate pair). */
+  def cosineWithNorms(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+}

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational / reshaping operator library (SURVEY.md §2.2).
+  *
+  * Each operator is a pure `DataFrame => DataFrame` combinator that
+  * builds a lazy Catalyst plan — no driver-side data movement. Scale
+  * notes per operator explain the physical plan we expect at 100 TB.
+  */
+object Relational {
+
+  /** O12 — column-set-difference projection: keep `base` plus every
+    * column of `df` that is NOT in `exclude`.
+    * Ref: pipeline.py:162-168.
+    */
+  def projectExcept(df: DataFrame, base: Seq[String], exclude: Set[String]): DataFrame = {
+    val keep = base ++ df.columns.filterNot(c => exclude.contains(c) || base.contains(c))
+    df.select(keep.map(col): _*)
+  }
+
+  /** O16 — melt / wide→long unpivot, chunked.
+    *
+    * `df.unpivot` plans a single Expand over all value columns; with
+    * ~2,000 value columns (M5's d_1..d_1941) that strains whole-stage
+    * codegen and per-row expression evaluation. Chunking into
+    * `chunkSize`-column unpivots unioned back together keeps each
+    * Expand small while producing the identical long table. Each chunk
+    * re-reads only (ids ++ chunk) columns, so Parquet column pruning
+    * keeps total I/O equal to one full pass.
+    * Ref: pipeline.py:46-48 (pd.melt).
+    */
+  def melt(
+      df: DataFrame,
+      ids: Seq[String],
+      values: Seq[String],
+      varName: String,
+      valName: String,
+      chunkSize: Int = 200): DataFrame = {
+    val chunks = values.grouped(chunkSize).map { group =>
+      df.select((ids ++ group).map(col): _*)
+        .unpivot(ids.map(col).toArray, group.map(col).toArray, varName, valName)
+    }
+    chunks.reduce(_ unionByName _)
+  }
+
+  /** O25 — pivot long→wide with an explicit value list (skips Spark's
+    * extra distinct job to discover pivot values — at 100 TB that
+    * discovery pass is a full scan we can't afford).
+    * Ref: pipeline.py:374-376 (pivot_table, aggfunc=mean).
+    */
+  def pivotWide(
+      df: DataFrame,
+      key: String,
+      pivotCol: String,
+      pivotValues: Seq[String],
+      agg: Column): DataFrame =
+    df.groupBy(col(key)).pivot(pivotCol, pivotValues).agg(agg)
+
+  /** O26 — keyed update (pandas `DataFrame.update` semantics): overwrite
+    * `base`'s columns with `updates`' values for matching keys, but only
+    * where the update value is non-null; rows/columns absent from
+    * `updates` are untouched.
+    *
+    * Physical plan: a single left join on the key + per-column
+    * `coalesce(new, old)`. If `updates` is small (typical: a batch of
+    * corrections), Catalyst broadcast-joins it — no shuffle of `base`.
+    * Ref: pipeline.py:377-378.
+    */
+  def keyedUpdate(base: DataFrame, updates: DataFrame, key: String): DataFrame = {
+    val updCols = updates.columns.filterNot(_ == key).toSet
+    val u = updates.select((Seq(key) ++ updCols).map(c => col(c).as(s"__upd_$c")): _*)
+      .withColumnRenamed(s"__upd_$key", key)
+    val joined = base.join(u, Seq(key), "left")
+    val out = base.columns.map { c =>
+      if (updCols.contains(c)) coalesce(col(s"__upd_$c"), col(c)).as(c) else col(c)
+    }
+    joined.select(out: _*)
+  }
+
+  /** X8 — global top-k. Spark plans `orderBy(...).limit(k)` as
+    * TakeOrderedAndProject: each partition keeps a k-heap, driver merges
+    * k×partitions rows — no total sort, no full shuffle. Safe at any
+    * scale for small k.
+    */
+  def topK(df: DataFrame, k: Int, order: Column*): DataFrame =
+    df.orderBy(order: _*).limit(k)
+
+  /** X7 — per-group top-k via ranking window. One shuffle on the
+    * partition keys; rank+filter prunes before anything downstream.
+    */
+  def topKPerGroup(
+      df: DataFrame,
+      partitionBy: Seq[Column],
+      orderBy: Seq[Column],
+      k: Int,
+      rankCol: String = "rnk"): DataFrame =
+    df.withColumn(rankCol, row_number().over(
+        Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)))
+      .filter(col(rankCol) <= k)
+
+  /** O13 — deterministic label encoding: code = rank of value in
+    * lexicographically-sorted distinct order (pandas `astype("category")`
+    * code order for strings). The single-partition window only ever sees
+    * the *distinct* vocabulary (small by construction), never the data.
+    * Ref: utils.py:42-47.
+    */
+  def labelEncode(df: DataFrame, column: String, codeCol: String = "code"): DataFrame =
+    df.select(col(column)).where(col(column).isNotNull).distinct()
+      .withColumn(codeCol,
+        (row_number().over(Window.orderBy(col(column))) - 1).cast("bigint"))
+
+  /** O24 — n-th most recent distinct value of `column` (the reference's
+    * validation-split-point lookup). Distinct first (tiny), then a
+    * single-partition ranking over the distinct set only.
+    * Ref: pipeline.py:245-246.
+    */
+  def nthFromLastDistinct(df: DataFrame, column: String, n: Int): DataFrame =
+    df.select(col(column)).distinct()
+      .withColumn("__rn", row_number().over(Window.orderBy(col(column).desc)))
+      .filter(col("__rn") === n)
+      .drop("__rn")
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Hashing, Text}
+
+/** Text-analysis operators for training-data pipelines (SURVEY.md §2.5
+  * X13): language-ID heuristic, quality scoring, token counting,
+  * document fingerprinting. All built from codegen'd expressions —
+  * per-row, no shuffle, no UDFs — so they scale linearly with input.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lists for the n-gram/stopword-voting
+    * language-ID heuristic. Deterministic and SQL-portable. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en" -> Seq("the", "a", "of", "and", "is", "not", "to", "in"),
+    "es" -> Seq("el", "la", "de", "y", "es", "no", "un", "con"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "pas", "un", "dans"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我"))
+
+  private def stopHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(w => w: Any): _*))).cast("bigint")
+
+  /** Language-ID: stopword-vote argmax; ties resolved by language code
+    * ascending; zero hits everywhere → "und" (undetermined). */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = Text.tokens(col(textCol))
+    val scored = stopwords.foldLeft(df.select(col(idCol), toks.as("__toks"))) {
+      case (acc, (lang, words)) => acc.withColumn(s"__hit_$lang", stopHits(col("__toks"), words))
+    }
+    val best = stopwords.map(_._1).foldLeft(lit(0L)) { (acc, lang) =>
+      greatest(acc, col(s"__hit_$lang"))
+    }
+    // first language (ascending code) achieving the max vote
+    val pred = stopwords.map(_._1).foldRight(lit("und")) { (lang, els) =>
+      when(col(s"__hit_$lang") === col("__best") && col("__best") > 0, lit(lang))
+        .otherwise(els)
+    }
+    scored.withColumn("__best", best)
+      .withColumn("pred_lang", pred)
+      .select(col(idCol), col("pred_lang"))
+  }
+
+  /** Quality score in [0,1]: 0.4·length-score (saturating at 500 chars)
+    * + 0.3·(1 − punctuation ratio) + 0.3·alpha-token ratio. The exact
+    * formula is arbitrary; what matters is that it is deterministic,
+    * cheap, and per-row. */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String,
+      roundDigits: Int = 4): DataFrame = {
+    val t = col(textCol)
+    val toks = Text.tokens(t)
+    val lenScore = least(length(t).cast("double") / 500.0d, lit(1.0d))
+    val punctRatio = Text.punctCount(t).cast("double") /
+      greatest(length(t).cast("double"), lit(1.0d))
+    val alphaRatio = size(filter(toks, x => x.rlike("^[A-Za-z]+$"))).cast("double") /
+      greatest(size(toks).cast("double"), lit(1.0d))
+    df.select(col(idCol),
+      round(lenScore * 0.4d + (lit(1.0d) - punctRatio) * 0.3d + alphaRatio * 0.3d,
+        roundDigits).as("quality"))
+  }
+
+  /** Token statistics: whitespace tokens + BPE-ish piece count. */
+  def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      Text.tokenCount(col(textCol)).as("n_tokens"),
+      Text.pieceCount(col(textCol)).as("n_pieces"),
+      length(col(textCol)).cast("bigint").as("n_chars_computed"))
+
+  /** Document fingerprint: polynomial fold of per-token hashes in
+    * sequence order — order-sensitive (unlike a bag-of-words hash), so
+    * it distinguishes permuted documents; identical docs collide. */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      Hashing.seqHash(
+        transform(Text.tokens(col(textCol)), t => Hashing.charHash(t))).as("fp"))
+}

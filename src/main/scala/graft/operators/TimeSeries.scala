@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window / time-series operators (SURVEY.md §2.3) with pandas-parity
+  * semantics. All of these are single-shuffle: one exchange on the
+  * partition key, then per-partition sorted evaluation. At 100 TB, the
+  * key design point is that ALL lags/leads/rollings for one key reuse
+  * one Window spec — Catalyst collapses them into a single Window
+  * physical operator (one sort, one pass).
+  */
+object TimeSeries {
+
+  /** O28 — grouped lag: per-key shift(+k) for each k in `lags`.
+    * Ref: pipeline.py:102-110.
+    */
+  def groupedLag(
+      df: DataFrame,
+      partitionBy: Seq[Column],
+      orderBy: Seq[Column],
+      target: String,
+      lags: Seq[Int],
+      prefix: String = "lag"): DataFrame = {
+    val w = Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+    lags.foldLeft(df) { (acc, k) =>
+      acc.withColumn(s"${prefix}_${target}_$k", lag(col(target), k).over(w))
+    }
+  }
+
+  /** O29 — grouped lead: per-key shift(-k).
+    * Ref: pipeline.py:172-176.
+    */
+  def groupedLead(
+      df: DataFrame,
+      partitionBy: Seq[Column],
+      orderBy: Seq[Column],
+      target: String,
+      leads: Seq[Int],
+      prefix: String = "lead"): DataFrame = {
+    val w = Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+    leads.foldLeft(df) { (acc, k) =>
+      acc.withColumn(s"${prefix}_${target}_$k", lead(col(target), k).over(w))
+    }
+  }
+
+  /** O30 — grouped trailing rolling mean with pandas `min_periods=window`
+    * semantics: mean of rows [t-w, t-1], null unless ALL w rows exist.
+    * A bare `avg(...)` over the frame would emit partial-window means at
+    * the head of every group — the count guard is what makes it
+    * pandas-faithful. Ref: pipeline.py:114-124.
+    */
+  def rollingMeanMinPeriods(
+      df: DataFrame,
+      partitionBy: Seq[Column],
+      orderBy: Seq[Column],
+      target: String,
+      windows: Seq[Int],
+      prefix: String = "rmean"): DataFrame =
+    windows.foldLeft(df) { (acc, w) =>
+      val fr = Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+        .rowsBetween(-w, -1)
+      acc.withColumn(s"${prefix}_${target}_$w",
+        when(count(col(target)).over(fr) === w, avg(col(target)).over(fr)))
+    }
+
+  /** O31/O32 — calendar feature extraction, pandas conventions:
+    * quarter, ISO week, day-of-month, weekday (Mon=0 — Spark `weekday`,
+    * NOT `dayofweek` which is Sun=1), weekend flag (Sat/Sun).
+    * Ref: utils.py:10-24.
+    */
+  def timeFeatures(df: DataFrame, dateCol: String, prefix: String = ""): DataFrame = {
+    val d = col(dateCol)
+    df.withColumn(s"${prefix}quarter", quarter(d))
+      .withColumn(s"${prefix}week", weekofyear(d))
+      .withColumn(s"${prefix}day", dayofmonth(d))
+      .withColumn(s"${prefix}dayofweek", weekday(d))
+      .withColumn(s"${prefix}is_weekend",
+        weekday(d).isin(5, 6).cast("int"))
+  }
+}

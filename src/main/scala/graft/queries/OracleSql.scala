@@ -1,0 +1,367 @@
+package graft.queries
+
+/** DuckDB oracle SQL twins of [[Queries]] — the driver runs these on the
+  * same parquet tables and hash-compares against our Spark results
+  * (columns sorted by name, so names must match EXACTLY; every query
+  * ends in a total ORDER BY over a unique output key).
+  *
+  * Dialect mappings used (SURVEY.md §2.6): Spark `weekday(d)` ≡ DuckDB
+  * `isodow(d)-1`; Spark `datediff(b,a)` ≡ `date_diff('day',a,b)`; Spark
+  * `get_json_object(p,'$.k')` ≡ `json_extract_string(p,'$.k')`; Spark
+  * `size(split(t,' '))` ≡ `len(string_split(t,' '))`; float math in
+  * float64 with `ROUND(_,4)`; money sums through DECIMAL(18,2).
+  *
+  * The portable hash functions (graft.functions.Hashing) are reproduced
+  * here as inline `list_reduce` folds over code points — identical
+  * arithmetic mod 1e9+7, so dedup/fingerprint results match bit-for-bit
+  * including hash collisions.
+  */
+object OracleSql {
+
+  private val P = "1000000007"
+
+  /** charHash(s): fold (acc*31 + codepoint) % P over the characters. */
+  private def chash(expr: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($expr,'')::VARCHAR[], ch -> ascii(ch)::BIGINT)), (acc,x) -> (acc*31+x)%$P)"
+
+  /** Distinct (doc, shingle-hash) pairs over word 3-grams — the set
+    * representation shared by the minhash/jaccard oracles. */
+  private def shingleCte(n: Int): String =
+    s"""sh AS (
+       |  SELECT DISTINCT doc_id AS doc, ${chash("s")} AS h
+       |  FROM (SELECT doc_id,
+       |          unnest([array_to_string(w[i:i+${n - 1}], ' ') for i in range(1, len(w)-${n - 2})]) AS s
+       |        FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents) tw) ts)""".stripMargin
+
+  private def jaccardTail(threshold: Double): String =
+    s"""sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+       |inter AS (
+       |  SELECT x.doc AS a, y.doc AS b, COUNT(*) AS i
+       |  FROM sh x JOIN sh y ON x.h = y.h AND x.doc < y.doc
+       |  GROUP BY x.doc, y.doc)
+       |SELECT p.a, p.b,
+       |       ROUND(i.i::DOUBLE / (sa.sz + sb.sz - i.i)::DOUBLE, 4) AS jac
+       |FROM pairs p
+       |JOIN inter i ON p.a = i.a AND p.b = i.b
+       |JOIN sizes sa ON sa.doc = p.a
+       |JOIN sizes sb ON sb.doc = p.b
+       |WHERE ROUND(i.i::DOUBLE / (sa.sz + sb.sz - i.i)::DOUBLE, 4) >= $threshold
+       |ORDER BY a, b""".stripMargin
+
+  /** float64 view of embeddings + cosine helper. */
+  private val embCte =
+    "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+  private def cos(a: String, b: String): String =
+    s"ROUND(list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b))),4)"
+
+  val all: Map[String, String] = Map(
+    "t01_scan_project" ->
+      "SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    "t02_filter_eq" ->
+      """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin,
+
+    "t03_filter_range" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, CAST(l_shipdate AS DATE) AS d
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1998-01-01' AND CAST(l_shipdate AS DATE) < DATE '1999-01-01'
+        |ORDER BY l_orderkey, l_linenumber, d""".stripMargin,
+
+    "t04_join_chain" ->
+      """SELECT n.n_name, COUNT(*) AS cnt
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA' GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+
+    "t05_regex_extract" ->
+      """SELECT c_custkey, TRY_CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS code
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "t06_left_join_cond" ->
+      """SELECT o.o_orderkey, c.c_mktsegment
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_acctbal > 5000
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "t07_notnull_filter" ->
+      """SELECT o.o_orderkey, c.c_mktsegment
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_acctbal > 5000
+        |WHERE c.c_mktsegment IS NOT NULL ORDER BY o_orderkey""".stripMargin,
+
+    "t08_composite_join" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey, MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS min_price
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+        |SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber, ps.min_price
+        |FROM lineitem l LEFT JOIN ps ON l.l_partkey = ps.l_partkey AND l.l_suppkey = ps.l_suppkey
+        |ORDER BY l_orderkey, l_linenumber, min_price""".stripMargin,
+
+    "t09_hash_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+        |  COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "t10_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CASE WHEN l_returnflag='A' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS qty_A,
+        |    CAST(SUM(CASE WHEN l_returnflag='N' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS qty_N,
+        |    CAST(SUM(CASE WHEN l_returnflag='R' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS qty_R
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT l_orderkey, flag, qty FROM (
+        |  SELECT l_orderkey, 'qty_A' AS flag, qty_A AS qty FROM wide
+        |  UNION ALL SELECT l_orderkey, 'qty_N', qty_N FROM wide
+        |  UNION ALL SELECT l_orderkey, 'qty_R', qty_R FROM wide) u
+        |ORDER BY l_orderkey, flag""".stripMargin,
+
+    "t11_pivot" ->
+      """SELECT o_custkey,
+        |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus='F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS tot_F,
+        |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus='O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS tot_O,
+        |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus='P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS tot_P
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "t12_grouped_lag" ->
+      """SELECT event_id, user_id,
+        |  ROUND(value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS dv
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "t13_grouped_lead" ->
+      """SELECT event_id, LEAD(event_type, 7) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS future_type
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "t14_rolling_min_periods" ->
+      """SELECT event_id,
+        |  CASE WHEN COUNT(value) OVER w = 7 THEN ROUND(AVG(value) OVER w, 4) END AS roll7
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        |ORDER BY event_id""".stripMargin,
+
+    "t15_distinct_agg" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nparts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "t16_distinct_sort" ->
+      "SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders ORDER BY d",
+
+    "t17_nth_from_last" ->
+      """WITH dd AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders),
+        |r AS (SELECT d, ROW_NUMBER() OVER (ORDER BY d DESC) AS rn FROM dd)
+        |SELECT d FROM r WHERE rn = 20""".stripMargin,
+
+    "t18_time_features" ->
+      """SELECT o_orderkey,
+        |  CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS q,
+        |  CAST(EXTRACT(WEEK FROM o_orderdate) AS BIGINT) AS wk,
+        |  CAST(EXTRACT(DAY FROM o_orderdate) AS BIGINT) AS dom,
+        |  CAST(isodow(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS dow,
+        |  CAST(CASE WHEN isodow(CAST(o_orderdate AS DATE)) - 1 IN (5,6) THEN 1 ELSE 0 END AS BIGINT) AS is_weekend
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "t19_date_arith" ->
+      """WITH m AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS mn FROM orders)
+        |SELECT o_orderkey,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 7 DAY AS DATE) AS plus7,
+        |  CAST(date_diff('day', mn, CAST(o_orderdate AS DATE)) + 1 AS BIGINT) AS day_num
+        |FROM orders CROSS JOIN m ORDER BY o_orderkey""".stripMargin,
+
+    "t20_string_concat" ->
+      """SELECT o_orderkey, 'F' || CAST(o_orderkey % 28 + 1 AS VARCHAR) AS day_id
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "t21_topk" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |FROM orders ORDER BY price DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "t22_union_all" ->
+      """SELECT src, o_orderkey FROM (
+        |  SELECT 'hi' AS src, o_orderkey FROM orders WHERE o_totalprice > 450000
+        |  UNION ALL SELECT 'lo' AS src, o_orderkey FROM orders WHERE o_totalprice < 2000) u
+        |ORDER BY src, o_orderkey""".stripMargin,
+
+    "t23_keyed_update" ->
+      """WITH sub AS (SELECT c_custkey, CAST(0 AS DECIMAL(18,2)) AS f1 FROM customer),
+        |upd AS (
+        |  SELECT o_custkey AS c_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS f1
+        |  FROM orders WHERE o_orderstatus = 'P' GROUP BY o_custkey)
+        |SELECT s.c_custkey, COALESCE(u.f1, s.f1) AS f1
+        |FROM sub s LEFT JOIN upd u ON s.c_custkey = u.c_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "t24_semi_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "t25_anti_join" ->
+      """SELECT c.c_custkey FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "t26_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls, COUNT(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls""".stripMargin,
+
+    "t27_group_topk" ->
+      """SELECT c_mktsegment, c_custkey, rnk FROM (
+        |  SELECT c_mktsegment, c_custkey,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rnk
+        |  FROM customer) t
+        |WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""".stripMargin,
+
+    "t28_label_encode" ->
+      """SELECT lang, CAST(ROW_NUMBER() OVER (ORDER BY lang) - 1 AS BIGINT) AS code
+        |FROM (SELECT DISTINCT lang FROM documents WHERE lang IS NOT NULL) t ORDER BY lang""".stripMargin,
+
+    "t29_except" ->
+      """SELECT o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'P') t
+        |ORDER BY o_custkey""".stripMargin,
+
+    "t30_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "t31_tumbling_window" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+
+    "t32_dedup_stats" ->
+      """SELECT lang, source, COUNT(*) AS n, COUNT(DISTINCT text) AS n_distinct
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "t33_text_stats" ->
+      """SELECT doc_id, n_chars, CAST(LENGTH(text) AS BIGINT) AS len,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t34_cosine_topk" ->
+      s"""WITH $embCte,
+         |q AS (SELECT vec_id AS q, v AS qv FROM e WHERE vec_id IN (0,1,2)),
+         |scored AS (
+         |  SELECT q.q, e.vec_id, ${cos("qv", "v")} AS cos
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q),
+         |r AS (SELECT q, vec_id, cos,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos DESC, vec_id) AS BIGINT) AS "rank"
+         |      FROM scored)
+         |SELECT q, "rank", vec_id, cos FROM r WHERE "rank" <= 3 ORDER BY q, "rank"""".stripMargin,
+
+    // ─────────────────────── extension tier ───────────────────────
+
+    "x40_exact_dedup" ->
+      """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "x41_minhash_neardup" ->
+      s"""WITH ${shingleCte(3)},
+         |js AS (SELECT unnest(range(16)) AS j),
+         |sig AS (
+         |  SELECT doc, j, MIN(((2*j+3)*h + 7*j+1) % $P) AS mh
+         |  FROM sh CROSS JOIN js GROUP BY doc, j),
+         |bands AS (
+         |  SELECT doc, j // 4 AS band, string_agg(mh::VARCHAR, ',' ORDER BY j) AS bkey
+         |  FROM sig GROUP BY doc, j // 4),
+         |pairs AS (
+         |  SELECT DISTINCT x.doc AS a, y.doc AS b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc < y.doc),
+         |${jaccardTail(0.35)}""".stripMargin,
+
+    "x42_ngram_jaccard" ->
+      s"""WITH ${shingleCte(3)},
+         |pairs AS (
+         |  SELECT DISTINCT x.doc AS a, y.doc AS b
+         |  FROM sh x JOIN sh y ON x.h = y.h AND x.doc < y.doc),
+         |${jaccardTail(0.35)}""".stripMargin,
+
+    "x43_simhash" -> {
+      val votes = (0 until 30)
+        .map(j => s"SUM(((h >> $j) & 1) * 2 - 1) AS s_$j").mkString(",\n    ")
+      val fp = (0 until 30)
+        .map(j => s"CASE WHEN s_$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+      s"""WITH tok AS (
+         |  SELECT doc_id AS doc, ${chash("t")} AS h
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) u),
+         |votes AS (
+         |  SELECT doc,
+         |    $votes
+         |  FROM tok GROUP BY doc)
+         |SELECT doc AS doc_id, CAST($fp AS BIGINT) AS fp FROM votes ORDER BY doc_id""".stripMargin
+    },
+
+    "x44_embedding_neardup" ->
+      s"""WITH $embCte
+         |SELECT x.vec_id AS a, y.vec_id AS b, ${cos("x.v", "y.v")} AS cos
+         |FROM e x JOIN e y ON x.vec_id < y.vec_id
+         |WHERE ${cos("x.v", "y.v")} >= 0.95
+         |ORDER BY a, b""".stripMargin,
+
+    "x45_ann_lsh" -> {
+      val rank = "CASE pid WHEN 10 THEN 1 WHEN 11 THEN 2 WHEN 12 THEN 4 WHEN 13 THEN 8 END"
+      s"""WITH $embCte,
+         |planes AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id IN (10,11,12,13)),
+         |bucketed AS (
+         |  SELECT e.vec_id, e.v,
+         |    CAST(SUM(CASE WHEN list_dot_product(e.v, pv) > 0 THEN $rank ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM e CROSS JOIN planes GROUP BY e.vec_id, e.v),
+         |q AS (SELECT vec_id AS q, v AS qv, bucket AS qbucket FROM bucketed WHERE vec_id IN (0,1,2)),
+         |scored AS (
+         |  SELECT q.q, b.vec_id, ${cos("qv", "b.v")} AS cos
+         |  FROM bucketed b JOIN q ON b.bucket = q.qbucket AND b.vec_id <> q.q),
+         |r AS (SELECT q, vec_id, cos,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos DESC, vec_id) AS BIGINT) AS "rank"
+         |      FROM scored)
+         |SELECT q, "rank", vec_id, cos FROM r WHERE "rank" <= 3 ORDER BY q, "rank"""".stripMargin
+    },
+
+    "x46_lang_id" -> {
+      val langs = graft.operators.TextAnalysis.stopwords
+      val hits = langs.map { case (lang, words) =>
+        val set = words.map(w => s"'$w'").mkString(",")
+        s"len(list_filter(w, t -> t IN ($set)))::BIGINT AS hit_$lang"
+      }.mkString(",\n    ")
+      val best = s"GREATEST(${langs.map(l => s"hit_${l._1}").mkString(", ")}, 0)"
+      val pred = langs.map { case (lang, _) =>
+        s"WHEN hit_$lang = best AND best > 0 THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |hits AS (
+         |  SELECT doc_id,
+         |    $hits
+         |  FROM toks),
+         |b AS (SELECT *, $best AS best FROM hits)
+         |SELECT doc_id, CASE $pred ELSE 'und' END AS pred_lang FROM b ORDER BY doc_id""".stripMargin
+    },
+
+    "x47_quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS w,
+        |    LEAST(LENGTH(text)::DOUBLE / 500.0, 1.0) AS len_score,
+        |    (LENGTH(text) - LENGTH(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE
+        |      / GREATEST(LENGTH(text)::DOUBLE, 1.0) AS punct_ratio
+        |  FROM documents)
+        |SELECT doc_id,
+        |  ROUND(len_score * 0.4 + (1.0 - punct_ratio) * 0.3 +
+        |    (len(list_filter(w, x -> regexp_matches(x, '^[A-Za-z]+$')))::DOUBLE
+        |      / GREATEST(len(w)::DOUBLE, 1.0)) * 0.3, 4) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "x48_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]', 0)) AS BIGINT) AS n_pieces,
+        |  CAST(LENGTH(text) AS BIGINT) AS n_chars_computed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x49_fingerprint" ->
+      s"""SELECT doc_id,
+         |  list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text, ' '), t -> ${chash("t")})),
+         |    (acc,x) -> (acc*31+x)%$P) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,393 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.{Dedup, Relational, Similarity, TextAnalysis, TimeSeries}
+import graft.sources.Tables
+
+/** Declared correctness queries T01–T34 (SURVEY.md §2.6) plus the
+  * extension-tier queries (dedup / similarity / text). Every query here
+  * has a DuckDB-oracle SQL twin in [[OracleSql]] with IDENTICAL output
+  * column names and a total ORDER BY, and all outputs are canonicalized:
+  * ints → BIGINT, money aggregates → DECIMAL(18,2), float math →
+  * ROUND(_, 4), timestamps → DATE.
+  */
+object Queries {
+
+  private val D = DecimalType(18, 2)
+  private def dec(c: Column): Column = c.cast(D)
+  private def bi(c: Column): Column = c.cast("bigint")
+
+  /** T01 — scan + projection (O11). */
+  def t01(s: SparkSession, dir: String): DataFrame =
+    Tables.region(s, dir)
+      .select(bi(col("r_regionkey")).as("r_regionkey"), col("r_name"))
+      .orderBy("r_regionkey")
+
+  /** T02 — equality filter (O7): pushed to the parquet scan. */
+  def t02(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_custkey"), dec(col("o_totalprice")).as("price"))
+      .orderBy("o_orderkey")
+
+  /** T03 — date-range filter (O8/O10). */
+  def t03(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .withColumn("d", to_date(col("l_shipdate")))
+      .filter(col("d") >= lit("1998-01-01") && col("d") < lit("1999-01-01"))
+      .select(col("l_orderkey"), bi(col("l_linenumber")).as("l_linenumber"), col("d"))
+      .orderBy("l_orderkey", "l_linenumber", "d")
+
+  /** T04 — multi-way join chain (X1): dims broadcast, lineitem never
+    * shuffled until the final small aggregation. */
+  def t04(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select("l_suppkey")
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name").agg(count(lit(1)).as("cnt"))
+      .orderBy("n_name")
+
+  /** T05 — regex extract + cast (O17). */
+  def t05(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).cast("bigint").as("code"))
+      .orderBy("c_custkey")
+
+  /** T06 — left join with residual non-equi condition (O18). */
+  def t06(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey") && c("c_acctbal") > 5000d, "left")
+      .select(col("o_orderkey"), col("c_mktsegment"))
+      .orderBy("o_orderkey")
+  }
+
+  /** T07 — not-null filter after outer join (O9). */
+  def t07(s: SparkSession, dir: String): DataFrame =
+    t06(s, dir).filter(col("c_mktsegment").isNotNull).orderBy("o_orderkey")
+
+  /** T08 — composite-key large-large join (O19/O20). */
+  def t08(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val ps = li.groupBy("l_partkey", "l_suppkey")
+      .agg(min(dec(col("l_extendedprice"))).as("min_price"))
+    li.join(ps, Seq("l_partkey", "l_suppkey"), "left")
+      .select(col("l_orderkey"), bi(col("l_linenumber")).as("l_linenumber"), col("min_price"))
+      .orderBy("l_orderkey", "l_linenumber", "min_price")
+  }
+
+  /** T09 — multi-key hash aggregate, TPC-H Q1 style (X4). */
+  def t09(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(dec(sum(dec(col("l_quantity")))).as("sum_qty"),
+        dec(sum(dec(col("l_extendedprice")))).as("sum_price"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** T10 — unpivot/melt (O16) via the chunked melt operator. */
+  def t10(s: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.lineitem(s, dir).groupBy("l_orderkey").agg(
+      dec(sum(when(col("l_returnflag") === "A", dec(col("l_quantity"))).otherwise(dec(lit(0))))).as("qty_A"),
+      dec(sum(when(col("l_returnflag") === "N", dec(col("l_quantity"))).otherwise(dec(lit(0))))).as("qty_N"),
+      dec(sum(when(col("l_returnflag") === "R", dec(col("l_quantity"))).otherwise(dec(lit(0))))).as("qty_R"))
+    Relational.melt(wide, Seq("l_orderkey"), Seq("qty_A", "qty_N", "qty_R"), "flag", "qty")
+      .orderBy("l_orderkey", "flag")
+  }
+
+  /** T11 — pivot with explicit value list (O25). */
+  def t11(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).withColumn("p", dec(col("o_totalprice")))
+    Relational.pivotWide(o, "o_custkey", "o_orderstatus", Seq("F", "O", "P"), sum(col("p")))
+      .select(col("o_custkey"),
+        dec(coalesce(col("F"), lit(0))).as("tot_F"),
+        dec(coalesce(col("O"), lit(0))).as("tot_O"),
+        dec(coalesce(col("P"), lit(0))).as("tot_P"))
+      .orderBy("o_custkey")
+  }
+
+  /** T12 — grouped lag (O28). */
+  def t12(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.groupedLag(Tables.events(s, dir),
+        Seq(col("user_id")), Seq(col("ts"), col("event_id")), "value", Seq(1))
+      .select(col("event_id"), col("user_id"),
+        round(col("value") - col("lag_value_1"), 4).as("dv"))
+      .orderBy("event_id")
+
+  /** T13 — grouped lead (O29). */
+  def t13(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.groupedLead(Tables.events(s, dir),
+        Seq(col("user_id")), Seq(col("ts"), col("event_id")), "event_type", Seq(7))
+      .select(col("event_id"), col("lead_event_type_7").as("future_type"))
+      .orderBy("event_id")
+
+  /** T14 — trailing rolling mean with min_periods=window (O30). */
+  def t14(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.rollingMeanMinPeriods(Tables.events(s, dir),
+        Seq(col("user_id")), Seq(col("ts"), col("event_id")), "value", Seq(7))
+      .select(col("event_id"), round(col("rmean_value_7"), 4).as("roll7"))
+      .orderBy("event_id")
+
+  /** T15 — distinct aggregate (X5). */
+  def t15(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("nparts"))
+      .orderBy("l_returnflag")
+
+  /** T16 — distinct + sort (O23). */
+  def t16(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(to_date(col("o_orderdate")).as("d")).distinct()
+      .orderBy("d")
+
+  /** T17 — nth-from-last distinct (O24). */
+  def t17(s: SparkSession, dir: String): DataFrame =
+    Relational.nthFromLastDistinct(
+      Tables.orders(s, dir).select(to_date(col("o_orderdate")).as("d")), "d", 20)
+
+  /** T18 — calendar features, pandas conventions (O31/O32). */
+  def t18(s: SparkSession, dir: String): DataFrame = {
+    val withD = Tables.orders(s, dir).withColumn("__d", to_date(col("o_orderdate")))
+    TimeSeries.timeFeatures(withD, "__d", "f_")
+      .select(col("o_orderkey"),
+        bi(col("f_quarter")).as("q"), bi(col("f_week")).as("wk"),
+        bi(col("f_day")).as("dom"), bi(col("f_dayofweek")).as("dow"),
+        bi(col("f_is_weekend")).as("is_weekend"))
+      .orderBy("o_orderkey")
+  }
+
+  /** T19 — date arithmetic + global-min broadcast (O27/O33/O34). */
+  def t19(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).withColumn("__d", to_date(col("o_orderdate")))
+    val m = o.agg(min(col("__d")).as("mn"))
+    o.crossJoin(broadcast(m))
+      .select(col("o_orderkey"),
+        date_add(col("__d"), 7).as("plus7"),
+        bi(datediff(col("__d"), col("mn")) + 1).as("day_num"))
+      .orderBy("o_orderkey")
+  }
+
+  /** T20 — string concat, no UDF (O35). */
+  def t20(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        concat(lit("F"), (col("o_orderkey") % 28 + 1).cast("string")).as("day_id"))
+      .orderBy("o_orderkey")
+
+  /** T21 — global top-k = TakeOrderedAndProject, no total sort (O22/X8). */
+  def t21(s: SparkSession, dir: String): DataFrame =
+    Relational.topK(
+      Tables.orders(s, dir).select(col("o_orderkey"), dec(col("o_totalprice")).as("price")),
+      10, col("price").desc, col("o_orderkey"))
+
+  /** T22 — union all (O21). */
+  def t22(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val hi = o.filter(col("o_totalprice") > 450000d).select(lit("hi").as("src"), col("o_orderkey"))
+    val lo = o.filter(col("o_totalprice") < 2000d).select(lit("lo").as("src"), col("o_orderkey"))
+    hi.unionByName(lo).orderBy("src", "o_orderkey")
+  }
+
+  /** T23 — keyed update / upsert columns (O26). */
+  def t23(s: SparkSession, dir: String): DataFrame = {
+    val sub = Tables.customer(s, dir).select(col("c_custkey"), dec(lit(0)).as("f1"))
+    val upd = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "P")
+      .groupBy("o_custkey").agg(dec(sum(dec(col("o_totalprice")))).as("f1"))
+      .withColumnRenamed("o_custkey", "c_custkey")
+    Relational.keyedUpdate(sub, upd, "c_custkey").orderBy("c_custkey")
+  }
+
+  /** T24 — left-semi join / IN-subquery (X2). */
+  def t24(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_totalprice") > 400000d).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey")
+      .orderBy("c_custkey")
+
+  /** T25 — left-anti join / NOT EXISTS (X3). */
+  def t25(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "P").select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey")
+      .orderBy("c_custkey")
+
+  /** T26 — rollup (X6). */
+  def t26(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("cnt"))
+      .orderBy("rf", "ls")
+
+  /** T27 — ranking window + per-group top-k (X7). */
+  def t27(s: SparkSession, dir: String): DataFrame =
+    Relational.topKPerGroup(Tables.customer(s, dir),
+        Seq(col("c_mktsegment")), Seq(col("c_acctbal").desc, col("c_custkey")), 3)
+      .select(col("c_mktsegment"), col("c_custkey"), bi(col("rnk")).as("rnk"))
+      .orderBy("c_mktsegment", "rnk")
+
+  /** T28 — deterministic label encoding (O13). */
+  def t28(s: SparkSession, dir: String): DataFrame =
+    Relational.labelEncode(Tables.documents(s, dir), "lang").orderBy("lang")
+
+  /** T29 — set difference (X9). */
+  def t29(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.filter(col("o_orderstatus") === "F").select("o_custkey")
+      .except(o.filter(col("o_orderstatus") === "P").select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  /** T30 — JSON field extraction (X10). */
+  def t30(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .orderBy("event_id")
+
+  /** T31 — tumbling time-window aggregation, batch form (X11). */
+  def t31(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(to_date(date_trunc("DAY", col("ts"))).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), dec(sum(dec(col("value")))).as("total"))
+      .orderBy("day", "event_type")
+
+  /** T32 — dedup statistics (X12). */
+  def t32(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"), countDistinct(col("text")).as("n_distinct"))
+      .orderBy("lang", "source")
+
+  /** T33 — text statistics (X13). */
+  def t33(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        length(col("text")).cast("bigint").as("len"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+      .orderBy("doc_id")
+
+  /** T34 — brute-force cosine top-k (X15). */
+  def t34(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        Seq(0, 1, 2), 3)
+      .orderBy("q", "rank")
+
+  // ───────────────────────── extension tier ─────────────────────────
+
+  /** X12 — exact dedup with deterministic representative. */
+  def x40(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), bi(col("n_copies")).as("n_copies"))
+      .orderBy("doc_id")
+
+  /** X14 — MinHash+LSH near-dup pairs, exact-Jaccard verified. */
+  def x41(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text",
+        shingleSize = 3, numHashes = 16, rowsPerBand = 4, threshold = 0.35)
+      .orderBy("a", "b")
+
+  /** Exact n-gram Jaccard near-dup pairs. */
+  def x42(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        shingleSize = 3, threshold = 0.35)
+      .orderBy("a", "b")
+
+  /** SimHash fingerprints. */
+  def x43(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc").as("doc_id"), col("fp"))
+      .orderBy("doc_id")
+
+  /** Embedding-cosine near-dup pairs (brute-force exact form). */
+  def x44(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.95)
+      .orderBy("a", "b")
+
+  /** LSH-bucketed ANN top-k (scale path of T34). */
+  def x45(s: SparkSession, dir: String): DataFrame =
+    Similarity.annLshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryIds = Seq(0, 1, 2), planeIds = Seq(10, 11, 12, 13), k = 3)
+      .orderBy("q", "rank")
+
+  /** Language-ID heuristic. */
+  def x46(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Quality scoring. */
+  def x47(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Token statistics (whitespace + BPE-ish pieces). */
+  def x48(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenStats(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Document fingerprint (order-sensitive rolling hash). */
+  def x49(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprint(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_scan_project" -> (t01 _),
+    "t02_filter_eq" -> (t02 _),
+    "t03_filter_range" -> (t03 _),
+    "t04_join_chain" -> (t04 _),
+    "t05_regex_extract" -> (t05 _),
+    "t06_left_join_cond" -> (t06 _),
+    "t07_notnull_filter" -> (t07 _),
+    "t08_composite_join" -> (t08 _),
+    "t09_hash_agg" -> (t09 _),
+    "t10_unpivot" -> (t10 _),
+    "t11_pivot" -> (t11 _),
+    "t12_grouped_lag" -> (t12 _),
+    "t13_grouped_lead" -> (t13 _),
+    "t14_rolling_min_periods" -> (t14 _),
+    "t15_distinct_agg" -> (t15 _),
+    "t16_distinct_sort" -> (t16 _),
+    "t17_nth_from_last" -> (t17 _),
+    "t18_time_features" -> (t18 _),
+    "t19_date_arith" -> (t19 _),
+    "t20_string_concat" -> (t20 _),
+    "t21_topk" -> (t21 _),
+    "t22_union_all" -> (t22 _),
+    "t23_keyed_update" -> (t23 _),
+    "t24_semi_join" -> (t24 _),
+    "t25_anti_join" -> (t25 _),
+    "t26_rollup" -> (t26 _),
+    "t27_group_topk" -> (t27 _),
+    "t28_label_encode" -> (t28 _),
+    "t29_except" -> (t29 _),
+    "t30_json_extract" -> (t30 _),
+    "t31_tumbling_window" -> (t31 _),
+    "t32_dedup_stats" -> (t32 _),
+    "t33_text_stats" -> (t33 _),
+    "t34_cosine_topk" -> (t34 _),
+    "x40_exact_dedup" -> (x40 _),
+    "x41_minhash_neardup" -> (x41 _),
+    "x42_ngram_jaccard" -> (x42 _),
+    "x43_simhash" -> (x43 _),
+    "x44_embedding_neardup" -> (x44 _),
+    "x45_ann_lsh" -> (x45 _),
+    "x46_lang_id" -> (x46 _),
+    "x47_quality_score" -> (x47 _),
+    "x48_token_stats" -> (x48 _),
+    "x49_fingerprint" -> (x49 _))
+}
