@@ -64,13 +64,20 @@ object Dedup {
       .select(col("a"), col("b")).distinct()
   }
 
-  /** Exact Jaccard over shingle sets for given candidate pairs:
-    * |A∩B| via shingle equi-join, |A∪B| = |A|+|B|−|A∩B|. */
+  /** Exact Jaccard over shingle sets, computed ONLY for the given
+    * candidate pairs: |A∩B| by routing each pair's A-side shingles
+    * through a (b, h) equi-join against the B-side; |A∪B| = |A|+|B|−|A∩B|.
+    *
+    * Scale note: the intersection MUST NOT be a raw `sh ⋈ sh` self-join
+    * on the shingle hash — that is O(df²) per shingle (a stop-shingle's
+    * posting list alone blows up) and does the same quadratic work the
+    * candidate generation exists to avoid. Cost here is
+    * Σ_pairs |A| join-probe rows — linear in candidate volume. */
   def jaccard(shingles: DataFrame, pairs: DataFrame, roundDigits: Int = 4): DataFrame = {
     val sizes = shingles.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
-    val la = shingles.select(col("doc").as("a"), col("h"))
-    val rb = shingles.select(col("doc").as("b"), col("h"))
-    val inter = la.join(rb, Seq("h")).where(col("a") < col("b"))
+    val inter = pairs
+      .join(shingles.select(col("doc").as("a"), col("h")), Seq("a"))
+      .join(shingles.select(col("doc").as("b"), col("h")), Seq("b", "h"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
     pairs
       .join(inter, Seq("a", "b"), "inner")
@@ -93,14 +100,27 @@ object Dedup {
     jaccard(sh, pairs).where(col("jac") >= threshold)
   }
 
-  /** Exact n-gram Jaccard near-dups (no LSH — the oracle-exact form; the
-    * shingle equi-join bounds cost to pairs sharing ≥1 shingle). */
+  /** Exact n-gram Jaccard near-dups. Candidates = pairs sharing ≥1
+    * shingle whose document frequency is ≤ `maxShingleDf` (0 = no cap).
+    * The cap is the standard corpus-scale guard: without it a single
+    * high-df shingle ("the of the") contributes O(df²) candidate pairs.
+    * Jaccard itself is still computed over the FULL shingle sets, so
+    * scores are exact; the cap only bounds which pairs are examined —
+    * a pair sharing exclusively >df shingles has near-zero Jaccard
+    * against any realistic threshold. */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+      shingleSize: Int = 3, threshold: Double = 0.5,
+      maxShingleDf: Int = 0): DataFrame = {
     val sh = shingleHashes(df, idCol, textCol, shingleSize)
-    val la = sh.select(col("doc").as("a"), col("h"))
-    val rb = sh.select(col("doc").as("b"), col("h"))
+    val candSh =
+      if (maxShingleDf <= 0) sh
+      else sh.join(
+        sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .where(col("df") <= maxShingleDf).select("h"),
+        Seq("h"), "left_semi")
+    val la = candSh.select(col("doc").as("a"), col("h"))
+    val rb = candSh.select(col("doc").as("b"), col("h"))
     val pairs = la.join(rb, Seq("h")).where(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
     jaccard(sh, pairs).where(col("jac") >= threshold)

@@ -44,9 +44,26 @@ object Similarity {
     twoPhaseTopK(scored, k)
   }
 
-  /** LSH-bucketed ANN: random-hyperplane sign buckets (planes = a fixed,
-    * deterministic subset of the corpus itself so both engines derive
-    * identical planes). Candidates are restricted to the query's bucket
+  /** Random-hyperplane sign bucket per row: bucket = Σ_j [dot(v, p_j)>0]·2^j
+    * (planes = a fixed, deterministic subset of the corpus itself so both
+    * engines derive identical planes). The bucket is aggregated keyed by
+    * vec_id ALONE, then v/nrm joined back — grouping by the full vector
+    * array would shuffle every embedding as a grouping key and compare
+    * arrays for equality in the hash agg. */
+  private def lshBucketed(base: DataFrame, planeIds: Seq[Int]): DataFrame = {
+    val planes = base.filter(col("vec_id").isin(planeIds: _*))
+      .select(col("vec_id").as("pid"), col("v").as("pv"))
+    val rankExpr = planeIds.zipWithIndex.foldLeft(lit(0)) { case (acc, (id, i)) =>
+      acc + when(col("pid") === id, lit(1 << i)).otherwise(0)
+    }
+    val buckets = base.join(broadcast(planes))
+      .withColumn("bit", when(Vectors.dot(col("v"), col("pv")) > 0d, rankExpr).otherwise(0))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("bit")).cast("bigint").as("bucket"))
+    base.join(buckets, Seq("vec_id"))
+  }
+
+  /** LSH-bucketed ANN: candidates are restricted to the query's bucket
     * — the scan cost drops by ~2^numPlanes at the cost of recall. */
   def annLshTopK(
       emb: DataFrame,
@@ -56,19 +73,7 @@ object Similarity {
       planeIds: Seq[Int],
       k: Int,
       roundDigits: Int = 4): DataFrame = {
-    val base = prepared(emb, idCol, vecCol)
-    val planes = base.filter(col("vec_id").isin(planeIds: _*))
-      .select(col("vec_id").as("pid"), col("v").as("pv"))
-    // bucket = sum_j [dot(v, plane_j) > 0] * 2^rank_j  (rank_j = order of
-    // planeIds as given). Planes are tiny → broadcast, one pass.
-    val planeRank = planeIds.zipWithIndex.map { case (id, i) => (id, i) }
-    val rankExpr = planeRank.foldLeft(lit(0)) { case (acc, (id, i)) =>
-      acc + when(col("pid") === id, lit(1 << i)).otherwise(0)
-    }
-    val bucketed = base.join(broadcast(planes))
-      .withColumn("bit", when(Vectors.dot(col("v"), col("pv")) > 0d, rankExpr).otherwise(0))
-      .groupBy(col("vec_id"), col("v"), col("nrm"))
-      .agg(sum(col("bit")).cast("bigint").as("bucket"))
+    val bucketed = lshBucketed(prepared(emb, idCol, vecCol), planeIds)
     val q = bucketed.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("q"), col("v").as("qv"), col("nrm").as("qn"),
         col("bucket").as("qbucket"))
@@ -79,6 +84,30 @@ object Similarity {
           roundDigits))
       .select(col("q"), col("vec_id"), col("cos"))
     twoPhaseTopK(scored, k)
+  }
+
+  /** LSH-bucketed embedding near-dup pairs — the 100 TB path for
+    * [[cosineNearDupPairs]]: exact cosine is verified only WITHIN a
+    * bucket, so the join fans out per bucket (E[pairs] ≈ n²/2^planes for
+    * balanced buckets) instead of all-pairs. Recall is bounded by the
+    * usual hyperplane-LSH collision probability (1 − θ/π)^planes for
+    * angle θ — near-dups (θ→0) collide with high probability. */
+  def cosineNearDupPairsLsh(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planeIds: Seq[Int],
+      threshold: Double,
+      roundDigits: Int = 4): DataFrame = {
+    val bucketed = lshBucketed(prepared(emb, idCol, vecCol), planeIds)
+    val right = bucketed.select(col("bucket"),
+      col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
+    bucketed.join(right, Seq("bucket")).where(col("vec_id") < col("b_id"))
+      .withColumn("cos",
+        round(Vectors.cosineWithNorms(col("v"), col("bv"), col("nrm"), col("bn")),
+          roundDigits))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_id").as("a"), col("b_id").as("b"), col("cos"))
   }
 
   /** Embedding near-duplicate pairs: all (a < b) with rounded cosine ≥

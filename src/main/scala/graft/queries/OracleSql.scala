@@ -46,7 +46,7 @@ object OracleSql {
        |JOIN sizes sa ON sa.doc = p.a
        |JOIN sizes sb ON sb.doc = p.b
        |WHERE ROUND(i.i::DOUBLE / (sa.sz + sb.sz - i.i)::DOUBLE, 4) >= $threshold
-       |ORDER BY a, b""".stripMargin
+       |ORDER BY p.a, p.b""".stripMargin
 
   /** float64 view of embeddings + cosine helper. */
   private val embCte =
@@ -54,12 +54,39 @@ object OracleSql {
   private def cos(a: String, b: String): String =
     s"ROUND(list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b))),4)"
 
+  /** Hyperplane-sign bucket per vector (planes = corpus vecs 10..13,
+    * bit weights 1,2,4,8 in that order) — mirrors Similarity.lshBucketed. */
+  private val lshBucketCte = {
+    val rank = "CASE pid WHEN 10 THEN 1 WHEN 11 THEN 2 WHEN 12 THEN 4 WHEN 13 THEN 8 END"
+    s"""planes AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id IN (10,11,12,13)),
+       |bucketed AS (
+       |  SELECT e.vec_id, e.v,
+       |    CAST(SUM(CASE WHEN list_dot_product(e.v, pv) > 0 THEN $rank ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM e CROSS JOIN planes GROUP BY e.vec_id, e.v)""".stripMargin
+  }
+
+  /** 30-bit SimHash fingerprints per doc — mirrors Dedup.simhash. */
+  private val simhashFpsCte = {
+    val votes = (0 until 30)
+      .map(j => s"SUM(((h >> $j) & 1) * 2 - 1) AS s_$j").mkString(",\n    ")
+    val fp = (0 until 30)
+      .map(j => s"CASE WHEN s_$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""tok AS (
+       |  SELECT doc_id AS doc, ${chash("t")} AS h
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) u),
+       |votes AS (
+       |  SELECT doc,
+       |    $votes
+       |  FROM tok GROUP BY doc),
+       |fps AS (SELECT doc, CAST($fp AS BIGINT) AS fp FROM votes)""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "t01_scan_project" ->
       "SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region ORDER BY r_regionkey",
 
     "t02_filter_eq" ->
-      """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      """SELECT o_orderkey, o_custkey, ROUND(CAST(o_totalprice AS DOUBLE), 2) AS price
         |FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin,
 
     "t03_filter_range" ->
@@ -92,7 +119,8 @@ object OracleSql {
 
     "t08_composite_join" ->
       """WITH ps AS (
-        |  SELECT l_partkey, l_suppkey, MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS min_price
+        |  SELECT l_partkey, l_suppkey,
+        |    ROUND(CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS min_price
         |  FROM lineitem GROUP BY l_partkey, l_suppkey)
         |SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber, ps.min_price
         |FROM lineitem l LEFT JOIN ps ON l.l_partkey = ps.l_partkey AND l.l_suppkey = ps.l_suppkey
@@ -100,17 +128,17 @@ object OracleSql {
 
     "t09_hash_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price,
         |  COUNT(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "t10_unpivot" ->
       """WITH wide AS (
         |  SELECT l_orderkey,
-        |    CAST(SUM(CASE WHEN l_returnflag='A' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS qty_A,
-        |    CAST(SUM(CASE WHEN l_returnflag='N' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS qty_N,
-        |    CAST(SUM(CASE WHEN l_returnflag='R' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS qty_R
+        |    ROUND(CAST(SUM(CASE WHEN l_returnflag='A' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS qty_A,
+        |    ROUND(CAST(SUM(CASE WHEN l_returnflag='N' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS qty_N,
+        |    ROUND(CAST(SUM(CASE WHEN l_returnflag='R' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS qty_R
         |  FROM lineitem GROUP BY l_orderkey)
         |SELECT l_orderkey, flag, qty FROM (
         |  SELECT l_orderkey, 'qty_A' AS flag, qty_A AS qty FROM wide
@@ -120,9 +148,9 @@ object OracleSql {
 
     "t11_pivot" ->
       """SELECT o_custkey,
-        |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus='F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS tot_F,
-        |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus='O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS tot_O,
-        |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus='P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS tot_P
+        |  ROUND(CAST(COALESCE(SUM(CASE WHEN o_orderstatus='F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE), 2) AS tot_F,
+        |  ROUND(CAST(COALESCE(SUM(CASE WHEN o_orderstatus='O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE), 2) AS tot_O,
+        |  ROUND(CAST(COALESCE(SUM(CASE WHEN o_orderstatus='P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE), 2) AS tot_P
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "t12_grouped_lag" ->
@@ -174,7 +202,7 @@ object OracleSql {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "t21_topk" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      """SELECT o_orderkey, ROUND(CAST(o_totalprice AS DOUBLE), 2) AS price
         |FROM orders ORDER BY price DESC, o_orderkey LIMIT 10""".stripMargin,
 
     "t22_union_all" ->
@@ -184,13 +212,13 @@ object OracleSql {
         |ORDER BY src, o_orderkey""".stripMargin,
 
     "t23_keyed_update" ->
-      """WITH sub AS (SELECT c_custkey, CAST(0 AS DECIMAL(18,2)) AS f1 FROM customer),
+      """WITH sub AS (SELECT c_custkey, CAST(0 AS DOUBLE) AS f1 FROM customer),
         |upd AS (
-        |  SELECT o_custkey AS c_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS f1
+        |  SELECT o_custkey AS c_custkey, ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS f1
         |  FROM orders WHERE o_orderstatus = 'P' GROUP BY o_custkey)
         |SELECT s.c_custkey, COALESCE(u.f1, s.f1) AS f1
         |FROM sub s LEFT JOIN upd u ON s.c_custkey = u.c_custkey
-        |ORDER BY c_custkey""".stripMargin,
+        |ORDER BY s.c_custkey""".stripMargin,
 
     "t24_semi_join" ->
       """SELECT c_custkey FROM customer
@@ -229,7 +257,7 @@ object OracleSql {
 
     "t31_tumbling_window" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, COUNT(*) AS cnt,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
 
     "t32_dedup_stats" ->
@@ -251,6 +279,10 @@ object OracleSql {
          |        CAST(ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos DESC, vec_id) AS BIGINT) AS "rank"
          |      FROM scored)
          |SELECT q, "rank", vec_id, cos FROM r WHERE "rank" <= 3 ORDER BY q, "rank"""".stripMargin,
+
+    "t35_project_except" ->
+      """SELECT c_custkey, ROUND(c_acctbal, 4) AS c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     // ─────────────────────── extension tier ───────────────────────
 
@@ -274,41 +306,43 @@ object OracleSql {
 
     "x42_ngram_jaccard" ->
       s"""WITH ${shingleCte(3)},
+         |rare AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) <= 50),
          |pairs AS (
          |  SELECT DISTINCT x.doc AS a, y.doc AS b
-         |  FROM sh x JOIN sh y ON x.h = y.h AND x.doc < y.doc),
+         |  FROM sh x JOIN rare f ON x.h = f.h
+         |  JOIN sh y ON x.h = y.h AND x.doc < y.doc),
          |${jaccardTail(0.35)}""".stripMargin,
 
-    "x43_simhash" -> {
-      val votes = (0 until 30)
-        .map(j => s"SUM(((h >> $j) & 1) * 2 - 1) AS s_$j").mkString(",\n    ")
-      val fp = (0 until 30)
-        .map(j => s"CASE WHEN s_$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
-      s"""WITH tok AS (
-         |  SELECT doc_id AS doc, ${chash("t")} AS h
-         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) u),
-         |votes AS (
-         |  SELECT doc,
-         |    $votes
-         |  FROM tok GROUP BY doc)
-         |SELECT doc AS doc_id, CAST($fp AS BIGINT) AS fp FROM votes ORDER BY doc_id""".stripMargin
-    },
+    "x43_simhash" ->
+      s"""WITH $simhashFpsCte
+         |SELECT doc AS doc_id, fp FROM fps ORDER BY doc_id""".stripMargin,
+
+    "x50_simhash_neardup" ->
+      s"""WITH $simhashFpsCte
+         |SELECT x.doc AS a, y.doc AS b,
+         |  CAST(bit_count(xor(x.fp, y.fp)) AS BIGINT) AS hamming
+         |FROM fps x JOIN fps y ON x.doc < y.doc
+         |WHERE bit_count(xor(x.fp, y.fp)) <= 2
+         |ORDER BY a, b""".stripMargin,
 
     "x44_embedding_neardup" ->
       s"""WITH $embCte
          |SELECT x.vec_id AS a, y.vec_id AS b, ${cos("x.v", "y.v")} AS cos
          |FROM e x JOIN e y ON x.vec_id < y.vec_id
-         |WHERE ${cos("x.v", "y.v")} >= 0.95
+         |WHERE ${cos("x.v", "y.v")} >= 0.45
          |ORDER BY a, b""".stripMargin,
 
-    "x45_ann_lsh" -> {
-      val rank = "CASE pid WHEN 10 THEN 1 WHEN 11 THEN 2 WHEN 12 THEN 4 WHEN 13 THEN 8 END"
+    "x51_embedding_neardup_lsh" ->
       s"""WITH $embCte,
-         |planes AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id IN (10,11,12,13)),
-         |bucketed AS (
-         |  SELECT e.vec_id, e.v,
-         |    CAST(SUM(CASE WHEN list_dot_product(e.v, pv) > 0 THEN $rank ELSE 0 END) AS BIGINT) AS bucket
-         |  FROM e CROSS JOIN planes GROUP BY e.vec_id, e.v),
+         |$lshBucketCte
+         |SELECT x.vec_id AS a, y.vec_id AS b, ${cos("x.v", "y.v")} AS cos
+         |FROM bucketed x JOIN bucketed y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |WHERE ${cos("x.v", "y.v")} >= 0.45
+         |ORDER BY a, b""".stripMargin,
+
+    "x45_ann_lsh" ->
+      s"""WITH $embCte,
+         |$lshBucketCte,
          |q AS (SELECT vec_id AS q, v AS qv, bucket AS qbucket FROM bucketed WHERE vec_id IN (0,1,2)),
          |scored AS (
          |  SELECT q.q, b.vec_id, ${cos("qv", "b.v")} AS cos
@@ -316,8 +350,7 @@ object OracleSql {
          |r AS (SELECT q, vec_id, cos,
          |        CAST(ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos DESC, vec_id) AS BIGINT) AS "rank"
          |      FROM scored)
-         |SELECT q, "rank", vec_id, cos FROM r WHERE "rank" <= 3 ORDER BY q, "rank"""".stripMargin
-    },
+         |SELECT q, "rank", vec_id, cos FROM r WHERE "rank" <= 3 ORDER BY q, "rank"""".stripMargin,
 
     "x46_lang_id" -> {
       val langs = graft.operators.TextAnalysis.stopwords

@@ -12,14 +12,21 @@ import graft.sources.Tables
   * extension-tier queries (dedup / similarity / text). Every query here
   * has a DuckDB-oracle SQL twin in [[OracleSql]] with IDENTICAL output
   * column names and a total ORDER BY, and all outputs are canonicalized:
-  * ints → BIGINT, money aggregates → DECIMAL(18,2), float math →
-  * ROUND(_, 4), timestamps → DATE.
+  * ints → BIGINT, money → ROUND(CAST(_ AS DOUBLE), 2) in the FINAL schema
+  * (DECIMAL only internally, for exact sums), float math → ROUND(_, 4),
+  * timestamps → DATE.
   */
 object Queries {
 
   private val D = DecimalType(18, 2)
   private def dec(c: Column): Column = c.cast(D)
   private def bi(c: Column): Column = c.cast("bigint")
+
+  /** Canonical money output: sums stay DECIMAL(18,2) internally (exact),
+    * but the FINAL schema is always ROUND(CAST(_ AS DOUBLE), 2) — a
+    * Decimal renders "253942.00" where the oracle's float64 read path
+    * renders "253942.0", failing the hash on identical values. */
+  private def money(c: Column): Column = round(c.cast("double"), 2)
 
   /** T01 — scan + projection (O11). */
   def t01(s: SparkSession, dir: String): DataFrame =
@@ -31,7 +38,7 @@ object Queries {
   def t02(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .filter(col("o_orderstatus") === "F")
-      .select(col("o_orderkey"), col("o_custkey"), dec(col("o_totalprice")).as("price"))
+      .select(col("o_orderkey"), col("o_custkey"), money(col("o_totalprice")).as("price"))
       .orderBy("o_orderkey")
 
   /** T03 — date-range filter (O8/O10). */
@@ -61,11 +68,13 @@ object Queries {
         regexp_extract(col("c_name"), "([0-9]+)", 1).cast("bigint").as("code"))
       .orderBy("c_custkey")
 
-  /** T06 — left join with residual non-equi condition (O18). */
+  /** T06 — left join with residual non-equi condition (O18). No forced
+    * broadcast hint: customer is small at test scale but not at 100× —
+    * AQE demotes to broadcast when the build side actually fits. */
   def t06(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
     val c = Tables.customer(s, dir)
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey") && c("c_acctbal") > 5000d, "left")
+    o.join(c, o("o_custkey") === c("c_custkey") && c("c_acctbal") > 5000d, "left")
       .select(col("o_orderkey"), col("c_mktsegment"))
       .orderBy("o_orderkey")
   }
@@ -78,7 +87,7 @@ object Queries {
   def t08(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     val ps = li.groupBy("l_partkey", "l_suppkey")
-      .agg(min(dec(col("l_extendedprice"))).as("min_price"))
+      .agg(money(min(dec(col("l_extendedprice")))).as("min_price"))
     li.join(ps, Seq("l_partkey", "l_suppkey"), "left")
       .select(col("l_orderkey"), bi(col("l_linenumber")).as("l_linenumber"), col("min_price"))
       .orderBy("l_orderkey", "l_linenumber", "min_price")
@@ -88,17 +97,17 @@ object Queries {
   def t09(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag", "l_linestatus")
-      .agg(dec(sum(dec(col("l_quantity")))).as("sum_qty"),
-        dec(sum(dec(col("l_extendedprice")))).as("sum_price"),
+      .agg(money(sum(dec(col("l_quantity")))).as("sum_qty"),
+        money(sum(dec(col("l_extendedprice")))).as("sum_price"),
         count(lit(1)).as("cnt"))
       .orderBy("l_returnflag", "l_linestatus")
 
   /** T10 — unpivot/melt (O16) via the chunked melt operator. */
   def t10(s: SparkSession, dir: String): DataFrame = {
     val wide = Tables.lineitem(s, dir).groupBy("l_orderkey").agg(
-      dec(sum(when(col("l_returnflag") === "A", dec(col("l_quantity"))).otherwise(dec(lit(0))))).as("qty_A"),
-      dec(sum(when(col("l_returnflag") === "N", dec(col("l_quantity"))).otherwise(dec(lit(0))))).as("qty_N"),
-      dec(sum(when(col("l_returnflag") === "R", dec(col("l_quantity"))).otherwise(dec(lit(0))))).as("qty_R"))
+      money(sum(when(col("l_returnflag") === "A", dec(col("l_quantity"))).otherwise(dec(lit(0))))).as("qty_A"),
+      money(sum(when(col("l_returnflag") === "N", dec(col("l_quantity"))).otherwise(dec(lit(0))))).as("qty_N"),
+      money(sum(when(col("l_returnflag") === "R", dec(col("l_quantity"))).otherwise(dec(lit(0))))).as("qty_R"))
     Relational.melt(wide, Seq("l_orderkey"), Seq("qty_A", "qty_N", "qty_R"), "flag", "qty")
       .orderBy("l_orderkey", "flag")
   }
@@ -108,9 +117,9 @@ object Queries {
     val o = Tables.orders(s, dir).withColumn("p", dec(col("o_totalprice")))
     Relational.pivotWide(o, "o_custkey", "o_orderstatus", Seq("F", "O", "P"), sum(col("p")))
       .select(col("o_custkey"),
-        dec(coalesce(col("F"), lit(0))).as("tot_F"),
-        dec(coalesce(col("O"), lit(0))).as("tot_O"),
-        dec(coalesce(col("P"), lit(0))).as("tot_P"))
+        money(coalesce(col("F"), dec(lit(0)))).as("tot_F"),
+        money(coalesce(col("O"), dec(lit(0)))).as("tot_O"),
+        money(coalesce(col("P"), dec(lit(0)))).as("tot_P"))
       .orderBy("o_custkey")
   }
 
@@ -186,7 +195,7 @@ object Queries {
   /** T21 — global top-k = TakeOrderedAndProject, no total sort (O22/X8). */
   def t21(s: SparkSession, dir: String): DataFrame =
     Relational.topK(
-      Tables.orders(s, dir).select(col("o_orderkey"), dec(col("o_totalprice")).as("price")),
+      Tables.orders(s, dir).select(col("o_orderkey"), money(col("o_totalprice")).as("price")),
       10, col("price").desc, col("o_orderkey"))
 
   /** T22 — union all (O21). */
@@ -199,10 +208,10 @@ object Queries {
 
   /** T23 — keyed update / upsert columns (O26). */
   def t23(s: SparkSession, dir: String): DataFrame = {
-    val sub = Tables.customer(s, dir).select(col("c_custkey"), dec(lit(0)).as("f1"))
+    val sub = Tables.customer(s, dir).select(col("c_custkey"), lit(0d).as("f1"))
     val upd = Tables.orders(s, dir)
       .filter(col("o_orderstatus") === "P")
-      .groupBy("o_custkey").agg(dec(sum(dec(col("o_totalprice")))).as("f1"))
+      .groupBy("o_custkey").agg(money(sum(dec(col("o_totalprice")))).as("f1"))
       .withColumnRenamed("o_custkey", "c_custkey")
     Relational.keyedUpdate(sub, upd, "c_custkey").orderBy("c_custkey")
   }
@@ -262,7 +271,7 @@ object Queries {
   def t31(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(to_date(date_trunc("DAY", col("ts"))).as("day"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), dec(sum(dec(col("value")))).as("total"))
+      .agg(count(lit(1)).as("cnt"), money(sum(dec(col("value")))).as("total"))
       .orderBy("day", "event_type")
 
   /** T32 — dedup statistics (X12). */
@@ -279,6 +288,14 @@ object Queries {
         length(col("text")).cast("bigint").as("len"),
         size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
       .orderBy("doc_id")
+
+  /** T35 — column-set-difference projection (O12): keep the key plus
+    * every column not in the exclusion set. */
+  def t35(s: SparkSession, dir: String): DataFrame =
+    Relational.projectExcept(Tables.customer(s, dir),
+        base = Seq("c_custkey"), exclude = Set("c_name", "c_nationkey"))
+      .withColumn("c_acctbal", round(col("c_acctbal"), 4))
+      .orderBy("c_custkey")
 
   /** T34 — brute-force cosine top-k (X15). */
   def t34(s: SparkSession, dir: String): DataFrame =
@@ -300,10 +317,11 @@ object Queries {
         shingleSize = 3, numHashes = 16, rowsPerBand = 4, threshold = 0.35)
       .orderBy("a", "b")
 
-  /** Exact n-gram Jaccard near-dup pairs. */
+  /** Exact n-gram Jaccard near-dup pairs (df-capped candidate gen —
+    * mirrored in the oracle so both engines examine the same pairs). */
   def x42(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-        shingleSize = 3, threshold = 0.35)
+        shingleSize = 3, threshold = 0.35, maxShingleDf = 50)
       .orderBy("a", "b")
 
   /** SimHash fingerprints. */
@@ -312,10 +330,23 @@ object Queries {
       .select(col("doc").as("doc_id"), col("fp"))
       .orderBy("doc_id")
 
+  /** SimHash near-dup pairs, hamming ≤ 2 via 3-band bucketing (exact by
+    * pigeonhole — no all-pairs join in the plan). */
+  def x50(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text", maxDist = 2)
+      .orderBy("a", "b")
+
   /** Embedding-cosine near-dup pairs (brute-force exact form). */
   def x44(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-        threshold = 0.95)
+        threshold = 0.45)
+      .orderBy("a", "b")
+
+  /** LSH-bucketed embedding near-dup pairs (scale path of x44 — exact
+    * verify within buckets only, no all-pairs join). */
+  def x51(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairsLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
+        planeIds = Seq(10, 11, 12, 13), threshold = 0.45)
       .orderBy("a", "b")
 
   /** LSH-bucketed ANN top-k (scale path of T34). */
@@ -380,11 +411,14 @@ object Queries {
     "t32_dedup_stats" -> (t32 _),
     "t33_text_stats" -> (t33 _),
     "t34_cosine_topk" -> (t34 _),
+    "t35_project_except" -> (t35 _),
     "x40_exact_dedup" -> (x40 _),
     "x41_minhash_neardup" -> (x41 _),
     "x42_ngram_jaccard" -> (x42 _),
     "x43_simhash" -> (x43 _),
     "x44_embedding_neardup" -> (x44 _),
+    "x50_simhash_neardup" -> (x50 _),
+    "x51_embedding_neardup_lsh" -> (x51 _),
     "x45_ann_lsh" -> (x45 _),
     "x46_lang_id" -> (x46 _),
     "x47_quality_score" -> (x47 _),
