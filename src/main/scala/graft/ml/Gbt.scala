@@ -1,0 +1,108 @@
+package graft.ml
+
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.regression.{GBTRegressionModel, GBTRegressor}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+/** O37/O38 — gradient-boosted-tree regression tier.
+  * Ref: LGBMRegressor fit/predict (pipeline.py:258-265, 287-294).
+  *
+  * Documented divergences from the reference's LightGBM (SURVEY §7.5.3):
+  *  - objective: Spark GBT has squared/absolute loss, no tweedie;
+  *  - early stopping: no eval-set rounds — `validationIndicatorCol` +
+  *    `validationTol` is the Spark-native equivalent;
+  *  - categoricals: LightGBM consumes pandas category codes natively;
+  *    here strings are label-encoded to deterministic lexicographic
+  *    codes (O13) and fed as ordinal numerics;
+  *  - NaN handling: LightGBM routes missing values per split; GBT
+  *    rejects NaN, so missing features are imputed with a sentinel
+  *    that lands in its own extreme split region.
+  * Model outputs are golden-tested under a fixed seed, never
+  * oracle-hashed (SURVEY §5.3).
+  */
+object Gbt {
+
+  val MissingSentinel: Double = -999.0
+
+  final case class Params(
+      maxIter: Int,
+      stepSize: Double,
+      maxDepth: Int,
+      subsamplingRate: Double,
+      featureSubsetStrategy: String,
+      seed: Long = 42L)
+
+  /** Translate the reference's lgb_params surface (base.yaml:14-24)
+    * onto GBT's knobs; unmapped keys (num_leaves, min_child_weight,
+    * tweedie objective) are intentionally dropped — see object doc. */
+  def fromLgbParams(p: Map[String, Any]): Params = {
+    def num(k: String, dflt: Double): Double = p.get(k) match {
+      case Some(n: java.lang.Number) => n.doubleValue()
+      case Some(s) => s.toString.toDouble
+      case None => dflt
+    }
+    Params(
+      maxIter = num("n_estimators", 100).toInt,
+      stepSize = num("learning_rate", 0.1),
+      maxDepth = math.min(num("max_depth", 5).toInt, 30),
+      subsamplingRate = num("subsample", 1.0),
+      featureSubsetStrategy = p.get("colsample_bytree").map(_.toString).getOrElse("all"))
+  }
+
+  /** Deterministic per-column dictionaries (O13 semantics) fit on the
+    * training frame; unseen/null values map to -1 at apply time. */
+  def fitEncoders(df: DataFrame, cols: Seq[String]): Map[String, DataFrame] =
+    cols.map(c => c -> Relational.labelEncode(df, c).cache()).toMap
+
+  def applyEncoders(df: DataFrame, encoders: Map[String, DataFrame]): DataFrame =
+    encoders.foldLeft(df) { case (acc, (c, vocab)) =>
+      acc.join(broadcast(vocab.withColumnRenamed("code", s"__code_$c")), Seq(c), "left")
+        .withColumn(c, coalesce(col(s"__code_$c"), lit(-1L)))
+        .drop(s"__code_$c")
+    }
+
+  private def assemble(df: DataFrame, featureCols: Seq[String]): DataFrame = {
+    val numeric = featureCols.foldLeft(df)((acc, c) => acc.withColumn(c, col(c).cast("double")))
+    val filled = numeric.na.fill(MissingSentinel, featureCols)
+    new VectorAssembler()
+      .setInputCols(featureCols.toArray)
+      .setOutputCol("features")
+      .transform(filled)
+  }
+
+  /** O37 — fit with a validation split indicator (rows where
+    * `validCol` is true are held out for validation-based stopping). */
+  def fit(
+      train: DataFrame,
+      featureCols: Seq[String],
+      labelCol: String,
+      validCol: String,
+      params: Params): GBTRegressionModel = {
+    val assembled = assemble(train, featureCols)
+      .withColumn("__label", col(labelCol).cast("double"))
+    new GBTRegressor()
+      .setFeaturesCol("features")
+      .setLabelCol("__label")
+      .setValidationIndicatorCol(validCol)
+      .setMaxIter(params.maxIter)
+      .setStepSize(params.stepSize)
+      .setMaxDepth(params.maxDepth)
+      .setSubsamplingRate(params.subsamplingRate)
+      .setFeatureSubsetStrategy(params.featureSubsetStrategy)
+      .setSeed(params.seed)
+      .fit(assembled)
+  }
+
+  /** O38 — batch predict: append `predCol` to `df`. */
+  def predict(
+      model: GBTRegressionModel,
+      df: DataFrame,
+      featureCols: Seq[String],
+      predCol: String): DataFrame =
+    model.transform(assemble(df, featureCols))
+      .withColumn(predCol, col(model.getPredictionCol))
+      .drop("features", model.getPredictionCol)
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** Property tests (SURVEY §5.2.5): melt∘pivot round-trip, lag∘lead
+  * identity on interior rows, union-all count preservation, rolling
+  * mean bounds. Samples are drawn from scalacheck Gens under FIXED
+  * seeds (deterministic runs; scalatestplus glue isn't in the offline
+  * cache, so sampling is driven directly).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[T](gen: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val smallInts = Gen.chooseNum(0, 50)
+
+  test("property: melt then pivot(first) round-trips the wide table") {
+    samples(Gen.listOfN(4, Gen.listOfN(3, smallInts)), 5).foreach { rows =>
+      val wide = rows.zipWithIndex
+        .map { case (vs, i) => (i.toLong, vs(0), vs(1), vs(2)) }
+        .toDF("k", "d_1", "d_2", "d_3")
+      val long = Relational.melt(wide, Seq("k"), Seq("d_1", "d_2", "d_3"), "d", "v")
+      val back = Relational.pivotWide(long, "k", "d", Seq("d_1", "d_2", "d_3"),
+        first(col("v")))
+      val a = wide.orderBy("k").collect().map(_.toSeq).toSeq
+      val b = back.orderBy("k").collect().map(_.toSeq).toSeq
+      assert(a == b)
+    }
+  }
+
+  test("property: lead(k) of lag(k) is identity on interior rows, null on edges") {
+    samples(Gen.zip(Gen.chooseNum(1, 4), Gen.chooseNum(6, 15)), 5).foreach { case (k, n) =>
+      val df = (1 to n).map(i => ("g", i, i * 10)).toDF("id", "t", "v")
+      val out = TimeSeries.groupedLead(
+          TimeSeries.groupedLag(df, Seq(col("id")), Seq(col("t")), "v", Seq(k)),
+          Seq(col("id")), Seq(col("t")), s"lag_v_$k", Seq(k))
+        .select(col("t"), col("v"), col(s"lead_lag_v_${k}_$k").as("rt"))
+        .as[(Int, Int, Option[Int])].collect()
+      out.foreach { case (t, v, rt) =>
+        if (t <= n - k) assert(rt.contains(v), s"t=$t k=$k")
+        else assert(rt.isEmpty, s"tail t=$t k=$k")
+      }
+    }
+  }
+
+  test("property: unionByName preserves row counts") {
+    samples(Gen.zip(Gen.listOf(smallInts), Gen.listOf(smallInts)), 5).foreach { case (xs, ys) =>
+      val a = xs.toDF("v")
+      val b = ys.toDF("v")
+      assert(a.unionByName(b).count() == xs.size + ys.size)
+    }
+  }
+
+  test("property: rolling mean is bounded by group min/max and null before w rows") {
+    samples(Gen.zip(Gen.chooseNum(2, 5), Gen.listOfN(12, Gen.chooseNum(-100, 100))), 5)
+      .foreach { case (w, vs) =>
+        val df = vs.zipWithIndex.map { case (v, i) => ("g", i, v.toDouble) }.toDF("id", "t", "v")
+        val out = TimeSeries.rollingMeanMinPeriods(df, Seq(col("id")), Seq(col("t")), "v", Seq(w))
+          .select(col("t"), col(s"rmean_v_$w")).as[(Int, Option[Double])].collect()
+        val (mn, mx) = (vs.min.toDouble, vs.max.toDouble)
+        out.foreach { case (t, r) =>
+          if (t < w) assert(r.isEmpty, s"t=$t w=$w must be null")
+          else r.foreach(m => assert(m >= mn && m <= mx))
+        }
+      }
+  }
+}

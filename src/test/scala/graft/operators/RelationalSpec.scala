@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pandas-parity units for the relational semantic traps: label-encode
+  * order (O13), pivot-mean (O25), update-only-non-null (O26), melt
+  * chunking (O16), projectExcept (O12). FIXTURES.md §3.
+  */
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("labelEncode: codes follow lexicographic sorted-distinct order (pandas category order)") {
+    val df = Seq("b", "a", "B", "10", "2", "a", null).toDF("v")
+    val out = Relational.labelEncode(df, "v")
+      .as[(String, Long)].collect().toMap
+    // sorted distinct: "10" < "2" < "B" < "a" < "b" (ASCII)
+    assert(out == Map("10" -> 0L, "2" -> 1L, "B" -> 2L, "a" -> 3L, "b" -> 4L))
+  }
+
+  test("pivotWide with mean agg: duplicate (key, col) cells average (pivot_table default)") {
+    val df = Seq(
+      ("i1", "F1", 2.0), ("i1", "F1", 4.0), // duplicate cell → mean 3.0
+      ("i1", "F2", 5.0),
+      ("i2", "F2", 7.0)).toDF("id", "day", "v")
+    val out = Relational.pivotWide(df, "id", "day", Seq("F1", "F2"), avg(col("v")))
+      .orderBy("id").collect()
+    assert(out(0).getString(0) == "i1" && out(0).getDouble(1) == 3.0 && out(0).getDouble(2) == 5.0)
+    assert(out(1).getString(0) == "i2" && out(1).isNullAt(1) && out(1).getDouble(2) == 7.0)
+  }
+
+  test("keyedUpdate: overwrites only matching keys with non-null values (pandas update)") {
+    val base = Seq(("a", 1.0, 10.0), ("b", 2.0, 20.0), ("c", 3.0, 30.0)).toDF("id", "x", "y")
+    val upd = Seq(("a", Some(9.0), None: Option[Double]), ("b", None, Some(99.0)))
+      .toDF("id", "x", "y")
+    val out = Relational.keyedUpdate(base, upd, "id").orderBy("id")
+      .as[(String, Double, Double)].collect()
+    assert(out(0) == ("a", 9.0, 10.0))  // x updated, y stays (null update ignored)
+    assert(out(1) == ("b", 2.0, 99.0))  // x stays, y updated
+    assert(out(2) == ("c", 3.0, 30.0))  // no update row → untouched
+  }
+
+  test("melt: chunked unpivot equals unchunked, preserves all cells") {
+    val wide = Seq((1, 10, 20, 30, 40, 50)).toDF("k", "d_1", "d_2", "d_3", "d_4", "d_5")
+    val vals = Seq("d_1", "d_2", "d_3", "d_4", "d_5")
+    val chunked = Relational.melt(wide, Seq("k"), vals, "d", "v", chunkSize = 2)
+      .orderBy("d").as[(Int, String, Int)].collect()
+    assert(chunked.toSeq == Seq((1, "d_1", 10), (1, "d_2", 20), (1, "d_3", 30),
+      (1, "d_4", 40), (1, "d_5", 50)))
+  }
+
+  test("projectExcept: base cols + set difference, in df column order") {
+    val df = Seq((1, "x", 2.0, true)).toDF("id", "name", "score", "flag")
+    val out = Relational.projectExcept(df, Seq("id"), exclude = Set("name"))
+    assert(out.columns.toSeq == Seq("id", "score", "flag"))
+  }
+
+  test("topKPerGroup and nthFromLastDistinct") {
+    val df = Seq(("g1", 5), ("g1", 3), ("g1", 9), ("g1", 1), ("g2", 4), ("g2", 8))
+      .toDF("g", "v")
+    val top = Relational.topKPerGroup(df, Seq(col("g")), Seq(col("v").desc), 2)
+      .select("g", "v").as[(String, Int)].collect().toSet
+    assert(top == Set(("g1", 9), ("g1", 5), ("g2", 8), ("g2", 4)))
+    val nth = Relational.nthFromLastDistinct(df.select(col("v")), "v", 2)
+      .as[Int].collect().toSeq
+    assert(nth == Seq(8)) // distinct desc: 9, 8, 5, 4, 3, 1 → 2nd = 8
+  }
+}

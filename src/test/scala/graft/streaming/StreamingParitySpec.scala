@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** X11 streaming parity (SURVEY §5.2.6): the tumbling-window
+  * aggregation of T31 run through Structured Streaming (`window` +
+  * watermark, append mode) equals the batch `date_trunc` form on the
+  * same events; late data beyond the watermark is dropped.
+  */
+class StreamingParitySpec extends SparkSpec {
+  import spark.implicits._
+  import StreamingParitySpec.Ev
+
+  private def ts(day: Int, hour: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")
+
+  private val events = Seq(
+    Ev(ts(1, 3), "click", 1.0), Ev(ts(1, 9), "click", 2.5), Ev(ts(1, 12), "view", 4.0),
+    Ev(ts(2, 1), "click", 3.0), Ev(ts(2, 5), "view", 1.5), Ev(ts(2, 23), "view", 2.0),
+    Ev(ts(3, 8), "purchase", 9.0))
+
+  private def runStream(batches: Seq[Seq[Ev]]): Map[(String, String), (Long, Double)] = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = mem.toDF()
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("total"))
+      .select(to_date(col("window.start")).as("day"), col("event_type"),
+        col("cnt"), col("total"))
+    val sinkName = s"paritysink_${System.nanoTime()}"
+    val q = agg.writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      // a far-future sentinel pushes the watermark past every real
+      // window so append mode emits all of them
+      mem.addData(Ev(Timestamp.valueOf("2024-02-01 00:00:00"), "__sentinel", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(sinkName).filter(col("event_type") =!= "__sentinel")
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+  }
+
+  private def runBatch(evs: Seq[Ev]): Map[(String, String), (Long, Double)] =
+    evs.toDF()
+      .groupBy(to_date(date_trunc("DAY", col("ts"))).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("total"))
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+
+  test("streaming tumbling window == batch date_trunc on in-order replay") {
+    val streamed = runStream(Seq(events.sortBy(_.ts.getTime)))
+    assert(streamed == runBatch(events))
+  }
+
+  test("late data beyond the watermark is dropped; batch counts it") {
+    // first batch advances the event-time clock to Jan 5; the Jan 1
+    // straggler then arrives 4 days late against a 1-day watermark
+    val head = events :+ Ev(ts(5, 1), "click", 1.0)
+    val straggler = Ev(ts(1, 22), "click", 100.0)
+    val streamed = runStream(Seq(head, Seq(straggler)))
+    val withoutStraggler = runBatch(head)
+    val withStraggler = runBatch(head :+ straggler)
+    assert(streamed == withoutStraggler, "stream must drop the late row")
+    assert(streamed != withStraggler, "batch WOULD count it — that's the declared divergence")
+  }
+}
+
+object StreamingParitySpec {
+  // top-level so Spark can derive an Encoder without an outer scope
+  case class Ev(ts: Timestamp, event_type: String, value: Double)
+}
