@@ -18,13 +18,24 @@ object Vectors {
   /** Cast array<float> → array<double> element-wise. */
   def toDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  /** Sequential dot product in float64. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential dot product in float64 — codegen'd custom Expression
+    * ([[graft.functions.expressions.DotProduct]]); accepts float or
+    * double arrays directly, promoting per element. Identical results
+    * to the higher-order-function form, ~5× faster (no interpreted
+    * lambda dispatch, no array copy). */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** Reference higher-order-function dot (kept as the readable spec of
+    * [[dot]]'s semantics; tests assert both agree). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
 
   /** Sum of squares, sequential. */
-  def sq(a: Column): Column =
-    aggregate(a, lit(0.0d), (acc, v) => acc + v * v)
+  def sq(a: Column): Column = dot(a, a)
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(sq(a))

@@ -1,0 +1,123 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Word n-gram shingle hashes computed in ONE codegen loop, without
+  * ever materializing shingle strings.
+  *
+  * Semantics: identical to `charHash(concat_ws(" ", w[i..i+n-1]))` for
+  * every window i — the polynomial hash factors over concatenation:
+  *   H(s1 ⧺ " " ⧺ s2) = (H(s1) · 31^(len(s2)+1) + H(" " ⧺ s2)) mod P
+  * so per token we precompute (H(t), H(" "⧺t), 31^(len(t)+1) mod P) and
+  * fold windows of n tokens. All intermediates stay below P² < 2^63.
+  *
+  * Why: the compositional form via `transform(sequence(...),
+  * concat_ws(element_at(...)))` + per-shingle `aggregate` charHash is
+  * interpreted per element (HOFs are CodegenFallback) and dominated the
+  * dedup benchmarks (~6s of a 12s query at sf0.1); this expression is a
+  * tight generated loop over the token array. The HOF form remains in
+  * graft.functions.Text as the executable spec; tests pin equality.
+  */
+case class WordShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private val P = 1000000007L
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Long])
+    val h = new Array[Long](m)   // charHash(t)
+    val hsp = new Array[Long](m) // charHash(" " ⧺ t)
+    val pw = new Array[Long](m)  // 31^(len(t)+1) mod P
+    var k = 0
+    while (k < m) {
+      val s = toks.getUTF8String(k).toString
+      var acc = 0L
+      var pow = 1L
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        i += Character.charCount(cp)
+        acc = (acc * 31L + cp) % P
+        pow = (pow * 31L) % P
+      }
+      h(k) = acc
+      hsp(k) = (32L * pow + acc) % P
+      pw(k) = (pow * 31L) % P
+      k += 1
+    }
+    val out = new Array[Long](m - n + 1)
+    var i = 0
+    while (i <= m - n) {
+      var cur = h(i)
+      var j = i + 1
+      while (j < i + n) {
+        cur = (cur * pw(j) + hsp(j)) % P
+        j += 1
+      }
+      out(i) = cur
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, toks => {
+      val m = ctx.freshName("m")
+      val h = ctx.freshName("h")
+      val hsp = ctx.freshName("hsp")
+      val pw = ctx.freshName("pw")
+      val out = ctx.freshName("out")
+      val k = ctx.freshName("k")
+      val s = ctx.freshName("s")
+      val acc = ctx.freshName("acc")
+      val pow = ctx.freshName("pow")
+      val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
+      val cur = ctx.freshName("cur")
+      val j = ctx.freshName("j")
+      s"""
+         |final int $m = $toks.numElements();
+         |if ($m < $n) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(new long[0]);
+         |} else {
+         |  final long[] $h = new long[$m];
+         |  final long[] $hsp = new long[$m];
+         |  final long[] $pw = new long[$m];
+         |  for (int $k = 0; $k < $m; $k++) {
+         |    final String $s = $toks.getUTF8String($k).toString();
+         |    long $acc = 0L; long $pow = 1L;
+         |    for (int $i = 0; $i < $s.length(); ) {
+         |      final int $cp = $s.codePointAt($i);
+         |      $i += Character.charCount($cp);
+         |      $acc = ($acc * 31L + $cp) % ${P}L;
+         |      $pow = ($pow * 31L) % ${P}L;
+         |    }
+         |    $h[$k] = $acc;
+         |    $hsp[$k] = (32L * $pow + $acc) % ${P}L;
+         |    $pw[$k] = ($pow * 31L) % ${P}L;
+         |  }
+         |  final long[] $out = new long[$m - $n + 1];
+         |  for (int $i = 0; $i <= $m - $n; $i++) {
+         |    long $cur = $h[$i];
+         |    for (int $j = $i + 1; $j < $i + $n; $j++) {
+         |      $cur = ($cur * $pw[$j] + $hsp[$j]) % ${P}L;
+         |    }
+         |    $out[$i] = $cur;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
+    copy(child = newChild)
+}

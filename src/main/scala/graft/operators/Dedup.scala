@@ -32,29 +32,43 @@ object Dedup {
       .select(col(idCol), col("n_copies"))
 
   /** Distinct (doc, shingle-hash) pairs — the set representation used by
-    * both MinHash and exact Jaccard. */
-  def shingleHashes(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("doc"), explode(Text.shingles(col(textCol), n)).as("sh"))
-      .select(col("doc"), Hashing.charHash(col("sh")).as("h"))
+    * both MinHash and exact Jaccard. Hashes come from the one-pass
+    * codegen'd [[graft.functions.expressions.WordShingleHashes]]
+    * (identical values to charHash-of-the-shingle-string, no string
+    * materialization). */
+  def shingleHashes(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val hashes = ColumnBridge.column(graft.functions.expressions.WordShingleHashes(
+      ColumnBridge.expression(Text.tokens(col(textCol))), n))
+    df.select(col(idCol).as("doc"), explode(hashes).as("h"))
       .distinct()
+  }
 
-  /** MinHash signatures: (doc, j, mh) for j in [0, numHashes). */
-  def minhashSignatures(shingles: DataFrame, numHashes: Int): DataFrame =
-    shingles
-      .withColumn("j", explode(lit((0 until numHashes).map(_.toLong).toArray)))
-      .withColumn("hj", Hashing.permHash(col("h"), col("j")))
-      .groupBy(col("doc"), col("j"))
-      .agg(min(col("hj")).as("mh"))
+  /** MinHash signatures, ONE aggregation wide: (doc, mh_0..mh_{n-1}).
+    * All n minima are computed as parallel aggregates over a single
+    * shuffle of the shingle rows — the explode-by-hash-index
+    * alternative multiplies the exchange by n (16× the bytes here)
+    * for the identical result. Map-side partial min keeps the shuffle
+    * at one row per (doc, partition). */
+  def minhashSignatures(shingles: DataFrame, numHashes: Int): DataFrame = {
+    val mins: Seq[Column] = (0 until numHashes).map(j =>
+      min(Hashing.permHash(col("h"), lit(j.toLong))).as(s"mh_$j"))
+    shingles.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
+  }
 
-  /** LSH banding: bucket key per (doc, band) = comma-joined minhash
-    * values of the band's rows, in hash-index order (sort_array on the
-    * (j, mh) structs — collect_list order is not deterministic). */
-  def lshBandKeys(sig: DataFrame, rowsPerBand: Int): DataFrame =
-    sig.withColumn("band", (col("j") / rowsPerBand).cast("long"))
-      .groupBy(col("doc"), col("band"))
-      .agg(concat_ws(",",
-        transform(array_sort(collect_list(struct(col("j"), col("mh")))),
-          s => s.getField("mh").cast("string"))).as("bkey"))
+  /** LSH banding over wide signatures: bucket key per (doc, band) =
+    * comma-joined minhash values of the band's hash indices, in index
+    * order. */
+  def lshBandKeys(sig: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val nBands = numHashes / rowsPerBand
+    val bandStructs = (0 until nBands).map { b =>
+      val key = concat_ws(",",
+        (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}").cast("string")): _*)
+      struct(lit(b.toLong).as("band"), key.as("bkey"))
+    }
+    sig.select(col("doc"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
 
   /** Candidate pairs (a < b) sharing at least one LSH bucket. */
   def lshCandidatePairs(bandKeys: DataFrame): DataFrame = {
@@ -65,24 +79,30 @@ object Dedup {
   }
 
   /** Exact Jaccard over shingle sets, computed ONLY for the given
-    * candidate pairs: |A∩B| by routing each pair's A-side shingles
-    * through a (b, h) equi-join against the B-side; |A∪B| = |A|+|B|−|A∩B|.
+    * candidate pairs: each doc's distinct shingle hashes are collected
+    * once into a sorted array, candidate pairs join the two arrays in,
+    * and |A∩B| is a codegen'd merge walk
+    * ([[graft.functions.expressions.SortedIntersectCount]]);
+    * |A∪B| = |A|+|B|−|A∩B|.
     *
-    * Scale note: the intersection MUST NOT be a raw `sh ⋈ sh` self-join
-    * on the shingle hash — that is O(df²) per shingle (a stop-shingle's
-    * posting list alone blows up) and does the same quadratic work the
-    * candidate generation exists to avoid. Cost here is
-    * Σ_pairs |A| join-probe rows — linear in candidate volume. */
+    * Scale notes: the intersection MUST NOT be a raw `sh ⋈ sh`
+    * self-join on the shingle hash — that is O(df²) per shingle (a
+    * stop-shingle's posting list alone blows up) and does the same
+    * quadratic work the candidate generation exists to avoid. Nor
+    * should pairs be routed back through a per-shingle equi-join
+    * (Σ_pairs |A| shuffled rows); the set-array join moves each doc's
+    * set once per pair side and verifies in O(|A|+|B|) CPU per pair. */
   def jaccard(shingles: DataFrame, pairs: DataFrame, roundDigits: Int = 4): DataFrame = {
-    val sizes = shingles.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
-    val inter = pairs
-      .join(shingles.select(col("doc").as("a"), col("h")), Seq("a"))
-      .join(shingles.select(col("doc").as("b"), col("h")), Seq("b", "h"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    val sets = shingles.groupBy(col("doc"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"), count(lit(1)).as("sz"))
+    import org.apache.spark.sql.graft.ColumnBridge
+    val inter = ColumnBridge.column(
+      graft.functions.expressions.SortedIntersectCount(
+        ColumnBridge.expression(col("ha")), ColumnBridge.expression(col("hb"))))
     pairs
-      .join(inter, Seq("a", "b"), "inner")
-      .join(sizes.withColumnRenamed("doc", "a").withColumnRenamed("sz", "sa"), Seq("a"))
-      .join(sizes.withColumnRenamed("doc", "b").withColumnRenamed("sz", "sb"), Seq("b"))
+      .join(sets.select(col("doc").as("a"), col("hs").as("ha"), col("sz").as("sa")), Seq("a"))
+      .join(sets.select(col("doc").as("b"), col("hs").as("hb"), col("sz").as("sb")), Seq("b"))
+      .withColumn("inter", inter)
       .withColumn("jac", round(
         col("inter").cast("double") /
           (col("sa") + col("sb") - col("inter")).cast("double"), roundDigits))
@@ -95,8 +115,14 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5): DataFrame = {
+    // persisted: consumed by the band self-join (twice) AND the Jaccard
+    // set build — without it the scan+shingle+distinct chain re-executes
+    // per consumer. Size = one row per distinct (doc, shingle); spills
+    // to disk if the corpus outgrows executor memory.
     val sh = shingleHashes(df, idCol, textCol, shingleSize)
-    val pairs = lshCandidatePairs(lshBandKeys(minhashSignatures(sh, numHashes), rowsPerBand))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = lshCandidatePairs(
+      lshBandKeys(minhashSignatures(sh, numHashes), numHashes, rowsPerBand))
     jaccard(sh, pairs).where(col("jac") >= threshold)
   }
 
@@ -113,6 +139,7 @@ object Dedup {
       shingleSize: Int = 3, threshold: Double = 0.5,
       maxShingleDf: Int = 0): DataFrame = {
     val sh = shingleHashes(df, idCol, textCol, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candSh =
       if (maxShingleDf <= 0) sh
       else sh.join(

@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The codegen'd expressions must agree exactly with their readable
+  * built-in/HOF specifications — these tests pin that equivalence. */
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def floatVecs(n: Int, dim: Int): Seq[Array[Float]] =
+    (0 until n).map(i => Array.tabulate(dim)(j =>
+      (math.sin(i * 31 + j * 7) * 10).toFloat))
+
+  test("DotProduct == HOF aggregate over float64-cast arrays, bit for bit") {
+    val df = floatVecs(50, 64).zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("id", "v")
+    val paired = df.select(col("id"), col("v"))
+      .crossJoin(df.select(col("id").as("id2"), col("v").as("w")))
+      .filter(col("id") < col("id2"))
+    val cmp = paired.select(
+      Vectors.dot(col("v"), col("w")).as("fast"),
+      Vectors.dotHof(Vectors.toDouble(col("v")), Vectors.toDouble(col("w"))).as("spec"))
+      .filter(col("fast") =!= col("spec"))
+    assert(cmp.count() == 0, "codegen dot must equal the HOF spec exactly")
+  }
+
+  test("DotProduct on double arrays and norm identity") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+    val r = df.select(Vectors.dot(col("a"), col("b")), Vectors.norm(col("a"))).head()
+    assert(r.getDouble(0) == 32.0)
+    assert(math.abs(r.getDouble(1) - math.sqrt(14.0)) < 1e-12)
+  }
+
+  test("WordShingleHashes == charHash of the joined shingle string, per window") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b", "a b c", "one", "",
+      "double  space here",             // empty token from the double space
+      "trailing space ", " leading",
+      "punct, mid-token! and 123 mixed").toDF("text")
+    val fast = texts.select(explode(ColumnBridge.column(
+        graft.functions.expressions.WordShingleHashes(
+          ColumnBridge.expression(Text.tokens(col("text"))), 3))).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    val spec = texts.select(explode(Text.shingles(col("text"), 3)).as("s"))
+      .select(Hashing.charHash(col("s")).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(fast == spec)
+  }
+
+  test("SortedIntersectCount == size(array_intersect) on sorted distinct arrays") {
+    val gen = (0 until 30).map { i =>
+      val a = (0 until 40).map(j => ((i * 31 + j * 17) % 97).toLong).distinct.sorted.toArray
+      val b = (0 until 40).map(j => ((i * 13 + j * 23) % 97).toLong).distinct.sorted.toArray
+      (a, b)
+    }
+    val df = gen.toDF("a", "b")
+    import org.apache.spark.sql.graft.ColumnBridge
+    val inter = ColumnBridge.column(
+      graft.functions.expressions.SortedIntersectCount(
+        ColumnBridge.expression(col("a")), ColumnBridge.expression(col("b"))))
+    val bad = df.select(inter.as("fast"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("spec"))
+      .filter(col("fast") =!= col("spec"))
+    assert(bad.count() == 0)
+  }
+}
