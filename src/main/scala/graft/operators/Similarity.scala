@@ -67,7 +67,13 @@ object Similarity {
   }
 
   /** LSH-bucketed ANN: candidates are restricted to the query's bucket
-    * — the scan cost drops by ~2^numPlanes at the cost of recall. */
+    * — the scan cost drops by ~2^numPlanes at the cost of recall.
+    *
+    * `probeRadius` = multi-probe: also search buckets within that
+    * hamming distance of the query's bucket (radius 1 → 1 + numPlanes
+    * buckets). Near misses across a single hyperplane are the dominant
+    * recall loss, so radius 1 recovers most of it for a ×(planes+1)
+    * candidate cost — still exponentially cheaper than a full scan. */
   def annLshTopK(
       emb: DataFrame,
       idCol: String,
@@ -75,11 +81,17 @@ object Similarity {
       queryIds: Seq[Int],
       planeIds: Seq[Int],
       k: Int,
-      roundDigits: Int = 4): DataFrame = {
+      roundDigits: Int = 4,
+      probeRadius: Int = 0): DataFrame = {
+    require(probeRadius <= 1, "probeRadius > 1 not supported (use more bands instead)")
     val bucketed = lshBucketed(prepared(emb, idCol, vecCol), planeIds)
+    val probes: Column =
+      if (probeRadius == 0) array(col("bucket"))
+      else array(col("bucket") +:
+        planeIds.indices.map(i => col("bucket").bitwiseXOR(1L << i)): _*)
     val q = bucketed.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("q"), col("v").as("qv"), col("nrm").as("qn"),
-        col("bucket").as("qbucket"))
+        explode(probes).as("qbucket"))
     val scored = bucketed.join(broadcast(q),
         col("bucket") === col("qbucket") && col("vec_id") =!= col("q"))
       .withColumn("cos",

@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.queries.Queries
+
+/** Plan audit harness (test scope): dump formatted physical plans for
+  * the scale-critical queries so pushdown / broadcast / codegen /
+  * top-k physical strategies can be inspected. */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val targets = Seq("t02_filter_eq", "t03_filter_range", "t04_join_chain",
+      "t06_left_join_cond", "t08_composite_join", "t21_topk", "t27_group_topk",
+      "x45_ann_lsh")
+    targets.foreach { name =>
+      println(s"\n════════ $name ════════")
+      println(Queries.all(name)(spark, dir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}

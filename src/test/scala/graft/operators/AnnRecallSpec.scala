@@ -1,0 +1,36 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Multi-probe LSH recall (SURVEY §2.5 X15 scale path): probing the
+  * radius-1 buckets must recover at least the single-probe recall
+  * against the brute-force ground truth, and single-probe recall must
+  * already be non-trivial on the test embeddings. */
+class AnnRecallSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+  private val queries = Seq(0, 1, 2)
+  private val planes = Seq(10, 11, 12, 13)
+  private val k = 5
+
+  private def resultSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("q", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("multi-probe radius 1 recall >= single-probe recall vs brute force") {
+    val emb = Tables.embeddings(spark, dir)
+    val truth = resultSet(Similarity.cosineTopK(emb, "vec_id", "embedding", queries, k))
+    val single = resultSet(Similarity.annLshTopK(emb, "vec_id", "embedding",
+      queries, planes, k, probeRadius = 0))
+    val multi = resultSet(Similarity.annLshTopK(emb, "vec_id", "embedding",
+      queries, planes, k, probeRadius = 1))
+    val rSingle = (single intersect truth).size.toDouble / truth.size
+    val rMulti = (multi intersect truth).size.toDouble / truth.size
+    info(f"recall@$k: single-probe $rSingle%.2f, multi-probe $rMulti%.2f")
+    assert(rMulti >= rSingle)
+    assert(rMulti > 0.2, s"multi-probe recall suspiciously low: $rMulti")
+    // candidates probed stay bucketed — the multi-probe result must
+    // still be a subset of what a full scan would rank
+    assert((multi -- truth).forall { case (q, _) => queries.contains(q.toInt) })
+  }
+}

@@ -27,11 +27,13 @@ class StreamingParitySpec extends SparkSpec {
   private def runStream(batches: Seq[Seq[Ev]]): Map[(String, String), (Long, Double)] = {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
-    val agg = mem.toDF()
-      .withWatermark("ts", "1 day")
-      .groupBy(window(col("ts"), "1 day"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("total"))
-      .select(to_date(col("window.start")).as("day"), col("event_type"),
+    // the SAME operator body as the batch form — only the watermark
+    // (required for append output) differs
+    val agg = Windows.tumbling(mem.toDF(), "ts", "1 day",
+        Seq(col("event_type")),
+        Seq(count(lit(1)).as("cnt"), sum(col("value")).as("total")),
+        watermark = Some("1 day"))
+      .select(to_date(col("window_start")).as("day"), col("event_type"),
         col("cnt"), col("total"))
     val sinkName = s"paritysink_${System.nanoTime()}"
     val q = agg.writeStream.format("memory").queryName(sinkName)
