@@ -31,6 +31,29 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("n_copies"))
 
+  /** X12 at 100 TB — digest-first exact dedup, same output contract as
+    * [[exactDedup]]. Grouping directly on the text shuffles every
+    * payload byte; here the wide shuffle carries only (digest, id), and
+    * full text is re-examined ONLY for digests that collide (count > 1)
+    * — at 64-bit digests the colliding slice is ~duplicates plus a
+    * vanishing accident rate, so the text-carrying path is tiny.
+    * Correctness does NOT rest on hash uniqueness: colliding digests
+    * are regrouped by the actual text. */
+  def exactDedupByDigest(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val digested = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
+      .withColumn("__dig", xxhash64(col("__text")))
+    val counts = digested.groupBy("__dig")
+      .agg(count(lit(1)).as("n"), min(col("__id")).as("rep"))
+    val unique = counts.filter(col("n") === 1)
+      .select(col("rep").as(idCol), col("n").as("n_copies"))
+    val collided = digested.join(
+        counts.filter(col("n") > 1).select("__dig"), Seq("__dig"), "left_semi")
+      .groupBy(col("__dig"), col("__text"))
+      .agg(min(col("__id")).as(idCol), count(lit(1)).as("n_copies"))
+      .select(col(idCol), col("n_copies"))
+    unique.unionByName(collided)
+  }
+
   /** Distinct (doc, shingle-hash) pairs — the set representation used by
     * both MinHash and exact Jaccard. Hashes come from the one-pass
     * codegen'd [[graft.functions.expressions.WordShingleHashes]]

@@ -112,6 +112,32 @@ object Relational {
       .withColumn(codeCol,
         (row_number().over(Window.orderBy(col(column))) - 1).cast("bigint"))
 
+  /** Skew-safe equi-join: salt the LEFT (skewed) side into `salts`
+    * sub-keys and replicate the RIGHT side across all salt values, so
+    * one hot key's rows spread over `salts` reducers instead of one.
+    *
+    * AQE's skew-join splitting handles most cases at runtime; explicit
+    * salting remains for the pathological single-key hot spot (a null
+    * surrogate, a "default" id) where even a split partition's build
+    * side re-hashes to one task. The salt is derived from a
+    * caller-supplied discriminator column (any per-row varying value —
+    * a unique id, xxhash64 of payload) so results stay deterministic.
+    * Right-side replication multiplies that side by `salts`: use only
+    * with a bounded right side.
+    */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      discriminator: Column,
+      salts: Int,
+      joinType: String = "inner"): DataFrame = {
+    val l = left.withColumn("__salt", pmod(xxhash64(discriminator), lit(salts)).cast("int"))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    l.join(r, keys :+ "__salt", joinType).drop("__salt")
+  }
+
   /** O24 — n-th most recent distinct value of `column` (the reference's
     * validation-split-point lookup). Distinct first (tiny), then a
     * single-partition ranking over the distinct set only.

@@ -125,6 +125,63 @@ object Similarity {
       .select(col("vec_id").as("a"), col("b_id").as("b"), col("cos"))
   }
 
+  /** IVF (inverted-file) ANN top-k: a KMeans coarse quantizer assigns
+    * every vector to one of `nCentroids` cells; a query probes only its
+    * `nProbe` nearest cells and ranks exact cosine within them.
+    *
+    * Scale shape: the cell assignment is one ML pass (sampled fit +
+    * broadcast model transform); per query the scan shrinks to
+    * ~nProbe/nCentroids of the corpus. Centroids are driver-sized by
+    * construction (nCentroids vectors) — collecting them to build the
+    * probe table is the sanctioned tiny-side pattern. With
+    * nProbe == nCentroids this degrades gracefully to the exact
+    * brute-force ranking (pinned by AnnRecallSpec). */
+  def ivfTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIds: Seq[Int],
+      nCentroids: Int,
+      nProbe: Int,
+      k: Int,
+      seed: Long = 42L,
+      roundDigits: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = emb.sparkSession
+    import spark.implicits._
+
+    val base = prepared(emb, idCol, vecCol)
+      .withColumn("fv", array_to_vector(col("v")))
+    val km = new KMeans().setK(nCentroids).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(base)
+    val assigned = km.transform(base).drop("fv")
+
+    // centroid table: nCentroids rows — broadcast probe ranking
+    val centroids = km.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      .toSeq.toDF("cell", "cv")
+    val q = assigned.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q"), col("v").as("qv"), col("nrm").as("qn"))
+    val probeW = Window.partitionBy(col("q"))
+      .orderBy(col("dist").asc, col("cell").asc)
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("dist",
+        Vectors.dot(col("qv"), col("qv")) - lit(2.0) * Vectors.dot(col("qv"), col("cv"))
+          + Vectors.dot(col("cv"), col("cv")))
+      .withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nProbe)
+      .select(col("q"), col("qv"), col("qn"), col("cell"))
+
+    val scored = assigned.join(broadcast(probes),
+        Seq("cell")).where(col("vec_id") =!= col("q"))
+      .withColumn("cos",
+        round(Vectors.cosineWithNorms(col("qv"), col("v"), col("qn"), col("nrm")),
+          roundDigits))
+      .select(col("q"), col("vec_id"), col("cos"))
+    twoPhaseTopK(scored, k)
+  }
+
   /** Embedding near-duplicate pairs: all (a < b) with rounded cosine ≥
     * threshold. Brute-force O(n²) form — the LSH-bucketed variant above
     * is the scale path; this is the oracle-checkable exact form. */

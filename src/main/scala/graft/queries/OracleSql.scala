@@ -284,9 +284,20 @@ object OracleSql {
       """SELECT c_custkey, ROUND(c_acctbal, 4) AS c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
+    // oracle is the UNSALTED join — salting must be output-invariant
+    "t36_salted_join" ->
+      """SELECT c.c_custkey, n.n_name
+        |FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |ORDER BY c_custkey""".stripMargin,
+
     // ─────────────────────── extension tier ───────────────────────
 
     "x40_exact_dedup" ->
+      """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    // digest-first scale twin: same contract, same oracle
+    "x52_exact_dedup_digest" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
 

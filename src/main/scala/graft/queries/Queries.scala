@@ -297,6 +297,17 @@ object Queries {
       .withColumn("c_acctbal", round(col("c_acctbal"), 4))
       .orderBy("c_custkey")
 
+  /** T36 — skew-safe salted join (scale twin of a plain equi-join; the
+    * oracle runs the unsalted SQL — identical output by construction). */
+  def t36(s: SparkSession, dir: String): DataFrame =
+    Relational.saltedJoin(
+        Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+        Tables.nation(s, dir).select(col("n_nationkey").as("c_nationkey"), col("n_name")),
+        keys = Seq("c_nationkey"), discriminator = col("c_custkey"), salts = 8,
+        joinType = "left")
+      .select(col("c_custkey"), col("n_name"))
+      .orderBy("c_custkey")
+
   /** T34 — brute-force cosine top-k (X15). */
   def t34(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -328,6 +339,13 @@ object Queries {
   def x43(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
       .select(col("doc").as("doc_id"), col("fp"))
+      .orderBy("doc_id")
+
+  /** X12 scale twin — digest-first exact dedup (same contract and same
+    * oracle SQL as x40; the wide shuffle carries digests, not text). */
+  def x52(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedupByDigest(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), bi(col("n_copies")).as("n_copies"))
       .orderBy("doc_id")
 
   /** SimHash near-dup pairs, hamming ≤ 2 via 3-band bucketing (exact by
@@ -412,6 +430,7 @@ object Queries {
     "t33_text_stats" -> (t33 _),
     "t34_cosine_topk" -> (t34 _),
     "t35_project_except" -> (t35 _),
+    "t36_salted_join" -> (t36 _),
     "x40_exact_dedup" -> (x40 _),
     "x41_minhash_neardup" -> (x41 _),
     "x42_ngram_jaccard" -> (x42 _),
@@ -419,6 +438,7 @@ object Queries {
     "x44_embedding_neardup" -> (x44 _),
     "x50_simhash_neardup" -> (x50 _),
     "x51_embedding_neardup_lsh" -> (x51 _),
+    "x52_exact_dedup_digest" -> (x52 _),
     "x45_ann_lsh" -> (x45 _),
     "x46_lang_id" -> (x46 _),
     "x47_quality_score" -> (x47 _),
