@@ -36,4 +36,15 @@ object Hashing {
     * fold (acc*B + x) % P. */
   def seqHash(xs: Column, b: Long = 31L): Column =
     aggregate(xs, lit(0L), (acc, x) => (acc * b + x) % P)
+
+  /** charHash of every token in one codegen pass:
+    * [[graft.functions.expressions.WordShingleHashes]] with n = 1 is
+    * exactly the per-token hash array (a 1-gram shingle IS the token).
+    * Use instead of `transform(tokens, charHash)` in hot paths — the
+    * HOF form dispatches the interpreted evaluator per character. */
+  def tokenHashes(tokens: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.WordShingleHashes(
+      ColumnBridge.expression(tokens), 1))
+  }
 }

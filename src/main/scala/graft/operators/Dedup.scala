@@ -179,8 +179,8 @@ object Dedup {
   /** SimHash fingerprint (30-bit): per token-occurrence hash, each bit
     * votes ±1; fingerprint bit j set iff the vote sum is positive. */
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 30): DataFrame = {
-    val tok = df.select(col(idCol).as("doc"), explode(Text.tokens(col(textCol))).as("t"))
-      .withColumn("h", Hashing.charHash(col("t")))
+    val tok = df.select(col(idCol).as("doc"),
+      explode(Hashing.tokenHashes(Text.tokens(col(textCol)))).as("h"))
     val votes: Seq[Column] = (0 until bits).map { j =>
       sum(shiftright(col("h"), j).bitwiseAND(1) * 2 - 1).as(s"s_$j")
     }

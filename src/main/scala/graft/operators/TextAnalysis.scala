@@ -74,6 +74,5 @@ object TextAnalysis {
     * it distinguishes permuted documents; identical docs collide. */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),
-      Hashing.seqHash(
-        transform(Text.tokens(col(textCol)), t => Hashing.charHash(t))).as("fp"))
+      Hashing.seqHash(Hashing.tokenHashes(Text.tokens(col(textCol)))).as("fp"))
 }
