@@ -65,6 +65,52 @@ object TimeSeries {
         when(count(col(target)).over(fr) === w, avg(col(target)).over(fr)))
     }
 
+  /** As-of join: for each left row, attach the MOST RECENT right-side
+    * values with `right.tsCol <= left.tsCol` per key, optionally within
+    * `tolerance` (same units as the ts columns' ordering — days for
+    * dates, whatever `datediff`-able type is used).
+    *
+    * Composition, not a custom operator (SURVEY §4.3 preference (a)):
+    * tag both sides, union them, and per key carry the last non-null
+    * right value forward over a (ts, side) ordering — right rows sort
+    * BEFORE left rows at equal ts, so an exact-ts match is taken. One
+    * shuffle + one sort; the naive alternative (range join) explodes
+    * to |left|×|right-per-key| intermediates. Right side must be
+    * unique per (key, ts) for deterministic results.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String],
+      toleranceDays: Option[Int] = None): DataFrame = {
+    val taggedLeft = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+    val taggedRight = right.select(
+      (keys.map(col) :+ col(rightTs).as("__ts")) ++
+        valueCols.map(c => col(c).as(s"__r_$c")): _*)
+      .withColumn("__side", lit(0))
+    val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = valueCols.foldLeft(
+        unioned.withColumn("__rts", last(when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(w))) {
+      (df, c) => df.withColumn(s"__c_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    val withinTol = toleranceDays match {
+      case Some(tol) => datediff(col("__ts"), col("__rts")) <= tol
+      case None => lit(true)
+    }
+    val out = valueCols.foldLeft(carried.filter(col("__side") === 1)) { (df, c) =>
+      df.withColumn(c, when(col("__rts").isNotNull && withinTol, col(s"__c_$c")))
+    }
+    out.select(left.columns.map(col) ++ valueCols.map(col): _*)
+  }
+
   /** O31/O32 — calendar feature extraction, pandas conventions:
     * quarter, ISO week, day-of-month, weekday (Mon=0 — Spark `weekday`,
     * NOT `dayofweek` which is Sun=1), weekend flag (Sat/Sun).

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom-state streaming operators via
+  * `KeyValueGroupedDataset.flatMapGroupsWithState` (SURVEY §1.3's
+  * streaming tier; the state-shape Spark's built-in windows can't
+  * express).
+  *
+  * Scale notes: state lives in the state store, partitioned by key —
+  * the operator scales with distinct keys, not events. UNBOUNDED key
+  * domains need a timeout (`ttl`) or the store grows forever; the
+  * default here keeps state until the watermark-driven event-time
+  * timeout fires, which is the streaming analogue of "dedup within a
+  * horizon".
+  */
+object Stateful {
+
+  /** Streaming first-occurrence dedup: emit the first element seen per
+    * key, drop every later one. With `ttlMs > 0`, a key's memory
+    * expires that long after its processing time — duplicates arriving
+    * later than the TTL are treated as fresh (bounded-state dedup).
+    * Batch twin: Dedup.exactDedup keyed on the same column (arrival
+    * order vs min-id representative is the one declared divergence). */
+  def firstSeen[K: Encoder, V: Encoder](
+      ds: Dataset[V], key: V => K,
+      ttlMs: Long = 0L)(implicit tup: Encoder[(K, V)]): Dataset[V] = {
+    val timeout =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    implicit val boolEnc: Encoder[Boolean] = Encoders.scalaBoolean
+    ds.groupByKey(key)
+      .flatMapGroupsWithState[Boolean, V](OutputMode.Append, timeout) {
+        (_: K, rows: Iterator[V], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) {
+            Iterator.empty
+          } else {
+            state.update(true)
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            // rows of ONE micro-batch for a new key: keep the first
+            rows.take(1)
+          }
+      }
+  }
+
+  /** Streaming per-key running counter with custom state — the
+    * mapGroupsWithState shape (one output row per key per batch). */
+  def runningCount[K: Encoder, V: Encoder](
+      ds: Dataset[V], key: V => K)(implicit tup: Encoder[(K, Long)]): Dataset[(K, Long)] = {
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    ds.groupByKey(key)
+      .mapGroupsWithState[Long, (K, Long)](GroupStateTimeout.NoTimeout) {
+        (k: K, rows: Iterator[V], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          (k, n)
+      }
+  }
+}
