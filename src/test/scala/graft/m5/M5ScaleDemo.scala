@@ -1,0 +1,62 @@
+package graft.m5
+
+import java.nio.file.Files
+import java.time.LocalDate
+
+import org.apache.spark.sql.SparkSession
+
+import graft.config.YamlConfig
+
+/** Medium-scale M5 pipeline stress (test scope):
+  * `sbt "Test/runMain graft.m5.M5ScaleDemo [stores items days]"` —
+  * defaults 4×250×400 (400k long rows/store fan-in, 8 model tasks).
+  * Verifies the DAG + operators hold beyond the toy golden fixture and
+  * prints per-run wall time. */
+object M5ScaleDemo {
+  def main(args: Array[String]): Unit = {
+    val storesN = if (args.length > 0) args(0).toInt else 4
+    val itemsN = if (args.length > 1) args(1).toInt else 250
+    val days = if (args.length > 2) args(2).toInt else 400
+
+    val in = Files.createTempDirectory("m5scale_in").toString
+    val out = Files.createTempDirectory("m5scale_out").toString
+    MiniM5Fixture.writeSized(in, storesN, itemsN, days)
+
+    val start = LocalDate.of(2016, 1, 1)
+    val testStart = start.plusDays(days - 7)
+    val cfg = YamlConfig.fromMap(Map(
+      "input_dir" -> in, "output_dir" -> out,
+      "target_col" -> "units_sold",
+      "pred_target_col" -> "pred_units_sold",
+      "pred_date_col" -> "pred_date",
+      "train_start_date" -> start.toString,
+      "train_end_date" -> testStart.minusDays(1).toString,
+      "test_start_date" -> testStart.toString,
+      "test_end_date" -> start.plusDays(days - 1).toString,
+      "valid_num_days" -> 20,
+      "store_list" -> {
+        val l = new java.util.ArrayList[String]()
+        (0 until storesN).foreach(i => l.add(s"ST_$i")); l
+      },
+      "pred_week_list" -> java.util.List.of(1, 2),
+      "lgb_params" -> java.util.Map.of(
+        "n_estimators", 2, "learning_rate", 0.1, "max_depth", 6),
+      "cleanup_intermediates" -> "true"))
+
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val t0 = System.nanoTime()
+    val report = new M5Pipeline(spark, cfg).run(log = _ => ())
+    val secs = (System.nanoTime() - t0) / 1e9
+    val preds = spark.read.parquet(s"$out/predictions.parquet").count()
+    val sub = scala.io.Source.fromFile(s"$out/submission.csv").getLines().size
+    println(f"[m5scale] stores=$storesN items=$itemsN days=$days " +
+      f"ran=${report.ran.size} preds=$preds subRows=$sub wall=$secs%.1f s")
+    spark.stop()
+  }
+}

@@ -18,6 +18,14 @@ object MiniM5Fixture {
   val nCalendarDays = 68
   val startDate: LocalDate = LocalDate.of(2016, 1, 1)
 
+  /** Same generator at arbitrary shape (M5ScaleDemo): `write(dir)`
+    * remains the golden-test fixture shape. */
+  def writeSized(dir: String, storesN: Int, itemsN: Int, days: Int): Unit =
+    writeImpl(dir,
+      (0 until storesN).map(i => s"ST_$i"),
+      (0 until itemsN).map(i => s"item_$i"),
+      days, days + 8)
+
   def saleId(item: String, store: String) = s"${item}_${store}_evaluation"
 
   /** units sold on day d (1-based) for (store s, item i) — small ints
@@ -34,7 +42,10 @@ object MiniM5Fixture {
     else Some(math.round((1.0 + i * 0.5 + s * 0.25 + (wkIdx % 4) * 0.1) * 100).toDouble / 100)
   }
 
-  def write(dir: String): Unit = {
+  def write(dir: String): Unit = writeImpl(dir, stores, items, nDays, nCalendarDays)
+
+  private def writeImpl(dir: String, stores: Seq[String], items: Seq[String],
+      nDays: Int, nCalendarDays: Int): Unit = {
     Files.createDirectories(Paths.get(dir))
 
     // sales_train_evaluation.csv — wide, one row per (item, store)
