@@ -113,4 +113,101 @@ object TaskRunner {
     roots.foreach(visit)
     RunReport(done.toSeq)
   }
+
+  /** Parallel run: independent ready tasks execute concurrently on a
+    * fixed pool (O36 — the per-(store, week) fan-out). Spark's
+    * scheduler is thread-safe for concurrent job submission, so N
+    * driver threads keep the executor slots busy while small tasks
+    * checkpoint. Dependency order is still honored (a task starts only
+    * after every dep committed); memoization and cleanup behave as in
+    * [[run]]. The first failure stops NEW submissions, waits for
+    * in-flight tasks, then rethrows. */
+  def runParallel(roots: Seq[Task], parallelism: Int,
+      log: String => Unit = _ => (), doCleanup: Boolean = true): RunReport = {
+    require(parallelism >= 1, "parallelism must be >= 1")
+    if (parallelism == 1) return run(roots, log, doCleanup)
+
+    // collect the graph once, by name
+    val tasks = mutable.LinkedHashMap.empty[String, Task]
+    def collect(t: Task): Unit = if (!tasks.contains(t.name)) {
+      tasks(t.name) = t
+      t.deps.foreach(collect)
+    }
+    roots.foreach(collect)
+    val dependents = mutable.Map.empty[String, List[String]].withDefaultValue(Nil)
+    val indegree = mutable.Map.empty[String, Int]
+    tasks.values.foreach { t =>
+      indegree(t.name) = t.deps.map(_.name).distinct.size
+      t.deps.map(_.name).distinct.foreach(d => dependents(d) ::= t.name)
+    }
+
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    val outcomes = mutable.LinkedHashMap.empty[String, Outcome]
+    val lock = new Object
+    var inFlight = 0
+    var failure: Option[Throwable] = None
+
+    def execute(t: Task): Outcome =
+      if (t.external) {
+        if (!t.target.exists)
+          throw new IllegalStateException(
+            s"external input missing for task ${t.name}: ${t.target.path}")
+        Skipped
+      } else if (t.target.exists) {
+        log(s"[dag] skip ${t.name} (target exists: ${t.target.path})")
+        Skipped
+      } else {
+        log(s"[dag] run  ${t.name} -> ${t.target.path}")
+        t.body()
+        if (!t.target.exists)
+          throw new IllegalStateException(
+            s"task ${t.name} completed without committing its target ${t.target.path}")
+        if (doCleanup) t.cleanup.foreach { c =>
+          log(s"[dag] gc   ${c.path} (consumed by ${t.name})")
+          c.delete()
+        }
+        Ran
+      }
+
+    def submit(name: String): Unit = {
+      inFlight += 1 // caller holds lock
+      pool.execute { () =>
+        val t = tasks(name)
+        val result = try Right(execute(t)) catch { case e: Throwable => Left(e) }
+        lock.synchronized {
+          result match {
+            case Right(o) =>
+              outcomes(name) = o
+              dependents(name).foreach { d =>
+                indegree(d) -= 1
+                if (indegree(d) == 0 && failure.isEmpty) submit(d)
+              }
+            case Left(e) =>
+              if (failure.isEmpty) failure = Some(e)
+          }
+          inFlight -= 1
+          lock.notifyAll()
+        }
+      }
+    }
+
+    lock.synchronized {
+      tasks.keys.filter(indegree(_) == 0).foreach(submit)
+      if (inFlight == 0 && tasks.nonEmpty)
+        throw new IllegalStateException("dependency cycle: no ready tasks")
+      // done when nothing is running AND (all finished, or a failure
+      // stopped new submissions and in-flight work drained)
+      while (inFlight > 0 || (failure.isEmpty && outcomes.size < tasks.size)) {
+        if (inFlight == 0 && failure.isEmpty && outcomes.size < tasks.size)
+          throw new IllegalStateException(
+            s"dependency cycle among: ${tasks.keys.filterNot(outcomes.contains).mkString(", ")}")
+        lock.wait(200)
+      }
+    }
+
+    pool.shutdown()
+    pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS)
+    failure.foreach(throw _)
+    RunReport(outcomes.toSeq)
+  }
 }

@@ -273,9 +273,12 @@ final class M5Pipeline(spark: SparkSession, config: YamlConfig) {
       })
   }
 
-  /** Build + run the full DAG (memoized by existing targets). */
-  def run(log: String => Unit = println): TaskRunner.RunReport = {
+  /** Build + run the full DAG (memoized by existing targets).
+    * `parallelism` > 1 executes independent tasks — the per-(store,
+    * week) fan-out — concurrently (O36). */
+  def run(log: String => Unit = println, parallelism: Int = 1): TaskRunner.RunReport = {
     config.dumpManifest(s"$outputDir/params.yaml") // O6
-    TaskRunner.run(Seq(runSubmission()), log)
+    if (parallelism > 1) TaskRunner.runParallel(Seq(runSubmission()), parallelism, log)
+    else TaskRunner.run(Seq(runSubmission()), log)
   }
 }

@@ -65,6 +65,49 @@ class TaskRunnerSpec extends AnyFunSuite {
     assert(e.getMessage.contains("without committing"))
   }
 
+  test("runParallel: dependency order held under concurrency, every task once") {
+    val dir = tmpDir()
+    val starts = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val ends = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    def timed(name: String, deps: Seq[Task]): Task = {
+      val target = FileTarget(s"$dir/$name")
+      Task(name, target, deps, body = () => {
+        starts.put(name, System.nanoTime())
+        Thread.sleep(30)
+        Files.writeString(Paths.get(target.path), name)
+        ends.put(name, System.nanoTime())
+      })
+    }
+    val root = timed("root", Nil)
+    val mids = (0 until 8).map(i => timed(s"mid_$i", Seq(root)))
+    val leaf = timed("leaf", mids)
+    val report = TaskRunner.runParallel(Seq(leaf), parallelism = 4)
+    assert(report.ran.size == 10)
+    mids.foreach { m =>
+      assert(starts.get(m.name) >= ends.get("root"), s"${m.name} started before root ended")
+    }
+    assert(starts.get("leaf") >= mids.map(m => ends.get(m.name)).max)
+    // 8 x 30ms mids at parallelism 4 must overlap: strictly serial would
+    // give 8 disjoint intervals; require at least one overlapping pair
+    val intervals = mids.map(m => (starts.get(m.name), ends.get(m.name)))
+    val overlapping = intervals.combinations(2).exists { case Seq((s1, e1), (s2, e2)) =>
+      s1 < e2 && s2 < e1
+    }
+    assert(overlapping, "expected concurrent mid-task execution")
+  }
+
+  test("runParallel: failure stops new submissions and rethrows") {
+    val dir = tmpDir()
+    val a = fileTask(dir, "a")
+    val boom = Task("boom", FileTarget(s"$dir/boom"), Seq(a),
+      body = () => throw new RuntimeException("kaput"))
+    val after = Task("after", FileTarget(s"$dir/after"), Seq(boom),
+      body = () => Files.writeString(Paths.get(s"$dir/after"), "x"))
+    val e = intercept[RuntimeException](TaskRunner.runParallel(Seq(after), 4))
+    assert(e.getMessage == "kaput")
+    assert(!Files.exists(Paths.get(s"$dir/after")), "dependent must not run after failure")
+  }
+
   test("cleanup deletes consumed targets after the consumer commits") {
     val dir = tmpDir()
     val a = fileTask(dir, "a")

@@ -17,6 +17,7 @@ object M5ScaleDemo {
     val storesN = if (args.length > 0) args(0).toInt else 4
     val itemsN = if (args.length > 1) args(1).toInt else 250
     val days = if (args.length > 2) args(2).toInt else 400
+    val parallelism = if (args.length > 3) args(3).toInt else 4
 
     val in = Files.createTempDirectory("m5scale_in").toString
     val out = Files.createTempDirectory("m5scale_out").toString
@@ -51,11 +52,11 @@ object M5ScaleDemo {
     spark.sparkContext.setLogLevel("WARN")
 
     val t0 = System.nanoTime()
-    val report = new M5Pipeline(spark, cfg).run(log = _ => ())
+    val report = new M5Pipeline(spark, cfg).run(log = _ => (), parallelism = parallelism)
     val secs = (System.nanoTime() - t0) / 1e9
     val preds = spark.read.parquet(s"$out/predictions.parquet").count()
     val sub = scala.io.Source.fromFile(s"$out/submission.csv").getLines().size
-    println(f"[m5scale] stores=$storesN items=$itemsN days=$days " +
+    println(f"[m5scale] stores=$storesN items=$itemsN days=$days par=$parallelism " +
       f"ran=${report.ran.size} preds=$preds subRows=$sub wall=$secs%.1f s")
     spark.stop()
   }
