@@ -290,6 +290,38 @@ object OracleSql {
         |FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
         |ORDER BY c_custkey""".stripMargin,
 
+    "t37_stats_agg" ->
+      """SELECT l_returnflag,
+        |  ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        |  ROUND(AVG(l_discount), 4) AS avg_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "t38_percentile" ->
+      """SELECT l_linestatus,
+        |  ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90,
+        |  ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS price_p25
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "t39_string_funcs" ->
+      """SELECT c_custkey,
+        |  UPPER(c_name) AS up,
+        |  regexp_replace(c_name, 'Customer', 'Cst', 'g') AS repl,
+        |  LPAD(CAST(c_custkey AS VARCHAR), 12, '0') AS padded,
+        |  CAST(levenshtein(c_mktsegment, 'BUILDING') AS BIGINT) AS lev,
+        |  SUBSTRING(c_name, 10, 5) AS mid
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "t40_datetime_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y,
+        |  CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m,
+        |  CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS eom,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
+        |  CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     // ─────────────────────── extension tier ───────────────────────
 
     "x40_exact_dedup" ->

@@ -308,6 +308,50 @@ object Queries {
       .select(col("c_custkey"), col("n_name"))
       .orderBy("c_custkey")
 
+  /** T37 — statistical aggregates (stddev/corr/avg): magnitudes chosen
+    * so ROUND(_,4) absorbs summation-order float noise. */
+  def t37(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+        round(avg(col("l_discount")), 4).as("avg_disc"))
+      .orderBy("l_returnflag")
+
+  /** T38 — exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`). */
+  def t38(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_linestatus")
+      .agg(round(percentile(col("l_quantity"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("l_quantity"), lit(0.9)), 4).as("p90"),
+        round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("price_p25"))
+      .orderBy("l_linestatus")
+
+  /** T39 — string function battery. */
+  def t39(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        upper(col("c_name")).as("up"),
+        regexp_replace(col("c_name"), "Customer", "Cst").as("repl"),
+        lpad(col("c_custkey").cast("string"), 12, "0").as("padded"),
+        levenshtein(col("c_mktsegment"), lit("BUILDING")).cast("bigint").as("lev"),
+        substring(col("c_name"), 10, 5).as("mid"))
+      .orderBy("c_custkey")
+
+  /** T40 — datetime battery: month arithmetic clamps to month end in
+    * both engines. */
+  def t40(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("__d", to_date(col("o_orderdate")))
+      .select(col("o_orderkey"),
+        year(col("__d")).cast("bigint").as("y"),
+        month(col("__d")).cast("bigint").as("m"),
+        last_day(col("__d")).as("eom"),
+        add_months(col("__d"), 2).as("plus2m"),
+        trunc(col("__d"), "MM").as("month_start"))
+      .orderBy("o_orderkey")
+
   /** T34 — brute-force cosine top-k (X15). */
   def t34(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -431,6 +475,10 @@ object Queries {
     "t34_cosine_topk" -> (t34 _),
     "t35_project_except" -> (t35 _),
     "t36_salted_join" -> (t36 _),
+    "t37_stats_agg" -> (t37 _),
+    "t38_percentile" -> (t38 _),
+    "t39_string_funcs" -> (t39 _),
+    "t40_datetime_funcs" -> (t40 _),
     "x40_exact_dedup" -> (x40 _),
     "x41_minhash_neardup" -> (x41 _),
     "x42_ngram_jaccard" -> (x42 _),
