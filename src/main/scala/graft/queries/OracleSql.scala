@@ -322,6 +322,26 @@ object OracleSql {
         |  CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    "t41_conditional" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 300000 THEN 'high'
+        |       WHEN o_totalprice > 100000 THEN 'mid' ELSE 'low' END AS bucket,
+        |  COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_or_open,
+        |  CAST(FLOOR(GREATEST(o_totalprice, 50000)) AS BIGINT) AS floor50k,
+        |  CAST(LEAST(o_orderkey % 7, o_orderkey % 5) AS BIGINT) AS lmod
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "t42_window_frames" ->
+      """SELECT event_id,
+        |  ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_value,
+        |  CAST(DENSE_RANK() OVER w AS BIGINT) AS drk,
+        |  ROUND(PERCENT_RANK() OVER w, 4) AS prk,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
     // ─────────────────────── extension tier ───────────────────────
 
     "x40_exact_dedup" ->

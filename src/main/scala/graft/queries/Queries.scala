@@ -352,6 +352,35 @@ object Queries {
         trunc(col("__d"), "MM").as("month_start"))
       .orderBy("o_orderkey")
 
+  /** T41 — conditional expression battery (CASE / coalesce / nullif /
+    * greatest / least). */
+  def t41(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        when(col("o_totalprice") > 300000d, "high")
+          .when(col("o_totalprice") > 100000d, "mid")
+          .otherwise("low").as("bucket"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status_or_open"),
+        // explicit floor: double→bigint CAST truncates in Spark but
+        // rounds in DuckDB — never rely on implicit cast rounding
+        floor(greatest(col("o_totalprice"), lit(50000d))).cast("bigint").as("floor50k"),
+        least(col("o_orderkey") % 7, col("o_orderkey") % 5).cast("bigint").as("lmod"))
+      .orderBy("o_orderkey")
+
+  /** T42 — window-frame battery beyond lag/lead: cumulative sum,
+    * dense_rank, percent_rank, ntile. */
+  def t42(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        round(sum(col("value")).over(cum), 4).as("cum_value"),
+        dense_rank().over(byUser).cast("bigint").as("drk"),
+        round(percent_rank().over(byUser), 4).as("prk"),
+        ntile(4).over(byUser).cast("bigint").as("quartile"))
+      .orderBy("event_id")
+  }
+
   /** T34 — brute-force cosine top-k (X15). */
   def t34(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -479,6 +508,8 @@ object Queries {
     "t38_percentile" -> (t38 _),
     "t39_string_funcs" -> (t39 _),
     "t40_datetime_funcs" -> (t40 _),
+    "t41_conditional" -> (t41 _),
+    "t42_window_frames" -> (t42 _),
     "x40_exact_dedup" -> (x40 _),
     "x41_minhash_neardup" -> (x41 _),
     "x42_ngram_jaccard" -> (x42 _),
