@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * Everything here is HASH-based, never `rand()`: a sample must be
+  * reproducible across reruns, resumable mid-pipeline, and stable when
+  * partitioning changes — none of which hold for per-row RNG. The unit
+  * of sampling is a caller-chosen key column (sample by DOCUMENT, not
+  * by row-fragment, when rows are chunks of a document).
+  *
+  * Scale notes: hash-mod sampling and splits are stateless per-row
+  * filters (no shuffle, fully pushed into the scan stage). Stratified
+  * take-n shuffles once on the strata; the per-stratum window sees only
+  * that stratum.
+  */
+object Sampling {
+
+  private def bucket(key: Column, seed: Long, buckets: Int): Column =
+    pmod(xxhash64(key, lit(seed)), lit(buckets))
+
+  /** Keep ~`fraction` of distinct keys, deterministically: a key is in
+    * the sample iff xxhash64(key, seed) mod 1e6 < fraction·1e6. The
+    * SAME key set survives across runs, partitionings, and engines
+    * implementing xxhash64. */
+  def deterministicSample(
+      df: DataFrame, keyCol: String, fraction: Double, seed: Long = 42L): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction out of range: $fraction")
+    df.filter(bucket(col(keyCol), seed, 1000000) < (fraction * 1000000).toLong)
+  }
+
+  /** Deterministic disjoint splits (train/valid/test …): weights are
+    * normalized; each key lands in exactly one split by its hash
+    * bucket. Returns one DataFrame per weight, in order. */
+  def splitByHash(
+      df: DataFrame, keyCol: String, weights: Seq[Double], seed: Long = 42L): Seq[DataFrame] = {
+    require(weights.nonEmpty && weights.forall(_ > 0), "weights must be positive")
+    val total = weights.sum
+    val bounds = weights.map(_ / total).scanLeft(0.0)(_ + _) // 0, c1, c2, …, 1
+    val b = bucket(col(keyCol), seed, 1000000)
+    bounds.sliding(2).toSeq.map { case Seq(lo, hi) =>
+      df.filter(b >= (lo * 1000000).toLong && b < math.round(hi * 1000000))
+    }
+  }
+
+  /** Exactly-n-per-stratum sample, chosen deterministically: rank rows
+    * within each stratum by (hash, tiebreak) and keep the first n.
+    * The hash ordering is an unbiased deterministic shuffle. */
+  def stratifiedTakeN(
+      df: DataFrame, strata: Seq[String], n: Int, keyCol: String,
+      seed: Long = 42L): DataFrame = {
+    val w = Window.partitionBy(strata.map(col): _*)
+      .orderBy(xxhash64(col(keyCol), lit(seed)), col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
+  /** Weighted source mixing: sample each source at a rate proportional
+    * to target weight over its share, then union — the standard
+    * "mix web/books/code at w1:w2:w3" pipeline stage. `rates` are
+    * per-source KEEP probabilities (caller derives them from target
+    * mixture and corpus sizes); sources with rate ≥ 1 pass through. */
+  def mixSources(
+      sources: Seq[(DataFrame, Double)], keyCol: String, seed: Long = 42L): DataFrame = {
+    require(sources.nonEmpty, "no sources to mix")
+    sources.zipWithIndex.map { case ((df, rate), i) =>
+      if (rate >= 1.0) df
+      else deterministicSample(df, keyCol, rate, seed + i)
+    }.reduce(_ unionByName _)
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("deterministicSample: reproducible, partition-invariant, ~fraction sized") {
+    val docs = Tables.documents(spark, dir)
+    val s1 = Sampling.deterministicSample(docs, "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = Sampling.deterministicSample(docs.repartition(13), "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2, "sample must not depend on partitioning")
+    val frac = s1.size.toDouble / docs.count()
+    assert(frac > 0.2 && frac < 0.4, s"fraction off: $frac")
+    // a different seed picks a different set
+    val s3 = Sampling.deterministicSample(docs, "doc_id", 0.3, seed = 7L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s3 != s1)
+  }
+
+  test("splitByHash: disjoint, exhaustive, weight-proportional") {
+    val docs = Tables.documents(spark, dir)
+    val Seq(train, valid, test) = Sampling.splitByHash(docs, "doc_id", Seq(8, 1, 1))
+    val (tr, va, te) = (
+      train.select("doc_id").as[Long].collect().toSet,
+      valid.select("doc_id").as[Long].collect().toSet,
+      test.select("doc_id").as[Long].collect().toSet)
+    assert((tr & va).isEmpty && (tr & te).isEmpty && (va & te).isEmpty, "splits overlap")
+    assert(tr.size + va.size + te.size == docs.count(), "splits must partition the corpus")
+    assert(tr.size > va.size * 4, s"train ${tr.size} not ~8x valid ${va.size}")
+  }
+
+  test("stratifiedTakeN: exactly n per stratum (or all when smaller), deterministic") {
+    val docs = Tables.documents(spark, dir)
+    val out = Sampling.stratifiedTakeN(docs, Seq("lang"), 20, "doc_id")
+    val counts = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val available = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    available.foreach { case (lang, avail) =>
+      assert(counts(lang) == math.min(20L, avail), s"lang=$lang")
+    }
+    val again = Sampling.stratifiedTakeN(docs, Seq("lang"), 20, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("mixSources: pass-through at rate 1, sampled below, union of both") {
+    val docs = Tables.documents(spark, dir)
+    val a = docs.filter(col("source") === "src0")
+    val b = docs.filter(col("source") === "src1")
+    val mixed = Sampling.mixSources(Seq((a, 1.0), (b, 0.5)), "doc_id")
+    val na = mixed.filter(col("source") === "src0").count()
+    val nb = mixed.filter(col("source") === "src1").count()
+    assert(na == a.count(), "rate-1.0 source must pass through whole")
+    assert(nb < b.count() && nb > 0, s"rate-0.5 source must shrink: $nb of ${b.count()}")
+  }
+}
