@@ -63,7 +63,11 @@ object Similarity {
       .withColumn("bit", when(Vectors.dot(col("v"), col("pv")) > 0d, rankExpr).otherwise(0))
       .groupBy(col("vec_id"))
       .agg(sum(col("bit")).cast("bigint").as("bucket"))
+    // persisted: the bucketed view feeds the query-side filter AND the
+    // candidate side of the bucket join — without it every branch
+    // re-scans the embeddings and recomputes plane dots
     base.join(buckets, Seq("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** LSH-bucketed ANN: candidates are restricted to the query's bucket

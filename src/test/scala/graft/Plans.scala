@@ -18,7 +18,9 @@ object Plans {
     spark.sparkContext.setLogLevel("ERROR")
     val targets = Seq("t02_filter_eq", "t03_filter_range", "t04_join_chain",
       "t06_left_join_cond", "t08_composite_join", "t21_topk", "t27_group_topk",
-      "x45_ann_lsh")
+      "x45_ann_lsh", "t37_stats_agg", "t38_percentile", "t39_string_funcs",
+      "t40_datetime_funcs", "t41_conditional", "t42_window_frames",
+      "x50_simhash_neardup", "x52_exact_dedup_digest", "t36_salted_join")
     targets.foreach { name =>
       println(s"\n════════ $name ════════")
       println(Queries.all(name)(spark, dir).queryExecution.explainString(
