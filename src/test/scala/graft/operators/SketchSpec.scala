@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Sketch aggregates (the approximate tier for 100 TB cardinality /
+  * quantile work — sketches can't be oracle-hashed against DuckDB
+  * because sketch internals differ, so they're accuracy-tested against
+  * the exact answers instead). */
+class SketchSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("approx_count_distinct (HLL++) within its rsd bound of the exact count") {
+    val li = Tables.lineitem(spark, dir)
+    val row = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx")).head()
+    val (exact, approx) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+    val err = math.abs(approx - exact) / exact
+    info(f"HLL: exact=${exact.toLong} approx=${approx.toLong} err=$err%.4f")
+    assert(err < 0.06, s"HLL error out of bound: $err") // 3× rsd headroom
+  }
+
+  test("approx_percentile within rank tolerance of the exact percentile") {
+    val li = Tables.lineitem(spark, dir)
+    val n = li.count()
+    val accuracy = 1000 // rank error ≤ n / accuracy
+    val row = li.agg(
+      percentile(col("l_extendedprice"), lit(0.5)).as("exact"),
+      approx_percentile(col("l_extendedprice"), lit(0.5), lit(accuracy)).as("approx")).head()
+    val (exact, approx) = (row.getDouble(0), row.getDouble(1))
+    // translate the rank guarantee into a value bound via the exact
+    // quantiles at the tolerated ranks
+    val tol = n.toDouble / accuracy / n // fraction of rank space
+    val bounds = li.agg(
+      percentile(col("l_extendedprice"), lit(0.5 - 2 * tol)).as("lo"),
+      percentile(col("l_extendedprice"), lit(0.5 + 2 * tol)).as("hi")).head()
+    info(f"p50: exact=$exact%.2f approx=$approx%.2f window=[${bounds.getDouble(0)}%.2f, ${bounds.getDouble(1)}%.2f]")
+    assert(approx >= bounds.getDouble(0) && approx <= bounds.getDouble(1),
+      s"approx p50 $approx outside rank-tolerance window")
+  }
+}
