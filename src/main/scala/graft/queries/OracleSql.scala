@@ -342,6 +342,13 @@ object OracleSql {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin,
 
+    "t43_asof_join" ->
+      """SELECT e.event_id, ROUND(p.value, 4) AS last_purchase
+        |FROM events e
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY event_id""".stripMargin,
+
     // ─────────────────────── extension tier ───────────────────────
 
     "x40_exact_dedup" ->

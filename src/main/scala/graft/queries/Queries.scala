@@ -381,6 +381,19 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** T43 — as-of join: for every event, the value of the user's most
+    * recent purchase at or before it (oracle: DuckDB native ASOF JOIN;
+    * engine: the union+window composition). */
+  def t43(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val left = ev.select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    TimeSeries.asofJoin(left, purchases, Seq("user_id"), "ts", "ts", Seq("value"))
+      .select(col("event_id"), round(col("value"), 4).as("last_purchase"))
+      .orderBy("event_id")
+  }
+
   /** T34 — brute-force cosine top-k (X15). */
   def t34(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -510,6 +523,7 @@ object Queries {
     "t40_datetime_funcs" -> (t40 _),
     "t41_conditional" -> (t41 _),
     "t42_window_frames" -> (t42 _),
+    "t43_asof_join" -> (t43 _),
     "x40_exact_dedup" -> (x40 _),
     "x41_minhash_neardup" -> (x41 _),
     "x42_ngram_jaccard" -> (x42 _),
