@@ -349,6 +349,19 @@ object OracleSql {
         |  ON e.user_id = p.user_id AND e.ts >= p.ts
         |ORDER BY event_id""".stripMargin,
 
+    "t44_array_funcs" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first,
+        |  ROUND(CAST(embedding[-1] AS DOUBLE), 4) AS "last",
+        |  CAST(len(embedding[5:12]) AS BIGINT) AS slice_len
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "t45_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        |  COUNT(*) AS cnt
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY rf, ls""".stripMargin,
+
     // ─────────────────────── extension tier ───────────────────────
 
     "x40_exact_dedup" ->

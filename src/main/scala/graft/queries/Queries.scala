@@ -394,6 +394,25 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** T44 — array function battery over the embedding column. */
+  def t44(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        size(col("embedding")).cast("bigint").as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 4).as("first"),
+        round(element_at(col("embedding"), -1).cast("double"), 4).as("last"),
+        size(slice(col("embedding"), 5, 8)).cast("bigint").as("slice_len"))
+      .orderBy("vec_id")
+
+  /** T45 — CUBE grouping sets (X6's full lattice). */
+  def t45(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("cnt"))
+      .orderBy("rf", "ls")
+
   /** T34 — brute-force cosine top-k (X15). */
   def t34(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -524,6 +543,8 @@ object Queries {
     "t41_conditional" -> (t41 _),
     "t42_window_frames" -> (t42 _),
     "t43_asof_join" -> (t43 _),
+    "t44_array_funcs" -> (t44 _),
+    "t45_cube" -> (t45 _),
     "x40_exact_dedup" -> (x40 _),
     "x41_minhash_neardup" -> (x41 _),
     "x42_ngram_jaccard" -> (x42 _),
