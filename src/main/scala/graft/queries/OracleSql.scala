@@ -362,6 +362,12 @@ object OracleSql {
         |  COUNT(*) AS cnt
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY rf, ls""".stripMargin,
 
+    "t46_intersect" ->
+      """SELECT o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') t
+        |ORDER BY o_custkey""".stripMargin,
+
     // ─────────────────────── extension tier ───────────────────────
 
     "x40_exact_dedup" ->

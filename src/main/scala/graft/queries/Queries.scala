@@ -413,6 +413,14 @@ object Queries {
         coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("cnt"))
       .orderBy("rf", "ls")
 
+  /** T46 — set intersection (X9's other half; distinct semantics). */
+  def t46(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.filter(col("o_orderstatus") === "F").select("o_custkey")
+      .intersect(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
   /** T34 — brute-force cosine top-k (X15). */
   def t34(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -545,6 +553,7 @@ object Queries {
     "t43_asof_join" -> (t43 _),
     "t44_array_funcs" -> (t44 _),
     "t45_cube" -> (t45 _),
+    "t46_intersect" -> (t46 _),
     "x40_exact_dedup" -> (x40 _),
     "x41_minhash_neardup" -> (x41 _),
     "x42_ngram_jaccard" -> (x42 _),
