@@ -1,6 +1,10 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Runs per query; the reported time is the median, so one host-noise
+    * spike (this box shows ±40% run-to-run) can't distort a delta. */
+  private val Runs = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -18,16 +22,32 @@ object Bench {
     // Materialize through a noop sink, NOT count(): under a bare count
     // Catalyst eliminates the final total ORDER BY every query declares,
     // so counted wall-times would exclude the sort.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+    // A failed run records the sentinel -1 (never the wall-clock of the
+    // failed attempt); one failed run fails the whole query.
+    val benched = SparkEntry.queries.filterNot { case (name, _) =>
+      SparkEntry.gateOnly.contains(name)
+    }
+    val results = benched.map { case (name, fn) =>
+      val times = (1 to Runs).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => -1.0 }
+        finally graft.util.CacheScope.sweep(spark) // runs stay independent
+      }
+      val median =
+        if (times.exists(_ < 0)) -1.0
+        else times.sorted.apply(Runs / 2)
+      name -> median
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val ok = results.values.filter(_ >= 0)
+    val total = if (ok.nonEmpty) ok.sum else 0.0
+    val failed = results.count(_._2 < 0)
+    val skipped = SparkEntry.gateOnly.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$Runs,"failed":$failed,"gate_only_skipped":$skipped,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

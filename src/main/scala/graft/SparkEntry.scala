@@ -14,4 +14,11 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = OracleSql.all
+
+  /** Queries kept ONLY as oracle-exact twins of a scale-safe variant —
+    * deliberately O(n²) so DuckDB can mirror them bit-for-bit. They run
+    * in the correctness gate (Verify) but are excluded from Bench: at
+    * production scale only the bucketed twin (here x51) would ever run,
+    * so timing the brute-force path says nothing about the engine. */
+  def gateOnly: Set[String] = Set("x44_embedding_neardup")
 }

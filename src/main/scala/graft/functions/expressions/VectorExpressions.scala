@@ -30,6 +30,9 @@ case class DotProduct(left: Expression, right: Expression)
   // library-internal and must be array<float|double>, checked here
   override def dataType: DataType = DoubleType
 
+  // NULL on length mismatch (below), even for non-null inputs
+  override def nullable: Boolean = true
+
   private def elemIsFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case ArrayType(DoubleType, _) => false
@@ -40,7 +43,12 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // Length mismatch → NULL, matching the HOF form (zip_with pads the
+    // shorter array with nulls, so the aggregate sum goes null): a
+    // malformed embedding must surface as a visible NULL, never a
+    // plausible partial dot product.
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val lf = elemIsFloat(left)
     val rf = elemIsFloat(right)
     var s = 0.0
@@ -62,12 +70,16 @@ case class DotProduct(left: Expression, right: Expression)
       val lGet = if (elemIsFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val rGet = if (elemIsFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ($lGet) * ($rGet);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $n = $a.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += ($lGet) * ($rGet);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -66,14 +66,37 @@ final class M5Pipeline(spark: SparkSession, config: YamlConfig) {
     header.split(",").count(_.matches("d_\\d+"))
   }
 
+  // ── IngestSales: ONE CSV pass → store-partitioned parquet ────────
+  /** The reference re-reads the whole sales CSV once per store
+    * (pipeline.py:35) because pandas shards by store to fit RAM; on a
+    * cluster that is 10 redundant full scans of the biggest input.
+    * One ingest pass writes the wide table `partitionBy(store_id)`;
+    * each per-store task then reads only its partition DIRECTORY —
+    * file-level pruning (PartitionFilters), no sales byte outside the
+    * store is ever opened. Also upgrades the source from one
+    * non-splittable CSV to splittable columnar parquet. */
+  def ingestSales(): Task = {
+    val target = pq("sales_wide_by_store")
+    Task("IngestSales", target, deps = Seq(salesIn),
+      body = () =>
+        Csv.source(spark, salesCsv, M5Schemas.sales(nDays))
+          .write.mode("overwrite")
+          .partitionBy("store_id")
+          .parquet(target.path))
+  }
+
   // ── ProcessInputFiles (pipeline.py:23-76) ────────────────────────
   def processInputFiles(store: String): Task = {
+    val ingest = ingestSales()
     val target = pq(s"features_sales_base_store_$store")
     Task(s"ProcessInputFiles($store)", target,
-      deps = Seq(salesIn, calendarIn, pricesIn),
+      deps = Seq(ingest, calendarIn, pricesIn),
       body = () => {
-        val sales = Csv.source(spark, salesCsv, M5Schemas.sales(nDays))
-          .filter(col("store_id") === store) // O7; partition-prunes once stored by store_id
+        // partitionBy moved store_id to the tail on read — restore the
+        // CSV column order so downstream schemas stay byte-identical
+        val sales = spark.read.parquet(ingest.target.path)
+          .filter(col("store_id") === store) // O7 — prunes to one partition dir
+          .select(M5Schemas.sales(nDays).fieldNames.map(col): _*)
         val calendar = Csv.source(spark, calendarCsv, M5Schemas.calendar)
           .withColumn("date", to_date(col("date"))) // O15
         val prices = Csv.source(spark, pricesCsv, M5Schemas.prices)
@@ -236,7 +259,8 @@ final class M5Pipeline(spark: SparkSession, config: YamlConfig) {
   def runPredictionAll(): Task = {
     val predTasks = for (s <- stores; w <- weeks) yield runPredictionStoreWeek(s, w)
     val featureTargets = stores.flatMap(s => Seq(
-      pq(s"features_sales_base_store_$s"), pq(s"features_sales_ts_store_$s")))
+      pq(s"features_sales_base_store_$s"), pq(s"features_sales_ts_store_$s"))) :+
+      pq("sales_wide_by_store") // the ingest checkpoint is consumed too
     val target = pq("predictions")
     Task("RunPredictionAll", target, deps = predTasks,
       // reference's RunPredictionStore wrapper deletes the consumed

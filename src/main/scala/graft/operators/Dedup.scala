@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Hashing, Text}
+import graft.util.CacheScope
 
 /** Deduplication suite for large text corpora (SURVEY.md §2.5 X12/X14):
   * exact, MinHash+LSH, SimHash, and exact n-gram Jaccard.
@@ -115,14 +116,34 @@ object Dedup {
     * should pairs be routed back through a per-shingle equi-join
     * (Σ_pairs |A| shuffled rows); the set-array join moves each doc's
     * set once per pair side and verifies in O(|A|+|B|) CPU per pair. */
-  def jaccard(shingles: DataFrame, pairs: DataFrame, roundDigits: Int = 4): DataFrame = {
+  def jaccard(shingles: DataFrame, pairs: DataFrame, roundDigits: Int = 4,
+      minJaccard: Double = 0.0): DataFrame = {
     val sets = shingles.groupBy(col("doc"))
       .agg(sort_array(collect_list(col("h"))).as("hs"), count(lit(1)).as("sz"))
+    // Size-ratio prefilter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so a
+    // pair whose size ratio is under the caller's threshold can never
+    // survive its `jac ≥ threshold` filter — prune it BEFORE shuffling
+    // the two shingle arrays into the verify join. Lossless w.r.t. the
+    // thresholded output (the oracle needs no mirror); the ε keeps a
+    // pair whose TRUE Jaccard is a hair under the threshold but ROUNDS
+    // up to it. Sizes ride a slim (doc, sz) projection, not the arrays.
+    val prefiltered =
+      if (minJaccard <= 0) pairs
+      else {
+        val eps = math.pow(10.0, -roundDigits) / 2
+        val sz = sets.select(col("doc"), col("sz"))
+        pairs
+          .join(sz.select(col("doc").as("a"), col("sz").as("__sa")), Seq("a"))
+          .join(sz.select(col("doc").as("b"), col("sz").as("__sb")), Seq("b"))
+          .where(least(col("__sa"), col("__sb")).cast("double") >=
+            lit(minJaccard - eps) * greatest(col("__sa"), col("__sb")).cast("double"))
+          .select(col("a"), col("b"))
+      }
     import org.apache.spark.sql.graft.ColumnBridge
     val inter = ColumnBridge.column(
       graft.functions.expressions.SortedIntersectCount(
         ColumnBridge.expression(col("ha")), ColumnBridge.expression(col("hb"))))
-    pairs
+    prefiltered
       .join(sets.select(col("doc").as("a"), col("hs").as("ha"), col("sz").as("sa")), Seq("a"))
       .join(sets.select(col("doc").as("b"), col("hs").as("hb"), col("sz").as("sb")), Seq("b"))
       .withColumn("inter", inter)
@@ -137,16 +158,17 @@ object Dedup {
   def minhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     // persisted: consumed by the band self-join (twice) AND the Jaccard
     // set build — without it the scan+shingle+distinct chain re-executes
     // per consumer. Size = one row per distinct (doc, shingle); spills
-    // to disk if the corpus outgrows executor memory.
-    val sh = shingleHashes(df, idCol, textCol, shingleSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // to disk if the corpus outgrows executor memory. The scope owns the
+    // block's lifetime — callers unpersist after materializing.
+    val sh = scope.persist(shingleHashes(df, idCol, textCol, shingleSize))
     val pairs = lshCandidatePairs(
       lshBandKeys(minhashSignatures(sh, numHashes), numHashes, rowsPerBand))
-    jaccard(sh, pairs).where(col("jac") >= threshold)
+    jaccard(sh, pairs, minJaccard = threshold).where(col("jac") >= threshold)
   }
 
   /** Exact n-gram Jaccard near-dups. Candidates = pairs sharing ≥1
@@ -160,9 +182,9 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.5,
-      maxShingleDf: Int = 0): DataFrame = {
-    val sh = shingleHashes(df, idCol, textCol, shingleSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      maxShingleDf: Int = 0,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val sh = scope.persist(shingleHashes(df, idCol, textCol, shingleSize))
     val candSh =
       if (maxShingleDf <= 0) sh
       else sh.join(
@@ -173,7 +195,7 @@ object Dedup {
     val rb = candSh.select(col("doc").as("b"), col("h"))
     val pairs = la.join(rb, Seq("h")).where(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
-    jaccard(sh, pairs).where(col("jac") >= threshold)
+    jaccard(sh, pairs, minJaccard = threshold).where(col("jac") >= threshold)
   }
 
   /** SimHash fingerprint (30-bit): per token-occurrence hash, each bit

@@ -103,11 +103,36 @@ object Relational {
 
   /** O13 — deterministic label encoding: code = rank of value in
     * lexicographically-sorted distinct order (pandas `astype("category")`
-    * code order for strings). The single-partition window only ever sees
-    * the *distinct* vocabulary (small by construction), never the data.
-    * Ref: utils.py:42-47.
+    * code order for strings). Ref: utils.py:42-47.
+    *
+    * Scale shape: distinct (one hash-agg) → range-partitioned
+    * distributed sort → `zipWithIndex` for contiguous global codes.
+    * zipWithIndex is the sanctioned per-partition imperative step — it
+    * adds one light job to count partition sizes, then assigns each
+    * partition's offset; no stage ever sees the whole vocabulary on one
+    * task (the previous form's `Window.orderBy` serialized the
+    * vocabulary through a single-partition WindowExec, fine at M5's
+    * 30 k ids, fatal on a billion-key vocabulary).
     */
-  def labelEncode(df: DataFrame, column: String, codeCol: String = "code"): DataFrame =
+  def labelEncode(df: DataFrame, column: String, codeCol: String = "code"): DataFrame = {
+    val spark = df.sparkSession
+    val distinct = df.select(col(column)).where(col(column).isNotNull)
+      .distinct().orderBy(col(column))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      distinct.schema.fields :+ org.apache.spark.sql.types.StructField(
+        codeCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val indexed = distinct.rdd.zipWithIndex.map {
+      case (r, i) => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(indexed, outSchema)
+  }
+
+  /** The single-partition-window form of [[labelEncode]], kept as the
+    * readable executable spec the scalable path is pinned against
+    * (RelationalSpec asserts bit-equality). Vocabulary-bounded inputs
+    * only. */
+  private[graft] def labelEncodeWindow(
+      df: DataFrame, column: String, codeCol: String = "code"): DataFrame =
     df.select(col(column)).where(col(column).isNotNull).distinct()
       .withColumn(codeCol,
         (row_number().over(Window.orderBy(col(column))) - 1).cast("bigint"))

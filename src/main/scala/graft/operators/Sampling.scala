@@ -40,9 +40,13 @@ object Sampling {
     require(weights.nonEmpty && weights.forall(_ > 0), "weights must be positive")
     val total = weights.sum
     val bounds = weights.map(_ / total).scanLeft(0.0)(_ + _) // 0, c1, c2, …, 1
+    // One rounding for BOTH sides of every boundary: split i's upper cut
+    // is bit-identical to split i+1's lower cut, so no bucket can satisfy
+    // two adjacent filters (disjointness) or neither (coverage).
+    val cuts = bounds.map(x => math.round(x * 1000000))
     val b = bucket(col(keyCol), seed, 1000000)
-    bounds.sliding(2).toSeq.map { case Seq(lo, hi) =>
-      df.filter(b >= (lo * 1000000).toLong && b < math.round(hi * 1000000))
+    cuts.sliding(2).toSeq.map { case Seq(lo, hi) =>
+      df.filter(b >= lo && b < hi)
     }
   }
 

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Vectors
+import graft.util.CacheScope
 
 /** Approximate/exact nearest-neighbor search over an embedding column
   * (`array<float>`), SURVEY.md §2.5 X15.
@@ -53,7 +54,8 @@ object Similarity {
     * vec_id ALONE, then v/nrm joined back — grouping by the full vector
     * array would shuffle every embedding as a grouping key and compare
     * arrays for equality in the hash agg. */
-  private def lshBucketed(base: DataFrame, planeIds: Seq[Int]): DataFrame = {
+  private def lshBucketed(base: DataFrame, planeIds: Seq[Int],
+      scope: CacheScope): DataFrame = {
     val planes = base.filter(col("vec_id").isin(planeIds: _*))
       .select(col("vec_id").as("pid"), col("v").as("pv"))
     val rankExpr = planeIds.zipWithIndex.foldLeft(lit(0)) { case (acc, (id, i)) =>
@@ -65,9 +67,9 @@ object Similarity {
       .agg(sum(col("bit")).cast("bigint").as("bucket"))
     // persisted: the bucketed view feeds the query-side filter AND the
     // candidate side of the bucket join — without it every branch
-    // re-scans the embeddings and recomputes plane dots
-    base.join(buckets, Seq("vec_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // re-scans the embeddings and recomputes plane dots. The scope owns
+    // the block's lifetime — callers unpersist after materializing.
+    scope.persist(base.join(buckets, Seq("vec_id")))
   }
 
   /** LSH-bucketed ANN: candidates are restricted to the query's bucket
@@ -86,9 +88,10 @@ object Similarity {
       planeIds: Seq[Int],
       k: Int,
       roundDigits: Int = 4,
-      probeRadius: Int = 0): DataFrame = {
+      probeRadius: Int = 0,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(probeRadius <= 1, "probeRadius > 1 not supported (use more bands instead)")
-    val bucketed = lshBucketed(prepared(emb, idCol, vecCol), planeIds)
+    val bucketed = lshBucketed(prepared(emb, idCol, vecCol), planeIds, scope)
     val probes: Column =
       if (probeRadius == 0) array(col("bucket"))
       else array(col("bucket") +:
@@ -117,8 +120,9 @@ object Similarity {
       vecCol: String,
       planeIds: Seq[Int],
       threshold: Double,
-      roundDigits: Int = 4): DataFrame = {
-    val bucketed = lshBucketed(prepared(emb, idCol, vecCol), planeIds)
+      roundDigits: Int = 4,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val bucketed = lshBucketed(prepared(emb, idCol, vecCol), planeIds, scope)
     val right = bucketed.select(col("bucket"),
       col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
     bucketed.join(right, Seq("bucket")).where(col("vec_id") < col("b_id"))

@@ -97,16 +97,21 @@ object TimeSeries {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = valueCols.foldLeft(
-        unioned.withColumn("__rts", last(when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(w))) {
-      (df, c) => df.withColumn(s"__c_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
+    // Carry ONE struct (ts + all values) with a single last(ignoreNulls):
+    // the timestamp the tolerance predicate checks and every value column
+    // always come from the SAME right row. Carrying columns independently
+    // would pair the newest __rts with an older row's value whenever the
+    // newest right row holds a NULL in that value column.
+    val rStruct = struct(
+      col("__ts").as("__rts") +: valueCols.map(c => col(s"__r_$c").as(c)): _*)
+    val carried = unioned.withColumn("__r",
+      last(when(col("__side") === 0, rStruct), ignoreNulls = true).over(w))
     val withinTol = toleranceDays match {
-      case Some(tol) => datediff(col("__ts"), col("__rts")) <= tol
+      case Some(tol) => datediff(col("__ts"), col("__r").getField("__rts")) <= tol
       case None => lit(true)
     }
     val out = valueCols.foldLeft(carried.filter(col("__side") === 1)) { (df, c) =>
-      df.withColumn(c, when(col("__rts").isNotNull && withinTol, col(s"__c_$c")))
+      df.withColumn(c, when(col("__r").isNotNull && withinTol, col("__r").getField(c)))
     }
     out.select(left.columns.map(col) ++ valueCols.map(col): _*)
   }

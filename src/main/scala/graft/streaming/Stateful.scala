@@ -23,6 +23,29 @@ object Stateful {
     * later than the TTL are treated as fresh (bounded-state dedup).
     * Batch twin: Dedup.exactDedup keyed on the same column (arrival
     * order vs min-id representative is the one declared divergence). */
+  /** The state-transition function behind [[firstSeen]], exposed so a
+    * spec can drive it through `TestGroupState` deterministically
+    * (processing-time timeouts are untestable through a real stream
+    * without wall-clock races). */
+  private[streaming] def firstSeenFunc[K, V](
+      ttlMs: Long): (K, Iterator[V], GroupState[Boolean]) => Iterator[V] =
+    (_: K, rows: Iterator[V], state: GroupState[Boolean]) =>
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else if (state.exists) {
+        // Spark clears a pending timeout whenever the function runs
+        // for a key with new data — re-arm it here or the first
+        // duplicate would cancel the key's expiry permanently.
+        if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+        Iterator.empty
+      } else {
+        state.update(true)
+        if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+        // rows of ONE micro-batch for a new key: keep the first
+        rows.take(1)
+      }
+
   def firstSeen[K: Encoder, V: Encoder](
       ds: Dataset[V], key: V => K,
       ttlMs: Long = 0L)(implicit tup: Encoder[(K, V)]): Dataset[V] = {
@@ -31,20 +54,8 @@ object Stateful {
       else GroupStateTimeout.NoTimeout
     implicit val boolEnc: Encoder[Boolean] = Encoders.scalaBoolean
     ds.groupByKey(key)
-      .flatMapGroupsWithState[Boolean, V](OutputMode.Append, timeout) {
-        (_: K, rows: Iterator[V], state: GroupState[Boolean]) =>
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else if (state.exists) {
-            Iterator.empty
-          } else {
-            state.update(true)
-            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
-            // rows of ONE micro-batch for a new key: keep the first
-            rows.take(1)
-          }
-      }
+      .flatMapGroupsWithState[Boolean, V](OutputMode.Append, timeout)(
+        firstSeenFunc[K, V](ttlMs))
   }
 
   /** Streaming per-key running counter with custom state — the

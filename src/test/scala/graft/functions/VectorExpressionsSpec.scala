@@ -33,6 +33,20 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - math.sqrt(14.0)) < 1e-12)
   }
 
+  test("DotProduct: mismatched lengths yield NULL, matching the HOF form") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f)),   // ragged → null
+      (Array(1.0f, 2.0f), Array(3.0f, 4.0f)))          // well-formed → 11
+      .toDF("a", "b")
+    val rows = df.select(
+      Vectors.dot(col("a"), col("b")).as("fast"),
+      Vectors.dotHof(Vectors.toDouble(col("a")), Vectors.toDouble(col("b"))).as("spec"))
+      .collect()
+    assert(rows(0).isNullAt(0), "ragged input must surface as NULL, not a partial dot")
+    assert(rows(0).isNullAt(1), "HOF spec should also be NULL on ragged input")
+    assert(rows(1).getDouble(0) == 11.0 && rows(1).getDouble(1) == 11.0)
+  }
+
   test("WordShingleHashes == charHash of the joined shingle string, per window") {
     import org.apache.spark.sql.graft.ColumnBridge
     val texts = Seq(

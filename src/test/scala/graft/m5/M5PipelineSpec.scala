@@ -29,9 +29,29 @@ class M5PipelineSpec extends SparkSpec {
   test("golden run: full DAG end-to-end, checkpoint schemas and row counts") {
     val (pipeline, outDir) = freshPipeline()
     val report = pipeline.run(log = _ => ())
-    // 2 stores × (base + ts) + 2 stores × 2 weeks × (train, test, model, pred)
-    // + predictions + submission = 4 + 16 + 2 = 22 ran
-    assert(report.ran.size == 22, report.ran.mkString(", "))
+    // ingest + 2 stores × (base + ts) + 2 stores × 2 weeks × (train,
+    // test, model, pred) + predictions + submission = 1 + 4 + 16 + 2 = 23
+    assert(report.ran.size == 23, report.ran.mkString(", "))
+    assert(report.ran.count(_ == "IngestSales") == 1,
+      "the sales CSV must be scanned exactly once, by IngestSales")
+
+    // the per-store read prunes to one partition directory — the store
+    // predicate must be a PartitionFilter over the ingested layout, so
+    // no sales byte outside the store is opened (file-level, not row)
+    {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      val read = spark.read.parquet(s"$outDir/sales_wide_by_store.parquet")
+        .filter(col("store_id") === "CA_1")
+      val scan = (read.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }).collect { case s: FileSourceScanExec => s }.head
+      assert(scan.partitionFilters.nonEmpty, "store_id must partition-prune")
+      assert(scan.selectedPartitions.totalNumberOfFiles <
+        scan.relation.location.inputFiles.length,
+        "pruned scan must touch fewer files than the full layout")
+    }
 
     // params.yaml manifest written (O6)
     assert(Files.exists(Paths.get(outDir, "params.yaml")))

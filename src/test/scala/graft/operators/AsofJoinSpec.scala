@@ -52,6 +52,24 @@ class AsofJoinSpec extends SparkSpec {
       ("C", d("2024-01-07"), None)))
   }
 
+  test("asofJoin: value and tolerance timestamp come from the SAME right row") {
+    // The most recent quote for A before 01-10 carries a NULL px. The
+    // whole last row must win (pandas merge_asof semantics): the output
+    // is NULL, never the older row's 99.5 paired with the newer row's
+    // timestamp passing the tolerance check.
+    val sparseQuotes = Seq(
+      ("A", d("2024-01-04"), Option(99.5)),
+      ("A", d("2024-01-09"), Option.empty[Double]))
+      .toDF("sym", "quote_date", "quote_px")
+    val out = TimeSeries.asofJoin(
+        trades.filter($"sym" === "A" && $"trade_date" === d("2024-01-10")),
+        sparseQuotes, Seq("sym"), "trade_date", "quote_date", Seq("quote_px"),
+        toleranceDays = Some(3))
+      .select("quote_px").as[Option[Double]].collect().toSeq
+    assert(out == Seq(None),
+      "must not pair the newest row's ts with an older row's value")
+  }
+
   test("asofJoin preserves left row count and columns") {
     val out = TimeSeries.asofJoin(trades, quotes, Seq("sym"),
       "trade_date", "quote_date", Seq("quote_px"))

@@ -19,6 +19,19 @@ class RelationalSpec extends SparkSpec {
     assert(out == Map("10" -> 0L, "2" -> 1L, "B" -> 2L, "a" -> 3L, "b" -> 4L))
   }
 
+  test("labelEncode scalable path == window form, no single-partition WindowExec") {
+    // a wider-than-toy vocabulary spread over many partitions
+    val df = spark.range(0, 5000).selectExpr("concat('id_', pmod(id * 37, 1931)) as v")
+      .repartition(16)
+    val fast = Relational.labelEncode(df, "v").as[(String, Long)].collect().toMap
+    val spec = Relational.labelEncodeWindow(df, "v").as[(String, Long)].collect().toMap
+    assert(fast == spec, "zipWithIndex codes must equal the window-rank codes")
+    assert(fast.size == 1931)
+    // the scalable plan must not contain a partition-less Window
+    val plan = Relational.labelEncode(df, "v").queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no WindowExec expected in:\n$plan")
+  }
+
   test("pivotWide with mean agg: duplicate (key, col) cells average (pivot_table default)") {
     val df = Seq(
       ("i1", "F1", 2.0), ("i1", "F1", 4.0), // duplicate cell → mean 3.0

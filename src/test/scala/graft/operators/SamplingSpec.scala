@@ -37,6 +37,18 @@ class SamplingSpec extends SparkSpec {
     assert(tr.size > va.size * 4, s"train ${tr.size} not ~8x valid ${va.size}")
   }
 
+  test("splitByHash: disjoint + exhaustive on non-integer boundaries (1:1:1)") {
+    // 1/3 and 2/3 boundaries don't land on integer buckets — the
+    // regression was split i's rounded upper bound overlapping split
+    // i+1's truncated lower bound, double-counting the boundary bucket.
+    val docs = Tables.documents(spark, dir)
+    val splits = Sampling.splitByHash(docs, "doc_id", Seq(1, 1, 1))
+    val sets = splits.map(_.select("doc_id").as[Long].collect().toSet)
+    for (i <- sets.indices; j <- sets.indices if i < j)
+      assert((sets(i) & sets(j)).isEmpty, s"splits $i and $j overlap")
+    assert(sets.map(_.size).sum == docs.count(), "splits must partition the corpus")
+  }
+
   test("stratifiedTakeN: exactly n per stratum (or all when smaller), deterministic") {
     val docs = Tables.documents(spark, dir)
     val out = Sampling.stratifiedTakeN(docs, Seq("lang"), 20, "doc_id")

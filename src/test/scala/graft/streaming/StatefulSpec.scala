@@ -25,6 +25,44 @@ class StatefulSpec extends SparkSpec {
     assert(seen == Set((10L, "a1"), (20L, "b1"), (30L, "c1")))
   }
 
+  test("firstSeen TTL: a duplicate re-arms the timeout; expiry removes state") {
+    // Spark clears a key's pending timeout whenever its function runs
+    // with new data; the regression was the duplicate branch returning
+    // without re-arming, so one duplicate made the key immortal.
+    // TestGroupState drives the transition function deterministically —
+    // a real stream + wall clock cannot pin processing-time timeouts.
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val f = Stateful.firstSeenFunc[Long, (Long, String)](ttlMs = 1000L)
+
+    // duplicate arrival: suppressed AND timer re-armed (now + ttl)
+    val dup = TestGroupState.create[Boolean](
+      Optional.of(true), GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 5000L,
+      eventTimeWatermarkMs = Optional.empty[Long](), hasTimedOut = false)
+    assert(f(10L, Iterator((10L, "dup")), dup).isEmpty)
+    assert(dup.getTimeoutTimestampMs.isPresent &&
+      dup.getTimeoutTimestampMs.get == 6000L,
+      "duplicate must re-arm the processing-time timer")
+
+    // first arrival: emitted and timer armed
+    val fresh = TestGroupState.create[Boolean](
+      Optional.empty[Boolean](),
+      GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 5000L,
+      eventTimeWatermarkMs = Optional.empty[Long](), hasTimedOut = false)
+    assert(f(10L, Iterator((10L, "a1")), fresh).toSeq == Seq((10L, "a1")))
+    assert(fresh.getTimeoutTimestampMs.isPresent)
+
+    // timeout firing: state removed → the key dedups afresh afterwards
+    val expired = TestGroupState.create[Boolean](
+      Optional.of(true), GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 7000L,
+      eventTimeWatermarkMs = Optional.empty[Long](), hasTimedOut = true)
+    assert(f(10L, Iterator.empty, expired).isEmpty)
+    assert(expired.isRemoved, "timed-out key must drop its state")
+  }
+
   test("runningCount: per-key state accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Int)]
