@@ -349,6 +349,15 @@ object OracleSql {
         |  ON e.user_id = p.user_id AND e.ts >= p.ts
         |ORDER BY event_id""".stripMargin,
 
+    "t47_asof_tolerance" ->
+      """SELECT e.event_id,
+        |  CASE WHEN date_diff('day', CAST(p.ts AS DATE), CAST(e.ts AS DATE)) <= 7
+        |       THEN ROUND(p.value, 4) END AS recent_purchase
+        |FROM events e
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY event_id""".stripMargin,
+
     "t44_array_funcs" ->
       """SELECT vec_id,
         |  CAST(len(embedding) AS BIGINT) AS dim,

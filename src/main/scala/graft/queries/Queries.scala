@@ -394,6 +394,20 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** T47 — as-of join with a tolerance window: like t43, but a match
+    * older than 7 days nulls out (gates the toleranceDays branch;
+    * oracle: DuckDB ASOF + a CASE on the matched row's age). */
+  def t47(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val left = ev.select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    TimeSeries.asofJoin(left, purchases, Seq("user_id"), "ts", "ts", Seq("value"),
+        toleranceDays = Some(7))
+      .select(col("event_id"), round(col("value"), 4).as("recent_purchase"))
+      .orderBy("event_id")
+  }
+
   /** T44 — array function battery over the embedding column. */
   def t44(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
@@ -551,6 +565,7 @@ object Queries {
     "t41_conditional" -> (t41 _),
     "t42_window_frames" -> (t42 _),
     "t43_asof_join" -> (t43 _),
+    "t47_asof_tolerance" -> (t47 _),
     "t44_array_funcs" -> (t44 _),
     "t45_cube" -> (t45 _),
     "t46_intersect" -> (t46 _),
