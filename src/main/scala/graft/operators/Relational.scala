@@ -164,13 +164,19 @@ object Relational {
   }
 
   /** O24 — n-th most recent distinct value of `column` (the reference's
-    * validation-split-point lookup). Distinct first (tiny), then a
-    * single-partition ranking over the distinct set only.
-    * Ref: pipeline.py:245-246.
+    * validation-split-point lookup). Ref: pipeline.py:245-246.
+    *
+    * Scale shape: distinct → `orderBy(desc).limit(n)` plans
+    * TakeOrderedAndProject (per-partition n-heap, driver merges n rows —
+    * no global sort, no single-partition window), and the n-th most
+    * recent is the MIN of those n. The count guard preserves the
+    * contract that fewer than n distinct values yield an empty result,
+    * matching the old `row_number = n` filter.
     */
   def nthFromLastDistinct(df: DataFrame, column: String, n: Int): DataFrame =
     df.select(col(column)).distinct()
-      .withColumn("__rn", row_number().over(Window.orderBy(col(column).desc)))
-      .filter(col("__rn") === n)
-      .drop("__rn")
+      .orderBy(col(column).desc).limit(n)
+      .agg(min(col(column)).as(column), count(lit(1)).as("__n"))
+      .filter(col("__n") === n)
+      .select(col(column))
 }

@@ -78,5 +78,13 @@ class RelationalSpec extends SparkSpec {
     val nth = Relational.nthFromLastDistinct(df.select(col("v")), "v", 2)
       .as[Int].collect().toSeq
     assert(nth == Seq(8)) // distinct desc: 9, 8, 5, 4, 3, 1 → 2nd = 8
+    // fewer distinct values than n → empty (row_number-contract parity)
+    val short = Relational.nthFromLastDistinct(df.select(col("v")), "v", 99)
+      .as[Int].collect().toSeq
+    assert(short.isEmpty, "n beyond the distinct count must yield no row")
+    // and no partition-less window in the plan
+    val plan = Relational.nthFromLastDistinct(df.select(col("v")), "v", 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no WindowExec expected in:\n$plan")
   }
 }
