@@ -59,4 +59,20 @@ class BucketingSpec extends SparkSpec {
     assert(shuffles(agg) == 0,
       s"bucket-key aggregation must be exchange-free:\n${agg.queryExecution.executedPlan}")
   }
+
+  test("window over the bucket key needs no exchange (M5 feature-window shape)") {
+    // the per-key lag/lead/rolling windows of the feature pipeline
+    // cluster on the entity id; a layout bucketed by that id feeds the
+    // WindowExec its required distribution straight from the scan
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("k").orderBy("id")
+    val windowed = Bucketing.table(spark, "b_left")
+      .withColumn("lag_v", lag(col("v"), 1).over(w))
+    assert(shuffles(windowed) == 0,
+      s"bucket-key window must be exchange-free:\n${windowed.queryExecution.executedPlan}")
+    // control: the same window over the unbucketed frame shuffles
+    val plain = (1L to 2000L).map(i => (i % 97, i, i * 2.0)).toDF("k", "id", "v")
+      .withColumn("lag_v", lag(col("v"), 1).over(w))
+    assert(shuffles(plain) > 0, "control: unbucketed window must shuffle")
+  }
 }
