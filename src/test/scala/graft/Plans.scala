@@ -20,7 +20,11 @@ object Plans {
       "t06_left_join_cond", "t08_composite_join", "t21_topk", "t27_group_topk",
       "x45_ann_lsh", "t37_stats_agg", "t38_percentile", "t39_string_funcs",
       "t40_datetime_funcs", "t41_conditional", "t42_window_frames",
-      "x50_simhash_neardup", "x52_exact_dedup_digest", "t36_salted_join")
+      "x50_simhash_neardup", "x52_exact_dedup_digest", "t36_salted_join",
+      // round-3 changed paths: scalable encode, heap-based nth, struct
+      // as-of (plain + tolerance), prefiltered Jaccard verify
+      "t28_label_encode", "t17_nth_from_last", "t43_asof_join",
+      "t47_asof_tolerance", "x41_minhash_neardup", "x42_ngram_jaccard")
     targets.foreach { name =>
       println(s"\n════════ $name ════════")
       println(Queries.all(name)(spark, dir).queryExecution.explainString(
