@@ -50,6 +50,21 @@ object Sampling {
     }
   }
 
+  /** Engine-portable deterministic sample: keep a key iff the first
+    * `prefixLen` hex chars of md5(key-as-string) sort below `hexCut`
+    * (lower-case). Unlike [[deterministicSample]]'s xxhash64 (fastest,
+    * but Spark-specific), md5-of-UTF-8 renders the same lower-case hex
+    * on every engine, so the SAME key set survives a Spark↔DuckDB↔
+    * anything migration — the reproducibility contract a training-data
+    * freeze needs. Kept fraction ≈ int(hexCut,16) / 16^prefixLen.
+    * Still a stateless per-row filter: no shuffle, runs in the scan. */
+  def portableSample(
+      df: DataFrame, keyCol: String, hexCut: String, prefixLen: Int = 4): DataFrame = {
+    require(hexCut.length == prefixLen && hexCut.matches("[0-9a-f]+"),
+      s"hexCut must be $prefixLen lower-case hex chars: $hexCut")
+    df.filter(substring(md5(col(keyCol).cast("string")), 1, prefixLen) < hexCut)
+  }
+
   /** Exactly-n-per-stratum sample, chosen deterministically: rank rows
     * within each stratum by (hash, tiebreak) and keep the first n.
     * The hash ordering is an unbiased deterministic shuffle. */

@@ -190,6 +190,63 @@ object Similarity {
     twoPhaseTopK(scored, k)
   }
 
+  /** IVF with a DETERMINISTIC coarse quantizer: the "centroids" are a
+    * fixed set of corpus vectors (by id) instead of KMeans means, so the
+    * whole pipeline — assignment, probe ranking, in-cell scoring — is
+    * pure relational algebra reproducible on any engine. This is the
+    * oracle-gated twin of [[ivfTopK]]: same plan shape (broadcast
+    * centroids → one assignment pass → probe only nProbe cells), only
+    * the quantizer differs. Real deployments would refresh centroid ids
+    * from a sampled ranking; the gate pins the engine mechanics.
+    *
+    * Assignment = argmax rounded cosine over centroids (ties → lowest
+    * cell id). The per-vector window partitions on vec_id — dense,
+    * skew-free keys — and its input is |corpus|×|centroids| rows from a
+    * broadcast join, never a shuffle of the corpus against itself. */
+  def ivfTopKDeterministic(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIds: Seq[Int],
+      centroidIds: Seq[Int],
+      nProbe: Int,
+      k: Int,
+      roundDigits: Int = 4): DataFrame = {
+    val base = prepared(emb, idCol, vecCol)
+    val centroids = base.filter(col("vec_id").isin(centroidIds: _*))
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
+
+    val aw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cell").asc)
+    val assigned = base.join(broadcast(centroids))
+      .withColumn("ccos",
+        round(Vectors.cosineWithNorms(col("v"), col("cv"), col("nrm"), col("cn")),
+          roundDigits))
+      .withColumn("__ar", row_number().over(aw))
+      .filter(col("__ar") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+
+    val q = base.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q"), col("v").as("qv"), col("nrm").as("qn"))
+    val pw = Window.partitionBy(col("q"))
+      .orderBy(col("pcos").desc, col("cell").asc)
+    val probes = q.join(broadcast(centroids))
+      .withColumn("pcos",
+        round(Vectors.cosineWithNorms(col("qv"), col("cv"), col("qn"), col("cn")),
+          roundDigits))
+      .withColumn("__pr", row_number().over(pw))
+      .filter(col("__pr") <= nProbe)
+      .select(col("q"), col("qv"), col("qn"), col("cell"))
+
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("q"))
+      .withColumn("cos",
+        round(Vectors.cosineWithNorms(col("qv"), col("v"), col("qn"), col("nrm")),
+          roundDigits))
+      .select(col("q"), col("vec_id"), col("cos"))
+    twoPhaseTopK(scored, k)
+  }
+
   /** Embedding near-duplicate pairs: all (a < b) with rounded cosine ≥
     * threshold. Brute-force O(n²) form — the LSH-bucketed variant above
     * is the scale path; this is the oracle-checkable exact form. */

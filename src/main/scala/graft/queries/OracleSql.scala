@@ -493,6 +493,62 @@ object OracleSql {
       s"""SELECT doc_id,
          |  list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text, ' '), t -> ${chash("t")})),
          |    (acc,x) -> (acc*31+x)%$P) AS fp
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Session windows, gaps-and-islands form: a session breaks when the
+    // gap to the previous event reaches 30 min (Spark's session_window
+    // merges an event iff it lands strictly BEFORE prev_end = last+gap);
+    // session_end = last event + gap, matching Spark's window bounds.
+    "t48_session_window" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id,
+        |  epoch_us(MIN(ts))::BIGINT AS start_us,
+        |  epoch_us(MAX(ts) + INTERVAL 30 MINUTE)::BIGINT AS end_us,
+        |  COUNT(*)::BIGINT AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
+
+    // Deterministic-quantizer IVF: centroids are corpus vecs 20..23;
+    // assignment = argmax rounded cosine (ties -> lowest cell), queries
+    // probe their 2 best cells, exact cosine ranked within.
+    "x53_ivf_ann" ->
+      s"""WITH $embCte,
+         |c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id IN (20,21,22,23)),
+         |a0 AS (
+         |  SELECT e.vec_id, e.v, c.cell,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |                       ORDER BY ${cos("e.v", "cv")} DESC, c.cell) AS rn
+         |  FROM e CROSS JOIN c),
+         |assigned AS (SELECT vec_id, v, cell FROM a0 WHERE rn = 1),
+         |q AS (SELECT vec_id AS q, v AS qv FROM e WHERE vec_id IN (0,1,2)),
+         |p0 AS (
+         |  SELECT q.q, q.qv, c.cell,
+         |    ROW_NUMBER() OVER (PARTITION BY q.q
+         |                       ORDER BY ${cos("qv", "cv")} DESC, c.cell) AS rn
+         |  FROM q CROSS JOIN c),
+         |probes AS (SELECT q, qv, cell FROM p0 WHERE rn <= 2),
+         |scored AS (
+         |  SELECT p.q, a.vec_id, ${cos("p.qv", "a.v")} AS cos
+         |  FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.q),
+         |r AS (SELECT q, vec_id, cos,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos DESC, vec_id) AS BIGINT) AS "rank"
+         |      FROM scored)
+         |SELECT q, "rank", vec_id, cos FROM r WHERE "rank" <= 3 ORDER BY q, "rank"""".stripMargin,
+
+    // md5 renders identical lower-case hex on both engines, so the kept
+    // key set is bit-identical — the sampling reproducibility contract.
+    "x54_hash_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substr(md5(doc_id::VARCHAR), 1, 4) < '2aaa'
+        |ORDER BY doc_id""".stripMargin
   )
 }

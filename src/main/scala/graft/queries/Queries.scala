@@ -5,8 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{Dedup, Relational, Similarity, TextAnalysis, TimeSeries}
+import graft.operators.{Dedup, Relational, Sampling, Similarity, TextAnalysis, TimeSeries}
 import graft.sources.Tables
+import graft.streaming.Windows
 
 /** Declared correctness queries T01–T34 (SURVEY.md §2.6) plus the
   * extension-tier queries (dedup / similarity / text). Every query here
@@ -520,6 +521,34 @@ object Queries {
     TextAnalysis.fingerprint(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** T48 — session windows, batch form (X11's third window shape).
+    * Output timestamps go through unix_micros so both engines render
+    * the same integer (raw timestamp columns would hash-compare
+    * rendering, not value). */
+  def t48(s: SparkSession, dir: String): DataFrame =
+    Windows.sessionized(Tables.events(s, dir), "ts", "30 minutes",
+        keys = Seq(col("user_id")), aggs = Seq(count(lit(1)).as("n_events")))
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("start_us"),
+        unix_micros(col("session_end")).as("end_us"),
+        bi(col("n_events")).as("n_events"))
+      .orderBy("user_id", "start_us")
+
+  /** IVF ANN with a deterministic coarse quantizer — the oracle-gated
+    * twin of the KMeans ivfTopK (same probe mechanics, relational
+    * quantizer). */
+  def x53(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopKDeterministic(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryIds = Seq(0, 1, 2), centroidIds = Seq(20, 21, 22, 23),
+        nProbe = 2, k = 3)
+      .orderBy("q", "rank")
+
+  /** Engine-portable md5 hash sample (deterministic sampling tier). */
+  def x54(s: SparkSession, dir: String): DataFrame =
+    Sampling.portableSample(Tables.documents(s, dir), "doc_id", hexCut = "2aaa")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -581,5 +610,8 @@ object Queries {
     "x46_lang_id" -> (x46 _),
     "x47_quality_score" -> (x47 _),
     "x48_token_stats" -> (x48 _),
-    "x49_fingerprint" -> (x49 _))
+    "x49_fingerprint" -> (x49 _),
+    "t48_session_window" -> (t48 _),
+    "x53_ivf_ann" -> (x53 _),
+    "x54_hash_sample" -> (x54 _))
 }

@@ -25,6 +25,23 @@ class SamplingSpec extends SparkSpec {
     assert(s3 != s1)
   }
 
+  test("portableSample: partition-invariant, ~cut-proportional, nested by cut") {
+    val docs = Tables.documents(spark, dir)
+    val s1 = Sampling.portableSample(docs, "doc_id", "2aaa")
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = Sampling.portableSample(docs.repartition(13), "doc_id", "2aaa")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2, "sample must not depend on partitioning")
+    val frac = s1.size.toDouble / docs.count()
+    // E[frac] = 0x2aaa/0x10000 = 1/6
+    assert(frac > 0.1 && frac < 0.25, s"fraction off: $frac")
+    // widening the cut only ADDS keys — a frozen sample stays frozen
+    // when the rate is later raised (training-data freeze contract)
+    val wider = Sampling.portableSample(docs, "doc_id", "5555")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1.subsetOf(wider), "narrow-cut sample must nest inside wider cut")
+  }
+
   test("splitByHash: disjoint, exhaustive, weight-proportional") {
     val docs = Tables.documents(spark, dir)
     val Seq(train, valid, test) = Sampling.splitByHash(docs, "doc_id", Seq(8, 1, 1))

@@ -62,4 +62,16 @@ class ScaleOpsSpec extends SparkSpec {
     info(f"IVF nProbe=4/8 recall@5: $recall%.2f")
     assert(recall >= 0.4, s"IVF half-probe recall too low: $recall")
   }
+
+  test("deterministic-quantizer IVF full-probe == brute-force top-k exactly") {
+    val emb = Tables.embeddings(spark, dir)
+    val truth = Similarity.cosineTopK(emb, "vec_id", "embedding", Seq(0, 1, 2), 5)
+      .select("q", "rank", "vec_id").collect().map(_.toSeq).toSet
+    // probing all 4 cells of the fixed quantizer scans the whole corpus
+    // -> must reproduce the exact ranking, like ivfTopK at full probe
+    val full = Similarity.ivfTopKDeterministic(emb, "vec_id", "embedding",
+        Seq(0, 1, 2), centroidIds = Seq(20, 21, 22, 23), nProbe = 4, k = 5)
+      .select("q", "rank", "vec_id").collect().map(_.toSeq).toSet
+    assert(full == truth, "full probe must reproduce the exact ranking")
+  }
 }
