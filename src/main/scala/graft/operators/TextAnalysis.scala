@@ -69,6 +69,26 @@ object TextAnalysis {
       Text.pieceCount(col(textCol)).as("n_pieces"),
       length(col(textCol)).cast("bigint").as("n_chars_computed"))
 
+  /** Repetition signal (Gopher-style quality filter): the fraction of
+    * word n-grams that are duplicates within the document —
+    * `1 − distinct/total` — flags boilerplate and degenerate loops that
+    * length/punctuation scores miss. Per-row HOFs only (the gram array
+    * never leaves its row), so it stays linear and shuffle-free. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, roundDigits: Int = 4): DataFrame = {
+    val w = Text.tokens(col(textCol))
+    val grams = when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => array_join(slice(w, i, lit(n)), " "))).otherwise(array())
+    df.select(col(idCol), grams.as("__g"))
+      .select(col(idCol),
+        size(col("__g")).cast("bigint").as("n_grams"),
+        when(size(col("__g")) > 0,
+          round(lit(1.0d) - size(array_distinct(col("__g"))).cast("double") /
+            size(col("__g")).cast("double"), roundDigits))
+          .otherwise(lit(0.0d)).as("dup_ratio"))
+  }
+
   /** Document fingerprint: polynomial fold of per-token hashes in
     * sequence order — order-sensitive (unlike a bag-of-words hash), so
     * it distinguishes permuted documents; identical docs collide. */

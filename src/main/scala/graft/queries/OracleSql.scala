@@ -65,6 +65,43 @@ object OracleSql {
        |  FROM e CROSS JOIN planes GROUP BY e.vec_id, e.v)""".stripMargin
   }
 
+  /** Stopword-vote language-ID over documents (no ORDER BY — reused as
+    * a subquery by the composed-curation oracle). Mirrors
+    * TextAnalysis.langId. */
+  private val langIdSql: String = {
+    val langs = graft.operators.TextAnalysis.stopwords
+    val hits = langs.map { case (lang, words) =>
+      val set = words.map(w => s"'$w'").mkString(",")
+      s"len(list_filter(w, t -> t IN ($set)))::BIGINT AS hit_$lang"
+    }.mkString(",\n    ")
+    val best = s"GREATEST(${langs.map(l => s"hit_${l._1}").mkString(", ")}, 0)"
+    val pred = langs.map { case (lang, _) =>
+      s"WHEN hit_$lang = best AND best > 0 THEN '$lang'"
+    }.mkString(" ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |hits AS (
+       |  SELECT doc_id,
+       |    $hits
+       |  FROM toks),
+       |b AS (SELECT *, $best AS best FROM hits)
+       |SELECT doc_id, CASE $pred ELSE 'und' END AS pred_lang FROM b""".stripMargin
+  }
+
+  /** Quality score over documents (no ORDER BY — reused as a subquery).
+    * Mirrors TextAnalysis.qualityScore. */
+  private val qualitySql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS w,
+      |    LEAST(LENGTH(text)::DOUBLE / 500.0, 1.0) AS len_score,
+      |    (LENGTH(text) - LENGTH(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE
+      |      / GREATEST(LENGTH(text)::DOUBLE, 1.0) AS punct_ratio
+      |  FROM documents)
+      |SELECT doc_id,
+      |  ROUND(len_score * 0.4 + (1.0 - punct_ratio) * 0.3 +
+      |    (len(list_filter(w, x -> regexp_matches(x, '^[A-Za-z]+$')))::DOUBLE
+      |      / GREATEST(len(w)::DOUBLE, 1.0)) * 0.3, 4) AS quality
+      |FROM t""".stripMargin
+
   /** 30-bit SimHash fingerprints per doc — mirrors Dedup.simhash. */
   private val simhashFpsCte = {
     val votes = (0 until 30)
@@ -450,37 +487,9 @@ object OracleSql {
          |      FROM scored)
          |SELECT q, "rank", vec_id, cos FROM r WHERE "rank" <= 3 ORDER BY q, "rank"""".stripMargin,
 
-    "x46_lang_id" -> {
-      val langs = graft.operators.TextAnalysis.stopwords
-      val hits = langs.map { case (lang, words) =>
-        val set = words.map(w => s"'$w'").mkString(",")
-        s"len(list_filter(w, t -> t IN ($set)))::BIGINT AS hit_$lang"
-      }.mkString(",\n    ")
-      val best = s"GREATEST(${langs.map(l => s"hit_${l._1}").mkString(", ")}, 0)"
-      val pred = langs.map { case (lang, _) =>
-        s"WHEN hit_$lang = best AND best > 0 THEN '$lang'"
-      }.mkString(" ")
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |hits AS (
-         |  SELECT doc_id,
-         |    $hits
-         |  FROM toks),
-         |b AS (SELECT *, $best AS best FROM hits)
-         |SELECT doc_id, CASE $pred ELSE 'und' END AS pred_lang FROM b ORDER BY doc_id""".stripMargin
-    },
+    "x46_lang_id" -> s"$langIdSql ORDER BY doc_id",
 
-    "x47_quality_score" ->
-      """WITH t AS (
-        |  SELECT doc_id, text, string_split(text, ' ') AS w,
-        |    LEAST(LENGTH(text)::DOUBLE / 500.0, 1.0) AS len_score,
-        |    (LENGTH(text) - LENGTH(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE
-        |      / GREATEST(LENGTH(text)::DOUBLE, 1.0) AS punct_ratio
-        |  FROM documents)
-        |SELECT doc_id,
-        |  ROUND(len_score * 0.4 + (1.0 - punct_ratio) * 0.3 +
-        |    (len(list_filter(w, x -> regexp_matches(x, '^[A-Za-z]+$')))::DOUBLE
-        |      / GREATEST(len(w)::DOUBLE, 1.0)) * 0.3, 4) AS quality
-        |FROM t ORDER BY doc_id""".stripMargin,
+    "x47_quality_score" -> s"$qualitySql ORDER BY doc_id",
 
     "x48_token_stats" ->
       """SELECT doc_id,
@@ -549,6 +558,35 @@ object OracleSql {
     "x54_hash_sample" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE substr(md5(doc_id::VARCHAR), 1, 4) < '2aaa'
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // Gopher-style repetition: fraction of duplicated word 2-grams.
+    "x55_repetition" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))] AS grams
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t)
+        |SELECT doc_id, len(grams)::BIGINT AS n_grams,
+        |  CASE WHEN len(grams) > 0
+        |       THEN ROUND(1.0 - len(list_distinct(grams))::DOUBLE / len(grams)::DOUBLE, 4)
+        |       ELSE 0.0 END AS dup_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // Composed curation pipeline: dedup-representative ∩ lang='en' ∩
+    // quality ≥ 0.5, then the portable md5 sample — one plan chaining
+    // four pipeline stages; each stage's oracle is reused verbatim.
+    "x56_curation_pipeline" ->
+      s"""WITH rep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+         |l AS ($langIdSql),
+         |qs AS ($qualitySql)
+         |SELECT d.doc_id, qs.quality,
+         |  len(string_split(d.text, ' '))::BIGINT AS n_tokens
+         |FROM documents d
+         |JOIN rep ON rep.doc_id = d.doc_id
+         |JOIN l ON l.doc_id = d.doc_id
+         |JOIN qs ON qs.doc_id = d.doc_id
+         |WHERE l.pred_lang = 'en' AND qs.quality >= 0.5
+         |  AND substr(md5(d.doc_id::VARCHAR), 1, 4) < 'aaaa'
+         |ORDER BY d.doc_id""".stripMargin
   )
 }

@@ -549,6 +549,29 @@ object Queries {
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy("doc_id")
 
+  /** Repetition stats (Gopher-style duplicated-2-gram fraction). */
+  def x55(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionStats(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Composed curation pipeline: exact-dedup representative ∩
+    * lang='en' ∩ quality ≥ 0.5, then the portable md5 sample — four
+    * pipeline stages chained in ONE declarative plan, so Catalyst sees
+    * (and prunes/pushes through) the whole thing. */
+  def x56(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val reps = Dedup.exactDedup(docs, "doc_id", "text").select("doc_id")
+    val curated = docs
+      .join(reps, Seq("doc_id"), "left_semi")
+      .join(TextAnalysis.langId(docs, "doc_id", "text"), "doc_id")
+      .join(TextAnalysis.qualityScore(docs, "doc_id", "text"), "doc_id")
+      .filter(col("pred_lang") === "en" && col("quality") >= 0.5)
+    Sampling.portableSample(curated, "doc_id", hexCut = "aaaa")
+      .select(col("doc_id"), col("quality"),
+        graft.functions.Text.tokenCount(col("text")).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -613,5 +636,7 @@ object Queries {
     "x49_fingerprint" -> (x49 _),
     "t48_session_window" -> (t48 _),
     "x53_ivf_ann" -> (x53 _),
-    "x54_hash_sample" -> (x54 _))
+    "x54_hash_sample" -> (x54 _),
+    "x55_repetition" -> (x55 _),
+    "x56_curation_pipeline" -> (x56 _))
 }
