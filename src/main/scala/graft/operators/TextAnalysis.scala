@@ -24,11 +24,13 @@ object TextAnalysis {
   private def stopHits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(w => w: Any): _*))).cast("bigint")
 
-  /** Language-ID: stopword-vote argmax; ties resolved by language code
-    * ascending; zero hits everywhere → "und" (undetermined). */
-  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** Adds a `pred_lang` column in place — the composable per-row form:
+    * a pipeline stacking several text signals computes them all in ONE
+    * scan instead of joining per-signal (id, value) tables back to the
+    * corpus (at 100 TB, each such self-join is a full extra pass). */
+  def withLangId(df: DataFrame, textCol: String): DataFrame = {
     val toks = Text.tokens(col(textCol))
-    val scored = stopwords.foldLeft(df.select(col(idCol), toks.as("__toks"))) {
+    val scored = stopwords.foldLeft(df.withColumn("__toks", toks)) {
       case (acc, (lang, words)) => acc.withColumn(s"__hit_$lang", stopHits(col("__toks"), words))
     }
     val best = stopwords.map(_._1).foldLeft(lit(0L)) { (acc, lang) =>
@@ -41,14 +43,27 @@ object TextAnalysis {
     }
     scored.withColumn("__best", best)
       .withColumn("pred_lang", pred)
-      .select(col(idCol), col("pred_lang"))
+      .drop("__toks" +: "__best" +: stopwords.map(l => s"__hit_${l._1}"): _*)
   }
+
+  /** Language-ID: stopword-vote argmax; ties resolved by language code
+    * ascending; zero hits everywhere → "und" (undetermined). */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    withLangId(df.select(col(idCol), col(textCol)), textCol)
+      .select(col(idCol), col("pred_lang"))
 
   /** Quality score in [0,1]: 0.4·length-score (saturating at 500 chars)
     * + 0.3·(1 − punctuation ratio) + 0.3·alpha-token ratio. The exact
     * formula is arbitrary; what matters is that it is deterministic,
     * cheap, and per-row. */
   def qualityScore(df: DataFrame, idCol: String, textCol: String,
+      roundDigits: Int = 4): DataFrame =
+    withQuality(df.select(col(idCol), col(textCol)), textCol, roundDigits)
+      .select(col(idCol), col("quality"))
+
+  /** Adds a `quality` column in place (see [[withLangId]] on why the
+    * column form matters for composition). */
+  def withQuality(df: DataFrame, textCol: String,
       roundDigits: Int = 4): DataFrame = {
     val t = col(textCol)
     val toks = Text.tokens(t)
@@ -57,9 +72,9 @@ object TextAnalysis {
       greatest(length(t).cast("double"), lit(1.0d))
     val alphaRatio = size(filter(toks, x => x.rlike("^[A-Za-z]+$"))).cast("double") /
       greatest(size(toks).cast("double"), lit(1.0d))
-    df.select(col(idCol),
+    df.withColumn("quality",
       round(lenScore * 0.4d + (lit(1.0d) - punctRatio) * 0.3d + alphaRatio * 0.3d,
-        roundDigits).as("quality"))
+        roundDigits))
   }
 
   /** Token statistics: whitespace tokens + BPE-ish piece count. */

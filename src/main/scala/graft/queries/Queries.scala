@@ -556,16 +556,18 @@ object Queries {
 
   /** Composed curation pipeline: exact-dedup representative ∩
     * lang='en' ∩ quality ≥ 0.5, then the portable md5 sample — four
-    * pipeline stages chained in ONE declarative plan, so Catalyst sees
-    * (and prunes/pushes through) the whole thing. */
+    * pipeline stages chained in ONE declarative plan. The per-row
+    * signals (lang, quality, sample filter) stack as COLUMNS on a
+    * single scan — no per-signal self-joins; the only second pass over
+    * the corpus is the dedup representative set, which genuinely needs
+    * an aggregation. */
   def x56(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val reps = Dedup.exactDedup(docs, "doc_id", "text").select("doc_id")
-    val curated = docs
-      .join(reps, Seq("doc_id"), "left_semi")
-      .join(TextAnalysis.langId(docs, "doc_id", "text"), "doc_id")
-      .join(TextAnalysis.qualityScore(docs, "doc_id", "text"), "doc_id")
-      .filter(col("pred_lang") === "en" && col("quality") >= 0.5)
+    val curated =
+      TextAnalysis.withQuality(TextAnalysis.withLangId(docs, "text"), "text")
+        .join(reps, Seq("doc_id"), "left_semi")
+        .filter(col("pred_lang") === "en" && col("quality") >= 0.5)
     Sampling.portableSample(curated, "doc_id", hexCut = "aaaa")
       .select(col("doc_id"), col("quality"),
         graft.functions.Text.tokenCount(col("text")).as("n_tokens"))

@@ -9,7 +9,10 @@ import graft.queries.Queries
   * top-k physical strategies can be inspected. */
 object Plans {
   def main(args: Array[String]): Unit = {
-    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    // usage: Plans [sfDir] [queryName...] — extra args select queries
+    val dir = args.headOption.filter(_.startsWith("/"))
+      .getOrElse("/root/testdata/sf0.01")
+    val picked = args.filterNot(_.startsWith("/")).toSeq
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
@@ -24,8 +27,12 @@ object Plans {
       // round-3 changed paths: scalable encode, heap-based nth, struct
       // as-of (plain + tolerance), prefiltered Jaccard verify
       "t28_label_encode", "t17_nth_from_last", "t43_asof_join",
-      "t47_asof_tolerance", "x41_minhash_neardup", "x42_ngram_jaccard")
-    targets.foreach { name =>
+      "t47_asof_tolerance", "x41_minhash_neardup", "x42_ngram_jaccard",
+      // round-3 additions: session window, deterministic IVF, portable
+      // sample, repetition, composed curation pipeline
+      "t48_session_window", "x53_ivf_ann", "x54_hash_sample",
+      "x55_repetition", "x56_curation_pipeline")
+    (if (picked.nonEmpty) picked else targets).foreach { name =>
       println(s"\n════════ $name ════════")
       println(Queries.all(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

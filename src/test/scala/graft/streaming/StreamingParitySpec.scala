@@ -64,6 +64,40 @@ class StreamingParitySpec extends SparkSpec {
     assert(streamed == runBatch(events))
   }
 
+  test("streaming session window == batch session window on in-order replay") {
+    implicit val sqlCtx = spark.sqlContext
+    // u1: two sessions (40m gap splits), u2: one session
+    val sess = Seq(
+      Ev(Timestamp.valueOf("2024-01-01 10:00:00"), "u1", 1.0),
+      Ev(Timestamp.valueOf("2024-01-01 10:20:00"), "u1", 1.0),
+      Ev(Timestamp.valueOf("2024-01-01 11:00:00"), "u1", 1.0),
+      Ev(Timestamp.valueOf("2024-01-01 10:05:00"), "u2", 1.0))
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_type").as("user"),
+        unix_micros(col("session_start")).as("s"),
+        unix_micros(col("session_end")).as("e"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    val batch = shape(Windows.sessionized(sess.toDF(), "ts", "30 minutes",
+      Seq(col("event_type")), Seq(count(lit(1)).as("n"))))
+
+    val mem = MemoryStream[Ev]
+    val agg = Windows.sessionized(mem.toDF(), "ts", "30 minutes",
+      Seq(col("event_type")), Seq(count(lit(1)).as("n")),
+      watermark = Some("1 day"))
+    val sinkName = s"sessionsink_${System.nanoTime()}"
+    val q = agg.writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    val streamed = try {
+      mem.addData(sess.sortBy(_.ts.getTime))
+      q.processAllAvailable()
+      mem.addData(Ev(Timestamp.valueOf("2024-02-01 00:00:00"), "__sentinel", 0.0))
+      q.processAllAvailable()
+      shape(spark.table(sinkName).filter(col("event_type") =!= "__sentinel"))
+    } finally q.stop()
+    assert(streamed == batch)
+  }
+
   test("late data beyond the watermark is dropped; batch counts it") {
     // first batch advances the event-time clock to Jan 5; the Jan 1
     // straggler then arrives 4 days late against a 1-day watermark
