@@ -104,6 +104,45 @@ object TextAnalysis {
           .otherwise(lit(0.0d)).as("dup_ratio"))
   }
 
+  /** Sliding-window document chunking — the pre-tokenization stage of
+    * an LLM training pipeline: split each document into token windows
+    * of `chunkSize` advancing by `chunkSize − overlap`, keeping doc
+    * order via a 0-based chunk_id. The gram/chunk arrays are built
+    * per-row and exploded, so the operator is a linear narrow map +
+    * explode — no shuffle; downstream repartitioning decides layout. */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    val w = Text.tokens(col(textCol))
+    // chunks = 1 + ceil(max(0, n - chunkSize) / stride); Column `/` is
+    // double division, so floor+cast back to int for sequence()
+    val extra = greatest(size(w) - chunkSize, lit(0))
+    val nChunks =
+      (lit(1L) + floor((extra.cast("double") + (stride - 1)) / stride)).cast("int")
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(w, i * stride + 1, lit(chunkSize)), " "))
+    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_id", "chunk")))
+      .select(col(idCol), col("chunk_id").cast("bigint").as("chunk_id"),
+        col("chunk"),
+        size(split(col("chunk"), " ")).cast("bigint").as("n_chunk_tokens"))
+  }
+
+  /** Vocabulary extraction: global word counts, top `k` by (count desc,
+    * word asc). The count is one map-side-combinable hash aggregate;
+    * the top-k plans as TakeOrderedAndProject (no global sort). */
+  def vocabulary(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val counts = df.select(explode(Text.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    // the unpartitioned rank window runs AFTER TakeOrderedAndProject
+    // pruned to k rows — bounded by k, never by vocabulary size
+    Relational.topK(counts, k, col("cnt").desc, col("word").asc)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("cnt").desc, col("word").asc))
+        .cast("bigint"))
+  }
+
   /** Document fingerprint: polynomial fold of per-token hashes in
     * sequence order — order-sensitive (unlike a bag-of-words hash), so
     * it distinguishes permuted documents; identical docs collide. */

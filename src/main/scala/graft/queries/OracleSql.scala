@@ -587,6 +587,28 @@ object OracleSql {
          |JOIN qs ON qs.doc_id = d.doc_id
          |WHERE l.pred_lang = 'en' AND qs.quality >= 0.5
          |  AND substr(md5(d.doc_id::VARCHAR), 1, 4) < 'aaaa'
-         |ORDER BY d.doc_id""".stripMargin
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // Sliding-window chunking: chunk i covers tokens [i*48+1, i*48+64]
+    // (1-based inclusive, clamped); 1 + ceil(max(0,n-64)/48) chunks.
+    "x57_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |n AS (SELECT doc_id, w,
+        |        1 + (GREATEST(len(w) - 64, 0) + 47) // 48 AS nc FROM t),
+        |i AS (SELECT unnest(range(0, 1000)) AS chunk_id)
+        |SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+        |  array_to_string(w[(chunk_id*48 + 1):(chunk_id*48 + 64)], ' ') AS chunk,
+        |  len(w[(chunk_id*48 + 1):(chunk_id*48 + 64)])::BIGINT AS n_chunk_tokens
+        |FROM n JOIN i ON i.chunk_id < n.nc
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "x58_vocabulary" ->
+      """WITH c AS (
+        |  SELECT t AS word, COUNT(*)::BIGINT AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents) u
+        |  GROUP BY t)
+        |SELECT word, cnt,
+        |  ROW_NUMBER() OVER (ORDER BY cnt DESC, word)::BIGINT AS "rank"
+        |FROM c ORDER BY "rank" LIMIT 100""".stripMargin
   )
 }

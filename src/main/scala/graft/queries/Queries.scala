@@ -574,6 +574,17 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Sliding-window document chunking (64-token chunks, 16 overlap). */
+  def x57(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkTokens(Tables.documents(s, dir), "doc_id", "text",
+        chunkSize = 64, overlap = 16)
+      .orderBy("doc_id", "chunk_id")
+
+  /** Vocabulary extraction: top-100 words by global count. */
+  def x58(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabulary(Tables.documents(s, dir), "text", k = 100)
+      .orderBy("rank")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -640,5 +651,7 @@ object Queries {
     "x53_ivf_ann" -> (x53 _),
     "x54_hash_sample" -> (x54 _),
     "x55_repetition" -> (x55 _),
-    "x56_curation_pipeline" -> (x56 _))
+    "x56_curation_pipeline" -> (x56 _),
+    "x57_chunking" -> (x57 _),
+    "x58_vocabulary" -> (x58 _))
 }

@@ -70,4 +70,23 @@ class PropertySpec extends SparkSpec {
         }
       }
   }
+
+  test("property: chunkTokens covers every token in order; stride reconstructs the doc") {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta")
+    samples(Gen.zip(Gen.chooseNum(1, 150), Gen.chooseNum(2, 10), Gen.chooseNum(0, 1)), 8)
+      .foreach { case (n, c, oFlag) =>
+        val o = if (oFlag == 1) c / 2 else 0
+        val toks = samples(Gen.listOfN(n, word), 1).head
+        val df = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+        val chunks = TextAnalysis.chunkTokens(df, "doc_id", "text", c, o)
+          .orderBy("chunk_id").select("chunk").as[String].collect()
+        // dropping the first `o` tokens of every chunk but the first
+        // reconstructs the document exactly
+        val rebuilt = (chunks.head +: chunks.tail.map(
+          _.split(" ").drop(o).mkString(" "))).filter(_.nonEmpty).mkString(" ")
+        assert(rebuilt == toks.mkString(" "), s"n=$n c=$c o=$o")
+        // every chunk except possibly the last is exactly c tokens
+        chunks.init.foreach(ch => assert(ch.split(" ").length == c, s"n=$n c=$c o=$o"))
+      }
+  }
 }
