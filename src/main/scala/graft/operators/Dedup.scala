@@ -232,4 +232,61 @@ object Dedup {
       .distinct()
       .where(col("hamming") <= maxDist)
   }
+
+  /** Connected components over a near-dup pair list — the union-find
+    * step that turns pairwise matches into dedup CLUSTERS (keep one doc
+    * per component, drop the rest). Min-label propagation: every node
+    * starts as its own label; each round a node takes the min of its
+    * own and its neighbors' labels; fixpoint = min node id per
+    * component.
+    *
+    * Scale shape: one shuffle join + hash agg per round, rounds ≤ the
+    * component DIAMETER — near-dup graphs are small dense clusters, so
+    * a handful of rounds closes them. Each round's labels persist via
+    * the scope and the previous round is released immediately; the
+    * convergence check is a driver-side count (control flow, not data
+    * collection). Power-law mega-components would want the
+    * large-star/small-star variant; out of scope for near-dup graphs.
+    */
+  def connectedComponents(
+      nodes: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged): DataFrame = {
+    // the edge list is re-joined every round — materialize it once
+    val edges = scope.persist(
+      pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+        .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst"))))
+    // each round's plan is CUT at a localCheckpoint: without it the
+    // logical plan nests one level per round and the driver dies
+    // compiling (then holding) an exponentially growing tree — the
+    // standard iterative-DataFrame trap. On a cluster with a
+    // checkpoint dir, reliable checkpoint() hardens this against
+    // executor loss; locally the executor-storage variant suffices.
+    var labels = nodes
+      .select(col(idCol).cast("long").as("node"), col(idCol).cast("long").as("label"))
+      .localCheckpoint(true)
+    // DELTA iteration: only nodes whose label changed last round send
+    // messages — after round 1 the frontier collapses to the interior
+    // of still-converging components, so late rounds touch almost
+    // nothing instead of re-aggregating every edge.
+    var frontier = labels
+    var round = 0
+    var converged = false
+    while (!converged && round < maxIter) {
+      val msgs = edges.join(frontier, col("dst") === col("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("nl"))
+      val next = labels.join(msgs, col("node") === col("src"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
+          (col("nl").isNotNull && col("nl") < col("label")).as("__chg"))
+        .localCheckpoint(true)
+      labels.unpersist()
+      labels = next.select(col("node"), col("label"))
+      frontier = next.filter(col("__chg")).select(col("node"), col("label"))
+      converged = frontier.limit(1).count() == 0
+      round += 1
+    }
+    labels.select(col("node").as(idCol), col("label").as("cluster"))
+  }
 }

@@ -16,6 +16,22 @@ object Relational {
     * column of `df` that is NOT in `exclude`.
     * Ref: pipeline.py:162-168.
     */
+  /** Keep rows at or above their group's `q`-quantile of `valueCol` —
+    * RELATIVE filtering (top half per language, top decile per source),
+    * the curation form that absolute thresholds can't express. One
+    * grouped percentile agg produces a |groups|-row threshold table,
+    * broadcast back onto the stream; for very high-cardinality groups
+    * drop the broadcast hint and let AQE pick the join. */
+  def keepAboveGroupQuantile(
+      df: DataFrame, groupCols: Seq[String], valueCol: String, q: Double): DataFrame = {
+    require(q >= 0 && q <= 1, s"quantile out of range: $q")
+    val thresholds = df.groupBy(groupCols.map(col): _*)
+      .agg(percentile(col(valueCol), lit(q)).as("__thr"))
+    df.join(broadcast(thresholds), groupCols)
+      .filter(col(valueCol) >= col("__thr"))
+      .drop("__thr")
+  }
+
   def projectExcept(df: DataFrame, base: Seq[String], exclude: Set[String]): DataFrame = {
     val keep = base ++ df.columns.filterNot(c => exclude.contains(c) || base.contains(c))
     df.select(keep.map(col): _*)

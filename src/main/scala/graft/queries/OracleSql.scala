@@ -609,6 +609,33 @@ object OracleSql {
         |  GROUP BY t)
         |SELECT word, cnt,
         |  ROW_NUMBER() OVER (ORDER BY cnt DESC, word)::BIGINT AS "rank"
-        |FROM c ORDER BY "rank" LIMIT 100""".stripMargin
+        |FROM c ORDER BY "rank" LIMIT 100""".stripMargin,
+
+    // Relative curation: keep docs at/above their language's median
+    // quality (Spark `percentile` ≡ DuckDB `quantile_cont`).
+    "x59_quantile_filter" ->
+      s"""WITH qs AS ($qualitySql),
+         |d AS (SELECT doc.doc_id, doc.lang, qs.quality
+         |      FROM documents doc JOIN qs ON qs.doc_id = doc.doc_id),
+         |m AS (SELECT lang, quantile_cont(quality, 0.5) AS med FROM d GROUP BY lang)
+         |SELECT d.doc_id, d.lang, d.quality
+         |FROM d JOIN m ON m.lang = d.lang
+         |WHERE d.quality >= m.med
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // Union-find over simhash near-dup pairs: transitive closure via
+    // recursive CTE, cluster = min reachable node. Mirrors
+    // Dedup.connectedComponents' min-label fixpoint.
+    "x60_dup_clusters" ->
+      s"""WITH RECURSIVE $simhashFpsCte,
+         |edges AS (
+         |  SELECT x.doc AS a, y.doc AS b FROM fps x JOIN fps y
+         |  ON x.doc <> y.doc AND bit_count(xor(x.fp, y.fp)) <= 2),
+         |reach(node, r) AS (
+         |  SELECT doc, doc FROM fps
+         |  UNION
+         |  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r)
+         |SELECT node AS doc_id, MIN(r)::BIGINT AS cluster
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
   )
 }

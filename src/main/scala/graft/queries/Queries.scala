@@ -585,6 +585,26 @@ object Queries {
     TextAnalysis.vocabulary(Tables.documents(s, dir), "text", k = 100)
       .orderBy("rank")
 
+  /** Per-group quantile filter: docs at/above their language's median
+    * quality (relative curation threshold). */
+  def x59(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.withQuality(Tables.documents(s, dir), "text")
+      .select(col("doc_id"), col("lang"), col("quality"))
+    Relational.keepAboveGroupQuantile(scored, Seq("lang"), "quality", 0.5)
+      .select(col("doc_id"), col("lang"), col("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Near-dup clusters: connected components over the simhash pair
+    * list (hamming ≤ 2) — pairwise matches become dedup clusters with
+    * a canonical min-id representative. */
+  def x60(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxDist = 2)
+    Dedup.connectedComponents(docs, "doc_id", pairs, "a", "b")
+      .orderBy("doc_id")
+  }
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -653,5 +673,7 @@ object Queries {
     "x55_repetition" -> (x55 _),
     "x56_curation_pipeline" -> (x56 _),
     "x57_chunking" -> (x57 _),
-    "x58_vocabulary" -> (x58 _))
+    "x58_vocabulary" -> (x58 _),
+    "x59_quantile_filter" -> (x59 _),
+    "x60_dup_clusters" -> (x60 _))
 }

@@ -63,6 +63,21 @@ class ScaleOpsSpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF half-probe recall too low: $recall")
   }
 
+  test("connectedComponents: transitive chains collapse, singletons stand alone") {
+    // chain 1-2-3-4 (no direct 1-4 edge), pair 10-11, singleton 20
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val out = Dedup.connectedComponents(nodes, "id", pairs, "a", "b")
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+    // label direction doesn't matter: reversed edges give the same clusters
+    val rev = Dedup.connectedComponents(nodes, "id",
+        pairs.select(col("b").as("a"), col("a").as("b")), "a", "b")
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(rev == out)
+  }
+
   test("deterministic-quantizer IVF full-probe == brute-force top-k exactly") {
     val emb = Tables.embeddings(spark, dir)
     val truth = Similarity.cosineTopK(emb, "vec_id", "embedding", Seq(0, 1, 2), 5)
