@@ -216,14 +216,19 @@ object Similarity {
     val centroids = base.filter(col("vec_id").isin(centroidIds: _*))
       .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
 
-    val aw = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cell").asc)
+    // argmax(cosine, ties → lowest cell) as a max_by HASH AGGREGATE:
+    // map-side partial folds the |centroids| candidate rows per vector
+    // before the shuffle — no sort, no per-key window exchange of the
+    // corpus. struct ordering is (cos, -cell) lexicographic, so the tie
+    // rule matches the oracle's ORDER BY cos DESC, cell ASC.
     val assigned = base.join(broadcast(centroids))
       .withColumn("ccos",
         round(Vectors.cosineWithNorms(col("v"), col("cv"), col("nrm"), col("cn")),
           roundDigits))
-      .withColumn("__ar", row_number().over(aw))
-      .filter(col("__ar") === 1)
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("cell"), struct(col("ccos"), -col("cell"))).as("cell"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
 
     val q = base.filter(col("vec_id").isin(queryIds: _*))
