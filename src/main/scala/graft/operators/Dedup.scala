@@ -233,6 +233,28 @@ object Dedup {
       .where(col("hamming") <= maxDist)
   }
 
+  /** Incremental exact dedup: keep rows of `batch` whose text does NOT
+    * already exist in `reference` — the daily-ingest pattern (dedup the
+    * new crawl against the frozen corpus without re-clustering it).
+    * Digest-first: the anti-join shuffles (digest, id) pairs, never the
+    * text; colliding digests are disambiguated by comparing the text
+    * itself, so correctness never rests on hash uniqueness (same
+    * contract as [[exactDedupByDigest]]). */
+  def dedupAgainstReference(
+      batch: DataFrame, reference: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bd = batch.withColumn("__dig", sha2(col(textCol), 256))
+    // phase 1: digest-only candidate match — the corpus-wide shuffle
+    // carries 32-byte digests, never documents
+    val rdig = reference.select(sha2(col(textCol), 256).as("__dig")).distinct()
+    val candidates = bd.join(rdig, Seq("__dig"), "left_semi")
+    // phase 2: text-verify ONLY the digest-colliding rows (true dups +
+    // the rare honest collision), then subtract confirmed dups by id
+    val rtext = reference.select(sha2(col(textCol), 256).as("__dig"), col(textCol))
+    val confirmed = candidates.join(rtext, Seq("__dig", textCol), "left_semi")
+      .select(col(idCol))
+    batch.join(confirmed, Seq(idCol), "left_anti")
+  }
+
   /** Connected components over a near-dup pair list — the union-find
     * step that turns pairwise matches into dedup CLUSTERS (keep one doc
     * per component, drop the rest). Min-label propagation: every node

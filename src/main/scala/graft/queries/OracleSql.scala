@@ -636,6 +636,13 @@ object OracleSql {
          |  UNION
          |  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r)
          |SELECT node AS doc_id, MIN(r)::BIGINT AS cluster
-         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // Incremental ingest dedup: new batch minus texts already frozen.
+    "x61_incremental_dedup" ->
+      """SELECT b.doc_id, b.lang, b.source FROM documents b
+        |WHERE b.doc_id >= 400 AND NOT EXISTS (
+        |  SELECT 1 FROM documents r WHERE r.doc_id < 400 AND r.text = b.text)
+        |ORDER BY b.doc_id""".stripMargin
   )
 }

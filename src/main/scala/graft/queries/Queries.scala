@@ -605,6 +605,17 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Incremental exact dedup: the "new crawl" (doc_id ≥ 400) against
+    * the frozen reference corpus (doc_id < 400). */
+  def x61(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.dedupAgainstReference(
+        docs.filter(col("doc_id") >= 400), docs.filter(col("doc_id") < 400),
+        "doc_id", "text")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -675,5 +686,6 @@ object Queries {
     "x57_chunking" -> (x57 _),
     "x58_vocabulary" -> (x58 _),
     "x59_quantile_filter" -> (x59 _),
-    "x60_dup_clusters" -> (x60 _))
+    "x60_dup_clusters" -> (x60 _),
+    "x61_incremental_dedup" -> (x61 _))
 }

@@ -63,6 +63,18 @@ class ScaleOpsSpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF half-probe recall too low: $recall")
   }
 
+  test("dedupAgainstReference: removes frozen texts only; batch-internal dups survive") {
+    val ref = Seq((1L, "seen"), (2L, "also seen")).toDF("doc_id", "text")
+    val batch = Seq((10L, "seen"), (11L, "fresh"), (12L, "fresh"), (13L, "also seen"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupAgainstReference(batch, ref, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    // 10/13 match the reference and drop; 11/12 duplicate each other but
+    // NOT the reference — incremental dedup must keep both (intra-batch
+    // dedup is exactDedup's job, a separate stage)
+    assert(out == Seq(11L -> "fresh", 12L -> "fresh"))
+  }
+
   test("connectedComponents: transitive chains collapse, singletons stand alone") {
     // chain 1-2-3-4 (no direct 1-4 edge), pair 10-11, singleton 20
     val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("id")
