@@ -28,6 +28,17 @@ object Text {
   /** Token count by whitespace. */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("bigint")
 
+  /** EXACT distinct n-gram count over a token array in one codegen pass
+    * ([[graft.functions.expressions.NgramDistinctCount]]); equals
+    * `size(array_distinct(<gram transform>))` — tests pin equality —
+    * without materializing the gram array twice through interpreted
+    * HOF lambdas. */
+  def distinctNgramCount(tokens: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.NgramDistinctCount(
+      ColumnBridge.expression(tokens), n))
+  }
+
   /** BPE-ish subword-piece count: alphanumeric runs and individual
     * non-space punctuation each count as one piece (a cheap, regex-only
     * proxy for a BPE pre-tokenizer — deterministic and SQL-matchable). */

@@ -121,3 +121,76 @@ case class WordShingleHashes(child: Expression, n: Int)
   override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
     copy(child = newChild)
 }
+
+/** EXACT distinct word-n-gram count in one codegen loop — the kernel
+  * behind the repetition (duplicated-gram) quality signal.
+  *
+  * Distinctness is over the gram STRINGS (tokens joined by one space),
+  * held in a hash set of `UTF8String` windows — exact string equality,
+  * never a hash-only count, so the result matches the compositional
+  * `array_distinct(transform(...))` form and the DuckDB
+  * `list_distinct` oracle bit-for-bit even on adversarial token sets.
+  *
+  * Why: the HOF chain materializes every gram twice (once in
+  * `transform`, again inside `array_distinct`'s interpreted comparisons)
+  * and was the slowest linear scan on the bench; here each gram is
+  * built once and probed once. (Generated Java uses raw collection
+  * types — janino compiles no generics.)
+  */
+case class NgramDistinctCount(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n >= 1, s"n-gram size must be >= 1, got $n")
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    if (m < n) return 0L
+    val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val set = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    var i = 0
+    while (i <= m - n) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+      var k = 0
+      while (k < n) { parts(k) = toks.getUTF8String(i + k); k += 1 }
+      set.add(org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*))
+      i += 1
+    }
+    set.size.toLong
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sepRef = ctx.addReferenceObj("sep",
+      org.apache.spark.unsafe.types.UTF8String.fromString(" "),
+      "org.apache.spark.unsafe.types.UTF8String")
+    nullSafeCodeGen(ctx, ev, toks => {
+      val m = ctx.freshName("m")
+      val set = ctx.freshName("set")
+      val parts = ctx.freshName("parts")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      s"""
+         |final int $m = $toks.numElements();
+         |if ($m < $n) {
+         |  ${ev.value} = 0L;
+         |} else {
+         |  final java.util.HashSet $set = new java.util.HashSet();
+         |  for (int $i = 0; $i <= $m - $n; $i++) {
+         |    final org.apache.spark.unsafe.types.UTF8String[] $parts =
+         |      new org.apache.spark.unsafe.types.UTF8String[$n];
+         |    for (int $k = 0; $k < $n; $k++) {
+         |      $parts[$k] = $toks.getUTF8String($i + $k);
+         |    }
+         |    $set.add(org.apache.spark.unsafe.types.UTF8String.concatWs($sepRef, $parts));
+         |  }
+         |  ${ev.value} = (long) $set.size();
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NgramDistinctCount =
+    copy(child = newChild)
+}

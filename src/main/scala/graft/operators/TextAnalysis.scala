@@ -87,9 +87,24 @@ object TextAnalysis {
   /** Repetition signal (Gopher-style quality filter): the fraction of
     * word n-grams that are duplicates within the document —
     * `1 − distinct/total` — flags boilerplate and degenerate loops that
-    * length/punctuation scores miss. Per-row HOFs only (the gram array
-    * never leaves its row), so it stays linear and shuffle-free. */
+    * length/punctuation scores miss. Per-row, linear, shuffle-free; the
+    * distinct count is one codegen pass ([[Text.distinctNgramCount]]),
+    * with [[repetitionStatsHof]] kept as the executable spec. */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, roundDigits: Int = 4): DataFrame = {
+    val w = Text.tokens(col(textCol))
+    val total = greatest(size(w) - (n - 1), lit(0)).cast("bigint")
+    val distinct = Text.distinctNgramCount(w, n)
+    df.select(col(idCol), total.as("n_grams"),
+      when(total > 0,
+        round(lit(1.0d) - distinct.cast("double") / total.cast("double"),
+          roundDigits))
+        .otherwise(lit(0.0d)).as("dup_ratio"))
+  }
+
+  /** Reference higher-order-function form of [[repetitionStats]] (the
+    * readable spec; tests assert both agree on the corpus). */
+  def repetitionStatsHof(df: DataFrame, idCol: String, textCol: String,
       n: Int = 2, roundDigits: Int = 4): DataFrame = {
     val w = Text.tokens(col(textCol))
     val grams = when(size(w) >= n,

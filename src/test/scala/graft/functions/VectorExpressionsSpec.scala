@@ -81,4 +81,28 @@ class VectorExpressionsSpec extends SparkSpec {
       .filter(col("fast") =!= col("spec"))
     assert(bad.count() == 0)
   }
+
+  test("NgramDistinctCount == size(array_distinct(grams)) incl. edge cases") {
+    // repeated grams, all-same tokens, fewer tokens than n, empty string
+    val texts = Seq("a b a b a", "x x x x", "one", "", "a b c d e",
+      "p q p q p q p q")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 3)) {
+      val fast = graft.operators.TextAnalysis
+        .repetitionStats(df, "doc_id", "text", n)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val spec = graft.operators.TextAnalysis
+        .repetitionStatsHof(df, "doc_id", "text", n)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(fast == spec, s"n=$n")
+    }
+    // and on the real corpus at the gate's n=2
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+    val a = graft.operators.TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = graft.operators.TextAnalysis.repetitionStatsHof(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
 }
