@@ -229,8 +229,11 @@ object Dedup {
     l.join(r, Seq("band", "key")).where(col("a") < col("b"))
       .select(col("a"), col("b"),
         bit_count(col("fa").bitwiseXOR(col("fb"))).cast("bigint").as("hamming"))
-      .distinct()
+      // hamming is a function of (a,b), so filtering BEFORE the dedup
+      // shuffle is result-identical — the distinct then only sees the
+      // actual near-dup pairs, not every band collision of the corpus
       .where(col("hamming") <= maxDist)
+      .distinct()
   }
 
   /** Incremental exact dedup: keep rows of `batch` whose text does NOT
