@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{DotProduct, SortedIntersectCount, WordShingleHashes}
+import graft.functions.expressions.{DotProduct, NgramDistinctCount, SortedIntersectCount, WordShingleHashes}
 
 /** SparkSessionExtensions hook exposing the graft codegen expressions
   * to SQL (SURVEY §4.3: extensions are injected, Spark is never
@@ -55,6 +55,18 @@ object GraftExtensions {
               s"shingle size must be an integer literal, got $other")
           }
           WordShingleHashes(args(0), n)
+        }),
+      ("graft_ngram_distinct",
+        info("graft_ngram_distinct",
+          "graft_ngram_distinct(tokens, n) - exact distinct word-n-gram count"),
+        { args: Seq[Expression] =>
+          require(args.length == 2, "graft_ngram_distinct(tokens, n) takes 2 arguments")
+          val n = args(1) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+            case other => throw new IllegalArgumentException(
+              s"n-gram size must be an integer literal, got $other")
+          }
+          NgramDistinctCount(args(0), n)
         }))
 
   /** Register on an already-built session (tests, notebooks). */

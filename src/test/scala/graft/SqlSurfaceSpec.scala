@@ -19,6 +19,8 @@ class SqlSurfaceSpec extends SparkSpec {
     Tables.orders(spark, dir).createOrReplaceTempView("orders")
     Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
     Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
+    Tables.documents(spark, dir).createOrReplaceTempView("documents")
+    Tables.events(spark, dir).createOrReplaceTempView("events")
     GraftExtensions.register(spark)
   }
 
@@ -92,5 +94,34 @@ class SqlSurfaceSpec extends SparkSpec {
         |  FROM scored)
         |SELECT q, rank, vec_id, cos FROM ranked WHERE rank <= 3
         |ORDER BY q, rank""".stripMargin)
+  }
+
+  test("t48 session windows as SQL text via session_window") {
+    assertSame("t48_session_window",
+      """SELECT user_id,
+        |  unix_micros(session_window.start) AS start_us,
+        |  unix_micros(session_window.end) AS end_us,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM events
+        |GROUP BY session_window(ts, '30 minutes'), user_id
+        |ORDER BY user_id, start_us""".stripMargin)
+  }
+
+  test("x54 portable md5 sample as SQL text") {
+    assertSame("x54_hash_sample",
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE SUBSTRING(MD5(CAST(doc_id AS STRING)), 1, 4) < '2aaa'
+        |ORDER BY doc_id""".stripMargin)
+  }
+
+  test("x55 repetition as SQL text via graft_ngram_distinct") {
+    assertSame("x55_repetition",
+      """SELECT doc_id,
+        |  CAST(GREATEST(SIZE(SPLIT(text, ' ')) - 1, 0) AS BIGINT) AS n_grams,
+        |  CASE WHEN SIZE(SPLIT(text, ' ')) > 1
+        |       THEN ROUND(1.0D - CAST(graft_ngram_distinct(SPLIT(text, ' '), 2) AS DOUBLE)
+        |                   / CAST(SIZE(SPLIT(text, ' ')) - 1 AS DOUBLE), 4)
+        |       ELSE 0.0D END AS dup_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin)
   }
 }
