@@ -246,13 +246,15 @@ object Dedup {
   def dedupAgainstReference(
       batch: DataFrame, reference: DataFrame, idCol: String, textCol: String): DataFrame = {
     val bd = batch.withColumn("__dig", sha2(col(textCol), 256))
+    val rd = reference.select(sha2(col(textCol), 256).as("__dig"), col(textCol))
     // phase 1: digest-only candidate match — the corpus-wide shuffle
     // carries 32-byte digests, never documents
-    val rdig = reference.select(sha2(col(textCol), 256).as("__dig")).distinct()
-    val candidates = bd.join(rdig, Seq("__dig"), "left_semi")
+    val candidates = bd.join(rd.select("__dig").distinct(), Seq("__dig"), "left_semi")
     // phase 2: text-verify ONLY the digest-colliding rows (true dups +
-    // the rare honest collision), then subtract confirmed dups by id
-    val rtext = reference.select(sha2(col(textCol), 256).as("__dig"), col(textCol))
+    // the rare honest collision). The text-carrying reference side is
+    // first semi-joined down to the colliding digests, so reference
+    // text moves only for candidates — never the whole frozen corpus.
+    val rtext = rd.join(candidates.select("__dig").distinct(), Seq("__dig"), "left_semi")
     val confirmed = candidates.join(rtext, Seq("__dig", textCol), "left_semi")
       .select(col(idCol))
     batch.join(confirmed, Seq(idCol), "left_anti")
@@ -288,17 +290,18 @@ object Dedup {
     // standard iterative-DataFrame trap. On a cluster with a
     // checkpoint dir, reliable checkpoint() hardens this against
     // executor loss; locally the executor-storage variant suffices.
-    var labels = nodes
+    var checkpointed = nodes
       .select(col(idCol).cast("long").as("node"), col(idCol).cast("long").as("label"))
       .localCheckpoint(true)
     // DELTA iteration: only nodes whose label changed last round send
     // messages — after round 1 the frontier collapses to the interior
     // of still-converging components, so late rounds touch almost
     // nothing instead of re-aggregating every edge.
-    var frontier = labels
+    var frontier = checkpointed
     var round = 0
     var converged = false
     while (!converged && round < maxIter) {
+      val labels = checkpointed.select(col("node"), col("label"))
       val msgs = edges.join(frontier, col("dst") === col("node"))
         .groupBy(col("src")).agg(min(col("label")).as("nl"))
       val next = labels.join(msgs, col("node") === col("src"), "left")
@@ -306,12 +309,31 @@ object Dedup {
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
           (col("nl").isNotNull && col("nl") < col("label")).as("__chg"))
         .localCheckpoint(true)
-      labels.unpersist()
-      labels = next.select(col("node"), col("label"))
+      releaseCheckpoint(checkpointed)
+      checkpointed = next
       frontier = next.filter(col("__chg")).select(col("node"), col("label"))
       converged = frontier.limit(1).count() == 0
       round += 1
     }
-    labels.select(col("node").as(idCol), col("label").as("cluster"))
+    // silent truncation would mean silently WRONG clusters (one real
+    // component reported as several, duplicates kept) — refuse instead;
+    // the caller raises maxIter for pathological diameters
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter rounds — " +
+        "component diameter exceeds maxIter; raise it (rounds needed = graph diameter)")
+    checkpointed.select(col("node").as(idCol), col("label").as("cluster"))
   }
+
+  /** Free the block-manager storage behind a `localCheckpoint`ed frame.
+    * `Dataset.unpersist` only touches CacheManager entries, so a plain
+    * call silently leaks each round's checkpoint until driver GC; the
+    * blocks actually live in the LogicalRDD the checkpoint planted in
+    * the plan. (The FINAL round's checkpoint is intentionally left for
+    * the caller's consuming action; the ContextCleaner reclaims it once
+    * the result is unreferenced.) */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 }

@@ -25,10 +25,62 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Max-segment tree over bin free-capacities: `firstFit(need)` finds
+    * the LEFTMOST bin with room in O(log bins) — first-fit semantics,
+    * identical output to a linear scan, without the O(bins) probe per
+    * item that turns million-chunk partitions quadratic. Grows by
+    * doubling as bins are appended. */
+  private final class BinIndex {
+    private var cap = 1024
+    private var tree = new Array[Long](2 * cap) // max of subtree
+    private var n = 0
+
+    def size: Int = n
+
+    private def grow(): Unit = {
+      val old = tree
+      val oldCap = cap
+      cap *= 2
+      tree = new Array[Long](2 * cap)
+      System.arraycopy(old, oldCap, tree, cap, n) // leaves
+      var i = cap - 1
+      while (i >= 1) { tree(i) = math.max(tree(2 * i), tree(2 * i + 1)); i -= 1 }
+    }
+
+    def update(idx: Int, free: Long): Unit = {
+      var i = idx + cap
+      tree(i) = free
+      i /= 2
+      while (i >= 1) { tree(i) = math.max(tree(2 * i), tree(2 * i + 1)); i /= 2 }
+    }
+
+    def append(free: Long): Int = {
+      if (n == cap) grow()
+      update(n, free)
+      n += 1
+      n - 1
+    }
+
+    /** Leftmost bin with free >= need, or -1. (Empty leaves hold 0, so
+      * they can only match need <= 0 — guarded by the n == 0 check plus
+      * real bins sorting before them.) */
+    def firstFit(need: Long): Int = {
+      if (n == 0 || tree(1) < need) return -1
+      var i = 1
+      while (i < cap) {
+        i = if (tree(2 * i) >= need) 2 * i else 2 * i + 1
+      }
+      i - cap
+    }
+
+    def freeAt(idx: Int): Long = tree(idx + cap)
+  }
+
   /** First-fit-decreasing within each partition. Items larger than
     * `capacity` get a singleton bin (they must be truncated downstream;
     * dropping them silently would skew the corpus). Output:
-    * (idCol, bin_id) with bin_id bigint. */
+    * (idCol, bin_id) with bin_id bigint — encoded (partition << 32) |
+    * local-bin, collision-free up to 2^32 bins per partition. */
   def packFirstFitDecreasing(
       df: DataFrame, idCol: String, sizeCol: String, capacity: Long): DataFrame = {
     require(capacity > 0, s"capacity must be positive: $capacity")
@@ -45,13 +97,13 @@ object Packing {
         val part = items.head._3
         // FFD: largest first, id tiebreak for determinism
         val sorted = items.sortBy { case (id, sz, _) => (-sz, id) }
-        val binFree = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val bins = new BinIndex
         sorted.iterator.map { case (id, sz, _) =>
-          val b = binFree.indexWhere(_ >= sz)
+          val b = bins.firstFit(sz)
           val bin =
-            if (b >= 0) { binFree(b) -= sz; b }
-            else { binFree += math.max(capacity - sz, 0L); binFree.length - 1 }
-          (id, part * 1000000L + bin)
+            if (b >= 0) { bins.update(b, bins.freeAt(b) - sz); b }
+            else bins.append(math.max(capacity - sz, 0L))
+          (id, (part << 32) | bin.toLong)
         }
       }
     }.toDF(idCol, "bin_id")

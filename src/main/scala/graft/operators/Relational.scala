@@ -23,10 +23,15 @@ object Relational {
     * broadcast back onto the stream; for very high-cardinality groups
     * drop the broadcast hint and let AQE pick the join. */
   def keepAboveGroupQuantile(
-      df: DataFrame, groupCols: Seq[String], valueCol: String, q: Double): DataFrame = {
+      df: DataFrame, groupCols: Seq[String], valueCol: String, q: Double,
+      roundDigits: Int = 4): DataFrame = {
     require(q >= 0 && q <= 1, s"quantile out of range: $q")
+    // the interpolated percentile is ROUNDED before the comparison —
+    // engines interpolate (lo + (hi-lo)·f vs (1-f)·lo + f·hi) with
+    // different last-ulp behavior, and an unrounded threshold would
+    // make membership of a value AT the midpoint engine-dependent
     val thresholds = df.groupBy(groupCols.map(col): _*)
-      .agg(percentile(col(valueCol), lit(q)).as("__thr"))
+      .agg(round(percentile(col(valueCol), lit(q)), roundDigits).as("__thr"))
     df.join(broadcast(thresholds), groupCols)
       .filter(col(valueCol) >= col("__thr"))
       .drop("__thr")

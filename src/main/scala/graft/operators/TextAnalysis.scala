@@ -91,15 +91,26 @@ object TextAnalysis {
     * distinct count is one codegen pass ([[Text.distinctNgramCount]]),
     * with [[repetitionStatsHof]] kept as the executable spec. */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, roundDigits: Int = 4): DataFrame =
+    withRepetition(df.select(col(idCol), col(textCol)), textCol, n, roundDigits)
+      .select(col(idCol), col("n_grams"), col("dup_ratio"))
+
+  /** Adds `n_grams` and `dup_ratio` columns in place (see [[withLangId]]
+    * on why the column form matters) — the single definition of the
+    * repetition formula; [[repetitionStats]] and pipeline composition
+    * both go through it, so the tokenization/guard/rounding can never
+    * drift between them. */
+  def withRepetition(df: DataFrame, textCol: String,
       n: Int = 2, roundDigits: Int = 4): DataFrame = {
     val w = Text.tokens(col(textCol))
     val total = greatest(size(w) - (n - 1), lit(0)).cast("bigint")
     val distinct = Text.distinctNgramCount(w, n)
-    df.select(col(idCol), total.as("n_grams"),
-      when(total > 0,
-        round(lit(1.0d) - distinct.cast("double") / total.cast("double"),
-          roundDigits))
-        .otherwise(lit(0.0d)).as("dup_ratio"))
+    df.withColumn("n_grams", total)
+      .withColumn("dup_ratio",
+        when(total > 0,
+          round(lit(1.0d) - distinct.cast("double") / total.cast("double"),
+            roundDigits))
+          .otherwise(lit(0.0d)))
   }
 
   /** Reference higher-order-function form of [[repetitionStats]] (the

@@ -617,7 +617,7 @@ object OracleSql {
       s"""WITH qs AS ($qualitySql),
          |d AS (SELECT doc.doc_id, doc.lang, qs.quality
          |      FROM documents doc JOIN qs ON qs.doc_id = doc.doc_id),
-         |m AS (SELECT lang, quantile_cont(quality, 0.5) AS med FROM d GROUP BY lang)
+         |m AS (SELECT lang, ROUND(quantile_cont(quality, 0.5), 4) AS med FROM d GROUP BY lang)
          |SELECT d.doc_id, d.lang, d.quality
          |FROM d JOIN m ON m.lang = d.lang
          |WHERE d.quality >= m.med

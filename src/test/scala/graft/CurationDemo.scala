@@ -60,14 +60,9 @@ object CurationDemo {
 
     val signalsT = Task("signals", ParquetTarget(signalsP), Seq(dedupT), () => {
       // every per-row signal stacks on ONE scan of the deduped corpus
-      val scored = TextAnalysis.withQuality(
-        TextAnalysis.withLangId(read(dedupP), "text"), "text")
-        .withColumn("dup_ratio",
-          when(size(split(col("text"), " ")) > 1,
-            lit(1.0d) - graft.functions.Text
-              .distinctNgramCount(split(col("text"), " "), 2).cast("double") /
-              (size(split(col("text"), " ")) - 1).cast("double"))
-            .otherwise(lit(0.0d)))
+      val scored = TextAnalysis.withRepetition(
+        TextAnalysis.withQuality(
+          TextAnalysis.withLangId(read(dedupP), "text"), "text"), "text")
       write(scored.filter(col("quality") >= 0.4 && col("dup_ratio") <= 0.3), signalsP)
     }, cleanup = Seq(ParquetTarget(dedupP)))
 
@@ -81,12 +76,17 @@ object CurationDemo {
     })
 
     val packT = Task("pack", ParquetTarget(packedP), Seq(chunksT), () => {
+      // monotonically_increasing_id is NONDETERMINISTIC — pin it with a
+      // persist before using the frame on both sides of the join, or
+      // the two subtrees could re-enumerate ids differently
       val chunks = read(chunksP)
         .select(monotonically_increasing_id().as("item_id"),
           col("doc_id"), col("chunk_id"), col("n_chunk_tokens"))
+        .persist()
       write(Packing.packFirstFitDecreasing(
         chunks, "item_id", "n_chunk_tokens", capacity = 256L)
         .join(chunks, "item_id"), packedP)
+      chunks.unpersist()
     })
 
     val manifestT = Task("manifest", FileTarget(manifestP), Seq(packT), () => {

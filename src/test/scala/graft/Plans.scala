@@ -9,10 +9,14 @@ import graft.queries.Queries
   * top-k physical strategies can be inspected. */
 object Plans {
   def main(args: Array[String]): Unit = {
-    // usage: Plans [sfDir] [queryName...] — extra args select queries
-    val dir = args.headOption.filter(_.startsWith("/"))
-      .getOrElse("/root/testdata/sf0.01")
-    val picked = args.filterNot(_.startsWith("/")).toSeq
+    // usage: Plans [sfDir] [queryName...] — args are classified by
+    // whether they name a known query; anything else is the data dir
+    val picked = args.filter(Queries.all.contains).toSeq
+    val dirArgs = args.filterNot(Queries.all.contains)
+    require(dirArgs.length <= 1,
+      s"unrecognized query names: ${dirArgs.mkString(", ")} " +
+        s"(known: ${Queries.all.keys.toSeq.sorted.mkString(", ")})")
+    val dir = dirArgs.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

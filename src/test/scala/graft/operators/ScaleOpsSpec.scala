@@ -90,6 +90,26 @@ class ScaleOpsSpec extends SparkSpec {
     assert(rev == out)
   }
 
+  test("connectedComponents refuses to return unconverged labels; rounds release checkpoints") {
+    // a 6-node path needs ~5 rounds; maxIter=2 must throw, not truncate
+    val nodes = (1L to 6L).toDF("id")
+    val chain = (1L to 5L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(nodes, "id", chain, "a", "b", maxIter = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+
+    // with enough rounds it converges — and the per-round localCheckpoint
+    // blocks are released: at most the edges persist + final checkpoint
+    // survive beyond the call
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = Dedup.connectedComponents(nodes, "id", chain, "a", "b")
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(out.forall(_._2 == 1L))
+    val leaked = spark.sparkContext.getPersistentRDDs.size - before
+    assert(leaked <= 2, s"intermediate checkpoint rounds leaked: $leaked blocks held")
+  }
+
   test("deterministic-quantizer IVF full-probe == brute-force top-k exactly") {
     val emb = Tables.embeddings(spark, dir)
     val truth = Similarity.cosineTopK(emb, "vec_id", "embedding", Seq(0, 1, 2), 5)
