@@ -638,6 +638,17 @@ object OracleSql {
          |SELECT node AS doc_id, MIN(r)::BIGINT AS cluster
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
 
+    // Interval join (batch twin of the stream-stream form): purchases
+    // within [click, click + 2h] per user.
+    "t49_interval_join" ->
+      """SELECT c.event_id, epoch_us(p.ts)::BIGINT AS buy_us,
+        |  ROUND(p.value, 4) AS value
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+        |ORDER BY c.event_id, buy_us, value""".stripMargin,
+
     // Incremental ingest dedup: new batch minus texts already frozen.
     "x61_incremental_dedup" ->
       """SELECT b.doc_id, b.lang, b.source FROM documents b

@@ -616,6 +616,22 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** T49 — interval join, batch form (the same operator body runs
+    * stream-stream with watermarks; StreamingParitySpec pins parity):
+    * purchases within 2h after a click by the same user. */
+  def t49(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("buy_ts"), col("value"))
+    Windows.intervalJoin(clicks, buys, Seq("user_id"), "click_ts", "buy_ts",
+        before = "0 hours", after = "2 hours")
+      .select(col("event_id"), unix_micros(col("buy_ts")).as("buy_us"),
+        round(col("value"), 4).as("value"))
+      .orderBy("event_id", "buy_us", "value")
+  }
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -687,5 +703,6 @@ object Queries {
     "x58_vocabulary" -> (x58 _),
     "x59_quantile_filter" -> (x59 _),
     "x60_dup_clusters" -> (x60 _),
-    "x61_incremental_dedup" -> (x61 _))
+    "x61_incremental_dedup" -> (x61 _),
+    "t49_interval_join" -> (t49 _))
 }

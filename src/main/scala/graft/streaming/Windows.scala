@@ -60,4 +60,30 @@ object Windows {
       .withColumn("session_start", col("session_window.start"))
       .withColumn("session_end", col("session_window.end"))
       .drop("session_window")
+
+  /** Stream-stream (or batch-batch — the SAME body serves both) interval
+    * join: left rows pair with right rows of equal `keys` whose
+    * timestamp falls in [left.ts − before, left.ts + after].
+    *
+    * Streaming needs BOTH watermarks plus the time-range predicate so
+    * each side's state store can evict rows that can no longer match —
+    * without the interval bound the state is unbounded and Spark
+    * rejects the query in append mode. Scale: state per side ≈ rate ×
+    * (watermark + interval) per key partition; the join itself is the
+    * usual keyed exchange. */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String,
+      before: String, after: String,
+      watermark: Option[String] = None): DataFrame = {
+    val l = withWatermarkOpt(left, leftTs, watermark)
+    val r = withWatermarkOpt(right, rightTs, watermark)
+    val keyCond = keys.map(k => l(k) === r(k)).reduce(_ && _)
+    val range =
+      r(rightTs) >= l(leftTs) - expr(s"INTERVAL $before") &&
+      r(rightTs) <= l(leftTs) + expr(s"INTERVAL $after")
+    // expression joins keep BOTH key columns — drop the right copies so
+    // the output resolves unqualified key references
+    keys.foldLeft(l.join(r, keyCond && range))((df, k) => df.drop(r(k)))
+  }
 }

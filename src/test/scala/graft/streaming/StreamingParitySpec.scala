@@ -98,6 +98,54 @@ class StreamingParitySpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-stream interval join == batch interval join on in-order replay") {
+    implicit val sqlCtx = spark.sqlContext
+    // "purchase within 2h after a click, same user" — u1 has one match
+    // in range, one out of range; u2's purchase precedes its click
+    val clicks = Seq(
+      Ev(Timestamp.valueOf("2024-01-01 10:00:00"), "u1", 1.0),
+      Ev(Timestamp.valueOf("2024-01-01 18:00:00"), "u1", 2.0),
+      Ev(Timestamp.valueOf("2024-01-01 09:00:00"), "u2", 3.0))
+    val buys = Seq(
+      Ev(Timestamp.valueOf("2024-01-01 11:30:00"), "u1", 10.0),
+      Ev(Timestamp.valueOf("2024-01-01 08:00:00"), "u2", 30.0))
+
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+    def joined(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame,
+        wm: Option[String]) =
+      Windows.intervalJoin(
+          l.select(col("event_type").as("user"), col("ts").as("click_ts")),
+          r.select(col("event_type").as("user2"), col("ts").as("buy_ts"))
+            .withColumnRenamed("user2", "user"),
+          Seq("user"), "click_ts", "buy_ts", before = "0 hours", after = "2 hours",
+          watermark = wm)
+        .select(col("user"), col("click_ts"), col("buy_ts"))
+
+    val batch = shape(joined(clicks.toDF(), buys.toDF(), None))
+    assert(batch == Set(("u1",
+      Timestamp.valueOf("2024-01-01 10:00:00"),
+      Timestamp.valueOf("2024-01-01 11:30:00"))))
+
+    val memL = MemoryStream[Ev]
+    val memR = MemoryStream[Ev]
+    val sinkName = s"intervalsink_${System.nanoTime()}"
+    val q = joined(memL.toDF(), memR.toDF(), Some("1 hour"))
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    val streamed = try {
+      memL.addData(clicks.sortBy(_.ts.getTime))
+      memR.addData(buys.sortBy(_.ts.getTime))
+      q.processAllAvailable()
+      // push both watermarks far past the data so all matches emit
+      memL.addData(Ev(Timestamp.valueOf("2024-02-01 00:00:00"), "__s", 0.0))
+      memR.addData(Ev(Timestamp.valueOf("2024-02-01 00:00:00"), "__s", 0.0))
+      q.processAllAvailable()
+      shape(spark.table(sinkName).filter(col("user") =!= "__s"))
+    } finally q.stop()
+    assert(streamed == batch)
+  }
+
   test("late data beyond the watermark is dropped; batch counts it") {
     // first batch advances the event-time clock to Jan 5; the Jan 1
     // straggler then arrives 4 days late against a 1-day watermark
