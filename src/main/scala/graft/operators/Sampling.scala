@@ -78,6 +78,21 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Engine-portable stratified take-n: [[stratifiedTakeN]]'s contract
+    * with the hash ordering switched from xxhash64 to md5 hex (same
+    * rendering on every engine — see [[portableSample]]), so a frozen
+    * per-stratum sample can be reproduced bit-for-bit outside Spark.
+    * Same plan shape: one shuffle on the strata, ranking window sees
+    * only its stratum. */
+  def stratifiedTakeNPortable(
+      df: DataFrame, strata: Seq[String], n: Int, keyCol: String): DataFrame = {
+    val w = Window.partitionBy(strata.map(col): _*)
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
   /** Weighted source mixing: sample each source at a rate proportional
     * to target weight over its share, then union — the standard
     * "mix web/books/code at w1:w2:w3" pipeline stage. `rates` are
@@ -89,6 +104,23 @@ object Sampling {
     sources.zipWithIndex.map { case ((df, rate), i) =>
       if (rate >= 1.0) df
       else deterministicSample(df, keyCol, rate, seed + i)
+    }.reduce(_ unionByName _)
+  }
+
+  /** Engine-portable source mixing: each source keeps keys whose md5
+    * prefix sorts below its own hex cut (rate ≈ int(cut,16)/16^len;
+    * `None` = pass through). Unlike [[mixSources]] there is no
+    * per-source seed, so the SAME key draws the same hash in every
+    * source — fine when sources partition the key space (the normal
+    * case: a document lives in one source), correlated otherwise.
+    * Still per-row filters + union: no shuffle anywhere. */
+  def mixSourcesPortable(
+      sources: Seq[(DataFrame, Option[String])], keyCol: String,
+      prefixLen: Int = 4): DataFrame = {
+    require(sources.nonEmpty, "no sources to mix")
+    sources.map {
+      case (df, Some(cut)) => portableSample(df, keyCol, cut, prefixLen)
+      case (df, None)      => df
     }.reduce(_ unionByName _)
   }
 }

@@ -654,6 +654,27 @@ object OracleSql {
       """SELECT b.doc_id, b.lang, b.source FROM documents b
         |WHERE b.doc_id >= 400 AND NOT EXISTS (
         |  SELECT 1 FROM documents r WHERE r.doc_id < 400 AND r.text = b.text)
-        |ORDER BY b.doc_id""".stripMargin
+        |ORDER BY b.doc_id""".stripMargin,
+
+    // Portable source mixing: per-source md5-prefix cuts, pass-through
+    // for the last group.
+    "x62_source_mix" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE (source IN ('src0','src1','src2')
+        |        AND substr(md5(doc_id::VARCHAR), 1, 4) < '8000')
+        |   OR (source IN ('src3','src4')
+        |        AND substr(md5(doc_id::VARCHAR), 1, 4) < 'c000')
+        |   OR source = 'src5'
+        |ORDER BY doc_id""".stripMargin,
+
+    // Portable stratified take-n: first 15 docs per language in
+    // md5-hex order (doc_id tiebreak).
+    "x63_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 15 ORDER BY doc_id""".stripMargin
   )
 }

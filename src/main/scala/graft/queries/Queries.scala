@@ -632,6 +632,28 @@ object Queries {
       .orderBy("event_id", "buy_us", "value")
   }
 
+  /** X62 — engine-portable weighted source mixing: three source groups
+    * kept at ~50% / ~75% / pass-through by md5-prefix cuts, unioned.
+    * Per-row filters + union all — no shuffle in the whole plan. */
+  def x62(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Sampling.mixSourcesPortable(Seq(
+        (docs.filter(col("source").isin("src0", "src1", "src2")), Some("8000")),
+        (docs.filter(col("source").isin("src3", "src4")), Some("c000")),
+        (docs.filter(col("source") === "src5"), None)),
+      keyCol = "doc_id")
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  /** X63 — engine-portable stratified take-n: 15 docs per language,
+    * chosen by md5-hex order (deterministic unbiased shuffle). */
+  def x63(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedTakeNPortable(
+        Tables.documents(s, dir), strata = Seq("lang"), n = 15, keyCol = "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -704,5 +726,7 @@ object Queries {
     "x59_quantile_filter" -> (x59 _),
     "x60_dup_clusters" -> (x60 _),
     "x61_incremental_dedup" -> (x61 _),
-    "t49_interval_join" -> (t49 _))
+    "t49_interval_join" -> (t49 _),
+    "x62_source_mix" -> (x62 _),
+    "x63_stratified_sample" -> (x63 _))
 }

@@ -81,6 +81,42 @@ class SamplingSpec extends SparkSpec {
     assert(again == out.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("stratifiedTakeNPortable: n per stratum, nested by n, partition-invariant") {
+    val docs = Tables.documents(spark, dir)
+    val out = Sampling.stratifiedTakeNPortable(docs, Seq("lang"), 15, "doc_id")
+    val counts = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val available = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    available.foreach { case (lang, avail) =>
+      assert(counts(lang) == math.min(15L, avail), s"lang=$lang")
+    }
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    val repart = Sampling.stratifiedTakeNPortable(docs.repartition(13), Seq("lang"), 15, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(repart == ids, "sample must not depend on partitioning")
+    // raising n only ADDS rows — the md5 order freezes a prefix
+    val wider = Sampling.stratifiedTakeNPortable(docs, Seq("lang"), 25, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids.subsetOf(wider), "take-15 must nest inside take-25")
+  }
+
+  test("mixSourcesPortable: pass-through on None, cut-sampled otherwise, no row invented") {
+    val docs = Tables.documents(spark, dir)
+    val a = docs.filter(col("source") === "src0")
+    val b = docs.filter(col("source") === "src1")
+    val mixed = Sampling.mixSourcesPortable(Seq((a, None), (b, Some("8000"))), "doc_id")
+    assert(mixed.filter(col("source") === "src0").count() == a.count())
+    val nb = mixed.filter(col("source") === "src1").count()
+    assert(nb < b.count() && nb > 0, s"cut-8000 source must shrink: $nb of ${b.count()}")
+    // the sampled subset is exactly the portableSample of that source
+    val expected = Sampling.portableSample(b, "doc_id", "8000")
+      .select("doc_id").as[Long].collect().toSet
+    val got = mixed.filter(col("source") === "src1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == expected)
+  }
+
   test("mixSources: pass-through at rate 1, sampled below, union of both") {
     val docs = Tables.documents(spark, dir)
     val a = docs.filter(col("source") === "src0")
