@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Custom-state streaming operators via
@@ -57,6 +57,19 @@ object Stateful {
       .flatMapGroupsWithState[Boolean, V](OutputMode.Append, timeout)(
         firstSeenFunc[K, V](ttlMs))
   }
+
+  /** Event-time-bounded streaming dedup via the engine-native
+    * `dropDuplicatesWithinWatermark`: a duplicate of `keys` is dropped
+    * while its first occurrence is younger than the watermark `delay`;
+    * once the watermark passes `first.ts + delay` the key's state is
+    * EVICTED and a later duplicate passes as fresh. This is the
+    * horizon-dedup shape for unbounded key domains where
+    * [[firstSeen]]'s processing-time TTL is the wrong clock (late
+    * replays must dedup by EVENT time, not arrival time). State per
+    * partition ≈ keys arriving within one watermark window. */
+  def dedupWithinWatermark(
+      df: DataFrame, keys: Seq[String], tsCol: String, delay: String): DataFrame =
+    df.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys)
 
   /** Streaming per-key running counter with custom state — the
     * mapGroupsWithState shape (one output row per key per batch). */

@@ -63,6 +63,31 @@ class StatefulSpec extends SparkSpec {
     assert(expired.isRemoved, "timed-out key must drop its state")
   }
 
+  test("dedupWithinWatermark: drops dups inside the horizon, re-admits after eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val mem = MemoryStream[(Long, Long)] // (docKey, eventSec)
+    val df = mem.toDF().toDF("key", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val out = Stateful.dedupWithinWatermark(df, Seq("key"), "ts", "10 seconds")
+    val sink = s"wmdedup_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((1L, 100L), (1L, 101L)) // in-batch duplicate
+      q.processAllAvailable()             // watermark → 101s − 10s = 91s
+      // key 1 still in state (91 < 100+10): dup dropped; key 9 fresh
+      // and pushes the watermark to 190s, past key 1's eviction point
+      mem.addData((1L, 105L), (9L, 200L))
+      q.processAllAvailable()
+      mem.addData((1L, 300L))             // state evicted → fresh again
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(sink).selectExpr("key", "unix_seconds(ts) AS sec")
+      .as[(Long, Long)].collect().toSet
+    assert(rows == Set((1L, 100L), (9L, 200L), (1L, 300L)))
+  }
+
   test("runningCount: per-key state accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Int)]
