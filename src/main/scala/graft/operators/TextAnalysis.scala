@@ -169,6 +169,29 @@ object TextAnalysis {
         .cast("bigint"))
   }
 
+  /** TF-IDF top terms per document: tf = term count within the doc,
+    * idf = ln(N/df) over the corpus, keep the top `k` terms per doc by
+    * (tfidf desc, term asc). Plan shape at scale: one explode feeding a
+    * map-side-combinable (doc, term) count, the doc-frequency agg
+    * derived from it (already distinct per doc), a 1-row corpus count
+    * broadcast, and a per-doc ranking window — no pass touches the
+    * corpus twice. The tfidf is rounded to 4 decimals so the score is
+    * engine-portable (ln differs in the last ulp across libm builds). */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(idCol), explode(Text.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * log(col("n") / col("df")), 4))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col(idCol), col("term"), col("tfidf"))
+  }
+
   /** Document fingerprint: polynomial fold of per-token hashes in
     * sequence order — order-sensitive (unlike a bag-of-words hash), so
     * it distinguishes permuted documents; identical docs collide. */

@@ -675,6 +675,28 @@ object OracleSql {
         |    row_number() OVER (PARTITION BY lang
         |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
         |  FROM documents)
-        |WHERE rn <= 15 ORDER BY doc_id""".stripMargin
+        |WHERE rn <= 15 ORDER BY doc_id""".stripMargin,
+
+    // TF-IDF top terms: rank by the ROUNDED score in both engines so
+    // tie-breaking is identical (ln differs in the last ulp across
+    // libm builds; 4-decimal rounding absorbs it).
+    "x64_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, t AS term, COUNT(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |        FROM documents) u
+        |  GROUP BY doc_id, t),
+        |dfreq AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    ROUND(tf.tf * LN(CAST(n.n AS DOUBLE) / dfreq.df), 4) AS tfidf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, tfidf, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+        |  FROM scored)
+        |SELECT doc_id, term, tfidf FROM ranked
+        |WHERE rn <= 5 ORDER BY doc_id, term""".stripMargin
   )
 }

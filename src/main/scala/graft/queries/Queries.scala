@@ -654,6 +654,15 @@ object Queries {
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy("doc_id")
 
+  /** X64 — TF-IDF top terms: the classic per-document keyword extract
+    * (tf · ln(N/df), top 5 by score then term). One corpus pass for tf,
+    * df derived from it, N broadcast as a 1-row table. */
+  def x64(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopTerms(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        idCol = "doc_id", textCol = "text", k = 5)
+      .orderBy("doc_id", "term")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -728,5 +737,6 @@ object Queries {
     "x61_incremental_dedup" -> (x61 _),
     "t49_interval_join" -> (t49 _),
     "x62_source_mix" -> (x62 _),
-    "x63_stratified_sample" -> (x63 _))
+    "x63_stratified_sample" -> (x63 _),
+    "x64_tfidf" -> (x64 _))
 }

@@ -1,0 +1,28 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Unit parity for the TF-IDF keyword extract (hand-computed corpus). */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tfidfTopTerms matches hand-computed tf*ln(N/df), top-k by (score, term)") {
+    val docs = Seq((1L, "a b a"), (2L, "a c"), (3L, "b b d"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 1)
+      .orderBy("doc_id")
+      .as[(Long, String, Double)].collect().toSeq
+    // N=3; df: a=2 b=2 c=1 d=1; ln(3/2)=0.4055, ln(3)=1.0986
+    assert(got === Seq(
+      (1L, "a", 0.8109),  // tf=2 beats b's tf=1
+      (2L, "c", 1.0986),  // rarer term beats the common 'a'
+      (3L, "d", 1.0986))) // tf=2 common 'b' (0.8109) loses to rare 'd'
+  }
+
+  test("tfidfTopTerms k larger than vocab returns every term once") {
+    val docs = Seq((1L, "x y"), (2L, "y z")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 10)
+    assert(got.count() === 4L)
+    assert(got.select("term").distinct().count() === 3L)
+  }
+}
