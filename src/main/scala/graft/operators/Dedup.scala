@@ -260,6 +260,31 @@ object Dedup {
     batch.join(confirmed, Seq(idCol), "left_anti")
   }
 
+  /** Benchmark decontamination: for each corpus doc, count its distinct
+    * word n-grams that also appear anywhere in `reference` (the
+    * eval/benchmark set), reporting docs with ≥1 hit plus the overlap
+    * fraction — the standard train/test contamination check (flag or
+    * drop docs above a `frac` threshold).
+    *
+    * Scale shape: both sides reduce to distinct (doc, gram-hash) longs,
+    * so the join shuffles 16-byte rows, never text; size and hit counts
+    * come from ONE aggregation over the single left join (no second
+    * pass over the corpus shingles). The reference gram set is tiny
+    * relative to the corpus (benchmarks ≪ crawl) — AQE broadcasts it. */
+  def contamination(
+      corpus: DataFrame, reference: DataFrame, idCol: String, textCol: String,
+      n: Int, roundDigits: Int = 4): DataFrame = {
+    val c = shingleHashes(corpus, idCol, textCol, n)
+    val refGrams = shingleHashes(reference, idCol, textCol, n)
+      .select(col("h"), lit(1).as("__hit")).distinct()
+    c.join(refGrams, Seq("h"), "left")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("sz"), count(col("__hit")).as("hits"))
+      .where(col("hits") > 0)
+      .select(col("doc").as(idCol), col("hits"),
+        round(col("hits").cast("double") / col("sz"), roundDigits).as("frac"))
+  }
+
   /** Connected components over a near-dup pair list — the union-find
     * step that turns pairwise matches into dedup CLUSTERS (keep one doc
     * per component, drop the rest). Min-label propagation: every node

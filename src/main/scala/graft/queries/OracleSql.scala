@@ -697,6 +697,20 @@ object OracleSql {
         |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
         |  FROM scored)
         |SELECT doc_id, term, tfidf FROM ranked
-        |WHERE rn <= 5 ORDER BY doc_id, term""".stripMargin
+        |WHERE rn <= 5 ORDER BY doc_id, term""".stripMargin,
+
+    // Benchmark decontamination: corpus docs (id >= 400) sharing any
+    // word 3-gram with the frozen eval set (id < 400); hits = distinct
+    // shared grams, frac = hits over the doc's distinct gram count.
+    "x65_decontamination" ->
+      s"""WITH ${shingleCte(3)},
+         |ref AS (SELECT DISTINCT h FROM sh WHERE doc < 400),
+         |m AS (
+         |  SELECT c.doc, COUNT(*) AS sz, COUNT(r.h) AS hits
+         |  FROM sh c LEFT JOIN ref r ON c.h = r.h
+         |  WHERE c.doc >= 400 GROUP BY c.doc)
+         |SELECT doc AS doc_id, hits::BIGINT AS hits,
+         |  ROUND(hits::DOUBLE / sz, 4) AS frac
+         |FROM m WHERE hits > 0 ORDER BY doc_id""".stripMargin
   )
 }

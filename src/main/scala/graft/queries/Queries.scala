@@ -663,6 +663,17 @@ object Queries {
         idCol = "doc_id", textCol = "text", k = 5)
       .orderBy("doc_id", "term")
 
+  /** X65 — benchmark decontamination: corpus docs (id ≥ 400) sharing
+    * any word 3-gram with the frozen eval set (id < 400), with the
+    * overlap fraction used for threshold-drop decisions. */
+  def x65(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.contamination(
+        docs.filter(col("doc_id") >= 400), docs.filter(col("doc_id") < 400),
+        "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+  }
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -738,5 +749,6 @@ object Queries {
     "t49_interval_join" -> (t49 _),
     "x62_source_mix" -> (x62 _),
     "x63_stratified_sample" -> (x63 _),
-    "x64_tfidf" -> (x64 _))
+    "x64_tfidf" -> (x64 _),
+    "x65_decontamination" -> (x65 _))
 }

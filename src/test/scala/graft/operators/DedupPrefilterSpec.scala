@@ -44,4 +44,13 @@ class DedupPrefilterSpec extends SparkSpec {
       .orderBy("a", "b").as[(Long, Long, Double)].collect().toSeq
     assert(out == Seq((1L, 3L, 1.0)))
   }
+
+  test("contamination reports hit count and fraction, omits clean docs") {
+    // corpus 10: grams {w1w2w3, w2w3w4}; ref shares w2w3w4 -> 1/2
+    val corpus = Seq((10L, "w1 w2 w3 w4"), (11L, "a b c d")).toDF("doc_id", "text")
+    val ref = Seq((1L, "w2 w3 w4 w9")).toDF("doc_id", "text")
+    val got = Dedup.contamination(corpus, ref, "doc_id", "text", n = 3)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((10L, 1L, 0.5)))
+  }
 }
