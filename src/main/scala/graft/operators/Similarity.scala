@@ -272,6 +272,32 @@ object Similarity {
       .select(col("vec_id").as("a"), col("b_id").as("b"), col("cos"))
   }
 
+  /** Per-group element-wise mean vector (class/language/source
+    * centroid). The posexplode fans out n·d rows, but the mean is a
+    * map-side-combinable partial agg, so the shuffle carries one row
+    * per (group, dim, partition) and the final state is |G|·d rows —
+    * independent of corpus size. Reassembly sorts (dim, mean) structs
+    * per group, so the centroid's element order never depends on
+    * arrival order. */
+  def groupCentroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol), posexplode(Vectors.toDouble(col(vecCol))).as(Seq("pos", "x")))
+      .groupBy(col(groupCol), col("pos")).agg(avg(col("x")).as("m"))
+      .groupBy(col(groupCol))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("centroid"))
+
+  /** Cosine of every vector to its own group's centroid — the
+    * embedding-side outlier/quality score (low cos ⇒ the vector sits
+    * far from its labeled cluster: mislabeled, noisy, or off-domain).
+    * Centroids are |G| rows, so the re-join broadcasts. */
+  def centroidCosine(
+      df: DataFrame, idCol: String, groupCol: String, vecCol: String,
+      roundDigits: Int = 4): DataFrame =
+    df.join(broadcast(groupCentroids(df, groupCol, vecCol)), Seq(groupCol))
+      .select(col(idCol), col(groupCol),
+        round(Vectors.cosine(Vectors.toDouble(col(vecCol)), col("centroid")),
+          roundDigits).as("cos"))
+
   /** Two-phase distributed top-k per query group (see object doc). */
   private def twoPhaseTopK(scored: DataFrame, k: Int): DataFrame = {
     val local = scored.withColumn("__part", spark_partition_id())

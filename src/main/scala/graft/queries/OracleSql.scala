@@ -51,6 +51,8 @@ object OracleSql {
   /** float64 view of embeddings + cosine helper. */
   private val embCte =
     "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+  private val embLabelCte =
+    "e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
   private def cos(a: String, b: String): String =
     s"ROUND(list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b))),4)"
 
@@ -711,6 +713,17 @@ object OracleSql {
          |  WHERE c.doc >= 400 GROUP BY c.doc)
          |SELECT doc AS doc_id, hits::BIGINT AS hits,
          |  ROUND(hits::DOUBLE / sz, 4) AS frac
-         |FROM m WHERE hits > 0 ORDER BY doc_id""".stripMargin
+         |FROM m WHERE hits > 0 ORDER BY doc_id""".stripMargin,
+
+    // Embedding outlier score: cosine of each vector to its label's
+    // element-wise-mean centroid.
+    "x66_centroid_outliers" ->
+      s"""WITH $embLabelCte,
+         |u AS (SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS x
+         |      FROM e),
+         |c AS (SELECT label, pos, AVG(x) AS m FROM u GROUP BY label, pos),
+         |cv AS (SELECT label, list(m ORDER BY pos) AS cvec FROM c GROUP BY label)
+         |SELECT e.vec_id, e.label::BIGINT AS label, ${cos("e.v", "cv.cvec")} AS cos
+         |FROM e JOIN cv USING (label) ORDER BY vec_id""".stripMargin
   )
 }

@@ -674,6 +674,15 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** X66 — embedding outlier score: cosine of each vector to its own
+    * label's centroid (low ⇒ mislabeled / noisy / off-domain). */
+  def x66(s: SparkSession, dir: String): DataFrame =
+    Similarity.centroidCosine(
+        Tables.embeddings(s, dir), idCol = "vec_id", groupCol = "label",
+        vecCol = "embedding")
+      .select(col("vec_id"), bi(col("label")).as("label"), col("cos"))
+      .orderBy("vec_id")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -750,5 +759,6 @@ object Queries {
     "x62_source_mix" -> (x62 _),
     "x63_stratified_sample" -> (x63 _),
     "x64_tfidf" -> (x64 _),
-    "x65_decontamination" -> (x65 _))
+    "x65_decontamination" -> (x65 _),
+    "x66_centroid_outliers" -> (x66 _))
 }

@@ -121,4 +121,16 @@ class ScaleOpsSpec extends SparkSpec {
       .select("q", "rank", "vec_id").collect().map(_.toSeq).toSet
     assert(full == truth, "full probe must reproduce the exact ranking")
   }
+
+  test("centroidCosine: singleton group scores 1.0; symmetric pair scores equally") {
+    val df = Seq(
+        (1L, 0, Array(1.0f, 0.0f)),          // alone in group 0
+        (2L, 1, Array(1.0f, 0.0f)),          // group-1 centroid = (0.5, 0.5)
+        (3L, 1, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.centroidCosine(df, "vec_id", "label", "embedding")
+      .orderBy("vec_id").as[(Long, Int, Double)].collect().toSeq
+    assert(got.head == ((1L, 0, 1.0)))
+    assert(got(1)._3 == got(2)._3 && got(1)._3 == 0.7071) // cos 45°
+  }
 }
