@@ -123,4 +123,23 @@ object Sampling {
       case (df, None)      => df
     }.reduce(_ unionByName _)
   }
+
+  /** Per-stratum TOKEN-budget take: walk each stratum's rows in
+    * md5-of-key order (the portable deterministic shuffle) and keep
+    * rows while the running token total stays ≤ `budget` — "give me
+    * ~N tokens of web, ~M of code" data mixing, where quotas are
+    * token counts, not document counts. The row that would overflow
+    * the budget is excluded (its successors too: the cumulative sum is
+    * monotone, sizes being nonneg). One shuffle on the strata; the
+    * running-sum window never leaves its stratum partition. */
+  def takeTokenBudgetPortable(
+      df: DataFrame, strata: Seq[String], sizeCol: Column, budget: Long,
+      keyCol: String): DataFrame = {
+    val w = Window.partitionBy(strata.map(col): _*)
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(sizeCol).over(w))
+      .filter(col("__cum") <= budget)
+      .drop("__cum")
+  }
 }

@@ -724,6 +724,27 @@ object OracleSql {
          |c AS (SELECT label, pos, AVG(x) AS m FROM u GROUP BY label, pos),
          |cv AS (SELECT label, list(m ORDER BY pos) AS cvec FROM c GROUP BY label)
          |SELECT e.vec_id, e.label::BIGINT AS label, ${cos("e.v", "cv.cvec")} AS cos
-         |FROM e JOIN cv USING (label) ORDER BY vec_id""".stripMargin
+         |FROM e JOIN cv USING (label) ORDER BY vec_id""".stripMargin,
+
+    // Dedup on the canonical text form (lowercase / strip punctuation /
+    // collapse spaces); Spark regexp_replace is global, DuckDB needs 'g'.
+    "x67_normalized_dedup" ->
+      """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |FROM (SELECT doc_id,
+        |        trim(regexp_replace(regexp_replace(lower(text),
+        |          '[^a-z0-9 ]+', '', 'g'), ' +', ' ', 'g')) AS nt
+        |      FROM documents) t
+        |GROUP BY nt ORDER BY doc_id""".stripMargin,
+
+    // Token-budget mixing: running per-source token sum in md5 order,
+    // keep while cum <= 700.
+    "x68_token_budget_mix" ->
+      """SELECT doc_id, source, tok FROM (
+        |  SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS tok,
+        |    SUM(len(string_split(text, ' '))) OVER (PARTITION BY source
+        |      ORDER BY md5(doc_id::VARCHAR), doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents) z
+        |WHERE cum <= 700 ORDER BY doc_id""".stripMargin
   )
 }

@@ -683,6 +683,28 @@ object Queries {
       .select(col("vec_id"), bi(col("label")).as("label"), col("cos"))
       .orderBy("vec_id")
 
+  /** X67 — normalized exact dedup: dedup on the canonical text form
+    * (lowercase, punctuation stripped, whitespace collapsed) — catches
+    * the trivial variants byte-exact dedup misses. */
+  def x67(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(
+        Tables.documents(s, dir)
+          .withColumn("__norm", graft.functions.Text.normalized(col("text"))),
+        "doc_id", "__norm")
+      .orderBy("doc_id")
+
+  /** X68 — per-source token-budget mixing: keep each source's docs in
+    * portable md5 order while its running token total stays ≤ 700. */
+  def x68(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("tok", graft.functions.Text.tokenCount(col("text")))
+    Sampling.takeTokenBudgetPortable(
+        docs, strata = Seq("source"), sizeCol = col("tok"), budget = 700L,
+        keyCol = "doc_id")
+      .select(col("doc_id"), col("source"), col("tok"))
+      .orderBy("doc_id")
+  }
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -760,5 +782,7 @@ object Queries {
     "x63_stratified_sample" -> (x63 _),
     "x64_tfidf" -> (x64 _),
     "x65_decontamination" -> (x65 _),
-    "x66_centroid_outliers" -> (x66 _))
+    "x66_centroid_outliers" -> (x66 _),
+    "x67_normalized_dedup" -> (x67 _),
+    "x68_token_budget_mix" -> (x68 _))
 }

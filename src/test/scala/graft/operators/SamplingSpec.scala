@@ -127,4 +127,26 @@ class SamplingSpec extends SparkSpec {
     assert(na == a.count(), "rate-1.0 source must pass through whole")
     assert(nb < b.count() && nb > 0, s"rate-0.5 source must shrink: $nb of ${b.count()}")
   }
+
+  test("takeTokenBudgetPortable: per-stratum sum <= budget, md5-prefix closed") {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("tok", graft.functions.Text.tokenCount(col("text")))
+    val budget = 700L
+    val kept = Sampling.takeTokenBudgetPortable(
+      docs, Seq("source"), col("tok"), budget, "doc_id")
+    val sums = kept.groupBy("source").agg(sum("tok").as("s"))
+      .as[(String, Long)].collect()
+    assert(sums.nonEmpty && sums.forall(_._2 <= budget))
+    // prefix-closed: every kept doc's md5 order rank precedes every
+    // dropped doc's within its source (the take is a prefix, not a subset)
+    val ranked = docs.withColumn("__k",
+      concat(md5(col("doc_id").cast("string")), col("doc_id").cast("string")))
+    val keptMax = ranked.join(kept.select("doc_id"), Seq("doc_id"))
+      .groupBy("source").agg(max("__k").as("kmax"))
+    val dropMin = ranked.join(kept.select("doc_id"), Seq("doc_id"), "left_anti")
+      .groupBy("source").agg(min("__k").as("dmin"))
+    val viol = keptMax.join(dropMin, "source")
+      .filter(col("kmax") >= col("dmin")).count()
+    assert(viol == 0, "kept set must be an order-prefix per source")
+  }
 }

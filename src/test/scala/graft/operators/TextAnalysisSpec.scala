@@ -19,6 +19,14 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, "d", 1.0986))) // tf=2 common 'b' (0.8109) loses to rare 'd'
   }
 
+  test("normalized collapses case/punct/space variants to one form") {
+    import org.apache.spark.sql.functions.col
+    val got = Seq("Hello,  World!", "hello world", "HELLO -- WORLD.")
+      .toDF("t").select(graft.functions.Text.normalized(col("t")))
+      .as[String].collect().toSet
+    assert(got === Set("hello world"))
+  }
+
   test("tfidfTopTerms k larger than vocab returns every term once") {
     val docs = Seq((1L, "x y"), (2L, "y z")).toDF("doc_id", "text")
     val got = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 10)
