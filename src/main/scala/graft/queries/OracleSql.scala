@@ -745,6 +745,29 @@ object OracleSql {
         |      ORDER BY md5(doc_id::VARCHAR), doc_id
         |      ROWS UNBOUNDED PRECEDING) AS cum
         |  FROM documents) z
-        |WHERE cum <= 700 ORDER BY doc_id""".stripMargin
+        |WHERE cum <= 700 ORDER BY doc_id""".stripMargin,
+
+    // Cross-modal curation: x56's text gates composed with x66's
+    // embedding-outlier gate over doc_id = vec_id.
+    "x69_multimodal_curation" ->
+      s"""WITH rep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+         |l AS ($langIdSql),
+         |qs AS ($qualitySql),
+         |$embLabelCte,
+         |u AS (SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS x
+         |      FROM e),
+         |c AS (SELECT label, pos, AVG(x) AS m FROM u GROUP BY label, pos),
+         |cv AS (SELECT label, list(m ORDER BY pos) AS cvec FROM c GROUP BY label),
+         |emb AS (
+         |  SELECT e.vec_id, ${cos("e.v", "cv.cvec")} AS cos
+         |  FROM e JOIN cv USING (label))
+         |SELECT d.doc_id, qs.quality, emb.cos
+         |FROM documents d
+         |JOIN rep ON rep.doc_id = d.doc_id
+         |JOIN l ON l.doc_id = d.doc_id
+         |JOIN qs ON qs.doc_id = d.doc_id
+         |JOIN emb ON emb.vec_id = d.doc_id
+         |WHERE l.pred_lang = 'en' AND qs.quality >= 0.5 AND emb.cos >= 0.15
+         |ORDER BY d.doc_id""".stripMargin
   )
 }

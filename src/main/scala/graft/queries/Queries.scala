@@ -705,6 +705,27 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** X69 — cross-modal curation: text-side gates (dedup representative,
+    * language, quality) composed with the embedding-side gate (cosine
+    * to own-label centroid ≥ 0.15, i.e. not an embedding outlier) via
+    * a doc_id = vec_id join — the full multimodal keep/drop decision
+    * in ONE plan (text scanned once for the stacked signals, embedding
+    * side reduced before the join). */
+  def x69(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val reps = Dedup.exactDedup(docs, "doc_id", "text").select("doc_id")
+    val txt =
+      TextAnalysis.withQuality(TextAnalysis.withLangId(docs, "text"), "text")
+        .join(reps, Seq("doc_id"), "left_semi")
+        .filter(col("pred_lang") === "en" && col("quality") >= 0.5)
+    val emb = Similarity.centroidCosine(
+        Tables.embeddings(s, dir), "vec_id", "label", "embedding")
+      .filter(col("cos") >= 0.15)
+    txt.join(emb, txt("doc_id") === emb("vec_id"))
+      .select(col("doc_id"), col("quality"), col("cos"))
+      .orderBy("doc_id")
+  }
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -784,5 +805,6 @@ object Queries {
     "x65_decontamination" -> (x65 _),
     "x66_centroid_outliers" -> (x66 _),
     "x67_normalized_dedup" -> (x67 _),
-    "x68_token_budget_mix" -> (x68 _))
+    "x68_token_budget_mix" -> (x68 _),
+    "x69_multimodal_curation" -> (x69 _))
 }
