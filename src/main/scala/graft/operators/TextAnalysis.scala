@@ -171,16 +171,22 @@ object TextAnalysis {
 
   /** TF-IDF top terms per document: tf = term count within the doc,
     * idf = ln(N/df) over the corpus, keep the top `k` terms per doc by
-    * (tfidf desc, term asc). Plan shape at scale: one explode feeding a
-    * map-side-combinable (doc, term) count, the doc-frequency agg
-    * derived from it (already distinct per doc), a 1-row corpus count
-    * broadcast, and a per-doc ranking window — no pass touches the
-    * corpus twice. The tfidf is rounded to 4 decimals so the score is
-    * engine-portable (ln differs in the last ulp across libm builds). */
-  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    * (tfidf desc, term asc). Plan shape at scale: ONE explode feeding a
+    * map-side-combinable (doc, term) count, persisted because both the
+    * doc-frequency agg and the scoring join consume it (column pruning
+    * makes the two subtrees' exchanges differ, so ReuseExchange cannot
+    * dedupe them — without the persist the corpus is scanned and
+    * exploded twice); a 1-row corpus count broadcast; and a per-doc
+    * ranking window (plans as WindowGroupLimit, so partial top-k runs
+    * before the window shuffle). The tfidf is rounded to 4 decimals so
+    * the score is engine-portable (ln differs in the last ulp across
+    * libm builds). */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = df.select(col(idCol), explode(Text.tokens(col(textCol))).as("term"))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val tf = scope.persist(
+      df.select(col(idCol), explode(Text.tokens(col(textCol))).as("term"))
+        .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("n"))
     val scored = tf.join(dfreq, "term")

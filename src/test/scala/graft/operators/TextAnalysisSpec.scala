@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 /** Unit parity for the TF-IDF keyword extract (hand-computed corpus). */
@@ -25,6 +27,20 @@ class TextAnalysisSpec extends SparkSpec {
       .toDF("t").select(graft.functions.Text.normalized(col("t")))
       .as[String].collect().toSet
     assert(got === Set("hello world"))
+  }
+
+  test("tfidfTopTerms serves tf to both consumers from one cached build") {
+    // column pruning gives the df-agg and scoring-join branches different
+    // exchanges, so ReuseExchange can't dedupe them — the persist must:
+    // both branches read InMemoryTableScan, one corpus explode total
+    val df = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"), col("text"))
+    val q = TextAnalysis.tfidfTopTerms(df, "doc_id", "text", k = 5)
+    q.write.format("noop").mode("overwrite").save()
+    val plan = q.queryExecution.executedPlan.toString
+    assert("InMemoryTableScan".r.findAllIn(plan).length >= 2,
+      "tf must be consumed from cache by both branches")
+    spark.catalog.clearCache()
   }
 
   test("tfidfTopTerms k larger than vocab returns every term once") {
