@@ -28,15 +28,19 @@ object Text {
   /** Token count by whitespace. */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("bigint")
 
-  /** Canonical text form for fuzzy-exact dedup: lowercase, strip all
-    * non-alphanumeric chars except spaces, collapse runs of spaces,
-    * trim. Catches the case/punctuation/whitespace variants that byte
-    * dedup misses while staying a pure per-row codegen expression.
+  /** Canonical text form for fuzzy-exact dedup: lowercase, map ALL
+    * whitespace runs to single spaces FIRST (so "a\tb" stays two words
+    * instead of fusing to "ab" when the punctuation strip runs), then
+    * strip non-alphanumerics, collapse the space runs that stripping
+    * opens up, trim. Catches the case/punctuation/whitespace variants
+    * byte dedup misses while staying a pure per-row codegen expression.
     * (ASCII canon — the corpus convention; locale-sensitive casing is
     * out of scope.) */
   def normalized(text: Column): Column =
     trim(regexp_replace(
-      regexp_replace(lower(text), "[^a-z0-9 ]+", ""), " +", " "))
+      regexp_replace(
+        regexp_replace(lower(text), "\\s+", " "), "[^a-z0-9 ]+", ""),
+      " +", " "))
 
   /** EXACT distinct n-gram count over a token array in one codegen pass
     * ([[graft.functions.expressions.NgramDistinctCount]]); equals
