@@ -37,9 +37,13 @@ object Text {
     * (ASCII canon — the corpus convention; locale-sensitive casing is
     * out of scope.) */
   def normalized(text: Column): Column =
+    // explicit whitespace class, not \s: Java regex \s includes \x0B
+    // (vertical tab) while the oracle's RE2 \s does not — the engines
+    // would canonicalize VT-separated words differently
     trim(regexp_replace(
       regexp_replace(
-        regexp_replace(lower(text), "\\s+", " "), "[^a-z0-9 ]+", ""),
+        regexp_replace(lower(text), "[ \\t\\n\\x0B\\f\\r]+", " "),
+        "[^a-z0-9 ]+", ""),
       " +", " "))
 
   /** EXACT distinct n-gram count over a token array in one codegen pass

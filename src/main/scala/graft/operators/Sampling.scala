@@ -131,7 +131,13 @@ object Sampling {
     * token counts, not document counts. The row that would overflow
     * the budget is excluded (its successors too: the cumulative sum is
     * monotone, sizes being nonneg). One shuffle on the strata; the
-    * running-sum window never leaves its stratum partition. */
+    * running-sum window never leaves its stratum partition.
+    *
+    * `keyCol` must uniquely identify a row WITHIN its stratum (as with
+    * the other portable samplers): rows tied on (md5(key), key) have no
+    * defined order, so a budget boundary falling inside a tied run
+    * would keep a run-dependent subset. Chunked inputs should pass a
+    * chunk-unique key (e.g. concat(doc_id, chunk_id)), not doc_id. */
   def takeTokenBudgetPortable(
       df: DataFrame, strata: Seq[String], sizeCol: Column, budget: Long,
       keyCol: String): DataFrame = {

@@ -289,7 +289,16 @@ object Similarity {
   /** Cosine of every vector to its own group's centroid — the
     * embedding-side outlier/quality score (low cos ⇒ the vector sits
     * far from its labeled cluster: mislabeled, noisy, or off-domain).
-    * Centroids are |G| rows, so the re-join broadcasts. */
+    * Centroids are |G| rows, so the re-join broadcasts.
+    *
+    * The input IS consumed twice (centroid agg + probe side), and
+    * deliberately NOT persisted — unlike tfidfTopTerms' tf (a
+    * post-aggregation relation far smaller than its input), the shared
+    * relation here is the raw vector table itself: caching it costs
+    * corpus-sized memory/disk, while the second consumer is a pruned
+    * columnar re-scan feeding a broadcast join. At 100 TB a re-scan is
+    * the cheaper side of that trade; callers who know the table is
+    * small can persist it before calling. */
   def centroidCosine(
       df: DataFrame, idCol: String, groupCol: String, vecCol: String,
       roundDigits: Int = 4): DataFrame =

@@ -732,7 +732,8 @@ object OracleSql {
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM (SELECT doc_id,
         |        trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
-        |          '\s+', ' ', 'g'), '[^a-z0-9 ]+', '', 'g'), ' +', ' ', 'g')) AS nt
+        |          '[ \t\n\x0B\f\r]+', ' ', 'g'), '[^a-z0-9 ]+', '', 'g'),
+        |          ' +', ' ', 'g')) AS nt
         |      FROM documents) t
         |GROUP BY nt ORDER BY doc_id""".stripMargin,
 

@@ -23,10 +23,11 @@ class TextAnalysisSpec extends SparkSpec {
 
   test("normalized collapses case/punct/space variants to one form") {
     import org.apache.spark.sql.functions.col
-    val got = Seq("Hello,  World!", "hello world", "HELLO -- WORLD.", "hello\tworld\n")
+    val got = Seq("Hello,  World!", "hello world", "HELLO -- WORLD.",
+        "hello\tworld\n", "hello\u000Bworld")
       .toDF("t").select(graft.functions.Text.normalized(col("t")))
       .as[String].collect().toSet
-    assert(got === Set("hello world")) // tab/newline separate words, never fuse them
+    assert(got === Set("hello world")) // tab/newline/VT separate words, never fuse them
   }
 
   test("tfidfTopTerms serves tf to both consumers from one cached build") {
