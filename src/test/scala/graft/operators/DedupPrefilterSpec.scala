@@ -45,6 +45,14 @@ class DedupPrefilterSpec extends SparkSpec {
     assert(out == Seq((1L, 3L, 1.0)))
   }
 
+  test("contamination of a corpus against itself is total (frac 1.0 everywhere)") {
+    val corpus = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = Dedup.contamination(corpus, corpus, "doc_id", "text", n = 3)
+    val withGrams = corpus.filter(size(split(col("text"), " ")) >= 3).count()
+    assert(got.count() == withGrams, "every doc with >=1 gram must self-hit")
+    assert(got.filter(col("frac") =!= 1.0).count() == 0)
+  }
+
   test("contamination reports hit count and fraction, omits clean docs") {
     // corpus 10: grams {w1w2w3, w2w3w4}; ref shares w2w3w4 -> 1/2
     val corpus = Seq((10L, "w1 w2 w3 w4"), (11L, "a b c d")).toDF("doc_id", "text")

@@ -50,4 +50,12 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.count() === 4L)
     assert(got.select("term").distinct().count() === 3L)
   }
+
+  test("tfidfTopTerms: a term in every doc scores exactly 0 (ln N/N)") {
+    val docs = Seq((1L, "common a"), (2L, "common b")).toDF("doc_id", "text")
+    val zeros = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 10)
+      .filter(col("term") === "common").select("tfidf")
+      .as[Double].collect().toSeq
+    assert(zeros === Seq(0.0, 0.0))
+  }
 }
