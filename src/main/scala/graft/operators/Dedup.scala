@@ -260,6 +260,57 @@ object Dedup {
     batch.join(confirmed, Seq(idCol), "left_anti")
   }
 
+  /** Winnowed document fingerprints (Schleimer/Wilkerson/Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003): hash every word k-gram in positional order (one
+    * codegen pass, [[graft.functions.expressions.WordShingleHashes]]),
+    * then keep the MINIMUM hash of every w-long sliding window of
+    * grams, deduped per doc. Guarantee: two docs sharing any token run
+    * of length ≥ w+k-1 share at least one fingerprint — unlike MinHash
+    * (a whole-doc similarity sketch) this localizes matches, which is
+    * why it's the plagiarism/exact-passage detector. Docs with fewer
+    * than w grams fall back to one whole-doc window; docs shorter than
+    * k tokens have no fingerprints.
+    *
+    * Scale shape: per-row expressions only (no shuffle); output is the
+    * inverted-index-ready (doc, fp) relation, ~|grams|/w rows per doc. */
+  def winnowedFingerprints(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val grams = ColumnBridge.column(graft.functions.expressions.WordShingleHashes(
+      ColumnBridge.expression(Text.tokens(col(textCol))), k))
+    val g = col("__g")
+    val fps =
+      when(size(g) >= w,
+        array_distinct(transform(sequence(lit(0), size(g) - w),
+          i => array_min(slice(g, i + lit(1), lit(w))))))
+      .otherwise(when(size(g) > 0, array(array_min(g)))
+        .otherwise(array().cast("array<long>")))
+    df.select(col(idCol).as("doc"), grams.as("__g"))
+      .select(col("doc"), explode(fps).as("fp"))
+  }
+
+  /** Near-dup candidate pairs from shared winnowed fingerprints: the
+    * inverted-index self-join (docs sharing ≥ `minShared` fingerprints),
+    * with the same document-frequency cap as [[ngramJaccardPairs]] so a
+    * corpus-common fingerprint never contributes O(df²) pairs. */
+  def winnowingNearDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4, minShared: Int = 2, maxFpDf: Int = 50,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged): DataFrame = {
+    val fps = scope.persist(winnowedFingerprints(df, idCol, textCol, k, w))
+    val rare = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("__df")).filter(col("__df") <= maxFpDf)
+      .select("fp")
+    val fr = fps.join(rare, Seq("fp"))
+    fr.select(col("fp"), col("doc").as("a"))
+      .join(fr.select(col("fp"), col("doc").as("b")), Seq("fp"))
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Benchmark decontamination: for each corpus doc, count its distinct
     * word n-grams that also appear anywhere in `reference` (the
     * eval/benchmark set), reporting docs with ≥1 hit plus the overlap

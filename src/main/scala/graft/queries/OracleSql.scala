@@ -33,6 +33,22 @@ object OracleSql {
        |          unnest([array_to_string(w[i:i+${n - 1}], ' ') for i in range(1, len(w)-${n - 2})]) AS s
        |        FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents) tw) ts)""".stripMargin
 
+  /** Winnowed fingerprints (k=3 grams, window w=4), positional gram
+    * hashes → per-window minima, deduped; <w-gram docs take one
+    * whole-doc window, <k-token docs have none. */
+  private val winnowCte =
+    s"""t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+       |g AS (SELECT doc_id,
+       |  [${chash("array_to_string(w[i:i+2], ' ')")}
+       |   for i in range(1, len(w) - 1)] AS gh FROM t),
+       |f AS (SELECT doc_id,
+       |  CASE WHEN len(gh) >= 4
+       |         THEN list_distinct([list_min(gh[i:i+3])
+       |                             for i in range(1, len(gh) - 2)])
+       |       WHEN len(gh) > 0 THEN [list_min(gh)]
+       |       ELSE [] END AS fps FROM g),
+       |fpt AS (SELECT doc_id AS doc, unnest(fps) AS fp FROM f)""".stripMargin
+
   private def jaccardTail(threshold: Double): String =
     s"""sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
        |inter AS (
@@ -769,6 +785,22 @@ object OracleSql {
          |JOIN qs ON qs.doc_id = d.doc_id
          |JOIN emb ON emb.vec_id = d.doc_id
          |WHERE l.pred_lang = 'en' AND qs.quality >= 0.5 AND emb.cos >= 0.15
-         |ORDER BY d.doc_id""".stripMargin
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // Winnowed fingerprints (SIGMOD'03): per-window minima of the
+    // positional 3-gram hash sequence, window 4.
+    "x70_winnowing" ->
+      s"""WITH $winnowCte
+         |SELECT doc AS doc_id, fp FROM fpt ORDER BY doc_id, fp""".stripMargin,
+
+    // Winnowing near-dup pairs: >= 2 shared df-capped fingerprints.
+    "x71_winnowing_neardup" ->
+      s"""WITH $winnowCte,
+         |rare AS (SELECT fp FROM fpt GROUP BY fp HAVING COUNT(*) <= 50),
+         |fr AS (SELECT p.doc, p.fp FROM fpt p JOIN rare r ON p.fp = r.fp)
+         |SELECT x.doc AS a, y.doc AS b, COUNT(*)::BIGINT AS shared
+         |FROM fr x JOIN fr y ON x.fp = y.fp AND x.doc < y.doc
+         |GROUP BY x.doc, y.doc HAVING COUNT(*) >= 2
+         |ORDER BY a, b""".stripMargin
   )
 }

@@ -726,6 +726,20 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** X70 — winnowed fingerprints (k=3-gram hashes, window w=4): the
+    * SIGMOD'03 local fingerprinting scheme — shared token runs of
+    * length ≥ w+k-1 are guaranteed to share a fingerprint. */
+  def x70(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowedFingerprints(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc").as("doc_id"), col("fp"))
+      .orderBy("doc_id", "fp")
+
+  /** X71 — winnowing near-dup pairs: docs sharing ≥ 2 df-capped
+    * fingerprints (the inverted-index join over X70's output). */
+  def x71(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowingNearDupPairs(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("a", "b")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -806,5 +820,7 @@ object Queries {
     "x66_centroid_outliers" -> (x66 _),
     "x67_normalized_dedup" -> (x67 _),
     "x68_token_budget_mix" -> (x68 _),
-    "x69_multimodal_curation" -> (x69 _))
+    "x69_multimodal_curation" -> (x69 _),
+    "x70_winnowing" -> (x70 _),
+    "x71_winnowing_neardup" -> (x71 _))
 }
