@@ -36,6 +36,23 @@ object Text {
     * byte dedup misses while staying a pure per-row codegen expression.
     * (ASCII canon — the corpus convention; locale-sensitive casing is
     * out of scope.) */
+  /** Email-address pattern, restricted to syntax Java regex and RE2
+    * interpret identically (no \b, no lookaround) so the DuckDB oracle
+    * can mirror redaction exactly. */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+
+  /** IPv4 pattern (dotted quad, no word boundaries — see [[EmailRe]]). */
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** PII redaction: replace emails then IPv4s with typed placeholder
+    * tags. Order matters — the email pattern consumes dotted hosts
+    * before the looser IP pattern can see them. Pure per-row codegen
+    * regex, no shuffle. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRe, "<EMAIL>"),
+      Ipv4Re, "<IP>")
+
   def normalized(text: Column): Column =
     // explicit whitespace class, not \s: Java regex \s includes \x0B
     // (vertical tab) while the oracle's RE2 \s does not — the engines

@@ -801,6 +801,23 @@ object OracleSql {
          |SELECT x.doc AS a, y.doc AS b, COUNT(*)::BIGINT AS shared
          |FROM fr x JOIN fr y ON x.fp = y.fp AND x.doc < y.doc
          |GROUP BY x.doc, y.doc HAVING COUNT(*) >= 2
-         |ORDER BY a, b""".stripMargin
+         |ORDER BY a, b""".stripMargin,
+
+    // PII redaction over an in-query derived column (emails then IPv4s;
+    // Spark regexp_replace is global, DuckDB needs 'g').
+    "x72_pii_redaction" ->
+      """WITH p AS (SELECT doc_id,
+        |  lang || '@' || source || '.com from 10.1.2.' ||
+        |    (doc_id % 254)::VARCHAR || ' ' || substr(text, 1, 40) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(t,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS redacted,
+        |  len(regexp_extract_all(t,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))::BIGINT AS n_email,
+        |  len(regexp_extract_all(t,
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}'))::BIGINT AS n_ip
+        |FROM p ORDER BY doc_id""".stripMargin
   )
 }

@@ -740,6 +740,23 @@ object Queries {
     Dedup.winnowingNearDupPairs(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("a", "b")
 
+  /** X72 — PII redaction: emails and IPv4s replaced with typed tags,
+    * plus per-row match counts. The PII-bearing column is derived from
+    * table data in-query (the synthetic corpus itself contains none),
+    * so the redaction path is exercised on every row. */
+  def x72(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Text
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("lang"), lit("@"), col("source"), lit(".com from 10.1.2."),
+        pmod(col("doc_id"), lit(254)).cast("string"), lit(" "),
+        substring(col("text"), 1, 40)).as("t"))
+    docs.select(col("doc_id"),
+        Text.redactPii(col("t")).as("redacted"),
+        regexp_count(col("t"), lit(Text.EmailRe)).cast("bigint").as("n_email"),
+        regexp_count(col("t"), lit(Text.Ipv4Re)).cast("bigint").as("n_ip"))
+      .orderBy("doc_id")
+  }
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -822,5 +839,6 @@ object Queries {
     "x68_token_budget_mix" -> (x68 _),
     "x69_multimodal_curation" -> (x69 _),
     "x70_winnowing" -> (x70 _),
-    "x71_winnowing_neardup" -> (x71 _))
+    "x71_winnowing_neardup" -> (x71 _),
+    "x72_pii_redaction" -> (x72 _))
 }

@@ -44,6 +44,19 @@ class TextAnalysisSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("redactPii replaces emails and IPs with typed tags, leaves clean text") {
+    val got = Seq(
+        "mail bob.smith+x@corp.example.org now",
+        "host 192.168.0.1 and 10.0.0.255 up",
+        "no pii here at all")
+      .toDF("t").select(graft.functions.Text.redactPii(col("t")))
+      .as[String].collect().toSeq
+    assert(got === Seq(
+      "mail <EMAIL> now",
+      "host <IP> and <IP> up",
+      "no pii here at all"))
+  }
+
   test("tfidfTopTerms k larger than vocab returns every term once") {
     val docs = Seq((1L, "x y"), (2L, "y z")).toDF("doc_id", "text")
     val got = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 10)
