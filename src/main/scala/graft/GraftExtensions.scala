@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{DotProduct, NgramDistinctCount, SortedIntersectCount, WordShingleHashes}
+import graft.functions.expressions.{DotProduct, NgramDistinctCount, SortedIntersectCount, WinnowedMins, WordShingleHashes}
 
 /** SparkSessionExtensions hook exposing the graft codegen expressions
   * to SQL (SURVEY §4.3: extensions are injected, Spark is never
@@ -67,6 +67,46 @@ object GraftExtensions {
               s"n-gram size must be an integer literal, got $other")
           }
           NgramDistinctCount(args(0), n)
+        }),
+      // Scalar string functions rebuilt as direct Catalyst trees (the
+      // Column->Expression bridge yields Unevaluable nodes inside the
+      // registry, where no analyzer pass resolves them); the regex
+      // constants are shared with graft.functions.Text so the SQL and
+      // DataFrame forms cannot drift.
+      ("graft_normalize",
+        info("graft_normalize",
+          "graft_normalize(text) - canonical form: lowercase, whitespace→space, strip punctuation"),
+        { args: Seq[Expression] =>
+          require(args.length == 1, "graft_normalize(text) takes 1 argument")
+          import org.apache.spark.sql.catalyst.expressions.{Literal, Lower, RegExpReplace, StringTrim}
+          import graft.functions.Text
+          StringTrim(RegExpReplace(RegExpReplace(RegExpReplace(Lower(args(0)),
+            Literal(Text.WsRunRe), Literal(" ")),
+            Literal(Text.NonCanonRe), Literal("")),
+            Literal(" +"), Literal(" ")))
+        }),
+      ("graft_redact_pii",
+        info("graft_redact_pii",
+          "graft_redact_pii(text) - replace emails/IPv4s with <EMAIL>/<IP> tags"),
+        { args: Seq[Expression] =>
+          require(args.length == 1, "graft_redact_pii(text) takes 1 argument")
+          import org.apache.spark.sql.catalyst.expressions.{Literal, RegExpReplace}
+          import graft.functions.Text
+          RegExpReplace(RegExpReplace(args(0),
+            Literal(Text.EmailRe), Literal("<EMAIL>")),
+            Literal(Text.Ipv4Re), Literal("<IP>"))
+        }),
+      ("graft_winnow",
+        info("graft_winnow",
+          "graft_winnow(gram_hashes, w) - deduped sliding-window minima (winnowing fingerprints)"),
+        { args: Seq[Expression] =>
+          require(args.length == 2, "graft_winnow(gram_hashes, w) takes 2 arguments")
+          val w = args(1) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+            case other => throw new IllegalArgumentException(
+              s"window size must be an integer literal, got $other")
+          }
+          WinnowedMins(args(0), w)
         }))
 
   /** Register on an already-built session (tests, notebooks). */

@@ -36,6 +36,18 @@ object Text {
     * byte dedup misses while staying a pure per-row codegen expression.
     * (ASCII canon — the corpus convention; locale-sensitive casing is
     * out of scope.) */
+  /** Winnowed minima over a positional gram-hash array: the minimum of
+    * every `w`-long sliding window, deduped — the fingerprint-selection
+    * step of SIGMOD'03 winnowing ([[graft.operators.Dedup
+    * .winnowedFingerprints]] pairs it with the codegen gram hasher).
+    * Fewer than w grams → one whole-array window; empty → empty. */
+  def winnowedMins(grams: Column, w: Int): Column =
+    when(size(grams) >= w,
+      array_distinct(transform(sequence(lit(0), size(grams) - w),
+        i => array_min(slice(grams, i + lit(1), lit(w))))))
+      .otherwise(when(size(grams) > 0, array(array_min(grams)))
+        .otherwise(array().cast("array<long>")))
+
   /** Email-address pattern, restricted to syntax Java regex and RE2
     * interpret identically (no \b, no lookaround) so the DuckDB oracle
     * can mirror redaction exactly. */
@@ -53,14 +65,19 @@ object Text {
       regexp_replace(text, EmailRe, "<EMAIL>"),
       Ipv4Re, "<IP>")
 
+  /** Explicit whitespace-run class, not \s: Java regex \s includes \x0B
+    * (vertical tab) while the oracle's RE2 \s does not — the engines
+    * would canonicalize VT-separated words differently. */
+  val WsRunRe = "[ \\t\\n\\x0B\\f\\r]+"
+
+  /** Everything the canonical form strips (after casing + ws mapping). */
+  val NonCanonRe = "[^a-z0-9 ]+"
+
   def normalized(text: Column): Column =
-    // explicit whitespace class, not \s: Java regex \s includes \x0B
-    // (vertical tab) while the oracle's RE2 \s does not — the engines
-    // would canonicalize VT-separated words differently
     trim(regexp_replace(
       regexp_replace(
-        regexp_replace(lower(text), "[ \\t\\n\\x0B\\f\\r]+", " "),
-        "[^a-z0-9 ]+", ""),
+        regexp_replace(lower(text), WsRunRe, " "),
+        NonCanonRe, ""),
       " +", " "))
 
   /** EXACT distinct n-gram count over a token array in one codegen pass

@@ -194,3 +194,69 @@ case class NgramDistinctCount(child: Expression, n: Int)
   override protected def withNewChildInternal(newChild: Expression): NgramDistinctCount =
     copy(child = newChild)
 }
+
+/** Winnowed sliding-window minima (the fingerprint-selection step of
+  * SIGMOD'03 winnowing) over a positional gram-hash array: the minimum
+  * of every `w`-long window, deduped in first-occurrence order. O(n)
+  * monotonic-deque scan — the HOF twin in graft.functions.Text
+  * (`winnowedMins`, array_min-per-slice) is O(n·w) and interpreted;
+  * tests pin equality. Fewer than w grams → one whole-array window;
+  * empty → empty.
+  *
+  * Both eval paths call the SAME [[WinnowKernel.winnow]] body (the
+  * generated code is a static call), so interpreted and codegen modes
+  * cannot drift. */
+case class WinnowedMins(child: Expression, w: Int)
+    extends UnaryExpression {
+
+  require(w >= 1, s"window size must be >= 1, got $w")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowKernel.winnow(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, g =>
+      s"${ev.value} = graft.functions.expressions.WinnowKernel.winnow($g, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowedMins =
+    copy(child = newChild)
+}
+
+object WinnowKernel {
+  /** Shared eval body for [[WinnowedMins]] (called from generated code
+    * too — keep the signature Java-friendly). */
+  def winnow(grams: ArrayData, w: Int): ArrayData = {
+    val m = grams.numElements()
+    if (m == 0) return new GenericArrayData(Array.empty[Long])
+    if (m < w) {
+      var mn = Long.MaxValue
+      var i = 0
+      while (i < m) { val v = grams.getLong(i); if (v < mn) mn = v; i += 1 }
+      return new GenericArrayData(Array(mn))
+    }
+    // monotonic deque of indices with increasing values; popping >= on
+    // entry keeps the RIGHTMOST minimum, but equal minima carry equal
+    // values so the emitted fingerprint is identical either way
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    val deque = new Array[Int](m)
+    var head = 0
+    var tail = 0
+    var i = 0
+    while (i < m) {
+      val v = grams.getLong(i)
+      while (tail > head && grams.getLong(deque(tail - 1)) >= v) tail -= 1
+      deque(tail) = i
+      tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) out.add(grams.getLong(deque(head)))
+      i += 1
+    }
+    val arr = new Array[Long](out.size())
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next(); j += 1 }
+    new GenericArrayData(arr)
+  }
+}

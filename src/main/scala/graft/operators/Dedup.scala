@@ -280,15 +280,12 @@ object Dedup {
     import org.apache.spark.sql.graft.ColumnBridge
     val grams = ColumnBridge.column(graft.functions.expressions.WordShingleHashes(
       ColumnBridge.expression(Text.tokens(col(textCol))), k))
-    val g = col("__g")
-    val fps =
-      when(size(g) >= w,
-        array_distinct(transform(sequence(lit(0), size(g) - w),
-          i => array_min(slice(g, i + lit(1), lit(w))))))
-      .otherwise(when(size(g) > 0, array(array_min(g)))
-        .otherwise(array().cast("array<long>")))
+    // codegen O(n) deque kernel; Text.winnowedMins is the HOF twin
+    // (O(n·w), interpreted) kept as executable spec — tests pin equality
+    val mins = ColumnBridge.column(graft.functions.expressions.WinnowedMins(
+      ColumnBridge.expression(col("__g")), w))
     df.select(col(idCol).as("doc"), grams.as("__g"))
-      .select(col("doc"), explode(fps).as("fp"))
+      .select(col("doc"), explode(mins).as("fp"))
   }
 
   /** Near-dup candidate pairs from shared winnowed fingerprints: the

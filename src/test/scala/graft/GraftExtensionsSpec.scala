@@ -23,6 +23,23 @@ class GraftExtensionsSpec extends SparkSpec {
   test("SQL form equals the Column-API form") {
     GraftExtensionsSpecHelpers.assertSqlEqualsColumn(spark)
   }
+
+  test("column-composition functions callable from SQL") {
+    GraftExtensions.register(spark)
+    Seq(("A -  B!", "x@y.io on 1.2.3.4", "a b c d e f"))
+      .toDF("raw", "pii", "text")
+      .createOrReplaceTempView("ext_probe2")
+    val row = spark.sql(
+      """SELECT graft_normalize(raw) AS canon,
+        |       graft_redact_pii(pii) AS red,
+        |       graft_winnow(graft_shingle_hashes(split(text, ' '), 3), 2) AS fps
+        |FROM ext_probe2""".stripMargin).head()
+    assert(row.getString(0) == "a b")
+    assert(row.getString(1) == "<EMAIL> on <IP>")
+    // 6 tokens -> 4 grams -> 3 windows of 2 -> <= 3 deduped minima
+    val fps = row.getSeq[Long](2)
+    assert(fps.nonEmpty && fps.length <= 3)
+  }
 }
 
 object GraftExtensionsSpecHelpers {

@@ -27,6 +27,21 @@ class WinnowingSpec extends SparkSpec {
     assert(fps.filter(col("doc") === 2).count() == 1) // 2 grams < w=4
   }
 
+  test("WinnowedMins kernel equals the HOF spec on the real corpus") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val toks = graft.functions.Text.tokens(col("text"))
+    val grams = ColumnBridge.column(graft.functions.expressions.WordShingleHashes(
+      ColumnBridge.expression(toks), 3))
+    val base = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), grams.as("g"))
+    val kernel = ColumnBridge.column(graft.functions.expressions.WinnowedMins(
+      ColumnBridge.expression(col("g")), 4))
+    val diff = base.select(col("doc_id"),
+        kernel.as("a"), graft.functions.Text.winnowedMins(col("g"), 4).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0, "kernel and HOF winnowing must agree on every doc")
+  }
+
   test("near-dup pairs: identical docs share all fingerprints, disjoint docs none") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     val other = (31 to 60).map(i => s"v$i").mkString(" ")
