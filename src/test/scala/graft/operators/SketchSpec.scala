@@ -10,6 +10,7 @@ import graft.sources.Tables
   * because sketch internals differ, so they're accuracy-tested against
   * the exact answers instead). */
 class SketchSpec extends SparkSpec {
+  import spark.implicits._
 
   private val dir = "/root/testdata/sf0.01"
 
@@ -41,5 +42,29 @@ class SketchSpec extends SparkSpec {
     info(f"p50: exact=$exact%.2f approx=$approx%.2f window=[${bounds.getDouble(0)}%.2f, ${bounds.getDouble(1)}%.2f]")
     assert(approx >= bounds.getDouble(0) && approx <= bounds.getDouble(1),
       s"approx p50 $approx outside rank-tolerance window")
+  }
+
+  test("count_min_sketch term frequencies: never undercount, within eps*N over") {
+    // the heavy-hitter sketch shape for corpus-scale term stats: ONE
+    // aggregation builds the mergeable sketch (executors each sketch a
+    // partition, partial-merge combines), the driver probes candidates
+    val terms = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+    val eps = 0.001
+    val sketchBytes = terms
+      .agg(count_min_sketch(col("term"), lit(eps), lit(0.99), lit(42)).as("s"))
+      .head().getAs[Array[Byte]]("s")
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchBytes))
+    val n = terms.count()
+    val truth = terms.groupBy("term").count()
+      .orderBy(col("count").desc).limit(20)
+      .as[(String, Long)].collect()
+    truth.foreach { case (t, exact) =>
+      val est = cms.estimateCount(t) // String probes hash the same UTF-8 bytes the agg added
+      assert(est >= exact, s"CMS undercounted '$t': $est < $exact")
+      assert(est <= exact + (eps * 2 * n).toLong,
+        s"CMS overcount for '$t' beyond 2*eps*N: $est vs $exact (N=$n)")
+    }
   }
 }
