@@ -1,0 +1,56 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Dedup
+
+/** The foreachBatch incremental-curation sink: stream-curating batches
+  * must land exactly the docs batch curation would keep — no frozen
+  * text, no text duplicated across or within batches. */
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("curateStream: dedups each batch against reference and prior batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-incr").toString
+    val refDir = s"$tmp/ref"; val curDir = s"$tmp/curated"; val ck = s"$tmp/ck"
+    Seq((1L, "frozen one"), (2L, "frozen two")).toDF("doc_id", "text")
+      .write.parquet(refDir)
+
+    val mem = MemoryStream[(Long, String)]
+    // batch 1: one frozen dup, one intra-batch dup pair, one fresh
+    mem.addData((10L, "frozen one"), (11L, "alpha beta"), (12L, "alpha beta"),
+      (13L, "gamma delta"))
+    val q1 = Incremental.curateStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", refDir, curDir, ck)
+    q1.awaitTermination()
+    // batch 2 (new query, same checkpoint): cross-batch dup + fresh
+    mem.addData((20L, "alpha beta"), (21L, "epsilon zeta"))
+    val q2 = Incremental.curateStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", refDir, curDir, ck)
+    q2.awaitTermination()
+
+    val curated = spark.read.parquet(curDir)
+      .as[(Long, String)].collect().toSet
+    assert(curated == Set(
+      (11L, "alpha beta"),   // min-id representative of the intra-batch pair
+      (13L, "gamma delta"),
+      (21L, "epsilon zeta")), // 20's text already curated in batch 1
+      s"unexpected curated store: $curated")
+
+    // parity: batch curation over the full arrivals keeps the same texts
+    val all = Seq((10L, "frozen one"), (11L, "alpha beta"), (12L, "alpha beta"),
+      (13L, "gamma delta"), (20L, "alpha beta"), (21L, "epsilon zeta"))
+      .toDF("doc_id", "text")
+    val reps = Dedup.exactDedup(all, "doc_id", "text").select("doc_id")
+    val batchCurated = Dedup.dedupAgainstReference(
+        all.join(reps, Seq("doc_id"), "left_semi"),
+        spark.read.parquet(refDir), "doc_id", "text")
+      .as[(Long, String)].collect().toSet
+    assert(batchCurated == curated, "stream and batch curation must agree")
+  }
+}
