@@ -48,4 +48,22 @@ object Vectors {
     * candidate pair). */
   def cosineWithNorms(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / (normA * normB)
+
+  /** Symmetric per-vector int8 quantization scale: max|x|/127, floored
+    * at 1e-30 so an all-zero vector quantizes to zeros instead of NaN.
+    * At 100 TB the point is storage/shuffle: float32[d] → int8[d] + one
+    * double is a ~4× reduction for ANN candidate stores and shipped
+    * broadcast sides; cosine on dequantized vectors stays within ~1e-3
+    * of exact (spec-pinned). */
+  def int8Scale(v: Column): Column =
+    greatest(array_max(transform(v, x => abs(x.cast("double")))), lit(1e-30))
+      ./(lit(127d))
+
+  /** Quantize to int8 with the given scale (round half-up, as DuckDB). */
+  def quantizeInt8(v: Column, scale: Column): Column =
+    transform(v, x => round(x.cast("double") / scale).cast("tinyint"))
+
+  /** Reconstruct float64 values from (q, scale). */
+  def dequantizeInt8(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale)
 }

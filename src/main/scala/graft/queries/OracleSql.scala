@@ -818,6 +818,18 @@ object OracleSql {
         |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))::BIGINT AS n_email,
         |  len(regexp_extract_all(t,
         |    '([0-9]{1,3}\.){3}[0-9]{1,3}'))::BIGINT AS n_ip
-        |FROM p ORDER BY doc_id""".stripMargin
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // Symmetric int8 quantization: scale = max|x|/127 (floored at
+    // 1e-30), codes = round(x/scale); q computed with the UNROUNDED
+    // scale on both engines, only the reported scale is rounded.
+    "x73_int8_quantize" ->
+      s"""WITH $embCte,
+         |s AS (SELECT vec_id, v,
+         |  greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) / 127
+         |    AS scale_raw FROM e)
+         |SELECT vec_id, ROUND(scale_raw, 6) AS scale,
+         |  list_transform(v, x -> round(x / scale_raw)::TINYINT) AS q
+         |FROM s ORDER BY vec_id""".stripMargin
   )
 }

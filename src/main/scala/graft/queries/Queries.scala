@@ -757,6 +757,19 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** X73 — int8 embedding quantization: symmetric per-vector scale
+    * (max|x|/127) + rounded int8 codes — the 4× storage/shuffle
+    * reduction applied before embeddings are stored or broadcast. */
+  def x73(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Vectors
+    Tables.embeddings(s, dir)
+      .withColumn("scale_raw", Vectors.int8Scale(col("embedding")))
+      .select(col("vec_id"),
+        round(col("scale_raw"), 6).as("scale"),
+        Vectors.quantizeInt8(col("embedding"), col("scale_raw")).as("q"))
+      .orderBy("vec_id")
+  }
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -840,5 +853,6 @@ object Queries {
     "x69_multimodal_curation" -> (x69 _),
     "x70_winnowing" -> (x70 _),
     "x71_winnowing_neardup" -> (x71 _),
-    "x72_pii_redaction" -> (x72 _))
+    "x72_pii_redaction" -> (x72 _),
+    "x73_int8_quantize" -> (x73 _))
 }

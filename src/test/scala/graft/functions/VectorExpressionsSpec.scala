@@ -105,4 +105,21 @@ class VectorExpressionsSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("int8 quantize: dequantized cosine >= 0.995 vs exact on every corpus vector") {
+    import org.apache.spark.sql.functions.{col, min => sqlMin}
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .withColumn("scale", Vectors.int8Scale(col("embedding")))
+      .withColumn("q", Vectors.quantizeInt8(col("embedding"), col("scale")))
+      .withColumn("deq", Vectors.dequantizeInt8(col("q"), col("scale")))
+    val worst = e.select(Vectors.cosine(
+        Vectors.toDouble(col("embedding")), col("deq")).as("c"))
+      .agg(sqlMin(col("c"))).head().getDouble(0)
+    assert(worst >= 0.995, s"int8 reconstruction too lossy: worst cosine $worst")
+    val zeros = Seq((1L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+      .select(Vectors.quantizeInt8(col("embedding"),
+        Vectors.int8Scale(col("embedding"))).as("q"))
+      .head().getSeq[Byte](0)
+    assert(zeros == Seq(0, 0), "zero vector must quantize to zeros, not NaN")
+  }
 }
