@@ -33,4 +33,23 @@ class AnnRecallSpec extends SparkSpec {
     // still be a subset of what a full scan would rank
     assert((multi -- truth).forall { case (q, _) => queries.contains(q.toInt) })
   }
+
+  test("int8-quantized vectors preserve brute-force top-k (recall >= 0.8)") {
+    // the storage path: rank over DEQUANTIZED int8 codes and compare to
+    // exact float ranking — quantization must not reshuffle neighbors
+    import org.apache.spark.sql.functions.col
+    import graft.functions.Vectors
+    val emb = Tables.embeddings(spark, dir)
+    val truth = resultSet(Similarity.cosineTopK(emb, "vec_id", "embedding", queries, k))
+    val deq = emb
+      .withColumn("__s", Vectors.int8Scale(col("embedding")))
+      .withColumn("embedding",
+        Vectors.dequantizeInt8(
+          Vectors.quantizeInt8(col("embedding"), col("__s")), col("__s")))
+      .drop("__s")
+    val got = resultSet(Similarity.cosineTopK(deq, "vec_id", "embedding", queries, k))
+    val recall = (got intersect truth).size.toDouble / truth.size
+    info(f"int8 recall@$k: $recall%.2f")
+    assert(recall >= 0.8, s"quantization reshuffled the neighborhood: recall $recall")
+  }
 }
