@@ -37,6 +37,26 @@ object Relational {
       .drop("__thr")
   }
 
+  /** Per-group IQR outlier flagging (Tukey fences): rows outside
+    * [q1 − f·IQR, q3 + f·IQR] of their group — the numeric-column twin
+    * of the text quality filters. Same plan shape as
+    * [[keepAboveGroupQuantile]]: one percentile agg per group (both
+    * quartiles in one pass), broadcast re-join, per-row compare; fences
+    * are rounded so membership at a fence is engine-portable. */
+  def iqrOutliers(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      fence: Double = 1.5, roundDigits: Int = 4): DataFrame = {
+    val fences = df.groupBy(groupCols.map(col): _*)
+      .agg(percentile(col(valueCol), lit(0.25)).as("__q1"),
+        percentile(col(valueCol), lit(0.75)).as("__q3"))
+      .select((groupCols.map(col) :+
+        round(col("__q1") - lit(fence) * (col("__q3") - col("__q1")), roundDigits).as("__lo") :+
+        round(col("__q3") + lit(fence) * (col("__q3") - col("__q1")), roundDigits).as("__hi")): _*)
+    df.join(broadcast(fences), groupCols)
+      .filter(col(valueCol) < col("__lo") || col(valueCol) > col("__hi"))
+      .drop("__lo", "__hi")
+  }
+
   def projectExcept(df: DataFrame, base: Seq[String], exclude: Set[String]): DataFrame = {
     val keep = base ++ df.columns.filterNot(c => exclude.contains(c) || base.contains(c))
     df.select(keep.map(col): _*)

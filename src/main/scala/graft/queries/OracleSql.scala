@@ -830,6 +830,25 @@ object OracleSql {
          |    AS scale_raw FROM e)
          |SELECT vec_id, ROUND(scale_raw, 6) AS scale,
          |  list_transform(v, x -> round(x / scale_raw)::TINYINT) AS q
-         |FROM s ORDER BY vec_id""".stripMargin
+         |FROM s ORDER BY vec_id""".stripMargin,
+
+    // Per-nation IQR outliers (Tukey fences, 0.4×IQR — uniform data
+    // has no 1.5× tails) on rounded balances; fences rounded like the
+    // Spark side (quantile_cont ≡ Spark exact interpolated percentile —
+    // proven by t38/x59).
+    "x74_iqr_outliers" ->
+      """WITH c AS (SELECT c_custkey::BIGINT AS c_custkey,
+        |    c_nationkey::BIGINT AS c_nationkey,
+        |    ROUND(CAST(c_acctbal AS DOUBLE), 2) AS bal FROM customer),
+        |f AS (SELECT c_nationkey,
+        |    ROUND(quantile_cont(bal, 0.25)
+        |      - 0.4*(quantile_cont(bal, 0.75) - quantile_cont(bal, 0.25)), 4) AS lo,
+        |    ROUND(quantile_cont(bal, 0.75)
+        |      + 0.4*(quantile_cont(bal, 0.75) - quantile_cont(bal, 0.25)), 4) AS hi
+        |  FROM c GROUP BY c_nationkey)
+        |SELECT c.c_custkey, c.c_nationkey, c.bal
+        |FROM c JOIN f USING (c_nationkey)
+        |WHERE c.bal < f.lo OR c.bal > f.hi
+        |ORDER BY c_custkey""".stripMargin
   )
 }

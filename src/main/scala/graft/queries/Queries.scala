@@ -770,6 +770,21 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  /** X74 — per-nation IQR outliers on customer balances (Tukey
+    * fences). Fence 0.4, not the textbook 1.5: the synthetic balances
+    * are uniform, which has NO 1.5×IQR tails (the gate would verify an
+    * empty set); 0.4 trims the outer ~10% per nation so the fence
+    * arithmetic, grouping, and both-sided compare are all exercised. */
+  def x74(s: SparkSession, dir: String): DataFrame =
+    Relational.iqrOutliers(
+        Tables.customer(s, dir)
+          .select(bi(col("c_custkey")).as("c_custkey"),
+            bi(col("c_nationkey")).as("c_nationkey"),
+            round(col("c_acctbal").cast("double"), 2).as("bal")),
+        groupCols = Seq("c_nationkey"), valueCol = "bal", fence = 0.4)
+      .select(col("c_custkey"), col("c_nationkey"), col("bal"))
+      .orderBy("c_custkey")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -854,5 +869,6 @@ object Queries {
     "x70_winnowing" -> (x70 _),
     "x71_winnowing_neardup" -> (x71 _),
     "x72_pii_redaction" -> (x72 _),
-    "x73_int8_quantize" -> (x73 _))
+    "x73_int8_quantize" -> (x73 _),
+    "x74_iqr_outliers" -> (x74 _))
 }

@@ -87,4 +87,15 @@ class RelationalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"no WindowExec expected in:\n$plan")
   }
+
+  test("iqrOutliers flags only the rows outside their own group's fences") {
+    // group a: {10..14} tight cluster + 100 (way out); group b: all tight
+    val df = (Seq((1L, "a", 10.0), (2L, "a", 11.0), (3L, "a", 12.0),
+        (4L, "a", 13.0), (5L, "a", 14.0), (6L, "a", 100.0)) ++
+      (10 to 15).map(i => (i.toLong, "b", 50.0 + (i % 3))))
+      .toDF("id", "g", "v")
+    val got = Relational.iqrOutliers(df, Seq("g"), "v")
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(6L), s"expected only the group-a extreme, got $got")
+  }
 }
