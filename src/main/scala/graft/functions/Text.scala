@@ -28,25 +28,20 @@ object Text {
   /** Token count by whitespace. */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("bigint")
 
-  /** Canonical text form for fuzzy-exact dedup: lowercase, map ALL
-    * whitespace runs to single spaces FIRST (so "a\tb" stays two words
-    * instead of fusing to "ab" when the punctuation strip runs), then
-    * strip non-alphanumerics, collapse the space runs that stripping
-    * opens up, trim. Catches the case/punctuation/whitespace variants
-    * byte dedup misses while staying a pure per-row codegen expression.
-    * (ASCII canon — the corpus convention; locale-sensitive casing is
-    * out of scope.) */
   /** Winnowed minima over a positional gram-hash array: the minimum of
     * every `w`-long sliding window, deduped — the fingerprint-selection
     * step of SIGMOD'03 winnowing ([[graft.operators.Dedup
     * .winnowedFingerprints]] pairs it with the codegen gram hasher).
-    * Fewer than w grams → one whole-array window; empty → empty. */
+    * Fewer than w grams → one whole-array window; empty → empty;
+    * null → null (matching the kernel expression's null-in/null-out,
+    * so the equality pin covers null rows too). */
   def winnowedMins(grams: Column, w: Int): Column =
-    when(size(grams) >= w,
-      array_distinct(transform(sequence(lit(0), size(grams) - w),
-        i => array_min(slice(grams, i + lit(1), lit(w))))))
-      .otherwise(when(size(grams) > 0, array(array_min(grams)))
-        .otherwise(array().cast("array<long>")))
+    when(grams.isNull, lit(null).cast("array<long>"))
+      .when(size(grams) >= w,
+        array_distinct(transform(sequence(lit(0), size(grams) - w),
+          i => array_min(slice(grams, i + lit(1), lit(w))))))
+      .when(size(grams) > 0, array(array_min(grams)))
+      .otherwise(array().cast("array<long>"))
 
   /** Email-address pattern, restricted to syntax Java regex and RE2
     * interpret identically (no \b, no lookaround) so the DuckDB oracle
@@ -73,6 +68,14 @@ object Text {
   /** Everything the canonical form strips (after casing + ws mapping). */
   val NonCanonRe = "[^a-z0-9 ]+"
 
+  /** Canonical text form for fuzzy-exact dedup: lowercase, map ALL
+    * whitespace runs to single spaces FIRST (so "a\tb" stays two words
+    * instead of fusing to "ab" when the punctuation strip runs), then
+    * strip non-alphanumerics, collapse the space runs that stripping
+    * opens up, trim. Catches the case/punctuation/whitespace variants
+    * byte dedup misses while staying a pure per-row codegen expression.
+    * (ASCII canon — the corpus convention; locale-sensitive casing is
+    * out of scope.) */
   def normalized(text: Column): Column =
     trim(regexp_replace(
       regexp_replace(

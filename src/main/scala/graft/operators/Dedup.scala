@@ -244,9 +244,22 @@ object Dedup {
     * itself, so correctness never rests on hash uniqueness (same
     * contract as [[exactDedupByDigest]]). */
   def dedupAgainstReference(
-      batch: DataFrame, reference: DataFrame, idCol: String, textCol: String): DataFrame = {
+      batch: DataFrame, reference: DataFrame, idCol: String, textCol: String): DataFrame =
+    dedupAgainstDigestedReference(batch,
+      reference.select(sha2(col(textCol), 256).as("__rdig"), col(textCol)),
+      idCol, textCol, "__rdig")
+
+  /** [[dedupAgainstReference]] when the reference side ALREADY carries
+    * its digest in `digCol` — the incremental-store shape: digests are
+    * computed once when a row is appended, so re-curating against the
+    * growing store never re-hashes previously curated text (without
+    * this, per-batch cost is O(total store) hashing and cumulative cost
+    * quadratic). */
+  def dedupAgainstDigestedReference(
+      batch: DataFrame, reference: DataFrame, idCol: String, textCol: String,
+      digCol: String): DataFrame = {
     val bd = batch.withColumn("__dig", sha2(col(textCol), 256))
-    val rd = reference.select(sha2(col(textCol), 256).as("__dig"), col(textCol))
+    val rd = reference.select(col(digCol).as("__dig"), col(textCol))
     // phase 1: digest-only candidate match — the corpus-wide shuffle
     // carries 32-byte digests, never documents
     val candidates = bd.join(rd.select("__dig").distinct(), Seq("__dig"), "left_semi")

@@ -32,17 +32,31 @@ object Relational {
     // make membership of a value AT the midpoint engine-dependent
     val thresholds = df.groupBy(groupCols.map(col): _*)
       .agg(round(percentile(col(valueCol), lit(q)), roundDigits).as("__thr"))
-    df.join(broadcast(thresholds), groupCols)
+    nullSafeGroupJoin(df, thresholds, groupCols)
       .filter(col(valueCol) >= col("__thr"))
       .drop("__thr")
+  }
+
+  /** Broadcast-join per-group stats back onto the rows with NULL-SAFE
+    * key equality: groupBy puts null keys in their own group, but a
+    * plain equi-join would silently drop every null-keyed row — an
+    * entire group escaping the filter. The stat side's keys are renamed
+    * before the <=> join and dropped after. */
+  private def nullSafeGroupJoin(
+      df: DataFrame, stats: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val renamed = groupCols.foldLeft(stats)((d, c) => d.withColumnRenamed(c, s"__k_$c"))
+    val cond = groupCols.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
+    df.join(broadcast(renamed), cond)
+      .drop(groupCols.map(c => s"__k_$c"): _*)
   }
 
   /** Per-group IQR outlier flagging (Tukey fences): rows outside
     * [q1 − f·IQR, q3 + f·IQR] of their group — the numeric-column twin
     * of the text quality filters. Same plan shape as
     * [[keepAboveGroupQuantile]]: one percentile agg per group (both
-    * quartiles in one pass), broadcast re-join, per-row compare; fences
-    * are rounded so membership at a fence is engine-portable. */
+    * quartiles in one pass), null-safe broadcast re-join (a null group
+    * key is a group too), per-row compare; fences are rounded so
+    * membership at a fence is engine-portable. */
   def iqrOutliers(
       df: DataFrame, groupCols: Seq[String], valueCol: String,
       fence: Double = 1.5, roundDigits: Int = 4): DataFrame = {
@@ -52,7 +66,7 @@ object Relational {
       .select((groupCols.map(col) :+
         round(col("__q1") - lit(fence) * (col("__q3") - col("__q1")), roundDigits).as("__lo") :+
         round(col("__q3") + lit(fence) * (col("__q3") - col("__q1")), roundDigits).as("__hi")): _*)
-    df.join(broadcast(fences), groupCols)
+    nullSafeGroupJoin(df, fences, groupCols)
       .filter(col(valueCol) < col("__lo") || col(valueCol) > col("__hi"))
       .drop("__lo", "__hi")
   }

@@ -637,7 +637,7 @@ object OracleSql {
          |      FROM documents doc JOIN qs ON qs.doc_id = doc.doc_id),
          |m AS (SELECT lang, ROUND(quantile_cont(quality, 0.5), 4) AS med FROM d GROUP BY lang)
          |SELECT d.doc_id, d.lang, d.quality
-         |FROM d JOIN m ON m.lang = d.lang
+         |FROM d JOIN m ON m.lang IS NOT DISTINCT FROM d.lang
          |WHERE d.quality >= m.med
          |ORDER BY d.doc_id""".stripMargin,
 
@@ -847,7 +847,7 @@ object OracleSql {
         |      + 0.4*(quantile_cont(bal, 0.75) - quantile_cont(bal, 0.25)), 4) AS hi
         |  FROM c GROUP BY c_nationkey)
         |SELECT c.c_custkey, c.c_nationkey, c.bal
-        |FROM c JOIN f USING (c_nationkey)
+        |FROM c JOIN f ON c.c_nationkey IS NOT DISTINCT FROM f.c_nationkey
         |WHERE c.bal < f.lo OR c.bal > f.hi
         |ORDER BY c_custkey""".stripMargin
   )

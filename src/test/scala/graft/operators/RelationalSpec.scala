@@ -98,4 +98,15 @@ class RelationalSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq
     assert(got == Seq(6L), s"expected only the group-a extreme, got $got")
   }
+
+  test("iqrOutliers screens the NULL group too (null-safe fence join)") {
+    val df = (Seq((1L, Option.empty[String], 10.0), (2L, None, 11.0),
+        (3L, None, 12.0), (4L, None, 13.0), (5L, None, 14.0),
+        (6L, None, 500.0)) ++
+      Seq((10L, Option("b"), 50.0), (11L, Option("b"), 51.0)))
+      .toDF("id", "g", "v")
+    val got = Relational.iqrOutliers(df, Seq("g"), "v")
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(6L), s"null-group outlier must be flagged, got $got")
+  }
 }

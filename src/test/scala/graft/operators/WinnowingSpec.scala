@@ -36,9 +36,12 @@ class WinnowingSpec extends SparkSpec {
       .select(col("doc_id"), grams.as("g"))
     val kernel = ColumnBridge.column(graft.functions.expressions.WinnowedMins(
       ColumnBridge.expression(col("g")), 4))
+    // null-safe inequality: =!= is NULL when either side is NULL, which
+    // would silently drop exactly the rows where the twins could
+    // diverge on null handling
     val diff = base.select(col("doc_id"),
         kernel.as("a"), graft.functions.Text.winnowedMins(col("g"), 4).as("b"))
-      .filter(col("a") =!= col("b")).count()
+      .filter(!(col("a") <=> col("b"))).count()
     assert(diff == 0, "kernel and HOF winnowing must agree on every doc")
   }
 

@@ -10,7 +10,8 @@ import graft.operators.Dedup
 
 /** The foreachBatch incremental-curation sink: stream-curating batches
   * must land exactly the docs batch curation would keep — no frozen
-  * text, no text duplicated across or within batches. */
+  * text, no text duplicated across or within batches, and a replayed
+  * batch must change nothing. */
 class IncrementalSpec extends SparkSpec {
   import spark.implicits._
 
@@ -35,14 +36,16 @@ class IncrementalSpec extends SparkSpec {
     q2.awaitTermination()
 
     val curated = spark.read.parquet(curDir)
-      .as[(Long, String)].collect().toSet
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
     assert(curated == Set(
       (11L, "alpha beta"),   // min-id representative of the intra-batch pair
       (13L, "gamma delta"),
       (21L, "epsilon zeta")), // 20's text already curated in batch 1
       s"unexpected curated store: $curated")
 
-    // parity: batch curation over the full arrivals keeps the same texts
+    // parity: batch curation over the full arrivals keeps the same rows
+    // here (each text's min id arrived in its earliest batch) — and the
+    // TEXT set must agree regardless of arrival order
     val all = Seq((10L, "frozen one"), (11L, "alpha beta"), (12L, "alpha beta"),
       (13L, "gamma delta"), (20L, "alpha beta"), (21L, "epsilon zeta"))
       .toDF("doc_id", "text")
@@ -50,7 +53,37 @@ class IncrementalSpec extends SparkSpec {
     val batchCurated = Dedup.dedupAgainstReference(
         all.join(reps, Seq("doc_id"), "left_semi"),
         spark.read.parquet(refDir), "doc_id", "text")
-      .as[(Long, String)].collect().toSet
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
     assert(batchCurated == curated, "stream and batch curation must agree")
+    assert(batchCurated.map(_._2) == curated.map(_._2),
+      "text sets must agree independent of arrival order")
+
+    // replay idempotency: re-running batch 1's data with a FRESH
+    // checkpoint (simulating a crash after the append committed but
+    // before the checkpoint did) must leave the store unchanged
+    val mem2 = MemoryStream[(Long, String)]
+    mem2.addData((10L, "frozen one"), (11L, "alpha beta"), (12L, "alpha beta"),
+      (13L, "gamma delta"))
+    val q3 = Incremental.curateStream(
+      mem2.toDF().toDF("doc_id", "text"), "doc_id", "text", refDir, curDir,
+      s"$tmp/ck2")
+    q3.awaitTermination()
+    val replayed = spark.read.parquet(curDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(replayed == curated, "replaying a committed batch must be a no-op")
+  }
+
+  test("curateBatch drops null-text rows instead of letting them bypass dedup") {
+    val tmp = Files.createTempDirectory("graft-incr-null").toString
+    val refDir = s"$tmp/ref"; val curDir = s"$tmp/curated"
+    Seq((1L, "frozen one")).toDF("doc_id", "text").write.parquet(refDir)
+    val batch = Seq((10L, Option("kept doc")), (11L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    Incremental.curateBatch(spark, batch, "doc_id", "text", refDir, curDir)
+    Incremental.curateBatch(spark, batch, "doc_id", "text", refDir, curDir)
+    val got = spark.read.parquet(curDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(got == Set((10L, "kept doc")),
+      s"null text must never land (and never duplicate on replay): $got")
   }
 }
