@@ -35,7 +35,12 @@ object Plans {
       // round-3 additions: session window, deterministic IVF, portable
       // sample, repetition, composed curation pipeline
       "t48_session_window", "x53_ivf_ann", "x54_hash_sample",
-      "x55_repetition", "x56_curation_pipeline")
+      "x55_repetition", "x56_curation_pipeline",
+      // round-3 curation tier: cached-tf TF-IDF, broadcast-gram
+      // decontamination, centroid re-join, winnowing inverted index,
+      // null-safe fence join
+      "x64_tfidf", "x65_decontamination", "x66_centroid_outliers",
+      "x70_winnowing", "x71_winnowing_neardup", "x74_iqr_outliers")
     (if (picked.nonEmpty) picked else targets).foreach { name =>
       println(s"\n════════ $name ════════")
       println(Queries.all(name)(spark, dir).queryExecution.explainString(

@@ -124,4 +124,32 @@ class SqlSurfaceSpec extends SparkSpec {
         |       ELSE 0.0D END AS dup_ratio
         |FROM documents ORDER BY doc_id""".stripMargin)
   }
+
+  test("x67 normalized dedup as SQL text via graft_normalize") {
+    assertSame("x67_normalized_dedup",
+      """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |FROM (SELECT doc_id, graft_normalize(text) AS nt FROM documents)
+        |GROUP BY nt ORDER BY doc_id""".stripMargin)
+  }
+
+  test("x70 winnowed fingerprints as SQL text via graft_winnow") {
+    assertSame("x70_winnowing",
+      """SELECT doc_id, fp FROM (
+        |  SELECT doc_id,
+        |    EXPLODE(graft_winnow(graft_shingle_hashes(SPLIT(text, ' '), 3), 4)) AS fp
+        |  FROM documents)
+        |ORDER BY doc_id, fp""".stripMargin)
+  }
+
+  test("x72 PII redaction as SQL text via graft_redact_pii") {
+    assertSame("x72_pii_redaction",
+      """WITH p AS (SELECT doc_id,
+        |  CONCAT(lang, '@', source, '.com from 10.1.2.',
+        |    CAST(PMOD(doc_id, 254) AS STRING), ' ', SUBSTRING(text, 1, 40)) AS t
+        |  FROM documents)
+        |SELECT doc_id, graft_redact_pii(t) AS redacted,
+        |  CAST(regexp_count(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}') AS BIGINT) AS n_email,
+        |  CAST(regexp_count(t, '([0-9]{1,3}\\.){3}[0-9]{1,3}') AS BIGINT) AS n_ip
+        |FROM p ORDER BY doc_id""".stripMargin)
+  }
 }
