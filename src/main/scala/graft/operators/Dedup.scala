@@ -273,6 +273,37 @@ object Dedup {
     batch.join(confirmed, Seq(idCol), "left_anti")
   }
 
+  /** Fuzzy incremental dedup: NEAR-duplicate pairs between a new batch
+    * and a frozen reference corpus — the production upgrade of the
+    * exact [[dedupAgainstReference]] (a lightly edited recrawl of a
+    * frozen page slips past byte/digest dedup; it does not slip past
+    * Jaccard ≥ threshold). Output rows are (a = batch id, b = reference
+    * id, jac) — the caller anti-joins `a` away or routes it to review.
+    *
+    * Scale shape: candidates come ONLY from cross-side band-bucket
+    * collisions — batch-internal and reference-internal pairs are never
+    * generated, so a batch that is tiny relative to the corpus probes
+    * the reference's band index instead of re-clustering it. The verify
+    * is [[jaccard]]'s prefiltered sorted-array merge-walk over the
+    * unioned shingle sets (id spaces MUST be disjoint across sides —
+    * the union keys per-doc sets by id). */
+  def minhashNearDupsAgainstReference(
+      batch: DataFrame, reference: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged): DataFrame = {
+    val bs = scope.persist(shingleHashes(batch, idCol, textCol, shingleSize))
+    val rs = scope.persist(shingleHashes(reference, idCol, textCol, shingleSize))
+    val bBands = lshBandKeys(minhashSignatures(bs, numHashes), numHashes, rowsPerBand)
+    val rBands = lshBandKeys(minhashSignatures(rs, numHashes), numHashes, rowsPerBand)
+    val pairs = bBands.select(col("band"), col("bkey"), col("doc").as("a"))
+      .join(rBands.select(col("band"), col("bkey"), col("doc").as("b")),
+        Seq("band", "bkey"))
+      .select(col("a"), col("b")).distinct()
+    jaccard(bs.unionByName(rs), pairs, minJaccard = threshold)
+      .where(col("jac") >= threshold)
+  }
+
   /** Winnowed document fingerprints (Schleimer/Wilkerson/Aiken,
     * "Winnowing: Local Algorithms for Document Fingerprinting",
     * SIGMOD 2003): hash every word k-gram in positional order (one

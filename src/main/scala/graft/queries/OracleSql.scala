@@ -849,6 +849,38 @@ object OracleSql {
         |SELECT c.c_custkey, c.c_nationkey, c.bal
         |FROM c JOIN f ON c.c_nationkey IS NOT DISTINCT FROM f.c_nationkey
         |WHERE c.bal < f.lo OR c.bal > f.hi
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+
+    // Fuzzy incremental dedup: batch (>= 400) vs frozen (< 400) LSH
+    // band collisions, exact Jaccard verify — pairs oriented
+    // (a = batch, b = reference), so the intersection is computed
+    // cross-side, not with the a < b convention of x41/x42.
+    "x75_neardup_incremental" ->
+      s"""WITH ${shingleCte(3)},
+         |js AS (SELECT unnest(range(16)) AS j),
+         |sig AS (
+         |  SELECT doc, j, MIN(((2*j+3)*h + 7*j+1) % $P) AS mh
+         |  FROM sh CROSS JOIN js GROUP BY doc, j),
+         |bands AS (
+         |  SELECT doc, j // 4 AS band, string_agg(mh::VARCHAR, ',' ORDER BY j) AS bkey
+         |  FROM sig GROUP BY doc, j // 4),
+         |pairs AS (
+         |  SELECT DISTINCT x.doc AS a, y.doc AS b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
+         |  WHERE x.doc >= 400 AND y.doc < 400),
+         |sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+         |inter AS (
+         |  SELECT x.doc AS a, y.doc AS b, COUNT(*) AS i
+         |  FROM sh x JOIN sh y ON x.h = y.h
+         |  WHERE x.doc >= 400 AND y.doc < 400
+         |  GROUP BY x.doc, y.doc)
+         |SELECT p.a, p.b,
+         |  ROUND(i.i::DOUBLE / (sa.sz + sb.sz - i.i)::DOUBLE, 4) AS jac
+         |FROM pairs p
+         |JOIN inter i ON p.a = i.a AND p.b = i.b
+         |JOIN sizes sa ON sa.doc = p.a
+         |JOIN sizes sb ON sb.doc = p.b
+         |WHERE ROUND(i.i::DOUBLE / (sa.sz + sb.sz - i.i)::DOUBLE, 4) >= 0.35
+         |ORDER BY p.a, p.b""".stripMargin
   )
 }

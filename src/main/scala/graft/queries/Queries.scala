@@ -785,6 +785,18 @@ object Queries {
       .select(col("c_custkey"), col("c_nationkey"), col("bal"))
       .orderBy("c_custkey")
 
+  /** X75 — fuzzy incremental dedup: near-dup pairs between the new
+    * batch (id ≥ 400) and the frozen corpus (id < 400) at Jaccard ≥
+    * 0.35 — catches the lightly-edited recrawl that x61's exact digest
+    * dedup lets through. */
+  def x75(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.minhashNearDupsAgainstReference(
+        docs.filter(col("doc_id") >= 400), docs.filter(col("doc_id") < 400),
+        "doc_id", "text", threshold = 0.35)
+      .orderBy("a", "b")
+  }
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -870,5 +882,6 @@ object Queries {
     "x71_winnowing_neardup" -> (x71 _),
     "x72_pii_redaction" -> (x72 _),
     "x73_int8_quantize" -> (x73 _),
-    "x74_iqr_outliers" -> (x74 _))
+    "x74_iqr_outliers" -> (x74 _),
+    "x75_neardup_incremental" -> (x75 _))
 }

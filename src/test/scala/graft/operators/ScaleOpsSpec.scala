@@ -122,6 +122,24 @@ class ScaleOpsSpec extends SparkSpec {
     assert(full == truth, "full probe must reproduce the exact ranking")
   }
 
+  test("minhashNearDupsAgainstReference: cross-side only, catches edited recrawls") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val edited = ((1 to 29).map(i => s"w$i") :+ "CHANGED").mkString(" ")
+    val ref = Seq((1L, base), (2L, (40 to 70).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, edited), (11L, edited),
+        (12L, (80 to 110).map(i => s"q$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupsAgainstReference(
+        batch, ref, "doc_id", "text", threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // both edited copies match the frozen original; the batch-internal
+    // dup pair (10,11) and ref-internal pairs are never emitted
+    assert(pairs == Set((10L, 1L), (11L, 1L)), s"got $pairs")
+    // exact digest dedup misses the edit entirely — nothing is removed
+    assert(Dedup.dedupAgainstReference(batch, ref, "doc_id", "text").count() == 3)
+  }
+
   test("centroidCosine: singleton group scores 1.0; symmetric pair scores equally") {
     val df = Seq(
         (1L, 0, Array(1.0f, 0.0f)),          // alone in group 0
