@@ -304,6 +304,22 @@ object Dedup {
       .where(col("jac") >= threshold)
   }
 
+  /** The drop form of [[minhashNearDupsAgainstReference]]: keep only
+    * batch docs with NO near-duplicate in the frozen corpus — exact
+    * incremental dedup's fuzzy upgrade as a filter (the anti-join keys
+    * on the pair list's batch side, so the plan is the pair pipeline
+    * plus one broadcast-able anti-join). */
+  def dropNearDupsAgainstReference(
+      batch: DataFrame, reference: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged): DataFrame = {
+    val matched = minhashNearDupsAgainstReference(batch, reference, idCol,
+        textCol, shingleSize, numHashes, rowsPerBand, threshold, scope)
+      .select(col("a").as(idCol)).distinct()
+    batch.join(matched, Seq(idCol), "left_anti")
+  }
+
   /** Winnowed document fingerprints (Schleimer/Wilkerson/Aiken,
     * "Winnowing: Local Algorithms for Document Fingerprinting",
     * SIGMOD 2003): hash every word k-gram in positional order (one

@@ -64,6 +64,37 @@ object OracleSql {
        |WHERE ROUND(i.i::DOUBLE / (sa.sz + sb.sz - i.i)::DOUBLE, 4) >= $threshold
        |ORDER BY p.a, p.b""".stripMargin
 
+  /** Cross-side (batch doc ≥ 400 vs frozen doc < 400) minhash-LSH
+    * near-dup pipeline, shared by x75 (pair list) and x76 (drop form):
+    * `matched` = (a = batch id, b = reference id, jac ≥ 0.35). */
+  private val crossNearDupCtes: String =
+    s"""${shingleCte(3)},
+       |js AS (SELECT unnest(range(16)) AS j),
+       |sig AS (
+       |  SELECT doc, j, MIN(((2*j+3)*h + 7*j+1) % $P) AS mh
+       |  FROM sh CROSS JOIN js GROUP BY doc, j),
+       |bands AS (
+       |  SELECT doc, j // 4 AS band, string_agg(mh::VARCHAR, ',' ORDER BY j) AS bkey
+       |  FROM sig GROUP BY doc, j // 4),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc AS a, y.doc AS b
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
+       |  WHERE x.doc >= 400 AND y.doc < 400),
+       |sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+       |inter AS (
+       |  SELECT x.doc AS a, y.doc AS b, COUNT(*) AS i
+       |  FROM sh x JOIN sh y ON x.h = y.h
+       |  WHERE x.doc >= 400 AND y.doc < 400
+       |  GROUP BY x.doc, y.doc),
+       |matched AS (
+       |  SELECT p.a, p.b,
+       |    ROUND(i.i::DOUBLE / (sa.sz + sb.sz - i.i)::DOUBLE, 4) AS jac
+       |  FROM pairs p
+       |  JOIN inter i ON p.a = i.a AND p.b = i.b
+       |  JOIN sizes sa ON sa.doc = p.a
+       |  JOIN sizes sb ON sb.doc = p.b
+       |  WHERE ROUND(i.i::DOUBLE / (sa.sz + sb.sz - i.i)::DOUBLE, 4) >= 0.35)""".stripMargin
+
   /** float64 view of embeddings + cosine helper. */
   private val embCte =
     "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
@@ -856,31 +887,15 @@ object OracleSql {
     // (a = batch, b = reference), so the intersection is computed
     // cross-side, not with the a < b convention of x41/x42.
     "x75_neardup_incremental" ->
-      s"""WITH ${shingleCte(3)},
-         |js AS (SELECT unnest(range(16)) AS j),
-         |sig AS (
-         |  SELECT doc, j, MIN(((2*j+3)*h + 7*j+1) % $P) AS mh
-         |  FROM sh CROSS JOIN js GROUP BY doc, j),
-         |bands AS (
-         |  SELECT doc, j // 4 AS band, string_agg(mh::VARCHAR, ',' ORDER BY j) AS bkey
-         |  FROM sig GROUP BY doc, j // 4),
-         |pairs AS (
-         |  SELECT DISTINCT x.doc AS a, y.doc AS b
-         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
-         |  WHERE x.doc >= 400 AND y.doc < 400),
-         |sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
-         |inter AS (
-         |  SELECT x.doc AS a, y.doc AS b, COUNT(*) AS i
-         |  FROM sh x JOIN sh y ON x.h = y.h
-         |  WHERE x.doc >= 400 AND y.doc < 400
-         |  GROUP BY x.doc, y.doc)
-         |SELECT p.a, p.b,
-         |  ROUND(i.i::DOUBLE / (sa.sz + sb.sz - i.i)::DOUBLE, 4) AS jac
-         |FROM pairs p
-         |JOIN inter i ON p.a = i.a AND p.b = i.b
-         |JOIN sizes sa ON sa.doc = p.a
-         |JOIN sizes sb ON sb.doc = p.b
-         |WHERE ROUND(i.i::DOUBLE / (sa.sz + sb.sz - i.i)::DOUBLE, 4) >= 0.35
-         |ORDER BY p.a, p.b""".stripMargin
+      s"""WITH $crossNearDupCtes
+         |SELECT a, b, jac FROM matched ORDER BY a, b""".stripMargin,
+
+    // Drop form of x75: the batch minus docs with any cross-side match.
+    "x76_neardup_drop" ->
+      s"""WITH $crossNearDupCtes
+         |SELECT d.doc_id, d.lang, d.source FROM documents d
+         |WHERE d.doc_id >= 400 AND NOT EXISTS (
+         |  SELECT 1 FROM matched m WHERE m.a = d.doc_id)
+         |ORDER BY d.doc_id""".stripMargin
   )
 }

@@ -797,6 +797,18 @@ object Queries {
       .orderBy("a", "b")
   }
 
+  /** X76 — fuzzy incremental dedup, drop form: the new batch with every
+    * doc near-duplicating the frozen corpus removed (x75's pair list
+    * applied as a filter). */
+  def x76(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.dropNearDupsAgainstReference(
+        docs.filter(col("doc_id") >= 400), docs.filter(col("doc_id") < 400),
+        "doc_id", "text", threshold = 0.35)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -883,5 +895,6 @@ object Queries {
     "x72_pii_redaction" -> (x72 _),
     "x73_int8_quantize" -> (x73 _),
     "x74_iqr_outliers" -> (x74 _),
-    "x75_neardup_incremental" -> (x75 _))
+    "x75_neardup_incremental" -> (x75 _),
+    "x76_neardup_drop" -> (x76 _))
 }
