@@ -279,14 +279,19 @@ object Dedup {
     * frozen page slips past byte/digest dedup; it does not slip past
     * Jaccard ≥ threshold). Output rows are (a = batch id, b = reference
     * id, jac) — the caller anti-joins `a` away or routes it to review.
+    * The two sides keep SEPARATE id spaces throughout (a recrawled page
+    * typically keeps its id, so colliding ids across sides are the
+    * normal case, not an error).
     *
     * Scale shape: candidates come ONLY from cross-side band-bucket
     * collisions — batch-internal and reference-internal pairs are never
-    * generated, so a batch that is tiny relative to the corpus probes
-    * the reference's band index instead of re-clustering it. The verify
-    * is [[jaccard]]'s prefiltered sorted-array merge-walk over the
-    * unioned shingle sets (id spaces MUST be disjoint across sides —
-    * the union keys per-doc sets by id). */
+    * generated — and the verify aggregates shingle sets ONLY for docs
+    * that appear in a candidate pair, so the frozen corpus is never
+    * re-collected wholesale. Per batch the reference still pays one
+    * shingle+signature pass; hoisting that into a precomputed
+    * (doc, band, bkey) index + stored shingle sets (the fuzzy analogue
+    * of [[dedupAgainstDigestedReference]]) is the next step if the
+    * reference side dominates. */
   def minhashNearDupsAgainstReference(
       batch: DataFrame, reference: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4,
@@ -300,8 +305,44 @@ object Dedup {
       .join(rBands.select(col("band"), col("bkey"), col("doc").as("b")),
         Seq("band", "bkey"))
       .select(col("a"), col("b")).distinct()
-    jaccard(bs.unionByName(rs), pairs, minJaccard = threshold)
+    jaccardCross(bs, rs, pairs, threshold)
+  }
+
+  /** Exact Jaccard for CROSS-SIDE candidate pairs: like [[jaccard]] but
+    * each pair side resolves against its OWN shingle table (overlapping
+    * ids across sides stay distinct documents), and both set
+    * aggregations are semi-joined down to candidate docs first — the
+    * verify cost is O(candidates), never O(corpus). */
+  private def jaccardCross(
+      bs: DataFrame, rs: DataFrame, pairs: DataFrame, threshold: Double,
+      roundDigits: Int = 4): DataFrame = {
+    def candSets(sh: DataFrame, side: Column) = sh
+      .join(pairs.select(side.as("doc")).distinct(), Seq("doc"), "left_semi")
+      .groupBy(col("doc"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"), count(lit(1)).as("sz"))
+    val aSets = candSets(bs, col("a"))
+    val bSets = candSets(rs, col("b"))
+    // size-ratio prefilter, same bound as in [[jaccard]]
+    val eps = math.pow(10.0, -roundDigits) / 2
+    val prefiltered = pairs
+      .join(aSets.select(col("doc").as("a"), col("sz").as("__sa")), Seq("a"))
+      .join(bSets.select(col("doc").as("b"), col("sz").as("__sb")), Seq("b"))
+      .where(least(col("__sa"), col("__sb")).cast("double") >=
+        lit(threshold - eps) * greatest(col("__sa"), col("__sb")).cast("double"))
+      .select(col("a"), col("b"))
+    import org.apache.spark.sql.graft.ColumnBridge
+    val inter = ColumnBridge.column(
+      graft.functions.expressions.SortedIntersectCount(
+        ColumnBridge.expression(col("ha")), ColumnBridge.expression(col("hb"))))
+    prefiltered
+      .join(aSets.select(col("doc").as("a"), col("hs").as("ha"), col("sz").as("sa")), Seq("a"))
+      .join(bSets.select(col("doc").as("b"), col("hs").as("hb"), col("sz").as("sb")), Seq("b"))
+      .withColumn("inter", inter)
+      .withColumn("jac", round(
+        col("inter").cast("double") /
+          (col("sa") + col("sb") - col("inter")).cast("double"), roundDigits))
       .where(col("jac") >= threshold)
+      .select(col("a"), col("b"), col("jac"))
   }
 
   /** The drop form of [[minhashNearDupsAgainstReference]]: keep only

@@ -64,18 +64,26 @@ object OracleSql {
        |WHERE ROUND(i.i::DOUBLE / (sa.sz + sb.sz - i.i)::DOUBLE, 4) >= $threshold
        |ORDER BY p.a, p.b""".stripMargin
 
-  /** Cross-side (batch doc ≥ 400 vs frozen doc < 400) minhash-LSH
-    * near-dup pipeline, shared by x75 (pair list) and x76 (drop form):
-    * `matched` = (a = batch id, b = reference id, jac ≥ 0.35). */
-  private val crossNearDupCtes: String =
-    s"""${shingleCte(3)},
-       |js AS (SELECT unnest(range(16)) AS j),
+  /** js/sig/bands minhash-banding CTEs over `sh` — ONE copy of the
+    * permHash arithmetic and band-key format, shared by x41's within-
+    * corpus pairs and the cross-side x75/x76 (a seed or band-width
+    * change edited in one gate but not the other would let the two
+    * silently diverge from the Spark implementation). */
+  private val minhashBandsCtes: String =
+    s"""js AS (SELECT unnest(range(16)) AS j),
        |sig AS (
        |  SELECT doc, j, MIN(((2*j+3)*h + 7*j+1) % $P) AS mh
        |  FROM sh CROSS JOIN js GROUP BY doc, j),
        |bands AS (
        |  SELECT doc, j // 4 AS band, string_agg(mh::VARCHAR, ',' ORDER BY j) AS bkey
-       |  FROM sig GROUP BY doc, j // 4),
+       |  FROM sig GROUP BY doc, j // 4)""".stripMargin
+
+  /** Cross-side (batch doc ≥ 400 vs frozen doc < 400) minhash-LSH
+    * near-dup pipeline, shared by x75 (pair list) and x76 (drop form):
+    * `matched` = (a = batch id, b = reference id, jac ≥ 0.35). */
+  private val crossNearDupCtes: String =
+    s"""${shingleCte(3)},
+       |$minhashBandsCtes,
        |pairs AS (
        |  SELECT DISTINCT x.doc AS a, y.doc AS b
        |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
@@ -476,13 +484,7 @@ object OracleSql {
 
     "x41_minhash_neardup" ->
       s"""WITH ${shingleCte(3)},
-         |js AS (SELECT unnest(range(16)) AS j),
-         |sig AS (
-         |  SELECT doc, j, MIN(((2*j+3)*h + 7*j+1) % $P) AS mh
-         |  FROM sh CROSS JOIN js GROUP BY doc, j),
-         |bands AS (
-         |  SELECT doc, j // 4 AS band, string_agg(mh::VARCHAR, ',' ORDER BY j) AS bkey
-         |  FROM sig GROUP BY doc, j // 4),
+         |$minhashBandsCtes,
          |pairs AS (
          |  SELECT DISTINCT x.doc AS a, y.doc AS b
          |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc < y.doc),

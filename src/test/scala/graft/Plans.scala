@@ -40,7 +40,9 @@ object Plans {
       // decontamination, centroid re-join, winnowing inverted index,
       // null-safe fence join
       "x64_tfidf", "x65_decontamination", "x66_centroid_outliers",
-      "x70_winnowing", "x71_winnowing_neardup", "x74_iqr_outliers")
+      "x70_winnowing", "x71_winnowing_neardup", "x74_iqr_outliers",
+      // cross-side LSH + candidate-only verify + (x76) anti-join
+      "x75_neardup_incremental", "x76_neardup_drop")
     (if (picked.nonEmpty) picked else targets).foreach { name =>
       println(s"\n════════ $name ════════")
       println(Queries.all(name)(spark, dir).queryExecution.explainString(

@@ -140,6 +140,22 @@ class ScaleOpsSpec extends SparkSpec {
     assert(Dedup.dedupAgainstReference(batch, ref, "doc_id", "text").count() == 3)
   }
 
+  test("minhashNearDupsAgainstReference: colliding ids across sides stay distinct docs") {
+    // a recrawl keeps its id — same doc_id on both sides must verify as
+    // two documents, never merge into one corrupted shingle set
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val edited = ((1 to 29).map(i => s"w$i") :+ "CHANGED").mkString(" ")
+    val ref = Seq((7L, base)).toDF("doc_id", "text")
+    val batch = Seq((7L, edited)).toDF("doc_id", "text")
+    val got = Dedup.minhashNearDupsAgainstReference(
+        batch, ref, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(p => (p._1, p._2)) == Seq((7L, 7L)), s"got $got")
+    // 29 shared of 31 union grams -> jac well under 1.0, above 0.5
+    assert(got.head._3 > 0.5 && got.head._3 < 1.0,
+      s"corrupted score (set merge would give 1.0 or a self-dup): ${got.head._3}")
+  }
+
   test("centroidCosine: singleton group scores 1.0; symmetric pair scores equally") {
     val df = Seq(
         (1L, 0, Array(1.0f, 0.0f)),          // alone in group 0
