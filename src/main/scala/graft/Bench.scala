@@ -41,13 +41,24 @@ object Bench {
         else times.sorted.apply(Runs / 2)
       name -> median
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Per-query times rounded to ms in the printed line: r3's full-
+    // precision line was truncated by the driver's stdout capture
+    // mid-dict ("parsed": null). The complete map is ALSO written to a
+    // file (like Verify's oracle_sql.json) so round-over-round
+    // comparisons never depend on tail-capture luck.
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val ok = results.values.filter(_ >= 0)
     val total = if (ok.nonEmpty) ok.sum else 0.0
     val failed = results.count(_._2 < 0)
     val skipped = SparkEntry.gateOnly.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$Runs,"failed":$failed,"gate_only_skipped":$skipped,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$Runs,"failed":$failed,"sf":"$sfDir","gate_only_skipped":$skipped,"queries":$qs}"""
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () } // the printed line is the contract
+    println(line)
     spark.stop()
   }
 }

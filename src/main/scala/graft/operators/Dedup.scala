@@ -268,9 +268,14 @@ object Dedup {
     // first semi-joined down to the colliding digests, so reference
     // text moves only for candidates — never the whole frozen corpus.
     val rtext = rd.join(candidates.select("__dig").distinct(), Seq("__dig"), "left_semi")
+    // The final anti-join keys on (id, digest), not id alone: ids are
+    // normally unique, but if a batch carries several rows under one id
+    // only the rows whose TEXT matched the reference are dropped — an
+    // id-only key would drop every same-id row, including distinct
+    // texts (r3 ADVICE).
     val confirmed = candidates.join(rtext, Seq("__dig", textCol), "left_semi")
-      .select(col(idCol))
-    batch.join(confirmed, Seq(idCol), "left_anti")
+      .select(col(idCol), col("__dig"))
+    bd.join(confirmed, Seq(idCol, "__dig"), "left_anti").drop("__dig")
   }
 
   /** Fuzzy incremental dedup: NEAR-duplicate pairs between a new batch
@@ -288,10 +293,12 @@ object Dedup {
     * generated — and the verify aggregates shingle sets ONLY for docs
     * that appear in a candidate pair, so the frozen corpus is never
     * re-collected wholesale. Per batch the reference still pays one
-    * shingle+signature pass; hoisting that into a precomputed
-    * (doc, band, bkey) index + stored shingle sets (the fuzzy analogue
-    * of [[dedupAgainstDigestedReference]]) is the next step if the
-    * reference side dominates. */
+    * shingle+signature pass — O(batches × corpus) cumulative with daily
+    * ingest; [[buildNearDupIndex]] + [[minhashNearDupsAgainstIndex]]
+    * hoist that pass into a precomputed store (the fuzzy analogue of
+    * [[dedupAgainstDigestedReference]]) and are the production path.
+    * This recompute form stays as the one-shot/ad-hoc twin and the
+    * executable spec the index path is pinned against. */
   def minhashNearDupsAgainstReference(
       batch: DataFrame, reference: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4,
@@ -320,8 +327,17 @@ object Dedup {
       .join(pairs.select(side.as("doc")).distinct(), Seq("doc"), "left_semi")
       .groupBy(col("doc"))
       .agg(sort_array(collect_list(col("h"))).as("hs"), count(lit(1)).as("sz"))
-    val aSets = candSets(bs, col("a"))
-    val bSets = candSets(rs, col("b"))
+    jaccardVerifyCross(candSets(bs, col("a")), candSets(rs, col("b")),
+      pairs, threshold, roundDigits)
+  }
+
+  /** The verify core of [[jaccardCross]], over PRE-AGGREGATED per-side
+    * set relations `(doc, hs sorted array, sz)` — callers trim each
+    * side to candidate docs first (semi-join), so the two array-carrying
+    * joins below move O(candidates) rows. */
+  private def jaccardVerifyCross(
+      aSets: DataFrame, bSets: DataFrame, pairs: DataFrame, threshold: Double,
+      roundDigits: Int = 4): DataFrame = {
     // size-ratio prefilter, same bound as in [[jaccard]]
     val eps = math.pow(10.0, -roundDigits) / 2
     val prefiltered = pairs
@@ -357,6 +373,102 @@ object Dedup {
       scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged): DataFrame = {
     val matched = minhashNearDupsAgainstReference(batch, reference, idCol,
         textCol, shingleSize, numHashes, rowsPerBand, threshold, scope)
+      .select(col("a").as(idCol)).distinct()
+    batch.join(matched, Seq(idCol), "left_anti")
+  }
+
+  /** Precomputed fuzzy-dedup reference index — the fuzzy analogue of
+    * the digest store behind [[dedupAgainstDigestedReference]]. Two
+    * relations, both computed ONCE when a document enters the frozen
+    * corpus and persisted (parquet via [[NearDupIndex.write]]):
+    *
+    *  - `bands`: (doc, band, bkey) — the doc's LSH bucket keys; the
+    *    probe side joins its own band keys against this, so candidate
+    *    generation never touches corpus text.
+    *  - `sets`: (doc, hs, sz) — the doc's sorted shingle-hash array +
+    *    size, the exact-Jaccard verify payload; semi-joined down to
+    *    candidate docs before it moves.
+    *
+    * The sketch parameters ride along so a probe can never silently
+    * run with a different shingle width or band layout than the index
+    * was built with. */
+  final case class NearDupIndex(
+      bands: DataFrame, sets: DataFrame,
+      shingleSize: Int, numHashes: Int, rowsPerBand: Int) {
+    /** Persist both relations under `dir` (bucketing by doc is the
+      * cluster upgrade; plain parquet keeps the demo portable). */
+    def write(dir: String): Unit = {
+      bands.write.mode("overwrite").parquet(s"$dir/bands")
+      sets.write.mode("overwrite").parquet(s"$dir/sets")
+    }
+    /** Append a new batch's index rows (the incremental-store shape:
+      * the curated store indexes each batch as it is admitted). */
+    def append(dir: String): Unit = {
+      bands.write.mode("append").parquet(s"$dir/bands")
+      sets.write.mode("append").parquet(s"$dir/sets")
+    }
+  }
+
+  object NearDupIndex {
+    def read(spark: org.apache.spark.sql.SparkSession, dir: String,
+        shingleSize: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4): NearDupIndex =
+      NearDupIndex(spark.read.parquet(s"$dir/bands"),
+        spark.read.parquet(s"$dir/sets"), shingleSize, numHashes, rowsPerBand)
+  }
+
+  /** Build the [[NearDupIndex]] for a (new slice of the) frozen corpus:
+    * one shingle pass feeds both the signature→band pipeline and the
+    * sorted-set aggregation. This is the ONLY time the corpus text is
+    * read for fuzzy dedup; every subsequent batch probes the stored
+    * index (Dedup.scala r3 VERDICT #2). */
+  def buildNearDupIndex(
+      reference: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged): NearDupIndex = {
+    val rs = scope.persist(shingleHashes(reference, idCol, textCol, shingleSize))
+    val bands = lshBandKeys(minhashSignatures(rs, numHashes), numHashes, rowsPerBand)
+    val sets = rs.groupBy(col("doc"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"), count(lit(1)).as("sz"))
+    NearDupIndex(bands, sets, shingleSize, numHashes, rowsPerBand)
+  }
+
+  /** [[minhashNearDupsAgainstReference]] against a precomputed
+    * [[NearDupIndex]]: per batch, only the BATCH is shingled and
+    * signed; the corpus side contributes its stored band keys to
+    * candidate generation and its stored shingle sets (candidate docs
+    * only) to the verify. Per-batch cost is O(batch + candidates)
+    * regardless of corpus size — the index is scanned, never rebuilt,
+    * and corpus TEXT is never touched. Output contract = the recompute
+    * form's: (a = batch id, b = reference id, jac ≥ threshold). */
+  def minhashNearDupsAgainstIndex(
+      batch: DataFrame, index: NearDupIndex, idCol: String, textCol: String,
+      threshold: Double = 0.5,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged): DataFrame = {
+    val bs = scope.persist(
+      shingleHashes(batch, idCol, textCol, index.shingleSize))
+    val bBands = lshBandKeys(
+      minhashSignatures(bs, index.numHashes), index.numHashes, index.rowsPerBand)
+    val pairs = bBands.select(col("band"), col("bkey"), col("doc").as("a"))
+      .join(index.bands.select(col("band"), col("bkey"), col("doc").as("b")),
+        Seq("band", "bkey"))
+      .select(col("a"), col("b")).distinct()
+    val aSets = bs
+      .join(pairs.select(col("a").as("doc")).distinct(), Seq("doc"), "left_semi")
+      .groupBy(col("doc"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"), count(lit(1)).as("sz"))
+    val bSets = index.sets
+      .join(pairs.select(col("b").as("doc")).distinct(), Seq("doc"), "left_semi")
+    jaccardVerifyCross(aSets, bSets, pairs, threshold)
+  }
+
+  /** Drop form of [[minhashNearDupsAgainstIndex]]: the batch minus docs
+    * with any near-duplicate in the indexed corpus. */
+  def dropNearDupsAgainstIndex(
+      batch: DataFrame, index: NearDupIndex, idCol: String, textCol: String,
+      threshold: Double = 0.5,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged): DataFrame = {
+    val matched = minhashNearDupsAgainstIndex(batch, index, idCol, textCol,
+        threshold, scope)
       .select(col("a").as(idCol)).distinct()
     batch.join(matched, Seq(idCol), "left_anti")
   }

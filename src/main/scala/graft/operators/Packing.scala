@@ -80,7 +80,12 @@ object Packing {
     * `capacity` get a singleton bin (they must be truncated downstream;
     * dropping them silently would skew the corpus). Output:
     * (idCol, bin_id) with bin_id bigint — encoded (partition << 32) |
-    * local-bin, collision-free up to 2^32 bins per partition. */
+    * local-bin, collision-free up to 2^32 bins per partition.
+    *
+    * Preconditions: `idCol` must be non-null, numeric (castable to
+    * long) and unique — ids identify packed items downstream; `sizeCol`
+    * must be >= 0 (a negative size would corrupt the free-capacity
+    * tree's accounting, so it fails fast like the capacity guard). */
   def packFirstFitDecreasing(
       df: DataFrame, idCol: String, sizeCol: String, capacity: Long): DataFrame = {
     require(capacity > 0, s"capacity must be positive: $capacity")
@@ -99,6 +104,7 @@ object Packing {
         val sorted = items.sortBy { case (id, sz, _) => (-sz, id) }
         val bins = new BinIndex
         sorted.iterator.map { case (id, sz, _) =>
+          require(sz >= 0, s"item size must be >= 0: id=$id size=$sz")
           val b = bins.firstFit(sz)
           val bin =
             if (b >= 0) { bins.update(b, bins.freeAt(b) - sz); b }

@@ -227,9 +227,14 @@ object Relational {
     * recent is the MIN of those n. The count guard preserves the
     * contract that fewer than n distinct values yield an empty result,
     * matching the old `row_number = n` filter.
+    *
+    * NULLs are ignored (filtered up front, like labelEncode): "n-th
+    * most recent value" is only meaningful over actual values, and
+    * min() would otherwise skip a null counted by the limit — fewer
+    * than n non-null distinct values yield an empty result.
     */
   def nthFromLastDistinct(df: DataFrame, column: String, n: Int): DataFrame =
-    df.select(col(column)).distinct()
+    df.select(col(column)).where(col(column).isNotNull).distinct()
       .orderBy(col(column).desc).limit(n)
       .agg(min(col(column)).as(column), count(lit(1)).as("__n"))
       .filter(col("__n") === n)

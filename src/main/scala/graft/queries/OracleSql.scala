@@ -854,16 +854,20 @@ object OracleSql {
         |FROM p ORDER BY doc_id""".stripMargin,
 
     // Symmetric int8 quantization: scale = max|x|/127 (floored at
-    // 1e-30), codes = round(x/scale); q computed with the UNROUNDED
-    // scale on both engines, only the reported scale is rounded.
+    // 1e-30), codes = round(x/scale); codes computed with the
+    // UNROUNDED scale on both engines, only the reported scale is
+    // rounded. Flattened to scalar (vec_id, scale, pos, code) rows —
+    // gate outputs may not contain array/list cells (SURVEY §2.6).
     "x73_int8_quantize" ->
       s"""WITH $embCte,
          |s AS (SELECT vec_id, v,
          |  greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) / 127
-         |    AS scale_raw FROM e)
-         |SELECT vec_id, ROUND(scale_raw, 6) AS scale,
-         |  list_transform(v, x -> round(x / scale_raw)::TINYINT) AS q
-         |FROM s ORDER BY vec_id""".stripMargin,
+         |    AS scale_raw FROM e),
+         |u AS (SELECT vec_id, scale_raw, v,
+         |  UNNEST(range(1, len(v)+1)) AS pos FROM s)
+         |SELECT vec_id, ROUND(scale_raw, 6) AS scale, pos::BIGINT AS pos,
+         |  round(v[pos] / scale_raw)::BIGINT AS code
+         |FROM u ORDER BY vec_id, pos""".stripMargin,
 
     // Per-nation IQR outliers (Tukey fences, 0.4×IQR — uniform data
     // has no 1.5× tails) on rounded balances; fences rounded like the
@@ -898,6 +902,14 @@ object OracleSql {
          |SELECT d.doc_id, d.lang, d.source FROM documents d
          |WHERE d.doc_id >= 400 AND NOT EXISTS (
          |  SELECT 1 FROM matched m WHERE m.a = d.doc_id)
-         |ORDER BY d.doc_id""".stripMargin
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // x77 probes a precomputed index instead of re-shingling the
+    // frozen corpus; the RESULT contract is identical to x75, so the
+    // oracle is the same SQL (index vs recompute is a plan property,
+    // pinned by NearDupIndexSpec's zero-corpus-scan assertion).
+    "x77_neardup_index" ->
+      s"""WITH $crossNearDupCtes
+         |SELECT a, b, jac FROM matched ORDER BY a, b""".stripMargin
   )
 }

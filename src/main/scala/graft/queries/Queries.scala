@@ -759,15 +759,21 @@ object Queries {
 
   /** X73 — int8 embedding quantization: symmetric per-vector scale
     * (max|x|/127) + rounded int8 codes — the 4× storage/shuffle
-    * reduction applied before embeddings are stored or broadcast. */
+    * reduction applied before embeddings are stored or broadcast.
+    * Output is flattened to one (vec_id, scale, pos, code) row per
+    * element (1-based pos): gate queries must emit only scalar
+    * columns — the driver's canonicalizer cannot sort array cells
+    * (SURVEY §2.6). */
   def x73(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Vectors
     Tables.embeddings(s, dir)
       .withColumn("scale_raw", Vectors.int8Scale(col("embedding")))
-      .select(col("vec_id"),
-        round(col("scale_raw"), 6).as("scale"),
-        Vectors.quantizeInt8(col("embedding"), col("scale_raw")).as("q"))
-      .orderBy("vec_id")
+      .select(col("vec_id"), round(col("scale_raw"), 6).as("scale"),
+        posexplode(Vectors.quantizeInt8(col("embedding"), col("scale_raw"))))
+      .select(col("vec_id"), col("scale"),
+        (col("pos") + 1).cast("bigint").as("pos"),
+        col("col").cast("bigint").as("code"))
+      .orderBy("vec_id", "pos")
   }
 
   /** X74 — per-nation IQR outliers on customer balances (Tukey
@@ -807,6 +813,19 @@ object Queries {
         "doc_id", "text", threshold = 0.35)
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy("doc_id")
+  }
+
+  /** X77 — fuzzy incremental dedup via the PRECOMPUTED reference index
+    * (the production path): build (bands, sets) for the frozen corpus
+    * once, then probe with the batch — same rows as x75's recompute
+    * form, but the probe plan never shingles or signs the corpus. */
+  def x77(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val index = Dedup.buildNearDupIndex(docs.filter(col("doc_id") < 400),
+      "doc_id", "text")
+    Dedup.minhashNearDupsAgainstIndex(docs.filter(col("doc_id") >= 400),
+        index, "doc_id", "text", threshold = 0.35)
+      .orderBy("a", "b")
   }
 
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
@@ -896,5 +915,6 @@ object Queries {
     "x73_int8_quantize" -> (x73 _),
     "x74_iqr_outliers" -> (x74 _),
     "x75_neardup_incremental" -> (x75 _),
-    "x76_neardup_drop" -> (x76 _))
+    "x76_neardup_drop" -> (x76 _),
+    "x77_neardup_index" -> (x77 _))
 }

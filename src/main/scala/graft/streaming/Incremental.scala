@@ -78,6 +78,86 @@ object Incremental {
       .write.mode("append").parquet(curatedDir)
   }
 
+  /** [[curateStream]] with a FUZZY layer on top of the exact digest
+    * dedup: after the digest anti-joins, each batch is probed against a
+    * persisted [[Dedup.NearDupIndex]] covering the frozen reference AND
+    * every previously admitted batch, so a lightly edited recrawl that
+    * slips past byte-exact dedup is dropped in-stream. The index lives
+    * at `indexDir` (SIBLING of the curated store, never inside it — a
+    * subdir would corrupt the store's own parquet listing), is built
+    * from the reference on first use, and each admitted batch appends
+    * its own band keys + shingle sets — the corpus and the curated
+    * history are never re-shingled (the exact path's stored-digest
+    * contract, extended to sketches). */
+  def curateStreamFuzzy(
+      docs: DataFrame, idCol: String, textCol: String,
+      referenceDir: String, curatedDir: String,
+      checkpointDir: String, indexDir: String,
+      fuzzyThreshold: Double = 0.8): StreamingQuery =
+    docs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        curateBatchFuzzy(spark, batch, idCol, textCol, referenceDir,
+          curatedDir, indexDir, fuzzyThreshold)
+      }
+      .start()
+
+  /** One fuzzy micro-batch: exact layers first (digest anti-joins are
+    * cheaper than any sketch — they thin the batch before shingling),
+    * then one probe of the stored index, then append + index the
+    * admitted rows.
+    *
+    * The admitted set is cut from its lineage (`localCheckpoint`)
+    * BEFORE the store/index writes: the probe plan reads both parquet
+    * relations it is about to append to, so a lazy re-evaluation after
+    * either write would see its own output and drop everything (the
+    * admitted rows would vanish from the index). On a multi-node
+    * cluster prefer a reliable `checkpoint()` — same cut, executor-loss
+    * safe. Crash window: if the job dies between the store append and
+    * the index append, the replayed batch still dedups exactly (the
+    * store has the rows); only fuzzy coverage of that one batch is
+    * missing until the index is rebuilt. */
+  private[streaming] def curateBatchFuzzy(
+      spark: SparkSession, batch: DataFrame, idCol: String, textCol: String,
+      referenceDir: String, curatedDir: String, indexDir: String,
+      threshold: Double): Unit = {
+    val clean = batch.filter(col(textCol).isNotNull)
+    val reps = Dedup.exactDedup(clean, idCol, textCol).select(idCol)
+    val deduped = clean.join(reps, Seq(idCol), "left_semi")
+    val vsRef = Dedup.dedupAgainstReference(
+      deduped, spark.read.parquet(referenceDir), idCol, textCol)
+    val exactFresh = curatedParquet(spark, curatedDir) match {
+      case Some(cur) => Dedup.dedupAgainstDigestedReference(
+        vsRef, cur, idCol, textCol, DigestCol)
+      case None => vsRef
+    }
+    val index = ensureIndex(spark, indexDir, referenceDir, idCol, textCol)
+    val admitted = Dedup.dropNearDupsAgainstIndex(
+        exactFresh, index, idCol, textCol, threshold)
+      .localCheckpoint()
+    admitted.withColumn(DigestCol, sha2(col(textCol), 256))
+      .write.mode("append").parquet(curatedDir)
+    Dedup.buildNearDupIndex(admitted, idCol, textCol,
+        index.shingleSize, index.numHashes, index.rowsPerBand)
+      .append(indexDir)
+  }
+
+  /** The near-dup index, built from the frozen reference on first use
+    * (one-time cost, the fuzzy analogue of the reference digest
+    * sidecar), read thereafter. */
+  private def ensureIndex(
+      spark: SparkSession, indexDir: String, referenceDir: String,
+      idCol: String, textCol: String): Dedup.NearDupIndex = {
+    val path = new org.apache.hadoop.fs.Path(s"$indexDir/bands")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path))
+      Dedup.buildNearDupIndex(
+        spark.read.parquet(referenceDir), idCol, textCol).write(indexDir)
+    Dedup.NearDupIndex.read(spark, indexDir)
+  }
+
   /** The curated store, if any batch has landed yet (first batch of a
     * fresh run has no directory to read). */
   private def curatedParquet(

@@ -19,8 +19,9 @@ object Stateful {
 
   /** Streaming first-occurrence dedup: emit the first element seen per
     * key, drop every later one. With `ttlMs > 0`, a key's memory
-    * expires that long after its processing time — duplicates arriving
-    * later than the TTL are treated as fresh (bounded-state dedup).
+    * expires `ttlMs` after the FIRST occurrence's processing time —
+    * the window is fixed, duplicates do not slide it, and anything
+    * arriving after it is treated as fresh (bounded-state dedup).
     * Batch twin: Dedup.exactDedup keyed on the same column (arrival
     * order vs min-id representative is the one declared divergence). */
   /** The state-transition function behind [[firstSeen]], exposed so a
@@ -28,19 +29,32 @@ object Stateful {
     * (processing-time timeouts are untestable through a real stream
     * without wall-clock races). */
   private[streaming] def firstSeenFunc[K, V](
-      ttlMs: Long): (K, Iterator[V], GroupState[Boolean]) => Iterator[V] =
-    (_: K, rows: Iterator[V], state: GroupState[Boolean]) =>
+      ttlMs: Long): (K, Iterator[V], GroupState[Long]) => Iterator[V] =
+    (_: K, rows: Iterator[V], state: GroupState[Long]) =>
       if (state.hasTimedOut) {
         state.remove()
         Iterator.empty
       } else if (state.exists) {
-        // Spark clears a pending timeout whenever the function runs
-        // for a key with new data — re-arm it here or the first
-        // duplicate would cancel the key's expiry permanently.
-        if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
-        Iterator.empty
+        if (ttlMs > 0) {
+          // The TTL is FIXED from first sight — duplicates do not
+          // slide it. Spark clears a pending timeout whenever the
+          // function runs for a key with new data, so re-arm with the
+          // REMAINING time (first-seen + ttl - now), and if that
+          // already elapsed (timeout hadn't fired yet), treat this
+          // arrival as fresh.
+          val now = state.getCurrentProcessingTimeMs()
+          val remaining = state.get + ttlMs - now
+          if (remaining <= 0) {
+            state.update(now)
+            state.setTimeoutDuration(ttlMs)
+            rows.take(1)
+          } else {
+            state.setTimeoutDuration(remaining)
+            Iterator.empty
+          }
+        } else Iterator.empty
       } else {
-        state.update(true)
+        state.update(if (ttlMs > 0) state.getCurrentProcessingTimeMs() else 0L)
         if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
         // rows of ONE micro-batch for a new key: keep the first
         rows.take(1)
@@ -52,9 +66,9 @@ object Stateful {
     val timeout =
       if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
-    implicit val boolEnc: Encoder[Boolean] = Encoders.scalaBoolean
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
     ds.groupByKey(key)
-      .flatMapGroupsWithState[Boolean, V](OutputMode.Append, timeout)(
+      .flatMapGroupsWithState[Long, V](OutputMode.Append, timeout)(
         firstSeenFunc[K, V](ttlMs))
   }
 

@@ -73,6 +73,68 @@ class IncrementalSpec extends SparkSpec {
     assert(replayed == curated, "replaying a committed batch must be a no-op")
   }
 
+  test("curateStreamFuzzy: edited recrawls are dropped in-stream; stream == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-incr-fuzzy").toString
+    val refDir = s"$tmp/ref"; val curDir = s"$tmp/curated"
+    val ck = s"$tmp/ck"; val idxDir = s"$tmp/ndindex"
+
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val frozen = words("ref", 40)
+    val frozenRecrawl = frozen + " lightly edited tail" // J ≈ 38/41
+    val storyA = words("alpha", 40)
+    val storyARecrawl = storyA + " appended update note"
+    val storyB = words("beta", 40)
+
+    Seq((1L, frozen)).toDF("doc_id", "text").write.parquet(refDir)
+
+    val mem = MemoryStream[(Long, String)]
+    // batch 1: recrawl of the FROZEN page (exact dedup would keep it —
+    // the bytes differ) + a genuinely fresh doc
+    mem.addData((10L, frozenRecrawl), (11L, storyA))
+    Incremental.curateStreamFuzzy(mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", refDir, curDir, ck, idxDir, fuzzyThreshold = 0.5)
+      .awaitTermination()
+    // batch 2: recrawl of a doc curated in batch 1 (caught only if the
+    // curated store APPENDED to the index) + a fresh doc
+    mem.addData((20L, storyARecrawl), (21L, storyB))
+    Incremental.curateStreamFuzzy(mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", refDir, curDir, ck, idxDir, fuzzyThreshold = 0.5)
+      .awaitTermination()
+
+    val curated = spark.read.parquet(curDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(curated == Set((11L, storyA), (21L, storyB)),
+      s"fuzzy layer must drop both edited recrawls: ${curated.map(_._1)}")
+
+    // stream ≡ batch parity: the same arrivals, same batch boundaries,
+    // driven through curateBatchFuzzy directly into a second store
+    val curDir2 = s"$tmp/curated2"; val idxDir2 = s"$tmp/ndindex2"
+    Incremental.curateBatchFuzzy(spark,
+      Seq((10L, frozenRecrawl), (11L, storyA)).toDF("doc_id", "text"),
+      "doc_id", "text", refDir, curDir2, idxDir2, threshold = 0.5)
+    Incremental.curateBatchFuzzy(spark,
+      Seq((20L, storyARecrawl), (21L, storyB)).toDF("doc_id", "text"),
+      "doc_id", "text", refDir, curDir2, idxDir2, threshold = 0.5)
+    val batchCurated = spark.read.parquet(curDir2)
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(batchCurated == curated, "stream and batch fuzzy curation must agree")
+
+    // replay idempotency: batch 1 re-run with a fresh checkpoint — the
+    // recrawl is still dropped, storyA now exact-dups itself, and the
+    // index must not double-count (store unchanged)
+    val mem2 = MemoryStream[(Long, String)]
+    mem2.addData((10L, frozenRecrawl), (11L, storyA))
+    Incremental.curateStreamFuzzy(mem2.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", refDir, curDir, s"$tmp/ck2", idxDir,
+      fuzzyThreshold = 0.5)
+      .awaitTermination()
+    val replayed = spark.read.parquet(curDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(replayed == curated, "replaying a committed batch must be a no-op")
+  }
+
   test("curateBatch drops null-text rows instead of letting them bypass dedup") {
     val tmp = Files.createTempDirectory("graft-incr-null").toString
     val refDir = s"$tmp/ref"; val curDir = s"$tmp/curated"

@@ -25,38 +25,52 @@ class StatefulSpec extends SparkSpec {
     assert(seen == Set((10L, "a1"), (20L, "b1"), (30L, "c1")))
   }
 
-  test("firstSeen TTL: a duplicate re-arms the timeout; expiry removes state") {
+  test("firstSeen TTL: fixed from first sight — duplicates re-arm with REMAINING time") {
     // Spark clears a key's pending timeout whenever its function runs
-    // with new data; the regression was the duplicate branch returning
-    // without re-arming, so one duplicate made the key immortal.
+    // with new data, so the duplicate branch must re-arm — but with the
+    // REMAINING time (first-seen + ttl − now), not a fresh ttl: the TTL
+    // is measured from the FIRST occurrence and a steady duplicate
+    // stream must not keep the key alive forever (r3 ADVICE).
     // TestGroupState drives the transition function deterministically —
     // a real stream + wall clock cannot pin processing-time timeouts.
     import org.apache.spark.api.java.Optional
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
     val f = Stateful.firstSeenFunc[Long, (Long, String)](ttlMs = 1000L)
 
-    // duplicate arrival: suppressed AND timer re-armed (now + ttl)
-    val dup = TestGroupState.create[Boolean](
-      Optional.of(true), GroupStateTimeout.ProcessingTimeTimeout,
+    // duplicate arrival inside the TTL: suppressed, timer re-armed at
+    // firstSeen + ttl (4500 + 1000), NOT now + ttl (6000)
+    val dup = TestGroupState.create[Long](
+      Optional.of(4500L), GroupStateTimeout.ProcessingTimeTimeout,
       batchProcessingTimeMs = 5000L,
       eventTimeWatermarkMs = Optional.empty[Long](), hasTimedOut = false)
     assert(f(10L, Iterator((10L, "dup")), dup).isEmpty)
     assert(dup.getTimeoutTimestampMs.isPresent &&
-      dup.getTimeoutTimestampMs.get == 6000L,
-      "duplicate must re-arm the processing-time timer")
+      dup.getTimeoutTimestampMs.get == 5500L,
+      "duplicate must re-arm with the remaining time, keeping expiry fixed")
 
-    // first arrival: emitted and timer armed
-    val fresh = TestGroupState.create[Boolean](
-      Optional.empty[Boolean](),
+    // arrival AFTER the fixed TTL elapsed (timeout not yet fired):
+    // treated as fresh — emitted, state restarts from now
+    val stale = TestGroupState.create[Long](
+      Optional.of(3000L), GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 5000L,
+      eventTimeWatermarkMs = Optional.empty[Long](), hasTimedOut = false)
+    assert(f(10L, Iterator((10L, "late")), stale).toSeq == Seq((10L, "late")))
+    assert(stale.get == 5000L && stale.getTimeoutTimestampMs.get == 6000L,
+      "post-TTL arrival restarts the key's window from now")
+
+    // first arrival: emitted and timer armed at now + ttl
+    val fresh = TestGroupState.create[Long](
+      Optional.empty[Long](),
       GroupStateTimeout.ProcessingTimeTimeout,
       batchProcessingTimeMs = 5000L,
       eventTimeWatermarkMs = Optional.empty[Long](), hasTimedOut = false)
     assert(f(10L, Iterator((10L, "a1")), fresh).toSeq == Seq((10L, "a1")))
-    assert(fresh.getTimeoutTimestampMs.isPresent)
+    assert(fresh.getTimeoutTimestampMs.isPresent &&
+      fresh.getTimeoutTimestampMs.get == 6000L)
 
     // timeout firing: state removed → the key dedups afresh afterwards
-    val expired = TestGroupState.create[Boolean](
-      Optional.of(true), GroupStateTimeout.ProcessingTimeTimeout,
+    val expired = TestGroupState.create[Long](
+      Optional.of(6000L), GroupStateTimeout.ProcessingTimeTimeout,
       batchProcessingTimeMs = 7000L,
       eventTimeWatermarkMs = Optional.empty[Long](), hasTimedOut = true)
     assert(f(10L, Iterator.empty, expired).isEmpty)
