@@ -39,21 +39,30 @@ object Bench {
       val median =
         if (times.exists(_ < 0)) -1.0
         else times.sorted.apply(Runs / 2)
-      name -> median
+      name -> (median, times)
     }
     // Per-query times rounded to ms in the printed line: r3's full-
     // precision line was truncated by the driver's stdout capture
     // mid-dict ("parsed": null). The complete map is ALSO written to a
     // file (like Verify's oracle_sql.json) so round-over-round
     // comparisons never depend on tail-capture luck.
-    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    // Locale.ROOT: the f"" interpolator uses the JVM default locale — a
+    // decimal-comma locale would print "1,234" and corrupt the JSON.
+    def fmt(v: Double): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, (m, _)) => s"\"" + k + "\":" + fmt(m) }
       .mkString("{", ",", "}")
-    val ok = results.values.filter(_ >= 0)
+    // Per-RUN vectors (r4 VERDICT #1): a median alone cannot adjudicate
+    // a host-noise spike vs a real regression after the fact.
+    val runsDetail = results.map { case (k, (_, ts)) =>
+      s"\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val ok = results.values.map(_._1).filter(_ >= 0)
     val total = if (ok.nonEmpty) ok.sum else 0.0
-    val failed = results.count(_._2 < 0)
+    val failed = results.count(_._2._1 < 0)
     val skipped = SparkEntry.gateOnly.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$Runs,"failed":$failed,"sf":"$sfDir","gate_only_skipped":$skipped,"queries":$qs}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$Runs,"failed":$failed,"sf":"$sfDir","gate_only_skipped":$skipped,"queries":$qs,"runs_detail":$runsDetail}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       line.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -389,31 +389,92 @@ object Dedup {
     *    size, the exact-Jaccard verify payload; semi-joined down to
     *    candidate docs before it moves.
     *
-    * The sketch parameters ride along so a probe can never silently
-    * run with a different shingle width or band layout than the index
-    * was built with. */
+    * The sketch parameters ride along — [[write]] persists them in a
+    * `params.json` sidecar under `dir` and [[NearDupIndex.read]] loads
+    * them back (no caller-supplied defaults), so a probe can never
+    * silently run with a different shingle width or band layout than
+    * the index was built with, and [[append]] refuses a slice sketched
+    * under different parameters (mixed-parameter band keys would make
+    * candidate generation silently lossy). */
   final case class NearDupIndex(
       bands: DataFrame, sets: DataFrame,
       shingleSize: Int, numHashes: Int, rowsPerBand: Int) {
-    /** Persist both relations under `dir` (bucketing by doc is the
-      * cluster upgrade; plain parquet keeps the demo portable). */
+    /** Persist both relations + the params sidecar under `dir`
+      * (bucketing by doc is the cluster upgrade; plain parquet keeps
+      * the demo portable). */
     def write(dir: String): Unit = {
       bands.write.mode("overwrite").parquet(s"$dir/bands")
       sets.write.mode("overwrite").parquet(s"$dir/sets")
+      NearDupIndex.writeParams(bands.sparkSession, dir,
+        shingleSize, numHashes, rowsPerBand)
     }
     /** Append a new batch's index rows (the incremental-store shape:
-      * the curated store indexes each batch as it is admitted). */
+      * the curated store indexes each batch as it is admitted). Fails
+      * fast if the slice's sketch params differ from the stored
+      * sidecar; writes the sidecar if this append creates the dir. */
     def append(dir: String): Unit = {
+      val spark = bands.sparkSession
+      NearDupIndex.readParams(spark, dir) match {
+        case Some((s, n, r)) =>
+          require(s == shingleSize && n == numHashes && r == rowsPerBand,
+            s"near-dup index at $dir was built with (shingleSize=$s, " +
+              s"numHashes=$n, rowsPerBand=$r); refusing to append a slice " +
+              s"sketched with ($shingleSize, $numHashes, $rowsPerBand)")
+        case None =>
+          NearDupIndex.writeParams(spark, dir, shingleSize, numHashes, rowsPerBand)
+      }
       bands.write.mode("append").parquet(s"$dir/bands")
       sets.write.mode("append").parquet(s"$dir/sets")
     }
   }
 
   object NearDupIndex {
-    def read(spark: org.apache.spark.sql.SparkSession, dir: String,
-        shingleSize: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4): NearDupIndex =
+    private val ParamsFile = "params.json"
+
+    /** Load a persisted index; the sketch params come from the sidecar
+      * written by [[NearDupIndex.write]] — a missing sidecar is an
+      * error, not a default (probing with guessed params returns
+      * silently-wrong, mostly-empty results). */
+    def read(spark: org.apache.spark.sql.SparkSession, dir: String): NearDupIndex = {
+      val (s, n, r) = readParams(spark, dir).getOrElse(throw new IllegalStateException(
+        s"no $ParamsFile under $dir — not a NearDupIndex written by this " +
+          "engine; rebuild it with buildNearDupIndex(...).write(dir)"))
       NearDupIndex(spark.read.parquet(s"$dir/bands"),
-        spark.read.parquet(s"$dir/sets"), shingleSize, numHashes, rowsPerBand)
+        spark.read.parquet(s"$dir/sets"), s, n, r)
+    }
+
+    private def hadoopFs(spark: org.apache.spark.sql.SparkSession,
+        p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem =
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    private[graft] def writeParams(spark: org.apache.spark.sql.SparkSession,
+        dir: String, shingleSize: Int, numHashes: Int, rowsPerBand: Int): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dir, ParamsFile)
+      val out = hadoopFs(spark, p).create(p, true)
+      try out.write(
+        (s"""{"shingleSize":$shingleSize,"numHashes":$numHashes,""" +
+          s""""rowsPerBand":$rowsPerBand}""")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+
+    private[graft] def readParams(spark: org.apache.spark.sql.SparkSession,
+        dir: String): Option[(Int, Int, Int)] = {
+      val p = new org.apache.hadoop.fs.Path(dir, ParamsFile)
+      val fs = hadoopFs(spark, p)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        def field(k: String): Int =
+          s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(txt)
+            .getOrElse(throw new IllegalStateException(
+              s"malformed $ParamsFile under $dir: missing $k"))
+            .group(1).toInt
+        Some((field("shingleSize"), field("numHashes"), field("rowsPerBand")))
+      }
+    }
   }
 
   /** Build the [[NearDupIndex]] for a (new slice of the) frozen corpus:
@@ -427,9 +488,46 @@ object Dedup {
       scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged): NearDupIndex = {
     val rs = scope.persist(shingleHashes(reference, idCol, textCol, shingleSize))
     val bands = lshBandKeys(minhashSignatures(rs, numHashes), numHashes, rowsPerBand)
-    val sets = rs.groupBy(col("doc"))
+    // One sets row per doc, even when the doc is too short to shingle
+    // (empty hs, sz = 0 — it can never be a candidate, having no band
+    // keys): `sets` doubles as the index's doc manifest, so a
+    // store-vs-index divergence check (the crash-window repair in
+    // streaming/Incremental) can compare row counts exactly.
+    val shingled = rs.groupBy(col("doc"))
       .agg(sort_array(collect_list(col("h"))).as("hs"), count(lit(1)).as("sz"))
+    val sets = reference.select(col(idCol).as("doc")).distinct()
+      .join(shingled, Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("hs"), array().cast("array<long>")).as("hs"),
+        coalesce(col("sz"), lit(0L)).as("sz"))
     NearDupIndex(bands, sets, shingleSize, numHashes, rowsPerBand)
+  }
+
+  /** Memoized build: read the index back from `dir` if one is already
+    * persisted there with the same sketch params and a doc manifest
+    * matching the current corpus (the `sets` relation carries exactly
+    * one row per doc, so a count comparison is an exact staleness
+    * check); otherwise build + write + read back. This is the
+    * bench-setup shape — callers probe the READ-BACK parquet relations,
+    * so the executed plan is the production zero-corpus-scan one, and
+    * repeated runs pay probe cost only. */
+  def ensurePersistedIndex(
+      corpus: DataFrame, idCol: String, textCol: String, dir: String,
+      shingleSize: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4): NearDupIndex = {
+    val spark = corpus.sparkSession
+    val existing =
+      try {
+        val idx = NearDupIndex.read(spark, dir)
+        val fresh = idx.shingleSize == shingleSize &&
+          idx.numHashes == numHashes && idx.rowsPerBand == rowsPerBand &&
+          idx.sets.count() == corpus.select(col(idCol)).distinct().count()
+        if (fresh) Some(idx) else None
+      } catch { case _: Exception => None }
+    existing.getOrElse {
+      buildNearDupIndex(corpus, idCol, textCol,
+        shingleSize, numHashes, rowsPerBand).write(dir)
+      NearDupIndex.read(spark, dir)
+    }
   }
 
   /** [[minhashNearDupsAgainstReference]] against a precomputed

@@ -85,7 +85,9 @@ object Incremental {
     * slips past byte-exact dedup is dropped in-stream. The index lives
     * at `indexDir` (SIBLING of the curated store, never inside it — a
     * subdir would corrupt the store's own parquet listing), is built
-    * from the reference on first use, and each admitted batch appends
+    * from the reference plus any pre-existing curated store on first
+    * use, self-repairs if a crash left admitted docs unindexed
+    * ([[ensureIndex]]), and each admitted batch appends
     * its own band keys + shingle sets — the corpus and the curated
     * history are never re-shingled (the exact path's stored-digest
     * contract, extended to sketches). */
@@ -117,45 +119,86 @@ object Incremental {
     * cluster prefer a reliable `checkpoint()` — same cut, executor-loss
     * safe. Crash window: if the job dies between the store append and
     * the index append, the replayed batch still dedups exactly (the
-    * store has the rows); only fuzzy coverage of that one batch is
-    * missing until the index is rebuilt. */
+    * store has the rows), and the next [[ensureIndex]] call detects the
+    * store/index divergence and re-indexes the orphaned slice before
+    * any batch is probed. */
   private[streaming] def curateBatchFuzzy(
       spark: SparkSession, batch: DataFrame, idCol: String, textCol: String,
       referenceDir: String, curatedDir: String, indexDir: String,
       threshold: Double): Unit = {
-    val clean = batch.filter(col(textCol).isNotNull)
-    val reps = Dedup.exactDedup(clean, idCol, textCol).select(idCol)
-    val deduped = clean.join(reps, Seq(idCol), "left_semi")
-    val vsRef = Dedup.dedupAgainstReference(
-      deduped, spark.read.parquet(referenceDir), idCol, textCol)
-    val exactFresh = curatedParquet(spark, curatedDir) match {
-      case Some(cur) => Dedup.dedupAgainstDigestedReference(
-        vsRef, cur, idCol, textCol, DigestCol)
-      case None => vsRef
-    }
-    val index = ensureIndex(spark, indexDir, referenceDir, idCol, textCol)
-    val admitted = Dedup.dropNearDupsAgainstIndex(
-        exactFresh, index, idCol, textCol, threshold)
-      .localCheckpoint()
-    admitted.withColumn(DigestCol, sha2(col(textCol), 256))
-      .write.mode("append").parquet(curatedDir)
-    Dedup.buildNearDupIndex(admitted, idCol, textCol,
-        index.shingleSize, index.numHashes, index.rowsPerBand)
-      .append(indexDir)
+    // Tracked scope: the shingle sets persisted by the index probe and
+    // the append-slice build are released once both writes land —
+    // without this every micro-batch of a long-lived stream leaks
+    // MEMORY_AND_DISK blocks (the exact failure CacheScope exists for).
+    val scope = graft.util.CacheScope()
+    try {
+      val clean = batch.filter(col(textCol).isNotNull)
+      val reps = Dedup.exactDedup(clean, idCol, textCol).select(idCol)
+      val deduped = clean.join(reps, Seq(idCol), "left_semi")
+      val vsRef = Dedup.dedupAgainstReference(
+        deduped, spark.read.parquet(referenceDir), idCol, textCol)
+      val exactFresh = curatedParquet(spark, curatedDir) match {
+        case Some(cur) => Dedup.dedupAgainstDigestedReference(
+          vsRef, cur, idCol, textCol, DigestCol)
+        case None => vsRef
+      }
+      val index = ensureIndex(
+        spark, indexDir, referenceDir, curatedDir, idCol, textCol, scope)
+      val admitted = Dedup.dropNearDupsAgainstIndex(
+          exactFresh, index, idCol, textCol, threshold, scope)
+        .localCheckpoint()
+      admitted.withColumn(DigestCol, sha2(col(textCol), 256))
+        .write.mode("append").parquet(curatedDir)
+      Dedup.buildNearDupIndex(admitted, idCol, textCol,
+          index.shingleSize, index.numHashes, index.rowsPerBand, scope)
+        .append(indexDir)
+    } finally scope.unpersistAll()
   }
 
-  /** The near-dup index, built from the frozen reference on first use
-    * (one-time cost, the fuzzy analogue of the reference digest
-    * sidecar), read thereafter. */
-  private def ensureIndex(
+  /** The near-dup index, built on first use (one-time cost, the fuzzy
+    * analogue of the reference digest sidecar), read thereafter.
+    *
+    * First build covers the frozen reference AND any pre-existing
+    * curated store — a stream migrated from the exact [[curateStream]]
+    * (or restarted after losing the index dir) must not leave its
+    * already-admitted docs fuzzily unindexed, or edited recrawls of
+    * them would slip through forever.
+    *
+    * On every later call the index is checked against the store: the
+    * documented crash window (die between the store append and the
+    * index append) leaves admitted docs unindexed. Detection is two
+    * cheap counts — `sets` carries exactly one row per indexed doc (see
+    * [[Dedup.buildNearDupIndex]]) — and repair re-indexes only the
+    * missing slice, found by anti-join, so a healthy startup costs no
+    * shingling at all. */
+  private[streaming] def ensureIndex(
       spark: SparkSession, indexDir: String, referenceDir: String,
-      idCol: String, textCol: String): Dedup.NearDupIndex = {
+      curatedDir: String, idCol: String, textCol: String,
+      scope: graft.util.CacheScope): Dedup.NearDupIndex = {
     val path = new org.apache.hadoop.fs.Path(s"$indexDir/bands")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path))
-      Dedup.buildNearDupIndex(
-        spark.read.parquet(referenceDir), idCol, textCol).write(indexDir)
-    Dedup.NearDupIndex.read(spark, indexDir)
+    val reference = spark.read.parquet(referenceDir)
+      .select(col(idCol), col(textCol))
+    def storeDocs: Option[DataFrame] =
+      curatedParquet(spark, curatedDir).map(_.select(col(idCol), col(textCol)))
+    if (!fs.exists(path)) {
+      val base = storeDocs.fold(reference)(reference.unionByName(_))
+      Dedup.buildNearDupIndex(base, idCol, textCol, scope = scope).write(indexDir)
+      Dedup.NearDupIndex.read(spark, indexDir)
+    } else {
+      val index = Dedup.NearDupIndex.read(spark, indexDir)
+      val expected = reference.count() + storeDocs.map(_.count()).getOrElse(0L)
+      if (index.sets.count() >= expected) index
+      else {
+        val all = storeDocs.fold(reference)(reference.unionByName(_))
+        val missing = all.join(
+          index.sets.select(col("doc").as(idCol)), Seq(idCol), "left_anti")
+        Dedup.buildNearDupIndex(missing, idCol, textCol,
+            index.shingleSize, index.numHashes, index.rowsPerBand, scope)
+          .append(indexDir)
+        Dedup.NearDupIndex.read(spark, indexDir)
+      }
+    }
   }
 
   /** The curated store, if any batch has landed yet (first batch of a

@@ -75,7 +75,73 @@ class NearDupIndexSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(probed == recompute,
       "a two-slice appended index must equal the one-shot index over the union")
-    assert(probed.exists(_._2 < 200) || probed.exists(_._2 >= 200),
-      "sanity: matches exist")
+    assert(probed.exists(_._2 < 200) && probed.exists(_._2 >= 200),
+      "matches must hit BOTH the originally-written slice and the " +
+        "appended slice — an append that silently contributes nothing " +
+        "would still pass a nonEmpty check")
+  }
+
+  test("sketch params are persisted in the sidecar and enforced") {
+    val tmp = java.nio.file.Files.createTempDirectory("ndidx3").toString
+    val corpus = docs.filter(col("doc_id") < 200)
+    // non-default params: a read() that guessed defaults would probe
+    // with the wrong band layout and return mostly-empty results
+    Dedup.buildNearDupIndex(corpus, "doc_id", "text",
+      shingleSize = 2, numHashes = 8, rowsPerBand = 2).write(s"$tmp/index")
+    val back = Dedup.NearDupIndex.read(spark, s"$tmp/index")
+    assert((back.shingleSize, back.numHashes, back.rowsPerBand) == (2, 8, 2))
+
+    // probe with the loaded params == recompute with the same params
+    val batch = docs.filter(col("doc_id") >= 400 && col("doc_id") < 450)
+    val probed = Dedup.minhashNearDupsAgainstIndex(
+        batch, back, "doc_id", "text", threshold = 0.35)
+      .as[(Long, Long, Double)].collect().toSet
+    val recompute = Dedup.minhashNearDupsAgainstReference(
+        batch, corpus, "doc_id", "text", threshold = 0.35,
+        shingleSize = 2, numHashes = 8, rowsPerBand = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(probed == recompute)
+
+    // appending a slice sketched under different params must fail fast
+    val mismatched = Dedup.buildNearDupIndex(
+      docs.filter(col("doc_id") >= 200 && col("doc_id") < 250), "doc_id", "text")
+    assertThrows[IllegalArgumentException](mismatched.append(s"$tmp/index"))
+
+    // a dir with no sidecar is not readable as an index
+    assertThrows[IllegalStateException](
+      Dedup.NearDupIndex.read(spark, s"$tmp/nowhere"))
+  }
+
+  test("ensurePersistedIndex memoizes: second call reuses, corpus change rebuilds") {
+    val tmp = java.nio.file.Files.createTempDirectory("ndidx4").toString
+    val dir = s"$tmp/index"
+    val c1 = docs.filter(col("doc_id") < 200)
+    Dedup.ensurePersistedIndex(c1, "doc_id", "text", dir)
+    val stamp = new java.io.File(s"$dir/bands").lastModified()
+    // same corpus: no rebuild (bands dir untouched)
+    Dedup.ensurePersistedIndex(c1, "doc_id", "text", dir)
+    assert(new java.io.File(s"$dir/bands").lastModified() == stamp,
+      "unchanged corpus must reuse the persisted index")
+    // grown corpus: manifest count mismatch forces a rebuild
+    val c2 = docs.filter(col("doc_id") < 300)
+    val idx2 = Dedup.ensurePersistedIndex(c2, "doc_id", "text", dir)
+    assert(idx2.sets.count() == c2.count(),
+      "stale index must be rebuilt for the current corpus")
+  }
+
+  test("sets is a one-row-per-doc manifest (short docs included, inert)") {
+    val tmp = java.nio.file.Files.createTempDirectory("ndidx5").toString
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "too short"), // < shingleSize tokens: no shingles possible
+      (3L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    Dedup.buildNearDupIndex(corpus, "doc_id", "text").write(s"$tmp/index")
+    val idx = Dedup.NearDupIndex.read(spark, s"$tmp/index")
+    val sets = idx.sets.as[(Long, Array[Long], Long)].collect()
+      .map(r => r._1 -> ((r._2.length, r._3))).toMap
+    assert(sets.keySet == Set(1L, 2L, 3L),
+      "every doc appears in the manifest, shingled or not")
+    assert(sets(2L) == ((0, 0L)), "short doc carries an empty, inert set")
+    // and it can never surface as a match: no band keys exist for it
+    assert(idx.bands.filter(col("doc") === 2L).isEmpty)
   }
 }

@@ -135,6 +135,73 @@ class IncrementalSpec extends SparkSpec {
     assert(replayed == curated, "replaying a committed batch must be a no-op")
   }
 
+  test("fuzzy migration: first index build covers a pre-existing curated store") {
+    val tmp = Files.createTempDirectory("graft-incr-migrate").toString
+    val refDir = s"$tmp/ref"; val curDir = s"$tmp/curated"
+    val idxDir = s"$tmp/ndindex"
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val storyA = words("alpha", 40)
+    val storyB = words("beta", 40)
+    Seq((1L, words("ref", 40))).toDF("doc_id", "text").write.parquet(refDir)
+
+    // storyA admitted through the EXACT path — the store predates any
+    // fuzzy index (the curateStream → curateStreamFuzzy migration)
+    Incremental.curateBatch(spark,
+      Seq((10L, storyA)).toDF("doc_id", "text"),
+      "doc_id", "text", refDir, curDir)
+    assert(!new java.io.File(s"$idxDir/bands").exists())
+
+    // first fuzzy batch: an edited recrawl of the PREVIOUSLY-admitted
+    // doc is dropped only if the first build indexed the store too
+    Incremental.curateBatchFuzzy(spark,
+      Seq((20L, storyA + " appended update note"), (21L, storyB))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", refDir, curDir, idxDir, threshold = 0.5)
+    val curated = spark.read.parquet(curDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(curated == Set((10L, storyA), (21L, storyB)),
+      s"recrawl of a pre-index admission must be dropped: ${curated.map(_._1)}")
+  }
+
+  test("fuzzy crash window: orphaned store rows are re-indexed before the next probe") {
+    val tmp = Files.createTempDirectory("graft-incr-repair").toString
+    val refDir = s"$tmp/ref"; val curDir = s"$tmp/curated"
+    val idxDir = s"$tmp/ndindex"
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val storyA = words("alpha", 40)
+    val storyB = words("beta", 40)
+    val storyC = words("gamma", 40)
+    Seq((1L, words("ref", 40))).toDF("doc_id", "text").write.parquet(refDir)
+
+    Incremental.curateBatchFuzzy(spark,
+      Seq((10L, storyA)).toDF("doc_id", "text"),
+      "doc_id", "text", refDir, curDir, idxDir, threshold = 0.5)
+    // simulate the documented crash: a batch died AFTER its store
+    // append, BEFORE its index append — storyB is curated but unindexed
+    Seq((20L, storyB)).toDF("doc_id", "text")
+      .withColumn(Incremental.DigestCol, sha2(col("text"), 256))
+      .write.mode("append").parquet(curDir)
+
+    // next batch carries an edited recrawl of the ORPHANED doc — only a
+    // repaired index can drop it
+    Incremental.curateBatchFuzzy(spark,
+      Seq((30L, storyB + " appended update note"), (31L, storyC))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", refDir, curDir, idxDir, threshold = 0.5)
+    val curated = spark.read.parquet(curDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(curated == Set((10L, storyA), (20L, storyB), (31L, storyC)),
+      s"recrawl of the orphaned batch must still be dropped: ${curated.map(_._1)}")
+    // and the repair healed the index itself: every stored doc + the
+    // reference is exactly once in the manifest
+    val idx = Dedup.NearDupIndex.read(spark, idxDir)
+    assert(idx.sets.select("doc").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 10L, 20L, 31L),
+      "manifest must cover reference + every curated doc exactly once")
+  }
+
   test("curateBatch drops null-text rows instead of letting them bypass dedup") {
     val tmp = Files.createTempDirectory("graft-incr-null").toString
     val refDir = s"$tmp/ref"; val curDir = s"$tmp/curated"
