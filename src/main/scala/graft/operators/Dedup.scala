@@ -668,15 +668,25 @@ object Dedup {
     val edges = scope.persist(
       pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
         .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst"))))
-    // each round's plan is CUT at a localCheckpoint: without it the
+    // each round's plan is CUT at a checkpoint: without it the
     // logical plan nests one level per round and the driver dies
     // compiling (then holding) an exponentially growing tree — the
-    // standard iterative-DataFrame trap. On a cluster with a
-    // checkpoint dir, reliable checkpoint() hardens this against
-    // executor loss; locally the executor-storage variant suffices.
-    var checkpointed = nodes
-      .select(col(idCol).cast("long").as("node"), col(idCol).cast("long").as("label"))
-      .localCheckpoint(true)
+    // standard iterative-DataFrame trap. When the context has a
+    // checkpoint dir configured (sc.setCheckpointDir — a cluster
+    // deployment always should), the cut is a RELIABLE checkpoint():
+    // executor loss mid-iteration recovers from the checkpoint files
+    // instead of failing the job, because a localCheckpoint's blocks
+    // die with their executor AND its truncated lineage makes them
+    // unrecomputable. Locally (no dir) the executor-storage variant
+    // suffices. Old reliable-checkpoint files are reclaimed by the
+    // ContextCleaner when spark.cleaner.referenceTracking
+    // .cleanCheckpoints is set, or with the checkpoint dir itself.
+    val reliable =
+      nodes.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    var checkpointed = cut(nodes
+      .select(col(idCol).cast("long").as("node"), col(idCol).cast("long").as("label")))
     // DELTA iteration: only nodes whose label changed last round send
     // messages — after round 1 the frontier collapses to the interior
     // of still-converging components, so late rounds touch almost
@@ -692,10 +702,12 @@ object Dedup {
         .select(col("node"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
           (col("nl").isNotNull && col("nl") < col("label")).as("__chg"))
-        .localCheckpoint(true)
-      releaseCheckpoint(checkpointed)
-      checkpointed = next
-      frontier = next.filter(col("__chg")).select(col("node"), col("label"))
+      val cutNext = cut(next)
+      // block release applies to the local variant only: a reliable
+      // checkpoint's data lives in files, not block-manager memory
+      if (!reliable) releaseCheckpoint(checkpointed)
+      checkpointed = cutNext
+      frontier = cutNext.filter(col("__chg")).select(col("node"), col("label"))
       converged = frontier.limit(1).count() == 0
       round += 1
     }

@@ -7,13 +7,17 @@ import org.apache.spark.sql.functions._
   * with typed metadata, plus the decode / feature-extract / resize /
   * frame-sample plumbing a training-data pipeline needs.
   *
-  * The container decoded here is the deterministic "GRFT" test format
-  * (20-byte header: 4-byte magic, then kind ┃ width ┃ height ┃ frames
-  * as big-endian int32s, then `frames × frame_size` payload bytes).
-  * Real codecs (JPEG/PNG/WAV/MP4) are NOT linked in this container
-  * image, so the byte-level decode is intentionally the fake format —
-  * but every Spark-side decision is the real one and transfers
-  * unchanged to real assets:
+  * Two codec tiers:
+  *  - REAL images (PNG/JPEG/GIF/BMP) decode and resize through the
+  *    JDK's `javax.imageio` — no external library — in
+  *    [[decodeImages]] / [[resizeImages]], executor-side only.
+  *  - The deterministic "GRFT" test container (20-byte header: 4-byte
+  *    magic, then kind ┃ width ┃ height ┃ frames as big-endian int32s,
+  *    then `frames × frame_size` payload bytes) exercises the
+  *    byte-slicing paths for formats whose codecs (audio/video) are
+  *    genuinely absent here.
+  * Every Spark-side decision is shared and transfers unchanged to any
+  * codec:
   *  - header fields are parsed with codegen'd built-ins
   *    (`substr` on binary + `conv(hex(_), 16, 10)`) — the same
   *    expressions parse a PNG IHDR (fixed offsets, big-endian) with
@@ -102,11 +106,95 @@ object Multimodal {
       .withColumn("height", lit(newHeight))
   }
 
-  /** The batched decode shape: one iterator per PARTITION so a real
-    * codec initializes once per task, not per row. The fake "decode"
-    * checksums payload bytes; swap the loop body for the codec call.
-    * Kept narrow deliberately: wide decoded outputs should stream
-    * straight to a parquet target from inside the same job. */
+  /** REAL image decode via the JDK's `javax.imageio`: width, height,
+    * and mean Rec.601 luma per asset. Same batched shape as
+    * [[decodePartition]] — per-task init (the ImageIO disk cache is
+    * disabled once per partition so executors never spill decode
+    * scratch to local disk), bytes never leave the executors, and rows
+    * ImageIO cannot parse are QUARANTINED (dropped), the same
+    * corrupt-input policy as [[decodeHeader]] — a poison byte array
+    * must not kill a 100 TB scan. */
+  def decodeImages(df: DataFrame, idCol: String = "asset_id",
+      bytesCol: String = "bytes"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // once per task
+        it.flatMap { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null) None
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            var sum = 0.0
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sum += 0.299 * ((rgb >> 16) & 0xff) +
+                  0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            Some((id, w, h, sum / (w.toDouble * h)))
+          }
+        }
+      }
+      .toDF(idCol, "width", "height", "mean_luma")
+  }
+
+  /** REAL image resize: bilinear scale to (newWidth, newHeight),
+    * re-encoded as PNG (lossless, JDK-builtin writer). Replaces
+    * [[resizeStub]] for image assets — the stub remains only for the
+    * synthetic GRFT container. Undecodable rows are quarantined, as in
+    * [[decodeImages]]. */
+  def resizeImages(df: DataFrame, newWidth: Int, newHeight: Int,
+      idCol: String = "asset_id", bytesCol: String = "bytes"): DataFrame = {
+    require(newWidth > 0 && newHeight > 0,
+      s"target size must be positive: ${newWidth}x$newHeight")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null) None
+          else {
+            val out = new java.awt.image.BufferedImage(
+              newWidth, newHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, newWidth, newHeight, null)
+            } finally g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            Some((id, bos.toByteArray))
+          }
+        }
+      }
+      .toDF(idCol, bytesCol)
+      .withColumn("width", lit(newWidth))
+      .withColumn("height", lit(newHeight))
+  }
+
+  /** The batched decode shape for the synthetic GRFT container: one
+    * iterator per PARTITION so a codec initializes once per task, not
+    * per row ([[decodeImages]] is the real-codec instantiation of this
+    * shape). The fake "decode" checksums payload bytes. Kept narrow
+    * deliberately: wide decoded outputs should stream straight to a
+    * parquet target from inside the same job. */
   def decodePartition(df: DataFrame, idCol: String = "asset_id",
       bytesCol: String = "bytes"): DataFrame = {
     val spark = df.sparkSession

@@ -73,6 +73,49 @@ class MultimodalSpec extends SparkSpec {
       math.ceil(frameSize / 4.0).toInt)
   }
 
+  // --- real codec tier: javax.imageio (JDK-builtin, headless-safe) ---
+
+  /** An actual PNG byte array: left half solid red, right half solid
+    * blue — known dimensions, exactly computable mean luma (PNG is
+    * lossless, so decoded RGB is bit-exact). */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0xff0000 else 0x0000ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("decodeImages: real PNG bytes -> (width, height, mean luma), corrupt quarantined") {
+    val png = pngBytes(8, 6)
+    assert(png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val df = Seq((1L, png), (2L, "not an image at all".getBytes("UTF-8")))
+      .toDF("asset_id", "bytes")
+    val out = Multimodal.decodeImages(df).collect()
+    assert(out.length == 1, "undecodable bytes are quarantined, not fatal")
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getInt(1) == 8 && r.getInt(2) == 6)
+    // half red (luma .299*255) + half blue (luma .114*255)
+    val expected = (0.299 * 255 + 0.114 * 255) / 2
+    assert(math.abs(r.getDouble(3) - expected) < 1e-9,
+      s"mean luma ${r.getDouble(3)} != $expected")
+  }
+
+  test("resizeImages: bilinear resize re-encodes a real PNG at the target size") {
+    val df = Seq((1L, pngBytes(8, 6))).toDF("asset_id", "bytes")
+    val resized = Multimodal.resizeImages(df, 4, 3)
+    val row = resized.head()
+    assert(row.getAs[Int]("width") == 4 && row.getAs[Int]("height") == 3)
+    // round-trip: the resized bytes are themselves a decodable PNG of
+    // the target size, and solid-color halves keep their exact luma
+    val back = Multimodal.decodeImages(resized).head()
+    assert(back.getInt(1) == 4 && back.getInt(2) == 3)
+    val expected = (0.299 * 255 + 0.114 * 255) / 2
+    assert(math.abs(back.getDouble(3) - expected) < 1e-9)
+  }
+
   test("decodePartition: batched per-partition decode shape") {
     val out = Multimodal.decodePartition(assets.filter(col("asset_id") <= 3L))
       .orderBy("asset_id").collect()

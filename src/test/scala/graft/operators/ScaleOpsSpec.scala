@@ -110,6 +110,44 @@ class ScaleOpsSpec extends SparkSpec {
     assert(leaked <= 2, s"intermediate checkpoint rounds leaked: $leaked blocks held")
   }
 
+  test("connectedComponents rounds = diameter + 1 (convergence detection) exactly") {
+    // a 12-node path, min label at one end: the label walks one hop per
+    // round (11 rounds = diameter), plus ONE round to observe an empty
+    // frontier. maxIter = 12 must converge; maxIter = 11 must refuse.
+    val nodes = (1L to 12L).toDF("id")
+    val chain = (1L to 11L).map(i => (i, i + 1)).toDF("a", "b")
+    val out = Dedup.connectedComponents(nodes, "id", chain, "a", "b", maxIter = 12)
+      .as[(Long, Long)].collect()
+    assert(out.forall(_._2 == 1L) && out.length == 12)
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(nodes, "id", chain, "a", "b", maxIter = 11)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("connectedComponents uses RELIABLE checkpoints when a checkpoint dir is set") {
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty, "suite assumes no global checkpoint dir")
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-cc-ck").toString
+    sc.setCheckpointDir(ckDir)
+    try {
+      val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("id")
+      val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+      val out = Dedup.connectedComponents(nodes, "id", pairs, "a", "b")
+        .orderBy("id").as[(Long, Long)].collect().toSeq
+      // identical labels to the local-checkpoint run of the same graph
+      assert(out == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+        10L -> 10L, 11L -> 10L, 20L -> 20L))
+      // and the rounds actually wrote reliable checkpoint files (the
+      // executor-loss-safe cut — a localCheckpoint writes none)
+      def rddDirs(f: java.io.File): Int =
+        if (f.getName.startsWith("rdd-")) 1
+        else Option(f.listFiles).map(_.map(rddDirs).sum).getOrElse(0)
+      assert(rddDirs(new java.io.File(ckDir)) > 0,
+        "no reliable checkpoint files written under the configured dir")
+    } finally sc.setCheckpointDir(null)
+  }
+
   test("deterministic-quantizer IVF full-probe == brute-force top-k exactly") {
     val emb = Tables.embeddings(spark, dir)
     val truth = Similarity.cosineTopK(emb, "vec_id", "embedding", Seq(0, 1, 2), 5)
