@@ -401,12 +401,16 @@ object Dedup {
       shingleSize: Int, numHashes: Int, rowsPerBand: Int) {
     /** Persist both relations + the params sidecar under `dir`
       * (bucketing by doc is the cluster upgrade; plain parquet keeps
-      * the demo portable). */
+      * the demo portable). The sidecar is written FIRST: a crash
+      * mid-write then leaves the parquet dirs absent or unreadable —
+      * states every reader treats as "no index, rebuild" — instead of
+      * parquet with no params, which would fail every later read
+      * (r5 ADVICE #1). */
     def write(dir: String): Unit = {
-      bands.write.mode("overwrite").parquet(s"$dir/bands")
-      sets.write.mode("overwrite").parquet(s"$dir/sets")
       NearDupIndex.writeParams(bands.sparkSession, dir,
         shingleSize, numHashes, rowsPerBand)
+      bands.write.mode("overwrite").parquet(s"$dir/bands")
+      sets.write.mode("overwrite").parquet(s"$dir/sets")
     }
     /** Append a new batch's index rows (the incremental-store shape:
       * the curated store indexes each batch as it is admitted). Fails
@@ -430,6 +434,35 @@ object Dedup {
 
   object NearDupIndex {
     private val ParamsFile = "params.json"
+    private val CorpusFile = "corpus.json"
+
+    /** Corpus-identity stamp for [[ensurePersistedIndex]]'s staleness
+      * check: (distinct doc count, order-independent content
+      * fingerprint). Written AFTER the index parquet lands, so a crash
+      * between the two leaves no stamp and the next ensure rebuilds. */
+    private[graft] def writeCorpusStamp(spark: org.apache.spark.sql.SparkSession,
+        dir: String, docs: Long, fingerprint: Long): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dir, CorpusFile)
+      val out = hadoopFs(spark, p).create(p, true)
+      try out.write(s"""{"docs":$docs,"fingerprint":$fingerprint}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+
+    private[graft] def readCorpusStamp(spark: org.apache.spark.sql.SparkSession,
+        dir: String): Option[(Long, Long)] = {
+      val p = new org.apache.hadoop.fs.Path(dir, CorpusFile)
+      val fs = hadoopFs(spark, p)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        def field(k: String): Option[Long] =
+          s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+        for (d <- field("docs"); f <- field("fingerprint")) yield (d, f)
+      }
+    }
 
     /** Load a persisted index; the sketch params come from the sidecar
       * written by [[NearDupIndex.write]] — a missing sidecar is an
@@ -504,28 +537,44 @@ object Dedup {
   }
 
   /** Memoized build: read the index back from `dir` if one is already
-    * persisted there with the same sketch params and a doc manifest
-    * matching the current corpus (the `sets` relation carries exactly
-    * one row per doc, so a count comparison is an exact staleness
-    * check); otherwise build + write + read back. This is the
+    * persisted there with the same sketch params AND the same corpus
+    * identity; otherwise build + write + read back. This is the
     * bench-setup shape — callers probe the READ-BACK parquet relations,
     * so the executed plan is the production zero-corpus-scan one, and
-    * repeated runs pay probe cost only. */
+    * repeated runs pay probe cost only.
+    *
+    * Corpus identity is (distinct doc count, XOR of per-row
+    * xxhash64(id, text)) persisted in a `corpus.json` sidecar — a count
+    * alone would silently reuse a stale index when text changed in
+    * place at the same cardinality, e.g. a dataset regenerated at the
+    * same path (r5 ADVICE #2). The fingerprint is one order-independent
+    * aggregation scan at ENSURE time only; the probe plan still never
+    * touches the corpus. (A live ingest at 100 TB should prefer the
+    * manifest-count repair in streaming/Incremental, which owns its
+    * store and never re-reads corpus text — this memoized form is the
+    * ad-hoc/bench shape, where re-hashing the corpus once per session
+    * is the correct price for detecting in-place edits.) */
   def ensurePersistedIndex(
       corpus: DataFrame, idCol: String, textCol: String, dir: String,
       shingleSize: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4): NearDupIndex = {
     val spark = corpus.sparkSession
+    val idRow = corpus.agg(
+      count_distinct(col(idCol)).as("docs"),
+      bit_xor(xxhash64(col(idCol), col(textCol))).as("fp")).head()
+    val docs = idRow.getLong(0)
+    val fp = if (idRow.isNullAt(1)) 0L else idRow.getLong(1)
     val existing =
       try {
         val idx = NearDupIndex.read(spark, dir)
         val fresh = idx.shingleSize == shingleSize &&
           idx.numHashes == numHashes && idx.rowsPerBand == rowsPerBand &&
-          idx.sets.count() == corpus.select(col(idCol)).distinct().count()
+          NearDupIndex.readCorpusStamp(spark, dir).contains((docs, fp))
         if (fresh) Some(idx) else None
       } catch { case _: Exception => None }
     existing.getOrElse {
       buildNearDupIndex(corpus, idCol, textCol,
         shingleSize, numHashes, rowsPerBand).write(dir)
+      NearDupIndex.writeCorpusStamp(spark, dir, docs, fp)
       NearDupIndex.read(spark, dir)
     }
   }
