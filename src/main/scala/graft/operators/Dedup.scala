@@ -437,20 +437,25 @@ object Dedup {
     private val CorpusFile = "corpus.json"
 
     /** Corpus-identity stamp for [[ensurePersistedIndex]]'s staleness
-      * check: (distinct doc count, order-independent content
-      * fingerprint). Written AFTER the index parquet lands, so a crash
-      * between the two leaves no stamp and the next ensure rebuilds. */
+      * check: a mode tag plus (count, order-independent fingerprint).
+      * Mode `files` stamps parquet-level metadata (sorted file
+      * paths+sizes+mtimes — driver listing only, no data scan); mode
+      * `content` stamps the data itself (distinct doc count + xxhash64
+      * XOR — one corpus scan). Written AFTER the index parquet lands,
+      * so a crash between the two leaves no stamp and the next ensure
+      * rebuilds. Stamps only compare within the same mode. */
     private[graft] def writeCorpusStamp(spark: org.apache.spark.sql.SparkSession,
-        dir: String, docs: Long, fingerprint: Long): Unit = {
+        dir: String, mode: String, docs: Long, fingerprint: Long): Unit = {
       val p = new org.apache.hadoop.fs.Path(dir, CorpusFile)
       val out = hadoopFs(spark, p).create(p, true)
-      try out.write(s"""{"docs":$docs,"fingerprint":$fingerprint}"""
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try out.write(
+        s"""{"mode":"$mode","docs":$docs,"fingerprint":$fingerprint}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     }
 
     private[graft] def readCorpusStamp(spark: org.apache.spark.sql.SparkSession,
-        dir: String): Option[(Long, Long)] = {
+        dir: String): Option[(String, Long, Long)] = {
       val p = new org.apache.hadoop.fs.Path(dir, CorpusFile)
       val fs = hadoopFs(spark, p)
       if (!fs.exists(p)) None
@@ -460,7 +465,10 @@ object Dedup {
           finally in.close()
         def field(k: String): Option[Long] =
           s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
-        for (d <- field("docs"); f <- field("fingerprint")) yield (d, f)
+        // pre-r7 stamps carry no mode tag — they were content stamps
+        val mode = """"mode"\s*:\s*"(\w+)"""".r.findFirstMatchIn(txt)
+          .map(_.group(1)).getOrElse("content")
+        for (d <- field("docs"); f <- field("fingerprint")) yield (mode, d, f)
       }
     }
 
@@ -543,39 +551,69 @@ object Dedup {
     * so the executed plan is the production zero-corpus-scan one, and
     * repeated runs pay probe cost only.
     *
-    * Corpus identity is (distinct doc count, XOR of per-row
-    * xxhash64(id, text)) persisted in a `corpus.json` sidecar — a count
+    * Corpus identity, persisted in a `corpus.json` sidecar (a count
     * alone would silently reuse a stale index when text changed in
-    * place at the same cardinality, e.g. a dataset regenerated at the
-    * same path (r5 ADVICE #2). The fingerprint is one order-independent
-    * aggregation scan at ENSURE time only; the probe plan still never
-    * touches the corpus. (A live ingest at 100 TB should prefer the
-    * manifest-count repair in streaming/Incremental, which owns its
-    * store and never re-reads corpus text — this memoized form is the
-    * ad-hoc/bench shape, where re-hashing the corpus once per session
-    * is the correct price for detecting in-place edits.) */
+    * place at the same cardinality, r5 ADVICE #2):
+    *  - FILE-BACKED corpora (`corpus.inputFiles` nonempty): a snapshot
+    *    of the underlying files — sorted (path, size, mtime) — plus the
+    *    CANONICALIZED logical plan (so two different predicates over
+    *    one parquet dir do not share a stamp), hashed together. The
+    *    ensure costs driver metadata listings only, never a data scan
+    *    (r6 VERDICT #3: the per-call content re-hash made the
+    *    "probe-only" path pay a full corpus read per ensure). An
+    *    in-place regeneration changes sizes/mtimes and is caught; a
+    *    Spark upgrade may change the plan rendering and costs at most
+    *    one spurious rebuild.
+    *  - otherwise (in-memory corpora): (distinct doc count, XOR of
+    *    per-row xxhash64(id, text)) — one order-independent content
+    *    scan, the only identity an unbacked frame has. */
   def ensurePersistedIndex(
       corpus: DataFrame, idCol: String, textCol: String, dir: String,
       shingleSize: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4): NearDupIndex = {
     val spark = corpus.sparkSession
-    val idRow = corpus.agg(
-      count_distinct(col(idCol)).as("docs"),
-      bit_xor(xxhash64(col(idCol), col(textCol))).as("fp")).head()
-    val docs = idRow.getLong(0)
-    val fp = if (idRow.isNullAt(1)) 0L else idRow.getLong(1)
+    val (mode, docs, fp) = corpusIdentity(corpus, idCol, textCol)
     val existing =
       try {
         val idx = NearDupIndex.read(spark, dir)
         val fresh = idx.shingleSize == shingleSize &&
           idx.numHashes == numHashes && idx.rowsPerBand == rowsPerBand &&
-          NearDupIndex.readCorpusStamp(spark, dir).contains((docs, fp))
+          NearDupIndex.readCorpusStamp(spark, dir).contains((mode, docs, fp))
         if (fresh) Some(idx) else None
       } catch { case _: Exception => None }
     existing.getOrElse {
       buildNearDupIndex(corpus, idCol, textCol,
         shingleSize, numHashes, rowsPerBand).write(dir)
-      NearDupIndex.writeCorpusStamp(spark, dir, docs, fp)
+      NearDupIndex.writeCorpusStamp(spark, dir, mode, docs, fp)
       NearDupIndex.read(spark, dir)
+    }
+  }
+
+  /** Corpus identity for [[ensurePersistedIndex]]: (mode, count,
+    * fingerprint) — file-metadata snapshot for file-backed frames,
+    * content hash otherwise (modes documented there). */
+  private def corpusIdentity(
+      corpus: DataFrame, idCol: String, textCol: String): (String, Long, Long) = {
+    val files = corpus.inputFiles
+    if (files.nonEmpty) {
+      val conf = corpus.sparkSession.sparkContext.hadoopConfiguration
+      val snapshot = files.sorted.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val st = p.getFileSystem(conf).getFileStatus(p)
+        s"$f|${st.getLen}|${st.getModificationTime}"
+      }.mkString("\n")
+      // canonicalized plan: exprIds are normalized, so the rendering is
+      // deterministic across sessions for the same query + schema
+      val planId = corpus.queryExecution.analyzed.canonicalized.toString
+      val fp = scala.util.hashing.MurmurHash3
+        .stringHash(snapshot + " " + planId).toLong
+      ("files", files.length.toLong, fp)
+    } else {
+      val idRow = corpus.agg(
+        count_distinct(col(idCol)).as("docs"),
+        bit_xor(xxhash64(col(idCol), col(textCol))).as("fp")).head()
+      ("content",
+        idRow.getLong(0),
+        if (idRow.isNullAt(1)) 0L else idRow.getLong(1))
     }
   }
 
@@ -727,13 +765,24 @@ object Dedup {
     // instead of failing the job, because a localCheckpoint's blocks
     // die with their executor AND its truncated lineage makes them
     // unrecomputable. Locally (no dir) the executor-storage variant
-    // suffices. Old reliable-checkpoint files are reclaimed by the
-    // ContextCleaner when spark.cleaner.referenceTracking
-    // .cleanCheckpoints is set, or with the checkpoint dir itself.
-    val reliable =
-      nodes.sparkSession.sparkContext.getCheckpointDir.isDefined
+    // suffices. Round N−1's checkpoint FILES are deleted as soon as
+    // round N's materialize (below) — relying on the ContextCleaner
+    // (opt-in conf, GC-driven) would leave every round's full label
+    // table on disk and exhaust the checkpoint dir on long iterations
+    // (r6 VERDICT #5). The FINAL round's files are left for the
+    // caller's consuming action.
+    val sc = nodes.sparkSession.sparkContext
+    val reliable = sc.getCheckpointDir.isDefined
     def cut(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    def checkpointFile(df: DataFrame): Option[String] =
+      df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.flatMap(_.getCheckpointFile)
+    def deleteCheckpointFile(file: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(file)
+      p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+    }
     var checkpointed = cut(nodes
       .select(col(idCol).cast("long").as("node"), col(idCol).cast("long").as("label")))
     // DELTA iteration: only nodes whose label changed last round send
@@ -752,9 +801,11 @@ object Dedup {
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
           (col("nl").isNotNull && col("nl") < col("label")).as("__chg"))
       val cutNext = cut(next)
-      // block release applies to the local variant only: a reliable
-      // checkpoint's data lives in files, not block-manager memory
+      // `cut` is EAGER (checkpoint(true)), so round N's data is durable
+      // here — round N−1's storage can go: block-manager blocks for the
+      // local variant, checkpoint files for the reliable one
       if (!reliable) releaseCheckpoint(checkpointed)
+      else checkpointFile(checkpointed).foreach(deleteCheckpointFile)
       checkpointed = cutNext
       frontier = cutNext.filter(col("__chg")).select(col("node"), col("label"))
       converged = frontier.limit(1).count() == 0

@@ -167,10 +167,22 @@ object Incremental {
     * On every later call the index is checked against the store: the
     * documented crash window (die between the store append and the
     * index append) leaves admitted docs unindexed. Detection is two
-    * cheap counts — `sets` carries exactly one row per indexed doc (see
-    * [[Dedup.buildNearDupIndex]]) — and repair re-indexes only the
-    * missing slice, found by anti-join, so a healthy startup costs no
-    * shingling at all. */
+    * cheap counts — `sets` carries one row per DISTINCT indexed doc id
+    * (see [[Dedup.buildNearDupIndex]]), so the expected count is the
+    * distinct id count of reference ∪ store, NOT the raw row sum (a
+    * duplicate id inside the reference, or an id shared between
+    * reference and store, would make a raw-sum compare permanently
+    * "stale" and run the repair anti-join + an empty append on EVERY
+    * batch — quadratic cumulative cost and file-count bloat, r6
+    * VERDICT #1). Repair re-indexes only the missing slice, found by
+    * anti-join, so a healthy startup costs no shingling at all.
+    *
+    * An UNREADABLE index dir — the bands/sets crash window (die between
+    * the two parquet writes), or a legacy dir predating the params
+    * sidecar — is rebuilt from reference + store instead of failing
+    * every subsequent batch (r6 VERDICT #2; the streaming twin of
+    * [[Dedup.ensurePersistedIndex]]'s catch-and-rebuild). Rebuild
+    * reuses the sidecar's sketch params when they survived. */
   private[streaming] def ensureIndex(
       spark: SparkSession, indexDir: String, referenceDir: String,
       curatedDir: String, idCol: String, textCol: String,
@@ -181,22 +193,36 @@ object Incremental {
       .select(col(idCol), col(textCol))
     def storeDocs: Option[DataFrame] =
       curatedParquet(spark, curatedDir).map(_.select(col(idCol), col(textCol)))
-    if (!fs.exists(path)) {
-      val base = storeDocs.fold(reference)(reference.unionByName(_))
-      Dedup.buildNearDupIndex(base, idCol, textCol, scope = scope).write(indexDir)
+    def allDocs: DataFrame = storeDocs.fold(reference)(reference.unionByName(_))
+    def rebuild(): Dedup.NearDupIndex = {
+      val (s, n, r) = Dedup.NearDupIndex.readParams(spark, indexDir)
+        .getOrElse((3, 16, 4))
+      Dedup.buildNearDupIndex(allDocs, idCol, textCol, s, n, r, scope)
+        .write(indexDir)
       Dedup.NearDupIndex.read(spark, indexDir)
-    } else {
-      val index = Dedup.NearDupIndex.read(spark, indexDir)
-      val expected = reference.count() + storeDocs.map(_.count()).getOrElse(0L)
-      if (index.sets.count() >= expected) index
-      else {
-        val all = storeDocs.fold(reference)(reference.unionByName(_))
-        val missing = all.join(
-          index.sets.select(col("doc").as(idCol)), Seq(idCol), "left_anti")
-        Dedup.buildNearDupIndex(missing, idCol, textCol,
-            index.shingleSize, index.numHashes, index.rowsPerBand, scope)
-          .append(indexDir)
-        Dedup.NearDupIndex.read(spark, indexDir)
+    }
+    if (!fs.exists(path)) rebuild()
+    else {
+      val existing =
+        try Some(Dedup.NearDupIndex.read(spark, indexDir))
+        catch { case scala.util.control.NonFatal(_) => None }
+      existing match {
+        case None => rebuild()
+        case Some(index) =>
+          val expected = allDocs.select(col(idCol)).distinct().count()
+          // distinct on the manifest side too: an id admitted by a batch
+          // that ALSO exists in the reference appears twice in sets, and
+          // a raw sets count could mask a genuinely missing doc
+          val indexed = index.sets.select(col("doc")).distinct().count()
+          if (indexed >= expected) index
+          else {
+            val missing = allDocs.join(
+              index.sets.select(col("doc").as(idCol)), Seq(idCol), "left_anti")
+            Dedup.buildNearDupIndex(missing, idCol, textCol,
+                index.shingleSize, index.numHashes, index.rowsPerBand, scope)
+              .append(indexDir)
+            Dedup.NearDupIndex.read(spark, indexDir)
+          }
       }
     }
   }

@@ -139,12 +139,16 @@ class ScaleOpsSpec extends SparkSpec {
       assert(out == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
         10L -> 10L, 11L -> 10L, 20L -> 20L))
       // and the rounds actually wrote reliable checkpoint files (the
-      // executor-loss-safe cut — a localCheckpoint writes none)
+      // executor-loss-safe cut — a localCheckpoint writes none), with
+      // every superseded round's files DELETED as the next one landed:
+      // this multi-round graph must leave exactly the final round's
+      // rdd-* dir, or a long iteration exhausts the checkpoint dir
       def rddDirs(f: java.io.File): Int =
         if (f.getName.startsWith("rdd-")) 1
         else Option(f.listFiles).map(_.map(rddDirs).sum).getOrElse(0)
-      assert(rddDirs(new java.io.File(ckDir)) > 0,
-        "no reliable checkpoint files written under the configured dir")
+      assert(rddDirs(new java.io.File(ckDir)) == 1,
+        "checkpoint dir must hold ONLY the final round's files after " +
+          s"convergence; found ${rddDirs(new java.io.File(ckDir))}")
     } finally sc.setCheckpointDir(null)
   }
 

@@ -202,6 +202,93 @@ class IncrementalSpec extends SparkSpec {
       "manifest must cover reference + every curated doc exactly once")
   }
 
+  test("ensureIndex: duplicate ids in the reference never trigger the repair path") {
+    val tmp = Files.createTempDirectory("graft-incr-dupid").toString
+    val refDir = s"$tmp/ref"; val curDir = s"$tmp/curated"
+    val idxDir = s"$tmp/ndindex"
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    // the reference carries a DUPLICATE id (two distinct texts under
+    // id 1 — a recrawl archived under its original id, the normal case)
+    Seq((1L, words("ref", 40)), (1L, words("other", 40)), (2L, words("more", 40)))
+      .toDF("doc_id", "text").write.parquet(refDir)
+    Incremental.curateBatchFuzzy(spark,
+      Seq((10L, words("alpha", 40))).toDF("doc_id", "text"),
+      "doc_id", "text", refDir, curDir, idxDir, threshold = 0.5)
+
+    // a raw-count staleness compare (ref rows + store rows = 4) can
+    // never be satisfied by the manifest (3 distinct ids) — it would
+    // run the repair anti-join AND append empty part files on EVERY
+    // batch forever. A healthy ensure must leave the index untouched.
+    def setsFiles: Set[String] = new java.io.File(s"$idxDir/sets")
+      .listFiles.map(_.getName).filter(_.endsWith(".parquet")).toSet
+    val before = setsFiles
+    val scope = graft.util.CacheScope()
+    try Incremental.ensureIndex(
+      spark, idxDir, refDir, curDir, "doc_id", "text", scope)
+    finally scope.unpersistAll()
+    assert(setsFiles == before,
+      "ensure over a healthy index must not append (repair-loop bug)")
+  }
+
+  test("ensureIndex: bands present but sets missing (index-write crash) self-heals") {
+    val tmp = Files.createTempDirectory("graft-incr-halfidx").toString
+    val refDir = s"$tmp/ref"; val curDir = s"$tmp/curated"
+    val idxDir = s"$tmp/ndindex"
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val storyA = words("alpha", 40)
+    Seq((1L, words("ref", 40))).toDF("doc_id", "text").write.parquet(refDir)
+    Incremental.curateBatchFuzzy(spark,
+      Seq((10L, storyA)).toDF("doc_id", "text"),
+      "doc_id", "text", refDir, curDir, idxDir, threshold = 0.5)
+    // simulate a crash between NearDupIndex.write's bands and sets
+    // writes: bands/ landed, sets/ did not
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(s"$idxDir/sets"))
+    assert(new java.io.File(s"$idxDir/bands").exists())
+
+    // the next batch must NOT fail permanently — ensureIndex rebuilds
+    // from reference + store, so the recrawl of the admitted doc drops
+    Incremental.curateBatchFuzzy(spark,
+      Seq((20L, storyA + " appended update note"), (21L, words("beta", 40)))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", refDir, curDir, idxDir, threshold = 0.5)
+    val curated = spark.read.parquet(curDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(curated.map(_._1) == Set(10L, 21L),
+      s"rebuilt index must still drop the recrawl: ${curated.map(_._1)}")
+    val healed = Dedup.NearDupIndex.read(spark, idxDir)
+    assert(healed.sets.select("doc").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 10L, 21L), "rebuilt manifest covers reference + store")
+  }
+
+  test("ensureIndex: legacy index dir without the params sidecar is rebuilt") {
+    val tmp = Files.createTempDirectory("graft-incr-legacy").toString
+    val refDir = s"$tmp/ref"; val curDir = s"$tmp/curated"
+    val idxDir = s"$tmp/ndindex"
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val storyA = words("alpha", 40)
+    Seq((1L, words("ref", 40))).toDF("doc_id", "text").write.parquet(refDir)
+    Incremental.curateBatchFuzzy(spark,
+      Seq((10L, storyA)).toDF("doc_id", "text"),
+      "doc_id", "text", refDir, curDir, idxDir, threshold = 0.5)
+    // a pre-sidecar index dir: bands + sets present, params.json absent
+    assert(new java.io.File(s"$idxDir/params.json").delete())
+
+    Incremental.curateBatchFuzzy(spark,
+      Seq((20L, storyA + " appended update note"), (21L, words("beta", 40)))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", refDir, curDir, idxDir, threshold = 0.5)
+    val curated = spark.read.parquet(curDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(curated == Set(10L, 21L),
+      s"legacy dir must self-heal and keep dropping recrawls: $curated")
+  }
+
   test("curateBatch drops null-text rows instead of letting them bypass dedup") {
     val tmp = Files.createTempDirectory("graft-incr-null").toString
     val refDir = s"$tmp/ref"; val curDir = s"$tmp/curated"
