@@ -24,8 +24,13 @@ object Bench {
     // so counted wall-times would exclude the sort.
     // A failed run records the sentinel -1 (never the wall-clock of the
     // failed attempt); one failed run fails the whole query.
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the run — the isolated-query
+    // mode used to adjudicate a regression apart from neighbor effects
+    // (JVM/GC state left by whichever query the Map iterates before it)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val benched = SparkEntry.queries.filterNot { case (name, _) =>
-      SparkEntry.gateOnly.contains(name)
+      SparkEntry.gateOnly.contains(name) || only.exists(!_.contains(name))
     }
     val results = benched.map { case (name, fn) =>
       // one-time state (e.g. x77's persisted index) built untimed — the

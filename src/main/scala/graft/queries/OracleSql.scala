@@ -78,21 +78,25 @@ object OracleSql {
        |  SELECT doc, j // 4 AS band, string_agg(mh::VARCHAR, ',' ORDER BY j) AS bkey
        |  FROM sig GROUP BY doc, j // 4)""".stripMargin
 
-  /** Cross-side (batch doc ≥ 400 vs frozen doc < 400) minhash-LSH
-    * near-dup pipeline, shared by x75 (pair list) and x76 (drop form):
-    * `matched` = (a = batch id, b = reference id, jac ≥ 0.35). */
+  /** Cross-side minhash-LSH near-dup pipeline, shared by x75 (pair
+    * list) and x76 (drop form): `matched` = (a = batch id, b =
+    * reference id, jac ≥ 0.35). The frozen/batch boundary is the last
+    * 10% of the id space — `(MAX(doc_id)+1)*9//10`, mirroring
+    * Queries.crossSplit — so the batch stays small relative to the
+    * corpus at every SF (the production shape). */
   private val crossNearDupCtes: String =
     s"""${shingleCte(3)},
        |$minhashBandsCtes,
+       |thr AS (SELECT (MAX(doc_id)+1)*9//10 AS t FROM documents),
        |pairs AS (
        |  SELECT DISTINCT x.doc AS a, y.doc AS b
        |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
-       |  WHERE x.doc >= 400 AND y.doc < 400),
+       |  WHERE x.doc >= (SELECT t FROM thr) AND y.doc < (SELECT t FROM thr)),
        |sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
        |inter AS (
        |  SELECT x.doc AS a, y.doc AS b, COUNT(*) AS i
        |  FROM sh x JOIN sh y ON x.h = y.h
-       |  WHERE x.doc >= 400 AND y.doc < 400
+       |  WHERE x.doc >= (SELECT t FROM thr) AND y.doc < (SELECT t FROM thr)
        |  GROUP BY x.doc, y.doc),
        |matched AS (
        |  SELECT p.a, p.b,
@@ -888,10 +892,10 @@ object OracleSql {
         |WHERE c.bal < f.lo OR c.bal > f.hi
         |ORDER BY c_custkey""".stripMargin,
 
-    // Fuzzy incremental dedup: batch (>= 400) vs frozen (< 400) LSH
-    // band collisions, exact Jaccard verify — pairs oriented
-    // (a = batch, b = reference), so the intersection is computed
-    // cross-side, not with the a < b convention of x41/x42.
+    // Fuzzy incremental dedup: batch (last 10% of ids) vs frozen
+    // (first 90%) LSH band collisions, exact Jaccard verify — pairs
+    // oriented (a = batch, b = reference), so the intersection is
+    // computed cross-side, not with the a < b convention of x41/x42.
     "x75_neardup_incremental" ->
       s"""WITH $crossNearDupCtes
          |SELECT a, b, jac FROM matched ORDER BY a, b""".stripMargin,
@@ -900,7 +904,7 @@ object OracleSql {
     "x76_neardup_drop" ->
       s"""WITH $crossNearDupCtes
          |SELECT d.doc_id, d.lang, d.source FROM documents d
-         |WHERE d.doc_id >= 400 AND NOT EXISTS (
+         |WHERE d.doc_id >= (SELECT t FROM thr) AND NOT EXISTS (
          |  SELECT 1 FROM matched m WHERE m.a = d.doc_id)
          |ORDER BY d.doc_id""".stripMargin,
 

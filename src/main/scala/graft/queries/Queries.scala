@@ -792,24 +792,38 @@ object Queries {
       .orderBy("c_custkey")
 
   /** X75 — fuzzy incremental dedup: near-dup pairs between the new
-    * batch (id ≥ 400) and the frozen corpus (id < 400) at Jaccard ≥
-    * 0.35 — catches the lightly-edited recrawl that x61's exact digest
-    * dedup lets through. */
+    * batch (last 10% of the id space) and the frozen corpus (first 90%)
+    * at Jaccard ≥ 0.35 — catches the lightly-edited recrawl that x61's
+    * exact digest dedup lets through. The 90/10 split is the PRODUCTION
+    * shape at every SF — a daily batch is small relative to the frozen
+    * corpus it probes (the old fixed id<400 split inverted that at
+    * sf0.1: 400-doc corpus vs 4600-doc batch, so the benched numbers
+    * measured batch shingling, which no index can remove, instead of
+    * the corpus-side work x77 exists to eliminate). */
   def x75(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    val split = crossSplit(docs)
     Dedup.minhashNearDupsAgainstReference(
-        docs.filter(col("doc_id") >= 400), docs.filter(col("doc_id") < 400),
+        docs.filter(col("doc_id") >= split), docs.filter(col("doc_id") < split),
         "doc_id", "text", threshold = 0.35)
       .orderBy("a", "b")
   }
+
+  /** x75-x77's frozen-corpus/batch boundary: corpus = ids below 90% of
+    * the id space, batch = the rest. Integer arithmetic, mirrored
+    * exactly by the oracle's `(MAX(doc_id)+1)*9//10`. The max() is a
+    * parquet-footer-stats read, not a data scan. */
+  private def crossSplit(docs: DataFrame): Long =
+    (docs.agg(max(col("doc_id"))).head().getLong(0) + 1L) * 9L / 10L
 
   /** X76 — fuzzy incremental dedup, drop form: the new batch with every
     * doc near-duplicating the frozen corpus removed (x75's pair list
     * applied as a filter). */
   def x76(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    val split = crossSplit(docs)
     Dedup.dropNearDupsAgainstReference(
-        docs.filter(col("doc_id") >= 400), docs.filter(col("doc_id") < 400),
+        docs.filter(col("doc_id") >= split), docs.filter(col("doc_id") < split),
         "doc_id", "text", threshold = 0.35)
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy("doc_id")
@@ -825,9 +839,10 @@ object Queries {
     * number the index exists to deliver). */
   def x77(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    val split = crossSplit(docs)
     val index = Dedup.ensurePersistedIndex(
-      docs.filter(col("doc_id") < 400), "doc_id", "text", x77IndexDir(dir))
-    Dedup.minhashNearDupsAgainstIndex(docs.filter(col("doc_id") >= 400),
+      docs.filter(col("doc_id") < split), "doc_id", "text", x77IndexDir(dir))
+    Dedup.minhashNearDupsAgainstIndex(docs.filter(col("doc_id") >= split),
         index, "doc_id", "text", threshold = 0.35)
       .orderBy("a", "b")
   }
@@ -838,8 +853,9 @@ object Queries {
     * that no production batch ever pays (r6 VERDICT #3). */
   def x77Setup(s: SparkSession, dir: String): Unit = {
     val docs = Tables.documents(s, dir)
+    val split = crossSplit(docs)
     Dedup.ensurePersistedIndex(
-      docs.filter(col("doc_id") < 400), "doc_id", "text", x77IndexDir(dir))
+      docs.filter(col("doc_id") < split), "doc_id", "text", x77IndexDir(dir))
     ()
   }
 
@@ -850,7 +866,7 @@ object Queries {
   private[graft] def x77IndexDir(dir: String): String = {
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft-ndidx-$key-ref400-s3n16r4").getPath
+      s"graft-ndidx-$key-ref90pct-s3n16r4").getPath
   }
 
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */

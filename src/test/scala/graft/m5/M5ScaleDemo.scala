@@ -18,6 +18,9 @@ object M5ScaleDemo {
     val itemsN = if (args.length > 1) args(1).toInt else 250
     val days = if (args.length > 2) args(2).toInt else 400
     val parallelism = if (args.length > 3) args(3).toInt else 4
+    // weeks=4 + stores=10 reproduces the reference's full-width grid
+    // (full.yaml store_list × pred_week_list = 40 models)
+    val weeksN = if (args.length > 4) args(4).toInt else 2
 
     val in = Files.createTempDirectory("m5scale_in").toString
     val out = Files.createTempDirectory("m5scale_out").toString
@@ -39,7 +42,10 @@ object M5ScaleDemo {
         val l = new java.util.ArrayList[String]()
         (0 until storesN).foreach(i => l.add(s"ST_$i")); l
       },
-      "pred_week_list" -> java.util.List.of(1, 2),
+      "pred_week_list" -> {
+        val l = new java.util.ArrayList[Integer]()
+        (1 to weeksN).foreach(w => l.add(w)); l
+      },
       "lgb_params" -> java.util.Map.of(
         "n_estimators", 2, "learning_rate", 0.1, "max_depth", 6),
       "cleanup_intermediates" -> "true"))
@@ -56,7 +62,8 @@ object M5ScaleDemo {
     val secs = (System.nanoTime() - t0) / 1e9
     val preds = spark.read.parquet(s"$out/predictions.parquet").count()
     val sub = scala.io.Source.fromFile(s"$out/submission.csv").getLines().size
-    println(f"[m5scale] stores=$storesN items=$itemsN days=$days par=$parallelism " +
+    println(f"[m5scale] stores=$storesN items=$itemsN days=$days " +
+      f"weeks=$weeksN par=$parallelism " +
       f"ran=${report.ran.size} preds=$preds subRows=$sub wall=$secs%.1f s")
     spark.stop()
   }
