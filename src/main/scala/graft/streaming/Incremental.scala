@@ -152,6 +152,13 @@ object Incremental {
       Dedup.buildNearDupIndex(admitted, idCol, textCol,
           index.shingleSize, index.numHashes, index.rowsPerBand, scope)
         .append(indexDir)
+      // store + index are consistent again at the NEW row counts —
+      // re-stamp so the next batch's ensureIndex takes the cheap path.
+      // Written LAST: a crash anywhere above leaves a stale stamp,
+      // which fails the count compare and forces the exact check.
+      writeVerifiedStamp(spark, indexDir,
+        spark.read.parquet(referenceDir).count(),
+        curatedParquet(spark, curatedDir).map(_.count()).getOrElse(0L))
     } finally scope.unpersistAll()
   }
 
@@ -182,7 +189,18 @@ object Incremental {
     * sidecar — is rebuilt from reference + store instead of failing
     * every subsequent batch (r6 VERDICT #2; the streaming twin of
     * [[Dedup.ensurePersistedIndex]]'s catch-and-rebuild). Rebuild
-    * reuses the sidecar's sketch params when they survived. */
+    * reuses the sidecar's sketch params when they survived.
+    *
+    * COST SHAPE: the exact check scans + shuffles every corpus id, so
+    * running it per micro-batch would be an O(corpus) tax on a healthy
+    * stream. A `verified.json` stamp — the RAW (reference, store) row
+    * counts at the last verified-consistent moment — gates it: raw
+    * counts are metadata-cheap (no column read, no shuffle), and the
+    * store is append-only under this module's single-writer contract,
+    * so unchanged counts ⇒ no writes since verification ⇒ still
+    * consistent. Every batch re-stamps after its index append; any
+    * crash leaves counts ≠ stamp, which forces the exact check exactly
+    * once, repairs, and re-stamps. */
   private[streaming] def ensureIndex(
       spark: SparkSession, indexDir: String, referenceDir: String,
       curatedDir: String, idCol: String, textCol: String,
@@ -194,12 +212,17 @@ object Incremental {
     def storeDocs: Option[DataFrame] =
       curatedParquet(spark, curatedDir).map(_.select(col(idCol), col(textCol)))
     def allDocs: DataFrame = storeDocs.fold(reference)(reference.unionByName(_))
+    val refRows = reference.count()
+    val storeRows = storeDocs.map(_.count()).getOrElse(0L)
+    def stamped(index: Dedup.NearDupIndex): Dedup.NearDupIndex = {
+      writeVerifiedStamp(spark, indexDir, refRows, storeRows); index
+    }
     def rebuild(): Dedup.NearDupIndex = {
       val (s, n, r) = Dedup.NearDupIndex.readParams(spark, indexDir)
         .getOrElse((3, 16, 4))
       Dedup.buildNearDupIndex(allDocs, idCol, textCol, s, n, r, scope)
         .write(indexDir)
-      Dedup.NearDupIndex.read(spark, indexDir)
+      stamped(Dedup.NearDupIndex.read(spark, indexDir))
     }
     if (!fs.exists(path)) rebuild()
     else {
@@ -208,22 +231,57 @@ object Incremental {
         catch { case scala.util.control.NonFatal(_) => None }
       existing match {
         case None => rebuild()
+        case Some(index)
+          if readVerifiedStamp(spark, indexDir).contains((refRows, storeRows)) =>
+          index // verified at these exact counts; append-only ⇒ unchanged
         case Some(index) =>
           val expected = allDocs.select(col(idCol)).distinct().count()
           // distinct on the manifest side too: an id admitted by a batch
           // that ALSO exists in the reference appears twice in sets, and
           // a raw sets count could mask a genuinely missing doc
           val indexed = index.sets.select(col("doc")).distinct().count()
-          if (indexed >= expected) index
+          if (indexed >= expected) stamped(index)
           else {
             val missing = allDocs.join(
               index.sets.select(col("doc").as(idCol)), Seq(idCol), "left_anti")
             Dedup.buildNearDupIndex(missing, idCol, textCol,
                 index.shingleSize, index.numHashes, index.rowsPerBand, scope)
               .append(indexDir)
-            Dedup.NearDupIndex.read(spark, indexDir)
+            stamped(Dedup.NearDupIndex.read(spark, indexDir))
           }
       }
+    }
+  }
+
+  /** The consistency stamp gating [[ensureIndex]]'s exact check: raw
+    * (reference, store) row counts at the last moment store and index
+    * were known consistent. Written only at such moments (after a
+    * verify, a repair, a rebuild, or a batch's paired appends). */
+  private val VerifiedFile = "verified.json"
+
+  private def writeVerifiedStamp(
+      spark: SparkSession, indexDir: String,
+      refRows: Long, storeRows: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(indexDir, VerifiedFile)
+    val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(p, true)
+    try out.write(s"""{"refRows":$refRows,"storeRows":$storeRows}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readVerifiedStamp(
+      spark: SparkSession, indexDir: String): Option[(Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(indexDir, VerifiedFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      def field(k: String): Option[Long] =
+        s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+      for (r <- field("refRows"); s <- field("storeRows")) yield (r, s)
     }
   }
 

@@ -223,12 +223,26 @@ class IncrementalSpec extends SparkSpec {
     def setsFiles: Set[String] = new java.io.File(s"$idxDir/sets")
       .listFiles.map(_.getName).filter(_.endsWith(".parquet")).toSet
     val before = setsFiles
+    // batch 1 stamped verified.json; delete it so this ensure exercises
+    // the EXACT distinct-count path, not the cheap stamp fast-pass
+    assert(new java.io.File(s"$idxDir/verified.json").delete())
     val scope = graft.util.CacheScope()
     try Incremental.ensureIndex(
       spark, idxDir, refDir, curDir, "doc_id", "text", scope)
     finally scope.unpersistAll()
     assert(setsFiles == before,
       "ensure over a healthy index must not append (repair-loop bug)")
+    // and the exact check re-stamped, restoring the cheap path
+    assert(new java.io.File(s"$idxDir/verified.json").exists(),
+      "a passed exact check must rewrite the verified stamp")
+
+    // stamp fast-pass: with the stamp present and counts unchanged, a
+    // second ensure is also append-free (the per-batch healthy path)
+    val scope2 = graft.util.CacheScope()
+    try Incremental.ensureIndex(
+      spark, idxDir, refDir, curDir, "doc_id", "text", scope2)
+    finally scope2.unpersistAll()
+    assert(setsFiles == before, "stamped ensure must not append")
   }
 
   test("ensureIndex: bands present but sets missing (index-write crash) self-heals") {
