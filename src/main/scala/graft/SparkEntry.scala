@@ -28,5 +28,6 @@ object SparkEntry {
     * the steady-state cost. Verify does NOT run these: the correctness
     * gate exercises the full cold path. */
   def benchSetup: Map[String, (SparkSession, String) => Unit] =
-    Map("x77_neardup_index" -> (Queries.x77Setup _))
+    Map("x77_neardup_index" -> (Queries.x77Setup _),
+      "x78_neardup_drop_index" -> (Queries.x77Setup _))
 }

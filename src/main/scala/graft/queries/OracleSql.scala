@@ -908,12 +908,20 @@ object OracleSql {
          |  SELECT 1 FROM matched m WHERE m.a = d.doc_id)
          |ORDER BY d.doc_id""".stripMargin,
 
-    // x77 probes a precomputed index instead of re-shingling the
-    // frozen corpus; the RESULT contract is identical to x75, so the
-    // oracle is the same SQL (index vs recompute is a plan property,
-    // pinned by NearDupIndexSpec's zero-corpus-scan assertion).
+    // x77/x78 probe a precomputed index instead of re-shingling the
+    // frozen corpus; the RESULT contracts are identical to x75/x76, so
+    // the oracles are the same SQL (index vs recompute is a plan
+    // property, pinned by NearDupIndexSpec's zero-corpus-scan
+    // assertion).
     "x77_neardup_index" ->
       s"""WITH $crossNearDupCtes
-         |SELECT a, b, jac FROM matched ORDER BY a, b""".stripMargin
+         |SELECT a, b, jac FROM matched ORDER BY a, b""".stripMargin,
+
+    "x78_neardup_drop_index" ->
+      s"""WITH $crossNearDupCtes
+         |SELECT d.doc_id, d.lang, d.source FROM documents d
+         |WHERE d.doc_id >= (SELECT t FROM thr) AND NOT EXISTS (
+         |  SELECT 1 FROM matched m WHERE m.a = d.doc_id)
+         |ORDER BY d.doc_id""".stripMargin
   )
 }

@@ -847,8 +847,23 @@ object Queries {
       .orderBy("a", "b")
   }
 
-  /** Bench setup for x77: build-or-validate the persisted index OUTSIDE
-    * the timed region, so the benched number is the production
+  /** X78 — the DROP form over the precomputed index: x76's result via
+    * [[Dedup.dropNearDupsAgainstIndex]] (the shape every streaming
+    * batch runs in curateBatchFuzzy) instead of x76's full recompute —
+    * same oracle, probe-only plan. */
+  def x78(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val split = crossSplit(docs)
+    val index = Dedup.ensurePersistedIndex(
+      docs.filter(col("doc_id") < split), "doc_id", "text", x77IndexDir(dir))
+    Dedup.dropNearDupsAgainstIndex(docs.filter(col("doc_id") >= split),
+        index, "doc_id", "text", threshold = 0.35)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  /** Bench setup for x77/x78: build-or-validate the persisted index
+    * OUTSIDE the timed region, so the benched number is the production
     * steady-state — stamp check + probe — not a one-time index build
     * that no production batch ever pays (r6 VERDICT #3). */
   def x77Setup(s: SparkSession, dir: String): Unit = {
@@ -957,5 +972,6 @@ object Queries {
     "x74_iqr_outliers" -> (x74 _),
     "x75_neardup_incremental" -> (x75 _),
     "x76_neardup_drop" -> (x76 _),
-    "x77_neardup_index" -> (x77 _))
+    "x77_neardup_index" -> (x77 _),
+    "x78_neardup_drop_index" -> (x78 _))
 }
