@@ -1,9 +1,80 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
   /** Runs per query; the reported time is the median, so one host-noise
     * spike (this box shows ±40% run-to-run) can't distort a delta. */
   private val Runs = 3
+
+  /** Resolve SPARK_GRAFT_ONLY against the registered query names.
+    * Unknown names FAIL the run — a typo that silently benches zero
+    * queries emits an empty-but-successful-looking result (r7 ADVICE).
+    * An explicit ONLY also overrides the gateOnly exclusion: naming a
+    * query is an explicit request to time it, brute-force oracle twins
+    * included. */
+  private[graft] def selectQueries(
+      only: Option[Set[String]]): Seq[(String, (SparkSession, String) => DataFrame)] = {
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      if (unknown.nonEmpty)
+        sys.error("SPARK_GRAFT_ONLY names no registered query: " +
+          unknown.toSeq.sorted.mkString(", "))
+    }
+    val benched = SparkEntry.queries.filter { case (name, _) =>
+      only match {
+        case Some(names) => names.contains(name)
+        case None        => !SparkEntry.gateOnly.contains(name)
+      }
+    }
+    // Sorted order, NOT Map iteration order: adding one query to an
+    // unordered Map reshuffles every query's neighbors, so round-over-
+    // round deltas compared different JVM/GC contexts (r7's phantom
+    // 2.7-4.9× "regressions" on untouched code). Sorted order pins each
+    // query's neighborhood across rounds.
+    benched.toSeq.sortBy(_._1)
+  }
+
+  /** Time one query: untimed setup, then Runs timed materializations
+    * through a noop sink. Returns (median, per-run times).
+    *
+    * Materialize through a noop sink, NOT count(): under a bare count
+    * Catalyst eliminates the final total ORDER BY every query declares,
+    * so counted wall-times would exclude the sort.
+    *
+    * One-time state (e.g. x77's persisted index) is built untimed so
+    * the measured runs see the production steady-state. A setup failure
+    * must be LOUD and must fail the query (-1 sentinel): swallowing it
+    * silently moves the one-time build inside the timed region and
+    * corrupts exactly the steady-state number the hook exists to
+    * protect (r7 VERDICT #2). A failed run likewise records -1 (never
+    * the wall-clock of the failed attempt); one failed run fails the
+    * whole query. */
+  private[graft] def measure(
+      spark: SparkSession, sfDir: String, name: String,
+      fn: (SparkSession, String) => DataFrame,
+      setup: Option[(SparkSession, String) => Unit]): (Double, Seq[Double]) = {
+    val setupOk =
+      try { setup.foreach(_(spark, sfDir)); true }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] setup FAILED for $name: $e")
+          false
+      }
+    if (!setupOk) (-1.0, Seq.fill(Runs)(-1.0))
+    else {
+      val times = (1 to Runs).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case scala.util.control.NonFatal(_) => -1.0 }
+        finally graft.util.CacheScope.sweep(spark) // runs stay independent
+      }
+      val median =
+        if (times.exists(_ < 0)) -1.0
+        else times.sorted.apply(Runs / 2)
+      (median, times)
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -16,39 +87,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Session warm-up (parquet reader, codegen, noop sink) so the first
     // measured query doesn't absorb JVM startup — it lands on whichever
-    // key the Map iterates first and distorts that query's number.
+    // query sorts first and distorts that query's number.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
-    // Materialize through a noop sink, NOT count(): under a bare count
-    // Catalyst eliminates the final total ORDER BY every query declares,
-    // so counted wall-times would exclude the sort.
-    // A failed run records the sentinel -1 (never the wall-clock of the
-    // failed attempt); one failed run fails the whole query.
+    catch { case scala.util.control.NonFatal(_) => () }
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run — the isolated-query
     // mode used to adjudicate a regression apart from neighbor effects
-    // (JVM/GC state left by whichever query the Map iterates before it)
+    // (JVM/GC state left by whichever query runs before it).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val benched = SparkEntry.queries.filterNot { case (name, _) =>
-      SparkEntry.gateOnly.contains(name) || only.exists(!_.contains(name))
-    }
-    val results = benched.map { case (name, fn) =>
-      // one-time state (e.g. x77's persisted index) built untimed — the
-      // measured runs then see the production steady-state
-      try SparkEntry.benchSetup.get(name).foreach(_(spark, sfDir))
-      catch { case _: Throwable => () }
-      val times = (1 to Runs).map { _ =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch { case _: Throwable => -1.0 }
-        finally graft.util.CacheScope.sweep(spark) // runs stay independent
-      }
-      val median =
-        if (times.exists(_ < 0)) -1.0
-        else times.sorted.apply(Runs / 2)
-      name -> (median, times)
+    val results = selectQueries(only).map { case (name, fn) =>
+      name -> measure(spark, sfDir, name, fn, SparkEntry.benchSetup.get(name))
     }
     // Per-query times rounded to ms in the printed line: r3's full-
     // precision line was truncated by the driver's stdout capture
@@ -67,7 +115,7 @@ object Bench {
     val runsDetail = results.map { case (k, (_, ts)) =>
       s"\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val ok = results.values.map(_._1).filter(_ >= 0)
+    val ok = results.map(_._2._1).filter(_ >= 0)
     val total = if (ok.nonEmpty) ok.sum else 0.0
     val failed = results.count(_._2._1 < 0)
     val skipped = SparkEntry.gateOnly.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -75,7 +123,7 @@ object Bench {
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: Throwable => () } // the printed line is the contract
+    catch { case scala.util.control.NonFatal(_) => () } // printed line is the contract
     println(line)
     spark.stop()
   }

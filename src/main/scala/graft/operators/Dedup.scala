@@ -557,7 +557,9 @@ object Dedup {
     *  - FILE-BACKED corpora (`corpus.inputFiles` nonempty): a snapshot
     *    of the underlying files — sorted (path, size, mtime) — plus the
     *    CANONICALIZED logical plan (so two different predicates over
-    *    one parquet dir do not share a stamp), hashed together. The
+    *    one parquet dir do not share a stamp) plus idCol/textCol (so
+    *    two column choices over one dir do not share a stamp, r7
+    *    ADVICE), hashed together (64-bit). The
     *    ensure costs driver metadata listings only, never a data scan
     *    (r6 VERDICT #3: the per-call content re-hash made the
     *    "probe-only" path pay a full corpus read per ensure). An
@@ -588,6 +590,16 @@ object Dedup {
     }
   }
 
+  /** 64-bit string fingerprint from two independently-seeded 32-bit
+    * murmur passes (no 64-bit string hash in the stdlib and Guava is
+    * shaded on the Spark classpath). */
+  private[graft] def hash64(s: String): Long = {
+    import scala.util.hashing.MurmurHash3
+    val hi = MurmurHash3.stringHash(s, 0x9747b28c)
+    val lo = MurmurHash3.stringHash(s, 0x85ebca6b)
+    (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+  }
+
   /** Corpus identity for [[ensurePersistedIndex]]: (mode, count,
     * fingerprint) — file-metadata snapshot for file-backed frames,
     * content hash otherwise (modes documented there). */
@@ -602,11 +614,16 @@ object Dedup {
         s"$f|${st.getLen}|${st.getModificationTime}"
       }.mkString("\n")
       // canonicalized plan: exprIds are normalized, so the rendering is
-      // deterministic across sessions for the same query + schema
+      // deterministic across sessions for the same query + schema.
+      // idCol/textCol are part of the identity: two ensures at the same
+      // dir over the same files but different column choices must not
+      // share a stamp (r7 ADVICE). 64-bit fingerprint (two independent
+      // murmur passes) — 32 bits is birthday-collision territory across
+      // long-lived index dirs.
       val planId = corpus.queryExecution.analyzed.canonicalized.toString
-      val fp = scala.util.hashing.MurmurHash3
-        .stringHash(snapshot + " " + planId).toLong
-      ("files", files.length.toLong, fp)
+      val ident =
+        Seq(snapshot, planId, idCol, textCol).mkString(" ")
+      ("files", files.length.toLong, hash64(ident))
     } else {
       val idRow = corpus.agg(
         count_distinct(col(idCol)).as("docs"),

@@ -811,10 +811,15 @@ object Queries {
 
   /** x75-x77's frozen-corpus/batch boundary: corpus = ids below 90% of
     * the id space, batch = the rest. Integer arithmetic, mirrored
-    * exactly by the oracle's `(MAX(doc_id)+1)*9//10`. The max() is a
-    * parquet-footer-stats read, not a data scan. */
-  private def crossSplit(docs: DataFrame): Long =
-    (docs.agg(max(col("doc_id"))).head().getLong(0) + 1L) * 9L / 10L
+    * exactly by the oracle's `(MAX(doc_id)+1)*9//10`. One scalar
+    * max() aggregate over a single column (column-pruned scan; cheap,
+    * though Spark does scan the column — footer-stats pushdown is not
+    * on by default). An EMPTY table yields a null max → coalesce to -1
+    * so split = 0: corpus empty, everything is batch. */
+  private def crossSplit(docs: DataFrame): Long = {
+    val row = docs.agg(coalesce(max(col("doc_id")), lit(-1L))).head()
+    (row.getLong(0) + 1L) * 9L / 10L
+  }
 
   /** X76 — fuzzy incremental dedup, drop form: the new batch with every
     * doc near-duplicating the frozen corpus removed (x75's pair list

@@ -142,23 +142,27 @@ object Incremental {
           vsRef, cur, idCol, textCol, DigestCol)
         case None => vsRef
       }
-      val index = ensureIndex(
+      val ensured = ensureIndex(
         spark, indexDir, referenceDir, curatedDir, idCol, textCol, scope)
       val admitted = Dedup.dropNearDupsAgainstIndex(
-          exactFresh, index, idCol, textCol, threshold, scope)
+          exactFresh, ensured.index, idCol, textCol, threshold, scope)
         .localCheckpoint()
       admitted.withColumn(DigestCol, sha2(col(textCol), 256))
         .write.mode("append").parquet(curatedDir)
       Dedup.buildNearDupIndex(admitted, idCol, textCol,
-          index.shingleSize, index.numHashes, index.rowsPerBand, scope)
+          ensured.index.shingleSize, ensured.index.numHashes,
+          ensured.index.rowsPerBand, scope)
         .append(indexDir)
       // store + index are consistent again at the NEW row counts —
       // re-stamp so the next batch's ensureIndex takes the cheap path.
       // Written LAST: a crash anywhere above leaves a stale stamp,
       // which fails the count compare and forces the exact check.
+      // The counts are the ENSURE-TIME ones threaded through (store
+      // grew by exactly the admitted rows; counting the checkpointed
+      // admitted set is cached-partition metadata) — no per-batch
+      // re-count of reference or store (r7 VERDICT #3).
       writeVerifiedStamp(spark, indexDir,
-        spark.read.parquet(referenceDir).count(),
-        curatedParquet(spark, curatedDir).map(_.count()).getOrElse(0L))
+        ensured.refRows, ensured.storeRows + admitted.count(), ensured.refFp)
     } finally scope.unpersistAll()
   }
 
@@ -194,17 +198,27 @@ object Incremental {
     * COST SHAPE: the exact check scans + shuffles every corpus id, so
     * running it per micro-batch would be an O(corpus) tax on a healthy
     * stream. A `verified.json` stamp — the RAW (reference, store) row
-    * counts at the last verified-consistent moment — gates it: raw
-    * counts are metadata-cheap (no column read, no shuffle), and the
-    * store is append-only under this module's single-writer contract,
-    * so unchanged counts ⇒ no writes since verification ⇒ still
-    * consistent. Every batch re-stamps after its index append; any
-    * crash leaves counts ≠ stamp, which forces the exact check exactly
-    * once, repairs, and re-stamps. */
+    * counts at the last verified-consistent moment, plus a fingerprint
+    * of the reference dir's file metadata (paths/sizes/mtimes) — gates
+    * it: raw counts and driver file listings are metadata-cheap (no
+    * column read, no shuffle), and the store is append-only under this
+    * module's single-writer contract, so unchanged counts + unchanged
+    * reference files ⇒ no writes since verification ⇒ still consistent.
+    * The metadata fingerprint closes the count-preserving hole (r7
+    * ADVICE): a reference dir regenerated IN PLACE at the same row
+    * count changes file sizes/mtimes, fails the stamp compare, and —
+    * because the regenerated ids still match the manifest — is caught
+    * by [[refFingerprint]] differing, forcing a rebuild. Every batch
+    * re-stamps after its index append; any crash leaves counts ≠
+    * stamp, which forces the exact check exactly once, repairs, and
+    * re-stamps. */
+  private[streaming] case class EnsuredIndex(
+      index: Dedup.NearDupIndex, refRows: Long, storeRows: Long, refFp: Long)
+
   private[streaming] def ensureIndex(
       spark: SparkSession, indexDir: String, referenceDir: String,
       curatedDir: String, idCol: String, textCol: String,
-      scope: graft.util.CacheScope): Dedup.NearDupIndex = {
+      scope: graft.util.CacheScope): EnsuredIndex = {
     val path = new org.apache.hadoop.fs.Path(s"$indexDir/bands")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val reference = spark.read.parquet(referenceDir)
@@ -214,10 +228,12 @@ object Incremental {
     def allDocs: DataFrame = storeDocs.fold(reference)(reference.unionByName(_))
     val refRows = reference.count()
     val storeRows = storeDocs.map(_.count()).getOrElse(0L)
-    def stamped(index: Dedup.NearDupIndex): Dedup.NearDupIndex = {
-      writeVerifiedStamp(spark, indexDir, refRows, storeRows); index
+    val refFp = refFingerprint(spark, reference)
+    def stamped(index: Dedup.NearDupIndex): EnsuredIndex = {
+      writeVerifiedStamp(spark, indexDir, refRows, storeRows, refFp)
+      EnsuredIndex(index, refRows, storeRows, refFp)
     }
-    def rebuild(): Dedup.NearDupIndex = {
+    def rebuild(): EnsuredIndex = {
       val (s, n, r) = Dedup.NearDupIndex.readParams(spark, indexDir)
         .getOrElse((3, 16, 4))
       Dedup.buildNearDupIndex(allDocs, idCol, textCol, s, n, r, scope)
@@ -229,11 +245,22 @@ object Incremental {
       val existing =
         try Some(Dedup.NearDupIndex.read(spark, indexDir))
         catch { case scala.util.control.NonFatal(_) => None }
+      val stamp = readVerifiedStamp(spark, indexDir)
       existing match {
         case None => rebuild()
+        case Some(_)
+          // stamped at these counts but over DIFFERENT reference bytes:
+          // an in-place regeneration — the manifest ids still match, so
+          // the exact check below would pass over stale sketches.
+          // Rebuild is the only honest answer.
+          if stamp.exists(s => (s._1, s._2) == (refRows, storeRows)
+            && s._3 != refFp) =>
+          rebuild()
         case Some(index)
-          if readVerifiedStamp(spark, indexDir).contains((refRows, storeRows)) =>
-          index // verified at these exact counts; append-only ⇒ unchanged
+          if stamp.contains((refRows, storeRows, refFp)) =>
+          // verified at these exact counts + reference bytes;
+          // append-only ⇒ unchanged
+          EnsuredIndex(index, refRows, storeRows, refFp)
         case Some(index) =>
           val expected = allDocs.select(col(idCol)).distinct().count()
           // distinct on the manifest side too: an id admitted by a batch
@@ -253,25 +280,49 @@ object Incremental {
     }
   }
 
+  /** Fingerprint of the reference's underlying file metadata — sorted
+    * (path, size, mtime) hashed to 64 bits (the [[Dedup]] corpus-
+    * identity scheme). Driver listings only, no data scan. 0 for a
+    * non-file-backed frame (never the case for the parquet reference
+    * this module reads, but total anyway). */
+  private def refFingerprint(
+      spark: SparkSession, reference: DataFrame): Long = {
+    val files = reference.inputFiles
+    if (files.isEmpty) 0L
+    else {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val snapshot = files.sorted.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val st = p.getFileSystem(conf).getFileStatus(p)
+        s"$f|${st.getLen}|${st.getModificationTime}"
+      }.mkString("\n")
+      Dedup.hash64(snapshot)
+    }
+  }
+
   /** The consistency stamp gating [[ensureIndex]]'s exact check: raw
-    * (reference, store) row counts at the last moment store and index
-    * were known consistent. Written only at such moments (after a
-    * verify, a repair, a rebuild, or a batch's paired appends). */
+    * (reference, store) row counts + the reference file-metadata
+    * fingerprint at the last moment store and index were known
+    * consistent. Written only at such moments (after a verify, a
+    * repair, a rebuild, or a batch's paired appends). A pre-refFp
+    * legacy stamp reads as None and costs one exact check, then
+    * re-stamps in the new format. */
   private val VerifiedFile = "verified.json"
 
   private def writeVerifiedStamp(
       spark: SparkSession, indexDir: String,
-      refRows: Long, storeRows: Long): Unit = {
+      refRows: Long, storeRows: Long, refFp: Long): Unit = {
     val p = new org.apache.hadoop.fs.Path(indexDir, VerifiedFile)
     val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .create(p, true)
-    try out.write(s"""{"refRows":$refRows,"storeRows":$storeRows}"""
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(
+      s"""{"refRows":$refRows,"storeRows":$storeRows,"refFp":$refFp}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 
   private def readVerifiedStamp(
-      spark: SparkSession, indexDir: String): Option[(Long, Long)] = {
+      spark: SparkSession, indexDir: String): Option[(Long, Long, Long)] = {
     val p = new org.apache.hadoop.fs.Path(indexDir, VerifiedFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
@@ -281,7 +332,8 @@ object Incremental {
         finally in.close()
       def field(k: String): Option[Long] =
         s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
-      for (r <- field("refRows"); s <- field("storeRows")) yield (r, s)
+      for (r <- field("refRows"); s <- field("storeRows"); f <- field("refFp"))
+        yield (r, s, f)
     }
   }
 

@@ -47,45 +47,57 @@ object MiniM5Fixture {
   private def writeImpl(dir: String, stores: Seq[String], items: Seq[String],
       nDays: Int, nCalendarDays: Int): Unit = {
     Files.createDirectories(Paths.get(dir))
+    // Streamed row-by-row: at reference width (3,049 items × 1,941
+    // days) the sales CSV is ~120 MB and sell_prices ~8.5M rows —
+    // building either as one driver-side string would need GBs of
+    // transient heap for no reason.
+    def writeCsv(name: String, header: String)(
+        rows: java.io.BufferedWriter => Unit): Unit = {
+      val w = Files.newBufferedWriter(Paths.get(dir, name))
+      try { w.write(header); w.write("\n"); rows(w) } finally w.close()
+    }
 
     // sales_train_evaluation.csv — wide, one row per (item, store)
     val dayHeader = (1 to nDays).map(d => s"d_$d").mkString(",")
-    val salesRows = for {
-      (store, s) <- stores.zipWithIndex
-      (item, i) <- items.zipWithIndex
-    } yield {
-      val dept = s"dept_${i % 2}"; val cat = s"cat_${i % 2}"
-      val state = store.take(2)
-      val vals = (1 to nDays).map(d => units(s, i, d)).mkString(",")
-      s"${saleId(item, store)},$item,$dept,$cat,$store,$state,$vals"
+    writeCsv("sales_train_evaluation.csv",
+      s"id,item_id,dept_id,cat_id,store_id,state_id,$dayHeader") { w =>
+      for {
+        (store, s) <- stores.zipWithIndex
+        (item, i) <- items.zipWithIndex
+      } {
+        val dept = s"dept_${i % 2}"; val cat = s"cat_${i % 2}"
+        val state = store.take(2)
+        w.write(s"${saleId(item, store)},$item,$dept,$cat,$store,$state")
+        var d = 1
+        while (d <= nDays) { w.write(","); w.write(units(s, i, d).toString); d += 1 }
+        w.write("\n")
+      }
     }
-    Files.writeString(Paths.get(dir, "sales_train_evaluation.csv"),
-      (s"id,item_id,dept_id,cat_id,store_id,state_id,$dayHeader" +: salesRows)
-        .mkString("", "\n", "\n"))
 
-    // calendar.csv — 68 rows (60 train + 8 future)
-    val calRows = (1 to nCalendarDays).map { d =>
-      val date = startDate.plusDays(d - 1)
-      val weekday = date.getDayOfWeek.getDisplayName(TextStyle.FULL, Locale.US)
-      val wday = date.getDayOfWeek.getValue % 7 + 1 // M5: Sat=1..Fri=7-ish, any stable convention
-      val event = if (d % 20 == 0) s"event_$d,cultural" else ","
-      val snap = s"${d % 2},${(d + 1) % 2},${d % 3 min 1}"
-      s"${date},${wmYrWk(d)},$weekday,$wday,${date.getMonthValue},${date.getYear},d_$d,$event,,,$snap"
+    // calendar.csv — nDays train + 8 future rows
+    writeCsv("calendar.csv",
+      "date,wm_yr_wk,weekday,wday,month,year,d,event_name_1,event_type_1,event_name_2,event_type_2,snap_CA,snap_TX,snap_WI") { w =>
+      (1 to nCalendarDays).foreach { d =>
+        val date = startDate.plusDays(d - 1)
+        val weekday = date.getDayOfWeek.getDisplayName(TextStyle.FULL, Locale.US)
+        val wday = date.getDayOfWeek.getValue % 7 + 1 // M5: Sat=1..Fri=7-ish, any stable convention
+        val event = if (d % 20 == 0) s"event_$d,cultural" else ","
+        val snap = s"${d % 2},${(d + 1) % 2},${d % 3 min 1}"
+        w.write(s"${date},${wmYrWk(d)},$weekday,$wday,${date.getMonthValue},${date.getYear},d_$d,$event,,,$snap")
+        w.write("\n")
+      }
     }
-    Files.writeString(Paths.get(dir, "calendar.csv"),
-      ("date,wm_yr_wk,weekday,wday,month,year,d,event_name_1,event_type_1,event_name_2,event_type_2,snap_CA,snap_TX,snap_WI" +:
-        calRows).mkString("", "\n", "\n"))
 
     // sell_prices.csv — per (store, item, week)
     val weeks = (1 to nCalendarDays).map(wmYrWk).distinct
-    val priceRows = for {
-      (store, s) <- stores.zipWithIndex
-      (item, i) <- items.zipWithIndex
-      wk <- weeks
-      p <- price(s, i, wk)
-    } yield s"$store,$item,$wk,$p"
-    Files.writeString(Paths.get(dir, "sell_prices.csv"),
-      ("store_id,item_id,wm_yr_wk,sell_price" +: priceRows).mkString("", "\n", "\n"))
+    writeCsv("sell_prices.csv", "store_id,item_id,wm_yr_wk,sell_price") { w =>
+      for {
+        (store, s) <- stores.zipWithIndex
+        (item, i) <- items.zipWithIndex
+        wk <- weeks
+        p <- price(s, i, wk)
+      } { w.write(s"$store,$item,$wk,$p"); w.write("\n") }
+    }
 
     // sample_submission.csv — evaluation AND validation ids (the
     // validation rows exercise partial keyed update, pipeline.py:374-378)

@@ -303,6 +303,39 @@ class IncrementalSpec extends SparkSpec {
       s"legacy dir must self-heal and keep dropping recrawls: $curated")
   }
 
+  test("ensureIndex: in-place reference regeneration at the same row count forces a rebuild") {
+    val tmp = Files.createTempDirectory("graft-incr-regen").toString
+    val refDir = s"$tmp/ref"; val curDir = s"$tmp/curated"
+    val idxDir = s"$tmp/ndindex"
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val storyOld = words("old", 40)
+    val storyNew = words("new", 40)
+    Seq((1L, storyOld)).toDF("doc_id", "text").write.parquet(refDir)
+    Incremental.curateBatchFuzzy(spark,
+      Seq((10L, words("alpha", 40))).toDF("doc_id", "text"),
+      "doc_id", "text", refDir, curDir, idxDir, threshold = 0.5)
+
+    // regenerate the reference IN PLACE: same id, same row count,
+    // different text. A count-only stamp would keep the stale index
+    // forever — and the exact check is count-based too, so even a
+    // forced check would miss it (r7 ADVICE #5). The file-metadata
+    // fingerprint must catch it.
+    Seq((1L, storyNew)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(refDir)
+
+    // a recrawl of the NEW reference text is dropped only if the index
+    // was rebuilt over the regenerated bytes
+    Incremental.curateBatchFuzzy(spark,
+      Seq((20L, storyNew + " appended update note"), (21L, words("beta", 40)))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", refDir, curDir, idxDir, threshold = 0.5)
+    val curated = spark.read.parquet(curDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(curated == Set(10L, 21L),
+      s"recrawl of the regenerated reference must be dropped: $curated")
+  }
+
   test("curateBatch drops null-text rows instead of letting them bypass dedup") {
     val tmp = Files.createTempDirectory("graft-incr-null").toString
     val refDir = s"$tmp/ref"; val curDir = s"$tmp/curated"
