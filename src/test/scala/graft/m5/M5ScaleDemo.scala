@@ -57,14 +57,29 @@ object M5ScaleDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Direct melt measurement at design width (SURVEY §7.5 #2): the
+    // chunked unpivot over ALL day columns, counted — at reference
+    // shape this is the ~59.2M-row melt from pipeline.py:46-47. Run
+    // before the DAG (whose cleanup deletes the intermediates) so the
+    // number is the raw unpivot, not a filtered descendant.
+    val mt0 = System.nanoTime()
+    val dayCols = (1 to days).map(i => s"d_$i")
+    val meltRows = graft.operators.Relational.melt(
+      graft.io.Csv.source(spark, s"$in/sales_train_evaluation.csv",
+        M5Schemas.sales(days)),
+      M5Schemas.salesIdCols, dayCols, "d", "units_sold").count()
+    val meltSecs = (System.nanoTime() - mt0) / 1e9
+
     val t0 = System.nanoTime()
     val report = new M5Pipeline(spark, cfg).run(log = _ => (), parallelism = parallelism)
     val secs = (System.nanoTime() - t0) / 1e9
     val preds = spark.read.parquet(s"$out/predictions.parquet").count()
     val sub = scala.io.Source.fromFile(s"$out/submission.csv").getLines().size
+    val heapMax = Runtime.getRuntime.maxMemory() / (1L << 20)
     println(f"[m5scale] stores=$storesN items=$itemsN days=$days " +
       f"weeks=$weeksN par=$parallelism " +
-      f"ran=${report.ran.size} preds=$preds subRows=$sub wall=$secs%.1f s")
+      f"ran=${report.ran.size} preds=$preds subRows=$sub wall=$secs%.1f s " +
+      f"meltRows=$meltRows meltSecs=$meltSecs%.1f heapMaxMB=$heapMax")
     spark.stop()
   }
 }
