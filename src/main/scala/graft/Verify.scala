@@ -16,9 +16,17 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=q1,q2 restricts the dump — used for targeted
-    // oracle spot-runs at SFs heavier than the driver's gate (sf0.01)
+    // oracle spot-runs at SFs heavier than the driver's gate (sf0.01).
+    // Unknown names FAIL (same contract as Bench): a typo would dump
+    // zero queries and the downstream compare would pass vacuously.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      if (unknown.nonEmpty)
+        sys.error("SPARK_GRAFT_ONLY names no registered query: " +
+          unknown.toSeq.sorted.mkString(", "))
+    }
     SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.contains(name))
     }.foreach { case (name, fn) =>
