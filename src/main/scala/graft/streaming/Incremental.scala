@@ -147,22 +147,30 @@ object Incremental {
       val admitted = Dedup.dropNearDupsAgainstIndex(
           exactFresh, ensured.index, idCol, textCol, threshold, scope)
         .localCheckpoint()
-      admitted.withColumn(DigestCol, sha2(col(textCol), 256))
-        .write.mode("append").parquet(curatedDir)
-      Dedup.buildNearDupIndex(admitted, idCol, textCol,
-          ensured.index.shingleSize, ensured.index.numHashes,
-          ensured.index.rowsPerBand, scope)
-        .append(indexDir)
-      // store + index are consistent again at the NEW row counts —
-      // re-stamp so the next batch's ensureIndex takes the cheap path.
-      // Written LAST: a crash anywhere above leaves a stale stamp,
-      // which fails the count compare and forces the exact check.
-      // The counts are the ENSURE-TIME ones threaded through (store
-      // grew by exactly the admitted rows; counting the checkpointed
-      // admitted set is cached-partition metadata) — no per-batch
-      // re-count of reference or store (r7 VERDICT #3).
-      writeVerifiedStamp(spark, indexDir,
-        ensured.refRows, ensured.storeRows + admitted.count(), ensured.refFp)
+      // An all-duplicate batch (the normal replay shape) admits nothing:
+      // skip both appends entirely — appending an EMPTY frame still
+      // writes a part file, and on a long-lived stream those empty
+      // files accrete into a listing/file-count tax on every later
+      // read. Store, index, and stamp are all already consistent.
+      val admittedCount = admitted.count()
+      if (admittedCount > 0) {
+        admitted.withColumn(DigestCol, sha2(col(textCol), 256))
+          .write.mode("append").parquet(curatedDir)
+        Dedup.buildNearDupIndex(admitted, idCol, textCol,
+            ensured.index.shingleSize, ensured.index.numHashes,
+            ensured.index.rowsPerBand, scope)
+          .append(indexDir)
+        // store + index are consistent again at the NEW row counts —
+        // re-stamp so the next batch's ensureIndex takes the cheap path.
+        // Written LAST: a crash anywhere above leaves a stale stamp,
+        // which fails the count compare and forces the exact check.
+        // The counts are the ENSURE-TIME ones threaded through (store
+        // grew by exactly the admitted rows; counting the checkpointed
+        // admitted set is cached-partition metadata) — no per-batch
+        // re-count of reference or store (r7 VERDICT #3).
+        writeVerifiedStamp(spark, indexDir,
+          ensured.refRows, ensured.storeRows + admittedCount, ensured.refFp)
+      }
     } finally scope.unpersistAll()
   }
 

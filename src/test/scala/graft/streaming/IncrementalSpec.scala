@@ -124,6 +124,9 @@ class IncrementalSpec extends SparkSpec {
     // replay idempotency: batch 1 re-run with a fresh checkpoint — the
     // recrawl is still dropped, storyA now exact-dups itself, and the
     // index must not double-count (store unchanged)
+    def storeFiles: Int = new java.io.File(curDir)
+      .listFiles.count(_.getName.endsWith(".parquet"))
+    val filesBefore = storeFiles
     val mem2 = MemoryStream[(Long, String)]
     mem2.addData((10L, frozenRecrawl), (11L, storyA))
     Incremental.curateStreamFuzzy(mem2.toDF().toDF("doc_id", "text"),
@@ -133,6 +136,11 @@ class IncrementalSpec extends SparkSpec {
     val replayed = spark.read.parquet(curDir)
       .select("doc_id", "text").as[(Long, String)].collect().toSet
     assert(replayed == curated, "replaying a committed batch must be a no-op")
+    // and a no-op batch appends NO part files — empty appends would
+    // accrete a file-count tax on every later read of a long stream
+    assert(storeFiles == filesBefore,
+      s"an all-duplicate batch must not append empty part files: " +
+        s"$filesBefore -> $storeFiles")
   }
 
   test("fuzzy migration: first index build covers a pre-existing curated store") {
