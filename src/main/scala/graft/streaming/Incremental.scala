@@ -345,6 +345,53 @@ object Incremental {
     }
   }
 
+  /** Compact one parquet dir to ~`targetFileBytes` files: every
+    * append-per-batch dir this module owns (the curated store, the
+    * index's bands/sets) gains one part file per micro-batch, and on a
+    * long-lived stream thousands of small files tax every listing,
+    * footer read, and task-scheduling round downstream. Run between
+    * batches under the module's single-writer contract (this is a
+    * maintenance op, not something a live foreachBatch should race).
+    *
+    * Swap order is crash-safe-by-recoverability: write `<dir>.compact-
+    * tmp` fully, rename the original to `<dir>.compact-old`, rename
+    * tmp into place, delete old. A crash mid-swap strands a fully
+    * consistent copy under one of the sidecar names (never a partial
+    * dir at the live name, except the instant between the two renames
+    * — recover by renaming whichever complete copy remains). Row
+    * content is unchanged, so the verified.json stamp (raw counts +
+    * reference fingerprint) stays valid across compaction. */
+  def compactDir(spark: SparkSession, dir: String,
+      targetFileBytes: Long = 128L << 20): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return
+    val bytes = fs.getContentSummary(path).getLength
+    val parts = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".compact-tmp")
+    val old = new org.apache.hadoop.fs.Path(dir + ".compact-old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    spark.read.parquet(dir).repartition(parts)
+      .write.parquet(tmp.toString)
+    if (!fs.rename(path, old) || !fs.rename(tmp, path))
+      throw new IllegalStateException(
+        s"compaction swap failed for $dir — recover from " +
+          s"$old / $tmp (both are complete copies)")
+    fs.delete(old, true)
+  }
+
+  /** Compact the full incremental-curation state: the curated store
+    * plus the index's bands and sets dirs (each accretes one file per
+    * admitted batch). Sidecars (params.json, corpus/verified stamps)
+    * are files, not dirs — untouched. */
+  def compactCuratedState(
+      spark: SparkSession, curatedDir: String, indexDir: String,
+      targetFileBytes: Long = 128L << 20): Unit = {
+    compactDir(spark, curatedDir, targetFileBytes)
+    compactDir(spark, s"$indexDir/bands", targetFileBytes)
+    compactDir(spark, s"$indexDir/sets", targetFileBytes)
+  }
+
   /** The curated store, if any batch has landed yet (first batch of a
     * fresh run has no directory to read). */
   private def curatedParquet(

@@ -344,6 +344,56 @@ class IncrementalSpec extends SparkSpec {
       s"recrawl of the regenerated reference must be dropped: $curated")
   }
 
+  test("compactCuratedState: fewer files, same rows, index still drops recrawls") {
+    val tmp = Files.createTempDirectory("graft-incr-compact").toString
+    val refDir = s"$tmp/ref"; val curDir = s"$tmp/curated"
+    val idxDir = s"$tmp/ndindex"
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val storyA = words("alpha", 40)
+    val storyB = words("beta", 40)
+    Seq((1L, words("ref", 40))).toDF("doc_id", "text").write.parquet(refDir)
+    // two admitting batches → store/bands/sets each accrete part files
+    Incremental.curateBatchFuzzy(spark,
+      Seq((10L, storyA)).toDF("doc_id", "text"),
+      "doc_id", "text", refDir, curDir, idxDir, threshold = 0.5)
+    Incremental.curateBatchFuzzy(spark,
+      Seq((20L, storyB)).toDF("doc_id", "text"),
+      "doc_id", "text", refDir, curDir, idxDir, threshold = 0.5)
+    def parquetFiles(d: String): Int = new java.io.File(d)
+      .listFiles.count(_.getName.endsWith(".parquet"))
+    val rowsBefore = spark.read.parquet(curDir)
+      .select("doc_id", "text", Incremental.DigestCol)
+      .as[(Long, String, String)].collect().toSet
+    val setsBefore = Dedup.NearDupIndex.read(spark, idxDir)
+      .sets.select("doc").as[Long].collect().sorted.toSeq
+    assert(parquetFiles(curDir) >= 2 && parquetFiles(s"$idxDir/sets") >= 2,
+      "precondition: per-batch appends accreted multiple part files")
+
+    Incremental.compactCuratedState(spark, curDir, idxDir)
+
+    // tiny data → one file per dir; content byte-identical
+    assert(parquetFiles(curDir) == 1 && parquetFiles(s"$idxDir/bands") == 1 &&
+      parquetFiles(s"$idxDir/sets") == 1,
+      "compaction must coalesce each dir to its target file count")
+    val rowsAfter = spark.read.parquet(curDir)
+      .select("doc_id", "text", Incremental.DigestCol)
+      .as[(Long, String, String)].collect().toSet
+    assert(rowsAfter == rowsBefore, "compaction must not change store rows")
+    assert(Dedup.NearDupIndex.read(spark, idxDir)
+      .sets.select("doc").as[Long].collect().sorted.toSeq == setsBefore,
+      "compaction must not change the index manifest")
+    // and the compacted state still curates: a recrawl of a compacted
+    // admission is dropped, a fresh doc lands
+    Incremental.curateBatchFuzzy(spark,
+      Seq((30L, storyA + " appended update note"), (31L, words("gamma", 40)))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", refDir, curDir, idxDir, threshold = 0.5)
+    val ids = spark.read.parquet(curDir).select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(10L, 20L, 31L),
+      s"post-compaction batch must still dedup against the index: $ids")
+  }
+
   test("curateBatch drops null-text rows instead of letting them bypass dedup") {
     val tmp = Files.createTempDirectory("graft-incr-null").toString
     val refDir = s"$tmp/ref"; val curDir = s"$tmp/curated"
