@@ -257,12 +257,14 @@ object Incremental {
       existing match {
         case None => rebuild()
         case Some(_)
-          // stamped at these counts but over DIFFERENT reference bytes:
-          // an in-place regeneration — the manifest ids still match, so
-          // the exact check below would pass over stale sketches.
-          // Rebuild is the only honest answer.
-          if stamp.exists(s => (s._1, s._2) == (refRows, storeRows)
-            && s._3 != refFp) =>
+          // stamped over DIFFERENT reference bytes: the reference is
+          // frozen under this module's contract, so ANY fingerprint
+          // change is an out-of-band regeneration — and because a
+          // regeneration can preserve ids, the id-based exact check
+          // below would pass over stale sketches (even combined with a
+          // crash that also changed the counts). Rebuild is the only
+          // honest answer.
+          if stamp.exists(_._3 != refFp) =>
           rebuild()
         case Some(index)
           if stamp.contains((refRows, storeRows, refFp)) =>

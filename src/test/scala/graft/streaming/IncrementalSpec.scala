@@ -342,6 +342,24 @@ class IncrementalSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(curated == Set(10L, 21L),
       s"recrawl of the regenerated reference must be dropped: $curated")
+
+    // regeneration COMBINED with a crash (store count differs from the
+    // stamp too): the id-based exact check would pass over stale
+    // sketches, so the fingerprint mismatch alone must force a rebuild
+    val storyNew2 = words("newer", 40)
+    Seq((1L, storyNew2)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(refDir)
+    Seq((25L, words("delta", 40))).toDF("doc_id", "text")
+      .withColumn(Incremental.DigestCol, sha2(col("text"), 256))
+      .write.mode("append").parquet(curDir) // orphaned (unindexed) row
+    Incremental.curateBatchFuzzy(spark,
+      Seq((30L, storyNew2 + " appended update note"), (31L, words("eps", 40)))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", refDir, curDir, idxDir, threshold = 0.5)
+    val curated2 = spark.read.parquet(curDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(curated2 == Set(10L, 21L, 25L, 31L),
+      s"regeneration + crash must still rebuild, not exact-check: $curated2")
   }
 
   test("compactCuratedState: fewer files, same rows, index still drops recrawls") {
