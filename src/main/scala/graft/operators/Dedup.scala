@@ -622,7 +622,7 @@ object Dedup {
       // long-lived index dirs.
       val planId = corpus.queryExecution.analyzed.canonicalized.toString
       val ident =
-        Seq(snapshot, planId, idCol, textCol).mkString(" ")
+        Seq(snapshot, planId, idCol, textCol).mkString("\u0000")
       ("files", files.length.toLong, hash64(ident))
     } else {
       val idRow = corpus.agg(
