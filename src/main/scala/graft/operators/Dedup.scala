@@ -768,10 +768,18 @@ object Dedup {
       pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20,
       scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged): DataFrame = {
-    // the edge list is re-joined every round — materialize it once
+    // the edge list is re-joined every round — materialize it ONCE,
+    // pre-partitioned on the join key: the per-round `edges ⋈ frontier
+    // ON dst = node` requires HashPartitioning(dst), and a cached plan
+    // EXPOSES its partitioning, so the planner drops the edge-side
+    // exchange in every round. Without this the full edge table
+    // re-shuffles each round — the dominant per-round cost, paid
+    // diameter times (the frontier side stays small after round 1 and
+    // is the only thing that should move).
     val edges = scope.persist(
       pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-        .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst"))))
+        .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+        .repartition(col("dst")))
     // each round's plan is CUT at a checkpoint: without it the
     // logical plan nests one level per round and the driver dies
     // compiling (then holding) an exponentially growing tree — the
