@@ -857,4 +857,24 @@ object Dedup {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
       case _ => ()
     }
+
+  /** Release ALL storage behind a checkpointed frame once its
+    * consumers have run: block-manager blocks (localCheckpoint) and
+    * checkpoint files (reliable checkpoint). For callers like the
+    * streaming curation batch that cut a frame per micro-batch —
+    * without an explicit release every batch of a long-lived stream
+    * leaks one checkpoint until driver GC (blocks) or forever
+    * (files; the ContextCleaner's checkpoint cleanup is opt-in). */
+  private[graft] def releaseCheckpointStorage(df: DataFrame): Unit = {
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+        lr.rdd.getCheckpointFile.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(conf).delete(p, true); ()
+        }
+      case _ => ()
+    }
+  }
 }

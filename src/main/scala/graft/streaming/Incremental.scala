@@ -111,13 +111,16 @@ object Incremental {
     * then one probe of the stored index, then append + index the
     * admitted rows.
     *
-    * The admitted set is cut from its lineage (`localCheckpoint`)
-    * BEFORE the store/index writes: the probe plan reads both parquet
-    * relations it is about to append to, so a lazy re-evaluation after
-    * either write would see its own output and drop everything (the
-    * admitted rows would vanish from the index). On a multi-node
-    * cluster prefer a reliable `checkpoint()` — same cut, executor-loss
-    * safe. Crash window: if the job dies between the store append and
+    * The admitted set is cut from its lineage BEFORE the store/index
+    * writes: the probe plan reads both parquet relations it is about
+    * to append to, so a lazy re-evaluation after either write would
+    * see its own output and drop everything (the admitted rows would
+    * vanish from the index). The cut is a RELIABLE `checkpoint()` when
+    * the context has a checkpoint dir configured (a cluster deployment
+    * always should — a localCheckpoint's blocks die with their
+    * executor between the two appends), `localCheckpoint` otherwise —
+    * the same auto-selection [[Dedup.connectedComponents]] uses.
+    * Crash window: if the job dies between the store append and
     * the index append, the replayed batch still dedups exactly (the
     * store has the rows), and the next [[ensureIndex]] call detects the
     * store/index divergence and re-indexes the orphaned slice before
@@ -144,9 +147,11 @@ object Incremental {
       }
       val ensured = ensureIndex(
         spark, indexDir, referenceDir, curatedDir, idCol, textCol, scope)
-      val admitted = Dedup.dropNearDupsAgainstIndex(
-          exactFresh, ensured.index, idCol, textCol, threshold, scope)
-        .localCheckpoint()
+      val dropped = Dedup.dropNearDupsAgainstIndex(
+        exactFresh, ensured.index, idCol, textCol, threshold, scope)
+      val admitted =
+        if (spark.sparkContext.getCheckpointDir.isDefined) dropped.checkpoint(true)
+        else dropped.localCheckpoint()
       // An all-duplicate batch (the normal replay shape) admits nothing:
       // skip both appends entirely — appending an EMPTY frame still
       // writes a part file, and on a long-lived stream those empty
@@ -171,6 +176,10 @@ object Incremental {
         writeVerifiedStamp(spark, indexDir,
           ensured.refRows, ensured.storeRows + admittedCount, ensured.refFp)
       }
+      // both consumers of the cut frame have run — free its storage
+      // (blocks for the local variant, files for the reliable one), or
+      // every micro-batch of a long-lived stream leaks one checkpoint
+      Dedup.releaseCheckpointStorage(admitted)
     } finally scope.unpersistAll()
   }
 

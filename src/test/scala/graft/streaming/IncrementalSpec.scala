@@ -412,6 +412,41 @@ class IncrementalSpec extends SparkSpec {
       s"post-compaction batch must still dedup against the index: $ids")
   }
 
+  test("curateBatchFuzzy uses reliable checkpoints when a dir is configured, and leaves no files") {
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty, "suite assumes no global checkpoint dir")
+    val tmp = Files.createTempDirectory("graft-incr-rck").toString
+    val ckDir = s"$tmp/ck"
+    sc.setCheckpointDir(ckDir)
+    try {
+      val refDir = s"$tmp/ref"; val curDir = s"$tmp/curated"
+      val idxDir = s"$tmp/ndindex"
+      def words(prefix: String, n: Int): String =
+        (1 to n).map(i => s"$prefix$i").mkString(" ")
+      val storyA = words("alpha", 40)
+      Seq((1L, words("ref", 40))).toDF("doc_id", "text").write.parquet(refDir)
+      Incremental.curateBatchFuzzy(spark,
+        Seq((10L, storyA)).toDF("doc_id", "text"),
+        "doc_id", "text", refDir, curDir, idxDir, threshold = 0.5)
+      Incremental.curateBatchFuzzy(spark,
+        Seq((20L, storyA + " appended update note"), (21L, words("beta", 40)))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", refDir, curDir, idxDir, threshold = 0.5)
+      val curated = spark.read.parquet(curDir)
+        .select("doc_id").as[Long].collect().toSet
+      assert(curated == Set(10L, 21L),
+        s"curation semantics must not change under reliable checkpoints: $curated")
+      // each batch's checkpoint files were deleted once consumed — a
+      // long-lived stream must not accrete one rdd-* dir per batch
+      def rddDirs(f: java.io.File): Int =
+        if (f.getName.startsWith("rdd-")) 1
+        else Option(f.listFiles).map(_.map(rddDirs).sum).getOrElse(0)
+      assert(rddDirs(new java.io.File(ckDir)) == 0,
+        s"consumed batch checkpoints must be deleted; " +
+          s"found ${rddDirs(new java.io.File(ckDir))} rdd-* dirs")
+    } finally sc.setCheckpointDir(null)
+  }
+
   test("curateBatch drops null-text rows instead of letting them bypass dedup") {
     val tmp = Files.createTempDirectory("graft-incr-null").toString
     val refDir = s"$tmp/ref"; val curDir = s"$tmp/curated"
