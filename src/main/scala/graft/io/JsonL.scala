@@ -16,14 +16,22 @@ import org.apache.spark.sql.types.{StringType, StructType}
   * quarantine/repair, neither dropped nor fatal. */
 object JsonL {
 
-  /** The quarantine column carrying the raw unparseable line. */
+  /** The reader-internal corrupt-record column name. */
   val CorruptCol = "_corrupt_record"
+
+  /** The column name `corrupt` exposes the raw line under. NOT
+    * `_corrupt_record`: any JSON re-read of a column by that name is
+    * treated as the internal corrupt column and trips Spark's
+    * corrupt-only-query guard — a quarantine dir sunk as JSONL would
+    * be unreadable by its own repair job. */
+  val RawCol = "raw"
 
   final case class Ingested(good: DataFrame, corrupt: DataFrame)
 
   /** Schema-explicit JSONL scan. PERMISSIVE parse: a malformed line
     * yields nulls + the raw line in [[CorruptCol]]; `good` strips the
-    * quarantine column, `corrupt` keeps only (raw line).
+    * quarantine column, `corrupt` keeps only the raw line as
+    * [[RawCol]].
     *
     * The source frame is persisted via `scope` before the split —
     * REQUIRED, not an optimization: Spark refuses plans that filter on
@@ -44,7 +52,8 @@ object JsonL {
         .json(path))
     Ingested(
       good = raw.filter(col(CorruptCol).isNull).drop(CorruptCol),
-      corrupt = raw.filter(col(CorruptCol).isNotNull).select(col(CorruptCol)))
+      corrupt = raw.filter(col(CorruptCol).isNotNull)
+        .select(col(CorruptCol).as(RawCol)))
   }
 
   /** Distributed JSONL sink (one part per partition) — the round-trip

@@ -60,7 +60,7 @@ object Incremental {
     * batch, anti-join against reference + already-curated (stored
     * digests), append with this batch's digests. Factored out so batch
     * pipelines (and specs) can call it directly. */
-  private[streaming] def curateBatch(
+  def curateBatch(
       spark: SparkSession, batch: DataFrame, idCol: String, textCol: String,
       referenceDir: String, curatedDir: String): Unit = {
     val clean = batch.filter(col(textCol).isNotNull)
@@ -125,7 +125,7 @@ object Incremental {
     * store has the rows), and the next [[ensureIndex]] call detects the
     * store/index divergence and re-indexes the orphaned slice before
     * any batch is probed. */
-  private[streaming] def curateBatchFuzzy(
+  def curateBatchFuzzy(
       spark: SparkSession, batch: DataFrame, idCol: String, textCol: String,
       referenceDir: String, curatedDir: String, indexDir: String,
       threshold: Double): Unit = {

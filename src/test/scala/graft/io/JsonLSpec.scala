@@ -33,6 +33,8 @@ class JsonLSpec extends SparkSpec {
         s"typed rows must carry only parseable lines: $good")
       assert(in.good.columns.toSeq == Seq("doc_id", "text"),
         "the quarantine column must not leak into the good schema")
+      assert(in.corrupt.columns.toSeq == Seq(JsonL.RawCol),
+        "quarantine exposes the raw line under a re-readable name")
       val corrupt = in.corrupt.as[String].collect().toSet
       assert(corrupt == Set(lines(1), lines(3)),
         s"quarantine must keep each broken line verbatim: $corrupt")
