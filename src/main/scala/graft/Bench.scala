@@ -118,7 +118,12 @@ object Bench {
     val ok = results.map(_._2._1).filter(_ >= 0)
     val total = if (ok.nonEmpty) ok.sum else 0.0
     val failed = results.count(_._2._1 < 0)
-    val skipped = SparkEntry.gateOnly.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // reflect what actually did not run: an explicit ONLY naming a
+    // gateOnly query times it, and listing the same query as both
+    // timed and skipped would contradict the artifact
+    val ranNames = results.map(_._1).toSet
+    val skipped = SparkEntry.gateOnly.filterNot(ranNames.contains)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$Runs,"failed":$failed,"sf":"$sfDir","gate_only_skipped":$skipped,"queries":$qs,"runs_detail":$runsDetail}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),

@@ -27,9 +27,10 @@ object Verify {
         sys.error("SPARK_GRAFT_ONLY names no registered query: " +
           unknown.toSeq.sorted.mkString(", "))
     }
-    SparkEntry.queries.filter { case (name, _) =>
+    val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.contains(name))
-    }.foreach { case (name, fn) =>
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -53,6 +54,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the ATTEMPTED query list: a query that crashes above leaves no
+    // output dir, and a compare that only walks existing dirs would
+    // silently skip it and report green — the checker cross-checks
+    // this manifest against the dirs that actually landed
+    Files.writeString(Paths.get(s"$outDir/dumped.json"),
+      selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -590,6 +590,32 @@ object Dedup {
     }
   }
 
+  /** Sorted (path, size, mtime) snapshot of a file-backed frame's
+    * input files, None for an unbacked frame — the shared identity
+    * scheme behind [[ensurePersistedIndex]]'s corpus stamp and the
+    * streaming module's reference fingerprint. ONE `listStatus` per
+    * parent directory (matched by file name — path-string rendering
+    * varies by scheme), not a `getFileStatus` RPC per file: at corpus
+    * scale (thousands of part files on S3/HDFS) per-file calls turn a
+    * metadata-cheap check into thousands of serial round trips. */
+  private[graft] def fileSnapshot(df: DataFrame): Option[String] = {
+    val files = df.inputFiles
+    if (files.isEmpty) None
+    else {
+      val conf = df.sparkSession.sparkContext.hadoopConfiguration
+      val byParent = files.map(new org.apache.hadoop.fs.Path(_))
+        .groupBy(_.getParent)
+      val entries = byParent.toSeq.flatMap { case (parent, ps) =>
+        val names = ps.map(_.getName).toSet
+        parent.getFileSystem(conf).listStatus(parent)
+          .filter(st => names.contains(st.getPath.getName))
+          .map(st =>
+            s"$parent/${st.getPath.getName}|${st.getLen}|${st.getModificationTime}")
+      }
+      Some(entries.sorted.mkString("\n"))
+    }
+  }
+
   /** 64-bit string fingerprint from two independently-seeded 32-bit
     * murmur passes (no 64-bit string hash in the stdlib and Guava is
     * shaded on the Spark classpath). */
@@ -606,13 +632,7 @@ object Dedup {
   private def corpusIdentity(
       corpus: DataFrame, idCol: String, textCol: String): (String, Long, Long) = {
     val files = corpus.inputFiles
-    if (files.nonEmpty) {
-      val conf = corpus.sparkSession.sparkContext.hadoopConfiguration
-      val snapshot = files.sorted.map { f =>
-        val p = new org.apache.hadoop.fs.Path(f)
-        val st = p.getFileSystem(conf).getFileStatus(p)
-        s"$f|${st.getLen}|${st.getModificationTime}"
-      }.mkString("\n")
+    fileSnapshot(corpus) match { case Some(snapshot) =>
       // canonicalized plan: exprIds are normalized, so the rendering is
       // deterministic across sessions for the same query + schema.
       // idCol/textCol are part of the identity: two ensures at the same
@@ -624,7 +644,7 @@ object Dedup {
       val ident =
         Seq(snapshot, planId, idCol, textCol).mkString("\u0000")
       ("files", files.length.toLong, hash64(ident))
-    } else {
+    case None =>
       val idRow = corpus.agg(
         count_distinct(col(idCol)).as("docs"),
         bit_xor(xxhash64(col(idCol), col(textCol))).as("fp")).head()

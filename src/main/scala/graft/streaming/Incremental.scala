@@ -134,6 +134,11 @@ object Incremental {
     // without this every micro-batch of a long-lived stream leaks
     // MEMORY_AND_DISK blocks (the exact failure CacheScope exists for).
     val scope = graft.util.CacheScope()
+    // released in the finally: an exception between the checkpoint cut
+    // and the stamp write must not strand the batch's checkpoint files
+    // (reliable mode would otherwise leak one full-batch rdd-* dir per
+    // failed attempt until the checkpoint volume fills)
+    var cut: Option[DataFrame] = None
     try {
       val clean = batch.filter(col(textCol).isNotNull)
       val reps = Dedup.exactDedup(clean, idCol, textCol).select(idCol)
@@ -152,6 +157,7 @@ object Incremental {
       val admitted =
         if (spark.sparkContext.getCheckpointDir.isDefined) dropped.checkpoint(true)
         else dropped.localCheckpoint()
+      cut = Some(admitted)
       // An all-duplicate batch (the normal replay shape) admits nothing:
       // skip both appends entirely — appending an EMPTY frame still
       // writes a part file, and on a long-lived stream those empty
@@ -176,11 +182,14 @@ object Incremental {
         writeVerifiedStamp(spark, indexDir,
           ensured.refRows, ensured.storeRows + admittedCount, ensured.refFp)
       }
-      // both consumers of the cut frame have run — free its storage
-      // (blocks for the local variant, files for the reliable one), or
-      // every micro-batch of a long-lived stream leaks one checkpoint
-      Dedup.releaseCheckpointStorage(admitted)
-    } finally scope.unpersistAll()
+    } finally {
+      // free the cut frame's storage whether the batch succeeded or
+      // threw mid-append (blocks for the local variant, files for the
+      // reliable one) — a replayed batch re-dedups from the store, so
+      // the checkpoint is worthless after this point either way
+      cut.foreach(Dedup.releaseCheckpointStorage)
+      scope.unpersistAll()
+    }
   }
 
   /** The near-dup index, built on first use (one-time cost, the fuzzy
@@ -255,6 +264,13 @@ object Incremental {
         .getOrElse((3, 16, 4))
       Dedup.buildNearDupIndex(allDocs, idCol, textCol, s, n, r, scope)
         .write(indexDir)
+      // record WHICH reference bytes these sketches were built over —
+      // the only witness that can prove freshness when the verified
+      // stamp is missing (deleted, legacy format, crash before the
+      // first stamp write). Without it, a missing stamp would fall to
+      // the id-based exact check, which passes over stale sketches
+      // when a regeneration preserved ids — permanently blessing them.
+      writeSourceFp(spark, indexDir, refFp)
       stamped(Dedup.NearDupIndex.read(spark, indexDir))
     }
     if (!fs.exists(path)) rebuild()
@@ -280,6 +296,15 @@ object Incremental {
           // verified at these exact counts + reference bytes;
           // append-only ⇒ unchanged
           EnsuredIndex(index, refRows, storeRows, refFp)
+        case Some(_)
+          // no usable stamp (deleted / pre-refFp legacy / crash before
+          // first stamp): the exact check below can vouch for COVERAGE
+          // (every id indexed) but not for sketch FRESHNESS. Only a
+          // build-time source fingerprint matching today's reference
+          // proves the sketches describe the current bytes; a mismatch
+          // or a legacy dir without one must rebuild.
+          if stamp.isEmpty && !readSourceFp(spark, indexDir).contains(refFp) =>
+          rebuild()
         case Some(index) =>
           val expected = allDocs.select(col(idCol)).distinct().count()
           // distinct on the manifest side too: an id admitted by a batch
@@ -299,23 +324,43 @@ object Incremental {
     }
   }
 
-  /** Fingerprint of the reference's underlying file metadata — sorted
-    * (path, size, mtime) hashed to 64 bits (the [[Dedup]] corpus-
-    * identity scheme). Driver listings only, no data scan. 0 for a
-    * non-file-backed frame (never the case for the parquet reference
-    * this module reads, but total anyway). */
+  /** Fingerprint of the reference's underlying file metadata — the
+    * shared [[Dedup.fileSnapshot]] scheme (one listStatus per parent
+    * dir, sorted path/size/mtime) hashed to 64 bits. Driver listings
+    * only, no data scan. 0 for a non-file-backed frame (never the case
+    * for the parquet reference this module reads, but total anyway). */
   private def refFingerprint(
-      spark: SparkSession, reference: DataFrame): Long = {
-    val files = reference.inputFiles
-    if (files.isEmpty) 0L
+      spark: SparkSession, reference: DataFrame): Long =
+    Dedup.fileSnapshot(reference).map(Dedup.hash64).getOrElse(0L)
+
+  /** Build-provenance sidecar: the reference fingerprint the index's
+    * sketches were built over, written once per (re)build. Read only
+    * when the verified stamp is unusable — it is the witness that lets
+    * a stamp-less ensure distinguish "stamp lost, sketches fine"
+    * (exact check suffices) from "reference regenerated under the same
+    * ids" (rebuild required). */
+  private val SourceFile = "source.json"
+
+  private def writeSourceFp(
+      spark: SparkSession, indexDir: String, refFp: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(indexDir, SourceFile)
+    val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(p, true)
+    try out.write(s"""{"refFp":$refFp}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readSourceFp(
+      spark: SparkSession, indexDir: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(indexDir, SourceFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
     else {
-      val conf = spark.sparkContext.hadoopConfiguration
-      val snapshot = files.sorted.map { f =>
-        val p = new org.apache.hadoop.fs.Path(f)
-        val st = p.getFileSystem(conf).getFileStatus(p)
-        s"$f|${st.getLen}|${st.getModificationTime}"
-      }.mkString("\n")
-      Dedup.hash64(snapshot)
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      """"refFp"\s*:\s*(-?\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
     }
   }
 
@@ -324,8 +369,9 @@ object Incremental {
     * fingerprint at the last moment store and index were known
     * consistent. Written only at such moments (after a verify, a
     * repair, a rebuild, or a batch's paired appends). A pre-refFp
-    * legacy stamp reads as None and costs one exact check, then
-    * re-stamps in the new format. */
+    * legacy stamp reads as None and triggers the [[SourceFile]]
+    * freshness gate: source fp matches → one exact check; missing or
+    * mismatched → rebuild (see ensureIndex). */
   private val VerifiedFile = "verified.json"
 
   private def writeVerifiedStamp(
@@ -376,11 +422,29 @@ object Incremental {
       targetFileBytes: Long = 128L << 20): Unit = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) return
-    val bytes = fs.getContentSummary(path).getLength
-    val parts = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val tmp = new org.apache.hadoop.fs.Path(dir + ".compact-tmp")
     val old = new org.apache.hadoop.fs.Path(dir + ".compact-old")
+    if (!fs.exists(path)) {
+      // live name missing = a prior swap crashed between its two
+      // renames. Both sidecars are COMPLETE copies at that point
+      // (tmp is fully written before the first rename), so recover
+      // instead of silently no-op-ing and leaving every subsequent
+      // read of the dir broken: prefer the compacted tmp copy, fall
+      // back to the original.
+      if (fs.exists(tmp)) {
+        if (!fs.rename(tmp, path)) throw new IllegalStateException(
+          s"compaction recovery failed: cannot rename $tmp to $dir")
+        fs.delete(old, true)
+        return // the recovered copy IS the compacted result
+      }
+      if (fs.exists(old)) {
+        if (!fs.rename(old, path)) throw new IllegalStateException(
+          s"compaction recovery failed: cannot rename $old to $dir")
+        // recovered the un-compacted original — fall through and compact
+      } else return // dir never existed: nothing to do
+    }
+    val bytes = fs.getContentSummary(path).getLength
+    val parts = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     fs.delete(tmp, true); fs.delete(old, true)
     spark.read.parquet(dir).repartition(parts)
       .write.parquet(tmp.toString)

@@ -362,6 +362,55 @@ class IncrementalSpec extends SparkSpec {
       s"regeneration + crash must still rebuild, not exact-check: $curated2")
   }
 
+  test("ensureIndex: regeneration is caught even when the verified stamp is missing") {
+    val tmp = Files.createTempDirectory("graft-incr-regen-nostamp").toString
+    val refDir = s"$tmp/ref"; val curDir = s"$tmp/curated"
+    val idxDir = s"$tmp/ndindex"
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val storyNew = words("new", 40)
+    Seq((1L, words("old", 40))).toDF("doc_id", "text").write.parquet(refDir)
+    Incremental.curateBatchFuzzy(spark,
+      Seq((10L, words("alpha", 40))).toDF("doc_id", "text"),
+      "doc_id", "text", refDir, curDir, idxDir, threshold = 0.5)
+
+    // the hole the source.json sidecar closes: regenerate the reference
+    // in place AND lose the stamp — the id-based exact check would pass
+    // over the stale sketches and then re-stamp them as verified
+    Seq((1L, storyNew)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(refDir)
+    assert(new java.io.File(s"$idxDir/verified.json").delete())
+
+    Incremental.curateBatchFuzzy(spark,
+      Seq((20L, storyNew + " appended update note"), (21L, words("beta", 40)))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", refDir, curDir, idxDir, threshold = 0.5)
+    val curated = spark.read.parquet(curDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(curated == Set(10L, 21L),
+      s"stamp-less regeneration must rebuild, not exact-check: $curated")
+  }
+
+  test("compactDir recovers a live dir stranded mid-swap") {
+    val tmp = Files.createTempDirectory("graft-compact-recover").toString
+    val dir = s"$tmp/store"
+    val rows = Seq((1L, "alpha"), (2L, "beta"))
+    rows.toDF("doc_id", "text").write.parquet(dir)
+    // simulate the documented crash window: tmp fully written, live
+    // renamed aside, crash before tmp moved into place
+    rows.toDF("doc_id", "text").write.parquet(s"$dir.compact-tmp")
+    assert(new java.io.File(dir).renameTo(new java.io.File(s"$dir.compact-old")))
+    assert(!new java.io.File(dir).exists)
+
+    Incremental.compactDir(spark, dir)
+    assert(spark.read.parquet(dir).select("doc_id", "text")
+      .as[(Long, String)].collect().toSet == rows.toSet,
+      "recovery must restore the complete compacted copy at the live name")
+    assert(!new java.io.File(s"$dir.compact-old").exists &&
+      !new java.io.File(s"$dir.compact-tmp").exists,
+      "recovery must clear both sidecar dirs")
+  }
+
   test("compactCuratedState: fewer files, same rows, index still drops recrawls") {
     val tmp = Files.createTempDirectory("graft-incr-compact").toString
     val refDir = s"$tmp/ref"; val curDir = s"$tmp/curated"
