@@ -66,7 +66,13 @@ object Bench {
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
-        } catch { case scala.util.control.NonFatal(_) => -1.0 }
+        } catch {
+          // loud like the setup path (r8 ADVICE): the -1 sentinel alone
+          // leaves the cause unrecoverable from the artifact
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] run FAILED for $name: $e")
+            -1.0
+        }
         finally graft.util.CacheScope.sweep(spark) // runs stay independent
       }
       val median =

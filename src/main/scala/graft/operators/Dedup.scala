@@ -278,6 +278,87 @@ object Dedup {
     bd.join(confirmed, Seq(idCol, "__dig"), "left_anti").drop("__dig")
   }
 
+  /** Column name of the persisted digest in a [[ensureReferenceDigests]]
+    * sidecar. */
+  val RefDigestCol = "dig"
+
+  /** One-time digest sidecar for a FROZEN reference corpus — the
+    * exact-dedup twin of [[ensurePersistedIndex]] (r8 VERDICT #1).
+    * [[dedupAgainstReference]] recomputes `sha2(text)` over the entire
+    * reference on every call; a stream invoking it per micro-batch pays
+    * an O(reference-text) scan+hash per batch — invisible on a demo
+    * reference, the dominant cost at 100 TB. This hoists that pass into
+    * a persisted `(dig)` parquet (distinct digests only — a text-carrying
+    * sidecar would duplicate the whole corpus), stamped with the
+    * reference's file-metadata fingerprint so staleness detection costs
+    * driver listings, never a data scan. Healthy call = one stamp read +
+    * one parquet open; the reference's TEXT is read only at (re)build.
+    *
+    * Crash ordering: the parquet is written (overwrite) BEFORE the
+    * stamp. A crash mid-build leaves a missing/stale stamp, which fails
+    * the compare and rebuilds idempotently; a matching stamp therefore
+    * always vouches for a completed build over today's reference bytes.
+    * An unreadable digest dir under a matching stamp (out-of-band
+    * corruption) is caught by the read and rebuilt. */
+  def ensureReferenceDigests(
+      spark: org.apache.spark.sql.SparkSession, referenceDir: String,
+      digestDir: String, textCol: String): DataFrame = {
+    val reference = graft.util.ParquetSchemaMemo.read(spark, referenceDir)
+    val refFp = fileSnapshot(reference).map(hash64).getOrElse(0L)
+    val digests = s"$digestDir/digests"
+    val stamp = new org.apache.hadoop.fs.Path(digestDir, "source.json")
+    val fs = stamp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readStamp: Option[Long] =
+      if (!fs.exists(stamp)) None
+      else {
+        val in = fs.open(stamp)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        """"refFp"\s*:\s*(-?\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+      }
+    val existing =
+      if (readStamp.contains(refFp))
+        try {
+          val df = graft.util.ParquetSchemaMemo.read(spark, digests)
+          df.select(RefDigestCol) // schema check: half-written/foreign dir
+          Some(df)
+        } catch { case scala.util.control.NonFatal(_) => None }
+      else None
+    existing.getOrElse {
+      reference.select(sha2(col(textCol), 256).as(RefDigestCol))
+        .distinct()
+        .write.mode("overwrite").parquet(digests)
+      val out = fs.create(stamp, true)
+      try out.write(s"""{"refFp":$refFp}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      graft.util.ParquetSchemaMemo.read(spark, digests)
+    }
+  }
+
+  /** [[dedupAgainstReference]] against a digest-only sidecar (from
+    * [[ensureReferenceDigests]]): keep batch rows whose `sha2(text)`
+    * does not appear among the stored reference digests. Only the BATCH
+    * is hashed (O(batch) per call); the anti-join shuffles 32-byte
+    * digests and the reference's text is never read — the per-batch
+    * plan's only reference-side relation is the sidecar.
+    *
+    * Divergence from the text-verifying forms, by design: the sidecar
+    * stores no text, so digest equality IS the match. A false drop
+    * therefore requires a SHA-256 collision — cryptographically
+    * negligible, and the standard contract of content-addressable
+    * dedup stores. The curated-store layer
+    * ([[dedupAgainstDigestedReference]]), where text is co-located for
+    * free, keeps the collision-proof text verify. */
+  def dedupAgainstDigests(
+      batch: DataFrame, refDigests: DataFrame, idCol: String, textCol: String,
+      digCol: String = RefDigestCol): DataFrame =
+    batch.withColumn("__dig", sha2(col(textCol), 256))
+      // no distinct on the sidecar side: it is written distinct, and
+      // anti-join semantics are insensitive to right-side duplicates
+      .join(refDigests.select(col(digCol).as("__dig")), Seq("__dig"), "left_anti")
+      .drop("__dig")
+
   /** Fuzzy incremental dedup: NEAR-duplicate pairs between a new batch
     * and a frozen reference corpus — the production upgrade of the
     * exact [[dedupAgainstReference]] (a lightly edited recrawl of a
@@ -480,8 +561,8 @@ object Dedup {
       val (s, n, r) = readParams(spark, dir).getOrElse(throw new IllegalStateException(
         s"no $ParamsFile under $dir — not a NearDupIndex written by this " +
           "engine; rebuild it with buildNearDupIndex(...).write(dir)"))
-      NearDupIndex(spark.read.parquet(s"$dir/bands"),
-        spark.read.parquet(s"$dir/sets"), s, n, r)
+      NearDupIndex(graft.util.ParquetSchemaMemo.read(spark, s"$dir/bands"),
+        graft.util.ParquetSchemaMemo.read(spark, s"$dir/sets"), s, n, r)
     }
 
     private def hadoopFs(spark: org.apache.spark.sql.SparkSession,
@@ -597,7 +678,19 @@ object Dedup {
     * parent directory (matched by file name — path-string rendering
     * varies by scheme), not a `getFileStatus` RPC per file: at corpus
     * scale (thousands of part files on S3/HDFS) per-file calls turn a
-    * metadata-cheap check into thousands of serial round trips. */
+    * metadata-cheap check into thousands of serial round trips.
+    *
+    * GRANULARITY ASSUMPTION (r8 ADVICE): identity is (path, size,
+    * mtime). On stores with coarse mtime resolution (second-level on
+    * some S3/HDFS configs), an in-place regeneration that lands files
+    * of IDENTICAL sizes within the same timestamp tick yields the same
+    * snapshot and slips past the regeneration gate. Spark part-file
+    * names embed a per-write UUID, so any regeneration THROUGH Spark
+    * changes the path set and is always caught — the hole needs a
+    * byte-identical-layout rewrite preserving file names, sizes, and
+    * the mtime tick. Paranoid deployments can add a content witness
+    * (e.g. parquet footer checksums) at the cost of one footer read
+    * per file per ensure. */
   private[graft] def fileSnapshot(df: DataFrame): Option[String] = {
     val files = df.inputFiles
     if (files.isEmpty) None

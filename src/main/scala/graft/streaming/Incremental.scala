@@ -30,52 +30,93 @@ import graft.operators.Dedup
   *
   * Scale shape per batch: digest-first anti-joins only — the shuffle
   * carries (digest, id), never text. The curated store persists each
-  * row's sha2 digest at append time, so re-curation joins the stored
-  * digest column and never re-hashes curated text (per-batch hashing
-  * is O(batch + reference), not O(total store)); hashing of the frozen
-  * reference can likewise be hoisted into a one-time digest sidecar if
-  * it dominates.
+  * row's sha2 digest at append time, and the frozen reference's digests
+  * are hoisted into a one-time sidecar
+  * ([[Dedup.ensureReferenceDigests]], r8 VERDICT #1) — so a micro-batch
+  * hashes ONLY its own text (O(batch)): curated text is never re-hashed
+  * (stored [[DigestCol]]) and reference text is never re-read at all
+  * (the per-batch plan's reference-side relation is the digest sidecar,
+  * spec-pinned the way the fuzzy index pins zero corpus scans).
   */
 object Incremental {
 
   /** The digest column persisted in the curated store. */
   val DigestCol = "__dig"
 
+  /** Where the frozen reference's digest sidecar lives when the caller
+    * does not pick a spot: a SIBLING of the curated store (a subdir
+    * would corrupt the store's own parquet listing, same rule as the
+    * fuzzy index dir). */
+  private[streaming] def refDigestDirFor(
+      curatedDir: String, explicit: String): String =
+    Option(explicit).getOrElse(s"$curatedDir.refdig")
+
   /** Start the curation stream. `curatedDir` doubles as output and
-    * dedup state; `referenceDir` is the frozen corpus (never written). */
+    * dedup state; `referenceDir` is the frozen corpus (never written —
+    * its digest sidecar lands at `refDigestDir`, default sibling of the
+    * store). `compactAfterFiles`: see [[curateBatch]]. */
   def curateStream(
       docs: DataFrame, idCol: String, textCol: String,
       referenceDir: String, curatedDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String, refDigestDir: String = null,
+      compactAfterFiles: Int = 64): StreamingQuery =
     docs.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
-        curateBatch(spark, batch, idCol, textCol, referenceDir, curatedDir)
+        curateBatch(spark, batch, idCol, textCol, referenceDir, curatedDir,
+          refDigestDir, compactAfterFiles)
       }
       .start()
 
   /** One micro-batch: drop null text, representative-dedup within the
-    * batch, anti-join against reference + already-curated (stored
-    * digests), append with this batch's digests. Factored out so batch
-    * pipelines (and specs) can call it directly. */
+    * batch, anti-join against reference digests + already-curated
+    * (stored digests), append with this batch's digests. Factored out so
+    * batch pipelines (and specs) can call it directly.
+    *
+    * `compactAfterFiles`: once the store's part-file count crosses this
+    * threshold (checked with one driver listing per batch) the store is
+    * compacted in place — without a trigger a long-lived stream accretes
+    * one file per batch until an operator remembers to run maintenance
+    * (r8 VERDICT #2). Safe inline under this module's single-writer
+    * contract; <= 0 disables. */
   def curateBatch(
       spark: SparkSession, batch: DataFrame, idCol: String, textCol: String,
-      referenceDir: String, curatedDir: String): Unit = {
+      referenceDir: String, curatedDir: String, refDigestDir: String = null,
+      compactAfterFiles: Int = 64): Unit = {
+    val fresh = freshAgainstState(spark, batch, idCol, textCol,
+      referenceDir, curatedDir, refDigestDirFor(curatedDir, refDigestDir))
+    fresh.withColumn(DigestCol, sha2(col(textCol), 256))
+      .write.mode("append").parquet(curatedDir)
+    if (compactAfterFiles > 0 &&
+        parquetFileCount(spark, curatedDir) > compactAfterFiles)
+      compactDir(spark, curatedDir)
+  }
+
+  /** The exact dedup layers of one micro-batch as a LAZY plan: null
+    * filter → in-batch representative dedup → anti-join against the
+    * reference digest sidecar → anti-join against the curated store's
+    * stored digests. Shared by [[curateBatch]] and [[curateBatchFuzzy]];
+    * exposed to specs so the no-reference-rehash contract can be pinned
+    * on the physical plan ([[Dedup.ensureReferenceDigests]] runs its
+    * one-time build eagerly in here, but the RETURNED plan reads only
+    * the sidecar — never the reference's text). */
+  private[streaming] def freshAgainstState(
+      spark: SparkSession, batch: DataFrame, idCol: String, textCol: String,
+      referenceDir: String, curatedDir: String,
+      refDigestDir: String): DataFrame = {
     val clean = batch.filter(col(textCol).isNotNull)
     val reps = Dedup.exactDedup(clean, idCol, textCol).select(idCol)
     val deduped = clean.join(reps, Seq(idCol), "left_semi")
-    val vsRef = Dedup.dedupAgainstReference(
-      deduped, spark.read.parquet(referenceDir), idCol, textCol)
-    val existing = curatedParquet(spark, curatedDir)
-    val fresh = existing match {
+    val refDigests = Dedup.ensureReferenceDigests(
+      spark, referenceDir, refDigestDir, textCol)
+    val vsRef = Dedup.dedupAgainstDigests(deduped, refDigests, idCol, textCol)
+    curatedParquet(spark, curatedDir) match {
       case Some(cur) => Dedup.dedupAgainstDigestedReference(
         vsRef, cur, idCol, textCol, DigestCol)
       case None => vsRef
     }
-    fresh.withColumn(DigestCol, sha2(col(textCol), 256))
-      .write.mode("append").parquet(curatedDir)
   }
 
   /** [[curateStream]] with a FUZZY layer on top of the exact digest
@@ -95,14 +136,16 @@ object Incremental {
       docs: DataFrame, idCol: String, textCol: String,
       referenceDir: String, curatedDir: String,
       checkpointDir: String, indexDir: String,
-      fuzzyThreshold: Double = 0.8): StreamingQuery =
+      fuzzyThreshold: Double = 0.8, refDigestDir: String = null,
+      compactAfterFiles: Int = 64): StreamingQuery =
     docs.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
         curateBatchFuzzy(spark, batch, idCol, textCol, referenceDir,
-          curatedDir, indexDir, fuzzyThreshold)
+          curatedDir, indexDir, fuzzyThreshold, refDigestDir,
+          compactAfterFiles)
       }
       .start()
 
@@ -128,7 +171,8 @@ object Incremental {
   def curateBatchFuzzy(
       spark: SparkSession, batch: DataFrame, idCol: String, textCol: String,
       referenceDir: String, curatedDir: String, indexDir: String,
-      threshold: Double): Unit = {
+      threshold: Double, refDigestDir: String = null,
+      compactAfterFiles: Int = 64): Unit = {
     // Tracked scope: the shingle sets persisted by the index probe and
     // the append-slice build are released once both writes land —
     // without this every micro-batch of a long-lived stream leaks
@@ -140,16 +184,8 @@ object Incremental {
     // failed attempt until the checkpoint volume fills)
     var cut: Option[DataFrame] = None
     try {
-      val clean = batch.filter(col(textCol).isNotNull)
-      val reps = Dedup.exactDedup(clean, idCol, textCol).select(idCol)
-      val deduped = clean.join(reps, Seq(idCol), "left_semi")
-      val vsRef = Dedup.dedupAgainstReference(
-        deduped, spark.read.parquet(referenceDir), idCol, textCol)
-      val exactFresh = curatedParquet(spark, curatedDir) match {
-        case Some(cur) => Dedup.dedupAgainstDigestedReference(
-          vsRef, cur, idCol, textCol, DigestCol)
-        case None => vsRef
-      }
+      val exactFresh = freshAgainstState(spark, batch, idCol, textCol,
+        referenceDir, curatedDir, refDigestDirFor(curatedDir, refDigestDir))
       val ensured = ensureIndex(
         spark, indexDir, referenceDir, curatedDir, idCol, textCol, scope)
       val dropped = Dedup.dropNearDupsAgainstIndex(
@@ -181,6 +217,12 @@ object Incremental {
         // re-count of reference or store (r7 VERDICT #3).
         writeVerifiedStamp(spark, indexDir,
           ensured.refRows, ensured.storeRows + admittedCount, ensured.refFp)
+        // the store's row count is now KNOWN without a job — memoize it
+        // at the post-append fingerprint so the next batch's ensure
+        // runs zero count jobs on the healthy path (r8 VERDICT #3)
+        recordKnownRows(spark, curatedDir, ensured.storeRows + admittedCount)
+        maybeCompact(spark, curatedDir, indexDir, compactAfterFiles,
+          ensured.storeRows + admittedCount)
       }
     } finally {
       // free the cut frame's storage whether the batch succeeded or
@@ -245,16 +287,32 @@ object Incremental {
       spark: SparkSession, indexDir: String, referenceDir: String,
       curatedDir: String, idCol: String, textCol: String,
       scope: graft.util.CacheScope): EnsuredIndex = {
+    // crash-aware: an index dir stranded mid-compaction-swap must be
+    // recovered before the existence check below — treating a missing
+    // bands/ as "no index" would trigger a full rebuild while a
+    // complete copy sits one rename away (r8 ADVICE)
+    recoverCompactionSidecars(spark, s"$indexDir/bands")
+    recoverCompactionSidecars(spark, s"$indexDir/sets")
     val path = new org.apache.hadoop.fs.Path(s"$indexDir/bands")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val reference = spark.read.parquet(referenceDir)
+    val reference = graft.util.ParquetSchemaMemo.read(spark, referenceDir)
       .select(col(idCol), col(textCol))
-    def storeDocs: Option[DataFrame] =
+    val storeDocs: Option[DataFrame] =
       curatedParquet(spark, curatedDir).map(_.select(col(idCol), col(textCol)))
     def allDocs: DataFrame = storeDocs.fold(reference)(reference.unionByName(_))
-    val refRows = reference.count()
-    val storeRows = storeDocs.map(_.count()).getOrElse(0L)
     val refFp = refFingerprint(spark, reference)
+    // healthy-path cost (r8 VERDICT #3): both counts below are memoized
+    // keyed on each dir's file-metadata fingerprint — the reference is
+    // frozen (one count per JVM lifetime) and the store's post-append
+    // count is recorded by the batch that appended it, so a healthy
+    // batch runs ZERO count jobs here: two driver listings + the stamp
+    // read. Any out-of-band write, crash, or compaction changes the
+    // fingerprint and forces an honest recount.
+    val refRows = memoizedCount(referenceDir, refFp)(reference.count())
+    val storeRows = storeDocs.map { st =>
+      val fp = Dedup.fileSnapshot(st).map(Dedup.hash64).getOrElse(0L)
+      memoizedCount(curatedDir, fp)(st.count())
+    }.getOrElse(0L)
     def stamped(index: Dedup.NearDupIndex): EnsuredIndex = {
       writeVerifiedStamp(spark, indexDir, refRows, storeRows, refFp)
       EnsuredIndex(index, refRows, storeRows, refFp)
@@ -321,6 +379,68 @@ object Incremental {
             stamped(Dedup.NearDupIndex.read(spark, indexDir))
           }
       }
+    }
+  }
+
+  /** Driver-side row-count memo keyed by a dir's file-metadata
+    * fingerprint (latest entry per dir, so the map is bounded by the
+    * number of distinct state dirs this JVM touches). A hit is sound
+    * because any append, compaction, regeneration, or out-of-band write
+    * changes the underlying file set — Spark part names embed a
+    * per-write UUID — so a matching fingerprint can only describe the
+    * exact files already counted. A crash mid-batch leaves the store's
+    * fingerprint different from the memo's (the append landed) or the
+    * memo different from reality via JVM death (map gone) — both force
+    * a recount, preserving the stamp-mismatch repair path exactly. */
+  private val rowsByFp =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+
+  private def memoizedCount(dir: String, fp: Long)(count: => Long): Long =
+    rowsByFp.get(dir) match {
+      case Some((f, n)) if f == fp && fp != 0L => n
+      case _ =>
+        val n = count
+        if (fp != 0L) rowsByFp.put(dir, (fp, n))
+        n
+    }
+
+  /** Record a row count the caller KNOWS (post-append arithmetic,
+    * post-compaction invariance) at `dir`'s CURRENT fingerprint, so the
+    * next [[ensureIndex]] needs no count job. */
+  private def recordKnownRows(
+      spark: SparkSession, dir: String, rows: Long): Unit =
+    curatedParquet(spark, dir).foreach { df =>
+      Dedup.fileSnapshot(df).map(Dedup.hash64).filter(_ != 0L)
+        .foreach(fp => rowsByFp.put(dir, (fp, rows)))
+    }
+
+  /** Part-file count of one parquet dir — a single driver listing, the
+    * cheap check gating the auto-compaction trigger. */
+  private[streaming] def parquetFileCount(
+      spark: SparkSession, dir: String): Int = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) 0
+    else fs.listStatus(path).count(_.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** Auto-compaction trigger (r8 VERDICT #2): compact each owned dir
+    * whose part-file count crossed `maxFiles` (<= 0 disables). Runs
+    * inline at the end of an admitting batch — safe under the module's
+    * single-writer contract, and the row-preserving swap keeps the
+    * verified stamp valid. The store's (unchanged) row count is
+    * re-memoized at its post-compaction fingerprint so compaction never
+    * costs the next batch a recount. */
+  private def maybeCompact(
+      spark: SparkSession, curatedDir: String, indexDir: String,
+      maxFiles: Int, knownStoreRows: Long): Unit = {
+    if (maxFiles <= 0) return
+    if (parquetFileCount(spark, curatedDir) > maxFiles) {
+      compactDir(spark, curatedDir)
+      recordKnownRows(spark, curatedDir, knownStoreRows)
+    }
+    Seq(s"$indexDir/bands", s"$indexDir/sets").foreach { d =>
+      if (parquetFileCount(spark, d) > maxFiles) compactDir(spark, d)
     }
   }
 
@@ -424,35 +544,62 @@ object Incremental {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(dir + ".compact-tmp")
     val old = new org.apache.hadoop.fs.Path(dir + ".compact-old")
-    if (!fs.exists(path)) {
-      // live name missing = a prior swap crashed between its two
-      // renames. Both sidecars are COMPLETE copies at that point
-      // (tmp is fully written before the first rename), so recover
-      // instead of silently no-op-ing and leaving every subsequent
-      // read of the dir broken: prefer the compacted tmp copy, fall
-      // back to the original.
-      if (fs.exists(tmp)) {
-        if (!fs.rename(tmp, path)) throw new IllegalStateException(
-          s"compaction recovery failed: cannot rename $tmp to $dir")
-        fs.delete(old, true)
-        return // the recovered copy IS the compacted result
-      }
-      if (fs.exists(old)) {
-        if (!fs.rename(old, path)) throw new IllegalStateException(
-          s"compaction recovery failed: cannot rename $old to $dir")
-        // recovered the un-compacted original — fall through and compact
-      } else return // dir never existed: nothing to do
+    recoverCompactionSidecars(spark, dir) match {
+      case Some("tmp") => return // the recovered copy IS the compacted result
+      case Some(_) => // recovered the un-compacted original: compact it
+      case None => if (!fs.exists(path)) return // never existed: nothing to do
     }
     val bytes = fs.getContentSummary(path).getLength
     val parts = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     fs.delete(tmp, true); fs.delete(old, true)
-    spark.read.parquet(dir).repartition(parts)
+    graft.util.ParquetSchemaMemo.read(spark, dir).repartition(parts)
       .write.parquet(tmp.toString)
-    if (!fs.rename(path, old) || !fs.rename(tmp, path))
-      throw new IllegalStateException(
-        s"compaction swap failed for $dir — recover from " +
-          s"$old / $tmp (both are complete copies)")
+    // distinct messages per rename (r8 ADVICE): after the FIRST fails,
+    // .compact-old was never created — telling the operator to recover
+    // from it would misdirect the manual fix
+    if (!fs.rename(path, old)) throw new IllegalStateException(
+      s"compaction swap failed for $dir: could not move the live dir " +
+        s"aside — live data is intact at $dir; the compacted copy is " +
+        s"at $tmp (no $old exists)")
+    if (!fs.rename(tmp, path)) throw new IllegalStateException(
+      s"compaction swap failed for $dir: live dir moved to $old but the " +
+        s"compacted copy at $tmp could not be moved in — both are " +
+        s"complete copies; the next touch of this dir auto-recovers " +
+        s"(recoverCompactionSidecars), or rename either back manually")
     fs.delete(old, true)
+  }
+
+  /** Crash-aware repair for the compaction swap window (r8 ADVICE,
+    * medium): when a dir's LIVE name is missing but a `.compact-tmp` /
+    * `.compact-old` sibling exists, a [[compactDir]] swap died between
+    * its two renames — both sidecars are complete copies at that point
+    * (tmp is fully written before the first rename). Every reader of a
+    * compactable dir runs this first: without it a restarted stream
+    * would treat the missing store as EMPTY, recreate it with only the
+    * new batch, and silently strand every previously curated row in
+    * `.compact-old` (store loss — the exact-digest dedup layer gone).
+    * Prefers the compacted tmp copy; falls back to the original.
+    * Returns which sidecar was recovered ("tmp" | "old"), None when the
+    * live dir exists or there is nothing to recover. */
+  private[streaming] def recoverCompactionSidecars(
+      spark: SparkSession, dir: String): Option[String] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) None
+    else {
+      val tmp = new org.apache.hadoop.fs.Path(dir + ".compact-tmp")
+      val old = new org.apache.hadoop.fs.Path(dir + ".compact-old")
+      if (fs.exists(tmp)) {
+        if (!fs.rename(tmp, path)) throw new IllegalStateException(
+          s"compaction recovery failed: cannot rename $tmp to $dir")
+        fs.delete(old, true)
+        Some("tmp")
+      } else if (fs.exists(old)) {
+        if (!fs.rename(old, path)) throw new IllegalStateException(
+          s"compaction recovery failed: cannot rename $old to $dir")
+        Some("old")
+      } else None
+    }
   }
 
   /** Compact the full incremental-curation state: the curated store
@@ -468,14 +615,17 @@ object Incremental {
   }
 
   /** The curated store, if any batch has landed yet (first batch of a
-    * fresh run has no directory to read). */
+    * fresh run has no directory to read). Crash-aware: a store dir
+    * missing because a compaction swap died mid-rename is RECOVERED
+    * first, never read as an empty/fresh store (r8 ADVICE, medium). */
   private def curatedParquet(
       spark: SparkSession, dir: String): Option[DataFrame] = {
+    recoverCompactionSidecars(spark, dir)
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(path) && fs.listStatus(path).exists(
         _.getPath.getName.endsWith(".parquet")))
-      Some(spark.read.parquet(dir))
+      Some(graft.util.ParquetSchemaMemo.read(spark, dir))
     else None
   }
 }
