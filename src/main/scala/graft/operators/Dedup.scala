@@ -873,14 +873,37 @@ object Dedup {
     * a handful of rounds closes them. Each round's labels persist via
     * the scope and the previous round is released immediately; the
     * convergence check is a driver-side count (control flow, not data
-    * collection). Power-law mega-components would want the
-    * large-star/small-star variant; out of scope for near-dup graphs.
+    * collection). High-diameter inputs (an accidental path/power-law
+    * graph rather than dense near-dup clusters) no longer exhaust the
+    * budget: once half of maxIter is spent a pointer-jump shortcut
+    * engages and reach doubles per round (see the fallback note in the
+    * body).
     */
   def connectedComponents(
       nodes: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20,
-      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged): DataFrame = {
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged,
+      shortcutAfter: Int = -1): DataFrame = {
+    // High-diameter guard (pointer-jump fallback): min-label delta
+    // iteration needs rounds = component diameter — right for near-dup
+    // graphs (diameter 1-3) but an accidental power-law/path input
+    // would burn maxIter rounds and refuse. From round `shortcutAfter`
+    // on (default: half the budget — a graph still unconverged there
+    // is high-diameter by definition, and healthy near-dup graphs
+    // never reach it, so their per-round plan is untouched), each
+    // round adds ONE label-shortcut join: label'(x) =
+    // label(label(x)), the Shiloach-Vishkin pointer jump. Reach then
+    // doubles per round instead of stepping, so a diameter-D
+    // component converges in O(maxIter/2 + log D) rounds. Both steps
+    // only ever lower labels toward the component min and the
+    // fixpoint test (empty frontier) is unchanged, so results are
+    // identical to the plain iteration — this is the lightweight
+    // cousin of large-star/small-star (Kiveris et al., "Connected
+    // Components in MapReduce and Beyond"), chosen because it reuses
+    // the same cut/GC machinery per round. Pass shortcutAfter >=
+    // maxIter to pin pure plain-propagation semantics.
+    val jumpFrom = if (shortcutAfter >= 0) shortcutAfter else (maxIter + 1) / 2
     // the edge list is re-joined every round — materialize it ONCE,
     // pre-partitioned on the join key: the per-round `edges ⋈ frontier
     // ON dst = node` requires HashPartitioning(dst), and a cached plan
@@ -934,10 +957,20 @@ object Dedup {
       val labels = checkpointed.select(col("node"), col("label"))
       val msgs = edges.join(frontier, col("dst") === col("node"))
         .groupBy(col("src")).agg(min(col("label")).as("nl"))
-      val next = labels.join(msgs, col("node") === col("src"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
-          (col("nl").isNotNull && col("nl") < col("label")).as("__chg"))
+      val prop = labels.join(msgs, col("node") === col("src"), "left")
+        .select(col("node"), col("label").as("__old"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("__lab"))
+      val jumped =
+        if (round < jumpFrom) prop
+        else prop.join(
+            // jump through the PREVIOUS round's (checkpointed) label
+            // table — one cheap scan, no recompute of this round's plan
+            labels.select(col("node").as("__jn"), col("label").as("__jl")),
+            col("__lab") === col("__jn"), "left")
+          .select(col("node"), col("__old"),
+            least(col("__lab"), coalesce(col("__jl"), col("__lab"))).as("__lab"))
+      val next = jumped.select(col("node"), col("__lab").as("label"),
+        (col("__lab") < col("__old")).as("__chg"))
       val cutNext = cut(next)
       // `cut` is EAGER (checkpoint(true)), so round N's data is durable
       // here — round N−1's storage can go: block-manager blocks for the
@@ -954,7 +987,9 @@ object Dedup {
     // the caller raises maxIter for pathological diameters
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge within $maxIter rounds — " +
-        "component diameter exceeds maxIter; raise it (rounds needed = graph diameter)")
+        "component diameter exceeds the budget even with the pointer-jump " +
+        s"fallback (engaged from round $jumpFrom; rounds needed ≈ " +
+        "shortcutAfter + log2(diameter)); raise maxIter")
     checkpointed.select(col("node").as(idCol), col("label").as("cluster"))
   }
 

@@ -111,18 +111,54 @@ class ScaleOpsSpec extends SparkSpec {
   }
 
   test("connectedComponents rounds = diameter + 1 (convergence detection) exactly") {
-    // a 12-node path, min label at one end: the label walks one hop per
-    // round (11 rounds = diameter), plus ONE round to observe an empty
-    // frontier. maxIter = 12 must converge; maxIter = 11 must refuse.
+    // PLAIN propagation semantics (shortcutAfter = maxIter disables the
+    // pointer-jump fallback): a 12-node path, min label at one end —
+    // the label walks one hop per round (11 rounds = diameter), plus
+    // ONE round to observe an empty frontier. maxIter = 12 must
+    // converge; maxIter = 11 must refuse.
     val nodes = (1L to 12L).toDF("id")
     val chain = (1L to 11L).map(i => (i, i + 1)).toDF("a", "b")
-    val out = Dedup.connectedComponents(nodes, "id", chain, "a", "b", maxIter = 12)
+    val out = Dedup.connectedComponents(nodes, "id", chain, "a", "b",
+        maxIter = 12, shortcutAfter = 12)
       .as[(Long, Long)].collect()
     assert(out.forall(_._2 == 1L) && out.length == 12)
     val e = intercept[IllegalStateException] {
-      Dedup.connectedComponents(nodes, "id", chain, "a", "b", maxIter = 11)
+      Dedup.connectedComponents(nodes, "id", chain, "a", "b",
+        maxIter = 11, shortcutAfter = 11)
     }
     assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("connectedComponents: pointer-jump fallback converges a long path within the default budget") {
+    // a 200-node path has diameter 199 — plain min-label propagation
+    // needs 199 rounds and would refuse at the default maxIter = 20.
+    // The fallback engages at round 10; reach then doubles per round
+    // (10 → 21 → 43 → 87 → 175 → 351), so the default budget suffices
+    // and the labels still land on the component min.
+    val n = 200L
+    val nodes = (0L until n).toDF("id")
+    val path = (0L until n - 1).map(i => (i, i + 1)).toDF("a", "b")
+    val out = Dedup.connectedComponents(nodes, "id", path, "a", "b")
+      .as[(Long, Long)].collect()
+    assert(out.length == n && out.forall(_._2 == 0L),
+      "every node of the path must join the min-label component")
+    // same guard on the refusal path: an absurdly small budget still
+    // refuses rather than truncating (fallback or not)
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(nodes, "id", path, "a", "b", maxIter = 4)
+    }
+    assert(e.getMessage.contains("pointer-jump"))
+    // two components + a singleton keep their own minima under the
+    // fallback (it must never bridge disconnected labels)
+    val nodes2 = (0L to 30L).toDF("id")
+    val twoPaths = ((0L until 14L).map(i => (i, i + 1)) ++
+      (15L until 29L).map(i => (i, i + 1))).toDF("a", "b")
+    val out2 = Dedup.connectedComponents(nodes2, "id", twoPaths, "a", "b",
+        maxIter = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(out2.filter(_._1 <= 14L).forall(_._2 == 0L))
+    assert(out2.filter(p => p._1 >= 15L && p._1 <= 29L).forall(_._2 == 15L))
+    assert(out2.find(_._1 == 30L).get._2 == 30L, "singleton keeps its own label")
   }
 
   test("connectedComponents uses RELIABLE checkpoints when a checkpoint dir is set") {
