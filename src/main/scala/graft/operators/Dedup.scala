@@ -328,6 +328,9 @@ object Dedup {
       reference.select(sha2(col(textCol), 256).as(RefDigestCol))
         .distinct()
         .write.mode("overwrite").parquet(digests)
+      // rebuilt via overwrite — drop any memoized schema (type-stable
+      // today, but the memo must never outlive a rewrite of its dir)
+      graft.util.ParquetSchemaMemo.invalidate(digests)
       val out = fs.create(stamp, true)
       try out.write(s"""{"refFp":$refFp}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -492,6 +495,11 @@ object Dedup {
         shingleSize, numHashes, rowsPerBand)
       bands.write.mode("overwrite").parquet(s"$dir/bands")
       sets.write.mode("overwrite").parquet(s"$dir/sets")
+      // an overwrite may change the doc column's type (rebuild over a
+      // different id column) — the schema memo must relearn, not serve
+      // the pre-rebuild schema
+      graft.util.ParquetSchemaMemo.invalidate(s"$dir/bands")
+      graft.util.ParquetSchemaMemo.invalidate(s"$dir/sets")
     }
     /** Append a new batch's index rows (the incremental-store shape:
       * the curated store indexes each batch as it is admitted). Fails
