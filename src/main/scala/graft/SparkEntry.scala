@@ -29,5 +29,6 @@ object SparkEntry {
     * gate exercises the full cold path. */
   def benchSetup: Map[String, (SparkSession, String) => Unit] =
     Map("x77_neardup_index" -> (Queries.x77Setup _),
-      "x78_neardup_drop_index" -> (Queries.x77Setup _))
+      "x78_neardup_drop_index" -> (Queries.x77Setup _),
+      "x79_refdigest_dedup" -> (Queries.x79Setup _))
 }

@@ -302,22 +302,34 @@ object Dedup {
     * corruption) is caught by the read and rebuilt. */
   def ensureReferenceDigests(
       spark: org.apache.spark.sql.SparkSession, referenceDir: String,
-      digestDir: String, textCol: String): DataFrame = {
-    val reference = graft.util.ParquetSchemaMemo.read(spark, referenceDir)
-    val refFp = fileSnapshot(reference).map(hash64).getOrElse(0L)
+      digestDir: String, textCol: String): DataFrame =
+    ensureReferenceDigests(
+      graft.util.ParquetSchemaMemo.read(spark, referenceDir), textCol, digestDir)
+
+  /** [[ensureReferenceDigests]] over an arbitrary frozen corpus FRAME
+    * (e.g. a filtered view of a larger table). Staleness uses the same
+    * [[corpusIdentity]] scheme as [[ensurePersistedIndex]]: file
+    * metadata + canonicalized plan for file-backed frames (driver
+    * listings only — a filtered view gets a distinct stamp from the
+    * full table), a one-scan content hash for unbacked frames. */
+  def ensureReferenceDigests(
+      reference: DataFrame, textCol: String, digestDir: String): DataFrame = {
+    val spark = reference.sparkSession
+    val (mode, cnt, fp) = corpusIdentity(reference, textCol, textCol)
+    val ident = s"$mode:$cnt:$fp"
     val digests = s"$digestDir/digests"
     val stamp = new org.apache.hadoop.fs.Path(digestDir, "source.json")
     val fs = stamp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def readStamp: Option[Long] =
+    def readStamp: Option[String] =
       if (!fs.exists(stamp)) None
       else {
         val in = fs.open(stamp)
         val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
-        """"refFp"\s*:\s*(-?\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+        """"ident"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
       }
     val existing =
-      if (readStamp.contains(refFp))
+      if (readStamp.contains(ident))
         try {
           val df = graft.util.ParquetSchemaMemo.read(spark, digests)
           df.select(RefDigestCol) // schema check: half-written/foreign dir
@@ -332,7 +344,7 @@ object Dedup {
       // today, but the memo must never outlive a rewrite of its dir)
       graft.util.ParquetSchemaMemo.invalidate(digests)
       val out = fs.create(stamp, true)
-      try out.write(s"""{"refFp":$refFp}"""
+      try out.write(s"""{"ident":"$ident"}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       graft.util.ParquetSchemaMemo.read(spark, digests)

@@ -922,6 +922,18 @@ object OracleSql {
          |SELECT d.doc_id, d.lang, d.source FROM documents d
          |WHERE d.doc_id >= (SELECT t FROM thr) AND NOT EXISTS (
          |  SELECT 1 FROM matched m WHERE m.a = d.doc_id)
-         |ORDER BY d.doc_id""".stripMargin
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // x79 anti-joins a persisted digest sidecar instead of re-hashing
+    // the frozen corpus; the RESULT contract is x61's (sha256 equality
+    // == text equality absent an engineered collision), so the oracle
+    // is the same text anti-join — sidecar vs re-hash is a plan
+    // property, pinned by IncrementalSpec's no-reference-scan
+    // assertion.
+    "x79_refdigest_dedup" ->
+      """SELECT b.doc_id, b.lang, b.source FROM documents b
+        |WHERE b.doc_id >= 400 AND NOT EXISTS (
+        |  SELECT 1 FROM documents r WHERE r.doc_id < 400 AND r.text = b.text)
+        |ORDER BY b.doc_id""".stripMargin
   )
 }
