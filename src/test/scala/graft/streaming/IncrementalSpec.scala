@@ -641,6 +641,33 @@ class IncrementalSpec extends SparkSpec {
       "an all-dup batch appends no files (compacted store unchanged)")
   }
 
+  test("exact-path auto-compaction: curateBatch keeps the store file count bounded") {
+    val tmp = Files.createTempDirectory("graft-incr-exactcompact").toString
+    val refDir = s"$tmp/ref"; val curDir = s"$tmp/curated"
+    Seq((1L, "frozen one")).toDF("doc_id", "text").write.parquet(refDir)
+    (0 until 5).foreach { i =>
+      Incremental.curateBatch(spark,
+        Seq((10L + i, s"story number $i")).toDF("doc_id", "text"),
+        "doc_id", "text", refDir, curDir, compactAfterFiles = 2)
+    }
+    val files = new java.io.File(curDir)
+      .listFiles.count(_.getName.endsWith(".parquet"))
+    assert(files <= 3,
+      s"exact path must compact once the threshold is crossed: $files files")
+    val rows = spark.read.parquet(curDir).select("doc_id").as[Long]
+      .collect().toSet
+    assert(rows == Set(10L, 11L, 12L, 13L, 14L),
+      s"compaction must not lose or duplicate rows: $rows")
+    // replay after compaction stays duplicate-free (the stored digests
+    // survive the rewrite)
+    Incremental.curateBatch(spark,
+      Seq((20L, "story number 0"), (21L, "frozen one")).toDF("doc_id", "text"),
+      "doc_id", "text", refDir, curDir, compactAfterFiles = 2)
+    assert(spark.read.parquet(curDir).select("doc_id").as[Long]
+      .collect().toSet == rows,
+      "dups of compacted rows and frozen texts must still be dropped")
+  }
+
   test("compactDir recovery: only .compact-old remains — restored, then compacted") {
     val tmp = Files.createTempDirectory("graft-compact-oldonly").toString
     val dir = s"$tmp/store"
