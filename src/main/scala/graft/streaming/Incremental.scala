@@ -87,11 +87,23 @@ object Incremental {
       compactAfterFiles: Int = 64): Unit = {
     val fresh = freshAgainstState(spark, batch, idCol, textCol,
       referenceDir, curatedDir, refDigestDirFor(curatedDir, refDigestDir))
-    fresh.withColumn(DigestCol, sha2(col(textCol), 256))
-      .write.mode("append").parquet(curatedDir)
-    if (compactAfterFiles > 0 &&
-        parquetFileCount(spark, curatedDir) > compactAfterFiles)
-      compactDir(spark, curatedDir)
+    // cut once so the all-dup check and the append share one evaluation
+    // (same reliable/local auto-selection as the fuzzy path); an
+    // all-duplicate batch — the normal replay shape — appends NOTHING,
+    // because an empty append still writes a part file and those
+    // accrete into a listing tax on a long-lived stream
+    val cut =
+      if (spark.sparkContext.getCheckpointDir.isDefined) fresh.checkpoint(true)
+      else fresh.localCheckpoint()
+    try {
+      if (cut.count() > 0) {
+        cut.withColumn(DigestCol, sha2(col(textCol), 256))
+          .write.mode("append").parquet(curatedDir)
+        if (compactAfterFiles > 0 &&
+            parquetFileCount(spark, curatedDir) > compactAfterFiles)
+          compactDir(spark, curatedDir)
+      }
+    } finally Dedup.releaseCheckpointStorage(cut)
   }
 
   /** The exact dedup layers of one micro-batch as a LAZY plan: null

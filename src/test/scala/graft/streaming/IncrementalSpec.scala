@@ -743,10 +743,16 @@ class IncrementalSpec extends SparkSpec {
     val batch = Seq((10L, Option("kept doc")), (11L, Option.empty[String]))
       .toDF("doc_id", "text")
     Incremental.curateBatch(spark, batch, "doc_id", "text", refDir, curDir)
+    def storeFiles: Int = new java.io.File(curDir)
+      .listFiles.count(_.getName.endsWith(".parquet"))
+    val filesBefore = storeFiles
     Incremental.curateBatch(spark, batch, "doc_id", "text", refDir, curDir)
     val got = spark.read.parquet(curDir)
       .select("doc_id", "text").as[(Long, String)].collect().toSet
     assert(got == Set((10L, "kept doc")),
       s"null text must never land (and never duplicate on replay): $got")
+    assert(storeFiles == filesBefore,
+      "an all-duplicate exact batch must append no part files " +
+        s"(the fuzzy path's contract): $filesBefore -> $storeFiles")
   }
 }
