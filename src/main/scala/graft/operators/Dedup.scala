@@ -975,8 +975,19 @@ object Dedup {
     var converged = false
     while (!converged && round < maxIter) {
       val labels = checkpointed.select(col("node"), col("label"))
-      val msgs = edges.join(frontier, col("dst") === col("node"))
-        .groupBy(col("src")).agg(min(col("label")).as("nl"))
+      val msgs =
+        if (round == 0)
+          // at round 0 every label is its node's own id, so the
+          // frontier join collapses to one aggregation over the edge
+          // table (min neighbor id per src). Round 0 is the only round
+          // whose frontier is ALL nodes — i.e. the only round where
+          // the join would move the full node set alongside the edges
+          // — so this removes the largest exchange of the computation
+          // at zero semantic cost.
+          edges.groupBy(col("src")).agg(min(col("dst")).as("nl"))
+        else
+          edges.join(frontier, col("dst") === col("node"))
+            .groupBy(col("src")).agg(min(col("label")).as("nl"))
       val prop = labels.join(msgs, col("node") === col("src"), "left")
         .select(col("node"), col("label").as("__old"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("__lab"))
