@@ -822,6 +822,59 @@ object Dedup {
     *
     * Scale shape: per-row expressions only (no shuffle); output is the
     * inverted-index-ready (doc, fp) relation, ~|grams|/w rows per doc. */
+  /** Duplicated-SPAN detection — substring-level dedup, the
+    * "Deduplicating Training Data Makes Language Models Better"
+    * (Lee et al., ACL'22) shape re-expressed relationally: instead of
+    * dropping whole documents, find the regions whose text is repeated
+    * elsewhere in the corpus so the caller can redact or down-weight
+    * just those. A doc position is a hit when its n-token window's
+    * gram hash occurs at least `minCount` times corpus-wide (cross-doc
+    * AND intra-doc repeats both count, as in the paper); per doc,
+    * overlapping-or-adjacent hit windows merge into maximal spans.
+    * Output: (idCol, span_start, span_end, n_windows) — token offsets,
+    * 0-based inclusive.
+    *
+    * Scale shape: one codegen gram pass + posexplode gives (doc, pos,
+    * h); repeatedness is ONE hash aggregate (the suffix-array build
+    * the paper uses is replaced by the gram-hash df table — no
+    * all-pairs substring compare, no global sort); hits are a
+    * semi-join; the island merge is a per-doc window (partition =
+    * doc, bounded by doc length — never a global sort). Hash
+    * collisions can mark a span that text-equality would not, at
+    * 2^-61-per-pair odds (documented trade, same as [[simhash]]'s
+    * band family). */
+  def duplicatedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minCount: Int = 2): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.expressions.Window
+    val gramArr = ColumnBridge.column(graft.functions.expressions.WordShingleHashes(
+      ColumnBridge.expression(Text.tokens(col(textCol))), n))
+    // NOT [[shingleHashes]]: that distincts away positions; spans need
+    // every window at its offset
+    val grams = df.select(col(idCol).as("doc"), gramArr.as("__g"))
+      .select(col("doc"), posexplode(col("__g")).as(Seq("pos", "h")))
+    val repeated = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") >= minCount)
+      .select(col("h"))
+    val hits = grams.join(repeated, Seq("h"), "left_semi")
+    // gaps-and-islands: windows [pos, pos+n-1] merge while the next
+    // start is within (overlaps or exactly adjoins) the previous window
+    val byDoc = Window.partitionBy(col("doc")).orderBy(col("pos"))
+    val spans = hits
+      .withColumn("__new",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= n, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("__grp", sum(col("__new")).over(byDoc))
+    spans.groupBy(col("doc"), col("__grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + n - 1).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc").as(idCol), col("span_start"), col("span_end"),
+        col("n_windows"))
+  }
+
   def winnowedFingerprints(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, w: Int = 4): DataFrame = {

@@ -934,6 +934,29 @@ object OracleSql {
       """SELECT b.doc_id, b.lang, b.source FROM documents b
         |WHERE b.doc_id >= 400 AND NOT EXISTS (
         |  SELECT 1 FROM documents r WHERE r.doc_id < 400 AND r.text = b.text)
-        |ORDER BY b.doc_id""".stripMargin
+        |ORDER BY b.doc_id""".stripMargin,
+
+    // x80 duplicated spans: positional 8-gram hashes (same charHash
+    // fold as the winnowing/minhash CTEs), corpus-wide occurrence df,
+    // gaps-and-islands merge of hit windows (the t48 session pattern)
+    "x80_duplicated_spans" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         |g AS (SELECT doc_id,
+         |  [${chash("array_to_string(w[i:i+7], ' ')")}
+         |   for i in range(1, len(w) - 6)] AS gh FROM t),
+         |p AS (SELECT doc_id AS doc,
+         |  unnest([{'pos': i-1, 'h': gh[i]}
+         |          for i in range(1, len(gh)+1)], recursive := true) FROM g),
+         |hits AS (SELECT doc, pos, h FROM p WHERE h IN (
+         |  SELECT h FROM p GROUP BY h HAVING COUNT(*) >= 2)),
+         |m AS (SELECT doc, pos,
+         |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc ORDER BY pos) <= 8
+         |       THEN 0 ELSE 1 END AS newgrp FROM hits),
+         |grp AS (SELECT doc, pos,
+         |  SUM(newgrp) OVER (PARTITION BY doc ORDER BY pos) AS grp FROM m)
+         |SELECT doc AS doc_id, MIN(pos)::BIGINT AS span_start,
+         |       (MAX(pos) + 7)::BIGINT AS span_end, COUNT(*) AS n_windows
+         |FROM grp GROUP BY doc, grp
+         |ORDER BY doc_id, span_start""".stripMargin
   )
 }

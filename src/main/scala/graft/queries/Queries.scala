@@ -894,6 +894,16 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** X80 — duplicated-span detection (substring-level dedup): maximal
+    * per-doc token spans whose 8-token windows repeat at least twice
+    * corpus-wide — the redact-the-region alternative to dropping whole
+    * near-dup documents. */
+  def x80(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.duplicatedSpans(docs, "doc_id", "text", n = 8, minCount = 2)
+      .orderBy("doc_id", "span_start")
+  }
+
   /** x79's per-corpus sidecar work dir — same keying rule as
     * [[x77IndexDir]] (sanitized full data path + corpus predicate). */
   private[graft] def x79DigestDir(dir: String): String = {
@@ -1025,5 +1035,6 @@ object Queries {
     "x76_neardup_drop" -> (x76 _),
     "x77_neardup_index" -> (x77 _),
     "x78_neardup_drop_index" -> (x78 _),
-    "x79_refdigest_dedup" -> (x79 _))
+    "x79_refdigest_dedup" -> (x79 _),
+    "x80_duplicated_spans" -> (x80 _))
 }

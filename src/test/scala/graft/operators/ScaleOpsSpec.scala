@@ -161,6 +161,33 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out2.find(_._1 == 30L).get._2 == 30L, "singleton keeps its own label")
   }
 
+  test("duplicatedSpans: cross-doc and intra-doc repeats, overlap merge, offsets") {
+    val n = 8
+    val run = (1 to 10).map(i => s"m$i").mkString(" ") // 10-token shared run
+    val docs = Seq(
+      (1L, "a b c d e f g h x y"),          // shares a-h with doc 2 at pos 0
+      (2L, "z0 z1 a b c d e f g h"),        // ... at pos 2
+      (3L, "p q r s t u v w " +             // intra-doc repeat, far apart:
+        (1 to 8).map(i => s"gap$i").mkString(" ") + // two separate spans
+        " p q r s t u v w"),
+      (4L, run),                            // 3 overlapping hit windows
+      (5L, s"x0 $run y0")                   // ... merge into ONE span each
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, "doc_id", "text", n = n)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 7L, 1L),
+      (2L, 2L, 9L, 1L),
+      (3L, 0L, 7L, 1L), (3L, 16L, 23L, 1L),
+      (4L, 0L, 9L, 3L),
+      (5L, 1L, 10L, 3L)),
+      s"span semantics (merge, offsets, counts) broke: $got")
+    // docs shorter than n tokens contribute nothing and break nothing
+    val tiny = Seq((9L, "too short")).toDF("doc_id", "text")
+    assert(Dedup.duplicatedSpans(tiny, "doc_id", "text", n = n).count() == 0)
+  }
+
   test("connectedComponents uses RELIABLE checkpoints when a checkpoint dir is set") {
     val sc = spark.sparkContext
     assert(sc.getCheckpointDir.isEmpty, "suite assumes no global checkpoint dir")
