@@ -875,6 +875,37 @@ object Dedup {
         col("n_windows"))
   }
 
+  /** Apply [[duplicatedSpans]]: rewrite each doc with its duplicated
+    * token spans REMOVED (plus before/after token accounting) — the
+    * redaction consumer that makes span detection actionable. Output:
+    * (idCol, redacted, n_tokens, n_redacted), docs with spans only
+    * (span-free docs need no rewrite — callers union them back
+    * untouched, saving the rewrite pass over the clean majority).
+    *
+    * Scale shape: spans collapse to one small per-doc array (merged
+    * spans are disjoint and bounded by doc length), the join is
+    * id-equi, and the rewrite is a codegen'd higher-order filter over
+    * the token array — no explode, no shuffle of token rows. */
+  def redactSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      spans: DataFrame): DataFrame = {
+    val sp = spans.groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start").as("lo"),
+        col("span_end").as("hi"))).as("__spans"))
+    val covered = (i: Column) => exists(col("__spans"),
+      s => i.cast("long").geq(s.getField("lo")) &&
+        i.cast("long").leq(s.getField("hi")))
+    docs.join(sp, Seq(idCol))
+      .withColumn("__toks", Text.tokens(col(textCol)))
+      .select(col(idCol),
+        array_join(filter(col("__toks"), (_, i) => !covered(i)), " ")
+          .as("redacted"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        aggregate(col("__spans"), lit(0L),
+          (acc, s) => acc + s.getField("hi") - s.getField("lo") + 1)
+          .as("n_redacted"))
+  }
+
   def winnowedFingerprints(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, w: Int = 4): DataFrame = {

@@ -957,6 +957,42 @@ object OracleSql {
          |SELECT doc AS doc_id, MIN(pos)::BIGINT AS span_start,
          |       (MAX(pos) + 7)::BIGINT AS span_end, COUNT(*) AS n_windows
          |FROM grp GROUP BY doc, grp
-         |ORDER BY doc_id, span_start""".stripMargin
+         |ORDER BY doc_id, span_start""".stripMargin,
+
+    // x81 applies x80's spans back to the text: tokens whose 0-based
+    // index falls inside any merged span are dropped (merged spans are
+    // disjoint, so the redacted count is the plain span-length sum)
+    "x81_span_redaction" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         |g AS (SELECT doc_id,
+         |  [${chash("array_to_string(w[i:i+7], ' ')")}
+         |   for i in range(1, len(w) - 6)] AS gh FROM t),
+         |p AS (SELECT doc_id AS doc,
+         |  unnest([{'pos': i-1, 'h': gh[i]}
+         |          for i in range(1, len(gh)+1)], recursive := true) FROM g),
+         |hits AS (SELECT doc, pos, h FROM p WHERE h IN (
+         |  SELECT h FROM p GROUP BY h HAVING COUNT(*) >= 2)),
+         |m AS (SELECT doc, pos,
+         |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc ORDER BY pos) <= 8
+         |       THEN 0 ELSE 1 END AS newgrp FROM hits),
+         |grp AS (SELECT doc, pos,
+         |  SUM(newgrp) OVER (PARTITION BY doc ORDER BY pos) AS grp FROM m),
+         |spans AS (SELECT doc AS doc_id, MIN(pos) AS lo, MAX(pos) + 7 AS hi
+         |  FROM grp GROUP BY doc, grp),
+         |agg AS (SELECT doc_id, list({'lo': lo, 'hi': hi}) AS sp
+         |  FROM spans GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  -- coalesce: DuckDB renders an EMPTY list as NULL through
+         |  -- array_to_string; Spark's array_join gives '' (a fully
+         |  -- redacted doc is an empty string, not an absent one)
+         |  coalesce(array_to_string([w[i] for i in range(1, len(w)+1)
+         |    if NOT coalesce(list_bool_or(
+         |      [(i-1) BETWEEN s.lo AND s.hi for s in a.sp]), false)], ' '), '')
+         |    AS redacted,
+         |  len(w)::BIGINT AS n_tokens,
+         |  coalesce(list_sum([s.hi - s.lo + 1 for s in a.sp]), 0)::BIGINT
+         |    AS n_redacted
+         |FROM t JOIN agg a ON t.doc_id = a.doc_id
+         |ORDER BY t.doc_id""".stripMargin
   )
 }

@@ -904,6 +904,16 @@ object Queries {
       .orderBy("doc_id", "span_start")
   }
 
+  /** X81 — span redaction: x80's duplicated spans applied back to the
+    * corpus (docs rewritten with the repeated regions removed + token
+    * accounting) — detect → redact in one composed plan. */
+  def x81(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val spans = Dedup.duplicatedSpans(docs, "doc_id", "text", n = 8, minCount = 2)
+    Dedup.redactSpans(docs, "doc_id", "text", spans)
+      .orderBy("doc_id")
+  }
+
   /** x79's per-corpus sidecar work dir — same keying rule as
     * [[x77IndexDir]] (sanitized full data path + corpus predicate). */
   private[graft] def x79DigestDir(dir: String): String = {
@@ -1036,5 +1046,6 @@ object Queries {
     "x77_neardup_index" -> (x77 _),
     "x78_neardup_drop_index" -> (x78 _),
     "x79_refdigest_dedup" -> (x79 _),
-    "x80_duplicated_spans" -> (x80 _))
+    "x80_duplicated_spans" -> (x80 _),
+    "x81_span_redaction" -> (x81 _))
 }

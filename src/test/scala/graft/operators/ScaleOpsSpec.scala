@@ -186,6 +186,19 @@ class ScaleOpsSpec extends SparkSpec {
     // docs shorter than n tokens contribute nothing and break nothing
     val tiny = Seq((9L, "too short")).toDF("doc_id", "text")
     assert(Dedup.duplicatedSpans(tiny, "doc_id", "text", n = n).count() == 0)
+
+    // redaction drops exactly the span tokens, keeps the rest in order
+    val spans = Dedup.duplicatedSpans(docs, "doc_id", "text", n = n)
+    val red = Dedup.redactSpans(docs, "doc_id", "text", spans)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(red == Seq(
+      (1L, "x y", 10L, 8L),
+      (2L, "z0 z1", 10L, 8L),
+      (3L, (1 to 8).map(i => s"gap$i").mkString(" "), 24L, 16L),
+      (4L, "", 10L, 10L),                   // fully duplicated doc → ""
+      (5L, "x0 y0", 12L, 10L)),
+      s"redaction must drop span tokens only, in order: $red")
   }
 
   test("connectedComponents uses RELIABLE checkpoints when a checkpoint dir is set") {
