@@ -42,7 +42,10 @@ object Plans {
       "x64_tfidf", "x65_decontamination", "x66_centroid_outliers",
       "x70_winnowing", "x71_winnowing_neardup", "x74_iqr_outliers",
       // cross-side LSH + candidate-only verify + (x76) anti-join
-      "x75_neardup_incremental", "x76_neardup_drop")
+      "x75_neardup_incremental", "x76_neardup_drop",
+      // round-9 additions: sidecar-probe dedup, duplicated spans +
+      // redaction (positional grams, island merge, HOF rewrite)
+      "x79_refdigest_dedup", "x80_duplicated_spans", "x81_span_redaction")
     (if (picked.nonEmpty) picked else targets).foreach { name =>
       println(s"\n════════ $name ════════")
       println(Queries.all(name)(spark, dir).queryExecution.explainString(
