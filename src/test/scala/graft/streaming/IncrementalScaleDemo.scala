@@ -17,6 +17,11 @@ import org.apache.spark.sql.functions._
 object IncrementalScaleDemo {
   def main(args: Array[String]): Unit = {
     val batches = if (args.length > 0) args(0).toInt else 9
+    // second arg: compactAfterFiles for the auto-compaction trigger
+    // (default = the production default; a low value, e.g. 3, makes
+    // compaction fire repeatedly mid-stream so its steady-state impact
+    // is visible in the per-batch times)
+    val compactAfter = if (args.length > 1) args(1).toInt else 64
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
       .config("spark.ui.enabled", "false")
@@ -45,11 +50,13 @@ object IncrementalScaleDemo {
       val n = batch.count()
       val t0 = System.nanoTime()
       Incremental.curateBatchFuzzy(spark, batch, "doc_id", "text",
-        refDir, curDir, idxDir, threshold = 0.35)
+        refDir, curDir, idxDir, threshold = 0.35,
+        compactAfterFiles = compactAfter)
       val secs = (System.nanoTime() - t0) / 1e9
       val store = spark.read.parquet(curDir).count()
+      val files = Incremental.parquetFileCount(spark, curDir)
       println(f"[incrscale] batch=${b + 1}/$batches rows=$n " +
-        f"storeAfter=$store sec=$secs%.2f")
+        f"storeAfter=$store files=$files sec=$secs%.2f")
     }
     spark.stop()
   }
