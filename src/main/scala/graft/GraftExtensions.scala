@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{DotProduct, NgramDistinctCount, SortedIntersectCount, WinnowedMins, WordShingleHashes}
+import graft.functions.expressions.{DotProduct, NfcNormalize, NgramDistinctCount, SortedIntersectCount, WinnowedMins, WordShingleHashes}
 
 /** SparkSessionExtensions hook exposing the graft codegen expressions
   * to SQL (SURVEY §4.3: extensions are injected, Spark is never
@@ -95,6 +95,13 @@ object GraftExtensions {
           RegExpReplace(RegExpReplace(args(0),
             Literal(Text.EmailRe), Literal("<EMAIL>")),
             Literal(Text.Ipv4Re), Literal("<IP>"))
+        }),
+      ("graft_nfc",
+        info("graft_nfc",
+          "graft_nfc(text) - Unicode NFC canonicalization (DuckDB nfc_normalize twin)"),
+        { args: Seq[Expression] =>
+          require(args.length == 1, "graft_nfc(text) takes 1 argument")
+          NfcNormalize(args(0))
         }),
       ("graft_winnow",
         info("graft_winnow",

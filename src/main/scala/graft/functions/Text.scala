@@ -83,6 +83,20 @@ object Text {
         NonCanonRe, ""),
       " +", " "))
 
+  /** Unicode NFC canonicalization ([[expressions.NfcNormalize]]):
+    * composed vs decomposed accent sequences are byte-different but
+    * render identically, so digest/shingle dedup treats them as
+    * distinct docs — NFC first gives every downstream layer one
+    * canonical byte form. NFC, not NFKC: compatibility folding is a
+    * policy choice; NFC matches DuckDB's `nfc_normalize` oracle.
+    * Already-normalized strings (all ASCII) pass through without
+    * allocation. */
+  def nfcNormalized(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.NfcNormalize(
+      ColumnBridge.expression(text)))
+  }
+
   /** EXACT distinct n-gram count over a token array in one codegen pass
     * ([[graft.functions.expressions.NgramDistinctCount]]); equals
     * `size(array_distinct(<gram transform>))` — tests pin equality —

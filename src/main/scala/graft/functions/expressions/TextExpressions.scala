@@ -260,3 +260,44 @@ object WinnowKernel {
     new GenericArrayData(arr)
   }
 }
+
+/** Unicode NFC canonicalization of a string column. Composed vs
+  * decomposed sequences (é as U+00E9 vs e + U+0301 COMBINING ACUTE)
+  * are byte-different but render identically, so byte/digest dedup
+  * layers treat them as distinct documents; normalizing to NFC first
+  * makes every downstream digest, shingle, and fingerprint see one
+  * canonical byte form. NFC (not NFKC): canonical equivalence only —
+  * compatibility folding (ligatures, full-width forms) changes
+  * rendered text and is a policy decision left to callers; NFC also
+  * matches DuckDB's `nfc_normalize`, the oracle twin.
+  *
+  * Fast path: an already-NFC input (every all-ASCII string) is
+  * detected with `Normalizer.isNormalized` (a scan, no allocation)
+  * and returned as the SAME UTF8String object — the normalizer
+  * allocates only for the rare strings that actually change. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    NfcNormalize.normalize(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expressions.NfcNormalize.normalize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  /** Shared eval body for interpreted + generated paths. */
+  def normalize(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}

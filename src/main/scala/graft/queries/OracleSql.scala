@@ -781,6 +781,11 @@ object OracleSql {
 
     // Dedup on the canonical text form (lowercase / strip punctuation /
     // collapse spaces); Spark regexp_replace is global, DuckDB needs 'g'.
+    "x82_nfc_dedup" ->
+      """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |FROM (SELECT doc_id, nfc_normalize(text) AS nt FROM documents) t
+        |GROUP BY nt ORDER BY doc_id""".stripMargin,
+
     "x67_normalized_dedup" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM (SELECT doc_id,

@@ -699,6 +699,18 @@ object Queries {
         "doc_id", "__norm")
       .orderBy("doc_id")
 
+  /** X82 — NFC-canonical dedup: [[x67]]'s normalized-dedup shape with
+    * Unicode NFC as the canon form (composed/decomposed accent
+    * sequences collapse; the corpus is ASCII so results ≡ x40 here —
+    * the Unicode behavior itself is spec-pinned, the gate pins
+    * engine/oracle hash parity through the normalize step). */
+  def x82(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(
+        Tables.documents(s, dir)
+          .withColumn("__nfc", graft.functions.Text.nfcNormalized(col("text"))),
+        "doc_id", "__nfc")
+      .orderBy("doc_id")
+
   /** X68 — per-source token-budget mixing: keep each source's docs in
     * portable md5 order while its running token total stays ≤ 700. */
   def x68(s: SparkSession, dir: String): DataFrame = {
@@ -1047,5 +1059,6 @@ object Queries {
     "x78_neardup_drop_index" -> (x78 _),
     "x79_refdigest_dedup" -> (x79 _),
     "x80_duplicated_spans" -> (x80 _),
-    "x81_span_redaction" -> (x81 _))
+    "x81_span_redaction" -> (x81 _),
+    "x82_nfc_dedup" -> (x82 _))
 }

@@ -71,4 +71,44 @@ class TextAnalysisSpec extends SparkSpec {
       .as[Double].collect().toSeq
     assert(zeros === Seq(0.0, 0.0))
   }
+
+  test("nfcNormalized: decomposed sequences collapse to composed; ASCII unchanged; dedup sees one form") {
+    import spark.implicits._
+    val composed = "caf\u00e9 r\u00e9sum\u00e9"          // é as U+00E9
+    val decomposed = "cafe\u0301 re\u0301sume\u0301"     // e + COMBINING ACUTE
+    val docs = Seq(
+      (1L, composed), (2L, decomposed), (3L, "plain ascii"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = docs
+      .select(col("doc_id"), graft.functions.Text.nfcNormalized(col("text")).as("nfc"))
+      .orderBy("doc_id").as[(Long, Option[String])].collect().toSeq
+    assert(out(0)._2.get == composed, "already-NFC text must pass through")
+    assert(out(1)._2.get == composed, "decomposed text must collapse to the composed form")
+    assert(out(2)._2.get == "plain ascii")
+    assert(out(3)._2.isEmpty, "null stays null")
+    // java.text.Normalizer is the semantics authority (same pin the
+    // oracle's nfc_normalize is held to)
+    assert(out(1)._2.get ==
+      java.text.Normalizer.normalize(decomposed, java.text.Normalizer.Form.NFC))
+
+    // the point of the op: byte dedup misses the pair, NFC dedup finds it
+    val nonNull = docs.filter(col("text").isNotNull)
+    assert(Dedup.exactDedup(nonNull, "doc_id", "text").count() == 3)
+    val reps = Dedup.exactDedup(
+        nonNull.withColumn("__nfc",
+          graft.functions.Text.nfcNormalized(col("text"))),
+        "doc_id", "__nfc")
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(reps == Seq((1L, 2L), (3L, 1L)),
+      s"NFC dedup must collapse the composed/decomposed pair: $reps")
+
+    // SQL surface parity
+    graft.GraftExtensions.register(spark)
+    docs.createOrReplaceTempView("nfc_docs")
+    val sqlOut = spark.sql(
+      "SELECT doc_id, graft_nfc(text) AS nfc FROM nfc_docs ORDER BY doc_id")
+      .as[(Long, Option[String])].collect().toSeq
+    assert(sqlOut == out, "graft_nfc must match the DataFrame form")
+  }
 }
