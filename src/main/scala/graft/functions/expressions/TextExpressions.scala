@@ -271,10 +271,12 @@ object WinnowKernel {
   * rendered text and is a policy decision left to callers; NFC also
   * matches DuckDB's `nfc_normalize`, the oracle twin.
   *
-  * Fast path: an already-NFC input (every all-ASCII string) is
-  * detected with `Normalizer.isNormalized` (a scan, no allocation)
-  * and returned as the SAME UTF8String object — the normalizer
-  * allocates only for the rare strings that actually change. */
+  * Fast path: an all-ASCII input (the common case) is detected with a
+  * raw byte scan — no String decode, no allocation — and returned as
+  * the SAME UTF8String object; ASCII is closed under NFC, so the scan
+  * alone proves normality. Non-ASCII strings pay one decode for
+  * `Normalizer.isNormalized` and allocate only if they actually
+  * change. */
 case class NfcNormalize(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
@@ -295,6 +297,10 @@ object NfcNormalize {
   /** Shared eval body for interpreted + generated paths. */
   def normalize(s: org.apache.spark.unsafe.types.UTF8String)
       : org.apache.spark.unsafe.types.UTF8String = {
+    val n = s.numBytes
+    var i = 0
+    while (i < n && s.getByte(i) >= 0) i += 1
+    if (i == n) return s // pure ASCII: NFC-normal by construction
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
     else org.apache.spark.unsafe.types.UTF8String.fromString(

@@ -302,9 +302,40 @@ object Dedup {
     * corruption) is caught by the read and rebuilt. */
   def ensureReferenceDigests(
       spark: org.apache.spark.sql.SparkSession, referenceDir: String,
-      digestDir: String, textCol: String): DataFrame =
-    ensureReferenceDigests(
-      graft.util.ParquetSchemaMemo.read(spark, referenceDir), textCol, digestDir)
+      digestDir: String, textCol: String): DataFrame = {
+    val memoized = graft.util.ParquetSchemaMemo.read(spark, referenceDir)
+    val reference =
+      if (readDigestStamp(spark, digestDir)
+          .contains(digestIdent(memoized, textCol))) memoized
+      else {
+        // a stale/missing stamp means a (re)build is imminent, and a
+        // regeneration may have changed the reference's SCHEMA along
+        // with its bytes — drop the memoized schema and re-infer so
+        // the build scans the files as they are now, not as they were
+        graft.util.ParquetSchemaMemo.invalidate(referenceDir)
+        graft.util.ParquetSchemaMemo.read(spark, referenceDir)
+      }
+    ensureReferenceDigests(reference, textCol, digestDir)
+  }
+
+  private def digestIdent(reference: DataFrame, textCol: String): String = {
+    val (mode, cnt, fp) = corpusIdentity(reference, textCol, textCol)
+    s"$mode:$cnt:$fp"
+  }
+
+  private def readDigestStamp(
+      spark: org.apache.spark.sql.SparkSession,
+      digestDir: String): Option[String] = {
+    val stamp = new org.apache.hadoop.fs.Path(digestDir, "source.json")
+    val fs = stamp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(stamp)) None
+    else {
+      val in = fs.open(stamp)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      """"ident"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
+    }
+  }
 
   /** [[ensureReferenceDigests]] over an arbitrary frozen corpus FRAME
     * (e.g. a filtered view of a larger table). Staleness uses the same
@@ -315,21 +346,12 @@ object Dedup {
   def ensureReferenceDigests(
       reference: DataFrame, textCol: String, digestDir: String): DataFrame = {
     val spark = reference.sparkSession
-    val (mode, cnt, fp) = corpusIdentity(reference, textCol, textCol)
-    val ident = s"$mode:$cnt:$fp"
+    val ident = digestIdent(reference, textCol)
     val digests = s"$digestDir/digests"
     val stamp = new org.apache.hadoop.fs.Path(digestDir, "source.json")
     val fs = stamp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def readStamp: Option[String] =
-      if (!fs.exists(stamp)) None
-      else {
-        val in = fs.open(stamp)
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        """"ident"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
-      }
     val existing =
-      if (readStamp.contains(ident))
+      if (readDigestStamp(spark, digestDir).contains(ident))
         try {
           val df = graft.util.ParquetSchemaMemo.read(spark, digests)
           df.select(RefDigestCol) // schema check: half-written/foreign dir
@@ -337,6 +359,11 @@ object Dedup {
         } catch { case scala.util.control.NonFatal(_) => None }
       else None
     existing.getOrElse {
+      // the stamp is deleted FIRST: this rebuild can be entered with a
+      // still-MATCHING stamp (unreadable dir under a fresh stamp), and
+      // a crash mid-overwrite must leave "no stamp → rebuild", never a
+      // matching stamp vouching for a partial digest set
+      fs.delete(stamp, false)
       reference.select(sha2(col(textCol), 256).as(RefDigestCol))
         .distinct()
         .write.mode("overwrite").parquet(digests)
@@ -1059,19 +1086,13 @@ object Dedup {
     var converged = false
     while (!converged && round < maxIter) {
       val labels = checkpointed.select(col("node"), col("label"))
-      val msgs =
-        if (round == 0)
-          // at round 0 every label is its node's own id, so the
-          // frontier join collapses to one aggregation over the edge
-          // table (min neighbor id per src). Round 0 is the only round
-          // whose frontier is ALL nodes — i.e. the only round where
-          // the join would move the full node set alongside the edges
-          // — so this removes the largest exchange of the computation
-          // at zero semantic cost.
-          edges.groupBy(col("src")).agg(min(col("dst")).as("nl"))
-        else
-          edges.join(frontier, col("dst") === col("node"))
-            .groupBy(col("src")).agg(min(col("label")).as("nl"))
+      // (A tempting round-0 shortcut — labels are identity, so messages
+      // "reduce" to min(dst) per src over the raw edges — is WRONG:
+      // the frontier join also FILTERS edge endpoints that are not in
+      // `nodes`, and the agg form would leak such an id in as a cluster
+      // label. Keeping the join keeps that tolerance.)
+      val msgs = edges.join(frontier, col("dst") === col("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("nl"))
       val prop = labels.join(msgs, col("node") === col("src"), "left")
         .select(col("node"), col("label").as("__old"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("__lab"))

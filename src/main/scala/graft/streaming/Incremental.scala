@@ -330,9 +330,16 @@ object Incremental {
       EnsuredIndex(index, refRows, storeRows, refFp)
     }
     def rebuild(): EnsuredIndex = {
+      // a rebuild is the regeneration path: the reference's SCHEMA may
+      // have changed along with its bytes — drop the memoized schema
+      // and re-open so the build scans the files as they are now
+      graft.util.ParquetSchemaMemo.invalidate(referenceDir)
+      val freshRef = graft.util.ParquetSchemaMemo.read(spark, referenceDir)
+        .select(col(idCol), col(textCol))
+      val docs = storeDocs.fold(freshRef)(freshRef.unionByName(_))
       val (s, n, r) = Dedup.NearDupIndex.readParams(spark, indexDir)
         .getOrElse((3, 16, 4))
-      Dedup.buildNearDupIndex(allDocs, idCol, textCol, s, n, r, scope)
+      Dedup.buildNearDupIndex(docs, idCol, textCol, s, n, r, scope)
         .write(indexDir)
       // record WHICH reference bytes these sketches were built over —
       // the only witness that can prove freshness when the verified

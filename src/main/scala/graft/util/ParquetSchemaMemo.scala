@@ -15,11 +15,12 @@ import org.apache.spark.sql.types.StructType
   * rewrites rows unchanged — so one inference per (JVM, dir) is enough;
   * later opens supply the memoized schema and run no job at all.
   *
-  * An out-of-contract SCHEMA change to a memoized dir (regenerating the
-  * reference with different column types) is not detected here; the
-  * readers that tolerate regeneration at all (ensureIndex,
-  * ensureReferenceDigests) wrap their reads in catch-and-rebuild, and
-  * [[invalidate]] exists for manual recovery. */
+  * A SCHEMA change to a memoized dir is not detected here. The two
+  * readers that tolerate reference regeneration (ensureIndex,
+  * ensureReferenceDigests) call [[invalidate]] and re-open on their
+  * rebuild paths — the only moment a schema change can arrive under
+  * their contracts — and every state-dir writer invalidates after an
+  * overwrite; [[invalidate]] remains available for manual recovery. */
 object ParquetSchemaMemo {
   private val memo =
     scala.collection.concurrent.TrieMap.empty[String, StructType]

@@ -45,7 +45,8 @@ object Plans {
       "x75_neardup_incremental", "x76_neardup_drop",
       // round-9 additions: sidecar-probe dedup, duplicated spans +
       // redaction (positional grams, island merge, HOF rewrite)
-      "x79_refdigest_dedup", "x80_duplicated_spans", "x81_span_redaction")
+      "x79_refdigest_dedup", "x80_duplicated_spans", "x81_span_redaction",
+      "x82_nfc_dedup")
     (if (picked.nonEmpty) picked else targets).foreach { name =>
       println(s"\n════════ $name ════════")
       println(Queries.all(name)(spark, dir).queryExecution.explainString(
