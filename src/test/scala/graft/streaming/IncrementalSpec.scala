@@ -535,6 +535,32 @@ class IncrementalSpec extends SparkSpec {
     assert(sidecarFiles == before, "a fresh stamp must skip the rebuild")
   }
 
+  test("reference digest sidecar: corrupt digest dir under a fresh stamp self-heals") {
+    val tmp = Files.createTempDirectory("graft-incr-sidecar-heal").toString
+    val refDir = s"$tmp/ref"; val digDir = s"$tmp/refdig"
+    Seq((1L, "frozen one"), (2L, "frozen two"), (3L, "frozen one"))
+      .toDF("doc_id", "text").write.parquet(refDir)
+    assert(Dedup.ensureReferenceDigests(spark, refDir, digDir, "text")
+      .count() == 2, "sidecar stores DISTINCT digests")
+    // out-of-band corruption: the digest parquet vanishes while the
+    // stamp still vouches for it — the ensure must rebuild, and the
+    // rebuild drops the stamp FIRST so a crash mid-overwrite can never
+    // re-bless a partial digest set
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(s"$digDir/digests"))
+    assert(new java.io.File(s"$digDir/source.json").exists)
+    val healed = Dedup.ensureReferenceDigests(spark, refDir, digDir, "text")
+    assert(healed.count() == 2, "corrupt dir under a fresh stamp must rebuild")
+    // and the healed sidecar still drops reference dups
+    val kept = Dedup.dedupAgainstDigests(
+        Seq((10L, "frozen one"), (11L, "novel text")).toDF("doc_id", "text"),
+        healed, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L), s"healed sidecar must still dedup: $kept")
+  }
+
   test("reference digest sidecar rebuilds when the reference is regenerated") {
     val tmp = Files.createTempDirectory("graft-incr-sidecar-regen").toString
     val refDir = s"$tmp/ref"; val curDir = s"$tmp/curated"
