@@ -30,5 +30,6 @@ object SparkEntry {
   def benchSetup: Map[String, (SparkSession, String) => Unit] =
     Map("x77_neardup_index" -> (Queries.x77Setup _),
       "x78_neardup_drop_index" -> (Queries.x77Setup _),
-      "x79_refdigest_dedup" -> (Queries.x79Setup _))
+      "x79_refdigest_dedup" -> (Queries.x79Setup _),
+      "x85_bloom_dedup" -> (Queries.x85Setup _))
 }

@@ -401,6 +401,64 @@ object Dedup {
       .join(refDigests.select(col(digCol).as("__dig")), Seq("__dig"), "left_anti")
       .drop("__dig")
 
+  /** Serialized Bloom filter over a digest sidecar's `xxhash64(dig)`
+    * keys — the broadcastable membership sketch consumed by
+    * [[dedupAgainstDigestsBloom]]. One pass over the (digest-thin)
+    * sidecar; size ∝ digest count, independent of reference text bytes. */
+  def digestBloom(refDigests: DataFrame, digCol: String = RefDigestCol,
+      fpp: Double = 0.01): Array[Byte] =
+    graft.functions.Bloom.ofLongs(
+      refDigests, xxhash64(col(digCol)), refDigests.count(), fpp)
+
+  private val bloomMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+
+  /** [[digestBloom]] over a persisted [[ensureReferenceDigests]] sidecar,
+    * memoized on the sidecar's identity stamp — a long-lived stream
+    * builds the bloom once per reference freeze, then every batch reuses
+    * the driver-cached bytes (zero jobs). A sidecar rebuilt for a
+    * regenerated reference changes its stamp and misses the memo, so a
+    * stale bloom can never outlive its digests. An un-stamped dir
+    * (mid-rebuild crash window) builds uncached — correct, just not memoized. */
+  def ensureDigestBloom(spark: org.apache.spark.sql.SparkSession,
+      digestDir: String, fpp: Double = 0.01): Array[Byte] = {
+    val digests = graft.util.ParquetSchemaMemo.read(spark, s"$digestDir/digests")
+    readDigestStamp(spark, digestDir) match {
+      case Some(ident) =>
+        bloomMemo.computeIfAbsent(s"$digestDir@$ident@$fpp",
+          _ => digestBloom(digests, fpp = fpp))
+      case None => digestBloom(digests, fpp = fpp)
+    }
+  }
+
+  /** [[dedupAgainstDigests]] with a broadcast Bloom prefilter — the
+    * shape for streams where most batch rows are NEW (the common crawl
+    * case): a row whose digest hash misses the bloom is definitely
+    * absent from the reference and SKIPS THE SHUFFLE entirely; only the
+    * bloom-positive sliver (true dups + fpp·batch false positives) pays
+    * the exact anti-join verify. Same rows as [[dedupAgainstDigests]]
+    * always — the bloom has no false negatives, and every positive is
+    * re-checked exactly, so fpp trades shuffle volume, never
+    * correctness. Per batch: O(batch) hash + bit-probe, shuffle
+    * ∝ duplicates instead of ∝ batch. */
+  def dedupAgainstDigestsBloom(
+      batch: DataFrame, refDigests: DataFrame, idCol: String, textCol: String,
+      bloom: Array[Byte], digCol: String = RefDigestCol,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged): DataFrame = {
+    val bd = scope.persist(batch.withColumn("__dig", sha2(col(textCol), 256)))
+    // NULL text → NULL digest: the exact form keeps such rows (a NULL
+    // key never equals a stored digest), so the bloom's NULL probe must
+    // land them in the keep-side too
+    val pos = coalesce(
+      graft.functions.Bloom.mightContainLong(bloom, xxhash64(col("__dig"))),
+      lit(false))
+    val misses = bd.filter(!pos).drop("__dig")
+    val verified = bd.filter(pos)
+      .join(refDigests.select(col(digCol).as("__dig")), Seq("__dig"), "left_anti")
+      .drop("__dig")
+    misses.union(verified)
+  }
+
   /** Fuzzy incremental dedup: NEAR-duplicate pairs between a new batch
     * and a frozen reference corpus — the production upgrade of the
     * exact [[dedupAgainstReference]] (a lightly edited recrawl of a

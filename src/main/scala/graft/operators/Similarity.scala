@@ -307,6 +307,40 @@ object Similarity {
         round(Vectors.cosine(Vectors.toDouble(col(vecCol)), col("centroid")),
           roundDigits).as("cos"))
 
+  /** Semantic deduplication (the SemDeDup shape, Abbas et al. 2023):
+    * embedding-space near-duplicates — paraphrases, re-renders,
+    * templated variants that no lexical dedup catches — are grouped and
+    * all but one representative per group dropped. Pipeline: LSH-bucketed
+    * cosine pairs at `threshold` ([[cosineNearDupPairsLsh]] — candidates
+    * only within a hyperplane bucket, never all-pairs) → connected
+    * components ([[Dedup.connectedComponents]] — a doc transitively
+    * near-dup to a kept doc is still a dup) → keep each component's
+    * min-id node. Under min-label propagation the component label IS its
+    * min id, so the survivor test is `cluster == id` — no extra agg.
+    * SemDeDup proper clusters with k-means and keeps per-cluster
+    * farthest-from-centroid; the bucketed-pairs + CC form keeps the
+    * keep/drop semantics deterministic (oracle-checkable) and shares the
+    * x60 cluster machinery.
+    *
+    * Output: the input rows whose id survives (semi-join — column set
+    * preserved, so downstream curation stages compose unchanged).
+    *
+    * Scale shape: pairs ∝ bucket collisions, CC per x60's analysis
+    * (pre-partitioned edge table, delta iteration, pointer-jump guard),
+    * and the final semi-join shuffles ids only (AQE broadcasts the
+    * survivor side when small). */
+  def semanticDedup(
+      emb: DataFrame, idCol: String, vecCol: String,
+      planeIds: Seq[Int], threshold: Double,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val pairs = scope.persist(
+      cosineNearDupPairsLsh(emb, idCol, vecCol, planeIds, threshold, scope = scope))
+    val clusters = Dedup.connectedComponents(
+      emb.select(col(idCol)), idCol, pairs, "a", "b", scope = scope)
+    val survivors = clusters.filter(col("cluster") === col(idCol)).select(col(idCol))
+    emb.join(survivors, Seq(idCol), "left_semi")
+  }
+
   /** Two-phase distributed top-k per query group (see object doc). */
   private def twoPhaseTopK(scored: DataFrame, k: Int): DataFrame = {
     val local = scored.withColumn("__part", spark_partition_id())

@@ -204,4 +204,49 @@ object TextAnalysis {
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),
       Hashing.seqHash(Hashing.tokenHashes(Text.tokens(col(textCol)))).as("fp"))
+
+  /** Unigram-LM scoring (the CCNet quality-filter stage, Wenzek et al.
+    * LREC'20 shape): each batch doc scored by its mean negative
+    * log-probability under an add-one-smoothed unigram model trained on
+    * a frozen reference corpus — low `avg_nll` ≈ distributed like the
+    * reference, high ≈ off-domain/garbled, thresholded or bucketed
+    * downstream (CCNet's head/middle/tail). CCNet proper uses a 5-gram
+    * KenLM; the unigram form keeps the engine-side shape (the model IS
+    * a relational aggregate, broadcast to the scorer) while staying
+    * oracle-expressible — a wider-context LM slots in by swapping the
+    * model build, not the plan.
+    *
+    * Scale shape: the model is VOCABULARY-sized — one explode into a
+    * map-side-combinable (term, count) agg; even a 100 TB reference
+    * yields a ~10⁷-row model, broadcast to the scoring join. Totals
+    * (T tokens, V vocab) ride a 1-row broadcast. The batch pays one
+    * explode collapsed to per-doc (term, tf) BEFORE the join, so the
+    * model join carries distinct doc-terms, not every token position.
+    * The per-term log-prob and the final mean are float64, rounded at
+    * `roundDigits` for engine portability (libm ulp).
+    *
+    * OOV terms take the smoothing floor ln(1/(T+V)) — every token
+    * contributes, so a fully-OOV doc scores the worst possible value
+    * instead of NULL. */
+  def unigramLogProb(batch: DataFrame, reference: DataFrame, idCol: String,
+      textCol: String, roundDigits: Int = 4): DataFrame = {
+    val model = reference
+      .select(explode(Text.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val totals = model.agg(
+      sum(col("c")).cast("double").as("t"),
+      count(lit(1)).cast("double").as("v"))
+    val tf = batch
+      .select(col(idCol), explode(Text.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(model), Seq("term"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("__lp",
+        log((coalesce(col("c"), lit(0L)).cast("double") + 1.0d)
+          / (col("t") + col("v"))))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        round(-sum(col("tf") * col("__lp")) / sum(col("tf")), roundDigits)
+          .as("avg_nll"))
+  }
 }

@@ -998,6 +998,71 @@ object OracleSql {
          |  coalesce(list_sum([s.hi - s.lo + 1 for s in a.sp]), 0)::BIGINT
          |    AS n_redacted
          |FROM t JOIN agg a ON t.doc_id = a.doc_id
-         |ORDER BY t.doc_id""".stripMargin
+         |ORDER BY t.doc_id""".stripMargin,
+
+    // x83 unigram LM scoring: add-one-smoothed unigram model over the
+    // frozen reference (id < 400), batch docs (id ≥ 400) scored by mean
+    // negative ln-prob. OOV takes the smoothing floor 1/(T+V). ROUND
+    // after the mean absorbs libm/order ulp (same policy as x64).
+    "x83_unigram_lm" ->
+      """WITH rt AS (SELECT unnest(string_split(text, ' ')) AS term
+        |            FROM documents WHERE doc_id < 400),
+        |model AS (SELECT term, COUNT(*)::BIGINT AS c FROM rt GROUP BY term),
+        |tot AS (SELECT SUM(c)::DOUBLE AS t, COUNT(*)::DOUBLE AS v FROM model),
+        |bt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |       FROM documents WHERE doc_id >= 400),
+        |tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+        |       FROM bt GROUP BY doc_id, term)
+        |SELECT tf.doc_id, SUM(tf.tf)::BIGINT AS n_tokens,
+        |  ROUND(-SUM(tf.tf * ln((coalesce(m.c, 0) + 1)::DOUBLE / (tot.t + tot.v)))
+        |          / SUM(tf.tf), 4) AS avg_nll
+        |FROM tf LEFT JOIN model m USING (term) CROSS JOIN tot
+        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
+
+    // x84 per-source cap: top 5 per source by (quality desc, id).
+    "x84_source_cap" ->
+      s"""WITH qs AS ($qualitySql),
+         |d AS (SELECT doc.doc_id, doc.source, qs.quality
+         |      FROM documents doc JOIN qs ON doc.doc_id = qs.doc_id),
+         |r AS (SELECT doc_id, source, quality,
+         |        ROW_NUMBER() OVER (PARTITION BY source
+         |          ORDER BY quality DESC, doc_id) AS rnk
+         |      FROM d)
+         |SELECT doc_id, source, quality, rnk FROM r
+         |WHERE rnk <= 5 ORDER BY doc_id""".stripMargin,
+
+    // x85 bloom-prefiltered sidecar dedup: the bloom trades shuffle
+    // volume, never rows (no false negatives; positives are verified
+    // exactly), so the RESULT contract is x61/x79's text anti-join —
+    // prefilter vs direct anti-join is a plan property, pinned by
+    // ScaleOpsSpec's single-join + parity assertions.
+    "x85_bloom_dedup" ->
+      """SELECT b.doc_id, b.lang, b.source FROM documents b
+        |WHERE b.doc_id >= 400 AND NOT EXISTS (
+        |  SELECT 1 FROM documents r WHERE r.doc_id < 400 AND r.text = b.text)
+        |ORDER BY b.doc_id""".stripMargin,
+
+    // x86 semantic dedup: LSH-bucketed cosine pairs ≥ 0.45 (x51's
+    // candidate scheme), transitive closure (x60's recursive reach),
+    // keep the min-id representative of each component.
+    "x86_semantic_dedup" ->
+      s"""WITH RECURSIVE $embCte,
+         |$lshBucketCte,
+         |pairs AS (
+         |  SELECT x.vec_id AS a, y.vec_id AS b
+         |  FROM bucketed x JOIN bucketed y
+         |    ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |  WHERE ${cos("x.v", "y.v")} >= 0.45),
+         |edges AS (SELECT a, b FROM pairs
+         |          UNION ALL SELECT b AS a, a AS b FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT vec_id, vec_id FROM e
+         |  UNION
+         |  SELECT reach.node, e2.b FROM reach JOIN edges e2 ON e2.a = reach.r),
+         |lab AS (SELECT node, MIN(r) AS cluster FROM reach GROUP BY node)
+         |SELECT l.node AS vec_id, emb.label::BIGINT AS label
+         |FROM lab l JOIN embeddings emb ON emb.vec_id = l.node
+         |WHERE l.cluster = l.node
+         |ORDER BY vec_id""".stripMargin
   )
 }

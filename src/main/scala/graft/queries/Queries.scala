@@ -926,6 +926,73 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** X83 — unigram LM quality scoring (the CCNet perplexity-filter
+    * stage): incoming docs (id ≥ 400) scored by mean negative log-prob
+    * under an add-one unigram model of the frozen reference (id < 400)
+    * — score low = distributed like the trusted corpus, score high =
+    * off-domain/garbled; downstream stages threshold or bucket it. */
+  def x83(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.unigramLogProb(
+        docs.filter(col("doc_id") >= 400), docs.filter(col("doc_id") < 400),
+        "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** X84 — per-source document cap: the top 5 docs per source by
+    * (quality desc, id asc) — the domain-cap stage of web-scale
+    * curation (a few domains dominating the crawl must not dominate
+    * the training mix; rank within source, keep k). */
+  def x84(s: SparkSession, dir: String): DataFrame =
+    Relational.topKPerGroup(
+        TextAnalysis.withQuality(Tables.documents(s, dir), "text"),
+        partitionBy = Seq(col("source")),
+        orderBy = Seq(col("quality").desc, col("doc_id")),
+        k = 5)
+      .select(col("doc_id"), col("source"), col("quality"),
+        bi(col("rnk")).as("rnk"))
+      .orderBy("doc_id")
+
+  /** X85 — Bloom-prefiltered incremental exact dedup: x79's sidecar
+    * anti-join with a broadcast Bloom filter in front — batch rows
+    * whose digest hash misses the bloom skip the shuffle entirely
+    * (definitely new); only the bloom-positive sliver pays the exact
+    * verify. Same answer contract as x61/x79 (no false negatives;
+    * positives re-checked exactly), so the oracle is the same text
+    * anti-join. Setup (sidecar + memoized bloom build) mirrors x77's
+    * one-time-index pattern. */
+  def x85(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val digDir = x79DigestDir(dir)
+    val digests = Dedup.ensureReferenceDigests(
+      docs.filter(col("doc_id") < 400).select(col("doc_id"), col("text")),
+      "text", digDir)
+    val bloom = Dedup.ensureDigestBloom(s, digDir)
+    Dedup.dedupAgainstDigestsBloom(
+        docs.filter(col("doc_id") >= 400), digests, "doc_id", "text", bloom)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  /** X86 — semantic dedup (SemDeDup shape): embedding-space near-dup
+    * groups (LSH cosine pairs ≥ 0.45, closed under transitivity by
+    * connected components) collapse to their min-id representative;
+    * output = the surviving corpus. Catches paraphrases/re-renders
+    * that lexical dedup (x40/x41) cannot see. */
+  def x86(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+        planeIds = Seq(10, 11, 12, 13), threshold = 0.45)
+      .select(col("vec_id"), bi(col("label")).as("label"))
+      .orderBy("vec_id")
+
+  /** Bench setup for x85: the digest sidecar (shared with x79) plus
+    * the memoized bloom build — both one-time per reference freeze. */
+  def x85Setup(s: SparkSession, dir: String): Unit = {
+    x79Setup(s, dir)
+    Dedup.ensureDigestBloom(s, x79DigestDir(dir))
+    ()
+  }
+
   /** x79's per-corpus sidecar work dir — same keying rule as
     * [[x77IndexDir]] (sanitized full data path + corpus predicate). */
   private[graft] def x79DigestDir(dir: String): String = {
@@ -1060,5 +1127,9 @@ object Queries {
     "x79_refdigest_dedup" -> (x79 _),
     "x80_duplicated_spans" -> (x80 _),
     "x81_span_redaction" -> (x81 _),
-    "x82_nfc_dedup" -> (x82 _))
+    "x82_nfc_dedup" -> (x82 _),
+    "x83_unigram_lm" -> (x83 _),
+    "x84_source_cap" -> (x84 _),
+    "x85_bloom_dedup" -> (x85 _),
+    "x86_semantic_dedup" -> (x86 _))
 }

@@ -285,4 +285,50 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got.head == ((1L, 0, 1.0)))
     assert(got(1)._3 == got(2)._3 && got(1)._3 == 0.7071) // cos 45°
   }
+
+  test("dedupAgainstDigestsBloom == dedupAgainstDigests; misses bypass the join") {
+    val batch = Seq((10L, "dup one"), (11L, "fresh a"), (12L, "dup two"),
+        (13L, "fresh b"), (14L, "fresh c")).toDF("doc_id", "text")
+    val ref = Seq("dup one", "dup two", "other ref").toDF("text")
+      .select(sha2(col("text"), 256).as(Dedup.RefDigestCol))
+    val bloom = Dedup.digestBloom(ref)
+    val q = Dedup.dedupAgainstDigestsBloom(batch, ref, "doc_id", "text", bloom)
+    val got = q.orderBy("doc_id").as[(Long, String)].collect().toSeq
+    val want = Dedup.dedupAgainstDigests(batch, ref, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(got == want && got.map(_._1) == Seq(11L, 13L, 14L), s"got $got")
+    // the prefilter's point, pinned: ONE join total — the bloom-miss
+    // branch reaches the union with no join (exact form: every row
+    // shuffles through the anti-join)
+    q.write.format("noop").mode("overwrite").save()
+    val plan = q.queryExecution.executedPlan.toString
+    assert("Join".r.findAllIn(plan).length == 1,
+      s"bloom form must carry exactly one join:\n$plan")
+  }
+
+  test("digestBloom has no false negatives over the stored digest set") {
+    val ref = Tables.documents(spark, dir)
+      .select(sha2(col("text"), 256).as(Dedup.RefDigestCol)).distinct()
+    val bloom = Dedup.digestBloom(ref)
+    val missed = ref.filter(!coalesce(
+        graft.functions.Bloom.mightContainLong(
+          bloom, xxhash64(col(Dedup.RefDigestCol))),
+        lit(false))).count()
+    assert(missed == 0L, "a stored digest must always probe positive")
+  }
+
+  test("semanticDedup keeps one representative per embedding near-dup group") {
+    // ids 1-3: mutually near-identical directions (cos > 0.99) -> one
+    // cluster, min-id 1 survives; 4 points away; 5/6 double as the LSH
+    // planes and are distant from everything (cos(5,6) = 0.7071 < 0.9)
+    val emb = Seq(
+        (1L, Array(1.0f, 0.01f)), (2L, Array(1.0f, 0.02f)),
+        (3L, Array(1.0f, 0.03f)), (4L, Array(-1.0f, 0.5f)),
+        (5L, Array(0.0f, 1.0f)), (6L, Array(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(emb, "vec_id", "embedding",
+        planeIds = Seq(5, 6), threshold = 0.9)
+      .select("vec_id").orderBy("vec_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 4L, 5L, 6L), s"got $got")
+  }
 }

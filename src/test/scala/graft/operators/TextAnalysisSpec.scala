@@ -111,4 +111,15 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Option[String])].collect().toSeq
     assert(sqlOut == out, "graft_nfc must match the DataFrame form")
   }
+
+  test("unigramLogProb matches hand-computed add-one smoothed mean NLL") {
+    val ref = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val batch = Seq((10L, "a c"), (11L, "b b")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(batch, ref, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    // model: a→2, b→1; T=3, V=2 → p(a)=3/5, p(b)=2/5, OOV floor=1/5
+    // doc10: -(ln .6 + ln .2)/2 = 1.0601  (the OOV 'c' takes the floor)
+    // doc11: -ln .4 = 0.9163              (tf=2 weights one distinct term)
+    assert(got == Seq((10L, 2L, 1.0601), (11L, 2L, 0.9163)), s"got $got")
+  }
 }
