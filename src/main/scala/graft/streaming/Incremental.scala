@@ -59,14 +59,14 @@ object Incremental {
       docs: DataFrame, idCol: String, textCol: String,
       referenceDir: String, curatedDir: String,
       checkpointDir: String, refDigestDir: String = null,
-      compactAfterFiles: Int = 64): StreamingQuery =
+      compactAfterFiles: Int = 64, refBloomFpp: Double = 0.0): StreamingQuery =
     docs.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
         curateBatch(spark, batch, idCol, textCol, referenceDir, curatedDir,
-          refDigestDir, compactAfterFiles)
+          refDigestDir, compactAfterFiles, refBloomFpp)
       }
       .start()
 
@@ -80,13 +80,23 @@ object Incremental {
     * compacted in place — without a trigger a long-lived stream accretes
     * one file per batch until an operator remembers to run maintenance
     * (r8 VERDICT #2). Safe inline under this module's single-writer
-    * contract; <= 0 disables. */
+    * contract; <= 0 disables.
+    *
+    * `refBloomFpp` > 0 puts a broadcast Bloom filter (built once per
+    * reference freeze, memoized driver-side on the sidecar stamp) in
+    * front of the reference anti-join: rows that miss the bloom are
+    * definitely new and skip that shuffle; positives are verified
+    * exactly, so admitted rows are IDENTICAL at any fpp
+    * ([[Dedup.dedupAgainstDigestsBloom]]). Worth it when most batch
+    * rows are new (the crawl-ingest shape); 0 keeps the plain
+    * anti-join. */
   def curateBatch(
       spark: SparkSession, batch: DataFrame, idCol: String, textCol: String,
       referenceDir: String, curatedDir: String, refDigestDir: String = null,
-      compactAfterFiles: Int = 64): Unit = {
+      compactAfterFiles: Int = 64, refBloomFpp: Double = 0.0): Unit = {
     val fresh = freshAgainstState(spark, batch, idCol, textCol,
-      referenceDir, curatedDir, refDigestDirFor(curatedDir, refDigestDir))
+      referenceDir, curatedDir, refDigestDirFor(curatedDir, refDigestDir),
+      refBloomFpp)
     // cut once so the all-dup check and the append share one evaluation
     // (same reliable/local auto-selection as the fuzzy path); an
     // all-duplicate batch — the normal replay shape — appends NOTHING,
@@ -117,13 +127,17 @@ object Incremental {
   private[streaming] def freshAgainstState(
       spark: SparkSession, batch: DataFrame, idCol: String, textCol: String,
       referenceDir: String, curatedDir: String,
-      refDigestDir: String): DataFrame = {
+      refDigestDir: String, refBloomFpp: Double = 0.0): DataFrame = {
     val clean = batch.filter(col(textCol).isNotNull)
     val reps = Dedup.exactDedup(clean, idCol, textCol).select(idCol)
     val deduped = clean.join(reps, Seq(idCol), "left_semi")
     val refDigests = Dedup.ensureReferenceDigests(
       spark, referenceDir, refDigestDir, textCol)
-    val vsRef = Dedup.dedupAgainstDigests(deduped, refDigests, idCol, textCol)
+    val vsRef =
+      if (refBloomFpp > 0)
+        Dedup.dedupAgainstDigestsBloom(deduped, refDigests, idCol, textCol,
+          Dedup.ensureDigestBloom(spark, refDigestDir, refBloomFpp))
+      else Dedup.dedupAgainstDigests(deduped, refDigests, idCol, textCol)
     curatedParquet(spark, curatedDir) match {
       case Some(cur) => Dedup.dedupAgainstDigestedReference(
         vsRef, cur, idCol, textCol, DigestCol)
@@ -149,7 +163,7 @@ object Incremental {
       referenceDir: String, curatedDir: String,
       checkpointDir: String, indexDir: String,
       fuzzyThreshold: Double = 0.8, refDigestDir: String = null,
-      compactAfterFiles: Int = 64): StreamingQuery =
+      compactAfterFiles: Int = 64, refBloomFpp: Double = 0.0): StreamingQuery =
     docs.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
@@ -157,7 +171,7 @@ object Incremental {
         val spark = batch.sparkSession
         curateBatchFuzzy(spark, batch, idCol, textCol, referenceDir,
           curatedDir, indexDir, fuzzyThreshold, refDigestDir,
-          compactAfterFiles)
+          compactAfterFiles, refBloomFpp)
       }
       .start()
 
@@ -184,7 +198,7 @@ object Incremental {
       spark: SparkSession, batch: DataFrame, idCol: String, textCol: String,
       referenceDir: String, curatedDir: String, indexDir: String,
       threshold: Double, refDigestDir: String = null,
-      compactAfterFiles: Int = 64): Unit = {
+      compactAfterFiles: Int = 64, refBloomFpp: Double = 0.0): Unit = {
     // Tracked scope: the shingle sets persisted by the index probe and
     // the append-slice build are released once both writes land —
     // without this every micro-batch of a long-lived stream leaks
@@ -197,7 +211,8 @@ object Incremental {
     var cut: Option[DataFrame] = None
     try {
       val exactFresh = freshAgainstState(spark, batch, idCol, textCol,
-        referenceDir, curatedDir, refDigestDirFor(curatedDir, refDigestDir))
+        referenceDir, curatedDir, refDigestDirFor(curatedDir, refDigestDir),
+        refBloomFpp)
       val ensured = ensureIndex(
         spark, indexDir, referenceDir, curatedDir, idCol, textCol, scope)
       val dropped = Dedup.dropNearDupsAgainstIndex(

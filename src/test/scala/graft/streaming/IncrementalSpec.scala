@@ -781,4 +781,31 @@ class IncrementalSpec extends SparkSpec {
       "an all-duplicate exact batch must append no part files " +
         s"(the fuzzy path's contract): $filesBefore -> $storeFiles")
   }
+
+  test("bloom-prefiltered curation admits exactly the rows the plain path admits") {
+    val tmp = Files.createTempDirectory("graft-incr-bloom").toString
+    val refDir = s"$tmp/ref"
+    Seq((1L, "frozen one"), (2L, "frozen two"), (3L, "frozen three"))
+      .toDF("doc_id", "text").write.parquet(refDir)
+    // frozen dups, an intra-batch pair, fresh rows, and a null — every
+    // routing case crosses the bloom split
+    val b1 = Seq((10L, Option("frozen one")), (11L, Option("alpha beta")),
+      (12L, Option("alpha beta")), (13L, Option.empty[String])).toDF("doc_id", "text")
+    val b2 = Seq((20L, Option("alpha beta")), (21L, Option("frozen three")),
+      (22L, Option("epsilon zeta"))).toDF("doc_id", "text")
+    def run(curDir: String, fpp: Double): Set[(Long, String)] = {
+      Incremental.curateBatch(spark, b1, "doc_id", "text", refDir, curDir,
+        refBloomFpp = fpp)
+      Incremental.curateBatch(spark, b2, "doc_id", "text", refDir, curDir,
+        refBloomFpp = fpp)
+      spark.read.parquet(curDir)
+        .select("doc_id", "text").as[(Long, String)].collect().toSet
+    }
+    val plain = run(s"$tmp/curated-plain", 0.0)
+    val bloomed = run(s"$tmp/curated-bloom", 0.01)
+    assert(plain == Set((11L, "alpha beta"), (22L, "epsilon zeta")),
+      s"plain path baseline moved: $plain")
+    assert(bloomed == plain,
+      s"bloom prefilter must never change admitted rows: $bloomed vs $plain")
+  }
 }
