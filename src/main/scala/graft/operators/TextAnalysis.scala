@@ -229,10 +229,15 @@ object TextAnalysis {
     * contributes, so a fully-OOV doc scores the worst possible value
     * instead of NULL. */
   def unigramLogProb(batch: DataFrame, reference: DataFrame, idCol: String,
-      textCol: String, roundDigits: Int = 4): DataFrame = {
-    val model = reference
+      textCol: String, roundDigits: Int = 4,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged): DataFrame = {
+    // persisted for the same reason as tfidfTopTerms' tf: the totals
+    // agg and the scoring join both consume the model, and without the
+    // persist each consumer re-explodes the ENTIRE reference — the
+    // model is vocabulary-sized, the reference is not
+    val model = scope.persist(reference
       .select(explode(Text.tokens(col(textCol))).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("c"))
+      .groupBy("term").agg(count(lit(1)).as("c")))
     val totals = model.agg(
       sum(col("c")).cast("double").as("t"),
       count(lit(1)).cast("double").as("v"))
