@@ -1063,6 +1063,81 @@ object OracleSql {
          |SELECT l.node AS vec_id, emb.label::BIGINT AS label
          |FROM lab l JOIN embeddings emb ON emb.vec_id = l.node
          |WHERE l.cluster = l.node
-         |ORDER BY vec_id""".stripMargin
+         |ORDER BY vec_id""".stripMargin,
+
+    // x87 curation pipeline v2: batch rep-dedup ∩ lang ∩ quality ∩
+    // reference anti-join ∩ LM-score gate, then the per-source cap —
+    // every stage's oracle reused verbatim (x56's policy).
+    "x87_curation_pipeline_v2" ->
+      s"""WITH rep AS (SELECT MIN(doc_id) AS doc_id FROM documents
+         |            WHERE doc_id >= 400 GROUP BY text),
+         |l AS ($langIdSql),
+         |qs AS ($qualitySql),
+         |rt AS (SELECT unnest(string_split(text, ' ')) AS term
+         |       FROM documents WHERE doc_id < 400),
+         |model AS (SELECT term, COUNT(*)::BIGINT AS c FROM rt GROUP BY term),
+         |tot AS (SELECT SUM(c)::DOUBLE AS t, COUNT(*)::DOUBLE AS v FROM model),
+         |bt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |       FROM documents WHERE doc_id >= 400),
+         |tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+         |       FROM bt GROUP BY doc_id, term),
+         |lm AS (SELECT tf.doc_id,
+         |         ROUND(-SUM(tf.tf * ln((coalesce(m.c, 0) + 1)::DOUBLE
+         |                 / (tot.t + tot.v))) / SUM(tf.tf), 4) AS avg_nll
+         |       FROM tf LEFT JOIN model m USING (term) CROSS JOIN tot
+         |       GROUP BY tf.doc_id),
+         |gated AS (
+         |  SELECT d.doc_id, d.source, qs.quality, lm.avg_nll
+         |  FROM documents d
+         |  JOIN rep ON rep.doc_id = d.doc_id
+         |  JOIN l ON l.doc_id = d.doc_id
+         |  JOIN qs ON qs.doc_id = d.doc_id
+         |  JOIN lm ON lm.doc_id = d.doc_id
+         |  WHERE l.pred_lang = 'en' AND qs.quality >= 0.5
+         |    AND lm.avg_nll <= 3.41
+         |    AND NOT EXISTS (SELECT 1 FROM documents r
+         |                    WHERE r.doc_id < 400 AND r.text = d.text)),
+         |r AS (SELECT doc_id, source, quality, avg_nll,
+         |        ROW_NUMBER() OVER (PARTITION BY source
+         |          ORDER BY quality DESC, doc_id) AS rnk
+         |      FROM gated)
+         |SELECT doc_id, source, quality, avg_nll, rnk FROM r
+         |WHERE rnk <= 3 ORDER BY doc_id""".stripMargin,
+
+    // x88 deterministic shard shuffle: shard = first-8-hex-of-md5 mod 8
+    // (DuckDB parses hex via '0x'-prefixed cast; Spark via conv(,16,10)
+    // — both non-negative, so % ≡ pmod), pos = rank within shard in
+    // md5-of-key order.
+    "x88_shard_shuffle" ->
+      """WITH s AS (
+        |  SELECT doc_id, source, md5(doc_id::VARCHAR) AS h,
+        |    (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8) AS shard
+        |  FROM documents)
+        |SELECT doc_id, shard,
+        |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos,
+        |  source
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // x89 Gopher top-2-gram coverage: most frequent 2-gram per doc
+    // (ties → lexicographically smallest), frac = cnt·len(gram)/len(text).
+    "x89_top_ngram_frac" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    unnest([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t),
+        |c AS (SELECT doc_id, gram, COUNT(*)::BIGINT AS cnt FROM g GROUP BY 1, 2),
+        |r AS (SELECT doc_id, gram, cnt,
+        |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn
+        |      FROM c)
+        |SELECT d.doc_id,
+        |  coalesce(r.gram, '') AS top_gram,
+        |  coalesce(r.cnt, 0)::BIGINT AS top_count,
+        |  CASE WHEN length(d.text) > 0
+        |       THEN ROUND(coalesce(r.cnt, 0) * length(coalesce(r.gram, ''))
+        |                  / length(d.text)::DOUBLE, 4)
+        |       ELSE 0.0 END AS top_frac
+        |FROM documents d
+        |LEFT JOIN r ON r.doc_id = d.doc_id AND r.rn = 1
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

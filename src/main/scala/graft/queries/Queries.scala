@@ -985,6 +985,53 @@ object Queries {
       .select(col("vec_id"), bi(col("label")).as("label"))
       .orderBy("vec_id")
 
+  /** X87 — curation pipeline v2: the full keep/drop decision for an
+    * incoming batch (id ≥ 400) against a frozen reference (id < 400),
+    * chaining SIX stages in one plan — in-batch representative dedup,
+    * language gate, quality gate (signals stacked on one scan),
+    * reference exact dedup, unigram-LM score gate (≤ 3.41, the corpus
+    * median — the CCNet "keep the head" cut), and a per-source cap
+    * (top 3 by quality). x56's composition plus the r10 stages: what a
+    * production crawl batch actually runs end to end. */
+  def x87(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ref = docs.filter(col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 400)
+    val reps = Dedup.exactDedup(batch, "doc_id", "text").select("doc_id")
+    val gated =
+      TextAnalysis.withQuality(TextAnalysis.withLangId(batch, "text"), "text")
+        .join(reps, Seq("doc_id"), "left_semi")
+        .filter(col("pred_lang") === "en" && col("quality") >= 0.5)
+    val fresh = Dedup.dedupAgainstReference(gated, ref, "doc_id", "text")
+    val lm = TextAnalysis.unigramLogProb(fresh, ref, "doc_id", "text")
+      .filter(col("avg_nll") <= 3.41)
+    val scored = fresh.join(lm, Seq("doc_id"))
+    Relational.topKPerGroup(scored, Seq(col("source")),
+        Seq(col("quality").desc, col("doc_id")), k = 3)
+      .select(col("doc_id"), col("source"), col("quality"), col("avg_nll"),
+        bi(col("rnk")).as("rnk"))
+      .orderBy("doc_id")
+  }
+
+  /** X88 — deterministic shuffle into training shards: every doc gets
+    * a portable (shard, pos) — shard = md5-prefix mod 8, pos = rank in
+    * md5 order within the shard — the write-ready layout of a frozen
+    * training set (repartition by shard, sort by pos, write). Any
+    * engine reproduces the same placement bit-for-bit. */
+  def x88(s: SparkSession, dir: String): DataFrame =
+    Sampling.shuffleToShards(Tables.documents(s, dir), "doc_id", shards = 8)
+      .select(col("doc_id"), col("shard"), col("pos"), col("source"))
+      .orderBy("doc_id")
+
+  /** X89 — Gopher top-n-gram coverage: fraction of each doc's chars
+    * covered by its single most frequent 2-gram — the boilerplate
+    * filter that x55's distinct-ratio misses when one phrase dominates
+    * an otherwise-varied page. */
+  def x89(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topNgramCharFraction(Tables.documents(s, dir),
+        "doc_id", "text", n = 2)
+      .orderBy("doc_id")
+
   /** Bench setup for x85: the digest sidecar (shared with x79) plus
     * the memoized bloom build — both one-time per reference freeze. */
   def x85Setup(s: SparkSession, dir: String): Unit = {
@@ -1131,5 +1178,8 @@ object Queries {
     "x83_unigram_lm" -> (x83 _),
     "x84_source_cap" -> (x84 _),
     "x85_bloom_dedup" -> (x85 _),
-    "x86_semantic_dedup" -> (x86 _))
+    "x86_semantic_dedup" -> (x86 _),
+    "x87_curation_pipeline_v2" -> (x87 _),
+    "x88_shard_shuffle" -> (x88 _),
+    "x89_top_ngram_frac" -> (x89 _))
 }

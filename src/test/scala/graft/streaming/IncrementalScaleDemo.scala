@@ -22,6 +22,10 @@ object IncrementalScaleDemo {
     // compaction fire repeatedly mid-stream so its steady-state impact
     // is visible in the per-batch times)
     val compactAfter = if (args.length > 1) args(1).toInt else 64
+    // third arg: refBloomFpp — > 0 routes the reference anti-join
+    // through the broadcast Bloom prefilter (r10), so the demo can
+    // A/B the streaming steady state with and without it
+    val bloomFpp = if (args.length > 2) args(2).toDouble else 0.0
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
       .config("spark.ui.enabled", "false")
@@ -51,7 +55,7 @@ object IncrementalScaleDemo {
       val t0 = System.nanoTime()
       Incremental.curateBatchFuzzy(spark, batch, "doc_id", "text",
         refDir, curDir, idxDir, threshold = 0.35,
-        compactAfterFiles = compactAfter)
+        compactAfterFiles = compactAfter, refBloomFpp = bloomFpp)
       val secs = (System.nanoTime() - t0) / 1e9
       val store = spark.read.parquet(curDir).count()
       val files = Incremental.parquetFileCount(spark, curDir)

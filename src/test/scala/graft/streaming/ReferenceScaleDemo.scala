@@ -18,11 +18,16 @@ import graft.operators.Dedup
   *    per-batch plan reads 32-byte digests only.
   *  - `rehash` — [[Dedup.dedupAgainstReference]], the pre-r9 streaming
   *    shape: scans and sha256-hashes every reference text per call.
+  *  - `bloom` (r10) — [[Dedup.dedupAgainstDigestsBloom]]: the sidecar
+  *    anti-join fronted by the broadcast Bloom filter (one-time
+  *    [[Dedup.ensureDigestBloom]] build, untimed + memoized). Only
+  *    bloom-positive rows reach the join, so the per-batch cost tracks
+  *    the batch's duplicate fraction, not its size.
   *
-  * The claim: sidecar time stays flat while rehash grows with the
-  * reference — the curve pair that proves the r8 `weak` is cleared by
-  * construction, not by a small demo reference. Median of 3 timed runs
-  * after one discarded warm-up, per arm. */
+  * The claim: sidecar and bloom time stay flat while rehash grows with
+  * the reference — the curve pair that proves the r8 `weak` is cleared
+  * by construction, not by a small demo reference. Median of 3 timed
+  * runs after one discarded warm-up, per arm. */
 object ReferenceScaleDemo {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[16]")
@@ -83,8 +88,15 @@ object ReferenceScaleDemo {
           Dedup.dedupAgainstReference(batch,
             spark.read.parquet(refDir), "doc_id", "text").count()
         }
+        Dedup.ensureDigestBloom(spark, digDir) // one-time build, untimed
+        val bloom = timed {
+          Dedup.dedupAgainstDigestsBloom(batch,
+            Dedup.ensureReferenceDigests(spark, refDir, digDir, "text"),
+            "doc_id", "text",
+            Dedup.ensureDigestBloom(spark, digDir)).count()
+        }
         println(f"[refscale] ref=$label docs=$refRows " +
-          f"sidecarSec=$sidecar%.2f rehashSec=$rehash%.2f")
+          f"sidecarSec=$sidecar%.2f rehashSec=$rehash%.2f bloomSec=$bloom%.2f")
       }
     spark.stop()
   }
