@@ -124,6 +124,26 @@ object Sampling {
     }.reduce(_ unionByName _)
   }
 
+  /** Deterministic shuffle into `shards` training shards — the
+    * write-ready layout of a training-data freeze. Shard id is the
+    * first 8 hex chars of md5(key) parsed as an integer mod `shards`
+    * (balanced in expectation with no global ordering step); `pos` is
+    * the row's rank within its shard in md5-of-key order (the portable
+    * deterministic shuffle — see [[portableSample]] on why md5 hex and
+    * not xxhash64). Every engine reproduces the same (shard, pos) for
+    * every key, so shard files are bit-stable across reruns and
+    * engines. Plan: one shuffle on shard; the ranking window never
+    * leaves its shard partition. To write: repartition by shard, sort
+    * within partitions by pos. `keyCol` must be row-unique. */
+  def shuffleToShards(df: DataFrame, keyCol: String, shards: Int): DataFrame = {
+    require(shards > 0, s"shards must be positive: $shards")
+    val hex = md5(col(keyCol).cast("string"))
+    val w = Window.partitionBy(col("shard")).orderBy(hex, col(keyCol))
+    df.withColumn("shard",
+        pmod(conv(substring(hex, 1, 8), 16, 10).cast("long"), lit(shards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
   /** Per-stratum TOKEN-budget take: walk each stratum's rows in
     * md5-of-key order (the portable deterministic shuffle) and keep
     * rows while the running token total stays ≤ `budget` — "give me

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Hashing, Text}
@@ -128,6 +129,47 @@ object TextAnalysis {
           round(lit(1.0d) - size(array_distinct(col("__g"))).cast("double") /
             size(col("__g")).cast("double"), roundDigits))
           .otherwise(lit(0.0d)).as("dup_ratio"))
+  }
+
+  /** Gopher-style top-n-gram coverage (Rae et al. 2021 §A1.1): the
+    * fraction of a document's characters covered by occurrences of its
+    * single MOST FREQUENT word n-gram — the boilerplate detector that
+    * [[repetitionStats]]' distinct-ratio misses when one phrase
+    * dominates but the rest of the page is varied. Returns
+    * (id, top_gram, top_count, top_frac); ties on count break to the
+    * lexicographically smallest gram; docs with fewer than `n` tokens
+    * keep ('', 0, 0.0). `top_frac = count · len(gram) / len(text)` —
+    * overlapping occurrences are counted at full width (matching the
+    * paper's cheap estimate), so degenerate "a a a …" docs can score
+    * above 1, which is exactly the signal a filter wants to see.
+    * Shape: per-row gram arrays explode to (doc, gram), ONE partial
+    * agg counts them (map-side combinable — the same count shuffle as
+    * TF-IDF), and a per-doc window picks the argmax; no all-pairs
+    * step, no global state. */
+  def topNgramCharFraction(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, roundDigits: Int = 4): DataFrame = {
+    val w = Text.tokens(col(textCol))
+    val grams = when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => array_join(slice(w, i, lit(n)), " "))).otherwise(array())
+    val counts = df.select(col(idCol), explode(grams).as("__gram"))
+      .groupBy(col(idCol), col("__gram")).count()
+    val top = counts.withColumn("__rn",
+        row_number().over(Window.partitionBy(col(idCol))
+          .orderBy(col("count").desc, col("__gram"))))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("__gram").as("top_gram"),
+        col("count").as("top_count"))
+    df.select(col(idCol), length(col(textCol)).as("__len"))
+      .join(top, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("top_gram"), lit("")).as("top_gram"),
+        coalesce(col("top_count"), lit(0L)).as("top_count"),
+        when(col("__len") > 0,
+          round(coalesce(col("top_count"), lit(0L)).cast("double") *
+            length(coalesce(col("top_gram"), lit(""))).cast("double") /
+            col("__len").cast("double"), roundDigits))
+          .otherwise(lit(0.0d)).as("top_frac"))
   }
 
   /** Sliding-window document chunking — the pre-tokenization stage of

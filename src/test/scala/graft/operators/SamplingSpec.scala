@@ -149,4 +149,25 @@ class SamplingSpec extends SparkSpec {
       .filter(col("kmax") >= col("dmin")).count()
     assert(viol == 0, "kept set must be an order-prefix per source")
   }
+
+  test("shuffleToShards: every row placed once, pos contiguous per shard, partition-invariant") {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count()
+    val sharded = Sampling.shuffleToShards(docs, "doc_id", shards = 8)
+    assert(sharded.count() == n, "a shuffle must not drop or invent rows")
+    // shard ids in range, every shard's positions are exactly 1..count
+    val perShard = sharded.groupBy("shard")
+      .agg(count(lit(1)).as("c"), min("pos").as("lo"), max("pos").as("hi"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(perShard.forall { case (s, _, _, _) => s >= 0 && s < 8 })
+    assert(perShard.forall { case (_, c, lo, hi) => lo == 1L && hi == c },
+      s"positions must be contiguous 1..count per shard: ${perShard.toSeq}")
+    assert(perShard.length > 1, "500 docs should land in more than one shard")
+    // deterministic + partition-invariant: identical (key, shard, pos)
+    val a = sharded.select("doc_id", "shard", "pos")
+      .as[(Long, Long, Long)].collect().toSet
+    val b = Sampling.shuffleToShards(docs.repartition(13), "doc_id", 8)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect().toSet
+    assert(a == b, "placement must not depend on input partitioning")
+  }
 }

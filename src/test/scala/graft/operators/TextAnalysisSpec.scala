@@ -122,4 +122,20 @@ class TextAnalysisSpec extends SparkSpec {
     // doc11: -ln .4 = 0.9163              (tf=2 weights one distinct term)
     assert(got == Seq((10L, 2L, 1.0601), (11L, 2L, 0.9163)), s"got $got")
   }
+
+  test("topNgramCharFraction: hand-computed argmax, tie to smallest gram, short docs zero") {
+    val docs = Seq(
+      (1L, "a b a b c"), // "a b"×2, "b a"×1, "b c"×1 → top "a b", 2·3/9
+      (2L, "x y z"),     // "x y"×1, "y z"×1 → tie, smallest gram wins
+      (3L, "solo"),      // one token: no 2-gram
+      (4L, "q q q q")    // overlap: "q q"×3, 3·3/7 > 1 stays uncapped
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.topNgramCharFraction(docs, "doc_id", "text", n = 2)
+      .orderBy("doc_id").as[(Long, String, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, "a b", 2L, 0.6667),
+      (2L, "x y", 1L, 0.6),
+      (3L, "", 0L, 0.0),
+      (4L, "q q", 3L, 1.2857)), s"got $got")
+  }
 }
