@@ -445,15 +445,18 @@ object Dedup {
       batch: DataFrame, refDigests: DataFrame, idCol: String, textCol: String,
       bloom: Array[Byte], digCol: String = RefDigestCol,
       scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged): DataFrame = {
-    val bd = scope.persist(batch.withColumn("__dig", sha2(col(textCol), 256)))
     // NULL text → NULL digest: the exact form keeps such rows (a NULL
     // key never equals a stored digest), so the bloom's NULL probe must
-    // land them in the keep-side too
-    val pos = coalesce(
-      graft.functions.Bloom.mightContainLong(bloom, xxhash64(col("__dig"))),
-      lit(false))
-    val misses = bd.filter(!pos).drop("__dig")
-    val verified = bd.filter(pos)
+    // land them in the keep-side too. The probe is materialized as ONE
+    // flag column — referencing the predicate from both branches would
+    // embed the (possibly multi-MB) bloom literal in the plan twice.
+    val bd = scope.persist(batch
+      .withColumn("__dig", sha2(col(textCol), 256))
+      .withColumn("__pos", coalesce(
+        graft.functions.Bloom.mightContainLong(bloom, xxhash64(col("__dig"))),
+        lit(false))))
+    val misses = bd.filter(!col("__pos")).drop("__dig", "__pos")
+    val verified = bd.filter(col("__pos")).drop("__pos")
       .join(refDigests.select(col(digCol).as("__dig")), Seq("__dig"), "left_anti")
       .drop("__dig")
     misses.union(verified)

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Column profiling — the data-quality summary a pipeline runs before
+  * trusting a new data drop: per column, row/null/distinct counts and
+  * min/max rendered as strings (so one schema serves every column
+  * type). The entire profile is ONE aggregate over the input; the wide
+  * 1-row result is unpivoted to per-column rows with `stack`, so no
+  * per-column scan and nothing driver-side.
+  *
+  * Scale note: multiple EXACT distinct counts in one aggregate make
+  * Catalyst expand the input #cols ways before the partial agg — the
+  * right price for an oracle-exact gate, the wrong one at 100 TB.
+  * `approx = true` swaps in `approx_count_distinct`'s one-pass HLL
+  * (all sketches ride the same single agg, no expand, ±~2% counts),
+  * which is the production profile. Both forms share every other
+  * stat's code path, so they can never drift apart.
+  */
+object Profiling {
+
+  def profile(df: DataFrame, cols: Seq[String], approx: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      val nd = if (approx) approx_count_distinct(col(c)) else countDistinct(col(c))
+      Seq(
+        (count(lit(1)) - count(col(c))).as(s"__null_$c"),
+        nd.as(s"__dist_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    } :+ count(lit(1)).as("__rows")
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map(c =>
+        s"'$c', `__null_$c`, `__dist_$c`, `__min_$c`, `__max_$c`")
+      .mkString(", ")
+    wide.select(col("__rows").as("n_rows"),
+        expr(s"stack(${cols.size}, $stacked)")
+          .as(Seq("col_name", "n_null", "n_distinct", "min_str", "max_str")))
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+        col("n_distinct"), col("min_str"), col("max_str"))
+  }
+}

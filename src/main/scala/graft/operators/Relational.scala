@@ -239,4 +239,31 @@ object Relational {
       .agg(min(col(column)).as(column), count(lit(1)).as("__n"))
       .filter(col("__n") === n)
       .select(col(column))
+
+  /** Equi-width histogram with data-driven bounds: `buckets` equal
+    * intervals spanning [min, max] of `valueCol` (cast to double so
+    * both the step and the floor run in IEEE float64 — engine-portable
+    * bit-for-bit), the max value folded into the last bucket. Two
+    * passes by necessity (bounds, then counts) but each is one
+    * map-side-combinable agg; the 1-row bounds frame broadcasts, so no
+    * data shuffle beyond the bucket agg itself. Degenerate input
+    * (min = max, or all-null → null bounds) lands every row in bucket
+    * 0. Nulls in `valueCol` are excluded, as an analytics histogram
+    * expects. */
+  def histogram(df: DataFrame, valueCol: Column, buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val v = valueCol.cast("double")
+    val bounds = df.filter(v.isNotNull)
+      .agg(min(v).as("__lo"), max(v).as("__hi"))
+    df.filter(v.isNotNull).select(v.as("__v"))
+      .crossJoin(broadcast(bounds))
+      .select(
+        when(col("__hi") === col("__lo"), lit(0L))
+          .otherwise(least(
+            floor((col("__v") - col("__lo")) /
+              ((col("__hi") - col("__lo")) / buckets)),
+            lit(buckets - 1L)).cast("long"))
+          .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+  }
 }

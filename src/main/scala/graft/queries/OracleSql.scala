@@ -1138,6 +1138,42 @@ object OracleSql {
         |       ELSE 0.0 END AS top_frac
         |FROM documents d
         |LEFT JOIN r ON r.doc_id = d.doc_id AND r.rn = 1
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // x90 equi-width histogram: both engines bucket in IEEE float64
+    // with the same (v-lo)/((hi-lo)/10) expression, max folded into
+    // the last bucket.
+    "x90_histogram" ->
+      """WITH mm AS (SELECT min(l_extendedprice::DOUBLE) AS lo,
+        |                   max(l_extendedprice::DOUBLE) AS hi
+        |            FROM lineitem)
+        |SELECT (CASE WHEN hi = lo THEN 0
+        |        ELSE LEAST(floor((l_extendedprice::DOUBLE - lo)
+        |                         / ((hi - lo) / 10)), 9) END)::BIGINT AS bucket,
+        |  COUNT(*)::BIGINT AS cnt
+        |FROM lineitem, mm
+        |WHERE l_extendedprice IS NOT NULL
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // x91 column profile: one row per column; BIGINT/VARCHAR casts
+    // render identically in both engines.
+    "x91_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'doc_id' AS col_name, COUNT(*)::BIGINT AS n_rows,
+        |    (COUNT(*) - COUNT(doc_id))::BIGINT AS n_null,
+        |    COUNT(DISTINCT doc_id)::BIGINT AS n_distinct,
+        |    MIN(doc_id)::VARCHAR AS min_str, MAX(doc_id)::VARCHAR AS max_str
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', COUNT(*)::BIGINT, (COUNT(*) - COUNT(lang))::BIGINT,
+        |    COUNT(DISTINCT lang)::BIGINT, MIN(lang), MAX(lang) FROM documents
+        |  UNION ALL
+        |  SELECT 'source', COUNT(*)::BIGINT, (COUNT(*) - COUNT(source))::BIGINT,
+        |    COUNT(DISTINCT source)::BIGINT, MIN(source), MAX(source) FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', COUNT(*)::BIGINT, (COUNT(*) - COUNT(n_chars))::BIGINT,
+        |    COUNT(DISTINCT n_chars)::BIGINT,
+        |    MIN(n_chars)::VARCHAR, MAX(n_chars)::VARCHAR FROM documents
+        |) ORDER BY col_name""".stripMargin
   )
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{Dedup, Relational, Sampling, Similarity, TextAnalysis, TimeSeries}
+import graft.operators.{Dedup, Profiling, Relational, Sampling, Similarity, TextAnalysis, TimeSeries}
 import graft.sources.Tables
 import graft.streaming.Windows
 
@@ -1032,6 +1032,24 @@ object Queries {
         "doc_id", "text", n = 2)
       .orderBy("doc_id")
 
+  /** X90 — equi-width histogram with data-driven bounds: 10 buckets
+    * spanning [min, max] of l_extendedprice — the profiling/skew-check
+    * primitive run before choosing partition bounds or salt factors at
+    * scale. One 1-row bounds agg broadcast into one bucket agg. */
+  def x90(s: SparkSession, dir: String): DataFrame =
+    Relational.histogram(Tables.lineitem(s, dir), col("l_extendedprice"), 10)
+      .orderBy("bucket")
+
+  /** X91 — column profiling: per-column row/null/distinct counts and
+    * min/max over the documents table, all from ONE aggregate (the
+    * data-quality gate a pipeline runs on every new drop; the exact
+    * oracle-gated form — production swaps approx = true for HLL
+    * sketches in the same plan shape). */
+  def x91(s: SparkSession, dir: String): DataFrame =
+    Profiling.profile(Tables.documents(s, dir),
+        Seq("doc_id", "lang", "source", "n_chars"))
+      .orderBy("col_name")
+
   /** Bench setup for x85: the digest sidecar (shared with x79) plus
     * the memoized bloom build — both one-time per reference freeze. */
   def x85Setup(s: SparkSession, dir: String): Unit = {
@@ -1181,5 +1199,7 @@ object Queries {
     "x86_semantic_dedup" -> (x86 _),
     "x87_curation_pipeline_v2" -> (x87 _),
     "x88_shard_shuffle" -> (x88 _),
-    "x89_top_ngram_frac" -> (x89 _))
+    "x89_top_ngram_frac" -> (x89 _),
+    "x90_histogram" -> (x90 _),
+    "x91_profile" -> (x91 _))
 }

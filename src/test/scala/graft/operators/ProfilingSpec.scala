@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class ProfilingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profile: exact per-column stats from one agg, nulls counted, strings rendered") {
+    val df = Seq(
+      (Option(1L), Option("a")),
+      (Option(2L), Option("a")),
+      (Option(2L), None),
+      (None, Option("b"))
+    ).toDF("id", "tag")
+    val got = Profiling.profile(df, Seq("id", "tag"))
+      .orderBy("col_name")
+      .as[(String, Long, Long, Long, Option[String], Option[String])]
+      .collect().toSeq
+    assert(got == Seq(
+      ("id", 4L, 1L, 2L, Some("1"), Some("2")),
+      ("tag", 4L, 1L, 2L, Some("a"), Some("b"))), s"got $got")
+  }
+
+  test("profile: approx form agrees with exact on small-cardinality input") {
+    val df = (1 to 200).map(i => (i.toLong, s"s${i % 7}")).toDF("id", "s")
+    val exact = Profiling.profile(df, Seq("id", "s"))
+      .orderBy("col_name")
+      .as[(String, Long, Long, Long, Option[String], Option[String])]
+      .collect().toSeq
+    val approx = Profiling.profile(df, Seq("id", "s"), approx = true)
+      .orderBy("col_name")
+      .as[(String, Long, Long, Long, Option[String], Option[String])]
+      .collect().toSeq
+    // everything but the sketched distinct count must be identical
+    assert(exact.map(r => (r._1, r._2, r._3, r._5, r._6)) ==
+      approx.map(r => (r._1, r._2, r._3, r._5, r._6)))
+    exact.zip(approx).foreach { case (e, a) =>
+      val err = math.abs(e._4 - a._4).toDouble / e._4
+      assert(err <= 0.05, s"approx distinct off by ${err * 100}%: $e vs $a")
+    }
+    // the approx plan must NOT expand the input (the exact form's cost)
+    val plan = Profiling.profile(df, Seq("id", "s"), approx = true)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"approx profile must not Expand:\n$plan")
+  }
+}

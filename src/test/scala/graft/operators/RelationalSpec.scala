@@ -109,4 +109,21 @@ class RelationalSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq
     assert(got == Seq(6L), s"null-group outlier must be flagged, got $got")
   }
+
+  test("histogram: equi-width buckets, max folds into last, degenerate and null inputs") {
+    val df = (0 to 10).map(_.toDouble).toDF("v")
+    // lo=0, hi=10, 2 buckets of width 5: [0,5) -> 0, [5,10] -> 1
+    val got = Relational.histogram(df, col("v"), 2)
+      .orderBy("bucket").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 5L), (1L, 6L)), s"got $got")
+    // min = max: everything in bucket 0 (no division by zero)
+    val flat = Relational.histogram(Seq(7.0, 7.0, 7.0).toDF("v"), col("v"), 4)
+      .as[(Long, Long)].collect().toSeq
+    assert(flat == Seq((0L, 3L)), s"got $flat")
+    // nulls excluded, not bucketed
+    val withNull = Relational.histogram(
+        Seq(Some(0.0), None, Some(10.0)).toDF("v"), col("v"), 2)
+      .orderBy("bucket").as[(Long, Long)].collect().toSeq
+    assert(withNull == Seq((0L, 1L), (1L, 1L)), s"got $withNull")
+  }
 }

@@ -44,12 +44,17 @@ object ReferenceScaleDemo {
     // scan noise and the curve pair proves nothing
     def widen(marker: String) =
       concat(repeat(concat(col("text"), lit(" ")), 8), lit(marker))
-    // fixed probe batch: 500 docs present in every reference (so the
-    // anti-join does real dropping work) + 250 novel ones
-    val batch = docs.filter(col("doc_id") < 500)
+    // fixed probe batch, CRAWL-shaped: 50,000 docs of which 2,500 (5%)
+    // are present in every reference and the rest are novel — the
+    // regime the bloom prefilter is for (most rows new, so skipping
+    // the batch-side shuffle on definite misses is the win; a tiny
+    // batch would only measure the bloom literal's fixed cost)
+    val batch = docs.filter(col("doc_id") < 2500)
       .select(col("doc_id"), widen("v0").as("text"))
-      .union(docs.filter(col("doc_id") >= 500 && col("doc_id") < 750)
-        .select((col("doc_id") + 1000000L).as("doc_id"), widen("vx").as("text")))
+      .union((0 until 10).map(m => docs.filter(col("doc_id") < 4750)
+          .select((col("doc_id") + lit(1000000L * (m + 1))).as("doc_id"),
+            widen(s"vx$m").as("text")))
+        .reduce(_ union _))
       .localCheckpoint()
     batch.count()
 
