@@ -40,4 +40,29 @@ object Profiling {
       .select(col("col_name"), col("n_rows"), col("n_null"),
         col("n_distinct"), col("min_str"), col("max_str"))
   }
+
+  /** Join-key skew report: the `topK` heaviest keys of `keyCols` with
+    * their row counts and corpus share — the check run BEFORE a big
+    * join or aggregation to decide whether it needs salting
+    * ([[Relational.saltedJoin]]) or AQE skew handling. One map-side-
+    * combinable count agg, a `TakeOrderedAndProject` top-k (never a
+    * full sort), and a 1-row total broadcast; the rank window runs on
+    * k rows only. NULL key parts render as the literal 'NULL' so the
+    * all-engines rendering is stable. */
+  def skewReport(df: DataFrame, keyCols: Seq[String], topK: Int): DataFrame = {
+    require(keyCols.nonEmpty && topK > 0, "need key columns and topK > 0")
+    val keyStr = concat_ws("|",
+      keyCols.map(c => coalesce(col(c).cast("string"), lit("NULL"))): _*)
+    val counts = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .select(keyStr.as("key_str"), col("cnt"))
+    val total = df.agg(count(lit(1)).cast("double").as("__total"))
+    counts.orderBy(col("cnt").desc, col("key_str")).limit(topK)
+      .crossJoin(broadcast(total))
+      .select(
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("key_str"))).cast("long").as("rank"),
+        col("key_str"), col("cnt"),
+        round(col("cnt") / col("__total"), 4).as("share"))
+  }
 }

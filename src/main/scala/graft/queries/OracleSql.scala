@@ -1174,6 +1174,19 @@ object OracleSql {
         |  SELECT 'n_chars', COUNT(*)::BIGINT, (COUNT(*) - COUNT(n_chars))::BIGINT,
         |    COUNT(DISTINCT n_chars)::BIGINT,
         |    MIN(n_chars)::VARCHAR, MAX(n_chars)::VARCHAR FROM documents
-        |) ORDER BY col_name""".stripMargin
+        |) ORDER BY col_name""".stripMargin,
+
+    // x92 join-key skew report: top-5 heaviest user_id keys with share.
+    "x92_skew_report" ->
+      """WITH c AS (
+        |  SELECT coalesce(user_id::VARCHAR, 'NULL') AS key_str,
+        |         COUNT(*)::BIGINT AS cnt
+        |  FROM events GROUP BY user_id),
+        |t AS (SELECT COUNT(*)::DOUBLE AS total FROM events),
+        |r AS (SELECT key_str, cnt,
+        |        ROW_NUMBER() OVER (ORDER BY cnt DESC, key_str) AS rank
+        |      FROM c)
+        |SELECT rank, key_str, cnt, ROUND(cnt / total, 4) AS share
+        |FROM r, t WHERE rank <= 5 ORDER BY rank""".stripMargin
   )
 }

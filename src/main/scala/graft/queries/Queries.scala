@@ -1050,6 +1050,14 @@ object Queries {
         Seq("doc_id", "lang", "source", "n_chars"))
       .orderBy("col_name")
 
+  /** X92 — join-key skew report: the 5 heaviest user_id keys of the
+    * events table with counts and corpus share — the pre-join check
+    * that decides between a plain shuffle join, saltedJoin, or AQE
+    * skew handling. One count agg + top-k + 1-row total broadcast. */
+  def x92(s: SparkSession, dir: String): DataFrame =
+    Profiling.skewReport(Tables.events(s, dir), Seq("user_id"), topK = 5)
+      .orderBy("rank")
+
   /** Bench setup for x85: the digest sidecar (shared with x79) plus
     * the memoized bloom build — both one-time per reference freeze. */
   def x85Setup(s: SparkSession, dir: String): Unit = {
@@ -1201,5 +1209,6 @@ object Queries {
     "x88_shard_shuffle" -> (x88 _),
     "x89_top_ngram_frac" -> (x89 _),
     "x90_histogram" -> (x90 _),
-    "x91_profile" -> (x91 _))
+    "x91_profile" -> (x91 _),
+    "x92_skew_report" -> (x92 _))
 }

@@ -127,7 +127,8 @@ object Incremental {
   private[streaming] def freshAgainstState(
       spark: SparkSession, batch: DataFrame, idCol: String, textCol: String,
       referenceDir: String, curatedDir: String,
-      refDigestDir: String, refBloomFpp: Double = 0.0): DataFrame = {
+      refDigestDir: String, refBloomFpp: Double = 0.0,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged): DataFrame = {
     val clean = batch.filter(col(textCol).isNotNull)
     val reps = Dedup.exactDedup(clean, idCol, textCol).select(idCol)
     val deduped = clean.join(reps, Seq(idCol), "left_semi")
@@ -135,8 +136,13 @@ object Incremental {
       spark, referenceDir, refDigestDir, textCol)
     val vsRef =
       if (refBloomFpp > 0)
+        // the scope matters here: the bloom form is a UNION whose two
+        // branches each re-run the rep-dedup aggregation above unless
+        // the flagged batch is persisted — and the fuzzy path's index
+        // probe evaluates this frame several times downstream
         Dedup.dedupAgainstDigestsBloom(deduped, refDigests, idCol, textCol,
-          Dedup.ensureDigestBloom(spark, refDigestDir, refBloomFpp))
+          Dedup.ensureDigestBloom(spark, refDigestDir, refBloomFpp),
+          scope = scope)
       else Dedup.dedupAgainstDigests(deduped, refDigests, idCol, textCol)
     curatedParquet(spark, curatedDir) match {
       case Some(cur) => Dedup.dedupAgainstDigestedReference(
@@ -210,9 +216,15 @@ object Incremental {
     // failed attempt until the checkpoint volume fills)
     var cut: Option[DataFrame] = None
     try {
-      val exactFresh = freshAgainstState(spark, batch, idCol, textCol,
-        referenceDir, curatedDir, refDigestDirFor(curatedDir, refDigestDir),
-        refBloomFpp)
+      // persisted for the batch: the fuzzy probe below evaluates this
+      // frame several times (shingling, band join, verify, final keep)
+      // and each bare evaluation would re-run the whole exact-dedup
+      // anti-join chain — with the bloom arm's union shape that cost
+      // grows with the store and swamps the prefilter's win
+      val exactFresh = scope.persist(
+        freshAgainstState(spark, batch, idCol, textCol,
+          referenceDir, curatedDir, refDigestDirFor(curatedDir, refDigestDir),
+          refBloomFpp, scope))
       val ensured = ensureIndex(
         spark, indexDir, referenceDir, curatedDir, idCol, textCol, scope)
       val dropped = Dedup.dropNearDupsAgainstIndex(

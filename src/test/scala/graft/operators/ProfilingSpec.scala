@@ -43,4 +43,24 @@ class ProfilingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"), s"approx profile must not Expand:\n$plan")
   }
+
+  test("skewReport: heaviest keys ranked, deterministic ties, NULL keys rendered, no full sort") {
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c") ++
+        Seq[String](null, "d")).toDF("k")
+    val got = Profiling.skewReport(df, Seq("k"), topK = 3)
+      .as[(Long, String, Long, Double)].collect().toSeq
+    // b/c tie on 3 breaks lexicographically; 13 rows total
+    assert(got == Seq(
+      (1L, "a", 5L, 0.3846),
+      (2L, "b", 3L, 0.2308),
+      (3L, "c", 3L, 0.2308)), s"got $got")
+    val withNull = Profiling.skewReport(df, Seq("k"), topK = 10)
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(withNull.exists(r => r._2 == "NULL" && r._3 == 1L),
+      s"null key must appear as literal NULL: $withNull")
+    // top-k must be TakeOrderedAndProject on the counts, not a global sort
+    val plan = Profiling.skewReport(df, Seq("k"), topK = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+  }
 }
