@@ -55,9 +55,17 @@ object Similarity {
     * array would shuffle every embedding as a grouping key and compare
     * arrays for equality in the hash agg. */
   private def lshBucketed(base: DataFrame, planeIds: Seq[Int],
-      scope: CacheScope): DataFrame = {
-    val planes = base.filter(col("vec_id").isin(planeIds: _*))
-      .select(col("vec_id").as("pid"), col("v").as("pv"))
+      scope: CacheScope): DataFrame =
+    bucketedWithPlanes(base,
+      base.filter(col("vec_id").isin(planeIds: _*))
+        .select(col("vec_id").as("pid"), col("v").as("pv")),
+      planeIds, scope)
+
+  /** [[lshBucketed]] with the hyperplanes supplied by the caller — the
+    * cross-side form needs BOTH sides bucketed under the reference's
+    * planes, not each side's own. */
+  private def bucketedWithPlanes(base: DataFrame, planes: DataFrame,
+      planeIds: Seq[Int], scope: CacheScope): DataFrame = {
     val rankExpr = planeIds.zipWithIndex.foldLeft(lit(0)) { case (acc, (id, i)) =>
       acc + when(col("pid") === id, lit(1 << i)).otherwise(0)
     }
@@ -131,6 +139,64 @@ object Similarity {
           roundDigits))
       .filter(col("cos") >= threshold)
       .select(col("vec_id").as("a"), col("b_id").as("b"), col("cos"))
+  }
+
+  /** Cross-side-only embedding near-dup pairs: new batch vs frozen
+    * reference — the embedding twin of the lexical
+    * [[Dedup.minhashNearDupsAgainstReference]], and the probe primitive
+    * of a streaming SemDeDup layer: a paraphrased or re-rendered
+    * recrawl that slips past byte and shingle dedup still lands next to
+    * its original in embedding space. Both sides bucket under the SAME
+    * hyperplanes, drawn from the reference (frozen by contract, so the
+    * planes are stable across batches); candidates come ONLY from
+    * cross-side bucket collisions — batch-internal and
+    * reference-internal pairs are never generated — and exact cosine
+    * verifies candidates only. Output rows are (a = batch id,
+    * b = reference id, cos); the two sides keep separate id spaces.
+    * Per batch: one plane-dot pass over each side, one bucket join
+    * ∝ collisions — the reference is never compared all-pairs. */
+  def embeddingNearDupsAgainstReference(
+      batch: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planeIds: Seq[Int],
+      threshold: Double,
+      roundDigits: Int = 4,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val refBase = prepared(reference, idCol, vecCol)
+    val planes = refBase.filter(col("vec_id").isin(planeIds: _*))
+      .select(col("vec_id").as("pid"), col("v").as("pv"))
+    val refB = bucketedWithPlanes(refBase, planes, planeIds, scope)
+      .select(col("bucket"), col("vec_id").as("b_id"),
+        col("v").as("bv"), col("nrm").as("bn"))
+    val batB = bucketedWithPlanes(prepared(batch, idCol, vecCol),
+      planes, planeIds, scope)
+    batB.join(refB, Seq("bucket"))
+      .withColumn("cos",
+        round(Vectors.cosineWithNorms(col("v"), col("bv"), col("nrm"), col("bn")),
+          roundDigits))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_id").as("a"), col("b_id").as("b"), col("cos"))
+  }
+
+  /** Drop form of [[embeddingNearDupsAgainstReference]]: the batch with
+    * every row that embedding-matches the reference removed — the
+    * semantic-dedup gate a curation stream composes after the exact and
+    * shingle layers. */
+  def dropEmbeddingNearDupsAgainstReference(
+      batch: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planeIds: Seq[Int],
+      threshold: Double,
+      roundDigits: Int = 4,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val dupIds = embeddingNearDupsAgainstReference(batch, reference, idCol,
+        vecCol, planeIds, threshold, roundDigits, scope)
+      .select(col("a").as(idCol)).distinct()
+    batch.join(dupIds, Seq(idCol), "left_anti")
   }
 
   /** IVF (inverted-file) ANN top-k: a KMeans coarse quantizer assigns

@@ -1187,6 +1187,33 @@ object OracleSql {
         |        ROW_NUMBER() OVER (ORDER BY cnt DESC, key_str) AS rank
         |      FROM c)
         |SELECT rank, key_str, cnt, ROUND(cnt / total, 4) AS share
-        |FROM r, t WHERE rank <= 5 ORDER BY rank""".stripMargin
+        |FROM r, t WHERE rank <= 5 ORDER BY rank""".stripMargin,
+
+    // x93 cross-side embedding near-dup: both sides share the reference
+    // planes (ids 10-13 are < 250), so the corpus-wide bucket CTE is
+    // reused; the join keeps only batch-x-reference collisions.
+    "x93_embedding_neardup_ref" ->
+      s"""WITH $embCte,
+         |$lshBucketCte
+         |SELECT x.vec_id AS a, y.vec_id AS b, ${cos("x.v", "y.v")} AS cos
+         |FROM bucketed x JOIN bucketed y ON x.bucket = y.bucket
+         |WHERE x.vec_id >= 250 AND y.vec_id < 250
+         |  AND ${cos("x.v", "y.v")} >= 0.3
+         |ORDER BY a, b""".stripMargin,
+
+    // x94 drop form of x93: batch rows with no embedding match survive.
+    "x94_embedding_neardup_drop" ->
+      s"""WITH $embCte,
+         |$lshBucketCte,
+         |dups AS (
+         |  SELECT DISTINCT x.vec_id
+         |  FROM bucketed x JOIN bucketed y ON x.bucket = y.bucket
+         |  WHERE x.vec_id >= 250 AND y.vec_id < 250
+         |    AND ${cos("x.v", "y.v")} >= 0.3)
+         |SELECT emb.vec_id, emb.label::BIGINT AS label
+         |FROM embeddings emb
+         |WHERE emb.vec_id >= 250
+         |  AND emb.vec_id NOT IN (SELECT vec_id FROM dups)
+         |ORDER BY emb.vec_id""".stripMargin
   )
 }

@@ -1058,6 +1058,34 @@ object Queries {
     Profiling.skewReport(Tables.events(s, dir), Seq("user_id"), topK = 5)
       .orderBy("rank")
 
+  /** X93 — cross-side embedding near-dup pairs: incoming vectors
+    * (vec_id ≥ 250) vs a frozen reference (vec_id < 250), bucketed
+    * under the reference's hyperplanes — the semantic layer of
+    * incremental dedup (a paraphrase that slips past x61's digests and
+    * x75's shingles still lands next to its original in embedding
+    * space). Candidates are cross-side bucket collisions only. */
+  def x93(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.embeddingNearDupsAgainstReference(
+        emb.filter(col("vec_id") >= 250), emb.filter(col("vec_id") < 250),
+        "vec_id", "embedding", planeIds = Seq(10, 11, 12, 13),
+        threshold = 0.3)
+      .orderBy("a", "b")
+  }
+
+  /** X94 — the drop form of x93: the incoming batch with every
+    * embedding-matched row removed (the gate a curation stream
+    * composes after the exact and shingle layers). */
+  def x94(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.dropEmbeddingNearDupsAgainstReference(
+        emb.filter(col("vec_id") >= 250), emb.filter(col("vec_id") < 250),
+        "vec_id", "embedding", planeIds = Seq(10, 11, 12, 13),
+        threshold = 0.3)
+      .select(col("vec_id"), bi(col("label")).as("label"))
+      .orderBy("vec_id")
+  }
+
   /** Bench setup for x85: the digest sidecar (shared with x79) plus
     * the memoized bloom build — both one-time per reference freeze. */
   def x85Setup(s: SparkSession, dir: String): Unit = {
@@ -1210,5 +1238,7 @@ object Queries {
     "x89_top_ngram_frac" -> (x89 _),
     "x90_histogram" -> (x90 _),
     "x91_profile" -> (x91 _),
-    "x92_skew_report" -> (x92 _))
+    "x92_skew_report" -> (x92 _),
+    "x93_embedding_neardup_ref" -> (x93 _),
+    "x94_embedding_neardup_drop" -> (x94 _))
 }

@@ -52,4 +52,36 @@ class AnnRecallSpec extends SparkSpec {
     info(f"int8 recall@$k: $recall%.2f")
     assert(recall >= 0.8, s"quantization reshuffled the neighborhood: recall $recall")
   }
+
+  test("cross-side embedding near-dup: pairs cross sides only, subset of brute force, drop = batch minus matched") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Vectors
+    val emb = Tables.embeddings(spark, dir)
+    val ref = emb.filter(col("vec_id") < 250)
+    val batch = emb.filter(col("vec_id") >= 250)
+    val pairs = Similarity.embeddingNearDupsAgainstReference(
+        batch, ref, "vec_id", "embedding", planes, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.nonEmpty, "threshold 0.3 must match some cross pairs")
+    assert(pairs.forall { case (a, b, c) => a >= 250 && b < 250 && c >= 0.3 },
+      "every pair must be batch x reference with cos >= threshold")
+    // LSH may only LOSE pairs vs the brute cross product, never invent
+    val brute = Similarity.prepared(batch, "vec_id", "embedding")
+      .select(col("vec_id").as("a"), col("v").as("av"), col("nrm").as("an"))
+      .crossJoin(Similarity.prepared(ref, "vec_id", "embedding")
+        .select(col("vec_id").as("b"), col("v").as("bv"), col("nrm").as("bn")))
+      .withColumn("cos", round(
+        Vectors.cosineWithNorms(col("av"), col("bv"), col("an"), col("bn")), 4))
+      .filter(col("cos") >= 0.3)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.map(p => (p._1, p._2)).toSet.subsetOf(brute),
+      "LSH produced a pair the brute-force cross join does not have")
+    // drop form: exactly the batch rows with no matched pair survive
+    val matched = pairs.map(_._1).toSet
+    val kept = Similarity.dropEmbeddingNearDupsAgainstReference(
+        batch, ref, "vec_id", "embedding", planes, threshold = 0.3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val batchIds = batch.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == batchIds -- matched, "drop form must remove exactly the matched ids")
+  }
 }
