@@ -31,5 +31,6 @@ object SparkEntry {
     Map("x77_neardup_index" -> (Queries.x77Setup _),
       "x78_neardup_drop_index" -> (Queries.x77Setup _),
       "x79_refdigest_dedup" -> (Queries.x79Setup _),
-      "x85_bloom_dedup" -> (Queries.x85Setup _))
+      "x85_bloom_dedup" -> (Queries.x85Setup _),
+      "x95_embedding_neardup_index" -> (Queries.x95Setup _))
 }

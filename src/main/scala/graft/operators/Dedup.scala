@@ -323,7 +323,7 @@ object Dedup {
     s"$mode:$cnt:$fp"
   }
 
-  private def readDigestStamp(
+  private[operators] def readDigestStamp(
       spark: org.apache.spark.sql.SparkSession,
       digestDir: String): Option[String] = {
     val stamp = new org.apache.hadoop.fs.Path(digestDir, "source.json")
@@ -830,7 +830,7 @@ object Dedup {
   /** Corpus identity for [[ensurePersistedIndex]]: (mode, count,
     * fingerprint) — file-metadata snapshot for file-backed frames,
     * content hash otherwise (modes documented there). */
-  private def corpusIdentity(
+  private[operators] def corpusIdentity(
       corpus: DataFrame, idCol: String, textCol: String): (String, Long, Long) = {
     val files = corpus.inputFiles
     fileSnapshot(corpus) match { case Some(snapshot) =>

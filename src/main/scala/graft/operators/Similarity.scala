@@ -69,10 +69,19 @@ object Similarity {
     val rankExpr = planeIds.zipWithIndex.foldLeft(lit(0)) { case (acc, (id, i)) =>
       acc + when(col("pid") === id, lit(1 << i)).otherwise(0)
     }
+    bucketedWithBitPlanes(base, planes.withColumn("bit", rankExpr), scope)
+  }
+
+  /** Bucketing against a plane table that carries its own bit weights
+    * (pid, pv, bit) — the stored-index probe path, where the weights
+    * were frozen at index-build time. */
+  private def bucketedWithBitPlanes(base: DataFrame, planes: DataFrame,
+      scope: CacheScope): DataFrame = {
     val buckets = base.join(broadcast(planes))
-      .withColumn("bit", when(Vectors.dot(col("v"), col("pv")) > 0d, rankExpr).otherwise(0))
+      .withColumn("__b",
+        when(Vectors.dot(col("v"), col("pv")) > 0d, col("bit")).otherwise(0))
       .groupBy(col("vec_id"))
-      .agg(sum(col("bit")).cast("bigint").as("bucket"))
+      .agg(sum(col("__b")).cast("bigint").as("bucket"))
     // persisted: the bucketed view feeds the query-side filter AND the
     // candidate side of the bucket join — without it every branch
     // re-scans the embeddings and recomputes plane dots. The scope owns
@@ -197,6 +206,89 @@ object Similarity {
         vecCol, planeIds, threshold, roundDigits, scope)
       .select(col("a").as(idCol)).distinct()
     batch.join(dupIds, Seq(idCol), "left_anti")
+  }
+
+  /** A persisted embedding near-dup index: the reference's hyperplanes
+    * (with their frozen bit weights) and its bucketed vectors, both
+    * read back from parquet. */
+  case class EmbeddingIndex(planes: DataFrame, buckets: DataFrame)
+
+  /** One-time persisted embedding index over a frozen reference — the
+    * vector twin of [[Dedup.ensureReferenceDigests]] (exact layer) and
+    * [[Dedup.ensurePersistedIndex]] (shingle layer), closing the same
+    * scale hole for the semantic layer:
+    * [[embeddingNearDupsAgainstReference]] re-buckets the ENTIRE
+    * reference on every call — one plane-dot pass over all reference
+    * vectors per batch, the O(batches × reference) trap. This hoists
+    * the bucketing into a stored (bucket, b_id, bv, bn) parquet plus a
+    * (pid, pv, bit) plane table; the healthy per-batch path is a stamp
+    * read + memoized parquet opens — the reference's vectors are never
+    * re-read. Staleness uses [[Dedup.corpusIdentity]] (file metadata +
+    * canonicalized plan for file-backed frames, content hash
+    * otherwise) extended with the plane ids and columns; parquet is
+    * written BEFORE the stamp, so a crash mid-build leaves "no stamp →
+    * rebuild", never a stamp vouching for a partial index. */
+  def ensureEmbeddingIndex(reference: DataFrame, idCol: String, vecCol: String,
+      planeIds: Seq[Int], indexDir: String): EmbeddingIndex = {
+    val spark = reference.sparkSession
+    val (mode, cnt, fp) = Dedup.corpusIdentity(reference, idCol, vecCol)
+    val ident = s"emb:$mode:$cnt:$fp:${planeIds.mkString("_")}:$idCol:$vecCol"
+    val planesPath = s"$indexDir/planes"; val bucketsPath = s"$indexDir/buckets"
+    val stamp = new org.apache.hadoop.fs.Path(indexDir, "source.json")
+    val fs = stamp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing =
+      if (Dedup.readDigestStamp(spark, indexDir).contains(ident))
+        try {
+          val p = graft.util.ParquetSchemaMemo.read(spark, planesPath)
+          val b = graft.util.ParquetSchemaMemo.read(spark, bucketsPath)
+          p.select("pid", "pv", "bit"); b.select("bucket", "b_id", "bv", "bn")
+          Some(EmbeddingIndex(p, b))
+        } catch { case scala.util.control.NonFatal(_) => None }
+      else None
+    existing.getOrElse {
+      // stamp deleted FIRST — same crash ordering as the digest sidecar
+      fs.delete(stamp, false)
+      val base = prepared(reference, idCol, vecCol)
+      val rankExpr = planeIds.zipWithIndex.foldLeft(lit(0)) {
+        case (acc, (id, i)) => acc + when(col("pid") === id, lit(1 << i)).otherwise(0)
+      }
+      base.filter(col("vec_id").isin(planeIds: _*))
+        .select(col("vec_id").as("pid"), col("v").as("pv"))
+        .withColumn("bit", rankExpr)
+        .write.mode("overwrite").parquet(planesPath)
+      graft.util.ParquetSchemaMemo.invalidate(planesPath)
+      val planes = graft.util.ParquetSchemaMemo.read(spark, planesPath)
+      bucketedWithBitPlanes(base, planes, CacheScope.unmanaged)
+        .select(col("bucket"), col("vec_id").as("b_id"),
+          col("v").as("bv"), col("nrm").as("bn"))
+        .write.mode("overwrite").parquet(bucketsPath)
+      graft.util.ParquetSchemaMemo.invalidate(bucketsPath)
+      val out = fs.create(stamp, true)
+      try out.write(s"""{"ident":"$ident"}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      EmbeddingIndex(planes,
+        graft.util.ParquetSchemaMemo.read(spark, bucketsPath))
+    }
+  }
+
+  /** [[embeddingNearDupsAgainstReference]] probing a persisted
+    * [[EmbeddingIndex]]: per batch, only the BATCH is bucketed (one
+    * plane-dot pass over batch vectors against the broadcast stored
+    * planes) and joined to the stored buckets — same rows as the
+    * recompute form, zero reference scans in the probe plan. */
+  def embeddingNearDupsAgainstIndex(
+      batch: DataFrame, idCol: String, vecCol: String,
+      index: EmbeddingIndex, threshold: Double, roundDigits: Int = 4,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val batB = bucketedWithBitPlanes(prepared(batch, idCol, vecCol),
+      index.planes, scope)
+    batB.join(index.buckets, Seq("bucket"))
+      .withColumn("cos",
+        round(Vectors.cosineWithNorms(col("v"), col("bv"), col("nrm"), col("bn")),
+          roundDigits))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_id").as("a"), col("b_id").as("b"), col("cos"))
   }
 
   /** IVF (inverted-file) ANN top-k: a KMeans coarse quantizer assigns

@@ -1214,6 +1214,17 @@ object OracleSql {
          |FROM embeddings emb
          |WHERE emb.vec_id >= 250
          |  AND emb.vec_id NOT IN (SELECT vec_id FROM dups)
-         |ORDER BY emb.vec_id""".stripMargin
+         |ORDER BY emb.vec_id""".stripMargin,
+
+    // x95 index-probe form of x93 — identical rows by construction,
+    // so the oracle is x93's verbatim.
+    "x95_embedding_neardup_index" ->
+      s"""WITH $embCte,
+         |$lshBucketCte
+         |SELECT x.vec_id AS a, y.vec_id AS b, ${cos("x.v", "y.v")} AS cos
+         |FROM bucketed x JOIN bucketed y ON x.bucket = y.bucket
+         |WHERE x.vec_id >= 250 AND y.vec_id < 250
+         |  AND ${cos("x.v", "y.v")} >= 0.3
+         |ORDER BY a, b""".stripMargin
   )
 }

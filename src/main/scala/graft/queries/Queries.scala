@@ -1086,6 +1086,39 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  /** X95 — x93's pairs via the PERSISTED embedding index (the
+    * production path): the reference's planes and bucketed vectors are
+    * stored once; per execution only the batch is bucketed and joined
+    * to the stored buckets — the reference's embeddings never re-read.
+    * Same oracle as x93 (identical rows by construction). */
+  def x95(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val index = Similarity.ensureEmbeddingIndex(
+      emb.filter(col("vec_id") < 250), "vec_id", "embedding",
+      planeIds = Seq(10, 11, 12, 13), x95IndexDir(dir))
+    Similarity.embeddingNearDupsAgainstIndex(
+        emb.filter(col("vec_id") >= 250), "vec_id", "embedding",
+        index, threshold = 0.3)
+      .orderBy("a", "b")
+  }
+
+  /** x95's per-corpus index work dir — same keying rule as
+    * [[x77IndexDir]] (sanitized data path + corpus predicate + params). */
+  private[graft] def x95IndexDir(dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-embidx-$key-ref250-p10131").getPath
+  }
+
+  /** Bench setup for x95: build the embedding index OUTSIDE the timed
+    * region (one-time per reference freeze — the steady state probes). */
+  def x95Setup(s: SparkSession, dir: String): Unit = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ensureEmbeddingIndex(emb.filter(col("vec_id") < 250),
+      "vec_id", "embedding", Seq(10, 11, 12, 13), x95IndexDir(dir))
+    ()
+  }
+
   /** Bench setup for x85: the digest sidecar (shared with x79) plus
     * the memoized bloom build — both one-time per reference freeze. */
   def x85Setup(s: SparkSession, dir: String): Unit = {
@@ -1240,5 +1273,6 @@ object Queries {
     "x91_profile" -> (x91 _),
     "x92_skew_report" -> (x92 _),
     "x93_embedding_neardup_ref" -> (x93 _),
-    "x94_embedding_neardup_drop" -> (x94 _))
+    "x94_embedding_neardup_drop" -> (x94 _),
+    "x95_embedding_neardup_index" -> (x95 _))
 }

@@ -84,4 +84,42 @@ class AnnRecallSpec extends SparkSpec {
     val batchIds = batch.select("vec_id").collect().map(_.getLong(0)).toSet
     assert(kept == batchIds -- matched, "drop form must remove exactly the matched ids")
   }
+
+  test("embedding index probe: rows ≡ recompute form, plan scans the reference ZERO times, memoized ensure") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("embidx").toString
+    val refPath = s"$tmp/refemb.parquet"
+    Tables.embeddings(spark, dir).filter(col("vec_id") < 250)
+      .write.parquet(refPath)
+    val ref = spark.read.parquet(refPath)
+    val batch = Tables.embeddings(spark, dir).filter(col("vec_id") >= 250)
+
+    val index = Similarity.ensureEmbeddingIndex(
+      ref, "vec_id", "embedding", planes, s"$tmp/index")
+    val probed = Similarity.embeddingNearDupsAgainstIndex(
+      batch, "vec_id", "embedding", index, threshold = 0.3)
+    val recomputed = Similarity.embeddingNearDupsAgainstReference(
+      batch, ref, "vec_id", "embedding", planes, threshold = 0.3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("a", "b").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows(probed) == rows(recomputed),
+      "index probe must return exactly the recompute form's pairs")
+
+    probed.count() // force AQE to finalize before reading the plan
+    val physical = probed.queryExecution.executedPlan.toString
+    assert(!physical.contains("refemb.parquet"),
+      "probe plan must not re-read the frozen reference — the " +
+        "O(batches x reference) re-bucketing trap the index removes")
+    assert(physical.contains("planes") && physical.contains("buckets"),
+      "probe plan reads the stored index relations")
+
+    // second ensure over the unchanged reference: memoized (no rebuild)
+    val before = new java.io.File(s"$tmp/index/buckets")
+      .listFiles().map(_.getName).toSet
+    Similarity.ensureEmbeddingIndex(ref, "vec_id", "embedding", planes, s"$tmp/index")
+    val after = new java.io.File(s"$tmp/index/buckets")
+      .listFiles().map(_.getName).toSet
+    assert(before == after, "a healthy ensure must not rewrite the index")
+  }
 }
