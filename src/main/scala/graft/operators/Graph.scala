@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph operators for corpus curation. The first use case is link-graph
+  * authority scoring: web-scale training-data pipelines rank hosts or
+  * pages (Common-Crawl-style harmonic/PageRank scores) and use the rank
+  * as a quality prior alongside per-document signals, so the engine
+  * needs an iterative rank operator with the same shuffle discipline as
+  * [[Dedup.connectedComponents]].
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank (Page et al. 1999) over a directed edge
+    * list. Returns `(node, rank)` for every node appearing as a source
+    * or destination; ranks sum to 1 across the graph (dangling mass is
+    * redistributed uniformly each round, the standard correction).
+    *
+    * Determinism: iteration count is FIXED (no epsilon stop), so two
+    * engines computing in IEEE float64 agree to summation-order noise —
+    * which is what lets a SQL oracle mirror it with unrolled rounds.
+    *
+    * Scale shape (mirrors [[Dedup.connectedComponents]]):
+    * - the edge list and out-degrees are materialized ONCE,
+    *   pre-partitioned on the join key (`src`), so every round's
+    *   `edges ⋈ ranks` reuses that layout instead of re-shuffling the
+    *   full edge table — per round only the thin `(node, rank)` side
+    *   moves, and the contribution agg is map-side combinable;
+    * - each round's rank table is cut (reliable checkpoint when a dir
+    *   is configured, executor-local otherwise) so the logical plan
+    *   does not nest per round, with round N−1's storage released as
+    *   soon as round N materializes;
+    * - the dangling-node set (sinks: in-edges but no out-edges) is
+    *   computed once; per round its mass is ONE 1-row agg broadcast
+    *   into the update expression. A symmetrized graph has no sinks
+    *   and that agg short-circuits to a constant-false join.
+    */
+  def pageRank(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, damping: Double = 0.85,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+    : DataFrame = {
+    require(iterations >= 1, s"need iterations >= 1, got $iterations")
+    require(damping > 0 && damping < 1, s"need 0 < damping < 1, got $damping")
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
+    val e = scope.persist(
+      edges.select(col(srcCol).cast("string").as("src"),
+          col(dstCol).cast("string").as("dst"))
+        .distinct()
+        .repartition(col("src")))
+    // out-degree rides next to the edges: joined per round on the same
+    // src partitioning, so contributions = rank/deg never re-shuffle
+    val deg = scope.persist(
+      e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("deg"))
+        .repartition(col("src")))
+    val nodes = scope.persist(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct())
+    val n = nodes.count().toDouble
+    // sinks: appear as dst but never as src — their rank would leak out
+    // of the system each round without the uniform redistribution
+    val sinks = scope.persist(
+      nodes.join(deg, col("node") === col("src"), "left_anti"))
+    val hasSinks = sinks.limit(1).count() > 0
+    val reliable = sc.getCheckpointDir.isDefined
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    def checkpointFile(df: DataFrame): Option[String] =
+      df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.flatMap(_.getCheckpointFile)
+    def deleteCheckpointFile(file: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(file)
+      p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+    }
+    var ranks = cut(nodes.select(col("node"), lit(1.0 / n).as("rank")))
+    var round = 0
+    while (round < iterations) {
+      // dangling mass: ONE 1-row agg over the (small) sink slice of the
+      // current ranks; skipped entirely when the graph has no sinks
+      val danglingMass =
+        if (!hasSinks) 0.0
+        else ranks.join(sinks, Seq("node"))
+          .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") / col("deg")).as("__in"))
+      val next = nodes
+        .join(contribs, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("__in"), lit(0.0)) +
+              lit(danglingMass / n))).as("rank"))
+      val cutNext = cut(next)
+      if (!reliable) Dedup.releaseCheckpointStorage(ranks)
+      else checkpointFile(ranks).foreach(deleteCheckpointFile)
+      ranks = cutNext
+      round += 1
+    }
+    ranks
+  }
+}

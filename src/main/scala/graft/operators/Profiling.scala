@@ -41,6 +41,45 @@ object Profiling {
         col("n_distinct"), col("min_str"), col("max_str"))
   }
 
+  /** Pairwise Pearson correlation matrix over numeric columns — the
+    * feature-redundancy check run before model training or when
+    * choosing which quality signals to keep. ALL pairs come from ONE
+    * aggregate over one scan (`corr` is a partial-aggregable moment
+    * sketch, so the map side combines); the wide 1-row result unpivots
+    * with `stack` like [[profile]]. Returns `(col_a, col_b, corr)` for
+    * the strict upper triangle; constant columns yield NULL (rendered
+    * as corr = NULL, matching SQL semantics). */
+  def corrMatrix(df: DataFrame, cols: Seq[String],
+      roundDigits: Int = 6): DataFrame = {
+    require(cols.size >= 2, "corrMatrix needs at least two columns")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    // corr assembled from guarded co-moments rather than corr(): under
+    // ANSI mode (Spark 4 default) corr on a CONSTANT column raises
+    // DIVIDE_BY_ZERO mid-aggregate — a profiling operator must render
+    // the degenerate case as NULL, not kill the job. One agg still:
+    // stddevs per column + covariances per pair all combine map-side.
+    val aggs =
+      cols.map(c => stddev_samp(col(c)).as(s"__sd_$c")) ++
+        pairs.map { case (a, b) =>
+          covar_samp(col(a), col(b)).as(s"__cov_${a}_$b")
+        }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val corrCols = pairs.map { case (a, b) =>
+      round(
+        when(col(s"__sd_$a") > 0 && col(s"__sd_$b") > 0,
+          col(s"__cov_${a}_$b") / (col(s"__sd_$a") * col(s"__sd_$b"))),
+        roundDigits).as(s"__corr_${a}_$b")
+    }
+    val stacked = pairs.map { case (a, b) =>
+      s"'$a', '$b', `__corr_${a}_$b`"
+    }.mkString(", ")
+    wide.select(corrCols: _*)
+      .select(expr(s"stack(${pairs.size}, $stacked)")
+        .as(Seq("col_a", "col_b", "corr")))
+  }
+
   /** Join-key skew report: the `topK` heaviest keys of `keyCols` with
     * their row counts and corpus share — the check run BEFORE a big
     * join or aggregation to decide whether it needs salting

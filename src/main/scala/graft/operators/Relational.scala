@@ -266,4 +266,43 @@ object Relational {
           .as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
   }
+
+  /** SCD2 history build: collapse a per-key change feed into
+    * slowly-changing-dimension type-2 validity intervals. For each
+    * `keyCols` group ordered by `orderCol` (ties broken by
+    * `tieBreaker`, which MUST make the order total — a nondeterministic
+    * interval table is worse than none), keep only CHANGE POINTS (rows
+    * where any of `attrCols` differs null-safely from the previous
+    * row's value) and attach `valid_from` = the row's order value,
+    * `valid_to` = the next change's order value (null = current) and an
+    * `is_current` flag.
+    *
+    * Shape: two window passes over the SAME `(keyCols, orderCol)`
+    * partitioning — Catalyst plans ONE sort+shuffle and runs both
+    * WindowExecs on it (the second window sees only change points, a
+    * filtered subset, but its partitioning is compatible so no second
+    * exchange). Per key the state is one previous row — no
+    * driver-side anything, skew bounded by the hottest key's history.
+    */
+  def scd2(df: DataFrame, keyCols: Seq[String], orderCol: String,
+      tieBreaker: String, attrCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && attrCols.nonEmpty,
+      "scd2 needs key and attribute columns")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(orderCol), col(tieBreaker))
+    val changed = attrCols.map(a =>
+        not(col(a) <=> lag(col(a), 1).over(w)))
+      .reduce(_ || _) || row_number().over(w) === 1
+    val points = df
+      .withColumn("__chg", changed)
+      .filter(col("__chg"))
+      .withColumn("valid_from", col(orderCol))
+    val w2 = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("valid_from"), col(tieBreaker))
+    points.select(
+      keyCols.map(col) ++ attrCols.map(col) :+
+        col("valid_from") :+
+        lead(col("valid_from"), 1).over(w2).as("valid_to"): _*)
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

@@ -131,6 +131,49 @@ object TextAnalysis {
           .otherwise(lit(0.0d)).as("dup_ratio"))
   }
 
+  /** Adds Gopher-style line-repetition signals in place (Rae et al.
+    * 2021 §A1.1, the "duplicate lines" family): `n_lines`,
+    * `dup_line_frac` (fraction of non-empty lines that are repeats of
+    * an earlier line) and `dup_char_frac` (fraction of line characters
+    * inside those repeat occurrences). A page whose boilerplate nav/
+    * footer repeats scores high here while staying invisible to
+    * token-level [[withRepetition]].
+    *
+    * Entirely per-row higher-order functions over the split array —
+    * size / array_distinct / aggregate — so the operator is a narrow
+    * codegen'd map: NO shuffle, no explode, nothing leaves the row.
+    * `delim` is a Java regex (default literal newline). */
+  def withLineRepetition(df: DataFrame, textCol: String,
+      delim: String = "\n", roundDigits: Int = 4): DataFrame = {
+    val lines = filter(split(col(textCol), delim), l => length(l) > 0)
+    val uniq = array_distinct(lines)
+    def charSum(arr: org.apache.spark.sql.Column) =
+      aggregate(arr, lit(0L), (acc, x) => acc + length(x).cast("long"))
+    df.withColumn("__lines", lines).withColumn("__uniq", uniq)
+      .withColumn("n_lines", size(col("__lines")).cast("bigint"))
+      .withColumn("dup_line_frac",
+        when(col("n_lines") > 0,
+          round((col("n_lines") - size(col("__uniq"))).cast("double") /
+            col("n_lines").cast("double"), roundDigits))
+          .otherwise(lit(0.0d)))
+      .withColumn("dup_char_frac",
+        when(charSum(col("__lines")) > 0,
+          round((charSum(col("__lines")) - charSum(col("__uniq")))
+            .cast("double") / charSum(col("__lines")).cast("double"),
+            roundDigits))
+          .otherwise(lit(0.0d)))
+      .drop("__lines", "__uniq")
+  }
+
+  /** (id, n_lines, dup_line_frac, dup_char_frac) projection of
+    * [[withLineRepetition]] — the gate-query form. */
+  def lineRepetitionStats(df: DataFrame, idCol: String, textCol: String,
+      delim: String = "\n", roundDigits: Int = 4): DataFrame =
+    withLineRepetition(df.select(col(idCol), col(textCol)), textCol,
+        delim, roundDigits)
+      .select(col(idCol), col("n_lines"), col("dup_line_frac"),
+        col("dup_char_frac"))
+
   /** Gopher-style top-n-gram coverage (Rae et al. 2021 §A1.1): the
     * fraction of a document's characters covered by occurrences of its
     * single MOST FREQUENT word n-gram — the boilerplate detector that

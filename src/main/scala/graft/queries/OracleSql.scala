@@ -49,6 +49,44 @@ object OracleSql {
        |       ELSE [] END AS fps FROM g),
        |fpt AS (SELECT doc_id AS doc, unnest(fps) AS fp FROM f)""".stripMargin
 
+  /** Unrolled PageRank rounds (x99): r0 = 1/N, each round
+    * r_k = (1-0.85)/N + 0.85 · Σ_incoming r_{k-1}/deg — literally the
+    * operator's update expression, which a fixed iteration count makes
+    * SQL-expressible. */
+  private def pageRankSql(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""r$k AS (
+         |  SELECT nd.node,
+         |    (SELECT (1 - 0.85)/cnt FROM n) + 0.85 * coalesce(s.c, 0.0) AS r
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS node, sum(p.r / dg.deg) AS c
+         |    FROM e JOIN r${k - 1} p ON e.src = p.node
+         |           JOIN deg dg ON dg.node = e.src
+         |    GROUP BY e.dst) s ON s.node = nd.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT 'p' || l_partkey::VARCHAR AS src,
+       |                  's' || l_suppkey::VARCHAR AS dst FROM lineitem
+       |  UNION
+       |  SELECT DISTINCT 's' || l_suppkey::VARCHAR,
+       |                  'p' || l_partkey::VARCHAR FROM lineitem),
+       |nodes AS (SELECT DISTINCT src AS node FROM e),
+       |deg AS (SELECT src AS node, COUNT(*)::DOUBLE AS deg FROM e GROUP BY 1),
+       |n AS (SELECT COUNT(*)::DOUBLE AS cnt FROM nodes),
+       |r0 AS (SELECT node, (SELECT 1.0/cnt FROM n) AS r FROM nodes),
+       |$rounds
+       |SELECT node, ROUND(r * (SELECT cnt FROM n), 6) AS rank_norm
+       |FROM r$iters ORDER BY node""".stripMargin
+  }
+
+  /** Morton-interleave arithmetic (x100): bit i of column c lands at
+    * position i·k + c; emitted as explicit shift/mask/or terms. */
+  private def zorderTerms(a: String, b: String, bits: Int): String =
+    (0 until bits).flatMap(i => Seq(
+      s"((($a >> $i) & 1) << ${i * 2})",
+      s"((($b >> $i) & 1) << ${i * 2 + 1})"))
+      .mkString(" | ")
+
   private def jaccardTail(threshold: Double): String =
     s"""sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
        |inter AS (
@@ -1225,6 +1263,108 @@ object OracleSql {
          |FROM bucketed x JOIN bucketed y ON x.bucket = y.bucket
          |WHERE x.vec_id >= 250 AND y.vec_id < 250
          |  AND ${cos("x.v", "y.v")} >= 0.3
-         |ORDER BY a, b""".stripMargin
+         |ORDER BY a, b""".stripMargin,
+
+    // t50 full-outer join: the side filters force both null sides live
+    // (order-less customers AND orphan orders in the 'NONE' segment).
+    "t50_full_outer_join" ->
+      """SELECT coalesce(c_mktsegment, 'NONE') AS segment,
+        |  COUNT(o_orderkey)::BIGINT AS n_orders,
+        |  COUNT(*)::BIGINT AS n_rows
+        |FROM (SELECT * FROM orders WHERE o_totalprice > 450000) o
+        |FULL JOIN (SELECT * FROM customer WHERE c_custkey < 1000) c
+        |  ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY segment""".stripMargin,
+
+    // x96 line repetition: both engines derive the same line structure
+    // (two words per line via one global regex) then count repeated
+    // lines/chars with list functions — set semantics, order-free.
+    "x96_line_repetition" ->
+      """WITH l AS (
+        |  SELECT doc_id,
+        |    list_filter(
+        |      string_split(
+        |        regexp_replace(text, '(\S+ \S+) ', '\1' || chr(10), 'g'),
+        |        chr(10)),
+        |      x -> length(x) > 0) AS lines
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    len(lines) AS n, len(list_distinct(lines)) AS nd,
+        |    coalesce(list_sum(list_transform(lines, x -> length(x))), 0) AS chars,
+        |    coalesce(list_sum(list_transform(list_distinct(lines),
+        |      x -> length(x))), 0) AS chars_d
+        |  FROM l)
+        |SELECT doc_id, n::BIGINT AS n_lines,
+        |  CASE WHEN n > 0
+        |       THEN ROUND((n - nd)::DOUBLE / n, 4) ELSE 0.0 END AS dup_line_frac,
+        |  CASE WHEN chars > 0
+        |       THEN ROUND((chars - chars_d)::DOUBLE / chars, 4)
+        |       ELSE 0.0 END AS dup_char_frac
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // x97 correlation matrix: Pearson corr is invariant to the n vs
+    // n-1 variance convention, so both engines agree to float noise;
+    // ROUND(_, 6) both sides.
+    "x97_corr_matrix" ->
+      """SELECT * FROM (
+        |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+        |    ROUND(corr(l_quantity, l_extendedprice), 6) AS corr FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity', 'l_discount',
+        |    ROUND(corr(l_quantity, l_discount), 6) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity', 'l_tax',
+        |    ROUND(corr(l_quantity, l_tax), 6) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', 'l_discount',
+        |    ROUND(corr(l_extendedprice, l_discount), 6) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', 'l_tax',
+        |    ROUND(corr(l_extendedprice, l_tax), 6) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', 'l_tax',
+        |    ROUND(corr(l_discount, l_tax), 6) FROM lineitem
+        |) ORDER BY col_a, col_b""".stripMargin,
+
+    // x98 SCD2: change points via lag over (user, ts, event_id), then
+    // validity intervals via lead — same two-window shape as the
+    // operator; IS DISTINCT FROM ≡ Spark's null-safe <=> negated.
+    "x98_scd2" ->
+      """WITH ordered AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER w AS prev,
+        |    ROW_NUMBER() OVER w AS rn
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |points AS (
+        |  SELECT user_id, event_type, ts AS valid_from, event_id
+        |  FROM ordered
+        |  WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+        |iv AS (
+        |  SELECT user_id, event_type, valid_from,
+        |    lead(valid_from) OVER
+        |      (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to
+        |  FROM points)
+        |SELECT user_id::BIGINT AS user_id, event_type,
+        |  valid_from::DATE AS valid_from, valid_to::DATE AS valid_to,
+        |  (valid_to IS NULL) AS is_current
+        |FROM iv
+        |ORDER BY user_id, valid_from::DATE, event_type, valid_to::DATE
+        |""".stripMargin,
+
+    // x99 PageRank: 5 unrolled damped rounds over the symmetrized
+    // part–supplier graph — same (1-d)/N + d·Σ r/deg arithmetic in
+    // float64; symmetric graph → no dangling mass on either side.
+    "x99_pagerank" -> pageRankSql(5),
+
+    // x100 Morton key: the same 16-bit interleave, unrolled to shift/
+    // mask/or terms.
+    "x100_zorder_key" ->
+      s"""SELECT l_partkey::BIGINT AS l_partkey,
+         |  l_suppkey::BIGINT AS l_suppkey,
+         |  (${zorderTerms("l_partkey::BIGINT", "l_suppkey::BIGINT", 16)})::BIGINT AS zkey
+         |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+         |ORDER BY l_partkey, l_suppkey""".stripMargin
   )
 }

@@ -1168,6 +1168,95 @@ object Queries {
       s"graft-ndidx-$key-ref90pct-s3n16r4").getPath
   }
 
+  /** T50 — full-outer join: expensive orders ⋈ low-key customers. Both
+    * filters exist to force BOTH null sides live in the gate data:
+    * customers whose orders are all cheap survive with a null order
+    * side (n_rows > n_orders per segment), and orders from customers
+    * ≥ 1000 land in the 'NONE' segment. Completes the join battery
+    * (inner/left/semi/anti/asof/interval/full). */
+  def t50(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).filter(col("o_totalprice") > 450000)
+      .join(Tables.customer(s, dir).filter(col("c_custkey") < 1000),
+        col("o_custkey") === col("c_custkey"), "full_outer")
+      .groupBy(coalesce(col("c_mktsegment"), lit("NONE")).as("segment"))
+      .agg(bi(count(col("o_orderkey"))).as("n_orders"),
+        bi(count(lit(1))).as("n_rows"))
+      .orderBy("segment")
+
+  /** X96 — Gopher line-repetition signals. The synthetic corpus has no
+    * newlines, so the query first derives a line structure (every two
+    * words → one line, a deterministic regex both engines share) and
+    * then runs the operator: per doc, the fraction of repeated lines
+    * and of characters inside those repeats. The whole thing is a
+    * narrow per-row map — no shuffle. */
+  def x96(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lineRepetitionStats(
+        Tables.documents(s, dir).select(col("doc_id"),
+          regexp_replace(col("text"), "(\\S+ \\S+) ", "$1\n").as("text")),
+        "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** X97 — correlation-matrix profiling: pairwise Pearson correlation
+    * of the lineitem numeric columns from ONE aggregate scan. */
+  def x97(s: SparkSession, dir: String): DataFrame =
+    Profiling.corrMatrix(Tables.lineitem(s, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .orderBy("col_a", "col_b")
+
+  /** X98 — SCD2 history build over the events change feed: per user,
+    * collapse consecutive identical event_types and emit validity
+    * intervals (valid_from/valid_to/is_current). Output day-truncated
+    * timestamps as dates for stable cross-engine rendering. */
+  def x98(s: SparkSession, dir: String): DataFrame =
+    Relational.scd2(
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+        Seq("user_id"), "ts", "event_id", Seq("event_type"))
+      .select(bi(col("user_id")).as("user_id"), col("event_type"),
+        col("valid_from").cast("date").as("valid_from"),
+        col("valid_to").cast("date").as("valid_to"),
+        col("is_current"))
+      // valid_to is IN the sort: day-truncation makes (user, from, type)
+      // tie across two intervals of the same type on the same day, and
+      // a non-total ORDER BY lets the engines order the tie differently
+      // (nulls_last = DuckDB's ASC default)
+      .orderBy(col("user_id"), col("valid_from"), col("event_type"),
+        col("valid_to").asc_nulls_last)
+
+  /** X99 — PageRank over the symmetrized part–supplier co-occurrence
+    * graph (who supplies what, from lineitem): 5 fixed damped
+    * iterations, ranks scaled by N (≈1.0 = averagely-linked node) and
+    * rounded. The curation use: link-graph authority as a quality
+    * prior. Symmetrized, so no dangling-sink mass is in play and the
+    * oracle can mirror the rounds exactly. */
+  def x99(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val fwd = li.select(
+      concat(lit("p"), col("l_partkey")).as("src"),
+      concat(lit("s"), col("l_suppkey")).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val pr = graft.operators.Graph.pageRank(edges, "src", "dst",
+      iterations = 5, damping = 0.85)
+    // ranks are checkpoint-materialized by the iteration, so this count
+    // is a cheap cached-RDD pass, not a recompute
+    val n = pr.count().toDouble
+    pr.select(col("node"), round(col("rank") * n, 6).as("rank_norm"))
+      .orderBy("node")
+  }
+
+  /** X100 — Morton (z-order) interleave key, the data-skipping layout
+    * primitive: 16-bit interleave of (l_partkey, l_suppkey) per
+    * distinct pair. Pure integer shift/mask arithmetic — the oracle
+    * mirrors it with the same unrolled expression. */
+  def x100(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .select(bi(col("l_partkey")).as("l_partkey"),
+        bi(col("l_suppkey")).as("l_suppkey"),
+        graft.sources.ZOrder.zorderKey(
+          Seq(col("l_partkey"), col("l_suppkey")), 16).as("zkey"))
+      .orderBy("l_partkey", "l_suppkey")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -1274,5 +1363,11 @@ object Queries {
     "x92_skew_report" -> (x92 _),
     "x93_embedding_neardup_ref" -> (x93 _),
     "x94_embedding_neardup_drop" -> (x94 _),
-    "x95_embedding_neardup_index" -> (x95 _))
+    "x95_embedding_neardup_index" -> (x95 _),
+    "t50_full_outer_join" -> (t50 _),
+    "x96_line_repetition" -> (x96 _),
+    "x97_corr_matrix" -> (x97 _),
+    "x98_scd2" -> (x98 _),
+    "x99_pagerank" -> (x99 _),
+    "x100_zorder_key" -> (x100 _))
 }

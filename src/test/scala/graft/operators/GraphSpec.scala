@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** PageRank: hand-computed fixpoint properties on tiny graphs. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: symmetric 2-cycle splits rank evenly") {
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val r = Graph.pageRank(edges, "src", "dst", iterations = 5)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    // perfect symmetry: each node holds exactly half the mass at every
+    // iteration, so the fixed-point value is exact
+    assert(math.abs(r("a") - 0.5) < 1e-12)
+    assert(math.abs(r("b") - 0.5) < 1e-12)
+  }
+
+  test("pageRank: hub receives more rank than spokes; total mass = 1") {
+    // star: three spokes all point at hub; hub points back at one spoke
+    val edges = Seq(("s1", "h"), ("s2", "h"), ("s3", "h"), ("h", "s1"))
+      .toDF("src", "dst")
+    // the h↔s1 cycle makes early iterates oscillate (rank sloshes
+    // between them each round, contraction 0.85² per 2 rounds) — 30
+    // rounds is safely inside the fixpoint for either parity
+    val r = Graph.pageRank(edges, "src", "dst", iterations = 30)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("h") > r("s1") && r("s1") > r("s2"))
+    assert(r("s2") == r("s3")) // symmetric spokes stay identical
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+  }
+
+  test("pageRank: dangling sink's mass is redistributed, not lost") {
+    // a -> b, b is a sink; without the dangling correction total mass
+    // decays toward the teleport floor instead of staying 1
+    val edges = Seq(("a", "b")).toDF("src", "dst")
+    val r = Graph.pageRank(edges, "src", "dst", iterations = 20)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    assert(r("b") > r("a")) // b receives a's full contribution
+  }
+
+  test("pageRank: one-iteration update matches the formula exactly") {
+    // a->b, b->a, c->a : N=3, after 1 round from uniform 1/3:
+    //   r(a) = 0.15/3 + 0.85*(1/3 + 1/3) = 0.05 + 0.85*2/3
+    //   r(b) = 0.15/3 + 0.85*(1/3)
+    //   r(c) = 0.15/3 (no in-edges; c is NOT a sink)
+    val edges = Seq(("a", "b"), ("b", "a"), ("c", "a")).toDF("src", "dst")
+    val r = Graph.pageRank(edges, "src", "dst", iterations = 1)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r("a") - (0.05 + 0.85 * (1.0 / 3 + 1.0 / 3))) < 1e-12)
+    assert(math.abs(r("b") - (0.05 + 0.85 * (1.0 / 3))) < 1e-12)
+    assert(math.abs(r("c") - 0.05) < 1e-12)
+  }
+}

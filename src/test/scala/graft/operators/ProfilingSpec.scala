@@ -63,4 +63,25 @@ class ProfilingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
   }
+
+  test("corrMatrix: signs and exact values on hand-built columns, one agg") {
+    // b = 2a (corr +1), c = -a (corr -1), d constant (corr NULL)
+    val df = Seq((1.0, 2.0, -1.0, 5.0), (2.0, 4.0, -2.0, 5.0),
+        (3.0, 6.0, -3.0, 5.0))
+      .toDF("a", "b", "c", "d")
+    val got: Map[(String, String), Option[Double]] =
+      Profiling.corrMatrix(df, Seq("a", "b", "c", "d"))
+        .collect().map(r =>
+          (r.getString(0), r.getString(1)) ->
+            (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got(("a", "b")) == Some(1.0))
+    assert(got(("a", "c")) == Some(-1.0))
+    assert(got(("b", "c")) == Some(-1.0))
+    assert(got(("a", "d")) == None, "constant column must yield NULL corr")
+    assert(got.size == 6) // strict upper triangle of 4 columns
+    // the whole matrix must come from ONE aggregate over one scan
+    val plan = Profiling.corrMatrix(df, Seq("a", "b", "c", "d"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"corrMatrix must not join per pair:\n$plan")
+  }
 }

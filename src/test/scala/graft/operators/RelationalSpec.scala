@@ -126,4 +126,31 @@ class RelationalSpec extends SparkSpec {
       .orderBy("bucket").as[(Long, Long)].collect().toSeq
     assert(withNull == Seq((0L, 1L), (1L, 1L)), s"got $withNull")
   }
+
+  test("scd2: change-point collapse, validity chain, null-safe attrs, one exchange") {
+    // key k1: a a b b a  -> intervals a[1,3) b[3,5) a[5,null)
+    // key k2: null null x -> null[1,3) x[3,null)  (null attr collapses
+    // null-safely instead of re-opening an interval per row)
+    val df = Seq(
+      ("k1", 1, Option("a")), ("k1", 2, Option("a")), ("k1", 3, Option("b")),
+      ("k1", 4, Option("b")), ("k1", 5, Option("a")),
+      ("k2", 1, None), ("k2", 2, None), ("k2", 3, Option("x")))
+      .toDF("k", "seq", "attr")
+    val got = Relational.scd2(df, Seq("k"), "seq", "seq", Seq("attr"))
+      .orderBy("k", "valid_from")
+      .collect().map(r => (r.getString(0), Option(r.get(1)).map(_.toString),
+        r.getInt(2), Option(r.get(3)).map(_.toString), r.getBoolean(4)))
+      .toSeq
+    assert(got == Seq(
+      ("k1", Some("a"), 1, Some("3"), false),
+      ("k1", Some("b"), 3, Some("5"), false),
+      ("k1", Some("a"), 5, None, true),
+      ("k2", None, 1, Some("3"), false),
+      ("k2", Some("x"), 3, None, true)), s"got $got")
+    // both window passes share one (key, order) sort+exchange
+    val plan = Relational.scd2(df, Seq("k"), "seq", "seq", Seq("attr"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"scd2 must plan ONE exchange, got $exchanges:\n$plan")
+  }
 }

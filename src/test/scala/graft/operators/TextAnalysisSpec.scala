@@ -138,4 +138,28 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, "", 0L, 0.0),
       (4L, "q q", 3L, 1.2857)), s"got $got")
   }
+
+  test("lineRepetition: hand-computed dup line/char fractions, empty-safe, no shuffle") {
+    val docs = Seq(
+      // 4 non-empty lines, "nav bar" repeats twice (1 dup of 4 lines);
+      // chars: 7+4+7+6=24 total, 7 duplicated → 0.25 / 0.2917
+      (1L, "nav bar\nbody\nnav bar\nfooter"),
+      (2L, "a\nb\nc"),       // no repeats
+      (3L, "x\n\n\nx"),      // empty lines dropped: 2 lines, 1 dup
+      (4L, ""),              // no lines at all: zeros, no div-by-zero
+      (5L, "same\nsame\nsame") // 3 lines, 2 dups; chars 12, 8 dup
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lineRepetitionStats(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 0.25, 0.2917),
+      (2L, 3L, 0.0, 0.0),
+      (3L, 2L, 0.5, 0.5),
+      (4L, 0L, 0.0, 0.0),
+      (5L, 3L, 0.6667, 0.6667)), s"got $got")
+    // narrow per-row map: the plan must contain no exchange at all
+    val plan = TextAnalysis.withLineRepetition(docs, "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"lineRepetition must not shuffle:\n$plan")
+  }
 }
