@@ -1365,6 +1365,18 @@ object OracleSql {
          |  l_suppkey::BIGINT AS l_suppkey,
          |  (${zorderTerms("l_partkey::BIGINT", "l_suppkey::BIGINT", 16)})::BIGINT AS zkey
          |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
-         |ORDER BY l_partkey, l_suppkey""".stripMargin
+         |ORDER BY l_partkey, l_suppkey""".stripMargin,
+
+    // t51 grouping sets: detail + a non-rollup-prefix slice + total;
+    // money through DECIMAL for exact sums, rendered as float64.
+    "t51_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS cnt,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin
   )
 }

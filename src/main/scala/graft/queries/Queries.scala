@@ -1257,6 +1257,22 @@ object Queries {
           Seq(col("l_partkey"), col("l_suppkey")), 16).as("zkey"))
       .orderBy("l_partkey", "l_suppkey")
 
+  /** T51 — GROUPING SETS beyond what rollup/cube can express: the
+    * (status, priority) detail, a priority-only slice (NOT a rollup
+    * prefix), and the grand total, in one Expand pass. */
+  def t51(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderpriority")), Seq.empty[Column]),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"),
+        money(sum(dec(col("o_totalprice")))).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("cnt"), col("total"))
+      .orderBy("status", "priority")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -1369,5 +1385,6 @@ object Queries {
     "x97_corr_matrix" -> (x97 _),
     "x98_scd2" -> (x98 _),
     "x99_pagerank" -> (x99 _),
-    "x100_zorder_key" -> (x100 _))
+    "x100_zorder_key" -> (x100 _),
+    "t51_grouping_sets" -> (t51 _))
 }
