@@ -22,11 +22,11 @@ object Graph {
     * which is what lets a SQL oracle mirror it with unrolled rounds.
     *
     * Scale shape (mirrors [[Dedup.connectedComponents]]):
-    * - the edge list and out-degrees are materialized ONCE,
-    *   pre-partitioned on the join key (`src`), so every round's
-    *   `edges ⋈ ranks` reuses that layout instead of re-shuffling the
-    *   full edge table — per round only the thin `(node, rank)` side
-    *   moves, and the contribution agg is map-side combinable;
+    * - the edge list is materialized ONCE, pre-partitioned on the join
+    *   key (`src`) with its static out-degree FOLDED IN (one window
+    *   pass over that layout, no extra shuffle), so every round is a
+    *   single `edges ⋈ ranks` — per round only the thin `(node, rank)`
+    *   side moves, and the contribution agg is map-side combinable;
     * - each round's rank table is cut (reliable checkpoint when a dir
     *   is configured, executor-local otherwise) so the logical plan
     *   does not nest per round, with round N−1's storage released as
@@ -45,16 +45,18 @@ object Graph {
     require(damping > 0 && damping < 1, s"need 0 < damping < 1, got $damping")
     val spark = edges.sparkSession
     val sc = spark.sparkContext
+    val dedup = edges.select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .distinct()
+    // out-degree is STATIC — fold it into the edge table once (a count
+    // window over the src-partitioned layout, no extra shuffle), so
+    // each round joins the thin rank table against ONE persisted
+    // (src, dst, deg) table instead of edges ⋈ ranks ⋈ degrees
     val e = scope.persist(
-      edges.select(col(srcCol).cast("string").as("src"),
-          col(dstCol).cast("string").as("dst"))
-        .distinct()
-        .repartition(col("src")))
-    // out-degree rides next to the edges: joined per round on the same
-    // src partitioning, so contributions = rank/deg never re-shuffle
-    val deg = scope.persist(
-      e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("deg"))
-        .repartition(col("src")))
+      dedup.repartition(col("src"))
+        .withColumn("deg", count(lit(1))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("src")))
+          .cast("double")))
     val nodes = scope.persist(
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct())
@@ -62,7 +64,7 @@ object Graph {
     // sinks: appear as dst but never as src — their rank would leak out
     // of the system each round without the uniform redistribution
     val sinks = scope.persist(
-      nodes.join(deg, col("node") === col("src"), "left_anti"))
+      nodes.join(e, col("node") === col("src"), "left_anti"))
     val hasSinks = sinks.limit(1).count() > 0
     val reliable = sc.getCheckpointDir.isDefined
     def cut(df: DataFrame): DataFrame =
@@ -86,7 +88,6 @@ object Graph {
           .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
       val contribs = e
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .join(deg, Seq("src"))
         .groupBy(col("dst"))
         .agg(sum(col("rank") / col("deg")).as("__in"))
       val next = nodes

@@ -34,16 +34,49 @@ object ZOrder {
     terms.reduce(_.bitwiseOR(_))
   }
 
-  /** Write `df` to parquet z-ordered on `cols`: range-partition by the
-    * Morton key into `numFiles` files, sort within each, drop the key.
-    * Range partitioning makes files own disjoint key ranges (global
+  /** Morton key over DOMAIN-SCALED columns: each column is first
+    * linearly mapped from its own [lo, hi] onto the full `bits`-wide
+    * range, then interleaved. This is the form a LAYOUT must use: raw
+    * interleaving hands the top lanes to whichever column has the
+    * widest domain (a 15-bit part key over a 10-bit supplier key leaves
+    * the supplier's top-6 lanes constant zero), and the range
+    * partitioner then splits files on that column alone — measured on
+    * sf0.1 lineitem, the supplier dimension pruned 30.8/32 files, i.e.
+    * not at all. Scaling gives every column equal say in every prefix
+    * of the key. Linear min/max scaling assumes roughly uniform value
+    * spread; heavily skewed layout columns want quantile bucketing
+    * before the interleave (the Delta OPTIMIZE ZORDER approach).
+    * Constant columns (hi = lo) contribute zero bits, harmlessly. */
+  def zorderKeyScaled(cols: Seq[Column], bits: Int,
+      bounds: Seq[(Double, Double)]): Column = {
+    require(cols.size == bounds.size, "one (lo, hi) bound per column")
+    val top = (1L << bits) - 1
+    val scaled = cols.zip(bounds).map { case (c, (lo, hi)) =>
+      if (hi <= lo) lit(0L)
+      else floor((c.cast("double") - lit(lo)) * top / (hi - lo)).cast("long")
+    }
+    zorderKey(scaled, bits)
+  }
+
+  /** Write `df` to parquet z-ordered on `cols`: domain-scale each
+    * column (one 1-row min/max agg), range-partition by the Morton key
+    * into `numFiles` files, sort within each, drop the key. Range
+    * partitioning makes files own disjoint key ranges (global
     * clustering, not just per-file), which is what gives every
-    * interleaved column its tight min/max stats. One shuffle, one
-    * sort — the standard price of any layout rewrite. */
+    * interleaved column its tight min/max stats. One extra bounds agg,
+    * one shuffle, one sort — the standard price of a layout rewrite. */
   def writeZOrdered(df: DataFrame, cols: Seq[String], bits: Int,
       path: String, numFiles: Int): Unit = {
     require(numFiles > 0, s"numFiles must be positive: $numFiles")
-    df.withColumn("__z", zorderKey(cols.map(col), bits))
+    val aggExprs = cols.flatMap(c =>
+      Seq(min(col(c).cast("double")).as(s"__lo_$c"),
+        max(col(c).cast("double")).as(s"__hi_$c")))
+    val boundsRow = df.agg(aggExprs.head, aggExprs.tail: _*).head()
+    val bounds = cols.indices.map { i =>
+      (Option(boundsRow.get(2 * i)).fold(0.0)(_.asInstanceOf[Double]),
+        Option(boundsRow.get(2 * i + 1)).fold(0.0)(_.asInstanceOf[Double]))
+    }
+    df.withColumn("__z", zorderKeyScaled(cols.map(col), bits, bounds))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
