@@ -1039,6 +1039,55 @@ object Dedup {
     * come from ONE aggregation over the single left join (no second
     * pass over the corpus shingles). The reference gram set is tiny
     * relative to the corpus (benchmarks ≪ crawl) — AQE broadcasts it. */
+  /** Corpus-wide boilerplate-paragraph removal (the CCNet/RefinedWeb
+    * paragraph-dedup shape): any paragraph appearing in at least
+    * `minDocs` DISTINCT documents is boilerplate (nav bars, cookie
+    * banners, license footers) and is struck from every document; each
+    * document's text is rebuilt from its surviving paragraphs in
+    * original order. Complements [[duplicatedSpans]] (token-run spans
+    * between specific PAIRS) with the corpus-global, paragraph-aligned
+    * form. Returns (id, text, n_paras, n_dropped) — documents that were
+    * ALL boilerplate survive with empty text (the caller decides
+    * whether an emptied doc also leaves the corpus).
+    *
+    * Scale shape: one split+posexplode (narrow), ONE paragraph-keyed
+    * count agg (map-side combinable; count DISTINCT docs per paragraph
+    * — a doc repeating its own footer is not corpus evidence), a
+    * left-anti join back, and one groupBy(doc) reassembly. Paragraphs
+    * shuffle as strings here for oracle-exactness; a production corpus
+    * would key both agg and anti-join on xxhash64(paragraph) and keep
+    * the string only in the reassembly shuffle. Empty paragraphs are
+    * dropped before counting, so output text is the delim-join of
+    * non-empty survivors (canonical, documented). */
+  def dropBoilerplateParagraphs(
+      docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Int, delim: String = "\n"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be at least 2, got $minDocs")
+    val paras = docs
+      .select(col(idCol), posexplode(
+        filter(split(col(textCol), java.util.regex.Pattern.quote(delim)),
+          p => length(p) > 0)).as(Seq("__pos", "__para")))
+    val boiler = paras.groupBy(col("__para"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__para"))
+    val kept = paras.join(boiler, Seq("__para"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__para")))),
+          s => s.getField("__para")), delim).as("__text"),
+        count(lit(1)).as("__kept"))
+    docs.select(col(idCol),
+        size(filter(split(col(textCol), java.util.regex.Pattern.quote(delim)),
+          p => length(p) > 0)).cast("long").as("n_paras"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__text"), lit("")).as(textCol),
+        col("n_paras"),
+        (col("n_paras") - coalesce(col("__kept"), lit(0L))).as("n_dropped"))
+  }
+
   def contamination(
       corpus: DataFrame, reference: DataFrame, idCol: String, textCol: String,
       n: Int, roundDigits: Int = 4): DataFrame = {

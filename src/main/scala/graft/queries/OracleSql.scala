@@ -1377,6 +1377,37 @@ object OracleSql {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
         |  (o_orderpriority), ())
-        |ORDER BY status, priority""".stripMargin
+        |ORDER BY status, priority""".stripMargin,
+
+    // x101 boilerplate paragraphs: same derived 3-word lines on both
+    // sides; a line in >= 5 distinct docs is struck, text rebuilt in
+    // original paragraph order.
+    "x101_boilerplate_paras" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(
+        |      string_split(
+        |        regexp_replace(text, '(\S+ \S+ \S+) ', '\1' || chr(10), 'g'),
+        |        chr(10)),
+        |      x -> length(x) > 0) AS paras
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    unnest([{'pos': i, 'para': paras[i]}
+        |            for i in range(1, len(paras)+1)], recursive := true)
+        |  FROM d),
+        |b AS (SELECT para FROM p GROUP BY para
+        |      HAVING COUNT(DISTINCT doc_id) >= 5),
+        |k AS (
+        |  SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text,
+        |    COUNT(*) AS kept
+        |  FROM p WHERE para NOT IN (SELECT para FROM b)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(k.text, '') AS text,
+        |  len(d.paras)::BIGINT AS n_paras,
+        |  (len(d.paras) - coalesce(k.kept, 0))::BIGINT AS n_dropped
+        |FROM d LEFT JOIN k ON d.doc_id = k.doc_id
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

@@ -1273,6 +1273,17 @@ object Queries {
         col("cnt"), col("total"))
       .orderBy("status", "priority")
 
+  /** X101 — corpus-wide boilerplate-paragraph removal: 3-word lines
+    * derived like x96, then any line appearing in ≥ 5 distinct docs is
+    * struck everywhere and texts are rebuilt (CCNet/RefinedWeb
+    * paragraph dedup; at sf0.01, 22 boilerplate lines hit 135 docs). */
+  def x101(s: SparkSession, dir: String): DataFrame =
+    Dedup.dropBoilerplateParagraphs(
+        Tables.documents(s, dir).select(col("doc_id"),
+          regexp_replace(col("text"), "(\\S+ \\S+ \\S+) ", "$1\n").as("text")),
+        "doc_id", "text", minDocs = 5)
+      .orderBy("doc_id")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -1386,5 +1397,6 @@ object Queries {
     "x98_scd2" -> (x98 _),
     "x99_pagerank" -> (x99 _),
     "x100_zorder_key" -> (x100 _),
-    "t51_grouping_sets" -> (t51 _))
+    "t51_grouping_sets" -> (t51 _),
+    "x101_boilerplate_paras" -> (x101 _))
 }

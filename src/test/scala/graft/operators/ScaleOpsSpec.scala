@@ -331,4 +331,26 @@ class ScaleOpsSpec extends SparkSpec {
       .select("vec_id").orderBy("vec_id").as[Long].collect().toSeq
     assert(got == Seq(1L, 4L, 5L, 6L), s"got $got")
   }
+
+  test("dropBoilerplateParagraphs: corpus-wide strike, order kept, self-repeats don't count") {
+    val docs = Seq(
+      (1L, "nav bar\nbody one\nfooter"),
+      (2L, "nav bar\nbody two\nfooter"),
+      (3L, "nav bar\nbody three"),
+      // doc 4 repeats its own footer — ONE distinct doc, so 'my note'
+      // stays; 'nav bar' is struck (3 distinct docs elsewhere)
+      (4L, "my note\nmy note\nnav bar"),
+      (5L, "nav bar\n\nnav bar")) // all boilerplate + empty para → ''
+      .toDF("doc_id", "text")
+    val got = Dedup.dropBoilerplateParagraphs(docs, "doc_id", "text",
+        minDocs = 3)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "body one\nfooter", 3L, 1L), // footer: only 2 distinct docs
+      (2L, "body two\nfooter", 3L, 1L),
+      (3L, "body three", 2L, 1L),
+      (4L, "my note\nmy note", 3L, 1L),
+      (5L, "", 2L, 2L)), s"got $got")
+  }
 }
