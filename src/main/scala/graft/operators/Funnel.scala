@@ -63,4 +63,40 @@ object Funnel {
   def compose(input: DataFrame,
       stages: Seq[(String, DataFrame => DataFrame)]): DataFrame =
     stages.foldLeft(input) { case (df, (_, fn)) => fn(df) }
+
+  /** Streaming form: the same per-stage observation on an unbounded
+    * frame. `Observation` refuses streaming Datasets, so the metric
+    * points are named (`funnel_<stage>`) and surface PER MICRO-BATCH in
+    * each `StreamingQueryProgress.observedMetrics` — read them with
+    * [[progressCounts]] from `query.lastProgress`/`recentProgress` or a
+    * listener. Same zero-extra-scans property per batch, and the
+    * per-batch funnel is exactly what a curation stream's monitoring
+    * wants (drop-rate spikes localize to a batch, not a lifetime
+    * average). */
+  def instrumentStreaming(input: DataFrame,
+      stages: Seq[(String, DataFrame => DataFrame)]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val names = "input" +: stages.map(_._1)
+    require(names.distinct.size == names.size,
+      s"stage names must be unique: $names")
+    stages.foldLeft(
+        input.observe("funnel_input", count(lit(1)).as("rows"))) {
+      case (df, (name, fn)) =>
+        fn(df).observe(s"funnel_$name", count(lit(1)).as("rows"))
+    }
+  }
+
+  /** Decode one micro-batch's funnel from its progress object: the
+    * (stage, rows) counts in stage order, input first. Stages whose
+    * metric is absent from this batch (empty batch planning) are
+    * omitted. */
+  def progressCounts(
+      progress: org.apache.spark.sql.streaming.StreamingQueryProgress,
+      stageNames: Seq[String]): Seq[(String, Long)] = {
+    val metrics = progress.observedMetrics
+    ("input" +: stageNames).flatMap { n =>
+      Option(metrics.get(s"funnel_$n"))
+        .map(row => n -> row.getAs[Long]("rows"))
+    }
+  }
 }

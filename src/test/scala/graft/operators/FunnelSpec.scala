@@ -76,6 +76,29 @@ class FunnelSpec extends SparkSpec {
     assert(!plan.contains("CollectMetrics"), s"plain twin instrumented:\n$plan")
   }
 
+  test("streaming funnel: per-micro-batch observed counts, batch-local not cumulative") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val narrow = stages.take(2)
+    val df = Funnel.instrumentStreaming(mem.toDS().toDF("id"), narrow)
+    val sink = s"funnel_stream_${System.nanoTime()}"
+    val q = df.writeStream.format("memory").queryName(sink).start()
+    try {
+      mem.addData(0L until 100L: _*)
+      q.processAllAvailable()
+      val p1 = q.recentProgress.filter(_.numInputRows > 0).last
+      assert(Funnel.progressCounts(p1, narrow.map(_._1)) ==
+        Seq("input" -> 100L, "keep_even" -> 50L, "keep_small" -> 25L))
+      // second batch: counts are THIS batch's, not running totals
+      mem.addData(100L until 140L: _*) // all >= 50: keep_small drops every survivor
+      q.processAllAvailable()
+      val p2 = q.recentProgress.filter(_.numInputRows > 0).last
+      assert(Funnel.progressCounts(p2, narrow.map(_._1)) ==
+        Seq("input" -> 40L, "keep_even" -> 20L, "keep_small" -> 0L))
+    } finally q.stop()
+  }
+
   test("duplicate stage names refuse loudly") {
     val err = intercept[IllegalArgumentException] {
       Funnel.instrument(spark.range(1).toDF(),
