@@ -121,6 +121,74 @@ object TimeSeries {
     * NOT `dayofweek` which is Sun=1), weekend flag (Sat/Sun).
     * Ref: utils.py:10-24.
     */
+  /** Event-sequence funnel: for each user, the earliest completion of
+    * `steps` in order, each step within `maxGapSeconds` of the previous
+    * one (the product-analytics "signup → view → purchase" conversion
+    * query). Returns one row per user who reached step 1, with
+    * `step_i` = epoch seconds of the earliest qualifying event (null
+    * once the chain breaks) and `completed` = how many steps the chain
+    * reached. "Earliest qualifying" is greedy per step — min ts of
+    * step 1, then min ts of step 2 after it, and so on.
+    *
+    * Scale shape: one filtered agg per step over the (user)-keyed
+    * events — k−1 join+agg rounds of per-user cardinality, never an
+    * event×event self-join; the event rows a step joins are filtered to
+    * that step's type first, so each round moves only that type's
+    * slice. Timestamps compare as full-precision epoch DOUBLES (both
+    * engines derive the identical IEEE value from the microsecond
+    * timestamp, so the comparison is portable bit-for-bit). */
+  def sequenceFunnel(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], maxGapSeconds: Long): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs at least 2 steps, got $steps")
+    require(maxGapSeconds > 0, "maxGapSeconds must be positive")
+    val et = col(tsCol).cast("double")
+    val first = df.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(et).as("step_1"))
+    val chained = steps.tail.zipWithIndex.foldLeft(first) {
+      case (acc, (st, i)) =>
+        val prev = s"step_${i + 1}"; val cur = s"step_${i + 2}"
+        val nxt = df.filter(col(typeCol) === st)
+          .select(col(userCol), et.as("__t"))
+        val carried = acc.columns.map(col)
+        acc.join(nxt, Seq(userCol), "left")
+          .groupBy(carried: _*)
+          .agg(min(when(col("__t") > col(prev) &&
+              col("__t") <= col(prev) + maxGapSeconds, col("__t")))
+            .as(cur))
+    }
+    val stepCols = steps.indices.map(i => col(s"step_${i + 1}"))
+    val completed = stepCols.map(c =>
+      when(c.isNotNull, 1L).otherwise(0L)).reduce(_ + _)
+    // a null step nulls every later step by construction (the chain
+    // condition references the previous step), so the count is the
+    // chain length
+    chained.select(
+      col(userCol) +:
+        steps.indices.map(i =>
+          col(s"step_${i + 1}").cast("bigint").as(s"step_${i + 1}")) :+
+        completed.as("completed"): _*)
+  }
+
+  /** Weekly retention cohorts: users grouped by the week of their FIRST
+    * event; for each (cohort week, weeks since) cell, how many of that
+    * cohort's users were active — the standard retention triangle. Both
+    * week truncations are Monday-based, so the offset is an exact
+    * multiple of 7 days. One per-user min agg, a join back, and one
+    * (cohort, offset) count-distinct agg. */
+  def retentionCohorts(df: DataFrame, userCol: String, tsCol: String)
+    : DataFrame = {
+    val firsts = df.groupBy(col(userCol))
+      .agg(date_trunc("week", min(col(tsCol))).as("__cohort"))
+    df.select(col(userCol), date_trunc("week", col(tsCol)).as("__week"))
+      .join(firsts, Seq(userCol))
+      .groupBy(col("__cohort"), col("__week"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+      .select(col("__cohort").cast("date").as("cohort_week"),
+        (datediff(col("__week"), col("__cohort")) / 7).cast("bigint")
+          .as("week_offset"),
+        col("n_users"))
+  }
+
   def timeFeatures(df: DataFrame, dateCol: String, prefix: String = ""): DataFrame = {
     val d = col(dateCol)
     df.withColumn(s"${prefix}quarter", quarter(d))

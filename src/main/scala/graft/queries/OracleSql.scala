@@ -1408,6 +1408,52 @@ object OracleSql {
         |  len(d.paras)::BIGINT AS n_paras,
         |  (len(d.paras) - coalesce(k.kept, 0))::BIGINT AS n_dropped
         |FROM d LEFT JOIN k ON d.doc_id = k.doc_id
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // x102 sequence funnel: greedy earliest chain, one filtered agg per
+    // step; CAST(ts AS TIMESTAMP) truncates DuckDB's ns read to the µs
+    // precision Spark's parquet reader delivers, so the epoch doubles
+    // compare identically.
+    "x102_sequence_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(epoch(CAST(ts AS TIMESTAMP))) AS t1
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT s1.user_id, s1.t1,
+        |    min(CASE WHEN epoch(CAST(e.ts AS TIMESTAMP)) > s1.t1
+        |              AND epoch(CAST(e.ts AS TIMESTAMP)) <= s1.t1 + 86400
+        |             THEN epoch(CAST(e.ts AS TIMESTAMP)) END) AS t2
+        |  FROM s1 LEFT JOIN events e
+        |    ON e.user_id = s1.user_id AND e.event_type = 'view'
+        |  GROUP BY s1.user_id, s1.t1),
+        |s3 AS (
+        |  SELECT s2.user_id, s2.t1, s2.t2,
+        |    min(CASE WHEN epoch(CAST(e.ts AS TIMESTAMP)) > s2.t2
+        |              AND epoch(CAST(e.ts AS TIMESTAMP)) <= s2.t2 + 86400
+        |             THEN epoch(CAST(e.ts AS TIMESTAMP)) END) AS t3
+        |  FROM s2 LEFT JOIN events e
+        |    ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+        |  GROUP BY s2.user_id, s2.t1, s2.t2)
+        |SELECT user_id, floor(t1)::BIGINT AS step_1,
+        |  floor(t2)::BIGINT AS step_2, floor(t3)::BIGINT AS step_3,
+        |  ((t1 IS NOT NULL)::INT + (t2 IS NOT NULL)::INT +
+        |   (t3 IS NOT NULL)::INT)::BIGINT AS completed
+        |FROM s3 ORDER BY user_id""".stripMargin,
+
+    // x103 retention triangle: Monday week truncation on both engines,
+    // offsets exact multiples of 7 days.
+    "x103_retention_cohorts" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS cohort
+        |  FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT e.user_id, f.cohort,
+        |    date_trunc('week', CAST(e.ts AS TIMESTAMP)) AS wk
+        |  FROM events e JOIN f ON e.user_id = f.user_id)
+        |SELECT cohort::DATE AS cohort_week,
+        |  ((wk::DATE - cohort::DATE) / 7)::BIGINT AS week_offset,
+        |  COUNT(DISTINCT user_id)::BIGINT AS n_users
+        |FROM a GROUP BY cohort, wk ORDER BY cohort_week, week_offset""".stripMargin
   )
 }

@@ -1284,6 +1284,23 @@ object Queries {
         "doc_id", "text", minDocs = 5)
       .orderBy("doc_id")
 
+  /** X102 — event-sequence conversion funnel: earliest
+    * signup → view → purchase chain per user, each step within 24h of
+    * the previous (epoch-seconds outputs; the oracle mirrors Spark's
+    * microsecond timestamp precision via CAST(ts AS TIMESTAMP)). */
+  def x102(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.sequenceFunnel(Tables.events(s, dir), "user_id", "ts",
+        "event_type", Seq("signup", "view", "purchase"),
+        maxGapSeconds = 86400)
+      .orderBy("user_id")
+
+  /** X103 — weekly retention cohorts over the events stream: users
+    * bucketed by first-event week, activity counted per week offset
+    * (the retention triangle). */
+  def x103(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.retentionCohorts(Tables.events(s, dir), "user_id", "ts")
+      .orderBy("cohort_week", "week_offset")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -1398,5 +1415,7 @@ object Queries {
     "x99_pagerank" -> (x99 _),
     "x100_zorder_key" -> (x100 _),
     "t51_grouping_sets" -> (t51 _),
-    "x101_boilerplate_paras" -> (x101 _))
+    "x101_boilerplate_paras" -> (x101 _),
+    "x102_sequence_funnel" -> (x102 _),
+    "x103_retention_cohorts" -> (x103 _))
 }

@@ -69,4 +69,43 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out("2016-01-01") == (53, 1, 1))
     assert(out("2015-12-31") == (53, 4, 31))
   }
+
+  test("sequenceFunnel: greedy earliest chain, gap break, order matters") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val events = Seq(
+      // u1 completes A(10) -> B(20) -> C(25); B at 5 is BEFORE A, ignored
+      (1L, ts(5), "B"), (1L, ts(10), "A"), (1L, ts(20), "B"), (1L, ts(25), "C"),
+      // u2: B arrives outside the 100s gap after A -> chain stops at A;
+      // the C inside the gap of A does NOT count (it needs B first)
+      (2L, ts(10), "A"), (2L, ts(200), "B"), (2L, ts(50), "C"),
+      // u3 never does A -> no row at all
+      (3L, ts(10), "B"), (3L, ts(20), "C"))
+      .toDF("user_id", "ts", "event_type")
+    val got = TimeSeries.sequenceFunnel(events, "user_id", "ts",
+        "event_type", Seq("A", "B", "C"), maxGapSeconds = 100)
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getLong(4)))
+      .toSeq
+    assert(got == Seq(
+      (1L, Some(10L), Some(20L), Some(25L), 3L),
+      (2L, Some(10L), None, None, 1L)), s"got $got")
+  }
+
+  test("retentionCohorts: first week defines the cohort, offsets count distinct users") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    // week of 2024-01-01 is Mon Jan 1; next week starts Jan 8
+    val events = Seq(
+      (1L, ts(2)), (1L, ts(3)), (1L, ts(9)),  // cohort w0, active w0+w1
+      (2L, ts(4)),                            // cohort w0, only w0
+      (3L, ts(10)), (3L, ts(16)))             // cohort w1, active w1+w2
+      .toDF("user_id", "ts")
+    val got = TimeSeries.retentionCohorts(events, "user_id", "ts")
+      .orderBy("cohort_week", "week_offset")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got == Seq(
+      ("2024-01-01", 0L, 2L), ("2024-01-01", 1L, 1L),
+      ("2024-01-08", 0L, 1L), ("2024-01-08", 1L, 1L)), s"got $got")
+  }
 }
