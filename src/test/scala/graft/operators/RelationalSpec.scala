@@ -153,4 +153,22 @@ class RelationalSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges == 1, s"scd2 must plan ONE exchange, got $exchanges:\n$plan")
   }
+
+  test("scd2 multi-attribute: a change in ANY tracked column opens an interval") {
+    val df = Seq(
+      ("k", 1, "a", 10), ("k", 2, "a", 10), // no change
+      ("k", 3, "a", 20),                    // second attr changes
+      ("k", 4, "b", 20),                    // first attr changes
+      ("k", 5, "b", 20))                    // no change
+      .toDF("k", "seq", "x", "y")
+    val got = Relational.scd2(df, Seq("k"), "seq", "seq", Seq("x", "y"))
+      .orderBy("valid_from")
+      .collect().map(r => (r.getString(1), r.getInt(2), r.getInt(3),
+        Option(r.get(4)).map(_.toString), r.getBoolean(5)))
+      .toSeq
+    assert(got == Seq(
+      ("a", 10, 1, Some("3"), false),
+      ("a", 20, 3, Some("4"), false),
+      ("b", 20, 4, None, true)), s"got $got")
+  }
 }

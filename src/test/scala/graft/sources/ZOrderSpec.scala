@@ -34,6 +34,28 @@ class ZOrderSpec extends SparkSpec {
     assert((z1 ^ z2) === 2L) // bit 0 of column b sits in lane 1
   }
 
+  test("zorderKey is a bijection: keys decode back to their coordinates") {
+    // deterministic pseudo-random 16-bit pairs + the corner cases
+    val pairs = (Seq((0L, 0L), (65535L, 65535L), (0L, 65535L), (65535L, 0L)) ++
+      (1 to 200).map(i => ((i * 7919L) % 65536, (i * 104729L) % 65536))).distinct
+    def decode(z: Long): (Long, Long) = {
+      var a = 0L; var b = 0L
+      for (i <- 0 until 16) {
+        a |= ((z >> (2 * i)) & 1L) << i
+        b |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      (a, b)
+    }
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        ZOrder.zorderKey(Seq(col("a"), col("b")), 16).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (a, b, z) =>
+      assert(decode(z) == (a, b), s"key $z decodes to ${decode(z)}, not ($a,$b)")
+    }
+    assert(got.map(_._3).distinct.length == pairs.size) // injective
+  }
+
   test("z-ordered layout prunes files on BOTH dimensions") {
     // 64x64 grid, every cell once: a single-column sort clusters only
     // its leading column; the Morton layout gives every file a tight
