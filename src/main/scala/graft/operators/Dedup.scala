@@ -1050,23 +1050,30 @@ object Dedup {
     * ALL boilerplate survive with empty text (the caller decides
     * whether an emptied doc also leaves the corpus).
     *
-    * Scale shape: one split+posexplode (narrow), ONE paragraph-keyed
-    * count agg (map-side combinable; count DISTINCT docs per paragraph
-    * — a doc repeating its own footer is not corpus evidence), a
-    * left-anti join back, and one groupBy(doc) reassembly. Paragraphs
-    * shuffle as strings here for oracle-exactness; a production corpus
-    * would key both agg and anti-join on xxhash64(paragraph) and keep
-    * the string only in the reassembly shuffle. Empty paragraphs are
+    * Scale shape: the TEXT column is scanned ONCE — the exploded
+    * (doc, pos, para) frame is persisted through the scope and serves
+    * all three consumers (the boilerplate agg, the reassembly, the
+    * per-doc totals); only the 8-byte id column is re-read to keep
+    * zero-paragraph documents in the output. The boilerplate agg is
+    * map-side combinable and counts DISTINCT docs per paragraph (a doc
+    * repeating its own footer is not corpus evidence); survivors come
+    * back via a left-anti join (AQE broadcasts the boilerplate side
+    * when small) and one groupBy(doc) reassembly. Paragraphs shuffle
+    * as strings here for oracle-exactness; a production corpus would
+    * key both agg and anti-join on xxhash64(paragraph) and keep the
+    * string only in the reassembly shuffle. Empty paragraphs are
     * dropped before counting, so output text is the delim-join of
     * non-empty survivors (canonical, documented). */
   def dropBoilerplateParagraphs(
       docs: DataFrame, idCol: String, textCol: String,
-      minDocs: Int, delim: String = "\n"): DataFrame = {
+      minDocs: Int, delim: String = "\n",
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+    : DataFrame = {
     require(minDocs >= 2, s"minDocs must be at least 2, got $minDocs")
-    val paras = docs
+    val paras = scope.persist(docs
       .select(col(idCol), posexplode(
         filter(split(col(textCol), java.util.regex.Pattern.quote(delim)),
-          p => length(p) > 0)).as(Seq("__pos", "__para")))
+          p => length(p) > 0)).as(Seq("__pos", "__para"))))
     val boiler = paras.groupBy(col("__para"))
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= minDocs)
@@ -1078,14 +1085,18 @@ object Dedup {
           array_sort(collect_list(struct(col("__pos"), col("__para")))),
           s => s.getField("__para")), delim).as("__text"),
         count(lit(1)).as("__kept"))
-    docs.select(col(idCol),
-        size(filter(split(col(textCol), java.util.regex.Pattern.quote(delim)),
-          p => length(p) > 0)).cast("long").as("n_paras"))
+    val totals = paras.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_paras"))
+    // id-only scan: documents whose every paragraph was empty (or whose
+    // text was empty) have no paras rows but must stay in the corpus
+    docs.select(col(idCol))
+      .join(totals, Seq(idCol), "left")
       .join(kept, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("__text"), lit("")).as(textCol),
-        col("n_paras"),
-        (col("n_paras") - coalesce(col("__kept"), lit(0L))).as("n_dropped"))
+        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+        (coalesce(col("n_paras"), lit(0L)) -
+          coalesce(col("__kept"), lit(0L))).as("n_dropped"))
   }
 
   def contamination(

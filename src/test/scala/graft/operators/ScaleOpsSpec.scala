@@ -340,7 +340,8 @@ class ScaleOpsSpec extends SparkSpec {
       // doc 4 repeats its own footer — ONE distinct doc, so 'my note'
       // stays; 'nav bar' is struck (3 distinct docs elsewhere)
       (4L, "my note\nmy note\nnav bar"),
-      (5L, "nav bar\n\nnav bar")) // all boilerplate + empty para → ''
+      (5L, "nav bar\n\nnav bar"), // all boilerplate + empty para → ''
+      (6L, ""))                   // zero paragraphs: must stay, 0/0
       .toDF("doc_id", "text")
     val got = Dedup.dropBoilerplateParagraphs(docs, "doc_id", "text",
         minDocs = 3)
@@ -351,6 +352,23 @@ class ScaleOpsSpec extends SparkSpec {
       (2L, "body two\nfooter", 3L, 1L),
       (3L, "body three", 2L, 1L),
       (4L, "my note\nmy note", 3L, 1L),
-      (5L, "", 2L, 2L)), s"got $got")
+      (5L, "", 2L, 2L),
+      (6L, "", 0L, 0L)), s"got $got")
+    // the text column is scanned ONCE: every other consumer reads the
+    // persisted paragraph frame, and the only rescan is id-only
+    val scope = graft.util.CacheScope()
+    try {
+      val plan = Dedup.dropBoilerplateParagraphs(docs, "doc_id", "text",
+          minDocs = 3, scope = scope)
+        .queryExecution.executedPlan.toString
+      // all three paragraph consumers read the persisted frame...
+      assert("InMemoryTableScan".r.findAllIn(plan).size >= 2,
+        s"paragraph frame must be served from cache:\n$plan")
+      // ...and the only direct read of the input is the id-only scan
+      // (text appears under the cache DEFINITION, never a second scan)
+      assert(plan.split('\n').exists(l =>
+        l.contains("LocalTableScan [doc_id#") && !l.contains("text#")),
+        s"id-only base scan missing:\n$plan")
+    } finally scope.unpersistAll()
   }
 }
