@@ -15,6 +15,13 @@ package graft.queries
   * here as inline `list_reduce` folds over code points — identical
   * arithmetic mod 1e9+7, so dedup/fingerprint results match bit-for-bit
   * including hash collisions.
+  *
+  * Negative-zero convention: Spark's ROUND goes through BigDecimal and
+  * can never emit -0.0; DuckDB's is IEEE and rounds tiny negatives to
+  * -0.0, which renders differently and fails the hash. Any rounded
+  * DOUBLE output column whose value can approach zero from below must
+  * add `+ 0.0` in the DuckDB twin (see t44) — a no-op everywhere except
+  * exactly -0.0.
   */
 object OracleSql {
 
@@ -494,11 +501,15 @@ object OracleSql {
         |  ON e.user_id = p.user_id AND e.ts >= p.ts
         |ORDER BY event_id""".stripMargin,
 
+    // + 0.0 canonicalizes negative zero: DuckDB's ROUND is IEEE
+    // (round(-2e-5, 4) = -0.0) while Spark's BigDecimal round renders
+    // +0.0 — first seen on the sf0.1 sweep (vec 1753), invisible at
+    // sf0.01. IEEE -0.0 + 0.0 = +0.0; every other value is unchanged.
     "t44_array_funcs" ->
       """SELECT vec_id,
         |  CAST(len(embedding) AS BIGINT) AS dim,
-        |  ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first,
-        |  ROUND(CAST(embedding[-1] AS DOUBLE), 4) AS "last",
+        |  ROUND(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS first,
+        |  ROUND(CAST(embedding[-1] AS DOUBLE), 4) + 0.0 AS "last",
         |  CAST(len(embedding[5:12]) AS BIGINT) AS slice_len
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
