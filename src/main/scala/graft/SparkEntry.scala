@@ -32,5 +32,6 @@ object SparkEntry {
       "x78_neardup_drop_index" -> (Queries.x77Setup _),
       "x79_refdigest_dedup" -> (Queries.x79Setup _),
       "x85_bloom_dedup" -> (Queries.x85Setup _),
-      "x95_embedding_neardup_index" -> (Queries.x95Setup _))
+      "x95_embedding_neardup_index" -> (Queries.x95Setup _),
+      "x104_boilerplate_incremental" -> (Queries.x104Setup _))
 }

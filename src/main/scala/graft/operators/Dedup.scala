@@ -1070,14 +1070,27 @@ object Dedup {
       scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
     : DataFrame = {
     require(minDocs >= 2, s"minDocs must be at least 2, got $minDocs")
-    val paras = scope.persist(docs
-      .select(col(idCol), posexplode(
-        filter(split(col(textCol), java.util.regex.Pattern.quote(delim)),
-          p => length(p) > 0)).as(Seq("__pos", "__para"))))
+    val paras = scope.persist(explodedParas(docs, idCol, textCol, delim))
     val boiler = paras.groupBy(col("__para"))
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= minDocs)
       .select(col("__para"))
+    strikeParas(docs, paras, idCol, textCol, boiler, delim)
+  }
+
+  /** (id, __pos, __para) — non-empty paragraphs of each doc in order. */
+  private def explodedParas(docs: DataFrame, idCol: String,
+      textCol: String, delim: String): DataFrame =
+    docs.select(col(idCol), posexplode(
+      filter(split(col(textCol), java.util.regex.Pattern.quote(delim)),
+        p => length(p) > 0)).as(Seq("__pos", "__para")))
+
+  /** Shared strike+reassemble tail: drop `boiler` paragraphs from the
+    * pre-exploded `paras` frame, rebuild text per doc in original
+    * order, and keep zero-paragraph docs via an id-only rescan. */
+  private def strikeParas(docs: DataFrame, paras: DataFrame,
+      idCol: String, textCol: String, boiler: DataFrame,
+      delim: String): DataFrame = {
     val kept = paras.join(boiler, Seq("__para"), "left_anti")
       .groupBy(col(idCol))
       .agg(
@@ -1097,6 +1110,70 @@ object Dedup {
         coalesce(col("n_paras"), lit(0L)).as("n_paras"),
         (coalesce(col("n_paras"), lit(0L)) -
           coalesce(col("__kept"), lit(0L))).as("n_dropped"))
+  }
+
+  /** One-time persisted boilerplate-paragraph list over a FROZEN
+    * reference corpus — the sidecar that lets a stream (or any
+    * incremental batch flow) strike known boilerplate without ever
+    * re-aggregating the reference: the corpus-wide
+    * countDistinct-docs-per-paragraph agg runs once, its survivors land
+    * in parquet under `dir`, and the stamp scheme is shared with
+    * [[ensureReferenceDigests]] (corpusIdentity + params; parquet
+    * written BEFORE the stamp so a crash mid-build leaves "no stamp →
+    * rebuild"). `minDocs` and `delim` are part of the identity — a
+    * parameter change rebuilds rather than serving a stale list. */
+  def ensureBoilerplateParagraphs(
+      reference: DataFrame, idCol: String, textCol: String,
+      minDocs: Int, dir: String, delim: String = "\n"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be at least 2, got $minDocs")
+    val spark = reference.sparkSession
+    val (mode, cnt, fp) = corpusIdentity(reference, idCol, textCol)
+    val ident = s"bp:$mode:$cnt:$fp:$minDocs:${hash64(delim)}"
+    val parasPath = s"$dir/paras"
+    val stamp = new org.apache.hadoop.fs.Path(dir, "source.json")
+    val fs = stamp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing =
+      if (readDigestStamp(spark, dir).contains(ident))
+        try {
+          val df = graft.util.ParquetSchemaMemo.read(spark, parasPath)
+          df.select("__para") // schema check: half-written/foreign dir
+          Some(df)
+        } catch { case scala.util.control.NonFatal(_) => None }
+      else None
+    existing.getOrElse {
+      fs.delete(stamp, false)
+      explodedParas(reference, idCol, textCol, delim)
+        .groupBy(col("__para"))
+        .agg(countDistinct(col(idCol)).as("__nd"))
+        .filter(col("__nd") >= minDocs)
+        .select(col("__para"))
+        .write.mode("overwrite").parquet(parasPath)
+      graft.util.ParquetSchemaMemo.invalidate(parasPath)
+      val out = fs.create(stamp, true)
+      try out.write(s"""{"ident":"$ident"}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      graft.util.ParquetSchemaMemo.read(spark, parasPath)
+    }
+  }
+
+  /** Strike a STORED boilerplate list (from
+    * [[ensureBoilerplateParagraphs]]) out of a batch: only the batch's
+    * text is split — the reference corpus is never re-read, and the
+    * stored list is small (survivor paragraphs only), so AQE broadcasts
+    * the anti-join side. Note the semantic difference from
+    * [[dropBoilerplateParagraphs]]: the boilerplate definition is the
+    * REFERENCE's — a paragraph repeated only within the batch is not
+    * struck (run the corpus-global form over the merged corpus when
+    * batch-internal boilerplate matters). */
+  def strikeBoilerplateAgainstReference(
+      batch: DataFrame, idCol: String, textCol: String,
+      boiler: DataFrame, delim: String = "\n",
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+    : DataFrame = {
+    val paras = scope.persist(explodedParas(batch, idCol, textCol, delim))
+    strikeParas(batch, paras, idCol, textCol, boiler.select(col("__para")),
+      delim)
   }
 
   def contamination(

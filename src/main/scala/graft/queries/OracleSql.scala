@@ -1465,6 +1465,37 @@ object OracleSql {
         |SELECT cohort::DATE AS cohort_week,
         |  ((wk::DATE - cohort::DATE) / 7)::BIGINT AS week_offset,
         |  COUNT(DISTINCT user_id)::BIGINT AS n_users
-        |FROM a GROUP BY cohort, wk ORDER BY cohort_week, week_offset""".stripMargin
+        |FROM a GROUP BY cohort, wk ORDER BY cohort_week, week_offset""".stripMargin,
+
+    // x104 incremental boilerplate strike: the list comes from the
+    // reference slice only; the batch is struck against it.
+    "x104_boilerplate_incremental" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(
+        |      string_split(
+        |        regexp_replace(text, '(\S+ \S+ \S+) ', '\1' || chr(10), 'g'),
+        |        chr(10)),
+        |      x -> length(x) > 0) AS paras
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    unnest([{'pos': i, 'para': paras[i]}
+        |            for i in range(1, len(paras)+1)], recursive := true)
+        |  FROM d),
+        |b AS (SELECT para FROM p WHERE doc_id < 400 GROUP BY para
+        |      HAVING COUNT(DISTINCT doc_id) >= 4),
+        |k AS (
+        |  SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text,
+        |    COUNT(*) AS kept
+        |  FROM p WHERE doc_id >= 400 AND para NOT IN (SELECT para FROM b)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(k.text, '') AS text,
+        |  len(d.paras)::BIGINT AS n_paras,
+        |  (len(d.paras) - coalesce(k.kept, 0))::BIGINT AS n_dropped
+        |FROM d LEFT JOIN k ON d.doc_id = k.doc_id
+        |WHERE d.doc_id >= 400
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

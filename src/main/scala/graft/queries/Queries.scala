@@ -1301,6 +1301,40 @@ object Queries {
     TimeSeries.retentionCohorts(Tables.events(s, dir), "user_id", "ts")
       .orderBy("cohort_week", "week_offset")
 
+  /** X104 — x101's incremental form: the boilerplate list is built
+    * ONCE over the frozen reference (doc_id < 400, persisted sidecar,
+    * stamped like the digest/index sidecars) and the incoming batch
+    * (doc_id ≥ 400) is struck against the STORED list — per batch only
+    * the batch's text is split; the reference is never re-aggregated. */
+  def x104(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+      regexp_replace(col("text"), "(\\S+ \\S+ \\S+) ", "$1\n").as("text"))
+    val boiler = Dedup.ensureBoilerplateParagraphs(
+      docs.filter(col("doc_id") < 400), "doc_id", "text",
+      minDocs = 4, x104BoilerDir(dir))
+    Dedup.strikeBoilerplateAgainstReference(
+        docs.filter(col("doc_id") >= 400), "doc_id", "text", boiler)
+      .orderBy("doc_id")
+  }
+
+  /** x104's per-corpus sidecar work dir (same keying rule as
+    * [[x79DigestDir]]: sanitized data path + corpus predicate + params). */
+  private[graft] def x104BoilerDir(dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-boiler-$key-ref400-w3m4").getPath
+  }
+
+  /** Bench setup for x104: the one-time boilerplate-list build runs
+    * untimed (the steady state strikes against the stored list). */
+  def x104Setup(s: SparkSession, dir: String): Unit = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+      regexp_replace(col("text"), "(\\S+ \\S+ \\S+) ", "$1\n").as("text"))
+    Dedup.ensureBoilerplateParagraphs(docs.filter(col("doc_id") < 400),
+      "doc_id", "text", minDocs = 4, x104BoilerDir(dir))
+    ()
+  }
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -1417,5 +1451,6 @@ object Queries {
     "t51_grouping_sets" -> (t51 _),
     "x101_boilerplate_paras" -> (x101 _),
     "x102_sequence_funnel" -> (x102 _),
-    "x103_retention_cohorts" -> (x103 _))
+    "x103_retention_cohorts" -> (x103 _),
+    "x104_boilerplate_incremental" -> (x104 _))
 }

@@ -371,4 +371,36 @@ class ScaleOpsSpec extends SparkSpec {
         s"id-only base scan missing:\n$plan")
     } finally scope.unpersistAll()
   }
+
+  test("boilerplate sidecar: stored list strikes the batch; memoized; params rebuild") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-boiler").toString
+    val ref = Seq(
+      (1L, "nav bar\nalpha"), (2L, "nav bar\nbeta"), (3L, "nav bar\ngamma"))
+      .toDF("doc_id", "text")
+    val boiler = Dedup.ensureBoilerplateParagraphs(ref, "doc_id", "text",
+      minDocs = 3, tmp)
+    assert(boiler.as[String].collect().toSeq == Seq("nav bar"))
+    // the REFERENCE defines boilerplate: 'spam' repeats across the
+    // batch's own docs but is NOT struck; 'nav bar' is
+    val batch = Seq(
+      (10L, "nav bar\nspam\ncontent"), (11L, "spam\nmore"))
+      .toDF("doc_id", "text")
+    val got = Dedup.strikeBoilerplateAgainstReference(
+        batch, "doc_id", "text", boiler)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (10L, "spam\ncontent", 3L, 1L),
+      (11L, "spam\nmore", 2L, 0L)), s"got $got")
+    // memoized: a second ensure with identical params rewrites nothing
+    def partFiles = new java.io.File(s"$tmp/paras").listFiles()
+      .map(f => f.getName -> f.lastModified()).toSet
+    val before = partFiles
+    Dedup.ensureBoilerplateParagraphs(ref, "doc_id", "text", minDocs = 3, tmp)
+    assert(partFiles == before, "matching stamp must not rebuild")
+    // a parameter change is a different identity: rebuild, new content
+    val loose = Dedup.ensureBoilerplateParagraphs(ref, "doc_id", "text",
+      minDocs = 2, tmp)
+    assert(loose.as[String].collect().toSeq == Seq("nav bar"))
+    assert(partFiles != before, "param change must rebuild the sidecar")
+  }
 }
