@@ -39,7 +39,8 @@ object Graph {
   def pageRank(
       edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, damping: Double = 0.85,
-      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged,
+      onRound: (Int, Double) => Unit = (_, _) => ())
     : DataFrame = {
     require(iterations >= 1, s"need iterations >= 1, got $iterations")
     require(damping > 0 && damping < 1, s"need 0 < damping < 1, got $damping")
@@ -80,6 +81,7 @@ object Graph {
     var ranks = cut(nodes.select(col("node"), lit(1.0 / n).as("rank")))
     var round = 0
     while (round < iterations) {
+      val roundT0 = System.nanoTime()
       // dangling mass: ONE 1-row agg over the (small) sink slice of the
       // current ranks; skipped entirely when the graph has no sinks
       val danglingMass =
@@ -101,6 +103,10 @@ object Graph {
       else checkpointFile(ranks).foreach(deleteCheckpointFile)
       ranks = cutNext
       round += 1
+      // telemetry hook (default no-op): PageRankScaleDemo uses it to
+      // demonstrate flat per-round cost — the claim the pre-partitioned
+      // edge materialization exists to deliver
+      onRound(round, (System.nanoTime() - roundT0) / 1e9)
     }
     ranks
   }

@@ -403,4 +403,35 @@ class ScaleOpsSpec extends SparkSpec {
     assert(loose.as[String].collect().toSeq == Seq("nav bar"))
     assert(partFiles != before, "param change must rebuild the sidecar")
   }
+
+  test("boilerplate strike composes in a foreachBatch stream: ensure memoizes across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-boilstream")
+    val sideDir = s"$tmp/boiler"; val outDir = s"$tmp/out"; val ck = s"$tmp/ck"
+    val ref = Seq(
+      (1L, "cookie banner\none"), (2L, "cookie banner\ntwo"),
+      (3L, "cookie banner\nthree")).toDF("doc_id", "text")
+    // build ONCE before the stream starts (a real deployment does this
+    // at reference freeze); per-batch ensures hit the stamp and memo
+    Dedup.ensureBoilerplateParagraphs(ref, "doc_id", "text", 3, sideDir)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    mem.addData((10L, "cookie banner\nkeep me"))
+    mem.addData((11L, "also kept\ncookie banner"))
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val boiler = Dedup.ensureBoilerplateParagraphs(
+          ref, "doc_id", "text", 3, sideDir) // stamp hit, no rebuild
+        Dedup.strikeBoilerplateAgainstReference(
+            batch, "doc_id", "text", boiler)
+          .write.mode("append").parquet(outDir)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(outDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(got == Set((10L, "keep me"), (11L, "also kept")), s"got $got")
+  }
 }
