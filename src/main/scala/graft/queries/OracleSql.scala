@@ -86,6 +86,39 @@ object OracleSql {
        |FROM r$iters ORDER BY node""".stripMargin
   }
 
+  /** Unrolled PageRank over the DIRECTED customer→order graph (x105):
+    * every order is a sink, so each round carries the dangling-mass
+    * scalar — d_k = Σ r_{k-1} over sink nodes, redistributed as
+    * d_k/N inside the damped term, exactly the operator's update. */
+  private def pageRankDanglingSql(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""d$k AS (
+         |  SELECT coalesce(sum(p.r), 0.0) AS dm
+         |  FROM r${k - 1} p LEFT JOIN deg d ON d.node = p.node
+         |  WHERE d.node IS NULL),
+         |r$k AS (
+         |  SELECT nd.node,
+         |    (SELECT (1 - 0.85)/cnt FROM n)
+         |    + 0.85 * (coalesce(s.c, 0.0)
+         |              + (SELECT dm FROM d$k) / (SELECT cnt FROM n)) AS r
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS node, sum(p.r / dg.deg) AS c
+         |    FROM e JOIN r${k - 1} p ON e.src = p.node
+         |           JOIN deg dg ON dg.node = e.src
+         |    GROUP BY e.dst) s ON s.node = nd.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT 'c' || o_custkey::VARCHAR AS src,
+       |                  'o' || o_orderkey::VARCHAR AS dst FROM orders),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |deg AS (SELECT src AS node, COUNT(*)::DOUBLE AS deg FROM e GROUP BY 1),
+       |n AS (SELECT COUNT(*)::DOUBLE AS cnt FROM nodes),
+       |r0 AS (SELECT node, (SELECT 1.0/cnt FROM n) AS r FROM nodes),
+       |$rounds
+       |SELECT node, ROUND(r * (SELECT cnt FROM n), 6) AS rank_norm
+       |FROM r$iters ORDER BY node""".stripMargin
+  }
+
   /** Morton-interleave arithmetic (x100): bit i of column c lands at
     * position i·k + c; emitted as explicit shift/mask/or terms. */
   private def zorderTerms(a: String, b: String, bits: Int): String =
@@ -1496,6 +1529,9 @@ object OracleSql {
         |  (len(d.paras) - coalesce(k.kept, 0))::BIGINT AS n_dropped
         |FROM d LEFT JOIN k ON d.doc_id = k.doc_id
         |WHERE d.doc_id >= 400
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // x105 PageRank with dominant dangling mass (directed, 3 rounds).
+    "x105_pagerank_dangling" -> pageRankDanglingSql(3)
   )
 }

@@ -1335,6 +1335,23 @@ object Queries {
     ()
   }
 
+  /** X105 — PageRank on a DIRECTED graph with mass-dominant dangling
+    * sinks: customer → order edges, so every order node is a sink and
+    * the per-round dangling-mass redistribution (spec-tested in
+    * GraphSpec) is oracle-verified too — 3 unrolled rounds whose SQL
+    * twin carries the same scalar dangling term. */
+  def x105(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val edges = o.select(
+      concat(lit("c"), col("o_custkey")).as("src"),
+      concat(lit("o"), col("o_orderkey")).as("dst"))
+    val pr = graft.operators.Graph.pageRank(edges, "src", "dst",
+      iterations = 3, damping = 0.85)
+    val n = pr.count().toDouble
+    pr.select(col("node"), round(col("rank") * n, 6).as("rank_norm"))
+      .orderBy("node")
+  }
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -1452,5 +1469,6 @@ object Queries {
     "x101_boilerplate_paras" -> (x101 _),
     "x102_sequence_funnel" -> (x102 _),
     "x103_retention_cohorts" -> (x103 _),
-    "x104_boilerplate_incremental" -> (x104 _))
+    "x104_boilerplate_incremental" -> (x104 _),
+    "x105_pagerank_dangling" -> (x105 _))
 }
