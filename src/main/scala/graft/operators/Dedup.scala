@@ -1176,6 +1176,53 @@ object Dedup {
       delim)
   }
 
+  /** Edit-distance (typo-level) near-dup pairs among the DISTINCT
+    * values of `strCol`: all unordered value pairs with
+    * `levenshtein ≤ maxDist`, as (a, b, dist) with a < b. The tier
+    * below shingle/minhash similarity — catches single-character
+    * corruptions that token-level measures miss entirely.
+    *
+    * Scale shape: never the quadratic value×value join. Candidates
+    * come from a SOUND two-arm prefilter, then only candidates pay the
+    * O(|a|·|b|) levenshtein verify:
+    * - q-gram arm: d edits destroy at most d·n of a string's character
+    *   n-grams, so any pair at distance ≤ d with shorter length
+    *   ≥ (d+1)·n still shares a gram — candidates are distinct pairs
+    *   sharing ≥ 1 bigram (posting-list join on the gram), with the
+    *   |len(a)−len(b)| ≤ d length filter cutting the obvious misses;
+    * - short arm: strings shorter than (d+1)·n can lose EVERY gram to
+    *   d edits, so the (tiny at any scale) bucket of strings with
+    *   length < (d+1)·n + d is paired exhaustively — any qualifying
+    *   partner of a short string is itself short, so the bucket is
+    *   closed under matching.
+    * The correctness gate proves the prefilter LOSSLESS: its DuckDB
+    * oracle computes all-pairs levenshtein directly, so a single
+    * missed candidate fails the hash. */
+  def editDistancePairs(
+      df: DataFrame, strCol: String, maxDist: Int, n: Int = 2,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+    : DataFrame = {
+    require(maxDist >= 1 && n >= 2, s"need maxDist >= 1, n >= 2")
+    val vals = scope.persist(
+      df.select(col(strCol).as("__s")).filter(col("__s").isNotNull).distinct())
+    val shortMax = (maxDist + 1) * n + maxDist // short arm closure bound
+    val grams = vals.filter(length(col("__s")) >= (maxDist + 1) * n)
+      .select(col("__s"), explode(array_distinct(
+        transform(sequence(lit(1), length(col("__s")) - (n - 1)),
+          i => col("__s").substr(i, lit(n))))).as("__g"))
+    val gramCand = grams.as("x").join(grams.as("y"),
+        col("x.__g") === col("y.__g") && col("x.__s") < col("y.__s"))
+      .select(col("x.__s").as("a"), col("y.__s").as("b")).distinct()
+    val shorts = vals.filter(length(col("__s")) < shortMax)
+    val shortCand = shorts.as("x").join(shorts.as("y"),
+        col("x.__s") < col("y.__s"))
+      .select(col("x.__s").as("a"), col("y.__s").as("b"))
+    gramCand.union(shortCand).distinct()
+      .filter(abs(length(col("a")) - length(col("b"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("a"), col("b")).cast("bigint"))
+      .filter(col("dist") <= maxDist)
+  }
+
   def contamination(
       corpus: DataFrame, reference: DataFrame, idCol: String, textCol: String,
       n: Int, roundDigits: Int = 4): DataFrame = {

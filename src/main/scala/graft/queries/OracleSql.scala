@@ -1532,6 +1532,16 @@ object OracleSql {
         |ORDER BY d.doc_id""".stripMargin,
 
     // x105 PageRank with dominant dangling mass (directed, 3 rounds).
-    "x105_pagerank_dangling" -> pageRankDanglingSql(3)
+    "x105_pagerank_dangling" -> pageRankDanglingSql(3),
+
+    // x106 edit-distance pairs: the oracle is deliberately ALL-PAIRS —
+    // matching it proves the Spark-side prefilter lossless.
+    "x106_edit_distance_pairs" ->
+      """WITH d AS (
+        |  SELECT DISTINCT p_name AS s FROM part WHERE p_name IS NOT NULL)
+        |SELECT a.s AS a, b.s AS b,
+        |  levenshtein(a.s, b.s)::BIGINT AS dist
+        |FROM d a JOIN d b ON a.s < b.s AND levenshtein(a.s, b.s) <= 2
+        |ORDER BY a, b""".stripMargin
   )
 }

@@ -1352,6 +1352,14 @@ object Queries {
       .orderBy("node")
   }
 
+  /** X106 — edit-distance near-dup pairs over the distinct part names
+    * (typo-tier dedup). The oracle brute-forces ALL pairs, so this
+    * gate doubles as a losslessness proof of the q-gram + short-string
+    * prefilter: one missed candidate fails the hash. */
+  def x106(s: SparkSession, dir: String): DataFrame =
+    Dedup.editDistancePairs(Tables.part(s, dir), "p_name", maxDist = 2)
+      .orderBy("a", "b")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -1470,5 +1478,6 @@ object Queries {
     "x102_sequence_funnel" -> (x102 _),
     "x103_retention_cohorts" -> (x103 _),
     "x104_boilerplate_incremental" -> (x104 _),
-    "x105_pagerank_dangling" -> (x105 _))
+    "x105_pagerank_dangling" -> (x105 _),
+    "x106_edit_distance_pairs" -> (x106 _))
 }

@@ -61,4 +61,48 @@ class DedupPrefilterSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq
     assert(got == Seq((10L, 1L, 0.5)))
   }
+
+  test("editDistancePairs: short-string arm catches pairs the gram arm cannot see") {
+    val df = Seq(
+      "ab", "cd",            // distance 2, ZERO shared bigrams — short arm only
+      "kettle", "kettles",   // distance 1, long enough for the gram arm
+      "battle",              // two substitutions from kettle; 3 from kettles
+      "xylophone")           // no partner
+      .toDF("s")
+    val got = Dedup.editDistancePairs(df, "s", maxDist = 2)
+      .orderBy("a", "b").as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("ab", "cd", 2L), ("battle", "kettle", 2L),
+      ("kettle", "kettles", 1L)), s"got $got")
+    assert(levenshteinRef("battle", "kettle") == 2 &&
+      levenshteinRef("battle", "kettles") == 3) // the excluded pair
+  }
+
+  test("editDistancePairs prefilter is lossless vs brute force on a dense set") {
+    // 60 deterministic strings over a 3-letter alphabet, lengths 2-7:
+    // dense in edit space, so every prefilter hole would show
+    val strs = (0 until 60).map { i =>
+      val len = 2 + i % 6
+      (0 until len).map(j => ('a' + (i * 7 + j * 3) % 3).toChar).mkString
+    }.distinct
+    val df = strs.toDF("s")
+    val fast = Dedup.editDistancePairs(df, "s", maxDist = 2)
+      .as[(String, String, Long)].collect().toSet
+    val brute = (for {
+      a <- strs; b <- strs if a < b
+      d = levenshteinRef(a, b) if d <= 2
+    } yield (a, b, d.toLong)).toSet
+    assert(fast == brute,
+      s"prefilter lost ${(brute -- fast).take(5)} / invented ${(fast -- brute).take(5)}")
+  }
+
+  /** Textbook DP reference implementation for the property test. */
+  private def levenshteinRef(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
 }
