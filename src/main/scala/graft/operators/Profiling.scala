@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column profiling — the data-quality summary a pipeline runs before
@@ -78,6 +78,44 @@ object Profiling {
     wide.select(corrCols: _*)
       .select(expr(s"stack(${pairs.size}, $stacked)")
         .as(Seq("col_a", "col_b", "corr")))
+  }
+
+  /** Declarative data-validation (the expectations contract a pipeline
+    * runs against every new drop before trusting it): each row-level
+    * rule is a BOOLEAN constraint column; each uniqueness rule names a
+    * column whose values must be distinct (nulls, as in SQL UNIQUE,
+    * are not duplicates of each other). Returns one row per rule —
+    * (rule, n_violations, frac) — computed in ONE aggregate over one
+    * scan: row rules fold to conditional counts, uniqueness to
+    * count − count(distinct), and the wide 1-row result unpivots with
+    * `stack` like [[profile]]. No per-rule scan, nothing driver-side,
+    * map-side combinable except the exact distincts (the [[profile]]
+    * approx note applies the same way at 100 TB). */
+  def validate(df: DataFrame, rowRules: Seq[(String, Column)],
+      uniqueRules: Seq[String] = Nil, roundDigits: Int = 4): DataFrame = {
+    require(rowRules.nonEmpty || uniqueRules.nonEmpty,
+      "validate needs at least one rule")
+    val names = rowRules.map(_._1) ++ uniqueRules.map(c => s"unique_$c")
+    require(names.distinct.size == names.size,
+      s"rule names must be unique: $names")
+    val aggs =
+      rowRules.map { case (name, constraint) =>
+        // a NULL constraint result is a violation too: an expectation
+        // that cannot be evaluated is not met
+        count(when(not(coalesce(constraint, lit(false))), lit(1)))
+          .as(s"__v_$name")
+      } ++
+        uniqueRules.map { c =>
+          (count(col(c)) - countDistinct(col(c))).as(s"__v_unique_$c")
+        } :+ count(lit(1)).as("__rows")
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = names.map(n => s"'$n', `__v_$n`").mkString(", ")
+    wide.select(expr(s"stack(${names.size}, $stacked)")
+        .as(Seq("rule", "n_violations")), col("__rows"))
+      .select(col("rule"), col("n_violations"),
+        when(col("__rows") > 0,
+          round(col("n_violations").cast("double") / col("__rows"),
+            roundDigits)).otherwise(lit(0.0d)).as("frac"))
   }
 
   /** Join-key skew report: the `topK` heaviest keys of `keyCols` with

@@ -1542,6 +1542,32 @@ object OracleSql {
         |SELECT a.s AS a, b.s AS b,
         |  levenshtein(a.s, b.s)::BIGINT AS dist
         |FROM d a JOIN d b ON a.s < b.s AND levenshtein(a.s, b.s) <= 2
-        |ORDER BY a, b""".stripMargin
+        |ORDER BY a, b""".stripMargin,
+
+    // x107 validation contract: one agg row, unpivoted; an
+    // unevaluable (NULL) constraint counts as a violation.
+    "x107_validation_contract" ->
+      """WITH a AS (
+        |  SELECT COUNT(*)::DOUBLE AS total,
+        |    COUNT(CASE WHEN NOT coalesce(
+        |      o_totalprice > 0 AND o_totalprice <= 450000, FALSE)
+        |      THEN 1 END)::BIGINT AS v_price,
+        |    COUNT(CASE WHEN NOT coalesce(
+        |      o_orderstatus IN ('F', 'O', 'P'), FALSE)
+        |      THEN 1 END)::BIGINT AS v_status,
+        |    COUNT(CASE WHEN NOT coalesce(
+        |      regexp_matches(o_orderpriority, '^[1-5]-[A-Z]+$'), FALSE)
+        |      THEN 1 END)::BIGINT AS v_prio,
+        |    COUNT(CASE WHEN o_orderdate IS NULL THEN 1 END)::BIGINT AS v_date,
+        |    (COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey))::BIGINT AS v_uniq
+        |  FROM orders)
+        |SELECT rule, n_violations, ROUND(n_violations / total, 4) AS frac
+        |FROM (
+        |  SELECT 'price_in_range' AS rule, v_price AS n_violations, total FROM a
+        |  UNION ALL SELECT 'status_known', v_status, total FROM a
+        |  UNION ALL SELECT 'priority_shape', v_prio, total FROM a
+        |  UNION ALL SELECT 'date_present', v_date, total FROM a
+        |  UNION ALL SELECT 'unique_o_orderkey', v_uniq, total FROM a)
+        |ORDER BY rule""".stripMargin
   )
 }

@@ -1360,6 +1360,21 @@ object Queries {
     Dedup.editDistancePairs(Tables.part(s, dir), "p_name", maxDist = 2)
       .orderBy("a", "b")
 
+  /** X107 — declarative data-validation contract over orders: five
+    * expectations (range, set membership, regex shape, not-null,
+    * key uniqueness) checked in ONE aggregate; the violating rule
+    * (price cap at 450k) reports real counts. */
+  def x107(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.validate(Tables.orders(s, dir),
+        rowRules = Seq(
+          "price_in_range" ->
+            (col("o_totalprice") > 0 && col("o_totalprice") <= 450000),
+          "status_known" -> col("o_orderstatus").isin("F", "O", "P"),
+          "priority_shape" -> col("o_orderpriority").rlike("^[1-5]-[A-Z]+$"),
+          "date_present" -> col("o_orderdate").isNotNull),
+        uniqueRules = Seq("o_orderkey"))
+      .orderBy("rule")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -1479,5 +1494,6 @@ object Queries {
     "x103_retention_cohorts" -> (x103 _),
     "x104_boilerplate_incremental" -> (x104 _),
     "x105_pagerank_dangling" -> (x105 _),
-    "x106_edit_distance_pairs" -> (x106 _))
+    "x106_edit_distance_pairs" -> (x106 _),
+    "x107_validation_contract" -> (x107 _))
 }

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 class ProfilingSpec extends SparkSpec {
@@ -83,5 +85,31 @@ class ProfilingSpec extends SparkSpec {
     val plan = Profiling.corrMatrix(df, Seq("a", "b", "c", "d"))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"corrMatrix must not join per pair:\n$plan")
+  }
+
+  test("validate: row rules, NULL-constraint-is-violation, uniqueness, one scan") {
+    val df = Seq(
+      (1L, Some(10.0), "ok"),
+      (2L, Some(-3.0), "ok"),   // range violation
+      (3L, None, "ok"),         // NULL constraint result → violation
+      (3L, Some(5.0), "bad"),   // dup key + set violation
+      (4L, Some(7.0), "ok"))
+      .toDF("id", "v", "status")
+    val got = Profiling.validate(df,
+        rowRules = Seq(
+          "v_positive" -> (col("v") > 0),
+          "status_ok" -> (col("status") === "ok")),
+        uniqueRules = Seq("id"))
+      .orderBy("rule")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("status_ok", 1L, 0.2),
+      ("unique_id", 1L, 0.2),    // 5 non-null keys, 4 distinct
+      ("v_positive", 2L, 0.4)), s"got $got") // the -3 AND the null
+    // the whole contract is ONE aggregate — no joins, no extra scans
+    val plan = Profiling.validate(df,
+        Seq("v_positive" -> (col("v") > 0)), Seq("id"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"validate must not join per rule:\n$plan")
   }
 }
