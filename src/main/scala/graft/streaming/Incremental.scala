@@ -660,6 +660,67 @@ object Incremental {
     compactDir(spark, s"$indexDir/sets", targetFileBytes)
   }
 
+  /** Data-deletion (takedown) for the curated store — the governance
+    * path: remove `ids` from the store and, when the stream runs the
+    * fuzzy layer, from the index's bands AND sets. A maintenance op
+    * under the module's single-writer contract (run between batches,
+    * like compaction); each dir rewrite uses the same crash-safe
+    * tmp/old swap as [[compactDir]].
+    *
+    * Semantics, stated plainly:
+    * - the removed documents' stored digests leave with their rows, so
+    *   the SAME text can re-enter on a later batch — deletion means
+    *   deletion, not a tombstone that silently keeps matching;
+    * - the index purge is REQUIRED for that, not cosmetic: ghost
+    *   bands/sets entries would still fuzzily match a re-submission
+    *   against a document that no longer exists (and [[ensureIndex]]'s
+    *   coverage check tolerates over-coverage, so ghosts would never
+    *   heal on their own);
+    * - the verified stamp is left in place and now disagrees with the
+    *   rewritten store's counts — the next batch's ensure takes the
+    *   honest exact-check path once and re-stamps.
+    * Returns the number of store rows removed. */
+  def takedown(spark: SparkSession, curatedDir: String, idCol: String,
+      ids: DataFrame, indexDir: Option[String] = None): Long = {
+    val idsOnly = ids.select(col(idCol)).distinct().localCheckpoint(true)
+    // returns (rows removed, rows remaining); (0, -1) when dir absent
+    def rewriteDropping(dir: String, joinCol: String): (Long, Long) = {
+      recoverCompactionSidecars(spark, dir)
+      val path = new org.apache.hadoop.fs.Path(dir)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(path)) (0L, -1L)
+      else {
+        val tmp = new org.apache.hadoop.fs.Path(dir + ".compact-tmp")
+        val old = new org.apache.hadoop.fs.Path(dir + ".compact-old")
+        fs.delete(tmp, true); fs.delete(old, true)
+        val df = graft.util.ParquetSchemaMemo.read(spark, dir)
+        val before = df.count()
+        df.join(idsOnly.select(col(idCol).as(joinCol)), Seq(joinCol), "left_anti")
+          .write.parquet(tmp.toString)
+        if (!fs.rename(path, old)) throw new IllegalStateException(
+          s"takedown swap failed for $dir: could not move the live dir " +
+            s"aside — live data intact at $dir, rewritten copy at $tmp")
+        if (!fs.rename(tmp, path)) throw new IllegalStateException(
+          s"takedown swap failed for $dir: live dir moved to $old but the " +
+            s"rewritten copy at $tmp could not move in — recover by " +
+            s"renaming either back (recoverCompactionSidecars prefers tmp)")
+        fs.delete(old, true)
+        graft.util.ParquetSchemaMemo.invalidate(dir)
+        val after = graft.util.ParquetSchemaMemo.read(spark, dir).count()
+        (before - after, after)
+      }
+    }
+    val (removed, remaining) = rewriteDropping(curatedDir, idCol)
+    indexDir.foreach { ix =>
+      rewriteDropping(s"$ix/bands", "doc")
+      rewriteDropping(s"$ix/sets", "doc")
+    }
+    // the store's new count is known — memoize it at the rewritten
+    // fingerprint so the next ensure's count is a driver lookup
+    if (remaining >= 0) recordKnownRows(spark, curatedDir, remaining)
+    removed
+  }
+
   /** The curated store, if any batch has landed yet (first batch of a
     * fresh run has no directory to read). Crash-aware: a store dir
     * missing because a compaction swap died mid-rename is RECOVERED

@@ -808,4 +808,52 @@ class IncrementalSpec extends SparkSpec {
     assert(bloomed == plain,
       s"bloom prefilter must never change admitted rows: $bloomed vs $plain")
   }
+
+  test("takedown: removed doc leaves store AND index; same text re-enters; stream continues") {
+    val tmp = Files.createTempDirectory("graft-takedown").toString
+    val refDir = s"$tmp/ref"; val curDir = s"$tmp/curated"
+    val idxDir = s"$tmp/ndindex"
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val storyA = words("alpha", 40); val storyB = words("beta", 40)
+    Seq((1L, words("frozen", 40))).toDF("doc_id", "text").write.parquet(refDir)
+
+    // two docs admitted
+    Incremental.curateBatchFuzzy(spark,
+      Seq((10L, storyA), (11L, storyB)).toDF("doc_id", "text"),
+      "doc_id", "text", refDir, curDir, idxDir, threshold = 0.5)
+    // sanity: a near-copy of storyA is fuzzily dropped before takedown
+    Incremental.curateBatchFuzzy(spark,
+      Seq((20L, storyA + " small edit")).toDF("doc_id", "text"),
+      "doc_id", "text", refDir, curDir, idxDir, threshold = 0.5)
+    assert(spark.read.parquet(curDir).select("doc_id")
+      .as[Long].collect().toSet == Set(10L, 11L))
+
+    // takedown storyA: store row gone, index manifest purged
+    val removed = Incremental.takedown(spark, curDir, "doc_id",
+      Seq(10L).toDF("doc_id"), Some(idxDir))
+    assert(removed == 1L, s"expected 1 removed row, got $removed")
+    assert(spark.read.parquet(curDir).select("doc_id")
+      .as[Long].collect().toSet == Set(11L))
+    assert(spark.read.parquet(s"$idxDir/sets").select("doc")
+      .as[Long].collect().toSet == Set(1L, 11L),
+      "index manifest must forget the removed doc")
+
+    // deletion means deletion: the SAME text re-enters under a new id
+    // (exact digests left with the row; no ghost bands block it), and
+    // an unrelated fresh doc is admitted too — the stream continues
+    // through ensureIndex's honest re-verify after the rewrite
+    Incremental.curateBatchFuzzy(spark,
+      Seq((30L, storyA), (31L, words("gamma", 40))).toDF("doc_id", "text"),
+      "doc_id", "text", refDir, curDir, idxDir, threshold = 0.5)
+    val after = spark.read.parquet(curDir).select("doc_id")
+      .as[Long].collect().toSet
+    assert(after == Set(11L, 30L, 31L), s"got $after")
+    // and the re-admitted doc is fuzzily indexed again: its recrawl drops
+    Incremental.curateBatchFuzzy(spark,
+      Seq((40L, storyA + " tail edit")).toDF("doc_id", "text"),
+      "doc_id", "text", refDir, curDir, idxDir, threshold = 0.5)
+    assert(spark.read.parquet(curDir).select("doc_id")
+      .as[Long].collect().toSet == Set(11L, 30L, 31L))
+  }
 }
