@@ -411,6 +411,74 @@ class IncrementalSpec extends SparkSpec {
       "recovery must clear both sidecar dirs")
   }
 
+  test("restart after crash between swap renames (tmp present) loses zero rows") {
+    // VERDICT r10 item 3: live dir missing + .compact-tmp (and -old)
+    // present = compactDir died between its two renames. A RESTARTED
+    // stream must see the recovered store — not an empty/fresh one that
+    // silently strands every curated row — and keep deduping against it.
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-crash-tmp").toString
+    val refDir = s"$tmp/ref"; val curDir = s"$tmp/curated"
+    Seq((1L, "frozen one")).toDF("doc_id", "text").write.parquet(refDir)
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((10L, "alpha beta"), (11L, "gamma delta"))
+    Incremental.curateStream(mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", refDir, curDir, s"$tmp/ck").awaitTermination()
+    val before = spark.read.parquet(curDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(before.map(_._1) == Set(10L, 11L))
+
+    // crash state: tmp fully written (the compacted copy), live renamed
+    // aside, death before tmp moved in — both sidecars complete copies
+    spark.read.parquet(curDir).repartition(1)
+      .write.parquet(s"$curDir.compact-tmp")
+    assert(new java.io.File(curDir)
+      .renameTo(new java.io.File(s"$curDir.compact-old")))
+    assert(!new java.io.File(curDir).exists)
+
+    // restarted stream (fresh checkpoint): a cross-restart dup must be
+    // dropped, a fresh doc admitted, every pre-crash row retained
+    val mem2 = MemoryStream[(Long, String)]
+    mem2.addData((20L, "alpha beta"), (21L, "epsilon zeta"))
+    Incremental.curateStream(mem2.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", refDir, curDir, s"$tmp/ck2").awaitTermination()
+    val after = spark.read.parquet(curDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(after.map(_._1) == Set(10L, 11L, 21L),
+      s"zero rows may be lost and the recrawl must still drop: $after")
+    assert(!new java.io.File(s"$curDir.compact-old").exists &&
+      !new java.io.File(s"$curDir.compact-tmp").exists,
+      "recovery must clear the sidecars")
+  }
+
+  test("restart after crash with only .compact-old present loses zero rows") {
+    // the other half of the window: tmp never landed (or was already
+    // promoted and re-crashed) — only the original under .compact-old
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-crash-old").toString
+    val refDir = s"$tmp/ref"; val curDir = s"$tmp/curated"
+    Seq((1L, "frozen one")).toDF("doc_id", "text").write.parquet(refDir)
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((10L, "alpha beta"), (11L, "gamma delta"))
+    Incremental.curateStream(mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", refDir, curDir, s"$tmp/ck").awaitTermination()
+
+    assert(new java.io.File(curDir)
+      .renameTo(new java.io.File(s"$curDir.compact-old")))
+    assert(!new java.io.File(curDir).exists)
+
+    val mem2 = MemoryStream[(Long, String)]
+    mem2.addData((20L, "gamma delta"), (21L, "epsilon zeta"))
+    Incremental.curateStream(mem2.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", refDir, curDir, s"$tmp/ck2").awaitTermination()
+    val after = spark.read.parquet(curDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(after.map(_._1) == Set(10L, 11L, 21L),
+      s"zero rows may be lost and the recrawl must still drop: $after")
+    assert(!new java.io.File(s"$curDir.compact-old").exists,
+      "recovery must clear the sidecar")
+  }
+
   test("compactCuratedState: fewer files, same rows, index still drops recrawls") {
     val tmp = Files.createTempDirectory("graft-incr-compact").toString
     val refDir = s"$tmp/ref"; val curDir = s"$tmp/curated"
