@@ -211,10 +211,21 @@ final class M5Pipeline(spark: SparkSession, config: YamlConfig) {
         val encoded = Gbt.applyEncoders(sales, encoders)
           .withColumn("__valid", col("date") >= lit(validStart)) // O10
 
-        val params = Gbt.fromLgbParams(config.getMap("lgb_params"))
-        val model = Gbt.fit(encoded, featureCols, predTargetCol, "__valid", params)
-
-        model.write.overwrite().save(s"$dir/model")
+        val lgbParams = config.getMap("lgb_params")
+        // the reference's actual objective (full.yaml:4): tweedie routes
+        // to the native Tweedie boosting loop; anything else keeps the
+        // squared-loss GBT path
+        if (lgbParams.get("objective").map(_.toString).contains("tweedie")) {
+          val tp = graft.ml.TweedieGbt.fromLgbParams(lgbParams)
+          val model = graft.ml.TweedieGbt.fit(
+            Gbt.assemble(encoded, featureCols), "features",
+            predTargetCol, "__valid", tp)
+          model.save(s"$dir/model")
+        } else {
+          val params = Gbt.fromLgbParams(lgbParams)
+          val model = Gbt.fit(encoded, featureCols, predTargetCol, "__valid", params)
+          model.write.overwrite().save(s"$dir/model")
+        }
         encoders.foreach { case (c, vocab) =>
           vocab.write.mode("overwrite").parquet(s"$dir/encoders/$c")
         }
@@ -236,7 +247,6 @@ final class M5Pipeline(spark: SparkSession, config: YamlConfig) {
       cleanup = if (cleanupIntermediates) Seq(trainTarget) else Nil,
       body = () => {
         val dir = modelDir(store, week)
-        val gbt = GBTRegressionModel.load(s"$dir/model")
         val featureCols = Files.readAllLines(Paths.get(dir, "feature_cols.txt"))
           .toArray(Array.empty[String]).toSeq
         val xTest = spark.read.parquet(test.target.path)
@@ -248,7 +258,17 @@ final class M5Pipeline(spark: SparkSession, config: YamlConfig) {
         // the original string, so stash it before encoding
         val encoded = Gbt.applyEncoders(
           xTest.withColumn("__orig_id", col("id")), encoders)
-        Gbt.predict(gbt, encoded, featureCols, predTargetCol)
+        // a meta.json in the model dir marks the Tweedie loop's artifact;
+        // the GBT path saves Spark ML's own layout
+        val predicted =
+          if (Files.exists(Paths.get(dir, "model", "meta.json")))
+            graft.ml.TweedieGbt.load(spark, s"$dir/model")
+              .transform(Gbt.assemble(encoded, featureCols), predTargetCol)
+              .drop("features")
+          else
+            Gbt.predict(GBTRegressionModel.load(s"$dir/model"),
+              encoded, featureCols, predTargetCol)
+        predicted
           .withColumn(predDateCol, date_add(col("date"), week * DaysPerWeek)) // O33
           .select(col("__orig_id").as("id"), col("date"), col(predDateCol), col(predTargetCol))
           .write.mode("overwrite").parquet(target.path)

@@ -10,7 +10,12 @@ import graft.operators.Relational
 /** O37/O38 — gradient-boosted-tree regression tier.
   * Ref: LGBMRegressor fit/predict (pipeline.py:258-265, 287-294).
   *
-  * Documented divergences from the reference's LightGBM (SURVEY §7.5.3):
+  * This object is the SQUARED-LOSS path; `objective: tweedie` in
+  * lgb_params routes to [[TweedieGbt]] (native tweedie gradient +
+  * eval-set early stopping) — see M5Pipeline's train task.
+  *
+  * Documented divergences from the reference's LightGBM (SURVEY §7.5.3)
+  * when THIS path is used:
   *  - objective: Spark GBT has squared/absolute loss, no tweedie;
   *  - early stopping: no eval-set rounds — `validationIndicatorCol` +
   *    `validationTol` is the Spark-native equivalent;
@@ -64,7 +69,7 @@ object Gbt {
         .drop(s"__code_$c")
     }
 
-  private def assemble(df: DataFrame, featureCols: Seq[String]): DataFrame = {
+  private[graft] def assemble(df: DataFrame, featureCols: Seq[String]): DataFrame = {
     val numeric = featureCols.foldLeft(df)((acc, c) => acc.withColumn(c, col(c).cast("double")))
     val filled = numeric.na.fill(MissingSentinel, featureCols)
     new VectorAssembler()

@@ -1,0 +1,80 @@
+package graft.m5
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.config.YamlConfig
+
+/** The M5 DAG under the reference's REAL objective (`full.yaml:4`
+  * `objective: tweedie`) — previously a declared divergence, now routed
+  * to [[graft.ml.TweedieGbt]]. Pins (a) the tweedie path end-to-end
+  * through train → model save/load → predict → submission, and (b) the
+  * VERDICT-r10-requested forecast-delta study vs the squared-loss
+  * stand-in, so the divergence decision is measured, not silent. */
+class M5TweedieSpec extends SparkSpec {
+
+  private lazy val inputDir = {
+    val d = Files.createTempDirectory("m5in-tw").toString
+    MiniM5Fixture.write(d)
+    d
+  }
+
+  private def pipeline(objective: Option[String]): (M5Pipeline, String) = {
+    val outDir = Files.createTempDirectory("m5out-tw").toString
+    val base = MiniM5Fixture.config(inputDir, outDir)
+    val lgb = new java.util.HashMap[String, Object](
+      base("lgb_params").asInstanceOf[java.util.Map[String, Object]])
+    objective.foreach { o =>
+      lgb.put("objective", o)
+      lgb.put("n_estimators", Int.box(8))
+      lgb.put("early_stopping_rounds", Int.box(8))
+      lgb.put("tweedie_variance_power", Double.box(1.1))
+    }
+    val cfg = base.updated("lgb_params", lgb: Object)
+    (new M5Pipeline(spark, YamlConfig.fromMap(cfg)), outDir)
+  }
+
+  test("tweedie objective runs the full DAG; forecast delta vs squared loss is measured") {
+    val (tw, twOut) = pipeline(Some("tweedie"))
+    val report = tw.run(log = _ => ())
+    assert(report.ran.size == 23, report.ran.mkString(", "))
+
+    val preds = spark.read.parquet(s"$twOut/predictions.parquet")
+    assert(preds.count() == 2 * 6 * 7 * 2) // stores × items × days × weeks
+    // log link: every tweedie forecast strictly positive — the property
+    // the reference's objective choice buys on intermittent demand
+    assert(preds.filter(col("pred_units_sold") <= 0).isEmpty,
+      "tweedie predictions must be strictly positive")
+
+    // rerun memoization must hold on this path too
+    val report2 = tw.run(log = _ => ())
+    assert(report2.ran.isEmpty, s"rerun must skip everything: ${report2.ran}")
+
+    // ── forecast-delta study (VERDICT r10 item 7) ──────────────────
+    val (sq, sqOut) = pipeline(None) // fixture default: squared-loss GBT
+    sq.run(log = _ => ())
+    val sqPreds = spark.read.parquet(s"$sqOut/predictions.parquet")
+      .withColumnRenamed("pred_units_sold", "pred_sq")
+    val joined = preds.join(sqPreds, Seq("id", "date", "pred_date"))
+    assert(joined.count() == preds.count(), "prediction grids must align")
+    val row = joined.agg(
+      avg(abs(col("pred_units_sold") - col("pred_sq"))).as("mad"),
+      avg(col("pred_units_sold")).as("mean_tw"),
+      avg(col("pred_sq")).as("mean_sq")).head()
+    val (mad, meanTw, meanSq) = (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+    info(f"forecast delta tweedie vs squared: mean|Δ|=$mad%.4f, " +
+      f"mean(tweedie)=$meanTw%.4f, mean(squared)=$meanSq%.4f, " +
+      f"relative=${mad / math.max(meanSq.abs, 1e-9)}%.2f")
+    // the objectives MUST diverge materially on intermittent demand —
+    // if they agreed, the declared divergence would have been free and
+    // this path pointless; if they disagree wildly (>10× the level),
+    // something is broken in the link/scale handling
+    assert(mad > 1e-6, "objectives cannot be identical on this data")
+    assert(mad < 10 * math.max(meanSq.abs, 1.0),
+      s"tweedie forecasts are on the wrong scale: mean|Δ|=$mad vs level $meanSq")
+  }
+}
