@@ -17,13 +17,18 @@ import org.apache.spark.sql.functions._
   *   -∂loss/∂F     =  y·e^{(1-ρ)F} - e^{(2-ρ)F}               (pseudo-residual)
   *
   * the same objective/gradient LightGBM's `tweedie` uses. Each stage
-  * fits a regression tree to the pseudo-residuals and F steps by
-  * `stepSize · h(x)`; predictions are μ = exp(F), matching LightGBM's
-  * log-link output scale. Divergence from LightGBM narrows to
-  * second-order leaf weights (LightGBM refits leaf values with the
-  * hessian; a first-order step is the classic Friedman form) and
-  * histogram split finding — both golden-tested, never oracle-hashed
-  * (SURVEY §5.3).
+  * fits a regression tree to the pseudo-residuals, then REFITS each
+  * leaf's value with the second-order Newton step LightGBM uses:
+  *
+  *   hess = ∂²loss/∂F² = (ρ-1)·y·e^{(1-ρ)F} + (2-ρ)·e^{(2-ρ)F}  (> 0)
+  *   γ_leaf = Σ resid / (Σ hess + λ)
+  *
+  * (one grouped agg over the train rows per stage; the leaf routing
+  * comes from the model's native `leafCol`, so no re-walk of the tree).
+  * F steps by `stepSize · γ(leaf(x))` and predictions are μ = exp(F),
+  * matching LightGBM's log-link output scale. Remaining divergence
+  * narrows to histogram split finding and split-gain criteria — both
+  * golden-tested, never oracle-hashed (SURVEY §5.3).
   *
   * Eval-set early stopping (the reference's `early_stopping_rounds=10`,
   * pipeline.py:262-265) is native here: validation rows (`validCol`)
@@ -71,23 +76,33 @@ object TweedieGbt {
       earlyStoppingRounds = num("early_stopping_rounds", 10).toInt)
   }
 
+  /** One boosting stage: the fitted tree (used only for its leaf
+    * ROUTING at apply time) + the Newton-refitted value per leaf id. */
+  final case class Stage(
+      tree: DecisionTreeRegressionModel,
+      leafValues: Map[Double, Double])
+
   final case class Model(
       f0: Double,
       stepSize: Double,
       variancePower: Double,
-      trees: Seq[DecisionTreeRegressionModel],
+      stages: Seq[Stage],
       validDeviances: Seq[Double]) {
 
-    /** μ = exp(f0 + lr·Σ hₖ(x)) appended as `predCol`. Each stage is one
-      * ML transform over the assembled features; the additive F column
-      * stays narrow (no shuffle). */
+    /** μ = exp(f0 + lr·Σ γₖ(leafₖ(x))) appended as `predCol`. Each stage
+      * is one ML transform (leaf routing) + a broadcast-literal map
+      * lookup; the additive F column stays narrow (no shuffle). */
     def transform(assembled: DataFrame, predCol: String): DataFrame = {
-      val withF = trees.zipWithIndex.foldLeft(
-        assembled.withColumn("__F", lit(f0))) { case (acc, (tree, i)) =>
-        val t = tree.setPredictionCol(s"__h$i")
+      import org.apache.spark.sql.functions.typedLit
+      val withF = stages.zipWithIndex.foldLeft(
+        assembled.withColumn("__F", lit(f0))) { case (acc, (st, i)) =>
+        val t = st.tree.setPredictionCol(s"__h$i").setLeafCol(s"__leaf$i")
         t.transform(acc)
-          .withColumn("__F", col("__F") + lit(stepSize) * col(s"__h$i"))
-          .drop(s"__h$i")
+          .withColumn("__F", col("__F") + lit(stepSize) *
+            coalesce(
+              element_at(typedLit(st.leafValues), col(s"__leaf$i")),
+              col(s"__h$i"))) // unreachable in practice: every leaf is refit
+          .drop(s"__h$i", s"__leaf$i")
       }
       withF.withColumn(predCol, exp(col("__F"))).drop("__F")
     }
@@ -95,11 +110,15 @@ object TweedieGbt {
     def save(dir: String): Unit = {
       val p = java.nio.file.Paths.get(dir)
       java.nio.file.Files.createDirectories(p)
-      trees.zipWithIndex.foreach { case (t, i) =>
-        t.write.overwrite().save(s"$dir/tree_$i")
+      stages.zipWithIndex.foreach { case (st, i) =>
+        st.tree.write.overwrite().save(s"$dir/tree_$i")
+        val entries = st.leafValues.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"[$k,$v]" }.mkString(",")
+        java.nio.file.Files.writeString(p.resolve(s"leaves_$i.json"),
+          s"[$entries]")
       }
       java.nio.file.Files.writeString(p.resolve("meta.json"),
-        s"""{"f0":$f0,"stepSize":$stepSize,"variancePower":$variancePower,"numTrees":${trees.size}}""")
+        s"""{"f0":$f0,"stepSize":$stepSize,"variancePower":$variancePower,"numTrees":${stages.size}}""")
     }
   }
 
@@ -109,9 +128,16 @@ object TweedieGbt {
     def field(k: String): Double =
       s""""$k"\\s*:\\s*(-?[\\d.eE+-]+)""".r.findFirstMatchIn(txt).get.group(1).toDouble
     val n = field("numTrees").toInt
-    Model(field("f0"), field("stepSize"), field("variancePower"),
-      (0 until n).map(i => DecisionTreeRegressionModel.load(s"$dir/tree_$i")),
-      Nil)
+    val pair = """\[(-?[\d.eE+-]+),(-?[\d.eE+-]+)\]""".r
+    val stages = (0 until n).map { i =>
+      val leaves = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(dir, s"leaves_$i.json"))
+      Stage(
+        DecisionTreeRegressionModel.load(s"$dir/tree_$i"),
+        pair.findAllMatchIn(leaves)
+          .map(m => m.group(1).toDouble -> m.group(2).toDouble).toMap)
+    }
+    Model(field("f0"), field("stepSize"), field("variancePower"), stages, Nil)
   }
 
   /** Mean Tweedie deviance of `predCol` vs `labelCol` — the eval metric
@@ -150,14 +176,14 @@ object TweedieGbt {
 
     var cur = base0.withColumn("__F", lit(f0)).localCheckpoint(true)
     var best = (Double.MaxValue, 0) // (valid deviance, round)
-    val trees = scala.collection.mutable.ArrayBuffer.empty[DecisionTreeRegressionModel]
+    val stages = scala.collection.mutable.ArrayBuffer.empty[Stage]
     val validDev = scala.collection.mutable.ArrayBuffer.empty[Double]
     val hasValid = !cur.filter(col("__valid")).isEmpty
 
     var round = 0
     var stop = false
     while (round < params.maxIter && !stop) {
-      // pseudo-residual of the Tweedie loss at the current F
+      // pseudo-residual (-gradient) of the Tweedie loss at the current F
       val resid = cur.withColumn("__r",
         col("__y") * exp(lit(1 - p) * col("__F")) - exp(lit(2 - p) * col("__F")))
       val fitRows0 = resid.filter(!col("__valid"))
@@ -172,11 +198,26 @@ object TweedieGbt {
         .setMaxDepth(params.maxDepth)
         .setSeed(params.seed + round)
         .fit(fitRows)
-      trees += tree
 
-      val next0 = tree.transform(cur)
-        .withColumn("__F", col("__F") + lit(params.stepSize) * col("__h"))
-        .drop("__h")
+      // Newton leaf refit (LightGBM's second-order step): route every
+      // TRAIN row to its leaf, then γ_leaf = Σ resid / (Σ hess + λ).
+      // One grouped agg of leaf cardinality (≤ 2^maxDepth rows out) —
+      // map-side combinable, no data-size-proportional driver state.
+      val routed = tree.setLeafCol("__leaf").transform(fitRows0)
+        .withColumn("__hess",
+          lit(p - 1) * col("__y") * exp(lit(1 - p) * col("__F")) +
+          lit(2 - p) * exp(lit(2 - p) * col("__F")))
+      val leafValues = routed.groupBy(col("__leaf"))
+        .agg((sum(col("__r")) / (sum(col("__hess")) + lit(1e-6))).as("__g"))
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      val stage = Stage(tree, leafValues)
+      stages += stage
+
+      val gammaMap = org.apache.spark.sql.functions.typedLit(leafValues)
+      val next0 = tree.setLeafCol("__leaf").transform(cur)
+        .withColumn("__F", col("__F") + lit(params.stepSize) *
+          coalesce(element_at(gammaMap, col("__leaf")), col("__h")))
+        .drop("__h", "__leaf")
       // cut lineage periodically (GBT's checkpointInterval cadence);
       // plain persist in between keeps each round one stage deep
       val next =
@@ -199,7 +240,7 @@ object TweedieGbt {
     cur.unpersist()
 
     // LightGBM returns the BEST-round model, not the last
-    val keep = if (hasValid && best._2 > 0) best._2 else trees.size
-    Model(f0, params.stepSize, p, trees.take(keep).toSeq, validDev.toSeq)
+    val keep = if (hasValid && best._2 > 0) best._2 else stages.size
+    Model(f0, params.stepSize, p, stages.take(keep).toSeq, validDev.toSeq)
   }
 }

@@ -80,10 +80,10 @@ class TweedieGbtSpec extends SparkSpec {
     val model = TweedieGbt.fit(demand, "features", "y", "is_valid", params)
     assert(model.validDeviances.nonEmpty)
     val bestRound = model.validDeviances.zipWithIndex.minBy(_._1)._2 + 1
-    assert(model.trees.size == bestRound,
+    assert(model.stages.size == bestRound,
       s"model must truncate at best validation round $bestRound, " +
-        s"kept ${model.trees.size} of max ${params.maxIter}")
-    assert(model.trees.size < params.maxIter,
+        s"kept ${model.stages.size} of max ${params.maxIter}")
+    assert(model.stages.size < params.maxIter,
       "early stopping must fire before maxIter on an overfitting run")
   }
 
@@ -94,7 +94,7 @@ class TweedieGbtSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-tweedie").toString
     model.save(dir)
     val loaded = TweedieGbt.load(spark, dir)
-    assert(loaded.f0 == model.f0 && loaded.trees.size == model.trees.size)
+    assert(loaded.f0 == model.f0 && loaded.stages.size == model.stages.size)
     val a = model.transform(demand, "mu").select("mu").as[Double].collect()
     val b = loaded.transform(demand, "mu").select("mu").as[Double].collect()
     assert(a.sameElements(b), "loaded model must predict identically")
