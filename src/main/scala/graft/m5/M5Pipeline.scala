@@ -210,6 +210,12 @@ final class M5Pipeline(spark: SparkSession, config: YamlConfig) {
         val encoders = Gbt.fitEncoders(sales, stringCols) // O13
         val encoded = Gbt.applyEncoders(sales, encoders)
           .withColumn("__valid", col("date") >= lit(validStart)) // O10
+        // native categorical splits (LightGBM parity): each encoded
+        // column's arity = vocab + the unseen slot; Gbt.assemble turns
+        // the small-arity ones into true nominal features
+        val catArity = encoders.map { case (c, vocab) =>
+          c -> (vocab.count().toInt + 1)
+        }
 
         val lgbParams = config.getMap("lgb_params")
         // the reference's actual objective (full.yaml:4): tweedie routes
@@ -218,12 +224,13 @@ final class M5Pipeline(spark: SparkSession, config: YamlConfig) {
         if (lgbParams.get("objective").map(_.toString).contains("tweedie")) {
           val tp = graft.ml.TweedieGbt.fromLgbParams(lgbParams)
           val model = graft.ml.TweedieGbt.fit(
-            Gbt.assemble(encoded, featureCols), "features",
+            Gbt.assemble(encoded, featureCols, catArity), "features",
             predTargetCol, "__valid", tp)
           model.save(s"$dir/model")
         } else {
           val params = Gbt.fromLgbParams(lgbParams)
-          val model = Gbt.fit(encoded, featureCols, predTargetCol, "__valid", params)
+          val model = Gbt.fit(encoded, featureCols, predTargetCol, "__valid",
+            params, catArity)
           model.write.overwrite().save(s"$dir/model")
         }
         encoders.foreach { case (c, vocab) =>
@@ -258,16 +265,21 @@ final class M5Pipeline(spark: SparkSession, config: YamlConfig) {
         // the original string, so stash it before encoding
         val encoded = Gbt.applyEncoders(
           xTest.withColumn("__orig_id", col("id")), encoders)
+        // the same arity map the train task attached — assemble must
+        // shift the same columns or codes would be off by one
+        val catArity = encoders.map { case (c, vocab) =>
+          c -> (vocab.count().toInt + 1)
+        }
         // a meta.json in the model dir marks the Tweedie loop's artifact;
         // the GBT path saves Spark ML's own layout
         val predicted =
           if (Files.exists(Paths.get(dir, "model", "meta.json")))
             graft.ml.TweedieGbt.load(spark, s"$dir/model")
-              .transform(Gbt.assemble(encoded, featureCols), predTargetCol)
+              .transform(Gbt.assemble(encoded, featureCols, catArity), predTargetCol)
               .drop("features")
           else
             Gbt.predict(GBTRegressionModel.load(s"$dir/model"),
-              encoded, featureCols, predTargetCol)
+              encoded, featureCols, predTargetCol, catArity)
         predicted
           .withColumn(predDateCol, date_add(col("date"), week * DaysPerWeek)) // O33
           .select(col("__orig_id").as("id"), col("date"), col(predDateCol), col(predTargetCol))

@@ -69,14 +69,46 @@ object Gbt {
         .drop(s"__code_$c")
     }
 
-  private[graft] def assemble(df: DataFrame, featureCols: Seq[String]): DataFrame = {
-    val numeric = featureCols.foldLeft(df)((acc, c) => acc.withColumn(c, col(c).cast("double")))
-    val filled = numeric.na.fill(MissingSentinel, featureCols)
+  /** Arity ceiling for NATIVE categorical treatment: a nominal feature
+    * of arity a needs `maxBins >= a`, and maxBins is global — it also
+    * sets the quantile-bin count of every CONTINUOUS feature, so a
+    * 3,049-arity id column would force 3,049 bins on every numeric
+    * feature (memory + findSplits cost). Above the ceiling a column
+    * stays an ordinal code (LightGBM itself caps categorical treatment
+    * via max_cat_threshold for the same reason). */
+  val CatMaxArity = 256
+
+  /** Columns in `catArity` (name → code arity INCLUDING the unseen slot)
+    * get NominalAttribute metadata, so Spark ML trees split them as true
+    * categoricals — for regression that is the mean-response-ordering
+    * subset search, the same statistics-ordering trick LightGBM uses —
+    * instead of ordinal thresholds on arbitrary lexicographic codes.
+    * Codes are shifted +1 at assemble time only (nominal values must be
+    * in [0, arity); the external -1-for-unseen contract is unchanged). */
+  private[graft] def assemble(df: DataFrame, featureCols: Seq[String],
+      catArity: Map[String, Int] = Map.empty): DataFrame = {
+    import org.apache.spark.ml.attribute.NominalAttribute
+    val catCols = featureCols.filter(c =>
+      catArity.get(c).exists(_ <= CatMaxArity))
+    val numeric = featureCols.foldLeft(df) { (acc, c) =>
+      if (catCols.contains(c)) {
+        val meta = NominalAttribute.defaultAttr
+          .withName(c).withNumValues(catArity(c)).toMetadata()
+        acc.withColumn(c, (col(c) + lit(1)).cast("double").as(c, meta))
+      } else acc.withColumn(c, col(c).cast("double"))
+    }
+    val filled = numeric.na.fill(MissingSentinel,
+      featureCols.filterNot(catCols.contains))
     new VectorAssembler()
       .setInputCols(featureCols.toArray)
       .setOutputCol("features")
       .transform(filled)
   }
+
+  /** maxBins for a tree consuming [[assemble]]'s output: must cover the
+    * largest nominal arity that was attached (default 32 otherwise). */
+  private[graft] def maxBinsFor(catArity: Map[String, Int]): Int =
+    (32 +: catArity.values.filter(_ <= CatMaxArity).toSeq).max
 
   /** O37 — fit with a validation split indicator (rows where
     * `validCol` is true are held out for validation-based stopping). */
@@ -85,8 +117,9 @@ object Gbt {
       featureCols: Seq[String],
       labelCol: String,
       validCol: String,
-      params: Params): GBTRegressionModel = {
-    val assembled = assemble(train, featureCols)
+      params: Params,
+      catArity: Map[String, Int] = Map.empty): GBTRegressionModel = {
+    val assembled = assemble(train, featureCols, catArity)
       .withColumn("__label", col(labelCol).cast("double"))
     new GBTRegressor()
       .setFeaturesCol("features")
@@ -95,6 +128,7 @@ object Gbt {
       .setMaxIter(params.maxIter)
       .setStepSize(params.stepSize)
       .setMaxDepth(params.maxDepth)
+      .setMaxBins(maxBinsFor(catArity))
       .setSubsamplingRate(params.subsamplingRate)
       .setFeatureSubsetStrategy(params.featureSubsetStrategy)
       .setSeed(params.seed)
@@ -106,8 +140,9 @@ object Gbt {
       model: GBTRegressionModel,
       df: DataFrame,
       featureCols: Seq[String],
-      predCol: String): DataFrame =
-    model.transform(assemble(df, featureCols))
+      predCol: String,
+      catArity: Map[String, Int] = Map.empty): DataFrame =
+    model.transform(assemble(df, featureCols, catArity))
       .withColumn(predCol, col(model.getPredictionCol))
       .drop("features", model.getPredictionCol)
 }

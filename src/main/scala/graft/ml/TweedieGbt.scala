@@ -174,6 +174,18 @@ object TweedieGbt {
     val meanY = base0.filter(!col("__valid")).agg(avg("__y")).head().getDouble(0)
     val f0 = math.log(math.max(meanY, 1e-9))
 
+    // honor nominal-attribute metadata attached by Gbt.assemble: native
+    // categorical splits need maxBins >= the largest nominal arity
+    val maxBins = {
+      val ag = org.apache.spark.ml.attribute.AttributeGroup
+        .fromStructField(train.schema(featuresCol))
+      val arities = ag.attributes.toSeq.flatten.collect {
+        case n: org.apache.spark.ml.attribute.NominalAttribute =>
+          n.getNumValues.getOrElse(0)
+      }
+      (32 +: arities).max
+    }
+
     var cur = base0.withColumn("__F", lit(f0)).localCheckpoint(true)
     var best = (Double.MaxValue, 0) // (valid deviance, round)
     val stages = scala.collection.mutable.ArrayBuffer.empty[Stage]
@@ -196,6 +208,7 @@ object TweedieGbt {
         .setFeaturesCol("features").setLabelCol("__r")
         .setPredictionCol("__h")
         .setMaxDepth(params.maxDepth)
+        .setMaxBins(maxBins)
         .setSeed(params.seed + round)
         .fit(fitRows)
 
