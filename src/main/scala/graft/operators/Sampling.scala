@@ -124,6 +124,45 @@ object Sampling {
     }.reduce(_ unionByName _)
   }
 
+  /** Temperature-based group resampling (the XLM-R / mT5 multilingual
+    * balancing shape): group `l` is kept at rate (n_min / n_l)^α, so the
+    * smallest group passes whole and larger groups are subsampled toward
+    * balance — α → 0 keeps the original proportions, α = 1 equalizes
+    * every group to ≈ n_min. The keep
+    * decision is the [[portableSample]] md5 filter with a PER-GROUP
+    * cutoff computed in-plan: one tiny count agg → broadcast join →
+    * stateless per-row filter; no data-sized shuffle, no driver action.
+    *
+    * Determinism across engines (the oracle twin must agree bit-for-bit
+    * on the cutoff): for α = 0.5 the rate is computed as
+    * `sqrt(n_min / n_l)` — division and sqrt are IEEE correctly-rounded
+    * in BOTH Spark (java.lang.Math) and DuckDB (libm), so the doubles
+    * are identical; `pow`, by contrast, is not correctly-rounded and
+    * may differ in the last ulp between libms. Other α use pow and are
+    * Spark-reproducible but not oracle-pinned. The double rate becomes
+    * an integer cutoff `floor(rate · 16^4)` rendered as 4 lower-case
+    * hex chars; rows survive iff their md5 prefix sorts below it
+    * (rate ≥ 1 → the whole group passes). */
+  def temperatureResample(
+      df: DataFrame, keyCol: String, groupCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1]: $alpha")
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("double").as("__n"))
+    val minN = counts.agg(min(col("__n")).as("__minn"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .withColumn("__rate",
+        if (alpha == 0.5) sqrt(col("__minn") / col("__n"))
+        else pow(col("__minn") / col("__n"), alpha))
+      .withColumn("__cut",
+        format_string("%04x", floor(col("__rate") * lit(65536.0d)).cast("int")))
+      .select(col(groupCol), col("__rate"), col("__cut"))
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(col("__rate") >= 1.0d ||
+        substring(md5(col(keyCol).cast("string")), 1, 4) < col("__cut"))
+      .drop("__rate", "__cut")
+  }
+
   /** Deterministic shuffle into `shards` training shards — the
     * write-ready layout of a training-data freeze. Shard id is the
     * first 8 hex chars of md5(key) parsed as an integer mod `shards`

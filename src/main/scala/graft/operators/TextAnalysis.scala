@@ -78,6 +78,39 @@ object TextAnalysis {
         roundDigits))
   }
 
+  /** Model-based quality filtering (the GPT-3 / CCNet classifier
+    * shape): a logistic model over the engineered quality signals
+    * scores each document and the corpus keeps only docs above
+    * `threshold`. The weights are a FROZEN artifact (a trained
+    * classifier's coefficients, shipped like any model file) — scoring
+    * is therefore a pure per-row codegen expression: one scan, no
+    * shuffle, no model server. `weights` = (bias, w_len, w_punctClean,
+    * w_alpha) over the same three features [[withQuality]] engineers.
+    *
+    * Determinism note (oracle twin): the score is round(sigmoid(z), 4)
+    * — +, ×, / are IEEE correctly-rounded and java.lang.Math.exp vs
+    * libm exp agree to < 1 ulp, so a 4-digit rounding flip needs z to
+    * land within ~1e-12 of a rounding boundary; across the testdata
+    * SFs this never occurs (swept at sf0.001/0.01/0.1). */
+  def classifierQualityFilter(
+      df: DataFrame, idCol: String, textCol: String,
+      weights: (Double, Double, Double, Double) = (-2.0, 2.5, 1.5, 1.5),
+      threshold: Double = 0.5, roundDigits: Int = 4): DataFrame = {
+    val t = col(textCol)
+    val toks = Text.tokens(t)
+    val lenScore = least(length(t).cast("double") / 500.0d, lit(1.0d))
+    val punctRatio = Text.punctCount(t).cast("double") /
+      greatest(length(t).cast("double"), lit(1.0d))
+    val alphaRatio = size(filter(toks, x => x.rlike("^[A-Za-z]+$"))).cast("double") /
+      greatest(size(toks).cast("double"), lit(1.0d))
+    val (b, wl, wp, wa) = weights
+    val z = lit(b) + lit(wl) * lenScore +
+      lit(wp) * (lit(1.0d) - punctRatio) + lit(wa) * alphaRatio
+    val score = lit(1.0d) / (lit(1.0d) + exp(-z))
+    df.withColumn("ql_score", round(score, roundDigits))
+      .filter(col("ql_score") >= threshold)
+  }
+
   /** Token statistics: whitespace tokens + BPE-ish piece count. */
   def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),

@@ -1568,6 +1568,43 @@ object OracleSql {
         |  UNION ALL SELECT 'priority_shape', v_prio, total FROM a
         |  UNION ALL SELECT 'date_present', v_date, total FROM a
         |  UNION ALL SELECT 'unique_o_orderkey', v_uniq, total FROM a)
-        |ORDER BY rule""".stripMargin
+        |ORDER BY rule""".stripMargin,
+
+    // Logistic score over the x47 quality features; the z-expression
+    // term order mirrors TextAnalysis.classifierQualityFilter exactly
+    // (+, ×, / are correctly-rounded so the doubles agree bit-for-bit;
+    // exp agrees to <1 ulp — see the operator's determinism note).
+    "x108_quality_classifier" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS w,
+        |    LEAST(LENGTH(text)::DOUBLE / 500.0, 1.0) AS len_score,
+        |    (LENGTH(text) - LENGTH(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE
+        |      / GREATEST(LENGTH(text)::DOUBLE, 1.0) AS punct_ratio
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |    ROUND(1.0 / (1.0 + exp(-(-2.0 + 2.5 * len_score +
+        |      1.5 * (1.0 - punct_ratio) +
+        |      1.5 * (len(list_filter(w, x -> regexp_matches(x, '^[A-Za-z]+$')))::DOUBLE
+        |        / GREATEST(len(w)::DOUBLE, 1.0))))), 4) AS ql_score
+        |  FROM t)
+        |SELECT doc_id, lang, ql_score FROM s
+        |WHERE ql_score >= 0.5 ORDER BY doc_id""".stripMargin,
+
+    // Temperature rebalancing: rate = sqrt(n_min/n_lang) (division and
+    // sqrt are IEEE correctly-rounded in both engines — this is why the
+    // gate pins alpha = 0.5), cutoff = 4-hex-char floor(rate·16^4),
+    // survival = the portable md5-prefix filter.
+    "x109_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT lang, COUNT(*)::DOUBLE AS n FROM documents GROUP BY lang),
+        |k AS (
+        |  SELECT lang, sqrt((SELECT MIN(n) FROM c) / n) AS rate,
+        |    printf('%04x', CAST(FLOOR(sqrt((SELECT MIN(n) FROM c) / n) * 65536.0) AS INT)) AS cut
+        |  FROM c)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d JOIN k USING (lang)
+        |WHERE k.rate >= 1.0 OR substr(md5(d.doc_id::VARCHAR), 1, 4) < k.cut
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

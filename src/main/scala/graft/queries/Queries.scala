@@ -1375,6 +1375,29 @@ object Queries {
         uniqueRules = Seq("o_orderkey"))
       .orderBy("rule")
 
+  /** X108 — model-based quality filtering (GPT-3 / CCNet classifier
+    * shape): frozen logistic weights over the engineered quality
+    * signals score every document in one codegen scan; the corpus
+    * keeps docs above the threshold. The weights here stand in for a
+    * trained classifier's coefficients — the runtime shape (pure
+    * expression, no shuffle, no model server) is the production one. */
+  def x108(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.classifierQualityFilter(
+        Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("lang"), col("ql_score"))
+      .orderBy("doc_id")
+
+  /** X109 — temperature-based language rebalancing (XLM-R / mT5
+    * multilingual sampling): each language kept at rate
+    * sqrt(n_min/n_lang), so the rarest language passes whole and
+    * dominant ones are subsampled toward balance. Count agg →
+    * broadcast rates → stateless md5 filter; no data-sized shuffle. */
+  def x109(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureResample(
+        Tables.documents(s, dir), "doc_id", "lang", alpha = 0.5)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -1495,5 +1518,7 @@ object Queries {
     "x104_boilerplate_incremental" -> (x104 _),
     "x105_pagerank_dangling" -> (x105 _),
     "x106_edit_distance_pairs" -> (x106 _),
-    "x107_validation_contract" -> (x107 _))
+    "x107_validation_contract" -> (x107 _),
+    "x108_quality_classifier" -> (x108 _),
+    "x109_temperature_mix" -> (x109 _))
 }

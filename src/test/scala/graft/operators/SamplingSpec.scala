@@ -150,6 +150,49 @@ class SamplingSpec extends SparkSpec {
     assert(viol == 0, "kept set must be an order-prefix per source")
   }
 
+  test("temperatureResample: smallest group whole, larger groups -> sqrt-rate, partition-invariant") {
+    val docs = Tables.documents(spark, dir)
+    val before = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val minN = before.values.min
+    val smallest = before.minBy(_._2)._1
+
+    val kept = Sampling.temperatureResample(docs, "doc_id", "lang", alpha = 0.5)
+    val after = kept.groupBy("lang").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+
+    // the rarest language passes whole (rate = 1)
+    assert(after(smallest) == minN,
+      s"smallest group must survive intact: ${after(smallest)} vs $minN")
+    // every other group lands near its sqrt(n_min/n) expectation
+    before.foreach { case (lang, n) =>
+      val expected = n * math.sqrt(minN.toDouble / n)
+      val got = after.getOrElse(lang, 0L).toDouble
+      assert(math.abs(got - expected) < 4 * math.sqrt(expected) + 8,
+        s"$lang: kept $got, expected ≈ $expected of $n")
+    }
+    // balance direction: the max/min group ratio must shrink
+    val ratioBefore = before.values.max.toDouble / before.values.min
+    val ratioAfter = after.values.max.toDouble / after.values.min
+    assert(ratioAfter < ratioBefore,
+      s"resampling must move toward balance: $ratioBefore -> $ratioAfter")
+
+    // deterministic + partition-invariant key set
+    val a = kept.select("doc_id").as[Long].collect().toSet
+    val b = Sampling.temperatureResample(
+        docs.repartition(13), "doc_id", "lang", alpha = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b, "kept set must not depend on partitioning")
+
+    // alpha = 1 equalizes: every group within noise of n_min
+    val eq = Sampling.temperatureResample(docs, "doc_id", "lang", alpha = 1.0)
+      .groupBy("lang").agg(count(lit(1)).as("n")).as[(String, Long)].collect()
+    eq.foreach { case (lang, n) =>
+      assert(math.abs(n.toDouble - minN) < 4 * math.sqrt(minN.toDouble) + 8,
+        s"alpha=1 must equalize $lang to ≈ $minN, got $n")
+    }
+  }
+
   test("shuffleToShards: every row placed once, pos contiguous per shard, partition-invariant") {
     val docs = Tables.documents(spark, dir)
     val n = docs.count()

@@ -162,4 +162,30 @@ class TextAnalysisSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"lineRepetition must not shuffle:\n$plan")
   }
+
+  test("classifierQualityFilter: clean prose scores above junk, threshold drops it, no shuffle") {
+    val docs = Seq(
+      (1L, ("the quick brown fox jumps over the lazy dog and keeps " * 10).trim),
+      (2L, "!!! ### $$$ %%% ^^^ &&& *** ((( ))) @@@ ~~ ??"),
+      (3L, "short")).toDF("doc_id", "text")
+    val scored = TextAnalysis.classifierQualityFilter(
+      docs, "doc_id", "text", threshold = 0.0)
+    val byId = scored.select("doc_id", "ql_score")
+      .as[(Long, Double)].collect().toMap
+    assert(byId(1L) > byId(2L),
+      s"clean prose must outscore symbol junk: $byId")
+    assert(byId.values.forall(s => s >= 0.0 && s <= 1.0), s"sigmoid range: $byId")
+
+    // the default threshold keeps the prose and drops the junk
+    val kept = TextAnalysis.classifierQualityFilter(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L) && !kept.contains(2L),
+      s"threshold 0.5 must separate prose from junk: $kept")
+
+    // production shape: a stateless per-row filter — no Exchange
+    val plan = TextAnalysis.classifierQualityFilter(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"classifier filter must not shuffle:\n$plan")
+  }
 }
