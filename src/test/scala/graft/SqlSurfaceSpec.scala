@@ -141,6 +141,40 @@ class SqlSurfaceSpec extends SparkSpec {
         |ORDER BY doc_id, fp""".stripMargin)
   }
 
+  test("x108 classifier quality filter as SQL text") {
+    assertSame("x108_quality_classifier",
+      """WITH t AS (
+        |  SELECT doc_id, lang, SPLIT(text, ' ') AS w,
+        |    LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+        |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^A-Za-z0-9 ]', ''))
+        |        AS DOUBLE) / GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0) AS punct_ratio
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |    ROUND(1.0 / (1.0 + EXP(-(-2.0 + 2.5 * len_score +
+        |      1.5 * (1.0 - punct_ratio) +
+        |      1.5 * (CAST(SIZE(FILTER(w, x -> x RLIKE '^[A-Za-z]+$')) AS DOUBLE)
+        |        / GREATEST(CAST(SIZE(w) AS DOUBLE), 1.0))))), 4) AS ql_score
+        |  FROM t)
+        |SELECT doc_id, lang, ql_score FROM s
+        |WHERE ql_score >= 0.5 ORDER BY doc_id""".stripMargin)
+  }
+
+  test("x109 temperature rebalancing as SQL text") {
+    assertSame("x109_temperature_mix",
+      """WITH c AS (
+        |  SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n FROM documents GROUP BY lang),
+        |k AS (
+        |  SELECT lang, SQRT((SELECT MIN(n) FROM c) / n) AS rate,
+        |    FORMAT_STRING('%04x',
+        |      CAST(FLOOR(SQRT((SELECT MIN(n) FROM c) / n) * 65536.0) AS INT)) AS cut
+        |  FROM c)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d JOIN k USING (lang)
+        |WHERE k.rate >= 1.0 OR SUBSTRING(MD5(CAST(d.doc_id AS STRING)), 1, 4) < k.cut
+        |ORDER BY d.doc_id""".stripMargin)
+  }
+
   test("x72 PII redaction as SQL text via graft_redact_pii") {
     assertSame("x72_pii_redaction",
       """WITH p AS (SELECT doc_id,
