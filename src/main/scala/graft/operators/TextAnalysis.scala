@@ -96,19 +96,31 @@ object TextAnalysis {
       df: DataFrame, idCol: String, textCol: String,
       weights: (Double, Double, Double, Double) = (-2.0, 2.5, 1.5, 1.5),
       threshold: Double = 0.5, roundDigits: Int = 4): DataFrame = {
-    val t = col(textCol)
-    val toks = Text.tokens(t)
-    val lenScore = least(length(t).cast("double") / 500.0d, lit(1.0d))
-    val punctRatio = Text.punctCount(t).cast("double") /
-      greatest(length(t).cast("double"), lit(1.0d))
-    val alphaRatio = size(filter(toks, x => x.rlike("^[A-Za-z]+$"))).cast("double") /
-      greatest(size(toks).cast("double"), lit(1.0d))
+    val (lenScore, punctClean, alphaRatio) = qualityFeatures(col(textCol))
     val (b, wl, wp, wa) = weights
     val z = lit(b) + lit(wl) * lenScore +
-      lit(wp) * (lit(1.0d) - punctRatio) + lit(wa) * alphaRatio
+      lit(wp) * punctClean + lit(wa) * alphaRatio
     val score = lit(1.0d) / (lit(1.0d) + exp(-z))
     df.withColumn("ql_score", round(score, roundDigits))
       .filter(col("ql_score") >= threshold)
+  }
+
+  /** The engineered quality feature triple (length score, punctuation
+    * cleanliness = 1 − punct ratio, alphabetic-token ratio) — the ONE
+    * definition shared by [[withQuality]]'s fixed blend,
+    * [[classifierQualityFilter]]'s frozen-weight scoring, and
+    * [[graft.ml.QualityClassifier]]'s training featurizer, so a model
+    * trained on these columns scores identically at filter time. */
+  private[graft] def qualityFeatures(
+      t: org.apache.spark.sql.Column): (org.apache.spark.sql.Column,
+      org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val toks = Text.tokens(t)
+    val lenScore = least(length(t).cast("double") / 500.0d, lit(1.0d))
+    val punctClean = lit(1.0d) - Text.punctCount(t).cast("double") /
+      greatest(length(t).cast("double"), lit(1.0d))
+    val alphaRatio = size(filter(toks, x => x.rlike("^[A-Za-z]+$"))).cast("double") /
+      greatest(size(toks).cast("double"), lit(1.0d))
+    (lenScore, punctClean, alphaRatio)
   }
 
   /** Token statistics: whitespace tokens + BPE-ish piece count. */
