@@ -21,6 +21,10 @@ object M5ScaleDemo {
     // weeks=4 + stores=10 reproduces the reference's full-width grid
     // (full.yaml store_list × pred_week_list = 40 models)
     val weeksN = if (args.length > 4) args(4).toInt else 2
+    // arg 6 = "tweedie" routes training through the native Tweedie
+    // boosting loop (8 rounds + early stopping) instead of 2-tree GBT —
+    // the full.yaml objective at demo width
+    val tweedie = args.length > 5 && args(5) == "tweedie"
 
     val in = Files.createTempDirectory("m5scale_in").toString
     val out = Files.createTempDirectory("m5scale_out").toString
@@ -46,8 +50,14 @@ object M5ScaleDemo {
         val l = new java.util.ArrayList[Integer]()
         (1 to weeksN).foreach(w => l.add(w)); l
       },
-      "lgb_params" -> java.util.Map.of(
-        "n_estimators", 2, "learning_rate", 0.1, "max_depth", 6),
+      "lgb_params" -> (if (tweedie)
+        java.util.Map.of(
+          "n_estimators", 8, "learning_rate", 0.1, "max_depth", 6,
+          "objective", "tweedie", "tweedie_variance_power", 1.1,
+          "early_stopping_rounds", 8)
+      else
+        java.util.Map.of(
+          "n_estimators", 2, "learning_rate", 0.1, "max_depth", 6)),
       "cleanup_intermediates" -> "true"))
 
     val spark = SparkSession.builder().master("local[16]")
