@@ -124,13 +124,21 @@ object Bench {
     val ok = results.map(_._2._1).filter(_ >= 0)
     val total = if (ok.nonEmpty) ok.sum else 0.0
     val failed = results.count(_._2._1 < 0)
+    // Name the failures (r10 ADVICE #4): `value` sums only succeeded
+    // queries (failures record -1 and contribute 0), so a round-over-
+    // round total comparison is only valid over the common succeeded
+    // subset. Listing the failed names lets an automated consumer
+    // subtract the same queries from the other round's total instead
+    // of comparing incomparable headlines.
+    val failedNames = results.filter(_._2._1 < 0).map(_._1)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     // reflect what actually did not run: an explicit ONLY naming a
     // gateOnly query times it, and listing the same query as both
     // timed and skipped would contradict the artifact
     val ranNames = results.map(_._1).toSet
     val skipped = SparkEntry.gateOnly.filterNot(ranNames.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$Runs,"failed":$failed,"sf":"$sfDir","gate_only_skipped":$skipped,"queries":$qs,"runs_detail":$runsDetail}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$Runs,"failed":$failed,"failed_queries":$failedNames,"sf":"$sfDir","gate_only_skipped":$skipped,"queries":$qs,"runs_detail":$runsDetail}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       line.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -499,6 +499,84 @@ object Similarity {
     emb.join(survivors, Seq(idCol), "left_semi")
   }
 
+  /** Lloyd's k-means over the embedding column — the clustering stage
+    * of SemDeDup-style semantic curation (Abbas et al. 2023 cluster
+    * with k-means, then prune within clusters) and of cluster-balanced
+    * training-data mixing. Deterministic and oracle-checkable:
+    *
+    *   - init: the `k` lowest-`idCol` vectors, cluster index = id rank
+    *     (no random seeds — reproducible across engines and runs);
+    *   - `iters` rounds of assign → recompute means; a cluster that
+    *     loses all members keeps its previous centroid;
+    *   - centroid components are ROUNDED to `centroidDigits` after
+    *     each mean. Both engines then hold the double nearest the same
+    *     decimal, so the next round's distances are computed from
+    *     bit-identical inputs and argmin ties cannot diverge on
+    *     summation-order ulps (the mean itself is order-sensitive; the
+    *     quantize step is what makes the fixpoint portable);
+    *   - output: final assignment under the post-`iters` centroids —
+    *     (vec_id, cluster, dist2 rounded to `distDigits`).
+    *
+    * Scale shape: centroids are DRIVER state — k×dim doubles,
+    * independent of corpus size (the same shape MLlib's KMeans uses,
+    * and the sanctioned broadcast-scalar pattern: the per-iteration
+    * collect is k×dim rows, never data). Assignment is therefore
+    * MAP-ONLY: the argmin over k centroid literals compiles to one
+    * codegen'd `array_min(array(struct(dist_i, i)...))` per row — no
+    * crossJoin, no shuffle, no window. The only exchange per iteration
+    * is the centroid update: posexplode → partial-agg avg keyed on
+    * (cluster, pos), k×dim groups — map-side combine reduces it to
+    * k×dim×partitions rows on the wire. dist² is expanded as
+    * |v|² − 2·v·c + |c|² so |c|² folds to a driver constant and v·c is
+    * one [[Vectors.dot]] codegen loop per centroid. */
+  def kmeans(
+      emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int,
+      centroidDigits: Int = 6, distDigits: Int = 4): DataFrame = {
+    require(k > 0 && iters >= 0, s"need k>0, iters>=0; got k=$k iters=$iters")
+    val e = emb.select(col(idCol).cast("long").as("vec_id"),
+      Vectors.toDouble(col(vecCol)).as("v"))
+
+    // Driver-side centroid state: (clusterIdx, components).
+    var cents: Array[Seq[Double]] = e.orderBy("vec_id").limit(k).collect()
+      .map(_.getSeq[Double](1))
+    require(cents.length == k, s"corpus has ${cents.length} rows < k=$k")
+
+    // argmin over the k centroid literals; lexicographic struct min
+    // breaks exact-dist ties toward the lowest cluster index.
+    def best(cs: Array[Seq[Double]]): Column = {
+      val vSq = Vectors.sq(col("v"))
+      array_min(array(cs.zipWithIndex.map { case (c, i) =>
+        // |c|² on the driver: sequential left-to-right sum, the same
+        // order both engines' list dot uses — bit-identical.
+        val cSq = c.foldLeft(0.0)((acc, x) => acc + x * x)
+        struct(
+          (vSq - lit(2.0) * Vectors.dot(col("v"), typedLit(c)) + lit(cSq))
+            .as("d"),
+          lit(i).as("cidx"))
+      }: _*))
+    }
+
+    for (_ <- 1 to iters) {
+      val assigned = e.withColumn("cidx", best(cents).getField("cidx"))
+      val means = assigned
+        .select(col("cidx"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cidx"), col("pos"))
+        .agg(round(avg(col("x")), centroidDigits).as("m"))
+        .groupBy(col("cidx"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("c"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      cents = cents.zipWithIndex.map { case (old, i) => means.getOrElse(i, old) }
+    }
+
+    val fin = best(cents)
+    e.select(col("vec_id"),
+      fin.getField("cidx").cast("long").as("cluster"),
+      round(fin.getField("d"), distDigits).as("dist2"))
+  }
+
   /** Two-phase distributed top-k per query group (see object doc). */
   private def twoPhaseTopK(scored: DataFrame, k: Int): DataFrame = {
     val local = scored.withColumn("__part", spark_partition_id())

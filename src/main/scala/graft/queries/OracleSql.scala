@@ -1605,6 +1605,72 @@ object OracleSql {
         |SELECT d.doc_id, d.lang, d.source
         |FROM documents d JOIN k USING (lang)
         |WHERE k.rate >= 1.0 OR substr(md5(d.doc_id::VARCHAR), 1, 4) < k.cut
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // k-means (k=4, 2 Lloyd's rounds, lowest-id init, centroids
+    // quantized to 6 digits between rounds): the assignment expression
+    // term order mirrors Similarity.kmeans exactly — both engines'
+    // sequential list dot products agree bit-for-bit, and the round-6
+    // centroid quantize makes each round's inputs identical doubles,
+    // so the argmin (ties → lowest cluster index) cannot diverge.
+    "x110_kmeans" ->
+      s"""WITH $embCte,
+         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, v AS c
+         |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)),
+         |a1 AS (${kmeansAssign("c0")}),
+         |c1 AS (${kmeansUpdate("a1", "c0")}),
+         |a2 AS (${kmeansAssign("c1")}),
+         |c2 AS (${kmeansUpdate("a2", "c1")}),
+         |af AS (${kmeansAssign("c2")})
+         |SELECT vec_id, cidx::BIGINT AS cluster, ROUND(d, 4) AS dist2
+         |FROM af ORDER BY vec_id""".stripMargin,
+
+    // Canonical-doc selection: x60's simhash-pair components, survivor
+    // = highest quality (x47's score) with doc_id ascending tie-break.
+    "x111_canonical_dedup" ->
+      s"""WITH RECURSIVE $simhashFpsCte,
+         |edges AS (
+         |  SELECT x.doc AS a, y.doc AS b FROM fps x JOIN fps y
+         |  ON x.doc <> y.doc AND bit_count(xor(x.fp, y.fp)) <= 2),
+         |reach(node, r) AS (
+         |  SELECT doc, doc FROM fps
+         |  UNION
+         |  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r),
+         |cl AS (SELECT node AS doc_id, MIN(r)::BIGINT AS cluster
+         |       FROM reach GROUP BY node),
+         |qs AS ($qualitySql),
+         |j AS (SELECT cl.cluster, cl.doc_id, qs.quality
+         |      FROM cl JOIN qs USING (doc_id)),
+         |r AS (SELECT cluster, doc_id, quality,
+         |        ROW_NUMBER() OVER (PARTITION BY cluster
+         |          ORDER BY quality DESC, doc_id) AS rn,
+         |        COUNT(*) OVER (PARTITION BY cluster) AS n_members
+         |      FROM j)
+         |SELECT cluster, doc_id, quality, n_members::BIGINT AS n_members
+         |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin
   )
+
+  /** One Lloyd's assignment pass against centroid CTE `cc`: argmin of
+    * |v|² − 2·v·c + |c|², ties to the lowest cluster index — the same
+    * term order [[graft.operators.Similarity.kmeans]] compiles, so the
+    * distance doubles agree bit-for-bit. */
+  private def kmeansAssign(cc: String): String =
+    s"""SELECT vec_id, v, cidx, d FROM (
+       |  SELECT e.vec_id, e.v, $cc.cidx,
+       |    list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, $cc.c)
+       |      + list_dot_product($cc.c, $cc.c) AS d,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |      list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, $cc.c)
+       |        + list_dot_product($cc.c, $cc.c), $cc.cidx) AS rn
+       |  FROM e CROSS JOIN $cc) WHERE rn = 1""".stripMargin
+
+  /** Centroid update: element-wise mean of each cluster's members,
+    * ROUNDed to 6 digits (the portability quantize); a cluster with no
+    * members keeps its previous centroid via the LEFT JOIN COALESCE. */
+  private def kmeansUpdate(a: String, prev: String): String =
+    s"""SELECT $prev.cidx, COALESCE(u.c, $prev.c) AS c FROM $prev LEFT JOIN (
+       |  SELECT cidx, list(m ORDER BY pos) AS c FROM (
+       |    SELECT cidx, pos, ROUND(AVG(x), 6) AS m FROM (
+       |      SELECT cidx, generate_subscripts(v, 1) AS pos, unnest(v) AS x
+       |      FROM $a) GROUP BY cidx, pos) GROUP BY cidx) u USING (cidx)""".stripMargin
 }

@@ -1398,6 +1398,44 @@ object Queries {
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy("doc_id")
 
+  /** X110 — k-means semantic clustering over the embedding corpus: the
+    * clustering stage of SemDeDup-style curation and cluster-balanced
+    * data mixing. k=4, two Lloyd's rounds, deterministic lowest-id
+    * init; see [[graft.operators.Similarity.kmeans]] for the engine
+    * parity (round-6 quantized centroids) and scale analysis (map-only
+    * assignment against k×dim driver state; the one shuffle per round
+    * is the k×dim-group centroid mean). */
+  def x110(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeans(Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 4, iters = 2)
+      .orderBy("vec_id")
+
+  /** X111 — canonical-document selection per near-dup cluster: keep
+    * each cluster's HIGHEST-quality member (tie → lowest doc_id)
+    * instead of x60's keep-lowest-id — the curation-grade survivor
+    * rule (drop the mangled recrawl, keep the clean original).
+    * Clusters are x60's machinery (simhash pairs → connected
+    * components); quality is x47's engineered score. The per-cluster
+    * argmax is ONE map-side-combinable `min(struct(-quality, doc_id))`
+    * aggregate — no window, no per-cluster sort, so cluster-count
+    * cardinality (not corpus size) bounds the reduce side. */
+  def x111(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxDist = 2)
+    val clusters = Dedup.connectedComponents(docs, "doc_id", pairs, "a", "b")
+    val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
+    clusters.join(q, Seq("doc_id"))
+      .groupBy(col("cluster"))
+      .agg(
+        min(struct((-col("quality")).as("nq"), col("doc_id").as("d"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster").cast("long").as("cluster"),
+        col("best.d").as("doc_id"),
+        (-col("best.nq")).as("quality"),
+        col("n_members"))
+      .orderBy("cluster")
+  }
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -1520,5 +1558,7 @@ object Queries {
     "x106_edit_distance_pairs" -> (x106 _),
     "x107_validation_contract" -> (x107 _),
     "x108_quality_classifier" -> (x108 _),
-    "x109_temperature_mix" -> (x109 _))
+    "x109_temperature_mix" -> (x109 _),
+    "x110_kmeans" -> (x110 _),
+    "x111_canonical_dedup" -> (x111 _))
 }

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+
+/** [[Similarity.kmeans]] — hand-checkable Lloyd's fixpoints, the
+  * empty-cluster carry-over rule, and the map-only assignment plan
+  * (the 100 TB property: no join/exchange on the assignment path). */
+class KmeansSpec extends SparkSpec {
+
+  private def emb(rows: (Long, Seq[Float])*) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("two well-separated groups converge to the hand-computed clustering") {
+    // init c0=(0,0), c1=(0,1); round 1 pulls c1 to the far group's side
+    // (mean of (0,1),(10,10),(10,11)), round 2 separates cleanly.
+    val e = emb(
+      0L -> Seq(0f, 0f), 1L -> Seq(0f, 1f),
+      2L -> Seq(10f, 10f), 3L -> Seq(10f, 11f))
+    val out = Similarity.kmeans(e, "vec_id", "embedding", k = 2, iters = 2)
+      .orderBy("vec_id")
+      .select("vec_id", "cluster").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("exact-distance ties assign to the lowest cluster index") {
+    // duplicate init vectors: every point is equidistant to c0 and c1
+    // at round 1 — all must land on cidx 0, never split by plan order.
+    val e = emb(0L -> Seq(1f, 1f), 1L -> Seq(1f, 1f), 2L -> Seq(5f, 5f))
+    val out = Similarity.kmeans(e, "vec_id", "embedding", k = 2, iters = 0)
+    // iters=0: assignment under the raw init centroids (both (1,1))
+    assert(out.select("cluster").distinct().collect().map(_.getLong(0)).toSet === Set(0L))
+  }
+
+  test("a cluster that loses all members keeps its previous centroid") {
+    // k=3 with three identical points at 0 and one at 5: ties send all
+    // of 0,1,2 to cidx 0 in round 1, so clusters 1 and 2 go empty and
+    // must carry their init centroid (0,0) instead of vanishing. Round
+    // 2 then re-attracts the 0-points to cluster 1 (dist 0 beats the
+    // moved c0), proving the carried centroid stays live.
+    val e = emb(
+      0L -> Seq(0f, 0f), 1L -> Seq(0f, 0f), 2L -> Seq(0f, 0f),
+      3L -> Seq(5f, 0f))
+    val out = Similarity.kmeans(e, "vec_id", "embedding", k = 3, iters = 1)
+      .orderBy("vec_id")
+      .select("vec_id", "cluster").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // after 1 update: c0=(1.25,0) (mean of all four), c1=c2=(0,0) carried
+    // → 0,1,2 land on c1 (dist 0, lowest tied index), 3 stays on c0.
+    assert(out.toSeq === Seq(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 0L))
+  }
+
+  test("dist2 is the squared distance to the final centroid") {
+    val e = emb(0L -> Seq(0f, 0f), 1L -> Seq(0f, 2f))
+    // k=1: centroid after 1 round = (0,1); both points at dist² 1.
+    val out = Similarity.kmeans(e, "vec_id", "embedding", k = 1, iters = 1)
+      .orderBy("vec_id").select("dist2").collect().map(_.getDouble(0))
+    assert(out.toSeq === Seq(1.0, 1.0))
+  }
+
+  test("assignment path is map-only: no exchange below the final sort") {
+    val e = Tables100
+    val plan = Similarity.kmeans(e, "vec_id", "embedding", k = 4, iters = 0)
+      .queryExecution.executedPlan.toString
+    // iters=0 isolates the assignment stage: one scan → project; the
+    // argmin over centroid literals must not introduce a join, window,
+    // or aggregate-driven exchange.
+    assert(!plan.contains("Join"), s"assignment plan joined:\n$plan")
+    assert(!plan.contains("Window"), s"assignment plan windowed:\n$plan")
+  }
+
+  private def Tables100 = {
+    import spark.implicits._
+    (0L until 100L).map(i => (i, Seq.tabulate(8)(j => (i * 7 + j).toFloat % 13)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("matches the gate query shape on real embeddings (all rows assigned)") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Similarity.kmeans(e, "vec_id", "embedding", k = 4, iters = 2)
+    val n = e.count()
+    assert(out.count() === n)
+    assert(out.filter(col("cluster").isNull || col("dist2") < 0).count() === 0)
+  }
+}
