@@ -533,32 +533,32 @@ object Similarity {
       emb: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int,
       centroidDigits: Int = 6, distDigits: Int = 4): DataFrame = {
+    val cents = kmeansCentroids(emb, idCol, vecCol, k, iters, centroidDigits)
+    val fin = kmeansBest(cents)
+    emb.select(col(idCol).cast("long").as("vec_id"),
+        Vectors.toDouble(col(vecCol)).as("v"))
+      .select(col("vec_id"),
+        fin.getField("cidx").cast("long").as("cluster"),
+        round(fin.getField("d"), distDigits).as("dist2"))
+  }
+
+  /** The Lloyd's loop of [[kmeans]], returning the final centroids as
+    * driver state (index = cluster id) for callers that compose the
+    * assignment with further per-row work ([[semanticDedupKmeans]]). */
+  def kmeansCentroids(
+      emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, centroidDigits: Int = 6): Array[Seq[Double]] = {
     require(k > 0 && iters >= 0, s"need k>0, iters>=0; got k=$k iters=$iters")
     val e = emb.select(col(idCol).cast("long").as("vec_id"),
       Vectors.toDouble(col(vecCol)).as("v"))
 
-    // Driver-side centroid state: (clusterIdx, components).
+    // Driver-side centroid state, init = the k lowest-id vectors.
     var cents: Array[Seq[Double]] = e.orderBy("vec_id").limit(k).collect()
       .map(_.getSeq[Double](1))
     require(cents.length == k, s"corpus has ${cents.length} rows < k=$k")
 
-    // argmin over the k centroid literals; lexicographic struct min
-    // breaks exact-dist ties toward the lowest cluster index.
-    def best(cs: Array[Seq[Double]]): Column = {
-      val vSq = Vectors.sq(col("v"))
-      array_min(array(cs.zipWithIndex.map { case (c, i) =>
-        // |c|² on the driver: sequential left-to-right sum, the same
-        // order both engines' list dot uses — bit-identical.
-        val cSq = c.foldLeft(0.0)((acc, x) => acc + x * x)
-        struct(
-          (vSq - lit(2.0) * Vectors.dot(col("v"), typedLit(c)) + lit(cSq))
-            .as("d"),
-          lit(i).as("cidx"))
-      }: _*))
-    }
-
     for (_ <- 1 to iters) {
-      val assigned = e.withColumn("cidx", best(cents).getField("cidx"))
+      val assigned = e.withColumn("cidx", kmeansBest(cents).getField("cidx"))
       val means = assigned
         .select(col("cidx"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cidx"), col("pos"))
@@ -570,11 +570,76 @@ object Similarity {
         .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
       cents = cents.zipWithIndex.map { case (old, i) => means.getOrElse(i, old) }
     }
+    cents
+  }
 
-    val fin = best(cents)
-    e.select(col("vec_id"),
-      fin.getField("cidx").cast("long").as("cluster"),
-      round(fin.getField("d"), distDigits).as("dist2"))
+  /** Argmin over the k centroid literals for the row's `v` column:
+    * struct(dist², cidx) through `array_min` — lexicographic struct
+    * ordering breaks exact-dist ties toward the lowest cluster index.
+    * Map-only: compiles to per-row codegen, no join/shuffle. */
+  private def kmeansBest(cs: Array[Seq[Double]]): Column = {
+    val vSq = Vectors.sq(col("v"))
+    array_min(array(cs.zipWithIndex.map { case (c, i) =>
+      // |c|² on the driver: sequential left-to-right sum, the same
+      // order both engines' list dot uses — bit-identical.
+      val cSq = c.foldLeft(0.0)((acc, x) => acc + x * x)
+      struct(
+        (vSq - lit(2.0) * Vectors.dot(col("v"), typedLit(c)) + lit(cSq))
+          .as("d"),
+        lit(i).as("cidx"))
+    }: _*))
+  }
+
+  /** SemDeDup with its ORIGINAL prune rule (Abbas et al. 2023 §2):
+    * k-means-cluster the corpus, generate candidate pairs only WITHIN
+    * a cluster, connect near-dup components, and keep each component's
+    * member FARTHEST from its cluster centroid (the paper's
+    * low-centroid-similarity choice: among semantic duplicates, the
+    * least-templated exemplar carries the most information) — tie →
+    * lowest id. [[semanticDedup]] is the LSH-bucketed variant with a
+    * keep-lowest-id rule; this form is the paper-faithful one, now
+    * expressible because [[kmeans]] exists.
+    *
+    * Scale shape: assignment is map-only ([[kmeansBest]]); the pair
+    * join fans out per k-means cluster — k controls the candidate
+    * budget exactly as the paper tunes it (their k ≈ n/10⁴; buckets
+    * shrink quadratically in k). Components and the per-component
+    * argmax are x60's CC machinery plus ONE map-side-combinable
+    * min(struct) agg. Output: the surviving rows as
+    * (vec_id, cluster, dist2). */
+  def semanticDedupKmeans(
+      emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, threshold: Double,
+      roundDigits: Int = 4,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val cents = kmeansCentroids(emb, idCol, vecCol, k, iters)
+    val b = kmeansBest(cents)
+    // persisted: the assignment feeds the pair join (both sides), the
+    // CC node set, and the survivor semi-join — without it each
+    // consumer re-runs the k-term argmin scan.
+    val assigned = scope.persist(prepared(emb, idCol, vecCol)
+      .withColumn("__b", b)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("__b").getField("cidx").cast("long").as("kc"),
+        round(col("__b").getField("d"), roundDigits).as("dist2")))
+    val right = assigned.select(col("kc"), col("vec_id").as("b_id"),
+      col("v").as("bv"), col("nrm").as("bn"))
+    val pairs = assigned.join(right, Seq("kc")).where(col("vec_id") < col("b_id"))
+      .withColumn("cos",
+        round(Vectors.cosineWithNorms(col("v"), col("bv"), col("nrm"), col("bn")),
+          roundDigits))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_id").as("a"), col("b_id").as("b"))
+    val comp = Dedup.connectedComponents(
+        assigned.select(col("vec_id")), "vec_id", pairs, "a", "b", scope = scope)
+      .withColumnRenamed("cluster", "component")
+    val survivors = comp
+      .join(assigned.select(col("vec_id"), col("dist2")), Seq("vec_id"))
+      .groupBy(col("component"))
+      .agg(min(struct((-col("dist2")).as("nd"), col("vec_id").as("id"))).as("best"))
+      .select(col("best").getField("id").as("vec_id"))
+    assigned.join(survivors, Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("kc").as("cluster"), col("dist2"))
   }
 
   /** Two-phase distributed top-k per query group (see object doc). */

@@ -384,4 +384,53 @@ object TextAnalysis {
         round(-sum(col("tf") * col("__lp")) / sum(col("tf")), roundDigits)
           .as("avg_nll"))
   }
+
+  /** Bigram-LM scoring — one context step up from [[unigramLogProb]]
+    * toward CCNet's 5-gram KenLM: P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁·)+V),
+    * add-one smoothed, scored as mean NLL over a doc's bigrams. A
+    * garbled doc whose unigrams are individually common (shuffled
+    * word-salad) scores badly here while passing the unigram filter —
+    * the failure mode the wider context exists to catch.
+    *
+    * Bigram construction is MAP-ONLY: the token array zipped with its
+    * own tail (`zip_with(slice,slice)`) — no position explode, no
+    * per-token self-join; one explode then collapses to per-doc
+    * (w₁,w₂,tf) before any join. The model is bigram-vocabulary-sized
+    * (broadcast), context counts c(w₁·) derive FROM the model (one
+    * more vocabulary-sized agg, never a second corpus pass), and V
+    * rides a 1-row broadcast. Unseen contexts take denominator V, so
+    * every bigram contributes and a fully-OOV doc scores the floor,
+    * not NULL. Docs with fewer than two tokens have no bigrams and no
+    * row — both engines drop them identically. */
+  def bigramLogProb(batch: DataFrame, reference: DataFrame, idCol: String,
+      textCol: String, roundDigits: Int = 4,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged): DataFrame = {
+    def bigrams(c: Column): Column = {
+      val t = Text.tokens(c)
+      zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (w1, w2) => struct(w1.as("w1"), w2.as("w2")))
+    }
+    def withBigrams(df: DataFrame, cols: Column*): DataFrame =
+      df.filter(size(Text.tokens(col(textCol))) >= 2)
+        .select(cols :+ explode(bigrams(col(textCol))).as("bg"): _*)
+        .select(cols ++ Seq(col("bg.w1").as("w1"), col("bg.w2").as("w2")): _*)
+    val model = scope.persist(withBigrams(reference)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2")))
+    val ctx = model.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val vocab = reference
+      .select(explode(Text.tokens(col(textCol))).as("term"))
+      .agg(countDistinct(col("term")).cast("double").as("v"))
+    val tf = withBigrams(batch, col(idCol))
+      .groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(model), Seq("w1", "w2"), "left")
+      .join(broadcast(ctx), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("__lp",
+        log((coalesce(col("c2"), lit(0L)).cast("double") + 1.0d)
+          / (coalesce(col("c1"), lit(0L)).cast("double") + col("v"))))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        round(-sum(col("tf") * col("__lp")) / sum(col("tf")), roundDigits)
+          .as("avg_nll"))
+  }
 }

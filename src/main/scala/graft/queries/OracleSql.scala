@@ -1647,7 +1647,72 @@ object OracleSql {
          |        COUNT(*) OVER (PARTITION BY cluster) AS n_members
          |      FROM j)
          |SELECT cluster, doc_id, quality, n_members::BIGINT AS n_members
-         |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin
+         |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin,
+
+    // Bigram LM, add-one smoothed: P(w2|w1) = (c(w1w2)+1)/(c(w1·)+V),
+    // V = reference unigram vocab; context counts derive from the
+    // bigram model (so both engines share one definition). Bigrams via
+    // positional self-join (pos+1); docs with < 2 tokens drop on both
+    // sides (no bigrams → no group).
+    "x112_bigram_lm" ->
+      """WITH rp AS (
+        |  SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |        FROM documents WHERE doc_id < 400)),
+        |rb AS (SELECT a.tok AS w1, b.tok AS w2 FROM rp a JOIN rp b
+        |       ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |model AS (SELECT w1, w2, COUNT(*)::BIGINT AS c2 FROM rb GROUP BY w1, w2),
+        |ctx AS (SELECT w1, SUM(c2)::BIGINT AS c1 FROM model GROUP BY w1),
+        |voc AS (SELECT COUNT(DISTINCT tok)::DOUBLE AS v FROM rp),
+        |bp AS (
+        |  SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |        FROM documents WHERE doc_id >= 400)),
+        |bb AS (SELECT a.doc_id, a.tok AS w1, b.tok AS w2 FROM bp a JOIN bp b
+        |       ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |tf AS (SELECT doc_id, w1, w2, COUNT(*)::BIGINT AS tf
+        |       FROM bb GROUP BY doc_id, w1, w2)
+        |SELECT tf.doc_id, SUM(tf.tf)::BIGINT AS n_bigrams,
+        |  ROUND(-SUM(tf.tf * ln((coalesce(m.c2, 0) + 1)::DOUBLE
+        |      / (coalesce(c.c1, 0)::DOUBLE + voc.v)))
+        |    / SUM(tf.tf), 4) AS avg_nll
+        |FROM tf
+        |LEFT JOIN model m ON tf.w1 = m.w1 AND tf.w2 = m.w2
+        |LEFT JOIN ctx c ON tf.w1 = c.w1
+        |CROSS JOIN voc
+        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
+
+    // SemDeDup, paper prune rule: within-k-means-cluster cosine pairs
+    // at 0.4 → connected components (recursive CTE over the symmetric
+    // edge closure) → survivor = max rounded dist² (farthest from
+    // centroid), tie lowest vec_id. Reuses the x110 kmeans CTEs.
+    "x113_semdedup_kmeans" ->
+      s"""WITH RECURSIVE $embCte,
+         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, v AS c
+         |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)),
+         |a1 AS (${kmeansAssign("c0")}),
+         |c1 AS (${kmeansUpdate("a1", "c0")}),
+         |a2 AS (${kmeansAssign("c1")}),
+         |c2 AS (${kmeansUpdate("a2", "c1")}),
+         |af AS (${kmeansAssign("c2")}),
+         |ar AS (SELECT vec_id, v, cidx, ROUND(d, 4) AS dist2 FROM af),
+         |p AS (SELECT a.vec_id AS pa, b.vec_id AS pb FROM ar a JOIN ar b
+         |      ON a.cidx = b.cidx AND a.vec_id < b.vec_id
+         |      AND ${cos("a.v", "b.v")} >= 0.4),
+         |ed AS (SELECT pa AS ea, pb AS eb FROM p
+         |       UNION ALL SELECT pb, pa FROM p),
+         |reach(node, r) AS (
+         |  SELECT vec_id, vec_id FROM ar
+         |  UNION
+         |  SELECT reach.node, ed.eb FROM reach JOIN ed ON ed.ea = reach.r),
+         |comp AS (SELECT node AS vec_id, MIN(r) AS component
+         |         FROM reach GROUP BY node),
+         |rk AS (SELECT ar.vec_id, ar.cidx, ar.dist2,
+         |         ROW_NUMBER() OVER (PARTITION BY comp.component
+         |           ORDER BY ar.dist2 DESC, ar.vec_id) AS rn
+         |       FROM ar JOIN comp ON ar.vec_id = comp.vec_id)
+         |SELECT vec_id, cidx::BIGINT AS cluster, dist2
+         |FROM rk WHERE rn = 1 ORDER BY vec_id""".stripMargin
   )
 
   /** One Lloyd's assignment pass against centroid CTE `cc`: argmin of

@@ -1436,6 +1436,33 @@ object Queries {
       .orderBy("cluster")
   }
 
+  /** X112 — bigram-LM perplexity scoring: one context step up from
+    * x83's unigram CCNet stand-in; catches shuffled word-salad whose
+    * unigrams are individually common. Model on the frozen reference
+    * (id < 400), scores the batch (id ≥ 400); see
+    * [[graft.operators.TextAnalysis.bigramLogProb]] for the map-only
+    * bigram construction and broadcast-model scale shape. */
+  def x112(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.bigramLogProb(
+        docs.filter(col("doc_id") >= 400), docs.filter(col("doc_id") < 400),
+        "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** X113 — SemDeDup with the paper's own prune rule (Abbas et al.
+    * 2023): k-means clusters bound the candidate pairs, connected
+    * near-dup components each keep their member FARTHEST from the
+    * cluster centroid (tie → lowest id). The paper-faithful twin of
+    * x86's LSH+keep-lowest-id approximation, expressible now that
+    * x110's k-means exists; see
+    * [[graft.operators.Similarity.semanticDedupKmeans]]. */
+  def x113(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedupKmeans(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 4, iters = 2, threshold = 0.4)
+      .orderBy("vec_id")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -1560,5 +1587,7 @@ object Queries {
     "x108_quality_classifier" -> (x108 _),
     "x109_temperature_mix" -> (x109 _),
     "x110_kmeans" -> (x110 _),
-    "x111_canonical_dedup" -> (x111 _))
+    "x111_canonical_dedup" -> (x111 _),
+    "x112_bigram_lm" -> (x112 _),
+    "x113_semdedup_kmeans" -> (x113 _))
 }

@@ -77,6 +77,23 @@ class KmeansSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
   }
 
+  test("semanticDedupKmeans keeps the component member farthest from centroid") {
+    // k=1, iters=0 → centroid = vec 0 = (1,1).
+    // dist²: v0=0, v1=82, v2=83.81, v3=17.
+    // cos ≥ 0.99 pairs within the cluster: only (1,2) (colinear);
+    // v0=(1,1) sits at 45° to both. Components: {1,2} keeps v2 (the
+    // FARTHEST from centroid — the SemDeDup prune rule, not lowest id);
+    // singletons 0 and 3 survive untouched.
+    val e = emb(
+      0L -> Seq(1f, 1f), 1L -> Seq(10f, 0f),
+      2L -> Seq(10.1f, 0f), 3L -> Seq(0f, 5f))
+    val out = Similarity.semanticDedupKmeans(e, "vec_id", "embedding",
+        k = 1, iters = 0, threshold = 0.99)
+      .orderBy("vec_id")
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(out.toSeq === Seq(0L, 2L, 3L))
+  }
+
   test("matches the gate query shape on real embeddings (all rows assigned)") {
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val out = Similarity.kmeans(e, "vec_id", "embedding", k = 4, iters = 2)

@@ -21,6 +21,37 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, "d", 1.0986))) // tf=2 common 'b' (0.8109) loses to rare 'd'
   }
 
+  test("bigramLogProb matches the hand-computed add-one bigram NLL") {
+    val ref = Seq((0L, "a b a b")).toDF("doc_id", "text")
+    // model: c2(a,b)=2, c2(b,a)=1; ctx: c1(a)=2, c1(b)=1; V=2
+    val batch = Seq(
+      (10L, "a b x"), // (a,b): ln(3/4); (b,x): ln(1/3) → nll 0.6931
+      (11L, "p q"),   // fully OOV: ln(1/(0+2)) → nll ln2 = 0.6931
+      (12L, "z")      // single token: no bigrams, no row
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogProb(batch, ref, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(got === Seq((10L, 2L, 0.6931), (11L, 1L, 0.6931)))
+  }
+
+  test("bigramLogProb flags shuffled word-salad the unigram model cannot") {
+    // reference text has strict bigram structure; the scrambled doc
+    // reuses exactly the same unigrams with alien transitions.
+    val ref = Seq((0L, "the cat sat on the mat the cat sat on the mat"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the cat sat on the mat"),
+      (11L, "mat the on sat cat the")).toDF("doc_id", "text")
+    val uni = TextAnalysis.unigramLogProb(batch, ref, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    val bi = TextAnalysis.bigramLogProb(batch, ref, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    // unigram: identical token multisets → identical scores
+    assert(uni(0)._3 === uni(1)._3)
+    // bigram: the scramble must score strictly worse
+    assert(bi(1)._3 > bi(0)._3)
+  }
+
   test("normalized collapses case/punct/space variants to one form") {
     import org.apache.spark.sql.functions.col
     val got = Seq("Hello,  World!", "hello world", "HELLO -- WORLD.",
