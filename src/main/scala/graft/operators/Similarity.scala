@@ -642,6 +642,55 @@ object Similarity {
       .select(col("vec_id"), col("kc").as("cluster"), col("dist2"))
   }
 
+  /** kNN label-consistency audit — the noisy-label detection signal
+    * (Confident-Learning-adjacent, Northcutt et al. 2021 shape): for
+    * each vector, the fraction of its k nearest neighbors (cosine)
+    * that share its label. A clean point sits among same-labeled
+    * neighbors (frac → 1); a mislabeled, boundary, or off-domain
+    * point does not — rank ascending by `frac_same` and audit the
+    * head. Complements [[centroidCosine]]: the centroid score flags
+    * far-from-class points, the kNN score flags points deep inside
+    * the WRONG class, which centroid distance alone cannot see.
+    *
+    * Neighbors are searched within the row's [[kmeans]] cluster only —
+    * `kClusters` is the candidate-budget knob exactly as in
+    * [[semanticDedupKmeans]] (cost ∝ Σ cluster²; raise kClusters to
+    * shrink buckets). Cosines are rounded before ranking (ties →
+    * lowest neighbor id) so the neighbor set is engine-reproducible.
+    * Rows in singleton clusters have no candidates and no output row.
+    * The per-vec top-k window runs over cluster-bounded candidates;
+    * for pathological cluster sizes compose with the two-phase
+    * pattern ([[twoPhaseTopK]]). */
+  def knnLabelConsistency(
+      emb: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      kNeighbors: Int, kClusters: Int, iters: Int,
+      roundDigits: Int = 4,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val cents = kmeansCentroids(emb, idCol, vecCol, kClusters, iters)
+    // raw float vectors (see [[prepared]]); DotProduct promotes per
+    // element, so distances equal kmeansCentroids' float64 view.
+    val assigned = scope.persist(
+      emb.select(col(idCol).cast("long").as("vec_id"),
+          col(labelCol).cast("long").as("label"), col(vecCol).as("v"))
+        .withColumn("nrm", Vectors.norm(col("v")))
+        .withColumn("kc", kmeansBest(cents).getField("cidx")))
+    val right = assigned.select(col("kc"), col("vec_id").as("b_id"),
+      col("label").as("b_label"), col("v").as("bv"), col("nrm").as("bn"))
+    val cand = assigned.join(right, Seq("kc"))
+      .where(col("vec_id") =!= col("b_id"))
+      .withColumn("cos",
+        round(Vectors.cosineWithNorms(col("v"), col("bv"), col("nrm"), col("bn")),
+          roundDigits))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("b_id"))
+    cand.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= kNeighbors)
+      .groupBy(col("vec_id"), col("label"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        round(avg(when(col("b_label") === col("label"), 1.0d).otherwise(0.0d)),
+          roundDigits).as("frac_same"))
+      .select(col("vec_id"), col("label"), col("n_neighbors"), col("frac_same"))
+  }
+
   /** Two-phase distributed top-k per query group (see object doc). */
   private def twoPhaseTopK(scored: DataFrame, k: Int): DataFrame = {
     val local = scored.withColumn("__part", spark_partition_id())

@@ -1712,7 +1712,33 @@ object OracleSql {
          |           ORDER BY ar.dist2 DESC, ar.vec_id) AS rn
          |       FROM ar JOIN comp ON ar.vec_id = comp.vec_id)
          |SELECT vec_id, cidx::BIGINT AS cluster, dist2
-         |FROM rk WHERE rn = 1 ORDER BY vec_id""".stripMargin
+         |FROM rk WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // kNN label consistency: within-kmeans-cluster candidates ranked
+    // by rounded cosine (ties → lowest neighbor id), top 5, fraction
+    // sharing the row's label. Rows in singleton clusters drop on both
+    // sides (inner join, a <> b).
+    "x114_knn_label_consistency" ->
+      s"""WITH $embLabelCte,
+         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, v AS c
+         |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)),
+         |a1 AS (${kmeansAssign("c0")}),
+         |c1 AS (${kmeansUpdate("a1", "c0")}),
+         |a2 AS (${kmeansAssign("c1")}),
+         |c2 AS (${kmeansUpdate("a2", "c1")}),
+         |af AS (${kmeansAssign("c2")}),
+         |ar AS (SELECT af.vec_id, e.label::BIGINT AS label, af.v, af.cidx
+         |       FROM af JOIN e USING (vec_id)),
+         |cand AS (
+         |  SELECT a.vec_id, a.label, b.label AS b_label,
+         |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${cos("a.v", "b.v")} DESC, b.vec_id) AS rn
+         |  FROM ar a JOIN ar b ON a.cidx = b.cidx AND a.vec_id <> b.vec_id)
+         |SELECT vec_id, label, COUNT(*)::BIGINT AS n_neighbors,
+         |  ROUND(AVG(CASE WHEN b_label = label THEN 1.0 ELSE 0.0 END), 4)
+         |    AS frac_same
+         |FROM cand WHERE rn <= 5
+         |GROUP BY vec_id, label ORDER BY vec_id""".stripMargin
   )
 
   /** One Lloyd's assignment pass against centroid CTE `cc`: argmin of

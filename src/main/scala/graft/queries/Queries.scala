@@ -1463,6 +1463,18 @@ object Queries {
         k = 4, iters = 2, threshold = 0.4)
       .orderBy("vec_id")
 
+  /** X114 — kNN label-consistency audit (noisy-label detection,
+    * Confident-Learning shape): fraction of each vector's 5 nearest
+    * within-k-means-cluster neighbors sharing its label; low values
+    * flag mislabeled/boundary points that x66's centroid score cannot
+    * see (a point deep inside the WRONG class is close to that class's
+    * centroid). See [[graft.operators.Similarity.knnLabelConsistency]]. */
+  def x114(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnLabelConsistency(
+        Tables.embeddings(s, dir), "vec_id", "embedding", "label",
+        kNeighbors = 5, kClusters = 4, iters = 2)
+      .orderBy("vec_id")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -1589,5 +1601,6 @@ object Queries {
     "x110_kmeans" -> (x110 _),
     "x111_canonical_dedup" -> (x111 _),
     "x112_bigram_lm" -> (x112 _),
-    "x113_semdedup_kmeans" -> (x113 _))
+    "x113_semdedup_kmeans" -> (x113 _),
+    "x114_knn_label_consistency" -> (x114 _))
 }

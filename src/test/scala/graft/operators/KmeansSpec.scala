@@ -94,6 +94,24 @@ class KmeansSpec extends SparkSpec {
     assert(out.toSeq === Seq(0L, 2L, 3L))
   }
 
+  test("knnLabelConsistency matches the hand-computed neighbor fractions") {
+    import spark.implicits._
+    // single cluster (k=1, iters=0). x-axis trio mutually cos 1.0;
+    // v3 orthogonal (cos 0 to all). k=2 neighbors, cos ties → lowest id.
+    val e = Seq(
+      (0L, Seq(1f, 0f), 0), (1L, Seq(2f, 0f), 0),
+      (2L, Seq(3f, 0f), 1), (3L, Seq(0f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnLabelConsistency(e, "vec_id", "embedding", "label",
+        kNeighbors = 2, kClusters = 1, iters = 0)
+      .orderBy("vec_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (0L, 0L, 2L, 0.5), // neighbors v1 (label 0), v2 (label 1)
+      (1L, 0L, 2L, 0.5), // v0, v2
+      (2L, 1L, 2L, 0.0), // v0, v1 — mislabeled point scores 0
+      (3L, 1L, 2L, 0.0))) // cos ties at 0.0 → ids 0,1 win → labels 0,0
+  }
+
   test("matches the gate query shape on real embeddings (all rows assigned)") {
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val out = Similarity.kmeans(e, "vec_id", "embedding", k = 4, iters = 2)
