@@ -544,10 +544,14 @@ object Similarity {
 
   /** The Lloyd's loop of [[kmeans]], returning the final centroids as
     * driver state (index = cluster id) for callers that compose the
-    * assignment with further per-row work ([[semanticDedupKmeans]]). */
+    * assignment with further per-row work ([[semanticDedupKmeans]]).
+    * `onRound(i, seconds)` is the in-run telemetry hook
+    * (KmeansScaleDemo; the [[graft.operators.Graph.pageRank]]
+    * pattern — measure rounds inside one run, not across runs). */
   def kmeansCentroids(
       emb: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int, centroidDigits: Int = 6): Array[Seq[Double]] = {
+      k: Int, iters: Int, centroidDigits: Int = 6,
+      onRound: (Int, Double) => Unit = (_, _) => ()): Array[Seq[Double]] = {
     require(k > 0 && iters >= 0, s"need k>0, iters>=0; got k=$k iters=$iters")
     val e = emb.select(col(idCol).cast("long").as("vec_id"),
       Vectors.toDouble(col(vecCol)).as("v"))
@@ -557,7 +561,8 @@ object Similarity {
       .map(_.getSeq[Double](1))
     require(cents.length == k, s"corpus has ${cents.length} rows < k=$k")
 
-    for (_ <- 1 to iters) {
+    for (rnd <- 1 to iters) {
+      val t0 = System.nanoTime()
       val assigned = e.withColumn("cidx", kmeansBest(cents).getField("cidx"))
       val means = assigned
         .select(col("cidx"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -569,6 +574,7 @@ object Similarity {
         .collect()
         .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
       cents = cents.zipWithIndex.map { case (old, i) => means.getOrElse(i, old) }
+      onRound(rnd, (System.nanoTime() - t0) / 1e9)
     }
     cents
   }
