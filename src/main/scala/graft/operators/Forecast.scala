@@ -1,0 +1,305 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Forecasting-tier operators over per-key daily series — the demand-
+  * analytics layer the reference's M5 domain implies but its pipeline
+  * (pipeline.py) never builds: calendar gap repair, intermittent-demand
+  * classification (Syntetos–Boylan), the competition's own scaled-error
+  * metric (RMSSE/WRMSSE shape), and per-series linear trend.
+  *
+  * All operators take a DAILY series frame `(key, day, value)` — one
+  * row per key per observed day (build it with one decimal-exact
+  * `groupBy(key, to_date(ts)).agg(sum(...))` so the series itself is
+  * bit-deterministic across engines) — and are single-shuffle: one
+  * exchange on the series key, then per-key sorted evaluation. At
+  * 100 TB the key property is that NO operator here materializes a
+  * dense key×calendar cross join up front: gap filling explodes only
+  * each row's own gap run (`sequence(day, next-1)`), so output size is
+  * the repaired series itself, and every aggregate is map-side
+  * combinable over series-key cardinality.
+  */
+object Forecast {
+
+  /** X74 — calendar gap-fill + forward-fill: densify each key's series
+    * to one row per day in `[min(day), max(day)]`, carrying the last
+    * observed value through gaps (`is_gap` marks imputed rows).
+    *
+    * Shape: ONE window pass (lead over the key's day order) and ONE
+    * generator — each row explodes `sequence(day, next_day - 1)`, so a
+    * gap's cost lands on the row that opens it and the plan has no
+    * spine×series join at all (the naive form — per-key min/max agg,
+    * sequence-explode a spine, left join the series back, then a
+    * SECOND window for the fill — shuffles twice and joins once for
+    * the same answer). Forward-fill is free: the opening row's value
+    * IS the carried value for every day it generates.
+    */
+  def gapFillForwardFill(
+      daily: DataFrame,
+      keyCol: String,
+      dayCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+    daily
+      .withColumn("__next", lead(col(dayCol), 1).over(w))
+      .withColumn("__day",
+        explode(sequence(col(dayCol),
+          coalesce(date_sub(col("__next"), 1), col(dayCol)))))
+      .select(
+        col(keyCol),
+        col("__day").as(dayCol),
+        col(valueCol),
+        (col("__day") =!= col(dayCol)).cast("int").as("is_gap"))
+  }
+
+  /** X75 — intermittent-demand classification (Syntetos–Boylan 2005):
+    * per key, ADI (average inter-demand interval = span-days /
+    * demand-days) and CV² (squared coefficient of variation of the
+    * nonzero demand sizes), then the standard quadrant:
+    * smooth (ADI < 1.32, CV² < 0.49), intermittent (ADI ≥ 1.32,
+    * CV² < 0.49), erratic (ADI < 1.32, CV² ≥ 0.49), else lumpy.
+    * The classifier that decides per-series whether Croston-style
+    * models are even applicable — the M5 corpus is famously dominated
+    * by intermittent/lumpy series.
+    *
+    * One map-side-combinable aggregate per key (count/min/max/avg/
+    * var_samp); absent days ARE the zero-demand days, so the sparse
+    * series needs no densification. Both ratios are rounded to 4 dp
+    * BEFORE the threshold compare so the class label is a function of
+    * the engine-portable rounded values, not of last-bit float noise.
+    * Keys with a single demand day have no sample variance → class
+    * "n/a".
+    */
+  def demandClasses(
+      daily: DataFrame,
+      keyCol: String,
+      dayCol: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val agg = daily.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("__nz"),
+      (datediff(max(col(dayCol)), min(col(dayCol))) + 1).as("__span"),
+      avg(v).as("__mean"),
+      var_samp(v).as("__var"))
+    val adi = round(col("__span").cast("double") / col("__nz"), 4)
+    val cv2 = round(col("__var") / (col("__mean") * col("__mean")), 4)
+    agg.select(
+      col(keyCol),
+      col("__nz").as("demand_days"),
+      col("__span").cast("bigint").as("span_days"),
+      adi.as("adi"),
+      cv2.as("cv2"),
+      when(cv2.isNull, "n/a")
+        .when(adi < 1.32 && cv2 < 0.49, "smooth")
+        .when(adi >= 1.32 && cv2 < 0.49, "intermittent")
+        .when(adi < 1.32, "erratic")
+        .otherwise("lumpy").as("demand_class"))
+  }
+
+  /** X76 — per-series scaled error (the M5 competition's RMSSE, with
+    * the WRMSSE weight): zero-fill each key's series over
+    * `[first(key day), global max day]`, split at `splitDay =
+    * global max − horizon`, forecast every eval day with the flat
+    * naive (the value AT splitDay), and report
+    * `rmsse = sqrt(mean_eval((y−ŷ)²) / mean_train((y_t−y_{t−1})²))`
+    * plus `weight` = the key's share of total value over the last 28
+    * train days. sum(weight·rmsse) over the output IS the WRMSSE.
+    *
+    * Scale shape: the zero-fill reuses [[gapFillForwardFill]]'s
+    * no-join explode (each row generates its own gap run as zeros;
+    * the key's LAST row extends to the global max so eval days a key
+    * never touched exist as zero demand). The global max day and the
+    * weight denominator are 1-row broadcast scalars; everything else
+    * is one window pass (the train lag) + one aggregate per key.
+    * Keys first observed after splitDay have no train window → null
+    * rmsse (reported, not dropped — at M5 scale those are the
+    * new-product series the metric excludes).
+    */
+  def scaledError(
+      daily: DataFrame,
+      keyCol: String,
+      dayCol: String,
+      valueCol: String,
+      horizon: Int = 7,
+      weightDays: Int = 28): DataFrame = {
+    require(horizon > 0 && weightDays > 0,
+      s"horizon/weightDays must be positive, got $horizon/$weightDays")
+    // 1-row global bounds broadcast: split day + eval end
+    val bounds = daily.agg(max(col(dayCol)).as("__gmax"))
+      .select(col("__gmax"), date_sub(col("__gmax"), horizon).as("__split"))
+    val withBounds = daily.crossJoin(broadcast(bounds))
+    // zero-filled dense series: each row explodes its own gap run;
+    // the last row extends through the global max (eval coverage)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+    val dense = withBounds
+      .withColumn("__next", lead(col(dayCol), 1).over(w))
+      .withColumn("__day",
+        explode(sequence(col(dayCol),
+          coalesce(date_sub(col("__next"), 1), col("__gmax")))))
+      .select(col(keyCol), col("__split"), col("__day"),
+        when(col("__day") === col(dayCol), col(valueCol).cast("double"))
+          .otherwise(lit(0.0)).as("__y"))
+    // flat-naive forecast = the zero-filled value AT the split day,
+    // one unordered whole-partition window (no second shuffle: same key)
+    val wAll = Window.partitionBy(col(keyCol))
+    val scored = dense
+      .withColumn("__fc",
+        coalesce(max(when(col("__day") === col("__split"), col("__y")))
+          .over(wAll), lit(0.0)))
+      .withColumn("__prev", lag(col("__y"), 1).over(w.orderBy(col("__day"))))
+    val isTrain = col("__day") <= col("__split")
+    val isEval = col("__day") > col("__split")
+    val perKey = scored.groupBy(col(keyCol)).agg(
+      avg(when(isTrain,
+        (col("__y") - col("__prev")) * (col("__y") - col("__prev"))))
+        .as("__scale"),
+      avg(when(isEval,
+        (col("__y") - col("__fc")) * (col("__y") - col("__fc"))))
+        .as("__mse"),
+      sum(when(isTrain && col("__day") > date_sub(col("__split"), weightDays),
+        col("__y"))).as("__wsum"))
+    val total = perKey.agg(sum(col("__wsum")).as("__wtotal"))
+    perKey.crossJoin(broadcast(total)).select(
+      col(keyCol),
+      round(when(col("__scale") > 0, sqrt(col("__mse") / col("__scale"))), 4)
+        .as("rmsse"),
+      round(col("__wsum") / col("__wtotal"), 6).as("weight"))
+  }
+
+  /** X83 — Croston's method + the Syntetos–Boylan approximation (SBA):
+    * THE forecaster for the intermittent series X75 flags. Demand
+    * sizes and inter-demand intervals get separate simple exponential
+    * smoothing; the rate forecast is `ẑ/â` (Croston) and
+    * `(1−α/2)·ẑ/â` (SBA, the bias-corrected form M5 practitioners
+    * default to).
+    *
+    * SES is a recursion, but its closed form is a weighted sum —
+    * `s_n = Σ_t w_t·y_t` with `w_t = α(1−α)^{n−t}` (and the full
+    * remaining mass `(1−α)^{n−1}` on y₁) — so the whole fit is ONE
+    * ranked-window pass + ONE map-side-combinable aggregate per key:
+    * no recursion, no UDAF, no per-key iteration. With the default
+    * α = 0.5 every weight is a power of two, so weights and
+    * weight·value products are IEEE-exact on any engine — the
+    * portability trick that lets an exponential fit hash-match
+    * bit-for-bit.
+    *
+    * Sparse input semantics: only demand days enter (the zero days
+    * ARE the intervals). Keys with a single demand day have no
+    * interval series → null â and null forecasts.
+    */
+  def crostonForecast(
+      daily: DataFrame,
+      keyCol: String,
+      dayCol: String,
+      valueCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+    val wAll = Window.partitionBy(col(keyCol))
+    val ranked = daily
+      .withColumn("__z", col(valueCol).cast("double"))
+      .withColumn("__rz", row_number().over(w))
+      .withColumn("__nz", count(lit(1)).over(wAll))
+      .withColumn("__iv",
+        datediff(col(dayCol), lag(col(dayCol), 1).over(w)).cast("double"))
+    // SES weight for position r of n: α(1-α)^(n-r), with position 1
+    // absorbing the full remaining tail (1-α)^(n-1)
+    def sesWeight(r: Column, n: Column): Column =
+      when(r === 1, pow(lit(1 - alpha), n - 1))
+        .otherwise(lit(alpha) * pow(lit(1 - alpha), n - r))
+    // the interval series is one shorter and starts at the 2nd row
+    val zHat = sum(sesWeight(col("__rz"), col("__nz")) * col("__z"))
+    val aHat = sum(when(col("__rz") > 1,
+      sesWeight(col("__rz") - 1, col("__nz") - 1) * col("__iv")))
+    ranked.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n_demands"),
+      round(zHat, 4).as("z_hat"),
+      round(aHat, 4).as("a_hat"),
+      round(zHat / aHat, 4).as("croston"),
+      round(lit(1 - alpha / 2) * zHat / aHat, 4).as("sba"))
+  }
+
+  /** X84 — backtest model selection: hold out the last `horizon` days
+    * (zero-filled calendar, X76's construction), score three
+    * forecasters per series — flat naive (value at the split day),
+    * seasonal-naive-7 (value 7 days earlier), train mean — by eval
+    * MAE, and pick the per-series winner (ties break in that fixed
+    * order). The "which model does each of my million series want"
+    * sweep, as one plan: the dense explode, two window passes
+    * (lag-7 + per-key train mean/naive), one aggregate per key.
+    * MAEs are rounded BEFORE the argmin so the winner is a function
+    * of engine-portable values.
+    */
+  def backtestSelect(
+      daily: DataFrame,
+      keyCol: String,
+      dayCol: String,
+      valueCol: String,
+      horizon: Int = 7): DataFrame = {
+    require(horizon > 0, s"horizon must be positive, got $horizon")
+    val bounds = daily.agg(max(col(dayCol)).as("__gmax"))
+      .select(col("__gmax"), date_sub(col("__gmax"), horizon).as("__split"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+    val dense = daily.crossJoin(broadcast(bounds))
+      .withColumn("__next", lead(col(dayCol), 1).over(w))
+      .withColumn("__day",
+        explode(sequence(col(dayCol),
+          coalesce(date_sub(col("__next"), 1), col("__gmax")))))
+      .select(col(keyCol), col("__split"), col("__day"),
+        when(col("__day") === col(dayCol), col(valueCol).cast("double"))
+          .otherwise(lit(0.0)).as("__y"))
+    val wDay = Window.partitionBy(col(keyCol)).orderBy(col("__day"))
+    val wAll = Window.partitionBy(col(keyCol))
+    val isTrain = col("__day") <= col("__split")
+    val scored = dense
+      .withColumn("__naive",
+        coalesce(max(when(col("__day") === col("__split"), col("__y")))
+          .over(wAll), lit(0.0)))
+      .withColumn("__snaive", coalesce(lag(col("__y"), 7).over(wDay), lit(0.0)))
+      .withColumn("__mean", coalesce(avg(when(isTrain, col("__y"))).over(wAll),
+        lit(0.0)))
+    val isEval = col("__day") > col("__split")
+    val agg = scored.groupBy(col(keyCol)).agg(
+      round(avg(when(isEval, abs(col("__y") - col("__naive")))), 4)
+        .as("mae_naive"),
+      round(avg(when(isEval, abs(col("__y") - col("__snaive")))), 4)
+        .as("mae_snaive7"),
+      round(avg(when(isEval, abs(col("__y") - col("__mean")))), 4)
+        .as("mae_mean"))
+    val best = least(col("mae_naive"), col("mae_snaive7"), col("mae_mean"))
+    agg.withColumn("best_model",
+      when(col("mae_naive") === best, "naive")
+        .when(col("mae_snaive7") === best, "snaive7")
+        .otherwise("mean"))
+  }
+
+  /** X78 — per-series linear trend: OLS slope / intercept / R² of the
+    * daily value against the day offset from the corpus' FIRST day,
+    * via the SQL-standard `regr_*` aggregates (single-pass moment
+    * sums, map-side combinable — the portable way to ask "which
+    * series are growing"). The origin is a 1-row broadcast scalar;
+    * centering x there keeps the intercept at the magnitude of the
+    * values — an epoch-day x (~20 000) would amplify the slope's
+    * last-bit float noise by 2e4 into the intercept and break
+    * cross-engine agreement at any useful rounding.
+    * Sparse semantics: only observed days enter the fit (absent days
+    * are not zero observations here — trend over transactions, not
+    * demand). Constant-x or single-point series yield null slope/R².
+    */
+  def linearTrend(
+      daily: DataFrame,
+      keyCol: String,
+      dayCol: String,
+      valueCol: String): DataFrame = {
+    val origin = daily.agg(min(col(dayCol)).as("__origin"))
+    val x = datediff(col(dayCol), col("__origin")).cast("double")
+    val y = col(valueCol).cast("double")
+    daily.crossJoin(broadcast(origin)).groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n_days"),
+      round(regr_slope(y, x), 6).as("slope"),
+      round(regr_intercept(y, x), 6).as("intercept"),
+      round(regr_r2(y, x), 6).as("r2"))
+  }
+}

@@ -142,4 +142,110 @@ object Profiling {
         col("key_str"), col("cnt"),
         round(col("cnt") / col("__total"), 4).as("share"))
   }
+
+  /** X79 — equi-depth histogram: `k` buckets with (near-)equal ROW
+    * counts — the quantile complement of [[graft.operators.Relational
+    * .histogram]]'s equi-width form, and the better profile for
+    * heavy-tailed columns where equi-width piles everything into
+    * bucket 1. Bucket membership is SQL-standard `ntile(k)` over a
+    * total `(value, tieBreaker)` order (floor-based: the first
+    * `n mod k` buckets take one extra row), so it is exactly
+    * reproducible on any engine.
+    *
+    * Scale shape (labelEncode's pattern): range-partitioned
+    * distributed sort → `zipWithIndex` → ntile's split computed
+    * arithmetically from the global row index — a literal
+    * `ntile().over(Window.orderBy(...))` would serialize the whole
+    * table through one WindowExec partition. The per-bucket
+    * min/max/count that follows is map-side combinable. For a 100 TB
+    * profile where exactness isn't required, approxQuantile cutpoints
+    * are the cheaper path — this is the exact form, and k rows out.
+    */
+  def equidepthHistogram(
+      df: DataFrame,
+      valueCol: String,
+      tieBreaker: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"bucket count must be positive, got $k")
+    val spark = df.sparkSession
+    val sorted = df.select(col(valueCol), col(tieBreaker))
+      .orderBy(col(valueCol), col(tieBreaker))
+    val n = sorted.count()
+    // ntile's floor-based split, computed from the global row index:
+    // the first (n mod k) buckets take base+1 rows, the rest base.
+    val base = n / k
+    val extra = n % k
+    val pivot = extra * (base + 1)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields.take(1) :+ org.apache.spark.sql.types.StructField(
+        "bucket", org.apache.spark.sql.types.LongType, nullable = false))
+    val indexed = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      val b =
+        if (base == 0 || i < pivot) i / (base + 1) + 1
+        else extra + 1 + (i - pivot) / base
+      org.apache.spark.sql.Row(r.get(0), b)
+    }
+    spark.createDataFrame(indexed, outSchema)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col(valueCol)).as("lo"),
+        max(col(valueCol)).as("hi"))
+  }
+
+  /** The single-partition `ntile(k)` window form of
+    * [[equidepthHistogram]], kept as the readable executable spec the
+    * scalable path is pinned against (ProfilingSpec asserts equality).
+    * Driver-memory-bounded inputs only. */
+  private[graft] def equidepthHistogramNtile(
+      df: DataFrame,
+      valueCol: String,
+      tieBreaker: String,
+      k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(valueCol), col(tieBreaker))
+    df.select(col(valueCol), ntile(k).over(w).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col(valueCol)).as("lo"),
+        max(col(valueCol)).as("hi"))
+      .select(col("bucket").cast("long").as("bucket"), col("n"),
+        col("lo"), col("hi"))
+  }
+
+  /** X80 — chi-square test of independence between two categorical
+    * columns: the contingency-table statistic
+    * `Σ (obs − exp)² / exp, exp = row_total·col_total / N`, with
+    * degrees of freedom `(r−1)(c−1)` — the profiling answer to "is
+    * `lang` independent of `source`?" that [[corrMatrix]] can't give
+    * for categoricals. NULL categories count as their own level.
+    *
+    * One count aggregate over the cells (cardinality r×c, tiny);
+    * the row/col marginals derive from the cells — the raw data is
+    * scanned exactly once, and everything after the first agg is
+    * cell-cardinality work. The sum runs over the FULL r×c grid
+    * (marginal cross join, observed cells left-joined in): an absent
+    * combination is a zero cell that still owes (0−exp)²/exp — a sum
+    * over observed cells only understates the statistic exactly when
+    * the dependence is strongest. Output is one row; all inputs to
+    * the float math are exact integer counts, so the statistic is
+    * engine-portable at 4 dp.
+    */
+  def chiSquare(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df.groupBy(col(colA).as("__a"), col(colB).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val rowTot = cells.groupBy(col("__a")).agg(sum(col("__o")).as("__ra"))
+    val colTot = cells.groupBy(col("__b")).agg(sum(col("__o")).as("__cb"))
+    val n = cells.agg(sum(col("__o")).as("__n"),
+      countDistinct(col("__a")).as("__r"),
+      countDistinct(col("__b")).as("__c"))
+    val o = coalesce(col("__o"), lit(0L))
+    val exp = col("__ra").cast("double") * col("__cb") / col("__n")
+    rowTot.crossJoin(colTot)
+      .join(cells, Seq("__a", "__b"), "left")
+      .crossJoin(broadcast(n))
+      .agg(
+        round(sum((o - exp) * (o - exp) / exp), 4).as("chi2"),
+        ((first(col("__r")) - 1) * (first(col("__c")) - 1)).as("dof"),
+        first(col("__n")).as("n"))
+  }
 }

@@ -305,4 +305,33 @@ object Relational {
         lead(col("valid_from"), 1).over(w2).as("valid_to"): _*)
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** X77 — CDC changelog apply: collapse an insert/update/delete
+    * changelog to the final snapshot — per key, the row with the
+    * highest `(orderCol, tieBreaker)` wins; a winning delete removes
+    * the key entirely (MERGE-INTO semantics without a mutable table).
+    * The batch twin of the streaming upsert sink.
+    *
+    * Shape: one shuffle on the key, `row_number` desc, keep rank 1,
+    * then drop delete-winners. Spark ≥3.5 rewrites the rank-1 filter
+    * into WindowGroupLimit, so each map task forwards only its local
+    * per-key latest row — the shuffle moves ~|keys| rows, not the
+    * changelog. A hot key's history collapses map-side for the same
+    * reason; no skew amplification.
+    */
+  def cdcApply(
+      changelog: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      tieBreaker: String,
+      opCol: String,
+      deleteOp: String): DataFrame = {
+    require(keyCols.nonEmpty, "cdcApply needs key columns")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(orderCol).desc, col(tieBreaker).desc)
+    changelog
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(opCol) =!= deleteOp)
+      .drop("__rn")
+  }
 }

@@ -189,6 +189,84 @@ object TimeSeries {
         col("n_users"))
   }
 
+  /** X81 — rolling z-score anomaly flag: per key, each value scored
+    * against the mean/stddev of the `w` STRICTLY PRECEDING rows
+    * (frame [-w, -1] — the current value never contaminates its own
+    * baseline), with pandas-style min_periods=w (null score until a
+    * full window exists) and a zero-variance guard. The streaming-
+    * friendly outlier detector: one shuffle on the key, one sorted
+    * window pass, no self-join.
+    */
+  def rollingZscore(
+      df: DataFrame,
+      keyCol: String,
+      orderBy: Seq[Column],
+      valueCol: String,
+      w: Int,
+      threshold: Double = 2.0): DataFrame = {
+    require(w >= 2, s"window must be >= 2 for a sample stddev, got $w")
+    val fr = Window.partitionBy(col(keyCol)).orderBy(orderBy: _*)
+      .rowsBetween(-w, -1)
+    val v = col(valueCol).cast("double")
+    val z = when(count(v).over(fr) === w && stddev_samp(v).over(fr) > 0,
+      (v - avg(v).over(fr)) / stddev_samp(v).over(fr))
+    df.withColumn("__z", round(z, 4))
+      .withColumn("is_anomaly",
+        when(col("__z").isNotNull, (abs(col("__z")) > threshold).cast("int")))
+      .withColumnRenamed("__z", "zscore")
+  }
+
+  /** X82 — last-touch attribution: for each conversion event, the
+    * channel (event type) of the key's most recent PRECEDING event in
+    * `channelTypes`, provided it happened within `maxGapSeconds`;
+    * conversions with no qualifying touch attribute to null (direct).
+    * The product-analytics complement of [[sequenceFunnel]] — per
+    * conversion instead of per user.
+    *
+    * One window pass over (key, ts, id) order with frame [-∞, -1]:
+    * `last(when(channel), ignoreNulls)` carries the latest touch's ts
+    * and type. The two carried columns null out on the SAME rows (one
+    * shared predicate), so independent last() calls stay consistent —
+    * no struct carry needed (contrast [[asofJoin]], where right-side
+    * values can be null independently). No event×event self-join at
+    * any scale; ordering ties break on the id column.
+    */
+  def lastTouchAttribution(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      typeCol: String,
+      conversionType: String,
+      channelTypes: Seq[String],
+      maxGapSeconds: Long): DataFrame = {
+    require(channelTypes.nonEmpty, "channelTypes must be non-empty")
+    require(!channelTypes.contains(conversionType),
+      "a conversion cannot be its own touch channel")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col(typeCol).isin(channelTypes: _*)
+    val touchTs = last(when(isTouch, unix_micros(col(tsCol))),
+      ignoreNulls = true).over(w)
+    val touchType = last(when(isTouch, col(typeCol)),
+      ignoreNulls = true).over(w)
+    // the carried columns MUST be materialized before the conversion
+    // filter: referencing the window expression after it would
+    // re-evaluate the window over the filtered (conversions-only)
+    // frame, where no touch rows exist
+    val gapUs = unix_micros(col(tsCol)) - col("__tts")
+    df.withColumn("__tts", touchTs)
+      .withColumn("__ttype", touchType)
+      .filter(col(typeCol) === conversionType)
+      .select(
+        col(idCol),
+        col(keyCol),
+        when(gapUs <= maxGapSeconds * 1000000L, col("__ttype"))
+          .as("channel"),
+        when(gapUs <= maxGapSeconds * 1000000L, gapUs).as("gap_us"))
+  }
+
   def timeFeatures(df: DataFrame, dateCol: String, prefix: String = ""): DataFrame = {
     val d = col(dateCol)
     df.withColumn(s"${prefix}quarter", quarter(d))

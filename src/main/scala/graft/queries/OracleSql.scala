@@ -1738,8 +1738,258 @@ object OracleSql {
          |  ROUND(AVG(CASE WHEN b_label = label THEN 1.0 ELSE 0.0 END), 4)
          |    AS frac_same
          |FROM cand WHERE rn <= 5
-         |GROUP BY vec_id, label ORDER BY vec_id""".stripMargin
+         |GROUP BY vec_id, label ORDER BY vec_id""".stripMargin,
+
+    // Forecasting tier (x115-x119) shares the decimal-exact daily
+    // demand series CTE below; all double math downstream consumes
+    // identical decimal->double casts, so engines agree to float
+    // noise and ROUND settles the rest.
+    "x115_gap_fill" ->
+      s"""WITH $dailyCte,
+         |led AS (SELECT user_id, day AS d0, demand,
+         |  lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt
+         |  FROM daily),
+         |gen AS (SELECT user_id, d0, demand,
+         |  CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+         |    CAST(COALESCE(nxt - 1, d0) AS TIMESTAMP),
+         |    INTERVAL 1 DAY)) AS DATE) AS day
+         |  FROM led)
+         |SELECT user_id, day, ROUND(CAST(demand AS DOUBLE), 2) AS demand,
+         |  CAST(CASE WHEN day <> d0 THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+         |FROM gen ORDER BY user_id, day""".stripMargin,
+
+    // adi/cv2 are rounded BEFORE the quadrant compare on both engines,
+    // so the class label is a function of the portable rounded values.
+    "x116_demand_classes" ->
+      s"""WITH $dailyCte,
+         |agg AS (SELECT user_id, COUNT(*) AS nz,
+         |  date_diff('day', MIN(day), MAX(day)) + 1 AS span,
+         |  AVG(CAST(demand AS DOUBLE)) AS mean,
+         |  var_samp(CAST(demand AS DOUBLE)) AS vr
+         |  FROM daily GROUP BY 1),
+         |r AS (SELECT user_id, nz, span,
+         |  ROUND(CAST(span AS DOUBLE) / nz, 4) AS adi,
+         |  ROUND(vr / (mean * mean), 4) AS cv2
+         |  FROM agg)
+         |SELECT user_id, nz AS demand_days, CAST(span AS BIGINT) AS span_days,
+         |  adi, cv2,
+         |  CASE WHEN cv2 IS NULL THEN 'n/a'
+         |       WHEN adi < 1.32 AND cv2 < 0.49 THEN 'smooth'
+         |       WHEN adi >= 1.32 AND cv2 < 0.49 THEN 'intermittent'
+         |       WHEN adi < 1.32 THEN 'erratic'
+         |       ELSE 'lumpy' END AS demand_class
+         |FROM r ORDER BY user_id""".stripMargin,
+
+    // The zero-filled dense series comes from the same explode-own-gap
+    // construction as the Spark plan: each observed row generates
+    // [day, next-1] (the last row extends to the global max), value y
+    // is the observed demand on its own day and 0.0 in the gap.
+    "x117_scaled_error" ->
+      s"""WITH $dailyCte,
+         |b AS (SELECT MAX(day) AS gmax, MAX(day) - 7 AS splitd FROM daily),
+         |led AS (SELECT user_id, day AS d0, demand,
+         |  lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt
+         |  FROM daily),
+         |dense AS (SELECT user_id, d0, demand,
+         |  CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+         |    CAST(COALESCE(nxt - 1, (SELECT gmax FROM b)) AS TIMESTAMP),
+         |    INTERVAL 1 DAY)) AS DATE) AS day
+         |  FROM led),
+         |ser AS (SELECT user_id, day,
+         |  CASE WHEN day = d0 THEN CAST(demand AS DOUBLE) ELSE 0.0 END AS y
+         |  FROM dense),
+         |fc AS (SELECT user_id, day, y,
+         |  COALESCE(MAX(CASE WHEN day = (SELECT splitd FROM b) THEN y END)
+         |    OVER (PARTITION BY user_id), 0.0) AS f,
+         |  lag(y) OVER (PARTITION BY user_id ORDER BY day) AS prev
+         |  FROM ser),
+         |pk AS (SELECT user_id,
+         |  AVG(CASE WHEN day <= (SELECT splitd FROM b)
+         |      THEN (y - prev) * (y - prev) END) AS sc,
+         |  AVG(CASE WHEN day > (SELECT splitd FROM b)
+         |      THEN (y - f) * (y - f) END) AS mse,
+         |  SUM(CASE WHEN day <= (SELECT splitd FROM b)
+         |       AND day > (SELECT splitd FROM b) - 28 THEN y END) AS wsum
+         |  FROM fc GROUP BY 1)
+         |SELECT user_id,
+         |  ROUND(CASE WHEN sc > 0 THEN sqrt(mse / sc) END, 4) AS rmsse,
+         |  ROUND(wsum / (SELECT SUM(wsum) FROM pk), 6) + 0.0 AS weight
+         |FROM pk ORDER BY user_id""".stripMargin,
+
+    "x118_cdc_apply" ->
+      """WITH r AS (SELECT user_id, event_type, value, ts,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, value, epoch_us(ts) AS ts_us
+        |FROM r WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
+
+    // x is the day offset from the corpus' first day (1-row origin):
+    // centering keeps the intercept at value magnitude instead of
+    // amplifying slope noise by the ~2e4 epoch-day offset.
+    "x119_linear_trend" ->
+      s"""WITH $dailyCte
+         |SELECT user_id, COUNT(*) AS n_days,
+         |  ROUND(regr_slope(CAST(demand AS DOUBLE),
+         |    CAST(date_diff('day', (SELECT MIN(day) FROM daily), day)
+         |      AS DOUBLE)), 6) + 0.0 AS slope,
+         |  ROUND(regr_intercept(CAST(demand AS DOUBLE),
+         |    CAST(date_diff('day', (SELECT MIN(day) FROM daily), day)
+         |      AS DOUBLE)), 6) + 0.0 AS intercept,
+         |  ROUND(regr_r2(CAST(demand AS DOUBLE),
+         |    CAST(date_diff('day', (SELECT MIN(day) FROM daily), day)
+         |      AS DOUBLE)), 6) + 0.0 AS r2
+         |FROM daily GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "x120_equidepth_hist" ->
+      """WITH r AS (SELECT o_totalprice,
+        |  ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+        |  FROM orders)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n,
+        |  MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // zscore rounds before the |z| > 2 compare on both engines (the
+    // flag is a function of the portable rounded value); + 0.0 settles
+    // DuckDB's IEEE round of tiny negatives to -0.0.
+    "x121_rolling_zscore" ->
+      """WITH r AS (SELECT event_id, user_id, value,
+        |  COUNT(value) OVER w AS c,
+        |  AVG(value) OVER w AS m,
+        |  stddev_samp(value) OVER w AS sd
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT event_id, user_id,
+        |  ROUND(CASE WHEN c = 10 AND sd > 0 THEN (value - m) / sd END, 4)
+        |    + 0.0 AS zscore
+        |  FROM r)
+        |SELECT event_id, user_id, zscore,
+        |  CASE WHEN zscore IS NOT NULL
+        |       THEN CAST(CASE WHEN ABS(zscore) > 2.0 THEN 1 ELSE 0 END
+        |         AS BIGINT) END AS is_anomaly
+        |FROM z ORDER BY event_id""".stripMargin,
+
+    // exp = (CAST(ra AS DOUBLE) * cb) / n in the SAME operation order
+    // as the Spark plan, so the cell terms agree to float noise. The
+    // sum runs over the full r×c marginal grid (absent combinations
+    // are zero cells that still owe (0-exp)^2/exp).
+    "x122_chi_square" ->
+      """WITH cells AS (SELECT lang AS a, source AS b, COUNT(*) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT a, SUM(o) AS ra FROM cells GROUP BY 1),
+        |ct AS (SELECT b, SUM(o) AS cb FROM cells GROUP BY 1),
+        |t AS (SELECT SUM(o) AS n, COUNT(DISTINCT a) AS r,
+        |  COUNT(DISTINCT b) AS c FROM cells),
+        |grid AS (SELECT a, b, ra, cb, COALESCE(o, 0) AS o
+        |  FROM rt CROSS JOIN ct LEFT JOIN cells USING (a, b))
+        |SELECT
+        |  ROUND(SUM((o - CAST(ra AS DOUBLE) * cb / n)
+        |          * (o - CAST(ra AS DOUBLE) * cb / n)
+        |          / (CAST(ra AS DOUBLE) * cb / n)), 4) AS chi2,
+        |  CAST((MAX(r) - 1) * (MAX(c) - 1) AS BIGINT) AS dof,
+        |  CAST(MAX(n) AS BIGINT) AS n
+        |FROM grid CROSS JOIN t
+        |ORDER BY chi2""".stripMargin,
+
+    // The two carried columns null out on the SAME rows (one shared
+    // channel predicate), so independent last_value calls stay
+    // consistent — no struct carry needed.
+    "x123_attribution" ->
+      """WITH r AS (SELECT event_id, user_id, ts, event_type,
+        |  last_value(CASE WHEN event_type IN ('click', 'view')
+        |    THEN epoch_us(ts) END IGNORE NULLS) OVER w AS tts,
+        |  last_value(CASE WHEN event_type IN ('click', 'view')
+        |    THEN event_type END IGNORE NULLS) OVER w AS ttype
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id,
+        |  CASE WHEN epoch_us(ts) - tts <= 3600000000 THEN ttype END
+        |    AS channel,
+        |  CASE WHEN epoch_us(ts) - tts <= 3600000000
+        |    THEN epoch_us(ts) - tts END AS gap_us
+        |FROM r WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "x124_croston" -> crostonSql,
+    "x125_backtest" -> backtestSql
   )
+
+  /** Croston/SBA with α = 0.5: every SES weight is a power of two
+    * (pow(0.5, k) is IEEE-exact on any libm), so the exponential fit
+    * agrees bit-for-bit; weight layout mirrors Forecast.sesWeight —
+    * position 1 takes the full tail (1-α)^(n-1). */
+  private def crostonSql: String =
+    s"""WITH $dailyCte,
+       |rk AS (SELECT user_id, CAST(demand AS DOUBLE) AS z,
+       |  row_number() OVER (PARTITION BY user_id ORDER BY day) AS rz,
+       |  COUNT(*) OVER (PARTITION BY user_id) AS nz,
+       |  CAST(date_diff('day',
+       |    lag(day) OVER (PARTITION BY user_id ORDER BY day), day)
+       |    AS DOUBLE) AS iv
+       |  FROM daily),
+       |agg AS (SELECT user_id, COUNT(*) AS n_demands,
+       |  SUM((CASE WHEN rz = 1 THEN pow(0.5, nz - 1)
+       |            ELSE 0.5 * pow(0.5, nz - rz) END) * z) AS zh,
+       |  SUM(CASE WHEN rz > 1 THEN
+       |      (CASE WHEN rz - 1 = 1 THEN pow(0.5, nz - 2)
+       |            ELSE 0.5 * pow(0.5, nz - rz) END) * iv END) AS ah
+       |  FROM rk GROUP BY 1)
+       |SELECT user_id, n_demands,
+       |  ROUND(zh, 4) AS z_hat, ROUND(ah, 4) AS a_hat,
+       |  ROUND(zh / ah, 4) AS croston,
+       |  ROUND(0.75 * zh / ah, 4) AS sba
+       |FROM agg ORDER BY user_id""".stripMargin
+
+  /** Backtest over the zero-filled dense series (x117's explode
+    * construction): three forecasters, eval MAE, argmin on the
+    * ROUNDED maes with the fixed naive→snaive7→mean tie order. */
+  private def backtestSql: String =
+    s"""WITH $dailyCte,
+       |b AS (SELECT MAX(day) AS gmax, MAX(day) - 7 AS splitd FROM daily),
+       |led AS (SELECT user_id, day AS d0, demand,
+       |  lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt
+       |  FROM daily),
+       |dense AS (SELECT user_id, d0, demand,
+       |  CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+       |    CAST(COALESCE(nxt - 1, (SELECT gmax FROM b)) AS TIMESTAMP),
+       |    INTERVAL 1 DAY)) AS DATE) AS day
+       |  FROM led),
+       |ser AS (SELECT user_id, day,
+       |  CASE WHEN day = d0 THEN CAST(demand AS DOUBLE) ELSE 0.0 END AS y
+       |  FROM dense),
+       |sc AS (SELECT user_id, day, y,
+       |  COALESCE(MAX(CASE WHEN day = (SELECT splitd FROM b) THEN y END)
+       |    OVER (PARTITION BY user_id), 0.0) AS fnaive,
+       |  COALESCE(lag(y, 7) OVER (PARTITION BY user_id ORDER BY day), 0.0)
+       |    AS fsnaive,
+       |  COALESCE(AVG(CASE WHEN day <= (SELECT splitd FROM b) THEN y END)
+       |    OVER (PARTITION BY user_id), 0.0) AS fmean
+       |  FROM ser),
+       |ag AS (SELECT user_id,
+       |  ROUND(AVG(CASE WHEN day > (SELECT splitd FROM b)
+       |    THEN ABS(y - fnaive) END), 4) AS mae_naive,
+       |  ROUND(AVG(CASE WHEN day > (SELECT splitd FROM b)
+       |    THEN ABS(y - fsnaive) END), 4) AS mae_snaive7,
+       |  ROUND(AVG(CASE WHEN day > (SELECT splitd FROM b)
+       |    THEN ABS(y - fmean) END), 4) AS mae_mean
+       |  FROM sc GROUP BY 1)
+       |SELECT user_id, mae_naive, mae_snaive7, mae_mean,
+       |  CASE WHEN mae_naive = LEAST(mae_naive, mae_snaive7, mae_mean)
+       |         THEN 'naive'
+       |       WHEN mae_snaive7 = LEAST(mae_naive, mae_snaive7, mae_mean)
+       |         THEN 'snaive7'
+       |       ELSE 'mean' END AS best_model
+       |FROM ag ORDER BY user_id""".stripMargin
+
+  /** Decimal-exact per-user daily demand — the shared base series of
+    * the forecasting tier; mirrors Queries.dailyDemand. */
+  private def dailyCte: String =
+    """daily AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    SUM(CAST(value AS DECIMAL(18,2))) AS demand
+      |  FROM events GROUP BY 1, 2)""".stripMargin
 
   /** One Lloyd's assignment pass against centroid CTE `cc`: argmin of
     * |v|² − 2·v·c + |c|², ties to the lowest cluster index — the same

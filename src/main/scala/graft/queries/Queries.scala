@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{Dedup, Profiling, Relational, Sampling, Similarity, TextAnalysis, TimeSeries}
+import graft.operators.{Dedup, Forecast, Profiling, Relational, Sampling, Similarity, TextAnalysis, TimeSeries}
 import graft.sources.Tables
 import graft.streaming.Windows
 
@@ -1475,6 +1475,119 @@ object Queries {
         kNeighbors = 5, kClusters = 4, iters = 2)
       .orderBy("vec_id")
 
+  /** The per-user DAILY demand series shared by the forecasting tier
+    * (x115–x119): one decimal-exact sum per (user, day), so the series
+    * every downstream operator consumes is bit-identical on any
+    * engine. */
+  private def dailyDemand(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"),
+        to_date(date_trunc("DAY", col("ts"))).as("day"))
+      .agg(sum(dec(col("value"))).as("demand"))
+
+  /** X115 — calendar gap-fill + forward-fill (X74): densify each
+    * user's daily series, carrying the last observed value through
+    * gaps. See [[graft.operators.Forecast.gapFillForwardFill]] for the
+    * no-join single-window shape (each row explodes only its own gap
+    * run). */
+  def x115(s: SparkSession, dir: String): DataFrame =
+    Forecast.gapFillForwardFill(dailyDemand(s, dir), "user_id", "day", "demand")
+      .select(col("user_id"), col("day"),
+        money(col("demand")).as("demand"), bi(col("is_gap")).as("is_gap"))
+      .orderBy("user_id", "day")
+
+  /** X116 — Syntetos–Boylan intermittent-demand classification (X75):
+    * ADI × CV² quadrant per series, the M5-domain model-selection
+    * gate. Classes compare ROUNDED ratios, so the label is
+    * engine-portable by construction. */
+  def x116(s: SparkSession, dir: String): DataFrame =
+    Forecast.demandClasses(dailyDemand(s, dir), "user_id", "day", "demand")
+      .orderBy("user_id")
+
+  /** X117 — M5 scaled error (X76): per-series RMSSE against the
+    * flat-naive forecast over the last-7-day eval window, plus the
+    * WRMSSE dollar-weight share. sum(weight·rmsse) over this output
+    * IS the competition metric. */
+  def x117(s: SparkSession, dir: String): DataFrame =
+    Forecast.scaledError(dailyDemand(s, dir), "user_id", "day", "demand",
+        horizon = 7, weightDays = 28)
+      .orderBy("user_id")
+
+  /** X118 — CDC changelog apply (X77): events replayed as an
+    * upsert/delete log (`error` = delete tombstone), collapsed to the
+    * final per-user snapshot — latest (ts, event_id) wins, a winning
+    * tombstone drops the key. */
+  def x118(s: SparkSession, dir: String): DataFrame =
+    Relational.cdcApply(
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("value"),
+            col("ts"), col("event_id")),
+        Seq("user_id"), "ts", "event_id", "event_type", deleteOp = "error")
+      .select(col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+      .orderBy("user_id")
+
+  /** X119 — per-series linear trend (X78): OLS slope/intercept/R² of
+    * daily demand against the epoch-day number via the SQL-standard
+    * `regr_*` single-pass aggregates. */
+  def x119(s: SparkSession, dir: String): DataFrame =
+    Forecast.linearTrend(dailyDemand(s, dir), "user_id", "day", "demand")
+      .orderBy("user_id")
+
+  /** X120 — equi-depth histogram (X79): 10 ntile-split buckets over
+    * order totalprice; see [[graft.operators.Profiling
+    * .equidepthHistogram]] for the zipWithIndex scale path (the
+    * ntile-window twin is spec-pinned). */
+  def x120(s: SparkSession, dir: String): DataFrame =
+    Profiling.equidepthHistogram(
+        Tables.orders(s, dir), "o_totalprice", "o_orderkey", k = 10)
+      .orderBy("bucket")
+
+  /** X121 — rolling z-score anomalies (X81): each event's value
+    * scored against its user's 10 strictly-preceding values,
+    * min_periods semantics, |z| > 2 flags. */
+  def x121(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.rollingZscore(
+        Tables.events(s, dir), "user_id",
+        Seq(col("ts"), col("event_id")), "value", w = 10, threshold = 2.0)
+      .select(col("event_id"), col("user_id"), col("zscore"),
+        bi(col("is_anomaly")).as("is_anomaly"))
+      .orderBy("event_id")
+
+  /** X122 — chi-square independence test (X80): is `lang` independent
+    * of `source` in the document corpus? One scan, cell-cardinality
+    * math, one row out. */
+  def x122(s: SparkSession, dir: String): DataFrame =
+    Profiling.chiSquare(Tables.documents(s, dir), "lang", "source")
+      .orderBy("chi2")
+
+  /** X123 — last-touch attribution (X82): each purchase attributed to
+    * the user's most recent click/view within the hour; no
+    * event×event join at any scale. */
+  def x123(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.lastTouchAttribution(
+        Tables.events(s, dir), "user_id", "ts", "event_id", "event_type",
+        conversionType = "purchase", channelTypes = Seq("click", "view"),
+        maxGapSeconds = 3600)
+      .orderBy("event_id")
+
+  /** X124 — Croston + SBA intermittent-demand forecast (X83): SES on
+    * demand sizes and inter-demand intervals via the closed-form
+    * weighted sum; α = 0.5 makes every smoothing weight a power of
+    * two, so the exponential fit hash-matches bit-for-bit. */
+  def x124(s: SparkSession, dir: String): DataFrame =
+    Forecast.crostonForecast(dailyDemand(s, dir), "user_id", "day", "demand",
+        alpha = 0.5)
+      .orderBy("user_id")
+
+  /** X125 — backtest model selection (X84): flat-naive vs
+    * seasonal-naive-7 vs train-mean per series, eval MAE over the
+    * last 7 days, winner by rounded argmin. */
+  def x125(s: SparkSession, dir: String): DataFrame =
+    Forecast.backtestSelect(dailyDemand(s, dir), "user_id", "day", "demand",
+        horizon = 7)
+      .orderBy("user_id")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -1602,5 +1715,16 @@ object Queries {
     "x111_canonical_dedup" -> (x111 _),
     "x112_bigram_lm" -> (x112 _),
     "x113_semdedup_kmeans" -> (x113 _),
-    "x114_knn_label_consistency" -> (x114 _))
+    "x114_knn_label_consistency" -> (x114 _),
+    "x115_gap_fill" -> (x115 _),
+    "x116_demand_classes" -> (x116 _),
+    "x117_scaled_error" -> (x117 _),
+    "x118_cdc_apply" -> (x118 _),
+    "x119_linear_trend" -> (x119 _),
+    "x120_equidepth_hist" -> (x120 _),
+    "x121_rolling_zscore" -> (x121 _),
+    "x122_chi_square" -> (x122 _),
+    "x123_attribution" -> (x123 _),
+    "x124_croston" -> (x124 _),
+    "x125_backtest" -> (x125 _))
 }

@@ -1,0 +1,167 @@
+package graft.operators
+
+import java.sql.Date
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Forecasting tier (X74–X78): gap-fill semantics, Syntetos–Boylan
+  * quadrants, RMSSE against hand-computed values, and the linear-trend
+  * degenerate cases. */
+class ForecastSpec extends SparkSpec {
+
+  private def d(s: String): Date = Date.valueOf(s)
+
+  private def daily(rows: (Long, String, Double)*): DataFrame = {
+    import spark.implicits._
+    rows.map { case (k, day, v) => (k, d(day), v) }
+      .toDF("user_id", "day", "demand")
+  }
+
+  test("gapFillForwardFill: gaps carry the last value, is_gap marks imputed rows") {
+    val in = daily(
+      (1L, "2024-01-01", 10.0), (1L, "2024-01-04", 20.0),
+      (2L, "2024-01-02", 5.0))
+    val out = Forecast.gapFillForwardFill(in, "user_id", "day", "demand")
+      .orderBy("user_id", "day")
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getDouble(2), r.getInt(3)))
+    assert(out.toSeq == Seq(
+      (1L, "2024-01-01", 10.0, 0),
+      (1L, "2024-01-02", 10.0, 1),
+      (1L, "2024-01-03", 10.0, 1),
+      (1L, "2024-01-04", 20.0, 0),
+      (2L, "2024-01-02", 5.0, 0)))
+  }
+
+  test("gapFillForwardFill: contiguous series passes through unchanged") {
+    val in = daily((7L, "2024-02-01", 1.0), (7L, "2024-02-02", 2.0))
+    val out = Forecast.gapFillForwardFill(in, "user_id", "day", "demand")
+    assert(out.filter(col("is_gap") === 1).count() == 0)
+    assert(out.count() == 2)
+  }
+
+  test("demandClasses: hand-computed quadrants and the single-day n/a") {
+    // key 1: 3 demand days over a 6-day span -> ADI 2.0; sizes 10,10,40
+    //   mean 20, var_samp 300 -> CV2 = 300/400 = 0.75 -> ADI>=1.32,
+    //   CV2>=0.49 -> lumpy
+    // key 2: 4 demand days over 4-day span -> ADI 1.0; sizes all 5 ->
+    //   CV2 0.0 -> smooth
+    // key 3: one day -> var_samp null -> n/a
+    val in = daily(
+      (1L, "2024-01-01", 10.0), (1L, "2024-01-03", 10.0), (1L, "2024-01-06", 40.0),
+      (2L, "2024-01-01", 5.0), (2L, "2024-01-02", 5.0),
+      (2L, "2024-01-03", 5.0), (2L, "2024-01-04", 5.0),
+      (3L, "2024-01-05", 9.0))
+    val out = Forecast.demandClasses(in, "user_id", "day", "demand")
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4)), r.getString(5)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 6L, Some(2.0), Some(0.75), "lumpy"),
+      (2L, 4L, 4L, Some(1.0), Some(0.0), "smooth"),
+      (3L, 1L, 1L, Some(1.0), None, "n/a")))
+  }
+
+  test("demandClasses: intermittent and erratic quadrants") {
+    // intermittent: sparse but stable sizes — 3 days over 9-day span
+    // (ADI 3.0), sizes 10,10,10 -> CV2 0
+    // erratic: dense but variable — days 1..4 (ADI 1.0), sizes
+    // 1,1,1,10: mean 3.25, var_samp 20.25 -> CV2 1.917
+    val in = daily(
+      (1L, "2024-01-01", 10.0), (1L, "2024-01-05", 10.0), (1L, "2024-01-09", 10.0),
+      (2L, "2024-01-01", 1.0), (2L, "2024-01-02", 1.0),
+      (2L, "2024-01-03", 1.0), (2L, "2024-01-04", 10.0))
+    val cls = Forecast.demandClasses(in, "user_id", "day", "demand")
+      .orderBy("user_id").collect().map(_.getString(5))
+    assert(cls.toSeq == Seq("intermittent", "erratic"))
+  }
+
+  test("scaledError: hand-computed RMSSE on a two-key series") {
+    // global max = 01-10, horizon 3 -> split = 01-07.
+    // key 1 observed 01-01..01-10 constant 10 except eval dip:
+    //   train y: 10,10,10,10,10,10,10 -> diffs all 0 -> scale 0 -> null
+    // key 2: y=2 on 01-01 and 01-03 only; zero-fill to 01-10.
+    //   train days 01-01..01-07: y = 2,0,2,0,0,0,0
+    //     diffs from t=2: (-2)^2,(2)^2,(-2)^2,0,0,0 -> mean 12/6 = 2
+    //   fc = y at split (01-07) = 0
+    //   eval days 01-08..01-10: y=0 -> mse 0 -> rmsse 0
+    val k1 = (1 to 10).map(i => (1L, f"2024-01-$i%02d", 10.0))
+    val k2 = Seq((2L, "2024-01-01", 2.0), (2L, "2024-01-03", 2.0))
+    val in = daily(k1 ++ k2: _*)
+    val out = Forecast.scaledError(in, "user_id", "day", "demand",
+        horizon = 3, weightDays = 28)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+    // weights: train totals key1 = 70, key2 = 4 -> 70/74, 4/74
+    assert(out(0) == ((1L, None, Some(0.945946))))
+    assert(out(1) == ((2L, Some(0.0), Some(0.054054))))
+  }
+
+  test("scaledError: a key absent from the eval window still scores (zero-filled eval)") {
+    // key only active days 1-2; global max from key 9 reaches day 10.
+    // Its eval days are all zero-filled; fc = carry of split-day zero.
+    val in = daily(
+      (1L, "2024-01-01", 4.0), (1L, "2024-01-02", 6.0),
+      (9L, "2024-01-10", 1.0))
+    val out = Forecast.scaledError(in, "user_id", "day", "demand",
+        horizon = 3, weightDays = 28)
+      .orderBy("user_id").collect()
+    // key 1 train: 4,6,0,0,0,0,0 -> diffs 4,36,0,0,0,0 mean 40/6;
+    // eval 0 vs fc 0 -> rmsse 0
+    assert(out(0).getLong(0) == 1L && out(0).getDouble(1) == 0.0)
+    // key 9 has no train days (first day > split) -> null rmsse
+    assert(out(1).getLong(0) == 9L && out(1).isNullAt(1))
+  }
+
+  test("crostonForecast: closed form matches the hand-run SES recursion; single demand degenerates") {
+    // key 1: z = 4, 8, 6 on days 1, 3, 6 (alpha 0.5)
+    //   sizes:     s1=4, s2=.5*8+.5*4=6, s3=.5*6+.5*6=6      -> z_hat 6
+    //   intervals: 2, 3: s1=2, s2=.5*3+.5*2=2.5              -> a_hat 2.5
+    //   croston 6/2.5 = 2.4; sba 0.75*6/2.5 = 1.8
+    val in = daily(
+      (1L, "2024-01-01", 4.0), (1L, "2024-01-03", 8.0), (1L, "2024-01-06", 6.0),
+      (2L, "2024-01-04", 9.0))
+    val out = Forecast.crostonForecast(in, "user_id", "day", "demand")
+      .orderBy("user_id").collect()
+    val r1 = out(0)
+    assert((r1.getLong(1), r1.getDouble(2), r1.getDouble(3),
+      r1.getDouble(4), r1.getDouble(5)) == ((3L, 6.0, 2.5, 2.4, 1.8)))
+    // single demand day: z_hat = the value, no interval series
+    val r2 = out(1)
+    assert(r2.getLong(1) == 1L && r2.getDouble(2) == 9.0 &&
+      r2.isNullAt(3) && r2.isNullAt(4) && r2.isNullAt(5))
+  }
+
+  test("backtestSelect: seasonal series picks snaive7, constant series ties to naive") {
+    // global span 01-01..01-14, horizon 7 -> split 01-07
+    val k1 = (1 to 14).map(i => (1L, f"2024-01-$i%02d", 5.0))
+    val k2 = Seq((2L, "2024-01-01", 10.0), (2L, "2024-01-08", 10.0))
+    val out = Forecast.backtestSelect(daily(k1 ++ k2: _*),
+        "user_id", "day", "demand", horizon = 7)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getString(4)))
+    // constant: every forecaster is perfect; tie breaks to naive
+    assert(out(0) == ((1L, 0.0, 0.0, 0.0, "naive")))
+    // weekly spike: naive (0) misses the 10; snaive7 nails it;
+    // mean 10/7 misses everywhere
+    assert(out(1) == ((2L, 1.4286, 0.0, 2.449, "snaive7")), s"got ${out(1)}")
+  }
+
+  test("linearTrend: exact fit on a perfect line; single point degenerates to null") {
+    val in = daily(
+      (1L, "2024-01-01", 10.0), (1L, "2024-01-02", 12.0), (1L, "2024-01-03", 14.0),
+      (2L, "2024-01-02", 99.0))
+    val out = Forecast.linearTrend(in, "user_id", "day", "demand")
+      .orderBy("user_id").collect()
+    val r1 = out(0)
+    assert(r1.getLong(1) == 3L && r1.getDouble(2) == 2.0 &&
+      r1.getDouble(3) == 10.0 && r1.getDouble(4) == 1.0)
+    // intercept is at the CORPUS min day (2024-01-01), so key 2's
+    // single point at x=1 has null slope/r2 (no x variance)
+    assert(out(1).isNullAt(2) && out(1).isNullAt(4))
+  }
+}

@@ -112,4 +112,46 @@ class ProfilingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"validate must not join per rule:\n$plan")
   }
+
+  test("equidepthHistogram: scalable zipWithIndex form ≡ ntile window twin, remainder case") {
+    import spark.implicits._
+    // 11 rows into 3 buckets: ntile gives sizes 4, 4, 3
+    val df = (1 to 11).map(i => (i.toDouble * 10, i.toLong)).toDF("v", "id")
+    val got = Profiling.equidepthHistogram(df, "v", "id", 3)
+      .orderBy("bucket")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 10.0, 40.0), (2L, 4L, 50.0, 80.0), (3L, 3L, 90.0, 110.0)),
+      s"got $got")
+    val twin = Profiling.equidepthHistogramNtile(df, "v", "id", 3)
+      .orderBy("bucket")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got == twin, s"scalable $got != ntile twin $twin")
+    // fewer rows than buckets: one singleton bucket per row
+    val tiny = Seq((5.0, 1L), (3.0, 2L)).toDF("v", "id")
+    val gotTiny = Profiling.equidepthHistogram(tiny, "v", "id", 5)
+      .orderBy("bucket").as[(Long, Long, Double, Double)].collect().toSeq
+    val twinTiny = Profiling.equidepthHistogramNtile(tiny, "v", "id", 5)
+      .orderBy("bucket").as[(Long, Long, Double, Double)].collect().toSeq
+    assert(gotTiny == Seq((1L, 1L, 3.0, 3.0), (2L, 1L, 5.0, 5.0)))
+    assert(gotTiny == twinTiny)
+  }
+
+  test("chiSquare: zero for a perfectly independent table, hand value with a zero cell") {
+    import spark.implicits._
+    // independent 2x2: rows a=40, b=80; cols x=30, y=90; every
+    // observed count equals its expectation -> chi2 = 0
+    val ind = (Seq.fill(10)(("a", "x")) ++ Seq.fill(30)(("a", "y")) ++
+      Seq.fill(20)(("b", "x")) ++ Seq.fill(60)(("b", "y")))
+      .toDF("ca", "cb")
+    val r1 = Profiling.chiSquare(ind, "ca", "cb").collect()(0)
+    assert(r1.getDouble(0) == 0.0 && r1.getLong(1) == 1L && r1.getLong(2) == 120L)
+    // fully dependent diagonal with ABSENT off-diagonal cells: the
+    // zero cells must still contribute (0-exp)^2/exp -> chi2 = n
+    val dep = (Seq.fill(10)(("a", "x")) ++ Seq.fill(10)(("b", "y")))
+      .toDF("ca", "cb")
+    val r2 = Profiling.chiSquare(dep, "ca", "cb").collect()(0)
+    assert(r2.getDouble(0) == 20.0 && r2.getLong(1) == 1L && r2.getLong(2) == 20L,
+      s"got $r2 — zero cells dropped from the grid?")
+  }
 }

@@ -171,4 +171,35 @@ class RelationalSpec extends SparkSpec {
       ("a", 20, 3, Some("4"), false),
       ("b", 20, 4, None, true)), s"got $got")
   }
+
+  test("cdcApply: latest wins, a winning tombstone drops the key, ties break on the tiebreaker") {
+    val log = Seq(
+      // k1: insert then update — update wins
+      ("k1", 1, 10, "U"), ("k1", 2, 20, "U"),
+      // k2: update then delete — key disappears
+      ("k2", 1, 5, "U"), ("k2", 2, 0, "D"),
+      // k3: delete then a LATER re-insert — key lives
+      ("k3", 1, 0, "D"), ("k3", 2, 7, "U"),
+      // k4: same seq twice — higher tiebreaker (id column) wins
+      ("k4", 1, 1, "U"), ("k4", 1, 2, "U"))
+      .zipWithIndex.map { case ((k, s, v, op), i) => (k, s, v, op, i.toLong) }
+      .toDF("k", "seq", "v", "op", "id")
+    val got = Relational.cdcApply(log, Seq("k"), "seq", "id", "op", "D")
+      .orderBy("k")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+      .toSeq
+    assert(got == Seq(("k1", 2, 20), ("k3", 2, 7), ("k4", 1, 2)), s"got $got")
+  }
+
+  test("cdcApply: the rank-1 filter plans a WindowGroupLimit (map-side latest-row pushdown)") {
+    // InferWindowGroupLimit deliberately skips LocalRelation inputs, so
+    // pin the plan on an RDD-backed frame (what any real source is)
+    val local = Seq(("k", 1, 1, "U")).toDF("k", "seq", "v", "op")
+      .withColumn("id", lit(0L))
+    val log = spark.createDataFrame(local.rdd, local.schema)
+    val plan = Relational.cdcApply(log, Seq("k"), "seq", "id", "op", "D")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected the rank<=1 rewrite in:\n$plan")
+  }
 }

@@ -108,4 +108,61 @@ class TimeSeriesSpec extends SparkSpec {
       ("2024-01-01", 0L, 2L), ("2024-01-01", 1L, 1L),
       ("2024-01-08", 0L, 1L), ("2024-01-08", 1L, 1L)), s"got $got")
   }
+
+  test("rollingZscore: min_periods head nulls, hand-computed score, zero-variance guard") {
+    import spark.implicits._
+    // key A: baseline 1,3 (mean 2, sd_samp sqrt(2)), then 4:
+    //   z = (4-2)/sqrt(2) = 1.4142 — not an anomaly at 2.0
+    // then 22: baseline 3,4 -> mean 3.5, sd sqrt(0.5) -> z = 26.163 -> anomaly
+    // key B: constant baseline -> sd 0 -> null score even with a full window
+    val df = Seq(
+      ("A", 1L, 1.0), ("A", 2L, 3.0), ("A", 3L, 4.0), ("A", 4L, 22.0),
+      ("B", 1L, 5.0), ("B", 2L, 5.0), ("B", 3L, 9.0))
+      .toDF("k", "seq", "v")
+    val got = TimeSeries.rollingZscore(df, "k", Seq(col("seq")), "v", w = 2)
+      .orderBy("k", "seq")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(3)), Option(r.get(4))))
+      .toSeq
+    assert(got == Seq(
+      ("A", 1L, None, None),           // 0 preceding
+      ("A", 2L, None, None),           // 1 preceding < w
+      ("A", 3L, Some(1.4142), Some(0)),
+      ("A", 4L, Some(26.163), Some(1)),
+      ("B", 1L, None, None),
+      ("B", 2L, None, None),
+      ("B", 3L, None, None)), s"got $got") // sd=0 guard
+  }
+
+  test("lastTouchAttribution: in-window touch, expired touch, no touch, and post-filter recompute regression") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      // u1: view 10:00, purchase 10:20 -> attributed to view, 1200s
+      (1L, 10L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, 11L, ts("2024-01-01 10:20:00"), "purchase"),
+      // u1: next purchase 12:00 -> last touch 10:00 view is >1h -> null
+      (1L, 12L, ts("2024-01-01 12:00:00"), "purchase"),
+      // u2: purchase with no preceding touch at all -> null
+      (2L, 20L, ts("2024-01-01 09:00:00"), "purchase"),
+      // u2: click AFTER the purchase must not attribute backwards
+      (2L, 21L, ts("2024-01-01 09:30:00"), "click"),
+      // u3: click then view -> the LATEST touch (view) wins
+      (3L, 30L, ts("2024-01-01 08:00:00"), "click"),
+      (3L, 31L, ts("2024-01-01 08:10:00"), "view"),
+      (3L, 32L, ts("2024-01-01 08:15:00"), "purchase"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = TimeSeries.lastTouchAttribution(df, "user_id", "ts",
+        "event_id", "event_type", "purchase", Seq("click", "view"), 3600L)
+      .orderBy("event_id")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(2)), Option(r.get(3))))
+      .toSeq
+    assert(got == Seq(
+      (11L, Some("view"), Some(1200000000L)),
+      (12L, None, None),
+      (20L, None, None),
+      (32L, Some("view"), Some(300000000L))), s"got $got")
+  }
 }
