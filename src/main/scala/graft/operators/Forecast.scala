@@ -123,7 +123,9 @@ object Forecast {
       dayCol: String,
       valueCol: String,
       horizon: Int = 7,
-      weightDays: Int = 28): DataFrame = {
+      weightDays: Int = 28,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+    : DataFrame = {
     require(horizon > 0 && weightDays > 0,
       s"horizon/weightDays must be positive, got $horizon/$weightDays")
     // 1-row global bounds broadcast: split day + eval end
@@ -151,7 +153,10 @@ object Forecast {
       .withColumn("__prev", lag(col("__y"), 1).over(w.orderBy(col("__day"))))
     val isTrain = col("__day") <= col("__split")
     val isEval = col("__day") > col("__split")
-    val perKey = scored.groupBy(col(keyCol)).agg(
+    // perKey is series-cardinality (tiny next to the dense series);
+    // persist it so the 1-row weight denominator doesn't re-run the
+    // whole dense pipeline a second time for its one aggregate
+    val perKey = scope.persist(scored.groupBy(col(keyCol)).agg(
       avg(when(isTrain,
         (col("__y") - col("__prev")) * (col("__y") - col("__prev"))))
         .as("__scale"),
@@ -159,7 +164,7 @@ object Forecast {
         (col("__y") - col("__fc")) * (col("__y") - col("__fc"))))
         .as("__mse"),
       sum(when(isTrain && col("__day") > date_sub(col("__split"), weightDays),
-        col("__y"))).as("__wsum"))
+        col("__y"))).as("__wsum")))
     val total = perKey.agg(sum(col("__wsum")).as("__wtotal"))
     perKey.crossJoin(broadcast(total)).select(
       col(keyCol),
@@ -273,6 +278,41 @@ object Forecast {
       when(col("mae_naive") === best, "naive")
         .when(col("mae_snaive7") === best, "snaive7")
         .otherwise("mean"))
+  }
+
+  /** X85 — per-series autocorrelation at the given lags over the
+    * zero-filled daily calendar (each key's own [min, max] span):
+    * `acf_k = corr(y_t, y_{t−k})` — the seasonality detector that
+    * tells [[backtestSelect]]'s seasonal-naive arm when it is worth
+    * fielding (weekly demand shows acf_7 ≫ acf_1). Built from the
+    * same explode-own-gap densification as [[gapFillForwardFill]],
+    * one lag window per requested lag, and one `corr` aggregate per
+    * key — `corr`'s single-pass moments are engine-portable at 4 dp
+    * (the x97 precedent). Constant series (zero variance) yield null.
+    */
+  def autocorrelation(
+      daily: DataFrame,
+      keyCol: String,
+      dayCol: String,
+      valueCol: String,
+      lags: Seq[Int] = Seq(1, 7)): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ > 0), s"lags must be positive: $lags")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+    val dense = daily
+      .withColumn("__next", lead(col(dayCol), 1).over(w))
+      .withColumn("__day",
+        explode(sequence(col(dayCol),
+          coalesce(date_sub(col("__next"), 1), col(dayCol)))))
+      .select(col(keyCol), col("__day"),
+        when(col("__day") === col(dayCol), col(valueCol).cast("double"))
+          .otherwise(lit(0.0)).as("__y"))
+    val wDay = Window.partitionBy(col(keyCol)).orderBy(col("__day"))
+    val lagged = lags.foldLeft(dense) { (df, k) =>
+      df.withColumn(s"__l$k", lag(col("__y"), k).over(wDay))
+    }
+    lagged.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n_days"),
+      lags.map(k => round(corr(col("__y"), col(s"__l$k")), 4).as(s"acf_$k")): _*)
   }
 
   /** X78 — per-series linear trend: OLS slope / intercept / R² of the

@@ -230,9 +230,15 @@ object Profiling {
     * the float math are exact integer counts, so the statistic is
     * engine-portable at 4 dp.
     */
-  def chiSquare(df: DataFrame, colA: String, colB: String): DataFrame = {
-    val cells = df.groupBy(col(colA).as("__a"), col(colB).as("__b"))
-      .agg(count(lit(1)).as("__o"))
+  def chiSquare(df: DataFrame, colA: String, colB: String,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+    : DataFrame = {
+    // cells is r×c cardinality; persist so the marginals, the totals,
+    // and the grid all derive from ONE scan of the raw data instead of
+    // four independent re-aggregations
+    val cells = scope.persist(
+      df.groupBy(col(colA).as("__a"), col(colB).as("__b"))
+        .agg(count(lit(1)).as("__o")))
     val rowTot = cells.groupBy(col("__a")).agg(sum(col("__o")).as("__ra"))
     val colTot = cells.groupBy(col("__b")).agg(sum(col("__o")).as("__cb"))
     val n = cells.agg(sum(col("__o")).as("__n"),

@@ -1913,7 +1913,83 @@ object OracleSql {
         |FROM r WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
 
     "x124_croston" -> crostonSql,
-    "x125_backtest" -> backtestSql
+    "x125_backtest" -> backtestSql,
+
+    // corr ignores null-lag rows on both engines; + 0.0 settles
+    // DuckDB's IEEE round of tiny negative correlations to -0.0.
+    "x126_autocorrelation" ->
+      s"""WITH $dailyCte,
+         |led AS (SELECT user_id, day AS d0, demand,
+         |  lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt
+         |  FROM daily),
+         |dense AS (SELECT user_id, d0, demand,
+         |  CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+         |    CAST(COALESCE(nxt - 1, d0) AS TIMESTAMP),
+         |    INTERVAL 1 DAY)) AS DATE) AS day
+         |  FROM led),
+         |ser AS (SELECT user_id, day,
+         |  CASE WHEN day = d0 THEN CAST(demand AS DOUBLE) ELSE 0.0 END AS y
+         |  FROM dense),
+         |lg AS (SELECT user_id, day, y,
+         |  lag(y, 1) OVER w1 AS l1, lag(y, 7) OVER w1 AS l7
+         |  FROM ser WINDOW w1 AS (PARTITION BY user_id ORDER BY day))
+         |SELECT user_id, COUNT(*) AS n_days,
+         |  ROUND(corr(y, l1), 4) + 0.0 AS acf_1,
+         |  ROUND(corr(y, l7), 4) + 0.0 AS acf_7
+         |FROM lg GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "x127_market_basket" ->
+      """WITH oi AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i
+        |  FROM lineitem),
+        |pairs AS (SELECT l.i AS item_a, r.i AS item_b, COUNT(*) AS n_ab
+        |  FROM oi l JOIN oi r ON l.o = r.o AND l.i < r.i GROUP BY 1, 2),
+        |top AS (SELECT * FROM pairs
+        |  ORDER BY n_ab DESC, item_a, item_b LIMIT 100),
+        |ic AS (SELECT i, COUNT(*) AS n FROM oi GROUP BY 1),
+        |t AS (SELECT CAST(COUNT(DISTINCT o) AS DOUBLE) AS total FROM oi)
+        |SELECT item_a, item_b, n_ab,
+        |  ROUND(n_ab / total, 6) AS support,
+        |  ROUND(n_ab / CAST(a.n AS DOUBLE), 6) AS confidence,
+        |  ROUND(n_ab * total / (CAST(a.n AS DOUBLE) * b.n), 6) AS lift
+        |FROM top JOIN ic a ON top.item_a = a.i
+        |  JOIN ic b ON top.item_b = b.i CROSS JOIN t
+        |ORDER BY item_a, item_b""".stripMargin,
+
+    // quintile cutoffs are quantile_cont ≡ Spark's exact percentile
+    // (the t38 parity); scoring is 1 + Σ(v > q_i), recency inverted.
+    "x128_rfm_segments" ->
+      """WITH pc AS (SELECT o_custkey, MAX(o_orderdate) AS lastd,
+        |  COUNT(*) AS f,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS md
+        |  FROM orders GROUP BY 1),
+        |g AS (SELECT MAX(o_orderdate) AS gmax FROM orders),
+        |rfm AS (SELECT o_custkey,
+        |  CAST(date_diff('day', CAST(lastd AS DATE), CAST(gmax AS DATE))
+        |    AS BIGINT) AS r,
+        |  f, CAST(md AS DOUBLE) AS m FROM pc CROSS JOIN g),
+        |q AS (SELECT quantile_cont(r, [0.2, 0.4, 0.6, 0.8]) AS qr,
+        |  quantile_cont(f, [0.2, 0.4, 0.6, 0.8]) AS qf,
+        |  quantile_cont(m, [0.2, 0.4, 0.6, 0.8]) AS qm FROM rfm),
+        |sc AS (SELECT o_custkey, r, f, m,
+        |  6 - (1 + CAST(r > qr[1] AS INT) + CAST(r > qr[2] AS INT)
+        |    + CAST(r > qr[3] AS INT) + CAST(r > qr[4] AS INT)) AS r_score,
+        |  1 + CAST(f > qf[1] AS INT) + CAST(f > qf[2] AS INT)
+        |    + CAST(f > qf[3] AS INT) + CAST(f > qf[4] AS INT) AS f_score,
+        |  1 + CAST(m > qm[1] AS INT) + CAST(m > qm[2] AS INT)
+        |    + CAST(m > qm[3] AS INT) + CAST(m > qm[4] AS INT) AS m_score
+        |  FROM rfm CROSS JOIN q)
+        |SELECT o_custkey, r, f, ROUND(m, 2) AS m,
+        |  CAST(r_score AS BIGINT) AS r_score,
+        |  CAST(f_score AS BIGINT) AS f_score,
+        |  CAST(m_score AS BIGINT) AS m_score,
+        |  CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+        |         THEN 'champion'
+        |       WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal'
+        |       WHEN r_score >= 4 THEN 'recent'
+        |       WHEN f_score >= 4 THEN 'frequent_lapsed'
+        |       WHEN r_score <= 2 AND f_score <= 2 THEN 'at_risk'
+        |       ELSE 'regular' END AS segment
+        |FROM sc ORDER BY o_custkey""".stripMargin
   )
 
   /** Croston/SBA with α = 0.5: every SES weight is a power of two

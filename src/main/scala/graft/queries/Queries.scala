@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{Dedup, Forecast, Profiling, Relational, Sampling, Similarity, TextAnalysis, TimeSeries}
+import graft.operators.{Dedup, Forecast, Profiling, Relational, Retail, Sampling, Similarity, TextAnalysis, TimeSeries}
 import graft.sources.Tables
 import graft.streaming.Windows
 
@@ -1588,6 +1588,28 @@ object Queries {
         horizon = 7)
       .orderBy("user_id")
 
+  /** X126 — per-series autocorrelation at lags 1 and 7 (X85): the
+    * weekly-seasonality detector over the zero-filled calendar. */
+  def x126(s: SparkSession, dir: String): DataFrame =
+    Forecast.autocorrelation(dailyDemand(s, dir), "user_id", "day", "demand",
+        lags = Seq(1, 7))
+      .orderBy("user_id")
+
+  /** X127 — market-basket association rules (X86): top-100 item pairs
+    * by basket co-occurrence with support/confidence/lift. */
+  def x127(s: SparkSession, dir: String): DataFrame =
+    Retail.marketBasket(Tables.lineitem(s, dir), "l_orderkey", "l_partkey",
+        topK = 100)
+      .orderBy("item_a", "item_b")
+
+  /** X128 — RFM customer segmentation (X87): recency/frequency/
+    * monetary quintile scores against exact global cutoffs, plus the
+    * standard coarse segments. */
+  def x128(s: SparkSession, dir: String): DataFrame =
+    Retail.rfmSegments(Tables.orders(s, dir), "o_custkey", "o_orderdate",
+        "o_totalprice")
+      .orderBy("o_custkey")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -1726,5 +1748,8 @@ object Queries {
     "x122_chi_square" -> (x122 _),
     "x123_attribution" -> (x123 _),
     "x124_croston" -> (x124 _),
-    "x125_backtest" -> (x125 _))
+    "x125_backtest" -> (x125 _),
+    "x126_autocorrelation" -> (x126 _),
+    "x127_market_basket" -> (x127 _),
+    "x128_rfm_segments" -> (x128 _))
 }

@@ -151,6 +151,24 @@ class ForecastSpec extends SparkSpec {
     assert(out(1) == ((2L, 1.4286, 0.0, 2.449, "snaive7")), s"got ${out(1)}")
   }
 
+  test("autocorrelation: alternating series hits acf_1 = -1, weekly spikes hit acf_7 = 1") {
+    // key 1: strictly alternating 8-day series -> lag-1 corr exactly -1
+    val alt = (1 to 8).map(i =>
+      (1L, f"2024-01-$i%02d", if (i % 2 == 0) 1.0 else 0.0))
+    // key 2: spike every 7th day over 21 days (observed rows only;
+    // the zero days come from the densification)
+    val weekly = Seq((2L, "2024-01-01", 5.0), (2L, "2024-01-08", 5.0),
+      (2L, "2024-01-15", 5.0), (2L, "2024-01-21", 0.0))
+    // key 3: constant -> zero variance -> null acf
+    val const = Seq((3L, "2024-01-01", 2.0), (3L, "2024-01-02", 2.0))
+    val out = Forecast.autocorrelation(daily(alt ++ weekly ++ const: _*),
+        "user_id", "day", "demand", lags = Seq(1, 7))
+      .orderBy("user_id").collect()
+    assert(out(0).getDouble(2) == -1.0)
+    assert(out(1).getDouble(3) == 1.0, s"acf_7 = ${out(1)}")
+    assert(out(2).isNullAt(2) && out(2).isNullAt(3))
+  }
+
   test("linearTrend: exact fit on a perfect line; single point degenerates to null") {
     val in = daily(
       (1L, "2024-01-01", 10.0), (1L, "2024-01-02", 12.0), (1L, "2024-01-03", 14.0),
