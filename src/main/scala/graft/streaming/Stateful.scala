@@ -85,6 +85,59 @@ object Stateful {
       df: DataFrame, keys: Seq[String], tsCol: String, delay: String): DataFrame =
     df.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys)
 
+  /** Input/output shapes of [[rollingZscore]] — concrete case classes
+    * because the state function is imperative per-row logic, the one
+    * place typed Datasets beat DataFrames (SURVEY §4.3). */
+  case class ZPoint(key: String, seq: Long, value: Double)
+  case class ZScore(key: String, seq: Long,
+      zscore: Option[Double], isAnomaly: Option[Boolean])
+
+  /** Streaming twin of [[graft.operators.TimeSeries.rollingZscore]]
+    * (X81): each value scored against the mean/stddev of its key's `w`
+    * strictly-preceding values, with the ring of those values carried
+    * in the state store ACROSS micro-batches — the same semantics as
+    * the batch window frame [-w, -1] with min_periods=w and the
+    * zero-variance guard, scores rounded to 4 dp (Spark ROUND's
+    * HALF_UP, so batch and stream agree bit-for-bit; the parity spec
+    * pins it across a mid-key batch split).
+    *
+    * State per key is exactly `w` doubles — bounded regardless of
+    * stream length; keys scale with the state store's partitioning.
+    * Rows within a micro-batch are processed in `seq` order (the
+    * iterator order of a shuffled group is not otherwise defined).
+    */
+  def rollingZscore(
+      ds: Dataset[ZPoint], w: Int, threshold: Double = 2.0)
+    : Dataset[ZScore] = {
+    require(w >= 2, s"window must be >= 2 for a sample stddev, got $w")
+    implicit val stateEnc: Encoder[List[Double]] =
+      Encoders.kryo[List[Double]]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    implicit val outEnc: Encoder[ZScore] = Encoders.product[ZScore]
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[List[Double], ZScore](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[ZPoint], state: GroupState[List[Double]]) =>
+          var ring = state.getOption.getOrElse(List.empty[Double])
+          val out = rows.toSeq.sortBy(_.seq).map { p =>
+            val z =
+              if (ring.length == w) {
+                val mean = ring.sum / w
+                val sd = math.sqrt(
+                  ring.map(x => (x - mean) * (x - mean)).sum / (w - 1))
+                if (sd > 0)
+                  Some(BigDecimal((p.value - mean) / sd)
+                    .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+                else None
+              } else None
+            ring = (ring :+ p.value).takeRight(w)
+            ZScore(p.key, p.seq, z, z.map(v => math.abs(v) > threshold))
+          }
+          state.update(ring)
+          out.iterator
+      }
+  }
+
   /** Streaming per-key running counter with custom state — the
     * mapGroupsWithState shape (one output row per key per batch). */
   def runningCount[K: Encoder, V: Encoder](

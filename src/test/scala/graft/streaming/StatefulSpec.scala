@@ -121,4 +121,38 @@ class StatefulSpec extends SparkSpec {
       .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
     assert(last == Map("u1" -> 3L, "u2" -> 1L))
   }
+
+  test("rollingZscore stream ≡ batch twin across a mid-key micro-batch split") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      Stateful.ZPoint("A", 1, 1.0), Stateful.ZPoint("A", 2, 3.0),
+      Stateful.ZPoint("A", 3, 4.0), Stateful.ZPoint("A", 4, 22.0),
+      Stateful.ZPoint("B", 1, 5.0), Stateful.ZPoint("B", 2, 5.0),
+      Stateful.ZPoint("B", 3, 9.0))
+    val mem = MemoryStream[Stateful.ZPoint]
+    val out = Stateful.rollingZscore(mem.toDS(), w = 2)
+    val sink = s"zscore_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      // split MID-KEY: A's baseline for seq 3/4 must come from state
+      mem.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table(sink).as[Stateful.ZScore].collect()
+      .map(z => (z.key, z.seq, z.zscore, z.isAnomaly)).toSet
+    val batch = graft.operators.TimeSeries.rollingZscore(
+        rows.toDF(), "key", Seq(col("seq")), "value", w = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Int] == 1)))
+      .toSet
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    // the hand values from TimeSeriesSpec hold through the state carry
+    assert(streamed.contains(("A", 4L, Some(26.163), Some(true))))
+  }
 }
