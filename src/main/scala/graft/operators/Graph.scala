@@ -110,4 +110,57 @@ object Graph {
     }
     ranks
   }
+
+  /** X88 — exact triangle count over an undirected graph (the standard
+    * clustering/community-density statistic; on a co-purchase graph it
+    * measures basket cohesion). Returns one row:
+    * `(n_nodes, n_edges, n_triangles)`.
+    *
+    * Degree-ordered orientation (the classic node-iterator++ bound):
+    * every undirected edge is oriented from its lower-(degree, id)
+    * endpoint to the higher, so out-degree is O(√m) on any graph and
+    * the wedge self-join does Σ outdeg² = O(m^1.5) work instead of
+    * Σ deg² — the hub that would explode a naive wedge join (a
+    * celebrity node, a default-id sink) contributes only IN-edges and
+    * generates no wedges. Each triangle is counted exactly once, at
+    * its lowest-(degree, id) corner. Three shuffles total: degrees,
+    * the wedge self-join on the center, the closing-edge join on the
+    * (v, w) pair.
+    *
+    * Input edges may be directed/duplicated/self-looped — they are
+    * canonicalized (undirected, deduped, loops dropped) first.
+    */
+  def triangleCount(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+    : DataFrame = {
+    val a = least(col(srcCol).cast("string"), col(dstCol).cast("string"))
+    val b = greatest(col(srcCol).cast("string"), col(dstCol).cast("string"))
+    val canon = scope.persist(
+      edges.select(a.as("a"), b.as("b")).filter(col("a") =!= col("b"))
+        .distinct())
+    val deg = canon.select(col("a").as("n"))
+      .union(canon.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // orient low-(degree, id) -> high-(degree, id)
+    val oriented = scope.persist(canon
+      .join(deg.select(col("n").as("a"), col("d").as("__da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("__db")), "b")
+      .select(
+        when(struct(col("__da"), col("a")) < struct(col("__db"), col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v")))
+    val wedges = oriented.as("e1").join(oriented.as("e2"), "u")
+      .filter(col("e1.v") < col("e2.v"))
+      .select(col("e1.v").as("wa"), col("e2.v").as("wb"))
+    val closed = wedges.join(canon,
+      col("wa") === col("a") && col("wb") === col("b"), "left_semi")
+    val counts = canon.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+      .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+    counts.select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
 }

@@ -1989,7 +1989,38 @@ object OracleSql {
         |       WHEN f_score >= 4 THEN 'frequent_lapsed'
         |       WHEN r_score <= 2 AND f_score <= 2 THEN 'at_risk'
         |       ELSE 'regular' END AS segment
-        |FROM sc ORDER BY o_custkey""".stripMargin
+        |FROM sc ORDER BY o_custkey""".stripMargin,
+
+    // Mirrors Graph.triangleCount exactly: string-canonicalized
+    // undirected edges, (degree, id) tuple-ordered orientation, wedge
+    // join on the center, EXISTS against the canon edge set (keeps
+    // wedge multiplicity — one hit per distinct center).
+    "x129_triangle_count" ->
+      """WITH oi AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i
+        |  FROM lineitem),
+        |e0 AS (SELECT l.i AS x, r.i AS y
+        |  FROM oi l JOIN oi r ON l.o = r.o AND l.i < r.i
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |canon AS (SELECT DISTINCT
+        |    least(CAST(x AS VARCHAR), CAST(y AS VARCHAR)) AS a,
+        |    greatest(CAST(x AS VARCHAR), CAST(y AS VARCHAR)) AS b
+        |  FROM e0 WHERE CAST(x AS VARCHAR) <> CAST(y AS VARCHAR)),
+        |deg AS (SELECT n, COUNT(*) AS d FROM (
+        |    SELECT a AS n FROM canon UNION ALL SELECT b FROM canon)
+        |  GROUP BY 1),
+        |ori AS (SELECT
+        |    CASE WHEN (da.d, c.a) < (db.d, c.b) THEN c.a ELSE c.b END AS u,
+        |    CASE WHEN (da.d, c.a) < (db.d, c.b) THEN c.b ELSE c.a END AS v
+        |  FROM canon c JOIN deg da ON c.a = da.n JOIN deg db ON c.b = db.n),
+        |wed AS (SELECT e1.v AS wa, e2.v AS wb
+        |  FROM ori e1 JOIN ori e2 ON e1.u = e2.u AND e1.v < e2.v)
+        |SELECT
+        |  (SELECT COUNT(*) FROM deg) AS n_nodes,
+        |  (SELECT COUNT(*) FROM canon) AS n_edges,
+        |  (SELECT COUNT(*) FROM wed
+        |     WHERE EXISTS (SELECT 1 FROM canon
+        |                   WHERE a = wed.wa AND b = wed.wb)) AS n_triangles
+        |ORDER BY n_triangles""".stripMargin
   )
 
   /** Croston/SBA with α = 0.5: every SES weight is a power of two

@@ -1610,6 +1610,26 @@ object Queries {
         "o_totalprice")
       .orderBy("o_custkey")
 
+  /** X129 — exact triangle count (X88) on the co-purchase AFFINITY
+    * graph: parts linked when they share ≥ 2 orders (the support
+    * threshold that separates real affinity from random
+    * co-occurrence — and cuts the sf0.1 edge set from 1.2 M to ~3.6 k,
+    * which is exactly why production co-purchase graphs threshold
+    * before any triangle/community pass). See
+    * [[graft.operators.Graph.triangleCount]] for the
+    * degree-ordered-orientation bound. */
+  def x129(s: SparkSession, dir: String): DataFrame = {
+    val oi = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = oi.as("l").join(oi.as("r"), Seq("l_orderkey"))
+      .filter(col("l.l_partkey") < col("r.l_partkey"))
+      .groupBy(col("l.l_partkey").as("src"), col("r.l_partkey").as("dst"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2)
+    graft.operators.Graph.triangleCount(pairs, "src", "dst")
+      .orderBy("n_triangles")
+  }
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -1751,5 +1771,6 @@ object Queries {
     "x125_backtest" -> (x125 _),
     "x126_autocorrelation" -> (x126 _),
     "x127_market_basket" -> (x127 _),
-    "x128_rfm_segments" -> (x128 _))
+    "x128_rfm_segments" -> (x128 _),
+    "x129_triangle_count" -> (x129 _))
 }

@@ -54,4 +54,28 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(r("b") - (0.05 + 0.85 * (1.0 / 3))) < 1e-12)
     assert(math.abs(r("c") - 0.05) < 1e-12)
   }
+
+  test("triangleCount: K4 has 4, triangle+tail has 1, square has 0") {
+    def count(es: Seq[(String, String)]): (Long, Long, Long) = {
+      val r = Graph.triangleCount(es.toDF("src", "dst"), "src", "dst").head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val k4 = Seq("a" -> "b", "a" -> "c", "a" -> "d",
+      "b" -> "c", "b" -> "d", "c" -> "d")
+    assert(count(k4) == ((4L, 6L, 4L)))
+    val triTail = Seq("a" -> "b", "b" -> "c", "c" -> "a", "c" -> "d")
+    assert(count(triTail) == ((4L, 4L, 1L)))
+    val square = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "a")
+    assert(count(square) == ((4L, 4L, 0L)))
+  }
+
+  test("triangleCount canonicalizes: reversed duplicates, self-loops, multi-edges collapse") {
+    val messy = Seq(
+      "a" -> "b", "b" -> "a", "a" -> "b",   // one undirected edge
+      "b" -> "c", "c" -> "a",
+      "a" -> "a")                           // self-loop dropped
+      .toDF("src", "dst")
+    val r = Graph.triangleCount(messy, "src", "dst").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 3L, 1L)))
+  }
 }
