@@ -144,15 +144,7 @@ object Graph {
     val deg = canon.select(col("a").as("n"))
       .union(canon.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
-    // orient low-(degree, id) -> high-(degree, id)
-    val oriented = scope.persist(canon
-      .join(deg.select(col("n").as("a"), col("d").as("__da")), "a")
-      .join(deg.select(col("n").as("b"), col("d").as("__db")), "b")
-      .select(
-        when(struct(col("__da"), col("a")) < struct(col("__db"), col("b")),
-          struct(col("a").as("u"), col("b").as("v")))
-          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v")))
+    val oriented = scope.persist(orientByDegree(canon, deg))
     val wedges = oriented.as("e1").join(oriented.as("e2"), "u")
       .filter(col("e1.v") < col("e2.v"))
       .select(col("e1.v").as("wa"), col("e2.v").as("wb"))
@@ -163,4 +155,19 @@ object Graph {
       .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
     counts.select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
+
+  /** [[triangleCount]]'s edge orientation, exposed so GraphSpec can
+    * pin the mechanism (a max-degree hub must have out-degree 0 —
+    * THAT is the Σ outdeg² bound) rather than just the final count:
+    * each canon edge flows low-(degree, id) → high-(degree, id). */
+  private[graft] def orientByDegree(canon: DataFrame, deg: DataFrame)
+    : DataFrame =
+    canon
+      .join(deg.select(col("n").as("a"), col("d").as("__da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("__db")), "b")
+      .select(
+        when(struct(col("__da"), col("a")) < struct(col("__db"), col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
 }

@@ -69,6 +69,32 @@ class GraphSpec extends SparkSpec {
     assert(count(square) == ((4L, 4L, 0L)))
   }
 
+  test("triangleCount orientation: a hub emits no wedges (the Σ outdeg² bound is real)") {
+    // star: hub h — 200 leaves, plus one leaf-leaf edge closing one
+    // triangle. Naive wedge enumeration centered anywhere would emit
+    // C(200,2) ≈ 20k wedges at the hub; degree-ordering orients every
+    // star edge INTO the hub (it has the highest degree), so the hub's
+    // out-degree is 0 and total wedges stay O(m). The count is still
+    // exact: the one triangle is found from its lowest-degree corner.
+    val leaves = (1 to 200).map(i => (f"l$i%03d", "hub"))
+    val closing = Seq(("l001", "l002"))
+    val df = (leaves ++ closing).toDF("src", "dst")
+    val r = Graph.triangleCount(df, "src", "dst").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((201L, 201L, 1L)))
+    // pin the mechanism, not just the count: every star edge orients
+    // INTO the max-degree hub, so its out-degree — and wedge
+    // contribution — is exactly zero
+    val canon = df.select(
+      least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b")).distinct()
+    val deg = canon.select(col("a").as("n"))
+      .union(canon.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val hubOut = Graph.orientByDegree(canon, deg)
+      .filter(col("u") === "hub").count()
+    assert(hubOut == 0L, s"hub emitted $hubOut oriented edges")
+  }
+
   test("triangleCount canonicalizes: reversed duplicates, self-loops, multi-edges collapse") {
     val messy = Seq(
       "a" -> "b", "b" -> "a", "a" -> "b",   // one undirected edge
