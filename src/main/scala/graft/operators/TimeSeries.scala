@@ -216,6 +216,62 @@ object TimeSeries {
       .withColumnRenamed("__z", "zscore")
   }
 
+  /** X89 — Hampel filter: robust rolling outlier detection. Each value
+    * is scored against the MEDIAN of its key's `w` strictly-preceding
+    * values, scaled by the MAD (median absolute deviation) —
+    * `flag = |x − med| > k · 1.4826 · MAD` — the standard robust
+    * alternative to [[rollingZscore]]: a genuine spike in the BASELINE
+    * window inflates a mean/stddev baseline and masks the next
+    * anomaly, while the median/MAD baseline shrugs it off (the spec
+    * pins exactly that case).
+    *
+    * Shape: the frame's values ride ONE `collect_list` window (w
+    * elements per row — bounded, engine-portable), and both nested
+    * medians are pure array expressions (`sort_array` + middle
+    * element; even windows average the two middles): no second window
+    * pass, no UDF, exact arithmetic — the only float ops are the
+    * final scale multiply and the (exact) median averaging, so
+    * results hash bit-for-bit. min_periods semantics: null until the
+    * window is full; MAD = 0 (constant window) flags any deviation.
+    */
+  def hampelFilter(
+      df: DataFrame,
+      keyCol: String,
+      orderBy: Seq[Column],
+      valueCol: String,
+      w: Int,
+      k: Double = 3.0): DataFrame = {
+    require(w >= 2, s"window must be >= 2, got $w")
+    val fr = Window.partitionBy(col(keyCol)).orderBy(orderBy: _*)
+      .rowsBetween(-w, -1)
+    val v = col(valueCol).cast("double")
+    def medianOf(arr: Column): Column = {
+      val sorted = sort_array(arr)
+      val n = size(sorted)
+      // exact middle for odd n; mean of the two middles for even
+      // (the divisions are exact .0 doubles, so the int casts are safe)
+      when(n % 2 === 1, element_at(sorted, ((n + 1) / 2).cast("int")))
+        .otherwise((element_at(sorted, (n / 2).cast("int")) +
+          element_at(sorted, (n / 2 + 1).cast("int"))) / 2.0)
+    }
+    val win = collect_list(v).over(fr)
+    val scored = df
+      .withColumn("__win", win)
+      .withColumn("__med",
+        when(size(col("__win")) === w, medianOf(col("__win"))))
+      .withColumn("__mad",
+        when(col("__med").isNotNull,
+          medianOf(transform(col("__win"), x => abs(x - col("__med"))))))
+    scored
+      .withColumn("deviation",
+        when(col("__med").isNotNull, round(abs(v - col("__med")), 4)))
+      .withColumn("is_outlier",
+        when(col("__med").isNotNull,
+          (abs(v - col("__med")) > lit(k * 1.4826) * col("__mad"))
+            .cast("int")))
+      .drop("__win", "__med", "__mad")
+  }
+
   /** X82 — last-touch attribution: for each conversion event, the
     * channel (event type) of the key's most recent PRECEDING event in
     * `channelTypes`, provided it happened within `maxGapSeconds`;

@@ -2020,7 +2020,34 @@ object OracleSql {
         |  (SELECT COUNT(*) FROM wed
         |     WHERE EXISTS (SELECT 1 FROM canon
         |                   WHERE a = wed.wa AND b = wed.wb)) AS n_triangles
-        |ORDER BY n_triangles""".stripMargin
+        |ORDER BY n_triangles""".stripMargin,
+
+    // w = 10 (even) -> both medians are the mean of sorted[5] and
+    // sorted[6]; every op (sort, abs, subtract, the (a+b)/2.0 and the
+    // 3.0*1.4826 constant fold) is the same IEEE sequence the Spark
+    // expressions compile, so the unrounded outlier compare is
+    // bit-portable.
+    "x130_hampel" ->
+      """WITH r AS (SELECT event_id, user_id, value,
+        |  list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS win
+        |  FROM events),
+        |m AS (SELECT event_id, user_id, value, win,
+        |  CASE WHEN len(win) = 10 THEN
+        |    (list_sort(win)[5] + list_sort(win)[6]) / 2.0 END AS med
+        |  FROM r),
+        |d AS (SELECT event_id, user_id, value, med,
+        |  CASE WHEN med IS NOT NULL THEN
+        |    (list_sort(list_transform(win, x -> abs(x - med)))[5]
+        |     + list_sort(list_transform(win, x -> abs(x - med)))[6]) / 2.0
+        |  END AS mad FROM m)
+        |SELECT event_id, user_id,
+        |  ROUND(CASE WHEN med IS NOT NULL
+        |    THEN ABS(value - med) END, 4) AS deviation,
+        |  CASE WHEN med IS NOT NULL THEN
+        |    CAST(CASE WHEN ABS(value - med) > (3.0 * 1.4826) * mad
+        |      THEN 1 ELSE 0 END AS BIGINT) END AS is_outlier
+        |FROM d ORDER BY event_id""".stripMargin
   )
 
   /** Croston/SBA with α = 0.5: every SES weight is a power of two

@@ -1630,6 +1630,17 @@ object Queries {
       .orderBy("n_triangles")
   }
 
+  /** X130 — Hampel filter (X89): robust rolling outliers via
+    * median/MAD over the 10 strictly-preceding values — the
+    * spike-resistant twin of x121's mean/stddev z-score. */
+  def x130(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.hampelFilter(
+        Tables.events(s, dir), "user_id",
+        Seq(col("ts"), col("event_id")), "value", w = 10, k = 3.0)
+      .select(col("event_id"), col("user_id"), col("deviation"),
+        bi(col("is_outlier")).as("is_outlier"))
+      .orderBy("event_id")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -1772,5 +1783,6 @@ object Queries {
     "x126_autocorrelation" -> (x126 _),
     "x127_market_basket" -> (x127 _),
     "x128_rfm_segments" -> (x128 _),
-    "x129_triangle_count" -> (x129 _))
+    "x129_triangle_count" -> (x129 _),
+    "x130_hampel" -> (x130 _))
 }

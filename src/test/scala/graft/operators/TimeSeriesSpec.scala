@@ -135,6 +135,40 @@ class TimeSeriesSpec extends SparkSpec {
       ("B", 3L, None, None)), s"got $got") // sd=0 guard
   }
 
+  test("hampelFilter: catches the anomaly a spiked baseline hides from the z-score") {
+    import spark.implicits._
+    // baseline: nine 5s and one 100-spike, then the probe value 20.
+    // median/MAD: med=5, MAD=0 -> 20 flagged. mean/stddev: the spike
+    // drags mean to 14.5 and stddev to ~30 -> z(20) ~ 0.18, missed.
+    val rows = ((1 to 4).map(i => ("A", i.toLong, 5.0)) ++
+      Seq(("A", 5L, 100.0)) ++
+      (6 to 10).map(i => ("A", i.toLong, 5.0)) :+
+      ("A", 11L, 20.0)).toDF("k", "seq", "v")
+    val h = TimeSeries.hampelFilter(rows, "k", Seq(col("seq")), "v", w = 10)
+      .filter(col("seq") === 11).head()
+    assert(h.getDouble(3) == 15.0 && h.getInt(4) == 1,
+      s"hampel must flag the 20: $h")
+    val z = TimeSeries.rollingZscore(rows, "k", Seq(col("seq")), "v", w = 10)
+      .filter(col("seq") === 11).head()
+    assert(z.getInt(4) == 0,
+      s"the spiked baseline should mask the 20 from the z-score: $z")
+  }
+
+  test("hampelFilter: min_periods head nulls and even-window median averaging") {
+    import spark.implicits._
+    // values 1..10 then 11: med = (5+6)/2 = 5.5, deviations from 5.5
+    // sorted = [.5,.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,4.5] -> MAD = 2.5;
+    // |11-5.5| = 5.5 <= 3*1.4826*2.5 = 11.12 -> not an outlier
+    val rows = (1 to 11).map(i => ("B", i.toLong, i.toDouble))
+      .toDF("k", "seq", "v")
+    val out = TimeSeries.hampelFilter(rows, "k", Seq(col("seq")), "v", w = 10)
+      .orderBy("seq").collect()
+    assert((1 to 10).forall(i => out(i - 1).isNullAt(3)),
+      "first w rows must be null (min_periods)")
+    val last = out(10)
+    assert(last.getDouble(3) == 5.5 && last.getInt(4) == 0, s"got $last")
+  }
+
   test("lastTouchAttribution: in-window touch, expired touch, no touch, and post-filter recompute regression") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
