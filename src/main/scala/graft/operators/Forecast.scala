@@ -280,6 +280,90 @@ object Forecast {
         .otherwise("mean"))
   }
 
+  /** X76b — WRMSSE against CALLER-provided forecasts (the M5
+    * competition's actual leaderboard metric; [[scaledError]] is the
+    * naive-forecast special case). Per key:
+    * `rmsse = sqrt(mean_eval((actual−forecast)²) /
+    * mean_train((y_t−y_{t−1})²))` with the eval window = the `horizon`
+    * days after the train max, actuals and forecasts zero-filled over
+    * it, and `weight` = the key's value share of the last
+    * `weightDays` train days. `sum(weight·rmsse)` over the output IS
+    * the WRMSSE (keys with no train history score null and are
+    * excluded, M5's new-product rule — see [[wrmsseTotal]]).
+    *
+    * Scale shape: the train side reuses the explode-own-gap zero-fill
+    * (one window pass); the eval side is a keys×horizon spine — the
+    * size of the forecast table itself, not a data-sized blow-up —
+    * with two co-partitioned left joins. The per-key frame is
+    * persisted so the weight denominator is one cheap agg.
+    */
+  def wrmsse(
+      train: DataFrame,
+      actuals: DataFrame,
+      forecasts: DataFrame,
+      keyCol: String,
+      dayCol: String,
+      valueCol: String,
+      fcCol: String,
+      horizon: Int,
+      weightDays: Int = 28,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+    : DataFrame = {
+    require(horizon > 0, s"horizon must be positive, got $horizon")
+    val bounds = train.agg(max(col(dayCol)).as("__tmax"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+    // zero-filled train series -> per-key naive scale + weight sum
+    val trainDense = train.crossJoin(broadcast(bounds))
+      .withColumn("__next", lead(col(dayCol), 1).over(w))
+      .withColumn("__day",
+        explode(sequence(col(dayCol),
+          coalesce(date_sub(col("__next"), 1), col("__tmax")))))
+      .select(col(keyCol), col("__tmax"), col("__day"),
+        when(col("__day") === col(dayCol), col(valueCol).cast("double"))
+          .otherwise(lit(0.0)).as("__y"))
+      .withColumn("__prev", lag(col("__y"), 1).over(w.orderBy(col("__day"))))
+    val perKeyTrain = scope.persist(trainDense.groupBy(col(keyCol)).agg(
+      avg((col("__y") - col("__prev")) * (col("__y") - col("__prev")))
+        .as("__scale"),
+      sum(when(col("__day") > date_sub(col("__tmax"), weightDays),
+        col("__y"))).as("__wsum")))
+    // eval spine: every train key × the horizon days after train max
+    val spine = train.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(bounds))
+      .withColumn("__day", explode(sequence(
+        date_add(col("__tmax"), 1), date_add(col("__tmax"), horizon))))
+      .select(col(keyCol), col("__day"))
+    val act = actuals.select(col(keyCol), col(dayCol).as("__day"),
+      col(valueCol).cast("double").as("__a"))
+    val fc = forecasts.select(col(keyCol), col(dayCol).as("__day"),
+      col(fcCol).cast("double").as("__f"))
+    val perKeyEval = spine
+      .join(act, Seq(keyCol, "__day"), "left")
+      .join(fc, Seq(keyCol, "__day"), "left")
+      .groupBy(col(keyCol))
+      .agg(avg((coalesce(col("__a"), lit(0.0)) - coalesce(col("__f"), lit(0.0)))
+        * (coalesce(col("__a"), lit(0.0)) - coalesce(col("__f"), lit(0.0))))
+        .as("__mse"))
+    val total = perKeyTrain.agg(sum(col("__wsum")).as("__wtotal"))
+    perKeyTrain.join(perKeyEval, Seq(keyCol))
+      .crossJoin(broadcast(total))
+      .select(
+        col(keyCol),
+        round(when(col("__scale") > 0, sqrt(col("__mse") / col("__scale"))), 4)
+          .as("rmsse"),
+        round(col("__wsum") / col("__wtotal"), 6).as("weight"))
+  }
+
+  /** The single WRMSSE number: `Σ weight·rmsse` over [[wrmsse]]'s
+    * output, null-scale series excluded with their weight
+    * renormalized over the scored set (the M5 accounting). */
+  def wrmsseTotal(perSeries: DataFrame): DataFrame =
+    perSeries.filter(col("rmsse").isNotNull)
+      .agg(
+        round(sum(col("weight") * col("rmsse")) / sum(col("weight")), 4)
+          .as("wrmsse"),
+        count(lit(1)).as("n_series"))
+
   /** X85 — per-series autocorrelation at the given lags over the
     * zero-filled daily calendar (each key's own [min, max] span):
     * `acf_k = corr(y_t, y_{t−k})` — the seasonality detector that

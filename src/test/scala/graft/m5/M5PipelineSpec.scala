@@ -112,6 +112,41 @@ class M5PipelineSpec extends SparkSpec {
     val evalF8 = sub.filter(col("id") === MiniM5Fixture.saleId("item_2", "CA_1"))
       .select("F8").head().getString(0)
     assert(evalF8 != "0.0", "evaluation F8 must be updated by week-1 predictions")
+
+    // score the week-1 forecasts with the competition's own metric:
+    // pred_dates 02-23..02-29 are days 54-60 of the 60-day fixture, so
+    // REAL held-out actuals exist. train = sales through the test
+    // window end (02-22); the WRMSSE is pinned golden under the fixed
+    // seed, and must beat the all-zeros forecast's 1.0-ish baseline on
+    // this fixture (the model has to have learned SOMETHING).
+    val sales = Seq("CA_1", "TX_1")
+      .map(s => spark.read.parquet(s"$outDir/features_sales_base_store_$s.parquet"))
+      .reduce(_ unionByName _)
+      .select(col("id"), col("date"), col("units_sold"))
+    val trainSales = sales.filter(col("date") <= "2016-02-22")
+    val holdout = sales.filter(col("date") > "2016-02-22")
+    val week1 = preds
+      .filter(col("pred_date").between("2016-02-23", "2016-02-29"))
+      .select(col("id"), col("pred_date").as("date"), col("pred_units_sold"))
+    val per = graft.operators.Forecast.wrmsse(
+      trainSales, holdout, week1,
+      "id", "date", "units_sold", "pred_units_sold", horizon = 7)
+    val tot = graft.operators.Forecast.wrmsseTotal(per).head()
+    val zeros = week1.withColumn("pred_units_sold", lit(0.0))
+    val zeroTot = graft.operators.Forecast.wrmsseTotal(
+      graft.operators.Forecast.wrmsse(trainSales, holdout, zeros,
+        "id", "date", "units_sold", "pred_units_sold", horizon = 7)).head()
+    info(f"WRMSSE model=${tot.getDouble(0)}%.4f zeros=${zeroTot.getDouble(0)}%.4f over ${tot.getLong(1)} series")
+    // item_5's units formula is constant per store ((i+2) ≡ 0 mod 7),
+    // so 2 of the 12 series have zero naive scale and are excluded —
+    // the metric's new-product rule exercised for real
+    assert(tot.getLong(1) == 10L, s"10 of 12 series must score: $tot")
+    // the fixture's formula is period-7, so the lag-7 feature predicts
+    // it exactly — the golden model lands at 0.0 while all-zeros sits
+    // above 1; both pins together say "the metric discriminates and
+    // the model actually learned the seasonality"
+    assert(tot.getDouble(0) == 0.0 && zeroTot.getDouble(0) > 1.0,
+      s"model WRMSSE ${tot.getDouble(0)} vs zeros ${zeroTot.getDouble(0)}")
   }
 
   test("rerun is fully memoized; deleting one checkpoint reruns only its cone") {

@@ -116,6 +116,31 @@ class ForecastSpec extends SparkSpec {
     assert(out(1).getLong(0) == 9L && out(1).isNullAt(1))
   }
 
+  test("wrmsse: hand-computed metric against caller forecasts, zero-filled both sides") {
+    // key 1: train [2,4,2,4,2] days 1-5 -> scale = mean(4,4,4,4) = 4
+    //   eval actuals (4, 2) vs forecasts (3, 3) -> mse 1 -> rmsse 0.5
+    // key 2: train [1,1,1] days 1-3, zero-filled to day 5 ->
+    //   diffs (0,0,-1,0) -> scale 0.25; eval actuals absent (0,0) vs
+    //   forecasts (1, missing->0) -> mse 0.5 -> rmsse sqrt(2)
+    // weights: 14/17 and 3/17
+    val train = daily(
+      (1L, "2024-01-01", 2.0), (1L, "2024-01-02", 4.0), (1L, "2024-01-03", 2.0),
+      (1L, "2024-01-04", 4.0), (1L, "2024-01-05", 2.0),
+      (2L, "2024-01-01", 1.0), (2L, "2024-01-02", 1.0), (2L, "2024-01-03", 1.0))
+    val actuals = daily((1L, "2024-01-06", 4.0), (1L, "2024-01-07", 2.0))
+    val fcs = daily((1L, "2024-01-06", 3.0), (1L, "2024-01-07", 3.0),
+      (2L, "2024-01-06", 1.0))
+      .withColumnRenamed("demand", "fc")
+    val per = Forecast.wrmsse(train, actuals, fcs,
+      "user_id", "day", "demand", "fc", horizon = 2)
+    val rows = per.orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(rows == Seq((1L, 0.5, 0.823529), (2L, 1.4142, 0.176471)),
+      s"got $rows")
+    val tot = Forecast.wrmsseTotal(per).head()
+    assert(tot.getDouble(0) == 0.6613 && tot.getLong(1) == 2L, s"got $tot")
+  }
+
   test("crostonForecast: closed form matches the hand-run SES recursion; single demand degenerates") {
     // key 1: z = 4, 8, 6 on days 1, 3, 6 (alpha 0.5)
     //   sizes:     s1=4, s2=.5*8+.5*4=6, s3=.5*6+.5*6=6      -> z_hat 6
