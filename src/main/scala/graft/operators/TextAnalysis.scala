@@ -433,4 +433,69 @@ object TextAnalysis {
         round(-sum(col("tf") * col("__lp")) / sum(col("tf")), roundDigits)
           .as("avg_nll"))
   }
+
+  /** X90 — DSIR importance resampling (Xie et al., NeurIPS'23 "Data
+    * Selection for Language Models via Importance Resampling"): pick
+    * the `keepN` candidate documents whose token distribution looks
+    * most like a TARGET domain relative to the RAW pool. Per doc the
+    * importance log-weight is the paper's
+    * `Σ_f c_f · (ln p_target(f) − ln p_raw(f))` over unigram features
+    * (add-one smoothed, the [[unigramLogProb]] machinery twice), and
+    * selection is the paper's Gumbel-top-k — with the Gumbel noise
+    * `g = −ln(−ln(u))` drawn from a DETERMINISTIC engine-portable
+    * uniform (`u = (md5-prefix + 0.5)/2³²`, [[Sampling.portableSample]]'s
+    * trick), so the "random" resample reproduces bit-for-bit on any
+    * engine — the reproducibility a training-data freeze needs, with
+    * the diversity the paper's noise term exists to add (plain top-k
+    * over-concentrates on near-duplicate high-weight docs).
+    *
+    * Scale shape: two vocabulary-sized broadcast models + 1-row
+    * totals; candidates pay one explode collapsed to (doc, term, tf)
+    * before the join; selection is orderBy+limit →
+    * TakeOrderedAndProject (per-partition heaps, no global sort).
+    * Ranking compares ROUNDED scores (id tiebreak) so the kept set is
+    * stable under libm/summation-order ulp.
+    */
+  def dsirResample(
+      candidates: DataFrame, target: DataFrame, raw: DataFrame,
+      idCol: String, textCol: String, keepN: Int,
+      roundDigits: Int = 4,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+    : DataFrame = {
+    require(keepN > 0, s"keepN must be positive, got $keepN")
+    def model(docs: DataFrame): (DataFrame, DataFrame) = {
+      val m = scope.persist(docs
+        .select(explode(Text.tokens(col(textCol))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("c")))
+      val tot = m.agg(sum(col("c")).cast("double").as("t"),
+        count(lit(1)).cast("double").as("v"))
+      (m, tot)
+    }
+    val (mT, totT) = model(target)
+    val (mR, totR) = model(raw)
+    val tf = candidates
+      .select(col(idCol), explode(Text.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val scoredTerms = tf
+      .join(broadcast(mT.select(col("term"), col("c").as("__ct"))), Seq("term"), "left")
+      .join(broadcast(mR.select(col("term"), col("c").as("__cr"))), Seq("term"), "left")
+      .crossJoin(broadcast(totT.select(col("t").as("__tt"), col("v").as("__vt"))))
+      .crossJoin(broadcast(totR.select(col("t").as("__tr"), col("v").as("__vr"))))
+      .withColumn("__lr",
+        log((coalesce(col("__ct"), lit(0L)).cast("double") + 1.0d)
+          / (col("__tt") + col("__vt"))) -
+        log((coalesce(col("__cr"), lit(0L)).cast("double") + 1.0d)
+          / (col("__tr") + col("__vr"))))
+    val perDoc = scoredTerms.groupBy(col(idCol)).agg(
+      sum(col("tf")).as("n_tokens"),
+      round(sum(col("tf") * col("__lr")), roundDigits).as("log_weight"))
+    // deterministic Gumbel: u in (0,1) from the md5 prefix of the id
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") + 0.5d) / 4294967296.0d
+    val gumbel = -log(-log(u))
+    perDoc
+      .withColumn("gumbel_score", round(col("log_weight") + gumbel, roundDigits))
+      .orderBy(col("gumbel_score").desc, col(idCol))
+      .limit(keepN)
+  }
 }

@@ -2047,7 +2047,43 @@ object OracleSql {
         |  CASE WHEN med IS NOT NULL THEN
         |    CAST(CASE WHEN ABS(value - med) > (3.0 * 1.4826) * mad
         |      THEN 1 ELSE 0 END AS BIGINT) END AS is_outlier
-        |FROM d ORDER BY event_id""".stripMargin
+        |FROM d ORDER BY event_id""".stripMargin,
+
+    // DSIR: per-doc log-weight = Σ tf·(ln p_tgt − ln p_raw) (add-one,
+    // x83's smoothing), Gumbel-top-k with the deterministic md5
+    // uniform (x88's hex-prefix trick); the rank compares ROUNDED
+    // scores with id tiebreak, so the kept set is ulp-stable.
+    "x131_dsir_resample" ->
+      """WITH mt AS (SELECT term, COUNT(*)::BIGINT AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term
+        |    FROM documents WHERE doc_id < 400 AND lang = 'en')
+        |  GROUP BY term),
+        |mr AS (SELECT term, COUNT(*)::BIGINT AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term
+        |    FROM documents WHERE doc_id >= 400)
+        |  GROUP BY term),
+        |tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents WHERE doc_id >= 400)
+        |  GROUP BY doc_id, term),
+        |sc AS (SELECT tf.doc_id, SUM(tf.tf)::BIGINT AS n_tokens,
+        |  ROUND(SUM(tf.tf * (
+        |    ln((coalesce(mt.c, 0) + 1)::DOUBLE /
+        |       ((SELECT SUM(c)::DOUBLE FROM mt) + (SELECT COUNT(*)::DOUBLE FROM mt)))
+        |    - ln((coalesce(mr.c, 0) + 1)::DOUBLE /
+        |       ((SELECT SUM(c)::DOUBLE FROM mr) + (SELECT COUNT(*)::DOUBLE FROM mr)))
+        |  )), 4) AS log_weight
+        |  FROM tf LEFT JOIN mt USING (term) LEFT JOIN mr USING (term)
+        |  GROUP BY tf.doc_id),
+        |g AS (SELECT doc_id, n_tokens, log_weight,
+        |  ROUND(log_weight + (-ln(-ln(
+        |    (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 0.5)
+        |      / 4294967296.0))), 4) AS gumbel_score
+        |  FROM sc)
+        |SELECT doc_id, n_tokens, log_weight + 0.0 AS log_weight,
+        |  gumbel_score + 0.0 AS gumbel_score FROM (
+        |  SELECT * FROM g ORDER BY gumbel_score DESC, doc_id LIMIT 100)
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** Croston/SBA with α = 0.5: every SES weight is a power of two

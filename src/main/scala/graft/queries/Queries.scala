@@ -1641,6 +1641,21 @@ object Queries {
         bi(col("is_outlier")).as("is_outlier"))
       .orderBy("event_id")
 
+  /** X131 — DSIR importance resampling (X90): keep the 100 batch docs
+    * (id ≥ 400) whose unigram distribution best matches the English
+    * reference slice (id < 400, lang = en) relative to the batch pool,
+    * selected by the paper's Gumbel-top-k with deterministic
+    * md5-derived noise. */
+  def x131(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.dsirResample(
+        candidates = docs.filter(col("doc_id") >= 400),
+        target = docs.filter(col("doc_id") < 400 && col("lang") === "en"),
+        raw = docs.filter(col("doc_id") >= 400),
+        "doc_id", "text", keepN = 100)
+      .orderBy("doc_id")
+  }
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -1784,5 +1799,6 @@ object Queries {
     "x127_market_basket" -> (x127 _),
     "x128_rfm_segments" -> (x128 _),
     "x129_triangle_count" -> (x129 _),
-    "x130_hampel" -> (x130 _))
+    "x130_hampel" -> (x130 _),
+    "x131_dsir_resample" -> (x131 _))
 }

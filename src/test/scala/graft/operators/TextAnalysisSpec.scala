@@ -219,4 +219,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!plan.contains("Exchange"),
       s"classifier filter must not shuffle:\n$plan")
   }
+
+  test("dsirResample: target-like docs win, deterministic across runs, keepN respected") {
+    import spark.implicits._
+    // target domain speaks {apple, banana}; off-domain speaks {qqq, www}.
+    // 12 on-domain tokens per doc put the log-weight gap far above any
+    // Gumbel draw, so the selection is forced — and reproducible, since
+    // the noise is md5-derived, not a PRNG.
+    val target = (1L to 5L).map(i => (i, "apple banana apple banana"))
+      .toDF("doc_id", "text")
+    val cands = Seq(
+      (101L, Seq.fill(6)("apple banana").mkString(" ")),
+      (102L, Seq.fill(6)("banana apple").mkString(" ")),
+      (103L, Seq.fill(6)("qqq www").mkString(" ")),
+      (104L, Seq.fill(6)("www qqq").mkString(" ")))
+      .toDF("doc_id", "text")
+    def run() = TextAnalysis.dsirResample(
+        cands, target, cands, "doc_id", "text", keepN = 2)
+      .select("doc_id").as[Long].collect().toSet
+    val first = run()
+    assert(first == Set(101L, 102L), s"on-domain docs must win: $first")
+    assert(run() == first, "md5-Gumbel selection must be deterministic")
+  }
 }
