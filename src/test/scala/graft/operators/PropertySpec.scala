@@ -89,4 +89,61 @@ class PropertySpec extends SparkSpec {
         chunks.init.foreach(ch => assert(ch.split(" ").length == c, s"n=$n c=$c o=$o"))
       }
   }
+
+  test("property: croston closed form == the literal SES recursion on random sparse series") {
+    val gen = Gen.zip(
+      Gen.chooseNum(2, 12),                       // demand days
+      Gen.listOfN(12, Gen.chooseNum(1, 9)),       // day gaps
+      Gen.listOfN(12, Gen.chooseNum(1, 200)))     // demand sizes
+    samples(gen, 8).foreach { case (n, gaps, sizes) =>
+      val days = gaps.take(n).scanLeft(0)(_ + _).tail // strictly increasing
+      val series = days.zip(sizes.take(n))
+      val df = series.map { case (d, z) =>
+        (1L, java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(d)), z.toDouble)
+      }.toDF("k", "day", "v")
+      val got = Forecast.crostonForecast(df, "k", "day", "v").head()
+      // literal recursion: s_1 = y_1; s_t = a*y_t + (1-a)*s_{t-1}
+      def ses(ys: Seq[Double]): Double =
+        ys.tail.foldLeft(ys.head)((s, y) => 0.5 * y + 0.5 * s)
+      val zHat = ses(series.map(_._2.toDouble))
+      val intervals = days.sliding(2).map(p => (p(1) - p(0)).toDouble).toSeq
+      val aHat = ses(intervals)
+      def r4(x: Double) = BigDecimal(x)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got.getDouble(2) == r4(zHat), s"z_hat: $got vs $zHat ($series)")
+      assert(got.getDouble(3) == r4(aHat), s"a_hat: $got vs $aHat ($series)")
+    }
+  }
+
+  test("property: gap-fill keeps observed rows verbatim and fills every calendar day") {
+    val gen = Gen.zip(Gen.chooseNum(1, 3), Gen.listOfN(8, Gen.chooseNum(0, 30)))
+    samples(gen, 6).foreach { case (nKeys, rawDays) =>
+      val rows = for {
+        k <- 1 to nKeys
+        d <- rawDays.distinct
+      } yield (k.toLong,
+        java.sql.Date.valueOf(java.time.LocalDate.of(2024, 3, 1).plusDays(d)),
+        (k * 100 + d).toDouble)
+      val df = rows.toDF("k", "day", "v")
+      val out = Forecast.gapFillForwardFill(df, "k", "day", "v")
+        .collect().map(r => (r.getLong(0), r.getDate(1).toString,
+          r.getDouble(2), r.getInt(3)))
+      // observed rows come back verbatim, flagged 0
+      val observed = rows.map(r => (r._1, r._2.toString, r._3, 0)).toSet
+      assert(observed.subsetOf(out.toSet), "observed rows must pass through")
+      // per key: one row per day in [min, max], no extras
+      out.groupBy(_._1).foreach { case (_, ks) =>
+        val ds = ks.map(_._2).sorted
+        val span = java.time.temporal.ChronoUnit.DAYS.between(
+          java.time.LocalDate.parse(ds.head), java.time.LocalDate.parse(ds.last)) + 1
+        assert(ks.length == span && ds.distinct.length == ks.length)
+      }
+      // imputed rows carry the latest observed value before them
+      out.filter(_._4 == 1).foreach { case (k, d, v, _) =>
+        val prior = rows.filter(r => r._1 == k && r._2.toString <= d)
+          .maxBy(_._2.toString)
+        assert(v == prior._3, s"fill at ($k, $d) must carry ${prior._3}, got $v")
+      }
+    }
+  }
 }
