@@ -323,6 +323,66 @@ object TimeSeries {
         when(gapUs <= maxGapSeconds * 1000000L, gapUs).as("gap_us"))
   }
 
+  /** X92 — Kaplan–Meier survival estimation over user lifetimes: the
+    * churn-analytics standard for "how long do users stay active",
+    * correct under RIGHT-CENSORING — users still active at the end of
+    * the observation window contribute their lifetime-so-far to the
+    * at-risk counts without being counted as churned (a naive
+    * average-lifetime over a finite window is biased low for exactly
+    * this reason). Lifetime = last−first event day; a user whose last
+    * event falls within `censorLastDays` of the corpus max is
+    * censored. Output: one row per distinct duration with the at-risk
+    * count, churn events, and the product-limit survival
+    * `S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ)` (computed as exp of a running
+    * ln-sum — the portable cumulative product).
+    *
+    * Scale shape: one agg per user (user cardinality), one agg per
+    * distinct duration, then windows over the DURATION table — whose
+    * row count is bounded by the observation window in DAYS, not by
+    * users, so the unpartitioned running windows are safe by
+    * construction. The user total rides a 1-row broadcast.
+    */
+  def kaplanMeier(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      censorLastDays: Int = 3): DataFrame = {
+    require(censorLastDays >= 0, "censorLastDays must be >= 0")
+    val perUser = df.groupBy(col(keyCol)).agg(
+      to_date(min(col(tsCol))).as("__first"),
+      to_date(max(col(tsCol))).as("__last"))
+    val gmax = df.agg(to_date(max(col(tsCol))).as("__gmax"))
+    val lifetimes = perUser.crossJoin(broadcast(gmax))
+      .select(
+        datediff(col("__last"), col("__first")).cast("long").as("__dur"),
+        (datediff(col("__gmax"), col("__last")) >= censorLastDays)
+          .cast("long").as("__event"))
+    val byDur = lifetimes.groupBy(col("__dur")).agg(
+      count(lit(1)).as("__n"), sum(col("__event")).as("__d"))
+    val total = lifetimes.agg(count(lit(1)).as("__total"))
+    val wPrev = Window.orderBy(col("__dur"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.orderBy(col("__dur"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val factor = lit(1.0) - col("__d").cast("double") / col("__risk")
+    // a duration where EVERY remaining at-risk user churns has factor
+    // 0: survival is exactly 0 from there on. Spark's log(0) is null
+    // (silently skipped by sum) and other engines give -inf or error,
+    // so the zero case is handled structurally: non-positive factors
+    // never enter the ln-sum, and the running-min guard zeroes every
+    // row at or after one
+    byDur.crossJoin(broadcast(total))
+      .withColumn("__risk",
+        col("__total") - coalesce(sum(col("__n")).over(wPrev), lit(0L)))
+      .withColumn("survival",
+        round(when(min(factor).over(wRun) <= 0, lit(0.0))
+          .otherwise(exp(sum(when(factor > 0, log(factor))).over(wRun))), 6))
+      .select(col("__dur").as("duration_days"),
+        col("__risk").as("n_risk"),
+        col("__d").as("n_events"),
+        col("survival"))
+  }
+
   def timeFeatures(df: DataFrame, dateCol: String, prefix: String = ""): DataFrame = {
     val d = col(dateCol)
     df.withColumn(s"${prefix}quarter", quarter(d))

@@ -1912,6 +1912,41 @@ object OracleSql {
         |    THEN epoch_us(ts) - tts END AS gap_us
         |FROM r WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
 
+    // Kaplan-Meier: product-limit survival as exp of a running ln-sum
+    // (the portable cumulative product); non-positive factors never
+    // enter the sum and the running-min guard zeroes rows at/after an
+    // everyone-churns duration, mirroring the Spark formulation
+    // exactly (Spark ln(0) = NULL, DuckDB -inf — both paths dodged).
+    "x132_kaplan_meier" ->
+      """WITH pu AS (SELECT user_id,
+        |  CAST(date_trunc('day', MIN(ts)) AS DATE) AS firstd,
+        |  CAST(date_trunc('day', MAX(ts)) AS DATE) AS lastd
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT CAST(date_trunc('day', MAX(ts)) AS DATE) AS gmax
+        |  FROM events),
+        |lt AS (SELECT
+        |  CAST(date_diff('day', firstd, lastd) AS BIGINT) AS dur,
+        |  CAST(date_diff('day', lastd, gmax) >= 3 AS BIGINT) AS ev
+        |  FROM pu CROSS JOIN g),
+        |bd AS (SELECT dur, COUNT(*) AS n, SUM(ev) AS d FROM lt GROUP BY 1),
+        |r AS (SELECT dur, n, d,
+        |  (SELECT COUNT(*) FROM lt)
+        |    - COALESCE(SUM(n) OVER (ORDER BY dur
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS risk
+        |  FROM bd),
+        |f AS (SELECT dur, risk, d,
+        |  1.0 - CAST(d AS DOUBLE) / risk AS fac FROM r)
+        |SELECT dur AS duration_days, CAST(risk AS BIGINT) AS n_risk,
+        |  CAST(d AS BIGINT) AS n_events,
+        |  ROUND(CASE WHEN MIN(fac) OVER w <= 0 THEN 0.0
+        |    ELSE exp(SUM(CASE WHEN fac > 0 THEN ln(fac) END) OVER w)
+        |    END, 6) AS survival
+        |FROM f
+        |WINDOW w AS (ORDER BY dur
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY duration_days""".stripMargin,
+
     "x124_croston" -> crostonSql,
     "x125_backtest" -> backtestSql,
 

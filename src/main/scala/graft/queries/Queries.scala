@@ -1656,6 +1656,14 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** X132 — Kaplan–Meier survival over user lifetimes (X92): the
+    * right-censored churn curve; users last seen within 3 days of the
+    * corpus max are censored, not churned. */
+  def x132(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.kaplanMeier(Tables.events(s, dir), "user_id", "ts",
+        censorLastDays = 3)
+      .orderBy("duration_days")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -1800,5 +1808,6 @@ object Queries {
     "x128_rfm_segments" -> (x128 _),
     "x129_triangle_count" -> (x129 _),
     "x130_hampel" -> (x130 _),
-    "x131_dsir_resample" -> (x131 _))
+    "x131_dsir_resample" -> (x131 _),
+    "x132_kaplan_meier" -> (x132 _))
 }

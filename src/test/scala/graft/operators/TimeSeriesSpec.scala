@@ -169,6 +169,36 @@ class TimeSeriesSpec extends SparkSpec {
     assert(last.getDouble(3) == 5.5 && last.getInt(4) == 0, s"got $last")
   }
 
+  test("kaplanMeier: hand product-limit with censoring; everyone-churns duration zeroes the curve") {
+    import spark.implicits._
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // gmax = day 10; censor horizon 3 days -> last event on day 8+ is
+    // censored. u1: dur 2 churn; u2: dur 4 churn; u3: dur 7 censored;
+    // u4: dur 9 censored. S: 0.75 after t=2, 0.5 after t=4, flat after.
+    val df = Seq(
+      (1L, ts(1)), (1L, ts(3)),
+      (2L, ts(1)), (2L, ts(5)),
+      (3L, ts(2)), (3L, ts(9)),
+      (4L, ts(1)), (4L, ts(10)))
+      .toDF("user_id", "ts")
+    val got = TimeSeries.kaplanMeier(df, "user_id", "ts", censorLastDays = 3)
+      .orderBy("duration_days").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == Seq(
+      (2L, 4L, 1L, 0.75),
+      (4L, 3L, 1L, 0.5),
+      (7L, 2L, 0L, 0.5),
+      (9L, 1L, 0L, 0.5)), s"got $got")
+    // all remaining users churn at the same duration -> factor 0 ->
+    // survival exactly 0 (the Spark-null/DuckDB-inf ln(0) trap)
+    val all = Seq((1L, ts(1)), (1L, ts(3)), (2L, ts(2)), (2L, ts(4)))
+      .toDF("user_id", "ts")
+    val z = TimeSeries.kaplanMeier(all, "user_id", "ts", censorLastDays = 0)
+      .orderBy("duration_days").collect()
+    assert(z.length == 1 && z(0).getDouble(3) == 0.0, s"got ${z.toSeq}")
+  }
+
   test("lastTouchAttribution: in-window touch, expired touch, no touch, and post-filter recompute regression") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
