@@ -138,6 +138,55 @@ object Stateful {
       }
   }
 
+  /** Input/output/state shapes of [[crostonForecast]]. */
+  case class Demand(key: String, day: Int, value: Double)
+  case class CrostonState(n: Long, lastDay: Int, zHat: Double, aHat: Double)
+  case class CrostonOut(key: String, n_demands: Long,
+      z_hat: Double, a_hat: Option[Double],
+      croston: Option[Double], sba: Option[Double])
+
+  /** Streaming twin of [[graft.operators.Forecast.crostonForecast]]:
+    * the SES recursions run LITERALLY, one O(1) state update per
+    * demand arrival — `s ← α·y + (1−α)·s` for sizes and for
+    * inter-demand intervals — with per-key state of four numbers
+    * carried across micro-batches. The batch operator evaluates the
+    * SAME recursion in closed form (a weighted window sum); with the
+    * default α = 0.5 every intermediate is a dyadic rational, so
+    * stream and batch agree EXACTLY, not just to rounding — the
+    * parity spec pins bit-equality across a mid-key batch split.
+    * Output mode Update: each batch emits the latest forecast per
+    * touched key. Rows within a batch apply in `day` order; a row at
+    * or before the key's last seen day is ignored (late replay). */
+  def crostonForecast(
+      ds: Dataset[Demand], alpha: Double = 0.5): Dataset[CrostonOut] = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    implicit val stateEnc: Encoder[CrostonState] =
+      Encoders.product[CrostonState]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    implicit val outEnc: Encoder[CrostonOut] = Encoders.product[CrostonOut]
+    ds.groupByKey(_.key)
+      .mapGroupsWithState[CrostonState, CrostonOut](
+        GroupStateTimeout.NoTimeout) {
+        (k: String, rows: Iterator[Demand], state: GroupState[CrostonState]) =>
+          var s = state.getOption.getOrElse(CrostonState(0L, 0, 0.0, 0.0))
+          rows.toSeq.sortBy(_.day).foreach { d =>
+            if (s.n == 0L)
+              s = CrostonState(1L, d.day, d.value, 0.0)
+            else if (d.day > s.lastDay) {
+              val iv = (d.day - s.lastDay).toDouble
+              val a = if (s.n == 1L) iv else alpha * iv + (1 - alpha) * s.aHat
+              s = CrostonState(s.n + 1, d.day,
+                alpha * d.value + (1 - alpha) * s.zHat, a)
+            } // else: at-or-before lastDay — late replay, ignored
+          }
+          state.update(s)
+          val aOpt = if (s.n >= 2) Some(s.aHat) else None
+          CrostonOut(k, s.n, s.zHat, aOpt,
+            aOpt.map(a => s.zHat / a),
+            aOpt.map(a => (1 - alpha / 2) * s.zHat / a))
+      }
+  }
+
   /** Streaming per-key running counter with custom state — the
     * mapGroupsWithState shape (one output row per key per batch). */
   def runningCount[K: Encoder, V: Encoder](

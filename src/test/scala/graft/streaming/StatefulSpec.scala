@@ -155,4 +155,44 @@ class StatefulSpec extends SparkSpec {
     // the hand values from TimeSeriesSpec hold through the state carry
     assert(streamed.contains(("A", 4L, Some(26.163), Some(true))))
   }
+
+  test("crostonForecast stream: final state EXACTLY equals the batch closed form across a mid-key split") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      Stateful.Demand("A", 1, 4.0), Stateful.Demand("A", 3, 8.0),
+      Stateful.Demand("A", 6, 6.0),
+      Stateful.Demand("B", 2, 9.0))
+    val mem = MemoryStream[Stateful.Demand]
+    val out = Stateful.crostonForecast(mem.toDS())
+    val sink = s"croston_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Update).start()
+    try {
+      // split A's series mid-recursion; batch 2 carries the state on
+      mem.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // Update-mode memory sink appends each batch's rows: keep the
+    // latest per key (max n_demands)
+    val streamed = spark.table(sink).as[Stateful.CrostonOut].collect()
+      .groupBy(_.key).map { case (k, vs) => vs.maxBy(_.n_demands) }
+      .map(o => (o.key, o.n_demands, o.z_hat, o.a_hat, o.croston, o.sba))
+      .toSet
+    // TimeSeriesSpec's hand recursion: z 4,8,6 -> 6.0; iv 2,3 -> 2.5
+    assert(streamed == Set(
+      ("A", 3L, 6.0, Some(2.5), Some(2.4), Some(1.8)),
+      ("B", 1L, 9.0, None, None, None)), s"got $streamed")
+    // exact parity with the batch closed form (alpha=0.5 -> dyadic)
+    val daily = rows.map(d => (d.key,
+      java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(d.day)),
+      d.value)).toDF("k", "day", "v")
+    val batch = graft.operators.Forecast.crostonForecast(daily, "k", "day", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+    val streamZA = streamed.map(t => (t._1, t._2, t._3, t._4))
+    assert(streamZA == batch, s"stream $streamZA != batch $batch")
+  }
 }
