@@ -186,4 +186,57 @@ class SqlSurfaceSpec extends SparkSpec {
         |  CAST(regexp_count(t, '([0-9]{1,3}\\.){3}[0-9]{1,3}') AS BIGINT) AS n_ip
         |FROM p ORDER BY doc_id""".stripMargin)
   }
+
+  test("x118 CDC changelog apply as SQL text") {
+    assertSame("x118_cdc_apply",
+      """WITH r AS (SELECT user_id, event_type, value, ts,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, value, unix_micros(ts) AS ts_us
+        |FROM r WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin)
+  }
+
+  test("x121 rolling z-score as SQL text (WINDOW clause)") {
+    assertSame("x121_rolling_zscore",
+      """WITH r AS (SELECT event_id, user_id, value,
+        |  COUNT(value) OVER w AS c, AVG(value) OVER w AS m,
+        |  stddev_samp(value) OVER w AS sd
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT event_id, user_id,
+        |  ROUND(CASE WHEN c = 10 AND sd > 0 THEN (value - m) / sd END, 4)
+        |    AS zscore FROM r)
+        |SELECT event_id, user_id, zscore,
+        |  CASE WHEN zscore IS NOT NULL THEN
+        |    CAST(CASE WHEN ABS(zscore) > 2.0D THEN 1 ELSE 0 END AS BIGINT)
+        |  END AS is_anomaly
+        |FROM z ORDER BY event_id""".stripMargin)
+  }
+
+  test("x116 demand classification as SQL text") {
+    assertSame("x116_demand_classes",
+      """WITH daily AS (SELECT user_id,
+        |  to_date(date_trunc('DAY', ts)) AS day,
+        |  SUM(CAST(value AS DECIMAL(18,2))) AS demand
+        |  FROM events GROUP BY 1, 2),
+        |agg AS (SELECT user_id, COUNT(*) AS nz,
+        |  datediff(MAX(day), MIN(day)) + 1 AS span,
+        |  AVG(CAST(demand AS DOUBLE)) AS mean,
+        |  var_samp(CAST(demand AS DOUBLE)) AS vr
+        |  FROM daily GROUP BY 1),
+        |r AS (SELECT user_id, nz, span,
+        |  ROUND(CAST(span AS DOUBLE) / nz, 4) AS adi,
+        |  ROUND(vr / (mean * mean), 4) AS cv2 FROM agg)
+        |SELECT user_id, nz AS demand_days, CAST(span AS BIGINT) AS span_days,
+        |  adi, cv2,
+        |  CASE WHEN cv2 IS NULL THEN 'n/a'
+        |       WHEN adi < 1.32D AND cv2 < 0.49D THEN 'smooth'
+        |       WHEN adi >= 1.32D AND cv2 < 0.49D THEN 'intermittent'
+        |       WHEN adi < 1.32D THEN 'erratic'
+        |       ELSE 'lumpy' END AS demand_class
+        |FROM r ORDER BY user_id""".stripMargin)
+  }
 }
