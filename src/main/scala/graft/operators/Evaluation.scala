@@ -1,0 +1,235 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation and distribution-drift statistics — the metrics a
+  * training-data pipeline runs to answer "is this score any good?"
+  * (ROC AUC), "did the data change under me?" (KS, PSI), and "how
+  * concentrated is this quantity?" (Gini). Reference scope: the M5
+  * pipeline evaluates its forecasts (WRMSSE, `Forecast.wrmsse`); these
+  * are the classification/drift complements a production retrain loop
+  * needs around that same model.
+  *
+  * Every statistic is exact and engine-portable: all intermediate
+  * quantities are integer counts or sums of input doubles combined in
+  * a fixed order, so a DuckDB oracle reproduces them bit-for-bit
+  * before the final ROUND.
+  */
+object Evaluation {
+
+  /** ROC AUC via the rank-sum (Mann–Whitney U) identity:
+    * `AUC = (Σ_pos midrank − P(P+1)/2) / (P·N)` where `midrank` is the
+    * average rank of a score under ties. Equivalent to the probability
+    * a random positive outscores a random negative (ties count half) —
+    * the trapezoidal area under the ROC curve, computed without
+    * materializing the curve.
+    *
+    * Shape: one count aggregate collapses the input to DISTINCT score
+    * rows `(score, n, n_pos)`; the cumulative-rank window then runs
+    * over score cardinality, not row cardinality; one final aggregate
+    * emits the 1-row result. For a 100 TB score column whose distinct
+    * cardinality is itself huge, pass `bins > 0`: scores quantize to
+    * `bins` equal-width buckets between the global min/max (a 1-row
+    * broadcast), bounding the window at `bins` rows — binned AUC is
+    * the standard scale form (it only coarsens tie handling; monotone
+    * score transforms never change AUC, and binning is monotone).
+    */
+  def rocAuc(df: DataFrame, label: Column, score: Column,
+      bins: Int = 0, roundDigits: Int = 6): DataFrame = {
+    // a row without a score cannot be ranked; dropping nulls here also
+    // keeps the window's null-ordering out of the cross-engine contract
+    val raw = df.filter(score.isNotNull)
+      .select(score.cast("double").as("__s"),
+        when(label, lit(1L)).otherwise(lit(0L)).as("__y"))
+    val scored =
+      if (bins <= 0) raw
+      else {
+        val ext = raw.agg(min(col("__s")).as("__lo"), max(col("__s")).as("__hi"))
+        raw.crossJoin(broadcast(ext))
+          .select(
+            when(col("__hi") > col("__lo"),
+              least(floor((col("__s") - col("__lo")) * bins
+                / (col("__hi") - col("__lo"))), lit(bins - 1).cast("long")))
+              .otherwise(lit(0L)).as("__s"),
+            col("__y"))
+      }
+    val perScore = scored.groupBy(col("__s"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__p"))
+    // midrank of every row tied at this score: rows_below + (ties+1)/2
+    val w = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perScore.withColumn("__below",
+        coalesce(sum(col("__n")).over(w), lit(0L)))
+      .withColumn("__midrank",
+        col("__below") + (col("__n") + 1) / lit(2.0d))
+    ranked.agg(
+        sum(col("__p") * col("__midrank")).as("__rs"),
+        sum(col("__p")).as("__np"),
+        sum(col("__n")).as("__nt"))
+      .select(
+        col("__np").as("n_pos"),
+        (col("__nt") - col("__np")).as("n_neg"),
+        round(
+          when(col("__np") > 0 && col("__nt") > col("__np"),
+            (col("__rs") - col("__np") * (col("__np") + 1) / lit(2.0d))
+              / (col("__np") * (col("__nt") - col("__np")))),
+          roundDigits).as("auc"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic
+    * `D = max_v |F_a(v) − F_b(v)|` — the nonparametric drift test
+    * between two slices of the same column (yesterday vs today, source
+    * A vs source B). The ECDFs are evaluated at every pooled distinct
+    * value, which is where the max must occur.
+    *
+    * Same shape as [[rocAuc]]: one aggregate to distinct values with
+    * per-side counts, a cumulative window over value cardinality, one
+    * 1-row result. The same `bins` option bounds the window for
+    * continuous 100 TB columns (binned D understates the true D by at
+    * most the probability mass inside one bin — the standard
+    * histogram-sketch tradeoff).
+    */
+  def ksTest(df: DataFrame, sideA: Column, sideB: Column, value: Column,
+      bins: Int = 0, roundDigits: Int = 6): DataFrame = {
+    val raw = df
+      .filter((sideA || sideB) && value.isNotNull)
+      .select(value.cast("double").as("__v"),
+        when(sideA, lit(1L)).otherwise(lit(0L)).as("__a"),
+        when(sideB, lit(1L)).otherwise(lit(0L)).as("__b"))
+    val binned =
+      if (bins <= 0) raw
+      else {
+        val ext = raw.agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+        raw.crossJoin(broadcast(ext))
+          .select(
+            when(col("__hi") > col("__lo"),
+              least(floor((col("__v") - col("__lo")) * bins
+                / (col("__hi") - col("__lo"))), lit(bins - 1).cast("long")))
+              .otherwise(lit(0L)).cast("double").as("__v"),
+            col("__a"), col("__b"))
+      }
+    val perValue = binned.groupBy(col("__v"))
+      .agg(sum(col("__a")).as("__na"), sum(col("__b")).as("__nb"))
+    val wCum = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val cdf = perValue.select(
+      sum(col("__na")).over(wCum).as("__ca"),
+      sum(col("__nb")).over(wCum).as("__cb"),
+      sum(col("__na")).over(wAll).as("__ta"),
+      sum(col("__nb")).over(wAll).as("__tb"))
+    // |ca/Ta − cb/Tb| maximized as |ca·Tb − cb·Ta| over exact
+    // integers, divided ONCE at the end: no per-row float ratios to
+    // disagree across engines before the max picks its row
+    cdf.agg(
+        max(abs(col("__ca") * col("__tb") - col("__cb") * col("__ta")))
+          .as("__num"),
+        max(col("__ta")).as("__ta"),
+        max(col("__tb")).as("__tb"))
+      .select(
+        col("__ta").as("n_a"),
+        col("__tb").as("n_b"),
+        round(
+          when(col("__ta") > 0 && col("__tb") > 0,
+            col("__num").cast("double") / (col("__ta") * col("__tb"))),
+          roundDigits).as("d_stat"))
+  }
+
+  /** Population Stability Index between a baseline slice and a current
+    * slice of one numeric column: bin by the BASELINE's exact decile
+    * cutoffs (so baseline bins are near-equal by construction), then
+    * `PSI = Σ (p_cur − p_base) · ln(p_cur / p_base)`. The retrain
+    * trigger metric: PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 act.
+    *
+    * One exact-percentile aggregate over the baseline (the t38
+    * percentile ≡ quantile_cont parity), a 1-row broadcast of the
+    * cutoffs, one map-side-combinable count aggregate over both slices
+    * — two scans total, nothing driver-side, `k` rows out. Empty bins
+    * on either side take probability `epsilon` (the standard PSI
+    * smoothing; ln(0) is the alternative and it is not a number).
+    */
+  def psi(df: DataFrame, isBaseline: Column, isCurrent: Column,
+      value: Column, k: Int = 10, epsilon: Double = 1e-6,
+      roundDigits: Int = 6): DataFrame = {
+    require(k >= 2, s"PSI needs at least 2 bins, got $k")
+    val v = value.cast("double")
+    val probs = (1 until k).map(_.toDouble / k)
+    // cutoffs ROUND to 6 dp before any comparison: Spark and DuckDB
+    // interpolate quantiles with differently-associated float math, and
+    // an unrounded cutoff can flip a boundary row between engines
+    val cutsRow = df.filter(isBaseline)
+      .agg(percentile(v, array(probs.map(lit): _*)).as("__cuts"))
+    val cuts = (0 until k - 1).map(i => round(col("__cuts").getItem(i), 6))
+    // bin = 1 + Σ (v > cut_i): map-side arithmetic against the 1-row
+    // broadcast, the rfmSegments scoring pattern
+    val bin = cuts.foldLeft(lit(1L)) { (acc, c) =>
+      acc + when(v > c, 1L).otherwise(0L)
+    }
+    val counted = df.filter((isBaseline || isCurrent) && v.isNotNull)
+      .crossJoin(broadcast(cutsRow))
+      .select(bin.as("bin"),
+        when(isBaseline, 1L).otherwise(0L).as("__base"),
+        when(isCurrent, 1L).otherwise(0L).as("__cur"))
+      .groupBy(col("bin"))
+      .agg(sum(col("__base")).as("__nb"), sum(col("__cur")).as("__nc"))
+    val tot = Window.partitionBy()
+    // totals via a whole-relation window over k rows — cheaper and
+    // simpler than a second scan + broadcast join
+    val pb = greatest(col("__nb").cast("double")
+      / sum(col("__nb")).over(tot), lit(epsilon))
+    val pc = greatest(col("__nc").cast("double")
+      / sum(col("__nc")).over(tot), lit(epsilon))
+    counted
+      .select(col("bin"), col("__nb").as("n_base"), col("__nc").as("n_cur"),
+        round((pc - pb) * (log(pc) - log(pb)), roundDigits).as("psi_term"))
+  }
+
+  /** Gini coefficient of a nonnegative quantity's concentration
+    * (spend, tokens, traffic): with values sorted ascending and
+    * 1-based rank `i`, `G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n`. 0 = equal
+    * shares, (n−1)/n = one holder has everything.
+    *
+    * Scale shape (the labelEncode / equidepth pattern): a
+    * range-partitioned distributed sort + `zipWithIndex` assigns the
+    * global rank without a single-partition window; the moment sums
+    * then combine map-side in one aggregate. Ties order by
+    * `tieBreaker` — Gini is tie-order-invariant (equal values
+    * contribute the same Σ i·x for any permutation of their ranks),
+    * the total order just makes the plan deterministic end-to-end.
+    *
+    * Portability: the moment sums run in DECIMAL(28,6), so `Σx` and
+    * `Σ i·x` are EXACT regardless of partition/addition order — a
+    * double sum here would drift in the last ulp between engines and
+    * break the hash gate. The one float division happens at the end on
+    * exact operands. Values must fit 22 integer digits (money, counts,
+    * token totals all do).
+    */
+  def gini(df: DataFrame, value: Column, tieBreaker: Column,
+      roundDigits: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val sorted = df.filter(value.isNotNull)
+      .select(value.cast(dec).as("__x"), tieBreaker.as("__t"))
+      .orderBy(col("__x"), col("__t"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__x", dec),
+      org.apache.spark.sql.types.StructField("__i",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val indexed = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(r.get(0), i + 1L)
+    }
+    spark.createDataFrame(indexed, schema)
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__sum"),
+        sum(col("__i") * col("__x")).as("__ws"))
+      .select(col("__n").as("n"),
+        round(col("__sum").cast("double"), 2).as("total"),
+        round(
+          when(col("__n") > 0 && col("__sum") > 0,
+            lit(2.0d) * col("__ws").cast("double")
+              / (col("__n") * col("__sum").cast("double"))
+              - (col("__n") + 1) / col("__n").cast("double")),
+          roundDigits).as("gini"))
+  }
+}

@@ -1947,6 +1947,107 @@ object OracleSql {
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY duration_days""".stripMargin,
 
+    // ROC AUC via rank-sum: every intermediate is an integer count or
+    // an exact multiple of 0.5 (midranks), so the sums are order-free
+    // and the one float division at the end is engine-portable.
+    "x133_roc_auc" ->
+      """WITH s AS (SELECT value AS sc,
+        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT sc, COUNT(*) AS n, SUM(y) AS p FROM s GROUP BY 1),
+        |r AS (SELECT p,
+        |  COALESCE(SUM(n) OVER (ORDER BY sc
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + (n + 1) / 2.0 AS midrank
+        |  FROM g),
+        |a AS (SELECT SUM(p * midrank) AS rs, SUM(p) AS np,
+        |  (SELECT COUNT(*) FROM s) AS nt FROM r)
+        |SELECT CAST(np AS BIGINT) AS n_pos,
+        |  CAST(nt - np AS BIGINT) AS n_neg,
+        |  ROUND(CASE WHEN np > 0 AND nt > np
+        |    THEN (rs - np * (np + 1) / 2.0) / (np * (nt - np)) END, 6)
+        |    AS auc
+        |FROM a""".stripMargin,
+
+    // KS: the max ECDF gap's numerator stays in exact integers
+    // (|ca·Tb − cb·Ta|); one division at the end.
+    "x134_ks_drift" ->
+      """WITH s AS (SELECT value AS v,
+        |  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+        |g AS (SELECT v, SUM(a) AS na, SUM(b) AS nb FROM s GROUP BY 1),
+        |c AS (SELECT
+        |  SUM(na) OVER w AS ca, SUM(nb) OVER w AS cb,
+        |  SUM(na) OVER () AS ta, SUM(nb) OVER () AS tb
+        |  FROM g WINDOW w AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT CAST(MAX(ta) AS BIGINT) AS n_a,
+        |  CAST(MAX(tb) AS BIGINT) AS n_b,
+        |  ROUND(CASE WHEN MAX(ta) > 0 AND MAX(tb) > 0
+        |    THEN CAST(MAX(ABS(ca * tb - cb * ta)) AS DOUBLE)
+        |      / (MAX(ta) * MAX(tb)) END, 6) AS d_stat
+        |FROM c""".stripMargin,
+
+    // PSI: bins from the BASELINE's deciles (quantile_cont ≡ Spark
+    // percentile, the t38 parity), cutoffs ROUNDed before comparison
+    // so boundary rows can't flip between engines.
+    "x135_psi_drift" ->
+      """WITH b AS (SELECT CAST(o_totalprice AS DOUBLE) AS v,
+        |  CASE WHEN o_orderdate < DATE '1998-01-01' THEN 1 ELSE 0 END
+        |    AS isb,
+        |  CASE WHEN o_orderdate >= DATE '1998-01-01' THEN 1 ELSE 0 END
+        |    AS isc
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |cuts AS (SELECT
+        |  ROUND(quantile_cont(v, 0.1), 6) AS c1,
+        |  ROUND(quantile_cont(v, 0.2), 6) AS c2,
+        |  ROUND(quantile_cont(v, 0.3), 6) AS c3,
+        |  ROUND(quantile_cont(v, 0.4), 6) AS c4,
+        |  ROUND(quantile_cont(v, 0.5), 6) AS c5,
+        |  ROUND(quantile_cont(v, 0.6), 6) AS c6,
+        |  ROUND(quantile_cont(v, 0.7), 6) AS c7,
+        |  ROUND(quantile_cont(v, 0.8), 6) AS c8,
+        |  ROUND(quantile_cont(v, 0.9), 6) AS c9
+        |  FROM b WHERE isb = 1),
+        |bn AS (SELECT 1
+        |  + CAST(v > c1 AS INT) + CAST(v > c2 AS INT)
+        |  + CAST(v > c3 AS INT) + CAST(v > c4 AS INT)
+        |  + CAST(v > c5 AS INT) + CAST(v > c6 AS INT)
+        |  + CAST(v > c7 AS INT) + CAST(v > c8 AS INT)
+        |  + CAST(v > c9 AS INT) AS bin, isb, isc
+        |  FROM b CROSS JOIN cuts),
+        |g AS (SELECT bin, SUM(isb) AS nb, SUM(isc) AS nc
+        |  FROM bn GROUP BY 1),
+        |t AS (SELECT CAST(SUM(nb) AS DOUBLE) AS tb,
+        |  CAST(SUM(nc) AS DOUBLE) AS tc FROM g)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(nb AS BIGINT) AS n_base,
+        |  CAST(nc AS BIGINT) AS n_cur,
+        |  ROUND((GREATEST(nc / tc, 1e-6) - GREATEST(nb / tb, 1e-6))
+        |    * (LN(GREATEST(nc / tc, 1e-6)) - LN(GREATEST(nb / tb, 1e-6))),
+        |    6) AS psi_term
+        |FROM g CROSS JOIN t ORDER BY bin""".stripMargin,
+
+    // Gini: moment sums in DECIMAL — exact and order-free on both
+    // engines — then one float division; rank via the same
+    // (value, custkey) total order the Spark zipWithIndex path sorts.
+    "x136_gini" ->
+      """WITH spend AS (SELECT o_custkey,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders GROUP BY 1),
+        |x AS (SELECT CAST(spend AS DECIMAL(28,6)) AS x,
+        |  ROW_NUMBER() OVER (ORDER BY spend, o_custkey) AS i
+        |  FROM spend),
+        |a AS (SELECT COUNT(*) AS n, SUM(x) AS s, SUM(i * x) AS ws
+        |  FROM x)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  ROUND(CAST(s AS DOUBLE), 2) AS total,
+        |  ROUND(CASE WHEN n > 0 AND s > 0
+        |    THEN 2.0 * CAST(ws AS DOUBLE) / (n * CAST(s AS DOUBLE))
+        |      - (n + 1) / CAST(n AS DOUBLE) END, 6) AS gini
+        |FROM a""".stripMargin,
+
     "x124_croston" -> crostonSql,
     "x125_backtest" -> backtestSql,
 

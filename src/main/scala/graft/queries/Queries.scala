@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{Dedup, Forecast, Profiling, Relational, Retail, Sampling, Similarity, TextAnalysis, TimeSeries}
+import graft.operators.{Dedup, Evaluation, Forecast, Profiling, Relational, Retail, Sampling, Similarity, TextAnalysis, TimeSeries}
 import graft.sources.Tables
 import graft.streaming.Windows
 
@@ -1664,6 +1664,45 @@ object Queries {
         censorLastDays = 3)
       .orderBy("duration_days")
 
+  /** X133 — ROC AUC (X93): rank-sum (Mann–Whitney) AUC of `value` as
+    * a score predicting purchase events — the 1-row answer to "does
+    * this signal separate the positive class at all?" without
+    * materializing a ROC curve. Exact form (bins = 0) for the gate;
+    * the `bins` knob is the bounded-window 100 TB path. */
+  def x133(s: SparkSession, dir: String): DataFrame =
+    Evaluation.rocAuc(Tables.events(s, dir),
+      label = col("event_type") === "purchase", score = col("value"))
+
+  /** X134 — two-sample Kolmogorov–Smirnov drift test (X94): click vs
+    * purchase `value` distributions; D = max ECDF gap over the pooled
+    * support, numerator kept in exact integers until one division. */
+  def x134(s: SparkSession, dir: String): DataFrame =
+    Evaluation.ksTest(Tables.events(s, dir),
+      sideA = col("event_type") === "click",
+      sideB = col("event_type") === "purchase",
+      value = col("value"))
+
+  /** X135 — Population Stability Index (X95): order-price drift of the
+    * post-1998 era against the pre-1998 baseline, binned by the
+    * BASELINE's exact deciles (rounded before comparison — the
+    * engine-portable cutoff contract). Per-bin terms; Σ is the PSI. */
+  def x135(s: SparkSession, dir: String): DataFrame =
+    Evaluation.psi(Tables.orders(s, dir),
+      isBaseline = col("o_orderdate") < lit("1998-01-01").cast("date"),
+      isCurrent = col("o_orderdate") >= lit("1998-01-01").cast("date"),
+      value = col("o_totalprice"))
+      .orderBy("bin")
+
+  /** X136 — Gini concentration of customer spend (X96): how unequal
+    * is revenue across customers (decimal-exact moment sums; the
+    * sorted-rank form via the labelEncode zipWithIndex pattern). */
+  def x136(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec(col("o_totalprice"))).as("spend"))
+    Evaluation.gini(spend, col("spend"), col("o_custkey"))
+  }
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -1809,5 +1848,9 @@ object Queries {
     "x129_triangle_count" -> (x129 _),
     "x130_hampel" -> (x130 _),
     "x131_dsir_resample" -> (x131 _),
-    "x132_kaplan_meier" -> (x132 _))
+    "x132_kaplan_meier" -> (x132 _),
+    "x133_roc_auc" -> (x133 _),
+    "x134_ks_drift" -> (x134 _),
+    "x135_psi_drift" -> (x135 _),
+    "x136_gini" -> (x136 _))
 }

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.functions.{col, lit}
+
+import graft.SparkSpec
+
+class EvaluationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def auc(rows: Seq[(Double, Boolean)], bins: Int = 0): Option[Double] = {
+    val df = rows.toDF("s", "y")
+    Evaluation.rocAuc(df, col("y"), col("s"), bins = bins)
+      .select("auc").as[Option[Double]].head()
+  }
+
+  test("rocAuc: perfect separation is 1.0, inverted is 0.0, constant score is 0.5") {
+    val perfect = Seq((1.0, false), (2.0, false), (3.0, true), (4.0, true))
+    assert(auc(perfect).contains(1.0))
+    assert(auc(perfect.map { case (s, y) => (-s, y) }).contains(0.0))
+    assert(auc(Seq((5.0, true), (5.0, false), (5.0, true))).contains(0.5))
+  }
+
+  test("rocAuc: tied scores take the midrank (hand Mann-Whitney)") {
+    // scores 1,2,2,3 with labels 0,1,0,1: midranks 1, 2.5, 2.5, 4;
+    // pos rank-sum 6.5, P=N=2 -> AUC = (6.5 - 3) / 4 = 0.875
+    val got = auc(Seq((1.0, false), (2.0, true), (2.0, false), (3.0, true)))
+    assert(got.contains(0.875), s"got $got")
+  }
+
+  test("rocAuc: degenerate single-class input yields null, not a crash") {
+    assert(auc(Seq((1.0, true), (2.0, true))).isEmpty)
+    assert(auc(Seq((1.0, false), (2.0, false))).isEmpty)
+  }
+
+  test("rocAuc: binning that preserves score order preserves the AUC exactly") {
+    // integer scores 0..9, 10 bins over [0,9]: the quantization is
+    // injective on the support, and AUC is monotone-invariant
+    val rows = (0 to 9).map(i => (i.toDouble, i >= 6)) ++
+      Seq((3.0, true), (7.0, false))
+    assert(auc(rows, bins = 10) == auc(rows))
+  }
+
+  private def ks(a: Seq[Double], b: Seq[Double]): (Long, Long, Option[Double]) = {
+    val df = a.map(v => (v, "a")).union(b.map(v => (v, "b"))).toDF("v", "side")
+    Evaluation.ksTest(df, col("side") === "a", col("side") === "b", col("v"))
+      .as[(Long, Long, Option[Double])].head()
+  }
+
+  test("ksTest: identical samples give D = 0, disjoint supports give D = 1") {
+    assert(ks(Seq(1, 2, 3), Seq(1, 2, 3)) == (3L, 3L, Some(0.0)))
+    assert(ks(Seq(1, 2), Seq(10, 11)) == (2L, 2L, Some(1.0)))
+  }
+
+  test("ksTest: hand ECDF gap with overlap") {
+    // A={1,2}, B={2,3}: ECDF gaps at pooled points 1,2,3 are
+    // 1/2, 1/2, 0 -> D = 0.5
+    assert(ks(Seq(1, 2), Seq(2, 3)) == (2L, 2L, Some(0.5)))
+  }
+
+  test("psi: identical baseline and current give zero terms in every bin") {
+    val vals = (1 to 200).map(_.toDouble)
+    val df = vals.map(v => (v, "base")).union(vals.map(v => (v, "cur")))
+      .toDF("v", "era")
+    val terms = Evaluation.psi(df, col("era") === "base",
+        col("era") === "cur", col("v"))
+      .select("psi_term").as[Double].collect()
+    assert(terms.length == 10 && terms.forall(_ == 0.0), terms.toSeq)
+  }
+
+  test("psi: a hard shift into the top decile crosses the 0.25 action threshold") {
+    val base = (1 to 200).map(_.toDouble -> "base")
+    val cur = (1 to 50).map(_ => 199.5 -> "cur")
+    val df = (base ++ cur).toDF("v", "era")
+    val out = Evaluation.psi(df, col("era") === "base",
+        col("era") === "cur", col("v"))
+      .select("bin", "n_base", "n_cur", "psi_term")
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(out.map(_._2).sum == 200 && out.map(_._3).sum == 50)
+    // all current mass sits in bin 10
+    assert(out.filter(_._1 == 10).map(_._3).sum == 50)
+    assert(out.map(_._4).sum > 0.25, s"PSI ${out.map(_._4).sum}")
+  }
+
+  private def gini(vals: Seq[Double]): (Long, Double, Option[Double]) = {
+    val df = vals.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+      .toDF("v", "id")
+    Evaluation.gini(df, col("v"), col("id"))
+      .as[(Long, Double, Option[Double])].head()
+  }
+
+  test("gini: equal shares give 0, one-holder-has-all gives (n-1)/n") {
+    assert(gini(Seq(5, 5, 5, 5)) == (4L, 20.0, Some(0.0)))
+    assert(gini(Seq(0, 0, 0, 10)) == (4L, 10.0, Some(0.75)))
+  }
+
+  test("gini: hand value on 1,2,3,4 and invariance to tie order") {
+    // sum i*x = 30, sum x = 10, n = 4: G = 60/40 - 5/4 = 0.25
+    assert(gini(Seq(1, 2, 3, 4))._3.contains(0.25))
+    // ties: any rank permutation of equal values yields the same G
+    assert(gini(Seq(2, 2, 1, 4, 1)) == gini(Seq(1, 1, 2, 2, 4)))
+  }
+
+  test("gini: zero-total and empty inputs yield null, not a crash") {
+    assert(gini(Seq(0, 0))._3.isEmpty)
+    val empty = Seq.empty[(Double, Long)].toDF("v", "id")
+    assert(Evaluation.gini(empty, col("v"), col("id"))
+      .select("gini").as[Option[Double]].head().isEmpty)
+  }
+}
