@@ -434,6 +434,59 @@ object TextAnalysis {
           .as("avg_nll"))
   }
 
+  /** PMI collocations: the corpus's most strongly "glued" word pairs
+    * — `PMI(a,b) = ln( p(ab) / (p(a)·p(b)) )` with `p(ab)` over
+    * adjacent-bigram occurrences and `p(·)` over unigram occurrences —
+    * the standard collocation extractor ("new york", "machine
+    * learning") and, inverted, a tokenizer-merge signal. A `minCount`
+    * support floor kills the rare-pair PMI explosion (a pair seen once
+    * between two hapaxes maxes the score); `topK` returns the
+    * strongest survivors.
+    *
+    * One scan builds unigram counts, one builds bigram counts (the
+    * x112 zip_with shape — no positional self-join); both are
+    * vocab-cardinality after their aggregates, so the two count joins
+    * broadcast. The ratio feeding `ln` is assembled in ONE
+    * left-associated double expression so both engines evaluate the
+    * identical float sequence, and the top-k orders on the ROUNDED
+    * score (ties by pair) via TakeOrderedAndProject — never a full
+    * sort of the pair space.
+    */
+  def pmiCollocations(df: DataFrame, textCol: String,
+      minCount: Long, topK: Int, roundDigits: Int = 4,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+    : DataFrame = {
+    require(minCount >= 1 && topK > 0, "need minCount >= 1 and topK > 0")
+    val toks = df.select(Text.tokens(col(textCol)).as("__w"))
+    val uni = scope.persist(
+      toks.select(explode(col("__w")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("__cu")))
+    val uniTot = uni.agg(sum(col("__cu")).cast("double").as("__nu"))
+    val bigrams = toks.filter(size(col("__w")) >= 2)
+      .select(explode(zip_with(
+        slice(col("__w"), lit(1), size(col("__w")) - 1),
+        slice(col("__w"), lit(2), size(col("__w")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bi = scope.persist(bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_ab")))
+    val biTot = bi.agg(sum(col("n_ab")).cast("double").as("__nb"))
+    val ca = uni.select(col("tok").as("w1"), col("__cu").as("__ca"))
+    val cb = uni.select(col("tok").as("w2"), col("__cu").as("__cb"))
+    bi.filter(col("n_ab") >= minCount)
+      .join(broadcast(ca), Seq("w1"))
+      .join(broadcast(cb), Seq("w2"))
+      .crossJoin(broadcast(uniTot))
+      .crossJoin(broadcast(biTot))
+      .select(col("w1"), col("w2"), col("n_ab"),
+        round(log(
+          col("n_ab").cast("double") * col("__nu") * col("__nu")
+            / (col("__nb") * col("__ca") * col("__cb"))),
+          roundDigits).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** X90 — DSIR importance resampling (Xie et al., NeurIPS'23 "Data
     * Selection for Language Models via Importance Resampling"): pick
     * the `keepN` candidate documents whose token distribution looks

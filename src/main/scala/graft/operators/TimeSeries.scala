@@ -169,6 +169,39 @@ object TimeSeries {
         completed.as("completed"): _*)
   }
 
+  /** Gap-based sessionization: a session ends when the next event of
+    * the same user arrives more than `gapSeconds` later — the batch
+    * complement of the streaming session window (t48), and the step
+    * web/product analytics runs before any funnel or attribution.
+    * Per-user session sequence numbers come from one sorted window
+    * pass (running sum of session-start flags); the per-session
+    * rollup is one map-side-combinable aggregate. Both passes shuffle
+    * once on the user key and scale with per-user event counts, never
+    * user×user. Timestamps compare in exact epoch MICROS (integer
+    * arithmetic — no float time math), and the output renders them the
+    * same way for the cross-engine hash.
+    */
+  def sessionize(df: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, "gapSeconds must be positive")
+    val us = unix_micros(col(tsCol))
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val run = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = df
+      .withColumn("__gap", us - lag(us, 1).over(w))
+      .withColumn("__new",
+        when(col("__gap").isNull || col("__gap") > gapSeconds * 1000000L,
+          1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("__new")).over(run))
+    flagged.groupBy(col(userCol), col("session_seq"))
+      .agg(
+        min(us).as("start_us"),
+        max(us).as("end_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+  }
+
   /** Weekly retention cohorts: users grouped by the week of their FIRST
     * event; for each (cohort week, weeks since) cell, how many of that
     * cohort's users were active — the standard retention triangle. Both

@@ -2048,6 +2048,54 @@ object OracleSql {
         |      - (n + 1) / CAST(n AS DOUBLE) END, 6) AS gini
         |FROM a""".stripMargin,
 
+    // Sessionization: session starts where the user's gap exceeds 30
+    // min; seq = running sum of start flags; all time math in exact
+    // epoch micros (epoch_us ≡ Spark unix_micros, the x123 parity).
+    "x137_sessions" ->
+      """WITH g AS (SELECT user_id, ts, event_id,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |m AS (SELECT user_id, ts,
+        |  SUM(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0
+        |    END) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS session_seq
+        |  FROM g)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  CAST(MIN(epoch_us(ts)) AS BIGINT) AS start_us,
+        |  CAST(MAX(epoch_us(ts)) AS BIGINT) AS end_us,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT)
+        |    AS duration_us
+        |FROM m GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin,
+
+    // PMI: the ln argument is ONE left-associated double expression
+    // (((n_ab·nu)·nu)/((nb·ca)·cb)) on both engines; top-k on the
+    // ROUNDED score, ties by pair. Bigrams via the x112 positional
+    // self-join; unigram counts include single-token docs on both
+    // sides.
+    "x138_pmi_collocations" ->
+      """WITH tp AS (SELECT doc_id, generate_subscripts(w, 1) AS pos,
+        |  unnest(w) AS tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |        FROM documents)),
+        |uc AS (SELECT tok, COUNT(*) AS cu FROM tp GROUP BY 1),
+        |nu AS (SELECT CAST(SUM(cu) AS DOUBLE) AS nu FROM uc),
+        |bg AS (SELECT a.tok AS w1, b.tok AS w2 FROM tp a JOIN tp b
+        |       ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |bc AS (SELECT w1, w2, COUNT(*) AS n_ab FROM bg GROUP BY 1, 2),
+        |nb AS (SELECT CAST(SUM(n_ab) AS DOUBLE) AS nb FROM bc),
+        |p AS (SELECT w1, w2, n_ab,
+        |    ROUND(LN(CAST(n_ab AS DOUBLE) * nu.nu * nu.nu
+        |      / (nb.nb * a.cu * b.cu)), 4) AS pmi
+        |  FROM bc JOIN uc a ON bc.w1 = a.tok JOIN uc b ON bc.w2 = b.tok
+        |  CROSS JOIN nu CROSS JOIN nb
+        |  WHERE n_ab >= 5),
+        |top AS (SELECT * FROM p ORDER BY pmi DESC, w1, w2 LIMIT 50)
+        |SELECT w1, w2, CAST(n_ab AS BIGINT) AS n_ab, pmi FROM top
+        |ORDER BY w1, w2""".stripMargin,
+
     "x124_croston" -> crostonSql,
     "x125_backtest" -> backtestSql,
 

@@ -1703,6 +1703,21 @@ object Queries {
     Evaluation.gini(spend, col("spend"), col("o_custkey"))
   }
 
+  /** X137 — gap-based sessionization (X97): 30-minute-gap sessions per
+    * user with exact epoch-micro session bounds — the batch complement
+    * of t48's streaming session window, one user-key shuffle. */
+  def x137(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.sessionize(Tables.events(s, dir), "user_id", "ts",
+        "event_id", gapSeconds = 1800)
+      .orderBy("user_id", "session_seq")
+
+  /** X138 — PMI collocations (X98): the corpus's most glued adjacent
+    * word pairs at support ≥ 5, top 50 by rounded PMI. */
+  def x138(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.pmiCollocations(Tables.documents(s, dir), "text",
+        minCount = 5, topK = 50)
+      .orderBy("w1", "w2")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -1852,5 +1867,7 @@ object Queries {
     "x133_roc_auc" -> (x133 _),
     "x134_ks_drift" -> (x134 _),
     "x135_psi_drift" -> (x135 _),
-    "x136_gini" -> (x136 _))
+    "x136_gini" -> (x136 _),
+    "x137_sessions" -> (x137 _),
+    "x138_pmi_collocations" -> (x138 _))
 }

@@ -241,4 +241,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(first == Set(101L, 102L), s"on-domain docs must win: $first")
     assert(run() == first, "md5-Gumbel selection must be deterministic")
   }
+
+  test("pmiCollocations: hand PMI, support floor, single-token docs count as unigrams") {
+    import spark.implicits._
+    // unigrams: a:3 b:3 c:2 (doc3's lone c COUNTS), NU=8;
+    // bigrams: (a,b):3 (b,a):1 (b,c):1, NB=5; minCount=2 keeps only
+    // (a,b): PMI = ln(3*8*8 / (5*3*3))
+    val df = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.pmiCollocations(df, "text", minCount = 2,
+        topK = 10)
+      .as[(String, String, Long, Double)].collect().toSeq
+    val expected = BigDecimal(math.log(3.0 * 8 * 8 / (5.0 * 3 * 3)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(("b", "a", 3L, expected)) ||
+      got == Seq(("a", "b", 3L, expected)), s"got $got")
+  }
+
+  test("pmiCollocations: topK orders on rounded PMI desc with pair tiebreak") {
+    import spark.implicits._
+    // (x,y) appears 4/5 bigrams, (y,x) 1/5 -> PMI(x,y) > PMI(y,x);
+    // topK=1 must keep the glued pair
+    val df = Seq((1L, "x y x y x y x y x")).toDF("doc_id", "text")
+    val got = TextAnalysis.pmiCollocations(df, "text", minCount = 1,
+        topK = 1)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got.map(t => (t._1, t._2, t._3)) == Seq(("x", "y", 4L)), s"got $got")
+  }
 }

@@ -229,4 +229,28 @@ class TimeSeriesSpec extends SparkSpec {
       (20L, None, None),
       (32L, Some("view"), Some(300000000L))), s"got $got")
   }
+
+  test("sessionize: gap strictly over the threshold splits, exact-gap stays") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      // u1: 10:00, 10:30 (exactly the 1800s gap -> SAME session),
+      //     11:01 (1860s gap -> new session)
+      (1L, 1L, ts("2024-01-01 10:00:00")),
+      (1L, 2L, ts("2024-01-01 10:30:00")),
+      (1L, 3L, ts("2024-01-01 11:01:00")),
+      // u2: single event -> one session of one event, zero duration
+      (2L, 4L, ts("2024-01-01 09:00:00")))
+      .toDF("user_id", "event_id", "ts")
+    val got = TimeSeries.sessionize(df, "user_id", "ts", "event_id", 1800)
+      .orderBy("user_id", "session_seq")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    def us(s: String) = java.sql.Timestamp.valueOf(s).getTime * 1000L
+    assert(got == Seq(
+      (1L, 1L, us("2024-01-01 10:00:00"), us("2024-01-01 10:30:00"), 2L,
+        1800000000L),
+      (1L, 2L, us("2024-01-01 11:01:00"), us("2024-01-01 11:01:00"), 1L, 0L),
+      (2L, 1L, us("2024-01-01 09:00:00"), us("2024-01-01 09:00:00"), 1L, 0L)),
+      s"got $got")
+  }
 }
