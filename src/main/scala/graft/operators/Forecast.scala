@@ -399,6 +399,126 @@ object Forecast {
       lags.map(k => round(corr(col("__y"), col(s"__l$k")), 4).as(s"acf_$k")): _*)
   }
 
+  /** Classical additive seasonal decomposition over each key's
+    * zero-filled daily series: `y = trend + seasonal + resid` with
+    * trend a CENTERED 7-day moving average (full-window-only — the
+    * first/last 3 days have no trend, pandas-style edge NaN),
+    * seasonal the per-weekday mean of the detrended series, and the
+    * residual what remains — the pre-forecast diagnostic that says
+    * whether [[backtestSelect]]'s seasonal arm has anything to win.
+    *
+    * Shape: the gap-explode densify (each row generates only its own
+    * gap run — no calendar-spine join), ONE sorted window pass for the
+    * trend, one (key, weekday) aggregate for the seasonal index
+    * (cardinality ≤ 7·keys, broadcast back), all joins on the key.
+    * Portability: trend ROUNDs to 6 dp before detrending, so every
+    * downstream difference starts from engine-identical doubles; the
+    * weekday convention is Mon=0 (the t18 parity).
+    */
+  def seasonalDecompose(
+      daily: DataFrame,
+      keyCol: String,
+      dayCol: String,
+      valueCol: String,
+      roundDigits: Int = 4): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+    val dense = daily
+      .withColumn("__next", lead(col(dayCol), 1).over(w))
+      .withColumn("__day",
+        explode(sequence(col(dayCol),
+          coalesce(date_sub(col("__next"), 1), col(dayCol)))))
+      .select(col(keyCol), col("__day"),
+        when(col("__day") === col(dayCol), col(valueCol).cast("double"))
+          .otherwise(lit(0.0)).as("__y"))
+    val wTrend = Window.partitionBy(col(keyCol)).orderBy(col("__day"))
+      .rowsBetween(-3, 3)
+    val trended = dense.withColumn("__trend",
+        when(count(lit(1)).over(wTrend) === 7,
+          round(avg(col("__y")).over(wTrend), 6)))
+      .withColumn("__dow", weekday(col("__day")))
+    val seasonal = trended
+      .groupBy(col(keyCol), col("__dow"))
+      .agg(round(avg(col("__y") - col("__trend")), 6).as("__seasonal"))
+    trended.join(seasonal, Seq(keyCol, "__dow"))
+      .select(col(keyCol), col("__day").as("day"),
+        round(col("__y"), 2).as("y"),
+        round(col("__trend"), roundDigits).as("trend"),
+        round(col("__seasonal"), roundDigits).as("seasonal"),
+        round(col("__y") - col("__trend") - col("__seasonal"), roundDigits)
+          .as("resid"))
+  }
+
+  /** Single changepoint scan (the first step of binary segmentation /
+    * the CUSUM-style scan statistic): over each key's zero-filled
+    * daily series, find the split `t` maximizing
+    * `|mean(y₁..t) − mean(y_{t+1}..n)| · sqrt(t·(n−t)/n)` — the
+    * two-sample z numerator, largest where the level shift is. Splits
+    * leaving fewer than `minSeg` days on a side are excluded (a
+    * 1-day "segment" maximizes noise, not signal).
+    *
+    * One sorted window pass per key builds the prefix sums; every
+    * prefix sum runs in DECIMAL so left/right means divide EXACT
+    * numerators (no float accumulation order to disagree on), and the
+    * argmax ranks on the ROUNDED statistic with the earliest day
+    * winning ties. Cost: one key shuffle, windows over per-key
+    * cardinality, k rows out.
+    *
+    * Rounding contract: `exact/t` means frequently TERMINATE at the
+    * round digit + 1 (e.g. 190.92125), where Spark's round (decimal
+    * string) and a float-math round disagree by one ulp of output.
+    * Every rounded value therefore passes through DECIMAL(18,8) first
+    * — both engines correctly-round the double to 8 dp, then round the
+    * exact decimal HALF_UP — and the argmax ranks on that stabilized
+    * value.
+    */
+  def changepointScan(
+      daily: DataFrame,
+      keyCol: String,
+      dayCol: String,
+      valueCol: String,
+      minSeg: Int = 7,
+      roundDigits: Int = 4): DataFrame = {
+    require(minSeg >= 1, s"minSeg must be >= 1, got $minSeg")
+    val dec286 = org.apache.spark.sql.types.DecimalType(28, 6)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+    val dense = daily
+      .withColumn("__next", lead(col(dayCol), 1).over(w))
+      .withColumn("__day",
+        explode(sequence(col(dayCol),
+          coalesce(date_sub(col("__next"), 1), col(dayCol)))))
+      .select(col(keyCol), col("__day"),
+        when(col("__day") === col(dayCol), col(valueCol).cast(dec286))
+          .otherwise(lit(0).cast(dec286)).as("__y"))
+    val wCum = Window.partitionBy(col(keyCol)).orderBy(col("__day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(keyCol))
+    val scanned = dense.select(col(keyCol), col("__day"),
+        sum(col("__y")).over(wCum).as("__ca"),
+        count(lit(1)).over(wCum).as("__t"),
+        sum(col("__y")).over(wAll).as("__s"),
+        count(lit(1)).over(wAll).as("__n"))
+      .filter(col("__t") >= minSeg && col("__t") <= col("__n") - minSeg)
+    val meanL = col("__ca").cast("double") / col("__t")
+    val meanR = (col("__s") - col("__ca")).cast("double")
+      .divide(col("__n") - col("__t"))
+    val stat = abs(meanL - meanR) *
+      sqrt((col("__t") * (col("__n") - col("__t"))).cast("double")
+        / col("__n"))
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    def r(c: Column): Column =
+      round(c.cast(stable), roundDigits).cast("double")
+    val ranked = scanned.select(col(keyCol), col("__day"),
+        r(meanL).as("mean_left"),
+        r(meanR).as("mean_right"),
+        r(stat).as("stat"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(keyCol))
+          .orderBy(col("stat").desc, col("__day"))))
+    ranked.filter(col("__rn") === 1)
+      .select(col(keyCol), col("__day").as("split_day"),
+        col("mean_left"), col("mean_right"), col("stat"))
+  }
+
   /** X78 — per-series linear trend: OLS slope / intercept / R² of the
     * daily value against the day offset from the corpus' FIRST day,
     * via the SQL-standard `regr_*` aggregates (single-pass moment

@@ -2096,6 +2096,84 @@ object OracleSql {
         |SELECT w1, w2, CAST(n_ab AS BIGINT) AS n_ab, pmi FROM top
         |ORDER BY w1, w2""".stripMargin,
 
+    // Seasonal decomposition: trend ROUNDs to 6 dp BEFORE detrending
+    // (engine-identical doubles downstream); weekday is Mon=0
+    // (isodow-1 ≡ Spark weekday, the t18 parity); edge days with no
+    // full 7-day window keep NULL trend/resid like pandas.
+    "x139_seasonal_decompose" ->
+      s"""WITH $dailyCte,
+         |led AS (SELECT user_id, day AS d0, demand,
+         |  lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt
+         |  FROM daily),
+         |dense AS (SELECT user_id, d0, demand,
+         |  CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+         |    CAST(COALESCE(nxt - 1, d0) AS TIMESTAMP),
+         |    INTERVAL 1 DAY)) AS DATE) AS day
+         |  FROM led),
+         |ser AS (SELECT user_id, day,
+         |  CASE WHEN day = d0 THEN CAST(demand AS DOUBLE) ELSE 0.0 END
+         |    AS y
+         |  FROM dense),
+         |tr AS (SELECT user_id, day, y,
+         |  CASE WHEN COUNT(*) OVER wt = 7
+         |    THEN ROUND(AVG(y) OVER wt, 6) END AS trend
+         |  FROM ser WINDOW wt AS (PARTITION BY user_id ORDER BY day
+         |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         |dw AS (SELECT user_id, day, y, trend, isodow(day) - 1 AS dow
+         |  FROM tr),
+         |se AS (SELECT user_id, dow, ROUND(AVG(y - trend), 6) AS seasonal
+         |  FROM dw GROUP BY 1, 2)
+         |SELECT dw.user_id, dw.day, ROUND(y, 2) AS y,
+         |  ROUND(trend, 4) AS trend,
+         |  ROUND(seasonal, 4) AS seasonal,
+         |  ROUND(y - trend - seasonal, 4) AS resid
+         |FROM dw JOIN se ON dw.user_id = se.user_id AND dw.dow = se.dow
+         |ORDER BY dw.user_id, dw.day""".stripMargin,
+
+    // Changepoint scan: prefix sums in DECIMAL (exact, order-free),
+    // ONE double division per mean, argmax on the ROUNDED statistic
+    // with the earliest day winning ties.
+    "x140_changepoint" ->
+      s"""WITH $dailyCte,
+         |led AS (SELECT user_id, day AS d0, demand,
+         |  lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt
+         |  FROM daily),
+         |dense AS (SELECT user_id, d0, demand,
+         |  CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+         |    CAST(COALESCE(nxt - 1, d0) AS TIMESTAMP),
+         |    INTERVAL 1 DAY)) AS DATE) AS day
+         |  FROM led),
+         |ser AS (SELECT user_id, day,
+         |  CASE WHEN day = d0 THEN CAST(demand AS DECIMAL(28,6))
+         |    ELSE CAST(0 AS DECIMAL(28,6)) END AS y
+         |  FROM dense),
+         |sc AS (SELECT user_id, day,
+         |  SUM(y) OVER wc AS ca, COUNT(*) OVER wc AS t,
+         |  SUM(y) OVER wa AS s, COUNT(*) OVER wa AS n
+         |  FROM ser
+         |  WINDOW wc AS (PARTITION BY user_id ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |  wa AS (PARTITION BY user_id)),
+         |f AS (SELECT user_id, day,
+         |  CAST(ca AS DOUBLE) / t AS ml,
+         |  CAST(s - ca AS DOUBLE) / (n - t) AS mr, t, n
+         |  FROM sc WHERE t >= 7 AND t <= n - 7),
+         |r AS (SELECT user_id, day,
+         |  CAST(ROUND(CAST(ml AS DECIMAL(18,8)), 4) AS DOUBLE)
+         |    AS mean_left,
+         |  CAST(ROUND(CAST(mr AS DECIMAL(18,8)), 4) AS DOUBLE)
+         |    AS mean_right,
+         |  CAST(ROUND(CAST(ABS(ml - mr)
+         |    * SQRT(CAST(t * (n - t) AS DOUBLE) / n) AS DECIMAL(18,8)),
+         |    4) AS DOUBLE) AS stat,
+         |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+         |    ROUND(CAST(ABS(ml - mr)
+         |      * SQRT(CAST(t * (n - t) AS DOUBLE) / n) AS DECIMAL(18,8)),
+         |      4) DESC, day) AS rn
+         |  FROM f)
+         |SELECT user_id, day AS split_day, mean_left, mean_right, stat
+         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
     "x124_croston" -> crostonSql,
     "x125_backtest" -> backtestSql,
 

@@ -1718,6 +1718,23 @@ object Queries {
         minCount = 5, topK = 50)
       .orderBy("w1", "w2")
 
+  /** X139 — classical additive seasonal decomposition (X99):
+    * y = trend + seasonal + resid per user's zero-filled daily demand
+    * (centered 7-day trend, per-weekday seasonal index). */
+  def x139(s: SparkSession, dir: String): DataFrame =
+    Forecast.seasonalDecompose(dailyDemand(s, dir), "user_id", "day",
+        "demand")
+      .orderBy("user_id", "day")
+
+  /** X140 — single changepoint scan (X100): the split maximizing the
+    * two-sample level-shift statistic per user series, min segment 7
+    * days; prefix sums in DECIMAL so both engines divide exact
+    * numerators. */
+  def x140(s: SparkSession, dir: String): DataFrame =
+    Forecast.changepointScan(dailyDemand(s, dir), "user_id", "day",
+        "demand", minSeg = 7)
+      .orderBy("user_id")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -1869,5 +1886,7 @@ object Queries {
     "x135_psi_drift" -> (x135 _),
     "x136_gini" -> (x136 _),
     "x137_sessions" -> (x137 _),
-    "x138_pmi_collocations" -> (x138 _))
+    "x138_pmi_collocations" -> (x138 _),
+    "x139_seasonal_decompose" -> (x139 _),
+    "x140_changepoint" -> (x140 _))
 }

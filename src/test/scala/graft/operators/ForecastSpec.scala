@@ -207,4 +207,49 @@ class ForecastSpec extends SparkSpec {
     // single point at x=1 has null slope/r2 (no x variance)
     assert(out(1).isNullAt(2) && out(1).isNullAt(4))
   }
+
+  test("seasonalDecompose: pure weekly pattern decomposes to zero residual") {
+    import spark.implicits._
+    // Mon 2024-01-01 .. Sun 2024-01-14: y = 17 on Mondays, 10 else.
+    // Full 7-day trend windows exist for days 4..11, trend = 77/7 = 11
+    // there; seasonal(Mon) = 6, seasonal(other) = -1; resid = 0 inside
+    // the full-trend region, null at the edges (pandas-style).
+    val in = daily((1 to 14).map { i =>
+      val day = f"2024-01-$i%02d"
+      (1L, day, if ((i - 1) % 7 == 0) 17.0 else 10.0)
+    }: _*)
+    val out = Forecast.seasonalDecompose(in, "user_id", "day", "demand")
+      .orderBy("day")
+      .select("day", "trend", "seasonal", "resid")
+      .as[(Date, Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(out.size == 14)
+    val byDay = out.map(r => (r._1.toString, r)).toMap
+    assert(byDay("2024-01-08")._2.exists(_ == 11.0))
+    assert(byDay("2024-01-08")._3.exists(_ == 6.0), s"Mon seasonal: $out")
+    assert(byDay("2024-01-09")._3.exists(_ == -1.0))
+    (4 to 11).foreach { i =>
+      val r = byDay(f"2024-01-$i%02d")
+      assert(r._4.exists(_ == 0.0), s"resid at day $i: $r")
+    }
+    Seq(1, 2, 3, 12, 13, 14).foreach { i =>
+      val r = byDay(f"2024-01-$i%02d")
+      assert(r._2.isEmpty && r._4.isEmpty, s"edge day $i must be null: $r")
+    }
+  }
+
+  test("changepointScan: finds the level shift, short series yield no row") {
+    import spark.implicits._
+    // 10 days at 1.0 then 10 days at 5.0: best split after day 10,
+    // stat = |1-5| * sqrt(10*10/20) = 4*sqrt(5) = 8.9443
+    val shift = (1 to 20).map { i =>
+      (1L, f"2024-01-$i%02d", if (i <= 10) 1.0 else 5.0)
+    }
+    // key 2: only 10 days < 2*minSeg -> excluded entirely
+    val short = (1 to 10).map(i => (2L, f"2024-02-$i%02d", 3.0))
+    val out = Forecast.changepointScan(daily(shift ++ short: _*),
+        "user_id", "day", "demand", minSeg = 7)
+      .as[(Long, Date, Double, Double, Double)].collect().toSeq
+    assert(out == Seq((1L, d("2024-01-10"), 1.0, 5.0, 8.9443)), s"got $out")
+  }
 }
