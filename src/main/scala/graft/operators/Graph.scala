@@ -156,6 +156,54 @@ object Graph {
     counts.select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
 
+  /** Per-node local clustering coefficient
+    * `c(v) = 2·T(v) / (d(v)·(d(v)−1))` — the fraction of a node's
+    * neighbor pairs that are themselves connected, the standard
+    * "how clique-like is this node's neighborhood" signal (community
+    * cores score ~1, stars score 0). Triangles come from the SAME
+    * degree-ordered orientation as [[triangleCount]] (each triangle
+    * found once at its lowest-(deg, id) corner, hub wedge explosion
+    * bounded at Σ outdeg²), then each found triangle credits its
+    * three corners via one explode — 3 rows per triangle, not a
+    * per-node re-count. Nodes with degree < 2 have no defined
+    * coefficient (null). Rounded values stabilize through
+    * DECIMAL(18,8) (the changepointScan boundary contract —
+    * `2T/(d(d−1))` is rational and can terminate at the round digit).
+    */
+  def clusteringCoefficient(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+    : DataFrame = {
+    val a = least(col(srcCol).cast("string"), col(dstCol).cast("string"))
+    val b = greatest(col(srcCol).cast("string"), col(dstCol).cast("string"))
+    val canon = scope.persist(
+      edges.select(a.as("a"), b.as("b")).filter(col("a") =!= col("b"))
+        .distinct())
+    val deg = scope.persist(canon.select(col("a").as("n"))
+      .union(canon.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d")))
+    val oriented = scope.persist(orientByDegree(canon, deg))
+    val wedges = oriented.as("e1").join(oriented.as("e2"), "u")
+      .filter(col("e1.v") < col("e2.v"))
+      .select(col("u"), col("e1.v").as("wa"), col("e2.v").as("wb"))
+    val closed = wedges.join(canon,
+      col("wa") === col("a") && col("wb") === col("b"), "left_semi")
+    val nodeTri = closed
+      .select(explode(array(col("u"), col("wa"), col("wb"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("__tri"))
+    val tri = coalesce(col("__tri"), lit(0L))
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    deg.join(nodeTri, Seq("n"), "left")
+      .select(col("n").as("node"), col("d").as("degree"),
+        tri.as("n_triangles"),
+        when(col("d") >= 2,
+          round((lit(2.0d) * tri / (col("d") * (col("d") - 1)))
+            .cast(stable), 4).cast("double"))
+          .as("coeff"))
+  }
+
   /** [[triangleCount]]'s edge orientation, exposed so GraphSpec can
     * pin the mechanism (a max-degree hub must have out-degree 0 —
     * THAT is the Σ outdeg² bound) rather than just the final count:

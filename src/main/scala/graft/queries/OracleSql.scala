@@ -2174,6 +2174,42 @@ object OracleSql {
          |SELECT user_id, day AS split_day, mean_left, mean_right, stat
          |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
+    // Clustering coefficient: x129's orientation CTEs with the wedge
+    // CENTER carried through; each closed triangle credits its three
+    // corners; coeff stabilized through DECIMAL(18,8) (the x140
+    // boundary contract — 2T/(d(d−1)) is rational).
+    "x141_clustering_coeff" ->
+      """WITH oi AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i
+        |  FROM lineitem),
+        |e0 AS (SELECT l.i AS x, r.i AS y
+        |  FROM oi l JOIN oi r ON l.o = r.o AND l.i < r.i
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |canon AS (SELECT DISTINCT
+        |    least(CAST(x AS VARCHAR), CAST(y AS VARCHAR)) AS a,
+        |    greatest(CAST(x AS VARCHAR), CAST(y AS VARCHAR)) AS b
+        |  FROM e0 WHERE CAST(x AS VARCHAR) <> CAST(y AS VARCHAR)),
+        |deg AS (SELECT n, COUNT(*) AS d FROM (
+        |    SELECT a AS n FROM canon UNION ALL SELECT b FROM canon)
+        |  GROUP BY 1),
+        |ori AS (SELECT
+        |    CASE WHEN (da.d, c.a) < (db.d, c.b) THEN c.a ELSE c.b END AS u,
+        |    CASE WHEN (da.d, c.a) < (db.d, c.b) THEN c.b ELSE c.a END AS v
+        |  FROM canon c JOIN deg da ON c.a = da.n JOIN deg db ON c.b = db.n),
+        |wed AS (SELECT e1.u AS u, e1.v AS wa, e2.v AS wb
+        |  FROM ori e1 JOIN ori e2 ON e1.u = e2.u AND e1.v < e2.v),
+        |tri0 AS (SELECT u, wa, wb FROM wed
+        |  WHERE EXISTS (SELECT 1 FROM canon
+        |                WHERE a = wed.wa AND b = wed.wb)),
+        |nt AS (SELECT n, COUNT(*) AS tri FROM (
+        |    SELECT u AS n FROM tri0 UNION ALL SELECT wa FROM tri0
+        |    UNION ALL SELECT wb FROM tri0) GROUP BY 1)
+        |SELECT deg.n AS node, CAST(d AS BIGINT) AS degree,
+        |  CAST(COALESCE(tri, 0) AS BIGINT) AS n_triangles,
+        |  CASE WHEN d >= 2 THEN CAST(ROUND(CAST(
+        |    2.0 * COALESCE(tri, 0) / (d * (d - 1))
+        |    AS DECIMAL(18,8)), 4) AS DOUBLE) END AS coeff
+        |FROM deg LEFT JOIN nt ON deg.n = nt.n ORDER BY node""".stripMargin,
+
     "x124_croston" -> crostonSql,
     "x125_backtest" -> backtestSql,
 

@@ -1735,6 +1735,21 @@ object Queries {
         "demand", minSeg = 7)
       .orderBy("user_id")
 
+  /** X141 — local clustering coefficient (X101) on the same support-≥2
+    * co-purchase affinity graph as x129: per node, the fraction of its
+    * neighbor pairs that are themselves connected. */
+  def x141(s: SparkSession, dir: String): DataFrame = {
+    val oi = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = oi.as("l").join(oi.as("r"), Seq("l_orderkey"))
+      .filter(col("l.l_partkey") < col("r.l_partkey"))
+      .groupBy(col("l.l_partkey").as("src"), col("r.l_partkey").as("dst"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2)
+    graft.operators.Graph.clusteringCoefficient(pairs, "src", "dst")
+      .orderBy("node")
+  }
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -1888,5 +1903,6 @@ object Queries {
     "x137_sessions" -> (x137 _),
     "x138_pmi_collocations" -> (x138 _),
     "x139_seasonal_decompose" -> (x139 _),
-    "x140_changepoint" -> (x140 _))
+    "x140_changepoint" -> (x140 _),
+    "x141_clustering_coeff" -> (x141 _))
 }

@@ -104,4 +104,35 @@ class GraphSpec extends SparkSpec {
     val r = Graph.triangleCount(messy, "src", "dst").head()
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 3L, 1L)))
   }
+
+  test("clusteringCoefficient: K4 cores at 1.0, tail dilutes its anchor, leaves null") {
+    import spark.implicits._
+    // K4 on {a,b,c,d} + tail edge a-e: b,c,d keep coeff 1.0 (all 3
+    // neighbor pairs closed); a has degree 4 with 3 of 6 pairs closed
+    // -> 0.5; e has degree 1 -> undefined (null)
+    val k4 = for {
+      x <- Seq("a", "b", "c", "d"); y <- Seq("a", "b", "c", "d")
+      if x < y
+    } yield (x, y)
+    val df = (k4 :+ ("a" -> "e")).toDF("src", "dst")
+    val got = Graph.clusteringCoefficient(df, "src", "dst")
+      .orderBy("node")
+      .as[(String, Long, Long, Option[Double])].collect().toSeq
+    assert(got == Seq(
+      ("a", 4L, 3L, Some(0.5)),
+      ("b", 3L, 3L, Some(1.0)),
+      ("c", 3L, 3L, Some(1.0)),
+      ("d", 3L, 3L, Some(1.0)),
+      ("e", 1L, 0L, None)), s"got $got")
+  }
+
+  test("clusteringCoefficient: a star center closes no neighbor pairs -> 0.0") {
+    import spark.implicits._
+    val star = Seq("hub" -> "l1", "hub" -> "l2", "hub" -> "l3")
+      .toDF("src", "dst")
+    val got = Graph.clusteringCoefficient(star, "src", "dst")
+      .filter(col("node") === "hub")
+      .as[(String, Long, Long, Option[Double])].head()
+    assert(got == (("hub", 3L, 0L, Some(0.0))), s"got $got")
+  }
 }
