@@ -186,6 +186,46 @@ object Evaluation {
         round((pc - pb) * (log(pc) - log(pb)), roundDigits).as("psi_term"))
   }
 
+  /** Welch's unequal-variance t-test between two slices of a numeric
+    * column — "did the mean move, and is the move larger than the
+    * noise?" — the parametric complement of [[ksTest]]'s whole-
+    * distribution question. Returns the t statistic and the
+    * Welch–Satterthwaite degrees of freedom (the caller looks up the
+    * p-value; evaluating the t CDF is a table lookup, not a data
+    * problem).
+    *
+    * ONE aggregate over one scan: per-side n/mean/variance as
+    * conditional aggregates (all moment sketches, map-side
+    * combinable). Both outputs stabilize through DECIMAL(18,8)
+    * before rounding (the changepoint boundary contract).
+    */
+  def welchTTest(df: DataFrame, sideA: Column, sideB: Column,
+      value: Column, roundDigits: Int = 4): DataFrame = {
+    val v = value.cast("double")
+    val agg = df.filter((sideA || sideB) && value.isNotNull).agg(
+      count(when(sideA, lit(1))).as("__na"),
+      avg(when(sideA, v)).as("__ma"),
+      var_samp(when(sideA, v)).as("__va"),
+      count(when(sideB, lit(1))).as("__nb"),
+      avg(when(sideB, v)).as("__mb"),
+      var_samp(when(sideB, v)).as("__vb"))
+    val sa = col("__va") / col("__na")
+    val sb = col("__vb") / col("__nb")
+    val se2 = sa + sb
+    val t = (col("__ma") - col("__mb")) / sqrt(se2)
+    val dof = (se2 * se2) /
+      (sa * sa / (col("__na") - 1) + sb * sb / (col("__nb") - 1))
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    def r(c: Column): Column =
+      round(c.cast(stable), roundDigits).cast("double")
+    agg.select(
+      col("__na").as("n_a"), col("__nb").as("n_b"),
+      r(when(col("__na") >= 2 && col("__nb") >= 2 && se2 > 0, t))
+        .as("t_stat"),
+      r(when(col("__na") >= 2 && col("__nb") >= 2 && sa > 0 && sb > 0,
+        dof)).as("dof"))
+  }
+
   /** Gini coefficient of a nonnegative quantity's concentration
     * (spend, tokens, traffic): with values sorted ascending and
     * 1-based rank `i`, `G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n`. 0 = equal

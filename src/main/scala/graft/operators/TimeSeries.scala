@@ -202,6 +202,32 @@ object TimeSeries {
       .withColumn("duration_us", col("end_us") - col("start_us"))
   }
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences: for every (from, to) adjacent pair, the count and the
+    * row-normalized transition probability `P(to | from)` — the
+    * behavioral fingerprint behind next-event prediction, anomaly
+    * scoring (improbable paths), and funnel design. One sorted window
+    * pass per user builds the adjacency (shuffle on the user key,
+    * never event×event); the count aggregate collapses to
+    * type²-cardinality rows, so the row-normalizing window is tiny by
+    * construction. `prob` is rational (n/total) and stabilizes through
+    * DECIMAL(18,8) before rounding (the changepointScan boundary
+    * contract). */
+  def markovTransitions(df: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String, roundDigits: Int = 6): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val pairs = df
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = Window.partitionBy(col("from_type"))
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    pairs.select(col("from_type"), col("to_type"), col("n"),
+      round((col("n").cast("double") / sum(col("n")).over(tot))
+        .cast(stable), roundDigits).cast("double").as("prob"))
+  }
+
   /** Weekly retention cohorts: users grouped by the week of their FIRST
     * event; for each (cohort week, weeks since) cell, how many of that
     * cohort's users were active — the standard retention triangle. Both

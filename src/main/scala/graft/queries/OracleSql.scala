@@ -2210,6 +2210,51 @@ object OracleSql {
         |    AS DECIMAL(18,8)), 4) AS DOUBLE) END AS coeff
         |FROM deg LEFT JOIN nt ON deg.n = nt.n ORDER BY node""".stripMargin,
 
+    // Welch's t: per-side moments from ONE conditional aggregate; the
+    // t/dof expressions mirror the Spark association exactly (sa, sb
+    // named once in a CTE), and stabilize via DECIMAL(18,8).
+    "x142_welch_ttest" ->
+      """WITH s AS (SELECT value AS v,
+        |  event_type = 'click' AS ia, event_type = 'purchase' AS ib
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+        |a AS (SELECT
+        |  COUNT(CASE WHEN ia THEN 1 END) AS na,
+        |  AVG(CASE WHEN ia THEN v END) AS ma,
+        |  VAR_SAMP(CASE WHEN ia THEN v END) AS va,
+        |  COUNT(CASE WHEN ib THEN 1 END) AS nb,
+        |  AVG(CASE WHEN ib THEN v END) AS mb,
+        |  VAR_SAMP(CASE WHEN ib THEN v END) AS vb
+        |  FROM s),
+        |m AS (SELECT na, nb, ma, mb, va / na AS sa, vb / nb AS sb FROM a)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST(ROUND(CAST(
+        |    CASE WHEN na >= 2 AND nb >= 2 AND sa + sb > 0
+        |      THEN (ma - mb) / SQRT(sa + sb) END
+        |    AS DECIMAL(18,8)), 4) AS DOUBLE) AS t_stat,
+        |  CAST(ROUND(CAST(
+        |    CASE WHEN na >= 2 AND nb >= 2 AND sa > 0 AND sb > 0
+        |      THEN (sa + sb) * (sa + sb)
+        |        / (sa * sa / (na - 1) + sb * sb / (nb - 1)) END
+        |    AS DECIMAL(18,8)), 4) AS DOUBLE) AS dof
+        |FROM m""".stripMargin,
+
+    // Markov transitions: one lead window per user, counts collapse to
+    // type² rows; prob stabilized via DECIMAL(18,8).
+    "x143_markov_transitions" ->
+      """WITH p AS (SELECT event_type AS from_type,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |g AS (SELECT from_type, to_type, COUNT(*) AS n FROM p
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, to_type, n,
+        |  SUM(n) OVER (PARTITION BY from_type) AS tot FROM g)
+        |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+        |  CAST(ROUND(CAST(CAST(n AS DOUBLE) / tot AS DECIMAL(18,8)), 6)
+        |    AS DOUBLE) AS prob
+        |FROM t ORDER BY from_type, to_type""".stripMargin,
+
     "x124_croston" -> crostonSql,
     "x125_backtest" -> backtestSql,
 

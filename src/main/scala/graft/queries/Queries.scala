@@ -1750,6 +1750,22 @@ object Queries {
       .orderBy("node")
   }
 
+  /** X142 — Welch's unequal-variance t-test (X102): click vs purchase
+    * mean `value`, t statistic + Welch–Satterthwaite dof in one
+    * conditional-moment aggregate. */
+  def x142(s: SparkSession, dir: String): DataFrame =
+    Evaluation.welchTTest(Tables.events(s, dir),
+      sideA = col("event_type") === "click",
+      sideB = col("event_type") === "purchase",
+      value = col("value"))
+
+  /** X143 — first-order Markov transition matrix (X103) over per-user
+    * event sequences: P(next type | type) with counts. */
+  def x143(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.markovTransitions(Tables.events(s, dir), "user_id", "ts",
+        "event_id", "event_type")
+      .orderBy("from_type", "to_type")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -1904,5 +1920,7 @@ object Queries {
     "x138_pmi_collocations" -> (x138 _),
     "x139_seasonal_decompose" -> (x139 _),
     "x140_changepoint" -> (x140 _),
-    "x141_clustering_coeff" -> (x141 _))
+    "x141_clustering_coeff" -> (x141 _),
+    "x142_welch_ttest" -> (x142 _),
+    "x143_markov_transitions" -> (x143 _))
 }

@@ -100,6 +100,29 @@ class EvaluationSpec extends SparkSpec {
     assert(gini(Seq(2, 2, 1, 4, 1)) == gini(Seq(1, 1, 2, 2, 4)))
   }
 
+  test("welchTTest: hand moments, and a single-observation side yields null") {
+    val df = (Seq(1.0, 2.0, 3.0).map((_, "a")) ++
+      Seq(5.0, 6.0, 7.0, 8.0).map((_, "b"))).toDF("v", "side")
+    val got = Evaluation.welchTTest(df, col("side") === "a",
+        col("side") === "b", col("v"))
+      .as[(Long, Long, Option[Double], Option[Double])].head()
+    // hand: ma=2 va=1 sa=1/3; mb=6.5 vb=5/3 sb=5/12
+    val sa = 1.0 / 3; val sb = (5.0 / 3) / 4
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val t = (2.0 - 6.5) / math.sqrt(sa + sb)
+    val dof = (sa + sb) * (sa + sb) / (sa * sa / 2 + sb * sb / 3)
+    assert(got._1 == 3L && got._2 == 4L)
+    assert(got._3.contains(r4(t)) && got._4.contains(r4(dof)), s"got $got")
+
+    val degenerate = (Seq(1.0).map((_, "a")) ++
+      Seq(2.0, 3.0).map((_, "b"))).toDF("v", "side")
+    val d = Evaluation.welchTTest(degenerate, col("side") === "a",
+        col("side") === "b", col("v"))
+      .as[(Long, Long, Option[Double], Option[Double])].head()
+    assert(d._3.isEmpty && d._4.isEmpty, s"got $d")
+  }
+
   test("gini: zero-total and empty inputs yield null, not a crash") {
     assert(gini(Seq(0, 0))._3.isEmpty)
     val empty = Seq.empty[(Double, Long)].toDF("v", "id")

@@ -253,4 +253,26 @@ class TimeSeriesSpec extends SparkSpec {
       (2L, 1L, us("2024-01-01 09:00:00"), us("2024-01-01 09:00:00"), 1L, 0L)),
       s"got $got")
   }
+
+  test("markovTransitions: row-normalized counts over per-user adjacency") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: a->b->a->c; user 2: a->b. From a: b twice, c once.
+    val df = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, 2L, ts("2024-01-01 10:01:00"), "b"),
+      (1L, 3L, ts("2024-01-01 10:02:00"), "a"),
+      (1L, 4L, ts("2024-01-01 10:03:00"), "c"),
+      (2L, 5L, ts("2024-01-01 09:00:00"), "a"),
+      (2L, 6L, ts("2024-01-01 09:05:00"), "b"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = TimeSeries.markovTransitions(df, "user_id", "ts",
+        "event_id", "event_type")
+      .orderBy("from_type", "to_type")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("a", "b", 2L, 0.666667),
+      ("a", "c", 1L, 0.333333),
+      ("b", "a", 1L, 1.0)), s"got $got")
+  }
 }
