@@ -409,11 +409,14 @@ object Forecast {
     *
     * Shape: the gap-explode densify (each row generates only its own
     * gap run — no calendar-spine join), ONE sorted window pass for the
-    * trend, one (key, weekday) aggregate for the seasonal index
-    * (cardinality ≤ 7·keys, broadcast back), all joins on the key.
-    * Portability: trend ROUNDs to 6 dp before detrending, so every
-    * downstream difference starts from engine-identical doubles; the
-    * weekday convention is Mon=0 (the t18 parity).
+    * trend, and the seasonal index as a second window partitioned by
+    * (key, weekday) — a window, not an aggregate-plus-join-back, so
+    * the densified/trended relation is computed ONCE and never
+    * self-joined (the join form re-ran the whole upstream subtree on
+    * both sides). Portability: trend ROUNDs to 6 dp before
+    * detrending, so every downstream difference starts from
+    * engine-identical doubles; the weekday convention is Mon=0 (the
+    * t18 parity).
     */
   def seasonalDecompose(
       daily: DataFrame,
@@ -436,10 +439,10 @@ object Forecast {
         when(count(lit(1)).over(wTrend) === 7,
           round(avg(col("__y")).over(wTrend), 6)))
       .withColumn("__dow", weekday(col("__day")))
-    val seasonal = trended
-      .groupBy(col(keyCol), col("__dow"))
-      .agg(round(avg(col("__y") - col("__trend")), 6).as("__seasonal"))
-    trended.join(seasonal, Seq(keyCol, "__dow"))
+    val wSeason = Window.partitionBy(col(keyCol), col("__dow"))
+    trended
+      .withColumn("__seasonal",
+        round(avg(col("__y") - col("__trend")).over(wSeason), 6))
       .select(col(keyCol), col("__day").as("day"),
         round(col("__y"), 2).as("y"),
         round(col("__trend"), roundDigits).as("trend"),
