@@ -226,6 +226,57 @@ object Evaluation {
         dof)).as("dof"))
   }
 
+  /** X108 — Spearman rank correlation between two numeric columns:
+    * Pearson correlation over midranks, the outlier-robust "does y
+    * rise with x" monotone-association test (a feature-vs-label screen
+    * that a linear corr misses on curved but monotone relationships).
+    *
+    * Shape: each variable's midranks come from ONE distinct-value
+    * count aggregate + a cumulative window over VALUE cardinality (the
+    * [[rocAuc]] machinery, run per side), joined back to rows on the
+    * value — two shuffles of row cardinality, windows bounded by
+    * distinct cardinality. Midranks are exact halves, so the five
+    * moment sums run EXACTLY in DECIMAL(28,6) (addition-order-free);
+    * the final correlation is one float expression over those exact
+    * operands, stabilized through DECIMAL(18,8). A constant column has
+    * zero rank variance → null, not a division error.
+    */
+  def spearman(df: DataFrame, x: Column, y: Column,
+      roundDigits: Int = 6): DataFrame = {
+    val raw = df.filter(x.isNotNull && y.isNotNull)
+      .select(x.cast("double").as("__x"), y.cast("double").as("__y"))
+    def midranks(frame: DataFrame, v: String, out: String): DataFrame = {
+      val perVal = frame.groupBy(col(v)).agg(count(lit(1)).as("__n"))
+      val w = Window.orderBy(col(v))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      perVal.select(col(v),
+        (coalesce(sum(col("__n")).over(w), lit(0L))
+          + (col("__n") + 1) / lit(2.0d)).as(out))
+    }
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val ranked = raw
+      .join(midranks(raw, "__x", "__rx"), "__x")
+      .join(midranks(raw, "__y", "__ry"), "__y")
+    val m = ranked.agg(
+      count(lit(1)).as("__nr"),
+      sum(col("__rx").cast(dec)).as("__sx"),
+      sum(col("__ry").cast(dec)).as("__sy"),
+      sum((col("__rx") * col("__ry")).cast(dec)).as("__sxy"),
+      sum((col("__rx") * col("__rx")).cast(dec)).as("__sxx"),
+      sum((col("__ry") * col("__ry")).cast(dec)).as("__syy"))
+    val n = col("__nr").cast("double")
+    def d(c: String): Column = col(c).cast("double")
+    val covN = n * d("__sxy") - d("__sx") * d("__sy")
+    val varX = n * d("__sxx") - d("__sx") * d("__sx")
+    val varY = n * d("__syy") - d("__sy") * d("__sy")
+    m.select(col("__nr").as("n"),
+      round(
+        when(varX > 0 && varY > 0, covN / sqrt(varX * varY))
+          .cast(stable), roundDigits)
+        .cast("double").as("rho"))
+  }
+
   /** Gini coefficient of a nonnegative quantity's concentration
     * (spend, tokens, traffic): with values sorted ascending and
     * 1-based rank `i`, `G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n`. 0 = equal

@@ -254,4 +254,58 @@ object Profiling {
         ((first(col("__r")) - 1) * (first(col("__c")) - 1)).as("dof"),
         first(col("__n")).as("n"))
   }
+
+  /** X109 — mutual information between two categorical columns, in
+    * nats, with the marginal entropies and the normalized form
+    * `NMI = MI / min(H(a), H(b))` — "how much does knowing column A
+    * tell you about column B", the feature-redundancy / leakage screen
+    * that [[chiSquare]]'s yes/no dependence answer doesn't quantify.
+    *
+    * Same shape as [[chiSquare]]: ONE cell aggregate to r×c
+    * cardinality, marginals derived from it, one final aggregate. Only
+    * OBSERVED cells enter the sum — a zero cell contributes
+    * `0·ln(0·…) = 0` to MI by convention (the opposite of χ², where
+    * zero cells carry the evidence).
+    *
+    * Portability: each cell term is ONE left-associated double
+    * expression over exact integer counts (both engines run the
+    * identical IEEE sequence), cast to DECIMAL(18,10) and summed
+    * EXACTLY — no float-addition-order dependence (the linkPrediction
+    * discipline; chiSquare can sum doubles because its gate rounds at
+    * a coarser boundary, MI's log terms cannot).
+    */
+  def mutualInfo(df: DataFrame, colA: String, colB: String,
+      roundDigits: Int = 6,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+    : DataFrame = {
+    val cells = scope.persist(
+      df.groupBy(col(colA).as("__a"), col(colB).as("__b"))
+        .agg(count(lit(1)).as("__o")))
+    val rowTot = cells.groupBy(col("__a")).agg(sum(col("__o")).as("__ra"))
+    val colTot = cells.groupBy(col("__b")).agg(sum(col("__o")).as("__cb"))
+    val n = cells.agg(sum(col("__o")).as("__n"))
+    val dec = org.apache.spark.sql.types.DecimalType(18, 10)
+    val nD = col("__n").cast("double")
+    // p·ln(N·n_ab/(n_a·n_b)) assembled once, left-associated
+    val miTerm = ((col("__o") / nD)
+      * log(nD * col("__o") / (col("__ra").cast("double") * col("__cb"))))
+      .cast(dec)
+    def hTerm(c: String): Column =
+      (-(col(c) / nD) * log(col(c) / nD)).cast(dec)
+    val mi = cells.join(rowTot, "__a").join(colTot, "__b")
+      .crossJoin(broadcast(n))
+      .agg(sum(miTerm).as("__mi"))
+    val ha = rowTot.crossJoin(broadcast(n)).agg(sum(hTerm("__ra")).as("__ha"))
+    val hb = colTot.crossJoin(broadcast(n)).agg(sum(hTerm("__cb")).as("__hb"))
+    val hmin = least(col("__ha"), col("__hb")).cast("double")
+    mi.crossJoin(ha).crossJoin(hb)
+      .select(
+        round(col("__mi").cast("double"), roundDigits).as("mi"),
+        round(col("__ha").cast("double"), roundDigits).as("h_a"),
+        round(col("__hb").cast("double"), roundDigits).as("h_b"),
+        round(
+          when(hmin > 0, col("__mi").cast("double") / hmin)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 8)),
+          roundDigits).cast("double").as("nmi"))
+  }
 }

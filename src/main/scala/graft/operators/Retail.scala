@@ -119,4 +119,147 @@ object Retail {
         .when(col("r_score") <= 2 && col("f_score") <= 2, "at_risk")
         .otherwise("regular").as("segment"))
   }
+
+  /** X104 — ABC / Pareto classification: rank keys by exact decimal
+    * revenue descending, compute each key's cumulative revenue share,
+    * and label A (first `aCut` of revenue), B (to `bCut`), C (tail) —
+    * the standard inventory-prioritization split ("20% of SKUs are 80%
+    * of revenue").
+    *
+    * Shape: one map-side-combinable decimal aggregate collapses the
+    * input to CATALOG cardinality; the cumulative window then runs
+    * over keys, not line items — the kaplanMeier/markov "window is tiny
+    * by construction" discipline (a catalog is ≤ millions where the
+    * fact table is billions). At billion-key cardinality swap the
+    * window for the labelEncode range-sort + per-partition-offset
+    * prefix sum; the classification math is unchanged.
+    *
+    * Portability: revenue sums and the running total are exact
+    * DECIMAL(28,2) (addition-order-free); the share division happens
+    * per row on exact operands and stabilizes through DECIMAL(18,8)
+    * BEFORE the class thresholds compare, so a boundary key lands in
+    * the same class on any engine. Ties order by key so the running
+    * total is a total order.
+    */
+  def abcClassification(
+      items: DataFrame,
+      keyCol: String,
+      amountCol: String,
+      aCut: Double = 0.8,
+      bCut: Double = 0.95): DataFrame = {
+    require(aCut > 0 && aCut < bCut && bCut < 1,
+      s"need 0 < aCut < bCut < 1, got $aCut, $bCut")
+    val dec = org.apache.spark.sql.types.DecimalType(28, 2)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val perKey = items.groupBy(col(keyCol).as("key"))
+      .agg(sum(col(amountCol).cast(dec)).as("revenue"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("revenue").desc, col("key"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy()
+    val share = round(
+      (sum(col("revenue")).over(w).cast("double")
+        / sum(col("revenue")).over(tot).cast("double")).cast(stable), 6)
+    perKey.select(
+      col("key"),
+      round(col("revenue").cast("double"), 2).as("revenue"),
+      share.cast("double").as("cum_share"),
+      when(share <= aCut, "A").when(share <= bCut, "B").otherwise("C")
+        .as("abc_class"))
+  }
+
+  /** X105 — cohort lifetime-value curve: customers cohort by their
+    * FIRST order month; for each (cohort, month offset) the curve
+    * reports active customers, period revenue, and cumulative revenue
+    * per cohort customer — the "how much is a January customer worth
+    * by month 6" table that pricing/CAC decisions read.
+    *
+    * Shape: the first-order month is one per-customer aggregate
+    * (map-side combinable); the (cohort, offset) rollup is another;
+    * the cumulative window runs over the cohort×offset grid, whose
+    * cardinality is months², not customers. Month arithmetic is exact
+    * integers (`year·12 + month`), immune to the day-of-month pitfalls
+    * of months_between. Revenue sums are exact DECIMAL(28,2); the one
+    * division per grid row stabilizes through DECIMAL(18,8).
+    */
+  def cohortLtv(
+      orders: DataFrame,
+      custCol: String,
+      dateCol: String,
+      amountCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 2)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val monthIdx = year(col(dateCol)) * 12 + month(col(dateCol))
+    val firstMonth = orders.groupBy(col(custCol).as("__c"))
+      .agg(min(monthIdx).as("__m0"))
+    val sized = firstMonth.groupBy(col("__m0"))
+      .agg(countDistinct(col("__c")).as("__cohort_n"))
+    val fact = orders
+      .join(firstMonth, col(custCol) === col("__c"))
+      .groupBy(col("__m0"), (monthIdx - col("__m0")).as("month_offset"))
+      .agg(countDistinct(col(custCol)).as("active_customers"),
+        sum(col(amountCol).cast(dec)).as("__rev"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__m0")).orderBy(col("month_offset"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    fact.join(broadcast(sized), "__m0")
+      .select(
+        // render the cohort as its calendar month for readability
+        format_string("%04d-%02d",
+          ((col("__m0") - 1) / 12).cast("int"),
+          ((col("__m0") - 1) % 12 + 1).cast("int")).as("cohort_month"),
+        col("month_offset").cast("bigint").as("month_offset"),
+        col("__cohort_n").as("cohort_size"),
+        col("active_customers"),
+        round(col("__rev").cast("double"), 2).as("revenue"),
+        round((sum(col("__rev")).over(wCum).cast("double")
+            / col("__cohort_n").cast("double")).cast(stable), 4)
+          .cast("double").as("cum_ltv"))
+  }
+
+  /** X106 — item-item cosine similarity (neighborhood collaborative
+    * filtering): over binary basket membership,
+    * `cos(i,j) = n_ij / sqrt(n_i · n_j)` — the classic item-based
+    * recommender sketch (Sarwar et al., WWW'01), and the latent-free
+    * complement of the ALS factorizer in [[graft.ml.Recommender]].
+    *
+    * Same candidate bound as [[marketBasket]]: the pair join is
+    * per-order, so cost is Σ C(|basket|, 2) — basket-bounded, not
+    * catalog-bounded (cap pathological baskets upstream). `minCount`
+    * floors support so one-off co-occurrences don't rank. The cosine
+    * is a single expression on exact integer counts (`sqrt` is IEEE
+    * correctly-rounded, so both engines compute the identical double),
+    * rounded before the top-k orders on it.
+    */
+  def itemCosine(
+      items: DataFrame,
+      orderCol: String,
+      itemCol: String,
+      topK: Int,
+      minCount: Long = 2,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+    : DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val oi = scope.persist(
+      items.select(col(orderCol).as("__o"), col(itemCol).as("__i"))
+        .distinct())
+    val pairs = oi.as("l").join(oi.as("r"), col("l.__o") === col("r.__o"))
+      .filter(col("l.__i") < col("r.__i"))
+      .groupBy(col("l.__i").as("item_a"), col("r.__i").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    val itemCounts = oi.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
+    pairs
+      .join(broadcast(itemCounts.select(col("__i").as("item_a"),
+        col("__n").as("__na"))), "item_a")
+      .join(broadcast(itemCounts.select(col("__i").as("item_b"),
+        col("__n").as("__nb"))), "item_b")
+      .select(col("item_a"), col("item_b"), col("n_ab"),
+        round(col("n_ab") / sqrt(col("__na").cast("double") * col("__nb")), 6)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("item_a"), col("item_b"))
+      .limit(topK)
+  }
 }

@@ -2255,6 +2255,156 @@ object OracleSql {
         |    AS DOUBLE) AS prob
         |FROM t ORDER BY from_type, to_type""".stripMargin,
 
+    // ABC/Pareto: exact decimal revenue + running total; the share
+    // rounds through DECIMAL(18,8) BEFORE the class thresholds.
+    "x144_abc_pareto" ->
+      """WITH pk AS (SELECT l_partkey AS key,
+        |  SUM(ROUND(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(28,6)), 2)) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |w AS (SELECT key, rev,
+        |  SUM(rev) OVER (ORDER BY rev DESC, key
+        |    ROWS UNBOUNDED PRECEDING) AS cum,
+        |  SUM(rev) OVER () AS tot FROM pk),
+        |s AS (SELECT key, rev,
+        |  ROUND(CAST(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)
+        |    AS DECIMAL(18,8)), 6) AS sh FROM w)
+        |SELECT key, ROUND(CAST(rev AS DOUBLE), 2) AS revenue,
+        |  CAST(sh AS DOUBLE) AS cum_share,
+        |  CASE WHEN sh <= 0.8 THEN 'A' WHEN sh <= 0.95 THEN 'B'
+        |    ELSE 'C' END AS abc_class
+        |FROM s ORDER BY key""".stripMargin,
+
+    // Cohort LTV: month index = year·12 + month (exact integers);
+    // revenue in DECIMAL(28,2); cum_ltv via DECIMAL(18,8).
+    "x145_cohort_ltv" ->
+      """WITH fm AS (SELECT o_custkey AS c,
+        |  MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS m0
+        |  FROM orders GROUP BY 1),
+        |cs AS (SELECT m0, COUNT(*) AS cohort_n FROM fm GROUP BY 1),
+        |f AS (SELECT fm.m0,
+        |  (year(o_orderdate) * 12 + month(o_orderdate)) - fm.m0 AS moff,
+        |  COUNT(DISTINCT o_custkey) AS active_customers,
+        |  SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS rev
+        |  FROM orders JOIN fm ON o_custkey = fm.c GROUP BY 1, 2),
+        |w AS (SELECT m0, moff, active_customers, rev,
+        |  SUM(rev) OVER (PARTITION BY m0 ORDER BY moff
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM f)
+        |SELECT printf('%04d-%02d', (m0 - 1) // 12, (m0 - 1) % 12 + 1)
+        |    AS cohort_month,
+        |  CAST(moff AS BIGINT) AS month_offset,
+        |  cs.cohort_n AS cohort_size, active_customers,
+        |  ROUND(CAST(rev AS DOUBLE), 2) AS revenue,
+        |  CAST(ROUND(CAST(CAST(cum AS DOUBLE) / CAST(cs.cohort_n AS DOUBLE)
+        |    AS DECIMAL(18,8)), 4) AS DOUBLE) AS cum_ltv
+        |FROM w JOIN cs USING (m0)
+        |ORDER BY cohort_month, month_offset""".stripMargin,
+
+    // Item-item cosine: n_ab/sqrt(n_a·n_b) on exact integer counts
+    // (sqrt is correctly rounded — identical doubles on both engines).
+    "x146_item_cosine" ->
+      """WITH oi AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i
+        |  FROM lineitem),
+        |pairs AS (SELECT l.i AS item_a, r.i AS item_b, COUNT(*) AS n_ab
+        |  FROM oi l JOIN oi r ON l.o = r.o AND l.i < r.i
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |ic AS (SELECT i, COUNT(*) AS n FROM oi GROUP BY 1),
+        |sc AS (SELECT item_a, item_b, n_ab,
+        |  ROUND(n_ab / SQRT(CAST(a.n AS DOUBLE) * b.n), 6) AS cosine
+        |  FROM pairs JOIN ic a ON pairs.item_a = a.i
+        |    JOIN ic b ON pairs.item_b = b.i),
+        |top AS (SELECT * FROM sc
+        |  ORDER BY cosine DESC, item_a, item_b LIMIT 100)
+        |SELECT * FROM top ORDER BY item_a, item_b""".stripMargin,
+
+    // Resource-allocation link prediction on the support-≥2 co-purchase
+    // graph: each 1/deg term is one IEEE division cast to
+    // DECIMAL(18,10), summed exactly — no float-order dependence.
+    "x147_link_prediction" ->
+      """WITH oi AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i
+        |  FROM lineitem),
+        |e0 AS (SELECT l.i AS x, r.i AS y
+        |  FROM oi l JOIN oi r ON l.o = r.o AND l.i < r.i
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |canon AS (SELECT DISTINCT
+        |    least(CAST(x AS VARCHAR), CAST(y AS VARCHAR)) AS a,
+        |    greatest(CAST(x AS VARCHAR), CAST(y AS VARCHAR)) AS b
+        |  FROM e0 WHERE CAST(x AS VARCHAR) <> CAST(y AS VARCHAR)),
+        |adj AS (SELECT a AS z, b AS nb FROM canon
+        |  UNION ALL SELECT b, a FROM canon),
+        |deg AS (SELECT z, COUNT(*) AS d FROM adj GROUP BY 1),
+        |ctr AS (SELECT adj.z, adj.nb, deg.d FROM adj JOIN deg USING (z)),
+        |wed AS (SELECT l.nb AS x, r.nb AS y, COUNT(*) AS n_common,
+        |  SUM(CAST(CAST(1.0 AS DOUBLE) / l.d AS DECIMAL(18,10))) AS ra
+        |  FROM ctr l JOIN ctr r ON l.z = r.z AND l.nb < r.nb
+        |  GROUP BY 1, 2),
+        |nonadj AS (SELECT * FROM wed WHERE NOT EXISTS
+        |  (SELECT 1 FROM canon WHERE a = wed.x AND b = wed.y)),
+        |top AS (SELECT x AS node_a, y AS node_b, n_common,
+        |  ROUND(CAST(ra AS DOUBLE), 6) AS ra_score
+        |  FROM nonadj ORDER BY ra_score DESC, node_a, node_b LIMIT 100)
+        |SELECT * FROM top ORDER BY node_a, node_b""".stripMargin,
+
+    // Spearman: midranks from distinct-value cumulative windows (the
+    // rocAuc machinery per side); moment sums exact in DECIMAL(28,6),
+    // cast to double ONCE, then one shared float expression.
+    "x148_spearman" ->
+      """WITH raw AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+        |  CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |gx AS (SELECT x, COUNT(*) AS n FROM raw GROUP BY 1),
+        |rx AS (SELECT x, COALESCE(SUM(n) OVER (ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + (n + 1) / 2.0 AS rnk FROM gx),
+        |gy AS (SELECT y, COUNT(*) AS n FROM raw GROUP BY 1),
+        |ry AS (SELECT y, COALESCE(SUM(n) OVER (ORDER BY y
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + (n + 1) / 2.0 AS rnk FROM gy),
+        |j AS (SELECT rx.rnk AS rkx, ry.rnk AS rky
+        |  FROM raw JOIN rx ON raw.x = rx.x JOIN ry ON raw.y = ry.y),
+        |m AS (SELECT COUNT(*) AS nr,
+        |  SUM(CAST(rkx AS DECIMAL(28,6))) AS sx,
+        |  SUM(CAST(rky AS DECIMAL(28,6))) AS sy,
+        |  SUM(CAST(rkx * rky AS DECIMAL(28,6))) AS sxy,
+        |  SUM(CAST(rkx * rkx AS DECIMAL(28,6))) AS sxx,
+        |  SUM(CAST(rky * rky AS DECIMAL(28,6))) AS syy FROM j),
+        |d AS (SELECT CAST(nr AS DOUBLE) AS n, nr,
+        |  CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+        |  CAST(sxy AS DOUBLE) AS sxy, CAST(sxx AS DOUBLE) AS sxx,
+        |  CAST(syy AS DOUBLE) AS syy FROM m)
+        |SELECT CAST(nr AS BIGINT) AS n,
+        |  CAST(ROUND(CAST(CASE
+        |    WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |    THEN (n * sxy - sx * sy)
+        |      / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) END
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS rho
+        |FROM d""".stripMargin,
+
+    // Mutual information: each cell/marginal term is ONE left-
+    // associated double expression cast to DECIMAL(18,10), summed
+    // exactly; only observed cells enter (0·ln0 = 0 convention).
+    "x149_mutual_info" ->
+      """WITH cells AS (SELECT o_orderstatus AS a, o_orderpriority AS b,
+        |  COUNT(*) AS o FROM orders GROUP BY 1, 2),
+        |ra AS (SELECT a, SUM(o) AS ra FROM cells GROUP BY 1),
+        |cb AS (SELECT b, SUM(o) AS cb FROM cells GROUP BY 1),
+        |nn AS (SELECT CAST(SUM(o) AS DOUBLE) AS n FROM cells),
+        |mi AS (SELECT SUM(CAST((o / nn.n)
+        |    * ln(nn.n * o / (CAST(ra.ra AS DOUBLE) * cb.cb))
+        |    AS DECIMAL(18,10))) AS mi
+        |  FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN nn),
+        |ha AS (SELECT SUM(CAST((-(ra / nn.n)) * ln(ra / nn.n)
+        |    AS DECIMAL(18,10))) AS ha FROM ra CROSS JOIN nn),
+        |hb AS (SELECT SUM(CAST((-(cb / nn.n)) * ln(cb / nn.n)
+        |    AS DECIMAL(18,10))) AS hb FROM cb CROSS JOIN nn)
+        |SELECT ROUND(CAST(mi AS DOUBLE), 6) AS mi,
+        |  ROUND(CAST(ha AS DOUBLE), 6) AS h_a,
+        |  ROUND(CAST(hb AS DOUBLE), 6) AS h_b,
+        |  CAST(ROUND(CAST(CASE WHEN CAST(least(ha, hb) AS DOUBLE) > 0
+        |    THEN CAST(mi AS DOUBLE) / CAST(least(ha, hb) AS DOUBLE) END
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS nmi
+        |FROM mi CROSS JOIN ha CROSS JOIN hb""".stripMargin,
+
     "x124_croston" -> crostonSql,
     "x125_backtest" -> backtestSql,
 

@@ -1766,6 +1766,62 @@ object Queries {
         "event_id", "event_type")
       .orderBy("from_type", "to_type")
 
+  /** X144 — ABC/Pareto classification (X104): parts ranked by exact
+    * decimal net revenue, cumulative-share classes A/B/C. */
+  def x144(s: SparkSession, dir: String): DataFrame =
+    Retail.abcClassification(
+        // net revenue quantizes to cents THROUGH DECIMAL(28,6) (the
+        // x140 boundary contract): a direct double→DECIMAL(_,2) cast
+        // disagrees across engines when value·100's float error
+        // crosses the half-cent boundary
+        Tables.lineitem(s, dir).select(col("l_partkey"),
+          round((col("l_extendedprice") * (lit(1.0d) - col("l_discount")))
+            .cast(DecimalType(28, 6)), 2).as("net")),
+        "l_partkey", "net")
+      .orderBy("key")
+
+  /** X145 — cohort LTV curve (X105): customers cohorted by first-order
+    * month; cumulative revenue per cohort customer by month offset. */
+  def x145(s: SparkSession, dir: String): DataFrame =
+    Retail.cohortLtv(Tables.orders(s, dir), "o_custkey", "o_orderdate",
+        "o_totalprice")
+      .orderBy("cohort_month", "month_offset")
+
+  /** X146 — item-item cosine similarity (X106): top-100 co-purchase
+    * neighbors at support ≥ 2, the neighborhood-CF complement of the
+    * ALS factorizer. */
+  def x146(s: SparkSession, dir: String): DataFrame =
+    Retail.itemCosine(Tables.lineitem(s, dir), "l_orderkey", "l_partkey",
+        topK = 100, minCount = 2)
+      .orderBy("item_a", "item_b")
+
+  /** X147 — link prediction (X107): top-100 non-adjacent pairs of the
+    * support-≥2 co-purchase graph (x129's graph) by resource-allocation
+    * index, exact form (maxDegree = 0). */
+  def x147(s: SparkSession, dir: String): DataFrame = {
+    val oi = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = oi.as("l").join(oi.as("r"), Seq("l_orderkey"))
+      .filter(col("l.l_partkey") < col("r.l_partkey"))
+      .groupBy(col("l.l_partkey").as("src"), col("r.l_partkey").as("dst"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2)
+    graft.operators.Graph.linkPrediction(pairs, "src", "dst", topK = 100)
+      .orderBy("node_a", "node_b")
+  }
+
+  /** X148 — Spearman rank correlation (X108): monotone association of
+    * line-item quantity and extended price (1-row). */
+  def x148(s: SparkSession, dir: String): DataFrame =
+    Evaluation.spearman(Tables.lineitem(s, dir), col("l_quantity"),
+      col("l_extendedprice"))
+
+  /** X149 — mutual information (X109): MI / entropies / NMI between
+    * order status and order priority (1-row). */
+  def x149(s: SparkSession, dir: String): DataFrame =
+    Profiling.mutualInfo(Tables.orders(s, dir), "o_orderstatus",
+      "o_orderpriority")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -1922,5 +1978,11 @@ object Queries {
     "x140_changepoint" -> (x140 _),
     "x141_clustering_coeff" -> (x141 _),
     "x142_welch_ttest" -> (x142 _),
-    "x143_markov_transitions" -> (x143 _))
+    "x143_markov_transitions" -> (x143 _),
+    "x144_abc_pareto" -> (x144 _),
+    "x145_cohort_ltv" -> (x145 _),
+    "x146_item_cosine" -> (x146 _),
+    "x147_link_prediction" -> (x147 _),
+    "x148_spearman" -> (x148 _),
+    "x149_mutual_info" -> (x149 _))
 }

@@ -123,6 +123,45 @@ class EvaluationSpec extends SparkSpec {
     assert(d._3.isEmpty && d._4.isEmpty, s"got $d")
   }
 
+  test("spearman: monotone nonlinear is 1.0, inverted is -1.0, constant is null") {
+    val cube = Seq(1.0, 2.0, 3.0, 4.0).map(x => (x, x * x * x))
+      .toDF("x", "y")
+    assert(Evaluation.spearman(cube, col("x"), col("y"))
+      .as[(Long, Option[Double])].head() == ((4L, Some(1.0))))
+    val inv = Seq(1.0, 2.0, 3.0, 4.0).map(x => (x, -x * x * x))
+      .toDF("x", "y")
+    assert(Evaluation.spearman(inv, col("x"), col("y"))
+      .as[(Long, Option[Double])].head() == ((4L, Some(-1.0))))
+    val const = Seq((1.0, 5.0), (2.0, 5.0)).toDF("x", "y")
+    assert(Evaluation.spearman(const, col("x"), col("y"))
+      .as[(Long, Option[Double])].head()._2.isEmpty)
+  }
+
+  test("spearman: ties take midranks (hand-computed rho)") {
+    // x = 1,2,2,3 -> ranks 1, 2.5, 2.5, 4; y = 10,20,20,40 -> same
+    // rank pattern on both sides -> rho exactly 1
+    val tied = Seq((1.0, 10.0), (2.0, 20.0), (2.0, 20.0), (3.0, 40.0))
+      .toDF("x", "y")
+    assert(Evaluation.spearman(tied, col("x"), col("y"))
+      .as[(Long, Option[Double])].head() == ((4L, Some(1.0))))
+    // perturb one tie: x ranks 1, 2.5, 2.5, 4 vs y ranks 1, 2, 3, 4;
+    // pearson over those rank vectors = 3/sqrt(2.5*2^2)... compute
+    // directly from the midrank definition
+    val mixed = Seq((1.0, 10.0), (2.0, 20.0), (2.0, 30.0), (3.0, 40.0))
+      .toDF("x", "y")
+    val rx = Seq(1.0, 2.5, 2.5, 4.0); val ry = Seq(1.0, 2.0, 3.0, 4.0)
+    val n = 4.0
+    val (sx, sy) = (rx.sum, ry.sum)
+    val sxy = rx.zip(ry).map { case (a, b) => a * b }.sum
+    val (sxx, syy) = (rx.map(a => a * a).sum, ry.map(a => a * a).sum)
+    val rho = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    val expected = BigDecimal(rho)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(Evaluation.spearman(mixed, col("x"), col("y"))
+      .as[(Long, Option[Double])].head() == ((4L, Some(expected))))
+  }
+
   test("gini: zero-total and empty inputs yield null, not a crash") {
     assert(gini(Seq(0, 0))._3.isEmpty)
     val empty = Seq.empty[(Double, Long)].toDF("v", "id")

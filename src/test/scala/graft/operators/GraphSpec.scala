@@ -135,4 +135,34 @@ class GraphSpec extends SparkSpec {
       .as[(String, Long, Long, Option[Double])].head()
     assert(got == (("hub", 3L, 0L, Some(0.0))), s"got $got")
   }
+
+  test("linkPrediction: hand-computed RA scores, adjacent pairs excluded") {
+    import spark.implicits._
+    // path a-b-c-d plus hub edge b-e:
+    //   (a,c) share b, deg(b)=3 -> RA 1/3; (b,d) share c, deg(c)=2 ->
+    //   RA 1/2; (a,e)/(c,e) share b -> 1/3; (b,d) must outrank the
+    //   1/3 pairs; adjacent pairs never appear
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "d", "b" -> "e")
+      .toDF("src", "dst")
+    val got = Graph.linkPrediction(edges, "src", "dst", topK = 10)
+      .orderBy("node_a", "node_b")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("a", "c", 1L, 0.333333), ("a", "e", 1L, 0.333333),
+      ("b", "d", 1L, 0.5), ("c", "e", 1L, 0.333333)), s"got $got")
+  }
+
+  test("linkPrediction: maxDegree drops hub centers; multi-neighbor sums are exact") {
+    import spark.implicits._
+    // square a-b-c-d-a: (a,c) share b AND d (deg 2 each) -> RA 1.0;
+    // with maxDegree=1 every center is dropped -> empty
+    val sq = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "a")
+      .toDF("src", "dst")
+    val got = Graph.linkPrediction(sq, "src", "dst", topK = 10)
+      .orderBy("node_a", "node_b")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == Seq(("a", "c", 2L, 1.0), ("b", "d", 2L, 1.0)), s"got $got")
+    assert(Graph.linkPrediction(sq, "src", "dst", topK = 10, maxDegree = 1)
+      .isEmpty)
+  }
 }

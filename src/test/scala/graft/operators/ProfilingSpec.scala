@@ -154,4 +154,26 @@ class ProfilingSpec extends SparkSpec {
     assert(r2.getDouble(0) == 20.0 && r2.getLong(1) == 1L && r2.getLong(2) == 20L,
       s"got $r2 — zero cells dropped from the grid?")
   }
+
+  test("mutualInfo: independent columns score 0; identical columns reach NMI 1") {
+    import spark.implicits._
+    // perfectly independent 2x2 (uniform product measure)
+    val ind = (Seq.fill(10)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(10)(("b", "y")))
+      .toDF("ca", "cb")
+    val r1 = Profiling.mutualInfo(ind, "ca", "cb").collect()(0)
+    assert(r1.getDouble(0) == 0.0, s"independent MI should be 0: $r1")
+    // identical columns: MI = H(a) = ln 2, NMI = 1
+    val same = (Seq.fill(10)(("a", "a")) ++ Seq.fill(10)(("b", "b")))
+      .toDF("ca", "cb")
+    val r2 = Profiling.mutualInfo(same, "ca", "cb").collect()(0)
+    val ln2 = BigDecimal(math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r2.getDouble(0) == ln2 && r2.getDouble(1) == ln2 &&
+      r2.getDouble(2) == ln2 && r2.getDouble(3) == 1.0, s"got $r2")
+    // a constant column carries zero entropy: MI 0, NMI null (0/0)
+    val const = Seq.fill(5)(("a", "x")).toDF("ca", "cb")
+    val r3 = Profiling.mutualInfo(const, "ca", "cb").collect()(0)
+    assert(r3.getDouble(0) == 0.0 && r3.isNullAt(3), s"got $r3")
+  }
 }

@@ -56,4 +56,67 @@ class RetailSpec extends SparkSpec {
       (4L, 1L, 4L, 400.0, 4L, 4L, 4L, "champion"),
       (5L, 0L, 5L, 500.0, 5L, 5L, 5L, "champion")), s"got $got")
   }
+
+  test("abcClassification: hand-computed cumulative shares and class boundaries") {
+    // revenues 50, 30, 15, 5 -> cum shares .50 .80 .95 1.00; the .80
+    // and .95 keys sit EXACTLY on the cuts and must land A and B
+    val items = Seq(("k1", 50.0), ("k2", 30.0), ("k3", 15.0), ("k4", 5.0))
+      .toDF("key", "amt")
+    val got = Retail.abcClassification(items, "key", "amt")
+      .orderBy("key")
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getString(3)))
+      .toSeq
+    assert(got == Seq(
+      ("k1", 50.0, 0.5, "A"), ("k2", 30.0, 0.8, "A"),
+      ("k3", 15.0, 0.95, "B"), ("k4", 5.0, 1.0, "C")), s"got $got")
+  }
+
+  test("abcClassification: revenue ties order by key so shares are a total order") {
+    val items = Seq(("b", 10.0), ("a", 10.0)).toDF("key", "amt")
+    val got = Retail.abcClassification(items, "key", "amt")
+      .orderBy("key")
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(2)))
+      .toSeq
+    assert(got == Seq(("a", 0.5), ("b", 1.0)), s"got $got")
+  }
+
+  test("cohortLtv: month offsets, active counts, and per-customer cumulative LTV") {
+    def ts(m: Int, d: Int) = Timestamp.valueOf(f"2024-$m%02d-$d%02d 00:00:00")
+    // cohort 2024-01: c1 (jan 100, feb 50), c2 (jan 200);
+    // cohort 2024-02: c3 (feb 80)
+    val orders = Seq(
+      (1L, ts(1, 5), 100.0), (1L, ts(2, 9), 50.0),
+      (2L, ts(1, 20), 200.0), (3L, ts(2, 1), 80.0))
+      .toDF("cust", "odate", "amount")
+    val got = Retail.cohortLtv(orders, "cust", "odate", "amount")
+      .orderBy("cohort_month", "month_offset")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+      .toSeq
+    assert(got == Seq(
+      // jan cohort: offset 0 rev 300 over 2 customers -> 150; offset 1
+      // adds 50 -> cum 350/2 = 175, only c1 active
+      ("2024-01", 0L, 2L, 2L, 300.0, 150.0),
+      ("2024-01", 1L, 2L, 1L, 50.0, 175.0),
+      ("2024-02", 0L, 1L, 1L, 80.0, 80.0)), s"got $got")
+  }
+
+  test("itemCosine: hand-computed cosine, minCount floor, deterministic topK") {
+    // baskets: {A,B} {A,B} {A,C}: n_A=3 n_B=2 n_C=1;
+    // (A,B) n=2 cos = 2/sqrt(6); (A,C) n=1 drops below minCount=2
+    val items = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "C")).toDF("oid", "item")
+    val got = Retail.itemCosine(items, "oid", "item", topK = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+      .toSeq
+    val expected = BigDecimal(2.0 / math.sqrt(6.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(("A", "B", 2L, expected)), s"got $got")
+  }
 }
