@@ -334,4 +334,102 @@ object Relational {
       .filter(col("__rn") === 1 && col(opCol) =!= deleteOp)
       .drop("__rn")
   }
+
+  /** X112 — per-group winsorized statistics: clamp `valueCol` to its
+    * group's `[pLo, pHi]` exact quantiles (Tukey's winsorizing — the
+    * outlier treatment that KEEPS the row at the fence instead of
+    * dropping it, preserving group cardinality for downstream rates),
+    * and report per group the fences, clip counts, and the mean of the
+    * clamped values.
+    *
+    * Shape: one grouped two-quantile percentile aggregate (the
+    * iqrOutliers pattern) broadcast back onto the stream; the clamp is
+    * pure map-side arithmetic. Fences ROUND to 6 dp before any compare
+    * (the psi cutoff discipline: quantile interpolation associates
+    * differently across engines). The clamped mean sums in
+    * DECIMAL(28,6) — clamped values are either input doubles or the
+    * rounded fences, both exactly representable at scale 6 after their
+    * own 6-dp round — so the sum is addition-order-free and the one
+    * division happens on exact operands.
+    */
+  def winsorize(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      pLo: Double = 0.05,
+      pHi: Double = 0.95,
+      roundDigits: Int = 4): DataFrame = {
+    require(pLo >= 0 && pLo < pHi && pHi <= 1,
+      s"need 0 <= pLo < pHi <= 1, got $pLo, $pHi")
+    val v = col(valueCol).cast("double")
+    val gs = groupCols.map(col)
+    val fences = df.filter(v.isNotNull).groupBy(gs: _*)
+      .agg(round(percentile(v, lit(pLo)), 6).as("__lo"),
+        round(percentile(v, lit(pHi)), 6).as("__hi"))
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    // clamp, then quantize each clamped value at scale 6 so the mean's
+    // sum is exact decimal (inputs round identically on both engines)
+    val clamped = round(least(greatest(v, col("__lo")), col("__hi")), 6)
+    df.filter(v.isNotNull)
+      .join(broadcast(fences), groupCols)
+      .groupBy(gs: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        first(col("__lo")).as("fence_lo"),
+        first(col("__hi")).as("fence_hi"),
+        sum((v < col("__lo")).cast("long")).as("n_clipped_low"),
+        sum((v > col("__hi")).cast("long")).as("n_clipped_high"),
+        sum(clamped.cast(dec)).as("__sum"))
+      .select((gs :+ col("n") :+ col("fence_lo") :+ col("fence_hi") :+
+        col("n_clipped_low") :+ col("n_clipped_high") :+
+        round((col("__sum").cast("double") / col("n"))
+          .cast(stable), roundDigits).cast("double")
+          .as("winsorized_mean")): _*)
+  }
+
+  /** X113 — snapshot reconciliation: the keyed diff of two versions of
+    * a table — which keys were `added`, `removed`, or `changed`, and
+    * WHICH columns changed (the data-migration / backfill-audit
+    * primitive; "did the new pipeline produce the same table" as a
+    * row-level report instead of a yes/no hash).
+    *
+    * Shape: one full-outer join on the key, null-safe per-column
+    * compares (`<=>`, so NULL→value and value→NULL both count as a
+    * change), unchanged rows dropped BEFORE any further processing —
+    * output is diff-sized, not table-sized. `changed_cols` is a
+    * comma-joined fixed-order column list built from per-column flags
+    * (concat_ws skips the null flags on both engines).
+    */
+  def reconcile(
+      before: DataFrame,
+      after: DataFrame,
+      keyCols: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && compareCols.nonEmpty,
+      "reconcile needs key and compare columns")
+    // explicit presence markers: detecting side presence off a key
+    // column's null-ness would misclassify legitimately-NULL keys
+    val a = before.select(
+      (keyCols ++ compareCols).map(col) :+ lit(1).as("__pa"): _*).as("a")
+    val b = after.select(
+      (keyCols ++ compareCols).map(col) :+ lit(1).as("__pb"): _*).as("b")
+    val joinCond = keyCols.map(k => col(s"a.$k") <=> col(s"b.$k"))
+      .reduce(_ && _)
+    val inA = col("a.__pa").isNotNull
+    val inB = col("b.__pb").isNotNull
+    val diffFlags = compareCols.map(c =>
+      when(!(col(s"a.$c") <=> col(s"b.$c")), lit(c)))
+    val anyDiff = compareCols.map(c => !(col(s"a.$c") <=> col(s"b.$c")))
+      .reduce(_ || _)
+    val status = when(!inB, "removed").when(!inA, "added")
+      .when(anyDiff, "changed")
+    val keys = keyCols.map(k =>
+      coalesce(col(s"a.$k"), col(s"b.$k")).as(k))
+    a.join(b, joinCond, "full_outer")
+      .filter(!inA || !inB || anyDiff)
+      .select((keys :+ status.as("status") :+
+        when(inA && inB, concat_ws(",", diffFlags: _*)).as("changed_cols"))
+        : _*)
+  }
 }

@@ -551,4 +551,88 @@ object TextAnalysis {
       .orderBy(col("gumbel_score").desc, col(idCol))
       .limit(keepN)
   }
+
+  /** X110 — BM25 ranking (Robertson & Zaragoza 2009, the Lucene
+    * `1 + (N−df+0.5)/(df+0.5)` idf variant): score every document
+    * against a FIXED query-term set and keep the top `k`. The retrieval
+    * scorer a curation stack uses for "find training docs about X" /
+    * relevance-weighted sampling.
+    *
+    * Shape: per-row term frequencies are higher-order `filter` counts
+    * over the token array — NO explode, no token-row shuffle; the only
+    * aggregate is one 1-row pass for `N`/`avgdl`/per-term `df`
+    * (map-side combinable), broadcast back. The per-doc score is ONE
+    * left-associated expression over the fixed term list, so both
+    * engines run the identical IEEE sequence (the pmiCollocations
+    * discipline); it stabilizes through DECIMAL(18,8) before the
+    * top-k orders on it. Zero-score docs are dropped (docs matching no
+    * query term carry no ranking signal).
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], topK: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      roundDigits: Int = 6): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must not be empty")
+    require(topK > 0, s"topK must be positive, got $topK")
+    val toks = Text.tokens(col(textCol))
+    def tf(term: String): Column =
+      size(filter(toks, t => t === lit(term))).cast("long")
+    val withTf = df.select(
+      col(idCol) +: size(toks).cast("long").as("__dl") +:
+        queryTerms.zipWithIndex.map { case (t, i) => tf(t).as(s"__tf$i") }: _*)
+    val aggs = avg(col("__dl")).as("__avgdl") +:
+      queryTerms.indices.map(i =>
+        sum((col(s"__tf$i") > 0).cast("long")).as(s"__df$i"))
+    val stats = withTf.agg(count(lit(1)).as("__n"), aggs: _*)
+    val scored = withTf.crossJoin(broadcast(stats))
+    def idf(i: Int): Column =
+      log(lit(1.0d) + (col("__n") - col(s"__df$i") + 0.5d)
+        / (col(s"__df$i") + 0.5d))
+    val norm = lit(k1) * (lit(1.0d - b) + lit(b) * col("__dl") / col("__avgdl"))
+    val score = queryTerms.indices.map { i =>
+      idf(i) * (col(s"__tf$i") * (k1 + 1.0d)) / (col(s"__tf$i") + norm)
+    }.reduce(_ + _)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    scored
+      .select(col(idCol), col("__dl").as("n_tokens"),
+        round(score.cast(stable), roundDigits).cast("double").as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+  }
+
+  /** X111 — out-of-vocabulary rate against a reference vocabulary:
+    * per batch document, the fraction of tokens absent from the
+    * vocabulary of terms appearing ≥ `minCount` times in the reference
+    * corpus. The tokenizer-coverage screen a pretraining mix runs
+    * before committing a corpus to a frozen tokenizer (high OOV =
+    * byte-fallback blowup in sequence length).
+    *
+    * Shape: the vocabulary is ONE reference aggregate (term counts,
+    * threshold filter) — vocabulary cardinality, broadcast into the
+    * token join; batch tokens explode once and aggregate straight back
+    * to doc cardinality (map-side combinable). The fraction stabilizes
+    * through DECIMAL(18,8). Empty-text docs count their one empty
+    * token against the vocab like any other term (tokenizer
+    * convention: `split("", " ") = [""]` — same on both engines).
+    */
+  def oovRate(batch: DataFrame, reference: DataFrame, idCol: String,
+      textCol: String, minCount: Long = 1,
+      roundDigits: Int = 6): DataFrame = {
+    val vocab = reference
+      .select(explode(Text.tokens(col(textCol))).as("__term"))
+      .groupBy(col("__term")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount)
+      .select(col("__term"), lit(1L).as("__in"))
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    batch
+      .select(col(idCol), explode(Text.tokens(col(textCol))).as("__term"))
+      .join(broadcast(vocab), Seq("__term"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        round((col("n_oov").cast("double") / col("n_tokens"))
+          .cast(stable), roundDigits).cast("double").as("oov_rate"))
+  }
 }

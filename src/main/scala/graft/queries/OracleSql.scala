@@ -2405,6 +2405,106 @@ object OracleSql {
         |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS nmi
         |FROM mi CROSS JOIN ha CROSS JOIN hb""".stripMargin,
 
+    // BM25: per-doc tfs are list_filter counts (no explode); constants
+    // written as e-notation DOUBLE literals and combined in the exact
+    // association the engine uses, so both sides run one identical
+    // IEEE sequence per doc before the DECIMAL(18,8) stabilize.
+    "x150_bm25" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+        |  CAST(len(list_filter(toks, x -> x = 'spark')) AS BIGINT) AS tf0,
+        |  CAST(len(list_filter(toks, x -> x = 'join')) AS BIGINT) AS tf1,
+        |  CAST(len(list_filter(toks, x -> x = 'dup')) AS BIGINT) AS tf2
+        |  FROM d),
+        |s AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl,
+        |  SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |  SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |  SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2 FROM t),
+        |sc AS (SELECT doc_id, dl AS n_tokens,
+        |  CAST(ROUND(CAST(
+        |    ln(1.0e0 + (n - df0 + 0.5e0) / (df0 + 0.5e0))
+        |      * (tf0 * (1.2e0 + 1.0e0))
+        |      / (tf0 + 1.2e0 * (0.25e0 + 0.75e0 * dl / avgdl))
+        |    + ln(1.0e0 + (n - df1 + 0.5e0) / (df1 + 0.5e0))
+        |      * (tf1 * (1.2e0 + 1.0e0))
+        |      / (tf1 + 1.2e0 * (0.25e0 + 0.75e0 * dl / avgdl))
+        |    + ln(1.0e0 + (n - df2 + 0.5e0) / (df2 + 0.5e0))
+        |      * (tf2 * (1.2e0 + 1.0e0))
+        |      / (tf2 + 1.2e0 * (0.25e0 + 0.75e0 * dl / avgdl))
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS score
+        |  FROM t CROSS JOIN s),
+        |top AS (SELECT * FROM sc WHERE score > 0
+        |  ORDER BY score DESC, doc_id LIMIT 50)
+        |SELECT * FROM top ORDER BY doc_id""".stripMargin,
+
+    // OOV rate: vocabulary = English terms at support >= 50; the
+    // fraction stabilizes through DECIMAL(18,8).
+    "x151_oov_rate" ->
+      """WITH vocab AS (SELECT t AS term FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS t FROM documents
+        |    WHERE lang = 'en')
+        |  GROUP BY 1 HAVING COUNT(*) >= 50),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE lang <> 'en'),
+        |j AS (SELECT toks.doc_id,
+        |  CASE WHEN vocab.term IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM toks LEFT JOIN vocab ON toks.term = vocab.term),
+        |g AS (SELECT doc_id, COUNT(*) AS n_tokens, SUM(oov) AS n_oov
+        |  FROM j GROUP BY 1)
+        |SELECT doc_id, n_tokens, CAST(n_oov AS BIGINT) AS n_oov,
+        |  CAST(ROUND(CAST(CAST(n_oov AS DOUBLE) / n_tokens
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS oov_rate
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // Winsorize: fences from quantile_cont (the t38 percentile
+    // parity), ROUNDed to 6 dp before any compare; the clamped mean
+    // sums in DECIMAL(28,6) after a per-row 6-dp quantize.
+    "x152_winsorize" ->
+      """WITH f AS (SELECT o_orderpriority AS g,
+        |  ROUND(quantile_cont(o_totalprice, 0.05), 6) AS lo,
+        |  ROUND(quantile_cont(o_totalprice, 0.95), 6) AS hi
+        |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+        |j AS (SELECT o.o_orderpriority AS g, o.o_totalprice AS v,
+        |  f.lo, f.hi FROM orders o JOIN f ON o.o_orderpriority = f.g
+        |  WHERE o.o_totalprice IS NOT NULL)
+        |SELECT g AS o_orderpriority, COUNT(*) AS n,
+        |  lo AS fence_lo, hi AS fence_hi,
+        |  SUM(CASE WHEN v < lo THEN 1 ELSE 0 END) AS n_clipped_low,
+        |  SUM(CASE WHEN v > hi THEN 1 ELSE 0 END) AS n_clipped_high,
+        |  CAST(ROUND(CAST(CAST(SUM(CAST(
+        |    ROUND(LEAST(GREATEST(v, lo), hi), 6)
+        |    AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+        |    AS DECIMAL(18,8)), 4) AS DOUBLE) AS winsorized_mean
+        |FROM j GROUP BY g, lo, hi ORDER BY o_orderpriority""".stripMargin,
+
+    // Reconcile: keyed diff of the per-customer rollup at two cutoffs;
+    // money quantizes through DECIMAL(28,6) (x144 contract) so both
+    // engines build identical snapshots before comparing them.
+    "x153_reconcile" ->
+      """WITH a AS (SELECT o_custkey AS k, COUNT(*) AS n_orders,
+        |  ROUND(CAST(SUM(ROUND(CAST(o_totalprice AS DECIMAL(28,6)), 2))
+        |    AS DOUBLE), 2) AS total
+        |  FROM orders WHERE o_orderdate < DATE '1997-07-01' GROUP BY 1),
+        |b AS (SELECT o_custkey AS k, COUNT(*) AS n_orders,
+        |  ROUND(CAST(SUM(ROUND(CAST(o_totalprice AS DECIMAL(28,6)), 2))
+        |    AS DOUBLE), 2) AS total
+        |  FROM orders WHERE o_orderdate < DATE '1998-01-01' GROUP BY 1)
+        |SELECT COALESCE(a.k, b.k) AS o_custkey,
+        |  CASE WHEN b.k IS NULL THEN 'removed'
+        |    WHEN a.k IS NULL THEN 'added'
+        |    ELSE 'changed' END AS status,
+        |  CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL THEN concat_ws(',',
+        |    CASE WHEN a.n_orders IS DISTINCT FROM b.n_orders
+        |      THEN 'n_orders' END,
+        |    CASE WHEN a.total IS DISTINCT FROM b.total THEN 'total' END)
+        |  END AS changed_cols
+        |FROM a FULL OUTER JOIN b ON a.k = b.k
+        |WHERE a.k IS NULL OR b.k IS NULL
+        |  OR a.n_orders IS DISTINCT FROM b.n_orders
+        |  OR a.total IS DISTINCT FROM b.total
+        |ORDER BY o_custkey""".stripMargin,
+
     "x124_croston" -> crostonSql,
     "x125_backtest" -> backtestSql,
 

@@ -1822,6 +1822,49 @@ object Queries {
     Profiling.mutualInfo(Tables.orders(s, dir), "o_orderstatus",
       "o_orderpriority")
 
+  /** X150 — BM25 retrieval (X110): top-50 documents for a fixed
+    * 3-term query (one common, one mid, one rare term), Lucene idf. */
+  def x150(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25(Tables.documents(s, dir), "doc_id", "text",
+        Seq("spark", "join", "dup"), topK = 50)
+      .orderBy("doc_id")
+
+  /** X151 — OOV rate (X111): non-English docs scored against the
+    * vocabulary of terms appearing ≥ 50 times in the English slice. */
+  def x151(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.oovRate(docs.filter(col("lang") =!= "en"),
+        docs.filter(col("lang") === "en"), "doc_id", "text", minCount = 50)
+      .orderBy("doc_id")
+  }
+
+  /** X152 — winsorized group statistics (X112): order totals clamped
+    * to each priority class's [p05, p95] fences. */
+  def x152(s: SparkSession, dir: String): DataFrame =
+    Relational.winsorize(Tables.orders(s, dir), Seq("o_orderpriority"),
+        "o_totalprice")
+      .orderBy("o_orderpriority")
+
+  /** X153 — snapshot reconciliation (X113): the keyed diff of the
+    * per-customer order rollup at two cutoff dates — which customers
+    * appeared or changed, and which columns moved. Money quantizes to
+    * cents through DECIMAL(28,6) (the x144 contract) so both engines
+    * aggregate identical snapshots. */
+  def x153(s: SparkSession, dir: String): DataFrame = {
+    def snap(cutoff: String): DataFrame =
+      Tables.orders(s, dir)
+        .filter(col("o_orderdate") < lit(cutoff).cast("date"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice").cast(DecimalType(28, 6)), 2))
+            .as("__t"))
+        .select(col("o_custkey"), col("n_orders"),
+          round(col("__t").cast("double"), 2).as("total"))
+    Relational.reconcile(snap("1997-07-01"), snap("1998-01-01"),
+        Seq("o_custkey"), Seq("n_orders", "total"))
+      .orderBy("o_custkey")
+  }
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -1984,5 +2027,9 @@ object Queries {
     "x146_item_cosine" -> (x146 _),
     "x147_link_prediction" -> (x147 _),
     "x148_spearman" -> (x148 _),
-    "x149_mutual_info" -> (x149 _))
+    "x149_mutual_info" -> (x149 _),
+    "x150_bm25" -> (x150 _),
+    "x151_oov_rate" -> (x151 _),
+    "x152_winsorize" -> (x152 _),
+    "x153_reconcile" -> (x153 _))
 }

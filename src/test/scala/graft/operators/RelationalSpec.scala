@@ -202,4 +202,64 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"),
       s"expected the rank<=1 rewrite in:\n$plan")
   }
+
+  test("winsorize: hand fences on 1..20, clip counts, and the clamped mean") {
+    // quantile_cont on 1..20: p05 -> 1 + 0.05*19 = 1.95, p95 -> 19.05;
+    // one value clips each side; clamped sum = 1.95 + (2..19) + 19.05
+    // = 210 -> mean 10.5
+    val df = (1 to 20).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val got = Relational.winsorize(df, Seq("grp"), "v")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+      .toSeq
+    assert(got == Seq(("g", 20L, 1.95, 19.05, 1L, 1L, 10.5)), s"got $got")
+  }
+
+  test("winsorize: groups clamp against their OWN fences") {
+    val df = ((1 to 10).map(i => ("a", i.toDouble)) ++
+      (101 to 110).map(i => ("b", i.toDouble))).toDF("grp", "v")
+    val got = Relational.winsorize(df, Seq("grp"), "v")
+      .orderBy("grp")
+      .collect().map(r => (r.getString(0), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    // p05 of 1..10 = 1.45, p95 = 9.55; group b shifted by 100
+    assert(got == Seq(("a", 1.45, 9.55), ("b", 101.45, 109.55)), s"got $got")
+  }
+
+  test("reconcile: added/removed/changed statuses with per-column attribution") {
+    val before = Seq(
+      (1L, 10, "x"), (2L, 20, "y"), (3L, 30, "z"), (5L, 50, "w"))
+      .toDF("k", "n", "s")
+    val after = Seq(
+      (1L, 10, "x"),              // unchanged -> absent from the diff
+      (2L, 21, "y"),              // one column changed
+      (4L, 40, "new"),            // added
+      (5L, 51, "W"))              // both columns changed
+      .toDF("k", "n", "s")
+    val got = Relational.reconcile(before, after, Seq("k"), Seq("n", "s"))
+      .orderBy("k")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+      .toSeq
+    assert(got == Seq(
+      (2L, "changed", Some("n")),
+      (3L, "removed", None),
+      (4L, "added", None),
+      (5L, "changed", Some("n,s"))), s"got $got")
+  }
+
+  test("reconcile: null-to-value and value-to-null both count as changes") {
+    val before = Seq((1L, Option(10)), (2L, Option.empty[Int]))
+      .toDF("k", "n")
+    val after = Seq((1L, Option.empty[Int]), (2L, Option(20)))
+      .toDF("k", "n")
+    val got = Relational.reconcile(before, after, Seq("k"), Seq("n"))
+      .orderBy("k")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq
+    assert(got == Seq((1L, "changed", "n"), (2L, "changed", "n")),
+      s"got $got")
+  }
 }

@@ -268,4 +268,42 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(String, String, Long, Double)].collect().toSeq
     assert(got.map(t => (t._1, t._2, t._3)) == Seq(("x", "y", 4L)), s"got $got")
   }
+
+  test("bm25: hand-computed score, rarity outranks frequency, zero-score docs drop") {
+    import spark.implicits._
+    // 3 docs; query = {q, r}: doc1 has q once (df 2), doc2 has rare r
+    // once (df 1) at the SAME length -> doc2 must outrank doc1;
+    // doc3 matches nothing and must be absent
+    val docs = Seq((1L, "q a b c"), (2L, "r a b c"), (3L, "a b c d"),
+      (4L, "q x y z")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(docs, "doc_id", "text", Seq("q", "r"),
+        topK = 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1).toSet == Set(1L, 2L, 4L), s"doc3 leaked: $got")
+    // every doc is length 4 = avgdl -> norm = k1; tf = 1
+    val k1 = 1.2; val n = 4.0
+    def score(dfq: Double) =
+      math.log(1.0 + (n - dfq + 0.5) / (dfq + 0.5)) * (1.0 * (k1 + 1.0)) /
+        (1.0 + k1 * (1.0 - 0.75 + 0.75 * 4.0 / 4.0))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byDoc = got.map(t => t._1 -> t._3).toMap
+    assert(byDoc(2L) == r6(score(1.0)) && byDoc(1L) == r6(score(2.0)),
+      s"got $got")
+    assert(byDoc(2L) > byDoc(1L), "rare term must outscore common term")
+  }
+
+  test("oovRate: hand fractions against a minCount-thresholded vocabulary") {
+    import spark.implicits._
+    // reference: a x5, b x3, c x1 -> vocab at minCount=2 is {a, b}
+    val ref = Seq((1L, "a a a a a b b b c")).toDF("doc_id", "text")
+    val batch = Seq((10L, "a c d"), (11L, "a b"), (12L, "z z"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.oovRate(batch, ref, "doc_id", "text",
+        minCount = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((10L, 3L, 2L, 0.666667), (11L, 2L, 0L, 0.0),
+      (12L, 2L, 2L, 1.0)), s"got $got")
+  }
 }
