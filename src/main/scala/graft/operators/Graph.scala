@@ -267,6 +267,81 @@ object Graph {
       .limit(topK)
   }
 
+  /** X114 — k-core decomposition (the k-core): iteratively peel nodes
+    * of degree < `k` until every survivor has ≥ k neighbors INSIDE the
+    * surviving subgraph — the standard dense-region extractor (spam
+    * rings, community cores, "real" co-purchase clusters that a plain
+    * degree threshold over-counts, because a high-degree node whose
+    * neighbors all vanish is not dense).
+    *
+    * Shape per round: one degree aggregate + two semi-joins restrict
+    * the edge set to surviving endpoints — every step keyed on the
+    * node, map-side combinable, and the edge frame shrinks
+    * MONOTONICALLY (each round's work is bounded by the previous
+    * round's survivors). The driver sees one 1-row count per round
+    * (the fixpoint test — the pageRank/CC loop discipline); each
+    * round's frame persists and the previous round unpersists, so
+    * lineage stays shallow across rounds. Converges in ≤ `maxRounds`
+    * rounds or stops there deterministically — an oracle unrolling
+    * exactly `maxRounds` rounds matches either way, because peeling a
+    * converged graph is the identity.
+    *
+    * Returns surviving `(node, degree)` with the degree measured in
+    * the final subgraph (≥ k at convergence).
+    */
+  def kCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      maxRounds: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val spark = edges.sparkSession
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    // checkpoint each round (the pageRank/CC cut discipline): a
+    // persisted-but-uncut frame keeps its full logical plan, and each
+    // peel round embeds the previous plan ~5× — by round 8 the
+    // ANALYZER blows the heap before a single task runs
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    val a = least(col(srcCol).cast("string"), col(dstCol).cast("string"))
+    val b = greatest(col(srcCol).cast("string"), col(dstCol).cast("string"))
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    var cur = cut(edges.select(a.as("a"), b.as("b"))
+      .filter(col("a") =!= col("b")).distinct())
+    var curCount = cur.count()
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val keep = degrees(cur).filter(col("d") >= k).select(col("n"))
+      val next = cut(cur
+        .join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b")))
+      val nextCount = next.count()
+      // edge-count fixpoint ⇔ node fixpoint: any peeled node had
+      // degree ≥ 1 in the previous round, so its removal drops edges
+      if (nextCount == curCount) {
+        if (!reliable) graft.operators.Dedup.releaseCheckpointStorage(next)
+        converged = true
+      } else {
+        if (!reliable) graft.operators.Dedup.releaseCheckpointStorage(cur)
+        cur = next
+        curCount = nextCount
+      }
+      round += 1
+    }
+    // no degree filter here: at convergence every survivor is ≥ k by
+    // construction, and at the maxRounds cut the contract is "the
+    // graph after exactly maxRounds peels" (what the oracle unrolls).
+    // The final persist is released by the inter-query catalog sweep
+    // (CacheScope.unmanaged discipline of the other graph ops).
+    degrees(cur).select(col("n").as("node"), col("d").as("degree"))
+  }
+
   /** [[triangleCount]]'s edge orientation, exposed so GraphSpec can
     * pin the mechanism (a max-degree hub must have out-degree 0 —
     * THAT is the Σ outdeg² bound) rather than just the final count:

@@ -451,4 +451,55 @@ object TimeSeries {
       .withColumn(s"${prefix}is_weekend",
         weekday(d).isin(5, 6).cast("int"))
   }
+
+  /** X115 — per-user inter-arrival statistics: mean gap, coefficient
+    * of variation, and Goh–Barabási burstiness
+    * `B = (σ−μ)/(σ+μ)` (−1 = metronome, 0 = Poisson, →1 = bursty) —
+    * the temporal-behavior fingerprint that separates bots (B ≈ −1),
+    * organic users (B ≈ 0), and binge sessions (B → 1). Feeds the
+    * same screens as [[sessionize]] without choosing a gap threshold.
+    *
+    * Shape: one lag window per user (user-key shuffle, scales with
+    * per-user event counts), then ONE map-side-combinable aggregate.
+    * Portability: gaps are exact integer MICROS; `Σg` and `Σg²` sum in
+    * DECIMAL(38,0) — exact, addition-order-free (Σg² of micro-gaps
+    * reaches ~10²⁸, far inside 38 digits) — and the variance assembles
+    * from the exact sums in one shared float expression (never a
+    * per-engine `var_samp` accumulation). Outputs stabilize through
+    * DECIMAL(18,8). Users with < 2 gaps have no variance → null CV
+    * and burstiness; users with < 2 events have no gaps and no row.
+    */
+  def interArrivalStats(df: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, roundDigits: Int = 4): DataFrame = {
+    val us = unix_micros(col(tsCol))
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val gaps = df
+      .withColumn("__g", us - lag(us, 1).over(w))
+      .filter(col("__g").isNotNull)
+    // g² overflows int64 for gaps beyond ~54 minutes (3e9 µs squared
+    // is 9e18): square in DECIMAL(19,0) so the product is exact decimal
+    val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val agg = gaps.groupBy(col(userCol)).agg(
+      count(lit(1)).as("__n"),
+      sum(col("__g").cast(dec)).as("__sg"),
+      sum(col("__g").cast(d19) * col("__g").cast(d19)).as("__sgg"))
+    val n = col("__n").cast("double")
+    val sg = col("__sg").cast("double")
+    val sgg = col("__sgg").cast("double")
+    val mean = sg / n
+    val varG = (n * sgg - sg * sg) / (n * (n - 1))
+    val sd = sqrt(varG)
+    def r(c: Column): Column =
+      round(c.cast(stable), roundDigits).cast("double")
+    agg.select(col(userCol),
+      col("__n").as("n_gaps"),
+      r(mean / lit(1000000.0d)).as("mean_gap_s"),
+      // mean = 0 (all gaps zero) would make CV 0/0 and burstiness
+      // (0-0)/(0+0): guard on the denominators, not just the variance
+      r(when(col("__n") >= 2 && mean > 0, sd / mean)).as("cv_gap"),
+      r(when(col("__n") >= 2 && (sd + mean) > 0, (sd - mean) / (sd + mean)))
+        .as("burstiness"))
+  }
 }

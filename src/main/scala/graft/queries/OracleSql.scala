@@ -2478,6 +2478,37 @@ object OracleSql {
         |    AS DECIMAL(18,8)), 4) AS DOUBLE) AS winsorized_mean
         |FROM j GROUP BY g, lo, hi ORDER BY o_orderpriority""".stripMargin,
 
+    "x154_kcore" -> kcoreSql,
+
+    // Inter-arrival stats: gaps in exact integer micros; Σg and Σg² in
+    // DECIMAL (g² squared in DECIMAL(19,0) — int64 overflows beyond
+    // ~54-minute gaps); variance assembled from the exact sums in one
+    // shared float expression, stabilized through DECIMAL(18,8).
+    "x155_interarrival" ->
+      """WITH g AS (SELECT user_id,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS g
+        |  FROM events),
+        |a AS (SELECT user_id, COUNT(*) AS n,
+        |  SUM(CAST(g AS DECIMAL(38,0))) AS sg,
+        |  SUM(CAST(g AS DECIMAL(19,0)) * CAST(g AS DECIMAL(19,0))) AS sgg
+        |  FROM g WHERE g IS NOT NULL GROUP BY 1),
+        |d AS (SELECT user_id, n, CAST(n AS DOUBLE) AS nd,
+        |  CAST(sg AS DOUBLE) AS sg, CAST(sgg AS DOUBLE) AS sgg FROM a)
+        |SELECT user_id, n AS n_gaps,
+        |  CAST(ROUND(CAST(sg / nd / 1000000.0e0 AS DECIMAL(18,8)), 4)
+        |    AS DOUBLE) AS mean_gap_s,
+        |  CAST(ROUND(CAST(CASE WHEN n >= 2 AND sg / nd > 0
+        |    THEN SQRT((nd * sgg - sg * sg) / (nd * (nd - 1))) / (sg / nd)
+        |    END AS DECIMAL(18,8)), 4) AS DOUBLE) AS cv_gap,
+        |  CAST(ROUND(CAST(CASE WHEN n >= 2
+        |      AND (SQRT((nd * sgg - sg * sg) / (nd * (nd - 1)))
+        |        + sg / nd) > 0
+        |    THEN (SQRT((nd * sgg - sg * sg) / (nd * (nd - 1))) - sg / nd)
+        |      / (SQRT((nd * sgg - sg * sg) / (nd * (nd - 1))) + sg / nd)
+        |    END AS DECIMAL(18,8)), 4) AS DOUBLE) AS burstiness
+        |FROM d ORDER BY user_id""".stripMargin,
+
     // Reconcile: keyed diff of the per-customer rollup at two cutoffs;
     // money quantizes through DECIMAL(28,6) (x144 contract) so both
     // engines build identical snapshots before comparing them.
@@ -2758,6 +2789,40 @@ object OracleSql {
     * |v|² − 2·v·c + |c|², ties to the lowest cluster index — the same
     * term order [[graft.operators.Similarity.kmeans]] compiles, so the
     * distance doubles agree bit-for-bit. */
+  /** X114 k-core oracle: exactly 8 unrolled peel rounds over the
+    * support-≥2 co-purchase graph — matches the engine whether it
+    * converges early (extra peels are the identity) or hits the
+    * maxRounds cut (both sides then did exactly 8). */
+  private def kcoreSql: String = {
+    // every CTE is MATERIALIZED: each unrolled round references the
+    // previous round's edge set 4 times, so default CTE inlining
+    // expands the base parquet scan 4^8 times (file-handle exhaustion
+    // before it even gets slow)
+    val rounds = (1 to 8).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT n, COUNT(*) AS d FROM (
+         |    SELECT a AS n FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1})
+         |  GROUP BY 1),
+         |k$i AS MATERIALIZED (SELECT n FROM d$i WHERE d >= 3),
+         |e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1}
+         |  WHERE a IN (SELECT n FROM k$i) AND b IN (SELECT n FROM k$i))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH oi AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,
+       |  l_partkey AS i FROM lineitem),
+       |aff AS MATERIALIZED (SELECT l.i AS x, r.i AS y
+       |  FROM oi l JOIN oi r ON l.o = r.o AND l.i < r.i
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |e0 AS MATERIALIZED (SELECT DISTINCT
+       |    least(CAST(x AS VARCHAR), CAST(y AS VARCHAR)) AS a,
+       |    greatest(CAST(x AS VARCHAR), CAST(y AS VARCHAR)) AS b
+       |  FROM aff WHERE CAST(x AS VARCHAR) <> CAST(y AS VARCHAR)),
+       |$rounds,
+       |fin AS (SELECT n, COUNT(*) AS d FROM (
+       |    SELECT a AS n FROM e8 UNION ALL SELECT b FROM e8) GROUP BY 1)
+       |SELECT n AS node, CAST(d AS BIGINT) AS degree FROM fin
+       |ORDER BY node""".stripMargin
+  }
+
   private def kmeansAssign(cc: String): String =
     s"""SELECT vec_id, v, cidx, d FROM (
        |  SELECT e.vec_id, e.v, $cc.cidx,

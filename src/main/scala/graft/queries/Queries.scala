@@ -1865,6 +1865,28 @@ object Queries {
       .orderBy("o_custkey")
   }
 
+  /** X154 — k-core decomposition (X114): the 3-core of the support-≥2
+    * co-purchase graph (x129's graph) — iterative peel, ≤ 8 rounds,
+    * surviving nodes with their in-core degree. */
+  def x154(s: SparkSession, dir: String): DataFrame = {
+    val oi = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = oi.as("l").join(oi.as("r"), Seq("l_orderkey"))
+      .filter(col("l.l_partkey") < col("r.l_partkey"))
+      .groupBy(col("l.l_partkey").as("src"), col("r.l_partkey").as("dst"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2)
+    graft.operators.Graph.kCore(pairs, "src", "dst", k = 3, maxRounds = 8)
+      .orderBy("node")
+  }
+
+  /** X155 — inter-arrival burstiness (X115): per-user mean gap, CV,
+    * and Goh–Barabási burstiness over the event stream. */
+  def x155(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.interArrivalStats(Tables.events(s, dir), "user_id", "ts",
+        "event_id")
+      .orderBy("user_id")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -2031,5 +2053,7 @@ object Queries {
     "x150_bm25" -> (x150 _),
     "x151_oov_rate" -> (x151 _),
     "x152_winsorize" -> (x152 _),
-    "x153_reconcile" -> (x153 _))
+    "x153_reconcile" -> (x153 _),
+    "x154_kcore" -> (x154 _),
+    "x155_interarrival" -> (x155 _))
 }

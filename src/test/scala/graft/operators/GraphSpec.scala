@@ -152,6 +152,47 @@ class GraphSpec extends SparkSpec {
       ("b", "d", 1L, 0.5), ("c", "e", 1L, 0.333333)), s"got $got")
   }
 
+  test("kCore: the peel cascades (a chain peels to nothing), cycles survive") {
+    import spark.implicits._
+    // path a-b-c-d-e at k=2: ends have degree 1; peeling them exposes
+    // new degree-1 ends — a single threshold pass would KEEP b,c,d,
+    // the iterative peel must remove everything
+    val path = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e")
+      .toDF("src", "dst")
+    assert(Graph.kCore(path, "src", "dst", k = 2).isEmpty,
+      "chain must peel to nothing at k=2")
+    // a 4-cycle is its own 2-core
+    val cycle = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "a")
+      .toDF("src", "dst")
+    val got = Graph.kCore(cycle, "src", "dst", k = 2)
+      .orderBy("node").as[(String, Long)].collect().toSeq
+    assert(got == Seq("a", "b", "c", "d").map(_ -> 2L), s"got $got")
+  }
+
+  test("kCore: K4 survives a hanging tail at k=3; degrees are in-core degrees") {
+    import spark.implicits._
+    val k4 = for {
+      x <- Seq("a", "b", "c", "d"); y <- Seq("a", "b", "c", "d")
+      if x < y
+    } yield (x, y)
+    val df = (k4 :+ ("a" -> "e")).toDF("src", "dst")
+    val got = Graph.kCore(df, "src", "dst", k = 3)
+      .orderBy("node").as[(String, Long)].collect().toSeq
+    // e peels (degree 1); a's degree drops from 4 to its IN-CORE 3
+    assert(got == Seq("a", "b", "c", "d").map(_ -> 3L), s"got $got")
+  }
+
+  test("kCore: maxRounds cuts deterministically mid-peel (the oracle-parity contract)") {
+    import spark.implicits._
+    val path = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e")
+      .toDF("src", "dst")
+    // ONE peel of the 5-path at k=2 removes the ends only: b-c, c-d
+    // remain with degrees b:1 c:2 d:1
+    val got = Graph.kCore(path, "src", "dst", k = 2, maxRounds = 1)
+      .orderBy("node").as[(String, Long)].collect().toSeq
+    assert(got == Seq("b" -> 1L, "c" -> 2L, "d" -> 1L), s"got $got")
+  }
+
   test("linkPrediction: maxDegree drops hub centers; multi-neighbor sums are exact") {
     import spark.implicits._
     // square a-b-c-d-a: (a,c) share b AND d (deg 2 each) -> RA 1.0;

@@ -275,4 +275,38 @@ class TimeSeriesSpec extends SparkSpec {
       ("a", "c", 1L, 0.333333),
       ("b", "a", 1L, 1.0)), s"got $got")
   }
+
+  test("interArrivalStats: hand moments; metronome hits burstiness -1; degenerates null out") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: gaps 10s, 20s; user 2: metronome 5s,5s,5s; user 3: one
+    // gap (no variance); user 4: single event (no row)
+    val df = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00")),
+      (1L, 2L, ts("2024-01-01 10:00:10")),
+      (1L, 3L, ts("2024-01-01 10:00:30")),
+      (2L, 4L, ts("2024-01-01 09:00:00")),
+      (2L, 5L, ts("2024-01-01 09:00:05")),
+      (2L, 6L, ts("2024-01-01 09:00:10")),
+      (2L, 7L, ts("2024-01-01 09:00:15")),
+      (3L, 8L, ts("2024-01-01 08:00:00")),
+      (3L, 9L, ts("2024-01-01 08:00:07")),
+      (4L, 10L, ts("2024-01-01 07:00:00")))
+      .toDF("user_id", "event_id", "ts")
+    val got = TimeSeries.interArrivalStats(df, "user_id", "ts", "event_id")
+      .orderBy("user_id")
+      .as[(Long, Long, Double, Option[Double], Option[Double])]
+      .collect().toSeq
+    // user 1 by the exact formula on micro gaps (1e7, 2e7)
+    val (sg, sgg, n) = (3e7, 1e14 + 4e14, 2.0)
+    val mean = sg / n
+    val sd = math.sqrt((n * sgg - sg * sg) / (n * (n - 1)))
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(
+      (1L, 2L, 15.0, Some(r4(sd / mean)),
+        Some(r4((sd - mean) / (sd + mean)))),
+      (2L, 3L, 5.0, Some(0.0), Some(-1.0)),
+      (3L, 1L, 7.0, None, None)), s"got $got")
+  }
 }
