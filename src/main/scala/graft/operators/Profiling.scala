@@ -255,6 +255,93 @@ object Profiling {
         first(col("__n")).as("n"))
   }
 
+  /** X116 — robust outlier screen per group: modified z-score
+    * `0.6745·(v − median)/MAD` with the Iglewicz–Hoaglin 3.5 cut — the
+    * global-robust complement of [[graft.operators.TimeSeries
+    * .hampelFilter]]'s rolling form and of iqrOutliers' fences (MAD
+    * tolerates 50% contamination; IQR fences break down at 25%).
+    *
+    * Two grouped percentile aggregates (median, then median of
+    * |v − median| after one broadcast join-back) and a final counting
+    * aggregate — group-cardinality intermediates only. Median and MAD
+    * ROUND to 6 dp before any use (the psi cutoff discipline); the
+    * z-score stabilizes through DECIMAL(18,8) before the threshold
+    * compare, so a boundary row lands identically on any engine. A
+    * zero-MAD group (> 50% of values identical) yields null z-scores
+    * and zero outliers, not a division error.
+    */
+  def robustOutliers(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      cut: Double = 3.5): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val gs = groupCols.map(col)
+    val rows = df.filter(v.isNotNull)
+    val med = rows.groupBy(gs: _*)
+      .agg(round(percentile(v, lit(0.5)), 6).as("__med"))
+    val mad = rows.join(broadcast(med), groupCols)
+      .groupBy(gs: _*)
+      .agg(round(percentile(abs(v - col("__med")), lit(0.5)), 6).as("__mad"))
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val z = round((lit(0.6745d) * (v - col("__med")) / col("__mad"))
+      .cast(stable), 4)
+    rows
+      .join(broadcast(med), groupCols)
+      .join(broadcast(mad), groupCols)
+      .groupBy(gs: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        first(col("__med")).as("median"),
+        first(col("__mad")).as("mad"),
+        sum(when(col("__mad") > 0 && abs(z) > cut, 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
+  /** X117 — Benford first-digit conformance: the observed distribution
+    * of leading digits of a positive amount column against Benford's
+    * law `P(d) = log10(1 + 1/d)` — the classic fabricated-data /
+    * synthetic-leak screen for financial columns (organic multi-scale
+    * amounts follow it; invented or uniform ones don't).
+    *
+    * The amount quantizes to exact integer CENTS through DECIMAL(28,6)
+    * (the x144 money contract), so the leading digit is the first
+    * character of an integer's decimal rendering — identical on any
+    * engine, no float formatting in sight. One counting aggregate to 9
+    * rows; the expected probabilities are shared ROUNDED literals (ln
+    * itself never runs at query time). Output per digit: count,
+    * observed share, expected share, deviation.
+    */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val expected = Seq(
+      1 -> 0.3010299957d, 2 -> 0.1760912591d, 3 -> 0.1249387366d,
+      4 -> 0.0969100130d, 5 -> 0.0791812460d, 6 -> 0.0669467896d,
+      7 -> 0.0579919470d, 8 -> 0.0511525224d, 9 -> 0.0457574906d)
+      .toDF("digit", "expected_p")
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val cents = (round(col(valueCol).cast(dec), 2) * 100).cast("bigint")
+    val counted = df
+      .select(cents.as("__c")).filter(col("__c") > 0)
+      .select(substring(col("__c").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy()
+    counted
+      .join(broadcast(expected), Seq("digit"), "right")
+      .select(col("digit").cast("bigint").as("digit"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        round((coalesce(col("n"), lit(0L)).cast("double")
+          / sum(coalesce(col("n"), lit(0L))).over(tot)).cast(stable), 6)
+          .cast("double").as("observed_p"),
+        col("expected_p"))
+      .withColumn("deviation",
+        round((col("observed_p") - col("expected_p")).cast(stable), 6)
+          .cast("double"))
+  }
+
   /** X109 — mutual information between two categorical columns, in
     * nats, with the marginal entropies and the normalized form
     * `NMI = MI / min(H(a), H(b))` — "how much does knowing column A

@@ -2480,6 +2480,56 @@ object OracleSql {
 
     "x154_kcore" -> kcoreSql,
 
+    // MAD robust outliers: median and MAD round to 6 dp before use
+    // (quantile_cont ≡ percentile, the t38 parity); the modified z
+    // stabilizes through DECIMAL(18,8) before the 3.5 compare.
+    "x156_robust_outliers" ->
+      """WITH rws AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |med AS (SELECT g, ROUND(quantile_cont(v, 0.5), 6) AS med
+        |  FROM rws GROUP BY 1),
+        |mad AS (SELECT r.g,
+        |  ROUND(quantile_cont(abs(r.v - m.med), 0.5), 6) AS mad
+        |  FROM rws r JOIN med m ON r.g = m.g GROUP BY 1)
+        |SELECT r.g AS event_type, COUNT(*) AS n,
+        |  MIN(m.med) AS median, MIN(d.mad) AS mad,
+        |  SUM(CASE WHEN d.mad > 0 AND abs(ROUND(CAST(
+        |      0.6745e0 * (r.v - m.med) / d.mad
+        |      AS DECIMAL(18,8)), 4)) > 3.5 THEN 1 ELSE 0 END)
+        |    AS n_outliers
+        |FROM rws r JOIN med m ON r.g = m.g JOIN mad d ON r.g = d.g
+        |GROUP BY r.g ORDER BY event_type""".stripMargin,
+
+    // Benford: exact integer cents via the x144 money contract; the
+    // expected shares are shared rounded literals (no runtime log10).
+    "x157_benford" ->
+      """WITH c AS (SELECT CAST(ROUND(CAST(o_totalprice
+        |    AS DECIMAL(28,6)), 2) * 100 AS BIGINT) AS c FROM orders),
+        |d AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT)
+        |    AS digit, COUNT(*) AS n
+        |  FROM c WHERE c > 0 GROUP BY 1),
+        |e AS (SELECT * FROM (VALUES
+        |  (1, CAST(0.3010299957 AS DOUBLE)),
+        |  (2, CAST(0.1760912591 AS DOUBLE)),
+        |  (3, CAST(0.1249387366 AS DOUBLE)),
+        |  (4, CAST(0.0969100130 AS DOUBLE)),
+        |  (5, CAST(0.0791812460 AS DOUBLE)),
+        |  (6, CAST(0.0669467896 AS DOUBLE)),
+        |  (7, CAST(0.0579919470 AS DOUBLE)),
+        |  (8, CAST(0.0511525224 AS DOUBLE)),
+        |  (9, CAST(0.0457574906 AS DOUBLE))) v(digit, expected_p)),
+        |j AS (SELECT e.digit, COALESCE(d.n, 0) AS n, e.expected_p
+        |  FROM e LEFT JOIN d ON d.digit = e.digit),
+        |o AS (SELECT digit, n,
+        |  CAST(ROUND(CAST(CAST(n AS DOUBLE) / SUM(n) OVER ()
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS observed_p, expected_p
+        |  FROM j)
+        |SELECT CAST(digit AS BIGINT) AS digit, CAST(n AS BIGINT) AS n,
+        |  observed_p, expected_p,
+        |  CAST(ROUND(CAST(observed_p - expected_p AS DECIMAL(18,8)), 6)
+        |    AS DOUBLE) AS deviation
+        |FROM o ORDER BY digit""".stripMargin,
+
     // Inter-arrival stats: gaps in exact integer micros; Σg and Σg² in
     // DECIMAL (g² squared in DECIMAL(19,0) — int64 overflows beyond
     // ~54-minute gaps); variance assembled from the exact sums in one

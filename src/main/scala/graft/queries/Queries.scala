@@ -1887,6 +1887,19 @@ object Queries {
         "event_id")
       .orderBy("user_id")
 
+  /** X156 — MAD robust outliers (X116): modified z-score screen of
+    * event values per event type, Iglewicz–Hoaglin 3.5 cut. */
+  def x156(s: SparkSession, dir: String): DataFrame =
+    Profiling.robustOutliers(Tables.events(s, dir), Seq("event_type"),
+        "value")
+      .orderBy("event_type")
+
+  /** X157 — Benford first-digit conformance (X117) of order totals:
+    * observed vs expected leading-digit shares over exact cents. */
+  def x157(s: SparkSession, dir: String): DataFrame =
+    Profiling.benford(Tables.orders(s, dir), "o_totalprice")
+      .orderBy("digit")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -2055,5 +2068,7 @@ object Queries {
     "x152_winsorize" -> (x152 _),
     "x153_reconcile" -> (x153 _),
     "x154_kcore" -> (x154 _),
-    "x155_interarrival" -> (x155 _))
+    "x155_interarrival" -> (x155 _),
+    "x156_robust_outliers" -> (x156 _),
+    "x157_benford" -> (x157 _))
 }

@@ -155,6 +155,39 @@ class ProfilingSpec extends SparkSpec {
       s"got $r2 — zero cells dropped from the grid?")
   }
 
+  test("robustOutliers: hand MAD screen; zero-MAD group yields no outliers") {
+    import spark.implicits._
+    // 1..9 + 100: median 5.5, MAD 2.5; only the 100 crosses
+    // 0.6745*|v-med|/MAD > 3.5 (z(9) = 0.944, z(100) = 25.5)
+    val df = ((1 to 9).map(_.toDouble) :+ 100.0).map(("g", _))
+      .toDF("grp", "v")
+    val got = Profiling.robustOutliers(df, Seq("grp"), "v").collect()(0)
+    assert((got.getString(0), got.getLong(1), got.getDouble(2),
+      got.getDouble(3), got.getLong(4)) == (("g", 10L, 5.5, 2.5, 1L)),
+      s"got $got")
+    // > 50% identical values -> MAD 0 -> no outliers, no crash
+    val flat = Seq(5.0, 5.0, 5.0, 9.0).map(("g", _)).toDF("grp", "v")
+    val g2 = Profiling.robustOutliers(flat, Seq("grp"), "v").collect()(0)
+    assert(g2.getDouble(3) == 0.0 && g2.getLong(4) == 0L, s"got $g2")
+  }
+
+  test("benford: exact-cent leading digits, all 9 rows present, nonpositive dropped") {
+    import spark.implicits._
+    // digits: 1.00->1, 1.50->1, 19.99->1, 2.00->2, 0.50->5;
+    // 0 and negatives are excluded
+    val df = Seq(1.0, 1.5, 19.99, 2.0, 0.5, 0.0, -3.0).toDF("v")
+    val got = Profiling.benford(df, "v")
+      .orderBy("digit")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(got.map(_._1) == (1L to 9L), s"missing digits: $got")
+    assert(got.map(_._2) == Seq(3L, 1L, 0L, 0L, 1L, 0L, 0L, 0L, 0L),
+      s"got $got")
+    assert(got(0)._3 == 0.6 && got(1)._3 == 0.2 && got(4)._3 == 0.2,
+      s"got $got")
+  }
+
   test("mutualInfo: independent columns score 0; identical columns reach NMI 1") {
     import spark.implicits._
     // perfectly independent 2x2 (uniform product measure)
