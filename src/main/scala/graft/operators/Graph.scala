@@ -111,6 +111,102 @@ object Graph {
     ranks
   }
 
+  /** X118 — personalized PageRank: random walk with restart into a
+    * TELEPORT SET instead of the uniform vector — "authority relative
+    * to these seeds" (recommendation neighborhoods from a user's
+    * items, related-entity expansion from a seed list, trust
+    * propagation from verified nodes). Plain [[pageRank]] answers
+    * "globally important"; this answers "important FROM HERE".
+    *
+    * Same per-round shape and checkpoint discipline as [[pageRank]]
+    * (one thin join + map-side-combinable agg per round, rank frame
+    * cut each round, dangling mass one 1-row agg) — only the restart
+    * vector changes: init = teleport distribution, restart and
+    * dangling mass both land on the teleport set (the standard PPR
+    * formulation). Emitted ranks are scaled by |S| (seeds ≈ restart
+    * share) and ROUNDed at 6 dp — the x105 float contract.
+    */
+  def personalizedPageRank(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      teleportNodes: DataFrame, teleportCol: String,
+      iterations: Int, damping: Double = 0.85,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+    : DataFrame = {
+    require(iterations >= 1, s"need iterations >= 1, got $iterations")
+    require(damping > 0 && damping < 1, s"need 0 < damping < 1, got $damping")
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
+    val dedup = edges.select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .distinct()
+    val e = scope.persist(
+      dedup.repartition(col("src"))
+        .withColumn("deg", count(lit(1))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("src")))
+          .cast("double")))
+    val seeds = teleportNodes
+      .select(col(teleportCol).cast("string").as("node")).distinct()
+    // teleport column rides the persisted node frame: seeds in the
+    // graph get 1/|S|, everything else 0 — the restart vector
+    val nodesRaw = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val seedsInGraph = scope.persist(nodesRaw.join(seeds, Seq("node"),
+      "left_semi"))
+    val sCount = seedsInGraph.count()
+    require(sCount > 0, "teleport set shares no nodes with the graph")
+    val tele = when(col("__seed").isNotNull, lit(1.0 / sCount))
+      .otherwise(lit(0.0d))
+    val nodes = scope.persist(
+      nodesRaw.join(seedsInGraph.withColumn("__seed", lit(1))
+          .select(col("node"), col("__seed")), Seq("node"), "left")
+        .select(col("node"), tele.as("tele")))
+    val sinks = scope.persist(
+      nodes.join(e, col("node") === col("src"), "left_anti"))
+    val hasSinks = sinks.limit(1).count() > 0
+    val reliable = sc.getCheckpointDir.isDefined
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    def checkpointFile(df: DataFrame): Option[String] =
+      df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.flatMap(_.getCheckpointFile)
+    def deleteCheckpointFile(file: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(file)
+      p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+    }
+    var ranks = cut(nodes.select(col("node"), col("tele").as("rank")))
+    var iter = 0
+    while (iter < iterations) {
+      val danglingMass =
+        if (!hasSinks) 0.0
+        else ranks.join(sinks.select("node"), Seq("node"))
+          .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") / col("deg")).as("__in"))
+      val next = nodes
+        .join(contribs, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) * col("tele") +
+            lit(damping) * (coalesce(col("__in"), lit(0.0)) +
+              lit(danglingMass) * col("tele"))).as("rank"))
+      val cutNext = cut(next)
+      if (!reliable) Dedup.releaseCheckpointStorage(ranks)
+      else checkpointFile(ranks).foreach(deleteCheckpointFile)
+      ranks = cutNext
+      iter += 1
+    }
+    // stabilize through DECIMAL(18,8) before the 6-dp round (the x140
+    // boundary contract) — the scaled rank CAN terminate near a
+    // half-boundary at digit 7, where plain double rounds disagree
+    // across engines (observed live at sf0.01)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    ranks.select(col("node"),
+      round((col("rank") * sCount).cast(stable), 6).cast("double")
+        .as("rank_scaled"))
+  }
+
   /** X88 — exact triangle count over an undirected graph (the standard
     * clustering/community-density statistic; on a co-purchase graph it
     * measures basket cohesion). Returns one row:

@@ -90,6 +90,51 @@ object OracleSql {
     * every order is a sink, so each round carries the dangling-mass
     * scalar — d_k = Σ r_{k-1} over sink nodes, redistributed as
     * d_k/N inside the damped term, exactly the operator's update. */
+  /** X118 personalized PageRank oracle: x105's dangling machinery with
+    * the restart/dangling mass landing on the teleport set (nation-1
+    * customers). Same float contract: per-round sums in double, ROUND
+    * at 6 dp on the |S|-scaled rank, zero-rank rows dropped AFTER the
+    * round (mirroring the engine's filter on the rounded value). */
+  private def pprSql(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""d$k AS (
+         |  SELECT coalesce(sum(p.r), 0.0) AS dm
+         |  FROM r${k - 1} p LEFT JOIN deg d ON d.node = p.node
+         |  WHERE d.node IS NULL),
+         |r$k AS (
+         |  SELECT nd.node, nd.tele,
+         |    (1.0e0 - 0.85e0) * nd.tele
+         |    + 0.85e0 * (coalesce(s.c, 0.0)
+         |                + (SELECT dm FROM d$k) * nd.tele) AS r
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS node, sum(p.r / dg.deg) AS c
+         |    FROM e JOIN r${k - 1} p ON e.src = p.node
+         |           JOIN deg dg ON dg.node = e.src
+         |    GROUP BY e.dst) s ON s.node = nd.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT 'c' || o_custkey::VARCHAR AS src,
+       |                  'o' || o_orderkey::VARCHAR AS dst FROM orders),
+       |nodes0 AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |deg AS (SELECT src AS node, COUNT(*)::DOUBLE AS deg FROM e GROUP BY 1),
+       |sd AS (SELECT DISTINCT 'c' || c_custkey::VARCHAR AS node
+       |  FROM customer WHERE c_nationkey = 1),
+       |sg AS (SELECT n.node FROM nodes0 n JOIN sd ON n.node = sd.node),
+       |sc AS (SELECT COUNT(*)::DOUBLE AS scnt FROM sg),
+       |nodes AS (SELECT n.node,
+       |  CASE WHEN s.node IS NOT NULL THEN (SELECT 1.0e0 / scnt FROM sc)
+       |    ELSE 0.0e0 END AS tele
+       |  FROM nodes0 n LEFT JOIN sg s ON n.node = s.node),
+       |r0 AS (SELECT node, tele, tele AS r FROM nodes),
+       |$rounds,
+       |fin AS (SELECT node,
+       |  CAST(ROUND(CAST(r * (SELECT scnt FROM sc) AS DECIMAL(18,8)), 6)
+       |    AS DOUBLE) AS rank_scaled
+       |  FROM r$iters)
+       |SELECT node, rank_scaled FROM fin WHERE rank_scaled > 0
+       |ORDER BY node""".stripMargin
+  }
+
   private def pageRankDanglingSql(iters: Int): String = {
     val rounds = (1 to iters).map { k =>
       s"""d$k AS (
@@ -1533,6 +1578,7 @@ object OracleSql {
 
     // x105 PageRank with dominant dangling mass (directed, 3 rounds).
     "x105_pagerank_dangling" -> pageRankDanglingSql(3),
+    "x158_ppr" -> pprSql(3),
 
     // x106 edit-distance pairs: the oracle is deliberately ALL-PAIRS —
     // matching it proves the Spark-side prefilter lossless.

@@ -1900,6 +1900,22 @@ object Queries {
     Profiling.benford(Tables.orders(s, dir), "o_totalprice")
       .orderBy("digit")
 
+  /** X158 — personalized PageRank (X118) on x105's directed
+    * customer→order graph, restarting into nation-1 customers: order
+    * authority relative to that market segment's seeds. */
+  def x158(s: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.orders(s, dir).select(
+      concat(lit("c"), col("o_custkey")).as("src"),
+      concat(lit("o"), col("o_orderkey")).as("dst"))
+    val seeds = Tables.customer(s, dir)
+      .filter(col("c_nationkey") === 1)
+      .select(concat(lit("c"), col("c_custkey")).as("seed"))
+    graft.operators.Graph.personalizedPageRank(edges, "src", "dst",
+        seeds, "seed", iterations = 3, damping = 0.85)
+      .filter(col("rank_scaled") > 0)
+      .orderBy("node")
+  }
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -2070,5 +2086,6 @@ object Queries {
     "x154_kcore" -> (x154 _),
     "x155_interarrival" -> (x155 _),
     "x156_robust_outliers" -> (x156 _),
-    "x157_benford" -> (x157 _))
+    "x157_benford" -> (x157 _),
+    "x158_ppr" -> (x158 _))
 }

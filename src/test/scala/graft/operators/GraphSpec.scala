@@ -152,6 +152,41 @@ class GraphSpec extends SparkSpec {
       ("b", "d", 1L, 0.5), ("c", "e", 1L, 0.333333)), s"got $got")
   }
 
+  test("personalizedPageRank: mass flows from the seeds only; dangling returns to them") {
+    import spark.implicits._
+    // s -> {t1, t2}, u -> t3; teleport {s}: u's branch never gains
+    // mass, and sink mass teleports back to s, not uniformly
+    val edges = Seq("s" -> "t1", "s" -> "t2", "u" -> "t3")
+      .toDF("src", "dst")
+    val seeds = Seq("s").toDF("seed")
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val base = 1.0 - 0.85
+    val got1 = Graph.personalizedPageRank(edges, "src", "dst", seeds,
+        "seed", iterations = 1)
+      .orderBy("node").as[(String, Double)].collect().toSeq
+    val r1t = base * 0.0 + 0.85 * (1.0 / 2 + 0.0 * 0.0)
+    assert(got1 == Seq(("s", r6(base * 1.0 + 0.85 * (0.0 + 0.0 * 1.0))),
+      ("t1", r6(r1t)), ("t2", r6(r1t)), ("t3", 0.0), ("u", 0.0)),
+      s"got $got1")
+    // round 2: the 0.85 of mass parked on the sinks teleports to s
+    val r1s = base * 1.0 + 0.85 * (0.0 + 0.0 * 1.0)
+    val dm1 = r1t + r1t + 0.0
+    val r2s = base * 1.0 + 0.85 * (0.0 + dm1 * 1.0)
+    val r2t = base * 0.0 + 0.85 * (r1s / 2 + dm1 * 0.0)
+    val got2 = Graph.personalizedPageRank(edges, "src", "dst", seeds,
+        "seed", iterations = 2)
+      .orderBy("node").as[(String, Double)].collect().toSeq
+    assert(got2 == Seq(("s", r6(r2s)), ("t1", r6(r2t)), ("t2", r6(r2t)),
+      ("t3", 0.0), ("u", 0.0)), s"got $got2")
+    // a teleport set disjoint from the graph is a caller error
+    val bad = Seq("zz").toDF("seed")
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(edges, "src", "dst", bad, "seed", 1)
+    }
+  }
+
   test("kCore: the peel cascades (a chain peels to nothing), cycles survive") {
     import spark.implicits._
     // path a-b-c-d-e at k=2: ends have degree 1; peeling them exposes
