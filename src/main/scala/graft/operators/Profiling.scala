@@ -255,6 +255,56 @@ object Profiling {
         first(col("__n")).as("n"))
   }
 
+  /** X119 — exact quantiles WITHOUT a driver-side buffer: the
+    * scalable twin of the `percentile` aggregate (which gathers the
+    * whole column into one executor buffer — t38's documented
+    * trade-off, fine to ~10⁸ values, fatal at 100 TB). Range-sort +
+    * `zipWithIndex` assign global ranks distributed (the labelEncode /
+    * equidepth pattern); each requested probability interpolates
+    * between its two neighboring ranks via one broadcast join — the
+    * quantile_cont formula `v_lo + frac·(v_hi − v_lo)` on pos =
+    * p·(n−1). One count action total (the sanctioned scalar shape);
+    * no single-partition window, no whole-column gather anywhere.
+    */
+  def exactQuantiles(df: DataFrame, valueCol: String,
+      probs: Seq[Double], roundDigits: Int = 6): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
+      s"probs must be within [0,1], got $probs")
+    val spark = df.sparkSession
+    val v = col(valueCol).cast("double")
+    val sorted = df.filter(v.isNotNull).select(v.as("__v")).orderBy(col("__v"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__v",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("__i",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val indexed = spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(r.get(0), i)
+      }, schema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = indexed.count()
+    require(n > 0, "exactQuantiles needs at least one non-null value")
+    import spark.implicits._
+    val wanted = probs.map { p =>
+      val pos = p * (n - 1)
+      val lo = math.floor(pos).toLong
+      val hi = math.min(lo + 1, n - 1)
+      (p, lo, hi, pos - lo)
+    }.toDF("prob", "__lo", "__hi", "__frac")
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val out = broadcast(wanted)
+      .join(indexed.select(col("__i").as("__lo"), col("__v").as("__vlo")),
+        Seq("__lo"))
+      .join(indexed.select(col("__i").as("__hi"), col("__v").as("__vhi")),
+        Seq("__hi"))
+      .select(col("prob"),
+        round((col("__vlo")
+          + col("__frac") * (col("__vhi") - col("__vlo"))).cast(stable),
+          roundDigits).cast("double").as("value"))
+    out
+  }
+
   /** X116 — robust outlier screen per group: modified z-score
     * `0.6745·(v − median)/MAD` with the Iglewicz–Hoaglin 3.5 cut — the
     * global-robust complement of [[graft.operators.TimeSeries

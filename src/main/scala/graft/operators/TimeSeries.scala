@@ -452,6 +452,56 @@ object TimeSeries {
         weekday(d).isin(5, 6).cast("int"))
   }
 
+  /** X120 — linear multi-touch attribution: every touch inside the
+    * lookback window before a conversion shares the credit equally
+    * (1/k each) — the multi-touch complement of
+    * [[lastTouchAttribution]]'s winner-takes-all rule. Reported per
+    * channel: total credit and how many conversions it participated
+    * in.
+    *
+    * Shape: conversions join touches per user with a range predicate —
+    * a user-key shuffle whose per-pair cost is bounded by the lookback
+    * window, never event × event across users; per-conversion touch
+    * counts are one aggregate on the join output. Portability: each
+    * credit `1/k` is one IEEE division cast to DECIMAL(18,10) and
+    * summed exactly (the linkPrediction discipline), so per-channel
+    * totals are addition-order-free.
+    */
+  def linearAttribution(
+      df: DataFrame,
+      userCol: String, tsCol: String, tieCol: String, typeCol: String,
+      touchTypes: Seq[String], convType: String,
+      windowSeconds: Long,
+      roundDigits: Int = 6): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    require(windowSeconds > 0, "windowSeconds must be positive")
+    val us = unix_micros(col(tsCol))
+    val conv = df.filter(col(typeCol) === convType)
+      .select(col(userCol).as("__u"), us.as("__cts"),
+        col(tieCol).as("__cid"))
+    val touch = df.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("__u"), us.as("__tts"),
+        col(typeCol).as("channel"))
+    val w = windowSeconds * 1000000L
+    val joined = conv.join(touch,
+      Seq("__u")).filter(
+      col("__tts") < col("__cts") && col("__tts") >= col("__cts") - w)
+    val perConv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__u"), col("__cts"), col("__cid"))
+    val dec = org.apache.spark.sql.types.DecimalType(18, 10)
+    joined
+      .withColumn("__k", count(lit(1)).over(perConv))
+      .groupBy(col("channel"))
+      .agg(
+        sum((lit(1.0d) / col("__k")).cast(dec)).as("__credit"),
+        countDistinct(col("__u"), col("__cts"), col("__cid"))
+          .as("n_conversions"))
+      .select(col("channel"),
+        round(col("__credit").cast("double"), roundDigits)
+          .as("credit"),
+        col("n_conversions"))
+  }
+
   /** X115 — per-user inter-arrival statistics: mean gap, coefficient
     * of variation, and Goh–Barabási burstiness
     * `B = (σ−μ)/(σ+μ)` (−1 = metronome, 0 = Poisson, →1 = bursty) —

@@ -2526,6 +2526,41 @@ object OracleSql {
 
     "x154_kcore" -> kcoreSql,
 
+    // Exact-quantile scalable path vs native quantile_cont (the t38
+    // percentile parity), stabilized through DECIMAL(18,8).
+    "x159_exact_quantiles" ->
+      """WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL)
+        |SELECT prob, CAST(ROUND(CAST(q AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |    AS value
+        |FROM (
+        |  SELECT 0.5e0 AS prob, quantile_cont(v, 0.5) AS q FROM v
+        |  UNION ALL SELECT 0.9e0, quantile_cont(v, 0.9) FROM v
+        |  UNION ALL SELECT 0.99e0, quantile_cont(v, 0.99) FROM v)
+        |ORDER BY prob""".stripMargin,
+
+    // Linear multi-touch attribution: per-credit 1/k is one IEEE
+    // division cast to DECIMAL(18,10) and summed exactly.
+    "x160_linear_attribution" ->
+      """WITH conv AS (SELECT user_id AS u, epoch_us(ts) AS cts,
+        |  event_id AS cid FROM events WHERE event_type = 'purchase'),
+        |tch AS (SELECT user_id AS u, epoch_us(ts) AS tts,
+        |  event_type AS channel FROM events
+        |  WHERE event_type IN ('click', 'view', 'signup')),
+        |j AS (SELECT conv.u, cts, cid, tts, channel
+        |  FROM conv JOIN tch ON conv.u = tch.u
+        |  AND tts < cts AND tts >= cts - 604800000000),
+        |k AS (SELECT *, COUNT(*) OVER (PARTITION BY u, cts, cid) AS k
+        |  FROM j),
+        |cr AS (SELECT channel,
+        |  ROUND(CAST(SUM(CAST(CAST(1.0 AS DOUBLE) / k
+        |    AS DECIMAL(18,10))) AS DOUBLE), 6) AS credit
+        |  FROM k GROUP BY 1),
+        |cd AS (SELECT channel, COUNT(*) AS n_conversions FROM (
+        |    SELECT DISTINCT channel, u, cts, cid FROM k) GROUP BY 1)
+        |SELECT cr.channel, credit, n_conversions
+        |FROM cr JOIN cd USING (channel) ORDER BY channel""".stripMargin,
+
     // MAD robust outliers: median and MAD round to 6 dp before use
     // (quantile_cont ≡ percentile, the t38 parity); the modified z
     // stabilizes through DECIMAL(18,8) before the 3.5 compare.

@@ -1916,6 +1916,23 @@ object Queries {
       .orderBy("node")
   }
 
+  /** X159 — exact quantiles, scalable path (X119): median/p90/p99 of
+    * extended price via range-sort + zipWithIndex — no whole-column
+    * executor buffer — against native quantile_cont. */
+  def x159(s: SparkSession, dir: String): DataFrame =
+    Profiling.exactQuantiles(Tables.lineitem(s, dir), "l_extendedprice",
+        Seq(0.5, 0.9, 0.99))
+      .orderBy("prob")
+
+  /** X160 — linear multi-touch attribution (X120): click/view/signup
+    * credit shares for purchases with a 7-day lookback. */
+  def x160(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.linearAttribution(Tables.events(s, dir), "user_id", "ts",
+        "event_id", "event_type",
+        touchTypes = Seq("click", "view", "signup"),
+        convType = "purchase", windowSeconds = 7L * 24 * 3600)
+      .orderBy("channel")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -2087,5 +2104,7 @@ object Queries {
     "x155_interarrival" -> (x155 _),
     "x156_robust_outliers" -> (x156 _),
     "x157_benford" -> (x157 _),
-    "x158_ppr" -> (x158 _))
+    "x158_ppr" -> (x158 _),
+    "x159_exact_quantiles" -> (x159 _),
+    "x160_linear_attribution" -> (x160 _))
 }

@@ -155,6 +155,25 @@ class ProfilingSpec extends SparkSpec {
       s"got $r2 — zero cells dropped from the grid?")
   }
 
+  test("exactQuantiles: scalable path matches the percentile aggregate, interpolates between ranks") {
+    import spark.implicits._
+    val df = (1 to 10).map(_.toDouble).toDF("v")
+    val got = Profiling.exactQuantiles(df, "v", Seq(0.0, 0.25, 0.5, 1.0))
+      .orderBy("prob")
+      .as[(Double, Double)].collect().toSeq
+    // pos = p*(n-1) on 1..10: p25 -> pos 2.25 -> 3 + 0.25*(4-3) = 3.25
+    assert(got == Seq((0.0, 1.0), (0.25, 3.25), (0.5, 5.5), (1.0, 10.0)),
+      s"got $got")
+    // must agree with the single-buffer percentile aggregate
+    val agg = df.select(
+      org.apache.spark.sql.functions.percentile(col("v"),
+        org.apache.spark.sql.functions.array(
+          org.apache.spark.sql.functions.lit(0.25),
+          org.apache.spark.sql.functions.lit(0.5))))
+      .head().getSeq[Double](0)
+    assert(agg == Seq(3.25, 5.5), s"percentile twin disagrees: $agg")
+  }
+
   test("robustOutliers: hand MAD screen; zero-MAD group yields no outliers") {
     import spark.implicits._
     // 1..9 + 100: median 5.5, MAD 2.5; only the 100 crosses

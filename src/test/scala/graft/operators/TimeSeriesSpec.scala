@@ -276,6 +276,30 @@ class TimeSeriesSpec extends SparkSpec {
       ("b", "a", 1L, 1.0)), s"got $got")
   }
 
+  test("linearAttribution: equal credit shares inside the window, expired touches excluded") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1 conversion at 12:00 with touches click(11:00), view(11:30)
+    // -> 1/2 each; click at 10:00 the day BEFORE the window is out;
+    // user 2 conversion with a single signup touch -> 1.0; a touch
+    // AFTER the conversion never counts
+    val df = Seq(
+      (1L, 1L, ts("2024-01-01 11:00:00"), "click"),
+      (1L, 2L, ts("2024-01-01 11:30:00"), "view"),
+      (1L, 3L, ts("2023-12-20 10:00:00"), "click"),
+      (1L, 4L, ts("2024-01-01 12:00:00"), "purchase"),
+      (1L, 5L, ts("2024-01-01 13:00:00"), "view"),
+      (2L, 6L, ts("2024-01-02 09:00:00"), "signup"),
+      (2L, 7L, ts("2024-01-02 10:00:00"), "purchase"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = TimeSeries.linearAttribution(df, "user_id", "ts",
+        "event_id", "event_type", Seq("click", "view", "signup"),
+        "purchase", windowSeconds = 7L * 24 * 3600)
+      .orderBy("channel")
+      .as[(String, Double, Long)].collect().toSeq
+    assert(got == Seq(("click", 0.5, 1L), ("signup", 1.0, 1L),
+      ("view", 0.5, 1L)), s"got $got")
+  }
+
   test("interArrivalStats: hand moments; metronome hits burstiness -1; degenerates null out") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     // user 1: gaps 10s, 20s; user 2: metronome 5s,5s,5s; user 3: one
