@@ -388,6 +388,47 @@ object Relational {
           .as("winsorized_mean")): _*)
   }
 
+  /** X121 — leave-one-out target encoding with additive smoothing: the
+    * standard high-cardinality categorical feature for GBM pipelines
+    * (exactly the encoder the reference's M5 model family pairs with —
+    * label codes carry no target signal, mean encoding leaks the row's
+    * own label; leave-one-out + smoothing is the fix):
+    * `enc_i = (Σ_cat y − y_i + m·prior) / (n_cat − 1 + m)` — the
+    * category's target mean EXCLUDING row i, shrunk toward the global
+    * prior by pseudo-count `m` (a singleton category degrades to the
+    * prior exactly, not to NaN).
+    *
+    * Shape: one map-side-combinable (n, Σy) aggregate per category
+    * joined back (category-cardinality broadcast), one 1-row prior
+    * broadcast — two scans nothing-driver-side. Σy and the prior sum
+    * in DECIMAL(28,6) after a per-value 6-dp quantize (the winsorize
+    * discipline), so every operand of the one float expression is
+    * engine-exact; the result stabilizes through DECIMAL(18,8).
+    */
+  def targetEncode(
+      df: DataFrame,
+      catCol: String,
+      targetCol: String,
+      m: Double = 10.0,
+      roundDigits: Int = 6): DataFrame = {
+    require(m > 0, s"smoothing pseudo-count must be positive, got $m")
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val y = round(col(targetCol).cast("double"), 6)
+    val rows = df.filter(col(targetCol).isNotNull)
+    val perCat = rows.groupBy(col(catCol))
+      .agg(count(lit(1)).as("__n"), sum(y.cast(dec)).as("__sum"))
+    val prior = rows.agg(
+      (sum(y.cast(dec)).cast("double") / count(lit(1))).as("__prior"))
+    rows
+      .join(broadcast(perCat), Seq(catCol))
+      .crossJoin(broadcast(prior))
+      .select(df.columns.map(col) :+
+        (round(((col("__sum").cast("double") - y + lit(m) * col("__prior"))
+          / (col("__n") - 1 + m)).cast(stable), roundDigits)
+          .cast("double").as("target_enc")): _*)
+  }
+
   /** X113 — snapshot reconciliation: the keyed diff of two versions of
     * a table — which keys were `added`, `removed`, or `changed`, and
     * WHICH columns changed (the data-migration / backfill-audit

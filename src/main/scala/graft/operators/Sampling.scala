@@ -207,4 +207,34 @@ object Sampling {
       .filter(col("__cum") <= budget)
       .drop("__cum")
   }
+
+  /** X122 — weighted sampling without replacement, deterministic
+    * (Efraimidis–Spirakis A-ES, IPL 2006): each row draws
+    * `u ∈ (0,1)` and ranks by `ln(u)/w` descending — the top-k of
+    * those keys IS an exact weight-proportional sample without
+    * replacement (quality-weighted corpus subsets, importance-weighted
+    * eval slices). The noise is the x131 DSIR trick: `u` comes from
+    * the row key's md5 prefix, so the sample is REPRODUCIBLE and
+    * engine-portable (md5-of-UTF-8 renders identically everywhere) —
+    * same contract as [[portableSample]], but weighted.
+    *
+    * One stateless map + TakeOrderedAndProject on the ROUNDED key (the
+    * 6-dp round through DECIMAL(18,8) is what makes the float `ln`
+    * comparable across engines; key ties break on the row key). Rows
+    * with non-positive weights are excluded (their key is undefined).
+    */
+  def weightedSamplePortable(
+      df: DataFrame, keyCol: String, weightCol: String, k: Int,
+      roundDigits: Int = 6): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val u = (conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") + 0.5d) / 4294967296.0d
+    val key = round((log(u) / col(weightCol).cast("double")).cast(stable),
+      roundDigits).cast("double")
+    df.filter(col(weightCol).cast("double") > 0)
+      .withColumn("es_key", key)
+      .orderBy(col("es_key").desc, col(keyCol))
+      .limit(k)
+  }
 }

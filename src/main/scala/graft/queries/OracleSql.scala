@@ -2539,6 +2539,38 @@ object OracleSql {
         |  UNION ALL SELECT 0.99e0, quantile_cont(v, 0.99) FROM v)
         |ORDER BY prob""".stripMargin,
 
+    // Leave-one-out target encoding: (Σ−y+m·prior)/(n−1+m) assembled
+    // in the engine's association over exact decimal sums.
+    "x161_target_encode" ->
+      """WITH rws AS (SELECT l_orderkey, l_linenumber, l_partkey,
+        |  ROUND(CAST(l_quantity AS DOUBLE), 6) AS y FROM lineitem
+        |  WHERE l_quantity IS NOT NULL),
+        |pc AS (SELECT l_partkey, COUNT(*) AS n,
+        |  SUM(CAST(y AS DECIMAL(28,6))) AS s FROM rws GROUP BY 1),
+        |pr AS (SELECT CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE)
+        |  / COUNT(*) AS prior FROM rws)
+        |SELECT r.l_orderkey, CAST(r.l_linenumber AS BIGINT)
+        |    AS l_linenumber, r.l_partkey,
+        |  CAST(ROUND(CAST((CAST(s AS DOUBLE) - y + 10.0e0 * prior)
+        |    / (n - 1 + 10.0e0) AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |    AS target_enc
+        |FROM rws r JOIN pc USING (l_partkey) CROSS JOIN pr
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // A-ES weighted sample: u from the md5 prefix (x131 idiom, doubles
+    // forced explicitly), key = ln(u)/w rounded through DECIMAL(18,8).
+    "x162_weighted_sample" ->
+      """WITH t AS (SELECT o_orderkey,
+        |  CAST(ROUND(CAST(
+        |    ln((('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT
+        |        + CAST(0.5 AS DOUBLE)) / CAST(4294967296.0 AS DOUBLE))
+        |    / CAST(o_totalprice AS DOUBLE)
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS es_key
+        |  FROM orders WHERE CAST(o_totalprice AS DOUBLE) > 0),
+        |top AS (SELECT * FROM t ORDER BY es_key DESC, o_orderkey
+        |  LIMIT 100)
+        |SELECT * FROM top ORDER BY o_orderkey""".stripMargin,
+
     // Linear multi-touch attribution: per-credit 1/k is one IEEE
     // division cast to DECIMAL(18,10) and summed exactly.
     "x160_linear_attribution" ->

@@ -1933,6 +1933,24 @@ object Queries {
         convType = "purchase", windowSeconds = 7L * 24 * 3600)
       .orderBy("channel")
 
+  /** X161 — leave-one-out target encoding (X121): per-part smoothed
+    * LOO mean of line quantity, the GBM categorical feature. */
+  def x161(s: SparkSession, dir: String): DataFrame =
+    Relational.targetEncode(Tables.lineitem(s, dir), "l_partkey",
+        "l_quantity", m = 10.0)
+      .select(col("l_orderkey"), bi(col("l_linenumber")).as("l_linenumber"),
+        col("l_partkey"), col("target_enc"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** X162 — deterministic weighted sample (X122): 100 orders drawn
+    * without replacement proportional to order value (A-ES keys from
+    * the md5-derived uniform — reproducible on any engine). */
+  def x162(s: SparkSession, dir: String): DataFrame =
+    Sampling.weightedSamplePortable(Tables.orders(s, dir), "o_orderkey",
+        "o_totalprice", k = 100)
+      .select(col("o_orderkey"), col("es_key"))
+      .orderBy("o_orderkey")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -2106,5 +2124,7 @@ object Queries {
     "x157_benford" -> (x157 _),
     "x158_ppr" -> (x158 _),
     "x159_exact_quantiles" -> (x159 _),
-    "x160_linear_attribution" -> (x160 _))
+    "x160_linear_attribution" -> (x160 _),
+    "x161_target_encode" -> (x161 _),
+    "x162_weighted_sample" -> (x162 _))
 }

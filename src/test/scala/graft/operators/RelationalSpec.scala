@@ -249,6 +249,20 @@ class RelationalSpec extends SparkSpec {
       (5L, "changed", Some("n,s"))), s"got $got")
   }
 
+  test("targetEncode: hand LOO means; a singleton category degrades to the prior") {
+    val df = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0), ("B", 10.0))
+      .toDF("cat", "y")
+    val got = Relational.targetEncode(df, "cat", "y", m = 10.0)
+      .orderBy("cat", "y")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .toSeq
+    // prior = 16/4 = 4; enc(A, y) = (6 - y + 40) / 12
+    assert(got == Seq(
+      ("A", 1.0, 3.75), ("A", 2.0, 3.666667), ("A", 3.0, 3.583333),
+      // (10 - 10 + 40) / (0 + 10) = prior exactly, never NaN
+      ("B", 10.0, 4.0)), s"got $got")
+  }
+
   test("reconcile: null-to-value and value-to-null both count as changes") {
     val before = Seq((1L, Option(10)), (2L, Option.empty[Int]))
       .toDF("k", "n")

@@ -213,4 +213,22 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect().toSet
     assert(a == b, "placement must not depend on input partitioning")
   }
+
+  test("weightedSamplePortable: deterministic, weight-dominant, nonpositive weights excluded") {
+    import spark.implicits._
+    // a weight 9 orders of magnitude above the rest pins its key to
+    // ~0 (the A-ES maximum); run-to-run and partitioning-invariant
+    val rows = (1L to 50L).map(i => (i, if (i == 7L) 1e9 else 1e-3)) ++
+      Seq((51L, 0.0), (52L, -5.0))
+    val df = rows.toDF("id", "w")
+    val got = Sampling.weightedSamplePortable(df, "id", "w", k = 10)
+      .select("id").as[Long].collect().toSeq
+    assert(got.head == 7L, s"dominant weight must rank first: $got")
+    assert(!got.contains(51L) && !got.contains(52L),
+      "nonpositive weights must be excluded")
+    assert(got.length == 10)
+    val again = Sampling.weightedSamplePortable(df.repartition(7), "id",
+      "w", k = 10).select("id").as[Long].collect().toSeq
+    assert(got == again, "sample must be reproducible")
+  }
 }
