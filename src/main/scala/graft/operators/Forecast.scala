@@ -549,4 +549,46 @@ object Forecast {
       round(regr_intercept(y, x), 6).as("intercept"),
       round(regr_r2(y, x), 6).as("r2"))
   }
+
+  /** X123 — Theil–Sen robust trend per series: the MEDIAN of all
+    * pairwise slopes `(y_j − y_i)/(t_j − t_i)` — breakdown point
+    * ~29%, so a promo spike or stockout week that drags least-squares
+    * ([[linearTrend]]) around leaves this estimate standing. The
+    * robust screen for "is this SKU actually growing".
+    *
+    * Shape: a per-key self-join emits `C(n_days, 2)` pairs — bounded
+    * by the OBSERVATION WINDOW in days squared (≤ 66k pairs/key for a
+    * year of dailies), never by row count; the per-key median is one
+    * grouped exact percentile over those pairs. For multi-year windows
+    * cap the span upstream or switch to the repeated-median variant.
+    * Slopes ROUND through DECIMAL(18,8) to 6 dp before the median
+    * (identical IEEE division both engines; the quantile interpolation
+    * then runs on identical inputs — the t38 parity). Keys with a
+    * single observed day have no pairs and no row.
+    */
+  def theilSenSlope(
+      df: DataFrame,
+      keyCol: String,
+      dateCol: String,
+      valueCol: String,
+      roundDigits: Int = 6): DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val daily = df.select(col(keyCol).as("__k"), col(dateCol).as("__d"),
+      col(valueCol).cast("double").as("__y"))
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.__k") === col("b.__k") && col("a.__d") < col("b.__d"))
+      .select(col("a.__k").as("__k"),
+        round(((col("b.__y") - col("a.__y"))
+          / datediff(col("b.__d"), col("a.__d"))).cast(stable),
+          roundDigits).cast("double").as("__s"))
+    val nDays = daily.groupBy(col("__k"))
+      .agg(countDistinct(col("__d")).as("n_days"))
+    pairs.groupBy(col("__k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(percentile(col("__s"), lit(0.5)).cast(stable), roundDigits)
+          .cast("double").as("ts_slope"))
+      .join(nDays, "__k")
+      .select(col("__k").as(keyCol), col("n_days"), col("n_pairs"),
+        col("ts_slope"))
+  }
 }

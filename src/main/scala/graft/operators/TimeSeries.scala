@@ -452,6 +452,52 @@ object TimeSeries {
         weekday(d).isin(5, 6).cast("int"))
   }
 
+  /** X124 — rolling correlation between two aligned series per key
+    * (price vs demand over a trailing window: "is the price-response
+    * live right now?"). Emits a correlation at every row whose
+    * trailing window is FULL (`min_periods = w`, pandas semantics).
+    *
+    * Portability is the whole design: a double window-sum is NOT
+    * addition-order-free (engines disagree — DuckDB slides windows
+    * with a segment tree, Spark recomputes frames; different
+    * association, different ulps), so both inputs quantize to 6 dp and
+    * the five moment sums run as DECIMAL window sums — exact under ANY
+    * association. The per-row correlation assembles from those exact
+    * operands in one shared float expression, stabilized through
+    * DECIMAL(18,8). Zero-variance windows yield null.
+    */
+  def rollingCorrelation(
+      df: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      xCol: String,
+      yCol: String,
+      window: Int,
+      roundDigits: Int = 6): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val dec2 = org.apache.spark.sql.types.DecimalType(37, 12)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val x = round(col(xCol).cast("double"), 6).cast(dec)
+    val y = round(col(yCol).cast("double"), 6).cast(dec)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val n = count(lit(1)).over(w)
+    val sx = sum(x).over(w).cast("double")
+    val sy = sum(y).over(w).cast("double")
+    val sxy = sum((x * y).cast(dec2)).over(w).cast("double")
+    val sxx = sum((x * x).cast(dec2)).over(w).cast("double")
+    val syy = sum((y * y).cast(dec2)).over(w).cast("double")
+    val nd = n.cast("double")
+    val covN = nd * sxy - sx * sy
+    val varX = nd * sxx - sx * sx
+    val varY = nd * syy - sy * sy
+    df.withColumn("rolling_corr",
+      when(n === window && varX > 0 && varY > 0,
+        round((covN / sqrt(varX * varY)).cast(stable), roundDigits)
+          .cast("double")))
+  }
+
   /** X120 — linear multi-touch attribution: every touch inside the
     * lookback window before a conversion shares the credit equally
     * (1/k each) — the multi-touch complement of

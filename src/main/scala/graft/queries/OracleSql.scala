@@ -2539,6 +2539,61 @@ object OracleSql {
         |  UNION ALL SELECT 0.99e0, quantile_cont(v, 0.99) FROM v)
         |ORDER BY prob""".stripMargin,
 
+    // Theil–Sen: pairwise slopes round through DECIMAL(18,8) before
+    // the per-key exact median (quantile_cont ≡ percentile, t38).
+    "x163_theil_sen" ->
+      s"""WITH $dailyCte,
+         |d2 AS (SELECT user_id, day, CAST(demand AS DOUBLE) AS y
+         |  FROM daily),
+         |p AS (SELECT a.user_id AS k,
+         |  CAST(ROUND(CAST((b.y - a.y) / (b.day - a.day)
+         |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS s
+         |  FROM d2 a JOIN d2 b
+         |    ON a.user_id = b.user_id AND a.day < b.day),
+         |nd AS (SELECT user_id AS k, COUNT(DISTINCT day) AS n_days
+         |  FROM d2 GROUP BY 1),
+         |ag AS (SELECT k, COUNT(*) AS n_pairs,
+         |  CAST(ROUND(CAST(quantile_cont(s, 0.5) AS DECIMAL(18,8)), 6)
+         |    AS DOUBLE) AS ts_slope
+         |  FROM p GROUP BY 1)
+         |SELECT ag.k AS user_id, n_days, n_pairs, ts_slope
+         |FROM ag JOIN nd USING (k) ORDER BY user_id""".stripMargin,
+
+    // Rolling correlation: inputs quantize to 6 dp, the five moments
+    // are DECIMAL window sums (exact under any sliding association),
+    // the correlation assembles once from the exact operands.
+    "x164_rolling_corr" ->
+      """WITH daily AS (SELECT l_partkey AS k,
+        |  CAST(date_trunc('day', l_shipdate) AS DATE) AS day,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS x,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS y
+        |  FROM lineitem GROUP BY 1, 2),
+        |q AS (SELECT k, day,
+        |  CAST(ROUND(CAST(x AS DOUBLE), 6) AS DECIMAL(18,6)) AS xq,
+        |  CAST(ROUND(CAST(y AS DOUBLE), 6) AS DECIMAL(18,6)) AS yq
+        |  FROM daily),
+        |w AS (SELECT k, day,
+        |  COUNT(*) OVER win AS n,
+        |  CAST(SUM(xq) OVER win AS DOUBLE) AS sx,
+        |  CAST(SUM(yq) OVER win AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(CAST(xq AS DECIMAL(19,6)) * yq AS DECIMAL(37,12))) OVER win AS DOUBLE)
+        |    AS sxy,
+        |  CAST(SUM(CAST(CAST(xq AS DECIMAL(19,6)) * xq AS DECIMAL(37,12))) OVER win AS DOUBLE)
+        |    AS sxx,
+        |  CAST(SUM(CAST(CAST(yq AS DECIMAL(19,6)) * yq AS DECIMAL(37,12))) OVER win AS DOUBLE)
+        |    AS syy
+        |  FROM q WINDOW win AS (PARTITION BY k ORDER BY day
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+        |c AS (SELECT k, day, n, CAST(n AS DOUBLE) AS nd,
+        |  sx, sy, sxy, sxx, syy FROM w)
+        |SELECT k AS l_partkey, day,
+        |  CASE WHEN n = 5 AND nd * sxx - sx * sx > 0
+        |      AND nd * syy - sy * sy > 0
+        |    THEN CAST(ROUND(CAST((nd * sxy - sx * sy)
+        |      / SQRT((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+        |      AS DECIMAL(18,8)), 6) AS DOUBLE) END AS rolling_corr
+        |FROM c ORDER BY l_partkey, day""".stripMargin,
+
     // Leave-one-out target encoding: (Σ−y+m·prior)/(n−1+m) assembled
     // in the engine's association over exact decimal sums.
     "x161_target_encode" ->

@@ -1951,6 +1951,29 @@ object Queries {
       .select(col("o_orderkey"), col("es_key"))
       .orderBy("o_orderkey")
 
+  /** X163 — Theil–Sen robust trend (X123): median pairwise slope of
+    * each user's daily demand — the outlier-proof twin of x119's
+    * least-squares linearTrend. */
+  def x163(s: SparkSession, dir: String): DataFrame =
+    Forecast.theilSenSlope(dailyDemand(s, dir), "user_id", "day",
+        "demand")
+      .orderBy("user_id")
+
+  /** X164 — rolling correlation (X124): 5-day trailing corr between a
+    * part's daily quantity and revenue (decimal window moments — the
+    * association-free sums that survive segment-tree sliding). */
+  def x164(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"),
+        to_date(date_trunc("DAY", col("l_shipdate"))).as("day"))
+      .agg(sum(dec(col("l_quantity"))).as("x"),
+        sum(dec(col("l_extendedprice"))).as("y"))
+    TimeSeries.rollingCorrelation(daily, "l_partkey", "day", "x", "y",
+        window = 5)
+      .select(col("l_partkey"), col("day"), col("rolling_corr"))
+      .orderBy("l_partkey", "day")
+  }
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -2126,5 +2149,7 @@ object Queries {
     "x159_exact_quantiles" -> (x159 _),
     "x160_linear_attribution" -> (x160 _),
     "x161_target_encode" -> (x161 _),
-    "x162_weighted_sample" -> (x162 _))
+    "x162_weighted_sample" -> (x162 _),
+    "x163_theil_sen" -> (x163 _),
+    "x164_rolling_corr" -> (x164 _))
 }

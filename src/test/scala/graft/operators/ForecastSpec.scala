@@ -252,4 +252,20 @@ class ForecastSpec extends SparkSpec {
       .as[(Long, Date, Double, Double, Double)].collect().toSeq
     assert(out == Seq((1L, d("2024-01-10"), 1.0, 5.0, 8.9443)), s"got $out")
   }
+
+  test("theilSenSlope: the median slope shrugs off the outlier least-squares can't") {
+    import spark.implicits._
+    // days 1..5 values 0,1,2,3,100: 6 of 10 pairwise slopes are 1;
+    // sorted slopes [1,1,1,1,1,1,25,33,49,97] -> median 1.0 (the
+    // regr_slope on the same series is ~19)
+    val in = daily(
+      (1L, "2024-01-01", 0.0), (1L, "2024-01-02", 1.0),
+      (1L, "2024-01-03", 2.0), (1L, "2024-01-04", 3.0),
+      (1L, "2024-01-05", 100.0),
+      // singleton series: no pairs, no row
+      (2L, "2024-01-01", 7.0))
+    val got = Forecast.theilSenSlope(in, "user_id", "day", "demand")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 5L, 10L, 1.0)), s"got $got")
+  }
 }

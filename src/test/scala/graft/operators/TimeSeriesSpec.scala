@@ -276,6 +276,27 @@ class TimeSeriesSpec extends SparkSpec {
       ("b", "a", 1L, 1.0)), s"got $got")
   }
 
+  test("rollingCorrelation: full-window-only, sign tracks the co-movement, flat window nulls") {
+    import java.sql.Date
+    val df = Seq(
+      ("a", Date.valueOf("2024-01-01"), 1.0, 1.0),
+      ("a", Date.valueOf("2024-01-02"), 2.0, 2.0),
+      ("a", Date.valueOf("2024-01-03"), 3.0, 1.0),
+      ("b", Date.valueOf("2024-01-01"), 5.0, 1.0),
+      ("b", Date.valueOf("2024-01-02"), 5.0, 9.0))
+      .toDF("k", "day", "x", "y")
+    val got = TimeSeries.rollingCorrelation(df, "k", "day", "x", "y",
+        window = 2)
+      .orderBy("k", "day")
+      .select("k", "rolling_corr")
+      .as[(String, Option[Double])].collect().toSeq
+    assert(got == Seq(
+      // first row: window not full yet
+      ("a", None), ("a", Some(1.0)), ("a", Some(-1.0)),
+      // x is flat in b's window -> zero variance -> null
+      ("b", None), ("b", None)), s"got $got")
+  }
+
   test("linearAttribution: equal credit shares inside the window, expired touches excluded") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     // user 1 conversion at 12:00 with touches click(11:00), view(11:30)
