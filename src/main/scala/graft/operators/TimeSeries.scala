@@ -452,6 +452,46 @@ object TimeSeries {
         weekday(d).isin(5, 6).cast("int"))
   }
 
+  /** X125 — exponentially time-decayed event counts: at each event,
+    * `Σ_j 2^(−(t_i − t_j)/halfLife)` over the user's events so far —
+    * the "trending right now" primitive (recency-weighted activity,
+    * decayed heavy hitters) with a principled decay instead of an
+    * arbitrary window cliff.
+    *
+    * This BATCH form evaluates the sum directly: a per-user self-join
+    * (pairs bounded by per-user event count squared — the
+    * re-evaluation/backfill path), each `2^(−Δ/h)` term cast to
+    * DECIMAL(18,10) and summed exactly (the linkPrediction
+    * discipline; `pow` itself is the only cross-engine ulp surface,
+    * absorbed by the final 4-dp round). The PRODUCTION path is the
+    * streaming twin [[graft.streaming.Stateful.decayedCounts]]: the
+    * same quantity as one O(1) state update per arrival — no pairs,
+    * no recompute — proven equal on dyadic-exact data in
+    * StatefulSpec.
+    */
+  def decayedCounts(
+      df: DataFrame,
+      userCol: String, tsCol: String, tieCol: String,
+      halfLifeSeconds: Long,
+      roundDigits: Int = 4): DataFrame = {
+    require(halfLifeSeconds > 0, "halfLifeSeconds must be positive")
+    val us = unix_micros(col(tsCol))
+    val e = df.select(col(userCol).as("__u"), us.as("__t"),
+      col(tieCol).as("__id"))
+    val dec = org.apache.spark.sql.types.DecimalType(18, 10)
+    val h = halfLifeSeconds * 1000000.0d
+    val term = pow(lit(0.5d),
+      (col("a.__t") - col("b.__t")) / lit(h)).cast(dec)
+    e.as("a").join(e.as("b"),
+        col("a.__u") === col("b.__u") &&
+        (col("b.__t") < col("a.__t") ||
+          (col("b.__t") === col("a.__t") && col("b.__id") <= col("a.__id"))))
+      .groupBy(col("a.__u").as(userCol), col("a.__t").as("ts_us"),
+        col("a.__id").as(tieCol))
+      .agg(round(sum(term).cast("double"), roundDigits)
+        .as("decayed_count"))
+  }
+
   /** X124 — rolling correlation between two aligned series per key
     * (price vs demand over a trailing window: "is the price-response
     * live right now?"). Emits a correlation at every row whose

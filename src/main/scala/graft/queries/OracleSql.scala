@@ -2539,6 +2539,21 @@ object OracleSql {
         |  UNION ALL SELECT 0.99e0, quantile_cont(v, 0.99) FROM v)
         |ORDER BY prob""".stripMargin,
 
+    // Decayed counts: each 2^(−Δ/h) term casts to DECIMAL(18,10) and
+    // sums exactly; pow's cross-engine ulp absorbs in the 4-dp round.
+    "x165_decayed_counts" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t,
+        |  event_id AS id FROM events),
+        |p AS (SELECT a.u, a.t, a.id,
+        |  CAST(pow(0.5e0, (a.t - b.t) / 3600000000.0e0)
+        |    AS DECIMAL(18,10)) AS term
+        |  FROM e a JOIN e b ON a.u = b.u
+        |    AND (b.t < a.t OR (b.t = a.t AND b.id <= a.id)))
+        |SELECT u AS user_id, t AS ts_us, id AS event_id,
+        |  ROUND(CAST(SUM(term) AS DOUBLE), 4) AS decayed_count
+        |FROM p GROUP BY 1, 2, 3
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
     // Theil–Sen: pairwise slopes round through DECIMAL(18,8) before
     // the per-key exact median (quantile_cont ≡ percentile, t38).
     "x163_theil_sen" ->

@@ -1974,6 +1974,14 @@ object Queries {
       .orderBy("l_partkey", "day")
   }
 
+  /** X165 — time-decayed event counts (X125), batch re-evaluation
+    * form: per event, recency-weighted activity with a 1-hour
+    * half-life (the streaming twin maintains it in O(1) per arrival). */
+  def x165(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.decayedCounts(Tables.events(s, dir), "user_id", "ts",
+        "event_id", halfLifeSeconds = 3600)
+      .orderBy("user_id", "ts_us", "event_id")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -2151,5 +2159,6 @@ object Queries {
     "x161_target_encode" -> (x161 _),
     "x162_weighted_sample" -> (x162 _),
     "x163_theil_sen" -> (x163 _),
-    "x164_rolling_corr" -> (x164 _))
+    "x164_rolling_corr" -> (x164 _),
+    "x165_decayed_counts" -> (x165 _))
 }

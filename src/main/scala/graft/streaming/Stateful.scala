@@ -200,4 +200,47 @@ object Stateful {
           (k, n)
       }
   }
+
+  /** Input/output/state shapes of [[decayedCounts]]. */
+  case class DecayEvent(key: String, tUs: Long, id: Long)
+  case class DecayState(lastTUs: Long, c: Double)
+  case class DecayOut(key: String, tUs: Long, id: Long,
+      decayed_count: Double)
+
+  /** X125's production path — streaming time-decayed counts: per
+    * arrival, `c ← c·2^(−Δ/halfLife) + 1`, ONE O(1) state update (two
+    * doubles per key carried across micro-batches) where the batch
+    * twin [[graft.operators.TimeSeries.decayedCounts]] re-evaluates a
+    * per-user pair join. Same recursion-vs-closed-form relationship as
+    * Croston: when every inter-event gap is a multiple of the
+    * half-life, all intermediates are dyadic rationals and stream ≡
+    * batch EXACTLY (StatefulSpec pins it across a mid-key batch
+    * split); on arbitrary gaps they agree to float precision.
+    */
+  def decayedCounts(ds: Dataset[DecayEvent], halfLifeSeconds: Long)
+    : Dataset[DecayOut] = {
+    require(halfLifeSeconds > 0, "halfLifeSeconds must be positive")
+    val h = halfLifeSeconds * 1000000.0d
+    implicit val stateEnc: Encoder[DecayState] = Encoders.product[DecayState]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    implicit val outEnc: Encoder[DecayOut] = Encoders.product[DecayOut]
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[DecayState, DecayOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[DecayEvent],
+            state: GroupState[DecayState]) =>
+          var s = state.getOption.getOrElse(DecayState(Long.MinValue, 0.0))
+          val out = rows.toSeq.sortBy(r => (r.tUs, r.id)).map { ev =>
+            val c =
+              if (s.lastTUs == Long.MinValue) 1.0
+              else s.c * math.pow(0.5, (ev.tUs - s.lastTUs) / h) + 1.0
+            s = DecayState(ev.tUs, c)
+            DecayOut(ev.key, ev.tUs, ev.id,
+              BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble)
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
 }

@@ -195,4 +195,46 @@ class StatefulSpec extends SparkSpec {
     val streamZA = streamed.map(t => (t._1, t._2, t._3, t._4))
     assert(streamZA == batch, s"stream $streamZA != batch $batch")
   }
+
+  test("decayedCounts stream ≡ batch pair-sum EXACTLY on dyadic gaps, across a mid-key split") {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    implicit val sqlCtx = spark.sqlContext
+    val h = 3600L // half-life seconds
+    val hu = h * 1000000L
+    // gaps are exact half-life multiples -> every 2^(−Δ/h) is a dyadic
+    // rational -> the O(1) recursion and the pair sum agree EXACTLY:
+    // A at 0,1h,2h,4h -> 1, 1.5, 1.75, 1.4375; B re-seeds after a
+    // single event
+    val rows = Seq(
+      Stateful.DecayEvent("A", 0L, 1L),
+      Stateful.DecayEvent("A", hu, 2L),
+      Stateful.DecayEvent("A", 2 * hu, 3L),
+      Stateful.DecayEvent("A", 4 * hu, 4L),
+      Stateful.DecayEvent("B", 0L, 5L),
+      Stateful.DecayEvent("B", 3 * hu, 6L))
+    val mem = MemoryStream[Stateful.DecayEvent]
+    val out = Stateful.decayedCounts(mem.toDS(), h)
+    val sink = s"decay_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      // split MID-KEY: A's count at 2h/4h must come from carried state
+      mem.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table(sink).as[Stateful.DecayOut].collect()
+      .map(o => (o.key, o.tUs, o.id, o.decayed_count)).toSet
+    assert(streamed.contains(("A", 4 * hu, 4L, 1.4375)), s"got $streamed")
+    val batchIn = rows.map(e => (e.key, e.tUs, e.id))
+      .toDF("user", "t", "id")
+      .select(col("user"), timestamp_micros(col("t")).as("ts"), col("id"))
+    val batch = graft.operators.TimeSeries.decayedCounts(
+        batchIn, "user", "ts", "id", h)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+  }
 }
