@@ -442,6 +442,95 @@ object TimeSeries {
         col("survival"))
   }
 
+  /** X126 — Nelson–Aalen cumulative hazard: `H(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ`
+    * over the same right-censored lifetimes as [[kaplanMeier]] — the
+    * hazard-scale view (≈ −ln S; additive, so it reads off WHEN churn
+    * pressure accelerates, which the survival curve's products
+    * flatten). Same lifetime/censoring construction and
+    * window-bounded-by-duration-cardinality shape as KM.
+    *
+    * Portability: each dᵢ/nᵢ increment is one IEEE division on exact
+    * integers, cast to DECIMAL(18,10) and running-summed EXACTLY (the
+    * linkPrediction discipline — KM can sum ln-factors in float
+    * because exp smooths them; an additive hazard cannot), then
+    * rounded once per row.
+    */
+  def nelsonAalen(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      censorLastDays: Int = 3,
+      roundDigits: Int = 6): DataFrame = {
+    require(censorLastDays >= 0, "censorLastDays must be >= 0")
+    val perUser = df.groupBy(col(keyCol)).agg(
+      to_date(min(col(tsCol))).as("__first"),
+      to_date(max(col(tsCol))).as("__last"))
+    val gmax = df.agg(to_date(max(col(tsCol))).as("__gmax"))
+    val lifetimes = perUser.crossJoin(broadcast(gmax))
+      .select(
+        datediff(col("__last"), col("__first")).cast("long").as("__dur"),
+        (datediff(col("__gmax"), col("__last")) >= censorLastDays)
+          .cast("long").as("__event"))
+    val byDur = lifetimes.groupBy(col("__dur")).agg(
+      count(lit(1)).as("__n"), sum(col("__event")).as("__d"))
+    val total = lifetimes.agg(count(lit(1)).as("__total"))
+    val wPrev = Window.orderBy(col("__dur"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.orderBy(col("__dur"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val dec = org.apache.spark.sql.types.DecimalType(18, 10)
+    byDur.crossJoin(broadcast(total))
+      .withColumn("__risk",
+        col("__total") - coalesce(sum(col("__n")).over(wPrev), lit(0L)))
+      .withColumn("hazard",
+        round(sum((col("__d").cast("double") / col("__risk")).cast(dec))
+          .over(wRun).cast("double"), roundDigits))
+      .select(col("__dur").as("duration_days"),
+        col("__risk").as("n_risk"),
+        col("__d").as("n_events"),
+        col("hazard"))
+  }
+
+  /** X127 — two-proportion z-test for a deterministic A/B split: the
+    * experiment readout (`did the variant move the conversion rate,
+    * and beyond noise?`). The pooled-variance z:
+    * `z = (p₁ − p₂)/√(p̂(1−p̂)(1/n₁ + 1/n₂))`.
+    *
+    * ONE conditional-count aggregate over one scan (the welchTTest
+    * shape); everything enters the final expression as an exact
+    * integer count, so the z and the rate delta are single shared
+    * float expressions stabilized through DECIMAL(18,8). Degenerate
+    * splits (either side empty, or pooled rate 0/1 → zero variance)
+    * yield null, not a division error.
+    */
+  def twoProportionZ(
+      df: DataFrame,
+      inA: Column, inB: Column, success: Column,
+      roundDigits: Int = 4): DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val agg = df.filter(inA || inB).agg(
+      count(when(inA, lit(1))).as("__na"),
+      count(when(inA && success, lit(1))).as("__ca"),
+      count(when(inB, lit(1))).as("__nb"),
+      count(when(inB && success, lit(1))).as("__cb"))
+    val na = col("__na").cast("double")
+    val nb = col("__nb").cast("double")
+    val p1 = col("__ca") / na
+    val p2 = col("__cb") / nb
+    val pp = (col("__ca") + col("__cb")) / (na + nb)
+    val z = (p1 - p2) / sqrt(pp * (lit(1.0d) - pp)
+      * (lit(1.0d) / na + lit(1.0d) / nb))
+    def r(c: Column): Column =
+      round(c.cast(stable), roundDigits).cast("double")
+    agg.select(
+      col("__na").as("n_a"), col("__ca").as("conv_a"),
+      col("__nb").as("n_b"), col("__cb").as("conv_b"),
+      r(when(col("__na") > 0, p1)).as("rate_a"),
+      r(when(col("__nb") > 0, p2)).as("rate_b"),
+      r(when(col("__na") > 0 && col("__nb") > 0
+        && pp > 0 && pp < 1, z)).as("z_stat"))
+  }
+
   def timeFeatures(df: DataFrame, dateCol: String, prefix: String = ""): DataFrame = {
     val d = col(dateCol)
     df.withColumn(s"${prefix}quarter", quarter(d))

@@ -2539,6 +2539,67 @@ object OracleSql {
         |  UNION ALL SELECT 0.99e0, quantile_cont(v, 0.99) FROM v)
         |ORDER BY prob""".stripMargin,
 
+    // Nelson–Aalen: x132's lifetime construction; each d/n increment
+    // casts to DECIMAL(18,10) and running-sums exactly.
+    "x166_nelson_aalen" ->
+      """WITH pu AS (SELECT user_id,
+        |  CAST(date_trunc('day', MIN(ts)) AS DATE) AS firstd,
+        |  CAST(date_trunc('day', MAX(ts)) AS DATE) AS lastd
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT CAST(date_trunc('day', MAX(ts)) AS DATE) AS gmax
+        |  FROM events),
+        |lt AS (SELECT
+        |  CAST(date_diff('day', firstd, lastd) AS BIGINT) AS dur,
+        |  CAST(date_diff('day', lastd, gmax) >= 3 AS BIGINT) AS ev
+        |  FROM pu CROSS JOIN g),
+        |bd AS (SELECT dur, COUNT(*) AS n, SUM(ev) AS d FROM lt GROUP BY 1),
+        |r AS (SELECT dur, n, d,
+        |  (SELECT COUNT(*) FROM lt)
+        |    - COALESCE(SUM(n) OVER (ORDER BY dur
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS risk
+        |  FROM bd)
+        |SELECT dur AS duration_days, CAST(risk AS BIGINT) AS n_risk,
+        |  CAST(d AS BIGINT) AS n_events,
+        |  ROUND(CAST(SUM(CAST(CAST(d AS DOUBLE) / risk
+        |    AS DECIMAL(18,10))) OVER w AS DOUBLE), 6) AS hazard
+        |FROM r
+        |WINDOW w AS (ORDER BY dur
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY duration_days""".stripMargin,
+
+    // Two-proportion z: everything enters the shared float expression
+    // as exact integer counts; md5 parity gives the deterministic A/B.
+    "x167_two_proportion_z" ->
+      """WITH u AS (SELECT user_id,
+        |  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS conv FROM events GROUP BY 1),
+        |f AS (SELECT conv,
+        |  substr(md5(user_id::VARCHAR), 1, 1) < '8' AS ia FROM u),
+        |a AS (SELECT
+        |  COUNT(CASE WHEN ia THEN 1 END) AS na,
+        |  COUNT(CASE WHEN ia AND conv = 1 THEN 1 END) AS ca,
+        |  COUNT(CASE WHEN NOT ia THEN 1 END) AS nb,
+        |  COUNT(CASE WHEN NOT ia AND conv = 1 THEN 1 END) AS cb
+        |  FROM f),
+        |d AS (SELECT na, ca, nb, cb,
+        |  CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd FROM a)
+        |SELECT na AS n_a, ca AS conv_a, nb AS n_b, cb AS conv_b,
+        |  CAST(ROUND(CAST(CASE WHEN na > 0 THEN ca / nad END
+        |    AS DECIMAL(18,8)), 4) AS DOUBLE) AS rate_a,
+        |  CAST(ROUND(CAST(CASE WHEN nb > 0 THEN cb / nbd END
+        |    AS DECIMAL(18,8)), 4) AS DOUBLE) AS rate_b,
+        |  CAST(ROUND(CAST(CASE WHEN na > 0 AND nb > 0
+        |      AND (ca + cb) / (nad + nbd) > 0
+        |      AND (ca + cb) / (nad + nbd) < 1
+        |    THEN (ca / nad - cb / nbd)
+        |      / SQRT((ca + cb) / (nad + nbd)
+        |        * (CAST(1.0 AS DOUBLE) - (ca + cb) / (nad + nbd))
+        |        * (CAST(1.0 AS DOUBLE) / nad
+        |          + CAST(1.0 AS DOUBLE) / nbd)) END
+        |    AS DECIMAL(18,8)), 4) AS DOUBLE) AS z_stat
+        |FROM d""".stripMargin,
+
     // Decayed counts: each 2^(−Δ/h) term casts to DECIMAL(18,10) and
     // sums exactly; pow's cross-engine ulp absorbs in the 4-dp round.
     "x165_decayed_counts" ->

@@ -1982,6 +1982,26 @@ object Queries {
         "event_id", halfLifeSeconds = 3600)
       .orderBy("user_id", "ts_us", "event_id")
 
+  /** X166 — Nelson–Aalen cumulative hazard (X126) over the same
+    * right-censored user lifetimes as x132's Kaplan–Meier. */
+  def x166(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.nelsonAalen(Tables.events(s, dir), "user_id", "ts")
+      .orderBy("duration_days")
+
+  /** X167 — two-proportion z-test (X127): users split by md5 first
+    * hex digit into a deterministic 50/50 A/B; success = the user
+    * ever purchased. */
+  def x167(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(max((col("event_type") === "purchase").cast("int"))
+        .as("conv"))
+    val firstHex = substring(md5(col("user_id").cast("string")), 1, 1)
+    TimeSeries.twoProportionZ(users,
+      inA = firstHex < "8", inB = firstHex >= "8",
+      success = col("conv") === 1)
+  }
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -2160,5 +2180,7 @@ object Queries {
     "x162_weighted_sample" -> (x162 _),
     "x163_theil_sen" -> (x163 _),
     "x164_rolling_corr" -> (x164 _),
-    "x165_decayed_counts" -> (x165 _))
+    "x165_decayed_counts" -> (x165 _),
+    "x166_nelson_aalen" -> (x166 _),
+    "x167_two_proportion_z" -> (x167 _))
 }

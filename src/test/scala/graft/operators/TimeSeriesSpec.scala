@@ -276,6 +276,49 @@ class TimeSeriesSpec extends SparkSpec {
       ("b", "a", 1L, 1.0)), s"got $got")
   }
 
+  test("nelsonAalen: hand d/n increments accumulate; censored tail adds nothing") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 12:00:00")
+    // u1: dur 0, churned; u2: dur 2, churned; u3: dur 9, last event at
+    // gmax -> censored. H: 1/3 at dur 0; +1/2 at dur 2; flat at dur 9
+    val df = Seq(
+      (1L, ts("2024-01-01")),
+      (2L, ts("2024-01-01")), (2L, ts("2024-01-03")),
+      (3L, ts("2024-01-01")), (3L, ts("2024-01-10")))
+      .toDF("user_id", "ts")
+    val got = TimeSeries.nelsonAalen(df, "user_id", "ts")
+      .orderBy("duration_days")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (0L, 3L, 1L, 0.333333),
+      (2L, 2L, 1L, 0.833333),
+      (9L, 1L, 0L, 0.833333)), s"got $got")
+  }
+
+  test("twoProportionZ: hand pooled z; degenerate splits null out") {
+    val df = (Seq.fill(8)(("a", 1)) ++ Seq.fill(2)(("a", 0)) ++
+      Seq.fill(4)(("b", 1)) ++ Seq.fill(6)(("b", 0)))
+      .toDF("g", "conv")
+    val got = TimeSeries.twoProportionZ(df,
+        inA = col("g") === "a", inB = col("g") === "b",
+        success = col("conv") === 1)
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double],
+        Option[Double])].head()
+    val (p1, p2, pp) = (0.8, 0.4, 0.6)
+    val z = (p1 - p2) / math.sqrt(pp * (1.0 - pp) * (1.0 / 10 + 1.0 / 10))
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == ((10L, 8L, 10L, 4L, Some(0.8), Some(0.4), Some(r4(z)))),
+      s"got $got")
+    // all-converted pool: zero pooled variance -> null z, not an error
+    val flat = Seq(("a", 1), ("b", 1)).toDF("g", "conv")
+    val g2 = TimeSeries.twoProportionZ(flat, col("g") === "a",
+        col("g") === "b", col("conv") === 1)
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double],
+        Option[Double])].head()
+    assert(g2._7.isEmpty, s"got $g2")
+  }
+
   test("rollingCorrelation: full-window-only, sign tracks the co-movement, flat window nulls") {
     import java.sql.Date
     val df = Seq(
