@@ -277,6 +277,47 @@ object Evaluation {
         .cast("double").as("rho"))
   }
 
+  /** X128 — calibration table + Brier score: does a probability
+    * column MEAN what it says? Rows bin by predicted probability
+    * (`⌊p·k⌋`, top-inclusive); each bin reports its size, mean
+    * prediction, and observed positive rate — the reliability-diagram
+    * table — and every row carries the global Brier score
+    * `mean((p − y)²)` (the proper scoring rule; 0 = oracle,
+    * 0.25 = coin). The model-monitoring readout for any scoring
+    * filter (quality classifiers, dedup confidence, relevance).
+    *
+    * One counting aggregate to k bins + one 1-row Brier aggregate
+    * broadcast back. All sums run in DECIMAL (the per-row p and
+    * (p−y)² quantize at cast — exact, addition-order-free); ratios
+    * stabilize through DECIMAL(18,8).
+    */
+  def calibration(df: DataFrame, prob: Column, label: Column,
+      k: Int = 10, roundDigits: Int = 6): DataFrame = {
+    require(k >= 2, s"need at least 2 bins, got $k")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 10)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val p = prob.cast("double")
+    val y = when(label, lit(1.0d)).otherwise(lit(0.0d))
+    val rows = df.filter(p.isNotNull)
+      .select(least(floor(p * k), lit(k - 1).cast("long")).as("bin"),
+        p.as("__p"), y.as("__y"))
+    val brier = rows.agg(
+      round((sum(((col("__p") - col("__y")) * (col("__p") - col("__y")))
+        .cast(dec)).cast("double") / count(lit(1))).cast(stable),
+        roundDigits).cast("double").as("brier"))
+    rows.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__p").cast(dec)).as("__sp"),
+        sum(col("__y").cast(dec)).as("__sy"))
+      .crossJoin(broadcast(brier))
+      .select(col("bin"), col("n"),
+        round((col("__sp").cast("double") / col("n")).cast(stable),
+          roundDigits).cast("double").as("avg_pred"),
+        round((col("__sy").cast("double") / col("n")).cast(stable),
+          roundDigits).cast("double").as("obs_rate"),
+        col("brier"))
+  }
+
   /** Gini coefficient of a nonnegative quantity's concentration
     * (spend, tokens, traffic): with values sorted ascending and
     * 1-based rank `i`, `G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n`. 0 = equal

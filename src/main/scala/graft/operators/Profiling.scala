@@ -255,6 +255,38 @@ object Profiling {
         first(col("__n")).as("n"))
   }
 
+  /** X129 — functional-dependency audit: for each candidate rule
+    * `lhs → rhs`, how many lhs values map to MORE than one rhs value
+    * (the schema-contract screen: "is product name really determined
+    * by product key", "does one order ever ship from two warehouses").
+    * A 0% rate certifies the dependency; a small rate localizes dirty
+    * rows for [[validate]]-style quarantining.
+    *
+    * One `(lhs, rhs)` distinct + count-distinct aggregate per rule —
+    * all map-side combinable, output one row per rule. Rates stabilize
+    * through DECIMAL(18,8).
+    */
+  def fdReport(df: DataFrame, deps: Seq[(String, String)],
+      roundDigits: Int = 6): DataFrame = {
+    require(deps.nonEmpty, "need at least one candidate dependency")
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    deps.map { case (lhs, rhs) =>
+      val perLhs = df.groupBy(col(lhs))
+        .agg(countDistinct(col(rhs)).as("__k"))
+      perLhs.agg(
+        count(lit(1)).as("__groups"),
+        sum(when(col("__k") > 1, 1L).otherwise(0L)).as("__viol"),
+        max(col("__k")).as("__maxk"))
+        .select(lit(lhs).as("lhs"), lit(rhs).as("rhs"),
+          col("__groups").as("n_groups"),
+          col("__viol").as("n_violating"),
+          round((col("__viol").cast("double") / col("__groups"))
+            .cast(stable), roundDigits).cast("double")
+            .as("violation_rate"),
+          col("__maxk").as("max_rhs_per_lhs"))
+    }.reduce(_ unionAll _)
+  }
+
   /** X119 — exact quantiles WITHOUT a driver-side buffer: the
     * scalable twin of the `percentile` aggregate (which gathers the
     * whole column into one executor buffer — t38's documented

@@ -2539,6 +2539,62 @@ object OracleSql {
         |  UNION ALL SELECT 0.99e0, quantile_cont(v, 0.99) FROM v)
         |ORDER BY prob""".stripMargin,
 
+    // Calibration + Brier over the x108 classifier scores (same
+    // sigmoid CTE, threshold 0): decimal bin sums, DECIMAL(18,8)
+    // ratios, Brier terms summed exactly in DECIMAL(18,10).
+    "x168_calibration" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS w,
+        |    LEAST(LENGTH(text)::DOUBLE / 500.0, 1.0) AS len_score,
+        |    (LENGTH(text) - LENGTH(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE
+        |      / GREATEST(LENGTH(text)::DOUBLE, 1.0) AS punct_ratio
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |    ROUND(1.0 / (1.0 + exp(-(-2.0 + 2.5 * len_score +
+        |      1.5 * (1.0 - punct_ratio) +
+        |      1.5 * (len(list_filter(w, x -> regexp_matches(x, '^[A-Za-z]+$')))::DOUBLE
+        |        / GREATEST(len(w)::DOUBLE, 1.0))))), 4) AS p
+        |  FROM t),
+        |r AS (SELECT LEAST(CAST(floor(p * 10) AS BIGINT), 9) AS bin, p,
+        |  CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE)
+        |    ELSE CAST(0.0 AS DOUBLE) END AS y FROM s),
+        |br AS (SELECT CAST(ROUND(CAST(
+        |  CAST(SUM(CAST((p - y) * (p - y) AS DECIMAL(18,10))) AS DOUBLE)
+        |    / COUNT(*) AS DECIMAL(18,8)), 6) AS DOUBLE) AS brier FROM r)
+        |SELECT bin, COUNT(*) AS n,
+        |  CAST(ROUND(CAST(CAST(SUM(CAST(p AS DECIMAL(18,10))) AS DOUBLE)
+        |    / COUNT(*) AS DECIMAL(18,8)), 6) AS DOUBLE) AS avg_pred,
+        |  CAST(ROUND(CAST(CAST(SUM(CAST(y AS DECIMAL(18,10))) AS DOUBLE)
+        |    / COUNT(*) AS DECIMAL(18,8)), 6) AS DOUBLE) AS obs_rate,
+        |  MIN(br.brier) AS brier
+        |FROM r CROSS JOIN br GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // FD audit: one (lhs -> distinct rhs) aggregate per rule.
+    "x169_fd_report" ->
+      """WITH r1 AS (SELECT 'p_partkey' AS lhs, 'p_name' AS rhs,
+        |  COUNT(*) AS n_groups,
+        |  SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS n_violating,
+        |  MAX(k) AS max_rhs_per_lhs FROM (
+        |    SELECT p_partkey, COUNT(DISTINCT p_name) AS k FROM part
+        |    GROUP BY 1)),
+        |r2 AS (SELECT 'p_name', 'p_brand', COUNT(*),
+        |  SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END), MAX(k) FROM (
+        |    SELECT p_name, COUNT(DISTINCT p_brand) AS k FROM part
+        |    GROUP BY 1)),
+        |r3 AS (SELECT 'p_brand', 'p_type', COUNT(*),
+        |  SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END), MAX(k) FROM (
+        |    SELECT p_brand, COUNT(DISTINCT p_type) AS k FROM part
+        |    GROUP BY 1)),
+        |u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        |  UNION ALL SELECT * FROM r3)
+        |SELECT lhs, rhs, CAST(n_groups AS BIGINT) AS n_groups,
+        |  CAST(n_violating AS BIGINT) AS n_violating,
+        |  CAST(ROUND(CAST(CAST(n_violating AS DOUBLE) / n_groups
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS violation_rate,
+        |  CAST(max_rhs_per_lhs AS BIGINT) AS max_rhs_per_lhs
+        |FROM u ORDER BY lhs, rhs""".stripMargin,
+
     // Nelson–Aalen: x132's lifetime construction; each d/n increment
     // casts to DECIMAL(18,10) and running-sums exactly.
     "x166_nelson_aalen" ->

@@ -2002,6 +2002,26 @@ object Queries {
       success = col("conv") === 1)
   }
 
+  /** X168 — calibration + Brier (X128): is the frozen quality
+    * classifier's probability honest against the English weak label?
+    * (threshold 0 keeps every scored row — the monitor needs the
+    * whole reliability curve, not the survivors). */
+  def x168(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.classifierQualityFilter(
+      Tables.documents(s, dir), "doc_id", "text", threshold = 0.0)
+    Evaluation.calibration(scored, col("ql_score"),
+        col("lang") === "en", k = 10)
+      .orderBy("bin")
+  }
+
+  /** X169 — functional-dependency audit (X129) over the part catalog:
+    * which of the candidate key→attribute contracts actually hold. */
+  def x169(s: SparkSession, dir: String): DataFrame =
+    Profiling.fdReport(Tables.part(s, dir),
+        Seq(("p_partkey", "p_name"), ("p_name", "p_brand"),
+          ("p_brand", "p_type")))
+      .orderBy("lhs", "rhs")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -2182,5 +2202,7 @@ object Queries {
     "x164_rolling_corr" -> (x164 _),
     "x165_decayed_counts" -> (x165 _),
     "x166_nelson_aalen" -> (x166 _),
-    "x167_two_proportion_z" -> (x167 _))
+    "x167_two_proportion_z" -> (x167 _),
+    "x168_calibration" -> (x168 _),
+    "x169_fd_report" -> (x169 _))
 }

@@ -162,6 +162,22 @@ class EvaluationSpec extends SparkSpec {
       .as[(Long, Option[Double])].head() == ((4L, Some(expected))))
   }
 
+  test("calibration: hand bins, top-inclusive edge, and the exact Brier") {
+    // p=1.0 lands in bin 9 (top-inclusive), not a phantom bin 10
+    val rows = Seq((0.05, false), (0.05, true), (0.95, true), (1.0, true))
+      .toDF("p", "y")
+    val got = Evaluation.calibration(rows, col("p"), col("y"), k = 10)
+      .orderBy("bin")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    val brier = BigDecimal(
+      ((0.05 - 0) * (0.05 - 0) + (0.05 - 1) * (0.05 - 1)
+        + (0.95 - 1) * (0.95 - 1) + 0.0) / 4)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(
+      (0L, 2L, 0.05, 0.5, brier),
+      (9L, 2L, 0.975, 1.0, brier)), s"got $got")
+  }
+
   test("gini: zero-total and empty inputs yield null, not a crash") {
     assert(gini(Seq(0, 0))._3.isEmpty)
     val empty = Seq.empty[(Double, Long)].toDF("v", "id")

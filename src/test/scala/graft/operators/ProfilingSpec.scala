@@ -174,6 +174,25 @@ class ProfilingSpec extends SparkSpec {
     assert(agg == Seq(3.25, 5.5), s"percentile twin disagrees: $agg")
   }
 
+  test("fdReport: a held dependency scores 0, a broken one counts its violating groups") {
+    import spark.implicits._
+    val df = Seq(
+      (1, "alpha", "b1"), (1, "alpha", "b1"),   // key 1 consistent
+      (2, "beta", "b1"), (2, "beta", "b2"),     // name->brand broken
+      (3, "gamma", "b3"))
+      .toDF("k", "name", "brand")
+    val got = Profiling.fdReport(df,
+        Seq(("k", "name"), ("name", "brand")))
+      .orderBy("lhs")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5)))
+      .toSeq
+    assert(got == Seq(
+      ("k", "name", 3L, 0L, 0.0, 1L),
+      ("name", "brand", 3L, 1L, 0.333333, 2L)), s"got $got")
+  }
+
   test("robustOutliers: hand MAD screen; zero-MAD group yields no outliers") {
     import spark.implicits._
     // 1..9 + 100: median 5.5, MAD 2.5; only the 100 crosses
