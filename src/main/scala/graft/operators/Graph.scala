@@ -438,6 +438,66 @@ object Graph {
     degrees(cur).select(col("n").as("node"), col("d").as("degree"))
   }
 
+  /** X130 — multi-source shortest hops: BFS distance from a SEED SET
+    * over the undirected graph ("how many co-purchase hops from the
+    * promoted items", contamination radius from flagged accounts).
+    * Returns `(node, hops)` for every node reached within `maxHops`.
+    *
+    * Per round: the current distance table joins the adjacency once
+    * and re-minimizes — work bounded by edges incident to the REACHED
+    * set, with the same per-round checkpoint cut as [[kCore]] (the
+    * lineage-explosion guard) and one 1-row count as the fixpoint
+    * test. Stops early when no new node is reached; an oracle
+    * unrolling exactly `maxHops` relaxation rounds matches either way
+    * (extra relaxations of a converged table are the identity).
+    */
+  def shortestHops(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      maxHops: Int = 6): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val spark = edges.sparkSession
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    val a = least(col(srcCol).cast("string"), col(dstCol).cast("string"))
+    val b = greatest(col(srcCol).cast("string"), col(dstCol).cast("string"))
+    val canon = edges.select(a.as("a"), b.as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val adj = cut(canon.select(col("a").as("z"), col("b").as("nb"))
+      .union(canon.select(col("b").as("z"), col("a").as("nb"))))
+    val nodes = adj.select(col("z").as("node")).distinct()
+    var dist = cut(nodes
+      .join(seeds.select(col(seedCol).cast("string").as("node")).distinct(),
+        Seq("node"), "left_semi")
+      .select(col("node"), lit(0L).as("hops")))
+    var reached = dist.count()
+    require(reached > 0, "seed set shares no nodes with the graph")
+    var round = 0
+    var converged = false
+    while (round < maxHops && !converged) {
+      val relaxed = dist
+        .join(adj, col("node") === col("z"))
+        .select(col("nb").as("node"), (col("hops") + 1).as("hops"))
+      val next = cut(dist.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("hops")).as("hops")))
+      val nextReached = next.count()
+      if (nextReached == reached) {
+        if (!reliable) Dedup.releaseCheckpointStorage(next)
+        converged = true
+      } else {
+        if (!reliable) Dedup.releaseCheckpointStorage(dist)
+        dist = next
+        reached = nextReached
+      }
+      round += 1
+    }
+    dist
+  }
+
   /** [[triangleCount]]'s edge orientation, exposed so GraphSpec can
     * pin the mechanism (a max-degree hub must have out-degree 0 —
     * THAT is the Σ outdeg² bound) rather than just the final count:

@@ -1579,6 +1579,7 @@ object OracleSql {
     // x105 PageRank with dominant dangling mass (directed, 3 rounds).
     "x105_pagerank_dangling" -> pageRankDanglingSql(3),
     "x158_ppr" -> pprSql(3),
+    "x170_shortest_hops" -> shortestHopsSql(6),
 
     // x106 edit-distance pairs: the oracle is deliberately ALL-PAIRS —
     // matching it proves the Spark-side prefilter lossless.
@@ -3170,6 +3171,41 @@ object OracleSql {
        |fin AS (SELECT n, COUNT(*) AS d FROM (
        |    SELECT a AS n FROM e8 UNION ALL SELECT b FROM e8) GROUP BY 1)
        |SELECT n AS node, CAST(d AS BIGINT) AS degree FROM fin
+       |ORDER BY node""".stripMargin
+  }
+
+  /** X130 shortest-hops oracle: exactly `iters` unrolled BFS
+    * relaxations (MATERIALIZED per round — same inlining-blowup guard
+    * as the k-core oracle); extra relaxations of a converged distance
+    * table are the identity, so early engine convergence still
+    * matches. */
+  private def shortestHopsSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT node, MIN(h) AS h FROM (
+         |    SELECT node, h FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT adj.nb AS node, d.h + 1 AS h
+         |    FROM d${i - 1} d JOIN adj ON d.node = adj.z)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH oi AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,
+       |  l_partkey AS i FROM lineitem),
+       |aff AS MATERIALIZED (SELECT l.i AS x, r.i AS y
+       |  FROM oi l JOIN oi r ON l.o = r.o AND l.i < r.i
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |e0 AS MATERIALIZED (SELECT DISTINCT
+       |    least(CAST(x AS VARCHAR), CAST(y AS VARCHAR)) AS a,
+       |    greatest(CAST(x AS VARCHAR), CAST(y AS VARCHAR)) AS b
+       |  FROM aff WHERE CAST(x AS VARCHAR) <> CAST(y AS VARCHAR)),
+       |adj AS MATERIALIZED (SELECT a AS z, b AS nb FROM e0
+       |  UNION ALL SELECT b, a FROM e0),
+       |sd AS (SELECT DISTINCT CAST(p_partkey AS VARCHAR) AS node
+       |  FROM part WHERE p_size = 1),
+       |d0 AS MATERIALIZED (SELECT n.node, CAST(0 AS BIGINT) AS h
+       |  FROM (SELECT DISTINCT z AS node FROM adj) n
+       |  JOIN sd USING (node)),
+       |$rounds
+       |SELECT node, CAST(h AS BIGINT) AS hops FROM d$iters
        |ORDER BY node""".stripMargin
   }
 

@@ -2022,6 +2022,23 @@ object Queries {
           ("p_brand", "p_type")))
       .orderBy("lhs", "rhs")
 
+  /** X170 — multi-source shortest hops (X130): co-purchase distance
+    * from the size-1 parts over the support-≥2 affinity graph. */
+  def x170(s: SparkSession, dir: String): DataFrame = {
+    val oi = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = oi.as("l").join(oi.as("r"), Seq("l_orderkey"))
+      .filter(col("l.l_partkey") < col("r.l_partkey"))
+      .groupBy(col("l.l_partkey").as("src"), col("r.l_partkey").as("dst"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2)
+    val seeds = Tables.part(s, dir).filter(col("p_size") === 1)
+      .select(col("p_partkey"))
+    graft.operators.Graph.shortestHops(pairs, "src", "dst", seeds,
+        "p_partkey", maxHops = 6)
+      .orderBy("node")
+  }
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -2204,5 +2221,6 @@ object Queries {
     "x166_nelson_aalen" -> (x166 _),
     "x167_two_proportion_z" -> (x167 _),
     "x168_calibration" -> (x168 _),
-    "x169_fd_report" -> (x169 _))
+    "x169_fd_report" -> (x169 _),
+    "x170_shortest_hops" -> (x170 _))
 }

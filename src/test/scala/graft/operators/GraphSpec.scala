@@ -187,6 +187,28 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("shortestHops: multi-source BFS layers, maxHops horizon, unreachable absent") {
+    import spark.implicits._
+    // path a-b-c-d-e plus isolated pair x-y; seeds {a, e}: hops
+    // min(from a, from e) -> a:0 b:1 c:2 d:1 e:0; x,y unreachable
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e",
+      "x" -> "y").toDF("src", "dst")
+    val seeds = Seq("a", "e").toDF("seed")
+    val got = Graph.shortestHops(edges, "src", "dst", seeds, "seed")
+      .orderBy("node").as[(String, Long)].collect().toSeq
+    assert(got == Seq("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 1L,
+      "e" -> 0L), s"got $got")
+    // horizon: maxHops=1 from {a} reaches only a, b
+    val one = Graph.shortestHops(edges, "src", "dst",
+        Seq("a").toDF("seed"), "seed", maxHops = 1)
+      .orderBy("node").as[(String, Long)].collect().toSeq
+    assert(one == Seq("a" -> 0L, "b" -> 1L), s"got $one")
+    intercept[IllegalArgumentException] {
+      Graph.shortestHops(edges, "src", "dst",
+        Seq("zz").toDF("seed"), "seed")
+    }
+  }
+
   test("kCore: the peel cascades (a chain peels to nothing), cycles survive") {
     import spark.implicits._
     // path a-b-c-d-e at k=2: ends have degree 1; peeling them exposes
