@@ -579,6 +579,65 @@ object Similarity {
     cents
   }
 
+  /** X131 — top principal component by distributed power iteration:
+    * the dominant eigenvector of the (centered) covariance — the
+    * embedding drift axis, the "one direction that explains most
+    * variance" that anisotropy diagnostics and whitening start from.
+    * Never materializes the d×d covariance: each round is one
+    * MAP-ONLY pass computing the per-row centered projection
+    * `s = x·v − μ·v` (the [[kmeans]] codegen-dot kernel against a
+    * driver literal) and one posexplode aggregate for
+    * `w_j = Σ s·x_j − μ_j·Σs` — shuffle ∝ dimensions, data touched
+    * once per round.
+    *
+    * Portability (the kmeans discipline, applied to an eigenvector):
+    * μ and the per-dimension sums accumulate in DECIMAL (exact,
+    * addition-order-free); every driver-side dot runs as the SAME
+    * sequential left-to-right fold the engines' list-dot kernels use;
+    * the normalized vector quantizes through DECIMAL(18,8) to
+    * `digits` between rounds, so both engines iterate from
+    * bit-identical doubles. Deterministic init = the first basis
+    * vector (sign convention follows from it).
+    */
+  def principalComponent(
+      emb: DataFrame, idCol: String, vecCol: String,
+      iters: Int = 2, digits: Int = 6): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val spark = emb.sparkSession
+    val e = emb.select(col(idCol).cast("long").as("vec_id"),
+      Vectors.toDouble(col(vecCol)).as("v"))
+    val dec = org.apache.spark.sql.types.DecimalType(28, 8)
+    def q6(x: Double): Double = BigDecimal(x)
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+      .setScale(digits, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val mu: Array[Double] = e
+      .select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg((sum(col("x").cast(dec)).cast("double") / count(lit(1)))
+        .as("raw"))
+      .orderBy("pos").collect().map(r => q6(r.getDouble(1)))
+    val dim = mu.length
+    var v: Array[Double] = Array.tabulate(dim)(i => if (i == 0) 1.0 else 0.0)
+    for (_ <- 1 to iters) {
+      // μ·v as the sequential fold both engines' list-dot kernels run
+      val muDotV = mu.zip(v).foldLeft(0.0) { case (acc, (m, c)) =>
+        acc + m * c
+      }
+      val s = Vectors.dot(col("v"), typedLit(v.toSeq)) - lit(muDotV)
+      val sums = e.select(s.as("s"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("pos"))
+        .agg(sum((col("s") * col("x")).cast(dec)).cast("double").as("sx"),
+          sum(col("s").cast(dec)).cast("double").as("ss"))
+        .orderBy("pos").collect()
+      val w = sums.map(r => r.getDouble(1) - mu(r.getInt(0)) * r.getDouble(2))
+      val norm = math.sqrt(w.foldLeft(0.0)((acc, x) => acc + x * x))
+      v = w.map(x => q6(x / norm))
+    }
+    import spark.implicits._
+    v.zipWithIndex.map { case (l, i) => (i.toLong, l) }.toSeq
+      .toDF("pos", "loading")
+  }
+
   /** Argmin over the k centroid literals for the row's `v` column:
     * struct(dist², cidx) through `array_min` — lexicographic struct
     * ordering breaks exact-dist ties toward the lowest cluster index.

@@ -1580,6 +1580,7 @@ object OracleSql {
     "x105_pagerank_dangling" -> pageRankDanglingSql(3),
     "x158_ppr" -> pprSql(3),
     "x170_shortest_hops" -> shortestHopsSql(6),
+    "x171_principal_component" -> principalComponentSql(2),
 
     // x106 edit-distance pairs: the oracle is deliberately ALL-PAIRS —
     // matching it proves the Spark-side prefilter lossless.
@@ -3172,6 +3173,46 @@ object OracleSql {
        |    SELECT a AS n FROM e8 UNION ALL SELECT b FROM e8) GROUP BY 1)
        |SELECT n AS node, CAST(d AS BIGINT) AS degree FROM fin
        |ORDER BY node""".stripMargin
+  }
+
+  /** X131 principal-component oracle: two unrolled power-iteration
+    * rounds mirroring Similarity.principalComponent step for step —
+    * decimal per-dimension sums, list-dot kernels for every dot (the
+    * same sequential association the driver folds run), DECIMAL(18,8)
+    * stabilize + 6-dp quantize between rounds. */
+  private def principalComponentSql(iters: Int): String = {
+    val rounds = (1 to iters).map { r =>
+      s"""s$r AS MATERIALIZED (SELECT e.vec_id, e.v,
+         |  list_dot_product(e.v, (SELECT v FROM v${r - 1}))
+         |  - list_dot_product((SELECT mu FROM mul),
+         |      (SELECT v FROM v${r - 1})) AS s
+         |  FROM e),
+         |g$r AS MATERIALIZED (SELECT pos,
+         |  CAST(SUM(CAST(s * x AS DECIMAL(28,8))) AS DOUBLE) AS sx,
+         |  CAST(SUM(CAST(s AS DECIMAL(28,8))) AS DOUBLE) AS ss
+         |  FROM (SELECT s, generate_subscripts(v, 1) AS pos,
+         |    unnest(v) AS x FROM s$r) GROUP BY pos),
+         |w$r AS MATERIALIZED (SELECT g$r.pos, sx - m * ss AS w
+         |  FROM g$r JOIN mu0 ON g$r.pos = mu0.pos),
+         |wl$r AS (SELECT list(w ORDER BY pos) AS wl FROM w$r),
+         |v$r AS (SELECT list_transform(wl, x -> CAST(ROUND(CAST(
+         |    x / sqrt(list_dot_product(wl, wl)) AS DECIMAL(18,8)), 6)
+         |    AS DOUBLE)) AS v FROM wl$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $embCte,
+       |mu0 AS MATERIALIZED (SELECT pos, CAST(ROUND(CAST(
+       |    CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*)
+       |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS m
+       |  FROM (SELECT generate_subscripts(v, 1) AS pos, unnest(v) AS x
+       |    FROM e) GROUP BY pos),
+       |mul AS MATERIALIZED (SELECT list(m ORDER BY pos) AS mu FROM mu0),
+       |v0 AS (SELECT list(CASE WHEN pos = 1 THEN CAST(1.0 AS DOUBLE)
+       |    ELSE CAST(0.0 AS DOUBLE) END ORDER BY pos) AS v FROM mu0),
+       |$rounds
+       |SELECT CAST(pos - 1 AS BIGINT) AS pos, loading FROM (
+       |  SELECT generate_subscripts(v, 1) AS pos, unnest(v) AS loading
+       |  FROM v$iters)
+       |ORDER BY pos""".stripMargin
   }
 
   /** X130 shortest-hops oracle: exactly `iters` unrolled BFS

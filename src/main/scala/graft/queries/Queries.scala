@@ -2039,6 +2039,14 @@ object Queries {
       .orderBy("node")
   }
 
+  /** X171 — top principal component (X131): two distributed power-
+    * iteration rounds over the centered 64-dim embeddings — no d×d
+    * covariance ever materialized. */
+  def x171(s: SparkSession, dir: String): DataFrame =
+    Similarity.principalComponent(Tables.embeddings(s, dir), "vec_id",
+        "embedding", iters = 2)
+      .orderBy("pos")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -2222,5 +2230,6 @@ object Queries {
     "x167_two_proportion_z" -> (x167 _),
     "x168_calibration" -> (x168 _),
     "x169_fd_report" -> (x169 _),
-    "x170_shortest_hops" -> (x170 _))
+    "x170_shortest_hops" -> (x170 _),
+    "x171_principal_component" -> (x171 _))
 }

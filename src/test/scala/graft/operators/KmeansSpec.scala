@@ -119,4 +119,22 @@ class KmeansSpec extends SparkSpec {
     assert(out.count() === n)
     assert(out.filter(col("cluster").isNull || col("dist2") < 0).count() === 0)
   }
+
+  test("principalComponent: rank-1 data recovers the exact direction; iterating is a fixpoint") {
+    import spark.implicits._
+    // points t·(0.6, 0.8): centered data is rank-1, so ONE iteration
+    // lands exactly on the direction (positive sign because v0 = e_x
+    // and d_x > 0); the 6-dp quantize snaps the ulp noise
+    val pts = Seq(-2.0, -1.0, 0.0, 1.0, 3.0).zipWithIndex.map {
+      case (t, i) => (i.toLong, Seq(0.6 * t, 0.8 * t))
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.principalComponent(pts, "vec_id", "embedding",
+        iters = 1)
+      .orderBy("pos").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((0L, 0.6), (1L, 0.8)), s"got $got")
+    val more = Similarity.principalComponent(pts, "vec_id", "embedding",
+        iters = 3)
+      .orderBy("pos").as[(Long, Double)].collect().toSeq
+    assert(more == got, s"extra iterations moved a converged PC: $more")
+  }
 }
