@@ -601,6 +601,60 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** X132 — Zipf's-law fit: the slope of `ln(freq)` on `ln(rank)`
+    * over the corpus vocabulary — natural language sits near −1;
+    * template/boilerplate-heavy or synthetic corpora flatten toward 0
+    * and spam-keyword-stuffed ones steepen. The one-number
+    * distributional-health check a corpus freeze records next to its
+    * language mix.
+    *
+    * Shape: one token-count aggregate to vocabulary cardinality, the
+    * labelEncode range-sort + zipWithIndex global rank (no
+    * single-partition window), then ONE moment aggregate — each
+    * `ln`-product term cast to DECIMAL(28,10) and summed exactly, so
+    * the closed-form OLS assembles from engine-identical operands and
+    * stabilizes through DECIMAL(18,8).
+    */
+  def zipfFit(df: DataFrame, textCol: String, minCount: Long = 1,
+      roundDigits: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    val counts = df.select(explode(Text.tokens(col(textCol))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount)
+      .orderBy(col("__c").desc, col("__w"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__c",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("__r",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val ranked = spark.createDataFrame(
+      counts.select(col("__c")).rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(r.get(0), i + 1L)
+      }, schema)
+    val dec = org.apache.spark.sql.types.DecimalType(28, 10)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val x = log(col("__r").cast("double"))
+    val y = log(col("__c").cast("double"))
+    val m = ranked.agg(
+      count(lit(1)).as("__n"),
+      sum(x.cast(dec)).as("__sx"),
+      sum(y.cast(dec)).as("__sy"),
+      sum((x * y).cast(dec)).as("__sxy"),
+      sum((x * x).cast(dec)).as("__sxx"))
+    val n = col("__n").cast("double")
+    def d(c: String): Column = col(c).cast("double")
+    val slope = (n * d("__sxy") - d("__sx") * d("__sy")) /
+      (n * d("__sxx") - d("__sx") * d("__sx"))
+    val intercept = (d("__sy") - slope * d("__sx")) / n
+    def r(c: Column): Column =
+      round(c.cast(stable), roundDigits).cast("double")
+    m.select(col("__n").as("n_words"),
+      r(when(n * d("__sxx") - d("__sx") * d("__sx") > 0, slope))
+        .as("zipf_slope"),
+      r(when(n * d("__sxx") - d("__sx") * d("__sx") > 0, intercept))
+        .as("zipf_intercept"))
+  }
+
   /** X111 — out-of-vocabulary rate against a reference vocabulary:
     * per batch document, the fraction of tokens absent from the
     * vocabulary of terms appearing ≥ `minCount` times in the reference

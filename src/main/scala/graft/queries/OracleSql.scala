@@ -2597,6 +2597,35 @@ object OracleSql {
         |  CAST(max_rhs_per_lhs AS BIGINT) AS max_rhs_per_lhs
         |FROM u ORDER BY lhs, rhs""".stripMargin,
 
+    // Zipf fit: rank by (count desc, word) mirrors the zipWithIndex
+    // sort; ln-moment terms in DECIMAL(28,10), closed-form OLS on the
+    // exact sums.
+    "x172_zipf_fit" ->
+      """WITH c AS (SELECT t AS w, COUNT(*) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |  GROUP BY 1),
+        |r AS (SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w)
+        |    AS BIGINT) AS rk FROM c),
+        |m AS (SELECT COUNT(*) AS n,
+        |  SUM(CAST(ln(CAST(rk AS DOUBLE)) AS DECIMAL(28,10))) AS sx,
+        |  SUM(CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(28,10))) AS sy,
+        |  SUM(CAST(ln(CAST(rk AS DOUBLE)) * ln(CAST(c AS DOUBLE))
+        |    AS DECIMAL(28,10))) AS sxy,
+        |  SUM(CAST(ln(CAST(rk AS DOUBLE)) * ln(CAST(rk AS DOUBLE))
+        |    AS DECIMAL(28,10))) AS sxx FROM r),
+        |d AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+        |  CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+        |  CAST(sxy AS DOUBLE) AS sxy, CAST(sxx AS DOUBLE) AS sxx FROM m)
+        |SELECT CAST(n AS BIGINT) AS n_words,
+        |  CAST(ROUND(CAST(CASE WHEN nd * sxx - sx * sx > 0
+        |    THEN (nd * sxy - sx * sy) / (nd * sxx - sx * sx) END
+        |    AS DECIMAL(18,8)), 4) AS DOUBLE) AS zipf_slope,
+        |  CAST(ROUND(CAST(CASE WHEN nd * sxx - sx * sx > 0
+        |    THEN (sy - (nd * sxy - sx * sy) / (nd * sxx - sx * sx) * sx)
+        |      / nd END
+        |    AS DECIMAL(18,8)), 4) AS DOUBLE) AS zipf_intercept
+        |FROM d""".stripMargin,
+
     // Nelson–Aalen: x132's lifetime construction; each d/n increment
     // casts to DECIMAL(18,10) and running-sums exactly.
     "x166_nelson_aalen" ->

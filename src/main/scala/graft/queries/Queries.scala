@@ -2047,6 +2047,11 @@ object Queries {
         "embedding", iters = 2)
       .orderBy("pos")
 
+  /** X172 — Zipf fit (X132): log-log rank/frequency slope of the
+    * corpus vocabulary (1-row). */
+  def x172(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.zipfFit(Tables.documents(s, dir), "text")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -2231,5 +2236,6 @@ object Queries {
     "x168_calibration" -> (x168 _),
     "x169_fd_report" -> (x169 _),
     "x170_shortest_hops" -> (x170 _),
-    "x171_principal_component" -> (x171 _))
+    "x171_principal_component" -> (x171 _),
+    "x172_zipf_fit" -> (x172 _))
 }

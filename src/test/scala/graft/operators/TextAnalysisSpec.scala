@@ -293,6 +293,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(byDoc(2L) > byDoc(1L), "rare term must outscore common term")
   }
 
+  test("zipfFit: an exact power law recovers its own slope") {
+    import spark.implicits._
+    // frequencies 16, 8, 4, 2, 1 over ranks 1..5: ln f = ln 16 −
+    // (ln 2)·ln r / ln 2... construct f = 2^(4) / r^1? Use f_r = 16/r
+    // rounded to ints 16, 8, 5, 4, 3 — not exact. Instead pin the
+    // EXACT algebra: f_r = c·r^s with s = −1 via f = {12, 6, 4, 3}
+    // for r = {1, 2, 3, 4}: ln f = ln 12 − 1·ln r exactly, so the OLS
+    // slope is −1 and the intercept ln 12 (to rounding)
+    val words = Seq("a" -> 12, "b" -> 6, "c" -> 4, "d" -> 3)
+    val text = words.flatMap { case (w, n) => Seq.fill(n)(w) }
+      .mkString(" ")
+    val got = TextAnalysis.zipfFit(Seq((1L, text)).toDF("id", "text"),
+        "text")
+      .as[(Long, Double, Double)].head()
+    assert(got._1 == 4L, s"got $got")
+    assert(got._2 == -1.0, s"slope must be exactly -1 after round: $got")
+    val expInt = BigDecimal(math.log(12.0))
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(got._3 - expInt) < 2e-4, s"intercept ~ ln 12: $got")
+  }
+
   test("oovRate: hand fractions against a minCount-thresholded vocabulary") {
     import spark.implicits._
     // reference: a x5, b x3, c x1 -> vocab at minCount=2 is {a, b}
