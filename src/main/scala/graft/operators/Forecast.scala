@@ -550,6 +550,76 @@ object Forecast {
       round(regr_r2(y, x), 6).as("r2"))
   }
 
+  /** X133 — two-regressor OLS per series, closed form: fit
+    * `y = b0 + b1·day + b2·is_weekend` per key — the minimal
+    * trend-plus-seasonality decomposition as two interpretable
+    * coefficients (daily drift and weekend lift), the multivariate
+    * step past [[linearTrend]]'s single slope. Solved by Cramer's
+    * rule on the 3×3 normal equations — NO iterative fitting, no ML
+    * library, one aggregate.
+    *
+    * Shape: one map-side-combinable moment aggregate per key (nine
+    * sums), coefficients assembled per key from those scalars.
+    * Portability: day centers on the broadcast corpus min (the
+    * linearTrend ulp-amplification fix), every moment sums in
+    * DECIMAL(28,6) (exact — x1 is an integer, x2 a 0/1 flag, y
+    * quantized at cast), and the determinants expand in ONE fixed
+    * association over the exact operands, stabilized through
+    * DECIMAL(18,8). A singular system (a key with no weekend rows, or
+    * fewer rows than regressors) yields null coefficients.
+    */
+  def olsTrendWeekend(
+      df: DataFrame,
+      keyCol: String,
+      dateCol: String,
+      valueCol: String,
+      roundDigits: Int = 4): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val gmin = df.agg(min(col(dateCol)).as("__d0"))
+    val rows = df.crossJoin(broadcast(gmin)).select(
+      col(keyCol).as("__k"),
+      datediff(col(dateCol), col("__d0")).cast("double").as("__x1"),
+      weekday(col(dateCol)).isin(5, 6).cast("int").cast("double")
+        .as("__x2"),
+      col(valueCol).cast("double").as("__y"))
+    val m = rows.groupBy(col("__k")).agg(
+      count(lit(1)).as("__n"),
+      sum(col("__x1").cast(dec)).as("__s1"),
+      sum(col("__x2").cast(dec)).as("__s2"),
+      sum(col("__y").cast(dec)).as("__sy"),
+      sum((col("__x1") * col("__x1")).cast(dec)).as("__s11"),
+      sum((col("__x2") * col("__x2")).cast(dec)).as("__s22"),
+      sum((col("__x1") * col("__x2")).cast(dec)).as("__s12"),
+      sum((col("__x1") * col("__y")).cast(dec)).as("__s1y"),
+      sum((col("__x2") * col("__y")).cast(dec)).as("__s2y"))
+    def d(c: String): Column = col(c).cast("double")
+    val n = col("__n").cast("double")
+    def det3(a: Column, b: Column, c: Column,
+        dd: Column, e: Column, f: Column,
+        g: Column, h: Column, i: Column): Column =
+      a * (e * i - f * h) - b * (dd * i - f * g) + c * (dd * h - e * g)
+    val det = det3(n, d("__s1"), d("__s2"),
+      d("__s1"), d("__s11"), d("__s12"),
+      d("__s2"), d("__s12"), d("__s22"))
+    val det0 = det3(d("__sy"), d("__s1"), d("__s2"),
+      d("__s1y"), d("__s11"), d("__s12"),
+      d("__s2y"), d("__s12"), d("__s22"))
+    val det1 = det3(n, d("__sy"), d("__s2"),
+      d("__s1"), d("__s1y"), d("__s12"),
+      d("__s2"), d("__s2y"), d("__s22"))
+    val det2 = det3(n, d("__s1"), d("__sy"),
+      d("__s1"), d("__s11"), d("__s1y"),
+      d("__s2"), d("__s12"), d("__s2y"))
+    val ok = col("__n") >= 3 && abs(det) > 1e-6
+    def r(c: Column): Column =
+      round(c.cast(stable), roundDigits).cast("double")
+    m.select(col("__k").as(keyCol), col("__n").as("n_days"),
+      r(when(ok, det0 / det)).as("b0"),
+      r(when(ok, det1 / det)).as("b1_day"),
+      r(when(ok, det2 / det)).as("b2_weekend"))
+  }
+
   /** X123 — Theil–Sen robust trend per series: the MEDIAN of all
     * pairwise slopes `(y_j − y_i)/(t_j − t_i)` — breakdown point
     * ~29%, so a promo spike or stockout week that drags least-squares

@@ -2702,6 +2702,55 @@ object OracleSql {
         |FROM p GROUP BY 1, 2, 3
         |ORDER BY user_id, ts_us, event_id""".stripMargin,
 
+    // Two-regressor OLS: nine exact decimal moments per key, Cramer
+    // determinants expanded in the engine's association, DECIMAL(18,8)
+    // stabilize. Weekend flag = isodow in (6,7), the t18 parity.
+    "x173_ols_trend_weekend" ->
+      s"""WITH $dailyCte,
+         |g AS (SELECT MIN(day) AS d0 FROM daily),
+         |rws AS (SELECT user_id AS k,
+         |  CAST(date_diff('day', d0, day) AS DOUBLE) AS x1,
+         |  CASE WHEN isodow(day) IN (6, 7) THEN CAST(1.0 AS DOUBLE)
+         |    ELSE CAST(0.0 AS DOUBLE) END AS x2,
+         |  CAST(demand AS DOUBLE) AS y
+         |  FROM daily CROSS JOIN g),
+         |mm AS (SELECT k, COUNT(*) AS n,
+         |  SUM(CAST(x1 AS DECIMAL(28,6))) AS s1,
+         |  SUM(CAST(x2 AS DECIMAL(28,6))) AS s2,
+         |  SUM(CAST(y AS DECIMAL(28,6))) AS sy,
+         |  SUM(CAST(x1 * x1 AS DECIMAL(28,6))) AS s11,
+         |  SUM(CAST(x2 * x2 AS DECIMAL(28,6))) AS s22,
+         |  SUM(CAST(x1 * x2 AS DECIMAL(28,6))) AS s12,
+         |  SUM(CAST(x1 * y AS DECIMAL(28,6))) AS s1y,
+         |  SUM(CAST(x2 * y AS DECIMAL(28,6))) AS s2y
+         |  FROM rws GROUP BY 1),
+         |dd AS (SELECT k, n, CAST(n AS DOUBLE) AS nd,
+         |  CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+         |  CAST(sy AS DOUBLE) AS sy, CAST(s11 AS DOUBLE) AS s11,
+         |  CAST(s22 AS DOUBLE) AS s22, CAST(s12 AS DOUBLE) AS s12,
+         |  CAST(s1y AS DOUBLE) AS s1y, CAST(s2y AS DOUBLE) AS s2y
+         |  FROM mm),
+         |dets AS (SELECT k, n,
+         |  nd * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+         |    + s2 * (s1 * s12 - s11 * s2) AS det,
+         |  sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+         |    + s2 * (s1y * s12 - s11 * s2y) AS det0,
+         |  nd * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+         |    + s2 * (s1 * s2y - s1y * s2) AS det1,
+         |  nd * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+         |    + sy * (s1 * s12 - s11 * s2) AS det2
+         |  FROM dd)
+         |SELECT k AS user_id, CAST(n AS BIGINT) AS n_days,
+         |  CAST(ROUND(CAST(CASE WHEN n >= 3 AND abs(det) > 1e-6
+         |    THEN det0 / det END AS DECIMAL(18,8)), 4) AS DOUBLE) AS b0,
+         |  CAST(ROUND(CAST(CASE WHEN n >= 3 AND abs(det) > 1e-6
+         |    THEN det1 / det END AS DECIMAL(18,8)), 4) AS DOUBLE)
+         |    AS b1_day,
+         |  CAST(ROUND(CAST(CASE WHEN n >= 3 AND abs(det) > 1e-6
+         |    THEN det2 / det END AS DECIMAL(18,8)), 4) AS DOUBLE)
+         |    AS b2_weekend
+         |FROM dets ORDER BY user_id""".stripMargin,
+
     // Theil–Sen: pairwise slopes round through DECIMAL(18,8) before
     // the per-key exact median (quantile_cont ≡ percentile, t38).
     "x163_theil_sen" ->

@@ -2052,6 +2052,13 @@ object Queries {
   def x172(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.zipfFit(Tables.documents(s, dir), "text")
 
+  /** X173 — two-regressor OLS (X133): per-user daily drift + weekend
+    * lift from one closed-form Cramer solve over exact moments. */
+  def x173(s: SparkSession, dir: String): DataFrame =
+    Forecast.olsTrendWeekend(dailyDemand(s, dir), "user_id", "day",
+        "demand")
+      .orderBy("user_id")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -2237,5 +2244,6 @@ object Queries {
     "x169_fd_report" -> (x169 _),
     "x170_shortest_hops" -> (x170 _),
     "x171_principal_component" -> (x171 _),
-    "x172_zipf_fit" -> (x172 _))
+    "x172_zipf_fit" -> (x172 _),
+    "x173_ols_trend_weekend" -> (x173 _))
 }

@@ -253,6 +253,31 @@ class ForecastSpec extends SparkSpec {
     assert(out == Seq((1L, d("2024-01-10"), 1.0, 5.0, 8.9443)), s"got $out")
   }
 
+  test("olsTrendWeekend: an exact linear+weekend model is recovered; no-weekend key is singular") {
+    import spark.implicits._
+    // 2024-01-01 is a Monday; y = 2 + 0.5*day + 3*weekend over 14 days
+    val days = (0 until 14).map { i =>
+      val d = java.sql.Date.valueOf(java.time.LocalDate
+        .of(2024, 1, 1).plusDays(i))
+      val wknd = if (i % 7 == 5 || i % 7 == 6) 3.0 else 0.0
+      (1L, d, 2.0 + 0.5 * i + wknd)
+    }
+    // key 2: weekdays only -> the weekend column is all zero ->
+    // singular normal equations -> null coefficients
+    val flat = (0 until 5).map { i =>
+      (2L, java.sql.Date.valueOf(java.time.LocalDate
+        .of(2024, 1, 1).plusDays(i)), 10.0)
+    }
+    val df = (days ++ flat).toDF("user_id", "day", "demand")
+    val got = Forecast.olsTrendWeekend(df, "user_id", "day", "demand")
+      .orderBy("user_id")
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(got == Seq(
+      (1L, 14L, Some(2.0), Some(0.5), Some(3.0)),
+      (2L, 5L, None, None, None)), s"got $got")
+  }
+
   test("theilSenSlope: the median slope shrugs off the outlier least-squares can't") {
     import spark.implicits._
     // days 1..5 values 0,1,2,3,100: 6 of 10 pairwise slopes are 1;
