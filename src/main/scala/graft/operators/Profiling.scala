@@ -255,6 +255,23 @@ object Profiling {
         first(col("__n")).as("n"))
   }
 
+  /** X135 — information-gain feature ranking: [[mutualInfo]] of every
+    * candidate categorical feature against the label, one row per
+    * feature — the model-free feature-selection screen (rank by NMI;
+    * an NMI ≈ 1 feature is a leak, an NMI ≈ 0 one is ballast). One
+    * cell aggregate per feature, unioned (the fdReport shape).
+    */
+  def infoGainReport(df: DataFrame, labelCol: String,
+      features: Seq[String], roundDigits: Int = 6): DataFrame = {
+    require(features.nonEmpty, "need at least one candidate feature")
+    features.map { f =>
+      mutualInfo(df, f, labelCol, roundDigits)
+        .select(lit(f).as("feature"), col("mi"),
+          col("h_a").as("h_feature"), col("h_b").as("h_label"),
+          col("nmi"))
+    }.reduce(_ unionAll _)
+  }
+
   /** X129 — functional-dependency audit: for each candidate rule
     * `lhs → rhs`, how many lhs values map to MORE than one rhs value
     * (the schema-contract screen: "is product name really determined

@@ -442,6 +442,42 @@ object TimeSeries {
         col("survival"))
   }
 
+  /** X134 — Markov entropy rate of the event-type process: with
+    * empirical transition counts `n_ij`,
+    * `H = −Σ_ij (n_ij/N)·ln(n_ij/n_i·)` nats per step — how
+    * PREDICTABLE the next event is given the current one (0 =
+    * deterministic flows, ln(k) = uniform chaos over k types). The
+    * one-number sequence-health metric next to [[markovTransitions]]'
+    * full matrix: bots and broken instrumentation both crater it.
+    *
+    * One lead window per user (user-key shuffle), one count aggregate
+    * to type² rows, one final sum — each term ONE left-associated
+    * double expression cast DECIMAL(18,10) and summed exactly (the
+    * mutualInfo discipline).
+    */
+  def markovEntropyRate(df: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String,
+      roundDigits: Int = 6): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val pairs = df
+      .withColumn("__to", lead(col(typeCol), 1).over(w))
+      .filter(col("__to").isNotNull)
+      .groupBy(col(typeCol).as("__from"), col("__to"))
+      .agg(count(lit(1)).as("__n"))
+    val fromTot = pairs.groupBy(col("__from")).agg(sum(col("__n")).as("__nf"))
+    val total = pairs.agg(sum(col("__n")).as("__nt"),
+      countDistinct(col("__from")).as("__states"))
+    val dec = org.apache.spark.sql.types.DecimalType(18, 10)
+    val term = (-(col("__n") / col("__nt").cast("double"))
+      * log(col("__n") / col("__nf").cast("double"))).cast(dec)
+    pairs.join(fromTot, "__from")
+      .crossJoin(broadcast(total))
+      .agg(
+        first(col("__nt")).as("n_transitions"),
+        first(col("__states")).as("n_states"),
+        round(sum(term).cast("double"), roundDigits).as("entropy_rate"))
+  }
+
   /** X126 — Nelson–Aalen cumulative hazard: `H(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ`
     * over the same right-censored lifetimes as [[kaplanMeier]] — the
     * hazard-scale view (≈ −ln S; additive, so it reads off WHEN churn

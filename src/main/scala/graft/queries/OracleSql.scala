@@ -2597,6 +2597,36 @@ object OracleSql {
         |  CAST(max_rhs_per_lhs AS BIGINT) AS max_rhs_per_lhs
         |FROM u ORDER BY lhs, rhs""".stripMargin,
 
+    // Markov entropy rate: one lead window, type²-cardinality counts,
+    // each −p·ln P term cast DECIMAL(18,10) and summed exactly.
+    "x174_entropy_rate" ->
+      """WITH p AS (SELECT event_type AS f,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS t FROM events),
+        |g AS (SELECT f, t, COUNT(*) AS n FROM p WHERE t IS NOT NULL
+        |  GROUP BY 1, 2),
+        |ft AS (SELECT f, SUM(n) AS nf FROM g GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(n) AS DOUBLE) AS nt,
+        |  CAST(SUM(n) AS BIGINT) AS nti,
+        |  CAST(COUNT(DISTINCT f) AS BIGINT) AS states FROM g)
+        |SELECT tt.nti AS n_transitions, tt.states AS n_states,
+        |  ROUND(CAST(SUM(CAST((-(n / tt.nt))
+        |    * ln(n / CAST(nf AS DOUBLE)) AS DECIMAL(18,10)))
+        |    AS DOUBLE), 6) AS entropy_rate
+        |FROM g JOIN ft USING (f) CROSS JOIN tt
+        |GROUP BY tt.nti, tt.states""".stripMargin,
+
+    "x175_info_gain" ->
+      s"""SELECT * FROM (
+         |${miBlockSql(
+            "CAST(CAST(floor(o_totalprice / 50000) AS BIGINT) AS VARCHAR)",
+            "o_band")}
+         |UNION ALL
+         |${miBlockSql("o_orderpriority", "o_orderpriority")}
+         |UNION ALL
+         |${miBlockSql("CAST(year(o_orderdate) AS VARCHAR)", "o_year")})
+         |ORDER BY feature""".stripMargin,
+
     // Zipf fit: rank by (count desc, word) mirrors the zipWithIndex
     // sort; ln-moment terms in DECIMAL(28,10), closed-form OLS on the
     // exact sums.
@@ -3252,6 +3282,31 @@ object OracleSql {
        |SELECT n AS node, CAST(d AS BIGINT) AS degree FROM fin
        |ORDER BY node""".stripMargin
   }
+
+  /** X135 info-gain oracle block: x149's MI math with the feature
+    * expression injected, as a self-contained subquery (its own WITH)
+    * so the three feature blocks can UNION ALL cleanly. */
+  private def miBlockSql(fExpr: String, fname: String): String =
+    s"""(WITH cells AS (SELECT $fExpr AS a, o_orderstatus AS b,
+       |  COUNT(*) AS o FROM orders GROUP BY 1, 2),
+       |ra AS (SELECT a, SUM(o) AS ra FROM cells GROUP BY 1),
+       |cb AS (SELECT b, SUM(o) AS cb FROM cells GROUP BY 1),
+       |nn AS (SELECT CAST(SUM(o) AS DOUBLE) AS n FROM cells),
+       |mi AS (SELECT SUM(CAST((o / nn.n)
+       |    * ln(nn.n * o / (CAST(ra.ra AS DOUBLE) * cb.cb))
+       |    AS DECIMAL(18,10))) AS mi
+       |  FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN nn),
+       |ha AS (SELECT SUM(CAST((-(ra / nn.n)) * ln(ra / nn.n)
+       |    AS DECIMAL(18,10))) AS ha FROM ra CROSS JOIN nn),
+       |hb AS (SELECT SUM(CAST((-(cb / nn.n)) * ln(cb / nn.n)
+       |    AS DECIMAL(18,10))) AS hb FROM cb CROSS JOIN nn)
+       |SELECT '$fname' AS feature, ROUND(CAST(mi AS DOUBLE), 6) AS mi,
+       |  ROUND(CAST(ha AS DOUBLE), 6) AS h_feature,
+       |  ROUND(CAST(hb AS DOUBLE), 6) AS h_label,
+       |  CAST(ROUND(CAST(CASE WHEN CAST(least(ha, hb) AS DOUBLE) > 0
+       |    THEN CAST(mi AS DOUBLE) / CAST(least(ha, hb) AS DOUBLE) END
+       |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS nmi
+       |FROM mi CROSS JOIN ha CROSS JOIN hb)""".stripMargin
 
   /** X131 principal-component oracle: two unrolled power-iteration
     * rounds mirroring Similarity.principalComponent step for step —

@@ -2059,6 +2059,24 @@ object Queries {
         "demand")
       .orderBy("user_id")
 
+  /** X174 — Markov entropy rate (X134): how predictable the next
+    * event type is given the current one (1-row). */
+  def x174(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.markovEntropyRate(Tables.events(s, dir), "user_id",
+      "ts", "event_id", "event_type")
+
+  /** X175 — information-gain feature ranking (X135): candidate order
+    * features scored by MI/NMI against order status. */
+  def x175(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderstatus"),
+      col("o_orderpriority"),
+      year(col("o_orderdate")).cast("string").as("o_year"),
+      floor(col("o_totalprice") / 50000).cast("string").as("o_band"))
+    Profiling.infoGainReport(o, "o_orderstatus",
+        Seq("o_orderpriority", "o_year", "o_band"))
+      .orderBy("feature")
+  }
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -2245,5 +2263,7 @@ object Queries {
     "x170_shortest_hops" -> (x170 _),
     "x171_principal_component" -> (x171 _),
     "x172_zipf_fit" -> (x172 _),
-    "x173_ols_trend_weekend" -> (x173 _))
+    "x173_ols_trend_weekend" -> (x173 _),
+    "x174_entropy_rate" -> (x174 _),
+    "x175_info_gain" -> (x175 _))
 }

@@ -193,6 +193,26 @@ class ProfilingSpec extends SparkSpec {
       ("name", "brand", 3L, 1L, 0.333333, 2L)), s"got $got")
   }
 
+  test("infoGainReport: a label copy is a perfect leak, noise is ballast") {
+    import spark.implicits._
+    // noise is CONSTANT: zero feature entropy -> MI 0, NMI null
+    val df = Seq(("x", "x", "p"), ("x", "x", "p"), ("y", "y", "p"),
+      ("y", "y", "p"))
+      .toDF("label", "leak", "noise")
+    val got = Profiling.infoGainReport(df, "label",
+        Seq("leak", "noise"))
+      .orderBy("feature")
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+      .toSeq
+    // leak ≡ label -> MI = H(label), NMI = 1; noise constant -> MI 0,
+    // NMI null (zero feature entropy)
+    assert(got.map(_._1) == Seq("leak", "noise"))
+    assert(got(0)._3.contains(1.0), s"leak must score NMI 1: $got")
+    assert(got(1)._2 == 0.0 && got(1)._3.isEmpty, s"got $got")
+  }
+
   test("robustOutliers: hand MAD screen; zero-MAD group yields no outliers") {
     import spark.implicits._
     // 1..9 + 100: median 5.5, MAD 2.5; only the 100 crosses

@@ -276,6 +276,32 @@ class TimeSeriesSpec extends SparkSpec {
       ("b", "a", 1L, 1.0)), s"got $got")
   }
 
+  test("markovEntropyRate: deterministic chain scores 0, uniform flips score ln 2") {
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:${i}%02d:00")
+    // a->b->a->b...: every transition is forced -> H = 0
+    val det = (0 until 8).map(i =>
+      (1L, i.toLong, ts(i), if (i % 2 == 0) "a" else "b"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val h0 = TimeSeries.markovEntropyRate(det, "user_id", "ts",
+      "event_id", "event_type").collect()(0)
+    assert(h0.getLong(0) == 7L && h0.getDouble(2) == 0.0, s"got $h0")
+    // from a: half to a, half to b (and same from b) -> H = ln 2
+    val coin = Seq("a", "a", "b", "b", "a", "b", "a", "a", "b")
+      .zipWithIndex.map { case (t, i) => (1L, i.toLong, ts(i), t) }
+      .toDF("user_id", "event_id", "ts", "event_type")
+    // transitions: aa, ab, bb, ba, ab, ba, aa, ab -> from a: {a:2,b:3},
+    // from b: {b:1,a:2}; H = -(2/8)ln(2/5)-(3/8)ln(3/5)-(1/8)ln(1/3)
+    //   -(2/8)ln(2/3)
+    val expected = BigDecimal(
+      -(2.0 / 8) * math.log(2.0 / 5) - (3.0 / 8) * math.log(3.0 / 5)
+        - (1.0 / 8) * math.log(1.0 / 3) - (2.0 / 8) * math.log(2.0 / 3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val h1 = TimeSeries.markovEntropyRate(coin, "user_id", "ts",
+      "event_id", "event_type").collect()(0)
+    assert(h1.getLong(0) == 8L && h1.getLong(1) == 2L &&
+      math.abs(h1.getDouble(2) - expected) < 2e-6, s"got $h1 want $expected")
+  }
+
   test("nelsonAalen: hand d/n increments accumulate; censored tail adds nothing") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s + " 12:00:00")
     // u1: dur 0, churned; u2: dur 2, churned; u3: dur 9, last event at
