@@ -550,6 +550,67 @@ object Forecast {
       round(regr_r2(y, x), 6).as("r2"))
   }
 
+  /** X138 — longest zero-run per series over the DENSIFIED daily
+    * grid: the stockout/blackout detector ("this SKU showed zero
+    * demand for 23 straight days — that is unavailability, not
+    * demand", the signal that corrupts naive forecasts and that the
+    * M5 literature masks out). Gaps between observations count as
+    * zeros — exactly what the gap-explode densify produces.
+    *
+    * Gaps-and-islands in one window pass over the dense series (run
+    * id = running count of nonzero days), one per-run aggregate, one
+    * per-key max — all shuffles on the key. Returns zero-run length 0
+    * for a series with no zero days.
+    */
+  def longestZeroRun(
+      df: DataFrame,
+      keyCol: String,
+      dateCol: String,
+      valueCol: String): DataFrame = {
+    val dense = gapFillZero(df, keyCol, dateCol, valueCol)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runs = dense
+      .withColumn("__grp",
+        sum((col("__v") =!= 0.0d).cast("long")).over(w))
+      .filter(col("__v") === 0.0d)
+      .groupBy(col(keyCol), col("__grp"))
+      .agg(count(lit(1)).as("__len"), min(col("__day")).as("__start"))
+    val longest = runs.groupBy(col(keyCol))
+      .agg(max(struct(col("__len"), col("__start"))).as("__best"))
+      .select(col(keyCol),
+        col("__best").getField("__len").as("zero_run_days"),
+        col("__best").getField("__start").as("run_start"))
+    dense.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_days"),
+        sum((col("__v") === 0.0d).cast("long")).as("n_zero_days"))
+      .join(longest, Seq(keyCol), "left")
+      .select(col(keyCol), col("n_days"), col("n_zero_days"),
+        coalesce(col("zero_run_days"), lit(0L)).as("zero_run_days"),
+        col("run_start"))
+  }
+
+  /** [[longestZeroRun]]'s densify: each observation explodes its own
+    * gap run to the next observation as zero days (the
+    * gapFillForwardFill shape with a zero fill instead of a carry). */
+  private def gapFillZero(
+      df: DataFrame, keyCol: String, dateCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__d0"))
+    df.select(col(keyCol), col(dateCol).as("__d0"),
+        col(valueCol).cast("double").as("__obs"))
+      .withColumn("__nxt", lead(col("__d0"), 1).over(w))
+      .select(col(keyCol), col("__d0"), col("__obs"),
+        explode(sequence(lit(0),
+          when(col("__nxt").isNotNull,
+            datediff(col("__nxt"), col("__d0")) - 1).otherwise(lit(0))))
+          .as("__off"))
+      .select(col(keyCol),
+        date_add(col("__d0"), col("__off")).as("__day"),
+        when(col("__off") === 0, col("__obs")).otherwise(lit(0.0d))
+          .as("__v"))
+  }
+
   /** X133 — two-regressor OLS per series, closed form: fit
     * `y = b0 + b1·day + b2·is_weekend` per key — the minimal
     * trend-plus-seasonality decomposition as two interpretable

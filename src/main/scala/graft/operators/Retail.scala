@@ -219,6 +219,57 @@ object Retail {
           .cast("double").as("cum_ltv"))
   }
 
+  /** X137 — price elasticity per item: the OLS slope of `ln(quantity)`
+    * on `ln(price)` across an item's selling days — the classic
+    * log-log demand elasticity (slope −2 ⇒ a 1% price cut lifts
+    * volume ~2%), the pricing knob a demand forecaster feeds.
+    *
+    * One daily (item, day) aggregate, then one moment aggregate per
+    * item (the zipfFit shape): each ln term casts to DECIMAL(28,10)
+    * and sums exactly; the closed-form slope assembles from the exact
+    * sums and stabilizes through DECIMAL(18,8). Items with no price
+    * variation across days are singular → null slope (`n_days` and
+    * the zero-variance guard carry the why). Daily price quantizes to
+    * cents through DECIMAL(28,6) (the x144 money contract) before the
+    * log.
+    */
+  def priceElasticity(
+      lineitem: DataFrame,
+      itemCol: String,
+      dateCol: String,
+      priceCol: String,
+      qtyCol: String,
+      roundDigits: Int = 4): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 10)
+    val money = org.apache.spark.sql.types.DecimalType(28, 6)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val daily = lineitem
+      .filter(col(priceCol).isNotNull && col(qtyCol).isNotNull)
+      .groupBy(col(itemCol).as("__i"),
+        to_date(col(dateCol)).as("__d"))
+      .agg(
+        sum(round(col(priceCol).cast(money), 2)).as("__p"),
+        sum(col(qtyCol).cast(money)).as("__q"))
+      .filter(col("__p") > 0 && col("__q") > 0)
+    // x = ln(unit price) = ln(Σrevenue/Σqty) — elasticity regresses
+    // volume on the PRICE PAID PER UNIT, not on revenue
+    val x = log(col("__p").cast("double") / col("__q").cast("double"))
+    val y = log(col("__q").cast("double"))
+    val m = daily.groupBy(col("__i")).agg(
+      count(lit(1)).as("__n"),
+      sum(x.cast(dec)).as("__sx"),
+      sum(y.cast(dec)).as("__sy"),
+      sum((x * y).cast(dec)).as("__sxy"),
+      sum((x * x).cast(dec)).as("__sxx"))
+    val n = col("__n").cast("double")
+    def d(c: String): org.apache.spark.sql.Column = col(c).cast("double")
+    val varX = n * d("__sxx") - d("__sx") * d("__sx")
+    val slope = (n * d("__sxy") - d("__sx") * d("__sy")) / varX
+    m.select(col("__i").as(itemCol), col("__n").as("n_days"),
+      round(when(col("__n") >= 3 && varX > 1e-9, slope).cast(stable),
+        roundDigits).cast("double").as("elasticity"))
+  }
+
   /** X106 — item-item cosine similarity (neighborhood collaborative
     * filtering): over binary basket membership,
     * `cos(i,j) = n_ij / sqrt(n_i · n_j)` — the classic item-based

@@ -442,6 +442,38 @@ object TimeSeries {
         col("survival"))
   }
 
+  /** X136 — time-to-convert: per user, the latency from the FIRST
+    * `fromType` event to the first `toType` event at-or-after it —
+    * the funnel-latency distribution ("how long from signup to first
+    * purchase") that conversion RATES (sequenceFunnel) don't carry.
+    * Users who never convert appear with null latency (the
+    * denominator matters: a fast median over 1% converters is not
+    * health).
+    *
+    * Two conditional per-user aggregates in ONE scan (min fromTs, and
+    * min toTs among events ≥ that fromTs via a min-struct trick —
+    * map-side combinable, no window, no self-join): the second pass
+    * filters on the broadcast-joined first pass, so cost is two
+    * user-cardinality aggregates.
+    */
+  def timeToConvert(
+      df: DataFrame,
+      userCol: String, tsCol: String, typeCol: String,
+      fromType: String, toType: String): DataFrame = {
+    val us = unix_micros(col(tsCol))
+    val first = df.filter(col(typeCol) === fromType)
+      .groupBy(col(userCol)).agg(min(us).as("__from_us"))
+    val conv = df.filter(col(typeCol) === toType)
+      .select(col(userCol), us.as("__to_us"))
+      .join(first, Seq(userCol))
+      .filter(col("__to_us") >= col("__from_us"))
+      .groupBy(col(userCol)).agg(min(col("__to_us")).as("__conv_us"))
+    first.join(conv, Seq(userCol), "left")
+      .select(col(userCol),
+        ((col("__conv_us") - col("__from_us")) / 1000000L)
+          .cast("bigint").as("latency_s"))
+  }
+
   /** X134 — Markov entropy rate of the event-type process: with
     * empirical transition counts `n_ij`,
     * `H = −Σ_ij (n_ij/N)·ln(n_ij/n_i·)` nats per step — how

@@ -2597,6 +2597,83 @@ object OracleSql {
         |  CAST(max_rhs_per_lhs AS BIGINT) AS max_rhs_per_lhs
         |FROM u ORDER BY lhs, rhs""".stripMargin,
 
+    // Time-to-convert: two conditional per-user aggregates; integer
+    // floor division to seconds on both engines.
+    "x176_time_to_convert" ->
+      """WITH f AS (SELECT user_id, MIN(epoch_us(ts)) AS fus
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS cus
+        |  FROM events e JOIN f ON e.user_id = f.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= f.fus
+        |  GROUP BY 1)
+        |SELECT user_id,
+        |  CAST((cus - fus) // 1000000 AS BIGINT) AS latency_s
+        |FROM f LEFT JOIN c USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    // Price elasticity: daily revenue quantizes to cents (x144 money
+    // contract); ln-moment terms in DECIMAL(28,10), closed-form slope
+    // on exact sums with a zero-variance guard.
+    "x177_price_elasticity" ->
+      """WITH d AS (SELECT l_partkey AS i,
+        |  CAST(date_trunc('day', l_shipdate) AS DATE) AS day,
+        |  SUM(ROUND(CAST(l_extendedprice AS DECIMAL(28,6)), 2)) AS p,
+        |  SUM(CAST(l_quantity AS DECIMAL(28,6))) AS q
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |  GROUP BY 1, 2),
+        |dd AS (SELECT i, CAST(p AS DOUBLE) AS pd, CAST(q AS DOUBLE) AS qd
+        |  FROM d WHERE p > 0 AND q > 0),
+        |m AS (SELECT i, COUNT(*) AS n,
+        |  SUM(CAST(ln(pd / qd) AS DECIMAL(28,10))) AS sx,
+        |  SUM(CAST(ln(qd) AS DECIMAL(28,10))) AS sy,
+        |  SUM(CAST(ln(pd / qd) * ln(qd) AS DECIMAL(28,10))) AS sxy,
+        |  SUM(CAST(ln(pd / qd) * ln(pd / qd) AS DECIMAL(28,10))) AS sxx
+        |  FROM dd GROUP BY 1),
+        |z AS (SELECT i, n, CAST(n AS DOUBLE) AS nd,
+        |  CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+        |  CAST(sxy AS DOUBLE) AS sxy, CAST(sxx AS DOUBLE) AS sxx FROM m)
+        |SELECT i AS l_partkey, CAST(n AS BIGINT) AS n_days,
+        |  CAST(ROUND(CAST(CASE
+        |    WHEN n >= 3 AND nd * sxx - sx * sx > 1e-9
+        |    THEN (nd * sxy - sx * sy) / (nd * sxx - sx * sx) END
+        |    AS DECIMAL(18,8)), 4) AS DOUBLE) AS elasticity
+        |FROM z ORDER BY l_partkey""".stripMargin,
+
+    // Longest zero-run: gap-explode densify (zero fill), one
+    // gaps-and-islands window, argmax run by (len desc, start desc).
+    "x178_zero_runs" ->
+      s"""WITH $dailyCte,
+         |led AS (SELECT user_id, day AS d0, CAST(demand AS DOUBLE)
+         |    AS obs,
+         |  lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt
+         |  FROM daily),
+         |dense AS (SELECT user_id, d0 + CAST(off AS INTEGER) AS day,
+         |  CASE WHEN off = 0 THEN obs ELSE CAST(0.0 AS DOUBLE) END AS v
+         |  FROM (SELECT user_id, d0, obs,
+         |    unnest(generate_series(0, CASE WHEN nxt IS NULL THEN 0
+         |      ELSE date_diff('day', d0, nxt) - 1 END)) AS off
+         |    FROM led)),
+         |runs0 AS (SELECT user_id, day, v,
+         |  SUM(CASE WHEN v <> 0 THEN 1 ELSE 0 END) OVER (
+         |    PARTITION BY user_id ORDER BY day
+         |    ROWS UNBOUNDED PRECEDING) AS grp FROM dense),
+         |runs AS (SELECT user_id, grp, COUNT(*) AS len,
+         |  MIN(day) AS start FROM runs0 WHERE v = 0 GROUP BY 1, 2),
+         |best AS (SELECT user_id, len, start FROM (
+         |  SELECT user_id, len, start, ROW_NUMBER() OVER (
+         |    PARTITION BY user_id ORDER BY len DESC, start DESC) AS rn
+         |  FROM runs) WHERE rn = 1),
+         |tot AS (SELECT user_id, COUNT(*) AS n_days,
+         |  SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS n_zero
+         |  FROM dense GROUP BY 1)
+         |SELECT tot.user_id, CAST(n_days AS BIGINT) AS n_days,
+         |  CAST(n_zero AS BIGINT) AS n_zero_days,
+         |  CAST(COALESCE(best.len, 0) AS BIGINT) AS zero_run_days,
+         |  best.start AS run_start
+         |FROM tot LEFT JOIN best USING (user_id)
+         |ORDER BY user_id""".stripMargin,
+
     // Markov entropy rate: one lead window, type²-cardinality counts,
     // each −p·ln P term cast DECIMAL(18,10) and summed exactly.
     "x174_entropy_rate" ->

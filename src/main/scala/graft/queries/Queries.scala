@@ -2077,6 +2077,27 @@ object Queries {
       .orderBy("feature")
   }
 
+  /** X176 — time-to-convert (X136): per-user signup→first-purchase
+    * latency; never-converted users carry null. */
+  def x176(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.timeToConvert(Tables.events(s, dir), "user_id", "ts",
+        "event_type", fromType = "signup", toType = "purchase")
+      .orderBy("user_id")
+
+  /** X177 — price elasticity (X137): per-part log-log slope of daily
+    * volume on daily unit price. */
+  def x177(s: SparkSession, dir: String): DataFrame =
+    Retail.priceElasticity(Tables.lineitem(s, dir), "l_partkey",
+        "l_shipdate", "l_extendedprice", "l_quantity")
+      .orderBy("l_partkey")
+
+  /** X178 — longest zero-run stockout scan (X138) over each user's
+    * densified daily demand. */
+  def x178(s: SparkSession, dir: String): DataFrame =
+    Forecast.longestZeroRun(dailyDemand(s, dir), "user_id", "day",
+        "demand")
+      .orderBy("user_id")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -2265,5 +2286,8 @@ object Queries {
     "x172_zipf_fit" -> (x172 _),
     "x173_ols_trend_weekend" -> (x173 _),
     "x174_entropy_rate" -> (x174 _),
-    "x175_info_gain" -> (x175 _))
+    "x175_info_gain" -> (x175 _),
+    "x176_time_to_convert" -> (x176 _),
+    "x177_price_elasticity" -> (x177 _),
+    "x178_zero_runs" -> (x178 _))
 }

@@ -253,6 +253,22 @@ class ForecastSpec extends SparkSpec {
     assert(out == Seq((1L, d("2024-01-10"), 1.0, 5.0, 8.9443)), s"got $out")
   }
 
+  test("longestZeroRun: gaps densify as zeros, runs merge across explicit and implicit zeros") {
+    import spark.implicits._
+    // key 1: obs on d1 (5), d2 (0), d6 (3): days 3-5 are gap zeros,
+    // so the zero run is d2..d5 = 4 days; key 2 never zero
+    val in = daily(
+      (1L, "2024-01-01", 5.0), (1L, "2024-01-02", 0.0),
+      (1L, "2024-01-06", 3.0),
+      (2L, "2024-01-01", 1.0), (2L, "2024-01-02", 2.0))
+    val got = Forecast.longestZeroRun(in, "user_id", "day", "demand")
+      .orderBy("user_id")
+      .as[(Long, Long, Long, Long, Option[Date])].collect().toSeq
+    assert(got == Seq(
+      (1L, 6L, 4L, 4L, Some(d("2024-01-02"))),
+      (2L, 2L, 0L, 0L, None)), s"got $got")
+  }
+
   test("olsTrendWeekend: an exact linear+weekend model is recovered; no-weekend key is singular") {
     import spark.implicits._
     // 2024-01-01 is a Monday; y = 2 + 0.5*day + 3*weekend over 14 days

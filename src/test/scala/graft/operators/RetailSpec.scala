@@ -105,6 +105,27 @@ class RetailSpec extends SparkSpec {
       ("2024-02", 0L, 1L, 1L, 80.0, 80.0)), s"got $got")
   }
 
+  test("priceElasticity: an exact constant-elasticity curve recovers its own exponent") {
+    // q = 1000 / price^2 at unit prices 1, 2, 4 (revenue = q*price):
+    // elasticity must come back exactly -2; a constant-price item is
+    // singular and nulls out
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    val rows = Seq((1.0, 1000.0), (2.0, 250.0), (4.0, 62.5)).zipWithIndex
+      .map { case ((p, q), i) => (10L, ts(i + 1), p * q, q) } ++
+      Seq((20L, ts(1), 50.0, 5.0), (20L, ts(2), 100.0, 10.0),
+        (20L, ts(3), 70.0, 7.0)) // unit price always 10 -> no variation
+    val df = rows.toDF("item", "sdate", "revenue", "qty")
+    val got = Retail.priceElasticity(df, "item", "sdate", "revenue",
+        "qty")
+      .orderBy("item")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+      .toSeq
+    assert(got == Seq((10L, 3L, Some(-2.0)), (20L, 3L, None)),
+      s"got $got")
+  }
+
   test("itemCosine: hand-computed cosine, minCount floor, deterministic topK") {
     // baskets: {A,B} {A,B} {A,C}: n_A=3 n_B=2 n_C=1;
     // (A,B) n=2 cos = 2/sqrt(6); (A,C) n=1 drops below minCount=2

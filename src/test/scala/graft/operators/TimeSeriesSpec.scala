@@ -302,6 +302,25 @@ class TimeSeriesSpec extends SparkSpec {
       math.abs(h1.getDouble(2) - expected) < 2e-6, s"got $h1 want $expected")
   }
 
+  test("timeToConvert: first-from to first-at-or-after-to; non-converters null; pre-from ignored") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      // u1: purchase BEFORE signup must not count; next one does (2h)
+      (1L, ts("2024-01-01 08:00:00"), "purchase"),
+      (1L, ts("2024-01-01 10:00:00"), "signup"),
+      (1L, ts("2024-01-01 12:00:00"), "purchase"),
+      // u2: signup only -> null latency
+      (2L, ts("2024-01-01 09:00:00"), "signup"),
+      // u3: no signup -> absent entirely
+      (3L, ts("2024-01-01 09:00:00"), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val got = TimeSeries.timeToConvert(df, "user_id", "ts",
+        "event_type", "signup", "purchase")
+      .orderBy("user_id")
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(got == Seq((1L, Some(7200L)), (2L, None)), s"got $got")
+  }
+
   test("nelsonAalen: hand d/n increments accumulate; censored tail adds nothing") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s + " 12:00:00")
     // u1: dur 0, churned; u2: dur 2, churned; u3: dur 9, last event at
