@@ -442,6 +442,93 @@ object TimeSeries {
         col("survival"))
   }
 
+  /** X139 — growth accounting: per week, the WAU decomposition into
+    * `new` (first-ever week), `retained` (also active the prior
+    * week), `resurrected` (returning after a gap), and `churned`
+    * (active the PRIOR week, absent this week — attributed to the
+    * week they failed to show). The standard product-growth ledger:
+    * `wau(w) = wau(w−1) + new + resurrected − churned` holds by
+    * construction.
+    *
+    * Everything is distinct-user counting on (user, week) keys —
+    * exact integers end to end, two self-joins of user-week
+    * cardinality (the weekly activity table, never raw events). Weeks
+    * with zero actives but nonzero churn still appear (the outer
+    * union with the churn side — a silent drop there would hide a
+    * total collapse, the one week you most need to see).
+    */
+  def growthAccounting(df: DataFrame, userCol: String, tsCol: String)
+    : DataFrame = {
+    val wk = to_date(date_trunc("WEEK", col(tsCol)))
+    val act = df.select(col(userCol).as("__u"), wk.as("__w")).distinct()
+    val first = act.groupBy(col("__u")).agg(min(col("__w")).as("__w0"))
+    val prev = act.select(col("__u"), date_add(col("__w"), 7).as("__w"))
+    val classified = act
+      .join(first, Seq("__u"))
+      .join(prev.withColumn("__had_prev", lit(1)).distinct(),
+        Seq("__u", "__w"), "left")
+      .groupBy(col("__w"))
+      .agg(
+        sum(when(col("__w") === col("__w0"), 1L).otherwise(0L))
+          .as("n_new"),
+        sum(when(col("__w") =!= col("__w0")
+          && col("__had_prev").isNotNull, 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("__w") =!= col("__w0")
+          && col("__had_prev").isNull, 1L).otherwise(0L))
+          .as("n_resurrected"),
+        count(lit(1)).as("wau"))
+    val churned = prev
+      .join(act, Seq("__u", "__w"), "left_anti")
+      .groupBy(col("__w")).agg(count(lit(1)).as("n_churned"))
+    classified.join(churned, Seq("__w"), "full_outer")
+      .select(col("__w").as("week"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"),
+        coalesce(col("wau"), lit(0L)).as("wau"))
+  }
+
+  /** X140 — sequence anomaly score: each user's event chain scored by
+    * its mean negative log-likelihood under the GLOBAL empirical
+    * transition matrix — the behavioral complement of
+    * [[markovEntropyRate]]'s corpus-level number (bots replaying the
+    * one common loop score LOW, broken or adversarial flows score
+    * HIGH). The event-sequence analog of the x112 bigram-LM text
+    * scorer.
+    *
+    * One lead window per user builds the transitions; the global
+    * matrix is a type²-cardinality aggregate broadcast back; each
+    * `−ln(n_ij/n_i·)` term casts to DECIMAL(18,10) and sums exactly
+    * per user. Users with no transitions have no row.
+    */
+  def sequenceLikelihood(df: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String,
+      roundDigits: Int = 6): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val trans = df
+      .withColumn("__to", lead(col(typeCol), 1).over(w))
+      .filter(col("__to").isNotNull)
+      .select(col(userCol).as("__u"), col(typeCol).as("__from"),
+        col("__to"))
+    val matrix = trans.groupBy(col("__from"), col("__to"))
+      .agg(count(lit(1)).as("__n"))
+    val fromTot = matrix.groupBy(col("__from")).agg(sum(col("__n")).as("__nf"))
+    val dec = org.apache.spark.sql.types.DecimalType(18, 10)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val term = (-log(col("__n") / col("__nf").cast("double"))).cast(dec)
+    trans
+      .join(broadcast(matrix), Seq("__from", "__to"))
+      .join(broadcast(fromTot), Seq("__from"))
+      .groupBy(col("__u"))
+      .agg(count(lit(1)).as("n_transitions"),
+        round((sum(term).cast("double") / count(lit(1))).cast(stable),
+          roundDigits).cast("double").as("avg_nll"))
+      .select(col("__u").as(userCol), col("n_transitions"),
+        col("avg_nll"))
+  }
+
   /** X136 — time-to-convert: per user, the latency from the FIRST
     * `fromType` event to the first `toType` event at-or-after it —
     * the funnel-latency distribution ("how long from signup to first

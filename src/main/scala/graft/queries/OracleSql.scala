@@ -2597,6 +2597,53 @@ object OracleSql {
         |  CAST(max_rhs_per_lhs AS BIGINT) AS max_rhs_per_lhs
         |FROM u ORDER BY lhs, rhs""".stripMargin,
 
+    // Growth accounting: distinct (user, week) self-joins, exact
+    // integer counts; churn-only weeks survive the full outer join.
+    "x179_growth_accounting" ->
+      """WITH act AS (SELECT DISTINCT user_id AS u,
+        |  CAST(date_trunc('week', ts) AS DATE) AS w FROM events),
+        |fst AS (SELECT u, MIN(w) AS w0 FROM act GROUP BY 1),
+        |prv AS (SELECT u, w + 7 AS w FROM act),
+        |cls AS (SELECT a.w,
+        |  SUM(CASE WHEN a.w = fst.w0 THEN 1 ELSE 0 END) AS n_new,
+        |  SUM(CASE WHEN a.w <> fst.w0 AND p.u IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS n_retained,
+        |  SUM(CASE WHEN a.w <> fst.w0 AND p.u IS NULL
+        |    THEN 1 ELSE 0 END) AS n_resurrected,
+        |  COUNT(*) AS wau
+        |  FROM act a JOIN fst ON a.u = fst.u
+        |  LEFT JOIN (SELECT DISTINCT u, w FROM prv) p
+        |    ON a.u = p.u AND a.w = p.w
+        |  GROUP BY a.w),
+        |chn AS (SELECT p.w, COUNT(*) AS n_churned FROM prv p
+        |  LEFT JOIN act ON p.u = act.u AND p.w = act.w
+        |  WHERE act.u IS NULL GROUP BY 1)
+        |SELECT COALESCE(cls.w, chn.w) AS week,
+        |  CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+        |  CAST(COALESCE(n_retained, 0) AS BIGINT) AS n_retained,
+        |  CAST(COALESCE(n_resurrected, 0) AS BIGINT) AS n_resurrected,
+        |  CAST(COALESCE(n_churned, 0) AS BIGINT) AS n_churned,
+        |  CAST(COALESCE(wau, 0) AS BIGINT) AS wau
+        |FROM cls FULL OUTER JOIN chn ON cls.w = chn.w
+        |ORDER BY week""".stripMargin,
+
+    // Sequence likelihood: per-user mean of −ln(n_ij/n_i·) terms,
+    // each cast DECIMAL(18,10) and summed exactly.
+    "x180_sequence_likelihood" ->
+      """WITH tr AS (SELECT user_id AS u, event_type AS f,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS t FROM events),
+        |tr2 AS (SELECT u, f, t FROM tr WHERE t IS NOT NULL),
+        |mx AS (SELECT f, t, COUNT(*) AS n FROM tr2 GROUP BY 1, 2),
+        |ft AS (SELECT f, SUM(n) AS nf FROM mx GROUP BY 1)
+        |SELECT u AS user_id, COUNT(*) AS n_transitions,
+        |  CAST(ROUND(CAST(
+        |    CAST(SUM(CAST((-(ln(n / CAST(nf AS DOUBLE))))
+        |      AS DECIMAL(18,10))) AS DOUBLE) / COUNT(*)
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS avg_nll
+        |FROM tr2 JOIN mx USING (f, t) JOIN ft USING (f)
+        |GROUP BY u ORDER BY user_id""".stripMargin,
+
     // Time-to-convert: two conditional per-user aggregates; integer
     // floor division to seconds on both engines.
     "x176_time_to_convert" ->

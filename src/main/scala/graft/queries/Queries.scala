@@ -2098,6 +2098,19 @@ object Queries {
         "demand")
       .orderBy("user_id")
 
+  /** X179 — growth accounting (X139): weekly WAU ledger over the
+    * event stream (new/retained/resurrected/churned). */
+  def x179(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.growthAccounting(Tables.events(s, dir), "user_id", "ts")
+      .orderBy("week")
+
+  /** X180 — sequence anomaly score (X140): per-user mean NLL under
+    * the global transition matrix. */
+  def x180(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.sequenceLikelihood(Tables.events(s, dir), "user_id",
+        "ts", "event_id", "event_type")
+      .orderBy("user_id")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -2289,5 +2302,7 @@ object Queries {
     "x175_info_gain" -> (x175 _),
     "x176_time_to_convert" -> (x176 _),
     "x177_price_elasticity" -> (x177 _),
-    "x178_zero_runs" -> (x178 _))
+    "x178_zero_runs" -> (x178 _),
+    "x179_growth_accounting" -> (x179 _),
+    "x180_sequence_likelihood" -> (x180 _))
 }

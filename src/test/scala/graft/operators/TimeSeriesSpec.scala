@@ -302,6 +302,62 @@ class TimeSeriesSpec extends SparkSpec {
       math.abs(h1.getDouble(2) - expected) < 2e-6, s"got $h1 want $expected")
   }
 
+  test("growthAccounting: ledger identity holds; churn-only weeks still appear") {
+    import java.sql.Date
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 10:00:00")
+    // weeks W1 = 2024-01-01, W2 = -08, W3 = -15 (Mondays)
+    // u1 active W1, W2; u2 active W1 only; u3 active W2, skips... all
+    // inactive W3 -> W3 is a churn-only week and must appear
+    val df = Seq(
+      (1L, ts("2024-01-01")), (1L, ts("2024-01-09")),
+      (2L, ts("2024-01-02")),
+      (3L, ts("2024-01-10")))
+      .toDF("user_id", "ts")
+    val got = TimeSeries.growthAccounting(df, "user_id", "ts")
+      .orderBy("week")
+      .as[(Date, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      // W1: u1, u2 new
+      (Date.valueOf("2024-01-01"), 2L, 0L, 0L, 0L, 2L),
+      // W2: u1 retained, u3 new, u2 churned
+      (Date.valueOf("2024-01-08"), 1L, 1L, 0L, 1L, 2L),
+      // W3: nobody active; u1 and u3 churn -> the zero-WAU row
+      (Date.valueOf("2024-01-15"), 0L, 0L, 0L, 2L, 0L)), s"got $got")
+    // resurrection: active W1, gap W2, back W3
+    val res = Seq((9L, ts("2024-01-01")), (9L, ts("2024-01-16")))
+      .toDF("user_id", "ts")
+    val g2 = TimeSeries.growthAccounting(res, "user_id", "ts")
+      .orderBy("week")
+      .as[(Date, Long, Long, Long, Long, Long)].collect().toSeq
+    // the trailing week after the last activity is a churn row too —
+    // the corpus-edge attribution a production caller clips by date
+    assert(g2.map(r => (r._2, r._3, r._4, r._5)) ==
+      Seq((1L, 0L, 0L, 0L), (0L, 0L, 0L, 1L), (0L, 0L, 1L, 0L),
+        (0L, 0L, 0L, 1L)),
+      s"got $g2")
+  }
+
+  test("sequenceLikelihood: the common loop scores low, the rare hop scores high") {
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:${i}%02d:00")
+    // global transitions: a->b x3, a->c x1. P(b|a)=3/4, P(c|a)=1/4.
+    // u1..u3 do a->b (nll = -ln 3/4); u4 does a->c (nll = -ln 1/4)
+    val df = (1L to 3L).flatMap(u => Seq((u, u * 10, ts(u.toInt), "a"),
+      (u, u * 10 + 1, ts(u.toInt + 10), "b"))) ++
+      Seq((4L, 40L, ts(1), "a"), (4L, 41L, ts(2), "c"))
+    val got = TimeSeries.sequenceLikelihood(
+        df.toDF("user_id", "event_id", "ts", "event_type"),
+        "user_id", "ts", "event_id", "event_type")
+      .orderBy("user_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val low = r6(-math.log(3.0 / 4)); val high = r6(-math.log(1.0 / 4))
+    assert(got == Seq((1L, 1L, low), (2L, 1L, low), (3L, 1L, low),
+      (4L, 1L, high)), s"got $got")
+    assert(high > low)
+  }
+
   test("timeToConvert: first-from to first-at-or-after-to; non-converters null; pre-from ignored") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val df = Seq(
