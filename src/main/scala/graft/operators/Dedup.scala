@@ -1406,4 +1406,27 @@ object Dedup {
       case _ => ()
     }
   }
+
+  /** X141 — cross-source duplication matrix: for every source pair,
+    * how many distinct document texts they SHARE — the provenance
+    * audit behind a dedup decision ("mirror sites", "syndication
+    * rings", "which crawl seeded which"). Per-source duplicate RATES
+    * say something is copied; this says from where.
+    *
+    * Shape: one digest projection (`sha2`, the exact-dedup kernel) →
+    * distinct (digest, source) → a self-join on the digest whose
+    * output is bounded by Σ C(sources-per-digest, 2) — sources per
+    * digest, never corpus size — → one count-distinct per pair.
+    */
+  def crossSourceDuplication(
+      docs: DataFrame,
+      textCol: String,
+      sourceCol: String): DataFrame = {
+    val ds = docs.select(sha2(col(textCol), 256).as("__dig"),
+      col(sourceCol).cast("string").as("__s")).distinct()
+    ds.as("a").join(ds.as("b"),
+        col("a.__dig") === col("b.__dig") && col("a.__s") < col("b.__s"))
+      .groupBy(col("a.__s").as("source_a"), col("b.__s").as("source_b"))
+      .agg(countDistinct(col("a.__dig")).as("n_shared_texts"))
+  }
 }

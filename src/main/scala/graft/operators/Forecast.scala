@@ -550,6 +550,64 @@ object Forecast {
       round(regr_r2(y, x), 6).as("r2"))
   }
 
+  /** X142 — hierarchical forecast reconciliation, top-down vs
+    * bottom-up: for a 7-day horizon past the corpus max date, the
+    * BOTTOM-UP forecast is each series' seasonal-naive-7 (last
+    * week's value, zero when absent), and the TOP-DOWN forecast
+    * distributes the AGGREGATE series' seasonal-naive total by each
+    * series' historical share — the M5-native question ("forecast the
+    * store, allocate to items") in its two canonical answers. The
+    * two COHERENTLY sum to different totals exactly when the item mix
+    * is shifting — the gap is the signal.
+    *
+    * Shape: one per-key lookup join on (key, target−7), one 1-row
+    * aggregate-series lookup, one share aggregate broadcast back —
+    * all exact DECIMAL(18,2) sums; shares and the top-down product
+    * stabilize through DECIMAL(18,8).
+    */
+  def reconcileTopDown(
+      df: DataFrame,
+      keyCol: String,
+      dateCol: String,
+      valueCol: String,
+      horizon: Int = 7,
+      roundDigits: Int = 4): DataFrame = {
+    require(horizon >= 1 && horizon <= 7,
+      s"snaive-7 supports horizon 1..7, got $horizon")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val obs = df.select(col(keyCol).as("__k"), col(dateCol).as("__d"),
+      col(valueCol).cast(dec).as("__v"))
+    val gmax = obs.agg(max(col("__d")).as("__dmax"))
+    val keys = obs.select(col("__k")).distinct()
+    val grid = keys.crossJoin(broadcast(gmax))
+      .select(col("__k"), col("__dmax"),
+        explode(sequence(lit(1), lit(horizon))).as("h_day"))
+      .select(col("__k"), col("h_day"),
+        date_add(col("__dmax"), col("h_day")).as("__target"),
+        date_add(col("__dmax"), col("h_day") - 7).as("__lag7"))
+    val bottom = grid.join(
+      obs.select(col("__k"), col("__d").as("__lag7"),
+        col("__v").as("__bv")),
+      Seq("__k", "__lag7"), "left")
+    val aggDay = obs.groupBy(col("__d")).agg(sum(col("__v")).as("__tot"))
+    val totalFc = bottom
+      .join(aggDay.select(col("__d").as("__lag7"),
+        col("__tot")), Seq("__lag7"), "left")
+    val shares = obs.groupBy(col("__k")).agg(sum(col("__v")).as("__ks"))
+      .crossJoin(broadcast(obs.agg(sum(col("__v")).as("__gs"))))
+      .select(col("__k"),
+        round((col("__ks").cast("double") / col("__gs").cast("double"))
+          .cast(stable), 8).as("__share"))
+    totalFc.join(broadcast(shares), Seq("__k"))
+      .select(col("__k").as(keyCol), col("h_day").cast("bigint").as("h_day"),
+        round(coalesce(col("__bv").cast("double"), lit(0.0d)), 2)
+          .as("bottom_up"),
+        round((coalesce(col("__tot").cast("double"), lit(0.0d))
+          * col("__share").cast("double")).cast(stable), roundDigits)
+          .cast("double").as("top_down"))
+  }
+
   /** X138 — longest zero-run per series over the DENSIFIED daily
     * grid: the stockout/blackout detector ("this SKU showed zero
     * demand for 23 straight days — that is unavailability, not

@@ -2597,6 +2597,47 @@ object OracleSql {
         |  CAST(max_rhs_per_lhs AS BIGINT) AS max_rhs_per_lhs
         |FROM u ORDER BY lhs, rhs""".stripMargin,
 
+    // Cross-source duplication: sha256 digests, pair join bounded by
+    // sources-per-digest; exact integer counts.
+    "x181_cross_source_dups" ->
+      """WITH ds AS (SELECT DISTINCT sha256(text) AS dig,
+        |  CAST(source AS VARCHAR) AS s FROM documents)
+        |SELECT a.s AS source_a, b.s AS source_b,
+        |  COUNT(DISTINCT a.dig) AS n_shared_texts
+        |FROM ds a JOIN ds b ON a.dig = b.dig AND a.s < b.s
+        |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
+
+    // Top-down vs bottom-up reconciliation: exact decimal history,
+    // shares and the top-down product through DECIMAL(18,8).
+    "x182_reconcile_topdown" ->
+      s"""WITH $dailyCte,
+         |g AS (SELECT MAX(day) AS dmax FROM daily),
+         |ks AS (SELECT DISTINCT user_id FROM daily),
+         |grid AS (SELECT user_id, CAST(h AS BIGINT) AS h_day,
+         |  dmax + CAST(h AS INTEGER) AS target,
+         |  dmax + CAST(h - 7 AS INTEGER) AS lag7
+         |  FROM ks CROSS JOIN g
+         |  CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS h)),
+         |ad AS (SELECT day, SUM(demand) AS tot FROM daily GROUP BY 1),
+         |sh AS (SELECT user_id,
+         |  CAST(ROUND(CAST(CAST(ksum AS DOUBLE) / CAST(gsum AS DOUBLE)
+         |    AS DECIMAL(18,8)), 8) AS DOUBLE) AS share
+         |  FROM (SELECT user_id, SUM(demand) AS ksum FROM daily
+         |    GROUP BY 1)
+         |  CROSS JOIN (SELECT SUM(demand) AS gsum FROM daily))
+         |SELECT grid.user_id, h_day,
+         |  ROUND(COALESCE(CAST(d.demand AS DOUBLE), CAST(0.0 AS DOUBLE)),
+         |    2) AS bottom_up,
+         |  CAST(ROUND(CAST(
+         |    COALESCE(CAST(ad.tot AS DOUBLE), CAST(0.0 AS DOUBLE))
+         |      * share AS DECIMAL(18,8)), 4) AS DOUBLE) AS top_down
+         |FROM grid
+         |LEFT JOIN daily d ON grid.user_id = d.user_id
+         |  AND grid.lag7 = d.day
+         |LEFT JOIN ad ON grid.lag7 = ad.day
+         |JOIN sh ON grid.user_id = sh.user_id
+         |ORDER BY grid.user_id, h_day""".stripMargin,
+
     // Growth accounting: distinct (user, week) self-joins, exact
     // integer counts; churn-only weeks survive the full outer join.
     "x179_growth_accounting" ->

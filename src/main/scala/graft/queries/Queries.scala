@@ -2111,6 +2111,20 @@ object Queries {
         "ts", "event_id", "event_type")
       .orderBy("user_id")
 
+  /** X181 — cross-source duplication matrix (X141): which document
+    * sources share identical texts, counted per source pair. */
+  def x181(s: SparkSession, dir: String): DataFrame =
+    Dedup.crossSourceDuplication(Tables.documents(s, dir), "text",
+        "source")
+      .orderBy("source_a", "source_b")
+
+  /** X182 — forecast reconciliation (X142): bottom-up snaive-7 vs
+    * top-down share allocation for a 7-day horizon of user demand. */
+  def x182(s: SparkSession, dir: String): DataFrame =
+    Forecast.reconcileTopDown(dailyDemand(s, dir), "user_id", "day",
+        "demand")
+      .orderBy("user_id", "h_day")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -2304,5 +2318,7 @@ object Queries {
     "x177_price_elasticity" -> (x177 _),
     "x178_zero_runs" -> (x178 _),
     "x179_growth_accounting" -> (x179 _),
-    "x180_sequence_likelihood" -> (x180 _))
+    "x180_sequence_likelihood" -> (x180 _),
+    "x181_cross_source_dups" -> (x181 _),
+    "x182_reconcile_topdown" -> (x182 _))
 }

@@ -95,6 +95,23 @@ class DedupPrefilterSpec extends SparkSpec {
       s"prefilter lost ${(brute -- fast).take(5)} / invented ${(fast -- brute).take(5)}")
   }
 
+  test("crossSourceDuplication: shared texts counted per source pair, singletons absent") {
+    // textA in s1+s2+s3, textB in s1+s2, textC in s1 only:
+    // (s1,s2)=2, (s1,s3)=1, (s2,s3)=1; textC creates no pair
+    val docs = Seq(
+      ("A", "s1"), ("A", "s2"), ("A", "s3"),
+      ("B", "s1"), ("B", "s2"),
+      ("C", "s1"),
+      // duplicate rows within one source must not inflate counts
+      ("A", "s1"))
+      .toDF("text", "source")
+    val got = Dedup.crossSourceDuplication(docs, "text", "source")
+      .orderBy("source_a", "source_b")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("s1", "s2", 2L), ("s1", "s3", 1L),
+      ("s2", "s3", 1L)), s"got $got")
+  }
+
   /** Textbook DP reference implementation for the property test. */
   private def levenshteinRef(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>

@@ -253,6 +253,26 @@ class ForecastSpec extends SparkSpec {
     assert(out == Seq((1L, d("2024-01-10"), 1.0, 5.0, 8.9443)), s"got $out")
   }
 
+  test("reconcileTopDown: bottom-up reads last week, top-down allocates the aggregate by share") {
+    import spark.implicits._
+    // equal historical shares but a flipped final-week mix: bottom-up
+    // keeps the flip (30/10), top-down splits the 40 total 20/20
+    val in = daily(
+      (1L, "2024-01-01", 10.0), (1L, "2024-01-08", 30.0),
+      (2L, "2024-01-01", 30.0), (2L, "2024-01-08", 10.0))
+    val got = Forecast.reconcileTopDown(in, "user_id", "day", "demand")
+      .filter(col("h_day") === 7)
+      .orderBy("user_id")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq((1L, 7L, 30.0, 20.0), (2L, 7L, 10.0, 20.0)),
+      s"got $got")
+    // horizon days with no lag-7 observation forecast zero both ways
+    val h1 = Forecast.reconcileTopDown(in, "user_id", "day", "demand")
+      .filter(col("h_day") === 1)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(h1.forall(r => r._3 == 0.0 && r._4 == 0.0), s"got $h1")
+  }
+
   test("longestZeroRun: gaps densify as zeros, runs merge across explicit and implicit zeros") {
     import spark.implicits._
     // key 1: obs on d1 (5), d2 (0), d6 (3): days 3-5 are gap zeros,
