@@ -1407,6 +1407,44 @@ object Dedup {
     }
   }
 
+  /** X143 — MinHash sketch calibration: for every LSH candidate pair,
+    * the sketch's Jaccard ESTIMATE (fraction of agreeing signature
+    * components — the estimator whose expectation IS the Jaccard)
+    * against the EXACT shingle-set Jaccard, with the absolute error —
+    * the audit that tells you whether `numHashes` is adequate for the
+    * corpus before you trust the near-dup pipeline built on it
+    * (measured MAE ≈ the theoretical √(J(1−J)/k)).
+    *
+    * Reuses the production kernels end to end: the same shingle
+    * hasher, permuted signatures, band candidates, and sorted-merge
+    * exact verify — so the calibration measures the DEPLOYED sketch,
+    * not a reimplementation. Estimate `agree/k` is an exact dyadic
+    * rational; the error compares two identically-rounded doubles.
+    */
+  def minhashCalibration(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4,
+      roundDigits: Int = 4): DataFrame = {
+    val sh = shingleHashes(df, idCol, textCol, shingleSize)
+    val sig = minhashSignatures(sh, numHashes)
+    val pairs = lshCandidatePairs(lshBandKeys(sig, numHashes, rowsPerBand))
+    val sigA = sig.toDF("a" +: (0 until numHashes).map(j => s"sa_$j"): _*)
+    val sigB = sig.toDF("b" +: (0 until numHashes).map(j => s"sb_$j"): _*)
+    val agree = (0 until numHashes)
+      .map(j => (col(s"sa_$j") === col(s"sb_$j")).cast("long"))
+      .reduce(_ + _)
+    val withEst = pairs.join(sigA, "a").join(sigB, "b")
+      .select(col("a"), col("b"),
+        round(agree.cast("double") / numHashes, roundDigits)
+          .as("est_jaccard"))
+    val exact = jaccard(sh, pairs, roundDigits)
+    withEst.join(exact, Seq("a", "b"))
+      .select(col("a"), col("b"), col("est_jaccard"),
+        col("jac").as("exact_jaccard"),
+        round(abs(col("est_jaccard") - col("jac")), roundDigits)
+          .as("abs_err"))
+  }
+
   /** X141 — cross-source duplication matrix: for every source pair,
     * how many distinct document texts they SHARE — the provenance
     * audit behind a dedup decision ("mirror sites", "syndication

@@ -2597,6 +2597,39 @@ object OracleSql {
         |  CAST(max_rhs_per_lhs AS BIGINT) AS max_rhs_per_lhs
         |FROM u ORDER BY lhs, rhs""".stripMargin,
 
+    // MinHash calibration: the x41 shingle/signature/band CTEs verbatim
+    // (the deployed sketch, not a reimplementation); estimate = exact
+    // dyadic agree/16, exact Jaccard via the posting intersection.
+    "x183_minhash_calibration" ->
+      s"""WITH ${shingleCte(3)},
+         |$minhashBandsCtes,
+         |pairs AS (
+         |  SELECT DISTINCT x.doc AS a, y.doc AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc < y.doc),
+         |agr AS (SELECT p.a, p.b,
+         |  SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS ag
+         |  FROM pairs p JOIN sig sa ON sa.doc = p.a
+         |  JOIN sig sb ON sb.doc = p.b AND sa.j = sb.j
+         |  GROUP BY 1, 2),
+         |est AS (SELECT a, b, ROUND(CAST(ag AS DOUBLE) / 16, 4)
+         |  AS est_jaccard FROM agr),
+         |sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+         |inter AS (SELECT x.doc AS a, y.doc AS b, COUNT(*) AS i
+         |  FROM sh x JOIN sh y ON x.h = y.h AND x.doc < y.doc
+         |  GROUP BY 1, 2),
+         |ex AS (SELECT p.a, p.b,
+         |  ROUND(COALESCE(i.i, 0)::DOUBLE
+         |    / (sa.sz + sb.sz - COALESCE(i.i, 0))::DOUBLE, 4)
+         |    AS exact_jaccard
+         |  FROM pairs p
+         |  LEFT JOIN inter i ON p.a = i.a AND p.b = i.b
+         |  JOIN sizes sa ON sa.doc = p.a JOIN sizes sb ON sb.doc = p.b)
+         |SELECT est.a AS a, est.b AS b, est_jaccard, exact_jaccard,
+         |  ROUND(abs(est_jaccard - exact_jaccard), 4) AS abs_err
+         |FROM est JOIN ex ON est.a = ex.a AND est.b = ex.b
+         |ORDER BY est.a, est.b""".stripMargin,
+
     // Cross-source duplication: sha256 digests, pair join bounded by
     // sources-per-digest; exact integer counts.
     "x181_cross_source_dups" ->

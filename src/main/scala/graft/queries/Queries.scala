@@ -2125,6 +2125,12 @@ object Queries {
         "demand")
       .orderBy("user_id", "h_day")
 
+  /** X183 — MinHash sketch calibration (X143): estimated vs exact
+    * Jaccard over the deployed 16-hash sketch's candidate pairs. */
+  def x183(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCalibration(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("a", "b")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -2320,5 +2326,6 @@ object Queries {
     "x179_growth_accounting" -> (x179 _),
     "x180_sequence_likelihood" -> (x180 _),
     "x181_cross_source_dups" -> (x181 _),
-    "x182_reconcile_topdown" -> (x182 _))
+    "x182_reconcile_topdown" -> (x182 _),
+    "x183_minhash_calibration" -> (x183 _))
 }

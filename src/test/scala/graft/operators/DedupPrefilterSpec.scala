@@ -112,6 +112,23 @@ class DedupPrefilterSpec extends SparkSpec {
       ("s2", "s3", 1L)), s"got $got")
   }
 
+  test("minhashCalibration: identical docs estimate 1.0 exactly with zero error") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "a completely different sentence about spark engines here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashCalibration(docs, "doc_id", "text")
+      .orderBy("a", "b")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    // identical docs collide in every band and agree on all 16 mins
+    assert(got.exists(r => r._1 == 1L && r._2 == 2L &&
+      r._3 == 1.0 && r._4 == 1.0 && r._5 == 0.0), s"got $got")
+    // every estimate is a multiple of 1/16 and errors are |est-exact|
+    assert(got.forall(r => (r._3 * 16).round.toDouble == r._3 * 16),
+      s"estimates must be dyadic sixteenths: $got")
+  }
+
   /** Textbook DP reference implementation for the property test. */
   private def levenshteinRef(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
