@@ -1445,6 +1445,36 @@ object Dedup {
           .as("abs_err"))
   }
 
+  /** X145 — near-dup threshold operating curve: for the LSH candidate
+    * pairs, how many survive each Jaccard threshold band — the
+    * "where do I set the knob" report (cumulative pairs ≥ t for t in
+    * 0.1 steps), computed from ONE banding + ONE exact-verify pass
+    * instead of re-running the pipeline per candidate threshold.
+    * Candidate recall below the banding's own operating point decays
+    * (bands are TUNED for a threshold) — the report shows the curve
+    * the deployed sketch actually sees, which is the decision input.
+    */
+  def nearDupThresholdCurve(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4)
+    : DataFrame = {
+    val sh = shingleHashes(df, idCol, textCol, shingleSize)
+    val sig = minhashSignatures(sh, numHashes)
+    val pairs = lshCandidatePairs(lshBandKeys(sig, numHashes, rowsPerBand))
+    val verified = jaccard(sh, pairs)
+    val band = least(floor(col("jac") * 10), lit(9L)).cast("long")
+    val perBand = verified.groupBy(band.as("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__b").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    perBand
+      .select((col("__b").cast("double") / 10).as("threshold"),
+        col("__n").as("n_in_band"),
+        sum(col("__n")).over(w).as("n_at_or_above"))
+  }
+
   /** X141 — cross-source duplication matrix: for every source pair,
     * how many distinct document texts they SHARE — the provenance
     * audit behind a dedup decision ("mirror sites", "syndication

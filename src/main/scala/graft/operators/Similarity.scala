@@ -638,6 +638,50 @@ object Similarity {
       .toDF("pos", "loading")
   }
 
+  /** X144 — embedding-geometry health: mean vector norm, the norm of
+    * the mean vector, and the anisotropy ratio `‖μ‖²/E[‖x‖²]` — the
+    * expected cosine between two random vectors. An isotropic,
+    * well-spread embedding space scores ≈ 0; a collapsed ("cone")
+    * space scores near 1 and silently breaks every cosine-threshold
+    * dedup/ANN knob downstream. The one-row check to run BEFORE
+    * trusting a new embedding model in the curation stack.
+    *
+    * One posexplode aggregate (Σx_j and Σx_j² per dimension in exact
+    * DECIMAL) + one dims-sized reduction — data touched once.
+    * `E[x]·E[x]` and the norms assemble from exact decimal sums in a
+    * fixed per-dimension order (list-kernel association), stabilized
+    * through DECIMAL(18,8).
+    */
+  def embeddingStats(emb: DataFrame, idCol: String, vecCol: String,
+      roundDigits: Int = 6): DataFrame = {
+    val e = emb.select(col(idCol).cast("long").as("vec_id"),
+      Vectors.toDouble(col(vecCol)).as("v"))
+    val dec = org.apache.spark.sql.types.DecimalType(28, 8)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val perDim = e.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(sum(col("x").cast(dec)).as("__sx"),
+        sum((col("x") * col("x")).cast(dec)).as("__sxx"),
+        count(lit(1)).as("__n"))
+    // μ_j = Σx/n (double on exact operands); Σ_j μ_j² in exact decimal
+    // of identically-computed doubles; E‖x‖² = Σ_j Σx²_j / n
+    val muSq = (col("__sx").cast("double") / col("__n")) *
+      (col("__sx").cast("double") / col("__n"))
+    val agg = perDim.agg(
+      sum(muSq.cast(dec)).as("__mu2"),
+      sum(col("__sxx")).as("__exx"),
+      first(col("__n")).as("__n"))
+    agg.select(
+      col("__n").as("n_vectors"),
+      round(sqrt(col("__exx").cast("double") / col("__n"))
+        .cast(stable), roundDigits).cast("double").as("rms_norm"),
+      round(sqrt(col("__mu2").cast("double")).cast(stable), roundDigits)
+        .cast("double").as("mean_vector_norm"),
+      round((col("__mu2").cast("double")
+        / (col("__exx").cast("double") / col("__n"))).cast(stable),
+        roundDigits).cast("double").as("anisotropy"))
+  }
+
   /** Argmin over the k centroid literals for the row's `v` column:
     * struct(dist², cidx) through `array_min` — lexicographic struct
     * ordering breaks exact-dist ties toward the lowest cluster index.

@@ -2597,6 +2597,57 @@ object OracleSql {
         |  CAST(max_rhs_per_lhs AS BIGINT) AS max_rhs_per_lhs
         |FROM u ORDER BY lhs, rhs""".stripMargin,
 
+    // Embedding-geometry health: per-dimension decimal sums, fixed
+    // per-dimension reduction order, DECIMAL(18,8) stabilize.
+    "x184_embedding_stats" ->
+      s"""WITH $embCte,
+         |pd AS (SELECT pos,
+         |  SUM(CAST(x AS DECIMAL(28,8))) AS sx,
+         |  SUM(CAST(x * x AS DECIMAL(28,8))) AS sxx,
+         |  COUNT(*) AS n
+         |  FROM (SELECT generate_subscripts(v, 1) AS pos, unnest(v) AS x
+         |    FROM e) GROUP BY pos),
+         |ag AS (SELECT
+         |  SUM(CAST((CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)
+         |    AS DECIMAL(28,8))) AS mu2,
+         |  SUM(sxx) AS exx, MIN(n) AS n FROM pd)
+         |SELECT CAST(n AS BIGINT) AS n_vectors,
+         |  CAST(ROUND(CAST(sqrt(CAST(exx AS DOUBLE) / n)
+         |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS rms_norm,
+         |  CAST(ROUND(CAST(sqrt(CAST(mu2 AS DOUBLE))
+         |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS mean_vector_norm,
+         |  CAST(ROUND(CAST(CAST(mu2 AS DOUBLE)
+         |    / (CAST(exx AS DOUBLE) / n) AS DECIMAL(18,8)), 6)
+         |    AS DOUBLE) AS anisotropy
+         |FROM ag""".stripMargin,
+
+    // Threshold operating curve: one banding + one exact verify, then
+    // 0.1-wide bands with a descending cumulative window (10 rows).
+    "x185_neardup_threshold_curve" ->
+      s"""WITH ${shingleCte(3)},
+         |$minhashBandsCtes,
+         |pairs AS (
+         |  SELECT DISTINCT x.doc AS a, y.doc AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc < y.doc),
+         |sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+         |inter AS (SELECT x.doc AS a, y.doc AS b, COUNT(*) AS i
+         |  FROM sh x JOIN sh y ON x.h = y.h AND x.doc < y.doc
+         |  GROUP BY 1, 2),
+         |jv AS (SELECT p.a, p.b,
+         |  ROUND(COALESCE(i.i, 0)::DOUBLE
+         |    / (sa.sz + sb.sz - COALESCE(i.i, 0))::DOUBLE, 4) AS jac
+         |  FROM pairs p
+         |  LEFT JOIN inter i ON p.a = i.a AND p.b = i.b
+         |  JOIN sizes sa ON sa.doc = p.a JOIN sizes sb ON sb.doc = p.b),
+         |pb AS (SELECT LEAST(CAST(floor(jac * 10) AS BIGINT), 9) AS b,
+         |  COUNT(*) AS n FROM jv GROUP BY 1)
+         |SELECT CAST(b AS DOUBLE) / 10 AS threshold,
+         |  CAST(n AS BIGINT) AS n_in_band,
+         |  CAST(SUM(n) OVER (ORDER BY b DESC
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_or_above
+         |FROM pb ORDER BY threshold""".stripMargin,
+
     // MinHash calibration: the x41 shingle/signature/band CTEs verbatim
     // (the deployed sketch, not a reimplementation); estimate = exact
     // dyadic agree/16, exact Jaccard via the posting intersection.

@@ -2131,6 +2131,19 @@ object Queries {
     Dedup.minhashCalibration(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("a", "b")
 
+  /** X184 — embedding-geometry health (X144): RMS norm, mean-vector
+    * norm, anisotropy (expected random-pair cosine) — 1-row. */
+  def x184(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingStats(Tables.embeddings(s, dir), "vec_id",
+      "embedding")
+
+  /** X185 — near-dup threshold operating curve (X145): verified-pair
+    * counts per Jaccard band over the deployed sketch's candidates. */
+  def x185(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupThresholdCurve(Tables.documents(s, dir), "doc_id",
+        "text")
+      .orderBy("threshold")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -2327,5 +2340,7 @@ object Queries {
     "x180_sequence_likelihood" -> (x180 _),
     "x181_cross_source_dups" -> (x181 _),
     "x182_reconcile_topdown" -> (x182 _),
-    "x183_minhash_calibration" -> (x183 _))
+    "x183_minhash_calibration" -> (x183 _),
+    "x184_embedding_stats" -> (x184 _),
+    "x185_neardup_threshold_curve" -> (x185 _))
 }

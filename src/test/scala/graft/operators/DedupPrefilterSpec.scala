@@ -129,6 +129,26 @@ class DedupPrefilterSpec extends SparkSpec {
       s"estimates must be dyadic sixteenths: $got")
   }
 
+  test("nearDupThresholdCurve: cumulative counts descend from the top band") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "the quick brown fox jumps over the lazy cat tonight"),
+      (4L, "unrelated words about completely different things entirely"))
+      .toDF("doc_id", "text")
+    val got = Dedup.nearDupThresholdCurve(docs, "doc_id", "text")
+      .orderBy("threshold")
+      .as[(Double, Long, Long)].collect().toSeq
+    // the identical pair lands in the top band (jac 1.0 -> band 0.9,
+    // top-inclusive); cumulative counts are non-increasing upward
+    assert(got.exists(r => r._1 == 0.9 && r._2 >= 1), s"got $got")
+    val cums = got.map(_._3)
+    assert(cums == cums.sorted(Ordering[Long].reverse),
+      s"cumulative must be non-increasing in threshold: $got")
+    assert(got.map(_._2).sum == got.map(_._3).max,
+      "top cumulative must equal total pairs")
+  }
+
   /** Textbook DP reference implementation for the property test. */
   private def levenshteinRef(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>

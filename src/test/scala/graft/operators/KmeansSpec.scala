@@ -120,6 +120,24 @@ class KmeansSpec extends SparkSpec {
     assert(out.filter(col("cluster").isNull || col("dist2") < 0).count() === 0)
   }
 
+  test("embeddingStats: orthogonal basis scores anisotropy 0.5, a collapsed cone scores 1.0") {
+    import spark.implicits._
+    val ortho = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val g1 = Similarity.embeddingStats(ortho, "vec_id", "embedding")
+      .as[(Long, Double, Double, Double)].head()
+    val sqrtHalf = BigDecimal(math.sqrt(0.5))
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(g1 == ((2L, 1.0, sqrtHalf, 0.5)), s"got $g1")
+    // every vector identical: expected random-pair cosine is 1
+    val cone = Seq((1L, Seq(3.0, 4.0)), (2L, Seq(3.0, 4.0)))
+      .toDF("vec_id", "embedding")
+    val g2 = Similarity.embeddingStats(cone, "vec_id", "embedding")
+      .as[(Long, Double, Double, Double)].head()
+    assert(g2 == ((2L, 5.0, 5.0, 1.0)), s"got $g2")
+  }
+
   test("principalComponent: rank-1 data recovers the exact direction; iterating is a fixpoint") {
     import spark.implicits._
     // points t·(0.6, 0.8): centered data is rank-1, so ONE iteration
