@@ -442,6 +442,34 @@ object TimeSeries {
         col("survival"))
   }
 
+  /** X146 — stickiness: per week, average daily actives over the
+    * week's 7 calendar days (inactive days count as zero) divided by
+    * weekly actives — the DAU/WAU engagement ratio (1/7 = everyone
+    * shows once, 1.0 = everyone daily). The intensity complement of
+    * [[growthAccounting]]'s composition ledger.
+    *
+    * Two distinct-count aggregates on (user, day)/(user, week) keys —
+    * exact integers; the one division per week stabilizes through
+    * DECIMAL(18,8).
+    */
+  def stickiness(df: DataFrame, userCol: String, tsCol: String,
+      roundDigits: Int = 4): DataFrame = {
+    val day = to_date(date_trunc("DAY", col(tsCol)))
+    val wk = to_date(date_trunc("WEEK", col(tsCol)))
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val dau = df.select(col(userCol).as("__u"), day.as("__d"), wk.as("__w"))
+      .distinct()
+      .groupBy(col("__w")).agg(count(lit(1)).as("__active_days"))
+    val wau = df.select(col(userCol).as("__u"), wk.as("__w")).distinct()
+      .groupBy(col("__w")).agg(count(lit(1)).as("wau"))
+    wau.join(dau, Seq("__w"))
+      .select(col("__w").as("week"), col("wau"),
+        round((col("__active_days").cast("double") / 7).cast(stable), 4)
+          .cast("double").as("avg_dau"),
+        round((col("__active_days").cast("double") / 7 / col("wau"))
+          .cast(stable), roundDigits).cast("double").as("stickiness"))
+  }
+
   /** X139 — growth accounting: per week, the WAU decomposition into
     * `new` (first-ever week), `retained` (also active the prior
     * week), `resurrected` (returning after a gap), and `churned`

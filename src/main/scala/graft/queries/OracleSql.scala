@@ -2722,6 +2722,26 @@ object OracleSql {
          |JOIN sh ON grid.user_id = sh.user_id
          |ORDER BY grid.user_id, h_day""".stripMargin,
 
+    // Stickiness: exact (user, day)/(user, week) distinct counts,
+    // divisions through DECIMAL(18,8). Mirrors the Spark association
+    // (active_days/7 first, then /wau).
+    "x186_stickiness" ->
+      """WITH dau AS (SELECT w, COUNT(*) AS active_days FROM (
+        |    SELECT DISTINCT user_id,
+        |      CAST(date_trunc('day', ts) AS DATE) AS d,
+        |      CAST(date_trunc('week', ts) AS DATE) AS w FROM events)
+        |  GROUP BY 1),
+        |wau AS (SELECT w, COUNT(*) AS wau FROM (
+        |    SELECT DISTINCT user_id,
+        |      CAST(date_trunc('week', ts) AS DATE) AS w FROM events)
+        |  GROUP BY 1)
+        |SELECT wau.w AS week, CAST(wau.wau AS BIGINT) AS wau,
+        |  CAST(ROUND(CAST(CAST(active_days AS DOUBLE) / 7
+        |    AS DECIMAL(18,8)), 4) AS DOUBLE) AS avg_dau,
+        |  CAST(ROUND(CAST(CAST(active_days AS DOUBLE) / 7 / wau.wau
+        |    AS DECIMAL(18,8)), 4) AS DOUBLE) AS stickiness
+        |FROM wau JOIN dau USING (w) ORDER BY week""".stripMargin,
+
     // Growth accounting: distinct (user, week) self-joins, exact
     // integer counts; churn-only weeks survive the full outer join.
     "x179_growth_accounting" ->

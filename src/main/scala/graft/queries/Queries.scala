@@ -2144,6 +2144,11 @@ object Queries {
         "text")
       .orderBy("threshold")
 
+  /** X186 — stickiness (X146): weekly DAU/WAU engagement ratio. */
+  def x186(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.stickiness(Tables.events(s, dir), "user_id", "ts")
+      .orderBy("week")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -2342,5 +2347,6 @@ object Queries {
     "x182_reconcile_topdown" -> (x182 _),
     "x183_minhash_calibration" -> (x183 _),
     "x184_embedding_stats" -> (x184 _),
-    "x185_neardup_threshold_curve" -> (x185 _))
+    "x185_neardup_threshold_curve" -> (x185 _),
+    "x186_stickiness" -> (x186 _))
 }

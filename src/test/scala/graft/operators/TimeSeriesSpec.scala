@@ -302,6 +302,23 @@ class TimeSeriesSpec extends SparkSpec {
       math.abs(h1.getDouble(2) - expected) < 2e-6, s"got $h1 want $expected")
   }
 
+  test("stickiness: daily user shows 1.0, once-a-week user dilutes toward 1/7") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 09:00:00")
+    // week of 2024-01-01: u1 active all 7 days, u2 active once ->
+    // active (user, day) pairs = 8, avg_dau = 8/7, wau = 2,
+    // stickiness = 8/14; duplicate same-day events must not inflate
+    val df = ((1 to 7).map(d => (1L, ts(f"2024-01-0$d"))) ++
+      Seq((2L, ts("2024-01-03")), (2L, ts("2024-01-03"))))
+      .toDF("user_id", "ts")
+    val got = TimeSeries.stickiness(df, "user_id", "ts")
+      .as[(java.sql.Date, Long, Double, Double)].head()
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == ((java.sql.Date.valueOf("2024-01-01"), 2L,
+      r4(8.0 / 7), r4(8.0 / 7 / 2))), s"got $got")
+  }
+
   test("growthAccounting: ledger identity holds; churn-only weeks still appear") {
     import java.sql.Date
     def ts(s: String) = java.sql.Timestamp.valueOf(s + " 10:00:00")
