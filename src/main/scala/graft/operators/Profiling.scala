@@ -354,20 +354,117 @@ object Profiling {
     out
   }
 
+  /** Exact per-group linear-interpolation quantiles with NO float
+    * kernel anywhere — the engine-version-proof form of a grouped
+    * `quantile_cont` (r11 verdict: a float interpolation ULP inside
+    * one DuckDB release flipped a ROUND(…,6) fence that another
+    * release kept — so a quantile an operator EMITS must never pass
+    * through a float multiply).
+    *
+    * The whole computation is integer + decimal arithmetic:
+    * probabilities are thousandths (`p·1000` must be integral), the
+    * rank position `p·(n−1)` is exact long arithmetic, its fractional
+    * part is the integer remainder mod 1000, and the interpolation
+    * `(v_lo·(1000−rem) + v_hi·rem)·0.001` runs entirely in DECIMAL
+    * (× by the scale-3 literal shifts the scale — decimal-exact; no
+    * division ever executes). Inputs quantize through DECIMAL(18,
+    * inScale) first — a double can never tie at a decimal boundary
+    * (its value is a binary fraction, a half-ULP-at-scale-k is not),
+    * so the cast is rounding-mode-independent and engine-identical.
+    * The final ROUND is decimal HALF_UP, which both Spark and DuckDB
+    * define as half-away-from-zero.
+    *
+    * Shape (the [[exactQuantiles]] / labelEncode machinery, made
+    * per-group): range-sort on (group, v) + `zipWithIndex` assigns
+    * global ranks distributed — no per-group window partition, so one
+    * giant group cannot pin a single task; per-group rank offsets ride
+    * ONE group-cardinality aggregate broadcast back. One extra job for
+    * the zip's partition-size scan; nothing driver-side.
+    */
+  def groupedExactQuantiles(
+      df: DataFrame,
+      groupCols: Seq[String],
+      value: Column,
+      probs: Seq[(String, Double)],
+      inScale: Int = 6,
+      roundDigits: Int = 6): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(probs.nonEmpty, "need at least one probability")
+    val den = 1000L
+    val nums = probs.map { case (name, p) =>
+      val num = math.round(p * den)
+      require(num >= 0 && num <= den && math.abs(p * den - num) < 1e-9,
+        s"probability $p must be a multiple of 1/$den in [0,1]")
+      (name, num)
+    }
+    val spark = df.sparkSession
+    val inType = org.apache.spark.sql.types.DecimalType(18, inScale)
+    val gs = groupCols.map(col)
+    val sorted = df.filter(value.isNotNull)
+      .select((gs :+ value.cast(inType).as("__v")): _*)
+      .orderBy(gs :+ col("__v"): _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "__i", org.apache.spark.sql.types.LongType, nullable = false))
+    val indexed = spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      }, schema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bounds = indexed.groupBy(gs: _*)
+      .agg(min(col("__i")).as("__g0"), count(lit(1)).as("__n"))
+    val wDen = org.apache.spark.sql.types.DecimalType(4, 0)
+    val inv = lit(new java.math.BigDecimal("0.001"))
+    val rankCols = nums.flatMap { case (name, num) =>
+      val pos = lit(num) * (col("__n") - 1)
+      val rem = pmod(pos, lit(den))
+      val lo = ((pos - rem) / den).cast("long")
+      Seq(lo.as(s"__lo_$name"),
+        least(lo + 1, col("__n") - 1).as(s"__hi_$name"),
+        rem.as(s"__rem_$name"))
+    }
+    val marked = indexed.join(broadcast(bounds), groupCols)
+      .withColumn("__r", col("__i") - col("__g0"))
+      .select((gs :+ col("__r") :+ col("__v")) ++ rankCols: _*)
+    val hit = nums.map { case (name, _) =>
+      col("__r") === col(s"__lo_$name") || col("__r") === col(s"__hi_$name")
+    }.reduce(_ || _)
+    val aggs = nums.flatMap { case (name, _) =>
+      Seq(
+        min(when(col("__r") === col(s"__lo_$name"), col("__v")))
+          .as(s"__vlo_$name"),
+        min(when(col("__r") === col(s"__hi_$name"), col("__v")))
+          .as(s"__vhi_$name"),
+        first(col(s"__rem_$name")).as(s"__remf_$name"))
+    }
+    val picked = marked.filter(hit).groupBy(gs: _*).agg(aggs.head, aggs.tail: _*)
+    val outCols = gs ++ nums.map { case (name, _) =>
+      val rem = col(s"__remf_$name").cast(wDen)
+      val w0 = (lit(den) - col(s"__remf_$name")).cast(wDen)
+      round((col(s"__vlo_$name") * w0 + col(s"__vhi_$name") * rem) * inv,
+        roundDigits).as(name)
+    }
+    picked.select(outCols: _*)
+  }
+
   /** X116 — robust outlier screen per group: modified z-score
     * `0.6745·(v − median)/MAD` with the Iglewicz–Hoaglin 3.5 cut — the
     * global-robust complement of [[graft.operators.TimeSeries
     * .hampelFilter]]'s rolling form and of iqrOutliers' fences (MAD
     * tolerates 50% contamination; IQR fences break down at 25%).
     *
-    * Two grouped percentile aggregates (median, then median of
-    * |v − median| after one broadcast join-back) and a final counting
-    * aggregate — group-cardinality intermediates only. Median and MAD
-    * ROUND to 6 dp before any use (the psi cutoff discipline); the
-    * z-score stabilizes through DECIMAL(18,8) before the threshold
-    * compare, so a boundary row lands identically on any engine. A
-    * zero-MAD group (> 50% of values identical) yields null z-scores
-    * and zero outliers, not a division error.
+    * Median and MAD come from [[groupedExactQuantiles]] — the exact
+    * rank-arithmetic decimal path, so NO float quantile interpolation
+    * ever reaches the emitted `median`/`mad` columns (the r11 gate
+    * failure: a DuckDB-version quantile_cont ULP flipped the old
+    * ROUND(percentile, 6) fence). |v − median| is decimal subtraction
+    * (exact); the only float expression left is the z-score itself,
+    * whose operands (raw parquet double, decimal-exact median/MAD cast
+    * to double — both engine-identical) feed one correctly-rounded
+    * multiply/divide chain, stabilized through DECIMAL(18,8) before
+    * the threshold compare. A zero-MAD group (> 50% of values
+    * identical) yields null z-scores and zero outliers, not a
+    * division error.
     */
   def robustOutliers(
       df: DataFrame,
@@ -375,24 +472,27 @@ object Profiling {
       valueCol: String,
       cut: Double = 3.5): DataFrame = {
     val v = col(valueCol).cast("double")
+    val v6t = org.apache.spark.sql.types.DecimalType(18, 6)
     val gs = groupCols.map(col)
     val rows = df.filter(v.isNotNull)
-    val med = rows.groupBy(gs: _*)
-      .agg(round(percentile(v, lit(0.5)), 6).as("__med"))
-    val mad = rows.join(broadcast(med), groupCols)
-      .groupBy(gs: _*)
-      .agg(round(percentile(abs(v - col("__med")), lit(0.5)), 6).as("__mad"))
-    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
-    val z = round((lit(0.6745d) * (v - col("__med")) / col("__mad"))
-      .cast(stable), 4)
-    rows
+    val med = groupedExactQuantiles(rows, groupCols, v, Seq("__med" -> 0.5))
+    val withMed = rows
+      .select((gs :+ v.as("__vd") :+ v.cast(v6t).as("__v6")): _*)
       .join(broadcast(med), groupCols)
+    val mad = groupedExactQuantiles(withMed, groupCols,
+      abs(col("__v6") - col("__med")), Seq("__mad" -> 0.5))
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val medD = col("__med").cast("double")
+    val madD = col("__mad").cast("double")
+    val z = round((lit(0.6745d) * (col("__vd") - medD) / madD)
+      .cast(stable), 4)
+    withMed
       .join(broadcast(mad), groupCols)
       .groupBy(gs: _*)
       .agg(
         count(lit(1)).as("n"),
-        first(col("__med")).as("median"),
-        first(col("__mad")).as("mad"),
+        first(medD).as("median"),
+        first(madD).as("mad"),
         sum(when(col("__mad") > 0 && abs(z) > cut, 1L).otherwise(0L))
           .as("n_outliers"))
   }

@@ -342,15 +342,16 @@ object Relational {
     * and report per group the fences, clip counts, and the mean of the
     * clamped values.
     *
-    * Shape: one grouped two-quantile percentile aggregate (the
-    * iqrOutliers pattern) broadcast back onto the stream; the clamp is
-    * pure map-side arithmetic. Fences ROUND to 6 dp before any compare
-    * (the psi cutoff discipline: quantile interpolation associates
-    * differently across engines). The clamped mean sums in
-    * DECIMAL(28,6) — clamped values are either input doubles or the
-    * rounded fences, both exactly representable at scale 6 after their
-    * own 6-dp round — so the sum is addition-order-free and the one
-    * division happens on exact operands.
+    * Shape: fences come from [[graft.operators.Profiling
+    * .groupedExactQuantiles]] — exact rank-arithmetic decimal
+    * interpolation, NO float quantile kernel anywhere (the r11 gate
+    * failure: a DuckDB-version quantile_cont ULP flipped the old
+    * ROUND(percentile, 6) fence) — broadcast back onto the stream.
+    * Values quantize through DECIMAL(18,6) (a double never ties at a
+    * decimal boundary, so the cast is engine-identical); the clamp,
+    * the clip compares, and the mean's sum are then pure decimal
+    * arithmetic, addition-order-free, with the one division happening
+    * on exact operands.
     */
   def winsorize(
       df: DataFrame,
@@ -362,24 +363,24 @@ object Relational {
     require(pLo >= 0 && pLo < pHi && pHi <= 1,
       s"need 0 <= pLo < pHi <= 1, got $pLo, $pHi")
     val v = col(valueCol).cast("double")
+    val v6t = org.apache.spark.sql.types.DecimalType(18, 6)
     val gs = groupCols.map(col)
-    val fences = df.filter(v.isNotNull).groupBy(gs: _*)
-      .agg(round(percentile(v, lit(pLo)), 6).as("__lo"),
-        round(percentile(v, lit(pHi)), 6).as("__hi"))
+    val rows = df.filter(v.isNotNull)
+    val fences = Profiling.groupedExactQuantiles(rows, groupCols, v,
+      Seq("__lo" -> pLo, "__hi" -> pHi))
     val dec = org.apache.spark.sql.types.DecimalType(28, 6)
     val stable = org.apache.spark.sql.types.DecimalType(18, 8)
-    // clamp, then quantize each clamped value at scale 6 so the mean's
-    // sum is exact decimal (inputs round identically on both engines)
-    val clamped = round(least(greatest(v, col("__lo")), col("__hi")), 6)
-    df.filter(v.isNotNull)
+    val v6 = v.cast(v6t)
+    val clamped = least(greatest(v6, col("__lo")), col("__hi"))
+    rows
       .join(broadcast(fences), groupCols)
       .groupBy(gs: _*)
       .agg(
         count(lit(1)).as("n"),
-        first(col("__lo")).as("fence_lo"),
-        first(col("__hi")).as("fence_hi"),
-        sum((v < col("__lo")).cast("long")).as("n_clipped_low"),
-        sum((v > col("__hi")).cast("long")).as("n_clipped_high"),
+        first(col("__lo").cast("double")).as("fence_lo"),
+        first(col("__hi").cast("double")).as("fence_hi"),
+        sum((v6 < col("__lo")).cast("long")).as("n_clipped_low"),
+        sum((v6 > col("__hi")).cast("long")).as("n_clipped_high"),
         sum(clamped.cast(dec)).as("__sum"))
       .select((gs :+ col("n") :+ col("fence_lo") :+ col("fence_hi") :+
         col("n_clipped_low") :+ col("n_clipped_high") :+

@@ -2505,23 +2505,46 @@ object OracleSql {
         |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS oov_rate
         |FROM g ORDER BY doc_id""".stripMargin,
 
-    // Winsorize: fences from quantile_cont (the t38 percentile
-    // parity), ROUNDed to 6 dp before any compare; the clamped mean
-    // sums in DECIMAL(28,6) after a per-row 6-dp quantize.
+    // Winsorize: fences via EXACT rank-arithmetic decimal
+    // interpolation — p as thousandths, rank pos = pNum·(n−1) in
+    // integer arithmetic, (v_lo·(1000−rem) + v_hi·rem)·0.001 entirely
+    // in DECIMAL — no quantile_cont, no float kernel (the r11 ULP
+    // lesson: one DuckDB release's interpolation flipped the rounded
+    // fence another release kept). Mirrors groupedExactQuantiles.
     "x152_winsorize" ->
-      """WITH f AS (SELECT o_orderpriority AS g,
-        |  ROUND(quantile_cont(o_totalprice, 0.05), 6) AS lo,
-        |  ROUND(quantile_cont(o_totalprice, 0.95), 6) AS hi
-        |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
-        |j AS (SELECT o.o_orderpriority AS g, o.o_totalprice AS v,
-        |  f.lo, f.hi FROM orders o JOIN f ON o.o_orderpriority = f.g
-        |  WHERE o.o_totalprice IS NOT NULL)
+      """WITH rws AS (SELECT o_orderpriority AS g,
+        |  CAST(o_totalprice AS DECIMAL(18,6)) AS v
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |rk AS (SELECT g, v,
+        |  ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) - 1 AS r,
+        |  COUNT(*) OVER (PARTITION BY g) AS n FROM rws),
+        |b AS (SELECT g, v, r,
+        |  (50*(n-1)) // 1000 AS llo,
+        |  LEAST((50*(n-1)) // 1000 + 1, n-1) AS lhi,
+        |  (50*(n-1)) % 1000 AS lrem,
+        |  (950*(n-1)) // 1000 AS hlo,
+        |  LEAST((950*(n-1)) // 1000 + 1, n-1) AS hhi,
+        |  (950*(n-1)) % 1000 AS hrem FROM rk),
+        |f AS (SELECT g,
+        |  ROUND((MIN(CASE WHEN r = llo THEN v END)
+        |      * CAST(1000 - lrem AS DECIMAL(4,0))
+        |    + MIN(CASE WHEN r = lhi THEN v END)
+        |      * CAST(lrem AS DECIMAL(4,0)))
+        |    * CAST(0.001 AS DECIMAL(4,3)), 6) AS lo,
+        |  ROUND((MIN(CASE WHEN r = hlo THEN v END)
+        |      * CAST(1000 - hrem AS DECIMAL(4,0))
+        |    + MIN(CASE WHEN r = hhi THEN v END)
+        |      * CAST(hrem AS DECIMAL(4,0)))
+        |    * CAST(0.001 AS DECIMAL(4,3)), 6) AS hi
+        |  FROM b GROUP BY g, llo, lhi, lrem, hlo, hhi, hrem),
+        |j AS (SELECT r.g, r.v, f.lo, f.hi
+        |  FROM rws r JOIN f ON r.g = f.g)
         |SELECT g AS o_orderpriority, COUNT(*) AS n,
-        |  lo AS fence_lo, hi AS fence_hi,
+        |  CAST(lo AS DOUBLE) AS fence_lo, CAST(hi AS DOUBLE) AS fence_hi,
         |  SUM(CASE WHEN v < lo THEN 1 ELSE 0 END) AS n_clipped_low,
         |  SUM(CASE WHEN v > hi THEN 1 ELSE 0 END) AS n_clipped_high,
         |  CAST(ROUND(CAST(CAST(SUM(CAST(
-        |    ROUND(LEAST(GREATEST(v, lo), hi), 6)
+        |    LEAST(GREATEST(v, lo), hi)
         |    AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
         |    AS DECIMAL(18,8)), 4) AS DOUBLE) AS winsorized_mean
         |FROM j GROUP BY g, lo, hi ORDER BY o_orderpriority""".stripMargin,
@@ -3159,25 +3182,56 @@ object OracleSql {
         |SELECT cr.channel, credit, n_conversions
         |FROM cr JOIN cd USING (channel) ORDER BY channel""".stripMargin,
 
-    // MAD robust outliers: median and MAD round to 6 dp before use
-    // (quantile_cont ≡ percentile, the t38 parity); the modified z
-    // stabilizes through DECIMAL(18,8) before the 3.5 compare.
+    // MAD robust outliers: median and MAD via EXACT rank-arithmetic
+    // decimal interpolation (mirrors groupedExactQuantiles — no
+    // quantile_cont, no float kernel; the r11 ULP lesson); only the
+    // z-score itself is float, over engine-identical operands,
+    // stabilized through DECIMAL(18,8) before the 3.5 compare.
     "x156_robust_outliers" ->
-      """WITH rws AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+      """WITH rws AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS vd,
+        |  CAST(value AS DECIMAL(18,6)) AS v
         |  FROM events WHERE value IS NOT NULL),
-        |med AS (SELECT g, ROUND(quantile_cont(v, 0.5), 6) AS med
-        |  FROM rws GROUP BY 1),
-        |mad AS (SELECT r.g,
-        |  ROUND(quantile_cont(abs(r.v - m.med), 0.5), 6) AS mad
-        |  FROM rws r JOIN med m ON r.g = m.g GROUP BY 1)
-        |SELECT r.g AS event_type, COUNT(*) AS n,
-        |  MIN(m.med) AS median, MIN(d.mad) AS mad,
+        |rk AS (SELECT g, v,
+        |  ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) - 1 AS r,
+        |  COUNT(*) OVER (PARTITION BY g) AS n FROM rws),
+        |b AS (SELECT g, v, r,
+        |  (500*(n-1)) // 1000 AS mlo,
+        |  LEAST((500*(n-1)) // 1000 + 1, n-1) AS mhi,
+        |  (500*(n-1)) % 1000 AS mrem FROM rk),
+        |med AS (SELECT g,
+        |  ROUND((MIN(CASE WHEN r = mlo THEN v END)
+        |      * CAST(1000 - mrem AS DECIMAL(4,0))
+        |    + MIN(CASE WHEN r = mhi THEN v END)
+        |      * CAST(mrem AS DECIMAL(4,0)))
+        |    * CAST(0.001 AS DECIMAL(4,3)), 6) AS med
+        |  FROM b GROUP BY g, mlo, mhi, mrem),
+        |ad AS (SELECT r.g, r.vd, m.med,
+        |  CAST(ABS(r.v - m.med) AS DECIMAL(18,6)) AS av
+        |  FROM rws r JOIN med m ON r.g = m.g),
+        |rk2 AS (SELECT g, av,
+        |  ROW_NUMBER() OVER (PARTITION BY g ORDER BY av) - 1 AS r,
+        |  COUNT(*) OVER (PARTITION BY g) AS n FROM ad),
+        |b2 AS (SELECT g, av, r,
+        |  (500*(n-1)) // 1000 AS mlo,
+        |  LEAST((500*(n-1)) // 1000 + 1, n-1) AS mhi,
+        |  (500*(n-1)) % 1000 AS mrem FROM rk2),
+        |mad AS (SELECT g,
+        |  ROUND((MIN(CASE WHEN r = mlo THEN av END)
+        |      * CAST(1000 - mrem AS DECIMAL(4,0))
+        |    + MIN(CASE WHEN r = mhi THEN av END)
+        |      * CAST(mrem AS DECIMAL(4,0)))
+        |    * CAST(0.001 AS DECIMAL(4,3)), 6) AS mad
+        |  FROM b2 GROUP BY g, mlo, mhi, mrem)
+        |SELECT a.g AS event_type, COUNT(*) AS n,
+        |  CAST(MIN(a.med) AS DOUBLE) AS median,
+        |  CAST(MIN(d.mad) AS DOUBLE) AS mad,
         |  SUM(CASE WHEN d.mad > 0 AND abs(ROUND(CAST(
-        |      0.6745e0 * (r.v - m.med) / d.mad
+        |      0.6745e0 * (a.vd - CAST(a.med AS DOUBLE))
+        |        / CAST(d.mad AS DOUBLE)
         |      AS DECIMAL(18,8)), 4)) > 3.5 THEN 1 ELSE 0 END)
         |    AS n_outliers
-        |FROM rws r JOIN med m ON r.g = m.g JOIN mad d ON r.g = d.g
-        |GROUP BY r.g ORDER BY event_type""".stripMargin,
+        |FROM ad a JOIN mad d ON a.g = d.g
+        |GROUP BY a.g ORDER BY event_type""".stripMargin,
 
     // Benford: exact integer cents via the x144 money contract; the
     // expected shares are shared rounded literals (no runtime log10).
