@@ -156,19 +156,27 @@ object Evaluation {
     require(k >= 2, s"PSI needs at least 2 bins, got $k")
     val v = value.cast("double")
     val probs = (1 until k).map(_.toDouble / k)
-    // cutoffs ROUND to 6 dp before any comparison: Spark and DuckDB
-    // interpolate quantiles with differently-associated float math, and
-    // an unrounded cutoff can flip a boundary row between engines
-    val cutsRow = df.filter(isBaseline)
-      .agg(percentile(v, array(probs.map(lit): _*)).as("__cuts"))
-    val cuts = (0 until k - 1).map(i => round(col("__cuts").getItem(i), 6))
-    // bin = 1 + Σ (v > cut_i): map-side arithmetic against the 1-row
-    // broadcast, the rfmSegments scoring pattern
+    // cutoffs via the exact rank-arithmetic decimal path: a float
+    // quantile interpolation is engine-VERSION-sensitive even after a
+    // ROUND (the r12 x152 lesson), and a flipped cutoff moves boundary
+    // rows between bins on one engine only. The k−1 cutoffs COLLECT to
+    // driver literals — bounded model state like kmeans' k×dim
+    // centroids, NOT data — because referencing k−1 columns of a
+    // joined 1-row frame inside one expression tree sends Catalyst's
+    // optimizer exponential (measured: each extra cut reference
+    // doubled optimization time; 9 cuts OOMed the driver). Literals
+    // also erase the nested-loop join: bin assignment is pure codegen.
+    val cutsFrame = Profiling.groupedExactQuantiles(
+      df.filter(isBaseline).select(v.as("__psiv")), Seq(), col("__psiv"),
+      probs.zipWithIndex.map { case (p, i) => s"__c$i" -> p })
+    val cutRows = cutsFrame.collect()
+    require(cutRows.nonEmpty, "psi needs a non-empty baseline slice")
+    val cuts = (0 until k - 1).map(i => lit(cutRows(0).getDecimal(i)))
+    // bin = 1 + Σ (v > cut_i): map-side literal arithmetic
     val bin = cuts.foldLeft(lit(1L)) { (acc, c) =>
       acc + when(v > c, 1L).otherwise(0L)
     }
     val counted = df.filter((isBaseline || isCurrent) && v.isNotNull)
-      .crossJoin(broadcast(cutsRow))
       .select(bin.as("bin"),
         when(isBaseline, 1L).otherwise(0L).as("__base"),
         when(isCurrent, 1L).otherwise(0L).as("__cur"))

@@ -388,7 +388,10 @@ object Profiling {
       probs: Seq[(String, Double)],
       inScale: Int = 6,
       roundDigits: Int = 6): DataFrame = {
-    require(groupCols.nonEmpty, "need at least one group column")
+    if (groupCols.isEmpty)
+      // global quantiles = one synthetic all-rows group, dropped on exit
+      return groupedExactQuantiles(df.withColumn("__gall", lit(1)),
+        Seq("__gall"), value, probs, inScale, roundDigits).drop("__gall")
     require(probs.nonEmpty, "need at least one probability")
     val den = 1000L
     val nums = probs.map { case (name, p) =>
@@ -423,7 +426,14 @@ object Profiling {
         least(lo + 1, col("__n") - 1).as(s"__hi_$name"),
         rem.as(s"__rem_$name"))
     }
-    val marked = indexed.join(broadcast(bounds), groupCols)
+    // NULL-SAFE group re-join: groupBy puts null keys in their own
+    // group, and a plain equi-join would silently drop that whole
+    // group from the quantile (the Relational.nullSafeGroupJoin rule)
+    val renamedBounds = groupCols.foldLeft(bounds)((d, c) =>
+      d.withColumnRenamed(c, s"__k_$c"))
+    val joinCond = groupCols.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
+    val marked = indexed.join(broadcast(renamedBounds), joinCond)
+      .drop(groupCols.map(c => s"__k_$c"): _*)
       .withColumn("__r", col("__i") - col("__g0"))
       .select((gs :+ col("__r") :+ col("__v")) ++ rankCols: _*)
     val hit = nums.map { case (name, _) =>

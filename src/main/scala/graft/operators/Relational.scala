@@ -18,20 +18,20 @@ object Relational {
     */
   /** Keep rows at or above their group's `q`-quantile of `valueCol` —
     * RELATIVE filtering (top half per language, top decile per source),
-    * the curation form that absolute thresholds can't express. One
-    * grouped percentile agg produces a |groups|-row threshold table,
-    * broadcast back onto the stream; for very high-cardinality groups
-    * drop the broadcast hint and let AQE pick the join. */
+    * the curation form that absolute thresholds can't express. The
+    * exact-decimal ranked pass produces a |groups|-row threshold
+    * table, broadcast back onto the stream; for very high-cardinality
+    * groups drop the broadcast hint and let AQE pick the join. */
   def keepAboveGroupQuantile(
       df: DataFrame, groupCols: Seq[String], valueCol: String, q: Double,
       roundDigits: Int = 4): DataFrame = {
     require(q >= 0 && q <= 1, s"quantile out of range: $q")
-    // the interpolated percentile is ROUNDED before the comparison —
-    // engines interpolate (lo + (hi-lo)·f vs (1-f)·lo + f·hi) with
-    // different last-ulp behavior, and an unrounded threshold would
-    // make membership of a value AT the midpoint engine-dependent
-    val thresholds = df.groupBy(groupCols.map(col): _*)
-      .agg(round(percentile(col(valueCol), lit(q)), roundDigits).as("__thr"))
+    // threshold via Profiling.groupedExactQuantiles — exact
+    // rank-arithmetic decimal interpolation, so the membership compare
+    // can never flip on an engine's float quantile ULP (the r12
+    // migration; rounding alone was not version-proof)
+    val thresholds = Profiling.groupedExactQuantiles(df, groupCols,
+      col(valueCol), Seq("__thr" -> q), roundDigits = roundDigits)
     nullSafeGroupJoin(df, thresholds, groupCols)
       .filter(col(valueCol) >= col("__thr"))
       .drop("__thr")
@@ -53,19 +53,25 @@ object Relational {
   /** Per-group IQR outlier flagging (Tukey fences): rows outside
     * [q1 − f·IQR, q3 + f·IQR] of their group — the numeric-column twin
     * of the text quality filters. Same plan shape as
-    * [[keepAboveGroupQuantile]]: one percentile agg per group (both
+    * [[keepAboveGroupQuantile]]: one exact-decimal ranked pass (both
     * quartiles in one pass), null-safe broadcast re-join (a null group
-    * key is a group too), per-row compare; fences are rounded so
+    * key is a group too), per-row compare; fences round in DECIMAL so
     * membership at a fence is engine-portable. */
   def iqrOutliers(
       df: DataFrame, groupCols: Seq[String], valueCol: String,
       fence: Double = 1.5, roundDigits: Int = 4): DataFrame = {
-    val fences = df.groupBy(groupCols.map(col): _*)
-      .agg(percentile(col(valueCol), lit(0.25)).as("__q1"),
-        percentile(col(valueCol), lit(0.75)).as("__q3"))
+    // quartiles via the exact rank-arithmetic decimal path and the
+    // whole fence expression in DECIMAL (fence factor as an exact
+    // decimal literal), so no float quantile ULP can move a fence
+    // across a data value on one engine only (the r12 migration)
+    val f = java.math.BigDecimal.valueOf(fence)
+    require(f.scale <= 4, s"fence factor needs <= 4 decimal digits: $fence")
+    val qs = Profiling.groupedExactQuantiles(df, groupCols, col(valueCol),
+      Seq("__q1" -> 0.25, "__q3" -> 0.75), roundDigits = 6)
+    val fences = qs
       .select((groupCols.map(col) :+
-        round(col("__q1") - lit(fence) * (col("__q3") - col("__q1")), roundDigits).as("__lo") :+
-        round(col("__q3") + lit(fence) * (col("__q3") - col("__q1")), roundDigits).as("__hi")): _*)
+        round(col("__q1") - lit(f) * (col("__q3") - col("__q1")), roundDigits).as("__lo") :+
+        round(col("__q3") + lit(f) * (col("__q3") - col("__q1")), roundDigits).as("__hi")): _*)
     nullSafeGroupJoin(df, fences, groupCols)
       .filter(col(valueCol) < col("__lo") || col(valueCol) > col("__hi"))
       .drop("__lo", "__hi")

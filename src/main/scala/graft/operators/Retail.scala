@@ -89,22 +89,30 @@ object Retail {
         datediff(col("__gmax"), col("__last")).cast("bigint").as("r"),
         col("f"),
         col("__m").cast("double").as("m"))
-    val qs = rfm.agg(
-      percentile(col("r"), F.array(Seq(0.2, 0.4, 0.6, 0.8).map(lit): _*))
-        .as("__qr"),
-      percentile(col("f"), F.array(Seq(0.2, 0.4, 0.6, 0.8).map(lit): _*))
-        .as("__qf"),
-      percentile(col("m"), F.array(Seq(0.2, 0.4, 0.6, 0.8).map(lit): _*))
-        .as("__qm"))
-    def score(v: org.apache.spark.sql.Column, q: String) =
-      (1 to 4).map(i => (v > element_at(col(q), i)).cast("int"))
-        .reduce(_ + _) + 1
-    val scored = rfm.crossJoin(broadcast(qs))
+    // quintile cutoffs via the exact rank-arithmetic decimal path —
+    // cutoffs are compared (v > q_i) against data values, and a float
+    // quantile ULP on one engine would flip a boundary score (the r12
+    // migration; cutoffs were previously unrounded float percentiles).
+    // The 12 cutoffs COLLECT to driver literals (bounded model state,
+    // the psi/kmeans shape): many cut-column references through a
+    // joined 1-row frame send Catalyst exponential, and literals make
+    // the scoring pure codegen with no join at all.
+    val rfmP = rfm.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def quintiles(vc: String): IndexedSeq[org.apache.spark.sql.Column] = {
+      val row = Profiling.groupedExactQuantiles(rfmP, Seq(), col(vc),
+        (1 to 4).map(i => s"q$i" -> i * 0.2)).collect()(0)
+      (0 to 3).map(i => lit(row.getDecimal(i)))
+    }
+    val (qr, qf, qm) = (quintiles("r"), quintiles("f"), quintiles("m"))
+    def score(v: org.apache.spark.sql.Column,
+        qs: IndexedSeq[org.apache.spark.sql.Column]) =
+      qs.map(c => (v > c).cast("int")).reduce(_ + _) + 1
+    val scored = rfmP
       .select(col(custCol), col("r"), col("f"), col("m"),
         // recency inverts: the SMALLEST r (most recent) scores 5
-        (lit(6) - score(col("r"), "__qr")).as("r_score"),
-        score(col("f"), "__qf").as("f_score"),
-        score(col("m"), "__qm").as("m_score"))
+        (lit(6) - score(col("r"), qr)).as("r_score"),
+        score(col("f"), qf).as("f_score"),
+        score(col("m"), qm).as("m_score"))
     scored.select(
       col(custCol), col("r"), col("f"),
       round(col("m"), 2).as("m"),

@@ -302,6 +302,50 @@ object OracleSql {
        |fps AS (SELECT doc, CAST($fp AS BIGINT) AS fp FROM votes)""".stripMargin
   }
 
+  /** Rank-arithmetic exact-quantile CTE block — the oracle twin of
+    * [[graft.operators.Profiling.groupedExactQuantiles]] (r11 lesson:
+    * quantile_cont's float interpolation is DuckDB-version-sensitive,
+    * so any quantile that reaches output or a membership compare must
+    * interpolate in exact decimal on BOTH engines). Emits CTEs
+    * `<p>rk`, `<p>b`, `<p>q`; `<p>q` holds the partition columns plus
+    * one DECIMAL quantile column per (name, thousandths). `src` must
+    * expose the partition columns and `valExpr`; NULL values are
+    * excluded like the Spark side's isNotNull filter.
+    */
+  private def exactQuantileCtes(
+      src: String, partCols: Seq[String], valExpr: String,
+      probs: Seq[(String, Int)], outScale: Int, p: String): String = {
+    val parts = partCols.mkString(", ")
+    val partSel = if (partCols.isEmpty) "" else s"$parts, "
+    val overRank =
+      if (partCols.isEmpty) "ORDER BY CAST(" + valExpr + " AS DECIMAL(18,6))"
+      else s"PARTITION BY $parts ORDER BY CAST($valExpr AS DECIMAL(18,6))"
+    val overCnt = if (partCols.isEmpty) "" else s"PARTITION BY $parts"
+    val posDefs = probs.map { case (nm, num) =>
+      s"""  ($num*(__n-1)) // 1000 AS __lo_$nm,
+         |  LEAST(($num*(__n-1)) // 1000 + 1, __n-1) AS __hi_$nm,
+         |  ($num*(__n-1)) % 1000 AS __rem_$nm""".stripMargin
+    }.mkString(",\n")
+    val qDefs = probs.map { case (nm, _) =>
+      s"""  ROUND((MIN(CASE WHEN __r = __lo_$nm THEN __v END)
+         |      * CAST(1000 - __rem_$nm AS DECIMAL(4,0))
+         |    + MIN(CASE WHEN __r = __hi_$nm THEN __v END)
+         |      * CAST(__rem_$nm AS DECIMAL(4,0)))
+         |    * CAST(0.001 AS DECIMAL(4,3)), $outScale) AS $nm""".stripMargin
+    }.mkString(",\n")
+    val grpExtra = probs.flatMap { case (nm, _) =>
+      Seq(s"__lo_$nm", s"__hi_$nm", s"__rem_$nm") }.mkString(", ")
+    val grp = if (partCols.isEmpty) grpExtra else s"$parts, $grpExtra"
+    s"""${p}rk AS (SELECT ${partSel}CAST($valExpr AS DECIMAL(18,6)) AS __v,
+       |  ROW_NUMBER() OVER ($overRank) - 1 AS __r,
+       |  COUNT(*) OVER ($overCnt) AS __n
+       |  FROM $src WHERE $valExpr IS NOT NULL),
+       |${p}b AS (SELECT ${partSel}__v, __r,
+       |$posDefs FROM ${p}rk),
+       |${p}q AS (SELECT $partSel
+       |$qDefs FROM ${p}b GROUP BY $grp)""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "t01_scan_project" ->
       "SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region ORDER BY r_regionkey",
@@ -518,12 +562,20 @@ object OracleSql {
         |  ROUND(AVG(l_discount), 4) AS avg_disc
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    // Percentile battery via EXACT rank-arithmetic decimal
+    // interpolation on both engines (r12: quantile_cont's float
+    // kernel is DuckDB-version-sensitive — the x152 ULP lesson).
     "t38_percentile" ->
-      """SELECT l_linestatus,
-        |  ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50,
-        |  ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90,
-        |  ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS price_p25
-        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+      s"""WITH ${exactQuantileCtes("lineitem", Seq("l_linestatus"),
+             "l_quantity", Seq("p50" -> 500, "p90" -> 900), 4, "a")},
+         |${exactQuantileCtes("lineitem", Seq("l_linestatus"),
+             "l_extendedprice", Seq("price_p25" -> 250), 4, "c")}
+         |SELECT aq.l_linestatus,
+         |  CAST(aq.p50 AS DOUBLE) AS p50,
+         |  CAST(aq.p90 AS DOUBLE) AS p90,
+         |  CAST(cq.price_p25 AS DOUBLE) AS price_p25
+         |FROM aq JOIN cq USING (l_linestatus)
+         |ORDER BY l_linestatus""".stripMargin,
 
     "t39_string_funcs" ->
       """SELECT c_custkey,
@@ -794,15 +846,17 @@ object OracleSql {
         |FROM c ORDER BY "rank" LIMIT 100""".stripMargin,
 
     // Relative curation: keep docs at/above their language's median
-    // quality (Spark `percentile` ≡ DuckDB `quantile_cont`).
+    // quality — median via EXACT rank-arithmetic decimal interpolation
+    // (r12: no float quantile kernel on either engine).
     "x59_quantile_filter" ->
       s"""WITH qs AS ($qualitySql),
          |d AS (SELECT doc.doc_id, doc.lang, qs.quality
          |      FROM documents doc JOIN qs ON qs.doc_id = doc.doc_id),
-         |m AS (SELECT lang, ROUND(quantile_cont(quality, 0.5), 4) AS med FROM d GROUP BY lang)
+         |${exactQuantileCtes("d", Seq("lang"), "quality",
+             Seq("med" -> 500), 4, "m")}
          |SELECT d.doc_id, d.lang, d.quality
-         |FROM d JOIN m ON m.lang IS NOT DISTINCT FROM d.lang
-         |WHERE d.quality >= m.med
+         |FROM d JOIN mq ON mq.lang IS NOT DISTINCT FROM d.lang
+         |WHERE d.quality >= mq.med
          |ORDER BY d.doc_id""".stripMargin,
 
     // Union-find over simhash near-dup pairs: transitive closure via
@@ -1006,23 +1060,23 @@ object OracleSql {
          |FROM u ORDER BY vec_id, pos""".stripMargin,
 
     // Per-nation IQR outliers (Tukey fences, 0.4×IQR — uniform data
-    // has no 1.5× tails) on rounded balances; fences rounded like the
-    // Spark side (quantile_cont ≡ Spark exact interpolated percentile —
-    // proven by t38/x59).
+    // has no 1.5× tails) on rounded balances; quartiles via EXACT
+    // rank-arithmetic decimal interpolation and fence arithmetic in
+    // DECIMAL (r12: no float quantile kernel on either engine).
     "x74_iqr_outliers" ->
-      """WITH c AS (SELECT c_custkey::BIGINT AS c_custkey,
-        |    c_nationkey::BIGINT AS c_nationkey,
-        |    ROUND(CAST(c_acctbal AS DOUBLE), 2) AS bal FROM customer),
-        |f AS (SELECT c_nationkey,
-        |    ROUND(quantile_cont(bal, 0.25)
-        |      - 0.4*(quantile_cont(bal, 0.75) - quantile_cont(bal, 0.25)), 4) AS lo,
-        |    ROUND(quantile_cont(bal, 0.75)
-        |      + 0.4*(quantile_cont(bal, 0.75) - quantile_cont(bal, 0.25)), 4) AS hi
-        |  FROM c GROUP BY c_nationkey)
-        |SELECT c.c_custkey, c.c_nationkey, c.bal
-        |FROM c JOIN f ON c.c_nationkey IS NOT DISTINCT FROM f.c_nationkey
-        |WHERE c.bal < f.lo OR c.bal > f.hi
-        |ORDER BY c_custkey""".stripMargin,
+      s"""WITH c AS (SELECT c_custkey::BIGINT AS c_custkey,
+         |    c_nationkey::BIGINT AS c_nationkey,
+         |    ROUND(CAST(c_acctbal AS DOUBLE), 2) AS bal FROM customer),
+         |${exactQuantileCtes("c", Seq("c_nationkey"), "bal",
+             Seq("q1" -> 250, "q3" -> 750), 6, "g")},
+         |f AS (SELECT c_nationkey,
+         |    ROUND(q1 - CAST(0.4 AS DECIMAL(2,1)) * (q3 - q1), 4) AS lo,
+         |    ROUND(q3 + CAST(0.4 AS DECIMAL(2,1)) * (q3 - q1), 4) AS hi
+         |  FROM gq)
+         |SELECT c.c_custkey, c.c_nationkey, c.bal
+         |FROM c JOIN f ON c.c_nationkey IS NOT DISTINCT FROM f.c_nationkey
+         |WHERE c.bal < f.lo OR c.bal > f.hi
+         |ORDER BY c_custkey""".stripMargin,
 
     // Fuzzy incremental dedup: batch (last 10% of ids) vs frozen
     // (first 90%) LSH band collisions, exact Jaccard verify — pairs
@@ -2038,34 +2092,26 @@ object OracleSql {
         |      / (MAX(ta) * MAX(tb)) END, 6) AS d_stat
         |FROM c""".stripMargin,
 
-    // PSI: bins from the BASELINE's deciles (quantile_cont ≡ Spark
-    // percentile, the t38 parity), cutoffs ROUNDed before comparison
-    // so boundary rows can't flip between engines.
+    // PSI: bins from the BASELINE's deciles via EXACT rank-arithmetic
+    // decimal interpolation (r12: no float quantile kernel on either
+    // engine); cutoffs compare at their decimal value.
     "x135_psi_drift" ->
-      """WITH b AS (SELECT CAST(o_totalprice AS DOUBLE) AS v,
-        |  CASE WHEN o_orderdate < DATE '1998-01-01' THEN 1 ELSE 0 END
-        |    AS isb,
-        |  CASE WHEN o_orderdate >= DATE '1998-01-01' THEN 1 ELSE 0 END
-        |    AS isc
-        |  FROM orders WHERE o_totalprice IS NOT NULL),
-        |cuts AS (SELECT
-        |  ROUND(quantile_cont(v, 0.1), 6) AS c1,
-        |  ROUND(quantile_cont(v, 0.2), 6) AS c2,
-        |  ROUND(quantile_cont(v, 0.3), 6) AS c3,
-        |  ROUND(quantile_cont(v, 0.4), 6) AS c4,
-        |  ROUND(quantile_cont(v, 0.5), 6) AS c5,
-        |  ROUND(quantile_cont(v, 0.6), 6) AS c6,
-        |  ROUND(quantile_cont(v, 0.7), 6) AS c7,
-        |  ROUND(quantile_cont(v, 0.8), 6) AS c8,
-        |  ROUND(quantile_cont(v, 0.9), 6) AS c9
-        |  FROM b WHERE isb = 1),
-        |bn AS (SELECT 1
-        |  + CAST(v > c1 AS INT) + CAST(v > c2 AS INT)
-        |  + CAST(v > c3 AS INT) + CAST(v > c4 AS INT)
-        |  + CAST(v > c5 AS INT) + CAST(v > c6 AS INT)
-        |  + CAST(v > c7 AS INT) + CAST(v > c8 AS INT)
-        |  + CAST(v > c9 AS INT) AS bin, isb, isc
-        |  FROM b CROSS JOIN cuts),
+      s"""WITH b AS (SELECT CAST(o_totalprice AS DOUBLE) AS v,
+         |  CASE WHEN o_orderdate < DATE '1998-01-01' THEN 1 ELSE 0 END
+         |    AS isb,
+         |  CASE WHEN o_orderdate >= DATE '1998-01-01' THEN 1 ELSE 0 END
+         |    AS isc
+         |  FROM orders WHERE o_totalprice IS NOT NULL),
+         |${exactQuantileCtes("(SELECT v FROM b WHERE isb = 1) bsrc",
+             Seq(), "v",
+             (1 to 9).map(i => s"c$i" -> i * 100), 6, "d")},
+         |bn AS (SELECT 1
+         |  + CAST(v > c1 AS INT) + CAST(v > c2 AS INT)
+         |  + CAST(v > c3 AS INT) + CAST(v > c4 AS INT)
+         |  + CAST(v > c5 AS INT) + CAST(v > c6 AS INT)
+         |  + CAST(v > c7 AS INT) + CAST(v > c8 AS INT)
+         |  + CAST(v > c9 AS INT) AS bin, isb, isc
+         |  FROM b CROSS JOIN dq),
         |g AS (SELECT bin, SUM(isb) AS nb, SUM(isc) AS nc
         |  FROM bn GROUP BY 1),
         |t AS (SELECT CAST(SUM(nb) AS DOUBLE) AS tb,
@@ -3362,29 +3408,36 @@ object OracleSql {
         |  JOIN ic b ON top.item_b = b.i CROSS JOIN t
         |ORDER BY item_a, item_b""".stripMargin,
 
-    // quintile cutoffs are quantile_cont ≡ Spark's exact percentile
-    // (the t38 parity); scoring is 1 + Σ(v > q_i), recency inverted.
+    // quintile cutoffs via EXACT rank-arithmetic decimal interpolation
+    // (r12: no float quantile kernel on either engine); scoring is
+    // 1 + Σ(v > q_i), recency inverted.
     "x128_rfm_segments" ->
-      """WITH pc AS (SELECT o_custkey, MAX(o_orderdate) AS lastd,
-        |  COUNT(*) AS f,
-        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS md
-        |  FROM orders GROUP BY 1),
-        |g AS (SELECT MAX(o_orderdate) AS gmax FROM orders),
-        |rfm AS (SELECT o_custkey,
-        |  CAST(date_diff('day', CAST(lastd AS DATE), CAST(gmax AS DATE))
-        |    AS BIGINT) AS r,
-        |  f, CAST(md AS DOUBLE) AS m FROM pc CROSS JOIN g),
-        |q AS (SELECT quantile_cont(r, [0.2, 0.4, 0.6, 0.8]) AS qr,
-        |  quantile_cont(f, [0.2, 0.4, 0.6, 0.8]) AS qf,
-        |  quantile_cont(m, [0.2, 0.4, 0.6, 0.8]) AS qm FROM rfm),
-        |sc AS (SELECT o_custkey, r, f, m,
-        |  6 - (1 + CAST(r > qr[1] AS INT) + CAST(r > qr[2] AS INT)
-        |    + CAST(r > qr[3] AS INT) + CAST(r > qr[4] AS INT)) AS r_score,
-        |  1 + CAST(f > qf[1] AS INT) + CAST(f > qf[2] AS INT)
-        |    + CAST(f > qf[3] AS INT) + CAST(f > qf[4] AS INT) AS f_score,
-        |  1 + CAST(m > qm[1] AS INT) + CAST(m > qm[2] AS INT)
-        |    + CAST(m > qm[3] AS INT) + CAST(m > qm[4] AS INT) AS m_score
-        |  FROM rfm CROSS JOIN q)
+      s"""WITH pc AS (SELECT o_custkey, MAX(o_orderdate) AS lastd,
+         |  COUNT(*) AS f,
+         |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS md
+         |  FROM orders GROUP BY 1),
+         |g AS (SELECT MAX(o_orderdate) AS gmax FROM orders),
+         |rfm AS (SELECT o_custkey,
+         |  CAST(date_diff('day', CAST(lastd AS DATE), CAST(gmax AS DATE))
+         |    AS BIGINT) AS r,
+         |  f, CAST(md AS DOUBLE) AS m FROM pc CROSS JOIN g),
+         |${exactQuantileCtes("rfm", Seq(), "r",
+             Seq("qr1" -> 200, "qr2" -> 400, "qr3" -> 600, "qr4" -> 800),
+             6, "xr")},
+         |${exactQuantileCtes("rfm", Seq(), "f",
+             Seq("qf1" -> 200, "qf2" -> 400, "qf3" -> 600, "qf4" -> 800),
+             6, "xf")},
+         |${exactQuantileCtes("rfm", Seq(), "m",
+             Seq("qm1" -> 200, "qm2" -> 400, "qm3" -> 600, "qm4" -> 800),
+             6, "xm")},
+         |sc AS (SELECT o_custkey, r, f, m,
+         |  6 - (1 + CAST(r > qr1 AS INT) + CAST(r > qr2 AS INT)
+         |    + CAST(r > qr3 AS INT) + CAST(r > qr4 AS INT)) AS r_score,
+         |  1 + CAST(f > qf1 AS INT) + CAST(f > qf2 AS INT)
+         |    + CAST(f > qf3 AS INT) + CAST(f > qf4 AS INT) AS f_score,
+         |  1 + CAST(m > qm1 AS INT) + CAST(m > qm2 AS INT)
+         |    + CAST(m > qm3 AS INT) + CAST(m > qm4 AS INT) AS m_score
+         |  FROM rfm CROSS JOIN xrq CROSS JOIN xfq CROSS JOIN xmq)
         |SELECT o_custkey, r, f, ROUND(m, 2) AS m,
         |  CAST(r_score AS BIGINT) AS r_score,
         |  CAST(f_score AS BIGINT) AS f_score,

@@ -319,21 +319,27 @@ object Queries {
         round(avg(col("l_discount")), 4).as("avg_disc"))
       .orderBy("l_returnflag")
 
-  /** T38 — exact interpolated percentiles (Spark `percentile` ≡ DuckDB
-    * `quantile_cont`). The two l_quantity quantiles ride ONE
-    * array-form aggregate: separate percentile aggs each buffer the
-    * full column per group (exact percentile gathers every value), so
-    * sharing the buffer halves the dominant cost. */
-  def t38(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupBy("l_linestatus")
-      .agg(percentile(col("l_quantity"), array(lit(0.5), lit(0.9))).as("__q"),
-        round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("price_p25"))
+  /** T38 — exact interpolated percentiles via [[graft.operators
+    * .Profiling.groupedExactQuantiles]] — rank arithmetic in integers,
+    * interpolation in DECIMAL, identical on any engine (r12: the old
+    * float `percentile` ≡ `quantile_cont` parity broke on a DuckDB
+    * version change, the x152 ULP lesson). The two value columns get
+    * one ranked pass each, joined on the group key. */
+  def t38(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val q = graft.operators.Profiling.groupedExactQuantiles(li,
+      Seq("l_linestatus"), col("l_quantity"),
+      Seq("p50" -> 0.5, "p90" -> 0.9), roundDigits = 4)
+    val e = graft.operators.Profiling.groupedExactQuantiles(li,
+      Seq("l_linestatus"), col("l_extendedprice"),
+      Seq("price_p25" -> 0.25), roundDigits = 4)
+    q.join(e, Seq("l_linestatus"))
       .select(col("l_linestatus"),
-        round(element_at(col("__q"), 1), 4).as("p50"),
-        round(element_at(col("__q"), 2), 4).as("p90"),
-        col("price_p25"))
+        col("p50").cast("double").as("p50"),
+        col("p90").cast("double").as("p90"),
+        col("price_p25").cast("double").as("price_p25"))
       .orderBy("l_linestatus")
+  }
 
   /** T39 — string function battery. */
   def t39(s: SparkSession, dir: String): DataFrame =
