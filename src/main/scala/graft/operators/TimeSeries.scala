@@ -730,15 +730,34 @@ object TimeSeries {
     * decayed heavy hitters) with a principled decay instead of an
     * arbitrary window cliff.
     *
-    * This BATCH form evaluates the sum directly: a per-user self-join
-    * (pairs bounded by per-user event count squared — the
-    * re-evaluation/backfill path), each `2^(−Δ/h)` term cast to
-    * DECIMAL(18,10) and summed exactly (the linkPrediction
-    * discipline; `pow` itself is the only cross-engine ulp surface,
-    * absorbed by the final 4-dp round). The PRODUCTION path is the
-    * streaming twin [[graft.streaming.Stateful.decayedCounts]]: the
-    * same quantity as one O(1) state update per arrival — no pairs,
-    * no recompute — proven equal on dyadic-exact data in
+    * LINEAR batch plan (r12 — replaces the O(Σ nᵤ²) per-user pair
+    * join the r11 verdict flagged): factor the kernel per half-life
+    * segment. With B = halfLife and x = t − t₀(user), seg = x div B,
+    * dx = x mod B:
+    * `Σⱼ 0.5^((tᵢ−tⱼ)/h) = 0.5^(dxᵢ/h)·Rᵢ + Σ_d 0.5^(dxᵢ/h + d)·W_{seg−d}`
+    * where `Rᵢ` is the RUNNING sum of per-row weights `2^(dx/h)` within
+    * (user, seg) and `W_s` the segment totals — one window pass plus a
+    * 36-way bounded lookback (beyond 36 half-lives a whole segment's
+    * worth of weight is < 2⁻³⁵ per event — below the old per-pair
+    * DECIMAL(18,10) quantum, i.e. exactly what the pair form already
+    * dropped). Cost: one window + one (u,seg) aggregate + a 36×
+    * row-expansion equi-join — linear in events, no self-join.
+    *
+    * Portability: weights are rebased so exponents stay in [0,1) and
+    * 2^f evaluates via [[exp2Poly]] — a fixed-order Horner polynomial
+    * over shared literal coefficients, bit-identical on any IEEE
+    * engine (libm `pow` is NOT bit-portable: Java Math.pow and glibc
+    * pow disagree in the last ulp, which flipped a per-term decimal
+    * quantization at a quantum boundary in live sf0.1 data — so NO
+    * libm call remains anywhere in this operator). The quantized
+    * weights (DECIMAL(18,7)) sum exactly in window and segment
+    * aggregates; every float product has engine-identical operands and
+    * quantizes to DECIMAL(28,10) before the final order-free decimal
+    * sum. Declared bound: ≤ ~4×10⁸ events per (user, half-life
+    * window) keeps the decimal→double rebuilds exact (unscaled <
+    * 2⁵³). The streaming twin
+    * [[graft.streaming.Stateful.decayedCounts]] is the O(1)
+    * per-arrival form, proven equal on dyadic-exact data in
     * StatefulSpec.
     */
   def decayedCounts(
@@ -750,18 +769,89 @@ object TimeSeries {
     val us = unix_micros(col(tsCol))
     val e = df.select(col(userCol).as("__u"), us.as("__t"),
       col(tieCol).as("__id"))
-    val dec = org.apache.spark.sql.types.DecimalType(18, 10)
-    val h = halfLifeSeconds * 1000000.0d
-    val term = pow(lit(0.5d),
-      (col("a.__t") - col("b.__t")) / lit(h)).cast(dec)
-    e.as("a").join(e.as("b"),
-        col("a.__u") === col("b.__u") &&
-        (col("b.__t") < col("a.__t") ||
-          (col("b.__t") === col("a.__t") && col("b.__id") <= col("a.__id"))))
-      .groupBy(col("a.__u").as(userCol), col("a.__t").as("ts_us"),
-        col("a.__id").as(tieCol))
-      .agg(round(sum(term).cast("double"), roundDigits)
-        .as("decayed_count"))
+    val hus = halfLifeSeconds * 1000000.0d
+    val husL = halfLifeSeconds * 1000000L
+    val lookback = 36
+    val wDec = org.apache.spark.sql.types.DecimalType(18, 7)
+    val tDec = org.apache.spark.sql.types.DecimalType(28, 10)
+    def fr: Column = col("__rem").cast("double") / lit(hus)
+    val uWin = org.apache.spark.sql.expressions.Window.partitionBy("__u")
+    val e2 = e
+      .withColumn("__x", col("__t") - min(col("__t")).over(uWin))
+      .withColumn("__rem", pmod(col("__x"), lit(husL)))
+      .withColumn("__seg",
+        ((col("__x") - col("__rem")) / lit(husL)).cast("long"))
+      .withColumn("__w", exp2Poly(fr).cast(wDec))
+    val runWin = org.apache.spark.sql.expressions.Window
+      .partitionBy("__u", "__seg").orderBy(col("__t"), col("__id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val withR = e2.withColumn("__R", sum(col("__w")).over(runWin))
+      .withColumn("__same",
+        ((lit(1.0d) / exp2Poly(fr))
+          * col("__R").cast("double")).cast(tDec))
+    val wseg = e2.groupBy(col("__u"), col("__seg")).agg(sum(col("__w")).as("__W"))
+    // d ∈ 1..36 with its EXACT 2^−d double (both engines rebuild the
+    // same exact value, Scala from the precomputed literal, the oracle
+    // from 1/(1<<d) — exact either way)
+    val dTable = typedLit((1 to lookback).map(d => (d, 1.0d / (1L << d))))
+    val expanded = e2
+      .select(col("__u"), col("__t"), col("__id"), col("__seg"), col("__rem"))
+      .withColumn("__dt", explode(dTable))
+      .withColumn("__ps", col("__seg") - col("__dt._1"))
+    val cross = expanded
+      .join(wseg.withColumnRenamed("__seg", "__ps"), Seq("__u", "__ps"))
+      .select(col("__u"), col("__t"), col("__id"),
+        ((col("__dt._2") / exp2Poly(fr))
+          * col("__W").cast("double")).cast(tDec).as("__ct"))
+      .groupBy(col("__u"), col("__t"), col("__id"))
+      .agg(sum(col("__ct")).as("__cross"))
+    withR
+      .join(cross, Seq("__u", "__t", "__id"), "left")
+      .select(col("__u").as(userCol), col("__t").as("ts_us"),
+        col("__id").as(tieCol),
+        // __cross contracts back to DECIMAL(28,10) (same scale — value
+        // preserved) BEFORE the add: Spark's sum() widened it to
+        // (38,10), and (28,10)+(38,10) needs precision 39, which
+        // trips the precision-loss path and silently re-rounds the
+        // sum at scale 9 — a double rounding that flipped a live
+        // boundary row (…499996 → …50000 → up)
+        round(col("__same")
+            + coalesce(col("__cross").cast(tDec), lit(0).cast(tDec)),
+          roundDigits).cast("double").as("decayed_count"))
+  }
+
+  /** Taylor coefficients of 2^f (`(ln 2)^k / k!`, k = 0..12) as
+    * shortest-round-trip decimal strings: any IEEE-754 engine parses
+    * each to the identical double, so a polynomial over them is a
+    * shared cross-engine definition. Referenced verbatim by the
+    * DuckDB oracle generator. */
+  val Exp2Coeffs: IndexedSeq[String] = IndexedSeq(
+    "1.0",
+    "0.6931471805599453",
+    "0.24022650695910072",
+    "0.05550410866482158",
+    "0.009618129107628477",
+    "0.0013333558146428443",
+    "0.0001540353039338161",
+    "1.5252733804059841e-05",
+    "1.321548679014431e-06",
+    "1.01780860092397e-07",
+    "7.054911620801123e-09",
+    "4.4455382718708116e-10",
+    "2.5678435993488206e-11")
+
+  /** 2^f for f ∈ [0,1) as a FIXED-ORDER Horner polynomial over
+    * [[Exp2Coeffs]] — pure IEEE mul/add, bit-identical on any engine.
+    * libm `pow` is NOT bit-portable (Java Math.pow and glibc pow
+    * disagree in the last ulp — observed flipping a decimal quantum
+    * in live sf0.1 data), so portable operators must never let a libm
+    * transcendental reach an emitted value. Truncation ≲ 1.5e-12
+    * relative on [0,1) — the polynomial IS the definition; both
+    * engines evaluate the same op DAG. */
+  def exp2Poly(f: Column): Column = {
+    val cs = Exp2Coeffs.map(s => lit(java.lang.Double.parseDouble(s)))
+    cs.reverse.tail.foldLeft(cs.last: Column)((acc, c) => acc * f + c)
   }
 
   /** X124 — rolling correlation between two aligned series per key

@@ -346,6 +346,16 @@ object OracleSql {
        |$qDefs FROM ${p}b GROUP BY $grp)""".stripMargin
   }
 
+  /** 2^f as the same fixed-order Horner polynomial the Spark side
+    * evaluates (TimeSeries.Exp2Coeffs, shared verbatim) — libm pow is
+    * not bit-portable across engines (r12 x165 lesson), a literal
+    * polynomial is. */
+  private def exp2PolySql(f: String): String = {
+    val cs = graft.operators.TimeSeries.Exp2Coeffs
+      .map(s => s"CAST('$s' AS DOUBLE)")
+    cs.reverse.tail.foldLeft(cs.last)((acc, c) => s"($acc * $f + $c)")
+  }
+
   val all: Map[String, String] = Map(
     "t01_scan_project" ->
       "SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region ORDER BY r_regionkey",
@@ -3057,18 +3067,45 @@ object OracleSql {
 
     // Decayed counts: each 2^(−Δ/h) term casts to DECIMAL(18,10) and
     // sums exactly; pow's cross-engine ulp absorbs in the 4-dp round.
+    // Linear factored form (r12): per-user half-life segments, rebased
+    // weights 2^(rem/h) summed exactly in DECIMAL (window + segment
+    // aggregates), 36-segment bounded lookback — mirrors
+    // TimeSeries.decayedCounts' arithmetic op for op; no pair join,
+    // and 2^f is the shared Horner polynomial, not libm pow.
     "x165_decayed_counts" ->
-      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t,
-        |  event_id AS id FROM events),
-        |p AS (SELECT a.u, a.t, a.id,
-        |  CAST(pow(0.5e0, (a.t - b.t) / 3600000000.0e0)
-        |    AS DECIMAL(18,10)) AS term
-        |  FROM e a JOIN e b ON a.u = b.u
-        |    AND (b.t < a.t OR (b.t = a.t AND b.id <= a.id)))
-        |SELECT u AS user_id, t AS ts_us, id AS event_id,
-        |  ROUND(CAST(SUM(term) AS DOUBLE), 4) AS decayed_count
-        |FROM p GROUP BY 1, 2, 3
-        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+      s"""WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t,
+         |  event_id AS id FROM events),
+         |e2 AS (SELECT u, t, id,
+         |  t - MIN(t) OVER (PARTITION BY u) AS x FROM e),
+         |e3 AS (SELECT u, t, id,
+         |  x % 3600000000 AS rem, x // 3600000000 AS seg,
+         |  CAST(x % 3600000000 AS DOUBLE) / 3600000000.0e0 AS fr
+         |  FROM e2),
+         |e4 AS (SELECT u, t, id, seg, fr,
+         |  CAST(${exp2PolySql("fr")}
+         |    AS DECIMAL(18,7)) AS w FROM e3),
+         |rr AS (SELECT u, t, id, seg, fr, w,
+         |  SUM(w) OVER (PARTITION BY u, seg ORDER BY t, id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r
+         |  FROM e4),
+         |ws AS (SELECT u, seg, SUM(w) AS tw FROM e4 GROUP BY 1, 2),
+         |sm AS (SELECT u, t, id,
+         |  CAST((1.0e0 / ${exp2PolySql("fr")})
+         |    * CAST(r AS DOUBLE) AS DECIMAL(28,10)) AS same FROM rr),
+         |cr AS (SELECT e4.u, e4.t, e4.id,
+         |  SUM(CAST(((1.0e0 / CAST((CAST(1 AS BIGINT) << d.d) AS DOUBLE))
+         |      / ${exp2PolySql("e4.fr")})
+         |    * CAST(ws.tw AS DOUBLE) AS DECIMAL(28,10))) AS cx
+         |  FROM e4
+         |  CROSS JOIN (SELECT UNNEST(range(1, 37)) AS d) d
+         |  JOIN ws ON ws.u = e4.u AND ws.seg = e4.seg - d.d
+         |  GROUP BY 1, 2, 3)
+         |SELECT sm.u AS user_id, sm.t AS ts_us, sm.id AS event_id,
+         |  CAST(ROUND(sm.same + COALESCE(CAST(cr.cx AS DECIMAL(28,10)),
+         |    CAST(0 AS DECIMAL(28,10))), 4) AS DOUBLE) AS decayed_count
+         |FROM sm LEFT JOIN cr
+         |  ON cr.u = sm.u AND cr.t = sm.t AND cr.id = sm.id
+         |ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     // Two-regressor OLS: nine exact decimal moments per key, Cramer
     // determinants expanded in the engine's association, DECIMAL(18,8)
