@@ -41,7 +41,21 @@ object Graph {
       iterations: Int, damping: Double = 0.85,
       scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged,
       onRound: (Int, Double) => Unit = (_, _) => ())
-    : DataFrame = {
+    : DataFrame =
+    pageRankWithN(edges, srcCol, dstCol, iterations, damping, scope,
+      onRound)._1
+
+  /** [[pageRank]] plus the node count it already computes internally
+    * (Graph.scala's one sanctioned scalar action) — callers that
+    * normalize ranks by N (x99/x105's `rank·n` contract) reuse it
+    * instead of re-counting the checkpointed rank frame, saving one
+    * job per query. */
+  def pageRankWithN(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, damping: Double = 0.85,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged,
+      onRound: (Int, Double) => Unit = (_, _) => ())
+    : (DataFrame, Long) = {
     require(iterations >= 1, s"need iterations >= 1, got $iterations")
     require(damping > 0 && damping < 1, s"need 0 < damping < 1, got $damping")
     val spark = edges.sparkSession
@@ -108,7 +122,7 @@ object Graph {
       // edge materialization exists to deliver
       onRound(round, (System.nanoTime() - roundT0) / 1e9)
     }
-    ranks
+    (ranks, n.toLong)
   }
 
   /** X118 — personalized PageRank: random walk with restart into a

@@ -561,7 +561,10 @@ object Profiling {
     * cardinality, marginals derived from it, one final aggregate. Only
     * OBSERVED cells enter the sum — a zero cell contributes
     * `0·ln(0·…) = 0` to MI by convention (the opposite of χ², where
-    * zero cells carry the evidence).
+    * zero cells carry the evidence). NULL categories count as their
+    * own level, exactly as in chiSquare — the marginal re-joins are
+    * null-safe, so a NULL level's cells stay in the MI sum just as
+    * they do in h_a/h_b.
     *
     * Portability: each cell term is ONE left-associated double
     * expression over exact integer counts (both engines run the
@@ -588,7 +591,15 @@ object Profiling {
       .cast(dec)
     def hTerm(c: String): Column =
       (-(col(c) / nD) * log(col(c) / nD)).cast(dec)
-    val mi = cells.join(rowTot, "__a").join(colTot, "__b")
+    // NULL-SAFE marginal re-joins: groupBy made NULL a category of its
+    // own, and a plain equi-join would drop that category's cells from
+    // the MI sum while h_a/h_b (computed straight off the marginals)
+    // still count it — undercounted MI, inconsistent NMI (r12 ADVICE)
+    val mi = cells
+      .join(rowTot.withColumnRenamed("__a", "__a2"),
+        col("__a") <=> col("__a2"))
+      .join(colTot.withColumnRenamed("__b", "__b2"),
+        col("__b") <=> col("__b2"))
       .crossJoin(broadcast(n))
       .agg(sum(miTerm).as("__mi"))
     val ha = rowTot.crossJoin(broadcast(n)).agg(sum(hTerm("__ra")).as("__ha"))

@@ -389,8 +389,11 @@ object TimeSeries {
     * at-risk counts without being counted as churned (a naive
     * average-lifetime over a finite window is biased low for exactly
     * this reason). Lifetime = last−first event day; a user whose last
-    * event falls within `censorLastDays` of the corpus max is
-    * censored. Output: one row per distinct duration with the at-risk
+    * event falls STRICTLY within `censorLastDays` of the corpus max
+    * (gap < censorLastDays) is censored — a user exactly
+    * `censorLastDays` old counts as a churn event (the `>=` compare is
+    * inclusive on the churn side; [[nelsonAalen]] shares the same
+    * boundary). Output: one row per distinct duration with the at-risk
     * count, churn events, and the product-limit survival
     * `S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ)` (computed as exp of a running
     * ln-sum — the portable cumulative product).
@@ -464,8 +467,8 @@ object TimeSeries {
       .groupBy(col("__w")).agg(count(lit(1)).as("wau"))
     wau.join(dau, Seq("__w"))
       .select(col("__w").as("week"), col("wau"),
-        round((col("__active_days").cast("double") / 7).cast(stable), 4)
-          .cast("double").as("avg_dau"),
+        round((col("__active_days").cast("double") / 7).cast(stable),
+          roundDigits).cast("double").as("avg_dau"),
         round((col("__active_days").cast("double") / 7 / col("wau"))
           .cast(stable), roundDigits).cast("double").as("stickiness"))
   }
@@ -483,7 +486,11 @@ object TimeSeries {
     * cardinality (the weekly activity table, never raw events). Weeks
     * with zero actives but nonzero churn still appear (the outer
     * union with the churn side — a silent drop there would hide a
-    * total collapse, the one week you most need to see).
+    * total collapse, the one week you most need to see). Churn is
+    * reported only through the LAST observed week: without the clip,
+    * every user active in the final week would land in an artifactual
+    * max-week+7 churn row — an observation-boundary effect, not real
+    * churn (r12 ADVICE).
     */
   def growthAccounting(df: DataFrame, userCol: String, tsCol: String)
     : DataFrame = {
@@ -506,8 +513,15 @@ object TimeSeries {
           && col("__had_prev").isNull, 1L).otherwise(0L))
           .as("n_resurrected"),
         count(lit(1)).as("wau"))
+    // churn only through the last OBSERVED week: everyone active in
+    // the final week would otherwise land in an artifactual
+    // max-week+7 row — an observation-boundary effect reported as
+    // real churn (r12 ADVICE)
+    val maxW = act.agg(max(col("__w")).as("__wmax"))
     val churned = prev
       .join(act, Seq("__u", "__w"), "left_anti")
+      .crossJoin(broadcast(maxW))
+      .filter(col("__w") <= col("__wmax"))
       .groupBy(col("__w")).agg(count(lit(1)).as("n_churned"))
     classified.join(churned, Seq("__w"), "full_outer")
       .select(col("__w").as("week"),
@@ -565,11 +579,11 @@ object TimeSeries {
     * denominator matters: a fast median over 1% converters is not
     * health).
     *
-    * Two conditional per-user aggregates in ONE scan (min fromTs, and
-    * min toTs among events ≥ that fromTs via a min-struct trick —
-    * map-side combinable, no window, no self-join): the second pass
-    * filters on the broadcast-joined first pass, so cost is two
-    * user-cardinality aggregates.
+    * Two per-user aggregates: min fromTs per user, then the
+    * conversion events join that (broadcast-sized) first-event table,
+    * filter to on-or-after, and take min toTs per user — no window,
+    * no self-join; cost is two user-cardinality aggregates plus one
+    * broadcast join.
     */
   def timeToConvert(
       df: DataFrame,

@@ -2496,7 +2496,10 @@ object OracleSql {
         |mi AS (SELECT SUM(CAST((o / nn.n)
         |    * ln(nn.n * o / (CAST(ra.ra AS DOUBLE) * cb.cb))
         |    AS DECIMAL(18,10))) AS mi
-        |  FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN nn),
+        |  FROM cells
+        |  JOIN ra ON ra.a IS NOT DISTINCT FROM cells.a
+        |  JOIN cb ON cb.b IS NOT DISTINCT FROM cells.b
+        |  CROSS JOIN nn),
         |ha AS (SELECT SUM(CAST((-(ra / nn.n)) * ln(ra / nn.n)
         |    AS DECIMAL(18,10))) AS ha FROM ra CROSS JOIN nn),
         |hb AS (SELECT SUM(CAST((-(cb / nn.n)) * ln(cb / nn.n)
@@ -2839,9 +2842,11 @@ object OracleSql {
         |  LEFT JOIN (SELECT DISTINCT u, w FROM prv) p
         |    ON a.u = p.u AND a.w = p.w
         |  GROUP BY a.w),
+        |mxw AS (SELECT MAX(w) AS wmax FROM act),
         |chn AS (SELECT p.w, COUNT(*) AS n_churned FROM prv p
         |  LEFT JOIN act ON p.u = act.u AND p.w = act.w
-        |  WHERE act.u IS NULL GROUP BY 1)
+        |  CROSS JOIN mxw
+        |  WHERE act.u IS NULL AND p.w <= mxw.wmax GROUP BY 1)
         |SELECT COALESCE(cls.w, chn.w) AS week,
         |  CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
         |  CAST(COALESCE(n_retained, 0) AS BIGINT) AS n_retained,
@@ -3708,7 +3713,10 @@ object OracleSql {
        |mi AS (SELECT SUM(CAST((o / nn.n)
        |    * ln(nn.n * o / (CAST(ra.ra AS DOUBLE) * cb.cb))
        |    AS DECIMAL(18,10))) AS mi
-       |  FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN nn),
+       |  FROM cells
+       |  JOIN ra ON ra.a IS NOT DISTINCT FROM cells.a
+       |  JOIN cb ON cb.b IS NOT DISTINCT FROM cells.b
+       |  CROSS JOIN nn),
        |ha AS (SELECT SUM(CAST((-(ra / nn.n)) * ln(ra / nn.n)
        |    AS DECIMAL(18,10))) AS ha FROM ra CROSS JOIN nn),
        |hb AS (SELECT SUM(CAST((-(cb / nn.n)) * ln(cb / nn.n)

@@ -1241,11 +1241,11 @@ object Queries {
       concat(lit("p"), col("l_partkey")).as("src"),
       concat(lit("s"), col("l_suppkey")).as("dst"))
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-    val pr = graft.operators.Graph.pageRank(edges, "src", "dst",
+    // n comes out of the iteration itself (pageRankWithN) — no extra
+    // count job over the checkpointed rank frame
+    val (pr, nL) = graft.operators.Graph.pageRankWithN(edges, "src", "dst",
       iterations = 5, damping = 0.85)
-    // ranks are checkpoint-materialized by the iteration, so this count
-    // is a cheap cached-RDD pass, not a recompute
-    val n = pr.count().toDouble
+    val n = nL.toDouble
     pr.select(col("node"), round(col("rank") * n, 6).as("rank_norm"))
       .orderBy("node")
   }
@@ -1351,9 +1351,9 @@ object Queries {
     val edges = o.select(
       concat(lit("c"), col("o_custkey")).as("src"),
       concat(lit("o"), col("o_orderkey")).as("dst"))
-    val pr = graft.operators.Graph.pageRank(edges, "src", "dst",
+    val (pr, nL) = graft.operators.Graph.pageRankWithN(edges, "src", "dst",
       iterations = 3, damping = 0.85)
-    val n = pr.count().toDouble
+    val n = nL.toDouble
     pr.select(col("node"), round(col("rank") * n, 6).as("rank_norm"))
       .orderBy("node")
   }

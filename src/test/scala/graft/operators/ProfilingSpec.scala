@@ -266,5 +266,17 @@ class ProfilingSpec extends SparkSpec {
     val const = Seq.fill(5)(("a", "x")).toDF("ca", "cb")
     val r3 = Profiling.mutualInfo(const, "ca", "cb").collect()(0)
     assert(r3.getDouble(0) == 0.0 && r3.isNullAt(3), s"got $r3")
+    // NULL is a category of its own (the chiSquare contract): with
+    // a <-> b a bijection where one level of a is NULL, MI = H = ln 2
+    // and NMI = 1 — an equi-join that dropped the NULL level's cells
+    // would report MI = 0 against h_a = ln 2 (the r12 ADVICE bug)
+    val withNull = (Seq.fill(10)((Option("a"), "x")) ++
+      Seq.fill(10)((Option.empty[String], "y")))
+      .toDF("ca", "cb")
+    val r4 = Profiling.mutualInfo(withNull, "ca", "cb").collect()(0)
+    val ln2b = BigDecimal(math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r4.getDouble(0) == ln2b && r4.getDouble(1) == ln2b &&
+      r4.getDouble(3) == 1.0, s"got $r4")
   }
 }

@@ -319,38 +319,39 @@ class TimeSeriesSpec extends SparkSpec {
       r4(8.0 / 7), r4(8.0 / 7 / 2))), s"got $got")
   }
 
-  test("growthAccounting: ledger identity holds; churn-only weeks still appear") {
+  test("growthAccounting: ledger identity holds; interior churn-only weeks appear, the trailing boundary week does not") {
     import java.sql.Date
     def ts(s: String) = java.sql.Timestamp.valueOf(s + " 10:00:00")
-    // weeks W1 = 2024-01-01, W2 = -08, W3 = -15 (Mondays)
-    // u1 active W1, W2; u2 active W1 only; u3 active W2, skips... all
-    // inactive W3 -> W3 is a churn-only week and must appear
+    // weeks W1 = 2024-01-01, W2 = -08, W3 = -15, W4 = -22 (Mondays)
+    // u1 W1+W2; u2 W1; u3 W2; u4 W1+W4 — so W3 has NO activity but is
+    // interior (W4 exists) -> churn-only zero-WAU row must appear;
+    // W5 = max+7 must NOT (observation-boundary artifact, r12 ADVICE)
     val df = Seq(
       (1L, ts("2024-01-01")), (1L, ts("2024-01-09")),
       (2L, ts("2024-01-02")),
-      (3L, ts("2024-01-10")))
+      (3L, ts("2024-01-10")),
+      (4L, ts("2024-01-03")), (4L, ts("2024-01-23")))
       .toDF("user_id", "ts")
     val got = TimeSeries.growthAccounting(df, "user_id", "ts")
       .orderBy("week")
       .as[(Date, Long, Long, Long, Long, Long)].collect().toSeq
     assert(got == Seq(
-      // W1: u1, u2 new
-      (Date.valueOf("2024-01-01"), 2L, 0L, 0L, 0L, 2L),
-      // W2: u1 retained, u3 new, u2 churned
-      (Date.valueOf("2024-01-08"), 1L, 1L, 0L, 1L, 2L),
-      // W3: nobody active; u1 and u3 churn -> the zero-WAU row
-      (Date.valueOf("2024-01-15"), 0L, 0L, 0L, 2L, 0L)), s"got $got")
-    // resurrection: active W1, gap W2, back W3
+      // W1: u1, u2, u4 new
+      (Date.valueOf("2024-01-01"), 3L, 0L, 0L, 0L, 3L),
+      // W2: u1 retained, u3 new; u2 + u4 churned
+      (Date.valueOf("2024-01-08"), 1L, 1L, 0L, 2L, 2L),
+      // W3: nobody active; u1 and u3 churn -> interior zero-WAU row
+      (Date.valueOf("2024-01-15"), 0L, 0L, 0L, 2L, 0L),
+      // W4: u4 resurrected; no W5 row even though u4 goes quiet after
+      (Date.valueOf("2024-01-22"), 0L, 0L, 1L, 0L, 1L)), s"got $got")
+    // resurrection: active W1, gap W2, back W3 — and no trailing W4
     val res = Seq((9L, ts("2024-01-01")), (9L, ts("2024-01-16")))
       .toDF("user_id", "ts")
     val g2 = TimeSeries.growthAccounting(res, "user_id", "ts")
       .orderBy("week")
       .as[(Date, Long, Long, Long, Long, Long)].collect().toSeq
-    // the trailing week after the last activity is a churn row too —
-    // the corpus-edge attribution a production caller clips by date
     assert(g2.map(r => (r._2, r._3, r._4, r._5)) ==
-      Seq((1L, 0L, 0L, 0L), (0L, 0L, 0L, 1L), (0L, 0L, 1L, 0L),
-        (0L, 0L, 0L, 1L)),
+      Seq((1L, 0L, 0L, 0L), (0L, 0L, 0L, 1L), (0L, 0L, 1L, 0L)),
       s"got $g2")
   }
 
