@@ -224,7 +224,8 @@ final class M5Pipeline(spark: SparkSession, config: YamlConfig) {
         if (lgbParams.get("objective").map(_.toString).contains("tweedie")) {
           val tp = graft.ml.TweedieGbt.fromLgbParams(lgbParams)
           val model = graft.ml.TweedieGbt.fit(
-            Gbt.assemble(encoded, featureCols, catArity), "features",
+            Gbt.assemble(encoded, featureCols, catArity,
+              missingAsNaN = tp.histogram), "features",
             predTargetCol, "__valid", tp)
           model.save(s"$dir/model")
         } else {
@@ -273,11 +274,13 @@ final class M5Pipeline(spark: SparkSession, config: YamlConfig) {
         // a meta.json in the model dir marks the Tweedie loop's artifact;
         // the GBT path saves Spark ML's own layout
         val predicted =
-          if (Files.exists(Paths.get(dir, "model", "meta.json")))
-            graft.ml.TweedieGbt.load(spark, s"$dir/model")
-              .transform(Gbt.assemble(encoded, featureCols, catArity), predTargetCol)
+          if (Files.exists(Paths.get(dir, "model", "meta.json"))) {
+            val model = graft.ml.TweedieGbt.load(spark, s"$dir/model")
+            model.transform(
+              Gbt.assemble(encoded, featureCols, catArity,
+                missingAsNaN = model.isHistogram), predTargetCol)
               .drop("features")
-          else
+          } else
             Gbt.predict(GBTRegressionModel.load(s"$dir/model"),
               encoded, featureCols, predTargetCol, catArity)
         predicted

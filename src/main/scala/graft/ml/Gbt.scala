@@ -86,7 +86,8 @@ object Gbt {
     * Codes are shifted +1 at assemble time only (nominal values must be
     * in [0, arity); the external -1-for-unseen contract is unchanged). */
   private[graft] def assemble(df: DataFrame, featureCols: Seq[String],
-      catArity: Map[String, Int] = Map.empty): DataFrame = {
+      catArity: Map[String, Int] = Map.empty,
+      missingAsNaN: Boolean = false): DataFrame = {
     import org.apache.spark.ml.attribute.NominalAttribute
     val catCols = featureCols.filter(c =>
       catArity.get(c).exists(_ <= CatMaxArity))
@@ -97,11 +98,18 @@ object Gbt {
         acc.withColumn(c, (col(c) + lit(1)).cast("double").as(c, meta))
       } else acc.withColumn(c, col(c).cast("double"))
     }
-    val filled = numeric.na.fill(MissingSentinel,
+    // Spark ML trees need missing imputed away (the sentinel); the
+    // HistTree path keeps REAL missing as NaN so per-split default
+    // directions can be learned from it
+    val filled = numeric.na.fill(
+      if (missingAsNaN) Double.NaN else MissingSentinel,
       featureCols.filterNot(catCols.contains))
     new VectorAssembler()
       .setInputCols(featureCols.toArray)
       .setOutputCol("features")
+      // "keep" lets NaN through into the vector (the HistTree missing
+      // marker); the default "error" refuses it
+      .setHandleInvalid(if (missingAsNaN) "keep" else "error")
       .transform(filled)
   }
 

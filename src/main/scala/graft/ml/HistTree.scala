@@ -1,0 +1,416 @@
+package graft.ml
+
+import scala.collection.mutable
+
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** LightGBM-style HISTOGRAM regression tree — the distributed binned
+  * split finder that closes the two largest remaining divergences from
+  * the reference's LGBMRegressor (`pipeline.py:258`): histogram split
+  * finding (LightGBM bins every feature into ≤ 255 histograms and
+  * scans bin boundaries; Spark ML's `DecisionTreeRegressor` finds
+  * sort-based splits) and PER-SPLIT MISSING-VALUE ROUTING (LightGBM
+  * learns a default direction at every split by trying missing-left
+  * vs missing-right and keeping the better gain; Spark ML needs
+  * missing imputed away — and M5's lag/rolling features are null by
+  * construction in every warm-up row, so this touches real data).
+  *
+  * Shape per level (level-wise growth to `maxDepth`):
+  * ONE `treeAggregate` over the binned rows builds the full
+  * (node × feature × bin) gradient/hessian/count histogram —
+  * `2^depth · Σ numBins · 3` doubles, a few MB at depth 5 — and the
+  * driver scans bin boundaries for the best gain per node. That is
+  * model-state-bounded driver work (the kmeans-centroid contract):
+  * nothing driver-side scales with row count. Rows carry a compact
+  * `Array[Short]` of bin indices (binned ONCE per boosting run, not
+  * per tree) plus their current node id; after each level a map
+  * routes rows to child nodes and rows landing in finished leaves
+  * drop out of the scan.
+  *
+  * Split semantics (LightGBM's):
+  *  - numeric: left ⟺ `v <= threshold`; bin 0 is the missing bin and
+  *    routes by the learned `defaultLeft`;
+  *  - categorical: many-vs-many via the sorted-by-`Σg/Σh` prefix scan
+  *    (`cat_smooth`-free form); the missing/unseen code 0 participates
+  *    as a category of its own, which IS its learned routing;
+  *  - gain = GL²/(HL+λ) + GR²/(HR+λ) − G²/(H+λ), children must carry
+  *    ≥ `minData` rows.
+  *
+  * Remaining divergence vs LightGBM, documented not silent: growth
+  * order (level-wise here vs LightGBM's leaf-wise `num_leaves`
+  * frontier) and the sampled bin-edge construction (LightGBM's
+  * `bin_construct_sample_cnt` uses the same sampling idea).
+  */
+object HistTree {
+
+  /** Per-feature binning dictionary. Bin 0 is ALWAYS the missing bin
+    * (NaN for numeric, code 0 for categoricals — `Gbt.assemble` maps
+    * null/unseen categories to 0). Numeric bin b ∈ [1, edges.len+1]
+    * holds `edges(b−2) < v <= edges(b−1)` (left-closed at −∞). */
+  final case class Bins(
+      edges: Array[Array[Double]],
+      isCat: Array[Boolean],
+      numBins: Array[Int]) extends Serializable {
+    val offsets: Array[Int] = numBins.scanLeft(0)(_ + _).init
+    val width: Int = numBins.sum
+    def numFeatures: Int = numBins.length
+
+    def binOf(f: Int, v: Double): Int =
+      if (isCat(f)) {
+        if (v.isNaN) 0
+        else { val c = v.toInt; if (c >= 0 && c < numBins(f)) c else 0 }
+      } else {
+        if (v.isNaN) 0
+        else {
+          val e = edges(f)
+          // first edge >= v → bin index; all edges < v → last bin
+          var lo = 0; var hi = e.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (e(mid) < v) lo = mid + 1 else hi = mid
+          }
+          lo + 1
+        }
+      }
+
+    def binRow(v: Vector): Array[Short] = {
+      val out = new Array[Short](numBins.length)
+      var f = 0
+      while (f < out.length) { out(f) = binOf(f, v(f)).toShort; f += 1 }
+      out
+    }
+  }
+
+  final case class Split(
+      feature: Int,
+      thresholdBin: Int,
+      threshold: Double,
+      isCat: Boolean,
+      leftCats: Array[Int],
+      defaultLeft: Boolean,
+      gain: Double) extends Serializable {
+    @transient lazy val leftCatSet: Set[Int] = leftCats.toSet
+  }
+
+  /** Fitted tree: root node id 1, children of n are 2n / 2n+1. */
+  final case class Tree(
+      splits: Map[Int, Split],
+      leafValue: Map[Int, Double]) extends Serializable {
+
+    def leafOfBins(b: Array[Short]): Int = {
+      var node = 1
+      var s = splits.get(node)
+      while (s.isDefined) {
+        val sp = s.get
+        val bi = b(sp.feature).toInt
+        val left =
+          if (sp.isCat) sp.leftCatSet.contains(bi)
+          else if (bi == 0) sp.defaultLeft
+          else bi <= sp.thresholdBin
+        node = if (left) 2 * node else 2 * node + 1
+        s = splits.get(node)
+      }
+      node
+    }
+
+    def leafOfVector(v: Vector): Int = {
+      var node = 1
+      var s = splits.get(node)
+      while (s.isDefined) {
+        val sp = s.get
+        val x = v(sp.feature)
+        val left =
+          if (sp.isCat) {
+            val c = if (x.isNaN) 0 else x.toInt
+            sp.leftCatSet.contains(c)
+          }
+          else if (x.isNaN) sp.defaultLeft
+          else x <= sp.threshold
+        node = if (left) 2 * node else 2 * node + 1
+        s = splits.get(node)
+      }
+      node
+    }
+
+    def valueOfVector(v: Vector): Double = leafValue(leafOfVector(v))
+  }
+
+  /** Build the binning dictionary: nominal arities from the feature
+    * column's ML attribute metadata; numeric edges from a ≤
+    * `sampleCount`-row sample (LightGBM's `bin_construct_sample_cnt`
+    * idea). Distinct-poor features get exact mid-point edges. */
+  def buildBins(df: DataFrame, featuresCol: String, maxBins: Int = 255,
+      sampleCount: Int = 200000, seed: Long = 42L): Bins = {
+    require(maxBins >= 4 && maxBins <= Short.MaxValue - 1,
+      s"maxBins out of range: $maxBins")
+    val ag = org.apache.spark.ml.attribute.AttributeGroup
+      .fromStructField(df.schema(featuresCol))
+    val attrs = ag.attributes
+    val n = df.count()
+    val frac = math.min(1.0, sampleCount * 1.2 / math.max(n, 1L))
+    val sample = df.select(col(featuresCol))
+      .sample(withReplacement = false, frac, seed)
+      .limit(sampleCount)
+      .collect().map(_.getAs[Vector](0))
+    require(sample.nonEmpty, "buildBins needs at least one row")
+    val numF = sample(0).size
+    val isCat = new Array[Boolean](numF)
+    val numBins = new Array[Int](numF)
+    val edges = new Array[Array[Double]](numF)
+    val arity: Int => Option[Int] = f => attrs.flatMap(a =>
+      a.lift(f).collect {
+        case nm: org.apache.spark.ml.attribute.NominalAttribute =>
+          nm.getNumValues
+      }.flatten)
+    var f = 0
+    while (f < numF) {
+      arity(f) match {
+        case Some(k) =>
+          isCat(f) = true; numBins(f) = k; edges(f) = Array.empty
+        case None =>
+          val vals = sample.map(_(f)).filterNot(_.isNaN).sorted
+          val distinct = dedupSorted(vals)
+          val e =
+            if (distinct.length <= 1) Array.empty[Double]
+            else if (distinct.length <= maxBins - 1) midpoints(distinct)
+            else {
+              val cuts = (1 until maxBins - 1).map { b =>
+                vals((b.toLong * vals.length / (maxBins - 1)).toInt
+                  .min(vals.length - 1))
+              }.toArray
+              dedupSorted(cuts)
+            }
+          edges(f) = e
+          numBins(f) = e.length + 2 // missing + (edges+1) value bins
+      }
+      f += 1
+    }
+    Bins(edges, isCat, numBins)
+  }
+
+  private def dedupSorted(a: Array[Double]): Array[Double] = {
+    if (a.isEmpty) return a
+    val out = mutable.ArrayBuffer(a(0))
+    var i = 1
+    while (i < a.length) { if (a(i) != out.last) out += a(i); i += 1 }
+    out.toArray
+  }
+
+  private def midpoints(distinct: Array[Double]): Array[Double] = {
+    val out = new Array[Double](distinct.length - 1)
+    var i = 0
+    while (i < out.length) {
+      out(i) = distinct(i) / 2 + distinct(i + 1) / 2
+      i += 1
+    }
+    out
+  }
+
+  /** Column expression binning a vector column with `bins` (broadcast
+    * through the closure). */
+  def binColumn(bins: Bins, featuresCol: String): Column = {
+    val u = udf((v: Vector) => bins.binRow(v))
+    u(col(featuresCol))
+  }
+
+  /** Fit one tree on pre-binned rows. `df` must carry `binsCol`
+    * (Array[Short]), `gCol` (the NEGATIVE gradient / pseudo-residual)
+    * and `hCol` (the hessian); the returned leaf values are the
+    * Newton step Σg/(Σh+λ). */
+  def fit(df: DataFrame, binsCol: String, gCol: String, hCol: String,
+      bins: Bins, maxDepth: Int, lambda: Double = 1e-6,
+      minData: Long = 20, minGain: Double = 0.0): Tree = {
+    require(maxDepth >= 1 && maxDepth <= 20, s"bad maxDepth: $maxDepth")
+    val w = bins.width
+    var rows = df
+      .select(col(binsCol), col(gCol).cast("double"), col(hCol).cast("double"))
+      .rdd.map { r =>
+        val b = r.getAs[scala.collection.Seq[Short]](0).toArray
+        (1, b, r.getDouble(1), r.getDouble(2))
+      }
+    val splits = mutable.Map.empty[Int, Split]
+    val leaves = mutable.Map.empty[Int, Double]
+    var active: Map[Int, Int] = Map(1 -> 0)
+    var depth = 0
+    // each level's routed rows persist so level d+1's aggregate reads
+    // one cached pass instead of replaying d routing maps
+    rows = rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var prev = rows
+    while (active.nonEmpty) {
+      val k = active.size
+      val activeL = active // stable closure capture
+      val offsets = bins.offsets
+      val stats = rows.treeAggregate(new Array[Double](k * w * 3))(
+        seqOp = (acc, r) => {
+          val ni = activeL.getOrElse(r._1, -1)
+          if (ni >= 0) {
+            val b = r._2; val g = r._3; val h = r._4
+            val base = ni * w
+            var f = 0
+            while (f < b.length) {
+              val idx = (base + offsets(f) + b(f)) * 3
+              acc(idx) += g; acc(idx + 1) += h; acc(idx + 2) += 1
+              f += 1
+            }
+          }
+          acc
+        },
+        combOp = (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+      val levelSplits = mutable.Map.empty[Int, Split]
+      for ((node, ni) <- active.toSeq.sortBy(_._1)) {
+        val base = ni * w
+        // node totals off feature 0's bins (each row lands in exactly
+        // one bin per feature)
+        var tG = 0.0; var tH = 0.0; var tN = 0.0
+        var b0 = 0
+        while (b0 < bins.numBins(0)) {
+          val idx = (base + bins.offsets(0) + b0) * 3
+          tG += stats(idx); tH += stats(idx + 1); tN += stats(idx + 2)
+          b0 += 1
+        }
+        val leafVal = tG / (tH + lambda)
+        val chosen =
+          if (depth >= maxDepth || tN < 2 * minData) None
+          else bestSplit(stats, base, bins, tG, tH, tN, lambda, minData, minGain)
+        chosen match {
+          case Some(s) => levelSplits(node) = s
+          case None    => leaves(node) = leafVal
+        }
+      }
+      splits ++= levelSplits
+      if (levelSplits.isEmpty) {
+        active = Map.empty
+      } else {
+        val nextActive = levelSplits.keysIterator
+          .flatMap(n => Iterator(2 * n, 2 * n + 1))
+          .toSeq.sorted.zipWithIndex.toMap
+        val ls = levelSplits.toMap
+        rows = rows.flatMap { case (node, b, g, h) =>
+          ls.get(node) match {
+            case Some(sp) =>
+              val bi = b(sp.feature).toInt
+              val left =
+                if (sp.isCat) sp.leftCatSet.contains(bi)
+                else if (bi == 0) sp.defaultLeft
+                else bi <= sp.thresholdBin
+              Iterator(((if (left) 2 * node else 2 * node + 1), b, g, h))
+            case None => Iterator.empty // row reached a finished leaf
+          }
+        }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        prev.unpersist(blocking = false)
+        prev = rows
+        active = nextActive
+      }
+      depth += 1
+    }
+    prev.unpersist(blocking = false)
+    Tree(splits.toMap, leaves.toMap)
+  }
+
+  private def bestSplit(stats: Array[Double], base: Int, bins: Bins,
+      tG: Double, tH: Double, tN: Double, lambda: Double,
+      minData: Long, minGain: Double): Option[Split] = {
+    val parentScore = tG * tG / (tH + lambda)
+    var best: Split = null
+    var bestGain = math.max(minGain, 1e-12)
+    var f = 0
+    while (f < bins.numFeatures) {
+      val nb = bins.numBins(f)
+      val off = base + bins.offsets(f)
+      def g(b: Int) = stats((off + b) * 3)
+      def h(b: Int) = stats((off + b) * 3 + 1)
+      def n(b: Int) = stats((off + b) * 3 + 2)
+      def tryGain(gl: Double, hl: Double, nl: Double): Double = {
+        val gr = tG - gl; val hr = tH - hl; val nr = tN - nl
+        if (nl < minData || nr < minData) Double.NegativeInfinity
+        else gl * gl / (hl + lambda) + gr * gr / (hr + lambda) - parentScore
+      }
+      if (bins.isCat(f)) {
+        // LightGBM's many-vs-many: categories (incl. missing code 0)
+        // sorted by Σg/Σh, prefix scan — the prefix IS the left set
+        val present = (0 until nb).filter(b => n(b) > 0)
+        if (present.length >= 2) {
+          val sorted = present.sortBy(b => g(b) / (h(b) + lambda))
+          var gl = 0.0; var hl = 0.0; var nl = 0.0
+          var p = 0
+          while (p < sorted.length - 1) {
+            val b = sorted(p)
+            gl += g(b); hl += h(b); nl += n(b)
+            val gain = tryGain(gl, hl, nl)
+            if (gain > bestGain) {
+              bestGain = gain
+              val leftCats = sorted.take(p + 1).toArray
+              best = Split(f, -1, Double.NaN, isCat = true, leftCats,
+                defaultLeft = leftCats.contains(0), gain)
+            }
+            p += 1
+          }
+        }
+      } else if (nb >= 3) {
+        val g0 = g(0); val h0 = h(0); val n0 = n(0)
+        var gl = 0.0; var hl = 0.0; var nl = 0.0
+        var sb = 1
+        while (sb < nb - 1) {
+          gl += g(sb); hl += h(sb); nl += n(sb)
+          // missing-right
+          val gainR = tryGain(gl, hl, nl)
+          if (gainR > bestGain) {
+            bestGain = gainR
+            best = Split(f, sb, bins.edges(f)(sb - 1), isCat = false,
+              Array.empty, defaultLeft = false, gainR)
+          }
+          // missing-left (only differs when missing rows exist)
+          if (n0 > 0) {
+            val gainL = tryGain(gl + g0, hl + h0, nl + n0)
+            if (gainL > bestGain) {
+              bestGain = gainL
+              best = Split(f, sb, bins.edges(f)(sb - 1), isCat = false,
+                Array.empty, defaultLeft = true, gainL)
+            }
+          }
+          sb += 1
+        }
+      }
+      f += 1
+    }
+    Option(best)
+  }
+
+  // ── serialization: line-based, one node per line ──────────────────
+  // S <node> <feature> <thresholdBin> <threshold> <isCat> <defaultLeft> <cats csv or ->
+  // L <node> <value>
+
+  def serialize(t: Tree): String = {
+    val sb = new StringBuilder
+    t.splits.toSeq.sortBy(_._1).foreach { case (node, s) =>
+      val cats = if (s.leftCats.isEmpty) "-" else s.leftCats.mkString(",")
+      sb.append(s"S $node ${s.feature} ${s.thresholdBin} ${s.threshold} " +
+        s"${s.isCat} ${s.defaultLeft} $cats\n")
+    }
+    t.leafValue.toSeq.sortBy(_._1).foreach { case (node, v) =>
+      sb.append(s"L $node $v\n")
+    }
+    sb.result()
+  }
+
+  def deserialize(text: String): Tree = {
+    val splits = mutable.Map.empty[Int, Split]
+    val leaves = mutable.Map.empty[Int, Double]
+    text.linesIterator.filter(_.nonEmpty).foreach { line =>
+      val p = line.split(' ')
+      p(0) match {
+        case "S" =>
+          val cats =
+            if (p(7) == "-") Array.empty[Int]
+            else p(7).split(',').map(_.toInt)
+          splits(p(1).toInt) = Split(p(2).toInt, p(3).toInt, p(4).toDouble,
+            p(5).toBoolean, cats, p(6).toBoolean, 0.0)
+        case "L" => leaves(p(1).toInt) = p(2).toDouble
+        case other => sys.error(s"bad hist-tree line tag: $other")
+      }
+    }
+    Tree(splits.toMap, leaves.toMap)
+  }
+}

@@ -26,9 +26,17 @@ import org.apache.spark.sql.functions._
   * (one grouped agg over the train rows per stage; the leaf routing
   * comes from the model's native `leafCol`, so no re-walk of the tree).
   * F steps by `stepSize · γ(leaf(x))` and predictions are μ = exp(F),
-  * matching LightGBM's log-link output scale. Remaining divergence
-  * narrows to histogram split finding and split-gain criteria — both
-  * golden-tested, never oracle-hashed (SURVEY §5.3).
+  * matching LightGBM's log-link output scale.
+  *
+  * With `Params.histogram = true` the per-stage trees come from
+  * [[HistTree]] instead of Spark ML — LightGBM-parity HISTOGRAM split
+  * finding plus PER-SPLIT LEARNED MISSING-VALUE ROUTING over real NaNs
+  * (assemble with `missingAsNaN = true`; M5's lag/rolling warm-up rows
+  * are null by construction, so this touches real data). That closes
+  * the r11 verdict's two remaining fitter divergences; what's left is
+  * growth order (level-wise here vs LightGBM's leaf-wise `num_leaves`)
+  * — golden-tested, never oracle-hashed (SURVEY §5.3), with the
+  * forecast delta measured on the golden fixture in M5TweedieSpec.
   *
   * Eval-set early stopping (the reference's `early_stopping_rounds=10`,
   * pipeline.py:262-265) is native here: validation rows (`validCol`)
@@ -54,7 +62,13 @@ object TweedieGbt {
       subsamplingRate: Double = 1.0,
       earlyStoppingRounds: Int = 10,
       checkpointInterval: Int = 10,
-      seed: Long = 42L) {
+      seed: Long = 42L,
+      // opt-in LightGBM-parity tree fitter: histogram split finding +
+      // per-split learned missing-value routing (HistTree); assemble
+      // the features with missingAsNaN = true on this path
+      histogram: Boolean = false,
+      histMaxBins: Int = 255,
+      minDataInLeaf: Int = 20) {
     require(variancePower > 1.0 && variancePower < 2.0,
       s"variancePower must be in (1,2) for compound-Poisson Tweedie: $variancePower")
   }
@@ -67,42 +81,75 @@ object TweedieGbt {
       case Some(s) => s.toString.toDouble
       case None => dflt
     }
+    val hist = p.get("histogram").exists(v =>
+      v.toString.equalsIgnoreCase("true") || v.toString == "1")
     Params(
       maxIter = num("n_estimators", 100).toInt,
       stepSize = num("learning_rate", 0.1),
-      maxDepth = math.min(num("max_depth", 5).toInt, 30),
+      maxDepth = math.min(num("max_depth", 5).toInt, 20),
       variancePower = num("tweedie_variance_power", 1.1),
       subsamplingRate = num("subsample", 1.0),
-      earlyStoppingRounds = num("early_stopping_rounds", 10).toInt)
+      earlyStoppingRounds = num("early_stopping_rounds", 10).toInt,
+      histogram = hist,
+      histMaxBins = num("max_bin", 255).toInt,
+      minDataInLeaf = num("min_child_samples", 20).toInt)
   }
 
   /** One boosting stage: the fitted tree (used only for its leaf
     * ROUTING at apply time) + the Newton-refitted value per leaf id. */
+  sealed trait BoostStage { def leafValues: Map[Double, Double] }
+
   final case class Stage(
       tree: DecisionTreeRegressionModel,
-      leafValues: Map[Double, Double])
+      leafValues: Map[Double, Double]) extends BoostStage
+
+  /** Histogram-fitter stage (LightGBM parity path): the [[HistTree]]
+    * structure routes rows — including per-split learned missing
+    * directions — and `leafValues` carries the Newton-refit values
+    * keyed by leaf node id. */
+  final case class HistStage(
+      tree: HistTree.Tree,
+      leafValues: Map[Double, Double]) extends BoostStage
 
   final case class Model(
       f0: Double,
       stepSize: Double,
       variancePower: Double,
-      stages: Seq[Stage],
+      stages: Seq[BoostStage],
       validDeviances: Seq[Double]) {
 
+    /** True when this model was fit with the histogram path — its
+      * input must then be assembled with `missingAsNaN = true` so the
+      * learned default directions see real missing values. */
+    def isHistogram: Boolean = stages.exists(_.isInstanceOf[HistStage])
+
     /** μ = exp(f0 + lr·Σ γₖ(leafₖ(x))) appended as `predCol`. Each stage
-      * is one ML transform (leaf routing) + a broadcast-literal map
-      * lookup; the additive F column stays narrow (no shuffle). */
+      * is one leaf routing (ML transform or HistTree walk) + a
+      * broadcast-literal map lookup; the additive F column stays
+      * narrow (no shuffle). */
     def transform(assembled: DataFrame, predCol: String): DataFrame = {
       import org.apache.spark.sql.functions.typedLit
       val withF = stages.zipWithIndex.foldLeft(
-        assembled.withColumn("__F", lit(f0))) { case (acc, (st, i)) =>
-        val t = st.tree.setPredictionCol(s"__h$i").setLeafCol(s"__leaf$i")
-        t.transform(acc)
-          .withColumn("__F", col("__F") + lit(stepSize) *
-            coalesce(
-              element_at(typedLit(st.leafValues), col(s"__leaf$i")),
-              col(s"__h$i"))) // unreachable in practice: every leaf is refit
-          .drop(s"__h$i", s"__leaf$i")
+        assembled.withColumn("__F", lit(f0))) {
+        case (acc, (st: Stage, i)) =>
+          val t = st.tree.setPredictionCol(s"__h$i").setLeafCol(s"__leaf$i")
+          t.transform(acc)
+            .withColumn("__F", col("__F") + lit(stepSize) *
+              coalesce(
+                element_at(typedLit(st.leafValues), col(s"__leaf$i")),
+                col(s"__h$i"))) // unreachable in practice: every leaf is refit
+            .drop(s"__h$i", s"__leaf$i")
+        case (acc, (st: HistStage, i)) =>
+          val t = st.tree
+          val leafU = udf((v: org.apache.spark.ml.linalg.Vector) =>
+            t.leafOfVector(v).toDouble)
+          val own = typedLit(t.leafValue.map { case (k, v) => k.toDouble -> v })
+          acc.withColumn(s"__leaf$i", leafU(col("features")))
+            .withColumn("__F", col("__F") + lit(stepSize) *
+              coalesce(
+                element_at(typedLit(st.leafValues), col(s"__leaf$i")),
+                element_at(own, col(s"__leaf$i"))))
+            .drop(s"__leaf$i")
       }
       withF.withColumn(predCol, exp(col("__F"))).drop("__F")
     }
@@ -111,14 +158,21 @@ object TweedieGbt {
       val p = java.nio.file.Paths.get(dir)
       java.nio.file.Files.createDirectories(p)
       stages.zipWithIndex.foreach { case (st, i) =>
-        st.tree.write.overwrite().save(s"$dir/tree_$i")
+        st match {
+          case s: Stage =>
+            s.tree.write.overwrite().save(s"$dir/tree_$i")
+          case s: HistStage =>
+            java.nio.file.Files.writeString(p.resolve(s"hist_$i.txt"),
+              HistTree.serialize(s.tree))
+        }
         val entries = st.leafValues.toSeq.sortBy(_._1)
           .map { case (k, v) => s"[$k,$v]" }.mkString(",")
         java.nio.file.Files.writeString(p.resolve(s"leaves_$i.json"),
           s"[$entries]")
       }
       java.nio.file.Files.writeString(p.resolve("meta.json"),
-        s"""{"f0":$f0,"stepSize":$stepSize,"variancePower":$variancePower,"numTrees":${stages.size}}""")
+        s"""{"f0":$f0,"stepSize":$stepSize,"variancePower":$variancePower,""" +
+          s""""numTrees":${stages.size},"histogram":${if (isHistogram) 1 else 0}}""")
     }
   }
 
@@ -132,10 +186,15 @@ object TweedieGbt {
     val stages = (0 until n).map { i =>
       val leaves = java.nio.file.Files.readString(
         java.nio.file.Paths.get(dir, s"leaves_$i.json"))
-      Stage(
-        DecisionTreeRegressionModel.load(s"$dir/tree_$i"),
-        pair.findAllMatchIn(leaves)
-          .map(m => m.group(1).toDouble -> m.group(2).toDouble).toMap)
+      val leafValues = pair.findAllMatchIn(leaves)
+        .map(m => m.group(1).toDouble -> m.group(2).toDouble).toMap
+      val histPath = java.nio.file.Paths.get(dir, s"hist_$i.txt")
+      if (java.nio.file.Files.exists(histPath))
+        HistStage(
+          HistTree.deserialize(java.nio.file.Files.readString(histPath)),
+          leafValues)
+      else
+        Stage(DecisionTreeRegressionModel.load(s"$dir/tree_$i"), leafValues)
     }
     Model(field("f0"), field("stepSize"), field("variancePower"), stages, Nil)
   }
@@ -186,9 +245,22 @@ object TweedieGbt {
       (32 +: arities).max
     }
 
-    var cur = base0.withColumn("__F", lit(f0)).localCheckpoint(true)
+    // histogram path: build the bin dictionary once from the TRAIN
+    // rows and attach a compact binned column — every round's tree
+    // fit reuses it (LightGBM bins once per dataset, not per tree)
+    val histBins =
+      if (params.histogram)
+        Some(HistTree.buildBins(base0.filter(!col("__valid")), "features",
+          maxBins = params.histMaxBins, seed = params.seed))
+      else None
+    val base1 = histBins match {
+      case Some(hb) =>
+        base0.withColumn("__bins", HistTree.binColumn(hb, "features"))
+      case None => base0
+    }
+    var cur = base1.withColumn("__F", lit(f0)).localCheckpoint(true)
     var best = (Double.MaxValue, 0) // (valid deviance, round)
-    val stages = scala.collection.mutable.ArrayBuffer.empty[Stage]
+    val stages = scala.collection.mutable.ArrayBuffer.empty[BoostStage]
     val validDev = scala.collection.mutable.ArrayBuffer.empty[Double]
     val hasValid = !cur.filter(col("__valid")).isEmpty
 
@@ -204,33 +276,60 @@ object TweedieGbt {
           fitRows0.sample(withReplacement = false,
             params.subsamplingRate, params.seed + round)
         else fitRows0
-      val tree = new DecisionTreeRegressor()
-        .setFeaturesCol("features").setLabelCol("__r")
-        .setPredictionCol("__h")
-        .setMaxDepth(params.maxDepth)
-        .setMaxBins(maxBins)
-        .setSeed(params.seed + round)
-        .fit(fitRows)
+      val hess =
+        lit(p - 1) * col("__y") * exp(lit(1 - p) * col("__F")) +
+        lit(2 - p) * exp(lit(2 - p) * col("__F"))
 
       // Newton leaf refit (LightGBM's second-order step): route every
       // TRAIN row to its leaf, then γ_leaf = Σ resid / (Σ hess + λ).
       // One grouped agg of leaf cardinality (≤ 2^maxDepth rows out) —
       // map-side combinable, no data-size-proportional driver state.
-      val routed = tree.setLeafCol("__leaf").transform(fitRows0)
-        .withColumn("__hess",
-          lit(p - 1) * col("__y") * exp(lit(1 - p) * col("__F")) +
-          lit(2 - p) * exp(lit(2 - p) * col("__F")))
-      val leafValues = routed.groupBy(col("__leaf"))
-        .agg((sum(col("__r")) / (sum(col("__hess")) + lit(1e-6))).as("__g"))
-        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
-      val stage = Stage(tree, leafValues)
-      stages += stage
+      def refit(routed: DataFrame): Map[Double, Double] =
+        routed.groupBy(col("__leaf"))
+          .agg((sum(col("__r")) / (sum(col("__hess")) + lit(1e-6))).as("__g"))
+          .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
 
-      val gammaMap = org.apache.spark.sql.functions.typedLit(leafValues)
-      val next0 = tree.setLeafCol("__leaf").transform(cur)
-        .withColumn("__F", col("__F") + lit(params.stepSize) *
-          coalesce(element_at(gammaMap, col("__leaf")), col("__h")))
-        .drop("__h", "__leaf")
+      val next0 = histBins match {
+        case None =>
+          val tree = new DecisionTreeRegressor()
+            .setFeaturesCol("features").setLabelCol("__r")
+            .setPredictionCol("__h")
+            .setMaxDepth(params.maxDepth)
+            .setMaxBins(maxBins)
+            .setSeed(params.seed + round)
+            .fit(fitRows)
+          val leafValues = refit(
+            tree.setLeafCol("__leaf").transform(fitRows0)
+              .withColumn("__hess", hess))
+          stages += Stage(tree, leafValues)
+          val gammaMap = org.apache.spark.sql.functions.typedLit(leafValues)
+          tree.setLeafCol("__leaf").transform(cur)
+            .withColumn("__F", col("__F") + lit(params.stepSize) *
+              coalesce(element_at(gammaMap, col("__leaf")), col("__h")))
+            .drop("__h", "__leaf")
+        case Some(hb) =>
+          // LightGBM-parity fitter: histogram split finding with
+          // per-split learned missing routing, on the pre-binned rows
+          val tree = HistTree.fit(
+            fitRows.withColumn("__hess", hess),
+            "__bins", "__r", "__hess", hb,
+            maxDepth = params.maxDepth, lambda = 1e-6,
+            minData = params.minDataInLeaf.toLong, minGain = 0.0)
+          val leafU = udf((b: scala.collection.Seq[Short]) =>
+            tree.leafOfBins(b.toArray).toDouble)
+          val leafValues = refit(
+            fitRows0.withColumn("__leaf", leafU(col("__bins")))
+              .withColumn("__hess", hess))
+          stages += HistStage(tree, leafValues)
+          val gammaMap = org.apache.spark.sql.functions.typedLit(leafValues)
+          val own = org.apache.spark.sql.functions.typedLit(
+            tree.leafValue.map { case (k, v) => k.toDouble -> v })
+          cur.withColumn("__leaf", leafU(col("__bins")))
+            .withColumn("__F", col("__F") + lit(params.stepSize) *
+              coalesce(element_at(gammaMap, col("__leaf")),
+                element_at(own, col("__leaf"))))
+            .drop("__leaf")
+      }
       // cut lineage periodically (GBT's checkpointInterval cadence);
       // plain persist in between keeps each round one stage deep
       val next =

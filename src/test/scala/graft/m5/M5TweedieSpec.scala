@@ -23,7 +23,8 @@ class M5TweedieSpec extends SparkSpec {
     d
   }
 
-  private def pipeline(objective: Option[String]): (M5Pipeline, String) = {
+  private def pipeline(objective: Option[String],
+      histogram: Boolean = false): (M5Pipeline, String) = {
     val outDir = Files.createTempDirectory("m5out-tw").toString
     val base = MiniM5Fixture.config(inputDir, outDir)
     val lgb = new java.util.HashMap[String, Object](
@@ -33,6 +34,10 @@ class M5TweedieSpec extends SparkSpec {
       lgb.put("n_estimators", Int.box(8))
       lgb.put("early_stopping_rounds", Int.box(8))
       lgb.put("tweedie_variance_power", Double.box(1.1))
+    }
+    if (histogram) {
+      lgb.put("histogram", "true")
+      lgb.put("min_child_samples", Int.box(5)) // mini-fixture scale
     }
     val cfg = base.updated("lgb_params", lgb: Object)
     (new M5Pipeline(spark, YamlConfig.fromMap(cfg)), outDir)
@@ -76,5 +81,41 @@ class M5TweedieSpec extends SparkSpec {
     assert(mad > 1e-6, "objectives cannot be identical on this data")
     assert(mad < 10 * math.max(meanSq.abs, 1.0),
       s"tweedie forecasts are on the wrong scale: mean|Δ|=$mad vs level $meanSq")
+  }
+
+  test("histogram fitter (LightGBM split finding + learned missing routing) runs the DAG; delta vs sentinel path measured") {
+    val (hist, histOut) = pipeline(Some("tweedie"), histogram = true)
+    val report = hist.run(log = _ => ())
+    assert(report.ran.size == 23, report.ran.mkString(", "))
+    val preds = spark.read.parquet(s"$histOut/predictions.parquet")
+    assert(preds.count() == 2 * 6 * 7 * 2)
+    assert(preds.filter(col("pred_units_sold") <= 0).isEmpty,
+      "tweedie predictions must be strictly positive")
+
+    // ── missing-routing + histogram-split delta study (VERDICT r11
+    // item 6): same objective, same trees-count — the only change is
+    // the fitter (sentinel-imputed Spark ML splits vs histogram splits
+    // with per-split learned missing directions over the REAL NaNs the
+    // M5 lag/rolling warm-up rows carry) ───────────────────────────
+    val (tw, twOut) = pipeline(Some("tweedie"))
+    tw.run(log = _ => ())
+    val sentinel = spark.read.parquet(s"$twOut/predictions.parquet")
+      .withColumnRenamed("pred_units_sold", "pred_sent")
+    val joined = preds.join(sentinel, Seq("id", "date", "pred_date"))
+    assert(joined.count() == preds.count(), "prediction grids must align")
+    val row = joined.agg(
+      avg(abs(col("pred_units_sold") - col("pred_sent"))).as("mad"),
+      avg(col("pred_units_sold")).as("mean_hist"),
+      avg(col("pred_sent")).as("mean_sent")).head()
+    val (mad, meanH, meanS) = (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+    info(f"forecast delta histogram-vs-sentinel fitter: mean|Δ|=$mad%.4f, " +
+      f"mean(hist)=$meanH%.4f, mean(sentinel)=$meanS%.4f, " +
+      f"relative=${mad / math.max(meanS.abs, 1e-9)}%.3f")
+    // the fitters must stay on the same scale (same objective, same
+    // link); a zero delta would mean the missing routing and binned
+    // splits changed nothing — possible in principle, so only the
+    // scale bound is asserted, the delta itself is the reported number
+    assert(mad < 10 * math.max(meanS.abs, 1.0),
+      s"histogram forecasts on the wrong scale: mean|Δ|=$mad vs level $meanS")
   }
 }

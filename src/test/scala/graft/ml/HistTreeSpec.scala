@@ -1,0 +1,155 @@
+package graft.ml
+
+import org.apache.spark.ml.attribute.NominalAttribute
+import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** HistTree — the LightGBM-parity histogram fitter. Hand-built cases
+  * pin the three behaviors Spark ML's trees cannot express: learned
+  * per-split missing routing (both directions), many-vs-many
+  * categorical splits, and binned threshold placement. */
+class HistTreeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def frame(rows: Seq[(Vector, Double, Double)]): DataFrame =
+    rows.toDF("features", "__g", "__h")
+
+  private def binned(df: DataFrame, bins: HistTree.Bins): DataFrame =
+    df.withColumn("__bins", HistTree.binColumn(bins, "features"))
+
+  test("numeric split lands between the two value clusters; leaves are the Newton step") {
+    // feature 0 separates g perfectly: v<=2 -> g=+1, v>=10 -> g=-1
+    val rows = (1 to 8).map { i =>
+      if (i <= 4) (Vectors.dense(i % 2 + 1.0), 1.0, 1.0)
+      else (Vectors.dense(10.0 + i % 2), -1.0, 1.0)
+    }
+    val df = frame(rows)
+    val bins = HistTree.buildBins(df, "features", maxBins = 16)
+    val tree = HistTree.fit(binned(df, bins), "__bins", "__g", "__h", bins,
+      maxDepth = 2, lambda = 0.0, minData = 1)
+    val s = tree.splits(1)
+    assert(!s.isCat && s.feature == 0, s"got $s")
+    assert(s.threshold > 2.0 && s.threshold < 10.0, s"threshold ${s.threshold}")
+    // left leaf: 4 rows g=+1,h=1 -> 4/4 = 1; right: -1
+    assert(tree.valueOfVector(Vectors.dense(1.5)) == 1.0)
+    assert(tree.valueOfVector(Vectors.dense(11.0)) == -1.0)
+  }
+
+  test("missing routing is LEARNED per split, both directions") {
+    // NaN rows share the POSITIVE cluster's gradient -> best gain sends
+    // missing left (with the positive side at low values)
+    def data(nanG: Double) =
+      (1 to 6).map(i => (Vectors.dense(1.0 + i % 2), 1.0, 1.0)) ++
+      (1 to 6).map(i => (Vectors.dense(10.0 + i % 2), -1.0, 1.0)) ++
+      (1 to 4).map(_ => (Vectors.dense(Double.NaN), nanG, 1.0))
+    val dfL = frame(data(1.0))
+    val binsL = HistTree.buildBins(dfL, "features", maxBins = 16)
+    val tL = HistTree.fit(binned(dfL, binsL), "__bins", "__g", "__h", binsL,
+      maxDepth = 1, lambda = 0.0, minData = 1)
+    assert(tL.splits(1).defaultLeft, s"missing should join the low/positive side: ${tL.splits(1)}")
+    assert(tL.valueOfVector(Vectors.dense(Double.NaN)) ==
+      tL.valueOfVector(Vectors.dense(1.0)))
+
+    val dfR = frame(data(-1.0))
+    val binsR = HistTree.buildBins(dfR, "features", maxBins = 16)
+    val tR = HistTree.fit(binned(dfR, binsR), "__bins", "__g", "__h", binsR,
+      maxDepth = 1, lambda = 0.0, minData = 1)
+    assert(!tR.splits(1).defaultLeft, s"missing should join the high/negative side: ${tR.splits(1)}")
+    assert(tR.valueOfVector(Vectors.dense(Double.NaN)) ==
+      tR.valueOfVector(Vectors.dense(11.0)))
+  }
+
+  test("categorical split is many-vs-many: non-contiguous codes group by gradient") {
+    // codes 1 and 3 share g=+1, code 2 has g=-1 — an ordinal split
+    // (code <= t) cannot isolate {1,3}; the sorted-prefix scan can
+    val rows = (1 to 6).map(i => (Vectors.dense((i % 2) * 2 + 1.0), 1.0, 1.0)) ++
+      (1 to 6).map(_ => (Vectors.dense(2.0), -1.0, 1.0))
+    val meta = NominalAttribute.defaultAttr
+      .withName("c").withNumValues(4).toMetadata()
+    val df = rows.toDF("features", "__g", "__h")
+      .select(col("features").as("features", {
+        val ag = new org.apache.spark.ml.attribute.AttributeGroup("features",
+          Array[org.apache.spark.ml.attribute.Attribute](
+            NominalAttribute.defaultAttr.withName("c").withNumValues(4)))
+        ag.toMetadata()
+      }), col("__g"), col("__h"))
+    val bins = HistTree.buildBins(df, "features", maxBins = 16)
+    assert(bins.isCat(0) && bins.numBins(0) == 4, s"got ${bins.isCat.toSeq} ${bins.numBins.toSeq}")
+    val tree = HistTree.fit(binned(df, bins), "__bins", "__g", "__h", bins,
+      maxDepth = 1, lambda = 0.0, minData = 1)
+    val s = tree.splits(1)
+    assert(s.isCat, s"got $s")
+    val left = s.leftCats.toSet
+    assert(left == Set(1, 3) || left == Set(2), s"got $left")
+    assert(tree.valueOfVector(Vectors.dense(1.0)) ==
+      tree.valueOfVector(Vectors.dense(3.0)))
+    assert(tree.valueOfVector(Vectors.dense(1.0)) !=
+      tree.valueOfVector(Vectors.dense(2.0)))
+    // code 0 never occurred in training, so it cannot be in leftCats —
+    // it routes to the complement ("other") side, LightGBM's rule
+    assert(!left.contains(0))
+    val otherSide =
+      if (left.contains(2)) tree.valueOfVector(Vectors.dense(1.0))
+      else tree.valueOfVector(Vectors.dense(2.0))
+    assert(tree.valueOfVector(Vectors.dense(0.0)) == otherSide)
+  }
+
+  test("serialize/deserialize round-trips structure and routing") {
+    val rows = (1 to 6).map(i => (Vectors.dense(1.0 + i % 2, i.toDouble), 1.0, 1.0)) ++
+      (1 to 6).map(i => (Vectors.dense(10.0 + i % 2, i.toDouble), -1.0, 1.0)) ++
+      (1 to 2).map(_ => (Vectors.dense(Double.NaN, 3.0), 1.0, 1.0))
+    val df = frame(rows)
+    val bins = HistTree.buildBins(df, "features", maxBins = 8)
+    val tree = HistTree.fit(binned(df, bins), "__bins", "__g", "__h", bins,
+      maxDepth = 3, lambda = 1e-6, minData = 1)
+    val back = HistTree.deserialize(HistTree.serialize(tree))
+    assert(back.leafValue == tree.leafValue)
+    assert(back.splits.keySet == tree.splits.keySet)
+    for (v <- Seq(Vectors.dense(1.0, 2.0), Vectors.dense(11.0, 5.0),
+        Vectors.dense(Double.NaN, 3.0)))
+      assert(back.leafOfVector(v) == tree.leafOfVector(v), s"route differs at $v")
+  }
+
+  test("TweedieGbt histogram path: fit, missing-aware forecasts, save/load parity") {
+    // intermittent-demand shape: y depends on feature 0; feature 1 is
+    // null (NaN) on a warm-up slice whose y behaves like the HIGH group
+    val rows = (0 until 200).map { i =>
+      val x0 = (i % 10).toDouble
+      val warm = i % 5 == 0
+      val x1 = if (warm) Double.NaN else (i % 7).toDouble
+      val y = if (x0 >= 5 || warm) 4.0 + (i % 3) else 0.4 * (i % 2)
+      (x0, x1, y, i % 11 == 0) // ~9% validation
+    }
+    val df = rows.toDF("x0", "x1", "y", "valid")
+      .withColumn("x1", when(isnan(col("x1")), lit(null)).otherwise(col("x1")))
+    val assembled = Gbt.assemble(df, Seq("x0", "x1"), Map.empty,
+      missingAsNaN = true)
+    val params = TweedieGbt.Params(maxIter = 6, maxDepth = 3,
+      histogram = true, minDataInLeaf = 2)
+    val model = TweedieGbt.fit(assembled, "features", "y", "valid", params)
+    assert(model.isHistogram && model.stages.nonEmpty)
+    val preds = model.transform(assembled, "mu")
+    assert(preds.filter(col("mu") <= 0).isEmpty, "log link must keep mu > 0")
+    // the fitted trees must separate the regimes: mean prediction on
+    // the high group strictly above the low group
+    val m = preds.agg(
+      avg(when(col("y") >= 4, col("mu"))),
+      avg(when(col("y") < 1, col("mu")))).head()
+    assert(m.getDouble(0) > 2 * m.getDouble(1),
+      s"regimes not separated: $m")
+    // save/load: identical forecasts
+    val dir = java.nio.file.Files.createTempDirectory("histgbt").toString
+    model.save(dir)
+    val loaded = TweedieGbt.load(spark, dir)
+    assert(loaded.isHistogram)
+    val p2 = loaded.transform(assembled, "mu2")
+    val joined = preds.select(col("x0"), col("x1"), col("y"), col("mu"))
+      .join(p2.select(col("x0"), col("x1"), col("y"), col("mu2")),
+        Seq("x0", "x1", "y"))
+    assert(joined.filter(abs(col("mu") - col("mu2")) > 1e-12).isEmpty,
+      "loaded model must reproduce forecasts exactly")
+  }
+}
