@@ -1260,7 +1260,8 @@ object Dedup {
       pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20,
       scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged,
-      shortcutAfter: Int = -1): DataFrame = {
+      shortcutAfter: Int = -1,
+      onRound: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
     // High-diameter guard (pointer-jump fallback): min-label delta
     // iteration needs rounds = component diameter — right for near-dup
     // graphs (diameter 1-3) but an accidental power-law/path input
@@ -1360,8 +1361,26 @@ object Dedup {
       else checkpointFile(checkpointed).foreach(deleteCheckpointFile)
       checkpointed = cutNext
       frontier = cutNext.filter(col("__chg")).select(col("node"), col("label"))
-      converged = frontier.limit(1).count() == 0
+      // full frontier count (over the just-cut cached table — cheap):
+      // drives convergence, the telemetry hook, and the pre-exhaustion
+      // advisory below; healthy near-dup graphs converge in 2-3 rounds
+      // and never see the warning
+      val frontierN = frontier.count()
+      converged = frontierN == 0
       round += 1
+      onRound(round, frontierN)
+      // ADVISE before the hard refusal (r8/r11 stretch): a frontier
+      // still live at 3/4 of the budget — with the pointer jump already
+      // engaged — means the input is a pathological high-diameter
+      // graph, not a near-dup cluster set; tell the operator NOW so
+      // maxIter can be raised (or the graph inspected) before the
+      // refusal, instead of discovering it at round maxIter
+      if (!converged && maxIter >= 4 && round == (maxIter * 3) / 4)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"connectedComponents at round $round of $maxIter with " +
+            s"$frontierN labels still moving (pointer-jump engaged at " +
+            s"round $jumpFrom) — high-diameter input; expect rounds ≈ " +
+            s"$jumpFrom + log2(diameter), raise maxIter if this refuses")
     }
     // silent truncation would mean silently WRONG clusters (one real
     // component reported as several, duplicates kept) — refuse instead;

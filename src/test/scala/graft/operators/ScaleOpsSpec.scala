@@ -138,10 +138,20 @@ class ScaleOpsSpec extends SparkSpec {
     val n = 200L
     val nodes = (0L until n).toDF("id")
     val path = (0L until n - 1).map(i => (i, i + 1)).toDF("a", "b")
-    val out = Dedup.connectedComponents(nodes, "id", path, "a", "b")
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    val out = Dedup.connectedComponents(nodes, "id", path, "a", "b",
+        onRound = (r, f) => rounds += ((r, f)))
       .as[(Long, Long)].collect()
     assert(out.length == n && out.forall(_._2 == 0L),
       "every node of the path must join the min-label component")
+    // telemetry: one entry per round, frontier reaches zero exactly at
+    // the last round, and the advisory window (round >= 3/4 budget)
+    // still saw a live frontier — the pre-exhaustion warning path the
+    // operator logs for high-diameter inputs
+    assert(rounds.nonEmpty && rounds.last._2 == 0L, s"got $rounds")
+    assert(rounds.init.forall(_._2 > 0L), s"frontier died early: $rounds")
+    assert(rounds.exists { case (r, f) => r >= 15 && f > 0L },
+      s"the long path must still be converging inside the advisory window: $rounds")
     // same guard on the refusal path: an absurdly small budget still
     // refuses rather than truncating (fallback or not)
     val e = intercept[IllegalStateException] {
