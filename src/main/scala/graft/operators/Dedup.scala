@@ -198,6 +198,45 @@ object Dedup {
     jaccard(sh, pairs, minJaccard = threshold).where(col("jac") >= threshold)
   }
 
+  /** X151 — CONTAINMENT pairs (asymmetric near-dup): directed (a, b)
+    * where `|Sa ∩ Sb| / |Sa| >= threshold` over distinct word
+    * shingles — catches a document CONTAINED in another (quotes,
+    * boilerplate-wrapped reposts, chapter-in-book) that symmetric
+    * Jaccard misses: a 100-word quote inside a 10k-word page has
+    * Jaccard ≈ 0.01 but containment ≈ 1.0. The directed complement of
+    * [[ngramJaccardPairs]], sharing its machinery: candidates from
+    * the shared-shingle inverted index (optionally DF-capped — at
+    * production scale set `maxShingleDf` so stop-shingles don't
+    * quadratically explode the candidate join), intersection = one
+    * (a,b) count over distinct shared hashes, then one |Sa| join.
+    * Both directions emit independently with their own score. */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.8,
+      maxShingleDf: Int = 0,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val sh = scope.persist(shingleHashes(df, idCol, textCol, shingleSize))
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val candSh =
+      if (maxShingleDf <= 0) sh
+      else sh.join(
+        sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .where(col("df") <= maxShingleDf).select("h"),
+        Seq("h"), "left_semi")
+    val la = candSh.select(col("doc").as("a"), col("h"))
+    val rb = candSh.select(col("doc").as("b"), col("h"))
+    la.join(rb, Seq("h")).where(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc").as("a"), col("sz").as("sz_a")), Seq("a"))
+      .withColumn("containment",
+        round((col("shared").cast("double") / col("sz_a")).cast(stable), 4)
+          .cast("double"))
+      .where(col("containment") >= threshold)
+      .select(col("a"), col("b"), col("sz_a"), col("shared"),
+        col("containment"))
+  }
+
   /** SimHash fingerprint (30-bit): per token-occurrence hash, each bit
     * votes ±1; fingerprint bit j set iff the vote sum is positive. */
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 30): DataFrame = {

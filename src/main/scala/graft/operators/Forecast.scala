@@ -750,10 +750,12 @@ object Forecast {
     * year of dailies), never by row count; the per-key median is one
     * grouped exact percentile over those pairs. For multi-year windows
     * cap the span upstream or switch to the repeated-median variant.
-    * Slopes ROUND through DECIMAL(18,8) to 6 dp before the median
-    * (identical IEEE division both engines; the quantile interpolation
-    * then runs on identical inputs — the t38 parity). Keys with a
-    * single observed day have no pairs and no row.
+    * Slopes ROUND through DECIMAL(18,8) to 6 dp, then the per-key
+    * median comes from [[Profiling.groupedExactQuantiles]] — exact
+    * rank-arithmetic decimal interpolation, no float quantile kernel
+    * (the r12 migration; the old `percentile` parity was
+    * engine-version-sensitive). Keys with a single observed day have
+    * no pairs and no row.
     */
   def theilSenSlope(
       df: DataFrame,
@@ -764,20 +766,27 @@ object Forecast {
     val stable = org.apache.spark.sql.types.DecimalType(18, 8)
     val daily = df.select(col(keyCol).as("__k"), col(dateCol).as("__d"),
       col(valueCol).cast("double").as("__y"))
+    // the day gap is > 0 for every surviving row (a.__d < b.__d), but
+    // the division must still be guarded: the optimizer may evaluate
+    // this projection BEFORE the range predicate (observed live once
+    // the RDD-backed quantile path consumed `pairs`), and an ANSI
+    // divide-by-zero on an equal-date pair then kills the job
+    val dd = datediff(col("b.__d"), col("a.__d"))
     val pairs = daily.as("a").join(daily.as("b"),
         col("a.__k") === col("b.__k") && col("a.__d") < col("b.__d"))
       .select(col("a.__k").as("__k"),
-        round(((col("b.__y") - col("a.__y"))
-          / datediff(col("b.__d"), col("a.__d"))).cast(stable),
+        round(when(dd =!= 0,
+          (col("b.__y") - col("a.__y")) / dd).cast(stable),
           roundDigits).cast("double").as("__s"))
     val nDays = daily.groupBy(col("__k"))
       .agg(countDistinct(col("__d")).as("n_days"))
+    val med = Profiling.groupedExactQuantiles(pairs, Seq("__k"),
+      col("__s"), Seq("ts_slope" -> 0.5), roundDigits = roundDigits)
     pairs.groupBy(col("__k"))
-      .agg(count(lit(1)).as("n_pairs"),
-        round(percentile(col("__s"), lit(0.5)).cast(stable), roundDigits)
-          .cast("double").as("ts_slope"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .join(med, "__k")
       .join(nDays, "__k")
       .select(col("__k").as(keyCol), col("n_days"), col("n_pairs"),
-        col("ts_slope"))
+        col("ts_slope").cast("double").as("ts_slope"))
   }
 }

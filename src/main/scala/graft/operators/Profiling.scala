@@ -615,4 +615,34 @@ object Profiling {
             .cast(org.apache.spark.sql.types.DecimalType(18, 8)),
           roundDigits).cast("double").as("nmi"))
   }
+
+  /** X152 — foreign-key orphan audit: for one child→parent key pair,
+    * the row count, null-key count, orphan count (non-null child keys
+    * with NO parent) and orphan rate — the referential-integrity
+    * complement of [[validate]]'s per-row rule checks (a join that
+    * silently drops orphans is how fact tables lose revenue rows).
+    *
+    * One distinct-project of the parent key + one left join + one
+    * 1-row aggregate; `label` tags the pair so audits over a whole
+    * schema union cleanly.
+    */
+  def fkOrphans(
+      child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String,
+      label: String, roundDigits: Int = 6): DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val p = parent.select(col(parentKey).as("__pk")).distinct()
+    child.select(col(childKey).as("__ck"))
+      .join(p, col("__ck") === col("__pk"), "left")
+      .agg(
+        count(lit(1)).as("__rows"),
+        sum(col("__ck").isNull.cast("long")).as("__nulls"),
+        sum((col("__ck").isNotNull && col("__pk").isNull).cast("long"))
+          .as("__orph"))
+      .select(lit(label).as("fk"),
+        col("__rows").as("n_rows"), col("__nulls").as("n_null_keys"),
+        col("__orph").as("n_orphans"),
+        round((col("__orph").cast("double") / col("__rows")).cast(stable),
+          roundDigits).cast("double").as("orphan_rate"))
+  }
 }

@@ -321,4 +321,32 @@ object Retail {
       .orderBy(col("cosine").desc, col("item_a"), col("item_b"))
       .limit(topK)
   }
+
+  /** X153 — price-ending distribution: counts and shares of the CENTS
+    * ending (0–99) of a money column, with the charm-pricing flag
+    * (ending in 9) — the psychological-pricing / data-provenance
+    * screen: organic retail prices pile on .99/.49, synthetic or
+    * converted ones spread uniformly (the pricing cousin of
+    * [[graft.operators.Profiling.benford]]).
+    *
+    * Exact integer cents via the x144 money contract (quantize through
+    * DECIMAL(28,6) then ×100) — no float formatting anywhere; one
+    * counting aggregate to ≤100 rows, shares over a whole-relation
+    * window on that tiny table.
+    */
+  def priceEndings(df: DataFrame, priceCol: String,
+      roundDigits: Int = 6): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val cents = (F.round(col(priceCol).cast(dec), 2) * 100).cast("bigint")
+    val counted = df.filter(col(priceCol).isNotNull)
+      .select(F.pmod(cents, F.lit(100L)).as("ending"))
+      .groupBy(col("ending")).agg(F.count(F.lit(1)).as("n"))
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy()
+    counted.select(col("ending"), col("n"),
+      F.round((col("n").cast("double") / F.sum(col("n")).over(tot))
+        .cast(stable), roundDigits).cast("double").as("share"),
+      (F.pmod(col("ending"), F.lit(10L)) === 9).cast("long")
+        .as("is_charm"))
+  }
 }

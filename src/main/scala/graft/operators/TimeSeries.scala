@@ -1014,4 +1014,144 @@ object TimeSeries {
       r(when(col("__n") >= 2 && (sd + mean) > 0, (sd - mean) / (sd + mean)))
         .as("burstiness"))
   }
+
+  /** X147 — simple exponential smoothing per key:
+    * `S_t = α·y_t + β·S_{t−1}`, `S_1 = y_1` — the classic one-knob
+    * smoother whose last state IS the one-step-ahead forecast (the
+    * baseline every fancier model must beat; the reference's M5 family
+    * sits beside exactly this kind of statistical baseline).
+    *
+    * Cross-engine pattern (new in r12): an ORDERED-FOLD PARITY gate.
+    * The recursion is evaluated as one per-key left fold — Spark's
+    * `aggregate` higher-order function over the sorted value array ≡
+    * DuckDB's `list_reduce` over `list(... ORDER BY ...)`. Both
+    * engines fold left-to-right from the first element with the SAME
+    * lambda (`α·x + β·acc`, α and β shared shortest-round-trip double
+    * literals), so every intermediate S_t is the identical IEEE
+    * double — recursions that a window cannot express become exactly
+    * gateable. β is passed explicitly (1−α recomputed per engine
+    * could differ by an ulp; the caller-side Scala subtraction is
+    * done ONCE and shared as a literal).
+    *
+    * Scale: one grouped collect of the per-key series — bounded by
+    * the OBSERVATION WINDOW (days), never by row count (the
+    * kaplanMeier bounded-window argument); inputs quantize through
+    * DECIMAL(18,6) so both engines fold identical doubles.
+    */
+  def sesForecast(
+      df: DataFrame,
+      keyCol: String, orderCol: String, valueCol: String,
+      alpha: Double,
+      roundDigits: Int = 4): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    val beta = 1.0 - alpha
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val y = col(valueCol).cast(dec6).cast("double")
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(orderCol).as("__o"), y.as("__y"))
+    rows.groupBy(col("__k"))
+      .agg(count(lit(1)).as("n_obs"),
+        expr("array_sort(collect_list(struct(__o, __y)))").as("__a"))
+      .withColumn("__ys", expr("transform(__a, s -> s.__y)"))
+      .select(col("__k").as(keyCol), col("n_obs"),
+        round(expr(
+          s"aggregate(slice(__ys, 2, size(__ys) - 1), element_at(__ys, 1), " +
+            s"(acc, x) -> ${alpha}D * x + ${beta}D * acc)")
+          .cast(stable), roundDigits).cast("double").as("ses_forecast"))
+  }
+
+  /** X148 — maximum drawdown per key: the worst drop of a series from
+    * its RUNNING PEAK (`max_t (runmax_t − y_t)`), plus the peak level
+    * and the first date the worst drop is realized — the
+    * collapse-severity metric (demand crash, engagement cliff,
+    * equity-curve risk) that plain min/max cannot see because it is
+    * ORDER-dependent.
+    *
+    * Entirely exact: values quantize through DECIMAL(18,2), the
+    * running max is order-arithmetic on decimals (no float anywhere),
+    * the argmax date rides a min(struct(−dd, date)) — one window pass
+    * plus one grouped aggregate.
+    */
+  def maxDrawdown(
+      df: DataFrame,
+      keyCol: String, orderCol: String, valueCol: String): DataFrame = {
+    val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val w = Window.partitionBy(col("__k")).orderBy(col("__o"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(orderCol).as("__o"),
+        col(valueCol).cast(dec2).as("__y"))
+      .withColumn("__peak", max(col("__y")).over(w))
+      .withColumn("__dd", col("__peak") - col("__y"))
+      .withColumn("__mdd",
+        max(col("__dd")).over(Window.partitionBy(col("__k"))))
+    rows.groupBy(col("__k"))
+      .agg(count(lit(1)).as("n_obs"),
+        max(col("__y")).cast("double").as("peak"),
+        max(col("__dd")).cast("double").as("max_drawdown"),
+        min(when(col("__dd") === col("__mdd"), col("__o")))
+          .as("drawdown_at"))
+      .select(col("__k").as(keyCol), col("n_obs"), col("peak"),
+        col("max_drawdown"), col("drawdown_at"))
+  }
+
+  /** X149 — rolling EXACT median per key (`min_periods = window`,
+    * pandas semantics): the robust rolling level every
+    * outlier-tolerant smoother wants, with the median made
+    * engine-exact the r12 way — the window's values are collected,
+    * sorted, and interpolated IN DECIMAL ((a+b)·0.5 with a scale-1
+    * decimal literal — exact), so no float quantile kernel exists on
+    * either engine (rolling complement of
+    * [[graft.operators.Profiling.groupedExactQuantiles]]; the Hampel
+    * filter keeps its own MAD machinery).
+    *
+    * Scale: the per-row collected frame is `window` values — a
+    * constant — so the extra memory per row is O(window), the same
+    * contract as any ROWS-frame window aggregate.
+    */
+  def rollingExactMedian(
+      df: DataFrame,
+      keyCol: String, orderCol: String, valueCol: String,
+      window: Int): DataFrame = {
+    require(window >= 2, s"window must be >= 2: $window")
+    val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val half = lit(new java.math.BigDecimal("0.5"))
+    val w = Window.partitionBy(col("__k")).orderBy(col("__o"))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(orderCol).as("__o"),
+        col(valueCol).cast(dec2).as("__y"))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__win", sort_array(collect_list(col("__y")).over(w)))
+    val mid = window / 2
+    val med =
+      if (window % 2 == 1) element_at(col("__win"), mid + 1)
+      else (element_at(col("__win"), mid)
+        + element_at(col("__win"), mid + 1)) * half
+    rows.select(col("__k").as(keyCol), col("__o").as(orderCol),
+      col("__y").cast("double").as(valueCol),
+      when(col("__n") === window, med.cast("double"))
+        .as("rolling_median"))
+  }
+
+  /** X150 — cumulative reach curve: per day, the NEW distinct users
+    * (first-ever appearance) and the cumulative distinct-user count —
+    * "how fast is total reach growing", the audience-accumulation
+    * question a plain DAU series cannot answer. Exact without any
+    * distinct-over-window: first-appearance day per user (one
+    * user-cardinality aggregate), then new-per-day counts and one
+    * running sum over the DAY-cardinality table.
+    */
+  def reachCurve(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val day = to_date(date_trunc("DAY", col(tsCol)))
+    val firstDay = df.select(col(userCol).as("__u"), day.as("__d"))
+      .groupBy(col("__u")).agg(min(col("__d")).as("__d0"))
+    val perDay = firstDay.groupBy(col("__d0")).agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy(col("__d0"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDay
+      .select(col("__d0").as("day"), col("n_new"),
+        sum(col("n_new")).over(w).as("cum_reach"))
+  }
 }

@@ -2824,6 +2824,131 @@ object OracleSql {
         |    AS DECIMAL(18,8)), 4) AS DOUBLE) AS stickiness
         |FROM wau JOIN dau USING (w) ORDER BY week""".stripMargin,
 
+    // SES: the ordered-fold parity gate — DuckDB list_reduce folds
+    // left from the first element with (accumulator, element) lambda
+    // args, exactly Spark's aggregate(slice(...,2,...), first, ...);
+    // α and β are the SAME Scala-computed shortest-round-trip double
+    // literals on both sides (β is NOT re-derived as 1−α per engine —
+    // that subtraction can land on a different double).
+    "x187_ses_forecast" ->
+      s"""WITH $dailyCte,
+         |ag AS (SELECT user_id, COUNT(*) AS n_obs,
+         |  list(CAST(CAST(demand AS DECIMAL(18,6)) AS DOUBLE)
+         |    ORDER BY day) AS ys
+         |  FROM daily GROUP BY 1)
+         |SELECT user_id, n_obs,
+         |  CAST(ROUND(CAST(list_reduce(ys,
+         |    (acc, x) -> CAST('${0.3}' AS DOUBLE) * x
+         |      + CAST('${1.0 - 0.3}' AS DOUBLE) * acc)
+         |    AS DECIMAL(18,8)), 4) AS DOUBLE) AS ses_forecast
+         |FROM ag ORDER BY user_id""".stripMargin,
+
+    // Max drawdown: decimal running max, decimal differences, argmax
+    // day via MIN(CASE WHEN dd = mdd) — exact end to end.
+    "x188_max_drawdown" ->
+      s"""WITH $dailyCte,
+         |r AS (SELECT user_id, day,
+         |  CAST(demand AS DECIMAL(18,2)) AS y FROM daily),
+         |w1 AS (SELECT user_id, day, y,
+         |  MAX(y) OVER (PARTITION BY user_id ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+         |  FROM r),
+         |w2 AS (SELECT user_id, day, y, peak - y AS dd FROM w1),
+         |w3 AS (SELECT user_id, day, y, dd,
+         |  MAX(dd) OVER (PARTITION BY user_id) AS mdd FROM w2)
+         |SELECT user_id, COUNT(*) AS n_obs,
+         |  CAST(MAX(y) AS DOUBLE) AS peak,
+         |  CAST(MAX(dd) AS DOUBLE) AS max_drawdown,
+         |  MIN(CASE WHEN dd = mdd THEN day END) AS drawdown_at
+         |FROM w3 GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Rolling exact median: per-window sorted decimal list, median
+    // picked/interpolated in DECIMAL ((a+b)·0.5 scale-1 literal —
+    // exact); NULL until the window is full (min_periods = 7).
+    "x189_rolling_median" ->
+      s"""WITH $dailyCte,
+         |r AS (SELECT user_id, day,
+         |  CAST(demand AS DECIMAL(18,2)) AS y FROM daily),
+         |w AS (SELECT user_id, day, y,
+         |  COUNT(*) OVER win AS n,
+         |  list_sort(list(y) OVER win) AS wv
+         |  FROM r WINDOW win AS (PARTITION BY user_id ORDER BY day
+         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+         |SELECT user_id, day, CAST(y AS DOUBLE) AS demand,
+         |  CASE WHEN n = 7 THEN CAST(wv[4] AS DOUBLE) END
+         |    AS rolling_median
+         |FROM w ORDER BY user_id, day""".stripMargin,
+
+    // Containment: shared-shingle inverted index, per-(a,b) distinct
+    // intersection count over |Sa| — directed, both orders emit.
+    "x190_containment" ->
+      s"""WITH ${shingleCte(3)},
+         |sz AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY 1),
+         |shared AS (SELECT x.doc AS a, y.doc AS b, COUNT(*) AS shared
+         |  FROM sh x JOIN sh y ON x.h = y.h AND x.doc <> y.doc
+         |  GROUP BY 1, 2),
+         |c AS (SELECT a, b, sz.sz AS sz_a, shared,
+         |  CAST(ROUND(CAST(CAST(shared AS DOUBLE) / sz.sz
+         |    AS DECIMAL(18,8)), 4) AS DOUBLE) AS containment
+         |  FROM shared JOIN sz ON sz.doc = shared.a)
+         |SELECT a, b, sz_a, shared, containment FROM c
+         |WHERE containment >= 0.5 ORDER BY a, b""".stripMargin,
+
+    // FK orphan audit: one distinct-parent left join + 1-row agg per
+    // edge, unioned; events→customer genuinely carries orphans.
+    "x191_fk_orphans" -> {
+      def audit(label: String, child: String, ck: String,
+          parent: String, pk: String): String =
+        s"""(SELECT '$label' AS fk, COUNT(*) AS n_rows,
+           |  CAST(SUM(CASE WHEN c.$ck IS NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_null_keys,
+           |  CAST(SUM(CASE WHEN c.$ck IS NOT NULL AND p.k IS NULL
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+           |  FROM $child c LEFT JOIN
+           |    (SELECT DISTINCT $pk AS k FROM $parent) p
+           |    ON c.$ck = p.k)""".stripMargin
+      s"""WITH u AS (
+         |${audit("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey")}
+         |UNION ALL
+         |${audit("orders_customer", "orders", "o_custkey", "customer", "c_custkey")}
+         |UNION ALL
+         |${audit("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey")}
+         |UNION ALL
+         |${audit("events_customer", "events", "user_id", "customer", "c_custkey")})
+         |SELECT fk, n_rows, n_null_keys, n_orphans,
+         |  CAST(ROUND(CAST(CAST(n_orphans AS DOUBLE) / n_rows
+         |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS orphan_rate
+         |FROM u ORDER BY fk""".stripMargin
+    },
+
+    // Price endings: exact integer cents (the x144 money contract),
+    // one counting aggregate to ≤100 rows.
+    "x192_price_endings" ->
+      """WITH c AS (SELECT CAST(ROUND(CAST(o_totalprice
+        |    AS DECIMAL(28,6)), 2) * 100 AS BIGINT) AS cents
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |e AS (SELECT cents % 100 AS ending, COUNT(*) AS n
+        |  FROM c GROUP BY 1)
+        |SELECT CAST(ending AS BIGINT) AS ending, n,
+        |  CAST(ROUND(CAST(CAST(n AS DOUBLE) / SUM(n) OVER ()
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS share,
+        |  CAST(CASE WHEN ending % 10 = 9 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_charm
+        |FROM e ORDER BY ending""".stripMargin,
+
+    // Reach curve: first-appearance day per user, then new counts and
+    // one running sum over the day-cardinality table — exact integers.
+    "x193_reach_curve" ->
+      """WITH f AS (SELECT user_id,
+        |  MIN(CAST(date_trunc('day', ts) AS DATE)) AS d0
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT d0 AS day, COUNT(*) AS n_new FROM f GROUP BY 1)
+        |SELECT day, n_new,
+        |  CAST(SUM(n_new) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_reach
+        |FROM p ORDER BY day""".stripMargin,
+
     // Growth accounting: distinct (user, week) self-joins, exact
     // integer counts; churn-only weeks survive the full outer join.
     "x179_growth_accounting" ->
@@ -3174,12 +3299,13 @@ object OracleSql {
          |    ON a.user_id = b.user_id AND a.day < b.day),
          |nd AS (SELECT user_id AS k, COUNT(DISTINCT day) AS n_days
          |  FROM d2 GROUP BY 1),
-         |ag AS (SELECT k, COUNT(*) AS n_pairs,
-         |  CAST(ROUND(CAST(quantile_cont(s, 0.5) AS DECIMAL(18,8)), 6)
-         |    AS DOUBLE) AS ts_slope
-         |  FROM p GROUP BY 1)
-         |SELECT ag.k AS user_id, n_days, n_pairs, ts_slope
-         |FROM ag JOIN nd USING (k) ORDER BY user_id""".stripMargin,
+         |${exactQuantileCtes("p", Seq("k"), "s",
+             Seq("ts_slope" -> 500), 6, "q")},
+         |ag AS (SELECT k, COUNT(*) AS n_pairs FROM p GROUP BY 1)
+         |SELECT ag.k AS user_id, n_days, n_pairs,
+         |  CAST(qq.ts_slope AS DOUBLE) AS ts_slope
+         |FROM ag JOIN nd USING (k) JOIN qq ON qq.k = ag.k
+         |ORDER BY user_id""".stripMargin,
 
     // Rolling correlation: inputs quantize to 6 dp, the five moments
     // are DECIMAL window sums (exact under any sliding association),

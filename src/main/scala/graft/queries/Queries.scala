@@ -2155,6 +2155,67 @@ object Queries {
     TimeSeries.stickiness(Tables.events(s, dir), "user_id", "ts")
       .orderBy("week")
 
+  /** X187 — simple exponential smoothing (X147) per user over daily
+    * demand, α = 0.3: the ordered-fold parity gate (Spark `aggregate`
+    * HOF ≡ DuckDB `list_reduce` — identical left fold, identical
+    * doubles). */
+  def x187(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.sesForecast(dailyDemand(s, dir), "user_id", "day",
+        "demand", alpha = 0.3)
+      .orderBy("user_id")
+
+  /** X188 — maximum drawdown (X148) of each user's daily demand from
+    * its running peak — decimal-exact order-dependent risk metric. */
+  def x188(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.maxDrawdown(dailyDemand(s, dir), "user_id", "day",
+        "demand")
+      .orderBy("user_id")
+
+  /** X189 — rolling exact median (X149), window 7, min_periods = 7,
+    * over daily demand — the engine-exact robust rolling level. */
+  def x189(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.rollingExactMedian(dailyDemand(s, dir), "user_id", "day",
+        "demand", window = 7)
+      .orderBy("user_id", "day")
+
+  /** X190 — containment pairs (X150): documents mostly CONTAINED in
+    * another (asymmetric near-dup — quotes/reposts symmetric Jaccard
+    * misses), 3-gram shingles, containment ≥ 0.5. */
+  def x190(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)
+      .orderBy("a", "b")
+
+  /** X191 — foreign-key orphan audit (X151) across the schema: three
+    * TPC-H integrity edges plus events→customer. The synthetic data
+    * is referentially clean, so the gate verifies exact zeros AND the
+    * row/null tallies per edge (a broken join shape would still fail
+    * it); the nonzero-orphan path is spec-proven on a hand case. */
+  def x191(s: SparkSession, dir: String): DataFrame = {
+    val audits = Seq(
+      Profiling.fkOrphans(Tables.lineitem(s, dir), "l_orderkey",
+        Tables.orders(s, dir), "o_orderkey", "lineitem_orders"),
+      Profiling.fkOrphans(Tables.orders(s, dir), "o_custkey",
+        Tables.customer(s, dir), "c_custkey", "orders_customer"),
+      Profiling.fkOrphans(Tables.customer(s, dir), "c_nationkey",
+        Tables.nation(s, dir), "n_nationkey", "customer_nation"),
+      Profiling.fkOrphans(Tables.events(s, dir), "user_id",
+        Tables.customer(s, dir), "c_custkey", "events_customer"))
+    audits.reduce(_ unionAll _).orderBy("fk")
+  }
+
+  /** X192 — price-ending distribution (X152) of order totals: cents
+    * endings with shares and the charm-pricing flag. */
+  def x192(s: SparkSession, dir: String): DataFrame =
+    Retail.priceEndings(Tables.orders(s, dir), "o_totalprice")
+      .orderBy("ending")
+
+  /** X193 — cumulative reach curve (X153): new vs cumulative distinct
+    * users per day. */
+  def x193(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.reachCurve(Tables.events(s, dir), "user_id", "ts")
+      .orderBy("day")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -2354,5 +2415,12 @@ object Queries {
     "x183_minhash_calibration" -> (x183 _),
     "x184_embedding_stats" -> (x184 _),
     "x185_neardup_threshold_curve" -> (x185 _),
-    "x186_stickiness" -> (x186 _))
+    "x186_stickiness" -> (x186 _),
+    "x187_ses_forecast" -> (x187 _),
+    "x188_max_drawdown" -> (x188 _),
+    "x189_rolling_median" -> (x189 _),
+    "x190_containment" -> (x190 _),
+    "x191_fk_orphans" -> (x191 _),
+    "x192_price_endings" -> (x192 _),
+    "x193_reach_curve" -> (x193 _))
 }

@@ -149,6 +149,32 @@ class DedupPrefilterSpec extends SparkSpec {
       "top cumulative must equal total pairs")
   }
 
+  test("containmentPairs: the quote scores 1.0 inside its host, the host scores its fraction back") {
+    import spark.implicits._
+    // A's 3 shingles are all inside B's 6: containment(A in B) = 1.0,
+    // containment(B in A) = 3/6 = 0.5 — the asymmetry Jaccard (3/6)
+    // cannot express directionally
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e f g h"),
+      (3L, "x y z w")) // unrelated: shares nothing
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .containmentPairs(docs, "doc_id", "text", shingleSize = 3,
+        threshold = 0.4)
+      .orderBy("a", "b")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 3L, 3L, 1.0),
+      (2L, 1L, 6L, 3L, 0.5)), s"got $got")
+    // raise the bar: only the full containment survives
+    val tight = graft.operators.Dedup
+      .containmentPairs(docs, "doc_id", "text", shingleSize = 3,
+        threshold = 0.8)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(tight == Seq((1L, 2L, 3L, 3L, 1.0)), s"got $tight")
+  }
+
   /** Textbook DP reference implementation for the property test. */
   private def levenshteinRef(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>

@@ -279,4 +279,18 @@ class ProfilingSpec extends SparkSpec {
     assert(r4.getDouble(0) == ln2b && r4.getDouble(1) == ln2b &&
       r4.getDouble(3) == 1.0, s"got $r4")
   }
+
+  test("fkOrphans: counts rows, null keys, and orphans exactly") {
+    import spark.implicits._
+    val child = Seq(Some(1L), Some(2L), Some(3L), None).toDF("ck")
+    val parent = Seq(1L, 2L, 2L).toDF("pk") // duplicate parent keys fine
+    val got = Profiling.fkOrphans(child, "ck", parent, "pk", "t")
+      .as[(String, Long, Long, Long, Double)].collect()(0)
+    assert(got == (("t", 4L, 1L, 1L, 0.25)), s"got $got")
+    // clean edge: zero orphans, zero rate
+    val clean = Profiling.fkOrphans(Seq(1L, 2L).toDF("ck"), "ck",
+        parent, "pk", "c")
+      .as[(String, Long, Long, Long, Double)].collect()(0)
+    assert(clean == (("c", 2L, 0L, 0L, 0.0)), s"got $clean")
+  }
 }

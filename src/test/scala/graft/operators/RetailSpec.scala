@@ -140,4 +140,16 @@ class RetailSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(got == Seq(("A", "B", 2L, expected)), s"got $got")
   }
+
+  test("priceEndings: exact cents endings, shares, charm flag") {
+    import spark.implicits._
+    val df = Seq(1.99, 2.99, 3.50, 4.00).toDF("p")
+    val got = Retail.priceEndings(df, "p")
+      .orderBy("ending")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 1L, 0.25, 0L),
+      (50L, 1L, 0.25, 0L),
+      (99L, 2L, 0.5, 1L)), s"got $got")
+  }
 }

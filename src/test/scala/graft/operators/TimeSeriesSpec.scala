@@ -516,4 +516,64 @@ class TimeSeriesSpec extends SparkSpec {
       (2L, 3L, 5.0, Some(0.0), Some(-1.0)),
       (3L, 1L, 7.0, None, None)), s"got $got")
   }
+
+  test("sesForecast: hand-computed fold with dyadic alpha; single point returns itself") {
+    import spark.implicits._
+    // alpha 0.5: S1=1, S2=0.5*2+0.5*1=1.5, S3=0.5*3+0.5*1.5=2.25
+    val df = Seq((1L, 1, 1.0), (1L, 2, 2.0), (1L, 3, 3.0), (2L, 1, 7.0))
+      .toDF("k", "o", "y")
+    val got = TimeSeries.sesForecast(df, "k", "o", "y", alpha = 0.5)
+      .orderBy("k").as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 3L, 2.25), (2L, 1L, 7.0)), s"got $got")
+    // order matters: the same values in reverse give a different S
+    val rev = Seq((1L, 1, 3.0), (1L, 2, 2.0), (1L, 3, 1.0)).toDF("k", "o", "y")
+    val g2 = TimeSeries.sesForecast(rev, "k", "o", "y", alpha = 0.5)
+      .select("ses_forecast").as[Double].collect()(0)
+    assert(g2 == 1.75, s"got $g2")
+  }
+
+  test("maxDrawdown: drop from the running peak, first realization day") {
+    import spark.implicits._
+    val d = (s: String) => Date.valueOf(s)
+    val df = Seq(
+      (1L, d("2024-01-01"), 1.0), (1L, d("2024-01-02"), 3.0),
+      (1L, d("2024-01-03"), 2.0), (1L, d("2024-01-04"), 5.0),
+      (1L, d("2024-01-05"), 1.0),
+      (2L, d("2024-01-01"), 4.0)) // monotone/singleton: zero drawdown
+      .toDF("k", "day", "y")
+    val got = TimeSeries.maxDrawdown(df, "k", "day", "y")
+      .orderBy("k").as[(Long, Long, Double, Double, Date)].collect().toSeq
+    assert(got == Seq(
+      (1L, 5L, 5.0, 4.0, d("2024-01-05")),
+      (2L, 1L, 4.0, 0.0, d("2024-01-01"))), s"got $got")
+  }
+
+  test("rollingExactMedian: null until full, odd pick and even decimal interpolation") {
+    import spark.implicits._
+    val df = Seq((1L, 1, 1.0), (1L, 2, 2.0), (1L, 3, 10.0), (1L, 4, 4.0))
+      .toDF("k", "o", "y")
+    val odd = TimeSeries.rollingExactMedian(df, "k", "o", "y", window = 3)
+      .orderBy("o").select("rolling_median")
+      .as[Option[Double]].collect().toSeq
+    assert(odd == Seq(None, None, Some(2.0), Some(4.0)), s"got $odd")
+    val even = TimeSeries.rollingExactMedian(df, "k", "o", "y", window = 2)
+      .orderBy("o").select("rolling_median")
+      .as[Option[Double]].collect().toSeq
+    assert(even == Seq(None, Some(1.5), Some(6.0), Some(7.0)), s"got $even")
+  }
+
+  test("reachCurve: new users per day and cumulative distinct reach") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      ("a", ts("2024-01-01 09:00:00")), ("b", ts("2024-01-01 10:00:00")),
+      ("a", ts("2024-01-02 09:00:00")), ("c", ts("2024-01-02 10:00:00")),
+      ("a", ts("2024-01-04 09:00:00"))) // returning user adds nothing
+      .toDF("user_id", "ts")
+    val got = TimeSeries.reachCurve(df, "user_id", "ts")
+      .orderBy("day").as[(Date, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (Date.valueOf("2024-01-01"), 2L, 2L),
+      (Date.valueOf("2024-01-02"), 1L, 3L)), s"got $got")
+  }
 }
