@@ -94,6 +94,33 @@ object Dedup {
       .select(col("doc"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
   }
 
+  /** X155 — LSH BLOCKING PROFILE: per band, the bucket count, largest
+    * bucket, and the exact candidate-pair budget `Σ C(sz, 2)` with the
+    * max/avg bucket skew — the pre-flight audit of a dedup/blocking
+    * index. Blocking skew is THE scale killer of LSH pipelines (one
+    * stop-shingle-dominated bucket quadratically swamps the candidate
+    * join); this makes the blow-up visible per band BEFORE the join
+    * runs. One (band, bkey)-cardinality aggregate collapsed to
+    * nBands rows — all exact integers.
+    */
+  def lshBlockingProfile(bandKeys: DataFrame,
+      roundDigits: Int = 4): DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val buckets = bandKeys.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("__sz"))
+    buckets.groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        max(col("__sz")).as("max_bucket"),
+        // Σ sz(sz−1) stays exact integer; the one halving happens on
+        // the (even) total — no per-bucket float division to sum
+        (sum(col("__sz") * (col("__sz") - 1)) / 2).cast("bigint")
+          .as("candidate_pairs"),
+        round((max(col("__sz")).cast("double")
+          * count(lit(1)) / sum(col("__sz"))).cast(stable), roundDigits)
+          .cast("double").as("skew"))
+  }
+
   /** Candidate pairs (a < b) sharing at least one LSH bucket. */
   def lshCandidatePairs(bandKeys: DataFrame): DataFrame = {
     val l = bandKeys.select(col("band"), col("bkey"), col("doc").as("a"))

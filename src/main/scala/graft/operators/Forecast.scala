@@ -757,6 +757,36 @@ object Forecast {
     * engine-version-sensitive). Keys with a single observed day have
     * no pairs and no row.
     */
+  /** X157 — newsvendor order point: per key, the EXACT critical-ratio
+    * quantile of per-period demand (`q = Cu/(Cu+Co)`, the classic
+    * optimal stocking level under under-/over-stock costs) plus the
+    * mean and the implied safety stock — the inventory question the
+    * whole forecasting tier feeds. The quantile rides
+    * [[Profiling.groupedExactQuantiles]] (rank-arithmetic decimal, the
+    * r12 engine-version-proof path) — this operator is its
+    * first direct user-facing consumer.
+    */
+  def newsvendorOrderPoint(
+      df: DataFrame, keyCol: String, valueCol: String,
+      criticalRatio: Double, roundDigits: Int = 4): DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val q = Profiling.groupedExactQuantiles(df, Seq(keyCol),
+      col(valueCol), Seq("__op" -> criticalRatio))
+    val m = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_periods"),
+        round((sum(col(valueCol).cast(dec)).cast("double")
+          / count(lit(1))).cast(stable), roundDigits)
+          .as("__mean"))
+    m.join(q, Seq(keyCol))
+      .select(col(keyCol), col("n_periods"),
+        col("__mean").cast("double").as("mean_demand"),
+        col("__op").cast("double").as("order_point"),
+        round((col("__op").cast("double") - col("__mean").cast("double"))
+          .cast(stable), roundDigits).cast("double").as("safety_stock"))
+  }
+
   def theilSenSlope(
       df: DataFrame,
       keyCol: String,

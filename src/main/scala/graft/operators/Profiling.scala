@@ -457,6 +457,68 @@ object Profiling {
     picked.select(outCols: _*)
   }
 
+  /** X154 — exact WEIGHTED quantile per group (lower weighted
+    * quantile: the smallest value whose cumulative weight reaches
+    * `p·W`) — the quantity-weighted median/percentile a revenue or
+    * units analysis actually wants (an unweighted median of line
+    * prices answers a different question than "the price at which
+    * half the UNITS sell").
+    *
+    * Exactness without interpolation: weights quantize through
+    * DECIMAL(18,6), the cumulative weight is a decimal window sum
+    * (exact under any association), and the threshold compare runs as
+    * `cumW·1000 >= pNum·W` — integer-scaled decimal arithmetic, no
+    * division, no float. The selected value is a DATA value, so the
+    * output needs no rounding at all. Ties in the value column are
+    * safe by construction: whichever tied row first crosses the
+    * threshold, the SELECTED value is the same.
+    *
+    * Shape: one per-group ordered window (cumulative weight) + one
+    * grouped aggregate; for a single giant group swap the window for
+    * the range-sort + zipWithIndex rebuild like
+    * [[groupedExactQuantiles]].
+    */
+  def groupedWeightedQuantile(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      weightCol: String,
+      p: Double,
+      outName: String = "wq"): DataFrame = {
+    val den = 1000L
+    val pNum = math.round(p * den)
+    require(pNum > 0 && pNum <= den && math.abs(p * den - pNum) < 1e-9,
+      s"probability $p must be a positive multiple of 1/$den <= 1")
+    val v6t = org.apache.spark.sql.types.DecimalType(18, 6)
+    val gs = groupCols.map(col)
+    val rows = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol) > 0)
+      .select((gs :+ col(valueCol).cast(v6t).as("__v")
+        :+ col(weightCol).cast(v6t).as("__w")): _*)
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy(gs: _*).orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy(gs: _*)
+    // contract the window sums to DECIMAL(24,6) before the integer
+    // scaling (values preserved — same scale): Spark's widened
+    // DECIMAL(28,6) × DECIMAL(20,0) would cross precision 38 and take
+    // the silent precision-loss path (the r12 decayedCounts lesson)
+    val w4 = org.apache.spark.sql.types.DecimalType(4, 0)
+    val w24 = org.apache.spark.sql.types.DecimalType(24, 6)
+    rows
+      .withColumn("__cw", sum(col("__w")).over(ord).cast(w24))
+      .withColumn("__tw", sum(col("__w")).over(tot).cast(w24))
+      .groupBy(gs: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        first(col("__tw")).cast("double").as("total_weight"),
+        min(when(col("__cw") * lit(den).cast(w4)
+            >= col("__tw") * lit(pNum).cast(w4),
+          col("__v"))).cast("double").as(outName))
+  }
+
   /** X116 — robust outlier screen per group: modified z-score
     * `0.6745·(v − median)/MAD` with the Iglewicz–Hoaglin 3.5 cut — the
     * global-robust complement of [[graft.operators.TimeSeries

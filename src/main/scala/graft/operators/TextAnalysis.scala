@@ -689,4 +689,37 @@ object TextAnalysis {
         round((col("n_oov").cast("double") / col("n_tokens"))
           .cast(stable), roundDigits).cast("double").as("oov_rate"))
   }
+
+  /** X156 — n-gram NOVELTY rate per ingestion batch: the fraction of a
+    * batch's distinct word n-grams never seen in ANY earlier batch —
+    * the crawl-freshness monitor ("is the pipeline still ingesting new
+    * content, or re-crawling the same web?"). A falling novelty curve
+    * is the earliest sign a source went stale; dedup only tells you
+    * AFTER the duplicates are in.
+    *
+    * Shape: distinct (batch, gram-hash) pairs via the codegen shingle
+    * kernel, first-seen batch per gram = one gram-cardinality MIN
+    * aggregate, rebroadcast by join; per-batch counts are exact
+    * integers. `batchCol` is any ordered batch label (ingestion day,
+    * crawl id, id-range bucket).
+    */
+  def noveltyByBatch(
+      df: DataFrame, batchCol: Column, textCol: String,
+      n: Int = 3, roundDigits: Int = 4): DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    import org.apache.spark.sql.graft.ColumnBridge
+    val hashes = ColumnBridge.column(
+      graft.functions.expressions.WordShingleHashes(
+        ColumnBridge.expression(Text.tokens(col(textCol))), n))
+    val bg = df.select(batchCol.as("__b"), explode(hashes).as("__h"))
+      .distinct()
+    val first = bg.groupBy(col("__h")).agg(min(col("__b")).as("__b0"))
+    bg.join(first, Seq("__h"))
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("__b") === col("__b0")).cast("long")).as("n_novel"))
+      .select(col("__b").as("batch"), col("n_grams"), col("n_novel"),
+        round((col("n_novel").cast("double") / col("n_grams"))
+          .cast(stable), roundDigits).cast("double").as("novelty_rate"))
+  }
 }

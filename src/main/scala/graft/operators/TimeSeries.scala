@@ -1061,6 +1061,62 @@ object TimeSeries {
           .cast(stable), roundDigits).cast("double").as("ses_forecast"))
   }
 
+  /** X158 — Holt's linear-trend forecast per key (double exponential
+    * smoothing): `l_t = α·y_t + (1−α)(l+b)`, `b_t = γ(l_t−l) + (1−γ)b`,
+    * one-step forecast `l+b` — the trending complement of
+    * [[sesForecast]], and the MULTI-STATE extension of the r12
+    * ordered-fold parity pattern: the accumulator is a STRUCT folded
+    * identically by Spark's `aggregate` (explicit init + finish) and
+    * DuckDB's `list_reduce` (init prepended as the first element,
+    * values pair-wrapped so the lambda shape matches). The
+    * accumulator is an ARRAY [l, b], NOT a struct: DuckDB's
+    * list_reduce evaluates struct-returning lambdas FIELD BY FIELD
+    * with the accumulator mutated in place — the second field's
+    * expression sees the first field already overwritten (observed
+    * live; a scan-order quirk this gate must not depend on either
+    * way). List construction evaluates every element from the
+    * original accumulator on both engines. All four smoothing
+    * literals are shared shortest-round-trip doubles — complements
+    * are Scala-computed ONCE, never re-derived per engine. Init:
+    * `l = y₂, b = y₂ − y₁`, fold from the 3rd point; a single-point
+    * series forecasts itself.
+    */
+  def holtForecast(
+      df: DataFrame,
+      keyCol: String, orderCol: String, valueCol: String,
+      alpha: Double, gamma: Double,
+      roundDigits: Int = 4): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    require(gamma > 0 && gamma < 1, s"gamma must be in (0,1): $gamma")
+    val bL = 1.0 - alpha
+    val dT = 1.0 - gamma
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val y = col(valueCol).cast(dec6).cast("double")
+    val lExpr =
+      s"${alpha}D * x + ${bL}D * (element_at(acc, 1) + element_at(acc, 2))"
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(orderCol).as("__o"), y.as("__y"))
+    rows.groupBy(col("__k"))
+      .agg(count(lit(1)).as("n_obs"),
+        expr("array_sort(collect_list(struct(__o, __y)))").as("__a"))
+      .withColumn("__ys", expr("transform(__a, s -> s.__y)"))
+      .select(col("__k").as(keyCol), col("n_obs"),
+        round(expr(
+          s"""CASE WHEN size(__ys) = 1 THEN element_at(__ys, 1)
+             |ELSE aggregate(
+             |  slice(__ys, 3, size(__ys) - 2),
+             |  array(element_at(__ys, 2),
+             |    element_at(__ys, 2) - element_at(__ys, 1)),
+             |  (acc, x) -> array(
+             |    $lExpr,
+             |    ${gamma}D * (($lExpr) - element_at(acc, 1))
+             |      + ${dT}D * element_at(acc, 2)),
+             |  acc -> element_at(acc, 1) + element_at(acc, 2)) END"""
+            .stripMargin)
+          .cast(stable), roundDigits).cast("double").as("holt_forecast"))
+  }
+
   /** X148 — maximum drawdown per key: the worst drop of a series from
     * its RUNNING PEAK (`max_t (runmax_t − y_t)`), plus the peak level
     * and the first date the worst drop is realized — the

@@ -2949,6 +2949,107 @@ object OracleSql {
         |    AS BIGINT) AS cum_reach
         |FROM p ORDER BY day""".stripMargin,
 
+    // Weighted median: decimal cumulative weights, integer-scaled
+    // threshold compare, the selected value is a DATA value — exact
+    // end to end, no interpolation. Window sums contract to
+    // DECIMAL(24,6) before the scaling (the precision-38 lesson).
+    "x194_weighted_median" ->
+      """WITH r AS (SELECT l_returnflag AS g,
+        |  CAST(l_extendedprice AS DECIMAL(18,6)) AS v,
+        |  CAST(l_quantity AS DECIMAL(18,6)) AS w
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |    AND l_quantity IS NOT NULL AND l_quantity > 0),
+        |c AS (SELECT g, v, w,
+        |  CAST(SUM(w) OVER (PARTITION BY g ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DECIMAL(24,6)) AS cw,
+        |  CAST(SUM(w) OVER (PARTITION BY g) AS DECIMAL(24,6)) AS tw
+        |  FROM r)
+        |SELECT g AS l_returnflag, COUNT(*) AS n,
+        |  CAST(MIN(tw) AS DOUBLE) AS total_weight,
+        |  CAST(MIN(CASE WHEN cw * CAST(1000 AS DECIMAL(4,0))
+        |      >= tw * CAST(500 AS DECIMAL(4,0)) THEN v END)
+        |    AS DOUBLE) AS weighted_median
+        |FROM c GROUP BY g ORDER BY l_returnflag""".stripMargin,
+
+    // LSH blocking profile: exact integer bucket stats per band over
+    // the deployed 16-hash/4-row banding twins.
+    "x195_lsh_blocking" ->
+      s"""WITH ${shingleCte(3)},
+         |$minhashBandsCtes,
+         |bsz AS (SELECT band, bkey, COUNT(*) AS sz
+         |  FROM bands GROUP BY 1, 2)
+         |SELECT band, COUNT(*) AS n_buckets, MAX(sz) AS max_bucket,
+         |  CAST(SUM(sz * (sz - 1)) / 2 AS BIGINT) AS candidate_pairs,
+         |  CAST(ROUND(CAST(CAST(MAX(sz) AS DOUBLE) * COUNT(*) / SUM(sz)
+         |    AS DECIMAL(18,8)), 4) AS DOUBLE) AS skew
+         |FROM bsz GROUP BY band ORDER BY band""".stripMargin,
+
+    // Novelty per id-range batch: distinct (batch, gram), first-seen
+    // batch per gram, exact integer counts.
+    "x196_novelty_rate" ->
+      s"""WITH ${shingleCte(3)},
+         |bg AS (SELECT DISTINCT doc // 100 AS b, h FROM sh),
+         |f AS (SELECT h, MIN(b) AS b0 FROM bg GROUP BY 1)
+         |SELECT bg.b AS batch, COUNT(*) AS n_grams,
+         |  CAST(SUM(CASE WHEN bg.b = f.b0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_novel,
+         |  CAST(ROUND(CAST(
+         |    CAST(SUM(CASE WHEN bg.b = f.b0 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*) AS DECIMAL(18,8)), 4) AS DOUBLE) AS novelty_rate
+         |FROM bg JOIN f USING (h) GROUP BY 1 ORDER BY batch""".stripMargin,
+
+    // Newsvendor: the exact rank-arithmetic 0.8 quantile (the r12
+    // machinery as a user-facing op) + decimal mean + safety stock.
+    "x197_newsvendor" ->
+      s"""WITH $dailyCte,
+         |${exactQuantileCtes("daily", Seq("user_id"), "demand",
+             Seq("op" -> 800), 6, "q")},
+         |m AS (SELECT user_id, COUNT(*) AS n_periods,
+         |  ROUND(CAST(CAST(SUM(CAST(demand AS DECIMAL(18,6))) AS DOUBLE)
+         |    / COUNT(*) AS DECIMAL(18,8)), 4) AS mean_d
+         |  FROM daily GROUP BY 1)
+         |SELECT m.user_id, n_periods,
+         |  CAST(mean_d AS DOUBLE) AS mean_demand,
+         |  CAST(qq.op AS DOUBLE) AS order_point,
+         |  CAST(ROUND(CAST(CAST(qq.op AS DOUBLE) - CAST(mean_d AS DOUBLE)
+         |    AS DECIMAL(18,8)), 4) AS DOUBLE) AS safety_stock
+         |FROM m JOIN qq ON qq.user_id = m.user_id
+         |ORDER BY m.user_id""".stripMargin,
+
+    // Holt: the ARRAY-accumulator ordered fold — init prepended as
+    // the first element (list_reduce has no explicit init), values
+    // pair-wrapped so the lambda shape matches Spark's aggregate.
+    // NOT a struct accumulator: DuckDB evaluates struct-returning
+    // lambdas field-by-field with the accumulator mutated in place
+    // (observed live — the second field saw the first already
+    // overwritten); list construction reads the original accumulator.
+    "x198_holt_forecast" ->
+      s"""WITH $dailyCte,
+         |ag AS (SELECT user_id, COUNT(*) AS n_obs,
+         |  list(CAST(CAST(demand AS DECIMAL(18,6)) AS DOUBLE)
+         |    ORDER BY day) AS ys
+         |  FROM daily GROUP BY 1),
+         |h AS (SELECT user_id, n_obs, ys,
+         |  CASE WHEN len(ys) = 1 THEN NULL
+         |  ELSE list_reduce(
+         |    list_prepend([ys[2], ys[2] - ys[1]],
+         |      [[v, 0.0e0] for v in ys[3:]]),
+         |    (acc, x) -> [
+         |      CAST('0.3' AS DOUBLE) * x[1]
+         |        + CAST('${1.0 - 0.3}' AS DOUBLE) * (acc[1] + acc[2]),
+         |      CAST('0.1' AS DOUBLE)
+         |        * ((CAST('0.3' AS DOUBLE) * x[1]
+         |          + CAST('${1.0 - 0.3}' AS DOUBLE) * (acc[1] + acc[2]))
+         |          - acc[1])
+         |        + CAST('${1.0 - 0.1}' AS DOUBLE) * acc[2]]) END AS rs
+         |  FROM ag)
+         |SELECT user_id, n_obs,
+         |  CAST(ROUND(CAST(CASE WHEN n_obs = 1 THEN ys[1]
+         |    ELSE rs[1] + rs[2] END AS DECIMAL(18,8)), 4) AS DOUBLE)
+         |    AS holt_forecast
+         |FROM h ORDER BY user_id""".stripMargin,
+
     // Growth accounting: distinct (user, week) self-joins, exact
     // integer counts; churn-only weeks survive the full outer join.
     "x179_growth_accounting" ->

@@ -2216,6 +2216,49 @@ object Queries {
     TimeSeries.reachCurve(Tables.events(s, dir), "user_id", "ts")
       .orderBy("day")
 
+  /** X194 — weighted median (X154): the price at which half the UNITS
+    * sell, per return flag — quantity-weighted exact quantile, no
+    * interpolation, no float. */
+  def x194(s: SparkSession, dir: String): DataFrame =
+    Profiling.groupedWeightedQuantile(Tables.lineitem(s, dir),
+        Seq("l_returnflag"), "l_extendedprice", "l_quantity", p = 0.5,
+        outName = "weighted_median")
+      .orderBy("l_returnflag")
+
+  /** X195 — LSH blocking profile (X155): per-band bucket counts, max
+    * bucket, exact candidate-pair budget and skew over the deployed
+    * 16-hash/4-row banding — the pre-flight audit of the near-dup
+    * index. */
+  def x195(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingleHashes(Tables.documents(s, dir), "doc_id",
+      "text", 3)
+    val bands = Dedup.lshBandKeys(
+      Dedup.minhashSignatures(sh, numHashes = 16), 16, rowsPerBand = 4)
+    Dedup.lshBlockingProfile(bands).orderBy("band")
+  }
+
+  /** X196 — n-gram novelty per ingestion batch (X156): id-range
+    * batches of 100 docs as the arrival order; the novelty curve of
+    * the synthetic crawl. */
+  def x196(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.noveltyByBatch(Tables.documents(s, dir),
+        (col("doc_id") / 100).cast("long"), "text", n = 3)
+      .orderBy("batch")
+
+  /** X197 — newsvendor order point (X157): the 0.8-critical-ratio
+    * exact demand quantile per user with mean and safety stock. */
+  def x197(s: SparkSession, dir: String): DataFrame =
+    Forecast.newsvendorOrderPoint(dailyDemand(s, dir), "user_id",
+        "demand", criticalRatio = 0.8)
+      .orderBy("user_id")
+
+  /** X198 — Holt linear-trend forecast (X158): the two-state
+    * ordered-fold parity gate (struct accumulator), α=0.3, γ=0.1. */
+  def x198(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.holtForecast(dailyDemand(s, dir), "user_id", "day",
+        "demand", alpha = 0.3, gamma = 0.1)
+      .orderBy("user_id")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -2422,5 +2465,10 @@ object Queries {
     "x190_containment" -> (x190 _),
     "x191_fk_orphans" -> (x191 _),
     "x192_price_endings" -> (x192 _),
-    "x193_reach_curve" -> (x193 _))
+    "x193_reach_curve" -> (x193 _),
+    "x194_weighted_median" -> (x194 _),
+    "x195_lsh_blocking" -> (x195 _),
+    "x196_novelty_rate" -> (x196 _),
+    "x197_newsvendor" -> (x197 _),
+    "x198_holt_forecast" -> (x198 _))
 }

@@ -175,6 +175,22 @@ class DedupPrefilterSpec extends SparkSpec {
     assert(tight == Seq((1L, 2L, 3L, 3L, 1.0)), s"got $tight")
   }
 
+  test("lshBlockingProfile: bucket counts, exact pair budget, skew") {
+    import spark.implicits._
+    // band 0: one bucket of 3 docs + one singleton -> C(3,2)=3 pairs,
+    // skew = max/avg = 3 / (4/2) = 1.5; band 1: two singletons -> 0
+    val bk = Seq(
+      (1L, 0L, "k1"), (2L, 0L, "k1"), (3L, 0L, "k1"), (4L, 0L, "k2"),
+      (1L, 1L, "a"), (2L, 1L, "b"))
+      .toDF("doc", "band", "bkey")
+    val got = graft.operators.Dedup.lshBlockingProfile(bk)
+      .orderBy("band")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 3L, 3L, 1.5),
+      (1L, 2L, 1L, 0L, 1.0)), s"got $got")
+  }
+
   /** Textbook DP reference implementation for the property test. */
   private def levenshteinRef(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>

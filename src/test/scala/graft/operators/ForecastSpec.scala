@@ -329,4 +329,13 @@ class ForecastSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(got == Seq((1L, 5L, 10L, 1.0)), s"got $got")
   }
+
+  test("newsvendorOrderPoint: exact 0.8 quantile, mean, safety stock") {
+    import spark.implicits._
+    // demands 1..5: p=0.8 -> pos 3.2 -> 4 + 0.2*(5-4) = 4.2; mean 3
+    val df = (1 to 5).map(v => (1L, v.toDouble)).toDF("k", "demand")
+    val got = Forecast.newsvendorOrderPoint(df, "k", "demand", 0.8)
+      .as[(Long, Long, Double, Double, Double)].collect()(0)
+    assert(got == ((1L, 5L, 3.0, 4.2, 1.2)), s"got $got")
+  }
 }

@@ -280,6 +280,27 @@ class ProfilingSpec extends SparkSpec {
       r4.getDouble(3) == 1.0, s"got $r4")
   }
 
+  test("groupedWeightedQuantile: lower weighted quantile crosses the cumulative-weight threshold") {
+    import spark.implicits._
+    // g=a: values (1,w=1), (2,w=1), (3,w=2): W=4
+    // p=0.5 -> theta=2 -> cum at v=2 is 2 >= 2 -> median 2
+    // p=0.75 -> theta=3 -> first crossing at v=3 (cum 4)
+    val df = Seq(("a", 1.0, 1.0), ("a", 2.0, 1.0), ("a", 3.0, 2.0))
+      .toDF("g", "v", "w")
+    val m = Profiling.groupedWeightedQuantile(df, Seq("g"), "v", "w", 0.5)
+      .as[(String, Long, Double, Double)].collect()(0)
+    assert(m == (("a", 3L, 4.0, 2.0)), s"got $m")
+    val q3 = Profiling.groupedWeightedQuantile(df, Seq("g"), "v", "w", 0.75)
+      .as[(String, Long, Double, Double)].collect()(0)
+    assert(q3._4 == 3.0, s"got $q3")
+    // zero/negative weights drop; all weight on one value selects it
+    val skew = Seq(("a", 1.0, 0.0), ("a", 5.0, 9.0), ("a", 9.0, 1.0))
+      .toDF("g", "v", "w")
+    val s = Profiling.groupedWeightedQuantile(skew, Seq("g"), "v", "w", 0.5)
+      .as[(String, Long, Double, Double)].collect()(0)
+    assert(s == (("a", 2L, 10.0, 5.0)), s"got $s")
+  }
+
   test("fkOrphans: counts rows, null keys, and orphans exactly") {
     import spark.implicits._
     val child = Seq(Some(1L), Some(2L), Some(3L), None).toDF("ck")

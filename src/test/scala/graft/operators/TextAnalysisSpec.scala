@@ -328,4 +328,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Seq((10L, 3L, 2L, 0.666667), (11L, 2L, 0L, 0.0),
       (12L, 2L, 2L, 1.0)), s"got $got")
   }
+
+  test("noveltyByBatch: first batch all novel, repeats in later batches are not") {
+    import spark.implicits._
+    // batch 1: grams {abc, bcd}; batch 2: {abc, bce} -> 1 of 2 novel
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c e"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.noveltyByBatch(docs, col("doc_id"), "text", n = 3)
+      .orderBy("batch")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 2L, 1.0), (2L, 2L, 1L, 0.5)), s"got $got")
+  }
 }

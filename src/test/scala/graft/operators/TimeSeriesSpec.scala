@@ -532,6 +532,21 @@ class TimeSeriesSpec extends SparkSpec {
     assert(g2 == 1.75, s"got $g2")
   }
 
+  test("holtForecast: hand two-state fold; degenerate lengths") {
+    import spark.implicits._
+    // [1,2,3] a=0.5 g=0.5: init l=2,b=1; x=3: l'=0.5*3+0.5*3=3,
+    // b'=0.5*(3-2)+0.5*1=1 -> forecast 4
+    val df = Seq((1L, 1, 1.0), (1L, 2, 2.0), (1L, 3, 3.0),
+      (2L, 1, 7.0), (3L, 1, 2.0), (3L, 2, 5.0))
+      .toDF("k", "o", "y")
+    val got = TimeSeries.holtForecast(df, "k", "o", "y",
+        alpha = 0.5, gamma = 0.5)
+      .orderBy("k").as[(Long, Long, Double)].collect().toSeq
+    // n=1 forecasts itself; n=2 extrapolates the line: 2*y2 - y1 = 8
+    assert(got == Seq((1L, 3L, 4.0), (2L, 1L, 7.0), (3L, 2L, 8.0)),
+      s"got $got")
+  }
+
   test("maxDrawdown: drop from the running peak, first realization day") {
     import spark.implicits._
     val d = (s: String) => Date.valueOf(s)
