@@ -322,6 +322,40 @@ object Retail {
       .limit(topK)
   }
 
+  /** X162 — repeat-purchase statistics: one row of customer-loyalty
+    * health — customer count, repeat share (≥ 2 orders), mean orders
+    * per customer, and the EXACT median inter-order gap in days (the
+    * r12 rank-arithmetic quantile over per-customer consecutive-order
+    * gaps) — the replenishment-cycle number reorder reminders and CLV
+    * models are built on. Same-day repeat orders contribute zero-day
+    * gaps identically under any tie order.
+    */
+  def repurchaseStats(df: DataFrame, custCol: String, dateCol: String,
+      roundDigits: Int = 4): DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(custCol)).orderBy(col(dateCol))
+    val gaps = df
+      .withColumn("__gap",
+        F.datediff(col(dateCol), F.lag(col(dateCol), 1).over(w)))
+      .filter(col("__gap").isNotNull)
+    val med = graft.operators.Profiling.groupedExactQuantiles(gaps, Seq(),
+      col("__gap"), Seq("__med" -> 0.5))
+    val perCust = df.groupBy(col(custCol)).agg(F.count(F.lit(1)).as("__n"))
+    perCust.agg(
+        F.count(F.lit(1)).as("n_customers"),
+        F.sum((col("__n") >= 2).cast("long")).as("n_repeat"),
+        F.sum(col("__n")).as("__orders"))
+      .crossJoin(med)
+      .select(col("n_customers"), col("n_repeat"),
+        F.round((col("n_repeat").cast("double") / col("n_customers"))
+          .cast(stable), roundDigits).cast("double").as("repeat_rate"),
+        F.round((col("__orders").cast("double") / col("n_customers"))
+          .cast(stable), roundDigits).cast("double")
+          .as("orders_per_customer"),
+        col("__med").cast("double").as("median_gap_days"))
+  }
+
   /** X153 — price-ending distribution: counts and shares of the CENTS
     * ending (0–99) of a money column, with the charm-pricing flag
     * (ending in 9) — the psychological-pricing / data-provenance

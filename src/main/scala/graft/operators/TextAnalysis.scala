@@ -690,6 +690,27 @@ object TextAnalysis {
           .cast(stable), roundDigits).cast("double").as("oov_rate"))
   }
 
+  /** X160 — language confusion matrix: declared language label vs
+    * [[withLangId]]'s detected language, with counts and corpus
+    * shares — the metadata-trust audit every multilingual curation
+    * run needs BEFORE filtering by the declared label (mislabeled
+    * corpora silently starve a language's sampling budget). One
+    * counting aggregate over the per-row detector, ≤ langs² rows.
+    */
+  def langConfusion(df: DataFrame, declaredCol: String, textCol: String,
+      roundDigits: Int = 4): DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val counted = withLangId(df, textCol)
+      .groupBy(col(declaredCol).as("declared"),
+        col("pred_lang").as("detected"))
+      .agg(count(lit(1)).as("n"))
+    val tot = Window.partitionBy()
+    counted.select(col("declared"), col("detected"), col("n"),
+      round((col("n").cast("double") / sum(col("n")).over(tot))
+        .cast(stable), roundDigits).cast("double").as("share"),
+      (col("declared") === col("detected")).cast("long").as("is_match"))
+  }
+
   /** X156 — n-gram NOVELTY rate per ingestion batch: the fraction of a
     * batch's distinct word n-grams never seen in ANY earlier batch —
     * the crawl-freshness monitor ("is the pipeline still ingesting new

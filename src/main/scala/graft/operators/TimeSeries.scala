@@ -1015,6 +1015,61 @@ object TimeSeries {
         .as("burstiness"))
   }
 
+  /** X159 — cohort retention triangle: per (cohort week = the user's
+    * first-ever week, age in weeks), the active-user count and the
+    * retention share of the cohort — the matrix every product review
+    * reads row by row ("is week-4 retention improving cohort over
+    * cohort?"), and the disaggregated source of [[growthAccounting]]'s
+    * per-week ledger. All exact distinct-count arithmetic on the
+    * user-week activity table; one user-cardinality first-week
+    * aggregate, one (cohort, age) count, cohort sizes joined back.
+    */
+  def retentionTriangle(df: DataFrame, userCol: String, tsCol: String,
+      roundDigits: Int = 4): DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val wk = to_date(date_trunc("WEEK", col(tsCol)))
+    val act = df.select(col(userCol).as("__u"), wk.as("__w")).distinct()
+    val first = act.groupBy(col("__u")).agg(min(col("__w")).as("__c"))
+    val sizes = first.groupBy(col("__c")).agg(count(lit(1)).as("__n0"))
+    act.join(first, "__u")
+      .select(col("__c"),
+        (datediff(col("__w"), col("__c")) / 7).cast("long").as("__age"))
+      .groupBy(col("__c"), col("__age"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "__c")
+      .select(col("__c").as("cohort_week"), col("__age").as("age_weeks"),
+        col("n_active"), col("__n0").as("cohort_size"),
+        round((col("n_active").cast("double") / col("__n0")).cast(stable),
+          roundDigits).cast("double").as("retention"))
+  }
+
+  /** X161 — session statistics: one row of session-level health over
+    * [[sessionize]]'s output — session count, bounce rate (single-event
+    * sessions), mean events per session, and the EXACT median session
+    * duration (the r12 rank-arithmetic quantile; a mean duration is
+    * meaningless under the heavy right tail sessions always have).
+    */
+  def sessionStats(df: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, gapSeconds: Long, roundDigits: Int = 4): DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val s = sessionize(df, userCol, tsCol, tieCol, gapSeconds)
+    val med = Profiling.groupedExactQuantiles(s, Seq(), col("duration_us"),
+      Seq("__med_us" -> 0.5))
+    s.agg(
+        count(lit(1)).as("n_sessions"),
+        sum((col("n_events") === 1).cast("long")).as("n_bounce"),
+        sum(col("n_events")).as("__ev"))
+      .crossJoin(med)
+      .select(col("n_sessions"), col("n_bounce"),
+        round((col("n_bounce").cast("double") / col("n_sessions"))
+          .cast(stable), roundDigits).cast("double").as("bounce_rate"),
+        round((col("__ev").cast("double") / col("n_sessions"))
+          .cast(stable), roundDigits).cast("double")
+          .as("events_per_session"),
+        round((col("__med_us").cast("double") / 1000000.0d).cast(stable),
+          roundDigits).cast("double").as("median_duration_s"))
+  }
+
   /** X147 — simple exponential smoothing per key:
     * `S_t = α·y_t + β·S_{t−1}`, `S_1 = y_1` — the classic one-knob
     * smoother whose last state IS the one-step-ahead forecast (the

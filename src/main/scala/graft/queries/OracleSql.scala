@@ -3050,6 +3050,100 @@ object OracleSql {
          |    AS holt_forecast
          |FROM h ORDER BY user_id""".stripMargin,
 
+    // Retention triangle: exact distinct user-week arithmetic; week
+    // age = day diff // 7 (weeks are Monday-truncated, always a
+    // multiple of 7 apart).
+    "x199_retention_triangle" ->
+      """WITH act AS (SELECT DISTINCT user_id AS u,
+        |  CAST(date_trunc('week', ts) AS DATE) AS w FROM events),
+        |f AS (SELECT u, MIN(w) AS c FROM act GROUP BY 1),
+        |sz AS (SELECT c, COUNT(*) AS n0 FROM f GROUP BY 1),
+        |j AS (SELECT f.c,
+        |  CAST(date_diff('day', f.c, a.w) // 7 AS BIGINT) AS age
+        |  FROM act a JOIN f ON a.u = f.u),
+        |g AS (SELECT c, age, COUNT(*) AS n_active FROM j GROUP BY 1, 2)
+        |SELECT g.c AS cohort_week, age AS age_weeks, n_active,
+        |  CAST(n0 AS BIGINT) AS cohort_size,
+        |  CAST(ROUND(CAST(CAST(n_active AS DOUBLE) / n0
+        |    AS DECIMAL(18,8)), 4) AS DOUBLE) AS retention
+        |FROM g JOIN sz USING (c)
+        |ORDER BY cohort_week, age_weeks""".stripMargin,
+
+    // Language confusion: the x46 detector joined back to the declared
+    // label; counts + whole-relation shares.
+    "x200_lang_confusion" ->
+      s"""WITH li AS ($langIdSql),
+         |j AS (SELECT d.lang AS declared, li.pred_lang AS detected
+         |  FROM documents d JOIN li ON li.doc_id = d.doc_id),
+         |cg AS (SELECT declared, detected, COUNT(*) AS n
+         |  FROM j GROUP BY 1, 2)
+         |SELECT declared, detected, n,
+         |  CAST(ROUND(CAST(CAST(n AS DOUBLE) / SUM(n) OVER ()
+         |    AS DECIMAL(18,8)), 4) AS DOUBLE) AS share,
+         |  CAST(CASE WHEN declared = detected THEN 1 ELSE 0 END
+         |    AS BIGINT) AS is_match
+         |FROM cg ORDER BY declared, detected""".stripMargin,
+
+    // Session stats: the x137 gaps-and-islands sessions + the exact
+    // rank-arithmetic median duration.
+    "x201_session_stats" ->
+      s"""WITH g AS (SELECT user_id, ts, event_id,
+         |  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |m AS (SELECT user_id, ts,
+         |  SUM(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0
+         |    END) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS session_seq
+         |  FROM g),
+         |sess AS (SELECT user_id, session_seq,
+         |  CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT)
+         |    AS duration_us
+         |  FROM m GROUP BY 1, 2),
+         |${exactQuantileCtes("sess", Seq(), "duration_us",
+             Seq("med_us" -> 500), 6, "q")},
+         |st AS (SELECT COUNT(*) AS n_sessions,
+         |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_bounce,
+         |  CAST(SUM(n_events) AS BIGINT) AS ev FROM sess)
+         |SELECT n_sessions, n_bounce,
+         |  CAST(ROUND(CAST(CAST(n_bounce AS DOUBLE) / n_sessions
+         |    AS DECIMAL(18,8)), 4) AS DOUBLE) AS bounce_rate,
+         |  CAST(ROUND(CAST(CAST(ev AS DOUBLE) / n_sessions
+         |    AS DECIMAL(18,8)), 4) AS DOUBLE) AS events_per_session,
+         |  CAST(ROUND(CAST(CAST(qq.med_us AS DOUBLE) / 1000000.0e0
+         |    AS DECIMAL(18,8)), 4) AS DOUBLE) AS median_duration_s
+         |FROM st CROSS JOIN qq""".stripMargin,
+
+    // Repurchase: per-customer consecutive-order gaps (same-day
+    // repeats contribute zero-day gaps under any tie order) + the
+    // exact median gap.
+    "x202_repurchase" ->
+      s"""WITH w1 AS (SELECT o_custkey,
+         |  date_diff('day',
+         |    lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+         |      ORDER BY o_orderdate),
+         |    CAST(o_orderdate AS DATE)) AS gap
+         |  FROM orders),
+         |gp AS (SELECT CAST(gap AS BIGINT) AS gap FROM w1
+         |  WHERE gap IS NOT NULL),
+         |${exactQuantileCtes("gp", Seq(), "gap",
+             Seq("med" -> 500), 6, "q")},
+         |pc AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1),
+         |st AS (SELECT COUNT(*) AS n_customers,
+         |  CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_repeat,
+         |  CAST(SUM(n) AS BIGINT) AS orders FROM pc)
+         |SELECT n_customers, n_repeat,
+         |  CAST(ROUND(CAST(CAST(n_repeat AS DOUBLE) / n_customers
+         |    AS DECIMAL(18,8)), 4) AS DOUBLE) AS repeat_rate,
+         |  CAST(ROUND(CAST(CAST(orders AS DOUBLE) / n_customers
+         |    AS DECIMAL(18,8)), 4) AS DOUBLE) AS orders_per_customer,
+         |  CAST(qq.med AS DOUBLE) AS median_gap_days
+         |FROM st CROSS JOIN qq""".stripMargin,
+
     // Growth accounting: distinct (user, week) self-joins, exact
     // integer counts; churn-only weeks survive the full outer join.
     "x179_growth_accounting" ->

@@ -2253,11 +2253,35 @@ object Queries {
       .orderBy("user_id")
 
   /** X198 — Holt linear-trend forecast (X158): the two-state
-    * ordered-fold parity gate (struct accumulator), α=0.3, γ=0.1. */
+    * ordered-fold parity gate (array accumulator), α=0.3, γ=0.1. */
   def x198(s: SparkSession, dir: String): DataFrame =
     TimeSeries.holtForecast(dailyDemand(s, dir), "user_id", "day",
         "demand", alpha = 0.3, gamma = 0.1)
       .orderBy("user_id")
+
+  /** X199 — cohort retention triangle (X159): weekly cohorts × age,
+    * the retention matrix behind the growth-accounting ledger. */
+  def x199(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.retentionTriangle(Tables.events(s, dir), "user_id", "ts")
+      .orderBy("cohort_week", "age_weeks")
+
+  /** X200 — language confusion matrix (X160): declared `lang` label vs
+    * the stopword-vote detector — the metadata-trust audit. */
+  def x200(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langConfusion(Tables.documents(s, dir), "lang", "text")
+      .orderBy("declared", "detected")
+
+  /** X201 — session statistics (X161) at the x137 gap (30 min):
+    * bounce rate, events/session, exact median duration. */
+  def x201(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.sessionStats(Tables.events(s, dir), "user_id", "ts",
+      "event_id", gapSeconds = 1800)
+
+  /** X202 — repeat-purchase statistics (X162): loyalty health with the
+    * exact median inter-order gap. */
+  def x202(s: SparkSession, dir: String): DataFrame =
+    Retail.repurchaseStats(Tables.orders(s, dir), "o_custkey",
+      "o_orderdate")
 
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2470,5 +2494,9 @@ object Queries {
     "x195_lsh_blocking" -> (x195 _),
     "x196_novelty_rate" -> (x196 _),
     "x197_newsvendor" -> (x197 _),
-    "x198_holt_forecast" -> (x198 _))
+    "x198_holt_forecast" -> (x198 _),
+    "x199_retention_triangle" -> (x199 _),
+    "x200_lang_confusion" -> (x200 _),
+    "x201_session_stats" -> (x201 _),
+    "x202_repurchase" -> (x202 _))
 }

@@ -141,6 +141,18 @@ class RetailSpec extends SparkSpec {
     assert(got == Seq(("A", "B", 2L, expected)), s"got $got")
   }
 
+  test("repurchaseStats: repeat share, orders per customer, exact median gap") {
+    import spark.implicits._
+    val d = (s: String) => java.sql.Date.valueOf(s)
+    val df = Seq(
+      (1L, d("2024-01-01")), (1L, d("2024-01-03")),
+      (2L, d("2024-01-05")))
+      .toDF("c", "dt")
+    val got = Retail.repurchaseStats(df, "c", "dt")
+      .as[(Long, Long, Double, Double, Double)].collect()(0)
+    assert(got == ((2L, 1L, 0.5, 1.5, 2.0)), s"got $got")
+  }
+
   test("priceEndings: exact cents endings, shares, charm flag") {
     import spark.implicits._
     val df = Seq(1.99, 2.99, 3.50, 4.00).toDF("p")

@@ -329,6 +329,21 @@ class TextAnalysisSpec extends SparkSpec {
       (12L, 2L, 2L, 1.0)), s"got $got")
   }
 
+  test("langConfusion: mislabeled docs land off-diagonal with shares") {
+    import spark.implicits._
+    val docs = Seq(
+      ("en", "the cat and the dog is not in"),
+      ("en", "the a of and is not to in"),
+      ("de", "the a of and is not to in")) // declared de, clearly en
+      .toDF("lang", "text")
+    val got = TextAnalysis.langConfusion(docs, "lang", "text")
+      .orderBy("declared", "detected")
+      .as[(String, String, Long, Double, Long)].collect().toSeq
+    assert(got == Seq(
+      ("de", "en", 1L, 0.3333, 0L),
+      ("en", "en", 2L, 0.6667, 1L)), s"got $got")
+  }
+
   test("noveltyByBatch: first batch all novel, repeats in later batches are not") {
     import spark.implicits._
     // batch 1: grams {abc, bcd}; batch 2: {abc, bce} -> 1 of 2 novel

@@ -577,6 +577,41 @@ class TimeSeriesSpec extends SparkSpec {
     assert(even == Seq(None, Some(1.5), Some(6.0), Some(7.0)), s"got $even")
   }
 
+  test("retentionTriangle: cohorts age week by week") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 10:00:00")
+    // W1 cohort {u1,u2}; u1 returns W2; W2 cohort {u3}
+    val df = Seq(
+      (1L, ts("2024-01-01")), (1L, ts("2024-01-09")),
+      (2L, ts("2024-01-02")),
+      (3L, ts("2024-01-10")))
+      .toDF("user_id", "ts")
+    val got = TimeSeries.retentionTriangle(df, "user_id", "ts")
+      .orderBy("cohort_week", "age_weeks")
+      .as[(Date, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (Date.valueOf("2024-01-01"), 0L, 2L, 2L, 1.0),
+      (Date.valueOf("2024-01-01"), 1L, 1L, 2L, 0.5),
+      (Date.valueOf("2024-01-08"), 0L, 1L, 1L, 1.0)), s"got $got")
+  }
+
+  test("sessionStats: bounce share and exact median duration") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // burst of 3 (10 s span), then a single event an hour later
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (1L, ts("2024-01-01 10:00:05"), 2L),
+      (1L, ts("2024-01-01 10:00:10"), 3L),
+      (1L, ts("2024-01-01 12:00:00"), 4L))
+      .toDF("user_id", "ts", "event_id")
+    val got = TimeSeries.sessionStats(df, "user_id", "ts", "event_id",
+        gapSeconds = 1800)
+      .as[(Long, Long, Double, Double, Double)].collect()(0)
+    // sessions: (3 events, 10 s) and (1 event, 0 s) -> median 5 s
+    assert(got == ((2L, 1L, 0.5, 2.0, 5.0)), s"got $got")
+  }
+
   test("reachCurve: new users per day and cumulative distinct reach") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
