@@ -146,4 +146,29 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: groupedExactQuantiles agrees with Spark percentile on random data") {
+    // the exact rank-arithmetic decimal path computes the SAME
+    // quantile definition (linear interpolation at p·(n−1)) as the
+    // float `percentile` aggregate — on random inputs they must agree
+    // to the quantize/round tolerance (1e-6 inputs + 1e-6 output vs
+    // float interpolation noise)
+    val gen = Gen.listOfN(40, Gen.chooseNum(-1000.0, 1000.0))
+    samples(gen, 6).zipWithIndex.foreach { case (vals, i) =>
+      val df = vals.zipWithIndex.map { case (v, j) => (j % 2, v) }
+        .toDF("g", "v")
+      for (p <- Seq(0.25, 0.5, 0.9)) {
+        val exact = Profiling
+          .groupedExactQuantiles(df, Seq("g"), col("v"), Seq("q" -> p))
+          .select(col("g"), col("q").cast("double"))
+          .as[(Int, Double)].collect().toMap
+        val ref = df.groupBy(col("g"))
+          .agg(percentile(col("v"), lit(p)).as("q"))
+          .as[(Int, Double)].collect().toMap
+        for ((g, q) <- exact)
+          assert(math.abs(q - ref(g)) < 1e-4,
+            s"sample $i p=$p group $g: exact $q vs percentile ${ref(g)}")
+      }
+    }
+  }
 }
