@@ -32,11 +32,14 @@ import org.apache.spark.sql.functions._
   * [[HistTree]] instead of Spark ML — LightGBM-parity HISTOGRAM split
   * finding plus PER-SPLIT LEARNED MISSING-VALUE ROUTING over real NaNs
   * (assemble with `missingAsNaN = true`; M5's lag/rolling warm-up rows
-  * are null by construction, so this touches real data). That closes
-  * the r11 verdict's two remaining fitter divergences; what's left is
-  * growth order (level-wise here vs LightGBM's leaf-wise `num_leaves`)
-  * — golden-tested, never oracle-hashed (SURVEY §5.3), with the
-  * forecast delta measured on the golden fixture in M5TweedieSpec.
+  * are null by construction, so this touches real data), and with
+  * `numLeaves > 0` (lgb_params `num_leaves`) the trees grow LEAF-WISE
+  * — LightGBM's best-first frontier with histogram subtraction — so
+  * no fitter-SHAPE divergence remains: histogram splits, learned
+  * missing routing, sorted categorical splits, and growth order all
+  * match the reference's LGBMRegressor. Golden-tested, never
+  * oracle-hashed (SURVEY §5.3), with the forecast deltas measured on
+  * the golden fixture in M5TweedieSpec.
   *
   * Eval-set early stopping (the reference's `early_stopping_rounds=10`,
   * pipeline.py:262-265) is native here: validation rows (`validCol`)
@@ -68,7 +71,11 @@ object TweedieGbt {
       // the features with missingAsNaN = true on this path
       histogram: Boolean = false,
       histMaxBins: Int = 255,
-      minDataInLeaf: Int = 20) {
+      minDataInLeaf: Int = 20,
+      // > 0 switches the histogram fitter to LEAF-WISE (best-first)
+      // growth with this leaf budget — LightGBM's num_leaves frontier,
+      // the last fitter-shape divergence; 0 keeps level-wise
+      numLeaves: Int = 0) {
     require(variancePower > 1.0 && variancePower < 2.0,
       s"variancePower must be in (1,2) for compound-Poisson Tweedie: $variancePower")
   }
@@ -92,7 +99,8 @@ object TweedieGbt {
       earlyStoppingRounds = num("early_stopping_rounds", 10).toInt,
       histogram = hist,
       histMaxBins = num("max_bin", 255).toInt,
-      minDataInLeaf = num("min_child_samples", 20).toInt)
+      minDataInLeaf = num("min_child_samples", 20).toInt,
+      numLeaves = num("num_leaves", 0).toInt)
   }
 
   /** One boosting stage: the fitted tree (used only for its leaf
@@ -309,12 +317,19 @@ object TweedieGbt {
             .drop("__h", "__leaf")
         case Some(hb) =>
           // LightGBM-parity fitter: histogram split finding with
-          // per-split learned missing routing, on the pre-binned rows
-          val tree = HistTree.fit(
-            fitRows.withColumn("__hess", hess),
-            "__bins", "__r", "__hess", hb,
-            maxDepth = params.maxDepth, lambda = 1e-6,
-            minData = params.minDataInLeaf.toLong, minGain = 0.0)
+          // per-split learned missing routing, on the pre-binned rows;
+          // num_leaves > 0 grows LEAF-WISE (LightGBM's frontier rule)
+          val fitFrame = fitRows.withColumn("__hess", hess)
+          val tree =
+            if (params.numLeaves >= 2)
+              HistTree.fitLeafWise(fitFrame, "__bins", "__r", "__hess",
+                hb, numLeaves = params.numLeaves,
+                maxDepth = params.maxDepth, lambda = 1e-6,
+                minData = params.minDataInLeaf.toLong, minGain = 0.0)
+            else
+              HistTree.fit(fitFrame, "__bins", "__r", "__hess", hb,
+                maxDepth = params.maxDepth, lambda = 1e-6,
+                minData = params.minDataInLeaf.toLong, minGain = 0.0)
           val leafU = udf((b: scala.collection.Seq[Short]) =>
             tree.leafOfBins(b.toArray).toDouble)
           val leafValues = refit(

@@ -24,7 +24,8 @@ class M5TweedieSpec extends SparkSpec {
   }
 
   private def pipeline(objective: Option[String],
-      histogram: Boolean = false): (M5Pipeline, String) = {
+      histogram: Boolean = false,
+      numLeaves: Option[Int] = None): (M5Pipeline, String) = {
     val outDir = Files.createTempDirectory("m5out-tw").toString
     val base = MiniM5Fixture.config(inputDir, outDir)
     val lgb = new java.util.HashMap[String, Object](
@@ -39,6 +40,7 @@ class M5TweedieSpec extends SparkSpec {
       lgb.put("histogram", "true")
       lgb.put("min_child_samples", Int.box(5)) // mini-fixture scale
     }
+    numLeaves.foreach(n => lgb.put("num_leaves", Int.box(n)))
     val cfg = base.updated("lgb_params", lgb: Object)
     (new M5Pipeline(spark, YamlConfig.fromMap(cfg)), outDir)
   }
@@ -117,5 +119,16 @@ class M5TweedieSpec extends SparkSpec {
     // scale bound is asserted, the delta itself is the reported number
     assert(mad < 10 * math.max(meanS.abs, 1.0),
       s"histogram forecasts on the wrong scale: mean|Δ|=$mad vs level $meanS")
+  }
+
+  test("leaf-wise growth (num_leaves, LightGBM's frontier) runs the full DAG") {
+    val (lw, lwOut) = pipeline(Some("tweedie"), histogram = true,
+      numLeaves = Some(8))
+    val report = lw.run(log = _ => ())
+    assert(report.ran.size == 23, report.ran.mkString(", "))
+    val preds = spark.read.parquet(s"$lwOut/predictions.parquet")
+    assert(preds.count() == 2 * 6 * 7 * 2)
+    assert(preds.filter(col("pred_units_sold") <= 0).isEmpty,
+      "tweedie predictions must be strictly positive")
   }
 }

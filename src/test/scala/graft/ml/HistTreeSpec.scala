@@ -113,6 +113,52 @@ class HistTreeSpec extends SparkSpec {
       assert(back.leafOfVector(v) == tree.leafOfVector(v), s"route differs at $v")
   }
 
+  test("leaf-wise growth spends the leaf budget on the best-gain side") {
+    // feature 0 splits the data in half; the RIGHT half has a strong
+    // secondary split on feature 1, the LEFT half is pure noise-free
+    // constant. With numLeaves = 3 the frontier must be
+    // {root, right-child} — a level-wise tree would have to spend
+    // depth 2 on BOTH sides or neither.
+    val rows =
+      (1 to 8).map(i => (Vectors.dense(1.0 + i % 2, i % 3 * 1.0), 0.0, 1.0)) ++
+      (1 to 4).map(i => (Vectors.dense(10.0 + i % 2, 1.0), 6.0, 1.0)) ++
+      (1 to 4).map(i => (Vectors.dense(10.0 + i % 2, 20.0), 2.0, 1.0))
+    val df = frame(rows)
+    val bins = HistTree.buildBins(df, "features", maxBins = 16)
+    val tree = HistTree.fitLeafWise(binned(df, bins), "__bins", "__g",
+      "__h", bins, numLeaves = 3, lambda = 0.0, minData = 1)
+    assert(tree.splits.keySet == Set(1, 3),
+      s"expected root + right-child splits, got ${tree.splits.keySet}")
+    assert(tree.leafValue.keySet == Set(2, 6, 7),
+      s"got leaves ${tree.leafValue.keySet}")
+    // leaf values: left leaf 0, right split separates +6 / +2
+    assert(tree.valueOfVector(Vectors.dense(1.0, 0.0)) == 0.0)
+    assert(tree.valueOfVector(Vectors.dense(10.5, 1.0)) == 6.0)
+    assert(tree.valueOfVector(Vectors.dense(10.5, 20.0)) == 2.0)
+    // the budget binds: numLeaves = 4 would also split the left side
+    // if it had any gain — it does not (constant g), so the frontier
+    // stays at 3 leaves even with budget to spare
+    val t4 = HistTree.fitLeafWise(binned(df, bins), "__bins", "__g",
+      "__h", bins, numLeaves = 4, lambda = 0.0, minData = 1)
+    assert(t4.splits.keySet == Set(1, 3), s"got ${t4.splits.keySet}")
+  }
+
+  test("leaf-wise histogram subtraction preserves exact leaf values under missing routing") {
+    // NaN rows side with the positives; subtraction-derived sibling
+    // histograms must still produce the exact Newton values
+    val rows =
+      (1 to 6).map(i => (Vectors.dense(1.0 + i % 2), 2.0, 1.0)) ++
+      (1 to 6).map(i => (Vectors.dense(10.0 + i % 2), -2.0, 1.0)) ++
+      (1 to 2).map(_ => (Vectors.dense(Double.NaN), 2.0, 1.0))
+    val df = frame(rows)
+    val bins = HistTree.buildBins(df, "features", maxBins = 16)
+    val tree = HistTree.fitLeafWise(binned(df, bins), "__bins", "__g",
+      "__h", bins, numLeaves = 2, lambda = 0.0, minData = 1)
+    assert(tree.splits(1).defaultLeft, s"got ${tree.splits(1)}")
+    assert(tree.valueOfVector(Vectors.dense(Double.NaN)) == 2.0)
+    assert(tree.valueOfVector(Vectors.dense(11.0)) == -2.0)
+  }
+
   test("TweedieGbt histogram path: fit, missing-aware forecasts, save/load parity") {
     // intermittent-demand shape: y depends on feature 0; feature 1 is
     // null (NaN) on a warm-up slice whose y behaves like the HIGH group
