@@ -2600,8 +2600,10 @@ object OracleSql {
         |  FROM rws r JOIN f ON r.g = f.g)
         |SELECT g AS o_orderpriority, COUNT(*) AS n,
         |  CAST(lo AS DOUBLE) AS fence_lo, CAST(hi AS DOUBLE) AS fence_hi,
-        |  SUM(CASE WHEN v < lo THEN 1 ELSE 0 END) AS n_clipped_low,
-        |  SUM(CASE WHEN v > hi THEN 1 ELSE 0 END) AS n_clipped_high,
+        |  CAST(SUM(CASE WHEN v < lo THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clipped_low,
+        |  CAST(SUM(CASE WHEN v > hi THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clipped_high,
         |  CAST(ROUND(CAST(CAST(SUM(CAST(
         |    LEAST(GREATEST(v, lo), hi)
         |    AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
@@ -3634,11 +3636,11 @@ object OracleSql {
         |SELECT a.g AS event_type, COUNT(*) AS n,
         |  CAST(MIN(a.med) AS DOUBLE) AS median,
         |  CAST(MIN(d.mad) AS DOUBLE) AS mad,
-        |  SUM(CASE WHEN d.mad > 0 AND abs(ROUND(CAST(
+        |  CAST(SUM(CASE WHEN d.mad > 0 AND abs(ROUND(CAST(
         |      0.6745e0 * (a.vd - CAST(a.med AS DOUBLE))
         |        / CAST(d.mad AS DOUBLE)
         |      AS DECIMAL(18,8)), 4)) > 3.5 THEN 1 ELSE 0 END)
-        |    AS n_outliers
+        |    AS BIGINT) AS n_outliers
         |FROM ad a JOIN mad d ON a.g = d.g
         |GROUP BY a.g ORDER BY event_type""".stripMargin,
 
