@@ -166,10 +166,13 @@ object Evaluation {
     // optimizer exponential (measured: each extra cut reference
     // doubled optimization time; 9 cuts OOMed the driver). Literals
     // also erase the nested-loop join: bin assignment is pure codegen.
+    val qScope = graft.util.CacheScope()
     val cutsFrame = Profiling.groupedExactQuantiles(
       df.filter(isBaseline).select(v.as("__psiv")), Seq(), col("__psiv"),
-      probs.zipWithIndex.map { case (p, i) => s"__c$i" -> p })
+      probs.zipWithIndex.map { case (p, i) => s"__c$i" -> p },
+      scope = qScope)
     val cutRows = cutsFrame.collect()
+    qScope.unpersistAll()
     require(cutRows.nonEmpty, "psi needs a non-empty baseline slice")
     val cuts = (0 until k - 1).map(i => lit(cutRows(0).getDecimal(i)))
     // bin = 1 + Σ (v > cut_i): map-side literal arithmetic

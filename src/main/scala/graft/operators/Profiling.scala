@@ -316,7 +316,9 @@ object Profiling {
     * no single-partition window, no whole-column gather anywhere.
     */
   def exactQuantiles(df: DataFrame, valueCol: String,
-      probs: Seq[Double], roundDigits: Int = 6): DataFrame = {
+      probs: Seq[Double], roundDigits: Int = 6,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
     require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
       s"probs must be within [0,1], got $probs")
     val spark = df.sparkSession
@@ -327,11 +329,10 @@ object Profiling {
         org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.types.StructField("__i",
         org.apache.spark.sql.types.LongType, nullable = false)))
-    val indexed = spark.createDataFrame(
+    val indexed = scope.persist(spark.createDataFrame(
       sorted.rdd.zipWithIndex.map { case (r, i) =>
         org.apache.spark.sql.Row(r.get(0), i)
-      }, schema)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }, schema))
     val n = indexed.count()
     require(n > 0, "exactQuantiles needs at least one non-null value")
     import spark.implicits._
@@ -354,6 +355,43 @@ object Profiling {
     out
   }
 
+  /** Rational (num, den) for a probability, by continued-fraction
+    * approximation: the smallest denominator d <= 10^6 with
+    * |p·d − round(p·d)| within half an ULP of p at that scale. Makes
+    * ANY representable probability usable by the exact-quantile
+    * machinery — 1/3 (newsvendor critical ratios), 1/7, k-tile cuts
+    * for arbitrary k (psi) — not just thousandths (the r12
+    * restriction; callers with wider contracts hit a confusing
+    * "multiple of 1/1000" error deep in the quantile code). */
+  private[graft] def probRational(p: Double): (Long, Long) = {
+    require(p >= 0 && p <= 1 && !p.isNaN, s"probability out of [0,1]: $p")
+    val maxDen = 1000000L
+    // continued-fraction convergents of p; first one within tolerance
+    // of the double wins (for p typed as a decimal literal or a small
+    // fraction, that recovers the intended exact rational)
+    var (h0, h1, k0, k1) = (0L, 1L, 1L, 0L)
+    var x = p
+    var iter = 0
+    while (iter < 40) {
+      val a = math.floor(x).toLong
+      val h2 = a * h1 + h0; val k2 = a * k1 + k0
+      if (k2 > maxDen) {
+        iter = 40
+      } else {
+        h0 = h1; h1 = h2; k0 = k1; k1 = k2
+        if (math.abs(p - h1.toDouble / k1) < 1e-12) iter = 40
+        else {
+          val frac = x - a
+          if (frac < 1e-15) iter = 40 else { x = 1.0 / frac; iter += 1 }
+        }
+      }
+    }
+    require(k1 > 0 && math.abs(p - h1.toDouble / k1) < 1e-9,
+      s"probability $p has no exact rational form with denominator <= " +
+        s"$maxDen — pass a cleaner probability")
+    (h1, k1)
+  }
+
   /** Exact per-group linear-interpolation quantiles with NO float
     * kernel anywhere — the engine-version-proof form of a grouped
     * `quantile_cont` (r11 verdict: a float interpolation ULP inside
@@ -361,18 +399,23 @@ object Profiling {
     * release kept — so a quantile an operator EMITS must never pass
     * through a float multiply).
     *
-    * The whole computation is integer + decimal arithmetic:
-    * probabilities are thousandths (`p·1000` must be integral), the
-    * rank position `p·(n−1)` is exact long arithmetic, its fractional
-    * part is the integer remainder mod 1000, and the interpolation
-    * `(v_lo·(1000−rem) + v_hi·rem)·0.001` runs entirely in DECIMAL
-    * (× by the scale-3 literal shifts the scale — decimal-exact; no
-    * division ever executes). Inputs quantize through DECIMAL(18,
-    * inScale) first — a double can never tie at a decimal boundary
-    * (its value is a binary fraction, a half-ULP-at-scale-k is not),
-    * so the cast is rounding-mode-independent and engine-identical.
-    * The final ROUND is decimal HALF_UP, which both Spark and DuckDB
-    * define as half-away-from-zero.
+    * The whole computation is integer + decimal arithmetic: each
+    * probability reduces to an exact rational num/den ([[probRational]]
+    * — arbitrary p, not just thousandths), the rank position
+    * `p·(n−1)` is exact long arithmetic `num·(n−1)` with fractional
+    * part the integer remainder mod den, and the interpolation
+    * `(v_lo·(den−rem) + v_hi·rem) / den` runs entirely in DECIMAL.
+    * The division is decimal-exact whenever 1/den has a finite decimal
+    * expansion (den = 2^a·5^b — every thousandth-probability caller,
+    * so all r12 gate outputs are bit-identical to the multiply-by-
+    * 0.001 form this replaces); for other dens (1/3, 1/7) it is
+    * HALF_UP at scale 14, eight guard digits above the final round.
+    * Inputs quantize through DECIMAL(18, inScale) first — a double can
+    * never tie at a decimal boundary (its value is a binary fraction,
+    * a half-ULP-at-scale-k is not), so the cast is rounding-mode-
+    * independent and engine-identical. The final ROUND is decimal
+    * HALF_UP, which both Spark and DuckDB define as half-away-from-
+    * zero.
     *
     * Shape (the [[exactQuantiles]] / labelEncode machinery, made
     * per-group): range-sort on (group, v) + `zipWithIndex` assigns
@@ -380,6 +423,12 @@ object Profiling {
     * giant group cannot pin a single task; per-group rank offsets ride
     * ONE group-cardinality aggregate broadcast back. One extra job for
     * the zip's partition-size scan; nothing driver-side.
+    *
+    * The ranked frame persists for the two passes (bounds + pick);
+    * pass a tracking [[graft.util.CacheScope]] and `unpersistAll` once
+    * the result is consumed — the default unmanaged scope leaves the
+    * block to Spark's LRU (fine under Verify/Bench's per-query sweep,
+    * a leak in a long-lived session).
     */
   def groupedExactQuantiles(
       df: DataFrame,
@@ -387,18 +436,18 @@ object Profiling {
       value: Column,
       probs: Seq[(String, Double)],
       inScale: Int = 6,
-      roundDigits: Int = 6): DataFrame = {
+      roundDigits: Int = 6,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
     if (groupCols.isEmpty)
       // global quantiles = one synthetic all-rows group, dropped on exit
       return groupedExactQuantiles(df.withColumn("__gall", lit(1)),
-        Seq("__gall"), value, probs, inScale, roundDigits).drop("__gall")
+        Seq("__gall"), value, probs, inScale, roundDigits, scope)
+        .drop("__gall")
     require(probs.nonEmpty, "need at least one probability")
-    val den = 1000L
     val nums = probs.map { case (name, p) =>
-      val num = math.round(p * den)
-      require(num >= 0 && num <= den && math.abs(p * den - num) < 1e-9,
-        s"probability $p must be a multiple of 1/$den in [0,1]")
-      (name, num)
+      val (num, den) = probRational(p)
+      (name, num, den)
     }
     val spark = df.sparkSession
     val inType = org.apache.spark.sql.types.DecimalType(18, inScale)
@@ -409,16 +458,15 @@ object Profiling {
     val schema = org.apache.spark.sql.types.StructType(
       sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
         "__i", org.apache.spark.sql.types.LongType, nullable = false))
-    val indexed = spark.createDataFrame(
+    val indexed = scope.persist(spark.createDataFrame(
       sorted.rdd.zipWithIndex.map { case (r, i) =>
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
-      }, schema)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }, schema))
     val bounds = indexed.groupBy(gs: _*)
       .agg(min(col("__i")).as("__g0"), count(lit(1)).as("__n"))
-    val wDen = org.apache.spark.sql.types.DecimalType(4, 0)
-    val inv = lit(new java.math.BigDecimal("0.001"))
-    val rankCols = nums.flatMap { case (name, num) =>
+    // den <= 10^6 -> weights need 7 integer digits
+    val wDen = org.apache.spark.sql.types.DecimalType(7, 0)
+    val rankCols = nums.flatMap { case (name, num, den) =>
       val pos = lit(num) * (col("__n") - 1)
       val rem = pmod(pos, lit(den))
       val lo = ((pos - rem) / den).cast("long")
@@ -436,10 +484,10 @@ object Profiling {
       .drop(groupCols.map(c => s"__k_$c"): _*)
       .withColumn("__r", col("__i") - col("__g0"))
       .select((gs :+ col("__r") :+ col("__v")) ++ rankCols: _*)
-    val hit = nums.map { case (name, _) =>
+    val hit = nums.map { case (name, _, _) =>
       col("__r") === col(s"__lo_$name") || col("__r") === col(s"__hi_$name")
     }.reduce(_ || _)
-    val aggs = nums.flatMap { case (name, _) =>
+    val aggs = nums.flatMap { case (name, _, _) =>
       Seq(
         min(when(col("__r") === col(s"__lo_$name"), col("__v")))
           .as(s"__vlo_$name"),
@@ -448,13 +496,53 @@ object Profiling {
         first(col(s"__rem_$name")).as(s"__remf_$name"))
     }
     val picked = marked.filter(hit).groupBy(gs: _*).agg(aggs.head, aggs.tail: _*)
-    val outCols = gs ++ nums.map { case (name, _) =>
+    val outCols = gs ++ nums.map { case (name, _, den) =>
       val rem = col(s"__remf_$name").cast(wDen)
       val w0 = (lit(den) - col(s"__remf_$name")).cast(wDen)
-      round((col(s"__vlo_$name") * w0 + col(s"__vhi_$name") * rem) * inv,
-        roundDigits).as(name)
+      round((col(s"__vlo_$name") * w0 + col(s"__vhi_$name") * rem)
+        / lit(den).cast(wDen), roundDigits).as(name)
     }
     picked.select(outCols: _*)
+  }
+
+  /** Multi-VALUE-column exact quantiles in ONE ranked pass: the same
+    * cutoffs [[groupedExactQuantiles]] emits, for several value
+    * columns at once. Each per-column call pays a full range-sort +
+    * `zipWithIndex` round-trip (two jobs) + persist + broadcast join;
+    * three metric columns meant three times that machinery for a
+    * handful of scalars (the r12 x128 regression: rfmSegments at
+    * 0.62 → 3.02 s). Here the value columns EXPLODE into
+    * `(group…, __metric, value)` rows — the metric name becomes one
+    * more group column — and the whole set rides a single
+    * sort/zip/join. Output: one row per (group…, __metric), quantile
+    * columns named per `probs`.
+    *
+    * Cost: one pass over (#cols · rows) instead of #cols passes over
+    * rows — same total compare volume, one job structure. Nulls filter
+    * per metric inside the shared pass (the explode emits a row per
+    * metric, the quantile machinery drops null values).
+    */
+  def multiExactQuantiles(
+      df: DataFrame,
+      groupCols: Seq[String],
+      values: Seq[(String, Column)],
+      probs: Seq[(String, Double)],
+      inScale: Int = 6,
+      roundDigits: Int = 6,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
+    require(values.nonEmpty, "need at least one value column")
+    val inType = org.apache.spark.sql.types.DecimalType(18, inScale)
+    val gs = groupCols.map(col)
+    val pairs = values.map { case (nm, c) =>
+      struct(lit(nm).as("__metric"), c.cast(inType).as("__mv"))
+    }
+    val long = df
+      .select((gs :+ explode(array(pairs: _*)).as("__p")): _*)
+      .select((gs :+ col("__p.__metric").as("__metric")
+        :+ col("__p.__mv").as("__mv")): _*)
+    groupedExactQuantiles(long, groupCols :+ "__metric", col("__mv"),
+      probs, inScale, roundDigits, scope)
   }
 
   /** X154 — exact WEIGHTED quantile per group (lower weighted
@@ -467,8 +555,8 @@ object Profiling {
     * Exactness without interpolation: weights quantize through
     * DECIMAL(18,6), the cumulative weight is a decimal window sum
     * (exact under any association), and the threshold compare runs as
-    * `cumW·1000 >= pNum·W` — integer-scaled decimal arithmetic, no
-    * division, no float. The selected value is a DATA value, so the
+    * `cumW·den >= num·W` with num/den = [[probRational]](p) —
+    * integer-scaled decimal arithmetic, no division, no float. The selected value is a DATA value, so the
     * output needs no rounding at all. Ties in the value column are
     * safe by construction: whichever tied row first crosses the
     * threshold, the SELECTED value is the same.
@@ -485,10 +573,8 @@ object Profiling {
       weightCol: String,
       p: Double,
       outName: String = "wq"): DataFrame = {
-    val den = 1000L
-    val pNum = math.round(p * den)
-    require(pNum > 0 && pNum <= den && math.abs(p * den - pNum) < 1e-9,
-      s"probability $p must be a positive multiple of 1/$den <= 1")
+    val (pNum, den) = probRational(p)
+    require(pNum > 0, s"weighted quantile needs p > 0, got $p")
     val v6t = org.apache.spark.sql.types.DecimalType(18, 6)
     val gs = groupCols.map(col)
     val rows = df
@@ -505,7 +591,7 @@ object Profiling {
     // scaling (values preserved — same scale): Spark's widened
     // DECIMAL(28,6) × DECIMAL(20,0) would cross precision 38 and take
     // the silent precision-loss path (the r12 decayedCounts lesson)
-    val w4 = org.apache.spark.sql.types.DecimalType(4, 0)
+    val w4 = org.apache.spark.sql.types.DecimalType(7, 0)
     val w24 = org.apache.spark.sql.types.DecimalType(24, 6)
     rows
       .withColumn("__cw", sum(col("__w")).over(ord).cast(w24))

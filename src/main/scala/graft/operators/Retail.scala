@@ -77,13 +77,20 @@ object Retail {
       orders: DataFrame,
       custCol: String,
       dateCol: String,
-      amountCol: String): DataFrame = {
-    val perCust = orders.groupBy(col(custCol)).agg(
+      amountCol: String,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
+    // the ONE fact-table scan: per-customer aggregate to catalog
+    // cardinality, persisted — everything downstream (global max date,
+    // quantile pass, scoring) reads this cached frame, never orders
+    // again (r13: the global max previously re-scanned orders whole)
+    val perCust = scope.persist(orders.groupBy(col(custCol)).agg(
       max(col(dateCol)).as("__last"),
       count(lit(1)).as("f"),
       sum(col(amountCol).cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-        .as("__m"))
-    val gmax = orders.agg(max(col(dateCol)).as("__gmax"))
+        .as("__m")))
+    // max over per-customer last dates == max over orders
+    val gmax = perCust.agg(max(col("__last")).as("__gmax"))
     val rfm = perCust.crossJoin(broadcast(gmax))
       .select(col(custCol),
         datediff(col("__gmax"), col("__last")).cast("bigint").as("r"),
@@ -96,18 +103,37 @@ object Retail {
     // The 12 cutoffs COLLECT to driver literals (bounded model state,
     // the psi/kmeans shape): many cut-column references through a
     // joined 1-row frame send Catalyst exponential, and literals make
-    // the scoring pure codegen with no join at all.
-    val rfmP = rfm.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def quintiles(vc: String): IndexedSeq[org.apache.spark.sql.Column] = {
-      val row = Profiling.groupedExactQuantiles(rfmP, Seq(), col(vc),
-        (1 to 4).map(i => s"q$i" -> i * 0.2)).collect()(0)
-      (0 to 3).map(i => lit(row.getDecimal(i)))
+    // the scoring pure codegen with no join at all. All THREE metric
+    // columns share ONE ranked pass (multiExactQuantiles — the r12
+    // x128 regression was three separate sort+zip+persist rounds for
+    // 12 scalars), and the pass's working set unpersists as soon as
+    // the cutoffs are collected. rfm itself stays unpersisted: it is a
+    // pure projection over the cached perCust plus a tiny broadcast.
+    val qScope = graft.util.CacheScope()
+    val cutRows = Profiling.multiExactQuantiles(rfm, Seq(),
+      Seq("r" -> col("r"), "f" -> col("f"), "m" -> col("m")),
+      (1 to 4).map(i => s"q$i" -> i * 0.2), scope = qScope)
+      .collect()
+    qScope.unpersistAll()
+    if (cutRows.isEmpty) {
+      // empty input (or all-null r/f/m): no quantiles exist — return an
+      // empty frame with the full output schema instead of throwing
+      // from a collect()(0) (the old percentile crossJoin shape was
+      // empty-safe; this keeps that contract)
+      return rfm.filter(lit(false)).select(
+        col(custCol), col("r"), col("f"), round(col("m"), 2).as("m"),
+        lit(null).cast("bigint").as("r_score"),
+        lit(null).cast("bigint").as("f_score"),
+        lit(null).cast("bigint").as("m_score"),
+        lit(null).cast("string").as("segment"))
     }
-    val (qr, qf, qm) = (quintiles("r"), quintiles("f"), quintiles("m"))
+    val byMetric = cutRows.map(r => r.getString(0) ->
+      (1 to 4).map(i => lit(r.getDecimal(i)))).toMap
+    val (qr, qf, qm) = (byMetric("r"), byMetric("f"), byMetric("m"))
     def score(v: org.apache.spark.sql.Column,
         qs: IndexedSeq[org.apache.spark.sql.Column]) =
       qs.map(c => (v > c).cast("int")).reduce(_ + _) + 1
-    val scored = rfmP
+    val scored = rfm
       .select(col(custCol), col("r"), col("f"), col("m"),
         // recency inverts: the SMALLEST r (most recent) scores 5
         (lit(6) - score(col("r"), qr)).as("r_score"),

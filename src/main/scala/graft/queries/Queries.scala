@@ -323,16 +323,20 @@ object Queries {
     * .Profiling.groupedExactQuantiles]] — rank arithmetic in integers,
     * interpolation in DECIMAL, identical on any engine (r12: the old
     * float `percentile` ≡ `quantile_cont` parity broke on a DuckDB
-    * version change, the x152 ULP lesson). The two value columns get
-    * one ranked pass each, joined on the group key. */
+    * version change, the x152 ULP lesson). BOTH value columns share
+    * ONE ranked pass (multiExactQuantiles — r13; two passes was the
+    * t38 2.3 → 3.4 s cost of the exact migration), reshaped from the
+    * tiny per-metric cutoff frame. */
   def t38(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
-    val q = graft.operators.Profiling.groupedExactQuantiles(li,
-      Seq("l_linestatus"), col("l_quantity"),
-      Seq("p50" -> 0.5, "p90" -> 0.9), roundDigits = 4)
-    val e = graft.operators.Profiling.groupedExactQuantiles(li,
-      Seq("l_linestatus"), col("l_extendedprice"),
-      Seq("price_p25" -> 0.25), roundDigits = 4)
+    val mq = graft.operators.Profiling.multiExactQuantiles(li,
+      Seq("l_linestatus"),
+      Seq("qty" -> col("l_quantity"), "price" -> col("l_extendedprice")),
+      Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9), roundDigits = 4)
+    val q = mq.filter(col("__metric") === "qty")
+      .select(col("l_linestatus"), col("p50"), col("p90"))
+    val e = mq.filter(col("__metric") === "price")
+      .select(col("l_linestatus"), col("p25").as("price_p25"))
     q.join(e, Seq("l_linestatus"))
       .select(col("l_linestatus"),
         col("p50").cast("double").as("p50"),

@@ -81,6 +81,22 @@ class EvaluationSpec extends SparkSpec {
     assert(out.map(_._4).sum > 0.25, s"PSI ${out.map(_._4).sum}")
   }
 
+  test("psi: non-decimal bin counts (k=3, 7) work — cut probabilities are exact rationals") {
+    // the r12 exact-quantile migration hardcoded thousandth
+    // probabilities, so k=3 (cuts at 1/3, 2/3) threw deep inside the
+    // quantile machinery; probRational restores psi's own k>=2 contract
+    val vals = (1 to 210).map(_.toDouble)
+    val df = vals.map(v => (v, "base")).union(vals.map(v => (v, "cur")))
+      .toDF("v", "era")
+    for (k <- Seq(3, 7)) {
+      val terms = Evaluation.psi(df, col("era") === "base",
+          col("era") === "cur", col("v"), k = k)
+        .select("psi_term").as[Double].collect()
+      assert(terms.length == k && terms.forall(_ == 0.0),
+        s"k=$k: ${terms.toSeq}")
+    }
+  }
+
   private def gini(vals: Seq[Double]): (Long, Double, Option[Double]) = {
     val df = vals.zipWithIndex.map { case (v, i) => (v, i.toLong) }
       .toDF("v", "id")

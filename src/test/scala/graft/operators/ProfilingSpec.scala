@@ -314,4 +314,61 @@ class ProfilingSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Double)].collect()(0)
     assert(clean == (("c", 2L, 0L, 0L, 0.0)), s"got $clean")
   }
+
+  test("probRational: recovers intended fractions, rejects garbage") {
+    assert(Profiling.probRational(0.2) == ((1L, 5L)))
+    assert(Profiling.probRational(0.5) == ((1L, 2L)))
+    assert(Profiling.probRational(1.0 / 3.0) == ((1L, 3L)))
+    assert(Profiling.probRational(2.0 / 7.0) == ((2L, 7L)))
+    assert(Profiling.probRational(0.123) == ((123L, 1000L)))
+    assert(Profiling.probRational(0.0) == ((0L, 1L)))
+    assert(Profiling.probRational(1.0) == ((1L, 1L)))
+    intercept[IllegalArgumentException](Profiling.probRational(-0.1))
+    intercept[IllegalArgumentException](Profiling.probRational(1.5))
+  }
+
+  test("groupedExactQuantiles: arbitrary probabilities (1/3, 1/7) match percentile") {
+    // the r12 form required thousandths and threw deep in the quantile
+    // code for psi(k=3) / newsvendor(1/3) — arbitrary p must now work
+    // and agree with Spark's interpolating percentile to round noise
+    val df = (1 to 22).map(i => ("g", i.toDouble)).toDF("g", "v")
+    for (p <- Seq(1.0 / 3.0, 2.0 / 7.0, 0.123)) {
+      val exact = Profiling
+        .groupedExactQuantiles(df, Seq("g"), col("v"), Seq("q" -> p))
+        .select(col("q").cast("double")).as[Double].collect()(0)
+      val ref = df.agg(
+          org.apache.spark.sql.functions.percentile(col("v"),
+            org.apache.spark.sql.functions.lit(p)))
+        .as[Double].collect()(0)
+      assert(math.abs(exact - ref) < 1e-4, s"p=$p: exact $exact vs $ref")
+    }
+  }
+
+  test("multiExactQuantiles: one ranked pass ≡ per-column calls, scope releases cache") {
+    val df = Seq(("a", 1.0, 10.0), ("a", 2.0, 20.0), ("a", 3.0, 40.0),
+        ("b", 5.0, 1.0), ("b", 7.0, 3.0))
+      .toDF("g", "x", "y")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val scope = graft.util.CacheScope()
+    val multi = Profiling.multiExactQuantiles(df, Seq("g"),
+        Seq("x" -> col("x"), "y" -> col("y")),
+        Seq("p50" -> 0.5, "p90" -> 0.9), scope = scope)
+      .select(col("g"), col("__metric"),
+        col("p50").cast("double"), col("p90").cast("double"))
+      .as[(String, String, Double, Double)].collect().toSet
+    scope.unpersistAll(blocking = true)
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "scope.unpersistAll must release the ranked frame")
+    val single = Seq("x", "y").flatMap { c =>
+      val s = graft.util.CacheScope()
+      val rows = Profiling.groupedExactQuantiles(df, Seq("g"), col(c),
+          Seq("p50" -> 0.5, "p90" -> 0.9), scope = s)
+        .select(col("g"), org.apache.spark.sql.functions.lit(c),
+          col("p50").cast("double"), col("p90").cast("double"))
+        .as[(String, String, Double, Double)].collect()
+      s.unpersistAll()
+      rows
+    }.toSet
+    assert(multi == single, s"multi $multi vs single $single")
+  }
 }

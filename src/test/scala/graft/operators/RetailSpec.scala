@@ -57,6 +57,15 @@ class RetailSpec extends SparkSpec {
       (5L, 0L, 5L, 500.0, 5L, 5L, 5L, "champion")), s"got $got")
   }
 
+  test("rfmSegments: empty input returns an empty frame, not a collect crash") {
+    val empty = Seq.empty[(Long, Timestamp, Double)]
+      .toDF("cust", "odate", "amount")
+    val got = Retail.rfmSegments(empty, "cust", "odate", "amount")
+    assert(got.count() == 0)
+    assert(got.columns.toSeq == Seq("cust", "r", "f", "m",
+      "r_score", "f_score", "m_score", "segment"), got.columns.toSeq)
+  }
+
   test("abcClassification: hand-computed cumulative shares and class boundaries") {
     // revenues 50, 30, 15, 5 -> cum shares .50 .80 .95 1.00; the .80
     // and .95 keys sit EXACTLY on the cuts and must land A and B
