@@ -48,19 +48,46 @@ object HistTree {
   /** Per-feature binning dictionary. Bin 0 is ALWAYS the missing bin
     * (NaN for numeric, code 0 for categoricals — `Gbt.assemble` maps
     * null/unseen categories to 0). Numeric bin b ∈ [1, edges.len+1]
-    * holds `edges(b−2) < v <= edges(b−1)` (left-closed at −∞). */
+    * holds `edges(b−2) < v <= edges(b−1)` (left-closed at −∞).
+    *
+    * HIGH-ARITY categoricals (arity > maxBins — M5's `id` at 30,490
+    * levels): `catMaps(f)` remaps raw codes to bins — the top
+    * (maxBins−2) codes by sample frequency each keep their own bin,
+    * every other code shares the REST bin (`numBins(f)−1`), missing
+    * stays 0 (LightGBM's own `max_cat_threshold` idea: the head codes
+    * carry the splittable signal, the long tail is one bucket). A null
+    * entry means identity (exact-arity categorical or numeric). Splits
+    * on remapped features live in BIN space, so raw-vector routing
+    * must go through this dictionary — the model persists it. */
   final case class Bins(
       edges: Array[Array[Double]],
       isCat: Array[Boolean],
-      numBins: Array[Int]) extends Serializable {
+      numBins: Array[Int],
+      catMaps: Array[scala.collection.immutable.Map[Int, Int]] = null)
+      extends Serializable {
     val offsets: Array[Int] = numBins.scanLeft(0)(_ + _).init
     val width: Int = numBins.sum
     def numFeatures: Int = numBins.length
+    def catMapOf(f: Int): scala.collection.immutable.Map[Int, Int] =
+      if (catMaps == null) null else catMaps(f)
+    /** True when any feature routes through a code→bin remap — the
+      * marker that serve-time routing NEEDS this dictionary. */
+    def hasCatMaps: Boolean =
+      catMaps != null && catMaps.exists(_ != null)
 
     def binOf(f: Int, v: Double): Int =
       if (isCat(f)) {
         if (v.isNaN) 0
-        else { val c = v.toInt; if (c >= 0 && c < numBins(f)) c else 0 }
+        else {
+          val c = v.toInt
+          val m = catMapOf(f)
+          if (m != null) {
+            if (c <= 0) 0
+            // unseen-but-valid codes share the rest bin with the tail
+            else m.getOrElse(c, numBins(f) - 1)
+          }
+          else if (c >= 0 && c < numBins(f)) c else 0
+        }
       } else {
         if (v.isNaN) 0
         else {
@@ -83,6 +110,12 @@ object HistTree {
     }
   }
 
+  /** `maxBin` carries the feature's bin count at FIT time so raw-code
+    * routing can clamp an out-of-range categorical code to the missing
+    * bin 0 — exactly what `Bins.binOf` does during training. Without
+    * it, a code outside [0, numBins) would route by raw set membership
+    * (never in leftCats → always right) while the binned path routes
+    * it by bin 0's learned direction: a silent train/serve skew. */
   final case class Split(
       feature: Int,
       thresholdBin: Int,
@@ -90,7 +123,8 @@ object HistTree {
       isCat: Boolean,
       leftCats: Array[Int],
       defaultLeft: Boolean,
-      gain: Double) extends Serializable {
+      gain: Double,
+      maxBin: Int = Int.MaxValue) extends Serializable {
     @transient lazy val leftCatSet: Set[Int] = leftCats.toSet
   }
 
@@ -123,7 +157,9 @@ object HistTree {
         val x = v(sp.feature)
         val left =
           if (sp.isCat) {
-            val c = if (x.isNaN) 0 else x.toInt
+            val c0 = if (x.isNaN) 0 else x.toInt
+            // out-of-range code → missing bin 0, matching Bins.binOf
+            val c = if (c0 >= 0 && c0 < sp.maxBin) c0 else 0
             sp.leftCatSet.contains(c)
           }
           else if (x.isNaN) sp.defaultLeft
@@ -221,7 +257,9 @@ object HistTree {
     * Newton step Σg/(Σh+λ). */
   def fit(df: DataFrame, binsCol: String, gCol: String, hCol: String,
       bins: Bins, maxDepth: Int, lambda: Double = 1e-6,
-      minData: Long = 20, minGain: Double = 0.0): Tree = {
+      minData: Long = 20, minGain: Double = 0.0,
+      minHess: Double = 0.0,
+      featureMask: Array[Boolean] = null): Tree = {
     require(maxDepth >= 1 && maxDepth <= 20, s"bad maxDepth: $maxDepth")
     val w = bins.width
     var rows = df
@@ -237,7 +275,12 @@ object HistTree {
     // each level's routed rows persist so level d+1's aggregate reads
     // one cached pass instead of replaying d routing maps
     rows = rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var prev = rows
+    // the previous level's cache is released only AFTER the next
+    // level's aggregate has materialized its rows — unpersisting at
+    // re-assignment time (the r12 shape) dropped the parent before the
+    // lazily-persisted child ever ran, so every level replayed the
+    // full routing chain from the source: O(depth²) passes per tree
+    var pending: org.apache.spark.rdd.RDD[_] = null
     while (active.nonEmpty) {
       val k = active.size
       val activeL = active // stable closure capture
@@ -258,6 +301,8 @@ object HistTree {
           acc
         },
         combOp = (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+      // rows is now materialized in cache; the parent level can go
+      if (pending != null) { pending.unpersist(blocking = false); pending = null }
       val levelSplits = mutable.Map.empty[Int, Split]
       for ((node, ni) <- active.toSeq.sortBy(_._1)) {
         val base = ni * w
@@ -274,7 +319,7 @@ object HistTree {
         val chosen =
           if (depth >= maxDepth || tN < 2 * minData) None
           else bestSplit(stats, base, bins, tG, tH, tN, lambda, minData,
-            minGain).map(_._1)
+            minGain, minHess, featureMask).map(_._1)
         chosen match {
           case Some(s) => levelSplits(node) = s
           case None    => leaves(node) = leafVal
@@ -288,7 +333,7 @@ object HistTree {
           .flatMap(n => Iterator(2 * n, 2 * n + 1))
           .toSeq.sorted.zipWithIndex.toMap
         val ls = levelSplits.toMap
-        rows = rows.flatMap { case (node, b, g, h) =>
+        val routed = rows.flatMap { case (node, b, g, h) =>
           ls.get(node) match {
             case Some(sp) =>
               val bi = b(sp.feature).toInt
@@ -300,13 +345,14 @@ object HistTree {
             case None => Iterator.empty // row reached a finished leaf
           }
         }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        prev.unpersist(blocking = false)
-        prev = rows
+        pending = rows // released after routed materializes next round
+        rows = routed
         active = nextActive
       }
       depth += 1
     }
-    prev.unpersist(blocking = false)
+    rows.unpersist(blocking = false)
+    if (pending != null) pending.unpersist(blocking = false)
     Tree(splits.toMap, leaves.toMap)
   }
 
@@ -328,7 +374,8 @@ object HistTree {
   def fitLeafWise(df: DataFrame, binsCol: String, gCol: String,
       hCol: String, bins: Bins, numLeaves: Int, maxDepth: Int = 20,
       lambda: Double = 1e-6, minData: Long = 20,
-      minGain: Double = 0.0): Tree = {
+      minGain: Double = 0.0, minHess: Double = 0.0,
+      featureMask: Array[Boolean] = null): Tree = {
     require(numLeaves >= 2 && numLeaves <= 4096, s"bad numLeaves: $numLeaves")
     require(maxDepth >= 1 && maxDepth <= 30, s"bad maxDepth: $maxDepth")
     val w = bins.width
@@ -377,7 +424,8 @@ object HistTree {
         else {
           val (tG, tH, tN) = totalsOf(h)
           if (tN < 2 * minData) Iterator.empty
-          else bestSplit(h, 0, bins, tG, tH, tN, lambda, minData, minGain)
+          else bestSplit(h, 0, bins, tG, tH, tN, lambda, minData, minGain,
+              minHess, featureMask)
             .map { case (s, nl) => (s.gain, leaf, s, nl) }.iterator
         }
       }.toSeq
@@ -416,16 +464,26 @@ object HistTree {
 
   /** Returns the best split plus the LEFT-side row count (missing
     * included per its learned direction) — the leaf-wise grower uses
-    * it to aggregate only the smaller child. */
+    * it to aggregate only the smaller child. `minHess` is LightGBM's
+    * `min_child_weight` / `min_sum_hessian_in_leaf`: each child must
+    * carry at least this much hessian mass (the default split gate —
+    * at M5 scale `min_child_weight: 300` in full.yaml:12 is a
+    * load-bearing regularizer row counts can't express, because the
+    * tweedie hessian shrinks toward zero on near-zero-demand rows).
+    * `mask` (null = all) is the per-tree feature subsample
+    * (`colsample_bytree`): only unmasked features are scanned. */
   private def bestSplit(stats: Array[Double], base: Int, bins: Bins,
       tG: Double, tH: Double, tN: Double, lambda: Double,
-      minData: Long, minGain: Double): Option[(Split, Double)] = {
+      minData: Long, minGain: Double, minHess: Double = 0.0,
+      mask: Array[Boolean] = null): Option[(Split, Double)] = {
     val parentScore = tG * tG / (tH + lambda)
     var best: Split = null
     var bestNL = 0.0
     var bestGain = math.max(minGain, 1e-12)
     var f = 0
     while (f < bins.numFeatures) {
+      if (mask != null && !mask(f)) { f += 1 }
+      else {
       val nb = bins.numBins(f)
       val off = base + bins.offsets(f)
       def g(b: Int) = stats((off + b) * 3)
@@ -433,7 +491,8 @@ object HistTree {
       def n(b: Int) = stats((off + b) * 3 + 2)
       def tryGain(gl: Double, hl: Double, nl: Double): Double = {
         val gr = tG - gl; val hr = tH - hl; val nr = tN - nl
-        if (nl < minData || nr < minData) Double.NegativeInfinity
+        if (nl < minData || nr < minData ||
+          hl < minHess || hr < minHess) Double.NegativeInfinity
         else gl * gl / (hl + lambda) + gr * gr / (hr + lambda) - parentScore
       }
       if (bins.isCat(f)) {
@@ -452,7 +511,7 @@ object HistTree {
               bestGain = gain
               val leftCats = sorted.take(p + 1).toArray
               best = Split(f, -1, Double.NaN, isCat = true, leftCats,
-                defaultLeft = leftCats.contains(0), gain)
+                defaultLeft = leftCats.contains(0), gain, maxBin = nb)
               bestNL = nl
             }
             p += 1
@@ -469,7 +528,7 @@ object HistTree {
           if (gainR > bestGain) {
             bestGain = gainR
             best = Split(f, sb, bins.edges(f)(sb - 1), isCat = false,
-              Array.empty, defaultLeft = false, gainR)
+              Array.empty, defaultLeft = false, gainR, maxBin = nb)
             bestNL = nl
           }
           // missing-left (only differs when missing rows exist)
@@ -478,7 +537,7 @@ object HistTree {
             if (gainL > bestGain) {
               bestGain = gainL
               best = Split(f, sb, bins.edges(f)(sb - 1), isCat = false,
-                Array.empty, defaultLeft = true, gainL)
+                Array.empty, defaultLeft = true, gainL, maxBin = nb)
               bestNL = nl + n0
             }
           }
@@ -486,20 +545,23 @@ object HistTree {
         }
       }
       f += 1
+      }
     }
     if (best == null) None else Some((best, bestNL))
   }
 
   // ── serialization: line-based, one node per line ──────────────────
-  // S <node> <feature> <thresholdBin> <threshold> <isCat> <defaultLeft> <cats csv or ->
+  // S <node> <feature> <thresholdBin> <threshold> <isCat> <defaultLeft> <cats csv or -> <maxBin>
   // L <node> <value>
+  // (maxBin was appended in r13 for the out-of-range-code clamp; a
+  //  line without it loads with the permissive Int.MaxValue default)
 
   def serialize(t: Tree): String = {
     val sb = new StringBuilder
     t.splits.toSeq.sortBy(_._1).foreach { case (node, s) =>
       val cats = if (s.leftCats.isEmpty) "-" else s.leftCats.mkString(",")
       sb.append(s"S $node ${s.feature} ${s.thresholdBin} ${s.threshold} " +
-        s"${s.isCat} ${s.defaultLeft} $cats\n")
+        s"${s.isCat} ${s.defaultLeft} $cats ${s.maxBin}\n")
     }
     t.leafValue.toSeq.sortBy(_._1).foreach { case (node, v) =>
       sb.append(s"L $node $v\n")
@@ -517,8 +579,9 @@ object HistTree {
           val cats =
             if (p(7) == "-") Array.empty[Int]
             else p(7).split(',').map(_.toInt)
+          val maxBin = if (p.length > 8) p(8).toInt else Int.MaxValue
           splits(p(1).toInt) = Split(p(2).toInt, p(3).toInt, p(4).toDouble,
-            p(5).toBoolean, cats, p(6).toBoolean, 0.0)
+            p(5).toBoolean, cats, p(6).toBoolean, 0.0, maxBin)
         case "L" => leaves(p(1).toInt) = p(2).toDouble
         case other => sys.error(s"bad hist-tree line tag: $other")
       }

@@ -66,18 +66,33 @@ object TweedieGbt {
       earlyStoppingRounds: Int = 10,
       checkpointInterval: Int = 10,
       seed: Long = 42L,
-      // opt-in LightGBM-parity tree fitter: histogram split finding +
+      // LightGBM-parity tree fitter: histogram split finding +
       // per-split learned missing-value routing (HistTree); assemble
-      // the features with missingAsNaN = true on this path
+      // the features with missingAsNaN = true on this path. OFF here
+      // (programmatic callers opt in), but [[fromLgbParams]] — the
+      // reference-yaml entry — defaults it ON since r13 so full.yaml's
+      // num_leaves/min_child_weight actually bite
       histogram: Boolean = false,
       histMaxBins: Int = 255,
       minDataInLeaf: Int = 20,
+      // LightGBM min_child_weight / min_sum_hessian_in_leaf: minimum
+      // hessian mass per child (its default split gate; full.yaml:12
+      // sets 300 — a regularizer row counts can't express, since the
+      // tweedie hessian vanishes on near-zero-demand rows)
+      minChildWeight: Double = 1e-3,
+      // per-tree feature subsample (colsample_bytree / feature_fraction),
+      // deterministic per round from `seed`
+      colsampleBytree: Double = 1.0,
       // > 0 switches the histogram fitter to LEAF-WISE (best-first)
       // growth with this leaf budget — LightGBM's num_leaves frontier,
       // the last fitter-shape divergence; 0 keeps level-wise
       numLeaves: Int = 0) {
     require(variancePower > 1.0 && variancePower < 2.0,
       s"variancePower must be in (1,2) for compound-Poisson Tweedie: $variancePower")
+    require(colsampleBytree > 0.0 && colsampleBytree <= 1.0,
+      s"colsampleBytree must be in (0,1]: $colsampleBytree")
+    require(minChildWeight >= 0.0,
+      s"minChildWeight must be >= 0: $minChildWeight")
   }
 
   /** Map the reference's lgb_params onto this trainer (the keys
@@ -88,18 +103,35 @@ object TweedieGbt {
       case Some(s) => s.toString.toDouble
       case None => dflt
     }
-    val hist = p.get("histogram").exists(v =>
-      v.toString.equalsIgnoreCase("true") || v.toString == "1")
+    // the LightGBM-parity fitter is the DEFAULT for the tweedie
+    // objective (r13) — running full.yaml verbatim must hit the
+    // histogram path, or its num_leaves: 50 / min_child_weight: 300
+    // are silently ignored; `histogram: false` opts out explicitly
+    val hist = p.get("histogram") match {
+      case Some(v) =>
+        v.toString.equalsIgnoreCase("true") || v.toString == "1"
+      case None => true
+    }
     Params(
       maxIter = num("n_estimators", 100).toInt,
       stepSize = num("learning_rate", 0.1),
-      maxDepth = math.min(num("max_depth", 5).toInt, 20),
+      // LightGBM max_depth <= 0 means unlimited (num_leaves governs)
+      maxDepth = {
+        val md = num("max_depth", 5).toInt
+        if (md <= 0) 20 else math.min(md, 20)
+      },
       variancePower = num("tweedie_variance_power", 1.1),
       subsamplingRate = num("subsample", 1.0),
       earlyStoppingRounds = num("early_stopping_rounds", 10).toInt,
       histogram = hist,
       histMaxBins = num("max_bin", 255).toInt,
       minDataInLeaf = num("min_child_samples", 20).toInt,
+      // LightGBM aliases: min_child_weight == min_sum_hessian_in_leaf
+      minChildWeight = num("min_child_weight",
+        num("min_sum_hessian_in_leaf", 1e-3)),
+      // LightGBM aliases: colsample_bytree == feature_fraction
+      colsampleBytree = num("colsample_bytree",
+        num("feature_fraction", 1.0)),
       numLeaves = num("num_leaves", 0).toInt)
   }
 
@@ -318,18 +350,34 @@ object TweedieGbt {
         case Some(hb) =>
           // LightGBM-parity fitter: histogram split finding with
           // per-split learned missing routing, on the pre-binned rows;
-          // num_leaves > 0 grows LEAF-WISE (LightGBM's frontier rule)
+          // num_leaves > 0 grows LEAF-WISE (LightGBM's frontier rule).
+          // colsample_bytree: a deterministic per-round feature subset
+          // (seeded shuffle), LightGBM's per-tree feature_fraction
           val fitFrame = fitRows.withColumn("__hess", hess)
+          val mask: Array[Boolean] =
+            if (params.colsampleBytree >= 1.0) null
+            else {
+              val numF = hb.numFeatures
+              val k = math.max(1,
+                math.round(numF * params.colsampleBytree).toInt)
+              val rng = new scala.util.Random(params.seed * 31 + round)
+              val picked = rng.shuffle((0 until numF).toVector).take(k)
+              val m = new Array[Boolean](numF)
+              picked.foreach(m(_) = true)
+              m
+            }
           val tree =
             if (params.numLeaves >= 2)
               HistTree.fitLeafWise(fitFrame, "__bins", "__r", "__hess",
                 hb, numLeaves = params.numLeaves,
                 maxDepth = params.maxDepth, lambda = 1e-6,
-                minData = params.minDataInLeaf.toLong, minGain = 0.0)
+                minData = params.minDataInLeaf.toLong, minGain = 0.0,
+                minHess = params.minChildWeight, featureMask = mask)
             else
               HistTree.fit(fitFrame, "__bins", "__r", "__hess", hb,
                 maxDepth = params.maxDepth, lambda = 1e-6,
-                minData = params.minDataInLeaf.toLong, minGain = 0.0)
+                minData = params.minDataInLeaf.toLong, minGain = 0.0,
+                minHess = params.minChildWeight, featureMask = mask)
           val leafU = udf((b: scala.collection.Seq[Short]) =>
             tree.leafOfBins(b.toArray).toDouble)
           val leafValues = refit(

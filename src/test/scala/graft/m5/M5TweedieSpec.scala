@@ -23,9 +23,13 @@ class M5TweedieSpec extends SparkSpec {
     d
   }
 
+  /** `histogram = Some(b)` pins the fitter explicitly; None leaves the
+    * key out, which since r13 means fromLgbParams routes tweedie to
+    * the HISTOGRAM path by default. */
   private def pipeline(objective: Option[String],
-      histogram: Boolean = false,
-      numLeaves: Option[Int] = None): (M5Pipeline, String) = {
+      histogram: Option[Boolean] = None,
+      numLeaves: Option[Int] = None,
+      extra: Map[String, Object] = Map.empty): (M5Pipeline, String) = {
     val outDir = Files.createTempDirectory("m5out-tw").toString
     val base = MiniM5Fixture.config(inputDir, outDir)
     val lgb = new java.util.HashMap[String, Object](
@@ -36,17 +40,21 @@ class M5TweedieSpec extends SparkSpec {
       lgb.put("early_stopping_rounds", Int.box(8))
       lgb.put("tweedie_variance_power", Double.box(1.1))
     }
-    if (histogram) {
-      lgb.put("histogram", "true")
-      lgb.put("min_child_samples", Int.box(5)) // mini-fixture scale
+    histogram.foreach {
+      case true =>
+        lgb.put("histogram", "true")
+        lgb.put("min_child_samples", Int.box(5)) // mini-fixture scale
+      case false =>
+        lgb.put("histogram", "false") // sentinel Spark ML fitter
     }
     numLeaves.foreach(n => lgb.put("num_leaves", Int.box(n)))
+    extra.foreach { case (k, v) => lgb.put(k, v) }
     val cfg = base.updated("lgb_params", lgb: Object)
     (new M5Pipeline(spark, YamlConfig.fromMap(cfg)), outDir)
   }
 
   test("tweedie objective runs the full DAG; forecast delta vs squared loss is measured") {
-    val (tw, twOut) = pipeline(Some("tweedie"))
+    val (tw, twOut) = pipeline(Some("tweedie"), histogram = Some(false))
     val report = tw.run(log = _ => ())
     assert(report.ran.size == 23, report.ran.mkString(", "))
 
@@ -86,7 +94,7 @@ class M5TweedieSpec extends SparkSpec {
   }
 
   test("histogram fitter (LightGBM split finding + learned missing routing) runs the DAG; delta vs sentinel path measured") {
-    val (hist, histOut) = pipeline(Some("tweedie"), histogram = true)
+    val (hist, histOut) = pipeline(Some("tweedie"), histogram = Some(true))
     val report = hist.run(log = _ => ())
     assert(report.ran.size == 23, report.ran.mkString(", "))
     val preds = spark.read.parquet(s"$histOut/predictions.parquet")
@@ -99,7 +107,7 @@ class M5TweedieSpec extends SparkSpec {
     // the fitter (sentinel-imputed Spark ML splits vs histogram splits
     // with per-split learned missing directions over the REAL NaNs the
     // M5 lag/rolling warm-up rows carry) ───────────────────────────
-    val (tw, twOut) = pipeline(Some("tweedie"))
+    val (tw, twOut) = pipeline(Some("tweedie"), histogram = Some(false))
     tw.run(log = _ => ())
     val sentinel = spark.read.parquet(s"$twOut/predictions.parquet")
       .withColumnRenamed("pred_units_sold", "pred_sent")
@@ -122,12 +130,47 @@ class M5TweedieSpec extends SparkSpec {
   }
 
   test("leaf-wise growth (num_leaves, LightGBM's frontier) runs the full DAG") {
-    val (lw, lwOut) = pipeline(Some("tweedie"), histogram = true,
+    val (lw, lwOut) = pipeline(Some("tweedie"), histogram = Some(true),
       numLeaves = Some(8))
     val report = lw.run(log = _ => ())
     assert(report.ran.size == 23, report.ran.mkString(", "))
     val preds = spark.read.parquet(s"$lwOut/predictions.parquet")
     assert(preds.count() == 2 * 6 * 7 * 2)
+    assert(preds.filter(col("pred_units_sold") <= 0).isEmpty,
+      "tweedie predictions must be strictly positive")
+  }
+
+  test("full.yaml verbatim routes to the leaf-wise histogram fitter by default") {
+    // the reference's real parameter block (full.yaml:4-14) with only
+    // n_estimators scaled down — NO histogram key anywhere, exactly
+    // what a user porting the yaml would run. Since r13 fromLgbParams
+    // must take the LightGBM-parity path on its own: num_leaves: 50,
+    // min_child_weight: 300 and colsample_bytree: 0.8 all map.
+    val lgb = Map[String, Any](
+      "objective" -> "tweedie", "n_estimators" -> 8,
+      "learning_rate" -> 0.1, "subsample" -> 0.8,
+      "colsample_bytree" -> 0.8, "max_depth" -> 8,
+      "num_leaves" -> 50, "min_child_weight" -> 300,
+      "metric" -> "rmse", "verbose" -> 10)
+    val tp = graft.ml.TweedieGbt.fromLgbParams(lgb)
+    assert(tp.histogram, "tweedie must default to the histogram fitter")
+    assert(tp.numLeaves == 50 && tp.maxDepth == 8)
+    assert(tp.minChildWeight == 300.0 && tp.colsampleBytree == 0.8)
+
+    val (fy, fyOut) = pipeline(Some("tweedie"),
+      numLeaves = Some(50),
+      extra = Map(
+        "colsample_bytree" -> Double.box(0.8),
+        "max_depth" -> Int.box(8),
+        "min_child_weight" -> Int.box(300),
+        "subsample" -> Double.box(0.8)))
+    val report = fy.run(log = _ => ())
+    assert(report.ran.size == 23, report.ran.mkString(", "))
+    val preds = spark.read.parquet(s"$fyOut/predictions.parquet")
+    assert(preds.count() == 2 * 6 * 7 * 2)
+    // min_child_weight 300 dwarfs the mini fixture's hessian mass, so
+    // trees are intercept-only here — the point is the ROUTE (histogram
+    // leaf-wise, constraints enforced), and the log link still holds
     assert(preds.filter(col("pred_units_sold") <= 0).isEmpty,
       "tweedie predictions must be strictly positive")
   }

@@ -159,6 +159,113 @@ class HistTreeSpec extends SparkSpec {
     assert(tree.valueOfVector(Vectors.dense(11.0)) == -2.0)
   }
 
+  test("min_child_weight rejects a split that row counts alone would accept") {
+    // 8 rows split cleanly by gradient, 4 per side — minData = 1 is
+    // satisfied — but the LEFT side carries almost no hessian mass
+    // (h = 0.05 each, Σh = 0.2). With minHess = 1.0 the split must be
+    // rejected and the root become a leaf; without it, it is taken.
+    // This is LightGBM's min_sum_hessian_in_leaf / min_child_weight:
+    // the tweedie hessian vanishes on near-zero-demand rows, so at M5
+    // scale full.yaml's 300 gates splits row counts can't.
+    // exactly two distinct values -> the ONLY candidate split is the
+    // 1.0-vs-10.0 boundary (no fallback split inside either cluster)
+    val rows =
+      (1 to 4).map(_ => (Vectors.dense(1.0), 1.0, 0.05)) ++
+      (1 to 4).map(_ => (Vectors.dense(10.0), -1.0, 2.0))
+    val df = frame(rows)
+    val bins = HistTree.buildBins(df, "features", maxBins = 16)
+    val unconstrained = HistTree.fit(binned(df, bins), "__bins", "__g",
+      "__h", bins, maxDepth = 2, lambda = 0.0, minData = 1)
+    assert(unconstrained.splits.contains(1),
+      s"without the hessian gate the split is clearly profitable: $unconstrained")
+    val gated = HistTree.fit(binned(df, bins), "__bins", "__g", "__h",
+      bins, maxDepth = 2, lambda = 0.0, minData = 1, minHess = 1.0)
+    assert(gated.splits.isEmpty,
+      s"minHess = 1.0 must reject the low-hessian left child: ${gated.splits}")
+    // leaf-wise grower enforces the same gate
+    val gatedLw = HistTree.fitLeafWise(binned(df, bins), "__bins", "__g",
+      "__h", bins, numLeaves = 4, lambda = 0.0, minData = 1, minHess = 1.0)
+    assert(gatedLw.splits.isEmpty, s"got ${gatedLw.splits}")
+  }
+
+  test("feature mask restricts the split scan (colsample_bytree's primitive)") {
+    // feature 0 has the dominant split, feature 1 a weaker one; masking
+    // feature 0 out forces the tree onto feature 1
+    val rows = (0 until 12).map { i =>
+      val strong = if (i < 6) 1.0 else 10.0
+      val weak = if (i % 2 == 0) 1.0 else 10.0
+      val g = (if (i < 6) 2.0 else -2.0) + (if (i % 2 == 0) 0.5 else -0.5)
+      (Vectors.dense(strong, weak), g, 1.0)
+    }
+    val df = frame(rows)
+    val bins = HistTree.buildBins(df, "features", maxBins = 16)
+    val free = HistTree.fit(binned(df, bins), "__bins", "__g", "__h",
+      bins, maxDepth = 1, lambda = 0.0, minData = 1)
+    assert(free.splits(1).feature == 0, s"got ${free.splits(1)}")
+    val masked = HistTree.fit(binned(df, bins), "__bins", "__g", "__h",
+      bins, maxDepth = 1, lambda = 0.0, minData = 1,
+      featureMask = Array(false, true))
+    assert(masked.splits(1).feature == 1, s"got ${masked.splits(1)}")
+  }
+
+  test("out-of-range categorical code routes to bin 0's learned direction at serve time") {
+    // cat feature with arity 4; at transform time a code outside
+    // [0, 4) must route like the missing code 0 (binOf's rule), not by
+    // raw set membership (which would silently always go right)
+    val rows = (1 to 6).map(i => (Vectors.dense((i % 2) * 2 + 1.0), 1.0, 1.0)) ++
+      (1 to 6).map(_ => (Vectors.dense(2.0), -1.0, 1.0)) ++
+      (1 to 2).map(_ => (Vectors.dense(0.0), -1.0, 1.0)) // code 0 sides with {2}
+    val df = rows.toDF("features", "__g", "__h")
+      .select(col("features").as("features", {
+        val ag = new org.apache.spark.ml.attribute.AttributeGroup("features",
+          Array[org.apache.spark.ml.attribute.Attribute](
+            NominalAttribute.defaultAttr.withName("c").withNumValues(4)))
+        ag.toMetadata()
+      }), col("__g"), col("__h"))
+    val bins = HistTree.buildBins(df, "features", maxBins = 16)
+    val tree = HistTree.fit(binned(df, bins), "__bins", "__g", "__h",
+      bins, maxDepth = 1, lambda = 0.0, minData = 1)
+    val s = tree.splits(1)
+    assert(s.isCat && s.leftCatSet.contains(0),
+      s"fixture needs code 0 on the left: $s")
+    assert(s.maxBin == 4, s"maxBin must carry the fit-time arity: $s")
+    // raw codes 99 and -3 are out of range -> clamp to 0 -> left, the
+    // same leaf the binned path gives them; round-trips serialization
+    val expect = tree.valueOfVector(Vectors.dense(0.0))
+    for (t <- Seq(tree, HistTree.deserialize(HistTree.serialize(tree)));
+        bad <- Seq(99.0, -3.0))
+      assert(t.valueOfVector(Vectors.dense(bad)) == expect,
+        s"code $bad must route like missing (left), got ${t.valueOfVector(Vectors.dense(bad))}")
+  }
+
+  test("TweedieGbt colsample_bytree: per-round feature sets vary, fit is seed-stable") {
+    val rows = (0 until 120).map { i =>
+      val x0 = (i % 10).toDouble
+      val x1 = (i % 7).toDouble
+      val x2 = (i % 4).toDouble
+      val y = if (x0 >= 5) 4.0 + (i % 3) else 0.3 * (i % 2)
+      (x0, x1, x2, y, i % 11 == 0)
+    }.toDF("x0", "x1", "x2", "y", "valid")
+    val assembled = Gbt.assemble(rows, Seq("x0", "x1", "x2"), Map.empty,
+      missingAsNaN = true)
+    val params = TweedieGbt.Params(maxIter = 6, maxDepth = 2,
+      histogram = true, minDataInLeaf = 2, colsampleBytree = 0.34)
+    // colsample 0.34 of 3 features = 1 feature per round; across 6
+    // rounds the sampled set must vary (else the "sample" is a constant
+    // mask and the knob does nothing)
+    val model = TweedieGbt.fit(assembled, "features", "y", "valid", params)
+    val usedFeatures = model.stages.collect {
+      case s: TweedieGbt.HistStage => s.tree.splits.values.map(_.feature).toSet
+    }.filter(_.nonEmpty)
+    assert(usedFeatures.flatten.toSet.size > 1,
+      s"6 rounds at 1 feature each must touch > 1 distinct feature: $usedFeatures")
+    // same seed -> identical model (deterministic sampling)
+    val model2 = TweedieGbt.fit(assembled, "features", "y", "valid", params)
+    val p1 = model.transform(assembled, "mu").agg(sum("mu")).head().getDouble(0)
+    val p2 = model2.transform(assembled, "mu").agg(sum("mu")).head().getDouble(0)
+    assert(p1 == p2, s"same seed must reproduce the fit exactly: $p1 vs $p2")
+  }
+
   test("TweedieGbt histogram path: fit, missing-aware forecasts, save/load parity") {
     // intermittent-demand shape: y depends on feature 0; feature 1 is
     // null (NaN) on a warm-up slice whose y behaves like the HIGH group
