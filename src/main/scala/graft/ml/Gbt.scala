@@ -84,13 +84,21 @@ object Gbt {
     * subset search, the same statistics-ordering trick LightGBM uses —
     * instead of ordinal thresholds on arbitrary lexicographic codes.
     * Codes are shifted +1 at assemble time only (nominal values must be
-    * in [0, arity); the external -1-for-unseen contract is unchanged). */
+    * in [0, arity); the external -1-for-unseen contract is unchanged).
+    *
+    * `missingAsNaN = true` marks the HistTree path, which has no
+    * global-maxBins coupling — there the arity ceiling LIFTS: every
+    * catArity column gets nominal metadata, and arities above the
+    * histogram's bin budget take HistTree's top-k + rest-bin remap
+    * (M5's 30,490-level `id` becomes a real categorical instead of a
+    * quantile-cut ordinal). [[maxBinsFor]] still filters to the
+    * ceiling, so the Spark ML fitters never see a 30k-bin ask. */
   private[graft] def assemble(df: DataFrame, featureCols: Seq[String],
       catArity: Map[String, Int] = Map.empty,
       missingAsNaN: Boolean = false): DataFrame = {
     import org.apache.spark.ml.attribute.NominalAttribute
     val catCols = featureCols.filter(c =>
-      catArity.get(c).exists(_ <= CatMaxArity))
+      catArity.get(c).exists(a => missingAsNaN || a <= CatMaxArity))
     val numeric = featureCols.foldLeft(df) { (acc, c) =>
       if (catCols.contains(c)) {
         val meta = NominalAttribute.defaultAttr

@@ -195,6 +195,8 @@ object HistTree {
     val isCat = new Array[Boolean](numF)
     val numBins = new Array[Int](numF)
     val edges = new Array[Array[Double]](numF)
+    val catMaps =
+      new Array[scala.collection.immutable.Map[Int, Int]](numF)
     val arity: Int => Option[Int] = f => attrs.flatMap(a =>
       a.lift(f).collect {
         case nm: org.apache.spark.ml.attribute.NominalAttribute =>
@@ -203,6 +205,29 @@ object HistTree {
     var f = 0
     while (f < numF) {
       arity(f) match {
+        case Some(k) if k > maxBins =>
+          // HIGH-ARITY categorical (M5's id: 30,490 levels): the top
+          // (maxBins − 2) codes by SAMPLE frequency keep their own
+          // bin (1-based, frequency-desc then code-asc — fully
+          // deterministic), the tail shares the rest bin, missing
+          // stays bin 0. LightGBM's max_cat_threshold discipline:
+          // head codes carry the splittable mass, the tail is noise.
+          isCat(f) = true
+          edges(f) = Array.empty
+          val counts = mutable.Map.empty[Int, Long]
+          sample.foreach { v =>
+            val x = v(f)
+            if (!x.isNaN) {
+              val c = x.toInt
+              if (c > 0) counts(c) = counts.getOrElse(c, 0L) + 1L
+            }
+          }
+          val top = counts.toSeq
+            .sortBy { case (c, n) => (-n, c) }
+            .take(maxBins - 2)
+          catMaps(f) = top.iterator.zipWithIndex
+            .map { case ((c, _), i) => c -> (i + 1) }.toMap
+          numBins(f) = top.length + 2 // missing + top codes + rest
         case Some(k) =>
           isCat(f) = true; numBins(f) = k; edges(f) = Array.empty
         case None =>
@@ -223,7 +248,67 @@ object HistTree {
       }
       f += 1
     }
-    Bins(edges, isCat, numBins)
+    Bins(edges, isCat, numBins, catMaps)
+  }
+
+  // ── Bins serialization: models carrying code→bin remaps MUST route
+  //    raw vectors through the fit-time dictionary, so the dictionary
+  //    persists with the model. One line per feature:
+  //      C <numBins>                      exact categorical
+  //      M <numBins> c:b,c:b,...          remapped categorical
+  //      N <numBins> e1,e2,... (or -)     numeric edges
+
+  def serializeBins(b: Bins): String = {
+    val sb = new StringBuilder
+    var f = 0
+    while (f < b.numFeatures) {
+      if (b.isCat(f)) {
+        val m = b.catMapOf(f)
+        if (m == null) sb.append(s"C ${b.numBins(f)}\n")
+        else {
+          val entries = m.toSeq.sorted
+            .map { case (c, bin) => s"$c:$bin" }.mkString(",")
+          sb.append(s"M ${b.numBins(f)} $entries\n")
+        }
+      } else {
+        val e = if (b.edges(f).isEmpty) "-" else b.edges(f).mkString(",")
+        sb.append(s"N ${b.numBins(f)} $e\n")
+      }
+      f += 1
+    }
+    sb.result()
+  }
+
+  def deserializeBins(text: String): Bins = {
+    val lines = text.linesIterator.filter(_.nonEmpty).toArray
+    val numF = lines.length
+    val isCat = new Array[Boolean](numF)
+    val numBins = new Array[Int](numF)
+    val edges = new Array[Array[Double]](numF)
+    val catMaps =
+      new Array[scala.collection.immutable.Map[Int, Int]](numF)
+    var f = 0
+    while (f < numF) {
+      val p = lines(f).split(' ')
+      p(0) match {
+        case "C" =>
+          isCat(f) = true; numBins(f) = p(1).toInt; edges(f) = Array.empty
+        case "M" =>
+          isCat(f) = true; numBins(f) = p(1).toInt; edges(f) = Array.empty
+          catMaps(f) = p(2).split(',').iterator.map { e =>
+            val i = e.indexOf(':')
+            e.substring(0, i).toInt -> e.substring(i + 1).toInt
+          }.toMap
+        case "N" =>
+          numBins(f) = p(1).toInt
+          edges(f) =
+            if (p(2) == "-") Array.empty[Double]
+            else p(2).split(',').map(_.toDouble)
+        case other => sys.error(s"bad bins line tag: $other")
+      }
+      f += 1
+    }
+    Bins(edges, isCat, numBins, catMaps)
   }
 
   private def dedupSorted(a: Array[Double]): Array[Double] = {

@@ -156,7 +156,12 @@ object TweedieGbt {
       stepSize: Double,
       variancePower: Double,
       stages: Seq[BoostStage],
-      validDeviances: Seq[Double]) {
+      validDeviances: Seq[Double],
+      // the fit-time binning dictionary — REQUIRED for routing raw
+      // vectors when any high-arity categorical was remapped to bins
+      // (splits then live in bin space, not code space); persisted as
+      // bins.txt next to the trees
+      histBins: Option[HistTree.Bins] = None) {
 
     /** True when this model was fit with the histogram path — its
       * input must then be assembled with `missingAsNaN = true` so the
@@ -181,8 +186,18 @@ object TweedieGbt {
             .drop(s"__h$i", s"__leaf$i")
         case (acc, (st: HistStage, i)) =>
           val t = st.tree
-          val leafU = udf((v: org.apache.spark.ml.linalg.Vector) =>
-            t.leafOfVector(v).toDouble)
+          // a model with code→bin remapped categoricals must route
+          // through the fit-time dictionary (leftCats are BIN ids for
+          // those features); otherwise the raw-vector walk is
+          // equivalent and dictionary-free
+          val leafU = histBins match {
+            case Some(hb) if hb.hasCatMaps =>
+              udf((v: org.apache.spark.ml.linalg.Vector) =>
+                t.leafOfBins(hb.binRow(v)).toDouble)
+            case _ =>
+              udf((v: org.apache.spark.ml.linalg.Vector) =>
+                t.leafOfVector(v).toDouble)
+          }
           val own = typedLit(t.leafValue.map { case (k, v) => k.toDouble -> v })
           acc.withColumn(s"__leaf$i", leafU(col("features")))
             .withColumn("__F", col("__F") + lit(stepSize) *
@@ -210,6 +225,8 @@ object TweedieGbt {
         java.nio.file.Files.writeString(p.resolve(s"leaves_$i.json"),
           s"[$entries]")
       }
+      histBins.foreach(hb => java.nio.file.Files.writeString(
+        p.resolve("bins.txt"), HistTree.serializeBins(hb)))
       java.nio.file.Files.writeString(p.resolve("meta.json"),
         s"""{"f0":$f0,"stepSize":$stepSize,"variancePower":$variancePower,""" +
           s""""numTrees":${stages.size},"histogram":${if (isHistogram) 1 else 0}}""")
@@ -236,7 +253,13 @@ object TweedieGbt {
       else
         Stage(DecisionTreeRegressionModel.load(s"$dir/tree_$i"), leafValues)
     }
-    Model(field("f0"), field("stepSize"), field("variancePower"), stages, Nil)
+    val binsPath = java.nio.file.Paths.get(dir, "bins.txt")
+    val bins =
+      if (java.nio.file.Files.exists(binsPath))
+        Some(HistTree.deserializeBins(java.nio.file.Files.readString(binsPath)))
+      else None
+    Model(field("f0"), field("stepSize"), field("variancePower"), stages,
+      Nil, bins)
   }
 
   /** Mean Tweedie deviance of `predCol` vs `labelCol` — the eval metric
@@ -416,6 +439,7 @@ object TweedieGbt {
 
     // LightGBM returns the BEST-round model, not the last
     val keep = if (hasValid && best._2 > 0) best._2 else stages.size
-    Model(f0, params.stepSize, p, stages.take(keep).toSeq, validDev.toSeq)
+    Model(f0, params.stepSize, p, stages.take(keep).toSeq, validDev.toSeq,
+      histBins)
   }
 }

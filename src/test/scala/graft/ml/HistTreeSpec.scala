@@ -266,6 +266,87 @@ class HistTreeSpec extends SparkSpec {
     assert(p1 == p2, s"same seed must reproduce the fit exactly: $p1 vs $p2")
   }
 
+  test("high-arity categorical: top-k codes keep bins, tail shares the rest bin") {
+    // arity 20 under maxBins = 8: top 6 sample codes -> bins 1..6,
+    // everything else -> rest bin 7, missing -> 0. Frequencies are
+    // rigged so codes {1,2,3} (g=+1, many rows) and {4,5,6} (g=-1)
+    // dominate; codes 10..15 are singletons.
+    val rows =
+      (0 until 30).map(i => (Vectors.dense((i % 3 + 1).toDouble), 1.0, 1.0)) ++
+      (0 until 30).map(i => (Vectors.dense((i % 3 + 4).toDouble), -1.0, 1.0)) ++
+      (10 to 15).map(c => (Vectors.dense(c.toDouble), 0.0, 1.0))
+    val df = rows.toDF("features", "__g", "__h")
+      .select(col("features").as("features", {
+        val ag = new org.apache.spark.ml.attribute.AttributeGroup("features",
+          Array[org.apache.spark.ml.attribute.Attribute](
+            NominalAttribute.defaultAttr.withName("c").withNumValues(20)))
+        ag.toMetadata()
+      }), col("__g"), col("__h"))
+    val bins = HistTree.buildBins(df, "features", maxBins = 8)
+    assert(bins.isCat(0) && bins.numBins(0) == 8, s"got ${bins.numBins.toSeq}")
+    assert(bins.hasCatMaps)
+    val m = bins.catMapOf(0)
+    assert(m.keySet == Set(1, 2, 3, 4, 5, 6), s"top-6 codes: $m")
+    // frequency ties (all six at 10) break by code asc -> bins 1..6
+    assert((1 to 6).map(c => m(c)) == (1 to 6), s"got $m")
+    // tail, unseen-but-valid, and missing routing
+    assert(bins.binOf(0, 10.0) == 7 && bins.binOf(0, 19.0) == 7)
+    assert(bins.binOf(0, 0.0) == 0 && bins.binOf(0, Double.NaN) == 0)
+    // the fitted split separates the +1 head codes from the -1 head
+    // codes in BIN space
+    val tree = HistTree.fit(binned(df, bins), "__bins", "__g", "__h",
+      bins, maxDepth = 1, lambda = 0.0, minData = 1)
+    val s = tree.splits(1)
+    assert(s.isCat && s.maxBin == 8, s"got $s")
+    def leafOfCode(c: Double) = tree.leafOfBins(bins.binRow(Vectors.dense(c)))
+    assert(leafOfCode(1.0) == leafOfCode(2.0) && leafOfCode(1.0) == leafOfCode(3.0))
+    assert(leafOfCode(4.0) == leafOfCode(5.0) && leafOfCode(4.0) == leafOfCode(6.0))
+    assert(leafOfCode(1.0) != leafOfCode(4.0), "head groups must separate")
+    // serializeBins round-trips the remap exactly
+    val back = HistTree.deserializeBins(HistTree.serializeBins(bins))
+    assert(back.numBins.toSeq == bins.numBins.toSeq)
+    assert(back.catMapOf(0) == m)
+    for (c <- Seq(0.0, 1.0, 6.0, 10.0, 19.0))
+      assert(back.binOf(0, c) == bins.binOf(0, c), s"code $c")
+  }
+
+  test("TweedieGbt with a remapped high-arity categorical: bins persist, save/load forecasts match") {
+    // 40-level categorical under histMaxBins = 8 — codes 1..3 mean
+    // high demand, 4..6 low, tail rare. The model must (a) route raw
+    // vectors through the fit-time dictionary (splits are in BIN
+    // space), (b) persist bins.txt, (c) reproduce forecasts after load.
+    val rows = (0 until 240).map { i =>
+      val code = if (i % 2 == 0) (i % 3 + 1) else (i % 3 + 4)
+      val rare = i % 40 == 7
+      val c = if (rare) 10 + i % 20 else code
+      val y = if (c <= 3) 5.0 + i % 2 else 0.3 * (i % 2)
+      (c.toDouble - 1.0, y, i % 11 == 0) // raw code pre-shift
+    }.toDF("c", "y", "valid")
+    val assembled = Gbt.assemble(rows, Seq("c"), Map("c" -> 40),
+      missingAsNaN = true)
+    val params = TweedieGbt.Params(maxIter = 20, stepSize = 0.3,
+      maxDepth = 3, histogram = true, histMaxBins = 8, minDataInLeaf = 2)
+    val model = TweedieGbt.fit(assembled, "features", "y", "valid", params)
+    assert(model.histBins.exists(_.hasCatMaps),
+      "40 levels under 8 bins must remap")
+    val preds = model.transform(assembled, "mu")
+    val agg = preds.agg(
+      avg(when(col("y") >= 5, col("mu"))),
+      avg(when(col("y") < 1, col("mu")))).head()
+    assert(agg.getDouble(0) > 2 * agg.getDouble(1),
+      s"head-code regimes not separated: $agg")
+    val dir = java.nio.file.Files.createTempDirectory("histcat").toString
+    model.save(dir)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "bins.txt")))
+    val loaded = TweedieGbt.load(spark, dir)
+    assert(loaded.histBins.exists(_.hasCatMaps))
+    val joined = preds.select(col("c"), col("y"), col("mu"))
+      .join(loaded.transform(assembled, "mu2")
+        .select(col("c"), col("y"), col("mu2")), Seq("c", "y"))
+    assert(joined.filter(abs(col("mu") - col("mu2")) > 1e-12).isEmpty,
+      "loaded model must reproduce forecasts exactly")
+  }
+
   test("TweedieGbt histogram path: fit, missing-aware forecasts, save/load parity") {
     // intermittent-demand shape: y depends on feature 0; feature 1 is
     // null (NaN) on a warm-up slice whose y behaves like the HIGH group
