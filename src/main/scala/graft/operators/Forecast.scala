@@ -819,4 +819,47 @@ object Forecast {
       .select(col("__k").as(keyCol), col("n_days"), col("n_pairs"),
         col("ts_slope").cast("double").as("ts_slope"))
   }
+
+  /** X165 — Mann–Kendall trend test per key: `S = Σ_{i<j}
+    * sign(v_j − v_i)` over the time-ordered observations plus
+    * Kendall's tau-a `2S / (n(n−1))` — the NONPARAMETRIC "is this
+    * series monotonically trending" screen that pairs with
+    * [[theilSenSlope]] (same pair set; Theil–Sen estimates HOW MUCH,
+    * Mann–Kendall whether the direction is systematic). S is an exact
+    * integer — the whole statistic is sign comparisons, so the gate
+    * can hash it raw; only tau divides, once, through the
+    * DECIMAL(18,8) round contract.
+    *
+    * Shape: the [[theilSenSlope]] per-key self-join — C(n_days, 2)
+    * pairs per key, bounded by the OBSERVATION WINDOW squared, never
+    * by row count; values quantize through DECIMAL(18,6) so equal-at-
+    * scale values tie identically on any engine. Keys need ≥ 2
+    * observed periods for a pair to exist.
+    */
+  def mannKendallTrend(
+      df: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      valueCol: String,
+      roundDigits: Int = 4): DataFrame = {
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val daily = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(orderCol).as("__o"),
+        col(valueCol).cast(dec6).as("__v"))
+    val s = daily.as("a").join(daily.as("b"),
+        col("a.__k") === col("b.__k") && col("a.__o") < col("b.__o"))
+      .select(col("a.__k").as("__k"),
+        signum((col("b.__v") - col("a.__v")).cast("double"))
+          .cast("long").as("__sgn"))
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("__pairs"), sum(col("__sgn")).as("s_stat"))
+    val nObs = daily.groupBy(col("__k"))
+      .agg(count(lit(1)).as("n_obs"))
+    s.join(nObs, "__k")
+      .select(col("__k").as(keyCol), col("n_obs"), col("s_stat"),
+        round((lit(2.0) * col("s_stat").cast("double")
+          / (col("n_obs") * (col("n_obs") - 1)).cast("double"))
+          .cast(stable), roundDigits).cast("double").as("tau"))
+  }
 }

@@ -793,4 +793,57 @@ object Profiling {
         round((col("__orph").cast("double") / col("__rows")).cast(stable),
           roundDigits).cast("double").as("orphan_rate"))
   }
+
+  /** X164 — profile drift between two slices of one table (yesterday's
+    * drop vs today's, region A vs B): per column, each side's row
+    * count, null rate, and exact distinct count, plus the null-rate
+    * delta — the schema-stability twin of [[graft.operators.Evaluation
+    * .psi]]'s value-distribution drift (psi asks "did the values
+    * move", this asks "did the SHAPE move": new nulls, collapsed or
+    * exploded cardinality).
+    *
+    * ONE aggregate over one scan computes every column's both-side
+    * stats as conditional aggregates (the [[profile]] shape), then the
+    * wide 1-row result unpivots with `stack` — no per-column scan, no
+    * per-slice scan, nothing driver-side. Exact distinct counts make
+    * Catalyst expand the input (the documented oracle-exact price;
+    * swap `approx = true` for the HLL production form, identical code
+    * path otherwise).
+    */
+  def profileDrift(df: DataFrame, isA: Column, isB: Column,
+      cols: Seq[String], approx: Boolean = false,
+      roundDigits: Int = 6): DataFrame = {
+    require(cols.nonEmpty, "profileDrift needs at least one column")
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val aggs = cols.flatMap { c =>
+      def nd(p: Column) =
+        if (approx) approx_count_distinct(when(p, col(c)))
+        else countDistinct(when(p, col(c)))
+      Seq(
+        sum(isA.cast("long")).as(s"__na_$c"),
+        sum(isB.cast("long")).as(s"__nb_$c"),
+        sum((isA && col(c).isNull).cast("long")).as(s"__nulla_$c"),
+        sum((isB && col(c).isNull).cast("long")).as(s"__nullb_$c"),
+        nd(isA).as(s"__da_$c"),
+        nd(isB).as(s"__db_$c"))
+    }
+    val wide = df.filter(isA || isB).agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map(c =>
+        s"'$c', `__na_$c`, `__nb_$c`, `__nulla_$c`, `__nullb_$c`, " +
+          s"`__da_$c`, `__db_$c`")
+      .mkString(", ")
+    wide.select(expr(s"stack(${cols.size}, $stacked)")
+        .as(Seq("col_name", "n_a", "n_b", "n_null_a", "n_null_b",
+          "n_distinct_a", "n_distinct_b")))
+      .select(col("col_name"), col("n_a"), col("n_b"),
+        col("n_null_a"), col("n_null_b"),
+        col("n_distinct_a"), col("n_distinct_b"),
+        round((col("n_null_a").cast("double") / col("n_a")).cast(stable),
+          roundDigits).cast("double").as("null_rate_a"),
+        round((col("n_null_b").cast("double") / col("n_b")).cast(stable),
+          roundDigits).cast("double").as("null_rate_b"),
+        round((col("n_null_b").cast("double") / col("n_b")
+          - col("n_null_a").cast("double") / col("n_a")).cast(stable),
+          roundDigits).cast("double").as("null_rate_delta"))
+  }
 }

@@ -480,4 +480,40 @@ object Relational {
         when(inA && inB, concat_ws(",", diffFlags: _*)).as("changed_cols"))
         : _*)
   }
+
+  /** X169 — deterministic per-group mode: the most frequent value of a
+    * column within each group, with its count and share — the
+    * categorical "typical value" summary (profiling's complement to
+    * the numeric quantiles), made deterministic by the explicit tie
+    * rule: highest count, then SMALLEST value. Null values count as a
+    * candidate mode of their own (a mostly-null column's mode IS
+    * null — that is the finding).
+    *
+    * Shape: one (group, value) count aggregate, then the rank-1 row
+    * per group via min(struct(−n, value)) — a single argmin aggregate
+    * rather than a ranking window, so the per-group state is ONE
+    * struct (map-side combinable, no WindowExec). Share divides once
+    * through the DECIMAL(18,8) round contract.
+    */
+  def modePerGroup(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, roundDigits: Int = 6): DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val gs = groupCols.map(col)
+    val counted = df.groupBy((gs :+ col(valueCol).as("__v")): _*)
+      .agg(count(lit(1)).as("__n"))
+    // argmin over (−n, null-last flag, v): nulls sort LAST within a
+    // count so a non-null value wins a count tie against null — but a
+    // strictly-more-frequent null still wins
+    val pick = counted.groupBy(gs: _*)
+      .agg(sum(col("__n")).as("__tot"),
+        min(struct((-col("__n")).as("__neg"),
+          col("__v").isNull.cast("int").as("__nl"), col("__v").as("__v")))
+          .as("__best"))
+    pick.select((gs :+
+      col("__best.__v").as("mode") :+
+      (-col("__best.__neg")).as("n_mode") :+
+      round(((-col("__best.__neg")).cast("double") / col("__tot")
+        .cast("double")).cast(stable), roundDigits).cast("double")
+        .as("mode_share")): _*)
+  }
 }

@@ -409,4 +409,27 @@ object Retail {
       (F.pmod(col("ending"), F.lit(10L)) === 9).cast("long")
         .as("is_charm"))
   }
+
+  /** X168 — basket-size profile: the distribution of lines per order
+    * (how many distinct items a basket carries), with each size's
+    * order count and share — the first diagnostic of basket depth and
+    * the sanity gate before any association-rule mining (x127's
+    * per-order self-join cost is Σ basket²; THIS table is that budget).
+    * One count aggregate to order cardinality, one count aggregate to
+    * ≤ max-basket rows, shares over a whole-relation window on that
+    * tiny table.
+    */
+  def basketSizeProfile(df: DataFrame, orderCol: String,
+      roundDigits: Int = 6): DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val perOrder = df.groupBy(col(orderCol))
+      .agg(F.count(F.lit(1)).as("__lines"))
+    val counted = perOrder.groupBy(col("__lines").as("n_lines"))
+      .agg(F.count(F.lit(1)).as("n_orders"))
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy()
+    counted.select(col("n_lines"), col("n_orders"),
+      F.round((col("n_orders").cast("double")
+        / F.sum(col("n_orders")).over(tot)).cast(stable), roundDigits)
+        .cast("double").as("share"))
+  }
 }

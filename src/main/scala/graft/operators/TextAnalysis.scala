@@ -743,4 +743,36 @@ object TextAnalysis {
         round((col("n_novel").cast("double") / col("n_grams"))
           .cast(stable), roundDigits).cast("double").as("novelty_rate"))
   }
+
+  /** X167 — lexical richness per document: token count, type (distinct
+    * token) count, type–token ratio, and hapax legomena (tokens
+    * occurring exactly once) with their rate — the vocabulary-diversity
+    * signals that separate template/boilerplate text (low TTR, few
+    * hapax) from natural prose, complementing the Gopher repetition
+    * fractions (x96) which look at LINES, not vocabulary.
+    *
+    * Shape: explode to (doc, token) → one per-(doc, token) count →
+    * one per-doc aggregate — all counts exact integers, the two
+    * ratios divide once each through the DECIMAL(18,8) round
+    * contract. Whitespace tokens, the repo-wide convention (an empty
+    * text has one empty token — both engines agree).
+    */
+  def lexicalRichness(df: DataFrame, idCol: String, textCol: String,
+      roundDigits: Int = 4): DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    df.select(col(idCol), explode(graft.functions.Text.tokens(col(textCol)))
+        .as("__t"))
+      .groupBy(col(idCol), col("__t"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum((col("__n") === 1).cast("long")).as("n_hapax"))
+      .select(col(idCol), col("n_tokens"), col("n_types"), col("n_hapax"),
+        round((col("n_types").cast("double") / col("n_tokens"))
+          .cast(stable), roundDigits).cast("double").as("ttr"),
+        round((col("n_hapax").cast("double") / col("n_tokens"))
+          .cast(stable), roundDigits).cast("double").as("hapax_rate"))
+  }
+
 }

@@ -1172,6 +1172,86 @@ object TimeSeries {
           .cast(stable), roundDigits).cast("double").as("holt_forecast"))
   }
 
+  /** X166 — CUSUM drift detector per key: the two-sided cumulative-sum
+    * control chart `S⁺ₜ = max(0, S⁺ₜ₋₁ + (xₜ − μ − k))`,
+    * `S⁻ₜ = max(0, S⁻ₜ₋₁ + (μ − k − xₜ))` with the standard
+    * `k = kSigma·σ` slack and `h = hSigma·σ` decision interval —
+    * the sequential mean-shift detector that catches SLOW drifts a
+    * single changepoint scan (x140) sees late and a rolling z-score
+    * (x121) never accumulates. Emits each key's max CUSUM excursion
+    * both ways and the drift flag `max(S⁺, S⁻) > h`.
+    *
+    * The recursion is order-dependent and max-clipped — no window can
+    * express it — so it rides the r12 ordered-fold parity pattern
+    * (ses/holt): per-key sort + ONE fold with an ARRAY accumulator
+    * `[S⁺, S⁻, maxS⁺, maxS⁻]` (array, not struct — the x198 DuckDB
+    * list_reduce field-mutation quirk), folded identically on both
+    * engines. μ and σ come from exact decimal moments (one double
+    * sqrt, correctly rounded by IEEE) and ROUND to 6 dp before
+    * entering the fold, so every intermediate is the identical double.
+    *
+    * Scale: one grouped collect of the per-key series — feed
+    * PER-PERIOD aggregates (daily means), never raw events, so the
+    * array is bounded by the observation window (the kaplanMeier
+    * bounded-window argument).
+    */
+  def cusumDrift(
+      df: DataFrame,
+      keyCol: String, orderCol: String, valueCol: String,
+      kSigma: Double = 0.5, hSigma: Double = 4.0,
+      roundDigits: Int = 4): DataFrame = {
+    require(kSigma >= 0 && hSigma > 0, s"bad CUSUM params: $kSigma, $hSigma")
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val q12 = org.apache.spark.sql.types.DecimalType(24, 12)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val y = col(valueCol).cast(dec6)
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(orderCol).as("__o"),
+        y.as("__y"))
+    val agg = rows.groupBy(col("__k"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("__y")).cast(org.apache.spark.sql.types.DecimalType(24, 6))
+          .as("__sv"),
+        sum((col("__y") * col("__y")).cast(q12)).cast(q12).as("__svv"),
+        expr("array_sort(collect_list(struct(__o, __y)))").as("__a"))
+      .withColumn("__ys",
+        expr("transform(__a, s -> CAST(s.__y AS DOUBLE))"))
+      // μ, σ from exact decimal moments; ONE left-associated double
+      // expression each, rounded to 6 dp so the fold sees identical
+      // doubles on any engine
+      .withColumn("__mu", round((col("__sv").cast("double") / col("n_obs"))
+        .cast(stable), 6).cast("double"))
+      .withColumn("__sd", when(col("n_obs") < 2, lit(0.0)).otherwise(
+        round(sqrt(greatest(lit(0.0),
+          (col("__svv").cast("double")
+            - col("__sv").cast("double") * col("__sv").cast("double")
+              / col("n_obs")) / (col("n_obs") - 1)))
+          .cast(stable), 6).cast("double")))
+    val spNew = s"greatest(0D, element_at(acc, 1) + " +
+      s"(element_at(xw, 1) - __mu - ${kSigma}D * __sd))"
+    val smNew = s"greatest(0D, element_at(acc, 2) + " +
+      s"(__mu - ${kSigma}D * __sd - element_at(xw, 1)))"
+    val folded = agg.withColumn("__c", expr(
+      s"""aggregate(
+         |  transform(__ys, y -> array(y, 0D, 0D, 0D)),
+         |  array(0D, 0D, 0D, 0D),
+         |  (acc, xw) -> array(
+         |    $spNew,
+         |    $smNew,
+         |    greatest(element_at(acc, 3), $spNew),
+         |    greatest(element_at(acc, 4), $smNew)))""".stripMargin))
+    folded.select(col("__k").as(keyCol), col("n_obs"),
+      col("__mu").as("mean"), col("__sd").as("sd"),
+      round(expr("element_at(__c, 3)").cast(stable), roundDigits)
+        .cast("double").as("max_cusum_up"),
+      round(expr("element_at(__c, 4)").cast(stable), roundDigits)
+        .cast("double").as("max_cusum_down"),
+      (round(greatest(expr("element_at(__c, 3)"),
+          expr("element_at(__c, 4)")).cast(stable), roundDigits)
+        > round((lit(hSigma) * col("__sd")).cast(stable), roundDigits))
+        .cast("long").as("drift"))
+  }
+
   /** X148 — maximum drawdown per key: the worst drop of a series from
     * its RUNNING PEAK (`max_t (runmax_t − y_t)`), plus the peak level
     * and the first date the worst drop is realized — the

@@ -3146,6 +3146,164 @@ object OracleSql {
          |  CAST(qq.med AS DOUBLE) AS median_gap_days
          |FROM st CROSS JOIN qq""".stripMargin,
 
+    // Profile drift: per-column conditional stats on both slices from
+    // one scan; every SUM(CASE) cast to BIGINT (the x152 HUGEINT
+    // lesson); rate deltas as ONE left-associated double expression.
+    "x203_profile_drift" -> {
+      def colSql(c: String): String =
+        s"""SELECT '$c' AS col_name,
+           |  CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           |  CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           |  CAST(SUM(CASE WHEN a AND $c IS NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_null_a,
+           |  CAST(SUM(CASE WHEN b AND $c IS NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_null_b,
+           |  COUNT(DISTINCT CASE WHEN a THEN $c END) AS n_distinct_a,
+           |  COUNT(DISTINCT CASE WHEN b THEN $c END) AS n_distinct_b,
+           |  CAST(ROUND(CAST(
+           |    CAST(SUM(CASE WHEN a AND $c IS NULL THEN 1 ELSE 0 END)
+           |      AS DOUBLE)
+           |    / SUM(CASE WHEN a THEN 1 ELSE 0 END)
+           |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS null_rate_a,
+           |  CAST(ROUND(CAST(
+           |    CAST(SUM(CASE WHEN b AND $c IS NULL THEN 1 ELSE 0 END)
+           |      AS DOUBLE)
+           |    / SUM(CASE WHEN b THEN 1 ELSE 0 END)
+           |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS null_rate_b,
+           |  CAST(ROUND(CAST(
+           |    CAST(SUM(CASE WHEN b AND $c IS NULL THEN 1 ELSE 0 END)
+           |      AS DOUBLE)
+           |    / SUM(CASE WHEN b THEN 1 ELSE 0 END)
+           |    - CAST(SUM(CASE WHEN a AND $c IS NULL THEN 1 ELSE 0 END)
+           |      AS DOUBLE)
+           |    / SUM(CASE WHEN a THEN 1 ELSE 0 END)
+           |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS null_rate_delta
+           |FROM s""".stripMargin
+      s"""WITH s AS (SELECT *,
+         |  o_orderstatus = 'F' AS a, o_orderstatus = 'O' AS b
+         |  FROM orders WHERE o_orderstatus IN ('F', 'O'))
+         |SELECT * FROM (
+         |${colSql("o_custkey")}
+         |UNION ALL
+         |${colSql("o_orderpriority")}
+         |UNION ALL
+         |${colSql("o_totalprice")}
+         |) ORDER BY col_name""".stripMargin
+    },
+
+    // Mann–Kendall: S is exact integer sign arithmetic over the
+    // theilSen pair set; one division for tau through DECIMAL(18,8).
+    "x204_mann_kendall" ->
+      s"""WITH $dailyCte,
+         |p AS (SELECT a.user_id AS u,
+         |  CASE WHEN b.demand > a.demand THEN 1
+         |       WHEN b.demand < a.demand THEN -1 ELSE 0 END AS sg
+         |  FROM daily a JOIN daily b
+         |    ON a.user_id = b.user_id AND a.day < b.day),
+         |s AS (SELECT u, CAST(SUM(sg) AS BIGINT) AS s_stat
+         |  FROM p GROUP BY 1),
+         |n AS (SELECT user_id, COUNT(*) AS n_obs FROM daily GROUP BY 1)
+         |SELECT n.user_id, n.n_obs, s.s_stat,
+         |  CAST(ROUND(CAST(
+         |    2.0e0 * CAST(s.s_stat AS DOUBLE)
+         |      / CAST(n.n_obs * (n.n_obs - 1) AS DOUBLE)
+         |    AS DECIMAL(18,8)), 4) AS DOUBLE) AS tau
+         |FROM s JOIN n ON s.u = n.user_id
+         |ORDER BY n.user_id""".stripMargin,
+
+    // CUSUM drift: μ/σ from exact decimal moments (one sqrt, IEEE),
+    // the max-clipped recursion as the ordered-fold parity pattern
+    // (x187/x198) with an ARRAY accumulator [S+, S-, maxS+, maxS-].
+    "x205_cusum_drift" ->
+      s"""WITH $dailyCte,
+         |ag AS (SELECT user_id, COUNT(*) AS n_obs,
+         |  CAST(SUM(CAST(demand AS DECIMAL(18,6))) AS DECIMAL(24,6))
+         |    AS sv,
+         |  CAST(SUM(CAST(CAST(demand AS DECIMAL(18,6))
+         |      * CAST(demand AS DECIMAL(18,6)) AS DECIMAL(24,12)))
+         |    AS DECIMAL(24,12)) AS svv,
+         |  list(CAST(CAST(demand AS DECIMAL(18,6)) AS DOUBLE)
+         |    ORDER BY day) AS ys
+         |  FROM daily GROUP BY 1),
+         |m AS (SELECT user_id, n_obs, ys,
+         |  CAST(ROUND(CAST(CAST(sv AS DOUBLE) / n_obs
+         |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS mu,
+         |  CASE WHEN n_obs < 2 THEN 0.0e0
+         |  ELSE CAST(ROUND(CAST(SQRT(GREATEST(0.0e0,
+         |    (CAST(svv AS DOUBLE)
+         |      - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n_obs)
+         |    / (n_obs - 1)))
+         |    AS DECIMAL(18,8)), 6) AS DOUBLE) END AS sd
+         |  FROM ag),
+         |f AS (SELECT user_id, n_obs, mu, sd,
+         |  list_reduce(
+         |    list_prepend([0.0e0, 0.0e0, 0.0e0, 0.0e0],
+         |      [[y, 0.0e0, 0.0e0, 0.0e0] for y in ys]),
+         |    (acc, xw) -> [
+         |      GREATEST(0.0e0, acc[1] + (xw[1] - mu - 0.5e0 * sd)),
+         |      GREATEST(0.0e0, acc[2] + (mu - 0.5e0 * sd - xw[1])),
+         |      GREATEST(acc[3], GREATEST(0.0e0,
+         |        acc[1] + (xw[1] - mu - 0.5e0 * sd))),
+         |      GREATEST(acc[4], GREATEST(0.0e0,
+         |        acc[2] + (mu - 0.5e0 * sd - xw[1])))]) AS rs
+         |  FROM m)
+         |SELECT user_id, n_obs, mu AS mean, sd,
+         |  CAST(ROUND(CAST(rs[3] AS DECIMAL(18,8)), 4) AS DOUBLE)
+         |    AS max_cusum_up,
+         |  CAST(ROUND(CAST(rs[4] AS DECIMAL(18,8)), 4) AS DOUBLE)
+         |    AS max_cusum_down,
+         |  CAST(ROUND(CAST(GREATEST(rs[3], rs[4]) AS DECIMAL(18,8)), 4)
+         |    > ROUND(CAST(4.0e0 * sd AS DECIMAL(18,8)), 4) AS BIGINT)
+         |    AS drift
+         |FROM f ORDER BY user_id""".stripMargin,
+
+    // Lexical richness: whitespace tokens (the repo-wide convention,
+    // split('', ' ') = [''] on both engines), exact counts, two
+    // divisions through DECIMAL(18,8).
+    "x206_lexical_richness" ->
+      """WITH tk AS (SELECT doc_id,
+        |  unnest(string_split(text, ' ')) AS t FROM documents),
+        |ct AS (SELECT doc_id, t, COUNT(*) AS n FROM tk GROUP BY 1, 2),
+        |d AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |  COUNT(*) AS n_types,
+        |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hapax
+        |  FROM ct GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_types, n_hapax,
+        |  CAST(ROUND(CAST(CAST(n_types AS DOUBLE) / n_tokens
+        |    AS DECIMAL(18,8)), 4) AS DOUBLE) AS ttr,
+        |  CAST(ROUND(CAST(CAST(n_hapax AS DOUBLE) / n_tokens
+        |    AS DECIMAL(18,8)), 4) AS DOUBLE) AS hapax_rate
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // Deterministic mode: rank by count desc, null-last, value asc —
+    // the engine's min(struct(−n, nullFlag, v)) argmin, spelled as a
+    // window.
+    "x207_mode_per_group" ->
+      """WITH c AS (SELECT o_orderstatus, o_orderpriority AS v,
+        |  COUNT(*) AS n FROM orders GROUP BY 1, 2),
+        |t AS (SELECT o_orderstatus, CAST(SUM(n) AS BIGINT) AS tot
+        |  FROM c GROUP BY 1),
+        |r AS (SELECT o_orderstatus, v, n, ROW_NUMBER() OVER (
+        |  PARTITION BY o_orderstatus
+        |  ORDER BY n DESC, (v IS NULL), v) AS rk FROM c)
+        |SELECT r.o_orderstatus, r.v AS mode, r.n AS n_mode,
+        |  CAST(ROUND(CAST(CAST(r.n AS DOUBLE) / t.tot
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS mode_share
+        |FROM r JOIN t ON r.o_orderstatus = t.o_orderstatus
+        |WHERE r.rk = 1 ORDER BY r.o_orderstatus""".stripMargin,
+
+    // Basket-size profile: two exact count aggregates, one division.
+    "x208_basket_profile" ->
+      """WITH po AS (SELECT l_orderkey, COUNT(*) AS n_lines
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT n_lines, COUNT(*) AS n_orders FROM po GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS tot FROM c)
+        |SELECT c.n_lines, c.n_orders,
+        |  CAST(ROUND(CAST(CAST(c.n_orders AS DOUBLE) / t.tot
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS share
+        |FROM c CROSS JOIN t ORDER BY c.n_lines""".stripMargin,
+
     // Growth accounting: distinct (user, week) self-joins, exact
     // integer counts; churn-only weeks survive the full outer join.
     "x179_growth_accounting" ->

@@ -2287,6 +2287,49 @@ object Queries {
     Retail.repurchaseStats(Tables.orders(s, dir), "o_custkey",
       "o_orderdate")
 
+  /** X163 — profile drift (shape drift) between the 'F' and 'O'
+    * order-status slices: per column both sides' row/null/distinct
+    * stats from ONE conditional aggregate. */
+  def x203(s: SparkSession, dir: String): DataFrame =
+    Profiling.profileDrift(Tables.orders(s, dir),
+        col("o_orderstatus") === "F", col("o_orderstatus") === "O",
+        Seq("o_custkey", "o_orderpriority", "o_totalprice"))
+      .orderBy("col_name")
+
+  /** X164 — Mann–Kendall trend test per user over the daily demand
+    * series: exact integer S, one division for tau. */
+  def x204(s: SparkSession, dir: String): DataFrame =
+    Forecast.mannKendallTrend(dailyDemand(s, dir), "user_id", "day",
+        "demand")
+      .orderBy("user_id")
+
+  /** X165 — CUSUM mean-shift detector per user over the daily demand
+    * series (ordered-fold parity pattern; k = 0.5σ, h = 4σ). */
+  def x205(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.cusumDrift(dailyDemand(s, dir), "user_id", "day",
+        "demand")
+      .orderBy("user_id")
+
+  /** X166 — lexical richness per document: tokens, types, TTR, hapax
+    * legomena. */
+  def x206(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lexicalRichness(Tables.documents(s, dir), "doc_id",
+        "text")
+      .orderBy("doc_id")
+
+  /** X167 — deterministic per-group mode: most frequent order priority
+    * per order status, ties to the smallest value. */
+  def x207(s: SparkSession, dir: String): DataFrame =
+    Relational.modePerGroup(Tables.orders(s, dir),
+        Seq("o_orderstatus"), "o_orderpriority")
+      .orderBy("o_orderstatus")
+
+  /** X168 — basket-size profile: lines-per-order distribution with
+    * shares. */
+  def x208(s: SparkSession, dir: String): DataFrame =
+    Retail.basketSizeProfile(Tables.lineitem(s, dir), "l_orderkey")
+      .orderBy("n_lines")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -2502,5 +2545,11 @@ object Queries {
     "x199_retention_triangle" -> (x199 _),
     "x200_lang_confusion" -> (x200 _),
     "x201_session_stats" -> (x201 _),
-    "x202_repurchase" -> (x202 _))
+    "x202_repurchase" -> (x202 _),
+    "x203_profile_drift" -> (x203 _),
+    "x204_mann_kendall" -> (x204 _),
+    "x205_cusum_drift" -> (x205 _),
+    "x206_lexical_richness" -> (x206 _),
+    "x207_mode_per_group" -> (x207 _),
+    "x208_basket_profile" -> (x208 _))
 }

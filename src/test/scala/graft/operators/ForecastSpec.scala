@@ -338,4 +338,26 @@ class ForecastSpec extends SparkSpec {
       .as[(Long, Long, Double, Double, Double)].collect()(0)
     assert(got == ((1L, 5L, 3.0, 4.2, 1.2)), s"got $got")
   }
+
+  test("mannKendallTrend: monotone S = C(n,2) and tau = 1; ties contribute 0; reversal flips sign") {
+    import spark.implicits._
+    // key a: strictly rising 5 points -> S = 10, tau = 1
+    // key b: 1,2,2,1 -> pairs: (1,2)+ (1,2)+ (1,1)0 (2,2)0 (2,1)- (2,1)-
+    //        S = 0, tau = 0
+    // key c: strictly falling 3 points -> S = -3, tau = -1
+    // key d: single point -> no pairs, no row
+    val df = (
+      (1 to 5).map(i => ("a", i, i.toDouble)) ++
+      Seq(("b", 1, 1.0), ("b", 2, 2.0), ("b", 3, 2.0), ("b", 4, 1.0)) ++
+      (1 to 3).map(i => ("c", i, (10 - i).toDouble)) ++
+      Seq(("d", 1, 7.0))
+    ).toDF("k", "o", "v")
+    val got = Forecast.mannKendallTrend(df, "k", "o", "v")
+      .orderBy("k")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("a", 5L, 10L, 1.0),
+      ("b", 4L, 0L, 0.0),
+      ("c", 3L, -3L, -1.0)), s"got $got")
+  }
 }

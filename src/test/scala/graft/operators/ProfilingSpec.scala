@@ -315,6 +315,28 @@ class ProfilingSpec extends SparkSpec {
     assert(clean == (("c", 2L, 0L, 0L, 0.0)), s"got $clean")
   }
 
+  test("profileDrift: per-column both-side stats from one scan, null-rate deltas") {
+    val df = Seq(
+      ("a", Option(1L), Option("x")),
+      ("a", Option(2L), None),
+      ("a", Option(2L), Option("y")),
+      ("b", None, Option("x")),
+      ("b", Option(5L), Option("x")),
+      ("c", Option(9L), None) // in neither slice -> ignored
+    ).toDF("era", "id", "tag")
+    val got = Profiling.profileDrift(df,
+        col("era") === "a", col("era") === "b", Seq("id", "tag"))
+      .orderBy("col_name")
+      .as[(String, Long, Long, Long, Long, Long, Long,
+        Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      // id: a has 3 rows 0 null 2 distinct; b has 2 rows 1 null 1 distinct
+      ("id", 3L, 2L, 0L, 1L, 2L, 1L, 0.0, 0.5, 0.5),
+      // tag: a has 1 null 2 distinct; b has 0 null 1 distinct
+      ("tag", 3L, 2L, 1L, 0L, 2L, 1L, 0.333333, 0.0, -0.333333)),
+      s"got $got")
+  }
+
   test("probRational: recovers intended fractions, rejects garbage") {
     assert(Profiling.probRational(0.2) == ((1L, 5L)))
     assert(Profiling.probRational(0.5) == ((1L, 2L)))

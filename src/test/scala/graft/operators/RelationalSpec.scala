@@ -276,4 +276,23 @@ class RelationalSpec extends SparkSpec {
     assert(got == Seq((1L, "changed", "n"), (2L, "changed", "n")),
       s"got $got")
   }
+
+  test("modePerGroup: deterministic ties (smallest value), null loses ties but can win outright") {
+    import spark.implicits._
+    val df = Seq(
+      // g1: b×2, a×2 -> tie broken to "a"
+      ("g1", Some("b")), ("g1", Some("b")), ("g1", Some("a")), ("g1", Some("a")),
+      // g2: null×2, z×2 -> non-null wins the tie
+      ("g2", None), ("g2", None), ("g2", Some("z")), ("g2", Some("z")),
+      // g3: null×3, z×1 -> strictly-more-frequent null IS the mode
+      ("g3", None), ("g3", None), ("g3", None), ("g3", Some("z"))
+    ).toDF("g", "v")
+    val got = Relational.modePerGroup(df, Seq("g"), "v")
+      .orderBy("g")
+      .as[(String, Option[String], Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("g1", Some("a"), 2L, 0.5),
+      ("g2", Some("z"), 2L, 0.5),
+      ("g3", None, 3L, 0.75)), s"got $got")
+  }
 }

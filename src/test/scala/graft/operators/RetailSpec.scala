@@ -173,4 +173,16 @@ class RetailSpec extends SparkSpec {
       (50L, 1L, 0.25, 0L),
       (99L, 2L, 0.5, 1L)), s"got $got")
   }
+
+  test("basketSizeProfile: hand lines-per-order distribution with shares") {
+    import spark.implicits._
+    // orders: 1 -> 3 lines, 2 -> 1 line, 3 -> 1 line, 4 -> 2 lines
+    val df = Seq(1L, 1L, 1L, 2L, 3L, 4L, 4L).map(o => (o, "x"))
+      .toDF("o", "item")
+    val got = Retail.basketSizeProfile(df, "o")
+      .orderBy("n_lines")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 0.5), (2L, 1L, 0.25), (3L, 1L, 0.25)),
+      s"got $got")
+  }
 }

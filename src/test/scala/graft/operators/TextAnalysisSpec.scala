@@ -356,4 +356,20 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(got == Seq((1L, 2L, 2L, 1.0), (2L, 2L, 1L, 0.5)), s"got $got")
   }
+
+  test("lexicalRichness: hand token/type/hapax counts; empty text is one empty token") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a c"),      // 4 tokens, 3 types {a:2, b:1, c:1}, 2 hapax
+      (2L, "x x x"),        // 3 tokens, 1 type, 0 hapax
+      (3L, "")              // split("", " ") = [""] -> 1/1/1
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lexicalRichness(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 3L, 2L, 0.75, 0.5),
+      (2L, 3L, 1L, 0L, 0.3333, 0.0),
+      (3L, 1L, 1L, 1L, 1.0, 1.0)), s"got $got")
+  }
 }

@@ -626,4 +626,33 @@ class TimeSeriesSpec extends SparkSpec {
       (Date.valueOf("2024-01-01"), 2L, 2L),
       (Date.valueOf("2024-01-02"), 1L, 3L)), s"got $got")
   }
+
+  test("cusumDrift: a level shift accumulates past h·σ, a stable series never arms") {
+    import spark.implicits._
+    // stable: alternating 9/11 around mean 10 — every fold step's
+    // |x − μ| (1.0) is below k = 0.5σ·... σ≈1.026, so drift never arms
+    val stable = (1 to 20).map(i => ("s", i, if (i % 2 == 0) 9.0 else 11.0))
+    // shifted: 15 points at 10, then 5 at 18 — an ASYMMETRIC step
+    // (mean 12, σ≈3.55): the late high run accumulates ≈4.22/step
+    // into S+ (≈21 > h = 4σ ≈ 14.2) while the long low run only
+    // drips ≈0.22/step into S-
+    val shifted = (1 to 15).map(i => ("d", i, 10.0)) ++
+      (16 to 20).map(i => ("d", i, 18.0))
+    val df = (stable ++ shifted).toDF("k", "o", "v")
+    val got = TimeSeries.cusumDrift(df, "k", "o", "v")
+      .orderBy("k")
+      .select("k", "n_obs", "max_cusum_up", "max_cusum_down", "drift")
+      .as[(String, Long, Double, Double, Long)].collect().toSeq
+    val d = got.find(_._1 == "d").get
+    val s = got.find(_._1 == "s").get
+    assert(d._5 == 1L, s"level shift must arm the detector: $d")
+    assert(d._3 > d._4, s"shift is UPWARD — S+ must dominate: $d")
+    assert(s._5 == 0L, s"stable series must not arm: $s")
+    // constant series: σ = 0, k = 0, x = μ every step -> all zeros
+    val const = (1 to 5).map(i => ("c", i, 3.0)).toDF("k", "o", "v")
+    val c = TimeSeries.cusumDrift(const, "k", "o", "v")
+      .select("max_cusum_up", "max_cusum_down", "drift")
+      .as[(Double, Double, Long)].collect()(0)
+    assert(c == ((0.0, 0.0, 0L)), s"got $c")
+  }
 }
