@@ -304,6 +304,50 @@ object Profiling {
     }.reduce(_ unionAll _)
   }
 
+  /** X171 — Shannon entropy of a column's value distribution per
+    * group: `H = −Σ p·ln p` (nats) plus the normalized form
+    * `H/ln(cardinality)` ∈ [0,1] — the concentration summary that
+    * says in one number whether a categorical column is uniform
+    * (≈1), skewed, or degenerate (0); the profiling companion to
+    * [[graft.operators.Relational.modePerGroup]] (the mode says WHICH
+    * value dominates, entropy says HOW MUCH anything dominates).
+    * NULL values form a category of their own.
+    *
+    * Portability: counts are exact integers; each `p·ln p` term
+    * computes as ONE left-associated double expression from exact
+    * operands and the term SUM rides a DECIMAL(18,8)-rounded
+    * per-term column aggregated exactly — addition-order-free, so
+    * both engines add identical decimals (the ln-parity discipline:
+    * round BEFORE summing, never after). Degenerate single-value
+    * groups emit H = 0 and null normalized entropy.
+    */
+  def valueEntropy(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, roundDigits: Int = 4): DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val gs = groupCols.map(col)
+    val counted = df.groupBy((gs :+ col(valueCol).as("__v")): _*)
+      .agg(count(lit(1)).as("__n"))
+    val tot = org.apache.spark.sql.expressions.Window
+      .partitionBy(gs: _*)
+    val p = col("__n").cast("double") / col("__tot").cast("double")
+    counted
+      .withColumn("__tot", sum(col("__n")).over(tot))
+      // per-term −p·ln p rounded to DECIMAL BEFORE the sum: decimal
+      // addition is exact and order-free where double addition is not
+      .withColumn("__term", round((-(p * log(p))).cast(stable), 8))
+      .groupBy(gs: _*)
+      .agg(count(lit(1)).as("n_values"),
+        first(col("__tot")).as("n_rows"),
+        sum(col("__term")).as("__h"))
+      .select((gs :+ col("n_values") :+ col("n_rows") :+
+        round(col("__h").cast(stable), roundDigits).cast("double")
+          .as("entropy") :+
+        when(col("n_values") > 1,
+          round((col("__h").cast("double")
+            / log(col("n_values").cast("double"))).cast(stable),
+            roundDigits).cast("double")).as("norm_entropy")): _*)
+  }
+
   /** X119 — exact quantiles WITHOUT a driver-side buffer: the
     * scalable twin of the `percentile` aggregate (which gathers the
     * whole column into one executor buffer — t38's documented

@@ -813,4 +813,111 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q"), col("rank"), col("vec_id"), col("cos"))
   }
+
+  // ── X169: product quantization (Jégou et al., PAMI 2011) ──────────
+  // The standard ANN memory-compression layer next to IVF (x45/x53):
+  // split each d-dim vector into m subspaces, k-means each subspace to
+  // k codewords, store each vector as m small codes. A billion-vector
+  // corpus at d=768 float32 (3 KB/vec) becomes m=8 bytes/vec + one
+  // shared codebook — the difference between "the index fits in
+  // executor memory" and "it does not". Search uses ADC (asymmetric
+  // distance): per query, an m×k distance table is driver-computed,
+  // and each row's approximate distance is m table lookups — map-only,
+  // no vector math per candidate.
+
+  /** Train per-subspace codebooks: m independent [[kmeansCentroids]]
+    * runs over the vector slices (same deterministic discipline —
+    * lowest-id init, decimal-rounded means — so codebooks are
+    * reproducible across runs and engines). `dim` must divide into m
+    * equal subspaces. Driver state: m·k·(d/m) doubles — model-sized. */
+  def pqTrainCodebooks(
+      emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int = 3): Array[Array[Seq[Double]]] = {
+    require(m >= 1 && k >= 1 && iters >= 0,
+      s"need m>=1, k>=1, iters>=0; got m=$m k=$k iters=$iters")
+    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must split into m=$m equal subspaces")
+    val sub = dim / m
+    (0 until m).map { s =>
+      val sliced = emb.select(col(idCol),
+        slice(Vectors.toDouble(col(vecCol)), s * sub + 1, sub).as("__subv"))
+      kmeansCentroids(sliced, idCol, "__subv", k, iters)
+    }.toArray
+  }
+
+  /** Encode each vector as its m nearest-codeword indices (ties →
+    * lowest codeword, the [[kmeans]] rule). Map-only against the
+    * broadcast codebook literals; output (vec_id, codes int array). */
+  def pqEncode(
+      emb: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Seq[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    val base = emb.select(col(idCol).cast("long").as("vec_id"),
+      Vectors.toDouble(col(vecCol)).as("__v"))
+    val codeCols = (0 until m).map { s =>
+      val sv = slice(col("__v"), s * sub + 1, sub)
+      array_min(array(codebooks(s).zipWithIndex.map { case (c, i) =>
+        val cSq = c.foldLeft(0.0)((acc, x) => acc + x * x)
+        struct(
+          (Vectors.sq(sv) - lit(2.0) * Vectors.dot(sv, typedLit(c))
+            + lit(cSq)).as("d"),
+          lit(i).as("cidx"))
+      }: _*)).getField("cidx")
+    }
+    base.select(col("vec_id"), array(codeCols: _*).as("codes"))
+  }
+
+  /** ADC top-k: for each query id, the k nearest corpus vectors by
+    * PQ-approximate squared distance. The query's exact subvectors
+    * build an m×k lookup table ON THE DRIVER (sequential-fold dots —
+    * reproducible); each corpus row then pays m `element_at` lookups
+    * on its codes — a pure codegen projection, no per-pair vector
+    * math — and the top-k rides one TakeOrderedAndProject per query.
+    * Returns (q, rank, vec_id, approx_dist2); ties → lowest vec_id;
+    * the query row itself is excluded.
+    */
+  def pqTopK(
+      emb: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Seq[Double]]],
+      queryIds: Seq[Long], k: Int,
+      roundDigits: Int = 4,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(queryIds.nonEmpty && k >= 1, "need queries and k >= 1")
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    val codes = scope.persist(pqEncode(emb, idCol, vecCol, codebooks))
+    val queries = emb
+      .filter(col(idCol).cast("long").isin(queryIds.map(q => q: Any): _*))
+      .select(col(idCol).cast("long"), Vectors.toDouble(col(vecCol)))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    queryIds.map { q =>
+      val qv = queries.getOrElse(q,
+        sys.error(s"query id $q not present in the corpus"))
+      // m×k driver table: ||q_s − c||² with the sequential-fold
+      // discipline (same association as the engine's list dots)
+      val table: Seq[Seq[Double]] = (0 until m).map { s =>
+        val qs = qv.slice(s * sub, (s + 1) * sub)
+        codebooks(s).toSeq.map { c =>
+          qs.zip(c).foldLeft(0.0) { case (acc, (a, b)) =>
+            acc + (a - b) * (a - b)
+          }
+        }
+      }
+      val dist = (0 until m).map { s =>
+        element_at(typedLit(table(s)),
+          element_at(col("codes"), s + 1) + 1)
+      }.reduce(_ + _)
+      codes.filter(col("vec_id") =!= q)
+        .select(lit(q).as("q"), col("vec_id"),
+          round(dist.cast(stable), roundDigits).cast("double")
+            .as("approx_dist2"))
+        .orderBy(col("approx_dist2"), col("vec_id")).limit(k)
+    }.reduce(_ unionAll _)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q"))
+          .orderBy(col("approx_dist2"), col("vec_id"))).cast("bigint"))
+      .select(col("q"), col("rank"), col("vec_id"), col("approx_dist2"))
+  }
 }

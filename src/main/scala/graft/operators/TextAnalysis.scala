@@ -775,4 +775,42 @@ object TextAnalysis {
           .cast(stable), roundDigits).cast("double").as("hapax_rate"))
   }
 
+  /** X172 — per-document token-distribution Shannon entropy (nats) and
+    * its normalized form H/ln(types) — the information-density signal
+    * that separates "aaaa aaaa aaaa" (H = 0) from varied prose even
+    * when TTR agrees; the per-doc twin of [[graft.operators.Profiling
+    * .valueEntropy]] and a standard degenerate-generation filter for
+    * LLM training data.
+    *
+    * Same portability discipline as valueEntropy: exact token counts,
+    * each −p·ln p term rounded to DECIMAL(18,8) BEFORE the exact
+    * decimal sum (round-then-add — double addition order would differ
+    * between engines, decimal addition cannot).
+    */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String,
+      roundDigits: Int = 4): DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val counted = df
+      .select(col(idCol), explode(graft.functions.Text.tokens(col(textCol)))
+        .as("__t"))
+      .groupBy(col(idCol), col("__t"))
+      .agg(count(lit(1)).as("__n"))
+    val tot = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+    val p = col("__n").cast("double") / col("__tot").cast("double")
+    counted
+      .withColumn("__tot", sum(col("__n")).over(tot))
+      .withColumn("__term", round((-(p * log(p))).cast(stable), 8))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_types"),
+        first(col("__tot")).as("n_tokens"),
+        sum(col("__term")).as("__h"))
+      .select(col(idCol), col("n_tokens"), col("n_types"),
+        round(col("__h").cast(stable), roundDigits).cast("double")
+          .as("entropy"),
+        when(col("n_types") > 1,
+          round((col("__h").cast("double")
+            / log(col("n_types").cast("double"))).cast(stable),
+            roundDigits).cast("double")).as("norm_entropy"))
+  }
 }

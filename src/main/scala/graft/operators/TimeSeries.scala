@@ -1172,6 +1172,87 @@ object TimeSeries {
           .cast(stable), roundDigits).cast("double").as("holt_forecast"))
   }
 
+  /** X173 — Holt–Winters ADDITIVE-SEASONAL one-step forecast per key
+    * (triple exponential smoothing, period `s`):
+    * `l_t = α(y_t − S_{t−s}) + (1−α)(l+b)`,
+    * `b_t = γ(l_t − l) + (1−γ)b`, `S_t = δ(y_t − l_t) + (1−δ)S_{t−s}`,
+    * forecast `l + b + S_{next}` — the seasonal completion of the
+    * fold-parity forecasting family (SES x187 = level, Holt x198 =
+    * level+trend, this = level+trend+season; the additive
+    * decomposition x139 DESCRIBES the season, this one FORECASTS
+    * with it).
+    *
+    * The accumulator extends the x198 ARRAY pattern to a ROTATING
+    * ring: `[l, b, S_next, …, S_last]` (length s+2) — each step
+    * consumes the head seasonal and appends the refreshed one, so the
+    * lambda is a fixed-width array construction both engines evaluate
+    * from the ORIGINAL accumulator (the x198 struct-mutation quirk
+    * avoided by construction). Standard init from the first two
+    * seasons: `l₀ = mean(season 1)`, `b₀ = (mean(s2) − mean(s1))/s`,
+    * `S_i = y_i − l₀`; all init arithmetic is fixed left-associated
+    * double expressions over DECIMAL(18,6)-quantized inputs, so both
+    * engines fold identical doubles. Keys with fewer than 2s
+    * observations emit no row (no second season, no trend init).
+    *
+    * Scale: one grouped collect of the per-key series — feed
+    * per-period aggregates, never raw events (the sesForecast
+    * bounded-window contract).
+    */
+  def holtWintersForecast(
+      df: DataFrame,
+      keyCol: String, orderCol: String, valueCol: String,
+      alpha: Double, gamma: Double, delta: Double,
+      season: Int = 7,
+      roundDigits: Int = 4): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    require(gamma > 0 && gamma < 1, s"gamma must be in (0,1): $gamma")
+    require(delta > 0 && delta < 1, s"delta must be in (0,1): $delta")
+    require(season >= 2 && season <= 24, s"season out of range: $season")
+    val s = season
+    val bA = 1.0 - alpha; val bG = 1.0 - gamma; val bD = 1.0 - delta
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val y = col(valueCol).cast(dec6).cast("double")
+    // left-associated season mean over ys[off+1 .. off+s]
+    def seasonMean(off: Int): String =
+      "(" + (1 to s).map(i => s"element_at(__ys, ${off + i})")
+        .mkString(" + ") + s") / $s.0D"
+    val l0 = s"(${seasonMean(0)})"
+    val b0 = s"((${seasonMean(s)}) - ${seasonMean(0)}) / $s.0D"
+    val initArr = (Seq(l0, b0) ++
+      (1 to s).map(i => s"element_at(__ys, $i) - $l0")).mkString(", ")
+    val newL = s"${alpha}D * (x - element_at(acc, 3)) " +
+      s"+ ${bA}D * (element_at(acc, 1) + element_at(acc, 2))"
+    val newB = s"${gamma}D * (($newL) - element_at(acc, 1)) " +
+      s"+ ${bG}D * element_at(acc, 2)"
+    val newS = s"${delta}D * (x - ($newL)) " +
+      s"+ ${bD}D * element_at(acc, 3)"
+    // rotate: consume head seasonal, append the refreshed one
+    val rotated = (4 to s + 2).map(i => s"element_at(acc, $i)")
+      .mkString(", ")
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(orderCol).as("__o"), y.as("__y"))
+    rows.groupBy(col("__k"))
+      .agg(count(lit(1)).as("n_obs"),
+        expr("array_sort(collect_list(struct(__o, __y)))").as("__a"))
+      .filter(col("n_obs") >= 2 * s)
+      .withColumn("__ys", expr("transform(__a, t -> t.__y)"))
+      .withColumn("__r", expr(
+        s"""aggregate(
+           |  slice(__ys, ${s + 1}, size(__ys) - $s),
+           |  array($initArr),
+           |  (acc, x) -> array($newL, $newB, $rotated, $newS))"""
+          .stripMargin))
+      .select(col("__k").as(keyCol), col("n_obs"),
+        round(expr("element_at(__r, 1)").cast(stable), roundDigits)
+          .cast("double").as("level"),
+        round(expr("element_at(__r, 2)").cast(stable), roundDigits)
+          .cast("double").as("trend"),
+        round(expr(
+          "element_at(__r, 1) + element_at(__r, 2) + element_at(__r, 3)")
+          .cast(stable), roundDigits).cast("double").as("hw_forecast"))
+  }
+
   /** X166 — CUSUM drift detector per key: the two-sided cumulative-sum
     * control chart `S⁺ₜ = max(0, S⁺ₜ₋₁ + (xₜ − μ − k))`,
     * `S⁻ₜ = max(0, S⁻ₜ₋₁ + (μ − k − xₜ))` with the standard

@@ -3293,6 +3293,100 @@ object OracleSql {
         |FROM r JOIN t ON r.o_orderstatus = t.o_orderstatus
         |WHERE r.rk = 1 ORDER BY r.o_orderstatus""".stripMargin,
 
+    // Value entropy: each −p·ln p term rounds to DECIMAL(18,8) BEFORE
+    // the exact decimal sum (round-then-add — double addition order
+    // differs between engines, decimal addition cannot).
+    "x209_value_entropy" ->
+      """WITH c AS (SELECT o_orderstatus, o_orderpriority AS v,
+        |  COUNT(*) AS n FROM orders GROUP BY 1, 2),
+        |w AS (SELECT o_orderstatus, n,
+        |  SUM(n) OVER (PARTITION BY o_orderstatus) AS tot FROM c),
+        |t AS (SELECT o_orderstatus, n, tot,
+        |  CAST(ROUND(CAST(
+        |    -(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)
+        |      * ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)))
+        |    AS DECIMAL(18,8)), 8) AS DECIMAL(18,8)) AS term FROM w),
+        |g AS (SELECT o_orderstatus, COUNT(*) AS n_values,
+        |  CAST(MIN(tot) AS BIGINT) AS n_rows, SUM(term) AS h
+        |  FROM t GROUP BY 1)
+        |SELECT o_orderstatus, n_values, n_rows,
+        |  CAST(ROUND(CAST(h AS DECIMAL(18,8)), 4) AS DOUBLE) AS entropy,
+        |  CASE WHEN n_values > 1 THEN
+        |    CAST(ROUND(CAST(CAST(h AS DOUBLE)
+        |      / ln(CAST(n_values AS DOUBLE))
+        |      AS DECIMAL(18,8)), 4) AS DOUBLE) END AS norm_entropy
+        |FROM g ORDER BY o_orderstatus""".stripMargin,
+
+    // Token entropy: x209's discipline per document over whitespace
+    // tokens.
+    "x210_token_entropy" ->
+      """WITH tk AS (SELECT doc_id,
+        |  unnest(string_split(text, ' ')) AS t FROM documents),
+        |c AS (SELECT doc_id, t, COUNT(*) AS n FROM tk GROUP BY 1, 2),
+        |w AS (SELECT doc_id, n,
+        |  SUM(n) OVER (PARTITION BY doc_id) AS tot FROM c),
+        |tt AS (SELECT doc_id, n, tot,
+        |  CAST(ROUND(CAST(
+        |    -(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)
+        |      * ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)))
+        |    AS DECIMAL(18,8)), 8) AS DECIMAL(18,8)) AS term FROM w),
+        |g AS (SELECT doc_id, COUNT(*) AS n_types,
+        |  CAST(MIN(tot) AS BIGINT) AS n_tokens, SUM(term) AS h
+        |  FROM tt GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_types,
+        |  CAST(ROUND(CAST(h AS DECIMAL(18,8)), 4) AS DOUBLE) AS entropy,
+        |  CASE WHEN n_types > 1 THEN
+        |    CAST(ROUND(CAST(CAST(h AS DOUBLE)
+        |      / ln(CAST(n_types AS DOUBLE))
+        |      AS DECIMAL(18,8)), 4) AS DOUBLE) END AS norm_entropy
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // Holt–Winters additive seasonal: the x198 list_reduce fold with a
+    // ROTATING ring accumulator [l, b, S_next..S_last] (length 9 for
+    // the weekly season); init arithmetic spelled as the engine's
+    // left-associated doubles; smoothing literals shared via CAST of
+    // the Scala-rendered strings (never re-derived per engine).
+    "x211_holt_winters" -> {
+      val s = 7
+      val (alpha, gamma, delta) = (0.3, 0.1, 0.2)
+      val (bA, bG, bD) = (1.0 - alpha, 1.0 - gamma, 1.0 - delta)
+      def lit(d: Double) = s"CAST('$d' AS DOUBLE)"
+      def seasonMean(off: Int): String =
+        "(" + (1 to s).map(i => s"ys[${off + i}]").mkString(" + ") +
+          ") / 7.0e0"
+      val l0 = s"(${seasonMean(0)})"
+      val b0 = s"((${seasonMean(s)}) - ${seasonMean(0)}) / 7.0e0"
+      val initArr = (Seq(l0, b0) ++
+        (1 to s).map(i => s"ys[$i] - $l0")).mkString(", ")
+      val newL = s"${lit(alpha)} * (xw[1] - acc[3]) " +
+        s"+ ${lit(bA)} * (acc[1] + acc[2])"
+      val newB = s"${lit(gamma)} * (($newL) - acc[1]) " +
+        s"+ ${lit(bG)} * acc[2]"
+      val newS = s"${lit(delta)} * (xw[1] - ($newL)) " +
+        s"+ ${lit(bD)} * acc[3]"
+      val rotated = (4 to s + 2).map(i => s"acc[$i]").mkString(", ")
+      val zeros = (1 to s + 1).map(_ => "0.0e0").mkString(", ")
+      s"""WITH $dailyCte,
+         |ag AS (SELECT user_id, COUNT(*) AS n_obs,
+         |  list(CAST(CAST(demand AS DECIMAL(18,6)) AS DOUBLE)
+         |    ORDER BY day) AS ys
+         |  FROM daily GROUP BY 1),
+         |f AS (SELECT user_id, n_obs,
+         |  list_reduce(
+         |    list_prepend([$initArr],
+         |      [[v, $zeros] for v in ys[${s + 1}:]]),
+         |    (acc, xw) -> [$newL, $newB, $rotated, $newS]) AS r
+         |  FROM ag WHERE n_obs >= ${2 * s})
+         |SELECT user_id, n_obs,
+         |  CAST(ROUND(CAST(r[1] AS DECIMAL(18,8)), 4) AS DOUBLE)
+         |    AS level,
+         |  CAST(ROUND(CAST(r[2] AS DECIMAL(18,8)), 4) AS DOUBLE)
+         |    AS trend,
+         |  CAST(ROUND(CAST(r[1] + r[2] + r[3] AS DECIMAL(18,8)), 4)
+         |    AS DOUBLE) AS hw_forecast
+         |FROM f ORDER BY user_id""".stripMargin
+    },
+
     // Basket-size profile: two exact count aggregates, one division.
     "x208_basket_profile" ->
       """WITH po AS (SELECT l_orderkey, COUNT(*) AS n_lines

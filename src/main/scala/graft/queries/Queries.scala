@@ -2330,6 +2330,27 @@ object Queries {
     Retail.basketSizeProfile(Tables.lineitem(s, dir), "l_orderkey")
       .orderBy("n_lines")
 
+  /** X171 — Shannon entropy of the order-priority distribution per
+    * order status (round-before-sum decimal term discipline). */
+  def x209(s: SparkSession, dir: String): DataFrame =
+    Profiling.valueEntropy(Tables.orders(s, dir),
+        Seq("o_orderstatus"), "o_orderpriority")
+      .orderBy("o_orderstatus")
+
+  /** X172 — per-document token-distribution entropy. */
+  def x210(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenEntropy(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** X173 — Holt–Winters additive-seasonal one-step forecast over the
+    * per-user daily demand series (α=0.3, γ=0.1, δ=0.2, weekly
+    * season). */
+  def x211(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.holtWintersForecast(dailyDemand(s, dir), "user_id",
+        "day", "demand", alpha = 0.3, gamma = 0.1, delta = 0.2,
+        season = 7)
+      .orderBy("user_id")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -2551,5 +2572,8 @@ object Queries {
     "x205_cusum_drift" -> (x205 _),
     "x206_lexical_richness" -> (x206 _),
     "x207_mode_per_group" -> (x207 _),
-    "x208_basket_profile" -> (x208 _))
+    "x208_basket_profile" -> (x208 _),
+    "x209_value_entropy" -> (x209 _),
+    "x210_token_entropy" -> (x210 _),
+    "x211_holt_winters" -> (x211 _))
 }

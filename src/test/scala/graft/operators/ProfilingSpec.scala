@@ -337,6 +337,26 @@ class ProfilingSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("valueEntropy: uniform maxes normalized entropy, constant is zero, nulls are a category") {
+    val df = Seq(
+      ("u", Some("a")), ("u", Some("b")), ("u", Some("c")), ("u", Some("d")),
+      ("k", Some("x")), ("k", Some("x")), ("k", Some("x")),
+      ("n", Some("y")), ("n", None), ("n", None)
+    ).toDF("g", "v")
+    val got = Profiling.valueEntropy(df, Seq("g"), "v")
+      .orderBy("g")
+      .as[(String, Long, Long, Double, Option[Double])].collect().toSeq
+    // k: one value -> H = 0, norm undefined
+    assert(got(0) == (("k", 1L, 3L, 0.0, None)), s"got ${got(0)}")
+    // n: {y:1, null:2} -> null is a real category: H = -(1/3)ln(1/3)-(2/3)ln(2/3)
+    val hN = -(1.0 / 3 * math.log(1.0 / 3) + 2.0 / 3 * math.log(2.0 / 3))
+    assert(got(1)._1 == "n" && got(1)._2 == 2L &&
+      math.abs(got(1)._4 - hN) < 1e-3, s"got ${got(1)} want H≈$hN")
+    // u: uniform over 4 -> H = ln 4, normalized 1
+    assert(got(2)._1 == "u" && math.abs(got(2)._4 - math.log(4)) < 1e-3 &&
+      got(2)._5.exists(n => math.abs(n - 1.0) < 1e-3), s"got ${got(2)}")
+  }
+
   test("probRational: recovers intended fractions, rejects garbage") {
     assert(Profiling.probRational(0.2) == ((1L, 5L)))
     assert(Profiling.probRational(0.5) == ((1L, 2L)))

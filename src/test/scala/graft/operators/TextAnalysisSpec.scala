@@ -357,6 +357,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 2L, 1.0), (2L, 2L, 1L, 0.5)), s"got $got")
   }
 
+  test("tokenEntropy: degenerate repetition scores zero, balanced pair scores ln 2") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a a a"),   // H = 0, norm undefined
+      (2L, "a b a b"),   // two types 50/50 -> H = ln 2, norm 1
+      (3L, "a b c d")    // uniform 4 -> H = ln 4, norm 1
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Option[Double])].collect().toSeq
+    assert(got(0) == ((1L, 4L, 1L, 0.0, None)), s"got ${got(0)}")
+    assert(math.abs(got(1)._4 - math.log(2)) < 1e-3 &&
+      got(1)._5.exists(n => math.abs(n - 1.0) < 1e-3), s"got ${got(1)}")
+    assert(math.abs(got(2)._4 - math.log(4)) < 1e-3, s"got ${got(2)}")
+  }
+
   test("lexicalRichness: hand token/type/hapax counts; empty text is one empty token") {
     import spark.implicits._
     val df = Seq(

@@ -627,6 +627,30 @@ class TimeSeriesSpec extends SparkSpec {
       (Date.valueOf("2024-01-02"), 1L, 3L)), s"got $got")
   }
 
+  test("holtWintersForecast: a perfectly periodic series forecasts its next value exactly") {
+    import spark.implicits._
+    // pattern [1, 3] repeated: init l0 = 2, b0 = 0, S = [-1, +1]; every
+    // fold step is a fixed point (x - S_head = 2 = l), so the one-step
+    // forecast equals the true next value — the invariance that pins
+    // the rotation and init algebra at once
+    val periodic = (1 to 8).map(i => ("p", i, if (i % 2 == 1) 1.0 else 3.0))
+    // trending: y = t on season 2 — forecast must land near 11
+    val trend = (1 to 10).map(i => ("t", i, i.toDouble))
+    // too short for 2 seasons -> no row
+    val short = Seq(("s", 1, 5.0), ("s", 2, 6.0), ("s", 3, 7.0))
+    val df = (periodic ++ trend ++ short).toDF("k", "o", "v")
+    val got = TimeSeries.holtWintersForecast(df, "k", "o", "v",
+        alpha = 0.3, gamma = 0.1, delta = 0.2, season = 2)
+      .orderBy("k")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq("p", "t"), s"short key must drop: $got")
+    val p = got(0)
+    assert(p._3 == 2.0 && p._4 == 0.0 && p._5 == 1.0,
+      s"periodic fixed point: level 2, trend 0, next value 1 — got $p")
+    val t = got(1)
+    assert(math.abs(t._5 - 11.0) < 0.8, s"trend forecast ≈ 11, got $t")
+  }
+
   test("cusumDrift: a level shift accumulates past h·σ, a stable series never arms") {
     import spark.implicits._
     // stable: alternating 9/11 around mean 10 — every fold step's
