@@ -451,6 +451,61 @@ object Forecast {
           .as("resid"))
   }
 
+  /** X174 — seasonal/trend STRENGTH per key (Hyndman & Athanasopoulos,
+    * FPP: `F_s = max(0, 1 − Var(resid)/Var(seasonal+resid))`,
+    * `F_t = max(0, 1 − Var(resid)/Var(trend+resid))`) — the one-number
+    * summaries of [[seasonalDecompose]]'s parts that rank thousands of
+    * series by "how seasonal / how trending", the triage before
+    * choosing [[backtestSelect]] arms or
+    * [[graft.operators.TimeSeries.holtWintersForecast]] parameters.
+    *
+    * Portability: the decomposition's components are already rounded
+    * to 4 dp; they quantize to DECIMAL(12,4) (exact), the component
+    * sums and squares accumulate exactly in DECIMAL, each variance
+    * assembles as ONE left-associated double expression, and the
+    * strength ratio rounds through DECIMAL(18,8). Edge rows without a
+    * trend (the centered window's first/last 3 days) are excluded —
+    * they have no decomposition to measure. Groups need ≥ 2 trended
+    * days; a zero-variance denominator yields null strength.
+    */
+  def seasonalStrength(
+      daily: DataFrame,
+      keyCol: String,
+      dayCol: String,
+      valueCol: String,
+      roundDigits: Int = 4): DataFrame = {
+    val dec4 = org.apache.spark.sql.types.DecimalType(12, 4)
+    val s4 = org.apache.spark.sql.types.DecimalType(18, 4)
+    val q8 = org.apache.spark.sql.types.DecimalType(24, 8)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val parts = seasonalDecompose(daily, keyCol, dayCol, valueCol)
+      .filter(col("trend").isNotNull)
+      .select(col(keyCol),
+        col("resid").cast(dec4).as("__r"),
+        (col("seasonal").cast(dec4) + col("resid").cast(dec4)).as("__sr"),
+        (col("trend").cast(dec4) + col("resid").cast(dec4)).as("__tr"))
+    def moments(c: String) = Seq(
+      sum(col(c)).cast(s4).as(s"__s$c"),
+      sum((col(c) * col(c)).cast(q8)).cast(q8).as(s"__q$c"))
+    val m = parts.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_days"),
+        (moments("__r") ++ moments("__sr") ++ moments("__tr")): _*)
+      .filter(col("n_days") >= 2)
+    def variance(c: String) =
+      (col(s"__q$c").cast("double")
+        - col(s"__s$c").cast("double") * col(s"__s$c").cast("double")
+          / col("n_days")) / (col("n_days") - 1)
+    def strength(denom: String) = {
+      val v = variance(denom)
+      when(v > 0, round(greatest(lit(0.0),
+        lit(1.0) - variance("__r") / v).cast(stable), roundDigits)
+        .cast("double"))
+    }
+    m.select(col(keyCol), col("n_days"),
+      strength("__sr").as("strength_seasonal"),
+      strength("__tr").as("strength_trend"))
+  }
+
   /** Single changepoint scan (the first step of binary segmentation /
     * the CUSUM-style scan statistic): over each key's zero-filled
     * daily series, find the split `t` maximizing

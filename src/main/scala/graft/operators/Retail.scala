@@ -410,6 +410,60 @@ object Retail {
         .as("is_charm"))
   }
 
+  /** X176 — ABC–XYZ inventory matrix: [[abcClassification]]'s revenue
+    * classes crossed with demand-VARIABILITY classes from the weekly
+    * coefficient of variation (X: cv ≤ 0.5 steady, Y: ≤ 1.0 variable,
+    * Z: erratic) — the 9-cell planning grid ("AX = automate, CZ =
+    * make-to-order") that combines WHAT matters with HOW predictable
+    * it is. Pairs with the Syntetos–Boylan quadrants (x116), which
+    * classify INTERMITTENCE; XYZ classifies magnitude stability.
+    *
+    * Portability: weekly sums quantize to DECIMAL, moments accumulate
+    * exactly (the x163 scale discipline), cv = sd/mean assembles as
+    * one double chain and ROUNDs through DECIMAL(18,8) BEFORE the
+    * class compare, so a boundary key lands identically on any
+    * engine. Keys with < 2 observed weeks or zero mean get class Z
+    * with null cv (no spread to measure = not steady).
+    */
+  def abcXyzMatrix(
+      items: DataFrame,
+      keyCol: String,
+      dayCol: String,
+      amountCol: String,
+      qtyCol: String,
+      roundDigits: Int = 4): DataFrame = {
+    val t6 = org.apache.spark.sql.types.DecimalType(12, 6)
+    val s6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val q12 = org.apache.spark.sql.types.DecimalType(24, 12)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val abc = abcClassification(items
+        .select(col(keyCol), col(amountCol)), keyCol, amountCol)
+      .select(col("key"), col("revenue"), col("abc_class"))
+    val weekly = items
+      .groupBy(col(keyCol).as("key"),
+        date_trunc("week", col(dayCol)).as("__w"))
+      .agg(sum(col(qtyCol).cast(t6)).cast(t6).as("__q"))
+    val m = weekly.groupBy(col("key"))
+      .agg(count(lit(1)).as("n_weeks"),
+        sum(col("__q")).cast(s6).as("__s"),
+        sum((col("__q") * col("__q")).cast(q12)).cast(q12).as("__qq"))
+    val mean = col("__s").cast("double") / col("n_weeks")
+    val variance = (col("__qq").cast("double")
+      - col("__s").cast("double") * col("__s").cast("double")
+        / col("n_weeks")) / (col("n_weeks") - 1)
+    val cv = round((sqrt(variance) / mean).cast(stable), roundDigits)
+    val withCv = m.select(col("key"), col("n_weeks"),
+      when(col("n_weeks") >= 2 && col("__s") > 0, cv).as("__cv"))
+    abc.join(withCv, "key")
+      .select(col("key"), col("revenue"), col("abc_class"),
+        col("n_weeks"), col("__cv").cast("double").as("cv"),
+        when(col("__cv").isNull, "Z")
+          .when(col("__cv") <= 0.5, "X")
+          .when(col("__cv") <= 1.0, "Y")
+          .otherwise("Z").as("xyz_class"))
+      .withColumn("cell", concat(col("abc_class"), col("xyz_class")))
+  }
+
   /** X168 — basket-size profile: the distribution of lines per order
     * (how many distinct items a basket carries), with each size's
     * order count and share — the first diagnostic of basket depth and

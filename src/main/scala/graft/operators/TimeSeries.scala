@@ -1172,6 +1172,58 @@ object TimeSeries {
           .cast(stable), roundDigits).cast("double").as("holt_forecast"))
   }
 
+  /** X175 — lead–lag cross-correlation between two keyed series:
+    * `corr(x_t, y_{t−k})` for every lag k ∈ [−maxLag, maxLag] over the
+    * days both series share — "does signups' curve lead purchases', and
+    * by how many days?", the alignment diagnostic behind attribution
+    * windows and feature-lag selection (its ACF cousin x126 asks the
+    * same question of a series against ITSELF).
+    *
+    * Shape: two filters of the keyed frame, one day-equijoin, ONE
+    * sorted window pass producing all 2·maxLag+1 shifted columns, one
+    * aggregate. `corr` is the engine-portable sample correlation the
+    * x126 gate already pins; values quantize through DECIMAL(18,6)
+    * first. Lags with fewer than 2 overlapping pairs emit null.
+    *
+    * Scale: the join and window are day-cardinality — bounded by the
+    * observation window, never by event count (feed per-period
+    * aggregates, the sesForecast contract).
+    */
+  def leadLagCorrelation(
+      df: DataFrame,
+      keyCol: String, dayCol: String, valueCol: String,
+      keyA: String, keyB: String,
+      maxLag: Int,
+      roundDigits: Int = 4): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 60, s"maxLag out of range: $maxLag")
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val v = col(valueCol).cast(dec6).cast("double")
+    val a = df.filter(col(keyCol) === keyA)
+      .select(col(dayCol).as("__d"), v.as("__x"))
+    val b = df.filter(col(keyCol) === keyB)
+      .select(col(dayCol).as("__d"), v.as("__y"))
+    val joined = a.join(b, "__d")
+    val w = Window.orderBy(col("__d"))
+    val lags = (-maxLag to maxLag)
+    val shifted = lags.foldLeft(joined) { (acc, k) =>
+      // corr(x_t, y_{t+k}): positive k = x LEADS y by k days (y's
+      // curve repeats x's k days later)
+      acc.withColumn(s"__y$k",
+        if (k >= 0) lead(col("__y"), k).over(w)
+        else lag(col("__y"), -k).over(w))
+    }
+    val aggs = lags.map { k =>
+      struct(lit(k).as("lag"),
+        count(col(s"__y$k")).as("n_pairs"),
+        round(corr(col("__x"), col(s"__y$k")), roundDigits)
+          .as("xcorr")).as(s"__s$k")
+    }
+    shifted.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(lags.map(k => col(s"__s$k")): _*)).as("__e"))
+      .select(col("__e.lag").cast("bigint").as("lag"),
+        col("__e.n_pairs").as("n_pairs"), col("__e.xcorr").as("xcorr"))
+  }
+
   /** X173 — Holt–Winters ADDITIVE-SEASONAL one-step forecast per key
     * (triple exponential smoothing, period `s`):
     * `l_t = α(y_t − S_{t−s}) + (1−α)(l+b)`,

@@ -2205,28 +2205,7 @@ object OracleSql {
     // (isodow-1 ≡ Spark weekday, the t18 parity); edge days with no
     // full 7-day window keep NULL trend/resid like pandas.
     "x139_seasonal_decompose" ->
-      s"""WITH $dailyCte,
-         |led AS (SELECT user_id, day AS d0, demand,
-         |  lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt
-         |  FROM daily),
-         |dense AS (SELECT user_id, d0, demand,
-         |  CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
-         |    CAST(COALESCE(nxt - 1, d0) AS TIMESTAMP),
-         |    INTERVAL 1 DAY)) AS DATE) AS day
-         |  FROM led),
-         |ser AS (SELECT user_id, day,
-         |  CASE WHEN day = d0 THEN CAST(demand AS DOUBLE) ELSE 0.0 END
-         |    AS y
-         |  FROM dense),
-         |tr AS (SELECT user_id, day, y,
-         |  CASE WHEN COUNT(*) OVER wt = 7
-         |    THEN ROUND(AVG(y) OVER wt, 6) END AS trend
-         |  FROM ser WINDOW wt AS (PARTITION BY user_id ORDER BY day
-         |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-         |dw AS (SELECT user_id, day, y, trend, isodow(day) - 1 AS dow
-         |  FROM tr),
-         |se AS (SELECT user_id, dow, ROUND(AVG(y - trend), 6) AS seasonal
-         |  FROM dw GROUP BY 1, 2)
+      s"""WITH $decomposeCtes
          |SELECT dw.user_id, dw.day, ROUND(y, 2) AS y,
          |  ROUND(trend, 4) AS trend,
          |  ROUND(seasonal, 4) AS seasonal,
@@ -3387,6 +3366,129 @@ object OracleSql {
          |FROM f ORDER BY user_id""".stripMargin
     },
 
+    // Seasonal/trend strength: the x139 decomposition chain, components
+    // quantized to DECIMAL(12,4), exact moment sums, one double chain
+    // per variance mirrored in the engine's association.
+    "x212_seasonal_strength" ->
+      s"""WITH $decomposeCtes,
+         |parts AS (SELECT dw.user_id,
+         |  CAST(ROUND(y - trend - seasonal, 4) AS DECIMAL(12,4)) AS r,
+         |  CAST(ROUND(seasonal, 4) AS DECIMAL(12,4))
+         |    + CAST(ROUND(y - trend - seasonal, 4) AS DECIMAL(12,4))
+         |    AS sr,
+         |  CAST(ROUND(trend, 4) AS DECIMAL(12,4))
+         |    + CAST(ROUND(y - trend - seasonal, 4) AS DECIMAL(12,4))
+         |    AS tr2
+         |  FROM dw JOIN se ON dw.user_id = se.user_id
+         |    AND dw.dow = se.dow
+         |  WHERE trend IS NOT NULL),
+         |m AS (SELECT user_id, COUNT(*) AS n_days,
+         |  CAST(SUM(r) AS DECIMAL(18,4)) AS s_r,
+         |  CAST(SUM(CAST(r * r AS DECIMAL(24,8))) AS DECIMAL(24,8))
+         |    AS q_r,
+         |  CAST(SUM(sr) AS DECIMAL(18,4)) AS s_sr,
+         |  CAST(SUM(CAST(sr * sr AS DECIMAL(24,8))) AS DECIMAL(24,8))
+         |    AS q_sr,
+         |  CAST(SUM(tr2) AS DECIMAL(18,4)) AS s_tr,
+         |  CAST(SUM(CAST(tr2 * tr2 AS DECIMAL(24,8))) AS DECIMAL(24,8))
+         |    AS q_tr
+         |  FROM parts GROUP BY 1 HAVING COUNT(*) >= 2),
+         |v AS (SELECT user_id, n_days,
+         |  (CAST(q_r AS DOUBLE) - CAST(s_r AS DOUBLE)
+         |    * CAST(s_r AS DOUBLE) / n_days) / (n_days - 1) AS vr,
+         |  (CAST(q_sr AS DOUBLE) - CAST(s_sr AS DOUBLE)
+         |    * CAST(s_sr AS DOUBLE) / n_days) / (n_days - 1) AS vsr,
+         |  (CAST(q_tr AS DOUBLE) - CAST(s_tr AS DOUBLE)
+         |    * CAST(s_tr AS DOUBLE) / n_days) / (n_days - 1) AS vtr
+         |  FROM m)
+         |SELECT user_id, n_days,
+         |  CASE WHEN vsr > 0 THEN
+         |    CAST(ROUND(CAST(GREATEST(0.0e0, 1.0e0 - vr / vsr)
+         |      AS DECIMAL(18,8)), 4) AS DOUBLE) END AS strength_seasonal,
+         |  CASE WHEN vtr > 0 THEN
+         |    CAST(ROUND(CAST(GREATEST(0.0e0, 1.0e0 - vr / vtr)
+         |      AS DECIMAL(18,8)), 4) AS DOUBLE) END AS strength_trend
+         |FROM v ORDER BY user_id""".stripMargin,
+
+    // Lead–lag cross-correlation: the portable `corr` (the x126
+    // precedent) over one windowed pass; per-lag rows via UNION ALL.
+    "x213_leadlag_corr" -> {
+      val lags = -7 to 7
+      def ycol(k: Int) = if (k < 0) s"y_m${-k}" else s"y_$k"
+      val shifted = lags.map { k =>
+        val w = "OVER (ORDER BY day)"
+        if (k >= 0) s"lead(y, $k) $w AS ${ycol(k)}"
+        else s"lag(y, ${-k}) $w AS ${ycol(k)}"
+      }.mkString(",\n         |  ")
+      val rows = lags.map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS lag,
+           |  COUNT(${ycol(k)}) AS n_pairs,
+           |  ROUND(corr(x, ${ycol(k)}), 4) AS xcorr FROM l"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH d AS (SELECT event_type AS k,
+         |  CAST(date_trunc('day', ts) AS DATE) AS day,
+         |  SUM(CAST(value AS DECIMAL(18,2))) AS v
+         |  FROM events GROUP BY 1, 2),
+         |a AS (SELECT day, CAST(CAST(v AS DECIMAL(18,6)) AS DOUBLE)
+         |  AS x FROM d WHERE k = 'signup'),
+         |b AS (SELECT day, CAST(CAST(v AS DECIMAL(18,6)) AS DOUBLE)
+         |  AS y FROM d WHERE k = 'purchase'),
+         |j AS (SELECT a.day, x, y FROM a JOIN b ON a.day = b.day),
+         |l AS (SELECT day, x, y,
+         |  $shifted
+         |  FROM j)
+         |SELECT * FROM (
+         |$rows
+         |) ORDER BY lag""".stripMargin
+    },
+
+    // ABC–XYZ: x144's revenue classes crossed with weekly-CV classes;
+    // cv through one mirrored double chain, ROUNDed before the class
+    // compare.
+    "x214_abc_xyz" ->
+      """WITH li AS (SELECT l_partkey AS key, l_shipdate,
+        |  ROUND(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(28,6)), 2) AS amount, l_quantity AS qty
+        |  FROM lineitem),
+        |pk AS (SELECT key, SUM(CAST(amount AS DECIMAL(28,2))) AS rev
+        |  FROM li GROUP BY 1),
+        |w AS (SELECT key, rev,
+        |  SUM(rev) OVER (ORDER BY rev DESC, key
+        |    ROWS UNBOUNDED PRECEDING) AS cum,
+        |  SUM(rev) OVER () AS tot FROM pk),
+        |s AS (SELECT key, rev,
+        |  ROUND(CAST(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)
+        |    AS DECIMAL(18,8)), 6) AS sh FROM w),
+        |abc AS (SELECT key, ROUND(CAST(rev AS DOUBLE), 2) AS revenue,
+        |  CASE WHEN sh <= 0.8 THEN 'A' WHEN sh <= 0.95 THEN 'B'
+        |    ELSE 'C' END AS abc_class FROM s),
+        |wk AS (SELECT key, date_trunc('week', l_shipdate) AS w,
+        |  CAST(SUM(CAST(qty AS DECIMAL(12,6))) AS DECIMAL(12,6)) AS q
+        |  FROM li GROUP BY 1, 2),
+        |m AS (SELECT key, COUNT(*) AS n_weeks,
+        |  CAST(SUM(q) AS DECIMAL(18,6)) AS sq,
+        |  CAST(SUM(CAST(q * q AS DECIMAL(24,12))) AS DECIMAL(24,12))
+        |    AS qq
+        |  FROM wk GROUP BY 1),
+        |c AS (SELECT key, n_weeks,
+        |  CASE WHEN n_weeks >= 2 AND sq > 0 THEN
+        |    ROUND(CAST(
+        |      SQRT((CAST(qq AS DOUBLE) - CAST(sq AS DOUBLE)
+        |          * CAST(sq AS DOUBLE) / n_weeks) / (n_weeks - 1))
+        |      / (CAST(sq AS DOUBLE) / n_weeks)
+        |      AS DECIMAL(18,8)), 4) END AS cv
+        |  FROM m)
+        |SELECT abc.key, revenue, abc_class, c.n_weeks,
+        |  CAST(cv AS DOUBLE) AS cv,
+        |  CASE WHEN cv IS NULL THEN 'Z' WHEN cv <= 0.5 THEN 'X'
+        |    WHEN cv <= 1.0 THEN 'Y' ELSE 'Z' END AS xyz_class,
+        |  abc_class || CASE WHEN cv IS NULL THEN 'Z'
+        |    WHEN cv <= 0.5 THEN 'X' WHEN cv <= 1.0 THEN 'Y'
+        |    ELSE 'Z' END AS cell
+        |FROM abc JOIN c ON abc.key = c.key
+        |ORDER BY abc.key""".stripMargin,
+
     // Basket-size profile: two exact count aggregates, one division.
     "x208_basket_profile" ->
       """WITH po AS (SELECT l_orderkey, COUNT(*) AS n_lines
@@ -4237,6 +4339,34 @@ object OracleSql {
       |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
       |    SUM(CAST(value AS DECIMAL(18,2))) AS demand
       |  FROM events GROUP BY 1, 2)""".stripMargin
+
+  /** The x139 classical-decomposition chain (densify → centered 7-day
+    * trend → weekday seasonal), shared by x139 and the x212 strength
+    * summary; mirrors Forecast.seasonalDecompose. Exposes CTEs `dw`
+    * (user_id, day, y, trend, dow) and `se` (user_id, dow, seasonal). */
+  private def decomposeCtes: String =
+    s"""$dailyCte,
+       |led AS (SELECT user_id, day AS d0, demand,
+       |  lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt
+       |  FROM daily),
+       |dense AS (SELECT user_id, d0, demand,
+       |  CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+       |    CAST(COALESCE(nxt - 1, d0) AS TIMESTAMP),
+       |    INTERVAL 1 DAY)) AS DATE) AS day
+       |  FROM led),
+       |ser AS (SELECT user_id, day,
+       |  CASE WHEN day = d0 THEN CAST(demand AS DOUBLE) ELSE 0.0 END
+       |    AS y
+       |  FROM dense),
+       |tr AS (SELECT user_id, day, y,
+       |  CASE WHEN COUNT(*) OVER wt = 7
+       |    THEN ROUND(AVG(y) OVER wt, 6) END AS trend
+       |  FROM ser WINDOW wt AS (PARTITION BY user_id ORDER BY day
+       |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       |dw AS (SELECT user_id, day, y, trend, isodow(day) - 1 AS dow
+       |  FROM tr),
+       |se AS (SELECT user_id, dow, ROUND(AVG(y - trend), 6) AS seasonal
+       |  FROM dw GROUP BY 1, 2)""".stripMargin
 
   /** One Lloyd's assignment pass against centroid CTE `cc`: argmin of
     * |v|² − 2·v·c + |c|², ties to the lowest cluster index — the same

@@ -2351,6 +2351,38 @@ object Queries {
         season = 7)
       .orderBy("user_id")
 
+  /** X174 — seasonal/trend strength (FPP) of each user's daily demand
+    * decomposition. */
+  def x212(s: SparkSession, dir: String): DataFrame =
+    Forecast.seasonalStrength(dailyDemand(s, dir), "user_id", "day",
+        "demand")
+      .orderBy("user_id")
+
+  /** X175 — lead–lag cross-correlation between the signup and purchase
+    * daily totals, lags −7..7. */
+  def x213(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type").as("k"),
+        to_date(date_trunc("DAY", col("ts"))).as("day"))
+      .agg(sum(dec(col("value"))).as("v"))
+    TimeSeries.leadLagCorrelation(daily, "k", "day", "v",
+        "signup", "purchase", maxLag = 7)
+      .orderBy("lag")
+  }
+
+  /** X176 — ABC–XYZ matrix over parts: net-revenue ABC × weekly-qty-CV
+    * XYZ. */
+  def x214(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(
+      col("l_partkey"), col("l_shipdate"),
+      round((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(org.apache.spark.sql.types.DecimalType(28, 6)), 2)
+        .as("amount"),
+      col("l_quantity").as("qty"))
+    Retail.abcXyzMatrix(li, "l_partkey", "l_shipdate", "amount", "qty")
+      .orderBy("key")
+  }
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -2575,5 +2607,8 @@ object Queries {
     "x208_basket_profile" -> (x208 _),
     "x209_value_entropy" -> (x209 _),
     "x210_token_entropy" -> (x210 _),
-    "x211_holt_winters" -> (x211 _))
+    "x211_holt_winters" -> (x211 _),
+    "x212_seasonal_strength" -> (x212 _),
+    "x213_leadlag_corr" -> (x213 _),
+    "x214_abc_xyz" -> (x214 _))
 }

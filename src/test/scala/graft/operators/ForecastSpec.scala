@@ -339,6 +339,29 @@ class ForecastSpec extends SparkSpec {
     assert(got == ((1L, 5L, 3.0, 4.2, 1.2)), s"got $got")
   }
 
+  test("seasonalStrength: pure weekly pattern maxes seasonal strength, pure ramp maxes trend strength") {
+    import spark.implicits._
+    val d0 = Date.valueOf("2024-01-01")
+    def day(i: Int) = new Date(d0.getTime + i * 86400000L)
+    // seasonal key: exact weekly pattern over 4 weeks -> residual 0
+    // inside the trended region -> strength_seasonal = 1
+    val pattern = Seq(1.0, 5.0, 2.0, 8.0, 3.0, 9.0, 4.0)
+    val seasonal = (0 until 28).map(i => ("s", day(i), pattern(i % 7)))
+    // trend key: a clean ramp -> detrended is ~0 -> strength_trend = 1
+    val ramp = (0 until 28).map(i => ("t", day(i), 10.0 + i))
+    val got = Forecast.seasonalStrength(
+        (seasonal ++ ramp).toDF("k", "d", "v"), "k", "d", "v")
+      .orderBy("k")
+      .as[(String, Long, Option[Double], Option[Double])].collect().toSeq
+    val s = got(0); val t = got(1)
+    assert(s._1 == "s" && s._3.contains(1.0),
+      s"weekly pattern must be fully seasonal: $s")
+    assert(t._1 == "t" && t._4.contains(1.0),
+      s"ramp must be fully trending: $t")
+    // and the cross readings stay LOW: the ramp has no seasonality
+    assert(t._3.forall(_ < 0.5), s"ramp is not seasonal: $t")
+  }
+
   test("mannKendallTrend: monotone S = C(n,2) and tau = 1; ties contribute 0; reversal flips sign") {
     import spark.implicits._
     // key a: strictly rising 5 points -> S = 10, tau = 1

@@ -174,6 +174,31 @@ class RetailSpec extends SparkSpec {
       (99L, 2L, 0.5, 1L)), s"got $got")
   }
 
+  test("abcXyzMatrix: revenue classes cross hand-computed CV classes") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val weeks = Seq("2024-01-01", "2024-01-08", "2024-01-15").map(d)
+    // revenues 70/20/10 -> cum shares .7 A / .9 B / 1.0 C
+    // weekly qtys: k1 (10,10,10) cv 0 -> X; k2 (1,10,1) cv 1.299 -> Z;
+    // k3 (2,8,5) cv 0.6 -> Y
+    val rows =
+      Seq((30.0, 10.0), (20.0, 10.0), (20.0, 10.0)).zip(weeks)
+        .map { case ((a, q), w) => ("k1", w, a, q) } ++
+      Seq((5.0, 1.0), (10.0, 10.0), (5.0, 1.0)).zip(weeks)
+        .map { case ((a, q), w) => ("k2", w, a, q) } ++
+      Seq((3.0, 2.0), (4.0, 8.0), (3.0, 5.0)).zip(weeks)
+        .map { case ((a, q), w) => ("k3", w, a, q) }
+    val got = Retail.abcXyzMatrix(rows.toDF("k", "day", "amt", "qty"),
+        "k", "day", "amt", "qty")
+      .orderBy("key")
+      .as[(String, Double, String, Long, Option[Double], String, String)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("k1", 70.0, "A", 3L, Some(0.0), "X", "AX"),
+      ("k2", 20.0, "B", 3L, Some(1.299), "Z", "BZ"),
+      ("k3", 10.0, "C", 3L, Some(0.6), "Y", "CY")), s"got $got")
+  }
+
   test("basketSizeProfile: hand lines-per-order distribution with shares") {
     import spark.implicits._
     // orders: 1 -> 3 lines, 2 -> 1 line, 3 -> 1 line, 4 -> 2 lines

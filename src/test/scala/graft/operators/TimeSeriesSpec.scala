@@ -627,6 +627,30 @@ class TimeSeriesSpec extends SparkSpec {
       (Date.valueOf("2024-01-02"), 1L, 3L)), s"got $got")
   }
 
+  test("leadLagCorrelation: a shifted copy peaks exactly at its lag") {
+    import spark.implicits._
+    val d0 = Date.valueOf("2024-01-01")
+    def day(i: Int) = new Date(d0.getTime + i * 86400000L)
+    // y is x delayed by 2 days: corr peaks (exactly 1) at lag 2 —
+    // x_t vs y_{t-2}... y lags x by 2, x LEADS
+    val xs = Seq(1.0, 7.0, 2.0, 9.0, 4.0, 8.0, 3.0, 6.0, 5.0, 2.5,
+      7.5, 1.5, 8.5, 4.5)
+    val rows = xs.indices.flatMap { i =>
+      Seq(("a", day(i), xs(i))) ++
+        (if (i >= 2) Seq(("b", day(i), xs(i - 2))) else Nil)
+    }
+    val got = TimeSeries.leadLagCorrelation(rows.toDF("k", "d", "v"),
+        "k", "d", "v", "a", "b", maxLag = 3)
+      .orderBy("lag")
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    assert(got.map(_._1) == (-3L to 3L).toSeq)
+    val at2 = got.find(_._1 == 2L).get
+    assert(at2._3.contains(1.0), s"delayed copy must peak at lag 2: $got")
+    // every other lag correlates strictly less
+    got.filter(_._1 != 2L).foreach(r =>
+      assert(r._3.forall(_ < 1.0), s"only lag 2 is perfect: $r"))
+  }
+
   test("holtWintersForecast: a perfectly periodic series forecasts its next value exactly") {
     import spark.implicits._
     // pattern [1, 3] repeated: init l0 = 2, b0 = 0, S = [-1, +1]; every
