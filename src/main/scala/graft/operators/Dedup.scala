@@ -1582,4 +1582,36 @@ object Dedup {
       .groupBy(col("a.__s").as("source_a"), col("b.__s").as("source_b"))
       .agg(countDistinct(col("a.__dig")).as("n_shared_texts"))
   }
+
+  /** X177 — duplicate-cluster profile: the size histogram of dup
+    * clusters plus the DEDUP SAVINGS each size class carries (chars of
+    * every non-canonical member — what deleting the duplicates would
+    * actually reclaim). THE before/after business case of a dedup run:
+    * "how much of the corpus is pair dups vs 50-deep boilerplate
+    * clusters, and where do the bytes come back". Works on ANY
+    * (id, cluster) assignment whose canonical member is
+    * `cluster == id` — exact-dup groups, [[connectedComponents]]
+    * output (min-label), [[semanticDedupKmeans]] components alike.
+    *
+    * Shape: one weight join, one per-cluster aggregate (cluster
+    * cardinality), one per-size aggregate (≤ max-cluster-size rows).
+    * Everything exact integers.
+    */
+  def dupClusterProfile(
+      clusters: DataFrame, idCol: String, clusterCol: String,
+      weights: DataFrame, weightIdCol: String, weightCol: String)
+      : DataFrame = {
+    val j = clusters.select(col(idCol).as("__id"),
+        col(clusterCol).as("__c"))
+      .join(weights.select(col(weightIdCol).as("__id"),
+        col(weightCol).cast("long").as("__w")), "__id")
+    val per = j.groupBy(col("__c"))
+      .agg(count(lit(1)).as("__size"),
+        sum(when(col("__id") =!= col("__c"), col("__w"))
+          .otherwise(0L)).as("__saved"))
+    per.groupBy(col("__size").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("__size")).as("n_docs"),
+        sum(col("__saved")).as("chars_saved"))
+  }
 }

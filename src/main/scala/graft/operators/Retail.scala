@@ -464,6 +464,58 @@ object Retail {
       .withColumn("cell", concat(col("abc_class"), col("xyz_class")))
   }
 
+  /** X178 — price-change profile per item: weekly average unit price
+    * (exact-cents via one stabilized division), then the week-over-
+    * week deltas — change count, largest absolute jump, mean absolute
+    * change — the price-stability screen feeding [[priceElasticity]]
+    * (an item whose price never moves has no elasticity to estimate)
+    * and the promo-detection heuristic (a big down-jump followed by a
+    * reversal is a promotion).
+    *
+    * Once the weekly price is a 2-dp DECIMAL, every delta, max, and
+    * the mean's sum are EXACT decimal arithmetic — the only float ops
+    * are the two stabilized divisions (weekly price, mean change).
+    * Items need ≥ 2 observed weeks.
+    */
+  def priceChangeProfile(
+      items: DataFrame,
+      keyCol: String,
+      dayCol: String,
+      amountCol: String,
+      qtyCol: String,
+      roundDigits: Int = 4): DataFrame = {
+    val dec28 = org.apache.spark.sql.types.DecimalType(28, 6)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val weekly = items
+      .filter(col(qtyCol).isNotNull && col(qtyCol) > 0 &&
+        col(amountCol).isNotNull)
+      .groupBy(col(keyCol).as("key"),
+        date_trunc("week", col(dayCol)).as("__w"))
+      .agg(sum(col(amountCol).cast(dec28)).as("__a"),
+        sum(col(qtyCol).cast(dec28)).as("__q"))
+      .select(col("key"), col("__w"),
+        // exact-cents weekly unit price: one stabilized division
+        round((col("__a").cast("double") / col("__q").cast("double"))
+          .cast(stable), 2).as("__p"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("__w"))
+    val withDelta = weekly
+      .withColumn("__d", col("__p") - lag(col("__p"), 1).over(w))
+    withDelta.groupBy(col("key"))
+      .agg(count(lit(1)).as("n_weeks"),
+        sum((col("__d").isNotNull && col("__d") =!= 0).cast("long"))
+          .as("n_changes"),
+        max(abs(col("__d"))).as("__maxj"),
+        sum(abs(col("__d"))).as("__sumj"),
+        count(col("__d")).as("__nd"))
+      .filter(col("n_weeks") >= 2)
+      .select(col("key"), col("n_weeks"), col("n_changes"),
+        col("__maxj").cast("double").as("max_abs_jump"),
+        round((col("__sumj").cast("double") / col("__nd"))
+          .cast(stable), roundDigits).cast("double")
+          .as("mean_abs_change"))
+  }
+
   /** X168 — basket-size profile: the distribution of lines per order
     * (how many distinct items a basket carries), with each size's
     * order count and share — the first diagnostic of basket depth and

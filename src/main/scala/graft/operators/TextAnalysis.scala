@@ -787,6 +787,44 @@ object TextAnalysis {
     * decimal sum (round-then-add — double addition order would differ
     * between engines, decimal addition cannot).
     */
+  /** X179 — deflate compression ratio per document:
+    * `compressed_bytes / raw_bytes` of the UTF-8 text under
+    * java.util.zip Deflater level 6 — the Gopher/RefinedWeb-standard
+    * redundancy signal: highly-repetitive or templated text compresses
+    * far below natural prose, catching degeneracy that token-level
+    * stats ([[tokenEntropy]], [[withRepetition]]) see only within
+    * their n-gram window. Deterministic: a fixed Deflater
+    * level/strategy on fixed bytes produces identical output on any
+    * JVM (spec-pinned) — but NOT reproducible in SQL, so this operator
+    * is spec-gated, never oracle-hashed (SURVEY §5.3's I/O-tier rule).
+    *
+    * The codec runs in a deserialized map (the declared-UDF exception:
+    * no builtin expresses DEFLATE; same justification as the GBM leaf
+    * routing) with one Deflater per ROW kept deliberately — Deflater
+    * reuse across rows needs reset() discipline that buys ~nothing at
+    * text sizes; revisit with a mapPartitions codec handle if profiles
+    * say otherwise. Empty text → ratio null.
+    */
+  def compressionRatio(df: DataFrame, idCol: String, textCol: String,
+      roundDigits: Int = 4): DataFrame = {
+    val ratio = udf { (t: String) =>
+      if (t == null || t.isEmpty) None
+      else {
+        val raw = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val bos = new java.io.ByteArrayOutputStream(raw.length / 2 + 32)
+        val dos = new java.util.zip.DeflaterOutputStream(bos,
+          new java.util.zip.Deflater(6))
+        dos.write(raw); dos.close()
+        Some(BigDecimal(bos.size().toDouble / raw.length)
+          .setScale(roundDigits, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+      }
+    }
+    df.select(col(idCol),
+      length(col(textCol)).cast("bigint").as("n_chars_text"),
+      ratio(col(textCol)).as("compression_ratio"))
+  }
+
   def tokenEntropy(df: DataFrame, idCol: String, textCol: String,
       roundDigits: Int = 4): DataFrame = {
     val stable = org.apache.spark.sql.types.DecimalType(18, 8)

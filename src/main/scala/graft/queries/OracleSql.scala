@@ -3489,6 +3489,47 @@ object OracleSql {
         |FROM abc JOIN c ON abc.key = c.key
         |ORDER BY abc.key""".stripMargin,
 
+    // Dup-cluster profile: exact-dup clusters (min doc_id per text),
+    // size histogram + non-canonical char savings — all exact ints.
+    "x215_dup_cluster_profile" ->
+      """WITH cl AS (SELECT doc_id,
+        |  MIN(doc_id) OVER (PARTITION BY text) AS cluster, n_chars
+        |  FROM documents),
+        |per AS (SELECT cluster, COUNT(*) AS sz,
+        |  CAST(SUM(CASE WHEN doc_id <> cluster THEN n_chars ELSE 0 END)
+        |    AS BIGINT) AS saved
+        |  FROM cl GROUP BY 1)
+        |SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+        |  CAST(SUM(sz) AS BIGINT) AS n_docs,
+        |  CAST(SUM(saved) AS BIGINT) AS chars_saved
+        |FROM per GROUP BY 1 ORDER BY cluster_size""".stripMargin,
+
+    // Price-change profile: weekly unit price as ONE stabilized
+    // division to exact cents, then pure decimal delta arithmetic.
+    "x216_price_changes" ->
+      """WITH wk AS (SELECT l_partkey AS key,
+        |  date_trunc('week', l_shipdate) AS w,
+        |  CAST(ROUND(CAST(
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+        |    AS DECIMAL(18,8)), 2) AS DECIMAL(19,2)) AS p
+        |  FROM lineitem
+        |  WHERE l_quantity > 0 AND l_extendedprice IS NOT NULL
+        |  GROUP BY 1, 2),
+        |d AS (SELECT key, p,
+        |  p - lag(p) OVER (PARTITION BY key ORDER BY w) AS dp FROM wk),
+        |g AS (SELECT key, COUNT(*) AS n_weeks,
+        |  CAST(SUM(CASE WHEN dp IS NOT NULL AND dp <> 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+        |  MAX(ABS(dp)) AS maxj, SUM(ABS(dp)) AS sumj,
+        |  COUNT(dp) AS nd
+        |  FROM d GROUP BY 1 HAVING COUNT(*) >= 2)
+        |SELECT key, n_weeks, n_changes,
+        |  CAST(maxj AS DOUBLE) AS max_abs_jump,
+        |  CAST(ROUND(CAST(CAST(sumj AS DOUBLE) / nd
+        |    AS DECIMAL(18,8)), 4) AS DOUBLE) AS mean_abs_change
+        |FROM g ORDER BY key""".stripMargin,
+
     // Basket-size profile: two exact count aggregates, one division.
     "x208_basket_profile" ->
       """WITH po AS (SELECT l_orderkey, COUNT(*) AS n_lines

@@ -2370,6 +2370,28 @@ object Queries {
       .orderBy("lag")
   }
 
+  /** X177 — duplicate-cluster profile over the exact-dup clusters
+    * (cluster = min doc_id per text): size histogram + chars saved. */
+  def x215(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val clusters = docs.select(col("doc_id"),
+      min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("text"))).as("cluster"))
+    Dedup.dupClusterProfile(clusters, "doc_id", "cluster",
+        docs, "doc_id", "n_chars")
+      .orderBy("cluster_size")
+  }
+
+  /** X178 — weekly price-change profile per part. */
+  def x216(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(
+      col("l_partkey"), col("l_shipdate"),
+      col("l_extendedprice").as("amount"), col("l_quantity").as("qty"))
+    Retail.priceChangeProfile(li, "l_partkey", "l_shipdate",
+        "amount", "qty")
+      .orderBy("key")
+  }
+
   /** X176 — ABC–XYZ matrix over parts: net-revenue ABC × weekly-qty-CV
     * XYZ. */
   def x214(s: SparkSession, dir: String): DataFrame = {
@@ -2610,5 +2632,7 @@ object Queries {
     "x211_holt_winters" -> (x211 _),
     "x212_seasonal_strength" -> (x212 _),
     "x213_leadlag_corr" -> (x213 _),
-    "x214_abc_xyz" -> (x214 _))
+    "x214_abc_xyz" -> (x214 _),
+    "x215_dup_cluster_profile" -> (x215 _),
+    "x216_price_changes" -> (x216 _))
 }

@@ -243,4 +243,54 @@ object Stateful {
           out.iterator
       }
   }
+
+  /** Input/output/state shapes of [[cusumDrift]]. */
+  case class CusumPoint(key: String, seq: Long, value: Double)
+  case class CusumState(sp: Double, sm: Double, mp: Double, mm: Double)
+  case class CusumOut(key: String, seq: Long,
+      cusum_up: Double, cusum_down: Double, drift: Boolean)
+
+  /** Streaming twin of [[graft.operators.TimeSeries.cusumDrift]]: the
+    * same max-clipped recursions run LITERALLY, one O(1) state update
+    * per arrival, against a FROZEN baseline (μ, σ) — the production
+    * shape: the baseline comes from a reference window (or the batch
+    * operator's own mean/sd output) and ships like any model
+    * artifact, while the detector watches the live stream. Per-key
+    * state is four doubles; each event emits its current excursions
+    * and the armed flag `max(S⁺, S⁻) > hSigma·σ`.
+    *
+    * Parity: feeding the batch fixture in order with the batch's own
+    * (μ, σ) reproduces the batch max-CUSUM exactly — same fold, same
+    * doubles (spec-pinned). Rows within a batch apply in `seq` order.
+    */
+  def cusumDrift(
+      ds: Dataset[CusumPoint], mean: Double, sd: Double,
+      kSigma: Double = 0.5, hSigma: Double = 4.0): Dataset[CusumOut] = {
+    require(kSigma >= 0 && hSigma > 0, s"bad CUSUM params: $kSigma, $hSigma")
+    implicit val stateEnc: Encoder[CusumState] = Encoders.product[CusumState]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    implicit val outEnc: Encoder[CusumOut] = Encoders.product[CusumOut]
+    val k = kSigma * sd
+    val h = hSigma * sd
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[CusumPoint],
+            state: GroupState[CusumState]) =>
+          var s = state.getOption.getOrElse(CusumState(0.0, 0.0, 0.0, 0.0))
+          val out = rows.toSeq.sortBy(_.seq).map { p =>
+            val sp = math.max(0.0, s.sp + (p.value - mean - k))
+            val sm = math.max(0.0, s.sm + (mean - k - p.value))
+            s = CusumState(sp, sm, math.max(s.mp, sp), math.max(s.mm, sm))
+            CusumOut(p.key, p.seq,
+              BigDecimal(sp).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble,
+              BigDecimal(sm).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble,
+              math.max(s.mp, s.mm) > h)
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
 }

@@ -192,6 +192,25 @@ class DedupPrefilterSpec extends SparkSpec {
   }
 
   /** Textbook DP reference implementation for the property test. */
+  test("dupClusterProfile: hand size histogram and non-canonical char savings") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L),
+        (5L, 4L), (6L, 6L))
+      .toDF("doc_id", "cluster")
+    val weights = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 5L),
+        (5L, 7L), (6L, 9L))
+      .toDF("doc_id", "n_chars")
+    val got = Dedup.dupClusterProfile(clusters, "doc_id", "cluster",
+        weights, "doc_id", "n_chars")
+      .orderBy("cluster_size")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 1L, 0L),   // singleton: nothing to save
+      (2L, 1L, 2L, 7L),   // doc 5's chars
+      (3L, 1L, 3L, 50L)), // docs 2+3
+      s"got $got")
+  }
+
   private def levenshteinRef(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0

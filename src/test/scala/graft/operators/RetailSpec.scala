@@ -199,6 +199,24 @@ class RetailSpec extends SparkSpec {
       ("k3", 10.0, "C", 3L, Some(0.6), "Y", "CY")), s"got $got")
   }
 
+  test("priceChangeProfile: hand weekly deltas — changes, max jump, mean change") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // k1 weekly unit prices: 10.00, 10.00, 12.50, 11.00
+    //   deltas: 0, +2.50, -1.50 -> 2 changes, max 2.50, mean (0+2.5+1.5)/3
+    val rows = Seq(
+      ("k1", d("2024-01-01"), 20.0, 2.0),
+      ("k1", d("2024-01-08"), 30.0, 3.0),
+      ("k1", d("2024-01-15"), 25.0, 2.0),
+      ("k1", d("2024-01-22"), 22.0, 2.0),
+      // single-week key -> dropped
+      ("k2", d("2024-01-01"), 5.0, 1.0))
+    val got = Retail.priceChangeProfile(rows.toDF("k", "day", "amt", "qty"),
+        "k", "day", "amt", "qty")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(("k1", 4L, 2L, 2.5, 1.3333)), s"got $got")
+  }
+
   test("basketSizeProfile: hand lines-per-order distribution with shares") {
     import spark.implicits._
     // orders: 1 -> 3 lines, 2 -> 1 line, 3 -> 1 line, 4 -> 2 lines

@@ -357,6 +357,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 2L, 1.0), (2L, 2L, 1L, 0.5)), s"got $got")
   }
 
+  test("compressionRatio: repetitive text compresses far below varied text, deterministic") {
+    import spark.implicits._
+    val rep = "spam ham " * 200
+    val varied = (1 to 200).map(i => s"w${i * 7919 % 9973}").mkString(" ")
+    val df = Seq((1L, rep), (2L, varied), (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.compressionRatio(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    val (r, v, e) = (got(0)._3.get, got(1)._3.get, got(2)._3)
+    assert(r < 0.1, s"repetitive text must crush: $r")
+    assert(v > 3 * r, s"varied ($v) must compress far worse than repetitive ($r)")
+    assert(e.isEmpty, "empty text has no ratio")
+    // determinism: identical input, identical ratio
+    val again = TextAnalysis.compressionRatio(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Option[Double])].collect().toSeq
+    assert(again == got)
+  }
+
   test("tokenEntropy: degenerate repetition scores zero, balanced pair scores ln 2") {
     import spark.implicits._
     val df = Seq(

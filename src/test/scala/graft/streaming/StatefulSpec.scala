@@ -237,4 +237,47 @@ class StatefulSpec extends SparkSpec {
         r.getDouble(3))).toSet
     assert(streamed == batch, s"stream $streamed != batch $batch")
   }
+
+  test("cusumDrift stream: max excursions EXACTLY equal the batch fold across a mid-key split") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    // the TimeSeriesSpec asymmetric-step fixture, as a stream
+    val vals = (1 to 15).map(_ => 10.0) ++ (16 to 20).map(_ => 18.0)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      Stateful.CusumPoint("d", i + 1L, v)
+    }
+    // baseline = the batch operator's own (mean, sd) output — the
+    // frozen model artifact the streaming detector consumes
+    val batchOut = graft.operators.TimeSeries.cusumDrift(
+        rows.map(p => (p.key, p.seq, p.value)).toDF("k", "o", "v"),
+        "k", "o", "v")
+      .select("mean", "sd", "max_cusum_up", "max_cusum_down", "drift")
+      .head()
+    val (mu, sd) = (batchOut.getDouble(0), batchOut.getDouble(1))
+    val mem = MemoryStream[Stateful.CusumPoint]
+    val out = Stateful.cusumDrift(mem.toDS(), mean = mu, sd = sd)
+    val sink = s"cusum_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      // split MID-KEY right at the level shift: excursion state must
+      // carry across the micro-batch boundary
+      mem.addData(rows.take(16): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(16): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table(sink).as[Stateful.CusumOut].collect()
+      .sortBy(_.seq)
+    // running max over the emitted per-event excursions == the batch
+    // fold's maxima (same doubles, same rounding)
+    assert(streamed.map(_.cusum_up).max == batchOut.getDouble(2),
+      s"S+ max: stream ${streamed.map(_.cusum_up).max} vs batch $batchOut")
+    assert(streamed.map(_.cusum_down).max == batchOut.getDouble(3))
+    // the detector arms exactly when the batch says it drifted
+    assert(streamed.exists(_.drift) == (batchOut.getLong(4) == 1L))
+    // and arming happens DURING the shifted tail, not before it
+    assert(!streamed.take(15).exists(_.drift),
+      "detector must not arm before the level shift")
+  }
 }
