@@ -2371,7 +2371,11 @@ object Queries {
   }
 
   /** X177 — duplicate-cluster profile over the exact-dup clusters
-    * (cluster = min doc_id per text): size histogram + chars saved. */
+    * (cluster = min doc_id per text): size histogram + chars saved.
+    * The gate partitions by raw text (oracle-identical); the 100 TB
+    * path swaps the window key for sha2(text, 256) — X16's
+    * digest-only shuffle — with identical clusters (the operator
+    * accepts any assignment). */
   def x215(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val clusters = docs.select(col("doc_id"),
