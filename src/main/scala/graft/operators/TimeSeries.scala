@@ -1172,6 +1172,45 @@ object TimeSeries {
           .cast(stable), roundDigits).cast("double").as("holt_forecast"))
   }
 
+  /** X180 — conversion-latency profile: for each user's FIRST
+    * `fromType` event, the time to their first `toType` event at or
+    * after it — conversion count plus EXACT p50/p90 latency seconds —
+    * the "how long does signup→purchase take" number that sets
+    * attribution windows (x123/x160's lookback) and session TTLs from
+    * DATA instead of convention.
+    *
+    * Shape: two per-user min aggregates (map-side combinable), one
+    * user-key join, then the exact-quantile machinery over the
+    * per-user latency (user-cardinality input — the ranked pass's
+    * scale-safe form). Latency converts µs → seconds in ONE double
+    * division by 10⁶ (exact for any µs count below 2⁵³) and quantizes
+    * through the quantile DECIMAL(18,6) contract.
+    */
+  def conversionLatency(
+      df: DataFrame,
+      userCol: String, tsCol: String, typeCol: String,
+      fromType: String, toType: String): DataFrame = {
+    val firstFrom = df.filter(col(typeCol) === fromType)
+      .groupBy(col(userCol).as("__u"))
+      .agg(min(col(tsCol)).as("__c"))
+    val firstTo = df.filter(col(typeCol) === toType)
+      .select(col(userCol).as("__u"), col(tsCol).as("__p0"))
+      .join(firstFrom, "__u")
+      .filter(col("__p0") >= col("__c"))
+      .groupBy(col("__u"), col("__c"))
+      .agg(min(col("__p0")).as("__p"))
+    val lat = firstTo.select(
+      ((unix_micros(col("__p")) - unix_micros(col("__c"))).cast("double")
+        / lit(1000000.0)).as("__lat"))
+    val q = Profiling.groupedExactQuantiles(lat, Seq(), col("__lat"),
+      Seq("p50_seconds" -> 0.5, "p90_seconds" -> 0.9))
+    val n = lat.agg(count(lit(1)).as("n_conversions"))
+    n.crossJoin(broadcast(q))
+      .select(col("n_conversions"),
+        col("p50_seconds").cast("double").as("p50_seconds"),
+        col("p90_seconds").cast("double").as("p90_seconds"))
+  }
+
   /** X175 — lead–lag cross-correlation between two keyed series:
     * `corr(x_t, y_{t−k})` for every lag k ∈ [−maxLag, maxLag] over the
     * days both series share — "does signups' curve lead purchases', and

@@ -3530,6 +3530,27 @@ object OracleSql {
         |    AS DECIMAL(18,8)), 4) AS DOUBLE) AS mean_abs_change
         |FROM g ORDER BY key""".stripMargin,
 
+    // Conversion latency: first click → first purchase at/after it;
+    // µs → seconds in ONE double division, exact p50/p90 via the
+    // shared quantile CTEs.
+    "x217_conversion_latency" ->
+      s"""WITH c AS (SELECT user_id, MIN(ts) AS c FROM events
+         |  WHERE event_type = 'click' GROUP BY 1),
+         |p AS (SELECT e.user_id, c.c, MIN(e.ts) AS p
+         |  FROM events e JOIN c ON e.user_id = c.user_id
+         |  WHERE e.event_type = 'purchase' AND e.ts >= c.c
+         |  GROUP BY 1, 2),
+         |l AS (SELECT
+         |  CAST(epoch_us(p) - epoch_us(c) AS DOUBLE) / 1000000.0e0
+         |    AS lat FROM p),
+         |${exactQuantileCtes("l", Seq(), "lat",
+             Seq("p50_seconds" -> 500, "p90_seconds" -> 900), 6, "q")},
+         |n AS (SELECT COUNT(*) AS n_conversions FROM l)
+         |SELECT n.n_conversions,
+         |  CAST(qq.p50_seconds AS DOUBLE) AS p50_seconds,
+         |  CAST(qq.p90_seconds AS DOUBLE) AS p90_seconds
+         |FROM n CROSS JOIN qq""".stripMargin,
+
     // Basket-size profile: two exact count aggregates, one division.
     "x208_basket_profile" ->
       """WITH po AS (SELECT l_orderkey, COUNT(*) AS n_lines

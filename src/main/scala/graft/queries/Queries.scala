@@ -2370,6 +2370,12 @@ object Queries {
       .orderBy("lag")
   }
 
+  /** X180 — conversion latency click→purchase: exact p50/p90 seconds
+    * from each user's first click to their first purchase after it. */
+  def x217(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.conversionLatency(Tables.events(s, dir), "user_id",
+      "ts", "event_type", "click", "purchase")
+
   /** X177 — duplicate-cluster profile over the exact-dup clusters
     * (cluster = min doc_id per text): size histogram + chars saved.
     * The gate partitions by raw text (oracle-identical); the 100 TB
@@ -2638,5 +2644,6 @@ object Queries {
     "x213_leadlag_corr" -> (x213 _),
     "x214_abc_xyz" -> (x214 _),
     "x215_dup_cluster_profile" -> (x215 _),
-    "x216_price_changes" -> (x216 _))
+    "x216_price_changes" -> (x216 _),
+    "x217_conversion_latency" -> (x217 _))
 }

@@ -147,6 +147,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: arbitrary rational probabilities agree with percentile (r13 probRational)") {
+    // probabilities drawn as random small fractions num/den — including
+    // thirds/sevenths the r12 thousandths contract rejected outright —
+    // must match the float percentile aggregate to round tolerance
+    val gen = Gen.zip(
+      Gen.listOfN(25, Gen.chooseNum(-500.0, 500.0)),
+      Gen.chooseNum(2, 9), Gen.chooseNum(1, 8))
+    samples(gen, 8).foreach { case (vals, den, numRaw) =>
+      val num = math.min(numRaw, den - 1)
+      val p = num.toDouble / den
+      val df = vals.map(v => ("g", v)).toDF("g", "v")
+      val exact = Profiling
+        .groupedExactQuantiles(df, Seq("g"), col("v"), Seq("q" -> p))
+        .select(col("q").cast("double")).as[Double].collect()(0)
+      val ref = df.agg(percentile(col("v"), lit(p))).as[Double].collect()(0)
+      assert(math.abs(exact - ref) < 1e-4,
+        s"p=$num/$den: exact $exact vs percentile $ref")
+    }
+  }
+
   test("property: groupedExactQuantiles agrees with Spark percentile on random data") {
     // the exact rank-arithmetic decimal path computes the SAME
     // quantile definition (linear interpolation at p·(n−1)) as the

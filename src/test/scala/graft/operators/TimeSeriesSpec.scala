@@ -627,6 +627,23 @@ class TimeSeriesSpec extends SparkSpec {
       (Date.valueOf("2024-01-02"), 1L, 3L)), s"got $got")
   }
 
+  test("conversionLatency: first-click-to-first-purchase, exact interpolated quantiles") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    val rows = Seq(
+      ("u1", ts(0), "click"), ("u1", ts(10), "purchase"),
+      ("u1", ts(99), "purchase"),              // later purchase ignored
+      ("u2", ts(0), "click"), ("u2", ts(30), "purchase"),
+      ("u3", ts(5), "purchase"), ("u3", ts(9), "click"), // pre-click only -> excluded
+      ("u4", ts(0), "click")                   // never converts
+    ).toDF("user_id", "ts", "event_type")
+    val got = TimeSeries.conversionLatency(rows, "user_id", "ts",
+        "event_type", "click", "purchase")
+      .as[(Long, Double, Double)].collect()(0)
+    // latencies {10, 30}: p50 interpolates to 20, p90 to 28
+    assert(got == ((2L, 20.0, 28.0)), s"got $got")
+  }
+
   test("leadLagCorrelation: a shifted copy peaks exactly at its lag") {
     import spark.implicits._
     val d0 = Date.valueOf("2024-01-01")
