@@ -114,6 +114,8 @@ object Evaluation {
       .agg(sum(col("__a")).as("__na"), sum(col("__b")).as("__nb"))
     val wCum = Window.orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // bounded: both windows run over the binned per-value frame
+    // (≤ bins rows after the groupBy above), never the samples
     val wAll = Window.partitionBy()
     val cdf = perValue.select(
       sum(col("__na")).over(wCum).as("__ca"),
@@ -185,9 +187,9 @@ object Evaluation {
         when(isCurrent, 1L).otherwise(0L).as("__cur"))
       .groupBy(col("bin"))
       .agg(sum(col("__base")).as("__nb"), sum(col("__cur")).as("__nc"))
+    // bounded: totals via a whole-relation window over the k-row bin
+    // frame — cheaper and simpler than a second scan + broadcast join
     val tot = Window.partitionBy()
-    // totals via a whole-relation window over k rows — cheaper and
-    // simpler than a second scan + broadcast join
     val pb = greatest(col("__nb").cast("double")
       / sum(col("__nb")).over(tot), lit(epsilon))
     val pc = greatest(col("__nc").cast("double")

@@ -597,18 +597,31 @@ object Profiling {
     * half the UNITS sell").
     *
     * Exactness without interpolation: weights quantize through
-    * DECIMAL(18,6), the cumulative weight is a decimal window sum
-    * (exact under any association), and the threshold compare runs as
-    * `cumW·den >= num·W` with num/den = [[probRational]](p) —
-    * integer-scaled decimal arithmetic, no division, no float. The selected value is a DATA value, so the
-    * output needs no rounding at all. Ties in the value column are
-    * safe by construction: whichever tied row first crosses the
-    * threshold, the SELECTED value is the same.
+    * DECIMAL(18,6), cumulative weights are decimal sums (exact under
+    * any association, so the distributed two-level scan is
+    * bit-identical to a row-at-a-time running sum), and the threshold
+    * compare runs as `cumW·den >= num·W` with num/den =
+    * [[probRational]](p) — integer-scaled decimal arithmetic, no
+    * division, no float. The selected value is a DATA value, so the
+    * output needs no rounding at all.
     *
-    * Shape: one per-group ordered window (cumulative weight) + one
-    * grouped aggregate; for a single giant group swap the window for
-    * the range-sort + zipWithIndex rebuild like
-    * [[groupedExactQuantiles]].
+    * Shape (r13 verdict #1 — NO per-group running-sum window over the
+    * data): `repartitionByRange` on (group, v) makes each shuffle
+    * partition an order-contiguous CHUNK with `spark_partition_id()`
+    * as its id (the [[graft.operators.Relational.chunkedPrefixSum]]
+    * trick — no zipWithIndex round-trip, no extra job); ONE map-side-
+    * combinable aggregate collapses each (group, chunk) to its weight
+    * sum; the chunk-base prefix, the per-group totals, AND the
+    * crossing-chunk pick all run on that SUMMARY frame (bounded at
+    * the chunk COUNT per group by construction). Only the rows of
+    * each group's CROSSING chunk — one shuffle partition's worth —
+    * take the within-chunk running sum, so a 3-value grouping over a
+    * 10^12-row fact table never pins a task to a third of the data,
+    * and the post-summary work is O(one chunk · groups) regardless of
+    * input size. Ties in the value column are safe by construction:
+    * the range partitioner keeps a tied value in one chunk, and
+    * whichever tied row first crosses the threshold, the SELECTED
+    * value is the same.
     */
   def groupedWeightedQuantile(
       df: DataFrame,
@@ -616,33 +629,74 @@ object Profiling {
       valueCol: String,
       weightCol: String,
       p: Double,
-      outName: String = "wq"): DataFrame = {
+      outName: String = "wq",
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
     val (pNum, den) = probRational(p)
     require(pNum > 0, s"weighted quantile needs p > 0, got $p")
     val v6t = org.apache.spark.sql.types.DecimalType(18, 6)
     val gs = groupCols.map(col)
+    // DECIMAL(24,6) keeps the integer-scaling multiply below Spark's
+    // precision-38 silent-loss path (the r12 decayedCounts lesson)
+    val w4 = org.apache.spark.sql.types.DecimalType(7, 0)
+    val w24 = org.apache.spark.sql.types.DecimalType(24, 6)
     val rows = df
       .filter(col(valueCol).isNotNull && col(weightCol).isNotNull &&
         col(weightCol) > 0)
       .select((gs :+ col(valueCol).cast(v6t).as("__v")
         :+ col(weightCol).cast(v6t).as("__w")): _*)
-    val ord = org.apache.spark.sql.expressions.Window
-      .partitionBy(gs: _*).orderBy(col("__v"))
+    // order-contiguous chunks = range-shuffle partitions; persist pins
+    // the (nondeterministic) partition ids for the two passes below
+    val indexed = scope.persist(
+      rows.repartitionByRange(gs :+ col("__v"): _*)
+        .withColumn("__pfx_c", spark_partition_id().cast("long")))
+    // (group, chunk) summary: weight sum + row count, map-side
+    // combinable — everything below the crossing-chunk join runs on
+    // chunk-count rows per group, never the data
+    val sums = indexed.groupBy(gs :+ col("__pfx_c"): _*)
+      .agg(sum(col("__w")).cast(w24).as("__cs"), count(lit(1)).as("__cnt"))
+    val baseW = org.apache.spark.sql.expressions.Window
+      .partitionBy(gs: _*).orderBy(col("__pfx_c"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // full-frame totals on the same summary frame (ordered form so the
+    // plan self-documents as chunk machinery)
+    val totW = org.apache.spark.sql.expressions.Window
+      .partitionBy(gs: _*).orderBy(col("__pfx_c"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val summary = sums
+      .withColumn("__b", coalesce(sum(col("__cs")).over(baseW),
+        lit(0).cast(w24)).cast(w24))
+      .withColumn("__tw", sum(col("__cs")).over(totW).cast(w24))
+      .withColumn("__n", sum(col("__cnt")).over(totW))
+    // crossing chunk per group: the FIRST chunk whose cumulative end
+    // reaches p·W; min(struct) is the argmin idiom (modePerGroup)
+    val crossing = summary
+      .filter((col("__b") + col("__cs")) * lit(den).cast(w4)
+        >= col("__tw") * lit(pNum).cast(w4))
+      .groupBy(gs: _*)
+      .agg(min(struct(col("__pfx_c"), col("__b"))).as("__x"),
+        first(col("__tw")).as("__tw"), first(col("__n")).as("__n"))
+      .select((gs :+ col("__x.__pfx_c").as("__xc") :+ col("__x.__b").as("__xb")
+        :+ col("__tw") :+ col("__n")): _*)
+    val renamed = groupCols.foldLeft(crossing)((d, c) =>
+      d.withColumnRenamed(c, s"__k_$c"))
+    // null-safe group re-join; restricting to the crossing chunk also
+    // bounds the running-sum window below at chunkRows rows per task
+    val joinCond = (groupCols.map(c => col(c) <=> col(s"__k_$c"))
+      :+ (col("__pfx_c") === col("__xc"))).reduce(_ && _)
+    // row order among ties is arbitrary, but the SELECTED value is
+    // tie-invariant (the crossing row's __v is the tie value itself)
+    val innerW = org.apache.spark.sql.expressions.Window
+      .partitionBy(gs :+ col("__pfx_c"): _*).orderBy(col("__v"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    val tot = org.apache.spark.sql.expressions.Window.partitionBy(gs: _*)
-    // contract the window sums to DECIMAL(24,6) before the integer
-    // scaling (values preserved — same scale): Spark's widened
-    // DECIMAL(28,6) × DECIMAL(20,0) would cross precision 38 and take
-    // the silent precision-loss path (the r12 decayedCounts lesson)
-    val w4 = org.apache.spark.sql.types.DecimalType(7, 0)
-    val w24 = org.apache.spark.sql.types.DecimalType(24, 6)
-    rows
-      .withColumn("__cw", sum(col("__w")).over(ord).cast(w24))
-      .withColumn("__tw", sum(col("__w")).over(tot).cast(w24))
+    indexed.join(renamed, joinCond)
+      .withColumn("__cw",
+        (col("__xb") + sum(col("__w")).over(innerW).cast(w24)).cast(w24))
       .groupBy(gs: _*)
       .agg(
-        count(lit(1)).as("n"),
+        first(col("__n")).as("n"),
         first(col("__tw")).cast("double").as("total_weight"),
         min(when(col("__cw") * lit(den).cast(w4)
             >= col("__tw") * lit(pNum).cast(w4),
@@ -729,6 +783,7 @@ object Profiling {
       .select(substring(col("__c").cast("string"), 1, 1).cast("int")
         .as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    // bounded: runs over the 9-row leading-digit histogram, never data
     val tot = org.apache.spark.sql.expressions.Window.partitionBy()
     counted
       .join(broadcast(expected), Seq("digit"), "right")

@@ -188,6 +188,91 @@ object Relational {
     spark.createDataFrame(indexed, outSchema)
   }
 
+  /** Distributed prefix sum: cumulative sum of `valueCol` in
+    * (`groupCols`, `orderCols`) order with NO unbounded-cardinality
+    * window partition anywhere — the scale-safe replacement for
+    * `sum(...).over(Window.partitionBy(group).orderBy(...))` when a
+    * group (or the whole frame, `groupCols = Nil`) can hold billions
+    * of rows.
+    *
+    * Shape (two-level scan, the classic distributed prefix sum):
+    * `repartitionByRange` on (group, order) makes each shuffle
+    * partition an order-contiguous CHUNK and `spark_partition_id()`
+    * its chunk id — no zipWithIndex RDD round-trip, no extra job; ONE
+    * map-side-combinable aggregate collapses each (group, chunk) to
+    * its sum; the chunk-base prefix runs as a window over that
+    * SUMMARY frame — bounded at the shuffle partition COUNT per group
+    * by construction, never the data; the within-chunk running sum is
+    * a window partitioned by (group, chunk), bounded at one shuffle
+    * partition's rows per task — the same invariant every other
+    * shuffle in the plan already lives under (the range partitioner's
+    * sampling keeps chunks balanced). Row cum = chunk base +
+    * within-chunk sum.
+    *
+    * Exactness: all sums run in the caller-supplied decimal `sumType`
+    * — decimal addition is association-free, so the two-level
+    * regrouping is bit-identical to a single left-to-right scan.
+    *
+    * `orderCols` must be a TOTAL order within each group (add a key
+    * tiebreak) or tied rows' cumulative values are
+    * permutation-dependent. The chunked frame persists (pinning the
+    * nondeterministic partition ids) for its two downstream passes;
+    * pass a tracking [[graft.util.CacheScope]] in long-lived sessions.
+    */
+  def chunkedPrefixSum(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCols: Seq[Column],
+      valueCol: String,
+      cumName: String,
+      sumType: org.apache.spark.sql.types.DecimalType,
+      numChunks: Option[Int] = None,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
+    val gs = groupCols.map(col)
+    // explicit numChunks pins the chunk count (tests force multi-chunk
+    // seams on tiny frames); default inherits spark.sql.shuffle
+    // .partitions and lets AQE coalesce — adjacent-merge preserves
+    // range order, so chunk ids stay order-contiguous either way
+    val ranged = numChunks match {
+      case Some(n) => df.repartitionByRange(n, gs ++ orderCols: _*)
+      case None    => df.repartitionByRange(gs ++ orderCols: _*)
+    }
+    val chunked = scope.persist(
+      ranged.withColumn("__pfx_c", spark_partition_id().cast("long")))
+    // (group, chunk) sums: map-side combinable, collapses the frame to
+    // summary cardinality before any unbounded-frame window touches it
+    val sums = chunked.groupBy(gs :+ col("__pfx_c"): _*)
+      .agg(sum(col(valueCol).cast(sumType)).cast(sumType).as("__pfx_cs"))
+    // chunk-base prefix over the SUMMARY frame only: bounded at the
+    // chunk COUNT per group — never the data itself
+    val baseW = Window.partitionBy(gs: _*).orderBy(col("__pfx_c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = sums.withColumn("__pfx_b",
+      coalesce(sum(col("__pfx_cs")).over(baseW), lit(0).cast(sumType))
+        .cast(sumType))
+      .drop("__pfx_cs")
+    // NULL-SAFE re-join on (group, chunk): groupBy keeps null keys as
+    // their own group, a plain equi-join would drop them
+    val renamed = groupCols.foldLeft(bases)((d, c) =>
+      d.withColumnRenamed(c, s"__pfx_k_$c"))
+      .withColumnRenamed("__pfx_c", "__pfx_kc")
+    val joinCond = (groupCols.map(c => col(c) <=> col(s"__pfx_k_$c")) :+
+      (col("__pfx_c") === col("__pfx_kc"))).reduce(_ && _)
+    // within-chunk running sum: partition (group, chunk) is bounded at
+    // one shuffle partition's rows by construction
+    val innerW = Window.partitionBy(gs :+ col("__pfx_c"): _*)
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunked.join(renamed, joinCond)
+      .withColumn(cumName,
+        (col("__pfx_b") +
+          sum(col(valueCol).cast(sumType)).over(innerW).cast(sumType))
+          .cast(sumType))
+      .drop("__pfx_c", "__pfx_kc", "__pfx_b")
+      .drop(groupCols.map(c => s"__pfx_k_$c"): _*)
+  }
+
   /** The single-partition-window form of [[labelEncode]], kept as the
     * readable executable spec the scalable path is pinned against
     * (RelationalSpec asserts bit-equality). Vocabulary-bounded inputs

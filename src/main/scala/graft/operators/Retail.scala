@@ -160,20 +160,22 @@ object Retail {
     * the standard inventory-prioritization split ("20% of SKUs are 80%
     * of revenue").
     *
-    * Shape: one map-side-combinable decimal aggregate collapses the
-    * input to CATALOG cardinality; the cumulative window then runs
-    * over keys, not line items — the kaplanMeier/markov "window is tiny
-    * by construction" discipline (a catalog is ≤ millions where the
-    * fact table is billions). At billion-key cardinality swap the
-    * window for the labelEncode range-sort + per-partition-offset
-    * prefix sum; the classification math is unchanged.
+    * Shape (r13 verdict #2 — NO global cumulative window): one
+    * map-side-combinable decimal aggregate collapses the input to
+    * CATALOG cardinality; the cumulative revenue then rides
+    * [[graft.operators.Relational.chunkedPrefixSum]] (range-sort +
+    * zipWithIndex + chunk-summary prefix — every window partition
+    * bounded by construction), so a 10^7+-item catalog never pins a
+    * single task to the whole ranked frame; the grand total is one
+    * scalar aggregate broadcast back (the O27 pattern).
     *
     * Portability: revenue sums and the running total are exact
-    * DECIMAL(28,2) (addition-order-free); the share division happens
-    * per row on exact operands and stabilizes through DECIMAL(18,8)
-    * BEFORE the class thresholds compare, so a boundary key lands in
-    * the same class on any engine. Ties order by key so the running
-    * total is a total order.
+    * decimal (addition-order-free, so the distributed two-level scan
+    * is bit-identical to a single ranked pass); the share division
+    * happens per row on exact operands and stabilizes through
+    * DECIMAL(18,8) BEFORE the class thresholds compare, so a boundary
+    * key lands in the same class on any engine. Ties order by key so
+    * the running total is a total order.
     */
   def abcClassification(
       items: DataFrame,
@@ -184,18 +186,20 @@ object Retail {
     require(aCut > 0 && aCut < bCut && bCut < 1,
       s"need 0 < aCut < bCut < 1, got $aCut, $bCut")
     val dec = org.apache.spark.sql.types.DecimalType(28, 2)
+    // the pre-migration window sum widened DECIMAL(28,2) to (38,2);
+    // running the scan at the same type keeps the cum values (and so
+    // every downstream double cast) bit-identical
+    val cumT = org.apache.spark.sql.types.DecimalType(38, 2)
     val stable = org.apache.spark.sql.types.DecimalType(18, 8)
     val perKey = items.groupBy(col(keyCol).as("key"))
       .agg(sum(col(amountCol).cast(dec)).as("revenue"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("revenue").desc, col("key"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val tot = org.apache.spark.sql.expressions.Window.partitionBy()
+    val cum = Relational.chunkedPrefixSum(perKey, Nil,
+      Seq(col("revenue").desc, col("key")), "revenue", "__cum", cumT)
+    val total = perKey.agg(sum(col("revenue")).cast(cumT).as("__tot"))
     val share = round(
-      (sum(col("revenue")).over(w).cast("double")
-        / sum(col("revenue")).over(tot).cast("double")).cast(stable), 6)
-    perKey.select(
+      (col("__cum").cast("double") / col("__tot").cast("double"))
+        .cast(stable), 6)
+    cum.crossJoin(broadcast(total)).select(
       col("key"),
       round(col("revenue").cast("double"), 2).as("revenue"),
       share.cast("double").as("cum_share"),
@@ -402,6 +406,7 @@ object Retail {
     val counted = df.filter(col(priceCol).isNotNull)
       .select(F.pmod(cents, F.lit(100L)).as("ending"))
       .groupBy(col("ending")).agg(F.count(F.lit(1)).as("n"))
+    // bounded: runs over the ≤100-row cent-ending histogram, never data
     val tot = org.apache.spark.sql.expressions.Window.partitionBy()
     counted.select(col("ending"), col("n"),
       F.round((col("n").cast("double") / F.sum(col("n")).over(tot))
@@ -532,6 +537,8 @@ object Retail {
       .agg(F.count(F.lit(1)).as("__lines"))
     val counted = perOrder.groupBy(col("__lines").as("n_lines"))
       .agg(F.count(F.lit(1)).as("n_orders"))
+    // bounded: runs over the lines-per-order histogram (max basket
+    // size rows), never the order stream
     val tot = org.apache.spark.sql.expressions.Window.partitionBy()
     counted.select(col("n_lines"), col("n_orders"),
       F.round((col("n_orders").cast("double")

@@ -704,6 +704,7 @@ object TextAnalysis {
       .groupBy(col(declaredCol).as("declared"),
         col("pred_lang").as("detected"))
       .agg(count(lit(1)).as("n"))
+    // bounded: runs over the lang² confusion grid, never the corpus
     val tot = Window.partitionBy()
     counted.select(col("declared"), col("detected"), col("n"),
       round((col("n").cast("double") / sum(col("n")).over(tot))

@@ -299,6 +299,13 @@ class ProfilingSpec extends SparkSpec {
     val s = Profiling.groupedWeightedQuantile(skew, Seq("g"), "v", "w", 0.5)
       .as[(String, Long, Double, Double)].collect()(0)
     assert(s == (("a", 2L, 10.0, 5.0)), s"got $s")
+    // r13 verdict #1 plan pin: no per-group running-sum window over the
+    // data — every Window in the plan is the bounded chunk machinery
+    val plan = Profiling.groupedWeightedQuantile(df, Seq("g"), "v", "w",
+      0.5).queryExecution.executedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.forall(_.contains("__pfx_c")),
+      s"no group-keyed running-sum Window expected in:\n$plan")
   }
 
   test("fkOrphans: counts rows, null keys, and orphans exactly") {

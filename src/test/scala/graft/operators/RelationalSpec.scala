@@ -32,6 +32,44 @@ class RelationalSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"no WindowExec expected in:\n$plan")
   }
 
+  test("chunkedPrefixSum == running window sum across chunk boundaries, null groups, global") {
+    import org.apache.spark.sql.expressions.Window
+    val w24 = org.apache.spark.sql.types.DecimalType(24, 6)
+    // two groups + a NULL group, 10 rows each, chunkRows=3 so every
+    // group crosses chunk boundaries (the base+inner seam is exercised)
+    val df = (0 until 30).map { i =>
+      (if (i % 3 == 2) None else Some(s"g${i % 3}"), i.toLong,
+        (i % 7 + 1).toDouble)
+    }.toDF("g", "k", "v")
+    val got = Relational.chunkedPrefixSum(df, Seq("g"), Seq(col("k")),
+        "v", "cum", w24, numChunks = Some(7))
+      .select(col("g"), col("k"), col("cum").cast("double"))
+      .as[(Option[String], Long, Double)].collect().toSet
+    val ref = df.withColumn("cum",
+        sum(col("v").cast(w24)).over(Window.partitionBy("g").orderBy("k")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .select(col("g"), col("k"), col("cum"))
+      .as[(Option[String], Long, Double)].collect().toSet
+    assert(got == ref, s"got ${got.toSeq.sortBy(x => (x._1, x._2))}")
+    // groupCols = Nil: one global scan in DESC order with key tiebreak
+    val glob = Relational.chunkedPrefixSum(
+        Seq(("a", 5.0), ("b", 5.0), ("c", 1.0)).toDF("key", "v"),
+        Nil, Seq(col("v").desc, col("key")), "v", "cum", w24,
+        numChunks = Some(2))
+      .select(col("key"), col("cum").cast("double"))
+      .as[(String, Double)].collect().toMap
+    assert(glob == Map("a" -> 5.0, "b" -> 10.0, "c" -> 11.0), s"got $glob")
+    // plan pin: every window in the scan is the chunk machinery —
+    // partitioned or ordered by __pfx_c (bounded by construction),
+    // never a bare per-group running sum over the data
+    val plan = Relational.chunkedPrefixSum(df, Seq("g"), Seq(col("k")),
+      "v", "cum", w24).queryExecution.executedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("__pfx_c")),
+      s"every Window must ride the chunk column:\n$plan")
+  }
+
   test("pivotWide with mean agg: duplicate (key, col) cells average (pivot_table default)") {
     val df = Seq(
       ("i1", "F1", 2.0), ("i1", "F1", 4.0), // duplicate cell → mean 3.0

@@ -90,6 +90,14 @@ class RetailSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getDouble(2)))
       .toSeq
     assert(got == Seq(("a", 0.5), ("b", 1.0)), s"got $got")
+    // r13 verdict #2 plan pin: no empty-partitionBy cumulative window
+    // over the item-cardinality ranked frame — every Window is the
+    // bounded chunk machinery
+    val plan = Retail.abcClassification(items, "key", "amt")
+      .queryExecution.executedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.forall(_.contains("__pfx_c")),
+      s"no item-cardinality cumulative Window expected in:\n$plan")
   }
 
   test("cohortLtv: month offsets, active counts, and per-customer cumulative LTV") {
