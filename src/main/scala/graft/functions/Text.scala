@@ -97,6 +97,17 @@ object Text {
       ColumnBridge.expression(text)))
   }
 
+  /** DEFLATE-compressed UTF-8 byte count at `level`
+    * ([[expressions.DeflatedSize]]): the codegen primitive under the
+    * compression-ratio redundancy signal — no builtin DEFLATE exists,
+    * and the old row-at-a-time UDF paid a serde round-trip per
+    * document. */
+  def deflatedSize(text: Column, level: Int = 6): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.DeflatedSize(
+      ColumnBridge.expression(text), level))
+  }
+
   /** EXACT distinct n-gram count over a token array in one codegen pass
     * ([[graft.functions.expressions.NgramDistinctCount]]); equals
     * `size(array_distinct(<gram transform>))` — tests pin equality —

@@ -307,3 +307,57 @@ object NfcNormalize {
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
 }
+
+/** DEFLATE-compressed byte count of a string's UTF-8 bytes at a fixed
+  * compression level — the primitive under the Gopher/RefinedWeb
+  * compression-ratio redundancy signal. A codegen'd expression (the
+  * NfcNormalize precedent: JDK-only `java.util.zip.Deflater`, no
+  * builtin equivalent) so the corpus-scale scan stays inside
+  * whole-stage codegen instead of paying the Scala-UDF serde
+  * round-trip per row (r13 verdict #4). The ratio arithmetic
+  * (divide + round + empty-text null) stays in Catalyst builtins on
+  * top of this count.
+  *
+  * Deterministic: a fixed Deflater level/strategy on fixed bytes
+  * produces identical output lengths on any JVM (spec-pinned) — but
+  * not reproducible in SQL, so operators built on it are spec-gated,
+  * never oracle-hashed (SURVEY §5.3).
+  */
+case class DeflatedSize(child: Expression, level: Int)
+    extends UnaryExpression {
+
+  require(level >= 0 && level <= 9, s"deflate level out of range: $level")
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(input: Any): Any =
+    DeflatedSize.deflatedSize(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], level)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expressions.DeflatedSize.deflatedSize($c, $level)")
+
+  override protected def withNewChildInternal(newChild: Expression): DeflatedSize =
+    copy(child = newChild)
+}
+
+object DeflatedSize {
+  /** Shared eval body for interpreted + generated paths. One Deflater
+    * per call, ended eagerly: Deflater holds native zlib memory that
+    * otherwise waits on finalization — at corpus scale that's an
+    * off-heap leak, not a nit. */
+  def deflatedSize(
+      s: org.apache.spark.unsafe.types.UTF8String, level: Int): Int = {
+    val raw = s.getBytes
+    val d = new java.util.zip.Deflater(level)
+    try {
+      d.setInput(raw)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+}

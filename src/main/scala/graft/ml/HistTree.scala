@@ -38,10 +38,13 @@ import org.apache.spark.sql.functions._
   *  - gain = GL²/(HL+λ) + GR²/(HR+λ) − G²/(H+λ), children must carry
   *    ≥ `minData` rows.
   *
-  * Remaining divergence vs LightGBM, documented not silent: growth
-  * order (level-wise here vs LightGBM's leaf-wise `num_leaves`
-  * frontier) and the sampled bin-edge construction (LightGBM's
-  * `bin_construct_sample_cnt` uses the same sampling idea).
+  * Remaining divergence vs LightGBM, documented not silent: the
+  * sampled bin-edge construction (LightGBM's
+  * `bin_construct_sample_cnt` uses the same sampling idea, different
+  * sample). Growth order is NO LONGER a divergence: leaf-wise
+  * `num_leaves` frontier growth landed in r12 and is the default for
+  * `objective: tweedie` configs (level-wise remains available via
+  * `growLevelWise`).
   */
 object HistTree {
 
@@ -266,8 +269,13 @@ object HistTree {
         val m = b.catMapOf(f)
         if (m == null) sb.append(s"C ${b.numBins(f)}\n")
         else {
-          val entries = m.toSeq.sorted
-            .map { case (c, bin) => s"$c:$bin" }.mkString(",")
+          // a zero-entry remap (sample saw no positive codes) emits
+          // '-', not an empty field — String.split drops trailing
+          // empties, which made such a model unloadable (r13 ADVICE)
+          val entries =
+            if (m.isEmpty) "-"
+            else m.toSeq.sorted
+              .map { case (c, bin) => s"$c:$bin" }.mkString(",")
           sb.append(s"M ${b.numBins(f)} $entries\n")
         }
       } else {
@@ -295,10 +303,16 @@ object HistTree {
           isCat(f) = true; numBins(f) = p(1).toInt; edges(f) = Array.empty
         case "M" =>
           isCat(f) = true; numBins(f) = p(1).toInt; edges(f) = Array.empty
-          catMaps(f) = p(2).split(',').iterator.map { e =>
-            val i = e.indexOf(':')
-            e.substring(0, i).toInt -> e.substring(i + 1).toInt
-          }.toMap
+          // '-' (and, for models saved before the '-' form, a dropped
+          // trailing field) is the zero-entry remap: everything
+          // non-missing routes to the rest bin
+          catMaps(f) =
+            if (p.length < 3 || p(2) == "-")
+              scala.collection.immutable.Map.empty[Int, Int]
+            else p(2).split(',').iterator.map { e =>
+              val i = e.indexOf(':')
+              e.substring(0, i).toInt -> e.substring(i + 1).toInt
+            }.toMap
         case "N" =>
           numBins(f) = p(1).toInt
           edges(f) =

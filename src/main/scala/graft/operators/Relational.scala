@@ -566,7 +566,7 @@ object Relational {
         : _*)
   }
 
-  /** X169 — deterministic per-group mode: the most frequent value of a
+  /** X167 — deterministic per-group mode: the most frequent value of a
     * column within each group, with its count and share — the
     * categorical "typical value" summary (profiling's complement to
     * the numeric quantiles), made deterministic by the explicit tie

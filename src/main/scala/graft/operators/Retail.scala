@@ -129,6 +129,13 @@ object Retail {
     }
     val byMetric = cutRows.map(r => r.getString(0) ->
       (1 to 4).map(i => lit(r.getDecimal(i)))).toMap
+    // one metric column entirely null (e.g. every amount null) drops
+    // out of the shared quantile pass — fail with the cause, not an
+    // unkeyed NoSuchElementException from byMetric("m") (r13 ADVICE)
+    val absent = Seq("r", "f", "m").filterNot(byMetric.contains)
+    require(absent.isEmpty,
+      s"rfmSegments: metric(s) ${absent.mkString(", ")} have no non-null " +
+        "values — quintile cutoffs are undefined for them")
     val (qr, qf, qm) = (byMetric("r"), byMetric("f"), byMetric("m"))
     def score(v: org.apache.spark.sql.Column,
         qs: IndexedSeq[org.apache.spark.sql.Column]) =

@@ -776,18 +776,6 @@ object TextAnalysis {
           .cast(stable), roundDigits).cast("double").as("hapax_rate"))
   }
 
-  /** X172 — per-document token-distribution Shannon entropy (nats) and
-    * its normalized form H/ln(types) — the information-density signal
-    * that separates "aaaa aaaa aaaa" (H = 0) from varied prose even
-    * when TTR agrees; the per-doc twin of [[graft.operators.Profiling
-    * .valueEntropy]] and a standard degenerate-generation filter for
-    * LLM training data.
-    *
-    * Same portability discipline as valueEntropy: exact token counts,
-    * each −p·ln p term rounded to DECIMAL(18,8) BEFORE the exact
-    * decimal sum (round-then-add — double addition order would differ
-    * between engines, decimal addition cannot).
-    */
   /** X179 — deflate compression ratio per document:
     * `compressed_bytes / raw_bytes` of the UTF-8 text under
     * java.util.zip Deflater level 6 — the Gopher/RefinedWeb-standard
@@ -799,14 +787,30 @@ object TextAnalysis {
     * JVM (spec-pinned) — but NOT reproducible in SQL, so this operator
     * is spec-gated, never oracle-hashed (SURVEY §5.3's I/O-tier rule).
     *
-    * The codec runs in a deserialized map (the declared-UDF exception:
-    * no builtin expresses DEFLATE; same justification as the GBM leaf
-    * routing) with one Deflater per ROW kept deliberately — Deflater
-    * reuse across rows needs reset() discipline that buys ~nothing at
-    * text sizes; revisit with a mapPartitions codec handle if profiles
-    * say otherwise. Empty text → ratio null.
+    * The codec is a codegen'd Catalyst expression
+    * ([[graft.functions.expressions.DeflatedSize]] — the NfcNormalize
+    * precedent: JDK-only, no builtin), so the corpus scan stays inside
+    * whole-stage codegen with no per-row serde round-trip (r13 verdict
+    * #4); the ratio arithmetic on top is all builtins. The old UDF
+    * form survives as [[compressionRatioUdf]], the executable spec the
+    * codegen path is pinned against (the labelEncodeWindow
+    * discipline). Empty text → ratio null.
     */
   def compressionRatio(df: DataFrame, idCol: String, textCol: String,
+      roundDigits: Int = 4): DataFrame =
+    df.select(col(idCol),
+      length(col(textCol)).cast("bigint").as("n_chars_text"),
+      when(length(col(textCol)) > 0,
+        round(graft.functions.Text.deflatedSize(col(textCol), 6)
+          .cast("double") / octet_length(col(textCol)).cast("double"),
+          roundDigits))
+        .as("compression_ratio"))
+
+  /** The row-at-a-time UDF form of [[compressionRatio]], kept as the
+    * readable executable spec the codegen path is pinned against
+    * (TextAnalysisSpec asserts equality). Never on the hot path. */
+  private[graft] def compressionRatioUdf(
+      df: DataFrame, idCol: String, textCol: String,
       roundDigits: Int = 4): DataFrame = {
     val ratio = udf { (t: String) =>
       if (t == null || t.isEmpty) None
@@ -826,6 +830,18 @@ object TextAnalysis {
       ratio(col(textCol)).as("compression_ratio"))
   }
 
+  /** X172 — per-document token-distribution Shannon entropy (nats) and
+    * its normalized form H/ln(types) — the information-density signal
+    * that separates "aaaa aaaa aaaa" (H = 0) from varied prose even
+    * when TTR agrees; the per-doc twin of [[graft.operators.Profiling
+    * .valueEntropy]] and a standard degenerate-generation filter for
+    * LLM training data.
+    *
+    * Same portability discipline as valueEntropy: exact token counts,
+    * each −p·ln p term rounded to DECIMAL(18,8) BEFORE the exact
+    * decimal sum (round-then-add — double addition order would differ
+    * between engines, decimal addition cannot).
+    */
   def tokenEntropy(df: DataFrame, idCol: String, textCol: String,
       roundDigits: Int = 4): DataFrame = {
     val stable = org.apache.spark.sql.types.DecimalType(18, 8)

@@ -1218,14 +1218,20 @@ object TimeSeries {
     * windows and feature-lag selection (its ACF cousin x126 asks the
     * same question of a series against ITSELF).
     *
-    * Shape: two filters of the keyed frame, one day-equijoin, ONE
-    * sorted window pass producing all 2·maxLag+1 shifted columns, one
-    * aggregate. `corr` is the engine-portable sample correlation the
-    * x126 gate already pins; values quantize through DECIMAL(18,6)
-    * first. Lags with fewer than 2 overlapping pairs emit null.
+    * Shape: two filters of the keyed frame; the y side replicates
+    * across the 2·maxLag+1 lags with its day shifted by −k, so ONE
+    * day-equijoin pairs x_d with y_{d+k} by CALENDAR day — a gap in
+    * either series yields no pair for that (d, k), never a silently
+    * mis-aligned one (r13 ADVICE: the previous positional
+    * `lead/lag`-over-shared-days shift let "lag k" span more than k
+    * days across calendar gaps). A lag spine left-join keeps every k
+    * in the output (0 pairs, null corr). `corr` is the
+    * engine-portable sample correlation the x126 gate already pins;
+    * values quantize through DECIMAL(18,6) first. Lags with fewer
+    * than 2 overlapping pairs emit null.
     *
-    * Scale: the join and window are day-cardinality — bounded by the
-    * observation window, never by event count (feed per-period
+    * Scale: the replicate + join is day-cardinality × lags — bounded
+    * by the observation window, never by event count (feed per-period
     * aggregates, the sesForecast contract).
     */
   def leadLagCorrelation(
@@ -1241,26 +1247,27 @@ object TimeSeries {
       .select(col(dayCol).as("__d"), v.as("__x"))
     val b = df.filter(col(keyCol) === keyB)
       .select(col(dayCol).as("__d"), v.as("__y"))
-    val joined = a.join(b, "__d")
-    val w = Window.orderBy(col("__d"))
     val lags = (-maxLag to maxLag)
-    val shifted = lags.foldLeft(joined) { (acc, k) =>
-      // corr(x_t, y_{t+k}): positive k = x LEADS y by k days (y's
-      // curve repeats x's k days later)
-      acc.withColumn(s"__y$k",
-        if (k >= 0) lead(col("__y"), k).over(w)
-        else lag(col("__y"), -k).over(w))
-    }
-    val aggs = lags.map { k =>
-      struct(lit(k).as("lag"),
-        count(col(s"__y$k")).as("n_pairs"),
-        round(corr(col("__x"), col(s"__y$k")), roundDigits)
-          .as("xcorr")).as(s"__s$k")
-    }
-    shifted.agg(aggs.head, aggs.tail: _*)
-      .select(explode(array(lags.map(k => col(s"__s$k")): _*)).as("__e"))
-      .select(col("__e.lag").cast("bigint").as("lag"),
-        col("__e.n_pairs").as("n_pairs"), col("__e.xcorr").as("xcorr"))
+    // corr(x_d, y_{d+k}): positive k = x LEADS y by k days (y's curve
+    // repeats x's k days later) — so y at day d joins x at day d − k
+    val isDate = b.schema("__d").dataType ==
+      org.apache.spark.sql.types.DateType
+    val bShift = b
+      .withColumn("__lag", explode(array(lags.map(k => lit(k)): _*)))
+      .select(col("__lag"),
+        (if (isDate) date_sub(col("__d"), col("__lag").cast("int"))
+         else col("__d") - col("__lag")).as("__ds"),
+        col("__y"))
+    val byLag = a.join(bShift, col("__d") === col("__ds"))
+      .groupBy(col("__lag"))
+      .agg(count(lit(1)).as("__np"),
+        round(corr(col("__x"), col("__y")), roundDigits).as("__c"))
+    val spine = df.sparkSession.range(-maxLag, maxLag + 1)
+      .select(col("id").cast("int").as("__lag"))
+    spine.join(byLag, Seq("__lag"), "left")
+      .select(col("__lag").cast("bigint").as("lag"),
+        coalesce(col("__np"), lit(0L)).as("n_pairs"),
+        col("__c").as("xcorr"))
   }
 
   /** X173 — Holt–Winters ADDITIVE-SEASONAL one-step forecast per key

@@ -3412,36 +3412,30 @@ object OracleSql {
 
     // Lead–lag cross-correlation: the portable `corr` (the x126
     // precedent) over one windowed pass; per-lag rows via UNION ALL.
-    "x213_leadlag_corr" -> {
-      val lags = -7 to 7
-      def ycol(k: Int) = if (k < 0) s"y_m${-k}" else s"y_$k"
-      val shifted = lags.map { k =>
-        val w = "OVER (ORDER BY day)"
-        if (k >= 0) s"lead(y, $k) $w AS ${ycol(k)}"
-        else s"lag(y, ${-k}) $w AS ${ycol(k)}"
-      }.mkString(",\n         |  ")
-      val rows = lags.map { k =>
-        s"""SELECT CAST($k AS BIGINT) AS lag,
-           |  COUNT(${ycol(k)}) AS n_pairs,
-           |  ROUND(corr(x, ${ycol(k)}), 4) AS xcorr FROM l"""
-          .stripMargin
-      }.mkString("\nUNION ALL\n")
-      s"""WITH d AS (SELECT event_type AS k,
-         |  CAST(date_trunc('day', ts) AS DATE) AS day,
-         |  SUM(CAST(value AS DECIMAL(18,2))) AS v
-         |  FROM events GROUP BY 1, 2),
-         |a AS (SELECT day, CAST(CAST(v AS DECIMAL(18,6)) AS DOUBLE)
-         |  AS x FROM d WHERE k = 'signup'),
-         |b AS (SELECT day, CAST(CAST(v AS DECIMAL(18,6)) AS DOUBLE)
-         |  AS y FROM d WHERE k = 'purchase'),
-         |j AS (SELECT a.day, x, y FROM a JOIN b ON a.day = b.day),
-         |l AS (SELECT day, x, y,
-         |  $shifted
-         |  FROM j)
-         |SELECT * FROM (
-         |$rows
-         |) ORDER BY lag""".stripMargin
-    },
+    // day-lag semantics (r13 ADVICE): y replicates across lags with
+    // its day shifted, ONE calendar-day equijoin pairs x_d with
+    // y_{d+k} — a gap in either series yields no pair, never a
+    // positionally mis-aligned one
+    "x213_leadlag_corr" ->
+      """WITH d AS (SELECT event_type AS k,
+        |  CAST(date_trunc('day', ts) AS DATE) AS day,
+        |  SUM(CAST(value AS DECIMAL(18,2))) AS v
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT day, CAST(CAST(v AS DECIMAL(18,6)) AS DOUBLE)
+        |  AS x FROM d WHERE k = 'signup'),
+        |b AS (SELECT day, CAST(CAST(v AS DECIMAL(18,6)) AS DOUBLE)
+        |  AS y FROM d WHERE k = 'purchase'),
+        |spine AS (SELECT CAST(g AS BIGINT) AS lag
+        |  FROM generate_series(-7, 7) t(g)),
+        |bs AS (SELECT s.lag, b.day - CAST(s.lag AS INT) AS ds, b.y
+        |  FROM b CROSS JOIN spine s),
+        |p AS (SELECT bs.lag, a.x, bs.y
+        |  FROM a JOIN bs ON a.day = bs.ds),
+        |g AS (SELECT lag, COUNT(*) AS n_pairs,
+        |  ROUND(corr(x, y), 4) AS xcorr FROM p GROUP BY 1)
+        |SELECT spine.lag, COALESCE(g.n_pairs, 0) AS n_pairs, g.xcorr
+        |FROM spine LEFT JOIN g USING (lag)
+        |ORDER BY lag""".stripMargin,
 
     // ABC–XYZ: x144's revenue classes crossed with weekly-CV classes;
     // cv through one mirrored double chain, ROUNDed before the class

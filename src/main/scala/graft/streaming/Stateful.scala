@@ -272,6 +272,15 @@ object Stateful {
     implicit val outEnc: Encoder[CusumOut] = Encoders.product[CusumOut]
     val k = kSigma * sd
     val h = hSigma * sd
+    // the batch operator compares BOTH sides through DECIMAL(18,8) →
+    // round(…, 4) HALF_UP; mirroring that staged rounding here keeps
+    // the armed flag identical at a rounding boundary (r13 ADVICE —
+    // the unrounded compare could disagree with batch despite the
+    // documented exact-parity claim)
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val h4 = r4(h)
     ds.groupByKey(_.key)
       .flatMapGroupsWithState[CusumState, CusumOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -287,7 +296,7 @@ object Stateful {
                 .toDouble,
               BigDecimal(sm).setScale(4, BigDecimal.RoundingMode.HALF_UP)
                 .toDouble,
-              math.max(s.mp, s.mm) > h)
+              r4(math.max(s.mp, s.mm)) > h4)
           }
           state.update(s)
           out.iterator

@@ -32,23 +32,26 @@ class BenchSpec extends SparkSpec {
   }
 
   test("a broken benchSetup fails the query with -1, never a timed run") {
-    val (median, times) = Bench.measure(spark, "/nonexistent", "q_broken",
+    val t = Bench.measure(spark, "/nonexistent", "q_broken",
       (s, _) => s.range(1).toDF(),
       setup = Some((_, _) => sys.error("setup exploded")))
-    assert(median == -1.0 && times.forall(_ == -1.0),
-      s"setup failure must yield the -1 sentinel, got ($median, $times)")
+    assert(t.median == -1.0 && t.runs.forall(_ == -1.0),
+      s"setup failure must yield the -1 sentinel, got $t")
   }
 
-  test("a healthy query measures a positive median over all runs") {
-    val (median, times) = Bench.measure(spark, "unused", "q_ok",
+  test("a healthy query measures a positive median over all runs, with telemetry") {
+    val t = Bench.measure(spark, "unused", "q_ok",
       (s, _) => s.range(10).toDF().withColumn("c", lit(1)), setup = None)
-    assert(median > 0 && times.size == 3 && times.forall(_ > 0),
-      s"expected 3 positive runs, got ($median, $times)")
+    assert(t.median > 0 && t.runs.size == 3 && t.runs.forall(_ > 0),
+      s"expected 3 positive runs, got $t")
+    // degradation telemetry (r13 verdict #1): GC delta is non-negative
+    // by construction, heap-in-use is a real positive reading
+    assert(t.gcMs >= 0 && t.heapMb > 0, s"telemetry must be sane: $t")
   }
 
   test("a query that throws mid-run records -1 for the whole query") {
-    val (median, _) = Bench.measure(spark, "unused", "q_fail",
+    val t = Bench.measure(spark, "unused", "q_fail",
       (_, _) => sys.error("query exploded"), setup = None)
-    assert(median == -1.0)
+    assert(t.median == -1.0)
   }
 }

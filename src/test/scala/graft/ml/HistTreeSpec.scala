@@ -308,6 +308,19 @@ class HistTreeSpec extends SparkSpec {
     assert(back.catMapOf(0) == m)
     for (c <- Seq(0.0, 1.0, 6.0, 10.0, 19.0))
       assert(back.binOf(0, c) == bins.binOf(0, c), s"code $c")
+    // zero-entry remap (sample saw no positive codes) must round-trip
+    // too — the empty entry list serialized as a trailing-empty field
+    // that String.split dropped, crashing the load (r13 ADVICE)
+    val emptyRemap = HistTree.Bins(
+      edges = Array(Array.empty[Double]),
+      isCat = Array(true), numBins = Array(2),
+      catMaps = Array(Map.empty[Int, Int]))
+    val back2 =
+      HistTree.deserializeBins(HistTree.serializeBins(emptyRemap))
+    assert(back2.catMapOf(0) == Map.empty[Int, Int] &&
+      back2.numBins.toSeq == Seq(2))
+    assert(back2.binOf(0, 5.0) == 1 && back2.binOf(0, 0.0) == 0,
+      "everything non-missing routes to the rest bin")
   }
 
   test("TweedieGbt with a remapped high-arity categorical: bins persist, save/load forecasts match") {

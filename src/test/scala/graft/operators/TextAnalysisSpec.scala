@@ -373,6 +373,19 @@ class TextAnalysisSpec extends SparkSpec {
     val again = TextAnalysis.compressionRatio(df, "doc_id", "text")
       .orderBy("doc_id").as[(Long, Long, Option[Double])].collect().toSeq
     assert(again == got)
+    // codegen Expression == the UDF executable spec (r13 verdict #6),
+    // including non-ASCII text where char length != UTF-8 byte length
+    val multi = df.union(Seq((4L, "héllo wörld ☃ " * 50)).toDF("doc_id", "text"))
+    val fast = TextAnalysis.compressionRatio(multi, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Option[Double])].collect().toSeq
+    val spec = TextAnalysis.compressionRatioUdf(multi, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Option[Double])].collect().toSeq
+    assert(fast == spec, s"codegen $fast != udf spec $spec")
+    // and no serde row-trip in the plan: no ScalaUDF / DeserializeToObject
+    val plan = TextAnalysis.compressionRatio(multi, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF") && !plan.contains("Deserialize"),
+      s"expected a codegen-only plan:\n$plan")
   }
 
   test("tokenEntropy: degenerate repetition scores zero, balanced pair scores ln 2") {

@@ -668,6 +668,32 @@ class TimeSeriesSpec extends SparkSpec {
       assert(r._3.forall(_ < 1.0), s"only lag 2 is perfect: $r"))
   }
 
+  test("leadLagCorrelation: lags are CALENDAR days, not shared-observation positions") {
+    import spark.implicits._
+    val d0 = Date.valueOf("2024-01-01")
+    def day(i: Int) = new Date(d0.getTime + i * 86400000L)
+    // y is x delayed by exactly 1 CALENDAR day, but BOTH series have
+    // gaps (x misses day 2, y misses day 6): a positional shift over
+    // the shared days would smear "lag 1" across the gaps (r13
+    // ADVICE); day-join semantics still recover the perfect lag-1 copy
+    val xDays = Seq(0, 1, 3, 4, 5, 7, 8)
+    val xs = Seq(1.0, 7.0, 9.0, 4.0, 8.0, 6.0, 2.0)
+    val rows = xDays.zip(xs).flatMap { case (d, v) =>
+      val yd = d + 1
+      Seq(("a", day(d), v)) ++
+        (if (yd != 6) Seq(("b", day(yd), v)) else Nil)
+    }
+    val got = TimeSeries.leadLagCorrelation(rows.toDF("k", "d", "v"),
+        "k", "d", "v", "a", "b", maxLag = 2)
+      .orderBy("lag")
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    val at1 = got.find(_._1 == 1L).get
+    assert(at1._2 == 6L && at1._3.contains(1.0),
+      s"calendar-day lag 1 must pair the 6 surviving days perfectly: $got")
+    got.filter(_._1 != 1L).foreach(r =>
+      assert(r._3.forall(_ < 1.0), s"only lag 1 is perfect: $r"))
+  }
+
   test("holtWintersForecast: a perfectly periodic series forecasts its next value exactly") {
     import spark.implicits._
     // pattern [1, 3] repeated: init l0 = 2, b0 = 0, S = [-1, +1]; every
