@@ -920,4 +920,123 @@ object Similarity {
           .orderBy(col("approx_dist2"), col("vec_id"))).cast("bigint"))
       .select(col("q"), col("rank"), col("vec_id"), col("approx_dist2"))
   }
+
+  // ── X181: IVFADC (Jégou et al., PAMI 2011 §IV) ─────────────────────
+  // The IVF coarse quantizer (x53's deterministic corpus-vector
+  // centroids) composed with PQ codes over the RESIDUALS v − c(v) —
+  // the standard billion-vector layout: the inverted file prunes the
+  // scan to nProbe cells, the residual PQ codes shrink each stored
+  // vector to m bytes, and residual quantization is strictly finer
+  // than raw-vector PQ because each codebook only has to cover a
+  // cell-sized neighborhood, not the whole space.
+
+  /** IVFADC top-k: coarse-assign every vector to its nearest centroid
+    * (exact L2, ties → lowest cell id — matching ADC's metric, unlike
+    * the cosine coarse ranking of [[ivfTopKDeterministic]]), PQ-encode
+    * the residual v − c(v), and per query probe only the `nProbe`
+    * nearest cells, ranking candidates by the ADC lookup distance
+    * ‖(v−c) − (q−c)‖² with the table rebuilt per probed cell from the
+    * query's OWN residual q − c.
+    *
+    * Scale shape: centroids and codebooks are driver/model state
+    * (|cells|·d + m·k·(d/m) doubles); assignment, residual, and encode
+    * are map-only passes against broadcast literals; the probe plan
+    * scans ~nProbe/|cells| of the code table (partition-prunable if
+    * the codes persist partitioned by cell) with m `element_at`
+    * lookups per candidate — no vector math per pair anywhere in the
+    * search path. Returns (q, rank, vec_id, approx_dist2); ties →
+    * lowest vec_id; the query row itself is excluded. Recall vs brute
+    * force is pinned by AnnRecallSpec (ML tier per SURVEY §5.3).
+    */
+  def ivfadcTopK(
+      emb: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], centroidIds: Seq[Int],
+      m: Int, codewords: Int, nProbe: Int, k: Int,
+      iters: Int = 3, roundDigits: Int = 4,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(queryIds.nonEmpty && centroidIds.nonEmpty,
+      "need queries and centroids")
+    require(nProbe >= 1 && nProbe <= centroidIds.length,
+      s"nProbe $nProbe out of [1, ${centroidIds.length}]")
+    require(k >= 1, s"k must be >= 1: $k")
+    val base = emb.select(col(idCol).cast("long").as("vec_id"),
+      Vectors.toDouble(col(vecCol)).as("__v"))
+    // driver centroid table — |cells| vectors, the sanctioned
+    // model-state collect (kmeansCentroids shape)
+    val cellIds = centroidIds.sorted
+    val cents: Map[Int, Seq[Double]] = base
+      .filter(col("vec_id").isin(cellIds.map(i => i.toLong): _*))
+      .collect().map(r => r.getLong(0).toInt -> r.getSeq[Double](1)).toMap
+    val missing = cellIds.filterNot(cents.contains)
+    require(missing.isEmpty, s"centroid ids not in corpus: $missing")
+    def l2ToCent(v: Column, c: Seq[Double]): Column = {
+      val cSq = c.foldLeft(0.0)((acc, x) => acc + x * x)
+      Vectors.sq(v) - lit(2.0) * Vectors.dot(v, typedLit(c)) + lit(cSq)
+    }
+    // coarse assignment: argmin L2 via one array_min(struct) — the
+    // pqEncode idiom; struct order (dist, cell) breaks ties low
+    val assignExpr = array_min(array(cellIds.map { cid =>
+      struct(l2ToCent(col("__v"), cents(cid)).as("d"),
+        lit(cid).as("cell"))
+    }: _*)).getField("cell")
+    // residual v − c(cell): a when-chain over the bounded cell set
+    // selects the centroid literal, zip_with subtracts element-wise
+    val centCol = cellIds.tail.foldLeft(
+      when(col("cell") === cellIds.head, typedLit(cents(cellIds.head)))) {
+      (acc, cid) => acc.when(col("cell") === cid, typedLit(cents(cid)))
+    }
+    val resid = scope.persist(base
+      .withColumn("cell", assignExpr)
+      .withColumn("__res", zip_with(col("__v"), centCol, (a, b) => a - b))
+      .select(col("vec_id"), col("cell"), col("__res")))
+    val cb = pqTrainCodebooks(resid, "vec_id", "__res", m, codewords, iters)
+    val sub = cb(0)(0).length
+    val codes = scope.persist(
+      pqEncode(resid, "vec_id", "__res", cb)
+        .join(resid.select(col("vec_id"), col("cell")), "vec_id"))
+    // query vectors to the driver (bounded by |queries|)
+    val queries = base
+      .filter(col("vec_id").isin(queryIds.map(q => q: Any): _*))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    queryIds.map { q =>
+      val qv = queries.getOrElse(q,
+        sys.error(s"query id $q not present in the corpus"))
+      // probe ranking on the driver: exact L2 to each centroid,
+      // sequential-fold dots (reproducible), ties → lowest cell
+      val probed = cellIds.map { cid =>
+        val c = cents(cid)
+        val d = qv.zip(c).foldLeft(0.0) { case (acc, (a, b)) =>
+          acc + (a - b) * (a - b)
+        }
+        (d, cid)
+      }.sorted.take(nProbe).map(_._2)
+      probed.map { cid =>
+        // per probed cell the ADC table comes from the query's OWN
+        // residual against THAT cell's centroid
+        val qres = qv.zip(cents(cid)).map { case (a, b) => a - b }
+        val table: Seq[Seq[Double]] = (0 until m).map { s =>
+          val qs = qres.slice(s * sub, (s + 1) * sub)
+          cb(s).toSeq.map { c =>
+            qs.zip(c).foldLeft(0.0) { case (acc, (a, b)) =>
+              acc + (a - b) * (a - b)
+            }
+          }
+        }
+        val dist = (0 until m).map { s =>
+          element_at(typedLit(table(s)),
+            element_at(col("codes"), s + 1) + 1)
+        }.reduce(_ + _)
+        codes.filter(col("cell") === cid && col("vec_id") =!= q)
+          .select(lit(q).as("q"), col("vec_id"),
+            round(dist.cast(stable), roundDigits).cast("double")
+              .as("approx_dist2"))
+      }.reduce(_ unionAll _)
+        .orderBy(col("approx_dist2"), col("vec_id")).limit(k)
+    }.reduce(_ unionAll _)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q"))
+          .orderBy(col("approx_dist2"), col("vec_id"))).cast("bigint"))
+      .select(col("q"), col("rank"), col("vec_id"), col("approx_dist2"))
+  }
 }

@@ -302,4 +302,66 @@ object Stateful {
           out.iterator
       }
   }
+
+  /** Input/output/state shapes of [[conversionLatency]]. */
+  case class ConvEvent(user: String, tsMicros: Long, eventType: String)
+  case class ConvState(hasFrom: Boolean, firstFrom: Long, converted: Boolean)
+  case class ConvOut(user: String, from_micros: Long, to_micros: Long,
+      latency_seconds: Double)
+
+  /** Streaming twin of [[graft.operators.TimeSeries.conversionLatency]]
+    * (x217): each user's conversion latency — first `toType` event at
+    * or after their first `fromType` event — emitted AS IT HAPPENS,
+    * one row per converting user, O(1) state per key (two longs + two
+    * flags). The batch operator's p50/p90 profile is then a rollup
+    * over these emissions; a live pipeline gets each latency
+    * immediately instead of waiting for the batch window to close.
+    *
+    * Semantics mirror the batch operator: only the FIRST from-event
+    * anchors (an earlier from arriving before conversion re-anchors —
+    * harmless for in-order feeds, closer-to-batch for slightly late
+    * ones), only the first qualifying to-event converts, and a
+    * to-event before any from-event is ignored. After conversion the
+    * key is frozen (state kept to suppress re-emission). The latency
+    * math is the batch expression verbatim: (µs difference as one
+    * double) / 10⁶.
+    *
+    * Parity: feeding the batch fixture in event-time order — across
+    * ANY micro-batch split, including mid-key — yields exactly the
+    * per-user latencies whose exact-quantile profile equals the batch
+    * output (spec-pinned). Rows within a batch apply in tsMicros
+    * order. Late data that would re-anchor an ALREADY-CONVERTED user
+    * is the one declared divergence (a stream cannot retract an
+    * emitted conversion; the batch twin re-runs and re-anchors).
+    */
+  def conversionLatency(
+      ds: Dataset[ConvEvent], fromType: String,
+      toType: String): Dataset[ConvOut] = {
+    implicit val stateEnc: Encoder[ConvState] = Encoders.product[ConvState]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    implicit val outEnc: Encoder[ConvOut] = Encoders.product[ConvOut]
+    ds.groupByKey(_.user)
+      .flatMapGroupsWithState[ConvState, ConvOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: String, rows: Iterator[ConvEvent],
+            state: GroupState[ConvState]) =>
+          var s = state.getOption.getOrElse(ConvState(false, 0L, false))
+          val out = scala.collection.mutable.ListBuffer.empty[ConvOut]
+          rows.toSeq.sortBy(_.tsMicros).foreach { e =>
+            if (!s.converted) {
+              if (e.eventType == fromType &&
+                  (!s.hasFrom || e.tsMicros < s.firstFrom))
+                s = ConvState(hasFrom = true, e.tsMicros, converted = false)
+              else if (e.eventType == toType && s.hasFrom &&
+                  e.tsMicros >= s.firstFrom) {
+                out += ConvOut(user, s.firstFrom, e.tsMicros,
+                  (e.tsMicros - s.firstFrom).toDouble / 1000000.0)
+                s = s.copy(converted = true)
+              }
+            }
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
 }

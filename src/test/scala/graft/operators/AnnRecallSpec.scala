@@ -78,6 +78,82 @@ class AnnRecallSpec extends SparkSpec {
     assert(adc.size == queries.size * k)
   }
 
+  test("IVFADC: lossless on an alphabet-limited corpus, measurable recall on the fixture") {
+    import org.apache.spark.sql.functions.{col, size => asize}
+    import spark.implicits._
+    // ── exactness pin: when every residual subvector is one of the
+    // codebook's init values, PQ reconstruction is LOSSLESS (each
+    // point sits exactly on a centroid through every Lloyd round), so
+    // full-probe IVFADC must equal the exact L2 top-k, distances
+    // included. deltas d0..d7 (d0 = 0) shared by both clusters; the
+    // cluster bases are corpus vectors 0 and 8 (the coarse centroids),
+    // so residuals = deltas exactly and ids 0..7 seed the codebooks
+    // with the full alphabet.
+    val deltas: Seq[Seq[Double]] = (0 until 8).map { i =>
+      Seq(i.toDouble, (i * 2 % 5).toDouble, (i * i % 7).toDouble,
+        (7 - i).toDouble)
+    }
+    val baseA = Seq(0.0, 0.0, 0.0, 0.0)
+    val baseB = Seq(100.0, 100.0, 100.0, 100.0)
+    def plus(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x + y }
+    val corpus =
+      (0 until 8).map(i => (i.toLong, plus(baseA, deltas(i)))) ++
+        (0 until 8).map(i => ((i + 8).toLong, plus(baseB, deltas(i)))) ++
+        // extra members reusing the alphabet — richer ranking, still lossless
+        (0 until 8).map(i => ((i + 16).toLong, plus(baseA, deltas(7 - i))))
+    val synth = corpus.toDF("vec_id", "embedding")
+    val qs = Seq(0L, 9L)
+    val scope = graft.util.CacheScope()
+    val got = Similarity.ivfadcTopK(synth, "vec_id", "embedding",
+        queryIds = qs, centroidIds = Seq(0, 8),
+        m = 2, codewords = 8, nProbe = 2, k = 4, scope = scope)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(1),
+        r.getDouble(3))).toSeq.sortBy(x => (x._1, x._3))
+    val byId = corpus.toMap
+    def l2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+        acc + (x - y) * (x - y) }
+    val expect = qs.flatMap { q =>
+      corpus.map(_._1).filter(_ != q)
+        .map(id => (q, id, l2(byId(q), byId(id))))
+        .sortBy(x => (x._3, x._2)).take(4).zipWithIndex
+        .map { case ((qq, id, d), i) => (qq, id, (i + 1).toLong, d) }
+    }.sortBy(x => (x._1, x._3))
+    assert(got.map(x => (x._1, x._2, x._3)) ==
+      expect.map(x => (x._1, x._2, x._3)),
+      s"lossless IVFADC must reproduce exact L2 ranks:\n$got\nvs\n$expect")
+    got.zip(expect).foreach { case (g, e) =>
+      assert(math.abs(g._4 - e._4) < 1e-6,
+        s"approx_dist2 must be the exact L2 here: $g vs $e")
+    }
+    // ── statistical recall on the fixture embeddings (near-random
+    // vectors: neighbor gaps are shallow, so PQ noise caps recall —
+    // the bar is "far above random" (random recall@5 ≈ 0.01), and
+    // full probe must bound narrow probe
+    val emb = Tables.embeddings(spark, dir)
+    val dim = emb.select(asize(col("embedding"))).head().getInt(0)
+    val m = if (dim % 4 == 0) 4 else if (dim % 2 == 0) 2 else 1
+    val cells = Seq(10, 60, 110, 160, 210)
+    def run(nProbe: Int) = Similarity.ivfadcTopK(emb, "vec_id", "embedding",
+      queryIds = queries.map(_.toLong), centroidIds = cells,
+      m = m, codewords = 16, nProbe = nProbe, k = k, scope = scope)
+    val truth = resultSet(Similarity.cosineTopK(emb, "vec_id", "embedding",
+      queries, k))
+    val narrow = resultSet(run(2))
+    val full = resultSet(run(cells.length))
+    scope.unpersistAll()
+    val rNarrow = (narrow intersect truth).size.toDouble / truth.size
+    val rFull = (full intersect truth).size.toDouble / truth.size
+    info(f"IVFADC recall@$k (m=$m, 16 codewords): probe2 $rNarrow%.2f, " +
+      f"full $rFull%.2f")
+    assert(rFull >= rNarrow,
+      s"full probe ($rFull) must not trail narrow probe ($rNarrow)")
+    assert(rFull >= 0.1, s"IVFADC recall at random level: $rFull")
+    assert(full.size == queries.size * k)
+    assert(narrow.groupBy(_._1).forall(_._2.size == k))
+  }
+
   test("int8-quantized vectors preserve brute-force top-k (recall >= 0.8)") {
     // the storage path: rank over DEQUANTIZED int8 codes and compare to
     // exact float ranking — quantization must not reshuffle neighbors

@@ -280,4 +280,63 @@ class StatefulSpec extends SparkSpec {
     assert(!streamed.take(15).exists(_.drift),
       "detector must not arm before the level shift")
   }
+
+  test("conversionLatency stream: per-user latencies across a mid-key split, profile == batch x217 operator") {
+    import org.apache.spark.sql.functions.{col, count, lit, timestamp_micros}
+    implicit val sqlCtx = spark.sqlContext
+    val M = 1000000L // µs per second
+    // u1: click@10s -> purchase@25s (15s); a later purchase@40s must NOT
+    //     re-emit; a click@5s arriving BEFORE conversion... stays in order
+    // u2: purchase@3s before any click is ignored; click@8s ->
+    //     purchase@8s converts at latency 0 (boundary: to >= from)
+    // u3: click@1s, never converts -> no row
+    // u4: clicks@20s,30s (first anchors) -> purchase@50s (30s)
+    val events = Seq(
+      Stateful.ConvEvent("u1", 10 * M, "click"),
+      Stateful.ConvEvent("u2", 3 * M, "purchase"),
+      Stateful.ConvEvent("u2", 8 * M, "click"),
+      Stateful.ConvEvent("u3", 1 * M, "click"),
+      Stateful.ConvEvent("u4", 20 * M, "click"),
+      // ---- micro-batch split lands HERE: u1/u2/u4 state must carry
+      Stateful.ConvEvent("u2", 8 * M, "purchase"),
+      Stateful.ConvEvent("u1", 25 * M, "purchase"),
+      Stateful.ConvEvent("u4", 30 * M, "click"),
+      Stateful.ConvEvent("u1", 40 * M, "purchase"),
+      Stateful.ConvEvent("u4", 50 * M, "purchase"))
+    val mem = MemoryStream[Stateful.ConvEvent]
+    val out = Stateful.conversionLatency(mem.toDS(), "click", "purchase")
+    val sink = s"conv_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(events.take(5): _*)
+      q.processAllAvailable()
+      mem.addData(events.drop(5): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table(sink).as[Stateful.ConvOut].collect()
+      .sortBy(_.user)
+    assert(streamed.map(o => (o.user, o.latency_seconds)).toSeq ==
+      Seq(("u1", 15.0), ("u2", 0.0), ("u4", 30.0)),
+      s"got ${streamed.toSeq}")
+    // the batch x217 profile over the same events == the exact-quantile
+    // rollup of the streamed per-user latencies
+    val batchIn = events.map(e => (e.user, e.tsMicros, e.eventType))
+      .toDF("user", "t", "et")
+      .select(col("user"), timestamp_micros(col("t")).as("ts"), col("et"))
+    val batch = graft.operators.TimeSeries.conversionLatency(
+        batchIn, "user", "ts", "et", "click", "purchase")
+      .head()
+    val lat = streamed.map(_.latency_seconds).toSeq.toDF("__lat")
+    val profile = graft.operators.Profiling.groupedExactQuantiles(
+        lat, Seq(), col("__lat"),
+        Seq("p50" -> 0.5, "p90" -> 0.9))
+      .crossJoin(lat.agg(count(lit(1)).as("n")))
+      .select(col("n"), col("p50").cast("double"), col("p90").cast("double"))
+      .head()
+    assert(profile.getLong(0) == batch.getLong(0) &&
+      profile.getDouble(1) == batch.getDouble(1) &&
+      profile.getDouble(2) == batch.getDouble(2),
+      s"stream rollup $profile != batch operator $batch")
+  }
 }
