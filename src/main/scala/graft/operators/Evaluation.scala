@@ -377,4 +377,194 @@ object Evaluation {
               - (col("__n") + 1) / col("__n").cast("double")),
           roundDigits).as("gini"))
   }
+
+  /** X184 — Kruskal–Wallis H test: does a numeric column's
+    * DISTRIBUTION differ across g groups? — the rank-based (outlier-
+    * and-shape-robust) multi-group extension of [[welchTTest]]'s
+    * two-mean question, with the standard tie correction
+    * `C = 1 − Σ(t³−t)/(N³−N)`.
+    *
+    * Ranks are midranks per DISTINCT value (the [[spearman]]
+    * machinery): one distinct-value count aggregate + a cumulative
+    * window over VALUE cardinality — never a rank window over rows —
+    * joined back on the value. Midranks are exact halves, so per-group
+    * rank sums run EXACTLY in DECIMAL(28,6); each group's `R²/n` term
+    * is one float chain rounded to DECIMAL(28,8) BEFORE the exact
+    * group-sum (round-then-add — group iteration order must not leak
+    * into the statistic), and H is one final float expression. All
+    * groups identical values → C = 0 → null H (not a division error).
+    */
+  def kruskalWallis(df: DataFrame, group: Column, value: Column,
+      roundDigits: Int = 4): DataFrame = {
+    val raw = df.filter(group.isNotNull && value.isNotNull)
+      .select(group.cast("string").as("__g"), value.cast("double").as("__v"))
+    val perVal = raw.groupBy(col("__v")).agg(count(lit(1)).as("__n"))
+    // cumulative window over DISTINCT-value cardinality (bounded by
+    // the value domain, never row count — the spearman discipline)
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perVal.select(col("__v"),
+      (coalesce(sum(col("__n")).over(w), lit(0L))
+        + (col("__n") + 1) / lit(2.0d)).as("__r"))
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val term = org.apache.spark.sql.types.DecimalType(28, 8)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val byG = raw.join(ranked, "__v")
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__ng"), sum(col("__r").cast(dec)).as("__sr"))
+    val tot = perVal.agg(sum(col("__n")).as("__N"),
+      sum(col("__n") * col("__n") * col("__n") - col("__n")).as("__T"))
+    byG.crossJoin(broadcast(tot))
+      .agg(
+        first(col("__N")).as("n"),
+        count(lit(1)).as("n_groups"),
+        sum(round((col("__sr").cast("double") * col("__sr").cast("double")
+          / col("__ng")).cast(term), 8)).as("__S"),
+        first(col("__N")).as("__N2"),
+        first(col("__T")).as("__T2"))
+      .select(col("n"), col("n_groups"),
+        round((lit(12.0d) * col("__S").cast("double")
+          / (col("__N2").cast("double") * (col("__N2") + 1))
+          - lit(3.0d) * (col("__N2") + 1)).cast(stable), roundDigits)
+          .cast("double").as("h"),
+        round(when(
+          col("__N2") * col("__N2") * col("__N2") - col("__N2") > col("__T2"),
+          (lit(12.0d) * col("__S").cast("double")
+            / (col("__N2").cast("double") * (col("__N2") + 1))
+            - lit(3.0d) * (col("__N2") + 1))
+            / (lit(1.0d) - col("__T2").cast("double")
+              / (col("__N2").cast("double") * col("__N2") * col("__N2")
+                - col("__N2"))))
+          .cast(stable), roundDigits).cast("double").as("h_tie_corrected"))
+  }
+
+  /** X185 — log-rank test between two survival groups: are the two
+    * survival curves [[graft.operators.TimeSeries.kaplanMeier]] draws
+    * actually different? At every event time t the observed group-A
+    * events compare against the expectation under a shared hazard
+    * (`E_A = Σ d_t·n_At/n_t`), with the hypergeometric variance
+    * `V = Σ d_t·(n_At/n_t)·(1−n_At/n_t)·(n_t−d_t)/(n_t−1)` and
+    * `χ² = (O_A − E_A)²/V` — the standard A/B readout for retention
+    * and churn experiments.
+    *
+    * Lifetimes per user follow the kaplanMeier construction verbatim
+    * (first→last event, censored inside the trailing window); at-risk
+    * counts per group ride cumulative windows over DURATION
+    * cardinality (bounded by the observation window in days). Both
+    * per-time terms are float chains over integer counts, rounded to
+    * DECIMAL(18,8) BEFORE the exact decimal sum (round-then-add);
+    * `n_t = 1` times contribute no variance (the standard convention).
+    */
+  def logRank(df: DataFrame, keyCol: String, tsCol: String,
+      groupA: Column, censorLastDays: Int = 3,
+      roundDigits: Int = 4): DataFrame = {
+    require(censorLastDays >= 0, "censorLastDays must be >= 0")
+    val perUser = df.groupBy(col(keyCol)).agg(
+      to_date(min(col(tsCol))).as("__first"),
+      to_date(max(col(tsCol))).as("__last"),
+      // group membership from the same per-user pass: ANY row of the
+      // user satisfying groupA marks the user (callers pass per-user-
+      // constant predicates)
+      max(groupA.cast("int")).as("__ga"))
+    val gmax = df.agg(to_date(max(col(tsCol))).as("__gmax"))
+    val lifetimes = perUser.crossJoin(broadcast(gmax))
+      .select(
+        datediff(col("__last"), col("__first")).cast("long").as("__dur"),
+        (datediff(col("__gmax"), col("__last")) >= censorLastDays)
+          .cast("long").as("__event"),
+        col("__ga"))
+    val byDur = lifetimes.groupBy(col("__dur")).agg(
+      count(lit(1)).as("__n"),
+      sum(col("__event")).as("__d"),
+      sum(col("__ga")).as("__na"),
+      sum(col("__event") * col("__ga")).as("__da"))
+    // at-risk = total − everyone with shorter duration: cumulative
+    // windows over DURATION cardinality (days, the kaplanMeier bound)
+    val wPrev = Window.orderBy(col("__dur"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = lifetimes.agg(count(lit(1)).as("__tot"),
+      sum(col("__ga")).as("__totA"))
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val risks = byDur.crossJoin(broadcast(tot))
+      .withColumn("__risk",
+        col("__tot") - coalesce(sum(col("__n")).over(wPrev), lit(0L)))
+      .withColumn("__riskA",
+        col("__totA") - coalesce(sum(col("__na")).over(wPrev), lit(0L)))
+      .filter(col("__d") >= 1)
+    val pA = col("__riskA").cast("double") / col("__risk").cast("double")
+    val eTerm = round((col("__d").cast("double") * pA).cast(stable), 8)
+    val vTerm = round(
+      when(col("__risk") > 1,
+        col("__d").cast("double") * pA * (lit(1.0d) - pA)
+          * (col("__risk") - col("__d")).cast("double")
+          / (col("__risk") - 1).cast("double"))
+        .otherwise(lit(0.0d)).cast(stable), 8)
+    risks.agg(
+        first(col("__totA")).as("n_a"),
+        (first(col("__tot")) - first(col("__totA"))).as("n_b"),
+        sum(col("__da")).as("observed_a"),
+        sum(eTerm).as("__e"),
+        sum(vTerm).as("__v"))
+      .select(col("n_a"), col("n_b"), col("observed_a"),
+        round(col("__e").cast(stable), roundDigits).cast("double")
+          .as("expected_a"),
+        round(when(col("__v") > 0,
+          (col("observed_a").cast("double") - col("__e").cast("double"))
+            * (col("observed_a").cast("double") - col("__e").cast("double"))
+            / col("__v").cast("double")).cast(stable), roundDigits)
+          .cast("double").as("chi2"))
+  }
+
+  /** X186 — cumulative gains / lift table: rows rank into k score
+    * bands (band 1 = highest scores) by EXACT quantile cutoffs; each
+    * band reports its size, positives, cumulative capture rate (share
+    * of all positives found in bands 1..i) and cumulative lift vs the
+    * base rate — the "call the top 20%" targeting readout that a
+    * single ROC AUC (x133) compresses away.
+    *
+    * Cutoffs come from the exact rank-arithmetic decimal machinery
+    * ([[graft.operators.Profiling.groupedExactQuantiles]]) and COLLECT
+    * to k−1 driver literals (bounded model state, the rfmSegments
+    * shape), so banding is pure codegen: band = k − Σ(score > qᵢ).
+    * The cumulative pass is a window over the k-row band table —
+    * bounded by construction. Ratios stabilize through DECIMAL(18,8).
+    */
+  def gainsTable(df: DataFrame, score: Column, label: Column,
+      k: Int = 10, roundDigits: Int = 6): DataFrame = {
+    require(k >= 2 && k <= 100, s"need 2 <= k <= 100 bands, got $k")
+    val rows = df.filter(score.isNotNull && label.isNotNull)
+      .select(score.cast("double").as("__s"),
+        label.cast("long").as("__y"))
+    val qScope = graft.util.CacheScope()
+    val cutRow = graft.operators.Profiling.groupedExactQuantiles(
+      rows, Seq(), col("__s"),
+      (1 until k).map(i => s"q$i" -> i.toDouble / k),
+      scope = qScope).head()
+    qScope.unpersistAll()
+    val cuts = (1 until k).map(i => cutRow.getDecimal(i - 1))
+    // band 1 = TOP scores: k − (# cutoffs the score exceeds)
+    val band = lit(k) - cuts.map(c => (col("__s") > lit(c)).cast("int"))
+      .reduce(_ + _)
+    val byBand = rows.groupBy(band.as("band"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
+    // bounded: cumulative capture over the k-row band table, never data
+    val wCum = Window.orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    byBand
+      .withColumn("__cn", sum(col("n")).over(wCum))
+      .withColumn("__cp", sum(col("n_pos")).over(wCum))
+      .withColumn("__tn", sum(col("n")).over(tot))
+      .withColumn("__tp", sum(col("n_pos")).over(tot))
+      .select(col("band").cast("bigint").as("band"), col("n"), col("n_pos"),
+        round(when(col("__tp") > 0,
+          col("__cp").cast("double") / col("__tp").cast("double"))
+          .cast(stable), roundDigits).cast("double").as("cum_capture"),
+        round(when(col("__tp") > 0 && col("__cn") > 0,
+          (col("__cp").cast("double") / col("__cn").cast("double"))
+            / (col("__tp").cast("double") / col("__tn").cast("double")))
+          .cast(stable), roundDigits).cast("double").as("cum_lift"))
+  }
 }

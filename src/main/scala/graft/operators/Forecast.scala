@@ -917,4 +917,78 @@ object Forecast {
           / (col("n_obs") * (col("n_obs") - 1)).cast("double"))
           .cast(stable), roundDigits).cast("double").as("tau"))
   }
+
+  /** X189 — periodicity scan: for every candidate period p ∈
+    * [2, maxPeriod], the seasonal-ANOVA R² of folding the series at p
+    * — `SS_between/SS_total` where positions are `t mod p` and t is
+    * the day index from each key's first day. The dominant period is
+    * the argmax row: a weekly series peaks at p = 7 (and its
+    * harmonics at 14, 21 score high too — the standard folded-means
+    * signature). The trig-free periodogram: spectral power needs
+    * cos/sin whose libm bits differ across engines, folded-position
+    * variance needs only counts and decimal sums.
+    *
+    * Exactness: per (key, p, position) the count and decimal value
+    * sums are exact; position means and the grand mean round to 6 dp
+    * doubles (the cusum μ discipline), each position's
+    * `n_j·(ȳ_j−ȳ)²` term rounds to DECIMAL(18,8) BEFORE the exact
+    * per-(key,p) sum (round-then-add — position order must not leak);
+    * R² is one final float division. Constant series → SS_total = 0 →
+    * null score.
+    *
+    * Scale: the explode fans each row to maxPeriod−1 copies before a
+    * map-side-combinable agg collapses to (key × period × position)
+    * cardinality — feed per-period aggregates (the module contract),
+    * never raw events.
+    */
+  def periodicityScan(
+      daily: DataFrame,
+      keyCol: String, dayCol: String, valueCol: String,
+      maxPeriod: Int = 14,
+      roundDigits: Int = 4): DataFrame = {
+    require(maxPeriod >= 2 && maxPeriod <= 60,
+      s"maxPeriod out of [2,60]: $maxPeriod")
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val d24 = org.apache.spark.sql.types.DecimalType(24, 6)
+    val q12 = org.apache.spark.sql.types.DecimalType(24, 12)
+    val term = org.apache.spark.sql.types.DecimalType(18, 8)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val rows = daily.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(dayCol).as("__d"),
+        col(valueCol).cast(dec6).as("__y"))
+    val firstDay = rows.groupBy(col("__k")).agg(min(col("__d")).as("__d0"))
+    val indexed = rows.join(firstDay, "__k")
+      .select(col("__k"), datediff(col("__d"), col("__d0")).as("__t"),
+        col("__y"))
+    // per-key moments: n, Σy (exact), Σy² (exact) → ȳ and SS_total
+    val moments = indexed.groupBy(col("__k")).agg(
+      count(lit(1)).as("__n"),
+      sum(col("__y")).cast(d24).as("__s"),
+      sum((col("__y") * col("__y")).cast(q12)).cast(q12).as("__ss"))
+    val mu = round((col("__s").cast("double") / col("__n"))
+      .cast(stable), 6).cast("double")
+    // fold positions for every candidate period in one explode
+    val folded = indexed
+      .withColumn("__p", explode(array((2 to maxPeriod).map(lit): _*)))
+      .groupBy(col("__k"), col("__p"), pmod(col("__t"), col("__p")).as("__j"))
+      .agg(count(lit(1)).as("__nj"), sum(col("__y")).cast(d24).as("__sj"))
+    val muJ = round((col("__sj").cast("double") / col("__nj"))
+      .cast(stable), 6).cast("double")
+    val withMu = folded.join(broadcast(moments), "__k")
+      .withColumn("__term",
+        round((col("__nj") * (muJ - mu) * (muJ - mu)).cast(term), 8))
+    val agg = withMu
+      .groupBy(col("__k"), col("__p"))
+      .agg(first(col("__n")).as("n_obs"),
+        sum(col("__term")).as("__ssb"),
+        first(col("__ss")).as("__ss2"), first(col("__s")).as("__s2"))
+    val muF = round((col("__s2").cast("double") / col("n_obs"))
+      .cast(stable), 6).cast("double")
+    val sst = col("__ss2").cast("double") -
+      col("n_obs").cast("double") * muF * muF
+    agg.select(col("__k").as(keyCol), col("__p").cast("bigint").as("period"),
+      col("n_obs"),
+      round(when(sst > 0, col("__ssb").cast("double") / sst)
+        .cast(stable), roundDigits).cast("double").as("r2"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph operators for corpus curation. The first use case is link-graph
@@ -526,4 +526,61 @@ object Graph {
           struct(col("a").as("u"), col("b").as("v")))
           .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
+
+  /** X183 — degree assortativity (Newman, PRL 2002): the Pearson
+    * correlation of endpoint degrees over the edge list — positive
+    * when hubs link to hubs (social nets), negative when hubs link to
+    * leaves (the hub-and-spoke shape most retail co-purchase and
+    * infrastructure graphs take). The one-number structural summary
+    * next to x141's per-node clustering.
+    *
+    * Semantics: edges canonicalize exactly like [[triangleCount]]
+    * (string least/greatest, self-loops dropped, distinct); each
+    * undirected edge contributes BOTH orientations to the correlation
+    * (the standard symmetrized form — r is otherwise direction-
+    * dependent). `corr` is the engine-portable sample correlation the
+    * x126 gate pins.
+    *
+    * Scale shape: two degree joins on the canon edge list (both sides
+    * shuffle on node keys — the PageRank partitioning), then ONE
+    * map-side-combinable corr aggregate; nothing driver-side, no
+    * window anywhere.
+    */
+  def degreeAssortativity(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      roundDigits: Int = 4): DataFrame = {
+    val a = least(col(srcCol).cast("string"), col(dstCol).cast("string"))
+    val b = greatest(col(srcCol).cast("string"), col(dstCol).cast("string"))
+    val canon = edges.select(a.as("a"), b.as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = canon.select(col("a").as("n"))
+      .union(canon.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val withDeg = canon
+      .join(deg.select(col("n").as("a"), col("d").as("__da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("__db")), "b")
+    val both = withDeg.select(col("__da").as("__x"), col("__db").as("__y"))
+      .unionAll(withDeg.select(col("__db").as("__x"), col("__da").as("__y")))
+    // Pearson r from EXACT integer-degree moment sums (decimal — the
+    // spearman discipline), one final float chain; a regular graph has
+    // zero degree variance → null r (corr() under ANSI divides by zero)
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val m = both.agg(
+      count(lit(1)).as("__nr"),
+      sum(col("__x").cast(dec)).as("__sx"),
+      sum(col("__y").cast(dec)).as("__sy"),
+      sum((col("__x") * col("__y")).cast(dec)).as("__sxy"),
+      sum((col("__x") * col("__x")).cast(dec)).as("__sxx"),
+      sum((col("__y") * col("__y")).cast(dec)).as("__syy"))
+    def d(c: String): Column = col(c).cast("double")
+    val n = col("__nr").cast("double")
+    val covN = n * d("__sxy") - d("__sx") * d("__sy")
+    val varX = n * d("__sxx") - d("__sx") * d("__sx")
+    val varY = n * d("__syy") - d("__sy") * d("__sy")
+    m.select(
+      (col("__nr") / 2).cast("bigint").as("n_edges"),
+      round(when(varX > 0 && varY > 0, covN / sqrt(varX * varY))
+        .cast(stable), roundDigits).cast("double").as("assortativity"))
+  }
 }

@@ -945,4 +945,88 @@ object Profiling {
           - col("n_null_a").cast("double") / col("n_a")).cast(stable),
           roundDigits).cast("double").as("null_rate_delta"))
   }
+
+  /** X187 — value coverage profile: how many DISTINCT values of a
+    * column cover 50% / 90% / 99% of its rows — the head-heaviness
+    * number behind vocabulary truncation, dictionary-encoding and
+    * top-k-rest-bin decisions (x195 asks it of LSH buckets, this asks
+    * it of any column). k50 ≪ n_distinct means a tiny head dominates;
+    * k99 ≈ n_distinct means a flat long tail that no cap represents.
+    *
+    * Shape: one count aggregate to distinct-value cardinality, then
+    * the cumulative count rides [[graft.operators.Relational
+    * .chunkedPrefixSum]] over (count desc, value) — no unbounded
+    * window anywhere; the crossing counts are integer-exact
+    * (`cum·100 ≥ pct·N`, no float in the compare) and fold in ONE
+    * final aggregate.
+    */
+  def valueCoverage(
+      df: DataFrame, valueCol: String,
+      thresholds: Seq[Int] = Seq(50, 90, 99),
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
+    require(thresholds.nonEmpty && thresholds.forall(t => t >= 1 && t <= 100),
+      s"thresholds must be integer percents in [1,100]: $thresholds")
+    val d20 = org.apache.spark.sql.types.DecimalType(20, 0)
+    val perVal = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("string").as("__v"))
+      .agg(count(lit(1)).as("__n"))
+    val cum = Relational.chunkedPrefixSum(perVal, Nil,
+      Seq(col("__n").desc, col("__v")), "__n", "__cum", d20, scope = scope)
+    // NOT "__N": the default analyzer is case-insensitive, so a name
+    // differing from "__n" only by case is an ambiguous reference
+    val tot = perVal.agg(sum(col("__n")).as("__totrows"),
+      count(lit(1)).as("__totvals"))
+    // k_pct = (# head values strictly before the crossing) + 1 — one
+    // exact-integer conditional count per threshold
+    val aggs = Seq(first(col("__totrows")).as("n_rows"),
+      first(col("__totvals")).as("n_distinct")) ++
+      thresholds.map { t =>
+        (sum((col("__cum") * 100 < lit(t) * col("__totrows")).cast("long"))
+          + 1).as(s"k$t")
+      }
+    cum.crossJoin(broadcast(tot)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** X192 — robust per-group score normalization: the modified
+    * z-score `0.6745·(v − median_g)/MAD_g` EMITTED PER ROW — the
+    * cross-source score calibration a curation pipeline needs before
+    * comparing quality scores between heterogeneous sources (source A
+    * scoring systematically longer/denser than source B must not
+    * dominate a pooled threshold). [[robustOutliers]] counts
+    * violations of the same statistic; this returns the normalized
+    * value for downstream filters and mixers.
+    *
+    * Median and MAD come from the exact rank-arithmetic decimal
+    * quantile path (no float interpolation anywhere); the per-row z is
+    * one float chain over those exact operands, stabilized through
+    * DECIMAL(18,8). MAD = 0 (constant group) → null z, never a
+    * division blow-up.
+    */
+  def robustNormalize(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      valueCol: String,
+      roundDigits: Int = 4): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val v6t = org.apache.spark.sql.types.DecimalType(18, 6)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val gs = groupCols.map(col)
+    val rows = df.filter(v.isNotNull)
+    val med = groupedExactQuantiles(rows, groupCols, v, Seq("__med" -> 0.5))
+    val withMed = rows
+      .select((col(idCol) +: gs :+ v.as("__vd") :+ v.cast(v6t).as("__v6")): _*)
+      .join(broadcast(med), groupCols)
+    val mad = groupedExactQuantiles(withMed, groupCols,
+      abs(col("__v6") - col("__med")), Seq("__mad" -> 0.5))
+    val medD = col("__med").cast("double")
+    val madD = col("__mad").cast("double")
+    withMed.join(broadcast(mad), groupCols)
+      .select((col(idCol) +: gs) :+
+        col("__vd").as("value") :+
+        round(when(col("__mad") > 0,
+          lit(0.6745d) * (col("__vd") - medD) / madD).cast(stable),
+          roundDigits).cast("double").as("robust_z"): _*)
+  }
 }

@@ -552,4 +552,57 @@ object Retail {
         / F.sum(col("n_orders")).over(tot)).cast(stable), roundDigits)
         .cast("double").as("share"))
   }
+
+  /** X191 — discount-depth response curve: per exact discount level,
+    * line volume, quantity and revenue shares, average line quantity,
+    * and the quantity UPLIFT vs the zero-discount baseline — the "do
+    * deeper discounts actually move more units" readout behind promo
+    * planning (the descriptive complement of x177's fitted
+    * elasticity: this shows the response curve itself, band by band).
+    *
+    * Discounts quantize to exact DECIMAL(4,2) levels (never float
+    * group keys); quantity/revenue sums are exact decimals; the
+    * shares and uplift divide once each through DECIMAL(18,8). The
+    * zero-discount baseline average rides a 1-row broadcast (O27);
+    * no baseline rows → null uplift. One map-side-combinable agg to
+    * the ≤101-level frame.
+    */
+  def discountResponse(
+      lineitems: DataFrame,
+      discountCol: String, qtyCol: String, priceCol: String,
+      roundDigits: Int = 6): DataFrame = {
+    val d42 = org.apache.spark.sql.types.DecimalType(4, 2)
+    val dec = org.apache.spark.sql.types.DecimalType(28, 2)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val rows = lineitems
+      .filter(col(discountCol).isNotNull && col(qtyCol).isNotNull)
+      .select(col(discountCol).cast(d42).as("discount"),
+        col(qtyCol).cast(dec).as("__q"),
+        (col(priceCol) * (F.lit(1.0d) - col(discountCol))).cast(dec)
+          .as("__rev"))
+    val byLevel = rows.groupBy(col("discount"))
+      .agg(F.count(F.lit(1)).as("n_lines"),
+        F.sum(col("__q")).as("__qty"),
+        F.sum(col("__rev")).as("__r"))
+    val tot = rows.agg(F.sum(col("__q")).as("__tq"),
+      F.sum(col("__rev")).as("__tr"))
+    val avgQty = F.round((col("__qty").cast("double") / col("n_lines"))
+      .cast(stable), 6).cast("double")
+    val base = byLevel.filter(col("discount") === F.lit(0).cast(d42))
+      .select(avgQty.as("__base"))
+    byLevel.crossJoin(F.broadcast(tot))
+      // LEFT join on true: an input with no zero-discount lines keeps
+      // every level with a null uplift instead of vanishing entirely
+      .join(F.broadcast(base), F.lit(true), "left")
+      .select(col("discount").cast("double").as("discount"),
+        col("n_lines"),
+        F.round(col("__qty").cast("double"), 2).as("total_qty"),
+        avgQty.as("avg_qty"),
+        F.round((col("__qty").cast("double") / col("__tq").cast("double"))
+          .cast(stable), roundDigits).cast("double").as("qty_share"),
+        F.round((col("__r").cast("double") / col("__tr").cast("double"))
+          .cast(stable), roundDigits).cast("double").as("rev_share"),
+        F.round(F.when(col("__base") > 0, avgQty / col("__base"))
+          .cast(stable), roundDigits).cast("double").as("qty_uplift"))
+  }
 }

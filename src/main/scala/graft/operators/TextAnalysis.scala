@@ -830,6 +830,43 @@ object TextAnalysis {
       ratio(col(textCol)).as("compression_ratio"))
   }
 
+  /** X188 — Flesch reading-ease readability per document:
+    * `206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)` —
+    * the standard audience-level quality signal (simple prose scores
+    * 70–100, academic text 0–30) that complements the structural
+    * Gopher screens: a document can pass length/punct ratios and
+    * still be unreadable boilerplate.
+    *
+    * Counting is all single-pass regex/split arithmetic, no UDF:
+    * words = whitespace tokens (the repo-wide x48 convention),
+    * sentences = runs of `[.!?]+` (floored at 1 — headless fragments
+    * count as one sentence), syllables = vowel-group runs
+    * `[aeiouyAEIOUY]+` over the WHOLE text (whitespace already breaks
+    * groups at word boundaries, so no per-word loop — same count,
+    * one codegen regexp_count). The score is one float chain over
+    * integer counts, stabilized through DECIMAL(18,8); empty text →
+    * null score.
+    */
+  def readability(df: DataFrame, idCol: String, textCol: String,
+      roundDigits: Int = 4): DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val words = size(graft.functions.Text.tokens(col(textCol)))
+      .cast("long")
+    val sentences = greatest(
+      regexp_count(col(textCol), lit("[.!?]+")), lit(1)).cast("long")
+    val syllables = regexp_count(col(textCol), lit("[aeiouyAEIOUY]+"))
+      .cast("long")
+    df.select(col(idCol),
+      words.as("n_words"),
+      sentences.as("n_sentences"),
+      syllables.as("n_syllables"),
+      round(when(length(col(textCol)) > 0 && syllables > 0,
+        lit(206.835d)
+          - lit(1.015d) * (words.cast("double") / sentences.cast("double"))
+          - lit(84.6d) * (syllables.cast("double") / words.cast("double")))
+        .cast(stable), roundDigits).cast("double").as("flesch"))
+  }
+
   /** X172 — per-document token-distribution Shannon entropy (nats) and
     * its normalized form H/ln(types) — the information-density signal
     * that separates "aaaa aaaa aaaa" (H = 0) from varied prose even

@@ -1431,6 +1431,85 @@ object TimeSeries {
         .cast("long").as("drift"))
   }
 
+  /** X190 — EWMA control chart per key (Roberts 1959, the SPC
+    * standard): `z_t = λ·y_t + (1−λ)·z_{t−1}` with `z_0 = μ`, flagged
+    * against the steady-state control limits
+    * `μ ± L·σ·sqrt(λ/(2−λ))` — the small-persistent-shift detector
+    * that complements [[cusumDrift]] (CUSUM accumulates excursions
+    * past a slack; EWMA's exponential memory reacts faster to small
+    * sustained drifts and forgets transients).
+    *
+    * Exactness (the cusum/ses fold discipline): μ and σ come from
+    * exact decimal moments rounded to 6 dp doubles; λ, 1−λ, and the
+    * combined limit multiplier `L·sqrt(λ/(2−λ))` are SCALA-computed
+    * shortest-round-trip double literals (never re-derived per
+    * engine); the fold is pure double arithmetic over identical
+    * operands, so the violation compares need no rounding at all —
+    * both engines walk bit-identical z values. Steady-state (not
+    * time-varying) limits by design: the exact variance ramp needs
+    * `(1−λ)^{2t}`, and libm pow is not bit-portable (the r12 x165
+    * lesson); after t ≈ 3/λ the ramp is within float noise of 1
+    * anyway.
+    *
+    * The accumulator is an ARRAY [z, nViol, firstViol, t] (the x198
+    * struct-mutation lesson); rows fold in (order, value) sort order.
+    */
+  def ewmaChart(
+      df: DataFrame,
+      keyCol: String, orderCol: String, valueCol: String,
+      lambda: Double = 0.2, lSigma: Double = 3.0,
+      roundDigits: Int = 4): DataFrame = {
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1): $lambda")
+    require(lSigma > 0, s"lSigma must be positive: $lSigma")
+    val beta = 1.0 - lambda
+    val lim = lSigma * math.sqrt(lambda / (2.0 - lambda))
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val q12 = org.apache.spark.sql.types.DecimalType(24, 12)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val y = col(valueCol).cast(dec6)
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(orderCol).as("__o"), y.as("__y"))
+    val agg = rows.groupBy(col("__k"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("__y")).cast(org.apache.spark.sql.types.DecimalType(24, 6))
+          .as("__sv"),
+        sum((col("__y") * col("__y")).cast(q12)).cast(q12).as("__svv"),
+        expr("array_sort(collect_list(struct(__o, __y)))").as("__a"))
+      .withColumn("__ys",
+        expr("transform(__a, s -> CAST(s.__y AS DOUBLE))"))
+      .withColumn("__mu", round((col("__sv").cast("double") / col("n_obs"))
+        .cast(stable), 6).cast("double"))
+      .withColumn("__sd", when(col("n_obs") < 2, lit(0.0)).otherwise(
+        round(sqrt(greatest(lit(0.0),
+          (col("__svv").cast("double")
+            - col("__sv").cast("double") * col("__sv").cast("double")
+              / col("n_obs")) / (col("n_obs") - 1)))
+          .cast(stable), 6).cast("double")))
+      .withColumn("__ucl", col("__mu") + lit(lim) * col("__sd"))
+      .withColumn("__lcl", col("__mu") - lit(lim) * col("__sd"))
+    val zNew = s"${lambda}D * x + ${beta}D * element_at(acc, 1)"
+    val viol = s"CASE WHEN ($zNew) > __ucl OR ($zNew) < __lcl " +
+      "THEN 1D ELSE 0D END"
+    val folded = agg.withColumn("__c", expr(
+      s"""aggregate(
+         |  __ys,
+         |  array(__mu, 0D, 0D, 1D),
+         |  (acc, x) -> array(
+         |    $zNew,
+         |    element_at(acc, 2) + ($viol),
+         |    CASE WHEN element_at(acc, 3) > 0D THEN element_at(acc, 3)
+         |         WHEN ($viol) = 1D THEN element_at(acc, 4)
+         |         ELSE 0D END,
+         |    element_at(acc, 4) + 1D))""".stripMargin))
+    folded.select(col("__k").as(keyCol), col("n_obs"),
+      col("__mu").as("mean"), col("__sd").as("sd"),
+      round(expr("element_at(__c, 1)").cast(stable), roundDigits)
+        .cast("double").as("ewma_final"),
+      expr("element_at(__c, 2)").cast("bigint").as("n_violations"),
+      when(expr("element_at(__c, 3)") > 0,
+        expr("element_at(__c, 3)").cast("bigint")).as("first_violation"))
+  }
+
   /** X148 — maximum drawdown per key: the worst drop of a series from
     * its RUNNING PEAK (`max_t (runmax_t − y_t)`), plus the peak level
     * and the first date the worst drop is realized — the

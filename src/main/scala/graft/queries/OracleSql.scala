@@ -3545,6 +3545,363 @@ object OracleSql {
          |  CAST(qq.p90_seconds AS DOUBLE) AS p90_seconds
          |FROM n CROSS JOIN qq""".stripMargin,
 
+    // Degree assortativity: the x141 canon co-purchase edges, both
+    // orientations, Pearson r from exact decimal degree moments.
+    "x218_assortativity" ->
+      """WITH oi AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i
+        |  FROM lineitem),
+        |e0 AS (SELECT l.i AS x, r.i AS y
+        |  FROM oi l JOIN oi r ON l.o = r.o AND l.i < r.i
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |canon AS (SELECT DISTINCT
+        |    least(CAST(x AS VARCHAR), CAST(y AS VARCHAR)) AS a,
+        |    greatest(CAST(x AS VARCHAR), CAST(y AS VARCHAR)) AS b
+        |  FROM e0 WHERE CAST(x AS VARCHAR) <> CAST(y AS VARCHAR)),
+        |deg AS (SELECT n, COUNT(*) AS d FROM (
+        |    SELECT a AS n FROM canon UNION ALL SELECT b FROM canon)
+        |  GROUP BY 1),
+        |wd AS (SELECT da.d AS dx, db.d AS dy
+        |  FROM canon c JOIN deg da ON c.a = da.n
+        |  JOIN deg db ON c.b = db.n),
+        |bo AS (SELECT dx AS x, dy AS y FROM wd
+        |  UNION ALL SELECT dy AS x, dx AS y FROM wd),
+        |m AS (SELECT COUNT(*) AS nr,
+        |  SUM(CAST(x AS DECIMAL(28,6))) AS sx,
+        |  SUM(CAST(y AS DECIMAL(28,6))) AS sy,
+        |  SUM(CAST(x * y AS DECIMAL(28,6))) AS sxy,
+        |  SUM(CAST(x * x AS DECIMAL(28,6))) AS sxx,
+        |  SUM(CAST(y * y AS DECIMAL(28,6))) AS syy FROM bo)
+        |SELECT CAST(nr // 2 AS BIGINT) AS n_edges,
+        |  CAST(ROUND(CAST(CASE WHEN
+        |      CAST(nr AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |      AND CAST(nr AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+        |    THEN (CAST(nr AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / SQRT((CAST(nr AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * (CAST(nr AS DOUBLE) * CAST(syy AS DOUBLE)
+        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    END AS DECIMAL(18,8)), 4) AS DOUBLE) AS assortativity
+        |FROM m""".stripMargin,
+
+    // Kruskal-Wallis: midranks per distinct value (cumulative window
+    // over VALUE cardinality), exact decimal rank sums, round-then-add
+    // group terms, tie correction.
+    "x219_kruskal_wallis" ->
+      """WITH raw AS (SELECT CAST(event_type AS VARCHAR) AS g,
+        |  CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |pv AS (SELECT v, COUNT(*) AS n FROM raw GROUP BY 1),
+        |rk AS (SELECT v,
+        |  COALESCE(SUM(n) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + (n + 1) / 2.0e0 AS r FROM pv),
+        |bg AS (SELECT g, COUNT(*) AS ng,
+        |  SUM(CAST(r AS DECIMAL(28,6))) AS sr
+        |  FROM raw JOIN rk USING (v) GROUP BY 1),
+        |tt AS (SELECT SUM(n) AS nn, SUM(n*n*n - n) AS t FROM pv),
+        |tm AS (SELECT COUNT(*) AS ngroups,
+        |  SUM(ROUND(CAST(CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / ng
+        |    AS DECIMAL(28,8)), 8)) AS s FROM bg)
+        |SELECT CAST(nn AS BIGINT) AS n,
+        |  CAST(ngroups AS BIGINT) AS n_groups,
+        |  CAST(ROUND(CAST(12.0e0 * CAST(s AS DOUBLE)
+        |      / (CAST(nn AS DOUBLE) * (nn + 1)) - 3.0e0 * (nn + 1)
+        |    AS DECIMAL(18,8)), 4) AS DOUBLE) AS h,
+        |  CAST(ROUND(CAST(CASE WHEN nn*nn*nn - nn > t THEN
+        |      (12.0e0 * CAST(s AS DOUBLE)
+        |        / (CAST(nn AS DOUBLE) * (nn + 1)) - 3.0e0 * (nn + 1))
+        |      / (1.0e0 - CAST(t AS DOUBLE)
+        |        / (CAST(nn AS DOUBLE) * nn * nn - nn))
+        |    END AS DECIMAL(18,8)), 4) AS DOUBLE) AS h_tie_corrected
+        |FROM tm CROSS JOIN tt""".stripMargin,
+
+    // Log-rank: kaplanMeier lifetimes split by the x167 md5 halves;
+    // at-risk via duration-cardinality cumulative windows; E and V
+    // terms round-then-add at 8dp.
+    "x220_logrank" ->
+      """WITH pu AS (SELECT user_id,
+        |  CAST(MIN(ts) AS DATE) AS f, CAST(MAX(ts) AS DATE) AS l,
+        |  MAX(CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |    < '8' THEN 1 ELSE 0 END) AS ga
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT CAST(MAX(ts) AS DATE) AS gmax FROM events),
+        |lt AS (SELECT
+        |  CAST(date_diff('day', f, l) AS BIGINT) AS dur,
+        |  CASE WHEN date_diff('day', l, gmax) >= 3 THEN 1 ELSE 0 END
+        |    AS ev, ga
+        |  FROM pu CROSS JOIN g),
+        |bd AS (SELECT dur, COUNT(*) AS n, SUM(ev) AS d,
+        |  SUM(ga) AS na, SUM(ev * ga) AS da FROM lt GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS tot, SUM(ga) AS tota FROM lt),
+        |rk AS (SELECT dur, n, d, na, da, tot, tota,
+        |  tot - COALESCE(SUM(n) OVER (ORDER BY dur
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS risk,
+        |  tota - COALESCE(SUM(na) OVER (ORDER BY dur
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS riska
+        |  FROM bd CROSS JOIN t),
+        |f2 AS (SELECT * FROM rk WHERE d >= 1),
+        |s AS (SELECT MAX(tota) AS na2, MAX(tot) AS tot2,
+        |  CAST(SUM(da) AS BIGINT) AS observed_a,
+        |  SUM(ROUND(CAST(CAST(d AS DOUBLE)
+        |    * (CAST(riska AS DOUBLE) / CAST(risk AS DOUBLE))
+        |    AS DECIMAL(18,8)), 8)) AS e,
+        |  SUM(ROUND(CAST(CASE WHEN risk > 1 THEN
+        |      CAST(d AS DOUBLE)
+        |      * (CAST(riska AS DOUBLE) / CAST(risk AS DOUBLE))
+        |      * (1.0e0 - CAST(riska AS DOUBLE) / CAST(risk AS DOUBLE))
+        |      * CAST(risk - d AS DOUBLE) / CAST(risk - 1 AS DOUBLE)
+        |    ELSE 0.0e0 END AS DECIMAL(18,8)), 8)) AS v
+        |  FROM f2)
+        |SELECT CAST(na2 AS BIGINT) AS n_a,
+        |  CAST(tot2 - na2 AS BIGINT) AS n_b, observed_a,
+        |  CAST(ROUND(CAST(e AS DECIMAL(18,8)), 4) AS DOUBLE)
+        |    AS expected_a,
+        |  CAST(ROUND(CAST(CASE WHEN v > 0 THEN
+        |      (CAST(observed_a AS DOUBLE) - CAST(e AS DOUBLE))
+        |      * (CAST(observed_a AS DOUBLE) - CAST(e AS DOUBLE))
+        |      / CAST(v AS DOUBLE)
+        |    END AS DECIMAL(18,8)), 4) AS DOUBLE) AS chi2
+        |FROM s""".stripMargin,
+
+    // Gains/lift: exact-quantile decile cutoffs (the x128 machinery),
+    // band = k - (# cutoffs exceeded), bounded cumulative over the
+    // 10-row band table.
+    "x221_gains_table" -> {
+      val cuts = (1 to 9).map(i => s"q$i" -> i * 100)
+      val bandExpr = (1 to 9).map(i => s"CAST(s > q$i AS INT)")
+        .mkString(" + ")
+      s"""WITH rws AS (SELECT CAST(o_totalprice AS DOUBLE) AS s,
+         |  CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+         |    AS y
+         |  FROM orders
+         |  WHERE o_totalprice IS NOT NULL
+         |    AND o_orderpriority IS NOT NULL),
+         |${exactQuantileCtes("rws", Seq(), "s", cuts, 6, "g")},
+         |b AS (SELECT 10 - ($bandExpr) AS band, y
+         |  FROM rws CROSS JOIN gq),
+         |bb AS (SELECT band, COUNT(*) AS n, SUM(y) AS n_pos
+         |  FROM b GROUP BY 1),
+         |c AS (SELECT band, n, n_pos,
+         |  SUM(n) OVER (ORDER BY band
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+         |  SUM(n_pos) OVER (ORDER BY band
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+         |  SUM(n) OVER () AS tn, SUM(n_pos) OVER () AS tp FROM bb)
+         |SELECT CAST(band AS BIGINT) AS band, CAST(n AS BIGINT) AS n,
+         |  CAST(n_pos AS BIGINT) AS n_pos,
+         |  CAST(ROUND(CAST(CASE WHEN tp > 0 THEN
+         |      CAST(cp AS DOUBLE) / CAST(tp AS DOUBLE)
+         |    END AS DECIMAL(18,8)), 6) AS DOUBLE) AS cum_capture,
+         |  CAST(ROUND(CAST(CASE WHEN tp > 0 AND cn > 0 THEN
+         |      (CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE))
+         |      / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE))
+         |    END AS DECIMAL(18,8)), 6) AS DOUBLE) AS cum_lift
+         |FROM c ORDER BY band""".stripMargin
+    },
+
+    // Value coverage: distinct values by (count desc, value), integer-
+    // exact crossing compares (cum*100 vs pct*N).
+    "x222_value_coverage" ->
+      """WITH pv AS (SELECT CAST(l_partkey AS VARCHAR) AS v,
+        |  COUNT(*) AS n FROM lineitem WHERE l_partkey IS NOT NULL
+        |  GROUP BY 1),
+        |c AS (SELECT v, n, SUM(n) OVER (ORDER BY n DESC, v
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM pv),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nrows,
+        |  COUNT(*) AS nd FROM pv)
+        |SELECT t.nrows AS n_rows, t.nd AS n_distinct,
+        |  CAST(SUM(CASE WHEN cum * 100 < 50 * t.nrows THEN 1 ELSE 0
+        |    END) + 1 AS BIGINT) AS k50,
+        |  CAST(SUM(CASE WHEN cum * 100 < 90 * t.nrows THEN 1 ELSE 0
+        |    END) + 1 AS BIGINT) AS k90,
+        |  CAST(SUM(CASE WHEN cum * 100 < 99 * t.nrows THEN 1 ELSE 0
+        |    END) + 1 AS BIGINT) AS k99
+        |FROM c CROSS JOIN t GROUP BY 1, 2""".stripMargin,
+
+    // Flesch readability: whitespace words, [.!?]+ sentence runs
+    // (floored at 1), vowel-group syllables over the whole text.
+    "x223_readability" ->
+      """WITH c AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+        |  CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |    AS BIGINT) AS sn,
+        |  CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+        |    AS BIGINT) AS sy,
+        |  LENGTH(text) AS lc
+        |  FROM documents)
+        |SELECT doc_id, w AS n_words, sn AS n_sentences,
+        |  sy AS n_syllables,
+        |  CAST(ROUND(CAST(CASE WHEN lc > 0 AND sy > 0 THEN
+        |      206.835e0 - 1.015e0 * (CAST(w AS DOUBLE)
+        |        / CAST(sn AS DOUBLE))
+        |      - 84.6e0 * (CAST(sy AS DOUBLE) / CAST(w AS DOUBLE))
+        |    END AS DECIMAL(18,8)), 4) AS DOUBLE) AS flesch
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Periodicity scan: fold positions t mod p for p in 2..10, exact
+    // per-position decimal sums, round-then-add SS_between terms,
+    // one float R2 per (key, period).
+    "x224_periodicity_scan" ->
+      s"""WITH $dailyCte,
+         |r AS (SELECT user_id AS k, day AS d,
+         |  CAST(demand AS DECIMAL(18,6)) AS y FROM daily
+         |  WHERE demand IS NOT NULL),
+         |f0 AS (SELECT k, MIN(d) AS d0 FROM r GROUP BY 1),
+         |ix AS (SELECT r.k, date_diff('day', f0.d0, r.d) AS t, y
+         |  FROM r JOIN f0 ON r.k = f0.k),
+         |mo AS (SELECT k, COUNT(*) AS n,
+         |  CAST(SUM(y) AS DECIMAL(24,6)) AS s,
+         |  CAST(SUM(CAST(y * y AS DECIMAL(24,12))) AS DECIMAL(24,12))
+         |    AS ss FROM ix GROUP BY 1),
+         |fo AS (SELECT ix.k, pp.p, ix.t % pp.p AS j,
+         |  COUNT(*) AS nj, CAST(SUM(y) AS DECIMAL(24,6)) AS sj
+         |  FROM ix CROSS JOIN (SELECT CAST(gg AS INT) AS p
+         |    FROM generate_series(2, 10) tt(gg)) pp
+         |  GROUP BY 1, 2, 3),
+         |wm AS (SELECT fo.k, fo.p,
+         |  ROUND(CAST(fo.nj
+         |    * (CAST(ROUND(CAST(CAST(fo.sj AS DOUBLE) / fo.nj
+         |        AS DECIMAL(18,8)), 6) AS DOUBLE)
+         |      - CAST(ROUND(CAST(CAST(mo.s AS DOUBLE) / mo.n
+         |        AS DECIMAL(18,8)), 6) AS DOUBLE))
+         |    * (CAST(ROUND(CAST(CAST(fo.sj AS DOUBLE) / fo.nj
+         |        AS DECIMAL(18,8)), 6) AS DOUBLE)
+         |      - CAST(ROUND(CAST(CAST(mo.s AS DOUBLE) / mo.n
+         |        AS DECIMAL(18,8)), 6) AS DOUBLE))
+         |    AS DECIMAL(18,8)), 8) AS term,
+         |  mo.n, mo.s, mo.ss
+         |  FROM fo JOIN mo ON fo.k = mo.k),
+         |ag AS (SELECT k, p, MAX(n) AS n_obs, SUM(term) AS ssb,
+         |  MAX(ss) AS ss2, MAX(s) AS s2 FROM wm GROUP BY 1, 2)
+         |SELECT k AS user_id, CAST(p AS BIGINT) AS period,
+         |  CAST(n_obs AS BIGINT) AS n_obs,
+         |  CAST(ROUND(CAST(CASE WHEN
+         |      CAST(ss2 AS DOUBLE) - CAST(n_obs AS DOUBLE)
+         |        * CAST(ROUND(CAST(CAST(s2 AS DOUBLE) / n_obs
+         |          AS DECIMAL(18,8)), 6) AS DOUBLE)
+         |        * CAST(ROUND(CAST(CAST(s2 AS DOUBLE) / n_obs
+         |          AS DECIMAL(18,8)), 6) AS DOUBLE) > 0
+         |    THEN CAST(ssb AS DOUBLE)
+         |      / (CAST(ss2 AS DOUBLE) - CAST(n_obs AS DOUBLE)
+         |        * CAST(ROUND(CAST(CAST(s2 AS DOUBLE) / n_obs
+         |          AS DECIMAL(18,8)), 6) AS DOUBLE)
+         |        * CAST(ROUND(CAST(CAST(s2 AS DOUBLE) / n_obs
+         |          AS DECIMAL(18,8)), 6) AS DOUBLE))
+         |    END AS DECIMAL(18,8)), 4) AS DOUBLE) AS r2
+         |FROM ag ORDER BY user_id, period""".stripMargin,
+
+    // EWMA chart: the x205 moment/fold machinery with an EWMA
+    // recursion and steady-state limits; the limit multiplier is the
+    // SAME Scala-computed shortest-round-trip double literal the Spark
+    // side folds with, so the violation compares see identical bits.
+    "x225_ewma_chart" -> {
+      val lambda = 0.2
+      val beta = 1.0 - lambda
+      val lim = 3.0 * math.sqrt(lambda / (2.0 - lambda))
+      val z = s"${lambda}e0 * xw[1] + ${beta}e0 * acc[1]"
+      val viol = s"CASE WHEN ($z) > mu + ${lim}e0 * sd " +
+        s"OR ($z) < mu - ${lim}e0 * sd THEN 1.0e0 ELSE 0.0e0 END"
+      s"""WITH $dailyCte,
+         |ag AS (SELECT user_id, COUNT(*) AS n_obs,
+         |  CAST(SUM(CAST(demand AS DECIMAL(18,6))) AS DECIMAL(24,6))
+         |    AS sv,
+         |  CAST(SUM(CAST(CAST(demand AS DECIMAL(18,6))
+         |      * CAST(demand AS DECIMAL(18,6)) AS DECIMAL(24,12)))
+         |    AS DECIMAL(24,12)) AS svv,
+         |  list(CAST(CAST(demand AS DECIMAL(18,6)) AS DOUBLE)
+         |    ORDER BY day) AS ys
+         |  FROM daily GROUP BY 1),
+         |m AS (SELECT user_id, n_obs, ys,
+         |  CAST(ROUND(CAST(CAST(sv AS DOUBLE) / n_obs
+         |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS mu,
+         |  CASE WHEN n_obs < 2 THEN 0.0e0
+         |  ELSE CAST(ROUND(CAST(SQRT(GREATEST(0.0e0,
+         |    (CAST(svv AS DOUBLE)
+         |      - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n_obs)
+         |    / (n_obs - 1)))
+         |    AS DECIMAL(18,8)), 6) AS DOUBLE) END AS sd
+         |  FROM ag),
+         |f AS (SELECT user_id, n_obs, mu, sd,
+         |  list_reduce(
+         |    list_prepend([mu, 0.0e0, 0.0e0, 1.0e0],
+         |      [[y, 0.0e0, 0.0e0, 0.0e0] for y in ys]),
+         |    (acc, xw) -> [
+         |      $z,
+         |      acc[2] + ($viol),
+         |      CASE WHEN acc[3] > 0.0e0 THEN acc[3]
+         |           WHEN ($viol) = 1.0e0 THEN acc[4]
+         |           ELSE 0.0e0 END,
+         |      acc[4] + 1.0e0]) AS rs
+         |  FROM m)
+         |SELECT user_id, n_obs, mu AS mean, sd,
+         |  CAST(ROUND(CAST(rs[1] AS DECIMAL(18,8)), 4) AS DOUBLE)
+         |    AS ewma_final,
+         |  CAST(rs[2] AS BIGINT) AS n_violations,
+         |  CASE WHEN rs[3] > 0.0e0 THEN CAST(rs[3] AS BIGINT) END
+         |    AS first_violation
+         |FROM f ORDER BY user_id""".stripMargin
+    },
+
+    // Discount-depth response: exact DECIMAL(4,2) levels, decimal
+    // volume sums, one division per share, zero-discount baseline via
+    // a left join so a baseline-free input keeps every level.
+    "x226_discount_response" ->
+      """WITH r AS (SELECT CAST(l_discount AS DECIMAL(4,2)) AS disc,
+        |  CAST(l_quantity AS DECIMAL(28,2)) AS q,
+        |  CAST(l_extendedprice * (1.0e0 - l_discount)
+        |    AS DECIMAL(28,2)) AS rev
+        |  FROM lineitem
+        |  WHERE l_discount IS NOT NULL AND l_quantity IS NOT NULL),
+        |bl AS (SELECT disc, COUNT(*) AS n_lines, SUM(q) AS qty,
+        |  SUM(rev) AS rv FROM r GROUP BY 1),
+        |t AS (SELECT SUM(q) AS tq, SUM(rev) AS tr FROM r),
+        |base AS (SELECT CAST(ROUND(CAST(CAST(qty AS DOUBLE) / n_lines
+        |  AS DECIMAL(18,8)), 6) AS DOUBLE) AS b FROM bl
+        |  WHERE disc = CAST(0 AS DECIMAL(4,2)))
+        |SELECT CAST(bl.disc AS DOUBLE) AS discount, bl.n_lines,
+        |  ROUND(CAST(bl.qty AS DOUBLE), 2) AS total_qty,
+        |  CAST(ROUND(CAST(CAST(bl.qty AS DOUBLE) / bl.n_lines
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS avg_qty,
+        |  CAST(ROUND(CAST(CAST(bl.qty AS DOUBLE) / CAST(t.tq AS DOUBLE)
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS qty_share,
+        |  CAST(ROUND(CAST(CAST(bl.rv AS DOUBLE) / CAST(t.tr AS DOUBLE)
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS rev_share,
+        |  CAST(ROUND(CAST(CASE WHEN base.b > 0 THEN
+        |      CAST(ROUND(CAST(CAST(bl.qty AS DOUBLE) / bl.n_lines
+        |        AS DECIMAL(18,8)), 6) AS DOUBLE) / base.b
+        |    END AS DECIMAL(18,8)), 6) AS DOUBLE) AS qty_uplift
+        |FROM bl CROSS JOIN t LEFT JOIN base ON TRUE
+        |ORDER BY discount""".stripMargin,
+
+    // Robust per-source normalization: the x156 median/MAD exact-
+    // quantile chain per source, z emitted per document.
+    "x227_robust_normalize" -> {
+      s"""WITH rws AS (SELECT doc_id, source AS g,
+         |  CAST(n_chars AS DOUBLE) AS vd,
+         |  CAST(n_chars AS DECIMAL(18,6)) AS v
+         |  FROM documents WHERE n_chars IS NOT NULL),
+         |${exactQuantileCtes("rws", Seq("g"), "v",
+             Seq("med" -> 500), 6, "m")},
+         |ad AS (SELECT r.doc_id, r.g, r.vd, q.med,
+         |  CAST(ABS(r.v - q.med) AS DECIMAL(18,6)) AS av
+         |  FROM rws r JOIN mq q ON r.g = q.g),
+         |${exactQuantileCtes("ad", Seq("g"), "av",
+             Seq("mad" -> 500), 6, "d")}
+         |SELECT a.doc_id, a.g AS source, a.vd AS value,
+         |  CASE WHEN d.mad > 0 THEN
+         |    CAST(ROUND(CAST(0.6745e0 * (a.vd - CAST(a.med AS DOUBLE))
+         |      / CAST(d.mad AS DOUBLE) AS DECIMAL(18,8)), 4) AS DOUBLE)
+         |  END AS robust_z
+         |FROM ad a JOIN dq d ON a.g = d.g
+         |ORDER BY a.doc_id""".stripMargin
+    },
+
     // Basket-size profile: two exact count aggregates, one division.
     "x208_basket_profile" ->
       """WITH po AS (SELECT l_orderkey, COUNT(*) AS n_lines

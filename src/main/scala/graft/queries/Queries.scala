@@ -2376,6 +2376,81 @@ object Queries {
     TimeSeries.conversionLatency(Tables.events(s, dir), "user_id",
       "ts", "event_type", "click", "purchase")
 
+  /** X183 — degree assortativity of the x141 co-purchase graph:
+    * Pearson r of endpoint degrees over symmetrized canon edges. */
+  def x218(s: SparkSession, dir: String): DataFrame = {
+    val oi = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = oi.as("l").join(oi.as("r"), Seq("l_orderkey"))
+      .filter(col("l.l_partkey") < col("r.l_partkey"))
+      .groupBy(col("l.l_partkey").as("src"), col("r.l_partkey").as("dst"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2)
+    graft.operators.Graph.degreeAssortativity(pairs, "src", "dst")
+  }
+
+  /** X184 — Kruskal–Wallis H of event value across event types:
+    * midranks per distinct value, exact decimal rank sums, tie
+    * correction. */
+  def x219(s: SparkSession, dir: String): DataFrame =
+    Evaluation.kruskalWallis(Tables.events(s, dir),
+      col("event_type"), col("value"))
+
+  /** X185 — log-rank test between the x167 md5 A/B user halves:
+    * kaplanMeier lifetimes, observed-vs-expected group-A events. */
+  def x220(s: SparkSession, dir: String): DataFrame =
+    Evaluation.logRank(Tables.events(s, dir), "user_id", "ts",
+      groupA =
+        substring(md5(col("user_id").cast("string")), 1, 1) < "8")
+
+  /** X186 — gains/lift table: order total price as the score, urgent
+    * priority as the positive label, 10 exact-quantile bands. */
+  def x221(s: SparkSession, dir: String): DataFrame =
+    Evaluation.gainsTable(Tables.orders(s, dir),
+        score = col("o_totalprice"),
+        label = (col("o_orderpriority") === "1-URGENT").cast("long"),
+        k = 10)
+      .orderBy("band")
+
+  /** X187 — value coverage of l_partkey: distinct parts covering
+    * 50/90/99% of lineitem rows (integer-exact crossings). */
+  def x222(s: SparkSession, dir: String): DataFrame =
+    Profiling.valueCoverage(Tables.lineitem(s, dir), "l_partkey")
+
+  /** X188 — Flesch readability per document: whitespace words,
+    * [.!?]+ sentences (floored at 1), vowel-group syllables. */
+  def x223(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.readability(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** X189 — periodicity scan of per-user daily demand: seasonal-ANOVA
+    * R² for every fold period 2..10 (trig-free periodogram). */
+  def x224(s: SparkSession, dir: String): DataFrame =
+    Forecast.periodicityScan(dailyDemand(s, dir), "user_id", "day",
+        "demand", maxPeriod = 10)
+      .orderBy("user_id", "period")
+
+  /** X190 — EWMA control chart over per-user daily demand: steady-
+    * state limits, violation count, first violation index. */
+  def x225(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.ewmaChart(dailyDemand(s, dir), "user_id", "day",
+        "demand")
+      .orderBy("user_id")
+
+  /** X191 — discount-depth response curve: per exact discount level,
+    * volumes, shares, and quantity uplift vs zero discount. */
+  def x226(s: SparkSession, dir: String): DataFrame =
+    Retail.discountResponse(Tables.lineitem(s, dir),
+        "l_discount", "l_quantity", "l_extendedprice")
+      .orderBy("discount")
+
+  /** X192 — robust per-source normalization of document length:
+    * modified z vs each source's median/MAD. */
+  def x227(s: SparkSession, dir: String): DataFrame =
+    Profiling.robustNormalize(Tables.documents(s, dir), Seq("source"),
+        "doc_id", "n_chars")
+      .orderBy("doc_id")
+
   /** X177 — duplicate-cluster profile over the exact-dup clusters
     * (cluster = min doc_id per text): size histogram + chars saved.
     * The gate partitions by raw text (oracle-identical); the 100 TB
@@ -2645,5 +2720,15 @@ object Queries {
     "x214_abc_xyz" -> (x214 _),
     "x215_dup_cluster_profile" -> (x215 _),
     "x216_price_changes" -> (x216 _),
-    "x217_conversion_latency" -> (x217 _))
+    "x217_conversion_latency" -> (x217 _),
+    "x218_assortativity" -> (x218 _),
+    "x219_kruskal_wallis" -> (x219 _),
+    "x220_logrank" -> (x220 _),
+    "x221_gains_table" -> (x221 _),
+    "x222_value_coverage" -> (x222 _),
+    "x223_readability" -> (x223 _),
+    "x224_periodicity_scan" -> (x224 _),
+    "x225_ewma_chart" -> (x225 _),
+    "x226_discount_response" -> (x226 _),
+    "x227_robust_normalize" -> (x227 _))
 }

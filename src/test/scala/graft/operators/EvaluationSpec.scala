@@ -200,4 +200,55 @@ class EvaluationSpec extends SparkSpec {
     assert(Evaluation.gini(empty, col("v"), col("id"))
       .select("gini").as[Option[Double]].head().isEmpty)
   }
+
+  test("kruskalWallis: hand H with and without ties, tie correction") {
+    // a=(1,2), b=(3,4): ranks 1..4, Ra=3, Rb=7
+    // H = 12/(4·5)·(9/2 + 49/2) − 3·5 = 2.4; no ties -> corrected equal
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0))
+      .toDF("g", "v")
+    val r = Evaluation.kruskalWallis(df, col("g"), col("v")).head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L, s"got $r")
+    assert(r.getDouble(2) == 2.4 && r.getDouble(3) == 2.4, s"got $r")
+    // a=(1,1), b=(2,2): midranks 1.5/3.5, same H; T = 12,
+    // C = 1 − 12/60 = 0.8 -> corrected 3.0
+    val tied = Seq(("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0))
+      .toDF("g", "v")
+    val t = Evaluation.kruskalWallis(tied, col("g"), col("v")).head()
+    assert(t.getDouble(2) == 2.4 && t.getDouble(3) == 3.0, s"got $t")
+    // all values identical: C = 0 -> null corrected, never a crash
+    val const = Seq(("a", 5.0), ("b", 5.0)).toDF("g", "v")
+    assert(Evaluation.kruskalWallis(const, col("g"), col("v"))
+      .head().isNullAt(3))
+  }
+
+  test("logRank: identical survival in both groups gives chi2 = 0") {
+    import java.sql.Timestamp
+    def ts(day: Int) = new Timestamp(day * 86400000L)
+    // durations (1, 2) in each group, censorLastDays = 0 -> all events
+    val events = Seq(
+      ("u1", ts(0)), ("u1", ts(1)),
+      ("u2", ts(0)), ("u2", ts(2)),
+      ("u3", ts(0)), ("u3", ts(1)),
+      ("u4", ts(0)), ("u4", ts(2))).toDF("user", "t")
+    val r = Evaluation.logRank(events, "user", "t",
+      groupA = col("user").isin("u1", "u2"), censorLastDays = 0).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L, s"got $r")
+    assert(r.getLong(2) == 2L && r.getDouble(3) == 2.0, s"got $r")
+    assert(r.getDouble(4) == 0.0, s"identical curves must give chi2 0: $r")
+  }
+
+  test("gainsTable: hand deciles over scores 1..10, top band captures everything") {
+    val df = (1 to 10).map(i => (i.toDouble, if (i >= 9) 1L else 0L))
+      .toDF("s", "y")
+    val got = Evaluation.gainsTable(df, col("s"), col("y"), k = 5)
+      .orderBy("band")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    // cutoffs 2.8/4.6/6.4/8.2: bands of 2; positives (9, 10) in band 1
+    assert(got.map(g => (g._1, g._2, g._3)) ==
+      (1 to 5).map(b => (b.toLong, 2L, if (b == 1) 2L else 0L)),
+      s"got $got")
+    assert(got.head._4 == 1.0 && got.head._5 == 5.0, s"got ${got.head}")
+    assert(got(1)._4 == 1.0 && got(1)._5 == 2.5, s"got ${got(1)}")
+    assert(got.last._5 == 1.0, s"full population lift is 1: ${got.last}")
+  }
 }

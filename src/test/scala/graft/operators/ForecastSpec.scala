@@ -383,4 +383,27 @@ class ForecastSpec extends SparkSpec {
       ("b", 4L, 0L, 0.0),
       ("c", 3L, -3L, -1.0)), s"got $got")
   }
+
+  test("periodicityScan: a pure period-2 alternation scores R2 = 1 at p = 2, 0 at p = 3") {
+    import java.sql.Date
+    import spark.implicits._
+    val d0 = Date.valueOf("2024-01-01")
+    def day(i: Int) = new Date(d0.getTime + i * 86400000L)
+    val df = (0 until 6).map(i =>
+      ("k", day(i), if (i % 2 == 0) 1.0 else 3.0)).toDF("k", "d", "v")
+    val got = Forecast.periodicityScan(df, "k", "d", "v", maxPeriod = 4)
+      .orderBy("period")
+      .as[(String, Long, Long, Option[Double])].collect().toSeq
+    assert(got.map(_._2) == Seq(2L, 3L, 4L))
+    assert(got(0)._4.contains(1.0), s"perfect period 2: $got")
+    assert(got(1)._4.contains(0.0), s"period 3 folds flat: $got")
+    // p = 4 is a harmonic-free fold of a period-2 signal: positions
+    // (1,3,1,3) -> still perfectly separated, R2 = 1
+    assert(got(2)._4.contains(1.0), s"period 4 inherits period 2: $got")
+    // constant series: SS_total = 0 -> null score
+    val const = (0 until 5).map(i => ("c", day(i), 2.0)).toDF("k", "d", "v")
+    assert(Forecast.periodicityScan(const, "k", "d", "v", maxPeriod = 3)
+      .as[(String, Long, Long, Option[Double])].collect()
+      .forall(_._4.isEmpty))
+  }
 }

@@ -263,4 +263,22 @@ class GraphSpec extends SparkSpec {
     assert(Graph.linkPrediction(sq, "src", "dst", topK = 10, maxDegree = 1)
       .isEmpty)
   }
+
+  test("degreeAssortativity: star graph is perfectly disassortative, regular graph has no variance") {
+    import org.apache.spark.sql.functions.col
+    // star: hub h - a/b/c, degrees (3,1,1,1): every edge pairs 3 with 1
+    // in both orientations -> r = -1 exactly
+    val star = Seq(("h", "a"), ("h", "b"), ("h", "c")).toDF("src", "dst")
+    val s = Graph.degreeAssortativity(star, "src", "dst").head()
+    assert(s.getLong(0) == 3L && s.getDouble(1) == -1.0, s"got $s")
+    // triangle: all degrees 2 -> zero variance -> null r, never NaN
+    val k3 = Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("src", "dst")
+    val t = Graph.degreeAssortativity(k3, "src", "dst").head()
+    assert(t.getLong(0) == 3L && t.isNullAt(1), s"got $t")
+    // duplicate + self-loop edges canonicalize away like triangleCount
+    val messy = Seq(("a", "b"), ("b", "a"), ("a", "a"), ("b", "c"))
+      .toDF("src", "dst")
+    assert(Graph.degreeAssortativity(messy, "src", "dst")
+      .head().getLong(0) == 2L)
+  }
 }

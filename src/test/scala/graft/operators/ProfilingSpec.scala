@@ -420,4 +420,36 @@ class ProfilingSpec extends SparkSpec {
     }.toSet
     assert(multi == single, s"multi $multi vs single $single")
   }
+
+  test("valueCoverage: head values covering 50/90/99 percent, exact integer crossings") {
+    import spark.implicits._
+    // a×5, b×3, c×1, d×1: cum desc 5, 8, 9, 10 over N=10
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c", "d"))
+      .toDF("v")
+    val r = Profiling.valueCoverage(df, "v").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((10L, 4L, 1L, 3L, 4L)), s"got $r")
+    // count ties order by value: b2 a2 c1 -> desc (a,b pick by value),
+    // k50 crossing at the second value regardless of tie order
+    val tied = (Seq.fill(2)("b") ++ Seq.fill(2)("a") ++ Seq("c")).toDF("v")
+    val t = Profiling.valueCoverage(tied, "v", Seq(50)).head()
+    assert((t.getLong(0), t.getLong(1), t.getLong(2)) == ((5L, 3L, 2L)),
+      s"got $t")
+  }
+
+  test("robustNormalize: modified z per row, constant group yields null not a blow-up") {
+    import spark.implicits._
+    val df = ((1 to 7).map(i => ("g", i.toLong, i.toDouble)) ++
+      Seq(("c", 10L, 5.0), ("c", 11L, 5.0))).toDF("grp", "id", "v")
+    val got = Profiling.robustNormalize(df, Seq("grp"), "id", "v")
+      .orderBy("id")
+      .as[(Long, String, Double, Option[Double])].collect().toSeq
+    // g: median 4, MAD 2 -> z(7) = 0.6745·3/2 = 1.01175 -> 1.0118
+    val g = got.filter(_._2 == "g")
+    assert(g.find(_._1 == 4L).get._4.contains(0.0), s"got $g")
+    assert(g.find(_._1 == 7L).get._4.contains(1.0118), s"got $g")
+    assert(g.find(_._1 == 1L).get._4.contains(-1.0118), s"got $g")
+    // constant group: MAD 0 -> null z
+    assert(got.filter(_._2 == "c").forall(_._4.isEmpty), s"got $got")
+  }
 }

@@ -236,4 +236,28 @@ class RetailSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 0.5), (2L, 1L, 0.25), (3L, 1L, 0.25)),
       s"got $got")
   }
+
+  test("discountResponse: per-level volumes, shares, and uplift vs the zero-discount baseline") {
+    val lines = Seq(
+      (0.00, 2.0, 10.0), (0.00, 2.0, 10.0), (0.10, 4.0, 10.0))
+      .toDF("disc", "qty", "price")
+    val got = Retail.discountResponse(lines, "disc", "qty", "price")
+      .orderBy("discount")
+      .as[(Double, Long, Double, Double, Double, Double, Option[Double])]
+      .collect().toSeq
+    // level 0: n=2, qty 4, avg 2, uplift 1; level .10: qty 4, avg 4,
+    // uplift 2; rev 20 vs 9 -> shares 20/29, 9/29
+    assert(got.map(g => (g._1, g._2, g._3, g._4)) ==
+      Seq((0.0, 2L, 4.0, 2.0), (0.1, 1L, 4.0, 4.0)), s"got $got")
+    assert(got(0)._5 == 0.5 && got(1)._5 == 0.5, s"qty shares: $got")
+    assert(math.abs(got(0)._6 - 20.0 / 29) < 1e-6 &&
+      math.abs(got(1)._6 - 9.0 / 29) < 1e-6, s"rev shares: $got")
+    assert(got(0)._7.contains(1.0) && got(1)._7.contains(2.0), s"got $got")
+    // no zero-discount lines: every uplift null, levels all kept
+    val noBase = Seq((0.05, 1.0, 10.0)).toDF("disc", "qty", "price")
+    val nb = Retail.discountResponse(noBase, "disc", "qty", "price")
+      .as[(Double, Long, Double, Double, Double, Double, Option[Double])]
+      .collect().toSeq
+    assert(nb.size == 1 && nb.head._7.isEmpty, s"got $nb")
+  }
 }

@@ -419,4 +419,21 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, 3L, 1L, 0L, 0.3333, 0.0),
       (3L, 1L, 1L, 1L, 1.0, 1.0)), s"got $got")
   }
+
+  test("readability: hand Flesch counts; fragment floors at one sentence; empty text null") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Hello world. It is fun!"), // 5 words, 2 sentences, 6 syllables
+      (2L, "no punctuation here"),     // fragment -> 1 sentence
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.readability(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Option[Double])].collect().toSeq
+    assert(got(0)._2 == 5L && got(0)._3 == 2L && got(0)._4 == 6L,
+      s"got ${got(0)}")
+    val f = 206.835 - 1.015 * (5.0 / 2.0) - 84.6 * (6.0 / 5.0)
+    assert(got(0)._5.exists(v => math.abs(v - f) < 1e-9), s"got ${got(0)}")
+    assert(got(1)._3 == 1L && got(1)._5.nonEmpty, s"got ${got(1)}")
+    assert(got(2)._5.isEmpty, s"empty text has no score: ${got(2)}")
+  }
 }

@@ -746,4 +746,25 @@ class TimeSeriesSpec extends SparkSpec {
       .as[(Double, Double, Long)].collect()(0)
     assert(c == ((0.0, 0.0, 0L)), s"got $c")
   }
+
+  test("ewmaChart: hand recursion, violation index, and the quiet no-shift case") {
+    import spark.implicits._
+    // 10,10,10,10,20: mu = 12, sd = sqrt(20) -> 4.472136 (6dp)
+    // lambda=.5, L=1: lim = sqrt(.5/1.5); z walks 11, 10.5, 10.25,
+    // 10.125, then 15.0625 on the jump
+    val df = (Seq.fill(4)(10.0) :+ 20.0).zipWithIndex
+      .map { case (v, i) => ("k", i + 1L, v) }.toDF("k", "o", "v")
+    val quiet = TimeSeries.ewmaChart(df, "k", "o", "v",
+        lambda = 0.5, lSigma = 3.0).head()
+    assert(quiet.getLong(1) == 5L && quiet.getDouble(2) == 12.0 &&
+      quiet.getDouble(3) == 4.472136, s"got $quiet")
+    assert(quiet.getDouble(4) == 15.0625 && quiet.getLong(5) == 0L &&
+      quiet.isNullAt(6), s"wide limits must stay quiet: $quiet")
+    // L=1 narrows the band: ucl = 12 + sqrt(.5/1.5)·4.472136 ≈ 14.58 —
+    // only the post-jump z (15.0625, the 5th fold step) violates
+    val tight = TimeSeries.ewmaChart(df, "k", "o", "v",
+        lambda = 0.5, lSigma = 1.0).head()
+    assert(tight.getLong(5) == 1L && tight.getLong(6) == 5L,
+      s"got $tight")
+  }
 }
