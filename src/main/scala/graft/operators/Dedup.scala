@@ -1614,4 +1614,41 @@ object Dedup {
         sum(col("__size")).as("n_docs"),
         sum(col("__saved")).as("chars_saved"))
   }
+
+  /** X195 — prefix-duplication rate per source: the share of each
+    * source's documents whose first `prefixLen` characters are shared
+    * by at least one other document ANYWHERE in the corpus — the
+    * cheap templated-boilerplate tripwire (shared headers, scraped
+    * navigation, licence preambles) that full near-dup banding
+    * (x41/x70) is overkill for and per-doc repetition stats (x96)
+    * can't see across documents. A source with a high rate is a
+    * template farm; route it to the paragraph-level boilerplate pass
+    * (x101) before token budgets are spent on it.
+    *
+    * Shape: ONE count aggregate keyed on the prefix (corpus-wide
+    * groups — at 100 TB swap the raw prefix key for sha2(prefix, 256)
+    * exactly like the exact-dedup digest shuffle; the gate keys on
+    * the raw prefix, oracle-identical), joined back broadcast-or-
+    * shuffle by AQE, then one per-source counting aggregate. Exact
+    * integer counts; the one rate division stabilizes through
+    * DECIMAL(18,8).
+    */
+  def prefixDupRate(
+      df: DataFrame, idCol: String, textCol: String, sourceCol: String,
+      prefixLen: Int = 64, roundDigits: Int = 6): DataFrame = {
+    require(prefixLen >= 1, s"prefixLen must be positive: $prefixLen")
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val rows = df.select(col(idCol), col(sourceCol).as("source"),
+      substring(col(textCol), 1, prefixLen).as("__pfx"))
+    val groups = rows.groupBy(col("__pfx"))
+      .agg(count(lit(1)).as("__gsz"))
+    rows.join(groups, Seq("__pfx"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("__gsz") >= 2).cast("long")).as("n_prefix_dup"))
+      .select(col("source"), col("n_docs"), col("n_prefix_dup"),
+        round((col("n_prefix_dup").cast("double")
+          / col("n_docs").cast("double")).cast(stable), roundDigits)
+          .cast("double").as("dup_rate"))
+  }
 }

@@ -567,4 +567,43 @@ object Evaluation {
             / (col("__tp").cast("double") / col("__tn").cast("double")))
           .cast(stable), roundDigits).cast("double").as("cum_lift"))
   }
+
+  /** X196 — Theil T inequality index per group:
+    * `T = (1/n)·Σ (x/μ)·ln(x/μ)` over positive values — the
+    * entropy-based inequality measure next to [[gini]]: T = 0 means
+    * equal shares, ln(n) means one holder has everything, and unlike
+    * Gini it DECOMPOSES additively into between-group + within-group
+    * terms, which is why mix audits prefer it. Zero/negative values
+    * are excluded (the standard convention — ln is undefined there).
+    *
+    * μ comes from exact decimal sums rounded to a 6 dp double (the
+    * cusum discipline); each (x/μ)·ln(x/μ) term rounds to
+    * DECIMAL(18,8) BEFORE the exact per-group sum (round-then-add —
+    * row order must not leak through double addition), and the final
+    * 1/n division is one float step. Constant groups land exactly at
+    * 0; degenerate μ ≤ 0 cannot occur (positive values only).
+    */
+  def theilIndex(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      roundDigits: Int = 6): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val gs = groupCols.map(col)
+    val rows = df.filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(gs :+ col(valueCol).cast(dec).as("__v"): _*)
+    val tots = rows.groupBy(gs: _*)
+      .agg(count(lit(1)).as("__n"), sum(col("__v")).as("__s"))
+    val renamed = groupCols.foldLeft(tots)((d, c) =>
+      d.withColumnRenamed(c, s"__t_$c"))
+    val joinCond = (groupCols.map(c => col(c) <=> col(s"__t_$c"))
+      :+ lit(true)).reduce(_ && _)
+    val mu = round((col("__s").cast("double") / col("__n"))
+      .cast(stable), 6).cast("double")
+    val ratio = col("__v").cast("double") / mu
+    rows.join(renamed, joinCond)
+      .groupBy(gs: _*)
+      .agg(first(col("__n")).as("n"), first(mu).as("mean"),
+        round((sum(round((ratio * log(ratio)).cast(stable), 8))
+          .cast("double") / first(col("__n")))
+          .cast(stable), roundDigits).cast("double").as("theil"))
+  }
 }

@@ -232,6 +232,16 @@ object Profiling {
     */
   def chiSquare(df: DataFrame, colA: String, colB: String,
       scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+    : DataFrame =
+    chiSquareFull(df, colA, colB, scope)
+      .select(col("chi2"), col("dof"), col("n"))
+
+  /** [[chiSquare]]'s grid with the level counts kept — [[cramersV]]
+    * needs min(r−1, c−1) for its normalizer, x122's public shape does
+    * not carry it. */
+  private[graft] def chiSquareFull(
+      df: DataFrame, colA: String, colB: String,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
     : DataFrame = {
     // cells is r×c cardinality; persist so the marginals, the totals,
     // and the grid all derive from ONE scan of the raw data instead of
@@ -252,7 +262,42 @@ object Profiling {
       .agg(
         round(sum((o - exp) * (o - exp) / exp), 4).as("chi2"),
         ((first(col("__r")) - 1) * (first(col("__c")) - 1)).as("dof"),
-        first(col("__n")).as("n"))
+        first(col("__n")).as("n"),
+        (first(col("__r")) - 1).as("__rm1"),
+        (first(col("__c")) - 1).as("__cm1"))
+  }
+
+  /** X193 — Cramér's V association matrix: for every unordered pair
+    * of categorical columns, the chi-square statistic and
+    * `V = sqrt(χ² / (n·min(r−1, c−1)))` — the [0,1]-normalized "how
+    * strongly do these two dimensions determine each other" screen
+    * that a raw χ² (scale-dependent) can't rank across pairs; the
+    * categorical complement of x97's numeric correlation matrix and
+    * the pairwise extension of x149's mutual information.
+    *
+    * One [[chiSquare]] grid per pair, unioned (the infoGainReport
+    * shape — pair count is k·(k−1)/2, driver-bounded by the column
+    * LIST, never the data). V reuses the grid's 4dp-rounded χ² (the
+    * x122-pinned statistic) in one float chain stabilized through
+    * DECIMAL(18,8). Degenerate pairs (either side constant:
+    * min(r−1, c−1) = 0) emit null V, never a division error.
+    */
+  def cramersV(df: DataFrame, cols: Seq[String],
+      roundDigits: Int = 4): DataFrame = {
+    require(cols.size >= 2, s"need at least 2 columns, got $cols")
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    pairs.map { case (a, b) =>
+      val minDim = least(col("__rm1"), col("__cm1"))
+      chiSquareFull(df, a, b)
+        .select(lit(a).as("col_a"), lit(b).as("col_b"),
+          col("n"), col("chi2"), col("dof"),
+          round(when(minDim >= 1 && col("n") > 0,
+            sqrt(col("chi2") / (col("n") * minDim)))
+            .cast(stable), roundDigits).cast("double").as("cramers_v"))
+    }.reduce(_ unionAll _)
   }
 
   /** X135 — information-gain feature ranking: [[mutualInfo]] of every

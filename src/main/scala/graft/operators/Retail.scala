@@ -567,6 +567,49 @@ object Retail {
     * no baseline rows → null uplift. One map-side-combinable agg to
     * the ≤101-level frame.
     */
+  /** X194 — Herfindahl–Hirschman concentration index per group: with
+    * each entity's share of the group total, `HHI = Σ share²` — the
+    * antitrust-standard "is this market/supply base concentrated"
+    * number (1/k = k equal players, 1 = monopoly); next to x136's
+    * Gini it answers concentration at ENTITY grain (who dominates)
+    * rather than distribution shape. In a curation pipeline the same
+    * statistic audits source dominance inside a training mix.
+    *
+    * Two map-side-combinable decimal aggregates (entity sums, group
+    * totals); each entity's share² term rounds to DECIMAL(18,8)
+    * BEFORE the exact per-group sum (round-then-add — entity
+    * iteration order must not leak), top share is a max over the
+    * same exact shares. Zero/negative-total groups emit null HHI.
+    */
+  def hhiConcentration(
+      df: DataFrame,
+      groupCols: Seq[String], entityCol: String, valueCol: String,
+      roundDigits: Int = 6): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 2)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val gs = groupCols.map(col)
+    val perEnt = df.filter(col(valueCol).isNotNull)
+      .groupBy(gs :+ col(entityCol).as("__e"): _*)
+      .agg(F.sum(col(valueCol).cast(dec)).as("__v"))
+    val tots = perEnt.groupBy(gs: _*)
+      .agg(F.sum(col("__v")).as("__tot"), F.count(F.lit(1)).as("__ne"))
+    val renamed = groupCols.foldLeft(tots)((d, c) =>
+      d.withColumnRenamed(c, s"__t_$c"))
+    val joinCond = (groupCols.map(c => col(c) <=> col(s"__t_$c"))
+      :+ F.lit(true)).reduce(_ && _)
+    val share = col("__v").cast("double") / col("__tot").cast("double")
+    perEnt.join(renamed, joinCond)
+      .groupBy(gs: _*)
+      .agg(
+        F.first(col("__ne")).as("n_entities"),
+        F.round(F.first(col("__tot")).cast("double"), 2).as("total"),
+        F.round(F.max(F.when(col("__tot") > 0, share)).cast(stable),
+          roundDigits).cast("double").as("top_share"),
+        F.round(F.sum(F.round(F.when(col("__tot") > 0, share * share)
+          .cast(stable), 8)).cast(stable), roundDigits)
+          .cast("double").as("hhi"))
+  }
+
   def discountResponse(
       lineitems: DataFrame,
       discountCol: String, qtyCol: String, priceCol: String,

@@ -3879,6 +3879,109 @@ object OracleSql {
         |FROM bl CROSS JOIN t LEFT JOIN base ON TRUE
         |ORDER BY discount""".stripMargin,
 
+    // Cramer's V matrix: one x122 grid per column pair, V from the
+    // 4dp-pinned chi2 in one float chain.
+    "x228_cramers_v" -> {
+      def pair(a: String, b: String, p: String): String =
+        s"""${p}c AS (SELECT $a AS a, $b AS b, COUNT(*) AS o FROM li
+           |  GROUP BY 1, 2),
+           |${p}rt AS (SELECT a, SUM(o) AS ra FROM ${p}c GROUP BY 1),
+           |${p}ct AS (SELECT b, SUM(o) AS cb FROM ${p}c GROUP BY 1),
+           |${p}t AS (SELECT SUM(o) AS n, COUNT(DISTINCT a) AS r,
+           |  COUNT(DISTINCT b) AS c FROM ${p}c),
+           |${p}g AS (SELECT a, b, ra, cb, COALESCE(o, 0) AS o
+           |  FROM ${p}rt CROSS JOIN ${p}ct
+           |  LEFT JOIN ${p}c USING (a, b)),
+           |${p}s AS (SELECT
+           |  ROUND(SUM((o - CAST(ra AS DOUBLE) * cb / n)
+           |      * (o - CAST(ra AS DOUBLE) * cb / n)
+           |      / (CAST(ra AS DOUBLE) * cb / n)), 4) AS chi2,
+           |  CAST((MAX(r) - 1) * (MAX(c) - 1) AS BIGINT) AS dof,
+           |  CAST(MAX(n) AS BIGINT) AS n,
+           |  MAX(r) - 1 AS rm1, MAX(c) - 1 AS cm1
+           |  FROM ${p}g CROSS JOIN ${p}t)""".stripMargin
+      def row(a: String, b: String, p: String): String =
+        s"""SELECT '$a' AS col_a, '$b' AS col_b, n, chi2, dof,
+           |  CAST(ROUND(CAST(CASE WHEN LEAST(rm1, cm1) >= 1 AND n > 0
+           |    THEN SQRT(chi2 / (n * LEAST(rm1, cm1)))
+           |    END AS DECIMAL(18,8)), 4) AS DOUBLE) AS cramers_v
+           |FROM ${p}s""".stripMargin
+      s"""WITH li AS (SELECT l_returnflag, l_linestatus,
+         |  'Q' || CAST(quarter(l_shipdate) AS VARCHAR) AS ship_q
+         |  FROM lineitem),
+         |${pair("l_returnflag", "l_linestatus", "p1")},
+         |${pair("l_returnflag", "ship_q", "p2")},
+         |${pair("l_linestatus", "ship_q", "p3")}
+         |SELECT * FROM (
+         |${row("l_returnflag", "l_linestatus", "p1")}
+         |UNION ALL
+         |${row("l_returnflag", "ship_q", "p2")}
+         |UNION ALL
+         |${row("l_linestatus", "ship_q", "p3")}
+         |) ORDER BY col_a, col_b""".stripMargin
+    },
+
+    // HHI: exact decimal entity/group sums, round-then-add share^2
+    // terms, top share a max over the same exact shares.
+    "x229_hhi" ->
+      """WITH j AS (SELECT s.s_nationkey AS nation,
+        |  l.l_suppkey AS e,
+        |  CAST(l.l_extendedprice AS DECIMAL(28,2)) AS v
+        |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE l.l_extendedprice IS NOT NULL),
+        |pe AS (SELECT nation, e, SUM(v) AS v FROM j GROUP BY 1, 2),
+        |t AS (SELECT nation, SUM(v) AS tot, COUNT(*) AS ne
+        |  FROM pe GROUP BY 1)
+        |SELECT t.nation, CAST(t.ne AS BIGINT) AS n_entities,
+        |  ROUND(CAST(t.tot AS DOUBLE), 2) AS total,
+        |  CAST(ROUND(CAST(MAX(CASE WHEN t.tot > 0 THEN
+        |      CAST(pe.v AS DOUBLE) / CAST(t.tot AS DOUBLE)
+        |    END) AS DECIMAL(18,8)), 6) AS DOUBLE) AS top_share,
+        |  CAST(ROUND(CAST(SUM(ROUND(CAST(CASE WHEN t.tot > 0 THEN
+        |      (CAST(pe.v AS DOUBLE) / CAST(t.tot AS DOUBLE))
+        |      * (CAST(pe.v AS DOUBLE) / CAST(t.tot AS DOUBLE))
+        |    END AS DECIMAL(18,8)), 8)) AS DECIMAL(18,8)), 6)
+        |    AS DOUBLE) AS hhi
+        |FROM pe JOIN t USING (nation)
+        |GROUP BY t.nation, t.ne, t.tot ORDER BY 1""".stripMargin,
+
+    // Prefix-duplication rate: one corpus-wide prefix-group count,
+    // per-source conditional count, one stabilized division.
+    "x230_prefix_dups" ->
+      """WITH r AS (SELECT doc_id, source,
+        |  substr(text, 1, 40) AS pfx FROM documents),
+        |g AS (SELECT pfx, COUNT(*) AS gsz FROM r GROUP BY 1)
+        |SELECT r.source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN g.gsz >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_prefix_dup,
+        |  CAST(ROUND(CAST(
+        |    CAST(SUM(CASE WHEN g.gsz >= 2 THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / COUNT(*)
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS dup_rate
+        |FROM r JOIN g USING (pfx) GROUP BY 1
+        |ORDER BY source""".stripMargin,
+
+    // Theil T: positive values only, 6dp mean, round-then-add
+    // (x/mu)ln(x/mu) terms, one final 1/n float step.
+    "x231_theil" ->
+      """WITH r AS (SELECT event_type AS g,
+        |  CAST(value AS DECIMAL(28,6)) AS v FROM events
+        |  WHERE value IS NOT NULL AND value > 0),
+        |t AS (SELECT g, COUNT(*) AS n, SUM(v) AS s FROM r GROUP BY 1),
+        |m AS (SELECT g, n,
+        |  CAST(ROUND(CAST(CAST(s AS DOUBLE) / n AS DECIMAL(18,8)), 6)
+        |    AS DOUBLE) AS mu FROM t)
+        |SELECT m.g AS event_type, CAST(MAX(m.n) AS BIGINT) AS n,
+        |  MAX(m.mu) AS mean,
+        |  CAST(ROUND(CAST(
+        |    CAST(SUM(ROUND(CAST(
+        |      (CAST(r.v AS DOUBLE) / m.mu)
+        |        * LN(CAST(r.v AS DOUBLE) / m.mu)
+        |      AS DECIMAL(18,8)), 8)) AS DOUBLE) / MAX(m.n)
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS theil
+        |FROM r JOIN m ON r.g = m.g GROUP BY 1
+        |ORDER BY event_type""".stripMargin,
+
     // Robust per-source normalization: the x156 median/MAD exact-
     // quantile chain per source, z emitted per document.
     "x227_robust_normalize" -> {

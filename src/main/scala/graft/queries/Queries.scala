@@ -2451,6 +2451,39 @@ object Queries {
         "doc_id", "n_chars")
       .orderBy("doc_id")
 
+  /** X193 — Cramér's V association matrix over return flag, line
+    * status, and ship quarter. */
+  def x228(s: SparkSession, dir: String): DataFrame =
+    Profiling.cramersV(
+        Tables.lineitem(s, dir).select(col("l_returnflag"),
+          col("l_linestatus"),
+          concat(lit("Q"), quarter(col("l_shipdate"))).as("ship_q")),
+        Seq("l_returnflag", "l_linestatus", "ship_q"))
+      .orderBy("col_a", "col_b")
+
+  /** X194 — HHI supplier-revenue concentration per nation. */
+  def x229(s: SparkSession, dir: String): DataFrame =
+    Retail.hhiConcentration(
+        Tables.lineitem(s, dir).join(Tables.supplier(s, dir),
+          col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_nationkey").as("nation"), col("l_suppkey"),
+            col("l_extendedprice")),
+        Seq("nation"), "l_suppkey", "l_extendedprice")
+      .orderBy("nation")
+
+  /** X195 — prefix-duplication (template/boilerplate) rate per
+    * source over 40-char prefixes. */
+  def x230(s: SparkSession, dir: String): DataFrame =
+    Dedup.prefixDupRate(Tables.documents(s, dir), "doc_id", "text",
+        "source", prefixLen = 40)
+      .orderBy("source")
+
+  /** X196 — Theil T inequality of event value per event type. */
+  def x231(s: SparkSession, dir: String): DataFrame =
+    Evaluation.theilIndex(Tables.events(s, dir), Seq("event_type"),
+        "value")
+      .orderBy("event_type")
+
   /** X177 — duplicate-cluster profile over the exact-dup clusters
     * (cluster = min doc_id per text): size histogram + chars saved.
     * The gate partitions by raw text (oracle-identical); the 100 TB
@@ -2730,5 +2763,9 @@ object Queries {
     "x224_periodicity_scan" -> (x224 _),
     "x225_ewma_chart" -> (x225 _),
     "x226_discount_response" -> (x226 _),
-    "x227_robust_normalize" -> (x227 _))
+    "x227_robust_normalize" -> (x227 _),
+    "x228_cramers_v" -> (x228 _),
+    "x229_hhi" -> (x229 _),
+    "x230_prefix_dups" -> (x230 _),
+    "x231_theil" -> (x231 _))
 }

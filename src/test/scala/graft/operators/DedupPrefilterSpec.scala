@@ -220,4 +220,20 @@ class DedupPrefilterSpec extends SparkSpec {
         dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
     dp(a.length)(b.length)
   }
+
+  test("prefixDupRate: corpus-wide prefix groups, per-source rates") {
+    import spark.implicits._
+    // "aaaaa" prefix shared across THREE docs spanning two sources —
+    // the group is corpus-wide, so s2's lone member still counts dup
+    val docs = Seq(
+      (1L, "aaaaaX", "s1"), (2L, "aaaaaY", "s1"), (3L, "bbbbbZ", "s1"),
+      (4L, "aaaaaQ", "s2"), (5L, "cccccW", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.prefixDupRate(docs, "doc_id", "text", "source",
+        prefixLen = 5)
+      .orderBy("source")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("s1", 3L, 2L, 0.666667), ("s2", 2L, 1L, 0.5)),
+      s"got $got")
+  }
 }

@@ -237,6 +237,18 @@ class EvaluationSpec extends SparkSpec {
     assert(r.getDouble(4) == 0.0, s"identical curves must give chi2 0: $r")
   }
 
+  test("theilIndex: equal shares score exactly 0, hand two-value case, nonpositives excluded") {
+    val df = Seq(("g", 5.0), ("g", 5.0), ("g", 5.0),
+      ("h", 1.0), ("h", 3.0), ("h", 0.0), ("h", -2.0)).toDF("k", "v")
+    val got = Evaluation.theilIndex(df, Seq("k"), "v")
+      .orderBy("k")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(got(0) == (("g", 3L, 5.0, 0.0)), s"got ${got(0)}")
+    // h: mu=2, terms .5·ln.5 and 1.5·ln1.5 rounded at 8dp, /2 -> .130812
+    assert(got(1)._2 == 2L && got(1)._3 == 2.0 &&
+      got(1)._4 == 0.130812, s"got ${got(1)}")
+  }
+
   test("gainsTable: hand deciles over scores 1..10, top band captures everything") {
     val df = (1 to 10).map(i => (i.toDouble, if (i >= 9) 1L else 0L))
       .toDF("s", "y")

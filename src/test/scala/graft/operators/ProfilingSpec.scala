@@ -437,6 +437,24 @@ class ProfilingSpec extends SparkSpec {
       s"got $t")
   }
 
+  test("cramersV: perfect association scores 1, constant column yields null V") {
+    import spark.implicits._
+    val df = (1 to 8).map(i =>
+      (if (i % 2 == 0) "x" else "y",
+        if (i % 2 == 0) "u" else "v", "k")).toDF("a", "b", "c")
+    val got = Profiling.cramersV(df, Seq("a", "b", "c"))
+      .orderBy("col_a", "col_b")
+      .as[(String, String, Long, Double, Long, Option[Double])]
+      .collect().toSeq
+    assert(got.map(g => (g._1, g._2)) ==
+      Seq(("a", "b"), ("a", "c"), ("b", "c")))
+    // a <-> b bijection: chi2 = n = 8, V = sqrt(8/(8*1)) = 1
+    assert(got(0)._4 == 8.0 && got(0)._6.contains(1.0), s"got ${got(0)}")
+    // constant c: min(r-1, c-1) = 0 -> null V, dof 0
+    assert(got(1)._5 == 0L && got(1)._6.isEmpty, s"got ${got(1)}")
+    assert(got(2)._6.isEmpty, s"got ${got(2)}")
+  }
+
   test("robustNormalize: modified z per row, constant group yields null not a blow-up") {
     import spark.implicits._
     val df = ((1 to 7).map(i => ("g", i.toLong, i.toDouble)) ++

@@ -237,6 +237,19 @@ class RetailSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("hhiConcentration: hand shares, monopoly group, exact round-then-add") {
+    val df = Seq(
+      ("g", "e1", 50.0), ("g", "e2", 30.0), ("g", "e3", 20.0),
+      ("m", "e9", 10.0)).toDF("grp", "ent", "v")
+    val got = Retail.hhiConcentration(df, Seq("grp"), "ent", "v")
+      .orderBy("grp")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    // g: shares .5/.3/.2 -> HHI .25+.09+.04 = .38, top .5
+    assert(got(0) == (("g", 3L, 100.0, 0.5, 0.38)), s"got ${got(0)}")
+    // m: single entity -> HHI 1, top 1
+    assert(got(1) == (("m", 1L, 10.0, 1.0, 1.0)), s"got ${got(1)}")
+  }
+
   test("discountResponse: per-level volumes, shares, and uplift vs the zero-discount baseline") {
     val lines = Seq(
       (0.00, 2.0, 10.0), (0.00, 2.0, 10.0), (0.10, 4.0, 10.0))
