@@ -506,18 +506,25 @@ object Profiling {
     * HALF_UP, which both Spark and DuckDB define as half-away-from-
     * zero.
     *
-    * Shape (the [[exactQuantiles]] / labelEncode machinery, made
-    * per-group): range-sort on (group, v) + `zipWithIndex` assigns
-    * global ranks distributed — no per-group window partition, so one
-    * giant group cannot pin a single task; per-group rank offsets ride
-    * ONE group-cardinality aggregate broadcast back. One extra job for
-    * the zip's partition-size scan; nothing driver-side.
+    * Shape (r14 — the chunked-rank machinery, no zipWithIndex):
+    * `repartitionByRange(group, v)` + `sortWithinPartitions` makes
+    * each shuffle partition an order-contiguous sorted CHUNK;
+    * `monotonically_increasing_id` (consecutive within a partition by
+    * construction) minus the chunk's min id is the within-chunk rank,
+    * and the chunk-base offsets ride ONE (group × chunk)-cardinality
+    * summary aggregate + bounded window broadcast back — global ranks
+    * with no per-group window partition (one giant group cannot pin a
+    * single task), no RDD round-trip (the pre-r14 zipWithIndex form
+    * left whole-stage codegen and paid an extra partition-size scan
+    * job), and no second data shuffle (the rank falls out of
+    * arithmetic on the persisted range layout).
     *
-    * The ranked frame persists for the two passes (bounds + pick);
-    * pass a tracking [[graft.util.CacheScope]] and `unpersistAll` once
-    * the result is consumed — the default unmanaged scope leaves the
-    * block to Spark's LRU (fine under Verify/Bench's per-query sweep,
-    * a leak in a long-lived session).
+    * The ranked frame persists for the two passes (bounds + pick) and
+    * to pin the partition-dependent ids; pass a tracking
+    * [[graft.util.CacheScope]] and `unpersistAll` once the result is
+    * consumed — the default unmanaged scope leaves the block to
+    * Spark's LRU (fine under Verify/Bench's per-query sweep, a leak
+    * in a long-lived session).
     */
   def groupedExactQuantiles(
       df: DataFrame,
@@ -538,21 +545,31 @@ object Profiling {
       val (num, den) = probRational(p)
       (name, num, den)
     }
-    val spark = df.sparkSession
     val inType = org.apache.spark.sql.types.DecimalType(18, inScale)
     val gs = groupCols.map(col)
-    val sorted = df.filter(value.isNotNull)
+    val indexed = scope.persist(df.filter(value.isNotNull)
       .select((gs :+ value.cast(inType).as("__v")): _*)
-      .orderBy(gs :+ col("__v"): _*)
-    val schema = org.apache.spark.sql.types.StructType(
-      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
-        "__i", org.apache.spark.sql.types.LongType, nullable = false))
-    val indexed = scope.persist(spark.createDataFrame(
-      sorted.rdd.zipWithIndex.map { case (r, i) =>
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
-      }, schema))
-    val bounds = indexed.groupBy(gs: _*)
-      .agg(min(col("__i")).as("__g0"), count(lit(1)).as("__n"))
+      .repartitionByRange(gs :+ col("__v"): _*)
+      .sortWithinPartitions(gs :+ col("__v"): _*)
+      .withColumn("__pfx_c", spark_partition_id().cast("long"))
+      .withColumn("__mid", monotonically_increasing_id()))
+    // (group, chunk) summary: size + first mono id; chunk-base prefix
+    // and group totals ride bounded windows over THIS frame only
+    val chunkCounts = indexed.groupBy(gs :+ col("__pfx_c"): _*)
+      .agg(count(lit(1)).as("__cn"), min(col("__mid")).as("__m0"))
+    val baseW = org.apache.spark.sql.expressions.Window
+      .partitionBy(gs: _*).orderBy(col("__pfx_c"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val totW = org.apache.spark.sql.expressions.Window
+      .partitionBy(gs: _*).orderBy(col("__pfx_c"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val bounds = chunkCounts
+      .withColumn("__b", coalesce(sum(col("__cn")).over(baseW), lit(0L)))
+      .withColumn("__n", sum(col("__cn")).over(totW))
+      .drop("__cn")
     // den <= 10^6 -> weights need 7 integer digits
     val wDen = org.apache.spark.sql.types.DecimalType(7, 0)
     val rankCols = nums.flatMap { case (name, num, den) =>
@@ -568,10 +585,12 @@ object Profiling {
     // group from the quantile (the Relational.nullSafeGroupJoin rule)
     val renamedBounds = groupCols.foldLeft(bounds)((d, c) =>
       d.withColumnRenamed(c, s"__k_$c"))
-    val joinCond = groupCols.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
+      .withColumnRenamed("__pfx_c", "__kc")
+    val joinCond = (groupCols.map(c => col(c) <=> col(s"__k_$c")) :+
+      (col("__pfx_c") === col("__kc"))).reduce(_ && _)
     val marked = indexed.join(broadcast(renamedBounds), joinCond)
       .drop(groupCols.map(c => s"__k_$c"): _*)
-      .withColumn("__r", col("__i") - col("__g0"))
+      .withColumn("__r", col("__b") + (col("__mid") - col("__m0")))
       .select((gs :+ col("__r") :+ col("__v")) ++ rankCols: _*)
     val hit = nums.map { case (name, _, _) =>
       col("__r") === col(s"__lo_$name") || col("__r") === col(s"__hi_$name")
