@@ -1479,18 +1479,8 @@ object Dedup {
     * without an explicit release every batch of a long-lived stream
     * leaks one checkpoint until driver GC (blocks) or forever
     * (files; the ContextCleaner's checkpoint cleanup is opt-in). */
-  private[graft] def releaseCheckpointStorage(df: DataFrame): Unit = {
-    val conf = df.sparkSession.sparkContext.hadoopConfiguration
-    df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(false)
-        lr.rdd.getCheckpointFile.foreach { f =>
-          val p = new org.apache.hadoop.fs.Path(f)
-          p.getFileSystem(conf).delete(p, true); ()
-        }
-      case _ => ()
-    }
-  }
+  private[graft] def releaseCheckpointStorage(df: DataFrame): Unit =
+    graft.util.Cut.release(df)
 
   /** X143 — MinHash sketch calibration: for every LSH candidate pair,
     * the sketch's Jaccard ESTIMATE (fraction of agreeing signature

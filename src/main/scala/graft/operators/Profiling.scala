@@ -547,12 +547,20 @@ object Profiling {
     }
     val inType = org.apache.spark.sql.types.DecimalType(18, inScale)
     val gs = groupCols.map(col)
-    val indexed = scope.persist(df.filter(value.isNotNull)
+    // explicit chunk count — an unnumbered repartitionByRange is an
+    // AQE coalescing candidate whose partition ids can differ between
+    // this frame's two consumers (the chunkedPrefixSum row-loss
+    // lesson); explicit counts are exempt and deterministic
+    val chunks = df.sparkSession.sessionState.conf.numShufflePartitions
+    // Cut, not just persist: the chunk ids and mono ids are partition-
+    // dependent and must be identical for the summary and pick
+    // consumers (graft.util.Cut scaladoc)
+    val indexed = scope.persist(graft.util.Cut.cut(df.filter(value.isNotNull)
       .select((gs :+ value.cast(inType).as("__v")): _*)
-      .repartitionByRange(gs :+ col("__v"): _*)
+      .repartitionByRange(chunks, gs :+ col("__v"): _*)
       .sortWithinPartitions(gs :+ col("__v"): _*)
       .withColumn("__pfx_c", spark_partition_id().cast("long"))
-      .withColumn("__mid", monotonically_increasing_id()))
+      .withColumn("__mid", monotonically_increasing_id())))
     // (group, chunk) summary: size + first mono id; chunk-base prefix
     // and group totals ride bounded windows over THIS frame only
     val chunkCounts = indexed.groupBy(gs :+ col("__pfx_c"): _*)
@@ -709,11 +717,17 @@ object Profiling {
         col(weightCol) > 0)
       .select((gs :+ col(valueCol).cast(v6t).as("__v")
         :+ col(weightCol).cast(v6t).as("__w")): _*)
-    // order-contiguous chunks = range-shuffle partitions; persist pins
-    // the (nondeterministic) partition ids for the two passes below
-    val indexed = scope.persist(
-      rows.repartitionByRange(gs :+ col("__v"): _*)
-        .withColumn("__pfx_c", spark_partition_id().cast("long")))
+    // order-contiguous chunks = range-shuffle partitions with an
+    // EXPLICIT count (an unnumbered repartitionByRange is an AQE
+    // coalescing candidate whose ids can differ between the summary
+    // and join consumers — the chunkedPrefixSum row-loss lesson);
+    // persist pins the ids for the two passes below
+    val chunks = df.sparkSession.sessionState.conf.numShufflePartitions
+    // Cut, not just persist: partition-dependent ids must be identical
+    // for every consumer (graft.util.Cut scaladoc)
+    val indexed = scope.persist(graft.util.Cut.cut(
+      rows.repartitionByRange(chunks, gs :+ col("__v"): _*)
+        .withColumn("__pfx_c", spark_partition_id().cast("long"))))
     // (group, chunk) summary: weight sum + row count, map-side
     // combinable — everything below the crossing-chunk join runs on
     // chunk-count rows per group, never the data

@@ -230,16 +230,26 @@ object Relational {
       scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
       : DataFrame = {
     val gs = groupCols.map(col)
-    // explicit numChunks pins the chunk count (tests force multi-chunk
-    // seams on tiny frames); default inherits spark.sql.shuffle
-    // .partitions and lets AQE coalesce — adjacent-merge preserves
-    // range order, so chunk ids stay order-contiguous either way
-    val ranged = numChunks match {
-      case Some(n) => df.repartitionByRange(n, gs ++ orderCols: _*)
-      case None    => df.repartitionByRange(gs ++ orderCols: _*)
-    }
-    val chunked = scope.persist(
-      ranged.withColumn("__pfx_c", spark_partition_id().cast("long")))
+    // The chunk count is ALWAYS explicit (default = the session's
+    // shuffle parallelism): an unnumbered repartitionByRange is an
+    // AQE coalescing candidate, and the two consumers of the lazily
+    // persisted frame can see DIFFERENTLY coalesced partition ids —
+    // the (group, chunk) join then silently drops every row whose
+    // chunk id exists on one side only (caught by PrefixSumScaleDemo
+    // at 10 M keys: 69% of rows vanished; the sf0.01/0.1 gates
+    // coalesced consistently and stayed green). A user-specified
+    // count is exempt from AQE coalescing and the range boundaries
+    // are deterministic, so chunk ids agree across recomputes too.
+    val chunks = numChunks.getOrElse(
+      df.sparkSession.sessionState.conf.numShufflePartitions)
+    // Cut, not just persist: the chunk ids are partition-dependent and
+    // MUST be identical for the summary and join consumers — a cached
+    // plan alone can still be re-evaluated per consumer with different
+    // range-sample seeds (graft.util.Cut scaladoc; the r14 row-loss
+    // bug PrefixSumScaleDemo caught)
+    val chunked = scope.persist(graft.util.Cut.cut(
+      df.repartitionByRange(chunks, gs ++ orderCols: _*)
+        .withColumn("__pfx_c", spark_partition_id().cast("long"))))
     // (group, chunk) sums: map-side combinable, collapses the frame to
     // summary cardinality before any unbounded-frame window touches it
     val sums = chunked.groupBy(gs :+ col("__pfx_c"): _*)

@@ -27,9 +27,11 @@ final class CacheScope private[util] (track: Boolean) {
   }
 
   /** Release every block this scope persisted. `blocking = true` waits
-    * for the executors to actually drop them (specs assert on it). */
+    * for the executors to actually drop them (specs assert on it).
+    * Cut-backed frames ([[Cut.cut]]) also release their checkpoint
+    * RDD's storage — DataFrame.unpersist alone cannot reach it. */
   def unpersistAll(blocking: Boolean = false): Unit = synchronized {
-    held.foreach(_.unpersist(blocking))
+    held.foreach { df => df.unpersist(blocking); Cut.release(df) }
     held.clear()
   }
 }
