@@ -303,6 +303,64 @@ object Stateful {
       }
   }
 
+  /** Input/output/state shapes of [[ewmaChart]]. */
+  case class EwmaPoint(key: String, seq: Long, value: Double)
+  case class EwmaState(z: Double, nViol: Long, firstViol: Long, t: Long)
+  case class EwmaOut(key: String, seq: Long, ewma: Double,
+      violation: Boolean)
+
+  /** Streaming twin of [[graft.operators.TimeSeries.ewmaChart]]
+    * (x225): the EWMA recursion `z ← λ·y + (1−λ)·z` run LITERALLY
+    * against a FROZEN (μ, σ) baseline — the SPC production shape: the
+    * baseline ships from a reference window (or the batch operator's
+    * own mean/sd output) and the detector flags each arrival against
+    * the steady-state limits `μ ± L·σ·√(λ/(2−λ))` as it lands. Per-key
+    * state is two doubles + two counters, O(1) per arrival.
+    *
+    * Parity: feeding the batch fixture in order with the batch's own
+    * (μ, σ) reproduces the batch fold exactly — the z chain is pure
+    * double arithmetic over identical operands, and the violation
+    * compare is unrounded on BOTH sides (the batch fold compares raw
+    * doubles; only display values round), so the flags agree bit-for-
+    * bit (spec-pinned across a mid-key micro-batch split). Rows
+    * within a batch apply in `seq` order.
+    */
+  def ewmaChart(
+      ds: Dataset[EwmaPoint], mean: Double, sd: Double,
+      lambda: Double = 0.2, lSigma: Double = 3.0): Dataset[EwmaOut] = {
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1): $lambda")
+    require(lSigma > 0, s"lSigma must be positive: $lSigma")
+    implicit val stateEnc: Encoder[EwmaState] = Encoders.product[EwmaState]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    implicit val outEnc: Encoder[EwmaOut] = Encoders.product[EwmaOut]
+    val beta = 1.0 - lambda
+    val lim = lSigma * math.sqrt(lambda / (2.0 - lambda))
+    val ucl = mean + lim * sd
+    val lcl = mean - lim * sd
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[EwmaPoint],
+            state: GroupState[EwmaState]) =>
+          var s = state.getOption.getOrElse(EwmaState(mean, 0L, 0L, 1L))
+          val out = rows.toSeq.sortBy(_.seq).map { p =>
+            val z = lambda * p.value + beta * s.z
+            val viol = z > ucl || z < lcl
+            s = EwmaState(z,
+              s.nViol + (if (viol) 1L else 0L),
+              if (s.firstViol > 0) s.firstViol
+              else if (viol) s.t else 0L,
+              s.t + 1L)
+            EwmaOut(p.key, p.seq,
+              BigDecimal(z).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble,
+              viol)
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   /** Input/output/state shapes of [[conversionLatency]]. */
   case class ConvEvent(user: String, tsMicros: Long, eventType: String)
   case class ConvState(hasFrom: Boolean, firstFrom: Long, converted: Boolean)

@@ -281,6 +281,49 @@ class StatefulSpec extends SparkSpec {
       "detector must not arm before the level shift")
   }
 
+  test("ewmaChart stream: recursion and flags EXACTLY equal the batch fold across a mid-key split") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    // the TimeSeriesSpec fixture: 10,10,10,10,20 -> mu 12, sd 4.472136;
+    // L=1 narrows the band so only the post-jump z violates
+    val vals = Seq.fill(4)(10.0) :+ 20.0
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      Stateful.EwmaPoint("k", i + 1L, v)
+    }
+    val batch = graft.operators.TimeSeries.ewmaChart(
+        rows.map(p => (p.key, p.seq, p.value)).toDF("k", "o", "v"),
+        "k", "o", "v", lambda = 0.5, lSigma = 1.0)
+      .head()
+    val (mu, sd) = (batch.getDouble(2), batch.getDouble(3))
+    val mem = MemoryStream[Stateful.EwmaPoint]
+    val out = Stateful.ewmaChart(mem.toDS(), mean = mu, sd = sd,
+      lambda = 0.5, lSigma = 1.0)
+    val sink = s"ewma_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      // split MID-KEY right before the jump: z state must carry
+      mem.addData(rows.take(4): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(4): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table(sink).as[Stateful.EwmaOut].collect()
+      .sortBy(_.seq)
+    // final smoothed value == batch ewma_final (both 4dp of the same
+    // double chain); violation count and first index == batch
+    assert(streamed.last.ewma == batch.getDouble(4),
+      s"final z: stream ${streamed.last.ewma} vs batch $batch")
+    assert(streamed.count(_.violation) == batch.getLong(5),
+      s"violations: $streamed vs $batch")
+    assert(streamed.filter(_.violation).map(_.seq).headOption
+      .contains(batch.getLong(6)),
+      s"first violation: $streamed vs $batch")
+    // hand walk: z = 11, 10.5, 10.25, 10.125, 15.0625
+    assert(streamed.map(_.ewma).toSeq ==
+      Seq(11.0, 10.5, 10.25, 10.125, 15.0625), s"got ${streamed.toSeq}")
+  }
+
   test("conversionLatency stream: per-user latencies across a mid-key split, profile == batch x217 operator") {
     import org.apache.spark.sql.functions.{col, count, lit, timestamp_micros}
     implicit val sqlCtx = spark.sqlContext
