@@ -961,6 +961,26 @@ object Similarity {
     require(k >= 1, s"k must be >= 1: $k")
     val base = emb.select(col(idCol).cast("long").as("vec_id"),
       Vectors.toDouble(col(vecCol)).as("__v"))
+    val (cents, cb, codes) = ivfadcBuild(base, centroidIds, m,
+      codewords, iters, scope)
+    // query vectors to the driver (bounded by |queries|)
+    val queries = base
+      .filter(col("vec_id").isin(queryIds.map(q => q: Any): _*))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    queryIds.foreach(q => require(queries.contains(q),
+      s"query id $q not present in the corpus"))
+    ivfadcSearch(codes, cents, cb,
+      queryIds.map(q => q -> queries(q)), nProbe, k, roundDigits,
+      excludeSelfId = true)
+  }
+
+  /** Build the IVFADC artifacts: coarse assignment, residual-trained
+    * codebooks, (vec_id, cell, codes) frame. Shared by [[ivfadcTopK]]
+    * and [[ensureIvfAdcIndex]]. */
+  private def ivfadcBuild(
+      base: DataFrame, centroidIds: Seq[Int],
+      m: Int, codewords: Int, iters: Int, scope: CacheScope)
+      : (Map[Int, Seq[Double]], Array[Array[Seq[Double]]], DataFrame) = {
     // driver centroid table — |cells| vectors, the sanctioned
     // model-state collect (kmeansCentroids shape)
     val cellIds = centroidIds.sorted
@@ -990,18 +1010,28 @@ object Similarity {
       .withColumn("__res", zip_with(col("__v"), centCol, (a, b) => a - b))
       .select(col("vec_id"), col("cell"), col("__res")))
     val cb = pqTrainCodebooks(resid, "vec_id", "__res", m, codewords, iters)
-    val sub = cb(0)(0).length
     val codes = scope.persist(
       pqEncode(resid, "vec_id", "__res", cb)
         .join(resid.select(col("vec_id"), col("cell")), "vec_id"))
-    // query vectors to the driver (bounded by |queries|)
-    val queries = base
-      .filter(col("vec_id").isin(queryIds.map(q => q: Any): _*))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    (cents, cb, codes)
+  }
+
+  /** ADC probe against a (vec_id, cell, codes) frame. One plan per
+    * (query, probed cell) — bounded by |queries|·nProbe; each scans
+    * ONE cell's codes (partition-pruned when the frame is
+    * cell-partitioned parquet) with m lookups per candidate. */
+  private def ivfadcSearch(
+      codes: DataFrame,
+      cents: Map[Int, Seq[Double]],
+      cb: Array[Array[Seq[Double]]],
+      queries: Seq[(Long, Seq[Double])],
+      nProbe: Int, k: Int, roundDigits: Int,
+      excludeSelfId: Boolean): DataFrame = {
+    val m = cb.length
+    val sub = cb(0)(0).length
+    val cellIds = cents.keys.toSeq.sorted
     val stable = org.apache.spark.sql.types.DecimalType(18, 8)
-    queryIds.map { q =>
-      val qv = queries.getOrElse(q,
-        sys.error(s"query id $q not present in the corpus"))
+    queries.map { case (q, qv) =>
       // probe ranking on the driver: exact L2 to each centroid,
       // sequential-fold dots (reproducible), ties → lowest cell
       val probed = cellIds.map { cid =>
@@ -1027,7 +1057,8 @@ object Similarity {
           element_at(typedLit(table(s)),
             element_at(col("codes"), s + 1) + 1)
         }.reduce(_ + _)
-        codes.filter(col("cell") === cid && col("vec_id") =!= q)
+        codes.filter(col("cell") === cid &&
+            (if (excludeSelfId) col("vec_id") =!= q else lit(true)))
           .select(lit(q).as("q"), col("vec_id"),
             round(dist.cast(stable), roundDigits).cast("double")
               .as("approx_dist2"))
@@ -1038,5 +1069,113 @@ object Similarity {
         Window.partitionBy(col("q"))
           .orderBy(col("approx_dist2"), col("vec_id"))).cast("bigint"))
       .select(col("q"), col("rank"), col("vec_id"), col("approx_dist2"))
+  }
+
+  /** A persisted IVFADC index: driver model state (centroids +
+    * codebooks) and the cell-partitioned code table. */
+  final case class IvfAdcIndex(
+      cents: Map[Int, Seq[Double]],
+      codebooks: Array[Array[Seq[Double]]],
+      codes: DataFrame)
+
+  /** X197 — memoized IVFADC index build (the x77/x95 persisted-index
+    * discipline applied to the billion-vector layout): codes land as
+    * parquet PARTITIONED BY cell — a probe of nProbe cells is a
+    * partition-pruned scan, zero full-corpus reads — and the m·k
+    * codebooks + |cells| centroids persist as a tiny model table. The
+    * `source.json` stamp carries the corpus identity + every build
+    * parameter; a healthy ensure reloads without re-reading corpus
+    * vectors, any mismatch (new corpus rows, changed m/k/cells)
+    * rebuilds, and the stamp is deleted FIRST so a crash mid-write
+    * leaves "no index, rebuild", never a half-written one trusted.
+    */
+  def ensureIvfAdcIndex(
+      reference: DataFrame, idCol: String, vecCol: String,
+      centroidIds: Seq[Int], m: Int, codewords: Int,
+      indexDir: String, iters: Int = 3): IvfAdcIndex = {
+    val spark = reference.sparkSession
+    val (mode, cnt, fp) = Dedup.corpusIdentity(reference, idCol, vecCol)
+    val ident = s"ivfadc:$mode:$cnt:$fp:" +
+      s"${centroidIds.sorted.mkString("_")}:$m:$codewords:$iters:" +
+      s"$idCol:$vecCol"
+    val modelPath = s"$indexDir/model"
+    val codesPath = s"$indexDir/codes"
+    val stamp = new org.apache.hadoop.fs.Path(indexDir, "source.json")
+    val fs = stamp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def loadModel(): (Map[Int, Seq[Double]], Array[Array[Seq[Double]]]) = {
+      val rows = graft.util.ParquetSchemaMemo.read(spark, modelPath)
+        .collect()
+      val cents = rows.filter(_.getString(0) == "cent")
+        .map(r => r.getInt(1) -> r.getSeq[Double](3)).toMap
+      val cbRows = rows.filter(_.getString(0) == "cb")
+      val mLoaded = cbRows.map(_.getInt(1)).max + 1
+      val cb = (0 until mLoaded).map { s =>
+        cbRows.filter(_.getInt(1) == s).sortBy(_.getInt(2))
+          .map(_.getSeq[Double](3)): Array[Seq[Double]]
+      }.toArray
+      (cents, cb)
+    }
+    val existing =
+      if (Dedup.readDigestStamp(spark, indexDir).contains(ident))
+        try {
+          val (cents, cb) = loadModel()
+          val codes = graft.util.ParquetSchemaMemo.read(spark, codesPath)
+          codes.select("vec_id", "cell", "codes")
+          Some(IvfAdcIndex(cents, cb, codes))
+        } catch { case scala.util.control.NonFatal(_) => None }
+      else None
+    existing.getOrElse {
+      // stamp deleted FIRST — same crash ordering as the digest sidecar
+      fs.delete(stamp, false)
+      val base = reference.select(col(idCol).cast("long").as("vec_id"),
+        Vectors.toDouble(col(vecCol)).as("__v"))
+      val buildScope = CacheScope()
+      val (cents, cb, codes) = ivfadcBuild(base, centroidIds, m,
+        codewords, iters, buildScope)
+      codes.write.mode("overwrite").partitionBy("cell")
+        .parquet(codesPath)
+      import spark.implicits._
+      val modelRows =
+        cents.toSeq.map { case (cid, v) => ("cent", cid, -1, v) } ++
+          cb.toSeq.zipWithIndex.flatMap { case (words, s) =>
+            words.toSeq.zipWithIndex.map { case (w, i) => ("cb", s, i, w) }
+          }
+      modelRows.toDF("kind", "a", "b", "vec")
+        .coalesce(1).write.mode("overwrite").parquet(modelPath)
+      buildScope.unpersistAll()
+      graft.util.ParquetSchemaMemo.invalidate(codesPath)
+      graft.util.ParquetSchemaMemo.invalidate(modelPath)
+      val out = fs.create(stamp, true)
+      try out.write(s"""{"ident":"$ident"}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val (loadedCents, loadedCb) = loadModel()
+      IvfAdcIndex(loadedCents, loadedCb,
+        graft.util.ParquetSchemaMemo.read(spark, codesPath))
+    }
+  }
+
+  /** Probe a persisted [[IvfAdcIndex]] with a BATCH of query vectors:
+    * per query, nProbe coarse cells rank on the driver against the
+    * stored centroids, the ADC tables come from the query's residuals,
+    * and each cell's candidates arrive through a partition-pruned scan
+    * of the code parquet — the corpus vectors are never re-read
+    * (plan-pinned in AnnRecallSpec). `excludeSelfIds` drops corpus
+    * rows whose vec_id equals the query id — pass true when the batch
+    * shares the corpus id namespace (the recompute-parity shape),
+    * false for disjoint batches. */
+  def ivfadcTopKAgainstIndex(
+      batch: DataFrame, idCol: String, vecCol: String,
+      index: IvfAdcIndex, nProbe: Int, k: Int,
+      roundDigits: Int = 4, excludeSelfIds: Boolean = false): DataFrame = {
+    require(nProbe >= 1 && nProbe <= index.cents.size,
+      s"nProbe $nProbe out of [1, ${index.cents.size}]")
+    val queries = batch
+      .select(col(idCol).cast("long"), Vectors.toDouble(col(vecCol)))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq
+      .sortBy(_._1)
+    require(queries.nonEmpty, "empty probe batch")
+    ivfadcSearch(index.codes, index.cents, index.codebooks, queries,
+      nProbe, k, roundDigits, excludeSelfId = excludeSelfIds)
   }
 }

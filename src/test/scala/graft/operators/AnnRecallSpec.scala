@@ -154,6 +154,45 @@ class AnnRecallSpec extends SparkSpec {
     assert(narrow.groupBy(_._1).forall(_._2.size == k))
   }
 
+  test("IVFADC persisted index: probe == recompute, memoized reload, partition-pruned scan") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir)
+    val cells = Seq(10, 60, 110, 160, 210)
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("ivfadc_idx").toString
+    val idx = Similarity.ensureIvfAdcIndex(emb, "vec_id", "embedding",
+      cells, m = 4, codewords = 16, indexDir = idxDir)
+    // probe with corpus queries == the recompute form, row for row
+    val batch = emb.filter(col("vec_id").isin(0, 1, 2))
+    val probe = Similarity.ivfadcTopKAgainstIndex(batch, "vec_id",
+        "embedding", idx, nProbe = 2, k = k, excludeSelfIds = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val scope = graft.util.CacheScope()
+    val recompute = Similarity.ivfadcTopK(emb, "vec_id", "embedding",
+        queryIds = Seq(0L, 1L, 2L), centroidIds = cells,
+        m = 4, codewords = 16, nProbe = 2, k = k, scope = scope)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    scope.unpersistAll()
+    assert(probe == recompute, s"probe $probe != recompute $recompute")
+    // healthy ensure: same identity reloads (same centroids/codebooks)
+    val idx2 = Similarity.ensureIvfAdcIndex(emb, "vec_id", "embedding",
+      cells, m = 4, codewords = 16, indexDir = idxDir)
+    assert(idx2.cents == idx.cents)
+    assert(idx2.codebooks.map(_.toSeq).toSeq ==
+      idx.codebooks.map(_.toSeq).toSeq)
+    // the probe plan scans the CELL-partitioned code parquet with a
+    // pushed partition filter — never the corpus vectors
+    val plan = Similarity.ivfadcTopKAgainstIndex(batch, "vec_id",
+        "embedding", idx, nProbe = 2, k = k)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"expected a partition-pruned code scan:\n$plan")
+    assert(!plan.contains("embeddings.parquet"),
+      "the probe must not re-read corpus vectors")
+  }
+
   test("int8-quantized vectors preserve brute-force top-k (recall >= 0.8)") {
     // the storage path: rank over DEQUANTIZED int8 codes and compare to
     // exact float ranking — quantization must not reshuffle neighbors
