@@ -568,6 +568,54 @@ object Evaluation {
           .cast(stable), roundDigits).cast("double").as("cum_lift"))
   }
 
+  /** X198 — average precision (area under the precision–recall
+    * curve, the step-wise sklearn definition):
+    * `AP = Σ_k (R_k − R_{k−1})·P_k` over distinct score thresholds
+    * descending — THE ranking metric for imbalanced positives, where
+    * x133's ROC AUC is inflated by the easy negatives (AP's baseline
+    * is the prevalence, not 0.5). Ties handle at threshold
+    * granularity: all rows sharing a score enter together, so the
+    * result is permutation-independent by construction.
+    *
+    * Shape: one count aggregate to distinct-score cardinality, two
+    * cumulative windows over THAT frame (the rocAuc discipline —
+    * never a rank window over rows), each threshold's
+    * `(Δtp/P)·precision` term rounded to DECIMAL(18,8) BEFORE the
+    * exact sum (round-then-add), one final round. No positives →
+    * null AP.
+    */
+  def averagePrecision(df: DataFrame, label: Column, score: Column,
+      roundDigits: Int = 6): DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val raw = df.filter(score.isNotNull)
+      .select(score.cast("double").as("__s"),
+        when(label, lit(1L)).otherwise(lit(0L)).as("__y"))
+    val perScore = raw.groupBy(col("__s"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__p"))
+    // cumulative from the TOP score down, over distinct-score
+    // cardinality only
+    val w = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // the no-positive case guards INSIDE the term: ANSI mode raises on
+    // the 0-denominator before the outer when() could mask it
+    val term = when(col("__np") > 0, round(
+      ((col("__p").cast("double") / col("__np"))
+        * (col("__cp").cast("double") / col("__cn"))).cast(stable), 8))
+    perScore
+      .withColumn("__cn", sum(col("__n")).over(w))
+      .withColumn("__cp", sum(col("__p")).over(w))
+      .withColumn("__np", sum(col("__p")).over(tot))
+      .withColumn("__nt", sum(col("__n")).over(tot))
+      .agg(
+        first(col("__np")).as("n_pos"),
+        (first(col("__nt")) - first(col("__np"))).as("n_neg"),
+        round(when(first(col("__np")) > 0, sum(term).cast("double"))
+          .cast(stable), roundDigits).cast("double")
+          .as("average_precision"))
+  }
+
   /** X196 — Theil T inequality index per group:
     * `T = (1/n)·Σ (x/μ)·ln(x/μ)` over positive values — the
     * entropy-based inequality measure next to [[gini]]: T = 0 means

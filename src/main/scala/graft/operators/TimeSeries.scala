@@ -1510,6 +1510,51 @@ object TimeSeries {
         expr("element_at(__c, 3)").cast("bigint")).as("first_violation"))
   }
 
+  /** X199 — turning-points randomness test per key (Kendall): count
+    * interior points that are strict local extrema
+    * (`y_{i−1} < y_i > y_{i+1}` or `y_{i−1} > y_i < y_{i+1}`); an iid
+    * series has `E[T] = 2(n−2)/3` and `Var[T] = (16n−29)/90`, so the
+    * z-score flags both OVER-smooth series (too few turns: trends,
+    * strong autocorrelation — x126's ACF quantifies which lag) and
+    * oscillating ones (too many: alternating seasonality, sensor
+    * jitter). The cheap "is this series even random" pre-screen
+    * before fitting anything.
+    *
+    * One grouped lag/lead window pass (the O28 machinery — per-key
+    * series, bounded by the observation window); ties produce NO
+    * turning point (strict inequalities — the standard convention).
+    * Counts are exact integers; E and z are one float chain each,
+    * stabilized through DECIMAL(18,8). Keys with n < 3 emit zero
+    * turns and a null z (the variance needs n ≥ 3).
+    */
+  def turningPoints(
+      df: DataFrame,
+      keyCol: String, orderCol: String, valueCol: String,
+      roundDigits: Int = 4): DataFrame = {
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val w = Window.partitionBy(col("__k")).orderBy(col("__o"))
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(orderCol).as("__o"),
+        col(valueCol).cast(dec6).as("__y"))
+      .withColumn("__pv", lag(col("__y"), 1).over(w))
+      .withColumn("__nx", lead(col("__y"), 1).over(w))
+    val isTurn = (col("__pv") < col("__y") && col("__nx") < col("__y")) ||
+      (col("__pv") > col("__y") && col("__nx") > col("__y"))
+    val e = lit(2.0d) * (col("n_obs") - 2) / lit(3.0d)
+    val v = (lit(16.0d) * col("n_obs") - 29) / lit(90.0d)
+    rows.groupBy(col("__k"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(when(col("__pv").isNotNull && col("__nx").isNotNull && isTurn,
+          1L).otherwise(0L)).as("n_turning"))
+      .select(col("__k").as(keyCol), col("n_obs"), col("n_turning"),
+        round(when(col("n_obs") >= 3, e).cast(stable), roundDigits)
+          .cast("double").as("expected"),
+        round(when(col("n_obs") >= 3 && v > 0,
+          (col("n_turning") - e) / sqrt(v)).cast(stable), roundDigits)
+          .cast("double").as("z"))
+  }
+
   /** X148 — maximum drawdown per key: the worst drop of a series from
     * its RUNNING PEAK (`max_t (runmax_t − y_t)`), plus the peak level
     * and the first date the worst drop is realized — the

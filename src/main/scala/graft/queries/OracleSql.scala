@@ -3961,6 +3961,54 @@ object OracleSql {
         |FROM r JOIN g USING (pfx) GROUP BY 1
         |ORDER BY source""".stripMargin,
 
+    // Average precision: cumulative-from-top windows over DISTINCT
+    // score cardinality, round-then-add (dTP/P)*precision terms.
+    "x232_average_precision" ->
+      """WITH s AS (SELECT CAST(value AS DOUBLE) AS sc,
+        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT sc, COUNT(*) AS n, SUM(y) AS p FROM s GROUP BY 1),
+        |c AS (SELECT sc, n, p,
+        |  SUM(n) OVER (ORDER BY sc DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+        |  SUM(p) OVER (ORDER BY sc DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+        |  SUM(p) OVER () AS np, SUM(n) OVER () AS nt FROM g)
+        |SELECT CAST(MAX(np) AS BIGINT) AS n_pos,
+        |  CAST(MAX(nt) - MAX(np) AS BIGINT) AS n_neg,
+        |  CAST(ROUND(CAST(CASE WHEN MAX(np) > 0 THEN
+        |      CAST(SUM(ROUND(CAST(
+        |        (CAST(p AS DOUBLE) / np) * (CAST(cp AS DOUBLE) / cn)
+        |        AS DECIMAL(18,8)), 8)) AS DOUBLE)
+        |    END AS DECIMAL(18,8)), 6) AS DOUBLE) AS average_precision
+        |FROM c""".stripMargin,
+
+    // Turning points: strict local extrema via per-key lag/lead,
+    // exact counts, one float chain each for E and z.
+    "x233_turning_points" ->
+      s"""WITH $dailyCte,
+         |r AS (SELECT user_id AS k, day AS o,
+         |  CAST(demand AS DECIMAL(18,6)) AS y FROM daily
+         |  WHERE demand IS NOT NULL),
+         |l AS (SELECT k, y,
+         |  LAG(y) OVER (PARTITION BY k ORDER BY o) AS pv,
+         |  LEAD(y) OVER (PARTITION BY k ORDER BY o) AS nx FROM r),
+         |a AS (SELECT k, COUNT(*) AS n_obs,
+         |  SUM(CASE WHEN pv IS NOT NULL AND nx IS NOT NULL
+         |    AND ((pv < y AND nx < y) OR (pv > y AND nx > y))
+         |    THEN 1 ELSE 0 END) AS n_turning FROM l GROUP BY 1)
+         |SELECT k AS user_id, n_obs, CAST(n_turning AS BIGINT)
+         |    AS n_turning,
+         |  CAST(ROUND(CAST(CASE WHEN n_obs >= 3 THEN
+         |      2.0e0 * (n_obs - 2) / 3.0e0
+         |    END AS DECIMAL(18,8)), 4) AS DOUBLE) AS expected,
+         |  CAST(ROUND(CAST(CASE WHEN n_obs >= 3
+         |      AND (16.0e0 * n_obs - 29) / 90.0e0 > 0 THEN
+         |      (n_turning - 2.0e0 * (n_obs - 2) / 3.0e0)
+         |      / SQRT((16.0e0 * n_obs - 29) / 90.0e0)
+         |    END AS DECIMAL(18,8)), 4) AS DOUBLE) AS z
+         |FROM a ORDER BY user_id""".stripMargin,
+
     // Theil T: positive values only, 6dp mean, round-then-add
     // (x/mu)ln(x/mu) terms, one final 1/n float step.
     "x231_theil" ->

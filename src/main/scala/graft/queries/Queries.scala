@@ -2484,6 +2484,19 @@ object Queries {
         "value")
       .orderBy("event_type")
 
+  /** X198 — average precision of event value as a purchase ranker —
+    * the imbalanced-class complement of x133's ROC AUC. */
+  def x232(s: SparkSession, dir: String): DataFrame =
+    Evaluation.averagePrecision(Tables.events(s, dir),
+      label = col("event_type") === "purchase", score = col("value"))
+
+  /** X199 — turning-points randomness test over per-user daily
+    * demand. */
+  def x233(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.turningPoints(dailyDemand(s, dir), "user_id", "day",
+        "demand")
+      .orderBy("user_id")
+
   /** X177 — duplicate-cluster profile over the exact-dup clusters
     * (cluster = min doc_id per text): size histogram + chars saved.
     * The gate partitions by raw text (oracle-identical); the 100 TB
@@ -2767,5 +2780,7 @@ object Queries {
     "x228_cramers_v" -> (x228 _),
     "x229_hhi" -> (x229 _),
     "x230_prefix_dups" -> (x230 _),
-    "x231_theil" -> (x231 _))
+    "x231_theil" -> (x231 _),
+    "x232_average_precision" -> (x232 _),
+    "x233_turning_points" -> (x233 _))
 }

@@ -237,6 +237,20 @@ class EvaluationSpec extends SparkSpec {
     assert(r.getDouble(4) == 0.0, s"identical curves must give chi2 0: $r")
   }
 
+  test("averagePrecision: hand PR steps, perfect ranking 1.0, no positives null") {
+    // scores 3,2,1 labels 1,0,1: AP = 0.5·1 + 0.5·(2/3) = 0.833333
+    val df = Seq((3.0, true), (2.0, false), (1.0, true)).toDF("s", "y")
+    val r = Evaluation.averagePrecision(df, col("y"), col("s")).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 1L &&
+      r.getDouble(2) == 0.833333, s"got $r")
+    val perfect = Seq((2.0, true), (1.0, false)).toDF("s", "y")
+    assert(Evaluation.averagePrecision(perfect, col("y"), col("s"))
+      .head().getDouble(2) == 1.0)
+    val nopos = Seq((2.0, false), (1.0, false)).toDF("s", "y")
+    assert(Evaluation.averagePrecision(nopos, col("y"), col("s"))
+      .head().isNullAt(2))
+  }
+
   test("theilIndex: equal shares score exactly 0, hand two-value case, nonpositives excluded") {
     val df = Seq(("g", 5.0), ("g", 5.0), ("g", 5.0),
       ("h", 1.0), ("h", 3.0), ("h", 0.0), ("h", -2.0)).toDF("k", "v")

@@ -747,6 +747,26 @@ class TimeSeriesSpec extends SparkSpec {
     assert(c == ((0.0, 0.0, 0L)), s"got $c")
   }
 
+  test("turningPoints: strict extrema counted, ties are not turns, monotone scores negative z") {
+    import spark.implicits._
+    val df = (Seq(("a", 1, 1.0), ("a", 2, 3.0), ("a", 3, 2.0),
+      ("a", 4, 4.0)) ++                       // peak at 3, valley at 2
+      (1 to 5).map(i => ("m", i, i.toDouble)) ++ // monotone: no turns
+      Seq(("t", 1, 1.0), ("t", 2, 2.0), ("t", 3, 2.0), ("t", 4, 1.0)))
+      .toDF("k", "o", "v")
+    val got = TimeSeries.turningPoints(df, "k", "o", "v")
+      .orderBy("k")
+      .as[(String, Long, Long, Option[Double], Option[Double])]
+      .collect().toSeq
+    // a: T=2, E=4/3, z=(2-4/3)/sqrt(35/90)=1.069
+    assert(got(0)._3 == 2L && got(0)._4.contains(1.3333) &&
+      got(0)._5.contains(1.069), s"got ${got(0)}")
+    // m: monotone -> 0 turns, z negative
+    assert(got(1)._3 == 0L && got(1)._5.exists(_ < 0), s"got ${got(1)}")
+    // t: the tied plateau is NOT a strict extremum
+    assert(got(2)._3 == 0L, s"got ${got(2)}")
+  }
+
   test("ewmaChart: hand recursion, violation index, and the quiet no-shift case") {
     import spark.implicits._
     // 10,10,10,10,20: mu = 12, sd = sqrt(20) -> 4.472136 (6dp)
