@@ -538,49 +538,48 @@ object Graph {
     * (string least/greatest, self-loops dropped, distinct); each
     * undirected edge contributes BOTH orientations to the correlation
     * (the standard symmetrized form — r is otherwise direction-
-    * dependent). `corr` is the engine-portable sample correlation the
-    * x126 gate pins.
+    * dependent).
     *
-    * Scale shape: two degree joins on the canon edge list (both sides
-    * shuffle on node keys — the PageRank partitioning), then ONE
-    * map-side-combinable corr aggregate; nothing driver-side, no
-    * window anywhere.
+    * Shape: the symmetrized moments COLLAPSE onto one pass over the
+    * edge list — under (x,y) ∪ (y,x), Σx = Σy = Σ(dx+dy),
+    * Σx² = Σy² = Σ(dx²+dy²), Σxy = 2·Σdx·dy, and varX = varY exactly,
+    * so r = cov/var with no sqrt and NO union re-evaluating the edge
+    * lineage (the r14 plan audit found the union form scanning the
+    * input 6×; canon/deg persist for their two readers like
+    * [[clusteringCoefficient]]). All moment sums are exact decimals
+    * over integer degrees; one float chain at the end; a regular
+    * graph has zero degree variance → null r.
     */
   def degreeAssortativity(
       edges: DataFrame, srcCol: String, dstCol: String,
-      roundDigits: Int = 4): DataFrame = {
+      roundDigits: Int = 4,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
     val a = least(col(srcCol).cast("string"), col(dstCol).cast("string"))
     val b = greatest(col(srcCol).cast("string"), col(dstCol).cast("string"))
-    val canon = edges.select(a.as("a"), b.as("b"))
-      .filter(col("a") =!= col("b")).distinct()
+    val canon = scope.persist(edges.select(a.as("a"), b.as("b"))
+      .filter(col("a") =!= col("b")).distinct())
     val deg = canon.select(col("a").as("n"))
       .union(canon.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     val withDeg = canon
       .join(deg.select(col("n").as("a"), col("d").as("__da")), "a")
       .join(deg.select(col("n").as("b"), col("d").as("__db")), "b")
-    val both = withDeg.select(col("__da").as("__x"), col("__db").as("__y"))
-      .unionAll(withDeg.select(col("__db").as("__x"), col("__da").as("__y")))
-    // Pearson r from EXACT integer-degree moment sums (decimal — the
-    // spearman discipline), one final float chain; a regular graph has
-    // zero degree variance → null r (corr() under ANSI divides by zero)
     val dec = org.apache.spark.sql.types.DecimalType(28, 6)
     val stable = org.apache.spark.sql.types.DecimalType(18, 8)
-    val m = both.agg(
-      count(lit(1)).as("__nr"),
-      sum(col("__x").cast(dec)).as("__sx"),
-      sum(col("__y").cast(dec)).as("__sy"),
-      sum((col("__x") * col("__y")).cast(dec)).as("__sxy"),
-      sum((col("__x") * col("__x")).cast(dec)).as("__sxx"),
-      sum((col("__y") * col("__y")).cast(dec)).as("__syy"))
-    def d(c: String): Column = col(c).cast("double")
-    val n = col("__nr").cast("double")
-    val covN = n * d("__sxy") - d("__sx") * d("__sy")
-    val varX = n * d("__sxx") - d("__sx") * d("__sx")
-    val varY = n * d("__syy") - d("__sy") * d("__sy")
+    val m = withDeg.agg(
+      count(lit(1)).as("__ne"),
+      sum((col("__da") + col("__db")).cast(dec)).as("__s"),
+      sum((col("__da") * col("__db")).cast(dec)).as("__sp"),
+      sum((col("__da") * col("__da") + col("__db") * col("__db"))
+        .cast(dec)).as("__sq"))
+    val n = (col("__ne") * 2).cast("double")
+    val s = col("__s").cast("double")
+    val cov = n * (lit(2.0d) * col("__sp").cast("double")) - s * s
+    val vr = n * col("__sq").cast("double") - s * s
     m.select(
-      (col("__nr") / 2).cast("bigint").as("n_edges"),
-      round(when(varX > 0 && varY > 0, covN / sqrt(varX * varY))
-        .cast(stable), roundDigits).cast("double").as("assortativity"))
+      col("__ne").as("n_edges"),
+      round(when(vr > 0, cov / vr).cast(stable), roundDigits)
+        .cast("double").as("assortativity"))
   }
 }

@@ -3560,29 +3560,21 @@ object OracleSql {
         |deg AS (SELECT n, COUNT(*) AS d FROM (
         |    SELECT a AS n FROM canon UNION ALL SELECT b FROM canon)
         |  GROUP BY 1),
-        |wd AS (SELECT da.d AS dx, db.d AS dy
+        |m AS (SELECT COUNT(*) AS ne,
+        |  SUM(CAST(da.d + db.d AS DECIMAL(28,6))) AS s,
+        |  SUM(CAST(da.d * db.d AS DECIMAL(28,6))) AS sp,
+        |  SUM(CAST(da.d * da.d + db.d * db.d AS DECIMAL(28,6))) AS sq
         |  FROM canon c JOIN deg da ON c.a = da.n
-        |  JOIN deg db ON c.b = db.n),
-        |bo AS (SELECT dx AS x, dy AS y FROM wd
-        |  UNION ALL SELECT dy AS x, dx AS y FROM wd),
-        |m AS (SELECT COUNT(*) AS nr,
-        |  SUM(CAST(x AS DECIMAL(28,6))) AS sx,
-        |  SUM(CAST(y AS DECIMAL(28,6))) AS sy,
-        |  SUM(CAST(x * y AS DECIMAL(28,6))) AS sxy,
-        |  SUM(CAST(x * x AS DECIMAL(28,6))) AS sxx,
-        |  SUM(CAST(y * y AS DECIMAL(28,6))) AS syy FROM bo)
-        |SELECT CAST(nr // 2 AS BIGINT) AS n_edges,
+        |  JOIN deg db ON c.b = db.n)
+        |SELECT CAST(ne AS BIGINT) AS n_edges,
         |  CAST(ROUND(CAST(CASE WHEN
-        |      CAST(nr AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
-        |      AND CAST(nr AS DOUBLE) * CAST(syy AS DOUBLE)
-        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
-        |    THEN (CAST(nr AS DOUBLE) * CAST(sxy AS DOUBLE)
-        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |      / SQRT((CAST(nr AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |        * (CAST(nr AS DOUBLE) * CAST(syy AS DOUBLE)
-        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |      CAST(ne * 2 AS DOUBLE) * CAST(sq AS DOUBLE)
+        |        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) > 0
+        |    THEN (CAST(ne * 2 AS DOUBLE)
+        |        * (2.0e0 * CAST(sp AS DOUBLE))
+        |        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |      / (CAST(ne * 2 AS DOUBLE) * CAST(sq AS DOUBLE)
+        |        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
         |    END AS DECIMAL(18,8)), 4) AS DOUBLE) AS assortativity
         |FROM m""".stripMargin,
 
