@@ -945,7 +945,9 @@ object Forecast {
       daily: DataFrame,
       keyCol: String, dayCol: String, valueCol: String,
       maxPeriod: Int = 14,
-      roundDigits: Int = 4): DataFrame = {
+      roundDigits: Int = 4,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
     require(maxPeriod >= 2 && maxPeriod <= 60,
       s"maxPeriod out of [2,60]: $maxPeriod")
     val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
@@ -957,9 +959,12 @@ object Forecast {
       .select(col(keyCol).as("__k"), col(dayCol).as("__d"),
         col(valueCol).cast(dec6).as("__y"))
     val firstDay = rows.groupBy(col("__k")).agg(min(col("__d")).as("__d0"))
-    val indexed = rows.join(firstDay, "__k")
+    // persisted: the moments branch and the period fan-out both read
+    // this frame (the r14 plan audit showed the un-persisted form
+    // scanning the input twice per branch)
+    val indexed = scope.persist(rows.join(firstDay, "__k")
       .select(col("__k"), datediff(col("__d"), col("__d0")).as("__t"),
-        col("__y"))
+        col("__y")))
     // per-key moments: n, Σy (exact), Σy² (exact) → ȳ and SS_total
     val moments = indexed.groupBy(col("__k")).agg(
       count(lit(1)).as("__n"),
