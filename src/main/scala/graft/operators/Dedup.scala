@@ -1628,8 +1628,14 @@ object Dedup {
       prefixLen: Int = 64, roundDigits: Int = 6): DataFrame = {
     require(prefixLen >= 1, s"prefixLen must be positive: $prefixLen")
     val stable = org.apache.spark.sql.types.DecimalType(18, 8)
-    val rows = df.select(col(idCol), col(sourceCol).as("source"),
-      substring(col(textCol), 1, prefixLen).as("__pfx"))
+    // NULL-text documents are EXCLUDED from the audit (explicitly —
+    // the pre-r15 form dropped them silently through the null-unsafe
+    // equi-join below, which made per-source n_docs quietly partial):
+    // a document with no text has no prefix to share; callers wanting
+    // them counted should coalesce the text upstream
+    val rows = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(sourceCol).as("source"),
+        substring(col(textCol), 1, prefixLen).as("__pfx"))
     val groups = rows.groupBy(col("__pfx"))
       .agg(count(lit(1)).as("__gsz"))
     rows.join(groups, Seq("__pfx"))

@@ -19,6 +19,31 @@ import org.apache.spark.sql.functions._
   */
 object Evaluation {
 
+  /** The scale knob every rank statistic here shares ([[rocAuc]]'s
+    * `bins` block, factored): quantize a double column to `bins`
+    * equal-width buckets between its global min/max (a 1-row
+    * broadcast), bounding any later distinct-value window at `bins`
+    * rows. The map is MONOTONE (order-preserving), so rank metrics
+    * computed on the quantized order equal the exact ones whenever
+    * the input already took ≤ `bins` distinct grid values, and
+    * approximate them (tie handling coarsens at bin granularity)
+    * otherwise — the documented x133 argument. `bins <= 0` = exact.
+    * A degenerate constant column maps to bin 0.
+    */
+  private def quantize(raw: DataFrame, vCol: String, bins: Int)
+      : DataFrame =
+    if (bins <= 0) raw
+    else {
+      val keep = raw.columns.filter(_ != vCol).map(col).toSeq
+      val ext = raw.agg(min(col(vCol)).as("__qlo"), max(col(vCol)).as("__qhi"))
+      raw.crossJoin(broadcast(ext))
+        .select(
+          when(col("__qhi") > col("__qlo"),
+            least(floor((col(vCol) - col("__qlo")) * bins
+              / (col("__qhi") - col("__qlo"))), lit(bins - 1).cast("long")))
+            .otherwise(lit(0L)).cast("double").as(vCol) +: keep: _*)
+    }
+
   /** ROC AUC via the rank-sum (Mann–Whitney U) identity:
     * `AUC = (Σ_pos midrank − P(P+1)/2) / (P·N)` where `midrank` is the
     * average rank of a score under ties. Equivalent to the probability
@@ -253,11 +278,20 @@ object Evaluation {
     * the final correlation is one float expression over those exact
     * operands, stabilized through DECIMAL(18,8). A constant column has
     * zero rank variance → null, not a division error.
+    *
+    * For continuous columns at 100 TB, distinct ≈ rows and the
+    * un-partitioned cumulative window pins one task: pass `bins > 0`
+    * to [[quantize]] each side independently to a bounded grid —
+    * binning is monotone per variable, so Spearman over the binned
+    * midranks equals the exact value whenever each variable already
+    * sat on a ≤bins grid, and is the standard histogram approximation
+    * otherwise.
     */
   def spearman(df: DataFrame, x: Column, y: Column,
-      roundDigits: Int = 6): DataFrame = {
-    val raw = df.filter(x.isNotNull && y.isNotNull)
+      bins: Int = 0, roundDigits: Int = 6): DataFrame = {
+    val raw0 = df.filter(x.isNotNull && y.isNotNull)
       .select(x.cast("double").as("__x"), y.cast("double").as("__y"))
+    val raw = quantize(quantize(raw0, "__x", bins), "__y", bins)
     def midranks(frame: DataFrame, v: String, out: String): DataFrame = {
       val perVal = frame.groupBy(col(v)).agg(count(lit(1)).as("__n"))
       val w = Window.orderBy(col(v))
@@ -336,13 +370,14 @@ object Evaluation {
     * 1-based rank `i`, `G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n`. 0 = equal
     * shares, (n−1)/n = one holder has everything.
     *
-    * Scale shape (the labelEncode / equidepth pattern): a
-    * range-partitioned distributed sort + `zipWithIndex` assigns the
-    * global rank without a single-partition window; the moment sums
-    * then combine map-side in one aggregate. Ties order by
-    * `tieBreaker` — Gini is tie-order-invariant (equal values
-    * contribute the same Σ i·x for any permutation of their ranks),
-    * the total order just makes the plan deterministic end-to-end.
+    * Scale shape (r15 — [[graft.operators.Relational.chunkedRank]],
+    * no zipWithIndex, no RDD round-trip): the chunked global rank
+    * assigns `i` without a single-partition window or an extra
+    * partition-size job; the moment sums then combine map-side in one
+    * aggregate. Ties order by `tieBreaker` — Gini is
+    * tie-order-invariant (equal values contribute the same Σ i·x for
+    * any permutation of their ranks), the total order just makes the
+    * plan deterministic end-to-end.
     *
     * Portability: the moment sums run in DECIMAL(28,6), so `Σx` and
     * `Σ i·x` are EXACT regardless of partition/addition order — a
@@ -352,22 +387,16 @@ object Evaluation {
     * token totals all do).
     */
   def gini(df: DataFrame, value: Column, tieBreaker: Column,
-      roundDigits: Int = 6): DataFrame = {
-    val spark = df.sparkSession
+      roundDigits: Int = 6,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(28, 6)
-    val sorted = df.filter(value.isNotNull)
+    val rows = df.filter(value.isNotNull)
       .select(value.cast(dec).as("__x"), tieBreaker.as("__t"))
-      .orderBy(col("__x"), col("__t"))
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("__x", dec),
-      org.apache.spark.sql.types.StructField("__i",
-        org.apache.spark.sql.types.LongType, nullable = false)))
-    val indexed = sorted.rdd.zipWithIndex.map { case (r, i) =>
-      org.apache.spark.sql.Row(r.get(0), i + 1L)
-    }
-    spark.createDataFrame(indexed, schema)
+    graft.operators.Relational
+      .chunkedRank(rows, Seq(col("__x"), col("__t")), "__i0", scope)
       .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__sum"),
-        sum(col("__i") * col("__x")).as("__ws"))
+        sum((col("__i0") + 1L) * col("__x")).as("__ws"))
       .select(col("__n").as("n"),
         round(col("__sum").cast("double"), 2).as("total"),
         round(
@@ -393,11 +422,27 @@ object Evaluation {
     * group-sum (round-then-add — group iteration order must not leak
     * into the statistic), and H is one final float expression. All
     * groups identical values → C = 0 → null H (not a division error).
+    *
+    * For continuous value columns at 100 TB, distinct ≈ rows: pass
+    * `bins > 0` ([[quantize]]) to bound the midrank window at `bins`
+    * rows — monotone binning preserves the rank statistic exactly on
+    * grid-valued data and coarsens only tie handling otherwise.
+    *
+    * Overflow: the tie sum Σ(t³−t) and the N³−N guard cube COUNTS,
+    * which leave Long at N ≈ 2²¹ (ANSI mode would raise mid-query at
+    * scale); both run in DECIMAL(12,0)³ → DECIMAL(38,0) — exact to
+    * 10¹² rows, matching the oracle's HUGEINT promotion.
     */
   def kruskalWallis(df: DataFrame, group: Column, value: Column,
-      roundDigits: Int = 4): DataFrame = {
-    val raw = df.filter(group.isNotNull && value.isNotNull)
+      bins: Int = 0, roundDigits: Int = 4): DataFrame = {
+    val d12 = org.apache.spark.sql.types.DecimalType(12, 0)
+    def cubeMinus(c: Column): Column = {
+      val n = c.cast(d12)
+      (n * n * n).cast(org.apache.spark.sql.types.DecimalType(38, 0)) - n
+    }
+    val raw0 = df.filter(group.isNotNull && value.isNotNull)
       .select(group.cast("string").as("__g"), value.cast("double").as("__v"))
+    val raw = quantize(raw0, "__v", bins)
     val perVal = raw.groupBy(col("__v")).agg(count(lit(1)).as("__n"))
     // cumulative window over DISTINCT-value cardinality (bounded by
     // the value domain, never row count — the spearman discipline)
@@ -413,7 +458,7 @@ object Evaluation {
       .groupBy(col("__g"))
       .agg(count(lit(1)).as("__ng"), sum(col("__r").cast(dec)).as("__sr"))
     val tot = perVal.agg(sum(col("__n")).as("__N"),
-      sum(col("__n") * col("__n") * col("__n") - col("__n")).as("__T"))
+      sum(cubeMinus(col("__n"))).as("__T"))
     byG.crossJoin(broadcast(tot))
       .agg(
         first(col("__N")).as("n"),
@@ -428,7 +473,7 @@ object Evaluation {
           - lit(3.0d) * (col("__N2") + 1)).cast(stable), roundDigits)
           .cast("double").as("h"),
         round(when(
-          col("__N2") * col("__N2") * col("__N2") - col("__N2") > col("__T2"),
+          cubeMinus(col("__N2")) > col("__T2"),
           (lit(12.0d) * col("__S").cast("double")
             / (col("__N2").cast("double") * (col("__N2") + 1))
             - lit(3.0d) * (col("__N2") + 1))
@@ -536,11 +581,17 @@ object Evaluation {
       .select(score.cast("double").as("__s"),
         label.cast("long").as("__y"))
     val qScope = graft.util.CacheScope()
-    val cutRow = graft.operators.Profiling.groupedExactQuantiles(
+    // headOption, not head: an all-null score/label input yields an
+    // EMPTY quantile frame and head()'s bare NoSuchElementException
+    // names nothing — fail with the cause (the rfmSegments rule)
+    val cutRowOpt = graft.operators.Profiling.groupedExactQuantiles(
       rows, Seq(), col("__s"),
       (1 until k).map(i => s"q$i" -> i.toDouble / k),
-      scope = qScope).head()
+      scope = qScope).collect().headOption
     qScope.unpersistAll()
+    require(cutRowOpt.nonEmpty,
+      "gainsTable: no non-null (score, label) rows — quantile cutoffs undefined")
+    val cutRow = cutRowOpt.get
     val cuts = (1 until k).map(i => cutRow.getDecimal(i - 1))
     // band 1 = TOP scores: k − (# cutoffs the score exceeds)
     val band = lit(k) - cuts.map(c => (col("__s") > lit(c)).cast("int"))
@@ -583,13 +634,22 @@ object Evaluation {
     * `(Δtp/P)·precision` term rounded to DECIMAL(18,8) BEFORE the
     * exact sum (round-then-add), one final round. No positives →
     * null AP.
+    *
+    * AP's primary input IS a continuous model score, where distinct ≈
+    * rows and the two global windows pin one task at 100 TB: pass
+    * `bins > 0` ([[quantize]]) to bound both windows at `bins` rows.
+    * Binned AP is PR-curve area at threshold granularity `bins` —
+    * exact when scores already sit on a ≤bins grid (monotone map),
+    * the standard sketch otherwise.
     */
   def averagePrecision(df: DataFrame, label: Column, score: Column,
-      roundDigits: Int = 6): DataFrame = {
+      bins: Int = 0, roundDigits: Int = 6): DataFrame = {
     val stable = org.apache.spark.sql.types.DecimalType(18, 8)
-    val raw = df.filter(score.isNotNull)
-      .select(score.cast("double").as("__s"),
-        when(label, lit(1L)).otherwise(lit(0L)).as("__y"))
+    val raw = quantize(
+      df.filter(score.isNotNull)
+        .select(score.cast("double").as("__s"),
+          when(label, lit(1L)).otherwise(lit(0L)).as("__y")),
+      "__s", bins)
     val perScore = raw.groupBy(col("__s"))
       .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__p"))
     // cumulative from the TOP score down, over distinct-score

@@ -979,7 +979,13 @@ object Forecast {
       .agg(count(lit(1)).as("__nj"), sum(col("__y")).cast(d24).as("__sj"))
     val muJ = round((col("__sj").cast("double") / col("__nj"))
       .cast(stable), 6).cast("double")
-    val withMu = folded.join(broadcast(moments), "__k")
+    // no broadcast hint: moments is one row PER SERIES KEY — unbounded
+    // cardinality (per-user series), unlike the repo's other broadcast
+    // sides (group lists, k-row tables). AQE picks broadcast when the
+    // key count is actually small and a shuffle join when it isn't
+    // (r14 ADVICE: a forced broadcast here is a driver OOM at corpus
+    // scale)
+    val withMu = folded.join(moments, "__k")
       .withColumn("__term",
         round((col("__nj") * (muJ - mu) * (muJ - mu)).cast(term), 8))
     val agg = withMu

@@ -275,46 +275,143 @@ object Profiling {
     * categorical complement of x97's numeric correlation matrix and
     * the pairwise extension of x149's mutual information.
     *
-    * One [[chiSquare]] grid per pair, unioned (the infoGainReport
-    * shape — pair count is k·(k−1)/2, driver-bounded by the column
-    * LIST, never the data). V reuses the grid's 4dp-rounded χ² (the
-    * x122-pinned statistic) in one float chain stabilized through
-    * DECIMAL(18,8). Degenerate pairs (either side constant:
+    * ONE scan of the input regardless of pair count (r15 — the x91
+    * columnProfile precedent): every row EXPLODES into its k·(k−1)/2
+    * `(pair, value_a, value_b)` structs, a single map-side-combinable
+    * cell aggregate collapses that to per-pair contingency cells
+    * before anything shuffles (cell volume is Σ rᵢ·cⱼ, never rows),
+    * and the marginals/totals/grid all derive from the persisted cell
+    * frame — where the old per-pair [[chiSquare]] union re-read the
+    * input k²/2 times (real money at 100 TB). Values compare as
+    * strings inside the shared struct (injective on categorical
+    * columns, the operator's domain). V reuses the grid's 4dp-rounded
+    * χ² (the x122-pinned statistic) in one float chain stabilized
+    * through DECIMAL(18,8). Degenerate pairs (either side constant:
     * min(r−1, c−1) = 0) emit null V, never a division error.
     */
   def cramersV(df: DataFrame, cols: Seq[String],
-      roundDigits: Int = 4): DataFrame = {
+      roundDigits: Int = 4,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
     require(cols.size >= 2, s"need at least 2 columns, got $cols")
     val stable = org.apache.spark.sql.types.DecimalType(18, 8)
-    val pairs = for {
+    val pairList = for {
       i <- cols.indices; j <- (i + 1) until cols.size
     } yield (cols(i), cols(j))
-    pairs.map { case (a, b) =>
-      val minDim = least(col("__rm1"), col("__cm1"))
-      chiSquareFull(df, a, b)
-        .select(lit(a).as("col_a"), lit(b).as("col_b"),
-          col("n"), col("chi2"), col("dof"),
-          round(when(minDim >= 1 && col("n") > 0,
-            sqrt(col("chi2") / (col("n") * minDim)))
-            .cast(stable), roundDigits).cast("double").as("cramers_v"))
-    }.reduce(_ unionAll _)
+    val pairsArr = array(pairList.map { case (a, b) =>
+      struct(lit(a).as("__pa"), lit(b).as("__pb"),
+        col(a).cast("string").as("__a"), col(b).cast("string").as("__b"))
+    }: _*)
+    val cells = scope.persist(
+      df.select(explode(pairsArr).as("__p")).select(col("__p.*"))
+        .groupBy(col("__pa"), col("__pb"), col("__a"), col("__b"))
+        .agg(count(lit(1)).as("__o")))
+    val rowTot = cells.groupBy(col("__pa"), col("__pb"), col("__a"))
+      .agg(sum(col("__o")).as("__ra"))
+    val colTot = cells.groupBy(col("__pa"), col("__pb"), col("__b"))
+      .agg(sum(col("__o")).as("__cb"))
+    // one row per pair — bounded by the column LIST, broadcastable
+    val nTot = cells.groupBy(col("__pa"), col("__pb"))
+      .agg(sum(col("__o")).as("__n"),
+        countDistinct(col("__a")).as("__r"),
+        countDistinct(col("__b")).as("__c"))
+    val o = coalesce(col("__o"), lit(0L))
+    val exp = col("__ra").cast("double") * col("__cb") / col("__n")
+    val minDim = least(col("__rm1"), col("__cm1"))
+    // full r×c grid per pair = row-marginals × col-marginals on the
+    // pair id; NULL-SAFE cell re-join (groupBy keeps null categories)
+    rowTot.join(colTot, Seq("__pa", "__pb"))
+      .join(cells.withColumnRenamed("__a", "__a2")
+          .withColumnRenamed("__b", "__b2")
+          .withColumnRenamed("__pa", "__pa2")
+          .withColumnRenamed("__pb", "__pb2"),
+        col("__pa") === col("__pa2") && col("__pb") === col("__pb2") &&
+          col("__a") <=> col("__a2") && col("__b") <=> col("__b2"),
+        "left")
+      .join(broadcast(nTot.withColumnRenamed("__pa", "__pn1")
+          .withColumnRenamed("__pb", "__pn2")),
+        col("__pa") === col("__pn1") && col("__pb") === col("__pn2"))
+      .groupBy(col("__pa"), col("__pb"))
+      .agg(
+        round(sum((o - exp) * (o - exp) / exp), 4).as("chi2"),
+        ((first(col("__r")) - 1) * (first(col("__c")) - 1)).as("dof"),
+        first(col("__n")).as("n"),
+        (first(col("__r")) - 1).as("__rm1"),
+        (first(col("__c")) - 1).as("__cm1"))
+      .select(col("__pa").as("col_a"), col("__pb").as("col_b"),
+        col("n"), col("chi2"), col("dof"),
+        round(when(minDim >= 1 && col("n") > 0,
+          sqrt(col("chi2") / (col("n") * minDim)))
+          .cast(stable), roundDigits).cast("double").as("cramers_v"))
   }
 
   /** X135 — information-gain feature ranking: [[mutualInfo]] of every
     * candidate categorical feature against the label, one row per
     * feature — the model-free feature-selection screen (rank by NMI;
-    * an NMI ≈ 1 feature is a leak, an NMI ≈ 0 one is ballast). One
-    * cell aggregate per feature, unioned (the fdReport shape).
+    * an NMI ≈ 1 feature is a leak, an NMI ≈ 0 one is ballast).
+    *
+    * ONE scan of the input regardless of feature count (r15 — the x91
+    * columnProfile precedent): each row EXPLODES into its k
+    * `(feature, value, label)` structs and a single map-side-
+    * combinable cell aggregate collapses them to per-feature
+    * contingency cells before anything shuffles — where the old
+    * per-feature [[mutualInfo]] union re-read the input k times. The
+    * MI/entropy math is mutualInfo's verbatim (per-term IEEE chains
+    * over exact counts, DECIMAL(18,10) exact term sums, null-safe
+    * marginal re-joins), run per feature group; values compare as
+    * strings inside the shared struct (injective on the categorical
+    * domain).
     */
   def infoGainReport(df: DataFrame, labelCol: String,
-      features: Seq[String], roundDigits: Int = 6): DataFrame = {
+      features: Seq[String], roundDigits: Int = 6,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
     require(features.nonEmpty, "need at least one candidate feature")
-    features.map { f =>
-      mutualInfo(df, f, labelCol, roundDigits)
-        .select(lit(f).as("feature"), col("mi"),
-          col("h_a").as("h_feature"), col("h_b").as("h_label"),
-          col("nmi"))
-    }.reduce(_ unionAll _)
+    val featsArr = array(features.map(f =>
+      struct(lit(f).as("__f"), col(f).cast("string").as("__a"))): _*)
+    val cells = scope.persist(
+      df.select(explode(featsArr).as("__p"),
+          col(labelCol).cast("string").as("__b"))
+        .select(col("__p.__f").as("__f"), col("__p.__a").as("__a"),
+          col("__b"))
+        .groupBy(col("__f"), col("__a"), col("__b"))
+        .agg(count(lit(1)).as("__o")))
+    val rowTot = cells.groupBy(col("__f"), col("__a"))
+      .agg(sum(col("__o")).as("__ra"))
+    val colTot = cells.groupBy(col("__f"), col("__b"))
+      .agg(sum(col("__o")).as("__cb"))
+    // one row per feature — bounded by the feature LIST, broadcastable
+    val n = cells.groupBy(col("__f")).agg(sum(col("__o")).as("__n"))
+    val dec = org.apache.spark.sql.types.DecimalType(18, 10)
+    val nD = col("__n").cast("double")
+    val miTerm = ((col("__o") / nD)
+      * log(nD * col("__o") / (col("__ra").cast("double") * col("__cb"))))
+      .cast(dec)
+    def hTerm(c: String): Column =
+      (-(col(c) / nD) * log(col(c) / nD)).cast(dec)
+    // NULL-SAFE marginal re-joins (the mutualInfo r12 rule): groupBy
+    // made NULL a category of its own
+    val mi = cells
+      .join(rowTot.toDF("__f2", "__a2", "__ra"),
+        col("__f") === col("__f2") && col("__a") <=> col("__a2"))
+      .join(colTot.toDF("__f3", "__b2", "__cb"),
+        col("__f") === col("__f3") && col("__b") <=> col("__b2"))
+      .join(broadcast(n), Seq("__f"))
+      .groupBy(col("__f")).agg(sum(miTerm).as("__mi"))
+    val ha = rowTot.join(broadcast(n), Seq("__f"))
+      .groupBy(col("__f")).agg(sum(hTerm("__ra")).as("__ha"))
+    val hb = colTot.join(broadcast(n), Seq("__f"))
+      .groupBy(col("__f")).agg(sum(hTerm("__cb")).as("__hb"))
+    val hmin = least(col("__ha"), col("__hb")).cast("double")
+    mi.join(ha, Seq("__f")).join(hb, Seq("__f"))
+      .select(col("__f").as("feature"),
+        round(col("__mi").cast("double"), roundDigits).as("mi"),
+        round(col("__ha").cast("double"), roundDigits).as("h_feature"),
+        round(col("__hb").cast("double"), roundDigits).as("h_label"),
+        round(
+          when(hmin > 0, col("__mi").cast("double") / hmin)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 8)),
+          roundDigits).cast("double").as("nmi"))
   }
 
   /** X129 — functional-dependency audit: for each candidate rule
@@ -396,9 +493,10 @@ object Profiling {
   /** X119 — exact quantiles WITHOUT a driver-side buffer: the
     * scalable twin of the `percentile` aggregate (which gathers the
     * whole column into one executor buffer — t38's documented
-    * trade-off, fine to ~10⁸ values, fatal at 100 TB). Range-sort +
-    * `zipWithIndex` assign global ranks distributed (the labelEncode /
-    * equidepth pattern); each requested probability interpolates
+    * trade-off, fine to ~10⁸ values, fatal at 100 TB). Global ranks
+    * come from [[graft.operators.Relational.chunkedRank]] (r15 — no
+    * zipWithIndex RDD round-trip, no extra partition-size job, stays
+    * in whole-stage codegen); each requested probability interpolates
     * between its two neighboring ranks via one broadcast join — the
     * quantile_cont formula `v_lo + frac·(v_hi − v_lo)` on pos =
     * p·(n−1). One count action total (the sanctioned scalar shape);
@@ -412,16 +510,9 @@ object Profiling {
       s"probs must be within [0,1], got $probs")
     val spark = df.sparkSession
     val v = col(valueCol).cast("double")
-    val sorted = df.filter(v.isNotNull).select(v.as("__v")).orderBy(col("__v"))
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("__v",
-        org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("__i",
-        org.apache.spark.sql.types.LongType, nullable = false)))
-    val indexed = scope.persist(spark.createDataFrame(
-      sorted.rdd.zipWithIndex.map { case (r, i) =>
-        org.apache.spark.sql.Row(r.get(0), i)
-      }, schema))
+    val indexed = scope.persist(Relational.chunkedRank(
+      df.filter(v.isNotNull).select(v.as("__v")), Seq(col("__v")),
+      "__i", scope))
     val n = indexed.count()
     require(n > 0, "exactQuantiles needs at least one non-null value")
     import spark.implicits._

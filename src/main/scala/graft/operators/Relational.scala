@@ -166,26 +166,21 @@ object Relational {
     * lexicographically-sorted distinct order (pandas `astype("category")`
     * code order for strings). Ref: utils.py:42-47.
     *
-    * Scale shape: distinct (one hash-agg) → range-partitioned
-    * distributed sort → `zipWithIndex` for contiguous global codes.
-    * zipWithIndex is the sanctioned per-partition imperative step — it
-    * adds one light job to count partition sizes, then assigns each
-    * partition's offset; no stage ever sees the whole vocabulary on one
-    * task (the previous form's `Window.orderBy` serialized the
-    * vocabulary through a single-partition WindowExec, fine at M5's
-    * 30 k ids, fatal on a billion-key vocabulary).
+    * Scale shape (r15 — [[chunkedRank]], no zipWithIndex): distinct
+    * (one hash-agg) → chunked global rank for contiguous codes. No
+    * stage ever sees the whole vocabulary on one task (a
+    * `Window.orderBy` form would serialize it through a single-
+    * partition WindowExec — fine at M5's 30 k ids, fatal on a
+    * billion-key vocabulary), no RDD round-trip, no extra
+    * partition-size-count job. Codes are fully determined: the
+    * vocabulary is distinct, so the rank's tie caveat is vacuous.
     */
-  def labelEncode(df: DataFrame, column: String, codeCol: String = "code"): DataFrame = {
-    val spark = df.sparkSession
+  def labelEncode(df: DataFrame, column: String, codeCol: String = "code",
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
     val distinct = df.select(col(column)).where(col(column).isNotNull)
-      .distinct().orderBy(col(column))
-    val outSchema = org.apache.spark.sql.types.StructType(
-      distinct.schema.fields :+ org.apache.spark.sql.types.StructField(
-        codeCol, org.apache.spark.sql.types.LongType, nullable = false))
-    val indexed = distinct.rdd.zipWithIndex.map {
-      case (r, i) => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
-    }
-    spark.createDataFrame(indexed, outSchema)
+      .distinct()
+    chunkedRank(distinct, Seq(col(column)), codeCol, scope)
   }
 
   /** Distributed prefix sum: cumulative sum of `valueCol` in
@@ -281,6 +276,57 @@ object Relational {
           .cast(sumType))
       .drop("__pfx_c", "__pfx_kc", "__pfx_b")
       .drop(groupCols.map(c => s"__pfx_k_$c"): _*)
+  }
+
+  /** Distributed 0-based global rank in `orderCols` total order — the
+    * rank sibling of [[chunkedPrefixSum]] and the house replacement
+    * for BOTH `row_number().over(Window.orderBy(...))` (single-task
+    * window) and `rdd.zipWithIndex` (leaves whole-stage codegen, pays
+    * an extra partition-size-count job, round-trips through an RDD).
+    *
+    * Shape (the [[graft.operators.Profiling.groupedExactQuantiles]]
+    * machinery, global form): `repartitionByRange` with an EXPLICIT
+    * chunk count (an unnumbered one is an AQE coalescing candidate
+    * whose partition ids can differ between this frame's consumers —
+    * the r14 chunkedPrefixSum row-loss lesson) + `sortWithinPartitions`
+    * makes each shuffle partition an order-contiguous sorted chunk;
+    * `monotonically_increasing_id` is consecutive within a partition
+    * by construction, so rank = chunk base + (id − chunk's min id).
+    * Chunk bases ride ONE chunk-count-row summary aggregate + bounded
+    * window, broadcast back. No stage ever holds more than one
+    * shuffle partition's rows; the only window runs over the chunk
+    * COUNT. `orderCols` should be a total order — rows tied on all of
+    * them get arbitrary (but stable within one evaluation) rank order.
+    *
+    * The chunked frame is [[graft.util.Cut]] and persisted (partition-
+    * dependent ids must be identical for the summary and join
+    * consumers); pass a tracking scope in long-lived sessions.
+    */
+  def chunkedRank(
+      df: DataFrame,
+      orderCols: Seq[Column],
+      rankName: String,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
+    val chunks = df.sparkSession.sessionState.conf.numShufflePartitions
+    val indexed = scope.persist(graft.util.Cut.cut(
+      df.repartitionByRange(chunks, orderCols: _*)
+        .sortWithinPartitions(orderCols: _*)
+        .withColumn("__rnk_c", spark_partition_id().cast("long"))
+        .withColumn("__rnk_m", monotonically_increasing_id())))
+    val counts = indexed.groupBy(col("__rnk_c"))
+      .agg(count(lit(1)).as("__rnk_n"), min(col("__rnk_m")).as("__rnk_m0"))
+    // bounded: the prefix window runs over the chunk-count summary
+    val baseW = Window.orderBy(col("__rnk_c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = counts.withColumn("__rnk_b",
+        coalesce(sum(col("__rnk_n")).over(baseW), lit(0L)))
+      .drop("__rnk_n")
+    indexed.join(broadcast(bases.withColumnRenamed("__rnk_c", "__rnk_kc")),
+        col("__rnk_c") === col("__rnk_kc"))
+      .withColumn(rankName,
+        col("__rnk_b") + (col("__rnk_m") - col("__rnk_m0")))
+      .drop("__rnk_c", "__rnk_kc", "__rnk_m", "__rnk_m0", "__rnk_b")
   }
 
   /** The single-partition-window form of [[labelEncode]], kept as the

@@ -251,6 +251,72 @@ class EvaluationSpec extends SparkSpec {
       .head().isNullAt(2))
   }
 
+  test("spearman/kruskalWallis/averagePrecision: binning a grid-valued fixture is exact (bins knob)") {
+    // values already on an 8-point integer grid: 8-bin equal-width
+    // quantization is injective on the support, and all three are
+    // RANK statistics — binned ≡ exact, bit for bit (the x133
+    // rocAuc-binning argument, extended to the whole rank family)
+    val rows = (0 until 400).map { i =>
+      val x = (i * 13 % 8).toDouble
+      (x, (i * 7 % 8).toDouble, s"g${i % 3}", i % 11 == 0)
+    }.toDF("x", "y", "g", "lab")
+    val spExact = Evaluation.spearman(rows, col("x"), col("y")).collect().toSeq
+    val spBinned = Evaluation.spearman(rows, col("x"), col("y"), bins = 8)
+      .collect().toSeq
+    assert(spExact == spBinned, s"$spExact vs $spBinned")
+    val kwExact = Evaluation.kruskalWallis(rows, col("g"), col("x"))
+      .collect().toSeq
+    val kwBinned = Evaluation.kruskalWallis(rows, col("g"), col("x"), bins = 8)
+      .collect().toSeq
+    assert(kwExact == kwBinned, s"$kwExact vs $kwBinned")
+    val apExact = Evaluation.averagePrecision(rows, col("lab"), col("x"))
+      .collect().toSeq
+    val apBinned = Evaluation.averagePrecision(rows, col("lab"), col("x"),
+      bins = 8).collect().toSeq
+    assert(apExact == apBinned, s"$apExact vs $apBinned")
+  }
+
+  test("bins > 0 bounds every rank window: quantization sits below each Window node") {
+    // continuous scores (distinct ~ rows): with bins set, every Window
+    // in the optimized plan must consume the quantized-and-aggregated
+    // frame (<= bins rows), never raw distinct values — the r14
+    // verdict's scale-killer, closed
+    val cont = (0 until 300).map(i => (i * 0.017 + 1.0 / (i + 1), i % 5 == 0))
+      .toDF("s", "lab")
+    def windowChildren(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+          w.child.toString
+      }
+    val apW = windowChildren(
+      Evaluation.averagePrecision(cont, col("lab"), col("s"), bins = 16))
+    assert(apW.nonEmpty && apW.forall(c =>
+      c.toLowerCase.contains("floor") && c.contains("Aggregate")),
+      s"AP windows must sit above the quantized aggregate:\n${apW.mkString}")
+    val kwW = windowChildren(Evaluation.kruskalWallis(
+      cont.withColumn("g", col("lab").cast("string")), col("g"), col("s"),
+      bins = 16))
+    assert(kwW.nonEmpty && kwW.forall(c =>
+      c.toLowerCase.contains("floor") && c.contains("Aggregate")),
+      s"KW windows must sit above the quantized aggregate:\n${kwW.mkString}")
+    val spW = windowChildren(Evaluation.spearman(
+      cont.withColumn("y", col("s") * 2 + 1), col("s"), col("y"), bins = 16))
+    assert(spW.nonEmpty && spW.forall(c =>
+      c.toLowerCase.contains("floor") && c.contains("Aggregate")),
+      s"spearman windows must sit above the quantized aggregate:\n${spW.mkString}")
+  }
+
+  test("kruskalWallis: no Long overflow in the N³ tie guard past 2^21 rows (ANSI)") {
+    // N = 3M: N³ ≈ 2.7e19 > Long.MaxValue — the pre-r15 Long cube
+    // raised ARITHMETIC_OVERFLOW under ANSI mode exactly here; the
+    // DECIMAL(12,0)³ form is exact to 10^12 rows
+    val big = spark.range(0, 3000000).selectExpr(
+      "cast(pmod(id, 3) as string) as g", "cast(pmod(id, 10) as double) as v")
+    val r = Evaluation.kruskalWallis(big, col("g"), col("v")).head()
+    assert(r.getLong(0) == 3000000L && r.getLong(1) == 3L, s"got $r")
+    assert(!r.isNullAt(3) && r.getDouble(3) >= 0.0, s"got $r")
+  }
+
   test("theilIndex: equal shares score exactly 0, hand two-value case, nonpositives excluded") {
     val df = Seq(("g", 5.0), ("g", 5.0), ("g", 5.0),
       ("h", 1.0), ("h", 3.0), ("h", 0.0), ("h", -2.0)).toDF("k", "v")

@@ -19,17 +19,35 @@ class RelationalSpec extends SparkSpec {
     assert(out == Map("10" -> 0L, "2" -> 1L, "B" -> 2L, "a" -> 3L, "b" -> 4L))
   }
 
-  test("labelEncode scalable path == window form, no single-partition WindowExec") {
+  test("labelEncode scalable path == window form, no vocabulary-wide window, no RDD scan") {
     // a wider-than-toy vocabulary spread over many partitions
     val df = spark.range(0, 5000).selectExpr("concat('id_', pmod(id * 37, 1931)) as v")
       .repartition(16)
     val fast = Relational.labelEncode(df, "v").as[(String, Long)].collect().toMap
     val spec = Relational.labelEncodeWindow(df, "v").as[(String, Long)].collect().toMap
-    assert(fast == spec, "zipWithIndex codes must equal the window-rank codes")
+    assert(fast == spec, "chunked-rank codes must equal the window-rank codes")
     assert(fast.size == 1931)
-    // the scalable plan must not contain a partition-less Window
+    // r15 (chunkedRank migration): every Window in the plan is the
+    // bounded chunk-summary machinery — never the vocabulary itself.
+    // (The plan's one RDD scan is Cut's materialization barrier — the
+    // sanctioned partition-id freeze, shared with groupedExactQuantiles
+    // — not a zipWithIndex row round-trip.)
     val plan = Relational.labelEncode(df, "v").queryExecution.executedPlan.toString
-    assert(!plan.contains("Window"), s"no WindowExec expected in:\n$plan")
+    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.forall(_.contains("__rnk_c")),
+      s"only chunk-summary Windows expected in:\n$plan")
+  }
+
+  test("chunkedRank: global 0-based ranks across chunk seams, ties stable, plan bounded") {
+    // 100 values over 4 shuffle partitions: ranks must be exactly 0..99
+    val df = spark.range(0, 100)
+      .selectExpr("cast(pmod(id * 13, 100) as double) as v").repartition(7)
+    val got = Relational.chunkedRank(df, Seq(col("v")), "rnk")
+      .as[(Double, Long)].collect().sortBy(_._1)
+    // v takes each of 0..99 exactly once, so rank(v) == v
+    assert(got.forall { case (v, r) => v.toLong == r },
+      s"ranks must equal sorted positions: ${got.take(10).toSeq}")
+    assert(got.map(_._2).toSeq == (0L until 100L), "contiguous 0-based")
   }
 
   test("chunkedPrefixSum == running window sum across chunk boundaries, null groups, global") {
