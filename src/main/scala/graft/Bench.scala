@@ -105,6 +105,37 @@ object Bench {
     }
   }
 
+  /** Per-query turbulence detector (r14 verdict #2): the single end-of-
+    * run sentinel only measures drift at the END, so a mid-sweep
+    * host-load window (BENCH_r14: a 147.5 s run of x164, an 81.9 s run
+    * of x158, all-three-runs-inflated x194) stamped `degraded: false`.
+    * A query is SUSPECT when its own runs disagree beyond host noise:
+    *
+    *   max − min > 5 s                      (the r14 trio: spreads of
+    *                                         142.8 / 74.4 / 12.5 s; the
+    *                                         clean r14 run's largest
+    *                                         spread was 3.2 s)
+    *   OR max/min > 5 AND max − min > 3 s   (mid-weight spikes; the
+    *                                         absolute guard keeps
+    *                                         sub-second queries' warm-up
+    *                                         ratios — 6× on a 0.3 s t39
+    *                                         — from false-flagging
+    *                                         clean runs)
+    *
+    * Any suspect stamps `degraded: true`: the artifact's numbers for
+    * those queries are not comparable across rounds without isolated
+    * re-runs. Calibrated by replaying r14's turbulent and clean
+    * artifacts (flags exactly x164/x158/x194 in the former, nothing in
+    * the latter); BenchSpec pins both directions. */
+  private[graft] def isSuspect(runs: Seq[Double]): Boolean = {
+    val ok = runs.filter(_ > 0)
+    if (ok.size < 2) false
+    else {
+      val spread = ok.max - ok.min
+      spread > 5.0 || (ok.max / math.max(ok.min, 0.001) > 5.0 && spread > 3.0)
+    }
+  }
+
   // Locale.ROOT: the f"" interpolator uses the JVM default locale — a
   // decimal-comma locale would print "1,234" and corrupt the JSON.
   private def fmt(v: Double): String =
@@ -158,9 +189,17 @@ object Bench {
     val ranNames = results.map(_._1).toSet
     val skipped = SparkEntry.gateOnly.filterNot(ranNames.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // degraded = end-of-run sentinel drift OR any per-query turbulence
+    // (r14 verdict #2: the sentinel alone missed a mid-sweep window)
+    val suspects = results.collect {
+      case (k, t) if isSuspect(t.runs) => k
+    }
+    val suspectNames = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val anyDegraded = degraded || suspects.nonEmpty
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$Runs,""" +
       s""""failed":$failed,"failed_queries":$failedNames,"sf":"$sfDir",""" +
-      s""""degraded":$degraded,"sentinel":$sentinelJson,"chunks":$chunks,""" +
+      s""""degraded":$anyDegraded,"suspect_queries":$suspectNames,""" +
+      s""""sentinel":$sentinelJson,"chunks":$chunks,""" +
       s""""gate_only_skipped":$skipped,"queries":$qs,""" +
       s""""gc_ms":$gcMs,"heap_mb":$heap,"runs_detail":$runsDetail}"""
   }
@@ -255,6 +294,7 @@ object Bench {
     import org.json4s.jackson.JsonMethods
     var degraded = false
     var failedAll = List.empty[String]
+    var suspectAll = List.empty[String]
     val merged = scala.collection.mutable.LinkedHashMap
       .empty[String, (String, String, String, String)]
     val sentinels = scala.collection.mutable.ListBuffer.empty[String]
@@ -267,10 +307,11 @@ object Bench {
       parsed match {
         case None =>
           // a chunk that died leaves its whole slice failed — visible,
-          // never silently absent
+          // never silently absent; its telemetry is null, NOT 0 (r14
+          // ADVICE: a dead chunk's "0" gc/heap read as real measurements)
           failedAll ++= slice
           slice.foreach(q => merged(q) = ("-1",
-            Seq.fill(Runs)("-1").mkString("[", ",", "]"), "0", "0"))
+            Seq.fill(Runs)("-1").mkString("[", ",", "]"), "null", "null"))
         case Some(j) =>
           degraded ||= (j \ "degraded") == JBool(true)
           (j \ "sentinel") match {
@@ -279,6 +320,10 @@ object Bench {
           }
           (j \ "failed_queries") match {
             case JArray(xs) => failedAll ++= xs.collect { case JString(s) => s }
+            case _ => ()
+          }
+          (j \ "suspect_queries") match {
+            case JArray(xs) => suspectAll ++= xs.collect { case JString(s) => s }
             case _ => ()
           }
           def field(o: JValue, q: String): String = (o \ q) match {
@@ -300,12 +345,19 @@ object Bench {
     val total = medians.filter(_ >= 0).sum
     val failedNames = failedAll.distinct.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val suspectNames = suspectAll.distinct.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val skipped = SparkEntry.gateOnly.filterNot(merged.keySet.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // schema stability (r14 ADVICE): `sentinel` keeps its single-run
+    // contract (object-or-null — null here, no single end-of-sweep
+    // sentinel exists for a merged run); the per-chunk sentinels land
+    // under the DISTINCT `sentinels` array key
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$Runs,""" +
       s""""failed":${failedAll.distinct.size},"failed_queries":$failedNames,""" +
-      s""""sf":"$sfDir","degraded":$degraded,""" +
-      s""""sentinel":${sentinels.mkString("[", ",", "]")},""" +
+      s""""sf":"$sfDir","degraded":${degraded || suspectAll.nonEmpty},""" +
+      s""""suspect_queries":$suspectNames,"sentinel":null,""" +
+      s""""sentinels":${sentinels.mkString("[", ",", "]")},""" +
       s""""chunks":${slices.size},"gate_only_skipped":$skipped,""" +
       s""""queries":$qs,"gc_ms":$gcMs,"heap_mb":$heap,""" +
       s""""runs_detail":$runsDetail}"""

@@ -54,4 +54,20 @@ class BenchSpec extends SparkSpec {
       (_, _) => sys.error("query exploded"), setup = None)
     assert(t.median == -1.0)
   }
+
+  test("isSuspect flags r14's mid-sweep turbulence and clears the clean run (r14 verdict #2)") {
+    // the three BENCH_r14 inflations the single end-of-run sentinel
+    // missed — all must flag
+    assert(Bench.isSuspect(Seq(4.749, 147.554, 6.708)), "x164's 147.5 s run")
+    assert(Bench.isSuspect(Seq(8.175, 81.912, 7.5)), "x158's 81.9 s run")
+    assert(Bench.isSuspect(Seq(26.565, 20.259, 14.096)),
+      "x194's uniformly inflated runs (12.5 s spread)")
+    // clean-run shapes must NOT flag: a sub-second query's 6× warm-up
+    // ratio (t39/t49 in the clean r14 artifact), an ordinary heavy
+    // query's 3 s spread (x175), and failure sentinels
+    assert(!Bench.isSuspect(Seq(0.35, 2.15, 0.33)), "fast-query warm-up")
+    assert(!Bench.isSuspect(Seq(5.1, 8.2, 6.3)), "3 s spread on a heavy query")
+    assert(!Bench.isSuspect(Seq(-1.0, -1.0, -1.0)), "failures are failed, not suspect")
+    assert(!Bench.isSuspect(Seq(1.211, 0.644, 0.683)), "t01's clean shape")
+  }
 }
