@@ -598,6 +598,16 @@ object Evaluation {
       .reduce(_ + _)
     val byBand = rows.groupBy(band.as("band"))
       .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
+    gainsFromBandCounts(byBand, roundDigits)
+  }
+
+  /** [[gainsTable]]'s second half: the cumulative capture/lift fold
+    * over an already-banded `(band, n, n_pos)` count frame. Factored
+    * out (r15) so the STREAMING monitor's per-band running counts
+    * ([[graft.streaming.Stateful.bandCountsMonitor]]) roll up through
+    * the EXACT batch code path — stream ≡ batch by construction. */
+  private[graft] def gainsFromBandCounts(
+      byBand: DataFrame, roundDigits: Int): DataFrame = {
     // bounded: cumulative capture over the k-row band table, never data
     val wCum = Window.orderBy(col("band"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -644,7 +654,6 @@ object Evaluation {
     */
   def averagePrecision(df: DataFrame, label: Column, score: Column,
       bins: Int = 0, roundDigits: Int = 6): DataFrame = {
-    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
     val raw = quantize(
       df.filter(score.isNotNull)
         .select(score.cast("double").as("__s"),
@@ -652,6 +661,17 @@ object Evaluation {
       "__s", bins)
     val perScore = raw.groupBy(col("__s"))
       .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__p"))
+    apFromScoreCounts(perScore, roundDigits)
+  }
+
+  /** [[averagePrecision]]'s second half: the AP fold over an already-
+    * collapsed `(__s, __n, __p)` distinct-score count frame. Factored
+    * out (r15) so the STREAMING monitor's per-bin running counts
+    * ([[graft.streaming.Stateful.binCountsMonitor]]) roll up through
+    * the EXACT batch code path — stream ≡ batch by construction. */
+  private[graft] def apFromScoreCounts(
+      perScore: DataFrame, roundDigits: Int): DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
     // cumulative from the TOP score down, over distinct-score
     // cardinality only
     val w = Window.orderBy(col("__s").desc)

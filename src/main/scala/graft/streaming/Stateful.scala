@@ -422,4 +422,86 @@ object Stateful {
           out.iterator
       }
   }
+
+  /** Input/output/state shapes of [[bandCountsMonitor]] /
+    * [[binCountsMonitor]]. */
+  case class ScoredPoint(seq: Long, score: Double, label: Long)
+  case class BucketState(n: Long, nPos: Long, maxSeq: Long)
+  case class BucketCount(bucket: Long, through_seq: Long, n: Long,
+      n_pos: Long)
+
+  /** Shared state machine: running (n, n_pos) per score BUCKET (a
+    * gains band or an AP score bin), keyed BY the bucket so the
+    * monitor scales with arrival volume — each micro-batch shuffles
+    * events to at most `buckets` tasks, state is two counters + a
+    * high-water seq per bucket, and only buckets that received data
+    * emit (Append). A single-global-key design would fold every event
+    * of every batch through ONE task — the exact shape the batch
+    * operators here avoid. */
+  private def bucketCounts(
+      ds: Dataset[ScoredPoint],
+      bucketOf: ScoredPoint => Long): Dataset[BucketCount] = {
+    implicit val stateEnc: Encoder[BucketState] = Encoders.product[BucketState]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val outEnc: Encoder[BucketCount] = Encoders.product[BucketCount]
+    ds.groupByKey(bucketOf)
+      .flatMapGroupsWithState[BucketState, BucketCount](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (bucket: Long, rows: Iterator[ScoredPoint],
+            state: GroupState[BucketState]) =>
+          var s = state.getOption.getOrElse(BucketState(0L, 0L, 0L))
+          rows.foreach { p =>
+            s = BucketState(s.n + 1L, s.nPos + (if (p.label != 0L) 1L else 0L),
+              math.max(s.maxSeq, p.seq))
+          }
+          state.update(s)
+          Iterator.single(BucketCount(bucket, s.maxSeq, s.n, s.nPos))
+      }
+  }
+
+  /** Streaming twin of [[graft.operators.Evaluation.gainsTable]]
+    * (x221): running per-BAND (n, n_pos) counts against FROZEN score
+    * cutoffs (the ewmaChart frozen-baseline shape — the cutoffs ship
+    * from the batch operator's own exact-quantile pass over a
+    * reference window; a live stream cannot re-rank history anyway).
+    * Band assignment is the batch expression verbatim:
+    * `k − #(score > cutoffᵢ)`, band 1 = top scores.
+    *
+    * Each emission is one band's latest running counts; the k-row
+    * cumulative capture/lift table is then
+    * [[graft.operators.Evaluation.gainsFromBandCounts]] over the
+    * latest emission per band — the EXACT batch code path, so stream
+    * rollup ≡ batch table bit-for-bit (spec-pinned across a
+    * mid-stream micro-batch split).
+    */
+  def bandCountsMonitor(
+      ds: Dataset[ScoredPoint], cutoffs: Seq[Double]): Dataset[BucketCount] = {
+    require(cutoffs.nonEmpty, "need at least one cutoff (k >= 2 bands)")
+    require(cutoffs == cutoffs.sorted, s"cutoffs must ascend: $cutoffs")
+    val k = cutoffs.size + 1
+    bucketCounts(ds, p => k.toLong - cutoffs.count(p.score > _))
+  }
+
+  /** Streaming twin of [[graft.operators.Evaluation.averagePrecision]]
+    * at `bins > 0` (x232's scale form): running per-BIN counts against
+    * a FROZEN equal-width grid (lo, hi, bins — from the reference
+    * window's min/max, the rocAuc `bins` contract). Bin assignment is
+    * the batch `quantize` expression verbatim:
+    * `min(⌊(s−lo)·bins/(hi−lo)⌋, bins−1)`, degenerate hi ≤ lo → bin 0.
+    *
+    * Each emission is one bin's latest running counts; the AP value is
+    * [[graft.operators.Evaluation.apFromScoreCounts]] over the latest
+    * emission per bin (bucket id cast back to the batch's double
+    * bin key) — the EXACT batch code path (spec-pinned).
+    */
+  def binCountsMonitor(
+      ds: Dataset[ScoredPoint], lo: Double, hi: Double,
+      bins: Int): Dataset[BucketCount] = {
+    require(bins >= 1, s"bins must be >= 1: $bins")
+    bucketCounts(ds, p =>
+      if (hi > lo)
+        math.min(math.floor((p.score - lo) * bins / (hi - lo)).toLong,
+          (bins - 1).toLong)
+      else 0L)
+  }
 }

@@ -382,4 +382,68 @@ class StatefulSpec extends SparkSpec {
       profile.getDouble(2) == batch.getDouble(2),
       s"stream rollup $profile != batch operator $batch")
   }
+
+  test("bandCountsMonitor rollup ≡ batch gainsTable EXACTLY across a mid-stream split") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val pts = (1 to 40).map(i => Stateful.ScoredPoint(
+      i.toLong, (i * 7 % 40).toDouble, if (i % 5 == 0) 1L else 0L))
+    val df = pts.toDF()
+    val batch = graft.operators.Evaluation.gainsTable(
+        df, col("score"), col("label"), k = 4)
+      .orderBy("band").collect().toSeq
+    // frozen cutoffs = the same exact-quantile pass gainsTable runs
+    val cutRow = graft.operators.Profiling.groupedExactQuantiles(
+      df.select(col("score").cast("double").as("__s")), Seq(), col("__s"),
+      (1 until 4).map(i => s"q$i" -> i / 4.0)).head()
+    val cuts = (1 until 4).map(i => cutRow.getDecimal(i - 1).doubleValue)
+    val mem = MemoryStream[Stateful.ScoredPoint]
+    val out = Stateful.bandCountsMonitor(mem.toDS(), cuts)
+    val sink = s"gainsmon_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(pts.take(17): _*) // mid-stream split: bands straddle
+      q.processAllAvailable()
+      mem.addData(pts.drop(17): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val latest = spark.table(sink).as[Stateful.BucketCount].collect()
+      .groupBy(_.bucket).map(_._2.maxBy(_.through_seq)).toSeq
+    val rolled = graft.operators.Evaluation.gainsFromBandCounts(
+        latest.map(r => (r.bucket, r.n, r.n_pos))
+          .toDF("band", "n", "n_pos"), 6)
+      .orderBy("band").collect().toSeq
+    assert(rolled == batch, s"stream rollup $rolled != batch $batch")
+  }
+
+  test("binCountsMonitor rollup ≡ batch averagePrecision(bins) EXACTLY across a split") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    // continuous scores (every value distinct) — AP's primary shape
+    val pts = (0 until 60).map(i => Stateful.ScoredPoint(
+      i.toLong, i * 0.37 + 1.0 / (i + 1), if (i % 7 == 0) 1L else 0L))
+    val df = pts.toDF()
+    val batch = graft.operators.Evaluation.averagePrecision(
+      df, col("label") === 1L, col("score"), bins = 8).collect().toSeq
+    val lo = pts.map(_.score).min; val hi = pts.map(_.score).max
+    val mem = MemoryStream[Stateful.ScoredPoint]
+    val out = Stateful.binCountsMonitor(mem.toDS(), lo, hi, bins = 8)
+    val sink = s"apmon_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(pts.take(23): _*)
+      q.processAllAvailable()
+      mem.addData(pts.drop(23): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val latest = spark.table(sink).as[Stateful.BucketCount].collect()
+      .groupBy(_.bucket).map(_._2.maxBy(_.through_seq)).toSeq
+    // bucket id back to the batch quantize key (bin id as double)
+    val rolled = graft.operators.Evaluation.apFromScoreCounts(
+      latest.map(r => (r.bucket.toDouble, r.n, r.n_pos))
+        .toDF("__s", "__n", "__p"), 6).collect().toSeq
+    assert(rolled == batch, s"stream rollup $rolled != batch $batch")
+  }
 }
