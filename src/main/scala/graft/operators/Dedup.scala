@@ -1647,4 +1647,36 @@ object Dedup {
           / col("n_docs").cast("double")).cast(stable), roundDigits)
           .cast("double").as("dup_rate"))
   }
+
+  /** X208 — cross-source exact-duplicate matrix: for every unordered
+    * source pair, how many DISTINCT texts appear in both — the
+    * contamination-flow map over the corpus ("how much of crawl-B is
+    * re-scraped crawl-A", "does the synthetic set leak the eval set")
+    * that per-source dup rates (x195) and global dedup (x40) both
+    * flatten away. The natural pre-read before choosing which source
+    * wins representative selection in a cross-source dedup.
+    *
+    * Shape: the exact-dedup digest discipline — ONE distinct over
+    * (source, sha256(text)) so the shuffle carries 32-byte digests,
+    * never text; the self-join on the digest emits per-digest source
+    * pairs (bounded by sources² per digest, and sources is a bounded
+    * dimension); one counting aggregate to the sources²/2 matrix.
+    * NULL-text documents are excluded (no content, no duplication
+    * claim — the x195 rule). The matrix keys each pair once,
+    * `source_a < source_b`.
+    */
+  def crossSourceDupMatrix(
+      df: DataFrame, textCol: String, sourceCol: String): DataFrame = {
+    val pairs = df
+      .filter(col(textCol).isNotNull && col(sourceCol).isNotNull)
+      .select(col(sourceCol).as("__src"),
+        sha2(col(textCol), 256).as("__dig"))
+      .distinct()
+    val l = pairs.select(col("__src").as("source_a"), col("__dig"))
+    val r = pairs.select(col("__src").as("source_b"), col("__dig"))
+    l.join(r, Seq("__dig"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared_texts"))
+  }
 }

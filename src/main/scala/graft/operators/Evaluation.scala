@@ -696,6 +696,223 @@ object Evaluation {
           .as("average_precision"))
   }
 
+  /** X201 — Kendall's τ-b rank correlation from the CONTINGENCY CELLS
+    * of (x, y): concordant/discordant pair counts come from one
+    * cell-pair join (`x₁ < x₂` ordered pairs; P adds n₁·n₂ where y
+    * agrees in direction, Q where it reverses), tie terms from the
+    * marginals, and `τ_b = (P − Q)/√((n₀−t_x)(n₀−t_y))` — the
+    * tie-adjusted concordance test that [[spearman]]'s midrank form
+    * doesn't give (τ has a direct probabilistic reading:
+    * P(concordant) − P(discordant)).
+    *
+    * Scale shape: the join is over CELL pairs — bounded by distinct
+    * (x, y) cardinality squared, never rows². The operator's domain is
+    * ordinal/categorical columns; for continuous inputs pass
+    * `bins > 0` ([[quantize]], per side) to bound cells at bins² —
+    * monotone binning preserves concordance on grid data exactly.
+    * All pair products run in DECIMAL (exact to 10¹² rows/side); the
+    * one float chain is the final ratio, stabilized through
+    * DECIMAL(18,8). Either side constant → null τ, not a division
+    * error.
+    */
+  def kendallTauB(df: DataFrame, x: Column, y: Column,
+      bins: Int = 0, roundDigits: Int = 6): DataFrame = {
+    val d12 = org.apache.spark.sql.types.DecimalType(12, 0)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val raw0 = df.filter(x.isNotNull && y.isNotNull)
+      .select(x.cast("double").as("__x"), y.cast("double").as("__y"))
+    val raw = quantize(quantize(raw0, "__x", bins), "__y", bins)
+    val cells = raw.groupBy(col("__x"), col("__y"))
+      .agg(count(lit(1)).as("__n"))
+    // ordered cell pairs x1 < x2: P where y rises, Q where it falls
+    val l = cells.select(col("__x").as("__x1"), col("__y").as("__y1"),
+      col("__n").cast(d12).as("__n1"))
+    val r = cells.select(col("__x").as("__x2"), col("__y").as("__y2"),
+      col("__n").cast(d12).as("__n2"))
+    val pq = l.join(r, col("__x1") < col("__x2"))
+      .agg(
+        sum(when(col("__y1") < col("__y2"), (col("__n1") * col("__n2"))
+          .cast(d38)).otherwise(lit(0).cast(d38))).as("__P"),
+        sum(when(col("__y1") > col("__y2"), (col("__n1") * col("__n2"))
+          .cast(d38)).otherwise(lit(0).cast(d38))).as("__Q"))
+    def pairs2(c: Column): Column = {
+      val n = c.cast(d12)
+      ((n * (n - 1)).cast(d38) / 2).cast(d38)
+    }
+    val tx = cells.groupBy(col("__x")).agg(sum(col("__n")).as("__nx"))
+      .agg(sum(pairs2(col("__nx"))).as("__tx"))
+    val ty = cells.groupBy(col("__y")).agg(sum(col("__n")).as("__ny"))
+      .agg(sum(pairs2(col("__ny"))).as("__ty"))
+    val tot = cells.agg(sum(col("__n")).as("__nr"))
+      .select(col("__nr"), pairs2(col("__nr")).as("__n0"))
+    pq.crossJoin(broadcast(tot)).crossJoin(broadcast(tx))
+      .crossJoin(broadcast(ty))
+      .select(col("__nr").as("n"),
+        round(when(col("__n0") > col("__tx") && col("__n0") > col("__ty"),
+          (col("__P") - col("__Q")).cast("double")
+            / sqrt((col("__n0") - col("__tx")).cast("double")
+              * (col("__n0") - col("__ty")).cast("double")))
+          .cast(stable), roundDigits).cast("double").as("tau_b"))
+  }
+
+  /** X202 — Mann–Whitney U (two-sample rank-sum) with the normal
+    * approximation: `U_A = R_A − n_A(n_A+1)/2` over pooled midranks,
+    * `z = (U_A − n_A·n_B/2) / σ` with the tie-corrected
+    * `σ² = (n_A·n_B/12)·((n+1) − Σ(t³−t)/(n(n−1)))` — the two-sample
+    * location test behind [[rocAuc]]'s identity (U/(n_A·n_B) IS the
+    * AUC), reported as the test statistic a drift monitor thresholds
+    * on. No continuity correction (both engines then share one float
+    * chain).
+    *
+    * Midranks per DISTINCT pooled value (the [[spearman]] machinery);
+    * `bins > 0` ([[quantize]]) bounds the window for continuous
+    * columns. Rank sums run exactly in DECIMAL(28,6); the tie cube
+    * runs in DECIMAL(12,0)³ (the [[kruskalWallis]] overflow rule).
+    * Degenerate inputs (either side empty, or all values tied → σ = 0)
+    * emit null z.
+    */
+  def mannWhitneyU(df: DataFrame, sideA: Column, sideB: Column,
+      value: Column, bins: Int = 0, roundDigits: Int = 4): DataFrame = {
+    val d12 = org.apache.spark.sql.types.DecimalType(12, 0)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    def cubeMinus(c: Column): Column = {
+      val n = c.cast(d12)
+      (n * n * n).cast(d38) - n
+    }
+    val raw0 = df.filter((sideA || sideB) && value.isNotNull)
+      .select(value.cast("double").as("__v"),
+        when(sideA, lit(1L)).otherwise(lit(0L)).as("__a"))
+    val raw = quantize(raw0, "__v", bins)
+    val perVal = raw.groupBy(col("__v"))
+      .agg(count(lit(1)).as("__n"), sum(col("__a")).as("__na"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perVal.select(col("__na"), col("__n"),
+      (coalesce(sum(col("__n")).over(w), lit(0L))
+        + (col("__n") + 1) / lit(2.0d)).as("__r"))
+    val agg = ranked.agg(
+      sum(col("__na")).as("__nA"),
+      sum(col("__n") - col("__na")).as("__nB"),
+      sum(col("__n")).as("__N"),
+      sum((col("__na") * col("__r")).cast(dec)).as("__RA"),
+      sum(cubeMinus(col("__n"))).as("__T"))
+    val nA = col("__nA").cast("double")
+    val nB = col("__nB").cast("double")
+    val nT = col("__N").cast("double")
+    val u = col("__RA").cast("double") - nA * (nA + 1) / lit(2.0d)
+    val var0 = nA * nB / lit(12.0d) *
+      ((nT + 1) - col("__T").cast("double") / (nT * (nT - 1)))
+    agg.select(
+      col("__nA").as("n_a"), col("__nB").as("n_b"),
+      round(when(col("__nA") > 0 && col("__nB") > 0, u)
+        .cast(stable), roundDigits).cast("double").as("u_a"),
+      round(when(col("__nA") > 0 && col("__nB") > 0 &&
+          col("__N") > 1 && var0 > 0,
+        (u - nA * nB / lit(2.0d)) / sqrt(var0))
+        .cast(stable), roundDigits).cast("double").as("z"))
+  }
+
+  /** X203 — Jensen–Shannon divergence between two slices of a
+    * CATEGORICAL column: `JSD = ½·KL(p_A‖m) + ½·KL(p_B‖m)` with
+    * `m = (p_A+p_B)/2` — the symmetric, always-finite drift measure
+    * for discrete distributions ([[psi]] needs binning and blows up
+    * on empty cells; [[ksTest]] is ordinal-only; JSD is the one that
+    * works on unordered categories with disjoint support). Emitted in
+    * nats plus `jsd_norm = JSD/ln 2 ∈ [0,1]` (1 = disjoint support).
+    *
+    * One cell aggregate to category cardinality + a 1-row broadcast
+    * of totals; each category's two KL terms compute as single IEEE
+    * chains over exact counts, round to DECIMAL(18,8) BEFORE the
+    * exact sum (round-then-add), and absent-on-one-side categories
+    * contribute only the present side's term (the lim p→0 p·ln = 0
+    * convention).
+    */
+  def jensenShannon(df: DataFrame, sideA: Column, sideB: Column,
+      value: Column, roundDigits: Int = 6): DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val cells = df.filter(sideA || sideB)
+      .select(value.cast("string").as("__v"),
+        when(sideA, lit(1L)).otherwise(lit(0L)).as("__a"),
+        when(sideB, lit(1L)).otherwise(lit(0L)).as("__b"))
+      .groupBy(col("__v"))
+      .agg(sum(col("__a")).as("__na"), sum(col("__b")).as("__nb"))
+    // totals named apart from the cell counts: Spark's default
+    // case-insensitive resolution would see "__NA" == "__na"
+    val tot = cells.agg(sum(col("__na")).as("__ta"),
+      sum(col("__nb")).as("__tb"))
+    val pa = col("__na").cast("double") / col("__ta")
+    val pb = col("__nb").cast("double") / col("__tb")
+    val m = (pa + pb) / lit(2.0d)
+    val termA = when(col("__na") > 0, round((pa * log(pa / m))
+      .cast(stable), 8)).otherwise(lit(0).cast(stable))
+    val termB = when(col("__nb") > 0, round((pb * log(pb / m))
+      .cast(stable), 8)).otherwise(lit(0).cast(stable))
+    cells.crossJoin(broadcast(tot))
+      .agg(first(col("__ta")).as("n_a"), first(col("__tb")).as("n_b"),
+        sum(termA).as("__ka"), sum(termB).as("__kb"))
+      .select(col("n_a"), col("n_b"),
+        round(when(col("n_a") > 0 && col("n_b") > 0,
+          (col("__ka").cast("double") + col("__kb").cast("double"))
+            / lit(2.0d)).cast(stable), roundDigits)
+          .cast("double").as("jsd"),
+        round(when(col("n_a") > 0 && col("n_b") > 0,
+          ((col("__ka").cast("double") + col("__kb").cast("double"))
+            / lit(2.0d)) / lit(math.log(2.0))).cast(stable), roundDigits)
+          .cast("double").as("jsd_norm"))
+  }
+
+  /** X205 — Lorenz curve table: values sort ascending (ties by
+    * `tieBreaker`), split into k equal-population buckets by GLOBAL
+    * rank, and each bucket reports its size, value total, and the
+    * cumulative share held by the bottom 1..i buckets — [[gini]]'s
+    * full distributional picture (gini is twice the area between this
+    * curve and the diagonal; the table answers "what share do the
+    * bottom 30% hold", which the scalar can't).
+    *
+    * Scale shape: global ranks via
+    * [[graft.operators.Relational.chunkedRank]] (no single-partition
+    * window, no RDD round-trip); bucket = ⌊rank·k/n⌋ capped — pure
+    * arithmetic on the rank, n from a 1-row broadcast; one counting
+    * aggregate to k rows; the cumulative window runs over the k-row
+    * bucket table only. Value sums in DECIMAL(28,6) (exact,
+    * association-free); shares stabilize through DECIMAL(18,8).
+    */
+  def lorenzCurve(df: DataFrame, value: Column, tieBreaker: Column,
+      k: Int = 10, roundDigits: Int = 6,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
+    require(k >= 2 && k <= 1000, s"need 2 <= k <= 1000 buckets, got $k")
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val rows = df.filter(value.isNotNull)
+      .select(value.cast(dec).as("__x"), tieBreaker.as("__t"))
+    val ranked = graft.operators.Relational
+      .chunkedRank(rows, Seq(col("__x"), col("__t")), "__i", scope)
+    val n1 = ranked.agg(count(lit(1)).as("__n"))
+    // rank·k stays far below 2^53, so the double floor is exact and
+    // engine-identical (the SQL twin has no integer-division `/`)
+    val bucket = least(
+      floor(col("__i").cast("double") * k / col("__n")) + 1, lit(k))
+    val byBucket = ranked.crossJoin(broadcast(n1))
+      .groupBy(bucket.cast("bigint").as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("__s"))
+    val wCum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    byBucket
+      .withColumn("__cs", sum(col("__s")).over(wCum))
+      .withColumn("__ts", sum(col("__s")).over(tot))
+      .select(col("bucket"), col("n"),
+        round(col("__s").cast("double"), 2).as("total"),
+        round(when(col("__ts") > 0,
+          col("__cs").cast("double") / col("__ts").cast("double"))
+          .cast(stable), roundDigits).cast("double").as("cum_share"))
+  }
+
   /** X196 — Theil T inequality index per group:
     * `T = (1/n)·Σ (x/μ)·ln(x/μ)` over positive values — the
     * entropy-based inequality measure next to [[gini]]: T = 0 means

@@ -535,6 +535,98 @@ object Profiling {
     out
   }
 
+  /** X209 — trimmed mean per group: the mean over values inside the
+    * exact [α, 1−α] quantile band (inclusive) — the robust central
+    * tendency between the mean (0% trim, outlier-hostage) and the
+    * median (50% trim, throws away most of the data); the standard
+    * summary for spend/latency columns whose tails are real but
+    * should not steer a per-group KPI.
+    *
+    * Cutoffs come from [[groupedExactQuantiles]] (exact decimal rank
+    * arithmetic — no float quantile ever reaches the band compare, the
+    * r11 lesson) and join back null-safe per group; the kept-value
+    * mean is an exact DECIMAL sum with ONE final float division
+    * stabilized through DECIMAL(18,8). Emits both the raw and trimmed
+    * mean so the gap itself is the outlier signal.
+    */
+  def trimmedMean(df: DataFrame, groupCols: Seq[String], value: Column,
+      alpha: Double = 0.1, roundDigits: Int = 6,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
+    require(alpha > 0 && alpha < 0.5, s"alpha must be in (0, 0.5): $alpha")
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val gs = groupCols.map(col)
+    val rows = df.filter(value.isNotNull)
+      .select(gs :+ value.cast(dec).as("__v"): _*)
+    val cuts = groupedExactQuantiles(rows, groupCols, col("__v"),
+      Seq("__qlo" -> alpha, "__qhi" -> (1 - alpha)), scope = scope)
+    val renamed = groupCols.foldLeft(cuts)((d, c) =>
+      d.withColumnRenamed(c, s"__c_$c"))
+    val joinCond = (groupCols.map(c => col(c) <=> col(s"__c_$c"))
+      :+ lit(true)).reduce(_ && _)
+    rows.join(renamed, joinCond)
+      .groupBy(gs: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__v")).as("__s"),
+        sum(when(col("__v") >= col("__qlo") && col("__v") <= col("__qhi"),
+          lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        sum(when(col("__v") >= col("__qlo") && col("__v") <= col("__qhi"),
+          col("__v")).otherwise(lit(0).cast(dec))).as("__sk"))
+      .select(gs ++ Seq(col("n"), col("n_kept"),
+        round((col("__s").cast("double") / col("n")).cast(stable),
+          roundDigits).cast("double").as("mean"),
+        round(when(col("n_kept") > 0,
+          col("__sk").cast("double") / col("n_kept")).cast(stable),
+          roundDigits).cast("double").as("trimmed_mean")): _*)
+  }
+
+  /** X210 — quantile drift between two slices of a column: the exact
+    * p-quantiles of the baseline and current eras side by side with
+    * their absolute gap — the MAGNITUDE drift readout that
+    * [[graft.operators.Evaluation.psi]] (a unitless index) and KS (a
+    * probability gap) can't give: "p90 latency moved 240 ms" is
+    * actionable where "PSI 0.31" is a siren.
+    *
+    * ONE ranked pass for both eras: the era tag becomes a group
+    * column in [[groupedExactQuantiles]] (the multiExactQuantiles
+    * trick), so the input is scanned once regardless of how many
+    * probabilities are requested. Output one row per probability;
+    * the gap is a single decimal subtraction of the two exact
+    * quantiles (no float until the final cast).
+    */
+  def quantileDrift(df: DataFrame, isBase: Column, isCur: Column,
+      value: Column,
+      probs: Seq[(String, Double)] = Seq("p25" -> 0.25, "p50" -> 0.5,
+        "p75" -> 0.75, "p90" -> 0.9),
+      roundDigits: Int = 6,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
+    require(probs.nonEmpty, "need at least one probability")
+    val rows = df.filter((isBase || isCur) && value.isNotNull)
+      .select(when(isBase, lit("base")).otherwise(lit("cur")).as("__era"),
+        value.cast("double").as("__v"))
+    val q = groupedExactQuantiles(rows, Seq("__era"), col("__v"), probs,
+      roundDigits = roundDigits, scope = scope)
+    val b = probs.foldLeft(q.filter(col("__era") === "base")) {
+      (d, p) => d.withColumnRenamed(p._1, s"__b_${p._1}") }
+      .drop("__era")
+    val c = probs.foldLeft(q.filter(col("__era") === "cur")) {
+      (d, p) => d.withColumnRenamed(p._1, s"__c_${p._1}") }
+      .drop("__era")
+    val pairs = probs.map { case (nm, _) =>
+      struct(lit(nm).as("prob"),
+        col(s"__b_$nm").as("__qb"), col(s"__c_$nm").as("__qc"))
+    }
+    b.crossJoin(c)
+      .select(explode(array(pairs: _*)).as("__p"))
+      .select(col("__p.prob").as("prob"),
+        col("__p.__qb").cast("double").as("q_base"),
+        col("__p.__qc").cast("double").as("q_cur"),
+        abs(col("__p.__qc") - col("__p.__qb")).cast("double")
+          .as("abs_shift"))
+  }
+
   /** Rational (num, den) for a probability, by continued-fraction
     * approximation: the smallest denominator d <= 10^6 with
     * |p·d − round(p·d)| within half an ULP of p at that scale. Makes

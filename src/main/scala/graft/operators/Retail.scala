@@ -648,4 +648,108 @@ object Retail {
         F.round(F.when(col("__base") > 0, avgQty / col("__base"))
           .cast(stable), roundDigits).cast("double").as("qty_uplift"))
   }
+
+  /** X206 — inter-purchase cadence per customer: gaps between
+    * DISTINCT purchase days (same-day orders are one shopping event —
+    * a 0-day "gap" would poison the regularity read), their mean, and
+    * the coefficient of variation — the replenishment-cycle profile
+    * behind every "is this customer due?" trigger and the
+    * per-customer prior a demand forecaster (the reference's M5
+    * domain) conditions on. CV reads: ≪1 clockwork replenishment,
+    * ≈1 Poisson-random, ≫1 bursty.
+    *
+    * One distinct + one key-partitioned lag window + one aggregate.
+    * Gap sums/squares are exact integers; mean and CV are single
+    * float chains over exact operands stabilized through
+    * DECIMAL(18,8). Customers with < 2 distinct days emit no gaps
+    * (null mean); CV needs ≥ 3 days and a positive mean.
+    */
+  def interPurchaseProfile(
+      df: DataFrame, keyCol: String, dateCol: String,
+      roundDigits: Int = 4): DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val days = df.filter(col(dateCol).isNotNull)
+      .select(col(keyCol).as("__k"), F.to_date(col(dateCol)).as("__d"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k")).orderBy(col("__d"))
+    val gaps = days
+      .withColumn("__g",
+        F.datediff(col("__d"), F.lag(col("__d"), 1).over(w)).cast("long"))
+    val n = col("__ng").cast("double")
+    val mean = col("__sg").cast("double") / n
+    // sample variance from exact integer moments, one IEEE chain
+    val variance = ((col("__sgg").cast("double")
+      - col("__sg").cast("double") * col("__sg").cast("double") / n)
+      / (n - 1))
+    gaps.groupBy(col("__k"))
+      .agg(F.count(F.lit(1)).as("n_purchase_days"),
+        F.count(col("__g")).as("__ng"),
+        F.sum(col("__g")).as("__sg"),
+        F.sum(col("__g") * col("__g")).as("__sgg"))
+      .select(col("__k").as(keyCol), col("n_purchase_days"),
+        F.round(F.when(col("__ng") >= 1, mean).cast(stable), roundDigits)
+          .cast("double").as("mean_gap_days"),
+        F.round(F.when(col("__ng") >= 2 && mean > 0 && variance >= 0,
+          F.sqrt(variance) / mean).cast(stable), roundDigits)
+          .cast("double").as("cv_gap"))
+  }
+
+  /** X207 — top-k rank stability between two eras: the share of era
+    * A's top-d keys (by a summed metric) still in era B's top-d, at
+    * each requested depth — the ranking-drift monitor for "did the
+    * bestseller list churn overnight" that distribution drift
+    * ([[graft.operators.Evaluation.psi]]) can't see (a reshuffle
+    * inside the same distribution is invisible to any histogram).
+    *
+    * Shape: one grouped aggregate per era off a single input scan
+    * (conditional sums), two TakeOrdered top-maxDepth projections
+    * (never a full sort), ranks via a window over the ≤ maxDepth-row
+    * frame (bounded by construction), one join of two k-row frames,
+    * and a depths×k cross of driver literals. Ties break by key —
+    * deterministic end-to-end. Shares stabilize through
+    * DECIMAL(18,8).
+    */
+  def rankStability(
+      df: DataFrame, keyCol: String, metric: org.apache.spark.sql.Column,
+      eraA: org.apache.spark.sql.Column, eraB: org.apache.spark.sql.Column,
+      depths: Seq[Int] = Seq(5, 10, 20),
+      roundDigits: Int = 6): DataFrame = {
+    require(depths.nonEmpty && depths.forall(_ >= 1),
+      s"depths must be positive: $depths")
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val maxD = depths.max
+    val spark = df.sparkSession
+    import spark.implicits._
+    // ONE scan: per-era conditional sums in the same aggregate
+    val byKey = df.filter((eraA || eraB) && metric.isNotNull)
+      .groupBy(col(keyCol).as("__key"))
+      .agg(
+        F.sum(F.when(eraA, metric.cast(dec)).otherwise(F.lit(0).cast(dec)))
+          .as("__ma"),
+        F.sum(F.when(eraB, metric.cast(dec)).otherwise(F.lit(0).cast(dec)))
+          .as("__mb"))
+    def topRanks(m: String, out: String): DataFrame = {
+      val top = byKey.select(col("__key"), col(m))
+        .orderBy(col(m).desc, col("__key")).limit(maxD)
+      // bounded: the rank window runs over <= maxDepth rows
+      top.withColumn(out, F.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col(m).desc, col("__key"))))
+        .select(col("__key"), col(out))
+    }
+    val joined = topRanks("__ma", "__ra")
+      .join(topRanks("__mb", "__rb"), Seq("__key"), "full_outer")
+    val depthsDf = depths.map(_.toLong).toDF("depth")
+    F.broadcast(depthsDf).crossJoin(joined)
+      .groupBy(col("depth"))
+      .agg(F.sum((col("__ra") <= col("depth") &&
+        col("__rb") <= col("depth")).cast("long")).as("overlap"))
+      .select(col("depth"), F.coalesce(col("overlap"), F.lit(0L))
+          .as("overlap"),
+        F.round((F.coalesce(col("overlap"), F.lit(0L)).cast("double")
+          / col("depth")).cast(stable), roundDigits)
+          .cast("double").as("overlap_share"))
+  }
 }

@@ -1431,6 +1431,67 @@ object TimeSeries {
         .cast("long").as("drift"))
   }
 
+  /** X204 — Page–Hinkley mean-shift test per key (Page 1954, the
+    * sequential-changepoint standard): the cumulative deviation from
+    * the RUNNING mean, `m_t = Σ_{i≤t} (y_i − ȳ_i − δ)` with
+    * `ȳ_i = mean(y_1..y_i)`, alarms when `m_t − min_{s≤t} m_s > λ` —
+    * the self-calibrating upward-shift detector next to
+    * [[cusumDrift]] (CUSUM needs a FIXED baseline μ/σ from the whole
+    * window, so a drift contaminates its own baseline; PH's running
+    * mean adapts, which is why streaming drift monitors default to
+    * it). `δ` is the magnitude slack, `λ` the alarm threshold, both
+    * in value units.
+    *
+    * Exactness (the cusum fold discipline): values quantize through
+    * DECIMAL(18,6) → double so both engines fold identical operands;
+    * the fold itself is ONE left-to-right double chain per step
+    * (running sum, running mean by division, deviation accumulate,
+    * running min, max excursion — identical IEEE sequence in Spark's
+    * `aggregate` and DuckDB's `list_reduce`), and the only rounding
+    * is the final 4 dp display round. Per-key arrays are the
+    * sanctioned bounded-series collect (the cusum/ses shape); rows
+    * fold in (order, value) sort order.
+    */
+  def pageHinkley(
+      df: DataFrame,
+      keyCol: String, orderCol: String, valueCol: String,
+      delta: Double = 0.0, lambda: Double = 10.0,
+      roundDigits: Int = 4): DataFrame = {
+    require(lambda > 0, s"alarm threshold lambda must be positive: $lambda")
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(orderCol).as("__o"),
+        col(valueCol).cast(dec6).as("__y"))
+    val agg = rows.groupBy(col("__k"))
+      .agg(count(lit(1)).as("n_obs"),
+        expr("array_sort(collect_list(struct(__o, __y)))").as("__a"))
+      .withColumn("__ys",
+        expr("transform(__a, s -> CAST(s.__y AS DOUBLE))"))
+    // state = [i, Σy, m, min m, max excursion]; every sub-expression
+    // re-derives from acc (the x198 struct-mutation lesson)
+    val iNew = "(element_at(acc, 1) + 1D)"
+    val sNew = "(element_at(acc, 2) + element_at(xw, 1))"
+    val mNew = s"(element_at(acc, 3) + (element_at(xw, 1) " +
+      s"- $sNew / $iNew - ${delta}D))"
+    val minNew = s"least(element_at(acc, 4), $mNew)"
+    val folded = agg.withColumn("__c", expr(
+      s"""aggregate(
+         |  transform(__ys, y -> array(y, 0D, 0D, 0D, 0D)),
+         |  array(0D, 0D, 0D, 0D, 0D),
+         |  (acc, xw) -> array(
+         |    $iNew,
+         |    $sNew,
+         |    $mNew,
+         |    $minNew,
+         |    greatest(element_at(acc, 5), $mNew - ($minNew))))""".stripMargin))
+    folded.select(col("__k").as(keyCol), col("n_obs"),
+      round(expr("element_at(__c, 5)").cast(stable), roundDigits)
+        .cast("double").as("ph_stat"),
+      (round(expr("element_at(__c, 5)").cast(stable), roundDigits)
+        > lit(lambda)).cast("long").as("detected"))
+  }
+
   /** X190 — EWMA control chart per key (Roberts 1959, the SPC
     * standard): `z_t = λ·y_t + (1−λ)·z_{t−1}` with `z_0 = μ`, flagged
     * against the steady-state control limits

@@ -4818,7 +4818,301 @@ object OracleSql {
         |SELECT doc_id, n_tokens, log_weight + 0.0 AS log_weight,
         |  gumbel_score + 0.0 AS gumbel_score FROM (
         |  SELECT * FROM g ORDER BY gumbel_score DESC, doc_id LIMIT 100)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // Kendall τ-b over (quantity, price) cells with BOTH sides binned
+    // to 32 (each by its own min/max — the bins knob's oracle twin):
+    // concordant/discordant from the x1<x2 cell-pair join, tie terms
+    // from the marginals, HUGEINT-exact integer counts.
+    "x234_kendall_tau" ->
+      """WITH r0 AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+        |  CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |ex AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM r0),
+        |r1 AS (SELECT CASE WHEN ex.hi > ex.lo THEN
+        |    CAST(LEAST(FLOOR((x - ex.lo) * 32 / (ex.hi - ex.lo)),
+        |      31) AS DOUBLE) ELSE 0.0e0 END AS x, y
+        |  FROM r0 CROSS JOIN ex),
+        |ey AS (SELECT MIN(y) AS lo, MAX(y) AS hi FROM r1),
+        |r AS (SELECT x, CASE WHEN ey.hi > ey.lo THEN
+        |    CAST(LEAST(FLOOR((y - ey.lo) * 32 / (ey.hi - ey.lo)),
+        |      31) AS DOUBLE) ELSE 0.0e0 END AS y
+        |  FROM r1 CROSS JOIN ey),
+        |c AS (SELECT x, y, COUNT(*) AS n FROM r GROUP BY 1, 2),
+        |pq AS (SELECT
+        |  SUM(CASE WHEN a.y < b.y THEN a.n * b.n ELSE 0 END) AS p,
+        |  SUM(CASE WHEN a.y > b.y THEN a.n * b.n ELSE 0 END) AS q
+        |  FROM c a JOIN c b ON a.x < b.x),
+        |tx AS (SELECT SUM((nx * (nx - 1)) // 2) AS tx FROM (
+        |  SELECT SUM(n) AS nx FROM c GROUP BY x)),
+        |ty AS (SELECT SUM((ny * (ny - 1)) // 2) AS ty FROM (
+        |  SELECT SUM(n) AS ny FROM c GROUP BY y)),
+        |tt AS (SELECT SUM(n) AS nr, (SUM(n) * (SUM(n) - 1)) // 2 AS n0
+        |  FROM c)
+        |SELECT CAST(nr AS BIGINT) AS n,
+        |  CAST(ROUND(CAST(CASE WHEN n0 > tx AND n0 > ty THEN
+        |      CAST(p - q AS DOUBLE)
+        |      / SQRT(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE))
+        |    END AS DECIMAL(18,8)), 6) AS DOUBLE) AS tau_b
+        |FROM pq CROSS JOIN tt CROSS JOIN tx CROSS JOIN ty""".stripMargin,
+
+    // Mann–Whitney U: pooled midranks over distinct values (the x219
+    // machinery), exact decimal rank sum, tie cube in HUGEINT, one
+    // float chain each for U and z.
+    "x235_mann_whitney" ->
+      """WITH s AS (SELECT CAST(value AS DOUBLE) AS v,
+        |  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a
+        |  FROM events WHERE (event_type = 'click' OR event_type = 'view')
+        |    AND value IS NOT NULL),
+        |g AS (SELECT v, COUNT(*) AS n, SUM(a) AS na FROM s GROUP BY 1),
+        |rk AS (SELECT na, n,
+        |  COALESCE(SUM(n) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + (n + 1) / 2.0e0 AS r FROM g),
+        |ag AS (SELECT SUM(na) AS na2, SUM(n - na) AS nb2, SUM(n) AS nt,
+        |  SUM(CAST(na * r AS DECIMAL(28,6))) AS ra,
+        |  SUM(n*n*n - n) AS t FROM rk)
+        |SELECT CAST(na2 AS BIGINT) AS n_a, CAST(nb2 AS BIGINT) AS n_b,
+        |  CAST(ROUND(CAST(CASE WHEN na2 > 0 AND nb2 > 0 THEN
+        |      CAST(ra AS DOUBLE)
+        |        - CAST(na2 AS DOUBLE) * (CAST(na2 AS DOUBLE) + 1) / 2.0e0
+        |    END AS DECIMAL(18,8)), 4) AS DOUBLE) AS u_a,
+        |  CAST(ROUND(CAST(CASE WHEN na2 > 0 AND nb2 > 0 AND nt > 1
+        |      AND CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE) / 12.0e0
+        |        * ((CAST(nt AS DOUBLE) + 1) - CAST(t AS DOUBLE)
+        |          / (CAST(nt AS DOUBLE) * (CAST(nt AS DOUBLE) - 1))) > 0
+        |    THEN
+        |      (CAST(ra AS DOUBLE)
+        |        - CAST(na2 AS DOUBLE) * (CAST(na2 AS DOUBLE) + 1) / 2.0e0
+        |        - CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE) / 2.0e0)
+        |      / SQRT(CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE) / 12.0e0
+        |        * ((CAST(nt AS DOUBLE) + 1) - CAST(t AS DOUBLE)
+        |          / (CAST(nt AS DOUBLE) * (CAST(nt AS DOUBLE) - 1))))
+        |    END AS DECIMAL(18,8)), 4) AS DOUBLE) AS z
+        |FROM ag""".stripMargin,
+
+    // Jensen–Shannon: category cells + 1-row totals, per-category KL
+    // terms round-then-add at 8dp, absent side contributes 0; norm
+    // divides by the Scala Math.log(2) literal (libm-independent).
+    "x236_jensen_shannon" ->
+      """WITH r AS (SELECT o_orderpriority AS v,
+        |  CASE WHEN CAST(o_orderdate AS DATE) < DATE '1997-07-01'
+        |    THEN 1 ELSE 0 END AS a,
+        |  CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1997-07-01'
+        |    THEN 1 ELSE 0 END AS b
+        |  FROM orders
+        |  WHERE CAST(o_orderdate AS DATE) < DATE '1997-07-01'
+        |    OR CAST(o_orderdate AS DATE) >= DATE '1997-07-01'),
+        |c AS (SELECT v, SUM(a) AS na, SUM(b) AS nb FROM r GROUP BY 1),
+        |t AS (SELECT SUM(na) AS tna, SUM(nb) AS tnb FROM c),
+        |k AS (SELECT
+        |  SUM(CASE WHEN na > 0 THEN ROUND(CAST(
+        |    (CAST(na AS DOUBLE) / tna) * LN((CAST(na AS DOUBLE) / tna)
+        |      / ((CAST(na AS DOUBLE) / tna + CAST(nb AS DOUBLE) / tnb)
+        |        / 2.0e0)) AS DECIMAL(18,8)), 8)
+        |    ELSE CAST(0 AS DECIMAL(18,8)) END) AS ka,
+        |  SUM(CASE WHEN nb > 0 THEN ROUND(CAST(
+        |    (CAST(nb AS DOUBLE) / tnb) * LN((CAST(nb AS DOUBLE) / tnb)
+        |      / ((CAST(na AS DOUBLE) / tna + CAST(nb AS DOUBLE) / tnb)
+        |        / 2.0e0)) AS DECIMAL(18,8)), 8)
+        |    ELSE CAST(0 AS DECIMAL(18,8)) END) AS kb,
+        |  MAX(tna) AS tna, MAX(tnb) AS tnb
+        |  FROM c CROSS JOIN t)
+        |SELECT CAST(tna AS BIGINT) AS n_a, CAST(tnb AS BIGINT) AS n_b,
+        |  CAST(ROUND(CAST(CASE WHEN tna > 0 AND tnb > 0 THEN
+        |      (CAST(ka AS DOUBLE) + CAST(kb AS DOUBLE)) / 2.0e0
+        |    END AS DECIMAL(18,8)), 6) AS DOUBLE) AS jsd,
+        |  CAST(ROUND(CAST(CASE WHEN tna > 0 AND tnb > 0 THEN
+        |      ((CAST(ka AS DOUBLE) + CAST(kb AS DOUBLE)) / 2.0e0)
+        |        / 0.6931471805599453e0
+        |    END AS DECIMAL(18,8)), 6) AS DOUBLE) AS jsd_norm
+        |FROM k""".stripMargin,
+
+    // Page–Hinkley: the cusum-style list_reduce fold — running mean by
+    // division inside the fold, deviation accumulate, running min, max
+    // excursion; identical IEEE sequence to Spark's aggregate().
+    "x237_page_hinkley" ->
+      s"""WITH $dailyCte,
+         |ag AS (SELECT user_id, COUNT(*) AS n_obs,
+         |  list(CAST(CAST(demand AS DECIMAL(18,6)) AS DOUBLE)
+         |    ORDER BY day) AS ys
+         |  FROM daily WHERE demand IS NOT NULL GROUP BY 1),
+         |f AS (SELECT user_id, n_obs,
+         |  list_reduce(
+         |    list_prepend([0.0e0, 0.0e0, 0.0e0, 0.0e0, 0.0e0],
+         |      [[y, 0.0e0, 0.0e0, 0.0e0, 0.0e0] for y in ys]),
+         |    (acc, xw) -> [
+         |      (acc[1] + 1),
+         |      (acc[2] + xw[1]),
+         |      (acc[3] + (xw[1] - (acc[2] + xw[1]) / (acc[1] + 1)
+         |        - 0.0e0)),
+         |      LEAST(acc[4], (acc[3] + (xw[1]
+         |        - (acc[2] + xw[1]) / (acc[1] + 1) - 0.0e0))),
+         |      GREATEST(acc[5], (acc[3] + (xw[1]
+         |          - (acc[2] + xw[1]) / (acc[1] + 1) - 0.0e0))
+         |        - LEAST(acc[4], (acc[3] + (xw[1]
+         |          - (acc[2] + xw[1]) / (acc[1] + 1) - 0.0e0))))]) AS rs
+         |  FROM ag)
+         |SELECT user_id, n_obs,
+         |  CAST(ROUND(CAST(rs[5] AS DECIMAL(18,8)), 4) AS DOUBLE)
+         |    AS ph_stat,
+         |  CAST(ROUND(CAST(rs[5] AS DECIMAL(18,8)), 4) > 5.0e0 AS BIGINT)
+         |    AS detected
+         |FROM f ORDER BY user_id""".stripMargin,
+
+    // Lorenz curve: global rank (value, tiebreak) → k equal-population
+    // buckets by ⌊rank·k/n⌋ (double floor — exact below 2^53), exact
+    // decimal bucket sums, bounded k-row cumulative window.
+    "x238_lorenz_curve" ->
+      """WITH spend AS (SELECT o_custkey AS t,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sp
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT CAST(sp AS DECIMAL(28,6)) AS x,
+        |  ROW_NUMBER() OVER (ORDER BY CAST(sp AS DECIMAL(28,6)), t) - 1
+        |    AS i,
+        |  COUNT(*) OVER () AS n FROM spend WHERE sp IS NOT NULL),
+        |b AS (SELECT LEAST(CAST(FLOOR(CAST(i AS DOUBLE) * 10 / n)
+        |    AS BIGINT) + 1, 10) AS bucket, x FROM r),
+        |g AS (SELECT bucket, COUNT(*) AS n, SUM(x) AS s FROM b
+        |  GROUP BY 1),
+        |w AS (SELECT bucket, n, s,
+        |  SUM(s) OVER (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+        |  SUM(s) OVER () AS ts FROM g)
+        |SELECT bucket, n, CAST(ROUND(CAST(s AS DOUBLE), 2) AS DOUBLE)
+        |    AS total,
+        |  CAST(ROUND(CAST(CASE WHEN ts > 0 THEN
+        |      CAST(cs AS DOUBLE) / CAST(ts AS DOUBLE)
+        |    END AS DECIMAL(18,8)), 6) AS DOUBLE) AS cum_share
+        |FROM w ORDER BY bucket""".stripMargin,
+
+    // Inter-purchase cadence: distinct (customer, day) → lag gaps,
+    // exact integer moments, one IEEE chain each for mean and CV.
+    "x239_purchase_cadence" ->
+      """WITH d AS (SELECT DISTINCT o_custkey AS k,
+        |  CAST(o_orderdate AS DATE) AS dy FROM orders
+        |  WHERE o_orderdate IS NOT NULL),
+        |g AS (SELECT k,
+        |  CAST(dy - LAG(dy) OVER (PARTITION BY k ORDER BY dy)
+        |    AS BIGINT) AS gap FROM d),
+        |a AS (SELECT k, COUNT(*) AS nd, COUNT(gap) AS ng,
+        |  SUM(gap) AS sg, SUM(gap * gap) AS sgg FROM g GROUP BY 1)
+        |SELECT k AS o_custkey, nd AS n_purchase_days,
+        |  CAST(ROUND(CAST(CASE WHEN ng >= 1 THEN
+        |      CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)
+        |    END AS DECIMAL(18,8)), 4) AS DOUBLE) AS mean_gap_days,
+        |  CAST(ROUND(CAST(CASE WHEN ng >= 2
+        |      AND CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) > 0
+        |      AND (CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE)
+        |          * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE))
+        |        / (CAST(ng AS DOUBLE) - 1) >= 0 THEN
+        |      SQRT((CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE)
+        |          * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE))
+        |        / (CAST(ng AS DOUBLE) - 1))
+        |      / (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE))
+        |    END AS DECIMAL(18,8)), 4) AS DOUBLE) AS cv_gap
+        |FROM a ORDER BY o_custkey""".stripMargin,
+
+    // Rank stability: one conditional-sum aggregate, per-era top-20
+    // row_number ranks (ties by key), full outer join of the two
+    // k-row lists, depth grid from VALUES.
+    "x240_rank_stability" ->
+      """WITH bk AS (SELECT l_partkey AS k,
+        |  SUM(CASE WHEN year(CAST(l_shipdate AS DATE)) <= 1997
+        |    THEN CAST(l_extendedprice AS DECIMAL(28,6))
+        |    ELSE CAST(0 AS DECIMAL(28,6)) END) AS ma,
+        |  SUM(CASE WHEN year(CAST(l_shipdate AS DATE)) >= 1998
+        |    THEN CAST(l_extendedprice AS DECIMAL(28,6))
+        |    ELSE CAST(0 AS DECIMAL(28,6)) END) AS mb
+        |  FROM lineitem
+        |  WHERE (year(CAST(l_shipdate AS DATE)) <= 1997
+        |      OR year(CAST(l_shipdate AS DATE)) >= 1998)
+        |    AND l_extendedprice IS NOT NULL
+        |  GROUP BY 1),
+        |ra AS (SELECT k, r FROM (SELECT k,
+        |  ROW_NUMBER() OVER (ORDER BY ma DESC, k) AS r FROM bk)
+        |  WHERE r <= 20),
+        |rb AS (SELECT k, r FROM (SELECT k,
+        |  ROW_NUMBER() OVER (ORDER BY mb DESC, k) AS r FROM bk)
+        |  WHERE r <= 20),
+        |j AS (SELECT ra.r AS r_a, rb.r AS r_b
+        |  FROM ra FULL OUTER JOIN rb ON ra.k = rb.k),
+        |dg AS (SELECT * FROM (VALUES (5), (10), (20)) AS t(depth))
+        |SELECT CAST(depth AS BIGINT) AS depth,
+        |  CAST(COALESCE(SUM(CASE WHEN r_a <= depth AND r_b <= depth
+        |    THEN 1 END), 0) AS BIGINT) AS overlap,
+        |  CAST(ROUND(CAST(CAST(COALESCE(SUM(CASE WHEN r_a <= depth
+        |      AND r_b <= depth THEN 1 END), 0) AS DOUBLE)
+        |      / depth AS DECIMAL(18,8)), 6) AS DOUBLE) AS overlap_share
+        |FROM dg CROSS JOIN j GROUP BY depth ORDER BY depth""".stripMargin,
+
+    // Cross-source duplicate matrix: distinct (source, text) self-join
+    // on the text (the engine shuffles a sha256 digest instead — same
+    // grouping, 32-byte keys), unordered pairs once.
+    "x241_cross_source_dups" ->
+      """WITH p AS (SELECT DISTINCT source AS s, text AS t
+        |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL)
+        |SELECT a.s AS source_a, b.s AS source_b,
+        |  COUNT(*) AS n_shared_texts
+        |FROM p a JOIN p b ON a.t = b.t AND a.s < b.s
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Trimmed mean: exact interpolated [10%, 90%] cutoffs per group
+    // (the t38 rank-arithmetic CTEs), inclusive band filter on the
+    // decimal grid, exact decimal sums, one float division each.
+    "x242_trimmed_mean" ->
+      s"""WITH ${exactQuantileCtes("lineitem", Seq("l_returnflag"),
+             "l_extendedprice",
+             Seq("__qlo" -> 100, "__qhi" -> 900), 6, "q")},
+         |r AS (SELECT l_returnflag,
+         |  CAST(l_extendedprice AS DECIMAL(28,6)) AS v FROM lineitem
+         |  WHERE l_extendedprice IS NOT NULL),
+         |j AS (SELECT r.l_returnflag, r.v, qq.__qlo AS lo,
+         |  qq.__qhi AS hi FROM r JOIN qq USING (l_returnflag))
+         |SELECT l_returnflag, COUNT(*) AS n,
+         |  CAST(SUM(CASE WHEN v >= lo AND v <= hi THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_kept,
+         |  CAST(ROUND(CAST(CAST(SUM(v) AS DOUBLE) / COUNT(*)
+         |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS mean,
+         |  CAST(ROUND(CAST(CASE
+         |      WHEN SUM(CASE WHEN v >= lo AND v <= hi THEN 1 ELSE 0 END)
+         |        > 0 THEN
+         |      CAST(SUM(CASE WHEN v >= lo AND v <= hi THEN v
+         |        ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+         |      / SUM(CASE WHEN v >= lo AND v <= hi THEN 1 ELSE 0 END)
+         |    END AS DECIMAL(18,8)), 6) AS DOUBLE) AS trimmed_mean
+         |FROM j GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    // Quantile drift: the t38 exact-quantile CTEs once per era; the
+    // gap is a decimal subtraction of the two exact cutoffs.
+    "x243_quantile_drift" ->
+      s"""WITH base AS (SELECT l_extendedprice FROM lineitem
+         |  WHERE year(CAST(l_shipdate AS DATE)) <= 1997
+         |    AND l_extendedprice IS NOT NULL),
+         |cur AS (SELECT l_extendedprice FROM lineitem
+         |  WHERE year(CAST(l_shipdate AS DATE)) >= 1998
+         |    AND l_extendedprice IS NOT NULL),
+         |${exactQuantileCtes("base", Seq(), "l_extendedprice",
+             Seq("p25" -> 250, "p50" -> 500, "p75" -> 750,
+               "p90" -> 900), 6, "b")},
+         |${exactQuantileCtes("cur", Seq(), "l_extendedprice",
+             Seq("p25" -> 250, "p50" -> 500, "p75" -> 750,
+               "p90" -> 900), 6, "c")}
+         |SELECT prob, q_base, q_cur, abs_shift FROM (
+         |  SELECT 'p25' AS prob, CAST(bq.p25 AS DOUBLE) AS q_base,
+         |    CAST(cq.p25 AS DOUBLE) AS q_cur,
+         |    CAST(ABS(cq.p25 - bq.p25) AS DOUBLE) AS abs_shift
+         |  FROM bq CROSS JOIN cq
+         |  UNION ALL SELECT 'p50', CAST(bq.p50 AS DOUBLE),
+         |    CAST(cq.p50 AS DOUBLE), CAST(ABS(cq.p50 - bq.p50) AS DOUBLE)
+         |  FROM bq CROSS JOIN cq
+         |  UNION ALL SELECT 'p75', CAST(bq.p75 AS DOUBLE),
+         |    CAST(cq.p75 AS DOUBLE), CAST(ABS(cq.p75 - bq.p75) AS DOUBLE)
+         |  FROM bq CROSS JOIN cq
+         |  UNION ALL SELECT 'p90', CAST(bq.p90 AS DOUBLE),
+         |    CAST(cq.p90 AS DOUBLE), CAST(ABS(cq.p90 - bq.p90) AS DOUBLE)
+         |  FROM bq CROSS JOIN cq)
+         |ORDER BY prob""".stripMargin,
   )
 
   /** Croston/SBA with α = 0.5: every SES weight is a power of two

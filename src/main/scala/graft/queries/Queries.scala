@@ -2536,6 +2536,82 @@ object Queries {
       .orderBy("key")
   }
 
+  /** X201 — Kendall τ-b of quantity vs price, price binned to 32
+    * (the r15 bins knob exercised END-TO-END against the oracle —
+    * both sides quantized, cell-pair concordance). */
+  def x234(s: SparkSession, dir: String): DataFrame =
+    Evaluation.kendallTauB(Tables.lineitem(s, dir),
+      col("l_quantity"), col("l_extendedprice"), bins = 32)
+
+  /** X202 — Mann–Whitney U: click vs view event values (pooled
+    * midranks, tie-corrected normal z). */
+  def x235(s: SparkSession, dir: String): DataFrame =
+    Evaluation.mannWhitneyU(Tables.events(s, dir),
+      col("event_type") === "click", col("event_type") === "view",
+      col("value"))
+
+  /** X203 — Jensen–Shannon divergence of the order-priority mix
+    * between the pre/post-1997H2 order eras. */
+  def x236(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    Evaluation.jensenShannon(o,
+      col("o_orderdate") < lit("1997-07-01").cast("date"),
+      col("o_orderdate") >= lit("1997-07-01").cast("date"),
+      col("o_orderpriority"))
+  }
+
+  /** X204 — Page–Hinkley mean-shift scan over per-user daily
+    * demand (running-mean deviation fold, λ = 5). */
+  def x237(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.pageHinkley(dailyDemand(s, dir), "user_id", "day",
+        "demand", delta = 0.0, lambda = 5.0)
+      .orderBy("user_id")
+
+  /** X205 — Lorenz curve of customer spend in 10 rank buckets
+    * (chunkedRank global ranks; gini x136's distributional table). */
+  def x238(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec(col("o_totalprice"))).as("spend"))
+    Evaluation.lorenzCurve(spend, col("spend"), col("o_custkey"), k = 10)
+      .orderBy("bucket")
+  }
+
+  /** X206 — inter-purchase cadence per customer (distinct order
+    * days, gap mean + CV). */
+  def x239(s: SparkSession, dir: String): DataFrame =
+    Retail.interPurchaseProfile(Tables.orders(s, dir), "o_custkey",
+        "o_orderdate")
+      .orderBy("o_custkey")
+
+  /** X207 — top-k part-revenue rank stability between the ≤1997 and
+    * ≥1998 ship eras at depths 5/10/20. */
+  def x240(s: SparkSession, dir: String): DataFrame =
+    Retail.rankStability(Tables.lineitem(s, dir), "l_partkey",
+        col("l_extendedprice"),
+        year(col("l_shipdate")) <= 1997, year(col("l_shipdate")) >= 1998,
+        depths = Seq(5, 10, 20))
+      .orderBy("depth")
+
+  /** X208 — cross-source exact-duplicate matrix over documents. */
+  def x241(s: SparkSession, dir: String): DataFrame =
+    Dedup.crossSourceDupMatrix(Tables.documents(s, dir), "text", "source")
+      .orderBy("source_a", "source_b")
+
+  /** X209 — 10% trimmed mean of extended price per return flag. */
+  def x242(s: SparkSession, dir: String): DataFrame =
+    Profiling.trimmedMean(Tables.lineitem(s, dir), Seq("l_returnflag"),
+        col("l_extendedprice"), alpha = 0.1)
+      .orderBy("l_returnflag")
+
+  /** X210 — price quantile drift between the ≤1997 and ≥1998 ship
+    * eras (exact quantiles, one ranked pass for both eras). */
+  def x243(s: SparkSession, dir: String): DataFrame =
+    Profiling.quantileDrift(Tables.lineitem(s, dir),
+        year(col("l_shipdate")) <= 1997, year(col("l_shipdate")) >= 1998,
+        col("l_extendedprice"))
+      .orderBy("prob")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -2782,5 +2858,15 @@ object Queries {
     "x230_prefix_dups" -> (x230 _),
     "x231_theil" -> (x231 _),
     "x232_average_precision" -> (x232 _),
-    "x233_turning_points" -> (x233 _))
+    "x233_turning_points" -> (x233 _),
+    "x234_kendall_tau" -> (x234 _),
+    "x235_mann_whitney" -> (x235 _),
+    "x236_jensen_shannon" -> (x236 _),
+    "x237_page_hinkley" -> (x237 _),
+    "x238_lorenz_curve" -> (x238 _),
+    "x239_purchase_cadence" -> (x239 _),
+    "x240_rank_stability" -> (x240 _),
+    "x241_cross_source_dups" -> (x241 _),
+    "x242_trimmed_mean" -> (x242 _),
+    "x243_quantile_drift" -> (x243 _))
 }

@@ -236,4 +236,18 @@ class DedupPrefilterSpec extends SparkSpec {
     assert(got == Seq(("s1", 3L, 2L, 0.666667), ("s2", 2L, 1L, 0.5)),
       s"got $got")
   }
+
+  test("crossSourceDupMatrix: pairwise shared texts, null text excluded, pairs keyed once") {
+    val docs = Seq(
+      (1L, "alpha", "s1"), (2L, "beta", "s1"),
+      (3L, "alpha", "s2"), (4L, "gamma", "s2"),
+      (5L, "alpha", "s3"), (6L, null.asInstanceOf[String], "s3"),
+      (7L, "alpha", "s1") // duplicate within s1: still ONE distinct text
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.crossSourceDupMatrix(docs, "text", "source")
+      .orderBy("source_a", "source_b")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("s1", "s2", 1L), ("s1", "s3", 1L), ("s2", "s3", 1L)),
+      s"got $got")
+  }
 }

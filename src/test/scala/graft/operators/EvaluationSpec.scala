@@ -317,6 +317,67 @@ class EvaluationSpec extends SparkSpec {
     assert(!r.isNullAt(3) && r.getDouble(3) >= 0.0, s"got $r")
   }
 
+  test("kendallTauB: perfect +1/-1, hand tied case, constant side null, grid binning exact") {
+    def tau(rows: Seq[(Double, Double)], bins: Int = 0): Option[Double] = {
+      val df = rows.toDF("x", "y")
+      val r = Evaluation.kendallTauB(df, col("x"), col("y"), bins = bins).head()
+      if (r.isNullAt(1)) None else Some(r.getDouble(1))
+    }
+    val mono = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (4.0, 4.0))
+    assert(tau(mono).contains(1.0))
+    assert(tau(mono.map { case (a, b) => (a, -b) }).contains(-1.0))
+    // x=(1,1,2,2), y=(1,2,3,4): P=4, Q=0, n0=6, tx=2, ty=0
+    // tau_b = 4/sqrt(4*6) = 0.816497
+    assert(tau(Seq((1.0, 1.0), (1.0, 2.0), (2.0, 3.0), (2.0, 4.0)))
+      .contains(0.816497))
+    assert(tau(Seq((5.0, 1.0), (5.0, 2.0))).isEmpty, "constant x -> null")
+    // integer grid 0..7: 8-bin quantization is injective -> identical
+    val grid = (0 until 40).map(i => ((i * 13 % 8).toDouble, (i * 7 % 8).toDouble))
+    assert(tau(grid, bins = 8) == tau(grid))
+  }
+
+  test("mannWhitneyU: hand U and z on disjoint samples, degenerate sides null") {
+    val df = Seq((1.0, "a"), (2.0, "a"), (3.0, "b"), (4.0, "b")).toDF("v", "g")
+    val r = Evaluation.mannWhitneyU(df, col("g") === "a", col("g") === "b",
+      col("v")).head()
+    // R_A = 3, U = 0; var = (4/12)*5 = 5/3; z = -2/sqrt(5/3) = -1.5492
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L, s"got $r")
+    assert(r.getDouble(2) == 0.0 && r.getDouble(3) == -1.5492, s"got $r")
+    // all tied -> sigma = 0 -> null z; one empty side -> nulls
+    val tied = Seq((5.0, "a"), (5.0, "b")).toDF("v", "g")
+    assert(Evaluation.mannWhitneyU(tied, col("g") === "a", col("g") === "b",
+      col("v")).head().isNullAt(3))
+    val empty = Seq((1.0, "a"), (2.0, "a")).toDF("v", "g")
+    val e = Evaluation.mannWhitneyU(empty, col("g") === "a", col("g") === "b",
+      col("v")).head()
+    assert(e.isNullAt(2) && e.isNullAt(3), s"got $e")
+  }
+
+  test("jensenShannon: identical mix is 0, disjoint support is ln2 (norm 1)") {
+    val same = Seq(("x", "a"), ("y", "a"), ("x", "b"), ("y", "b"))
+      .toDF("v", "side")
+    val s = Evaluation.jensenShannon(same, col("side") === "a",
+      col("side") === "b", col("v")).head()
+    assert(s.getDouble(2) == 0.0 && s.getDouble(3) == 0.0, s"got $s")
+    val disjoint = Seq(("x", "a"), ("y", "b")).toDF("v", "side")
+    val d = Evaluation.jensenShannon(disjoint, col("side") === "a",
+      col("side") === "b", col("v")).head()
+    assert(d.getDouble(2) == 0.693147 && d.getDouble(3) == 1.0, s"got $d")
+  }
+
+  test("lorenzCurve: hand buckets on 1..4, equal shares are linear") {
+    val df = Seq((1.0, 1L), (2.0, 2L), (3.0, 3L), (4.0, 4L)).toDF("v", "id")
+    val got = Evaluation.lorenzCurve(df, col("v"), col("id"), k = 2)
+      .orderBy("bucket")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 3.0, 0.3), (2L, 2L, 7.0, 1.0)), s"got $got")
+    val eq = Seq((5.0, 1L), (5.0, 2L), (5.0, 3L), (5.0, 4L)).toDF("v", "id")
+    val lin = Evaluation.lorenzCurve(eq, col("v"), col("id"), k = 4)
+      .orderBy("bucket")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(lin.map(_._4) == Seq(0.25, 0.5, 0.75, 1.0), s"got $lin")
+  }
+
   test("theilIndex: equal shares score exactly 0, hand two-value case, nonpositives excluded") {
     val df = Seq(("g", 5.0), ("g", 5.0), ("g", 5.0),
       ("h", 1.0), ("h", 3.0), ("h", 0.0), ("h", -2.0)).toDF("k", "v")

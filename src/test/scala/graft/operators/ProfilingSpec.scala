@@ -470,4 +470,29 @@ class ProfilingSpec extends SparkSpec {
     // constant group: MAD 0 -> null z
     assert(got.filter(_._2 == "c").forall(_._4.isEmpty), s"got $got")
   }
+
+  test("trimmedMean: the 10% band drops the outlier tail, hand means") {
+    val df = ((1 to 9).map(i => ("g", i.toDouble)) :+ ("g", 1000.0))
+      .toDF("k", "v")
+    val got = Profiling.trimmedMean(df, Seq("k"), col("v"), alpha = 0.1)
+      .as[(String, Long, Long, Double, Double)].head()
+    // cutoffs q10 = 1.9, q90 = 108.1 -> keeps 2..9: mean 5.5
+    assert(got == (("g", 10L, 8L, 104.5, 5.5)), s"got $got")
+  }
+
+  test("quantileDrift: identical eras shift zero, constant shift propagates exactly") {
+    val same = ((1 to 100).map(i => (i.toDouble, "a")) ++
+      (1 to 100).map(i => (i.toDouble, "b"))).toDF("v", "era")
+    val z = Profiling.quantileDrift(same, col("era") === "a",
+        col("era") === "b", col("v"))
+      .orderBy("prob").as[(String, Double, Double, Double)].collect().toSeq
+    assert(z.size == 4 && z.forall(r => r._4 == 0.0 && r._2 == r._3),
+      s"got $z")
+    val shift = ((1 to 4).map(i => (i.toDouble, "a")) ++
+      (3 to 6).map(i => (i.toDouble, "b"))).toDF("v", "era")
+    val s = Profiling.quantileDrift(shift, col("era") === "a",
+        col("era") === "b", col("v"))
+      .orderBy("prob").as[(String, Double, Double, Double)].collect().toSeq
+    assert(s.forall(r => r._4 == 2.0 && r._3 - r._2 == 2.0), s"got $s")
+  }
 }

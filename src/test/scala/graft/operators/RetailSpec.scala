@@ -273,4 +273,42 @@ class RetailSpec extends SparkSpec {
       .collect().toSeq
     assert(nb.size == 1 && nb.head._7.isEmpty, s"got $nb")
   }
+
+  test("interPurchaseProfile: hand gaps, same-day orders collapse, singleton null") {
+    import org.apache.spark.sql.functions.col
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val orders = Seq(
+      (1L, d("2020-01-01")), (1L, d("2020-01-03")),
+      (1L, d("2020-01-03")), // same-day duplicate: one shopping event
+      (1L, d("2020-01-07")),
+      (2L, d("2020-05-05"))).toDF("cust", "od")
+    val got = Retail.interPurchaseProfile(orders, "cust", "od")
+      .orderBy("cust")
+      .as[(Long, Long, Option[Double], Option[Double])].collect().toSeq
+    // gaps 2, 4: mean 3; var = (20 - 18)/1 = 2 -> cv = sqrt(2)/3
+    val cv = BigDecimal(math.sqrt(2.0) / 3.0)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0) == ((1L, 3L, Some(3.0), Some(cv))), s"got ${got(0)}")
+    assert(got(1) == ((2L, 1L, None, None)), s"got ${got(1)}")
+  }
+
+  test("rankStability: identical eras overlap fully, swapped tops overlap zero") {
+    import org.apache.spark.sql.functions.col
+    val same = Seq(("k1", 10.0, "a"), ("k2", 5.0, "a"), ("k3", 1.0, "a"),
+      ("k1", 10.0, "b"), ("k2", 5.0, "b"), ("k3", 1.0, "b"))
+      .toDF("key", "m", "era")
+    val s = Retail.rankStability(same, "key", col("m"),
+        col("era") === "a", col("era") === "b", depths = Seq(2))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(s == Seq((2L, 2L, 1.0)), s"got $s")
+    // era a tops k1,k2; era b tops k3,k4 -> zero overlap at depth 2
+    val swap = Seq(("k1", 10.0, "a"), ("k2", 9.0, "a"),
+      ("k3", 1.0, "a"), ("k4", 1.0, "a"),
+      ("k1", 1.0, "b"), ("k2", 1.0, "b"),
+      ("k3", 10.0, "b"), ("k4", 9.0, "b")).toDF("key", "m", "era")
+    val z = Retail.rankStability(swap, "key", col("m"),
+        col("era") === "a", col("era") === "b", depths = Seq(2))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(z == Seq((2L, 0L, 0.0)), s"got $z")
+  }
 }

@@ -787,4 +787,18 @@ class TimeSeriesSpec extends SparkSpec {
     assert(tight.getLong(5) == 1L && tight.getLong(6) == 5L,
       s"got $tight")
   }
+
+  test("pageHinkley: step shift detected with hand fold, constant series scores 0") {
+    // series 0,0,0,10,10,10: running-mean deviations accumulate
+    // m = 0,0,0,7.5,13.5,18.5; min stays 0 -> stat 18.5 > lambda 5
+    val df = (1 to 6).map(i => ("u", i.toLong, if (i <= 3) 0.0 else 10.0))
+      .toDF("k", "t", "v")
+    val r = TimeSeries.pageHinkley(df, "k", "t", "v",
+      delta = 0.0, lambda = 5.0).head()
+    assert(r.getLong(1) == 6L && r.getDouble(2) == 18.5 &&
+      r.getLong(3) == 1L, s"got $r")
+    val const = (1 to 5).map(i => ("u", i.toLong, 7.0)).toDF("k", "t", "v")
+    val c = TimeSeries.pageHinkley(const, "k", "t", "v", lambda = 5.0).head()
+    assert(c.getDouble(2) == 0.0 && c.getLong(3) == 0L, s"got $c")
+  }
 }
