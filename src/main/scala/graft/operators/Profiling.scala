@@ -152,41 +152,43 @@ object Profiling {
     * `n mod k` buckets take one extra row), so it is exactly
     * reproducible on any engine.
     *
-    * Scale shape (labelEncode's pattern): range-partitioned
-    * distributed sort → `zipWithIndex` → ntile's split computed
+    * Scale shape (r15 — [[graft.operators.Relational.chunkedRank]],
+    * no zipWithIndex): chunked global rank → ntile's split computed
     * arithmetically from the global row index — a literal
     * `ntile().over(Window.orderBy(...))` would serialize the whole
-    * table through one WindowExec partition. The per-bucket
-    * min/max/count that follows is map-side combinable. For a 100 TB
-    * profile where exactness isn't required, approxQuantile cutpoints
-    * are the cheaper path — this is the exact form, and k rows out.
+    * table through one WindowExec partition, and the old RDD
+    * round-trip left whole-stage codegen and paid an extra
+    * partition-size job. The per-bucket min/max/count that follows is
+    * map-side combinable. For a 100 TB profile where exactness isn't
+    * required, approxQuantile cutpoints are the cheaper path — this
+    * is the exact form, and k rows out.
     */
   def equidepthHistogram(
       df: DataFrame,
       valueCol: String,
       tieBreaker: String,
-      k: Int): DataFrame = {
+      k: Int,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
     require(k > 0, s"bucket count must be positive, got $k")
-    val spark = df.sparkSession
-    val sorted = df.select(col(valueCol), col(tieBreaker))
-      .orderBy(col(valueCol), col(tieBreaker))
-    val n = sorted.count()
+    val ranked = Relational.chunkedRank(
+      df.select(col(valueCol), col(tieBreaker)),
+      Seq(col(valueCol), col(tieBreaker)), "__i", scope)
+    val n = ranked.count()
     // ntile's floor-based split, computed from the global row index:
     // the first (n mod k) buckets take base+1 rows, the rest base.
+    // Ranks are non-negative and far below 2^53, so the double-floor
+    // division equals the old integer division exactly.
     val base = n / k
     val extra = n % k
     val pivot = extra * (base + 1)
-    val outSchema = org.apache.spark.sql.types.StructType(
-      sorted.schema.fields.take(1) :+ org.apache.spark.sql.types.StructField(
-        "bucket", org.apache.spark.sql.types.LongType, nullable = false))
-    val indexed = sorted.rdd.zipWithIndex.map { case (r, i) =>
-      val b =
-        if (base == 0 || i < pivot) i / (base + 1) + 1
-        else extra + 1 + (i - pivot) / base
-      org.apache.spark.sql.Row(r.get(0), b)
-    }
-    spark.createDataFrame(indexed, outSchema)
-      .groupBy(col("bucket"))
+    val bucket =
+      when(lit(base) === 0L || col("__i") < pivot,
+        floor(col("__i") / lit(base + 1)) + 1)
+        .otherwise(lit(extra + 1) +
+          floor((col("__i") - lit(pivot)) / lit(base)))
+    ranked
+      .groupBy(bucket.cast("long").as("bucket"))
       .agg(count(lit(1)).as("n"),
         min(col(valueCol)).as("lo"),
         max(col(valueCol)).as("hi"))

@@ -609,28 +609,23 @@ object TextAnalysis {
     * language mix.
     *
     * Shape: one token-count aggregate to vocabulary cardinality, the
-    * labelEncode range-sort + zipWithIndex global rank (no
-    * single-partition window), then ONE moment aggregate — each
-    * `ln`-product term cast to DECIMAL(28,10) and summed exactly, so
-    * the closed-form OLS assembles from engine-identical operands and
-    * stabilizes through DECIMAL(18,8).
+    * chunked global rank over (count desc, word) (r15 —
+    * [[graft.operators.Relational.chunkedRank]]: no single-partition
+    * window, no zipWithIndex RDD round-trip), then ONE moment
+    * aggregate — each `ln`-product term cast to DECIMAL(28,10) and
+    * summed exactly, so the closed-form OLS assembles from
+    * engine-identical operands and stabilizes through DECIMAL(18,8).
     */
   def zipfFit(df: DataFrame, textCol: String, minCount: Long = 1,
-      roundDigits: Int = 4): DataFrame = {
-    val spark = df.sparkSession
+      roundDigits: Int = 4,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
     val counts = df.select(explode(Text.tokens(col(textCol))).as("__w"))
       .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= minCount)
-      .orderBy(col("__c").desc, col("__w"))
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("__c",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("__r",
-        org.apache.spark.sql.types.LongType, nullable = false)))
-    val ranked = spark.createDataFrame(
-      counts.select(col("__c")).rdd.zipWithIndex.map { case (r, i) =>
-        org.apache.spark.sql.Row(r.get(0), i + 1L)
-      }, schema)
+    val ranked = graft.operators.Relational
+      .chunkedRank(counts, Seq(col("__c").desc, col("__w")), "__r0", scope)
+      .withColumn("__r", col("__r0") + 1L)
     val dec = org.apache.spark.sql.types.DecimalType(28, 10)
     val stable = org.apache.spark.sql.types.DecimalType(18, 8)
     val x = log(col("__r").cast("double"))
