@@ -1546,7 +1546,7 @@ object Queries {
 
   /** X120 — equi-depth histogram (X79): 10 ntile-split buckets over
     * order totalprice; see [[graft.operators.Profiling
-    * .equidepthHistogram]] for the zipWithIndex scale path (the
+    * .equidepthHistogram]] for the chunked-rank scale path (the
     * ntile-window twin is spec-pinned). */
   def x120(s: SparkSession, dir: String): DataFrame =
     Profiling.equidepthHistogram(
@@ -1705,7 +1705,7 @@ object Queries {
 
   /** X136 — Gini concentration of customer spend (X96): how unequal
     * is revenue across customers (decimal-exact moment sums; the
-    * sorted-rank form via the labelEncode zipWithIndex pattern). */
+    * sorted-rank form via the chunkedRank machinery). */
   def x136(s: SparkSession, dir: String): DataFrame = {
     val spend = Tables.orders(s, dir)
       .groupBy(col("o_custkey"))
@@ -1927,7 +1927,7 @@ object Queries {
   }
 
   /** X159 — exact quantiles, scalable path (X119): median/p90/p99 of
-    * extended price via range-sort + zipWithIndex — no whole-column
+    * extended price via the chunked global rank — no whole-column
     * executor buffer — against native quantile_cont. */
   def x159(s: SparkSession, dir: String): DataFrame =
     Profiling.exactQuantiles(Tables.lineitem(s, dir), "l_extendedprice",
