@@ -913,6 +913,146 @@ object Evaluation {
           .cast(stable), roundDigits).cast("double").as("cum_share"))
   }
 
+  /** X211 — correlation ratio η² of a numeric column across a
+    * categorical grouping: `η² = SS_between / SS_total` — "how much of
+    * this metric's variance does the category explain", the
+    * numeric-target feature screen next to [[graft.operators.Profiling
+    * .infoGainReport]] (which needs a categorical label) and
+    * [[kruskalWallis]] (which tests the same question but answers
+    * with a p-statistic, not a variance share).
+    *
+    * One per-group moment aggregate (n, Σv, Σv² — exact decimals),
+    * one group-cardinality rollup. Each group's `(Σv)²/n` term rounds
+    * to DECIMAL(28,8) BEFORE the exact sum (round-then-add — the
+    * [[kruskalWallis]] discipline); η² is one final float chain.
+    * Zero total variance → null, not a division error.
+    */
+  def etaSquared(df: DataFrame, group: Column, value: Column,
+      roundDigits: Int = 6): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(24, 6)
+    val q12 = org.apache.spark.sql.types.DecimalType(24, 12)
+    val term = org.apache.spark.sql.types.DecimalType(28, 8)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val v6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val raw = df.filter(group.isNotNull && value.isNotNull)
+      .select(group.cast("string").as("__g"),
+        value.cast(v6).as("__v"))
+    val byG = raw.groupBy(col("__g")).agg(
+      count(lit(1)).as("__ng"),
+      sum(col("__v")).cast(dec).as("__sv"),
+      sum((col("__v") * col("__v")).cast(q12)).cast(q12).as("__svv"))
+    val m = byG.agg(
+      sum(col("__ng")).as("__N"),
+      count(lit(1)).as("n_groups"),
+      sum(col("__sv")).cast(dec).as("__SV"),
+      sum(col("__svv")).cast(q12).as("__SVV"),
+      sum(round((col("__sv").cast("double") * col("__sv").cast("double")
+        / col("__ng")).cast(term), 8)).as("__S"))
+    val nD = col("__N").cast("double")
+    val grand = col("__SV").cast("double") * col("__SV").cast("double") / nD
+    val ssTot = col("__SVV").cast("double") - grand
+    val ssB = col("__S").cast("double") - grand
+    m.select(col("__N").as("n"), col("n_groups"),
+      round(when(ssTot > 0, ssB / ssTot).cast(stable), roundDigits)
+        .cast("double").as("eta_sq"))
+  }
+
+  /** X212 — two-sample Cramér–von Mises statistic
+    * `T = (n_A·n_B/N²)·Σ_z (F_A(z) − F_B(z))²` summed over every
+    * pooled observation — the INTEGRAL-gap drift test completing
+    * [[ksTest]] (KS sees only the single worst point; CvM accumulates
+    * the whole curve, so a persistent small shift that never produces
+    * one big gap still scores). Same engine shape as KS: one distinct-
+    * value aggregate, cumulative windows over value cardinality,
+    * `bins > 0` ([[quantize]]) for continuous 100 TB columns.
+    *
+    * Each value's `n_z·(F_A−F_B)²` term is one IEEE chain over exact
+    * counts rounded to DECIMAL(18,8) BEFORE the exact sum
+    * (round-then-add); the (n_A·n_B/N²) prefactor is one final float
+    * chain. Either side empty → null.
+    */
+  def cramerVonMises(df: DataFrame, sideA: Column, sideB: Column,
+      value: Column, bins: Int = 0, roundDigits: Int = 6): DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val raw0 = df.filter((sideA || sideB) && value.isNotNull)
+      .select(value.cast("double").as("__v"),
+        when(sideA, lit(1L)).otherwise(lit(0L)).as("__a"),
+        when(sideB, lit(1L)).otherwise(lit(0L)).as("__b"))
+    val raw = quantize(raw0, "__v", bins)
+    val perVal = raw.groupBy(col("__v"))
+      .agg(count(lit(1)).as("__n"), sum(col("__a")).as("__na"),
+        sum(col("__b")).as("__nb"))
+    val wCum = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    // bounded: both windows run over the distinct-value frame
+    val cdf = perVal
+      .withColumn("__ca", sum(col("__na")).over(wCum))
+      .withColumn("__cb", sum(col("__nb")).over(wCum))
+      .withColumn("__ta", sum(col("__na")).over(wAll))
+      .withColumn("__tb", sum(col("__nb")).over(wAll))
+    val diff = (col("__ca").cast("double") / col("__ta")
+      - col("__cb").cast("double") / col("__tb"))
+    val tTerm = when(col("__ta") > 0 && col("__tb") > 0,
+      round((col("__n").cast("double") * diff * diff).cast(stable), 8))
+    cdf.agg(
+        max(col("__ta")).as("n_a"), max(col("__tb")).as("n_b"),
+        sum(tTerm).as("__s"))
+      .select(col("n_a"), col("n_b"),
+        round(when(col("n_a") > 0 && col("n_b") > 0,
+          col("n_a").cast("double") * col("n_b")
+            / (((col("n_a") + col("n_b")).cast("double"))
+              * ((col("n_a") + col("n_b")).cast("double")))
+            * col("__s").cast("double")).cast(stable), roundDigits)
+          .cast("double").as("cvm"))
+  }
+
+  /** X214 — Cohen's κ inter-rater agreement between two categorical
+    * columns over a SHARED label space: `κ = (p_o − p_e)/(1 − p_e)`
+    * with observed agreement `p_o = Σ_k n_kk/N` and chance agreement
+    * `p_e = Σ_k r_k·c_k/N²` — THE metric an LLM-labeling pipeline
+    * runs between two annotators (model vs model, model vs human,
+    * rule vs rule) before trusting either; raw agreement alone is
+    * inflated by imbalanced label priors, which κ discounts.
+    *
+    * One cell aggregate + two marginals derived from it (the
+    * mutualInfo one-scan shape); the chance term Σ r_k·c_k runs in
+    * DECIMAL(12,0)² → exact to 10¹² rows; κ is one float chain over
+    * exact operands. Rows missing either rating are excluded
+    * (standard convention). Degenerate p_e = 1 (both raters constant
+    * on the same label) → null κ.
+    */
+  def cohenKappa(df: DataFrame, raterA: Column, raterB: Column,
+      roundDigits: Int = 6): DataFrame = {
+    val d12 = org.apache.spark.sql.types.DecimalType(12, 0)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val cells = df.filter(raterA.isNotNull && raterB.isNotNull)
+      .select(raterA.cast("string").as("__ra"),
+        raterB.cast("string").as("__rb"))
+      .groupBy(col("__ra"), col("__rb")).agg(count(lit(1)).as("__n"))
+    val agree = cells.agg(
+      sum(col("__n")).as("__N"),
+      sum(when(col("__ra") === col("__rb"), col("__n"))
+        .otherwise(lit(0L))).as("__d"))
+    val margA = cells.groupBy(col("__ra")).agg(sum(col("__n")).as("__ma"))
+    val margB = cells.groupBy(col("__rb")).agg(sum(col("__n")).as("__mb"))
+    // chance agreement pairs labels ACROSS raters by label equality
+    val chance = margA.join(margB, col("__ra") === col("__rb"))
+      .agg(coalesce(sum((col("__ma").cast(d12) * col("__mb").cast(d12))
+        .cast(d38)), lit(0).cast(d38)).as("__pe"))
+    val nD = col("__N").cast("double")
+    val po = col("__d").cast("double") / nD
+    val pe = col("__pe").cast("double") / (nD * nD)
+    agree.crossJoin(broadcast(chance))
+      .select(col("__N").as("n"),
+        round(po.cast(stable), roundDigits).cast("double").as("p_observed"),
+        round(pe.cast(stable), roundDigits).cast("double").as("p_expected"),
+        round(when(col("__N") > 0 && pe < 1.0,
+          (po - pe) / (lit(1.0d) - pe)).cast(stable), roundDigits)
+          .cast("double").as("kappa"))
+  }
+
   /** X196 — Theil T inequality index per group:
     * `T = (1/n)·Σ (x/μ)·ln(x/μ)` over positive values — the
     * entropy-based inequality measure next to [[gini]]: T = 0 means

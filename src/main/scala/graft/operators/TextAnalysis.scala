@@ -900,4 +900,49 @@ object TextAnalysis {
             / log(col("n_types").cast("double"))).cast(stable),
             roundDigits).cast("double")).as("norm_entropy"))
   }
+
+  /** X213 — encoding-quality profile per source: the share of
+    * documents carrying U+FFFD replacement characters (the smoking
+    * gun of a bad decode step upstream), the control-character rate,
+    * and the non-ASCII rate — the mojibake tripwire a crawl-ingest
+    * pipeline runs per source BEFORE language ID (a source decoded
+    * with the wrong charset poisons every downstream text signal,
+    * and lang-id confidently mislabels mojibake). A source whose
+    * replacement-doc share jumps between snapshots changed its
+    * upstream decoder, not its content.
+    *
+    * Pure codegen per row (regexp_count / contains over fixed
+    * patterns — zero UDF, the x223 discipline), ONE counting
+    * aggregate to source cardinality. Exact integer counts; rates
+    * stabilize through DECIMAL(18,8). NULL-text documents are
+    * excluded explicitly (no bytes, no encoding claim — the x195
+    * rule).
+    */
+  def encodingQuality(df: DataFrame, textCol: String, sourceCol: String,
+      roundDigits: Int = 6): DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val t = col(textCol)
+    val rows = df.filter(t.isNotNull && col(sourceCol).isNotNull)
+      .select(col(sourceCol).as("source"),
+        t.contains(lit("�")).cast("long").as("__repl"),
+        regexp_count(t, lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"))
+          .cast("long").as("__ctrl"),
+        regexp_count(t, lit("[^\\x00-\\x7F]")).cast("long").as("__nonascii"),
+        length(t).cast("long").as("__chars"))
+    rows.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__repl")).as("__rd"),
+        sum(col("__ctrl")).as("__c"),
+        sum(col("__nonascii")).as("__na2"),
+        sum(col("__chars")).as("__ch"))
+      .select(col("source"), col("n_docs"),
+        round((col("__rd").cast("double") / col("n_docs")).cast(stable),
+          roundDigits).cast("double").as("replacement_doc_rate"),
+        round(when(col("__ch") > 0,
+          col("__c").cast("double") / col("__ch")).cast(stable),
+          roundDigits).cast("double").as("control_char_rate"),
+        round(when(col("__ch") > 0,
+          col("__na2").cast("double") / col("__ch")).cast(stable),
+          roundDigits).cast("double").as("non_ascii_rate"))
+  }
 }

@@ -5113,6 +5113,117 @@ object OracleSql {
          |    CAST(cq.p90 AS DOUBLE), CAST(ABS(cq.p90 - bq.p90) AS DOUBLE)
          |  FROM bq CROSS JOIN cq)
          |ORDER BY prob""".stripMargin,
+
+    // η²: per-group exact decimal moments, round-then-add (Σv)²/n
+    // terms (the x219 discipline), one float chain for the ratio.
+    "x244_eta_squared" ->
+      """WITH r AS (SELECT CAST(event_type AS VARCHAR) AS g,
+        |  CAST(value AS DECIMAL(18,6)) AS v FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |bg AS (SELECT g, COUNT(*) AS ng,
+        |  CAST(SUM(v) AS DECIMAL(24,6)) AS sv,
+        |  CAST(SUM(CAST(v * v AS DECIMAL(24,12))) AS DECIMAL(24,12))
+        |    AS svv FROM r GROUP BY 1),
+        |m AS (SELECT SUM(ng) AS nn, COUNT(*) AS ngroups,
+        |  CAST(SUM(sv) AS DECIMAL(24,6)) AS svt,
+        |  CAST(SUM(svv) AS DECIMAL(24,12)) AS svvt,
+        |  SUM(ROUND(CAST(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / ng
+        |    AS DECIMAL(28,8)), 8)) AS s FROM bg)
+        |SELECT CAST(nn AS BIGINT) AS n, CAST(ngroups AS BIGINT)
+        |    AS n_groups,
+        |  CAST(ROUND(CAST(CASE WHEN CAST(svvt AS DOUBLE)
+        |      - CAST(svt AS DOUBLE) * CAST(svt AS DOUBLE)
+        |        / CAST(nn AS DOUBLE) > 0 THEN
+        |      (CAST(s AS DOUBLE) - CAST(svt AS DOUBLE)
+        |        * CAST(svt AS DOUBLE) / CAST(nn AS DOUBLE))
+        |      / (CAST(svvt AS DOUBLE) - CAST(svt AS DOUBLE)
+        |        * CAST(svt AS DOUBLE) / CAST(nn AS DOUBLE))
+        |    END AS DECIMAL(18,8)), 6) AS DOUBLE) AS eta_sq
+        |FROM m""".stripMargin,
+
+    // Cramér–von Mises: pooled distinct-value ECDF gaps, per-value
+    // n·(Fa−Fb)² terms round-then-add at 8dp, one prefactor chain.
+    "x245_cramer_von_mises" ->
+      """WITH s AS (SELECT CAST(value AS DOUBLE) AS v,
+        |  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+        |  CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS b
+        |  FROM events WHERE (event_type = 'click' OR event_type = 'view')
+        |    AND value IS NOT NULL),
+        |g AS (SELECT v, COUNT(*) AS n, SUM(a) AS na, SUM(b) AS nb
+        |  FROM s GROUP BY 1),
+        |c AS (SELECT n, na, nb,
+        |  SUM(na) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+        |  SUM(nb) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+        |  SUM(na) OVER () AS ta, SUM(nb) OVER () AS tb FROM g),
+        |ag AS (SELECT MAX(ta) AS ta, MAX(tb) AS tb,
+        |  SUM(CASE WHEN ta > 0 AND tb > 0 THEN ROUND(CAST(
+        |    CAST(n AS DOUBLE)
+        |      * (CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb)
+        |      * (CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb)
+        |    AS DECIMAL(18,8)), 8) END) AS sm FROM c)
+        |SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+        |  CAST(ROUND(CAST(CASE WHEN ta > 0 AND tb > 0 THEN
+        |      CAST(ta AS DOUBLE) * tb
+        |        / (CAST(ta + tb AS DOUBLE) * CAST(ta + tb AS DOUBLE))
+        |        * CAST(sm AS DOUBLE)
+        |    END AS DECIMAL(18,8)), 6) AS DOUBLE) AS cvm
+        |FROM ag""".stripMargin,
+
+    // Encoding quality: RE2 char-class counts (hex escapes agree with
+    // Java regex), U+FFFD via chr(65533) containment, exact counts.
+    "x246_encoding_quality" ->
+      """WITH r AS (SELECT source,
+        |  CASE WHEN contains(text, chr(65533)) THEN 1 ELSE 0 END
+        |    AS repl,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS BIGINT) AS ctrl,
+        |  CAST(len(regexp_extract_all(text, '[^\x00-\x7F]'))
+        |    AS BIGINT) AS nonascii,
+        |  CAST(LENGTH(text) AS BIGINT) AS chars FROM documents
+        |  WHERE text IS NOT NULL AND source IS NOT NULL)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(ROUND(CAST(CAST(SUM(repl) AS DOUBLE) / COUNT(*)
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS replacement_doc_rate,
+        |  CAST(ROUND(CAST(CASE WHEN SUM(chars) > 0 THEN
+        |      CAST(SUM(ctrl) AS DOUBLE) / SUM(chars)
+        |    END AS DECIMAL(18,8)), 6) AS DOUBLE) AS control_char_rate,
+        |  CAST(ROUND(CAST(CASE WHEN SUM(chars) > 0 THEN
+        |      CAST(SUM(nonascii) AS DOUBLE) / SUM(chars)
+        |    END AS DECIMAL(18,8)), 6) AS DOUBLE) AS non_ascii_rate
+        |FROM r GROUP BY 1 ORDER BY source""".stripMargin,
+
+    // Cohen's κ: cells + marginals from one grouping, chance term in
+    // HUGEINT-exact integer products, κ one float chain.
+    "x247_cohen_kappa" ->
+      """WITH r AS (SELECT
+        |  CASE WHEN l_quantity > 25 THEN 'hi' ELSE 'lo' END AS ra,
+        |  CASE WHEN l_extendedprice > 30000 THEN 'hi' ELSE 'lo' END
+        |    AS rb FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |c AS (SELECT ra, rb, COUNT(*) AS n FROM r GROUP BY 1, 2),
+        |ag AS (SELECT SUM(n) AS nn,
+        |  SUM(CASE WHEN ra = rb THEN n ELSE 0 END) AS d FROM c),
+        |ma AS (SELECT ra, SUM(n) AS na FROM c GROUP BY 1),
+        |mb AS (SELECT rb, SUM(n) AS nb FROM c GROUP BY 1),
+        |ch AS (SELECT COALESCE(SUM(ma.na * mb.nb), 0) AS pe
+        |  FROM ma JOIN mb ON ma.ra = mb.rb)
+        |SELECT CAST(nn AS BIGINT) AS n,
+        |  CAST(ROUND(CAST(CAST(d AS DOUBLE) / CAST(nn AS DOUBLE)
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS p_observed,
+        |  CAST(ROUND(CAST(CAST(pe AS DOUBLE)
+        |    / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS p_expected,
+        |  CAST(ROUND(CAST(CASE WHEN nn > 0 AND CAST(pe AS DOUBLE)
+        |      / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)) < 1.0e0 THEN
+        |      (CAST(d AS DOUBLE) / CAST(nn AS DOUBLE)
+        |        - CAST(pe AS DOUBLE)
+        |          / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)))
+        |      / (1.0e0 - CAST(pe AS DOUBLE)
+        |          / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)))
+        |    END AS DECIMAL(18,8)), 6) AS DOUBLE) AS kappa
+        |FROM ag CROSS JOIN ch""".stripMargin,
   )
 
   /** Croston/SBA with α = 0.5: every SES weight is a power of two

@@ -2612,6 +2612,33 @@ object Queries {
         col("l_extendedprice"))
       .orderBy("prob")
 
+  /** X211 — correlation ratio η² of event value across event types:
+    * how much of the value variance the type explains. */
+  def x244(s: SparkSession, dir: String): DataFrame =
+    Evaluation.etaSquared(Tables.events(s, dir),
+      col("event_type"), col("value"))
+
+  /** X212 — two-sample Cramér–von Mises: click vs view event values
+    * (the integral-gap drift test next to x134's KS). */
+  def x245(s: SparkSession, dir: String): DataFrame =
+    Evaluation.cramerVonMises(Tables.events(s, dir),
+      col("event_type") === "click", col("event_type") === "view",
+      col("value"))
+
+  /** X213 — encoding-quality (mojibake) profile per document
+    * source. */
+  def x246(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.encodingQuality(Tables.documents(s, dir), "text",
+        "source")
+      .orderBy("source")
+
+  /** X214 — Cohen's κ between two high-value "annotators" of the
+    * same line items (quantity rule vs price rule). */
+  def x247(s: SparkSession, dir: String): DataFrame =
+    Evaluation.cohenKappa(Tables.lineitem(s, dir),
+      when(col("l_quantity") > 25, lit("hi")).otherwise(lit("lo")),
+      when(col("l_extendedprice") > 30000, lit("hi")).otherwise(lit("lo")))
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -2868,5 +2895,9 @@ object Queries {
     "x240_rank_stability" -> (x240 _),
     "x241_cross_source_dups" -> (x241 _),
     "x242_trimmed_mean" -> (x242 _),
-    "x243_quantile_drift" -> (x243 _))
+    "x243_quantile_drift" -> (x243 _),
+    "x244_eta_squared" -> (x244 _),
+    "x245_cramer_von_mises" -> (x245 _),
+    "x246_encoding_quality" -> (x246 _),
+    "x247_cohen_kappa" -> (x247 _))
 }

@@ -378,6 +378,50 @@ class EvaluationSpec extends SparkSpec {
     assert(lin.map(_._4) == Seq(0.25, 0.5, 0.75, 1.0), s"got $lin")
   }
 
+  test("cramerVonMises: hand value on overlapping samples, identical gives 0") {
+    def cvm(a: Seq[Double], b: Seq[Double]): Double = {
+      val df = (a.map((_, "a")) ++ b.map((_, "b"))).toDF("v", "side")
+      Evaluation.cramerVonMises(df, col("side") === "a",
+        col("side") === "b", col("v")).head().getDouble(2)
+    }
+    // A={1,2}, B={2,3}: terms 1·0.25 + 2·0.25 + 1·0 = 0.75;
+    // T = (2·2/16)·0.75 = 0.1875
+    assert(cvm(Seq(1, 2), Seq(2, 3)) == 0.1875)
+    assert(cvm(Seq(1, 2, 3), Seq(1, 2, 3)) == 0.0)
+  }
+
+  test("etaSquared: perfectly explained is 1, identical groups 0, constant null") {
+    val perfect = Seq(("a", 1.0), ("a", 1.0), ("b", 5.0), ("b", 5.0))
+      .toDF("g", "v")
+    val p = Evaluation.etaSquared(perfect, col("g"), col("v")).head()
+    assert(p.getLong(0) == 4L && p.getLong(1) == 2L &&
+      p.getDouble(2) == 1.0, s"got $p")
+    val none = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0))
+      .toDF("g", "v")
+    assert(Evaluation.etaSquared(none, col("g"), col("v"))
+      .head().getDouble(2) == 0.0)
+    val const = Seq(("a", 3.0), ("b", 3.0)).toDF("g", "v")
+    assert(Evaluation.etaSquared(const, col("g"), col("v"))
+      .head().isNullAt(2))
+  }
+
+  test("cohenKappa: hand 2x2 agreement, perfect 1, chance-level 0") {
+    // 20 yes-yes, 5 yes-no, 10 no-yes, 15 no-no: po=0.7, pe=0.5, k=0.4
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val r = Evaluation.cohenKappa(rows.toDF("a", "b"), col("a"), col("b"))
+      .head()
+    assert(r.getLong(0) == 50L && r.getDouble(1) == 0.7 &&
+      r.getDouble(2) == 0.5 && r.getDouble(3) == 0.4, s"got $r")
+    val perfect = Seq(("x", "x"), ("y", "y")).toDF("a", "b")
+    assert(Evaluation.cohenKappa(perfect, col("a"), col("b"))
+      .head().getDouble(3) == 1.0)
+    // both raters constant on the same label: pe = 1 -> null kappa
+    val degen = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    assert(Evaluation.cohenKappa(degen, col("a"), col("b"))
+      .head().isNullAt(3))
+  }
+
   test("theilIndex: equal shares score exactly 0, hand two-value case, nonpositives excluded") {
     val df = Seq(("g", 5.0), ("g", 5.0), ("g", 5.0),
       ("h", 1.0), ("h", 3.0), ("h", 0.0), ("h", -2.0)).toDF("k", "v")
