@@ -436,4 +436,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1)._3 == 1L && got(1)._5.nonEmpty, s"got ${got(1)}")
     assert(got(2)._5.isEmpty, s"empty text has no score: ${got(2)}")
   }
+
+  test("encodingQuality: mojibake, control chars, and non-ASCII rates per source") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "clean ascii text", "good"),
+      (2L, "more clean text!", "good"),
+      (3L, "broken \ufffd decode \ufffd here", "bad"),   // 2 replacement chars
+      (4L, "ctrl\u0001and\u0002bytes", "bad"),           // 2 control chars
+      (5L, null.asInstanceOf[String], "bad")             // excluded
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.encodingQuality(docs, "text", "source")
+      .orderBy("source")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    val bad = got.head; val good = got.last
+    assert(good == (("good", 2L, 0.0, 0.0, 0.0)), s"got $good")
+    assert(bad._1 == "bad" && bad._2 == 2L, s"null text must be excluded: $bad")
+    assert(bad._3 == 0.5, s"1 of 2 docs carries U+FFFD: $bad")
+    // 2 control chars over 22+14=36 chars -> round6(2/36)
+    assert(bad._4 == 0.055556, s"got $bad")
+    // 2 replacement chars are the only non-ASCII -> round6(2/36)
+    assert(bad._5 == 0.055556, s"got $bad")
+  }
 }
