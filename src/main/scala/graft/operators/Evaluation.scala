@@ -716,15 +716,20 @@ object Evaluation {
     * error.
     */
   def kendallTauB(df: DataFrame, x: Column, y: Column,
-      bins: Int = 0, roundDigits: Int = 6): DataFrame = {
+      bins: Int = 0, roundDigits: Int = 6,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
     val d12 = org.apache.spark.sql.types.DecimalType(12, 0)
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val stable = org.apache.spark.sql.types.DecimalType(18, 8)
     val raw0 = df.filter(x.isNotNull && y.isNotNull)
       .select(x.cast("double").as("__x"), y.cast("double").as("__y"))
     val raw = quantize(quantize(raw0, "__x", bins), "__y", bins)
-    val cells = raw.groupBy(col("__x"), col("__y"))
-      .agg(count(lit(1)).as("__n"))
+    // persisted: the pair join reads cells twice and the tie/total
+    // marginals twice more — ONE input scan instead of five (the
+    // chiSquareFull rule)
+    val cells = scope.persist(raw.groupBy(col("__x"), col("__y"))
+      .agg(count(lit(1)).as("__n")))
     // ordered cell pairs x1 < x2: P where y rises, Q where it falls
     val l = cells.select(col("__x").as("__x1"), col("__y").as("__y1"),
       col("__n").cast(d12).as("__n1"))
@@ -831,14 +836,16 @@ object Evaluation {
     * convention).
     */
   def jensenShannon(df: DataFrame, sideA: Column, sideB: Column,
-      value: Column, roundDigits: Int = 6): DataFrame = {
+      value: Column, roundDigits: Int = 6,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
     val stable = org.apache.spark.sql.types.DecimalType(18, 8)
-    val cells = df.filter(sideA || sideB)
+    val cells = scope.persist(df.filter(sideA || sideB)
       .select(value.cast("string").as("__v"),
         when(sideA, lit(1L)).otherwise(lit(0L)).as("__a"),
         when(sideB, lit(1L)).otherwise(lit(0L)).as("__b"))
       .groupBy(col("__v"))
-      .agg(sum(col("__a")).as("__na"), sum(col("__b")).as("__nb"))
+      .agg(sum(col("__a")).as("__na"), sum(col("__b")).as("__nb")))
     // totals named apart from the cell counts: Spark's default
     // case-insensitive resolution would see "__NA" == "__na"
     val tot = cells.agg(sum(col("__na")).as("__ta"),
@@ -1023,14 +1030,17 @@ object Evaluation {
     * on the same label) → null κ.
     */
   def cohenKappa(df: DataFrame, raterA: Column, raterB: Column,
-      roundDigits: Int = 6): DataFrame = {
+      roundDigits: Int = 6,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
     val d12 = org.apache.spark.sql.types.DecimalType(12, 0)
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val stable = org.apache.spark.sql.types.DecimalType(18, 8)
-    val cells = df.filter(raterA.isNotNull && raterB.isNotNull)
+    // persisted: agreement + both marginals read cells — one scan
+    val cells = scope.persist(df.filter(raterA.isNotNull && raterB.isNotNull)
       .select(raterA.cast("string").as("__ra"),
         raterB.cast("string").as("__rb"))
-      .groupBy(col("__ra"), col("__rb")).agg(count(lit(1)).as("__n"))
+      .groupBy(col("__ra"), col("__rb")).agg(count(lit(1)).as("__n")))
     val agree = cells.agg(
       sum(col("__n")).as("__N"),
       sum(when(col("__ra") === col("__rb"), col("__n"))

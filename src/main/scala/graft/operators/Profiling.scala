@@ -608,8 +608,11 @@ object Profiling {
     val rows = df.filter((isBase || isCur) && value.isNotNull)
       .select(when(isBase, lit("base")).otherwise(lit("cur")).as("__era"),
         value.cast("double").as("__v"))
-    val q = groupedExactQuantiles(rows, Seq("__era"), col("__v"), probs,
-      roundDigits = roundDigits, scope = scope)
+    // persisted: the base and cur branches both read the tiny 2-row
+    // quantile frame — without it each branch re-runs the bounds/pick
+    // aggregations off the cached ranked frame
+    val q = scope.persist(groupedExactQuantiles(rows, Seq("__era"),
+      col("__v"), probs, roundDigits = roundDigits, scope = scope))
     val b = probs.foldLeft(q.filter(col("__era") === "base")) {
       (d, p) => d.withColumnRenamed(p._1, s"__b_${p._1}") }
       .drop("__era")

@@ -714,7 +714,9 @@ object Retail {
       df: DataFrame, keyCol: String, metric: org.apache.spark.sql.Column,
       eraA: org.apache.spark.sql.Column, eraB: org.apache.spark.sql.Column,
       depths: Seq[Int] = Seq(5, 10, 20),
-      roundDigits: Int = 6): DataFrame = {
+      roundDigits: Int = 6,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
     require(depths.nonEmpty && depths.forall(_ >= 1),
       s"depths must be positive: $depths")
     val dec = org.apache.spark.sql.types.DecimalType(28, 6)
@@ -722,14 +724,15 @@ object Retail {
     val maxD = depths.max
     val spark = df.sparkSession
     import spark.implicits._
-    // ONE scan: per-era conditional sums in the same aggregate
-    val byKey = df.filter((eraA || eraB) && metric.isNotNull)
+    // ONE scan: per-era conditional sums in the same aggregate,
+    // persisted — both top-k projections read it
+    val byKey = scope.persist(df.filter((eraA || eraB) && metric.isNotNull)
       .groupBy(col(keyCol).as("__key"))
       .agg(
         F.sum(F.when(eraA, metric.cast(dec)).otherwise(F.lit(0).cast(dec)))
           .as("__ma"),
         F.sum(F.when(eraB, metric.cast(dec)).otherwise(F.lit(0).cast(dec)))
-          .as("__mb"))
+          .as("__mb")))
     def topRanks(m: String, out: String): DataFrame = {
       val top = byKey.select(col("__key"), col(m))
         .orderBy(col(m).desc, col("__key")).limit(maxD)
