@@ -1002,4 +1002,90 @@ object Forecast {
       round(when(sst > 0, col("__ssb").cast("double") / sst)
         .cast(stable), roundDigits).cast("double").as("r2"))
   }
+
+  /** X216 — additive Holt–Winters fit per key (level + trend +
+    * m-period seasonality, the classical triple-exponential smoother)
+    * with the next-season total forecast — the trend-and-seasonality
+    * forecaster between [[crostonForecast]] (intermittent demand, no
+    * season) and the GBT pipeline (features, fit cost): one pass, no
+    * training loop, the standard first baseline on M5-shaped retail
+    * series.
+    *
+    *   l ← α(y − s_idx) + (1−α)(l + b)
+    *   b ← β(l − l_prev) + (1−β)b
+    *   s_idx ← γ(y − l) + (1−γ)s_idx
+    *
+    * Zero-init (l₀ = y₀, b₀ = 0, s = 0 — the streaming-friendly
+    * simplification; a production fit warm-starts s from one season
+    * of averages, which only changes the first season's transient).
+    * Because a full season's forecast sums EVERY seasonal index once,
+    * `next_season_total = m·l + (Σ₁..m h)·b + Σs` needs no phase
+    * arithmetic.
+    *
+    * Exactness (the cusum fold discipline): values quantize through
+    * DECIMAL(18,6) → double; α/β/γ and their complements are
+    * Scala-computed shortest-round-trip literals; the fold is one
+    * fixed IEEE sequence per step (identical in Spark `aggregate` and
+    * DuckDB `list_reduce`), state = [i, l, b, s₁..s_m] doubles; only
+    * the final display values round. Rows fold in (order, value)
+    * sort order; per-key arrays are the sanctioned bounded-series
+    * collect.
+    */
+  def holtWinters(
+      daily: DataFrame,
+      keyCol: String, dayCol: String, valueCol: String,
+      alpha: Double = 0.3, beta: Double = 0.1, gamma: Double = 0.2,
+      seasonLength: Int = 7, roundDigits: Int = 4): DataFrame = {
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1 &&
+      gamma > 0 && gamma < 1, s"smoothing params must be in (0,1)")
+    require(seasonLength >= 2 && seasonLength <= 366,
+      s"seasonLength must be in [2,366]: $seasonLength")
+    val m = seasonLength
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val rows = daily.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(dayCol).as("__o"),
+        col(valueCol).cast(dec6).as("__y"))
+    val agg = rows.groupBy(col("__k"))
+      .agg(count(lit(1)).as("n_obs"),
+        expr("array_sort(collect_list(struct(__o, __y)))").as("__a"))
+      .withColumn("__ys",
+        expr("transform(__a, s -> CAST(s.__y AS DOUBLE))"))
+    // state = [i, l, b, s1..sm]; every sub-expression re-derives from
+    // acc (the x198 struct-mutation lesson)
+    val i0 = "element_at(acc, 1)"
+    val y = "element_at(xw, 1)"
+    val idxPos = s"(4 + CAST(pmod($i0, ${m}.0D) AS INT))"
+    val sIdx = s"element_at(acc, $idxPos)"
+    val lNew = s"(${alpha}D * ($y - $sIdx) + ${1.0 - alpha}D * " +
+      s"(element_at(acc, 2) + element_at(acc, 3)))"
+    val bNew = s"(${beta}D * ($lNew - element_at(acc, 2)) + " +
+      s"${1.0 - beta}D * element_at(acc, 3))"
+    val sNew = s"(${gamma}D * ($y - $lNew) + ${1.0 - gamma}D * $sIdx)"
+    val elems = Seq(
+      s"$i0 + 1D",
+      s"CASE WHEN $i0 = 0D THEN $y ELSE $lNew END",
+      s"CASE WHEN $i0 = 0D THEN 0D ELSE $bNew END") ++
+      (4 to m + 3).map(k =>
+        s"CASE WHEN $i0 = 0D THEN 0D WHEN $idxPos = $k THEN $sNew " +
+          s"ELSE element_at(acc, $k) END")
+    val zeros = Seq.fill(m + 2)("0D").mkString(", ")
+    val folded = agg.withColumn("__c", expr(
+      s"""aggregate(
+         |  transform(__ys, y -> array(y, $zeros)),
+         |  array(0D, $zeros),
+         |  (acc, xw) -> array(${elems.mkString(",\n    ")}))""".stripMargin))
+    val sSum = (4 to m + 3).map(k => expr(s"element_at(__c, $k)"))
+      .reduce(_ + _)
+    val hSum = (1 to m).sum.toDouble
+    val next = (expr("element_at(__c, 2)") * m
+      + expr("element_at(__c, 3)") * hSum + sSum)
+    folded.select(col("__k").as(keyCol), col("n_obs"),
+      round(expr("element_at(__c, 2)").cast(stable), roundDigits)
+        .cast("double").as("level"),
+      round(expr("element_at(__c, 3)").cast(stable), roundDigits)
+        .cast("double").as("trend"),
+      round(next.cast(stable), roundDigits).cast("double")
+        .as("next_season_total"))
+  }
 }

@@ -5224,12 +5224,87 @@ object OracleSql {
         |          / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)))
         |    END AS DECIMAL(18,8)), 6) AS DOUBLE) AS kappa
         |FROM ag CROSS JOIN ch""".stripMargin,
+
+    // Count–min sketch: identical md5-hex bucket arithmetic (first 8
+    // hex chars as int mod width), depth×width counters, MIN across
+    // seeds per probed key; exact integer counts throughout.
+    "x248_count_min" ->
+      """WITH r AS (SELECT CAST(l_partkey AS VARCHAR) AS k
+        |  FROM lineitem WHERE l_partkey IS NOT NULL),
+        |sd AS (SELECT unnest(range(4)) AS j),
+        |c AS (SELECT j,
+        |  ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || k), 1, 8))
+        |    ::BIGINT % 512 AS b, COUNT(*) AS cnt
+        |  FROM r CROSS JOIN sd GROUP BY 1, 2),
+        |q AS (SELECT t.k, sd.j,
+        |  ('0x' || substr(md5(CAST(sd.j AS VARCHAR) || ':' || t.k),
+        |    1, 8))::BIGINT % 512 AS b
+        |  FROM (VALUES ('1'), ('2'), ('42'), ('199')) AS t(k)
+        |  CROSS JOIN sd),
+        |est AS (SELECT q.k AS key, MIN(COALESCE(c.cnt, 0)) AS estimate
+        |  FROM q LEFT JOIN c ON q.j = c.j AND q.b = c.b GROUP BY 1),
+        |tr AS (SELECT k AS key, COUNT(*) AS t FROM r
+        |  WHERE k IN ('1', '2', '42', '199') GROUP BY 1)
+        |SELECT est.key, CAST(estimate AS BIGINT) AS estimate,
+        |  CAST(COALESCE(t, 0) AS BIGINT) AS true_count,
+        |  CAST(estimate - COALESCE(t, 0) AS BIGINT) AS overcount
+        |FROM est LEFT JOIN tr USING (key) ORDER BY key""".stripMargin,
+
+    // Holt–Winters: the cusum-style list_reduce fold with state
+    // [i, l, b, s1..s7]; every sub-expression re-derives from acc,
+    // literals are the Spark side's Scala-printed doubles.
+    "x249_holt_winters" -> holtWintersSql(0.3, 0.1, 0.2, 7),
   )
 
   /** Croston/SBA with α = 0.5: every SES weight is a power of two
     * (pow(0.5, k) is IEEE-exact on any libm), so the exponential fit
     * agrees bit-for-bit; weight layout mirrors Forecast.sesWeight —
     * position 1 takes the full tail (1-α)^(n-1). */
+  /** Additive Holt–Winters oracle: the cusum-style `list_reduce`
+    * fold mirroring Forecast.holtWinters step-for-step — state
+    * `[i, l, b, s1..sm]`, every sub-expression re-derived from `acc`,
+    * smoothing literals printed from the SAME Scala doubles the
+    * engine uses. */
+  private def holtWintersSql(
+      alpha: Double, beta: Double, gamma: Double, m: Int): String = {
+    def dl(x: Double) = s"${x}e0"
+    val idxPos = s"(4 + CAST(acc[1] % ${dl(m.toDouble)} AS INT))"
+    val sIdx = s"acc[$idxPos]"
+    val lNew = s"(${dl(alpha)} * (xw[1] - $sIdx) + ${dl(1.0 - alpha)} * " +
+      "(acc[2] + acc[3]))"
+    val bNew = s"(${dl(beta)} * ($lNew - acc[2]) + ${dl(1.0 - beta)} * acc[3])"
+    val sNew = s"(${dl(gamma)} * (xw[1] - $lNew) + ${dl(1.0 - gamma)} * $sIdx)"
+    val elems = Seq(
+      "acc[1] + 1.0e0",
+      s"CASE WHEN acc[1] = 0.0e0 THEN xw[1] ELSE $lNew END",
+      s"CASE WHEN acc[1] = 0.0e0 THEN 0.0e0 ELSE $bNew END") ++
+      (4 to m + 3).map(k =>
+        s"CASE WHEN acc[1] = 0.0e0 THEN 0.0e0 WHEN $idxPos = $k " +
+          s"THEN $sNew ELSE acc[$k] END")
+    val zeros = Seq.fill(m + 2)("0.0e0").mkString(", ")
+    val sSum = (4 to m + 3).map(k => s"rs[$k]").mkString(" + ")
+    val hSum = (1 to m).sum.toDouble
+    s"""WITH $dailyCte,
+       |ag AS (SELECT user_id, COUNT(*) AS n_obs,
+       |  list(CAST(CAST(demand AS DECIMAL(18,6)) AS DOUBLE)
+       |    ORDER BY day) AS ys
+       |  FROM daily WHERE demand IS NOT NULL GROUP BY 1),
+       |f AS (SELECT user_id, n_obs,
+       |  list_reduce(
+       |    list_prepend([0.0e0, $zeros],
+       |      [[y, $zeros] for y in ys]),
+       |    (acc, xw) -> [
+       |      ${elems.mkString(",\n      ")}]) AS rs
+       |  FROM ag)
+       |SELECT user_id, n_obs,
+       |  CAST(ROUND(CAST(rs[2] AS DECIMAL(18,8)), 4) AS DOUBLE) AS level,
+       |  CAST(ROUND(CAST(rs[3] AS DECIMAL(18,8)), 4) AS DOUBLE) AS trend,
+       |  CAST(ROUND(CAST(rs[2] * $m + rs[3] * ${dl(hSum)}
+       |      + ($sSum) AS DECIMAL(18,8)), 4) AS DOUBLE)
+       |    AS next_season_total
+       |FROM f ORDER BY user_id""".stripMargin
+  }
+
   private def crostonSql: String =
     s"""WITH $dailyCte,
        |rk AS (SELECT user_id, CAST(demand AS DOUBLE) AS z,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{Dedup, Evaluation, Forecast, Profiling, Relational, Retail, Sampling, Similarity, TextAnalysis, TimeSeries}
+import graft.operators.{Dedup, Evaluation, Forecast, Profiling, Relational, Retail, Sampling, Similarity, Sketch, TextAnalysis, TimeSeries}
 import graft.sources.Tables
 import graft.streaming.Windows
 
@@ -2639,6 +2639,22 @@ object Queries {
       when(col("l_quantity") > 25, lit("hi")).otherwise(lit("lo")),
       when(col("l_extendedprice") > 30000, lit("hi")).otherwise(lit("lo")))
 
+  /** X215 — count–min sketch frequency estimates for a fixed part-key
+    * probe list (depth 4 × width 512 counters; estimates never
+    * undercount). */
+  def x248(s: SparkSession, dir: String): DataFrame =
+    Sketch.countMinFrequencies(Tables.lineitem(s, dir),
+        col("l_partkey"), Seq("1", "2", "42", "199"),
+        depth = 4, width = 512)
+      .orderBy("key")
+
+  /** X216 — additive Holt–Winters fit over per-user daily demand
+    * (m = 7, zero-init) with the next-week total forecast. */
+  def x249(s: SparkSession, dir: String): DataFrame =
+    Forecast.holtWinters(dailyDemand(s, dir), "user_id", "day",
+        "demand")
+      .orderBy("user_id")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -2899,5 +2915,7 @@ object Queries {
     "x244_eta_squared" -> (x244 _),
     "x245_cramer_von_mises" -> (x245 _),
     "x246_encoding_quality" -> (x246 _),
-    "x247_cohen_kappa" -> (x247 _))
+    "x247_cohen_kappa" -> (x247 _),
+    "x248_count_min" -> (x248 _),
+    "x249_holt_winters" -> (x249 _))
 }

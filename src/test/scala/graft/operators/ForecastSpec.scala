@@ -406,4 +406,38 @@ class ForecastSpec extends SparkSpec {
       .as[(String, Long, Long, Option[Double])].collect()
       .forall(_._4.isEmpty))
   }
+
+  test("holtWinters: constant series is flat (level = c, trend 0, next week 7c); hand fold on a trend") {
+    import spark.implicits._
+    def day(i: Int) = java.sql.Date.valueOf(s"2020-01-${"%02d".format(i + 1)}")
+    val const = (0 until 14).map(i => ("u", day(i), 5.0)).toDF("k", "d", "v")
+    val c = Forecast.holtWinters(const, "k", "d", "v").head()
+    assert(c.getLong(1) == 14L && c.getDouble(2) == 5.0 &&
+      c.getDouble(3) == 0.0 && c.getDouble(4) == 35.0, s"got $c")
+
+    // reference fold in plain Scala doubles — the executable spec of
+    // the engine's aggregate() expression (the cusum precedent)
+    val ys = (0 until 10).map(i => 2.0 + i * 1.5)
+    val (alpha, beta, gamma, m) = (0.3, 0.1, 0.2, 7)
+    var (l, b) = (0.0, 0.0); val sArr = Array.fill(m)(0.0); var i2 = 0
+    ys.foreach { y =>
+      if (i2 == 0) { l = y; b = 0.0 }
+      else {
+        val idx = i2 % m
+        val lN = alpha * (y - sArr(idx)) + (1.0 - alpha) * (l + b)
+        val bN = beta * (lN - l) + (1.0 - beta) * b
+        sArr(idx) = gamma * (y - lN) + (1.0 - gamma) * sArr(idx)
+        l = lN; b = bN
+      }
+      i2 += 1
+    }
+    val next = l * m + b * (1 to m).sum + sArr.sum
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val df = ys.zipWithIndex.map { case (y, j) => ("u", day(j), y) }
+      .toDF("k", "d", "v")
+    val got = Forecast.holtWinters(df, "k", "d", "v").head()
+    assert(got.getDouble(2) == r4(l) && got.getDouble(3) == r4(b) &&
+      got.getDouble(4) == r4(next), s"got $got vs ($l, $b, $next)")
+  }
 }
