@@ -20,6 +20,33 @@ object Sketch {
     pmod(conv(substring(md5(concat(j.cast("string"), lit(":"),
       key.cast("string"))), 1, 8), 16, 10).cast("long"), lit(width.toLong))
 
+  /** The SAME bucket computed driver/executor-side in plain Scala
+    * (java MessageDigest MD5 over UTF-8, lower-case hex — identical
+    * bytes to Spark's `md5` and DuckDB's) — the streaming twin
+    * ([[graft.streaming.Stateful.countMinMonitor]]) keys its state
+    * store with it; SketchSpec pins Scala ≡ engine bucket equality. */
+  private[graft] def bucketOf(j: Int, key: String, width: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j:$key".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.take(4).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16) % width
+  }
+
+  /** The depth×width counter table alone (build side of
+    * [[countMinFrequencies]], shared with the streaming twin's
+    * parity spec): one map-side-combinable aggregate, at most
+    * depth·width rows out. */
+  private[graft] def counterTable(
+      df: DataFrame, key: Column, depth: Int, width: Int): DataFrame = {
+    val rows = df.filter(key.isNotNull)
+      .select(key.cast("string").as("__k"))
+    val seeds = array((0 until depth).map(j => lit(j)): _*)
+    rows
+      .select(col("__k"), explode(seeds).as("__j"))
+      .groupBy(col("__j"), bucket(col("__j"), col("__k"), width).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+  }
+
   /** X215 — count–min sketch (Cormode–Muthukrishnan '05): estimate
     * per-key frequencies from a `depth × width` counter table instead
     * of a key-cardinality aggregate — THE bounded-memory heavy-hitter
@@ -49,10 +76,7 @@ object Sketch {
     val rows = df.filter(key.isNotNull)
       .select(key.cast("string").as("__k"))
     val seeds = array((0 until depth).map(j => lit(j)): _*)
-    val counters = rows
-      .select(col("__k"), explode(seeds).as("__j"))
-      .groupBy(col("__j"), bucket(col("__j"), col("__k"), width).as("__b"))
-      .agg(count(lit(1)).as("__c"))
+    val counters = counterTable(df, key, depth, width)
     // the probe: queryKeys × depth literals, hashed IDENTICALLY
     val probe = queryKeys.toDF("key")
       .select(col("key"), explode(seeds).as("__j"))

@@ -504,4 +504,47 @@ object Stateful {
           (bins - 1).toLong)
       else 0L)
   }
+
+  /** Input/output shapes of [[countMinMonitor]]. */
+  case class CmsEvent(seq: Long, key: String)
+  case class CmsCell(j: Int, bucket: Long, through_seq: Long, n: Long)
+
+  /** Streaming twin of [[graft.operators.Sketch.countMinFrequencies]]
+    * (x248): the count–min counter table maintained LIVE — each
+    * arrival increments its `depth` (seed, bucket) cells, state is
+    * one counter + a high-water seq per cell (bounded at depth·width
+    * cells TOTAL, the sketch's whole point: frequency monitoring over
+    * an unbounded key domain in fixed state). Buckets come from
+    * [[graft.operators.Sketch.bucketOf]] — the SAME portable md5-hex
+    * arithmetic as the batch build, so the streamed table equals the
+    * batch [[graft.operators.Sketch.counterTable]] cell-for-cell
+    * (counts are additive; spec-pinned across a mid-stream split),
+    * and a probe (MIN across seeds) over the live table gives exactly
+    * the batch estimates.
+    */
+  def countMinMonitor(
+      ds: Dataset[CmsEvent], depth: Int, width: Int): Dataset[CmsCell] = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16]: $depth")
+    require(width >= 2, s"width must be >= 2: $width")
+    implicit val stateEnc: Encoder[BucketState] = Encoders.product[BucketState]
+    implicit val keyEnc: Encoder[(Int, Long)] =
+      Encoders.product[(Int, Long)]
+    implicit val outEnc: Encoder[CmsCell] = Encoders.product[CmsCell]
+    implicit val cellEnc: Encoder[(Int, Long, Long)] =
+      Encoders.product[(Int, Long, Long)]
+    ds.filter(_.key != null)
+      .flatMap(e => (0 until depth).map(j =>
+        (j, graft.operators.Sketch.bucketOf(j, e.key, width), e.seq)))
+      .groupByKey(c => (c._1, c._2))
+      .flatMapGroupsWithState[BucketState, CmsCell](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (cell: (Int, Long), rows: Iterator[(Int, Long, Long)],
+            state: GroupState[BucketState]) =>
+          var s = state.getOption.getOrElse(BucketState(0L, 0L, 0L))
+          rows.foreach(r =>
+            s = BucketState(s.n + 1L, 0L, math.max(s.maxSeq, r._3)))
+          state.update(s)
+          Iterator.single(CmsCell(cell._1, cell._2, s.maxSeq, s.n))
+      }
+  }
 }

@@ -446,4 +446,42 @@ class StatefulSpec extends SparkSpec {
         .toDF("__s", "__n", "__p"), 6).collect().toSeq
     assert(rolled == batch, s"stream rollup $rolled != batch $batch")
   }
+
+  test("countMinMonitor: live counter table ≡ batch counterTable, probe ≡ batch estimates") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val keys = (1 to 60).map(i => s"k${i % 9}")
+    val events = keys.zipWithIndex.map { case (k, i) =>
+      Stateful.CmsEvent(i.toLong, k) }
+    val mem = MemoryStream[Stateful.CmsEvent]
+    val out = Stateful.countMinMonitor(mem.toDS(), depth = 3, width = 16)
+    val sink = s"cms_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(events.take(25): _*)
+      q.processAllAvailable()
+      mem.addData(events.drop(25): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val latest = spark.table(sink).as[Stateful.CmsCell].collect()
+      .groupBy(c => (c.j, c.bucket)).map(_._2.maxBy(_.through_seq))
+      .map(c => (c.j, c.bucket, c.n)).toSet
+    val batch = graft.operators.Sketch.counterTable(
+        keys.toDF("key"), col("key"), depth = 3, width = 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(latest == batch, s"streamed cells != batch counters:\n$latest\nvs\n$batch")
+    // probe: MIN across seeds over the LIVE table == batch estimates
+    val batchEst = graft.operators.Sketch.countMinFrequencies(
+        keys.toDF("key"), col("key"), Seq("k0", "k4"), depth = 3, width = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def probeLive(key: String): Long =
+      (0 until 3).map { j =>
+        val b = graft.operators.Sketch.bucketOf(j, key, 16)
+        latest.find(c => c._1 == j && c._2 == b).map(_._3).getOrElse(0L)
+      }.min
+    assert(probeLive("k0") == batchEst("k0") &&
+      probeLive("k4") == batchEst("k4"),
+      s"live probe != batch estimate")
+  }
 }
