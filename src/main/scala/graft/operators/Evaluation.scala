@@ -1063,6 +1063,70 @@ object Evaluation {
           .cast("double").as("kappa"))
   }
 
+  /** X217 — per-query ranking metrics: NDCG@k (linear gain — the
+    * 2^rel−1 form needs libm pow and overflows graded scales), MRR@k,
+    * precision@k and recall@k, one row per query group — THE offline
+    * eval battery for a retrieval/recommendation pipeline, where
+    * [[rocAuc]]/[[averagePrecision]] score a single global ranking
+    * and this scores EVERY query's ranking (the list a user actually
+    * saw).
+    *
+    * Shape: two rank windows per query group (by score desc and by
+    * relevance desc, both tie-broken by `tieBreaker` — deterministic
+    * end-to-end), each bounded by the group's candidate count — the
+    * per-query candidate set is bounded by construction in any
+    * retrieval eval (top-N candidates per query, never the corpus).
+    * DCG/IDCG terms `rel / (ln(r+1)/ln 2)` round to DECIMAL(18,8)
+    * BEFORE the exact sum (round-then-add; the ln-parity discipline —
+    * ln2 is the Scala-printed literal, never re-derived); NDCG is one
+    * final division. No relevant items in a group → null NDCG/MRR,
+    * recall null (undefined), precision 0.
+    */
+  def rankingMetrics(df: DataFrame, group: Column, score: Column,
+      relevance: Column, tieBreaker: Column, k: Int,
+      roundDigits: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val ln2 = 0.6931471805599453
+    val rows = df.filter(score.isNotNull && relevance.isNotNull)
+      .select(group.as("__g"), score.cast("double").as("__s"),
+        relevance.cast("double").as("__rel"), tieBreaker.as("__t"))
+    val byScore = Window.partitionBy(col("__g"))
+      .orderBy(col("__s").desc, col("__t"))
+    val byRel = Window.partitionBy(col("__g"))
+      .orderBy(col("__rel").desc, col("__t"))
+    val ranked = rows
+      .withColumn("__r", row_number().over(byScore))
+      .withColumn("__ri", row_number().over(byRel))
+    def dcgTerm(r: Column): Column =
+      round((col("__rel") / (log(r.cast("double") + 1) / lit(ln2)))
+        .cast(stable), 8)
+    ranked.groupBy(col("__g").as("query"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum((col("__rel") > 0).cast("long")).as("__npos"),
+        sum(when(col("__r") <= k, dcgTerm(col("__r")))
+          .otherwise(lit(0).cast(stable))).as("__dcg"),
+        sum(when(col("__ri") <= k, dcgTerm(col("__ri")))
+          .otherwise(lit(0).cast(stable))).as("__idcg"),
+        min(when(col("__r") <= k && col("__rel") > 0, col("__r")))
+          .as("__fr"),
+        sum((col("__r") <= k && col("__rel") > 0).cast("long"))
+          .as("__hits"))
+      .select(col("query"), col("n_items"),
+        round(when(col("__idcg") > 0,
+          col("__dcg").cast("double") / col("__idcg").cast("double"))
+          .cast(stable), roundDigits).cast("double").as(s"ndcg_$k"),
+        round(when(col("__fr").isNotNull,
+          lit(1.0d) / col("__fr")).cast(stable), roundDigits)
+          .cast("double").as(s"mrr_$k"),
+        round((col("__hits").cast("double") / k).cast(stable),
+          roundDigits).cast("double").as(s"precision_$k"),
+        round(when(col("__npos") > 0,
+          col("__hits").cast("double") / col("__npos")).cast(stable),
+          roundDigits).cast("double").as(s"recall_$k"))
+  }
+
   /** X196 — Theil T inequality index per group:
     * `T = (1/n)·Σ (x/μ)·ln(x/μ)` over positive values — the
     * entropy-based inequality measure next to [[gini]]: T = 0 means

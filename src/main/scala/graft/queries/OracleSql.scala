@@ -5254,6 +5254,44 @@ object OracleSql {
     // [i, l, b, s1..s7]; every sub-expression re-derives from acc,
     // literals are the Spark side's Scala-printed doubles.
     "x249_holt_winters" -> holtWintersSql(0.3, 0.1, 0.2, 7),
+
+    // Ranking metrics: two per-query rank windows (score desc /
+    // relevance desc, event_id ties), round-then-add DCG terms with
+    // the ln2 literal, one float chain per metric.
+    "x250_ranking_metrics" ->
+      """WITH r AS (SELECT user_id AS g, CAST(value AS DOUBLE) AS s,
+        |  CASE WHEN event_type = 'purchase' THEN 1.0e0 ELSE 0.0e0 END
+        |    AS rel, event_id AS t
+        |  FROM events WHERE value IS NOT NULL),
+        |rk AS (SELECT g, rel,
+        |  ROW_NUMBER() OVER (PARTITION BY g ORDER BY s DESC, t) AS r,
+        |  ROW_NUMBER() OVER (PARTITION BY g ORDER BY rel DESC, t)
+        |    AS ri FROM r),
+        |a AS (SELECT g, COUNT(*) AS n_items,
+        |  SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS npos,
+        |  SUM(CASE WHEN r <= 5 THEN ROUND(CAST(rel
+        |    / (LN(CAST(r AS DOUBLE) + 1) / 0.6931471805599453e0)
+        |    AS DECIMAL(18,8)), 8)
+        |    ELSE CAST(0 AS DECIMAL(18,8)) END) AS dcg,
+        |  SUM(CASE WHEN ri <= 5 THEN ROUND(CAST(rel
+        |    / (LN(CAST(ri AS DOUBLE) + 1) / 0.6931471805599453e0)
+        |    AS DECIMAL(18,8)), 8)
+        |    ELSE CAST(0 AS DECIMAL(18,8)) END) AS idcg,
+        |  MIN(CASE WHEN r <= 5 AND rel > 0 THEN r END) AS fr,
+        |  SUM(CASE WHEN r <= 5 AND rel > 0 THEN 1 ELSE 0 END) AS hits
+        |  FROM rk GROUP BY 1)
+        |SELECT g AS query, n_items,
+        |  CAST(ROUND(CAST(CASE WHEN idcg > 0 THEN
+        |      CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE)
+        |    END AS DECIMAL(18,8)), 6) AS DOUBLE) AS ndcg_5,
+        |  CAST(ROUND(CAST(CASE WHEN fr IS NOT NULL THEN 1.0e0 / fr
+        |    END AS DECIMAL(18,8)), 6) AS DOUBLE) AS mrr_5,
+        |  CAST(ROUND(CAST(CAST(hits AS DOUBLE) / 5
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS precision_5,
+        |  CAST(ROUND(CAST(CASE WHEN npos > 0 THEN
+        |      CAST(hits AS DOUBLE) / npos
+        |    END AS DECIMAL(18,8)), 6) AS DOUBLE) AS recall_5
+        |FROM a ORDER BY query""".stripMargin,
   )
 
   /** Croston/SBA with α = 0.5: every SES weight is a power of two

@@ -2655,6 +2655,16 @@ object Queries {
         "demand")
       .orderBy("user_id")
 
+  /** X217 — per-user ranking metrics at k = 5 over event values as
+    * the ranker and purchases as relevance. */
+  def x250(s: SparkSession, dir: String): DataFrame =
+    Evaluation.rankingMetrics(Tables.events(s, dir),
+        group = col("user_id"), score = col("value"),
+        relevance = when(col("event_type") === "purchase", lit(1.0))
+          .otherwise(lit(0.0)),
+        tieBreaker = col("event_id"), k = 5)
+      .orderBy("query")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -2917,5 +2927,6 @@ object Queries {
     "x246_encoding_quality" -> (x246 _),
     "x247_cohen_kappa" -> (x247 _),
     "x248_count_min" -> (x248 _),
-    "x249_holt_winters" -> (x249 _))
+    "x249_holt_winters" -> (x249 _),
+    "x250_ranking_metrics" -> (x250 _))
 }

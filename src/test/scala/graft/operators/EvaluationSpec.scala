@@ -422,6 +422,35 @@ class EvaluationSpec extends SparkSpec {
       .head().isNullAt(3))
   }
 
+  test("rankingMetrics: hand NDCG/MRR/P/R at k=5, no-positive group nulls") {
+    val items = Seq(
+      (5.0, 1.0, 1L), (4.0, 0.0, 2L), (3.0, 1.0, 3L),
+      (2.0, 0.0, 4L), (1.0, 1.0, 5L), (0.5, 1.0, 6L))
+      .map { case (s, r, id) => ("q", s, r, id) }
+      .toDF("q", "s", "rel", "id")
+    val got = Evaluation.rankingMetrics(items, col("q"), col("s"),
+      col("rel"), col("id"), k = 5).head()
+    def r8(x: Double) =
+      BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    val ln2 = 0.6931471805599453
+    def term(r: Int) = r8(1.0 / (math.log(r + 1.0) / ln2))
+    // relevant items rank 1/3/5 by score; 1/2/3/4 in the ideal order
+    val dcg = term(1) + term(3) + term(5)
+    val idcg = term(1) + term(2) + term(3) + term(4)
+    val ndcg = BigDecimal(dcg.toDouble / idcg.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getLong(1) == 6L, s"got $got")
+    assert(got.getDouble(2) == ndcg, s"got $got expected $ndcg")
+    assert(got.getDouble(3) == 1.0 && got.getDouble(4) == 0.6 &&
+      got.getDouble(5) == 0.75, s"got $got")
+    val nopos = Seq(("q", 2.0, 0.0, 1L), ("q", 1.0, 0.0, 2L))
+      .toDF("q", "s", "rel", "id")
+    val n = Evaluation.rankingMetrics(nopos, col("q"), col("s"),
+      col("rel"), col("id"), k = 5).head()
+    assert(n.isNullAt(2) && n.isNullAt(3) && n.getDouble(4) == 0.0 &&
+      n.isNullAt(5), s"got $n")
+  }
+
   test("theilIndex: equal shares score exactly 0, hand two-value case, nonpositives excluded") {
     val df = Seq(("g", 5.0), ("g", 5.0), ("g", 5.0),
       ("h", 1.0), ("h", 3.0), ("h", 0.0), ("h", -2.0)).toDF("k", "v")
