@@ -1127,6 +1127,56 @@ object Evaluation {
           roundDigits).cast("double").as(s"recall_$k"))
   }
 
+  /** X218 — empirical-Bayes beta-binomial rate shrinkage: per-key
+    * success rates pulled toward the corpus prior in proportion to
+    * their evidence, `shrunk = (α + s) / (α + β + t)` with (α, β)
+    * fitted by method of moments over the observed per-key rates
+    * (`c = m(1−m)/v − 1, α = m·c`) — THE fix for the
+    * sparse-denominator trap in any rate ranking (a 1/1 item must not
+    * outrank a 950/1000 one: CTR smoothing, seller ratings, defect
+    * rates, per-source quality pass rates).
+    *
+    * One per-key counting aggregate; the prior is ONE 1-row moment
+    * aggregate over key-cardinality rows, broadcast back — per-rate
+    * and per-rate² terms round to DECIMAL(18,8) BEFORE their exact
+    * sums (round-then-add; a raw double sum would be
+    * addition-order-dependent), m and v are single float chains over
+    * those exact operands. Degenerate priors (v = 0 — all rates
+    * equal — or a non-positive concentration) emit null shrunk rates;
+    * keys with zero trials are excluded.
+    */
+  def betaShrunkRates(df: DataFrame, keyCol: String,
+      success: Column, trial: Column,
+      roundDigits: Int = 6): DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val byKey = df.groupBy(col(keyCol))
+      .agg(sum(success.cast("long")).as("__s"),
+        sum(trial.cast("long")).as("__t"))
+      .filter(col("__t") > 0)
+    val rate = col("__s").cast("double") / col("__t")
+    val moments = byKey.agg(
+      count(lit(1)).as("__k"),
+      sum(round(rate.cast(stable), 8)).as("__sr"),
+      sum(round((rate * rate).cast(stable), 8)).as("__srr"))
+    val kD = col("__k").cast("double")
+    val m = col("__sr").cast("double") / kD
+    val v = (col("__srr").cast("double") - col("__sr").cast("double")
+      * col("__sr").cast("double") / kD) / (kD - 1)
+    val c = m * (lit(1.0d) - m) / v - 1
+    val prior = moments.select(
+      when(col("__k") > 1 && v > 0 && c > 0, m * c).as("__alpha"),
+      when(col("__k") > 1 && v > 0 && c > 0, (lit(1.0d) - m) * c)
+        .as("__beta"))
+    byKey.crossJoin(broadcast(prior))
+      .select(col(keyCol), col("__t").as("trials"),
+        col("__s").as("successes"),
+        round(rate.cast(stable), roundDigits).cast("double")
+          .as("raw_rate"),
+        round(((col("__alpha") + col("__s"))
+          / (col("__alpha") + col("__beta") + col("__t")))
+          .cast(stable), roundDigits).cast("double").as("shrunk_rate"))
+  }
+
   /** X196 — Theil T inequality index per group:
     * `T = (1/n)·Σ (x/μ)·ln(x/μ)` over positive values — the
     * entropy-based inequality measure next to [[gini]]: T = 0 means

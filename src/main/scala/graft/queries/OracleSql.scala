@@ -5292,6 +5292,62 @@ object OracleSql {
         |      CAST(hits AS DOUBLE) / npos
         |    END AS DECIMAL(18,8)), 6) AS DOUBLE) AS recall_5
         |FROM a ORDER BY query""".stripMargin,
+
+    // Beta-binomial shrinkage: per-key exact counts, 1-row
+    // method-of-moments prior with round-then-add rate/rate² terms,
+    // one float chain per output.
+    "x251_beta_shrinkage" ->
+      """WITH bk AS (SELECT l_partkey,
+        |  SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS s,
+        |  COUNT(*) AS t FROM lineitem GROUP BY 1),
+        |k0 AS (SELECT l_partkey, s, t FROM bk WHERE t > 0),
+        |mo AS (SELECT COUNT(*) AS k,
+        |  SUM(ROUND(CAST(CAST(s AS DOUBLE) / t AS DECIMAL(18,8)), 8))
+        |    AS sr,
+        |  SUM(ROUND(CAST((CAST(s AS DOUBLE) / t)
+        |    * (CAST(s AS DOUBLE) / t) AS DECIMAL(18,8)), 8)) AS srr
+        |  FROM k0),
+        |pr AS (SELECT
+        |  CASE WHEN k > 1
+        |    AND (CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE)
+        |      * CAST(sr AS DOUBLE) / CAST(k AS DOUBLE))
+        |      / (CAST(k AS DOUBLE) - 1) > 0
+        |    AND (CAST(sr AS DOUBLE) / CAST(k AS DOUBLE))
+        |      * (1.0e0 - CAST(sr AS DOUBLE) / CAST(k AS DOUBLE))
+        |      / ((CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE)
+        |        * CAST(sr AS DOUBLE) / CAST(k AS DOUBLE))
+        |        / (CAST(k AS DOUBLE) - 1)) - 1 > 0
+        |  THEN (CAST(sr AS DOUBLE) / CAST(k AS DOUBLE))
+        |    * ((CAST(sr AS DOUBLE) / CAST(k AS DOUBLE))
+        |      * (1.0e0 - CAST(sr AS DOUBLE) / CAST(k AS DOUBLE))
+        |      / ((CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE)
+        |        * CAST(sr AS DOUBLE) / CAST(k AS DOUBLE))
+        |        / (CAST(k AS DOUBLE) - 1)) - 1)
+        |  END AS alpha,
+        |  CASE WHEN k > 1
+        |    AND (CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE)
+        |      * CAST(sr AS DOUBLE) / CAST(k AS DOUBLE))
+        |      / (CAST(k AS DOUBLE) - 1) > 0
+        |    AND (CAST(sr AS DOUBLE) / CAST(k AS DOUBLE))
+        |      * (1.0e0 - CAST(sr AS DOUBLE) / CAST(k AS DOUBLE))
+        |      / ((CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE)
+        |        * CAST(sr AS DOUBLE) / CAST(k AS DOUBLE))
+        |        / (CAST(k AS DOUBLE) - 1)) - 1 > 0
+        |  THEN (1.0e0 - CAST(sr AS DOUBLE) / CAST(k AS DOUBLE))
+        |    * ((CAST(sr AS DOUBLE) / CAST(k AS DOUBLE))
+        |      * (1.0e0 - CAST(sr AS DOUBLE) / CAST(k AS DOUBLE))
+        |      / ((CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE)
+        |        * CAST(sr AS DOUBLE) / CAST(k AS DOUBLE))
+        |        / (CAST(k AS DOUBLE) - 1)) - 1)
+        |  END AS beta
+        |  FROM mo)
+        |SELECT l_partkey, CAST(t AS BIGINT) AS trials,
+        |  CAST(s AS BIGINT) AS successes,
+        |  CAST(ROUND(CAST(CAST(s AS DOUBLE) / t AS DECIMAL(18,8)), 6)
+        |    AS DOUBLE) AS raw_rate,
+        |  CAST(ROUND(CAST((alpha + s) / (alpha + beta + t)
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS shrunk_rate
+        |FROM k0 CROSS JOIN pr ORDER BY l_partkey""".stripMargin,
   )
 
   /** Croston/SBA with α = 0.5: every SES weight is a power of two

@@ -2665,6 +2665,15 @@ object Queries {
         tieBreaker = col("event_id"), k = 5)
       .orderBy("query")
 
+  /** X218 — empirical-Bayes shrinkage of per-part return rates
+    * (returnflag = 'R' over all lines, beta-binomial prior by method
+    * of moments). */
+  def x251(s: SparkSession, dir: String): DataFrame =
+    Evaluation.betaShrunkRates(Tables.lineitem(s, dir), "l_partkey",
+        success = (col("l_returnflag") === "R").cast("long"),
+        trial = lit(1L))
+      .orderBy("l_partkey")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -2928,5 +2937,6 @@ object Queries {
     "x247_cohen_kappa" -> (x247 _),
     "x248_count_min" -> (x248 _),
     "x249_holt_winters" -> (x249 _),
-    "x250_ranking_metrics" -> (x250 _))
+    "x250_ranking_metrics" -> (x250 _),
+    "x251_beta_shrinkage" -> (x251 _))
 }

@@ -451,6 +451,34 @@ class EvaluationSpec extends SparkSpec {
       n.isNullAt(5), s"got $n")
   }
 
+  test("betaShrunkRates: sparse keys pull toward the prior mean, heavy keys barely move") {
+    // 20 keys at 50/100 (rate .5), one key at 1/1 (rate 1), one at 0/1
+    val rows = (1 to 20).flatMap(k =>
+      Seq((s"k$k", 50L, 100L))) ++ Seq(("hot", 1L, 1L), ("cold", 0L, 1L))
+    val df = rows.toDF("key", "s", "t")
+    val got = Evaluation.betaShrunkRates(
+        df.selectExpr("key", "s AS succ", "t AS tri"), "key",
+        col("succ"), col("tri"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(3), r.getDouble(4))).toMap
+    val (hotRaw, hotShrunk) = got("hot")
+    val (coldRaw, coldShrunk) = got("cold")
+    val (kRaw, kShrunk) = got("k1")
+    assert(hotRaw == 1.0 && coldRaw == 0.0 && kRaw == 0.5)
+    // one observation: both extremes shrink far toward ~0.5
+    assert(hotShrunk < 0.9 && hotShrunk > 0.5, s"hot $hotShrunk")
+    assert(coldShrunk > 0.1 && coldShrunk < 0.5, s"cold $coldShrunk")
+    assert(hotShrunk + coldShrunk == 1.0,
+      "symmetric evidence must shrink symmetrically around the mean")
+    // 100 trials at the prior mean: essentially unmoved
+    assert(math.abs(kShrunk - 0.5) < 0.01, s"k1 $kShrunk")
+    // degenerate prior: every rate identical -> v = 0 -> null shrunk
+    val flat = Seq(("a", 1L, 2L), ("b", 2L, 4L)).toDF("key", "s", "t")
+    val f = Evaluation.betaShrunkRates(flat, "key", col("s"), col("t"))
+      .collect()
+    assert(f.forall(_.isNullAt(4)), "v = 0 must yield null shrunk rates")
+  }
+
   test("theilIndex: equal shares score exactly 0, hand two-value case, nonpositives excluded") {
     val df = Seq(("g", 5.0), ("g", 5.0), ("g", 5.0),
       ("h", 1.0), ("h", 3.0), ("h", 0.0), ("h", -2.0)).toDF("k", "v")
