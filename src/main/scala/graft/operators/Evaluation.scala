@@ -1177,6 +1177,101 @@ object Evaluation {
           .cast(stable), roundDigits).cast("double").as("shrunk_rate"))
   }
 
+  /** X219 — Wilson score interval per key: the [lo, hi] confidence
+    * band for a binomial rate that stays sane at small n and extreme
+    * p (the normal approximation's ±z√(pq/n) collapses to a zero
+    * band at 0/1 successes; Wilson never does) — and `wilson_lo` IS
+    * the standard "sort by rating" answer next to
+    * [[betaShrunkRates]]' posterior mean: rank by the LOWER bound and
+    * a 1/1 item can't outrank a 95/100 one.
+    *
+    * One per-key counting aggregate; lo/hi are single float chains
+    * over exact integer counts with `z` a Scala-printed literal
+    * (default 1.96, the 95% two-sided normal quantile), stabilized
+    * through DECIMAL(18,8). Keys with zero trials are excluded.
+    */
+  def wilsonInterval(df: DataFrame, keyCol: String,
+      success: Column, trial: Column,
+      z: Double = 1.96, roundDigits: Int = 6): DataFrame = {
+    require(z > 0, s"z must be positive: $z")
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val byKey = df.groupBy(col(keyCol))
+      .agg(sum(success.cast("long")).as("__s"),
+        sum(trial.cast("long")).as("__t"))
+      .filter(col("__t") > 0)
+    val n = col("__t").cast("double")
+    val p = col("__s").cast("double") / n
+    val z2 = z * z
+    val denom = lit(1.0d) + lit(z2) / n
+    val center = p + lit(z2) / (lit(2.0d) * n)
+    val spread = lit(z) * sqrt(p * (lit(1.0d) - p) / n
+      + lit(z2) / (lit(4.0d) * n * n))
+    byKey.select(col(keyCol), col("__t").as("trials"),
+      col("__s").as("successes"),
+      round(p.cast(stable), roundDigits).cast("double").as("rate"),
+      round(((center - spread) / denom).cast(stable), roundDigits)
+        .cast("double").as("wilson_lo"),
+      round(((center + spread) / denom).cast(stable), roundDigits)
+        .cast("double").as("wilson_hi"))
+  }
+
+  /** X220 — CUPED variance reduction (Deng et al., WSDM'13): adjust
+    * each unit's experiment metric by its PRE-period covariate,
+    * `y_adj = y − θ·(x − x̄)` with `θ = cov(x, y)/var(x)` — the
+    * standard "use last month's behavior to cancel this month's
+    * noise" trick that shrinks A/B confidence intervals for free. The
+    * 1-row summary reports θ and the variance reduction share
+    * `cov²/(var_x·var_y)` (= the squared pre/post correlation — the
+    * fraction of metric variance the covariate explains), which is
+    * the go/no-go number for adopting CUPED on a metric.
+    *
+    * ONE per-unit aggregate (conditional pre/post sums off a single
+    * input scan) + ONE 1-row exact-decimal moment aggregate; θ and
+    * the reduction are single float chains over exact operands.
+    * Degenerate var_x = 0 or var_y = 0 → null θ/reduction.
+    */
+  def cupedSummary(df: DataFrame, unitCol: String,
+      isPre: Column, isPost: Column, value: Column,
+      roundDigits: Int = 6): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(24, 6)
+    val q12 = org.apache.spark.sql.types.DecimalType(28, 12)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val v6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    // per-unit sums clamp to DECIMAL(18,6): the x·y moment products
+    // must stay under precision 38 ((18,6)² = (37,12)) — a (24,6)²
+    // product overflows 38 and the two engines degrade differently
+    val perUnit = df.filter((isPre || isPost) && value.isNotNull)
+      .groupBy(col(unitCol))
+      .agg(
+        sum(when(isPre, value.cast(v6)).otherwise(lit(0).cast(v6)))
+          .cast(v6).as("__x"),
+        sum(when(isPost, value.cast(v6)).otherwise(lit(0).cast(v6)))
+          .cast(v6).as("__y"))
+    val m = perUnit.agg(
+      count(lit(1)).as("__n"),
+      sum(col("__x")).cast(dec).as("__sx"),
+      sum(col("__y")).cast(dec).as("__sy"),
+      sum((col("__x") * col("__y")).cast(q12)).cast(q12).as("__sxy"),
+      sum((col("__x") * col("__x")).cast(q12)).cast(q12).as("__sxx"),
+      sum((col("__y") * col("__y")).cast(q12)).cast(q12).as("__syy"))
+    val n = col("__n").cast("double")
+    def d(c: String): Column = col(c).cast("double")
+    val covN = d("__sxy") - d("__sx") * d("__sy") / n
+    val varXN = d("__sxx") - d("__sx") * d("__sx") / n
+    val varYN = d("__syy") - d("__sy") * d("__sy") / n
+    m.select(col("__n").as("n_units"),
+      round(when(varXN > 0, covN / varXN).cast(stable), roundDigits)
+        .cast("double").as("theta"),
+      round(when(col("__n") > 1, varYN / (n - 1)).cast(stable),
+        roundDigits).cast("double").as("var_post"),
+      round(when(varXN > 0 && varYN > 0 && col("__n") > 1,
+        (varYN - covN * covN / varXN) / (n - 1)).cast(stable),
+        roundDigits).cast("double").as("var_adjusted"),
+      round(when(varXN > 0 && varYN > 0,
+        covN * covN / (varXN * varYN)).cast(stable), roundDigits)
+        .cast("double").as("variance_reduction"))
+  }
+
   /** X196 — Theil T inequality index per group:
     * `T = (1/n)·Σ (x/μ)·ln(x/μ)` over positive values — the
     * entropy-based inequality measure next to [[gini]]: T = 0 means

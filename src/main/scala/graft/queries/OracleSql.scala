@@ -5348,6 +5348,107 @@ object OracleSql {
         |  CAST(ROUND(CAST((alpha + s) / (alpha + beta + t)
         |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS shrunk_rate
         |FROM k0 CROSS JOIN pr ORDER BY l_partkey""".stripMargin,
+
+    // Wilson score interval: exact per-key counts, single float
+    // chains with the z = 1.96 literal.
+    "x252_wilson_interval" ->
+      """WITH bk AS (SELECT l_partkey,
+        |  SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS s,
+        |  COUNT(*) AS t FROM lineitem GROUP BY 1)
+        |SELECT l_partkey, CAST(t AS BIGINT) AS trials,
+        |  CAST(s AS BIGINT) AS successes,
+        |  CAST(ROUND(CAST(CAST(s AS DOUBLE) / CAST(t AS DOUBLE)
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS rate,
+        |  CAST(ROUND(CAST(
+        |    (CAST(s AS DOUBLE) / CAST(t AS DOUBLE)
+        |      + 3.8415999999999997e0 / (2.0e0 * CAST(t AS DOUBLE))
+        |      - 1.96e0 * SQRT(
+        |        (CAST(s AS DOUBLE) / CAST(t AS DOUBLE))
+        |          * (1.0e0 - CAST(s AS DOUBLE) / CAST(t AS DOUBLE))
+        |          / CAST(t AS DOUBLE)
+        |        + 3.8415999999999997e0
+        |          / (4.0e0 * CAST(t AS DOUBLE) * CAST(t AS DOUBLE))))
+        |    / (1.0e0 + 3.8415999999999997e0 / CAST(t AS DOUBLE))
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS wilson_lo,
+        |  CAST(ROUND(CAST(
+        |    (CAST(s AS DOUBLE) / CAST(t AS DOUBLE)
+        |      + 3.8415999999999997e0 / (2.0e0 * CAST(t AS DOUBLE))
+        |      + 1.96e0 * SQRT(
+        |        (CAST(s AS DOUBLE) / CAST(t AS DOUBLE))
+        |          * (1.0e0 - CAST(s AS DOUBLE) / CAST(t AS DOUBLE))
+        |          / CAST(t AS DOUBLE)
+        |        + 3.8415999999999997e0
+        |          / (4.0e0 * CAST(t AS DOUBLE) * CAST(t AS DOUBLE))))
+        |    / (1.0e0 + 3.8415999999999997e0 / CAST(t AS DOUBLE))
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS wilson_hi
+        |FROM bk WHERE t > 0 ORDER BY l_partkey""".stripMargin,
+
+    // CUPED: per-unit conditional pre/post sums (one scan), exact
+    // decimal moments, theta and the reduction as single float chains.
+    "x253_cuped" ->
+      """WITH pu AS (SELECT user_id,
+        |  CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN
+        |    CAST(value AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6))
+        |    END) AS DECIMAL(18,6)) AS x,
+        |  CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN
+        |    CAST(value AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6))
+        |    END) AS DECIMAL(18,6)) AS y
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |m AS (SELECT COUNT(*) AS n,
+        |  CAST(SUM(x) AS DECIMAL(24,6)) AS sx,
+        |  CAST(SUM(y) AS DECIMAL(24,6)) AS sy,
+        |  CAST(SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))
+        |    AS DECIMAL(28,12))) AS DECIMAL(28,12)) AS sxy,
+        |  CAST(SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))
+        |    AS DECIMAL(28,12))) AS DECIMAL(28,12)) AS sxx,
+        |  CAST(SUM(CAST(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))
+        |    AS DECIMAL(28,12))) AS DECIMAL(28,12)) AS syy FROM pu)
+        |SELECT CAST(n AS BIGINT) AS n_units,
+        |  CAST(ROUND(CAST(CASE WHEN CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        |        / CAST(n AS DOUBLE) > 0 THEN
+        |      (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+        |        * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+        |        * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |    END AS DECIMAL(18,8)), 6) AS DOUBLE) AS theta,
+        |  CAST(ROUND(CAST(CASE WHEN n > 1 THEN
+        |      (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+        |        * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - 1)
+        |    END AS DECIMAL(18,8)), 6) AS DOUBLE) AS var_post,
+        |  CAST(ROUND(CAST(CASE WHEN CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        |        / CAST(n AS DOUBLE) > 0
+        |      AND CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+        |        * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) > 0
+        |      AND n > 1 THEN
+        |      ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+        |        * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |      - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+        |        * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+        |          * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+        |          * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      / (CAST(n AS DOUBLE) - 1)
+        |    END AS DECIMAL(18,8)), 6) AS DOUBLE) AS var_adjusted,
+        |  CAST(ROUND(CAST(CASE WHEN CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        |        / CAST(n AS DOUBLE) > 0
+        |      AND CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+        |        * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) > 0 THEN
+        |      (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+        |        * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+        |        * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+        |        * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+        |          * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+        |    END AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |    AS variance_reduction
+        |FROM m""".stripMargin,
   )
 
   /** Croston/SBA with α = 0.5: every SES weight is a power of two

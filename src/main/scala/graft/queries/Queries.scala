@@ -2674,6 +2674,22 @@ object Queries {
         trial = lit(1L))
       .orderBy("l_partkey")
 
+  /** X219 — Wilson 95% intervals for per-part return rates (the
+    * sort-by-lower-bound companion of x251's posterior mean). */
+  def x252(s: SparkSession, dir: String): DataFrame =
+    Evaluation.wilsonInterval(Tables.lineitem(s, dir), "l_partkey",
+        success = (col("l_returnflag") === "R").cast("long"),
+        trial = lit(1L))
+      .orderBy("l_partkey")
+
+  /** X220 — CUPED summary over per-user event values: first-half-of-
+    * January spend as the covariate for second-half spend. */
+  def x253(s: SparkSession, dir: String): DataFrame =
+    Evaluation.cupedSummary(Tables.events(s, dir), "user_id",
+      isPre = col("ts") < lit("2024-01-16").cast("timestamp"),
+      isPost = col("ts") >= lit("2024-01-16").cast("timestamp"),
+      value = col("value"))
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -2938,5 +2954,7 @@ object Queries {
     "x248_count_min" -> (x248 _),
     "x249_holt_winters" -> (x249 _),
     "x250_ranking_metrics" -> (x250 _),
-    "x251_beta_shrinkage" -> (x251 _))
+    "x251_beta_shrinkage" -> (x251 _),
+    "x252_wilson_interval" -> (x252 _),
+    "x253_cuped" -> (x253 _))
 }

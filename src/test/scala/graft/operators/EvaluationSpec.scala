@@ -479,6 +479,47 @@ class EvaluationSpec extends SparkSpec {
     assert(f.forall(_.isNullAt(4)), "v = 0 must yield null shrunk rates")
   }
 
+  test("wilsonInterval: hand 1/1 bound, band brackets the rate, lower-bound ranking sanity") {
+    val df = Seq(("one", 1L, 1L), ("big", 95L, 100L))
+      .flatMap { case (k, s, t) =>
+        (1L to t).map(i => (k, if (i <= s) 1L else 0L, 1L)) }
+      .toDF("key", "s", "t")
+    val got = Evaluation.wilsonInterval(df, "key", col("s"), col("t"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    // hand: s=t=1, p=1 -> lo = 1/(1+z^2) with z=1.96
+    val z = 1.96; val z2 = z * z
+    val lo11 = BigDecimal((1.0 + z2 / (2.0 * 1.0) - z * math.sqrt(
+      1.0 * (1.0 - 1.0) / 1.0 + z2 / (4.0 * 1.0 * 1.0)))
+      / (1.0 + z2 / 1.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("one")._2 == lo11, s"got ${got("one")} expected lo $lo11")
+    got.values.foreach { case (p, lo, hi) =>
+      assert(lo <= p && p <= hi, s"band must bracket the rate: $p in [$lo,$hi]")
+    }
+    // the whole point: 1/1 must NOT outrank 95/100 by lower bound
+    assert(got("one")._2 < got("big")._2,
+      s"1/1 lower bound must sit below 95/100's: $got")
+  }
+
+  test("cupedSummary: perfectly correlated covariate gives theta 2, full variance reduction") {
+    val rows = (1 to 5).flatMap { u =>
+      Seq((s"u$u", "pre", u.toDouble), (s"u$u", "post", 2.0 * u))
+    }.toDF("unit", "era", "v")
+    val got = Evaluation.cupedSummary(rows, "unit",
+      col("era") === "pre", col("era") === "post", col("v")).head()
+    assert(got.getLong(0) == 5L && got.getDouble(1) == 2.0, s"got $got")
+    assert(got.getDouble(3) == 0.0 && got.getDouble(4) == 1.0,
+      s"y = 2x exactly: adjusted variance 0, reduction 1: $got")
+    // constant covariate: var_x = 0 -> null theta/reduction
+    val flat = (1 to 4).flatMap(u =>
+      Seq((s"u$u", "pre", 3.0), (s"u$u", "post", u.toDouble)))
+      .toDF("unit", "era", "v")
+    val f = Evaluation.cupedSummary(flat, "unit",
+      col("era") === "pre", col("era") === "post", col("v")).head()
+    assert(f.isNullAt(1) && f.isNullAt(4), s"got $f")
+  }
+
   test("theilIndex: equal shares score exactly 0, hand two-value case, nonpositives excluded") {
     val df = Seq(("g", 5.0), ("g", 5.0), ("g", 5.0),
       ("h", 1.0), ("h", 3.0), ("h", 0.0), ("h", -2.0)).toDF("k", "v")
