@@ -73,7 +73,8 @@ object Bench {
   private[graft] def measure(
       spark: SparkSession, sfDir: String, name: String,
       fn: (SparkSession, String) => DataFrame,
-      setup: Option[(SparkSession, String) => Unit]): Timing = {
+      setup: Option[(SparkSession, String) => Unit],
+      warmup: Boolean = false): Timing = {
     val setupOk =
       try { setup.foreach(_(spark, sfDir)); true }
       catch {
@@ -83,6 +84,23 @@ object Bench {
       }
     if (!setupOk) Timing(-1.0, Seq.fill(Runs)(-1.0), 0L, heapMb)
     else {
+      // Isolated-adjudication warm-up (r15 verdict #4): a fresh JVM's
+      // first run of a heavy query is pure JIT/codegen/cache warm-up
+      // (judge's isolated x111: [22.8, 9.1, 8.4]) and tripped the
+      // turbulence detector on exactly the SPARK_GRAFT_ONLY re-runs
+      // BENCH.md prescribes for adjudication. One untimed run first
+      // puts the timed runs in the steady state a full sweep's queries
+      // already enjoy (each inherits a warm JVM from its neighbors).
+      // A warm-up failure is logged but NOT fatal here: the timed runs
+      // will fail loudly themselves if the query is actually broken.
+      if (warmup) {
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] warm-up failed for $name: $e")
+        }
+        finally graft.util.CacheScope.sweep(spark)
+      }
       val gc0 = gcMillis
       val times = (1 to Runs).map { _ =>
         val t0 = System.nanoTime()
@@ -219,8 +237,16 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case scala.util.control.NonFatal(_) => () }
     val selected = selectQueries(only)
+    // Per-query warm-up ONLY for explicit isolated adjudication runs —
+    // NOT for chunked children (a chunk is a slice of the real sweep;
+    // warming every query there would change the full-sweep semantics
+    // round-over-round comparisons rest on). The parent marks children
+    // via SPARK_GRAFT_CHUNK_CHILD.
+    val warmPerQuery =
+      only.isDefined && !sys.env.contains("SPARK_GRAFT_CHUNK_CHILD")
     val results = selected.map { case (name, fn) =>
-      name -> measure(spark, sfDir, name, fn, SparkEntry.benchSetup.get(name))
+      name -> measure(spark, sfDir, name, fn,
+        SparkEntry.benchSetup.get(name), warmup = warmPerQuery)
     }
     // Degradation sentinel (r13 verdict #1): the r13 driver run
     // inflated LATE queries 8-28× on unchanged code — accumulated JVM/
@@ -274,6 +300,9 @@ object Bench {
       val pb = new ProcessBuilder(cmd)
       pb.environment().put("SPARK_GRAFT_ONLY", slice.mkString(","))
       pb.environment().put("SPARK_GRAFT_BENCH_OUT", out.toString)
+      // mark the child as a sweep slice, not an adjudication run — it
+      // must NOT take the per-query warm-up (see runSweep)
+      pb.environment().put("SPARK_GRAFT_CHUNK_CHILD", "1")
       pb.environment().remove("SPARK_GRAFT_CHUNK")
       // child stdout carries its own JSON line — keep the PARENT's
       // stdout to exactly one line (the driver contract); child logs

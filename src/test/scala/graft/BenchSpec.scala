@@ -55,6 +55,48 @@ class BenchSpec extends SparkSpec {
     assert(t.median == -1.0)
   }
 
+  test("ONLY-mode warm-up absorbs a cold first run; a genuine mid-run spike still flags (r15 verdict #4)") {
+    // a query whose FIRST invocation is slow (the fresh-JVM JIT/cache
+    // shape: judge's isolated x111 ran [22.8, 9.1, 8.4])
+    def coldFirst(): (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame = {
+      val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+      (s, _) => {
+        if (calls.getAndIncrement() == 0) Thread.sleep(5500)
+        s.range(5).toDF()
+      }
+    }
+    // without warm-up the cold run lands in the timed vector → suspect
+    val cold = Bench.measure(spark, "unused", "q_cold", coldFirst(), setup = None)
+    assert(Bench.isSuspect(cold.runs),
+      s"a >5 s cold first timed run must flag: ${cold.runs}")
+    // with warm-up (the SPARK_GRAFT_ONLY adjudication path) the cold
+    // invocation is absorbed untimed → all timed runs warm, run stays clean
+    val warm = Bench.measure(spark, "unused", "q_cold_warm", coldFirst(),
+      setup = None, warmup = true)
+    assert(warm.runs.forall(_ > 0) && !Bench.isSuspect(warm.runs),
+      s"warm-up must absorb the cold run: ${warm.runs}")
+    // a GENUINE mid-run spike is not hidden by the warm-up — still flags
+    val spikeCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val spiky = Bench.measure(spark, "unused", "q_spike",
+      (s, _) => {
+        if (spikeCalls.getAndIncrement() == 2) Thread.sleep(5500) // timed run #2
+        s.range(5).toDF()
+      }, setup = None, warmup = true)
+    assert(Bench.isSuspect(spiky.runs),
+      s"a mid-run spike must still flag under warm-up: ${spiky.runs}")
+  }
+
+  test("a warm-up failure is non-fatal: timed runs still measure (or fail loudly themselves)") {
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val t = Bench.measure(spark, "unused", "q_warmfail",
+      (s, _) => {
+        if (calls.getAndIncrement() == 0) sys.error("warm-up exploded")
+        s.range(5).toDF()
+      }, setup = None, warmup = true)
+    assert(t.median > 0 && t.runs.forall(_ > 0),
+      s"a throw confined to the warm-up must not fail the query: $t")
+  }
+
   test("isSuspect flags r14's mid-sweep turbulence and clears the clean run (r14 verdict #2)") {
     // the three BENCH_r14 inflations the single end-of-run sentinel
     // missed — all must flag
