@@ -336,6 +336,25 @@ class EvaluationSpec extends SparkSpec {
     assert(tau(grid, bins = 8) == tau(grid))
   }
 
+  test("kendallTauB plan carries no cartesian / nested-loop θ-join at any bins (r15 verdict #3)") {
+    // the Knight-form rewrite's point, pinned: the old ordered cell-
+    // pair join (`__x1 < __x2`) planned a BroadcastNestedLoopJoin with
+    // a comparison condition — quadratic pair work in cells. The grid
+    // form's only BNLJ nodes are the house 1-row scalar crossJoins
+    // (condition-free); nothing in the plan may compare across join
+    // sides or fall back to CartesianProduct.
+    val df = (0 until 200).map(i => ((i % 7).toDouble, (i % 5).toDouble))
+      .toDF("x", "y")
+    for (bins <- Seq(0, 8)) {
+      val plan = Evaluation.kendallTauB(df, col("x"), col("y"), bins = bins)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"bins=$bins plan must not fall back to CartesianProduct:\n$plan")
+      assert(!"""BroadcastNestedLoopJoin[^\n]*[<>]""".r.findFirstIn(plan).isDefined,
+        s"bins=$bins plan must carry no θ-condition nested-loop join:\n$plan")
+    }
+  }
+
   test("mannWhitneyU: hand U and z on disjoint samples, degenerate sides null") {
     val df = Seq((1.0, "a"), (2.0, "a"), (3.0, "b"), (4.0, "b")).toDF("v", "g")
     val r = Evaluation.mannWhitneyU(df, col("g") === "a", col("g") === "b",
