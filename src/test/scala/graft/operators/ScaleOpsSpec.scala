@@ -111,8 +111,9 @@ class ScaleOpsSpec extends SparkSpec {
   }
 
   test("connectedComponents rounds = diameter + 1 (convergence detection) exactly") {
-    // PLAIN propagation semantics (shortcutAfter = maxIter disables the
-    // pointer-jump fallback): a 12-node path, min label at one end —
+    // PLAIN propagation semantics (an explicit shortcutAfter = maxIter
+    // disables BOTH the fixed-round pointer-jump fallback and the
+    // adaptive stall detector): a 12-node path, min label at one end —
     // the label walks one hop per round (11 rounds = diameter), plus
     // ONE round to observe an empty frontier. maxIter = 12 must
     // converge; maxIter = 11 must refuse.
@@ -129,12 +130,39 @@ class ScaleOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("connectedComponents adaptive stall detector engages the jump early on a chain (r15 verdict #2)") {
+    // with DEFAULT settings the stall detector sees the 12-node path's
+    // frontier fail to halve at round 2 and flips the jump on — reach
+    // then doubles per round, so the diameter-11 chain converges well
+    // under the 11+1 rounds plain propagation needs. Labels identical.
+    val nodes = (1L to 12L).toDF("id")
+    val chain = (1L to 11L).map(i => (i, i + 1)).toDF("a", "b")
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    val out = Dedup.connectedComponents(nodes, "id", chain, "a", "b",
+        maxIter = 8, onRound = (r, f) => rounds += ((r, f)))
+      .as[(Long, Long)].collect()
+    assert(out.forall(_._2 == 1L) && out.length == 12)
+    assert(rounds.last._2 == 0L && rounds.size <= 8,
+      s"adaptive jump must beat diameter rounds: $rounds")
+    // a geometrically-collapsing graph (star: everything adjacent to
+    // the min) must converge WITHOUT the detector firing — 2 rounds,
+    // no stall ever observed (frontier n -> 0)
+    val starNodes = (1L to 50L).toDF("id")
+    val star = (2L to 50L).map(i => (1L, i)).toDF("a", "b")
+    val starRounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    val starOut = Dedup.connectedComponents(starNodes, "id", star, "a", "b",
+        onRound = (r, f) => starRounds += ((r, f)))
+      .as[(Long, Long)].collect()
+    assert(starOut.forall(_._2 == 1L) && starRounds.size == 2,
+      s"dense graph must close in 2 rounds, untouched by the detector: $starRounds")
+  }
+
   test("connectedComponents: pointer-jump fallback converges a long path within the default budget") {
     // a 200-node path has diameter 199 — plain min-label propagation
     // needs 199 rounds and would refuse at the default maxIter = 20.
-    // The fallback engages at round 10; reach then doubles per round
-    // (10 → 21 → 43 → 87 → 175 → 351), so the default budget suffices
-    // and the labels still land on the component min.
+    // The stall detector engages the jump at round 2 (a path frontier
+    // never halves); reach then doubles per round, so the default
+    // budget suffices and the labels still land on the component min.
     val n = 200L
     val nodes = (0L until n).toDF("id")
     val path = (0L until n - 1).map(i => (i, i + 1)).toDF("a", "b")
@@ -145,13 +173,14 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out.length == n && out.forall(_._2 == 0L),
       "every node of the path must join the min-label component")
     // telemetry: one entry per round, frontier reaches zero exactly at
-    // the last round, and the advisory window (round >= 3/4 budget)
-    // still saw a live frontier — the pre-exhaustion warning path the
-    // operator logs for high-diameter inputs
+    // the last round, and convergence within the default budget is
+    // itself the proof the jump engaged (plain propagation would need
+    // 199 rounds; the stall detector fires at round 2, and reach then
+    // doubles per round)
     assert(rounds.nonEmpty && rounds.last._2 == 0L, s"got $rounds")
     assert(rounds.init.forall(_._2 > 0L), s"frontier died early: $rounds")
-    assert(rounds.exists { case (r, f) => r >= 15 && f > 0L },
-      s"the long path must still be converging inside the advisory window: $rounds")
+    assert(rounds.size >= 5 && rounds.size <= 20,
+      s"diameter 199 must take several-but-log-bounded rounds: $rounds")
     // same guard on the refusal path: an absurdly small budget still
     // refuses rather than truncating (fallback or not)
     val e = intercept[IllegalStateException] {
