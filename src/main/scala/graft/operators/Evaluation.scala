@@ -1302,6 +1302,110 @@ object Evaluation {
         .cast("double").as("variance_reduction"))
   }
 
+  /** X221 — mSPRT always-valid sequential test (mixture sequential
+    * probability ratio test; Johari, Pekelis, Walsh, "Peeking at A/B
+    * Tests", KDD'17): the SEQUENTIAL complement to the fixed-horizon
+    * A/B tier ([[wilsonInterval]], [[cupedSummary]], two-proportion
+    * z) — its p-value stays valid under CONTINUOUS monitoring, so a
+    * dashboard refreshed every batch cannot manufacture significance
+    * by stopping on a lucky peek. For the asymptotically normal
+    * difference `Δ̂ = x̄_T − x̄_C` with estimated variance
+    * `V = s²_T/n_T + s²_C/n_C` and a N(0, τ²) mixing prior over the
+    * effect, the mixture likelihood ratio has the closed form
+    *   ln Λ = ½·ln(V/(V+τ²)) + Δ̂²·τ² / (2·V·(V+τ²))
+    * and `p = min(1, 1/Λ)` is an always-valid p-value: reject when
+    * ln Λ ≥ ln(1/α). τ sets the prior effect scale (match it to the
+    * smallest effect worth detecting; detection speed, not validity,
+    * is what it tunes).
+    *
+    * ONE counting/moment aggregate over one input scan (conditional
+    * per-arm sums, the [[cupedSummary]] shape); the statistic is a
+    * single float chain over exact DECIMAL moments, stabilized
+    * through DECIMAL(18,8) — engine-portable, τ²/ln(1/α) are
+    * Scala-printed literals. Degenerate arms (n < 2 either side, or
+    * zero variance) emit null statistic columns. The factored
+    * [[msprtFromMoments]] rollup is shared verbatim by the streaming
+    * moments monitor ([[graft.streaming.Stateful.msprtMomentsMonitor]])
+    * so live emissions roll up bit-identical to this batch result.
+    */
+  def msprt(df: DataFrame, isTreat: Column, isControl: Column,
+      value: Column, tau: Double = 0.1, alpha: Double = 0.05,
+      roundDigits: Int = 6): DataFrame =
+    msprtFromMoments(msprtMoments(df, isTreat, isControl, value),
+      tau, alpha, roundDigits)
+
+  /** The per-arm count/moment aggregate behind [[msprt]]: one row of
+    * exact-decimal (n, Σv, Σv²) per arm off a single input scan. A
+    * row claimed by BOTH predicates counts as treatment (they should
+    * be disjoint; the guard keeps the sums consistent either way). */
+  private[graft] def msprtMoments(df: DataFrame, isTreat: Column,
+      isControl: Column, value: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(24, 6)
+    val q12 = org.apache.spark.sql.types.DecimalType(28, 12)
+    val v6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val rows = df.filter((isTreat || isControl) && value.isNotNull)
+      .select(when(isTreat, lit(1L)).otherwise(lit(0L)).as("__t"),
+        value.cast(v6).as("__v"))
+    rows.agg(
+      sum(col("__t")).as("__na"),
+      sum(lit(1L) - col("__t")).as("__nb"),
+      sum(when(col("__t") === 1, col("__v")).otherwise(lit(0).cast(v6)))
+        .cast(dec).as("__sa"),
+      sum(when(col("__t") === 0, col("__v")).otherwise(lit(0).cast(v6)))
+        .cast(dec).as("__sb"),
+      sum(when(col("__t") === 1, (col("__v") * col("__v")).cast(q12))
+        .otherwise(lit(0).cast(q12))).cast(q12).as("__saa"),
+      sum(when(col("__t") === 0, (col("__v") * col("__v")).cast(q12))
+        .otherwise(lit(0).cast(q12))).cast(q12).as("__sbb"))
+  }
+
+  /** [[msprt]]'s statistic chain over a 1-row moment frame
+    * (`__na __nb __sa __sb __saa __sbb` — [[msprtMoments]]'s schema,
+    * or the latest streaming emissions cast onto it). Factored so the
+    * streaming monitor's rollup IS the batch code path. */
+  def msprtFromMoments(m: DataFrame, tau: Double, alpha: Double,
+      roundDigits: Int = 6): DataFrame = {
+    require(tau > 0, s"tau must be positive: $tau")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    val dec = org.apache.spark.sql.types.DecimalType(24, 6)
+    val q12 = org.apache.spark.sql.types.DecimalType(28, 12)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    // inputs re-cast onto the batch aggregate's exact types: a
+    // stream-fed frame carries wider decimals, same values
+    val na = col("__na").cast("long")
+    val nb = col("__nb").cast("long")
+    def d(c: String, t: org.apache.spark.sql.types.DecimalType): Column =
+      col(c).cast(t).cast("double")
+    val naD = na.cast("double")
+    val nbD = nb.cast("double")
+    val ma = d("__sa", dec) / naD
+    val mb = d("__sb", dec) / nbD
+    val va = (d("__saa", q12) - d("__sa", dec) * d("__sa", dec) / naD) /
+      (naD - 1)
+    val vb = (d("__sbb", q12) - d("__sb", dec) * d("__sb", dec) / nbD) /
+      (nbD - 1)
+    val vv = va / naD + vb / nbD
+    val delta = ma - mb
+    val t2 = lit(tau * tau)
+    val logLambda = lit(0.5d) * log(vv / (vv + t2)) +
+      delta * delta * t2 / (lit(2.0d) * vv * (vv + t2))
+    val ok = na > 1 && nb > 1 && vv > 0
+    m.select(
+      na.as("n_treat"), nb.as("n_control"),
+      round(when(na > 0, ma).cast(stable), roundDigits)
+        .cast("double").as("mean_treat"),
+      round(when(nb > 0, mb).cast(stable), roundDigits)
+        .cast("double").as("mean_control"),
+      round(when(ok, delta).cast(stable), roundDigits)
+        .cast("double").as("delta"),
+      round(when(ok, logLambda).cast(stable), roundDigits)
+        .cast("double").as("log_lambda"),
+      round(when(ok, exp(least(lit(0.0d), -logLambda))).cast(stable),
+        roundDigits).cast("double").as("p_always_valid"),
+      when(ok, (logLambda >= lit(math.log(1.0d / alpha))).cast("int"))
+        .as("reject"))
+  }
+
   /** X196 — Theil T inequality index per group:
     * `T = (1/n)·Σ (x/μ)·ln(x/μ)` over positive values — the
     * entropy-based inequality measure next to [[gini]]: T = 0 means

@@ -5449,6 +5449,61 @@ object OracleSql {
         |    END AS DECIMAL(18,8)), 6) AS DOUBLE)
         |    AS variance_reduction
         |FROM m""".stripMargin,
+
+    // mSPRT: per-arm exact-decimal moments (one scan), then the
+    // mixture-likelihood chain as staged DOUBLE columns — identical
+    // op sequence to Evaluation.msprtFromMoments; τ² and ln(1/α) are
+    // the SAME Scala doubles the engine embeds (0.1*0.1 =
+    // 1.0000000000000002e-2, ln(1/0.05) = 2.995732273553991e0).
+    "x254_msprt" ->
+      """WITH r AS (SELECT
+        |  CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t,
+        |  CAST(value AS DECIMAL(18,6)) AS v
+        |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |m AS (SELECT SUM(t) AS na, SUM(1 - t) AS nb,
+        |  CAST(SUM(CASE WHEN t = 1 THEN v
+        |    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(24,6)) AS sa,
+        |  CAST(SUM(CASE WHEN t = 0 THEN v
+        |    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(24,6)) AS sb,
+        |  CAST(SUM(CASE WHEN t = 1 THEN
+        |      CAST(CAST(v AS DECIMAL(19,6)) * CAST(v AS DECIMAL(19,6))
+        |        AS DECIMAL(28,12))
+        |    ELSE CAST(0 AS DECIMAL(28,12)) END) AS DECIMAL(28,12)) AS saa,
+        |  CAST(SUM(CASE WHEN t = 0 THEN
+        |      CAST(CAST(v AS DECIMAL(19,6)) * CAST(v AS DECIMAL(19,6))
+        |        AS DECIMAL(28,12))
+        |    ELSE CAST(0 AS DECIMAL(28,12)) END) AS DECIMAL(28,12)) AS sbb
+        |  FROM r),
+        |g AS (SELECT na, nb,
+        |  CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+        |  CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+        |  (CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+        |    / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1) AS va,
+        |  (CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+        |    / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1) AS vb
+        |  FROM m),
+        |h AS (SELECT na, nb, ma, mb,
+        |  va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE) AS vv,
+        |  ma - mb AS delta FROM g),
+        |k AS (SELECT na, nb, ma, mb, vv, delta,
+        |  5e-1 * LN(vv / (vv + 1.0000000000000002e-2))
+        |    + delta * delta * 1.0000000000000002e-2
+        |      / (2.0e0 * vv * (vv + 1.0000000000000002e-2)) AS loglam,
+        |  (na > 1 AND nb > 1 AND vv > 0) AS ok FROM h)
+        |SELECT CAST(na AS BIGINT) AS n_treat, CAST(nb AS BIGINT) AS n_control,
+        |  CAST(ROUND(CAST(CASE WHEN na > 0 THEN ma END
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS mean_treat,
+        |  CAST(ROUND(CAST(CASE WHEN nb > 0 THEN mb END
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS mean_control,
+        |  CAST(ROUND(CAST(CASE WHEN ok THEN delta END
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS delta,
+        |  CAST(ROUND(CAST(CASE WHEN ok THEN loglam END
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS log_lambda,
+        |  CAST(ROUND(CAST(CASE WHEN ok THEN EXP(LEAST(0.0e0, -loglam)) END
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS p_always_valid,
+        |  CASE WHEN ok THEN CASE WHEN loglam >= 2.995732273553991e0
+        |    THEN 1 ELSE 0 END END AS reject
+        |FROM k""".stripMargin,
   )
 
   /** Croston/SBA with α = 0.5: every SES weight is a power of two

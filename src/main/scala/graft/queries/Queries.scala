@@ -2690,6 +2690,16 @@ object Queries {
       isPost = col("ts") >= lit("2024-01-16").cast("timestamp"),
       value = col("value"))
 
+  /** X221 — mSPRT always-valid sequential test over purchase values,
+    * even- vs odd-user arms (a deterministic null split: the monitor
+    * must NOT reject on an A/A test — the always-valid guarantee in
+    * its purest form). τ = 0.1 prior effect scale, α = 0.05. */
+  def x254(s: SparkSession, dir: String): DataFrame =
+    Evaluation.msprt(Tables.events(s, dir),
+      isTreat = col("event_type") === "purchase" && col("user_id") % 2 === 0,
+      isControl = col("event_type") === "purchase" && col("user_id") % 2 === 1,
+      value = col("value"), tau = 0.1, alpha = 0.05)
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -2956,5 +2966,6 @@ object Queries {
     "x250_ranking_metrics" -> (x250 _),
     "x251_beta_shrinkage" -> (x251 _),
     "x252_wilson_interval" -> (x252 _),
-    "x253_cuped" -> (x253 _))
+    "x253_cuped" -> (x253 _),
+    "x254_msprt" -> (x254 _))
 }

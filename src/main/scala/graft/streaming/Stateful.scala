@@ -505,6 +505,48 @@ object Stateful {
       else 0L)
   }
 
+  /** Input/output shapes of [[msprtMomentsMonitor]]. */
+  case class ArmValue(seq: Long, treat: Boolean, value: Double)
+  case class ArmMoments(treat: Boolean, through_seq: Long, n: Long,
+      sum6: java.math.BigDecimal, sumsq12: java.math.BigDecimal)
+
+  /** Streaming twin of [[graft.operators.Evaluation.msprt]] (x254):
+    * running per-ARM exact-decimal moments (n, Σv, Σv²) — the natural
+    * home of an ALWAYS-VALID sequential test, whose whole point is
+    * that the dashboard may consult it after every micro-batch
+    * without inflating false positives. Each arriving value is
+    * quantized with the batch cast's exact semantics
+    * (`Double.toString` → HALF_UP at scale 6, Spark's double→DECIMAL
+    * rule) and the square accumulates at scale 12, so the emitted
+    * moments equal [[graft.operators.Evaluation.msprtMoments]]'
+    * aggregate bit-for-bit; the latest emission per arm rolls up
+    * through [[graft.operators.Evaluation.msprtFromMoments]] — the
+    * EXACT batch code path (spec-pinned across a mid-stream split).
+    * State is two decimals + two longs PER ARM: always-valid
+    * monitoring of an unbounded stream in O(1) state.
+    */
+  def msprtMomentsMonitor(ds: Dataset[ArmValue]): Dataset[ArmMoments] = {
+    implicit val stateEnc: Encoder[ArmMoments] = Encoders.product[ArmMoments]
+    implicit val keyEnc: Encoder[Boolean] = Encoders.scalaBoolean
+    ds.groupByKey(_.treat)
+      .flatMapGroupsWithState[ArmMoments, ArmMoments](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (treat: Boolean, rows: Iterator[ArmValue],
+            state: GroupState[ArmMoments]) =>
+          val zero = java.math.BigDecimal.ZERO
+          var s = state.getOption.getOrElse(ArmMoments(treat, 0L, 0L,
+            zero.setScale(6), zero.setScale(12)))
+          rows.foreach { r =>
+            val v6 = java.math.BigDecimal.valueOf(r.value)
+              .setScale(6, java.math.RoundingMode.HALF_UP)
+            s = ArmMoments(treat, math.max(s.through_seq, r.seq), s.n + 1L,
+              s.sum6.add(v6), s.sumsq12.add(v6.multiply(v6)))
+          }
+          state.update(s)
+          Iterator.single(s)
+      }
+  }
+
   /** Input/output shapes of [[countMinMonitor]]. */
   case class CmsEvent(seq: Long, key: String)
   case class CmsCell(j: Int, bucket: Long, through_seq: Long, n: Long)

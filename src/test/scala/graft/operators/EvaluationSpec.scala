@@ -336,6 +336,58 @@ class EvaluationSpec extends SparkSpec {
     assert(tau(grid, bins = 8) == tau(grid))
   }
 
+  test("msprt: hand mixture LR, planted effect crosses the boundary, A/A and degenerates null/clean") {
+    // hand case, tau = 1: treat {0.9, 1.1}, control {-0.1, 0.1} ->
+    // ma=1, mb=0, va=vb=0.02, V=0.02/2+0.02/2=0.02, delta=1,
+    // logLam = 0.5*ln(0.02/1.02) + 1/(2*0.02*1.02) = 22.543891;
+    // p = exp(-22.54...) rounds to 0, reject at alpha=0.05
+    val hand = Seq((1, 0.9), (1, 1.1), (0, -0.1), (0, 0.1)).toDF("t", "v")
+    val r = Evaluation.msprt(hand, col("t") === 1, col("t") === 0,
+      col("v"), tau = 1.0).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L, s"got $r")
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 0.0
+      && r.getDouble(4) == 1.0, s"got $r")
+    assert(r.getDouble(5) == 22.543891 && r.getDouble(6) == 0.0
+      && r.getInt(7) == 1, s"got $r")
+
+    // planted effect +0.3 over +-0.5 alternating noise: the SAME
+    // generator crosses the ln(1/alpha) boundary as n grows — the
+    // sequential test's defining behavior (not significant early,
+    // significant once evidence accumulates; the p-value was valid at
+    // BOTH peeks)
+    def arm(n: Int, shift: Double) =
+      (0 until n).map(i => (shift > 0, shift + (if (i % 2 == 0) 0.5 else -0.5)))
+    def run(n: Int) = {
+      val df = (arm(n, 0.3) ++ arm(n, 0.0)).toDF("treat", "v")
+      Evaluation.msprt(df, col("treat"), !col("treat"), col("v"),
+        tau = 1.0).head()
+    }
+    val early = run(4)
+    assert(early.getInt(7) == 0 && early.getDouble(6) == 1.0,
+      s"n=4/arm must not reject: $early")
+    val late = run(100)
+    assert(late.getInt(7) == 1 && late.getDouble(6) < 0.05,
+      s"n=100/arm must reject: $late")
+
+    // A/A: identical arms -> delta 0 -> logLam < 0 -> p = 1, no reject
+    val aa = ((0 until 20).map(i => (true, (i % 5).toDouble))
+      ++ (0 until 20).map(i => (false, (i % 5).toDouble))).toDF("treat", "v")
+    val aaR = Evaluation.msprt(aa, col("treat"), !col("treat"), col("v"),
+      tau = 1.0).head()
+    assert(aaR.getDouble(6) == 1.0 && aaR.getInt(7) == 0, s"got $aaR")
+
+    // degenerate: single-row arm, and zero-variance arms -> null stats
+    val tiny = Seq((1, 1.0), (0, 0.0), (0, 0.5)).toDF("t", "v")
+    val tinyR = Evaluation.msprt(tiny, col("t") === 1, col("t") === 0,
+      col("v")).head()
+    assert(tinyR.isNullAt(5) && tinyR.isNullAt(6) && tinyR.isNullAt(7),
+      s"got $tinyR")
+    val const = Seq((1, 2.0), (1, 2.0), (0, 1.0), (0, 1.0)).toDF("t", "v")
+    val constR = Evaluation.msprt(const, col("t") === 1, col("t") === 0,
+      col("v")).head()
+    assert(constR.isNullAt(5) && constR.isNullAt(7), s"got $constR")
+  }
+
   test("kendallTauB plan carries no cartesian / nested-loop θ-join at any bins (r15 verdict #3)") {
     // the Knight-form rewrite's point, pinned: the old ordered cell-
     // pair join (`__x1 < __x2`) planned a BroadcastNestedLoopJoin with

@@ -447,6 +447,43 @@ class StatefulSpec extends SparkSpec {
     assert(rolled == batch, s"stream rollup $rolled != batch $batch")
   }
 
+  test("msprtMomentsMonitor rollup ≡ batch msprt EXACTLY across a mid-stream split") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    // planted small effect + fractional values that exercise the
+    // scale-6 quantization (i*0.013 has no finite binary expansion)
+    val rows = (0 until 80).map { i =>
+      Stateful.ArmValue(i.toLong, i % 2 == 0,
+        (if (i % 2 == 0) 0.25 else 0.0) + i * 0.013 % 1.7)
+    }
+    val batch = graft.operators.Evaluation.msprt(
+      rows.toDF("seq", "treat", "value"),
+      col("treat"), !col("treat"), col("value"),
+      tau = 0.5, alpha = 0.05).collect().toSeq
+    val mem = MemoryStream[Stateful.ArmValue]
+    val out = Stateful.msprtMomentsMonitor(mem.toDS())
+    val sink = s"msprt_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(rows.take(33): _*) // split mid-arm: both arms straddle
+      q.processAllAvailable()
+      mem.addData(rows.drop(33): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val latest = spark.table(sink).as[Stateful.ArmMoments].collect()
+      .groupBy(_.treat).map(_._2.maxBy(_.through_seq)).toSeq
+    val t = latest.find(_.treat).get
+    val c = latest.find(!_.treat).get
+    // latest per-arm emissions onto msprtMoments' schema -> the EXACT
+    // batch statistic chain
+    val m = Seq((t.n, c.n, t.sum6, c.sum6, t.sumsq12, c.sumsq12))
+      .toDF("__na", "__nb", "__sa", "__sb", "__saa", "__sbb")
+    val rolled = graft.operators.Evaluation.msprtFromMoments(
+      m, tau = 0.5, alpha = 0.05).collect().toSeq
+    assert(rolled == batch, s"stream rollup $rolled != batch $batch")
+  }
+
   test("countMinMonitor: live counter table ≡ batch counterTable, probe ≡ batch estimates") {
     import org.apache.spark.sql.functions.col
     implicit val sqlCtx = spark.sqlContext
