@@ -505,6 +505,65 @@ object Stateful {
       else 0L)
   }
 
+  /** Output/state shapes of [[pageHinkleyMonitor]] (input reuses
+    * [[CusumPoint]] — same (key, seq, value) event). */
+  case class PhState(i: Double, s: Double, m: Double, minM: Double,
+      exc: Double)
+  case class PhOut(key: String, seq: Long, ph_stat: Double,
+      detected: Boolean)
+
+  /** Streaming twin of [[graft.operators.TimeSeries.pageHinkley]]
+    * (x237): the self-calibrating changepoint a live pipeline wants
+    * next to [[cusumDrift]] — CUSUM needs a FROZEN baseline (μ, σ)
+    * shipped from a reference window, so a drift that contaminates
+    * the baseline window weakens its own alarm; Page–Hinkley's
+    * RUNNING mean needs no baseline at all, and it folds incrementally
+    * per key: state is five doubles (i, Σy, mₜ, min mₛ, max
+    * excursion), each arrival one O(1) update
+    *   m' = m + (y − Σ'/i' − δ),  alarm when  max(m' − min m) > λ.
+    *
+    * Parity (the cusumDrift discipline): each value quantizes with
+    * the batch double→DECIMAL(18,6) cast semantics, the update is the
+    * batch `aggregate` fold's IEEE chain op-for-op, and the displayed
+    * stat/alarm mirror the batch's staged DECIMAL(18,8)→4 dp rounding
+    * — so the final emission per key equals the batch x237 row
+    * exactly (spec-pinned across a mid-stream split). Rows within a
+    * micro-batch apply in `seq` order.
+    */
+  def pageHinkleyMonitor(ds: Dataset[CusumPoint], delta: Double = 0.0,
+      lambda: Double = 10.0): Dataset[PhOut] = {
+    require(lambda > 0, s"alarm threshold lambda must be positive: $lambda")
+    implicit val stateEnc: Encoder[PhState] = Encoders.product[PhState]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    implicit val outEnc: Encoder[PhOut] = Encoders.product[PhOut]
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[PhState, PhOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[CusumPoint],
+            state: GroupState[PhState]) =>
+          var st = state.getOption.getOrElse(PhState(0.0, 0.0, 0.0, 0.0, 0.0))
+          val out = rows.toSeq.sortBy(_.seq).map { p =>
+            // the batch fold, step for step: quantize, then
+            // i' = i+1, S' = S+y, m' = m + (y − S'/i' − δ),
+            // minM' = min(minM, m'), exc' = max(exc, m' − minM')
+            val y = BigDecimal(p.value)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            val i = st.i + 1.0
+            val s = st.s + y
+            val m = st.m + (y - s / i - delta)
+            val minM = math.min(st.minM, m)
+            val exc = math.max(st.exc, m - minM)
+            st = PhState(i, s, m, minM, exc)
+            PhOut(p.key, p.seq, r4(exc), r4(exc) > lambda)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Input/output shapes of [[msprtMomentsMonitor]]. */
   case class ArmValue(seq: Long, treat: Boolean, value: Double)
   case class ArmMoments(treat: Boolean, through_seq: Long, n: Long,

@@ -447,6 +447,46 @@ class StatefulSpec extends SparkSpec {
     assert(rolled == batch, s"stream rollup $rolled != batch $batch")
   }
 
+  test("pageHinkleyMonitor final emission ≡ batch pageHinkley EXACTLY across a mid-stream split") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    // key "a": planted upward mean shift at t = 20 (0-level noise then
+    // +1.5 level) — must alarm; key "b": stationary noise — must not.
+    // Fractional values exercise the scale-6 quantization.
+    def noise(i: Int): Double = (i % 5 - 2) * 0.137
+    val rows =
+      (0 until 40).map(i => ("a", i.toLong,
+        noise(i) + (if (i >= 20) 1.5 else 0.0))) ++
+      (0 until 40).map(i => ("b", i.toLong, noise(i)))
+    val batch = graft.operators.TimeSeries.pageHinkley(
+        rows.toDF("key", "ord", "value"), "key", "ord", "value",
+        delta = 0.05, lambda = 2.0)
+      .orderBy("key")
+      .collect().map(r => (r.getString(0), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    assert(batch.map(_._3) == Seq(1L, 0L),
+      s"fixture must alarm on a and not b: $batch")
+    val pts = rows.map { case (k, i, v) => Stateful.CusumPoint(k, i, v) }
+    val mem = MemoryStream[Stateful.CusumPoint]
+    val out = Stateful.pageHinkleyMonitor(mem.toDS(), delta = 0.05,
+      lambda = 2.0)
+    val sink = s"phmon_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      // split INSIDE a's pre-shift segment and b's series: the running
+      // mean must fold seamlessly across the state boundary
+      mem.addData(pts.take(33): _*)
+      q.processAllAvailable()
+      mem.addData(pts.drop(33): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val latest = spark.table(sink).as[Stateful.PhOut].collect()
+      .groupBy(_.key).map(_._2.maxBy(_.seq)).toSeq.sortBy(_.key)
+      .map(o => (o.key, o.ph_stat, if (o.detected) 1L else 0L))
+    assert(latest == batch, s"stream final $latest != batch $batch")
+  }
+
   test("msprtMomentsMonitor rollup ≡ batch msprt EXACTLY across a mid-stream split") {
     import org.apache.spark.sql.functions.col
     implicit val sqlCtx = spark.sqlContext
