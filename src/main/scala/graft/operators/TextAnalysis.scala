@@ -285,6 +285,79 @@ object TextAnalysis {
         size(split(col("chunk"), " ")).cast("bigint").as("n_chunk_tokens"))
   }
 
+  /** X222 — BPE token counts per document ([[graft.functions.Bpe]]:
+    * byte-level BPE, the published GPT-2-style algorithm over a
+    * caller-supplied merge table): the tokenizer-accurate budgeting
+    * unit next to the whitespace proxy `Text.tokenCount` — slot the
+    * output column into [[Sampling.takeTokenBudgetPortable]]'s
+    * `sizeCol` (x68) to budget source mixes in REAL tokens (existing
+    * gates stay on the whitespace default; this is the optional
+    * unit).
+    *
+    * Scale shape: the rank map broadcasts once (a 50k-merge table is
+    * ~1 MB); the scan is map-only `mapPartitions` (the sanctioned
+    * multimodal batching shape — per-partition init of the word
+    * cache, no shuffle, rows never leave their partition). Null text
+    * counts 0.
+    */
+  def bpeTokenCounts(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.zipWithIndex.toMap)
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ranks = bc.value
+        val cache = new java.util.HashMap[String, Vector[String]]()
+        it.map { case (id, text) =>
+          (id, if (text == null) 0L
+               else graft.functions.Bpe.countTokens(text, ranks, cache))
+        }
+      }
+      .toDF(idCol, "n_bpe_tokens")
+  }
+
+  /** X222 — BPE-unit chunking: [[chunkTokens]]' sliding window
+    * (`chunkSize` tokens, `overlap` carried) measured in REAL BPE
+    * tokens instead of whitespace words — the unit a training
+    * pipeline's context-length packing actually needs. Chunk text is
+    * [[graft.functions.Bpe.decode]] of the token slice: byte-level
+    * BPE is lossless, so the chunks concatenate (minus overlaps) back
+    * to the exact input bytes. Same broadcast + map-only
+    * `mapPartitions` shape as [[bpeTokenCounts]]; empty/null text
+    * emits one empty chunk (chunkTokens' n = 0 convention).
+    */
+  def chunkBpeTokens(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.zipWithIndex.toMap)
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ranks = bc.value
+        val cache = new java.util.HashMap[String, Vector[String]]()
+        it.flatMap { case (id, text) =>
+          val toks =
+            if (text == null) Vector.empty[String]
+            else graft.functions.Bpe.encode(text, ranks, cache)
+          val extra = math.max(toks.size - chunkSize, 0)
+          val nChunks = 1 + (extra + stride - 1) / stride
+          (0 until nChunks).map { c =>
+            val slice = toks.slice(c * stride, c * stride + chunkSize)
+            (id, c.toLong, graft.functions.Bpe.decode(slice),
+              slice.size.toLong)
+          }
+        }
+      }
+      .toDF(idCol, "chunk_id", "chunk", "n_chunk_tokens")
+  }
+
   /** Vocabulary extraction: global word counts, top `k` by (count desc,
     * word asc). The count is one map-side-combinable hash aggregate;
     * the top-k plans as TakeOrderedAndProject (no global sort). */
