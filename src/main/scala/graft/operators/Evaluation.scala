@@ -1330,23 +1330,27 @@ object Evaluation {
     */
   def msprt(df: DataFrame, isTreat: Column, isControl: Column,
       value: Column, tau: Double = 0.1, alpha: Double = 0.05,
-      roundDigits: Int = 6): DataFrame =
-    msprtFromMoments(msprtMoments(df, isTreat, isControl, value),
-      tau, alpha, roundDigits)
+      roundDigits: Int = 6, keyCols: Seq[String] = Nil): DataFrame =
+    msprtFromMoments(msprtMoments(df, isTreat, isControl, value, keyCols),
+      tau, alpha, roundDigits, keyCols)
 
   /** The per-arm count/moment aggregate behind [[msprt]]: one row of
-    * exact-decimal (n, Σv, Σv²) per arm off a single input scan. A
-    * row claimed by BOTH predicates counts as treatment (they should
-    * be disjoint; the guard keeps the sums consistent either way). */
+    * exact-decimal (n, Σv, Σv²) per arm — per `keyCols` group when
+    * given (one sequential test per metric key, the input shape
+    * [[bhFdr]] corrects across) — off a single input scan. A row
+    * claimed by BOTH predicates counts as treatment (they should be
+    * disjoint; the guard keeps the sums consistent either way). */
   private[graft] def msprtMoments(df: DataFrame, isTreat: Column,
-      isControl: Column, value: Column): DataFrame = {
+      isControl: Column, value: Column,
+      keyCols: Seq[String] = Nil): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(24, 6)
     val q12 = org.apache.spark.sql.types.DecimalType(28, 12)
     val v6 = org.apache.spark.sql.types.DecimalType(18, 6)
     val rows = df.filter((isTreat || isControl) && value.isNotNull)
-      .select(when(isTreat, lit(1L)).otherwise(lit(0L)).as("__t"),
-        value.cast(v6).as("__v"))
-    rows.agg(
+      .select(keyCols.map(col) ++ Seq(
+        when(isTreat, lit(1L)).otherwise(lit(0L)).as("__t"),
+        value.cast(v6).as("__v")): _*)
+    rows.groupBy(keyCols.map(col): _*).agg(
       sum(col("__t")).as("__na"),
       sum(lit(1L) - col("__t")).as("__nb"),
       sum(when(col("__t") === 1, col("__v")).otherwise(lit(0).cast(v6)))
@@ -1364,7 +1368,7 @@ object Evaluation {
     * or the latest streaming emissions cast onto it). Factored so the
     * streaming monitor's rollup IS the batch code path. */
   def msprtFromMoments(m: DataFrame, tau: Double, alpha: Double,
-      roundDigits: Int = 6): DataFrame = {
+      roundDigits: Int = 6, keyCols: Seq[String] = Nil): DataFrame = {
     require(tau > 0, s"tau must be positive: $tau")
     require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
     val dec = org.apache.spark.sql.types.DecimalType(24, 6)
@@ -1390,7 +1394,7 @@ object Evaluation {
     val logLambda = lit(0.5d) * log(vv / (vv + t2)) +
       delta * delta * t2 / (lit(2.0d) * vv * (vv + t2))
     val ok = na > 1 && nb > 1 && vv > 0
-    m.select(
+    m.select(keyCols.map(col) ++ Seq(
       na.as("n_treat"), nb.as("n_control"),
       round(when(na > 0, ma).cast(stable), roundDigits)
         .cast("double").as("mean_treat"),
@@ -1403,7 +1407,194 @@ object Evaluation {
       round(when(ok, exp(least(lit(0.0d), -logLambda))).cast(stable),
         roundDigits).cast("double").as("p_always_valid"),
       when(ok, (logLambda >= lit(math.log(1.0d / alpha))).cast("int"))
-        .as("reject"))
+        .as("reject")): _*)
+  }
+
+  /** X222 — sample-ratio-mismatch (SRM) check: the chi-square
+    * goodness-of-fit of observed arm counts against their DESIGNED
+    * split, `χ² = Σ (obsᵢ − ratioᵢ·N)² / (ratioᵢ·N)` — the assignment
+    * health gate every experimentation platform runs BEFORE reading a
+    * metric (a biased splitter silently invalidates Wilson/CUPED/
+    * mSPRT alike; Fabijan et al., "Diagnosing Sample Ratio Mismatch",
+    * KDD'19). Arms come from the EXPECTED list (a `k`-row exploded
+    * literal — zero-count arms still contribute their full expected
+    * mass); rows with arm values outside the design are ignored.
+    * `critical` is the published χ² quantile for k−1 df at the chosen
+    * level (default 3.841 = df 1, α 0.05).
+    *
+    * One counting aggregate + a 1-row scalar broadcast; the statistic
+    * is a single float chain over exact counts, stabilized through
+    * DECIMAL(18,8). */
+  def srmCheck(df: DataFrame, arm: Column,
+      expected: Seq[(String, Double)],
+      critical: Double = 3.841, roundDigits: Int = 6): DataFrame = {
+    require(expected.nonEmpty && expected.forall(_._2 > 0),
+      s"expected ratios must be positive: $expected")
+    require(math.abs(expected.map(_._2).sum - 1.0) < 1e-9,
+      s"expected ratios must sum to 1: $expected")
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val armNames = expected.map(_._1)
+    val counts = df.select(arm.cast("string").as("__arm"))
+      .filter(col("__arm").isin(armNames: _*))
+      .groupBy(col("__arm")).agg(count(lit(1)).as("__n"))
+    // the design as data: explode the expected (arm, ratio) literal so
+    // an arm the splitter never emitted still contributes (0 − r·N)²
+    val design = df.sparkSession.range(1).select(
+      explode(typedLit(expected)).as("__e"))
+      .select(col("__e._1").as("__arm"), col("__e._2").as("__r"))
+    val tot = counts.agg(sum(col("__n")).as("__nt"))
+    val byArm = design.join(counts, Seq("__arm"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("__arm"), col("__r"),
+        coalesce(col("__n"), lit(0L)).as("__n"), col("__nt"))
+    val eN = col("__r") * col("__nt").cast("double")
+    val dev = col("__n").cast("double") - eN
+    val chi = byArm.agg(
+      first(col("__nt")).as("n_total"),
+      sum(round((dev * dev / eN).cast(stable), 8)).as("__chi"))
+    chi.select(col("n_total"),
+      lit(expected.size - 1).as("dof"),
+      round(col("__chi").cast(stable), roundDigits).cast("double")
+        .as("chi_square"),
+      when(col("n_total") > 0,
+        (round(col("__chi").cast(stable), roundDigits) > lit(critical))
+          .cast("int")).as("srm_flag"))
+  }
+
+  /** X223 — Benjamini–Hochberg FDR correction over a metrics table
+    * (Benjamini & Hochberg, JRSS-B 1995): rank the m p-values
+    * ascending, find the largest k with `p₍ₖ₎ ≤ k·q/m`, reject
+    * hypotheses 1..k — the multiple-testing discipline an
+    * experimentation suite needs the moment it scores MANY metrics
+    * per experiment ([[msprt]] with `keyCols` emits exactly this
+    * table; per-metric α would inflate the family-wise false
+    * discovery rate m-fold). The compare runs as `p·m ≤ r·q` (two
+    * float products, no division) and the step-up rule is one
+    * running max — every hypothesis at or below the crossing rank
+    * rejects, INCLUDING non-monotone stragglers above a smaller
+    * passing p (the defining difference from naive per-row
+    * thresholding).
+    *
+    * Scale shape: the input is a METRICS table — k rows by design
+    * (one per metric/experiment), so the rank window and the 1-row
+    * cutoff broadcast are bounded by contract (the audited k-row
+    * window class), never data-sized. Null p-values are excluded;
+    * ties break by key for determinism. */
+  def bhFdr(df: DataFrame, keyCol: String, pCol: Column,
+      q: Double = 0.05, roundDigits: Int = 6): DataFrame = {
+    require(q > 0 && q < 1, s"q must be in (0,1): $q")
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val rows = df.filter(pCol.isNotNull)
+      .select(col(keyCol), pCol.cast("double").as("__p"))
+    val w = Window.orderBy(col("__p"), col(keyCol))
+    val wAll = Window.partitionBy() // full frame over the k-row table
+    val ranked = rows.select(col(keyCol), col("__p"),
+      row_number().over(w).cast("long").as("rank"))
+      .withColumn("__m", count(lit(1)).over(wAll))
+      .withColumn("__k", max(when(
+        col("__p") * col("__m").cast("double")
+          <= col("rank").cast("double") * lit(q),
+        col("rank"))).over(wAll))
+    ranked.select(col(keyCol),
+      round(col("__p").cast(stable), roundDigits)
+        .cast("double").as("p_value"),
+      col("rank"), col("__m").as("m_tests"),
+      round((col("rank").cast("double") * lit(q)
+        / col("__m").cast("double")).cast(stable), roundDigits)
+        .cast("double").as("bh_threshold"),
+      coalesce(col("rank") <= col("__k"), lit(false)).cast("int")
+        .as("rejected"))
+  }
+
+  /** X224 — required sample size per arm for a two-proportion test
+    * (the textbook normal-approximation formula; e.g. Fleiss,
+    * Statistical Methods for Rates and Proportions):
+    * `n = (z_{α/2}·√(2p̄(1−p̄)) + z_β·√(p₁(1−p₁)+p₂(1−p₂)))² / (p₂−p₁)²`
+    * with `p₂ = p₁·(1+mde)` (relative lift) and `p̄ = (p₁+p₂)/2` —
+    * the "how long must this experiment run" planner that closes the
+    * loop around [[wilsonInterval]]/[[msprt]]: measure the baseline
+    * rate from history, read off the per-arm n for the smallest lift
+    * worth shipping. Defaults are the standard 95% two-sided / 80%
+    * power quantiles (1.96, 0.8416), printed literals.
+    *
+    * One counting aggregate per key; the formula is a single float
+    * chain, `CEIL`ed to whole units. Degenerate baselines (p₁ = 0 or
+    * p₂ ≥ 1) emit null n. */
+  def requiredSampleSize(df: DataFrame, keyCol: String,
+      success: Column, trial: Column, mde: Double = 0.1,
+      zAlpha: Double = 1.96, zBeta: Double = 0.8416,
+      roundDigits: Int = 6): DataFrame = {
+    require(mde > 0, s"mde must be a positive relative lift: $mde")
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val byKey = df.groupBy(col(keyCol))
+      .agg(sum(success.cast("long")).as("__s"),
+        sum(trial.cast("long")).as("__t"))
+      .filter(col("__t") > 0)
+    val p1 = col("__s").cast("double") / col("__t").cast("double")
+    val p2 = p1 * lit(1.0d + mde)
+    val pbar = (p1 + p2) / lit(2.0d)
+    val num = lit(zAlpha) * sqrt(lit(2.0d) * pbar * (lit(1.0d) - pbar)) +
+      lit(zBeta) * sqrt(p1 * (lit(1.0d) - p1) + p2 * (lit(1.0d) - p2))
+    val n = ceil(num * num / ((p2 - p1) * (p2 - p1)))
+    byKey.select(col(keyCol), col("__t").as("trials"),
+      round(p1.cast(stable), roundDigits).cast("double").as("rate"),
+      round(when(p2 < 1, p2).cast(stable), roundDigits).cast("double")
+        .as("target_rate"),
+      when(p1 > 0 && p2 < 1, n.cast("long")).as("n_per_arm"))
+  }
+
+  /** X225 — delta-method CI for a RATIO metric with unit-level
+    * clustering (Deng, Knoblich, Lu, "Applying the Delta Method in
+    * Metric Analytics", KDD'18): for `r = Ȳ/X̄` over per-unit sums
+    * (revenue per session, clicks per view — the metrics a naive
+    * row-level variance gets WRONG because rows within a user
+    * correlate), `Var(r) ≈ (σ²_y − 2r·σ_xy + r²·σ²_x) / (n·x̄²)` and
+    * the CI is `r ± z·√Var`. The per-unit aggregate IS the clustering
+    * correction.
+    *
+    * ONE per-unit conditional-sum aggregate + ONE 1-row exact-decimal
+    * moment aggregate (the [[cupedSummary]] shape, scale-proof);
+    * the ratio/variance are single float chains. Degenerate x̄ = 0 or
+    * n < 2 → null CI. */
+  def ratioMetricCI(df: DataFrame, unitCol: String,
+      num: Column, den: Column, z: Double = 1.96,
+      roundDigits: Int = 6): DataFrame = {
+    require(z > 0, s"z must be positive: $z")
+    val dec = org.apache.spark.sql.types.DecimalType(24, 6)
+    val q12 = org.apache.spark.sql.types.DecimalType(28, 12)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val v6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val perUnit = df.groupBy(col(unitCol))
+      .agg(
+        sum(coalesce(num.cast(v6), lit(0).cast(v6))).cast(v6).as("__y"),
+        sum(coalesce(den.cast(v6), lit(0).cast(v6))).cast(v6).as("__x"))
+    val m = perUnit.agg(
+      count(lit(1)).as("__n"),
+      sum(col("__y")).cast(dec).as("__sy"),
+      sum(col("__x")).cast(dec).as("__sx"),
+      sum((col("__y") * col("__y")).cast(q12)).cast(q12).as("__syy"),
+      sum((col("__x") * col("__x")).cast(q12)).cast(q12).as("__sxx"),
+      sum((col("__y") * col("__x")).cast(q12)).cast(q12).as("__syx"))
+    val n = col("__n").cast("double")
+    def d(c: String): Column = col(c).cast("double")
+    val xbar = d("__sx") / n
+    val r = d("__sy") / d("__sx")
+    val varY = (d("__syy") - d("__sy") * d("__sy") / n) / (n - 1)
+    val varX = (d("__sxx") - d("__sx") * d("__sx") / n) / (n - 1)
+    val covYX = (d("__syx") - d("__sy") * d("__sx") / n) / (n - 1)
+    val varR = (varY - lit(2.0d) * r * covYX + r * r * varX) /
+      (n * xbar * xbar)
+    val ok = col("__n") > 1 && d("__sx") =!= 0.0d
+    val se = sqrt(greatest(varR, lit(0.0d)))
+    m.select(col("__n").as("n_units"),
+      round(when(d("__sx") =!= 0.0d, r).cast(stable), roundDigits)
+        .cast("double").as("ratio"),
+      round(when(ok, se).cast(stable), roundDigits).cast("double")
+        .as("se"),
+      round(when(ok, r - lit(z) * se).cast(stable), roundDigits)
+        .cast("double").as("ci_lo"),
+      round(when(ok, r + lit(z) * se).cast(stable), roundDigits)
+        .cast("double").as("ci_hi"))
   }
 
   /** X196 — Theil T inequality index per group:

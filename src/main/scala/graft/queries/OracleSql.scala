@@ -5504,6 +5504,157 @@ object OracleSql {
         |  CASE WHEN ok THEN CASE WHEN loglam >= 2.995732273553991e0
         |    THEN 1 ELSE 0 END END AS reject
         |FROM k""".stripMargin,
+
+    // SRM: per-arm counts vs the designed split; per-arm chi-square
+    // terms round to DECIMAL(18,8) before the exact sum (round-then-
+    // add), flag vs the published df-1 critical value.
+    "x255_srm_check" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |c AS (SELECT CASE WHEN SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 1)
+        |    < '8' THEN 'A' ELSE 'B' END AS arm, COUNT(*) AS n
+        |  FROM u GROUP BY 1),
+        |d AS (SELECT * FROM (VALUES ('A', 0.5e0), ('B', 0.5e0))
+        |  AS t(arm, r)),
+        |tot AS (SELECT SUM(n) AS nt FROM c),
+        |j AS (SELECT d.arm, d.r, COALESCE(c.n, 0) AS n, tot.nt
+        |  FROM d LEFT JOIN c USING (arm) CROSS JOIN tot),
+        |chi AS (SELECT MIN(nt) AS n_total,
+        |  SUM(ROUND(CAST((CAST(n AS DOUBLE) - r * CAST(nt AS DOUBLE))
+        |    * (CAST(n AS DOUBLE) - r * CAST(nt AS DOUBLE))
+        |    / (r * CAST(nt AS DOUBLE)) AS DECIMAL(18,8)), 8)) AS x
+        |  FROM j)
+        |SELECT CAST(n_total AS BIGINT) AS n_total, 1 AS dof,
+        |  CAST(ROUND(CAST(x AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |    AS chi_square,
+        |  CASE WHEN n_total > 0 THEN CASE WHEN
+        |    CAST(ROUND(CAST(x AS DECIMAL(18,8)), 6) AS DOUBLE) > 3.841e0
+        |    THEN 1 ELSE 0 END END AS srm_flag
+        |FROM chi""".stripMargin,
+
+    // BH-FDR over per-source mSPRT p-values: the x254 statistic chain
+    // GROUP BY source, then rank/step-up with the no-division compare
+    // p*m <= rank*q.
+    "x256_bh_fdr" ->
+      """WITH r AS (SELECT source,
+        |  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS t,
+        |  CAST(n_chars AS DECIMAL(18,6)) AS v
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |m AS (SELECT source, SUM(t) AS na, SUM(1 - t) AS nb,
+        |  CAST(SUM(CASE WHEN t = 1 THEN v
+        |    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(24,6)) AS sa,
+        |  CAST(SUM(CASE WHEN t = 0 THEN v
+        |    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(24,6)) AS sb,
+        |  CAST(SUM(CASE WHEN t = 1 THEN
+        |      CAST(CAST(v AS DECIMAL(19,6)) * CAST(v AS DECIMAL(19,6))
+        |        AS DECIMAL(28,12))
+        |    ELSE CAST(0 AS DECIMAL(28,12)) END) AS DECIMAL(28,12)) AS saa,
+        |  CAST(SUM(CASE WHEN t = 0 THEN
+        |      CAST(CAST(v AS DECIMAL(19,6)) * CAST(v AS DECIMAL(19,6))
+        |        AS DECIMAL(28,12))
+        |    ELSE CAST(0 AS DECIMAL(28,12)) END) AS DECIMAL(28,12)) AS sbb
+        |  FROM r GROUP BY source),
+        |g AS (SELECT source, na, nb,
+        |  CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+        |  CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+        |  (CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+        |    / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1) AS va,
+        |  (CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+        |    / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1) AS vb
+        |  FROM m),
+        |h AS (SELECT source, na, nb, ma, mb,
+        |  va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE) AS vv,
+        |  ma - mb AS delta FROM g),
+        |k AS (SELECT source, na, nb, vv, delta,
+        |  5e-1 * LN(vv / (vv + 1.0000000000000002e-2))
+        |    + delta * delta * 1.0000000000000002e-2
+        |      / (2.0e0 * vv * (vv + 1.0000000000000002e-2)) AS loglam,
+        |  (na > 1 AND nb > 1 AND vv > 0) AS ok FROM h),
+        |p AS (SELECT source,
+        |  CAST(ROUND(CAST(CASE WHEN ok THEN EXP(LEAST(0.0e0, -loglam)) END
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS pv FROM k),
+        |q AS (SELECT source, pv,
+        |  ROW_NUMBER() OVER (ORDER BY pv, source) AS rnk,
+        |  COUNT(*) OVER () AS mt FROM p WHERE pv IS NOT NULL),
+        |s AS (SELECT *, MAX(CASE WHEN pv * CAST(mt AS DOUBLE)
+        |    <= CAST(rnk AS DOUBLE) * 1e-1 THEN rnk END) OVER () AS kk
+        |  FROM q)
+        |SELECT source,
+        |  CAST(ROUND(CAST(pv AS DECIMAL(18,8)), 6) AS DOUBLE) AS p_value,
+        |  CAST(rnk AS BIGINT) AS rank, CAST(mt AS BIGINT) AS m_tests,
+        |  CAST(ROUND(CAST(CAST(rnk AS DOUBLE) * 1e-1 / CAST(mt AS DOUBLE)
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS bh_threshold,
+        |  CAST(COALESCE(rnk <= kk, FALSE) AS INT) AS rejected
+        |FROM s ORDER BY source""".stripMargin,
+
+    // Sample-size planner: baseline rate per part, the Fleiss
+    // two-proportion n with z literals 1.96 / 0.8416 and the SAME
+    // double 1.1 lift multiplier, CEILed in both engines.
+    "x257_sample_size" ->
+      """WITH bk AS (SELECT l_partkey,
+        |  SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS s,
+        |  COUNT(*) AS t FROM lineitem GROUP BY 1),
+        |g AS (SELECT l_partkey, t,
+        |  CAST(s AS DOUBLE) / CAST(t AS DOUBLE) AS p1,
+        |  CAST(s AS DOUBLE) / CAST(t AS DOUBLE) * 1.1e0 AS p2
+        |  FROM bk WHERE t > 0),
+        |h AS (SELECT l_partkey, t, p1, p2,
+        |  1.96e0 * SQRT(2.0e0 * ((p1 + p2) / 2.0e0)
+        |      * (1.0e0 - (p1 + p2) / 2.0e0))
+        |    + 0.8416e0 * SQRT(p1 * (1.0e0 - p1) + p2 * (1.0e0 - p2))
+        |    AS num FROM g)
+        |SELECT l_partkey, CAST(t AS BIGINT) AS trials,
+        |  CAST(ROUND(CAST(p1 AS DECIMAL(18,8)), 6) AS DOUBLE) AS rate,
+        |  CAST(ROUND(CAST(CASE WHEN p2 < 1 THEN p2 END
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS target_rate,
+        |  CASE WHEN p1 > 0 AND p2 < 1 THEN
+        |    CAST(CEIL(num * num / ((p2 - p1) * (p2 - p1))) AS BIGINT)
+        |  END AS n_per_arm
+        |FROM h ORDER BY l_partkey""".stripMargin,
+
+    // Delta-method ratio CI: per-unit conditional sums (one scan),
+    // exact decimal moments, the KDD'18 variance as one float chain.
+    "x258_ratio_metric" ->
+      """WITH pu AS (SELECT user_id,
+        |  CAST(SUM(COALESCE(CASE WHEN event_type = 'purchase' THEN
+        |    CAST(value AS DECIMAL(18,6)) END, CAST(0 AS DECIMAL(18,6))))
+        |    AS DECIMAL(18,6)) AS y,
+        |  CAST(SUM(CAST(1 AS DECIMAL(18,6)))
+        |    AS DECIMAL(18,6)) AS x
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT COUNT(*) AS n,
+        |  CAST(SUM(y) AS DECIMAL(24,6)) AS sy,
+        |  CAST(SUM(x) AS DECIMAL(24,6)) AS sx,
+        |  CAST(SUM(CAST(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))
+        |    AS DECIMAL(28,12))) AS DECIMAL(28,12)) AS syy,
+        |  CAST(SUM(CAST(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))
+        |    AS DECIMAL(28,12))) AS DECIMAL(28,12)) AS sxx,
+        |  CAST(SUM(CAST(CAST(y AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))
+        |    AS DECIMAL(28,12))) AS DECIMAL(28,12)) AS syx FROM pu),
+        |g AS (SELECT n,
+        |  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar,
+        |  CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) AS r,
+        |  CAST(sx AS DOUBLE) AS sxd,
+        |  (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+        |    / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS vy,
+        |  (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        |    / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS vx,
+        |  (CAST(syx AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sx AS DOUBLE)
+        |    / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS cyx
+        |  FROM m),
+        |h AS (SELECT n, r, sxd,
+        |  SQRT(GREATEST((vy - 2.0e0 * r * cyx + r * r * vx)
+        |    / (CAST(n AS DOUBLE) * xbar * xbar), 0.0e0)) AS se
+        |  FROM g)
+        |SELECT CAST(n AS BIGINT) AS n_units,
+        |  CAST(ROUND(CAST(CASE WHEN sxd <> 0.0e0 THEN r END
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS ratio,
+        |  CAST(ROUND(CAST(CASE WHEN n > 1 AND sxd <> 0.0e0 THEN se END
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS se,
+        |  CAST(ROUND(CAST(CASE WHEN n > 1 AND sxd <> 0.0e0 THEN
+        |    r - 1.96e0 * se END AS DECIMAL(18,8)), 6) AS DOUBLE) AS ci_lo,
+        |  CAST(ROUND(CAST(CASE WHEN n > 1 AND sxd <> 0.0e0 THEN
+        |    r + 1.96e0 * se END AS DECIMAL(18,8)), 6) AS DOUBLE) AS ci_hi
+        |FROM h""".stripMargin,
   )
 
   /** Croston/SBA with α = 0.5: every SES weight is a power of two

@@ -2700,6 +2700,48 @@ object Queries {
       isControl = col("event_type") === "purchase" && col("user_id") % 2 === 1,
       value = col("value"), tau = 0.1, alpha = 0.05)
 
+  /** X222 — SRM check on the md5-hex user split x167 uses: a healthy
+    * deterministic 50/50 splitter must NOT flag (χ² small, df 1). */
+  def x255(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(s, dir).select(col("user_id")).distinct()
+    Evaluation.srmCheck(users,
+      arm = when(substring(md5(col("user_id").cast("string")), 1, 1) < "8",
+        lit("A")).otherwise(lit("B")),
+      expected = Seq(("A", 0.5), ("B", 0.5)))
+  }
+
+  /** X223 — BH-FDR across per-source mSPRT p-values: one sequential
+    * test per document source (even/odd doc_id arms over doc length —
+    * an A/A family, so discoveries should be rare at q = 0.1), then
+    * the step-up correction across the family — the exact
+    * many-metrics dashboard shape [[Evaluation.bhFdr]] exists for. */
+  def x256(s: SparkSession, dir: String): DataFrame = {
+    val perSource = Evaluation.msprt(Tables.documents(s, dir),
+      isTreat = col("doc_id") % 2 === 0,
+      isControl = col("doc_id") % 2 === 1,
+      value = col("n_chars"), tau = 0.1, alpha = 0.05,
+      keyCols = Seq("source"))
+    Evaluation.bhFdr(perSource, "source", col("p_always_valid"), q = 0.1)
+      .orderBy("source")
+  }
+
+  /** X224 — experiment planning per part: baseline return rate from
+    * lineitem history, required per-arm n to detect a +10% relative
+    * lift at 95%/80%. */
+  def x257(s: SparkSession, dir: String): DataFrame =
+    Evaluation.requiredSampleSize(Tables.lineitem(s, dir), "l_partkey",
+        success = (col("l_returnflag") === "R").cast("long"),
+        trial = lit(1L), mde = 0.1)
+      .orderBy("l_partkey")
+
+  /** X225 — delta-method CI for revenue-per-event with USER-level
+    * clustering: per-user purchase spend over per-user event counts —
+    * the ratio metric a row-level variance understates. */
+  def x258(s: SparkSession, dir: String): DataFrame =
+    Evaluation.ratioMetricCI(Tables.events(s, dir), "user_id",
+      num = when(col("event_type") === "purchase", col("value")),
+      den = lit(1L))
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -2967,5 +3009,9 @@ object Queries {
     "x251_beta_shrinkage" -> (x251 _),
     "x252_wilson_interval" -> (x252 _),
     "x253_cuped" -> (x253 _),
-    "x254_msprt" -> (x254 _))
+    "x254_msprt" -> (x254 _),
+    "x255_srm_check" -> (x255 _),
+    "x256_bh_fdr" -> (x256 _),
+    "x257_sample_size" -> (x257 _),
+    "x258_ratio_metric" -> (x258 _))
 }

@@ -388,6 +388,92 @@ class EvaluationSpec extends SparkSpec {
     assert(constR.isNullAt(5) && constR.isNullAt(7), s"got $constR")
   }
 
+  test("srmCheck: hand chi-square, healthy split clean, missing arm contributes expected mass") {
+    // 60/40 vs designed 50/50: chi = 2*(10^2/50) = 4.0 > 3.841 -> flag
+    val biased = ((1 to 60).map(_ => "A") ++ (1 to 40).map(_ => "B")).toDF("arm")
+    val b = Evaluation.srmCheck(biased, col("arm"),
+      Seq(("A", 0.5), ("B", 0.5))).head()
+    assert(b.getLong(0) == 100L && b.getInt(1) == 1
+      && b.getDouble(2) == 4.0 && b.getInt(3) == 1, s"got $b")
+    // 52/48: chi = 2*(2^2/50) = 0.16 -> clean
+    val ok = ((1 to 52).map(_ => "A") ++ (1 to 48).map(_ => "B")).toDF("arm")
+    val o = Evaluation.srmCheck(ok, col("arm"),
+      Seq(("A", 0.5), ("B", 0.5))).head()
+    assert(o.getDouble(2) == 0.16 && o.getInt(3) == 0, s"got $o")
+    // an arm the splitter never emitted still contributes (0 - rN)^2:
+    // all-A at 50/50 design -> chi = 5 + 5 = 10 on N=10
+    val oneArm = (1 to 10).map(_ => "A").toDF("arm")
+    val m = Evaluation.srmCheck(oneArm, col("arm"),
+      Seq(("A", 0.5), ("B", 0.5))).head()
+    assert(m.getDouble(2) == 10.0 && m.getInt(3) == 1, s"got $m")
+    // out-of-design arm values are ignored, ratios must sum to 1
+    val extra = (Seq("A", "A", "B", "B", "junk")).toDF("arm")
+    assert(Evaluation.srmCheck(extra, col("arm"),
+      Seq(("A", 0.5), ("B", 0.5))).head().getLong(0) == 4L)
+    intercept[IllegalArgumentException] {
+      Evaluation.srmCheck(extra, col("arm"), Seq(("A", 0.7), ("B", 0.5)))
+    }
+  }
+
+  test("bhFdr: classic step-up, non-monotone rescue, none/all reject edges") {
+    // p = [.01 .02 .04 .2], q = .1: thresholds k/40 -> reject first 3
+    val ps = Seq(("m1", 0.01), ("m2", 0.02), ("m3", 0.04), ("m4", 0.2))
+      .toDF("metric", "p")
+    val got = Evaluation.bhFdr(ps, "metric", col("p"), q = 0.1)
+      .orderBy("rank").select("metric", "rejected")
+      .as[(String, Int)].collect().toSeq
+    assert(got == Seq(("m1", 1), ("m2", 1), ("m3", 1), ("m4", 0)), s"got $got")
+    // the DEFINING step-up behavior: p1 = .04 fails ITS OWN threshold
+    // (.02) but the k=3 crossing rescues everything at or below rank 3
+    val nm = Seq(("a", 0.04), ("b", 0.05), ("c", 0.051)).toDF("metric", "p")
+    val nmGot = Evaluation.bhFdr(nm, "metric", col("p"), q = 0.06)
+      .orderBy("rank").select("metric", "rejected")
+      .as[(String, Int)].collect().toSeq
+    assert(nmGot == Seq(("a", 1), ("b", 1), ("c", 1)), s"got $nmGot")
+    // nothing passes -> zero rejections, null-free output
+    val none = Seq(("a", 0.5), ("b", 0.9)).toDF("metric", "p")
+    val noneGot = Evaluation.bhFdr(none, "metric", col("p"), q = 0.05)
+      .select("rejected").as[Int].collect().toSeq
+    assert(noneGot == Seq(0, 0), s"got $noneGot")
+  }
+
+  test("requiredSampleSize: hand Fleiss n, degenerate baselines null") {
+    // p1 = 0.1, +10% relative: n = 14751 per arm (hand-computed)
+    val df = (1 to 100).map(i => ("k", if (i <= 10) 1L else 0L))
+      .toDF("key", "conv")
+    val r = Evaluation.requiredSampleSize(df, "key", col("conv"),
+      lit(1L), mde = 0.1).head()
+    assert(r.getLong(1) == 100L && r.getDouble(2) == 0.1
+      && r.getDouble(3) == 0.11 && r.getLong(4) == 14751L, s"got $r")
+    // p1 = 0 -> null n; p2 >= 1 -> null n
+    val zero = Seq(("z", 0L), ("z", 0L)).toDF("key", "conv")
+    assert(Evaluation.requiredSampleSize(zero, "key", col("conv"),
+      lit(1L)).head().isNullAt(4))
+    val high = (1 to 100).map(i => ("h", if (i <= 95) 1L else 0L))
+      .toDF("key", "conv")
+    assert(Evaluation.requiredSampleSize(high, "key", col("conv"),
+      lit(1L), mde = 0.1).head().isNullAt(4))
+  }
+
+  test("ratioMetricCI: hand delta-method variance with unit clustering") {
+    // units: u1 (y=2, x=1), u2 (y=0, x=1), u3 (y=4 over 2 rows, x=2):
+    // r = 6/4 = 1.5, vy=4, vx=1/3, cyx=1, varR = 1.75/(3*(4/3)^2),
+    // se = 0.572822, CI = 1.5 +- 1.96*se (hand-computed)
+    val df = Seq(("u1", 2.0, 1L), ("u2", 0.0, 1L),
+      ("u3", 3.0, 1L), ("u3", 1.0, 1L)).toDF("u", "y", "x")
+    val r = Evaluation.ratioMetricCI(df, "u", col("y"), col("x")).head()
+    assert(r.getLong(0) == 3L && r.getDouble(1) == 1.5, s"got $r")
+    assert(r.getDouble(2) == 0.572822 && r.getDouble(3) == 0.377269
+      && r.getDouble(4) == 2.622731, s"got $r")
+    // single unit -> null CI; zero denominator -> null ratio
+    val one = Seq(("u1", 2.0, 1L)).toDF("u", "y", "x")
+    val oneR = Evaluation.ratioMetricCI(one, "u", col("y"), col("x")).head()
+    assert(oneR.isNullAt(2) && oneR.isNullAt(3), s"got $oneR")
+    val zeroDen = Seq(("u1", 2.0, 0L), ("u2", 1.0, 0L)).toDF("u", "y", "x")
+    assert(Evaluation.ratioMetricCI(zeroDen, "u", col("y"), col("x"))
+      .head().isNullAt(1))
+  }
+
   test("kendallTauB plan carries no cartesian / nested-loop θ-join at any bins (r15 verdict #3)") {
     // the Knight-form rewrite's point, pinned: the old ordered cell-
     // pair join (`__x1 < __x2`) planned a BroadcastNestedLoopJoin with
