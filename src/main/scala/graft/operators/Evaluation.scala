@@ -1442,11 +1442,13 @@ object Evaluation {
     val design = df.sparkSession.range(1).select(
       explode(typedLit(expected)).as("__e"))
       .select(col("__e._1").as("__arm"), col("__e._2").as("__r"))
-    val tot = counts.agg(sum(col("__n")).as("__nt"))
+    // N from a full-frame window over the k-row design-joined table —
+    // a second aggregate over `counts` would RESCAN the input (counts
+    // feeds the join already; one scan total, r16 plan audit)
     val byArm = design.join(counts, Seq("__arm"), "left")
-      .crossJoin(broadcast(tot))
       .select(col("__arm"), col("__r"),
-        coalesce(col("__n"), lit(0L)).as("__n"), col("__nt"))
+        coalesce(col("__n"), lit(0L)).as("__n"))
+      .withColumn("__nt", sum(col("__n")).over(Window.partitionBy()))
     val eN = col("__r") * col("__nt").cast("double")
     val dev = col("__n").cast("double") - eN
     val chi = byArm.agg(
