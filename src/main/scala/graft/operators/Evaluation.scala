@@ -1428,24 +1428,39 @@ object Evaluation {
   def srmCheck(df: DataFrame, arm: Column,
       expected: Seq[(String, Double)],
       critical: Double = 3.841, roundDigits: Int = 6): DataFrame = {
+    val armNames = expected.map(_._1)
+    val counts = df.select(arm.cast("string").as("__arm"))
+      .filter(col("__arm").isin(armNames: _*))
+      .groupBy(col("__arm")).agg(count(lit(1)).as("__n"))
+    srmFromArmCounts(counts, expected, critical, roundDigits)
+  }
+
+  /** [[srmCheck]]'s statistic chain over a per-arm count frame
+    * (`__arm __n` — the counting aggregate's schema, or the latest
+    * streaming emissions per arm,
+    * [[graft.streaming.Stateful.armCountsMonitor]]). Factored so the
+    * streaming rollup IS the batch code path. Arms outside the design
+    * are ignored; designed arms missing from `counts` still
+    * contribute their full expected mass. */
+  def srmFromArmCounts(counts: DataFrame,
+      expected: Seq[(String, Double)],
+      critical: Double = 3.841, roundDigits: Int = 6): DataFrame = {
     require(expected.nonEmpty && expected.forall(_._2 > 0),
       s"expected ratios must be positive: $expected")
     require(math.abs(expected.map(_._2).sum - 1.0) < 1e-9,
       s"expected ratios must sum to 1: $expected")
     val stable = org.apache.spark.sql.types.DecimalType(18, 8)
     val armNames = expected.map(_._1)
-    val counts = df.select(arm.cast("string").as("__arm"))
-      .filter(col("__arm").isin(armNames: _*))
-      .groupBy(col("__arm")).agg(count(lit(1)).as("__n"))
     // the design as data: explode the expected (arm, ratio) literal so
     // an arm the splitter never emitted still contributes (0 − r·N)²
-    val design = df.sparkSession.range(1).select(
+    val design = counts.sparkSession.range(1).select(
       explode(typedLit(expected)).as("__e"))
       .select(col("__e._1").as("__arm"), col("__e._2").as("__r"))
     // N from a full-frame window over the k-row design-joined table —
     // a second aggregate over `counts` would RESCAN the input (counts
     // feeds the join already; one scan total, r16 plan audit)
-    val byArm = design.join(counts, Seq("__arm"), "left")
+    val byArm = design.join(
+        counts.filter(col("__arm").isin(armNames: _*)), Seq("__arm"), "left")
       .select(col("__arm"), col("__r"),
         coalesce(col("__n"), lit(0L)).as("__n"))
       .withColumn("__nt", sum(col("__n")).over(Window.partitionBy()))

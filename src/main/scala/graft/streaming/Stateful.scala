@@ -505,6 +505,39 @@ object Stateful {
       else 0L)
   }
 
+  /** Input/output shapes of [[armCountsMonitor]]. */
+  case class ArmEvent(seq: Long, arm: String)
+  case class ArmCount(arm: String, through_seq: Long, n: Long)
+
+  /** Streaming twin of [[graft.operators.Evaluation.srmCheck]]
+    * (x255): running assignment counts per arm — SRM is precisely the
+    * check a platform wants LIVE (a broken splitter should page
+    * within minutes, not at the fixed-horizon readout; Fabijan
+    * KDD'19 §5 recommends continuous SRM monitoring). State is one
+    * counter + a high-water seq per arm (k arms total); the latest
+    * emission per arm rolls up through
+    * [[graft.operators.Evaluation.srmFromArmCounts]] — the EXACT
+    * batch chain (spec-pinned across a mid-stream split). Pair the
+    * flag with [[msprtMomentsMonitor]]: metric reads are only
+    * trustworthy while the live SRM stays clean.
+    */
+  def armCountsMonitor(ds: Dataset[ArmEvent]): Dataset[ArmCount] = {
+    implicit val stateEnc: Encoder[ArmCount] = Encoders.product[ArmCount]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    ds.filter(_.arm != null)
+      .groupByKey(_.arm)
+      .flatMapGroupsWithState[ArmCount, ArmCount](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (arm: String, rows: Iterator[ArmEvent],
+            state: GroupState[ArmCount]) =>
+          var s = state.getOption.getOrElse(ArmCount(arm, 0L, 0L))
+          rows.foreach(r =>
+            s = ArmCount(arm, math.max(s.through_seq, r.seq), s.n + 1L))
+          state.update(s)
+          Iterator.single(s)
+      }
+  }
+
   /** Output/state shapes of [[pageHinkleyMonitor]] (input reuses
     * [[CusumPoint]] — same (key, seq, value) event). */
   case class PhState(i: Double, s: Double, m: Double, minM: Double,

@@ -447,6 +447,39 @@ class StatefulSpec extends SparkSpec {
     assert(rolled == batch, s"stream rollup $rolled != batch $batch")
   }
 
+  test("armCountsMonitor rollup ≡ batch srmCheck EXACTLY across a mid-stream split") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    // 60/40 against a 50/50 design — the hand chi = 4.0 > 3.841 case,
+    // interleaved so both arms straddle the split; plus an
+    // out-of-design arm value the monitor must carry and the rollup
+    // must ignore (batch parity includes the ignore rule)
+    val arms = (0 until 100).map(i => if (i % 5 < 3) "A" else "B") :+ "junk"
+    val events = arms.zipWithIndex.map { case (a, i) =>
+      Stateful.ArmEvent(i.toLong, a) }
+    val batch = graft.operators.Evaluation.srmCheck(
+      arms.toDF("arm"), col("arm"), Seq(("A", 0.5), ("B", 0.5)))
+      .collect().toSeq
+    val mem = MemoryStream[Stateful.ArmEvent]
+    val out = Stateful.armCountsMonitor(mem.toDS())
+    val sink = s"srm_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(events.take(41): _*)
+      q.processAllAvailable()
+      mem.addData(events.drop(41): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val latest = spark.table(sink).as[Stateful.ArmCount].collect()
+      .groupBy(_.arm).map(_._2.maxBy(_.through_seq)).toSeq
+    val rolled = graft.operators.Evaluation.srmFromArmCounts(
+      latest.map(c => (c.arm, c.n)).toDF("__arm", "__n"),
+      Seq(("A", 0.5), ("B", 0.5))).collect().toSeq
+    assert(rolled == batch, s"stream rollup $rolled != batch $batch")
+    assert(rolled.head.getInt(3) == 1, s"the 60/40 split must flag: $rolled")
+  }
+
   test("pageHinkleyMonitor final emission ≡ batch pageHinkley EXACTLY across a mid-stream split") {
     import org.apache.spark.sql.functions.col
     implicit val sqlCtx = spark.sqlContext
