@@ -92,34 +92,54 @@ object Graph {
       val p = new org.apache.hadoop.fs.Path(file)
       p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
     }
-    var ranks = cut(nodes.select(col("node"), lit(1.0 / n).as("rank")))
+    var checkpointed = cut(nodes.select(col("node"), lit(1.0 / n).as("rank")))
+    var ranks: DataFrame = checkpointed
     var round = 0
+    // r16: two per-round job eliminations, both value-identical —
+    // - the dangling mass is a 1-row BROADCAST inside the round's plan
+    //   (the house scalar idiom) instead of a driver-side .head() —
+    //   one job per round instead of two on sinks graphs;
+    // - a NO-sinks round reads the previous rank table exactly once
+    //   (the contribution join), so a short lazy chain between
+    //   checkpoints is safe (linear plan growth, single consumer) and
+    //   saves a full rank materialization per chained round. A sinks
+    //   graph reads the previous table twice (dangling agg +
+    //   contributions), so there each round stays materialized.
+    val cutEvery = if (hasSinks) 1 else 3
     while (round < iterations) {
       val roundT0 = System.nanoTime()
-      // dangling mass: ONE 1-row agg over the (small) sink slice of the
-      // current ranks; skipped entirely when the graph has no sinks
-      val danglingMass =
-        if (!hasSinks) 0.0
-        else ranks.join(sinks, Seq("node"))
-          .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
       val contribs = e
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst"))
         .agg(sum(col("rank") / col("deg")).as("__in"))
-      val next = nodes
-        .join(contribs, col("node") === col("dst"), "left")
-        .select(col("node"),
-          (lit((1.0 - damping) / n) +
-            lit(damping) * (coalesce(col("__in"), lit(0.0)) +
-              lit(danglingMass / n))).as("rank"))
-      val cutNext = cut(next)
-      if (!reliable) Dedup.releaseCheckpointStorage(ranks)
-      else checkpointFile(ranks).foreach(deleteCheckpointFile)
-      ranks = cutNext
+      val joined = nodes.join(contribs, col("node") === col("dst"), "left")
+      val next =
+        if (!hasSinks)
+          joined.select(col("node"),
+            (lit((1.0 - damping) / n) +
+              lit(damping) * (coalesce(col("__in"), lit(0.0)) +
+                lit(0.0 / n))).as("rank"))
+        else {
+          val dm = ranks.join(sinks, Seq("node"))
+            .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
+          joined.crossJoin(broadcast(dm))
+            .select(col("node"),
+              (lit((1.0 - damping) / n) +
+                lit(damping) * (coalesce(col("__in"), lit(0.0)) +
+                  col("__dm") / lit(n))).as("rank"))
+        }
       round += 1
+      if (round % cutEvery == 0 || round == iterations) {
+        val cutNext = cut(next)
+        if (!reliable) Dedup.releaseCheckpointStorage(checkpointed)
+        else checkpointFile(checkpointed).foreach(deleteCheckpointFile)
+        checkpointed = cutNext
+        ranks = cutNext
+      } else ranks = next
       // telemetry hook (default no-op): PageRankScaleDemo uses it to
       // demonstrate flat per-round cost — the claim the pre-partitioned
-      // edge materialization exists to deliver
+      // edge materialization exists to deliver (lazy chained rounds
+      // report ~0; their work lands on the chain's cut round)
       onRound(round, (System.nanoTime() - roundT0) / 1e9)
     }
     (ranks, n.toLong)
@@ -188,28 +208,42 @@ object Graph {
       val p = new org.apache.hadoop.fs.Path(file)
       p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
     }
-    var ranks = cut(nodes.select(col("node"), col("tele").as("rank")))
+    var checkpointed = cut(nodes.select(col("node"), col("tele").as("rank")))
+    var ranks: DataFrame = checkpointed
     var iter = 0
+    // same r16 job eliminations as [[pageRankWithN]]: broadcast
+    // dangling scalar in-plan (sinks graphs), short lazy chains
+    // between cuts (no-sinks graphs — single consumer per round)
+    val cutEvery = if (hasSinks) 1 else 3
     while (iter < iterations) {
-      val danglingMass =
-        if (!hasSinks) 0.0
-        else ranks.join(sinks.select("node"), Seq("node"))
-          .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
       val contribs = e
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst"))
         .agg(sum(col("rank") / col("deg")).as("__in"))
-      val next = nodes
-        .join(contribs, col("node") === col("dst"), "left")
-        .select(col("node"),
-          (lit(1.0 - damping) * col("tele") +
-            lit(damping) * (coalesce(col("__in"), lit(0.0)) +
-              lit(danglingMass) * col("tele"))).as("rank"))
-      val cutNext = cut(next)
-      if (!reliable) Dedup.releaseCheckpointStorage(ranks)
-      else checkpointFile(ranks).foreach(deleteCheckpointFile)
-      ranks = cutNext
+      val joined = nodes.join(contribs, col("node") === col("dst"), "left")
+      val next =
+        if (!hasSinks)
+          joined.select(col("node"),
+            (lit(1.0 - damping) * col("tele") +
+              lit(damping) * (coalesce(col("__in"), lit(0.0)) +
+                lit(0.0) * col("tele"))).as("rank"))
+        else {
+          val dm = ranks.join(sinks.select("node"), Seq("node"))
+            .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
+          joined.crossJoin(broadcast(dm))
+            .select(col("node"),
+              (lit(1.0 - damping) * col("tele") +
+                lit(damping) * (coalesce(col("__in"), lit(0.0)) +
+                  col("__dm") * col("tele"))).as("rank"))
+        }
       iter += 1
+      if (iter % cutEvery == 0 || iter == iterations) {
+        val cutNext = cut(next)
+        if (!reliable) Dedup.releaseCheckpointStorage(checkpointed)
+        else checkpointFile(checkpointed).foreach(deleteCheckpointFile)
+        checkpointed = cutNext
+        ranks = cutNext
+      } else ranks = next
     }
     // stabilize through DECIMAL(18,8) before the 6-dp round (the x140
     // boundary contract) — the scaled rank CAN terminate near a
