@@ -34,9 +34,15 @@ object PageRankScaleDemo {
       onRound = (r, s) => times += (r -> s)).count()
     println(s"[prdemo] edges=${edges.count()} per-round seconds: " +
       times.map { case (r, s) => f"$r:$s%.2f" }.mkString(" "))
-    val early = times.slice(1, 4).map(_._2).sum / 3 // rounds 2-4 (1 warms codegen)
-    val late = times.takeRight(3).map(_._2).sum / 3
-    println(f"[prdemo] avg round 2-4: $early%.2f s; avg last 3: $late%.2f s; " +
+    // rounds chain lazily between cuts on this no-sinks graph (r16:
+    // cut every 3rd round), so the flat-cost unit is the CHAIN — a
+    // chain's wall lands on its cut round and lazy rounds report ~0
+    val chains = times.map(_._2).grouped(3).map(_.sum).toSeq
+    println(s"[prdemo] per-chain (3 rounds) seconds: " +
+      chains.map(s => f"$s%.2f").mkString(" "))
+    val early = chains(1) // chain 1 warms codegen
+    val late = chains.last
+    println(f"[prdemo] chain 2: $early%.2f s; last chain: $late%.2f s; " +
       f"ratio ${late / early}%.2f (flat ≈ 1.0)")
     spark.stop()
   }
