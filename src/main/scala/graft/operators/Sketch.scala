@@ -65,6 +65,236 @@ object Sketch {
     * counts ride along from one key-filtered exact aggregate so the
     * overcount is visible in the output. All counts exact integers.
     */
+  /** HLL bucket of `key`: first 8 hex chars of md5("b:key") as an
+    * integer, mod `m` — the register index. A SEPARATE md5 call
+    * ("r:" prefix) supplies the rank bits, so bucket and rank are
+    * independent hash draws (reusing one 32-bit word for both would
+    * correlate them and bias the estimate). */
+  private def hllBucket(key: Column, m: Int): Column =
+    pmod(conv(substring(md5(concat(lit("b:"), key.cast("string"))), 1, 8),
+      16, 10).cast("long"), lit(m.toLong))
+
+  /** HLL rank ρ(w) of `key`: position of the leftmost 1-bit in the
+    * 32-bit word w = first 8 hex chars of md5("r:key"), i.e.
+    * 33 − significant_bits(w) via the binary-string length (`bin`
+    * renders identically in Spark and DuckDB); w = 0 → 33 (all 32
+    * bits zero) — exact integer arithmetic, no log2 float. */
+  private def hllRank(key: Column): Column = {
+    val w = conv(substring(md5(concat(lit("r:"), key.cast("string"))), 1, 8),
+      16, 10).cast("long")
+    when(w === 0L, lit(33)).otherwise(lit(33) - length(bin(w)))
+  }
+
+  /** Driver/executor-side Scala twins of [[hllBucket]]/[[hllRank]]
+    * (java MD5 over UTF-8 — identical bytes to Spark's `md5` and
+    * DuckDB's); the streaming register monitor
+    * ([[graft.streaming.Stateful.hllRegisterMonitor]]) keys its state
+    * with them; SketchSpec pins Scala ≡ engine equality. */
+  private[graft] def hllBucketOf(key: String, m: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"b:$key".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16) % m
+  }
+
+  private[graft] def hllRankOf(key: String): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"r:$key".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val w = java.lang.Long.parseLong(
+      d.take(4).map(b => f"$b%02x").mkString, 16)
+    if (w == 0L) 33 else 33 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+  }
+
+  /** The m-register table alone (build side of [[hllDistinct]],
+    * shared with the streaming twin's parity spec): one map-side-
+    * combinable MAX aggregate, at most m rows out — the whole sketch
+    * state, regardless of input cardinality. */
+  private[graft] def hllRegisterTable(
+      df: DataFrame, key: Column, m: Int): DataFrame =
+    df.filter(key.isNotNull)
+      .select(key.cast("string").as("__k"))
+      .groupBy(hllBucket(col("__k"), m).as("__b"))
+      .agg(max(hllRank(col("__k"))).as("__r"))
+
+  /** Estimate from an (already-built) register table — the SHARED
+    * rollup both the batch sketch and the streaming register monitor
+    * finish through, so stream ≡ batch by construction. The harmonic
+    * sum is kept EXACT: Σ 2^(−M_j) is scaled by 2⁴⁰ so every term
+    * 2^(40−M_j) is an integer (M_j ≤ 33), empty registers contribute
+    * 2⁴⁰ each, and the one float chain divides at the end (×2⁴⁰ is a
+    * power-of-two scale — exact in IEEE). Small-range correction
+    * (Flajolet et al. '07): E ≤ 2.5m with empty registers → linear
+    * counting m·ln(m/Z), the ln rounded through DECIMAL(18,8) before
+    * the multiply so the one non-correctly-rounded libm call is
+    * pinned to 8 dp on every engine. */
+  private[graft] def hllEstimateFromRegisters(
+      regs: DataFrame, m: Int): DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val two40 = 1099511627776L // 2^40
+    val agg = regs.agg(
+      count(lit(1)).as("nonempty"),
+      (sum(expr("shiftleft(1L, 40 - __r)"))
+        + (lit(m.toLong) - count(lit(1))) * lit(two40)).as("__s"))
+    val raw = alpha * lit((m.toLong * m).toDouble) * lit(two40.toDouble) /
+      col("__s").cast("double")
+    val zeros = lit(m.toLong) - col("nonempty")
+    val lin = lit(m.toDouble) *
+      round(log(lit(m.toDouble) / zeros.cast("double")).cast(stable), 8)
+        .cast("double")
+    agg.select(
+      lit(m).as("m"), col("nonempty"),
+      round(raw.cast(stable), 6).cast("double").as("raw_estimate"),
+      round(when(raw <= lit(2.5) * lit(m.toDouble) && zeros > 0L, lin)
+        .otherwise(raw).cast(stable), 6).cast("double").as("estimate"))
+  }
+
+  /** X227 — HyperLogLog-style distinct-count sketch (Flajolet–Fusy–
+    * Gandouet–Meunier '07) with ENGINE-PORTABLE register arithmetic:
+    * estimate |distinct keys| from m max-rank registers instead of a
+    * distinct aggregate — the bounded-memory cardinality primitive
+    * when the key domain is unbounded (URLs, n-grams, user ids) and
+    * an exact `count(distinct)` would shuffle every distinct key.
+    * Relative error ≈ 1.04/√m. The register table is one map-side-
+    * combinable MAX aggregate (shuffle carries ≤ m rows per mapper,
+    * never the keys); registers merge across corpora/batches by MAX —
+    * the same additivity story as [[countMinFrequencies]], which is
+    * what makes the sketch a monitoring primitive and not just a
+    * query. True distinct rides along from one exact aggregate so the
+    * error is visible in the output (drop it at production scale).
+    */
+  def hllDistinct(df: DataFrame, key: Column, m: Int = 1024): DataFrame = {
+    require(m >= 128 && (m & (m - 1)) == 0,
+      s"m must be a power of two >= 128: $m")
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val est = hllEstimateFromRegisters(hllRegisterTable(df, key, m), m)
+    val truth = df.filter(key.isNotNull)
+      .agg(countDistinct(key.cast("string")).as("true_distinct"))
+    est.crossJoin(truth)
+      .select(col("m"), col("nonempty"), col("raw_estimate"),
+        col("estimate"), col("true_distinct"),
+        round(((col("estimate") - col("true_distinct").cast("double"))
+          / col("true_distinct").cast("double")).cast(stable), 6)
+          .cast("double").as("rel_error"))
+  }
+
+  /** 48-bit portable hash of `key`: first 12 hex chars of md5 as an
+    * integer — exact in BIGINT and in DOUBLE (< 2⁵³), renders
+    * identically in Spark and DuckDB. */
+  private def h48(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 12), 16, 10).cast("long")
+
+  /** Bottom-k DISTINCT 48-bit hashes of `key` — the KMV sketch body.
+    * Scale path: a per-partition bounded fold (TreeSet capped at k —
+    * O(k) memory per task) prefilters to ≤ k candidates per partition
+    * BEFORE any shuffle, so the exchange carries ≤ k·partitions rows
+    * instead of every distinct key (a global bottom-k distinct hash
+    * is necessarily a bottom-k within its partition — lossless). The
+    * tiny candidate union then dedupes and takes the global bottom k.
+    */
+  private[graft] def kmvBottomK(
+      df: DataFrame, key: Column, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashes = df.filter(key.isNotNull).select(h48(key).as("__h"))
+    val candidates = hashes.as[Long].mapPartitions { it =>
+      val set = new java.util.TreeSet[java.lang.Long]()
+      it.foreach { h =>
+        if (set.size < k) { set.add(h); () }
+        else if (h < set.last) { set.add(h); if (set.size > k) set.pollLast(); () }
+      }
+      scala.jdk.CollectionConverters.IteratorHasAsScala(set.iterator())
+        .asScala.map(_.longValue())
+    }.toDF("__h")
+    candidates.distinct().orderBy(col("__h")).limit(k)
+  }
+
+  /** X228 — KMV / bottom-k distinct-count sketch (Bar-Yossef et al.
+    * '02; the theta-sketch family): keep the k minimum 48-bit hash
+    * values; the k-th smallest, normalized to (0,1), estimates
+    * cardinality as (k−1)/u₍ₖ₎ — here as the EXACT float chain
+    * (k−1)·2⁴⁸/u₍ₖ₎ (every op correctly rounded, u < 2⁴⁸ exact in
+    * double, so the estimate is bit-identical on any engine — no ln,
+    * no pow). Fewer than k distinct hashes means the sketch IS the
+    * exact distinct set, and the estimate is exact. Unlike HLL the
+    * sketch retains actual hash SAMPLES, which is what buys set
+    * operations ([[kmvSetOps]]) — the two sketches are complements,
+    * not substitutes. True distinct rides along for visible error. */
+  def kmvDistinct(df: DataFrame, key: Column, k: Int = 256): DataFrame = {
+    require(k >= 16, s"k must be >= 16: $k")
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val sk = kmvBottomK(df, key, k)
+    val est = sk.agg(count(lit(1)).as("sketch_size"),
+        max(col("__h")).as("__u"))
+      .select(lit(k).as("k"), col("sketch_size"),
+        round(when(col("sketch_size") < k,
+            col("sketch_size").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(281474976710656.0d)
+            / col("__u").cast("double")).cast(stable), 6)
+          .cast("double").as("estimate"))
+    val truth = df.filter(key.isNotNull)
+      .agg(countDistinct(key.cast("string")).as("true_distinct"))
+    est.crossJoin(truth)
+      .select(col("k"), col("sketch_size"), col("estimate"),
+        col("true_distinct"),
+        round(((col("estimate") - col("true_distinct").cast("double"))
+          / col("true_distinct").cast("double")).cast(stable), 6)
+          .cast("double").as("rel_error"))
+  }
+
+  /** X229 — KMV set operations (the theta-sketch union/intersection
+    * estimators): from two bottom-k sketches, the UNION sketch is the
+    * bottom k of the merged hash sets; Jaccard ≈ |union sketch ∩ A ∩
+    * B| / |union sketch| (each union-sketch hash is a uniform sample
+    * of the union, membership in both sides is exact — the hash IS
+    * the identity); |A∪B| from the union sketch's k-th value;
+    * |A∩B| = J·|A∪B|. Everything downstream of the two bottom-k
+    * builds touches ≤ 3k rows — estimating the overlap of two
+    * 100 TB corpora costs two scans and a k-row join, no
+    * key-level shuffle between the sides. Exact truths ride along
+    * (one distinct-flag aggregate) for visible error. */
+  def kmvSetOps(
+      dfA: DataFrame, dfB: DataFrame, key: Column, k: Int = 256): DataFrame = {
+    require(k >= 16, s"k must be >= 16: $k")
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val skA = kmvBottomK(dfA, key, k).withColumnRenamed("__h", "__ha")
+    val skB = kmvBottomK(dfB, key, k).withColumnRenamed("__h", "__hb")
+    val union = skA.select(col("__ha").as("__h"))
+      .union(skB.select(col("__hb").as("__h")))
+      .distinct().orderBy(col("__h")).limit(k)
+    val marked = union
+      .join(skA, union("__h") === skA("__ha"), "left")
+      .join(skB, union("__h") === skB("__hb"), "left")
+      .select(col("__h"),
+        (col("__ha").isNotNull && col("__hb").isNotNull)
+          .cast("long").as("__both"))
+    val agg = marked.agg(count(lit(1)).as("__n"), max(col("__h")).as("__u"),
+      sum(col("__both")).as("__c"))
+    val unionEst = when(col("__n") < k, col("__n").cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(281474976710656.0d)
+        / col("__u").cast("double"))
+    val jac = col("__c").cast("double") / col("__n").cast("double")
+    // exact truths: one distinct-key aggregate with side flags
+    val keys = dfA.filter(key.isNotNull)
+      .select(key.cast("string").as("__k"), lit(1L).as("__a"), lit(0L).as("__b"))
+      .union(dfB.filter(key.isNotNull)
+        .select(key.cast("string").as("__k"), lit(0L).as("__a"), lit(1L).as("__b")))
+      .groupBy(col("__k"))
+      .agg(max(col("__a")).as("__ina"), max(col("__b")).as("__inb"))
+    val truth = keys.agg(count(lit(1)).as("true_union"),
+      sum((col("__ina") === 1L && col("__inb") === 1L).cast("long"))
+        .as("true_intersection"))
+    agg.crossJoin(truth).select(
+      lit(k).as("k"),
+      round(unionEst.cast(stable), 6).cast("double").as("union_estimate"),
+      round(jac.cast(stable), 6).cast("double").as("jaccard_estimate"),
+      round((jac * unionEst).cast(stable), 6).cast("double")
+        .as("intersection_estimate"),
+      col("true_union"), col("true_intersection"),
+      round((col("true_intersection").cast("double")
+        / col("true_union").cast("double")).cast(stable), 6)
+        .cast("double").as("true_jaccard"))
+  }
+
   def countMinFrequencies(
       df: DataFrame, key: Column, queryKeys: Seq[String],
       depth: Int = 4, width: Int = 256): DataFrame = {

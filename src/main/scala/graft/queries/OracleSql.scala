@@ -5655,6 +5655,121 @@ object OracleSql {
         |  CAST(ROUND(CAST(CASE WHEN n > 1 AND sxd <> 0.0e0 THEN
         |    r + 1.96e0 * se END AS DECIMAL(18,8)), 6) AS DOUBLE) AS ci_hi
         |FROM h""".stripMargin,
+
+    // HLL sketch: identical md5-hex register arithmetic — bucket from
+    // md5('b:'||k) mod m, rank 33 − length(bin(w)) from md5('r:'||k)
+    // (exact integer significant-bits, no log2 float), harmonic sum
+    // exact via 2^(40−r) BIGINT terms; alpha and the float chain are
+    // the same IEEE op sequence; the one libm ln (linear counting)
+    // pins to 8 dp before the multiply.
+    "x259_hll_distinct" ->
+      """WITH r AS (SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS k
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL),
+        |w AS (SELECT k,
+        |  ('0x' || substr(md5('b:' || k), 1, 8))::BIGINT % 1024 AS b,
+        |  ('0x' || substr(md5('r:' || k), 1, 8))::BIGINT AS wd FROM r),
+        |reg AS (SELECT b, MAX(CASE WHEN wd = 0 THEN 33
+        |  ELSE 33 - length(bin(wd)) END) AS rk FROM w GROUP BY 1),
+        |ag AS (SELECT COUNT(*) AS nonempty,
+        |  CAST(SUM(1::BIGINT << (40 - rk)) AS BIGINT)
+        |    + (1024 - COUNT(*)) * (1::BIGINT << 40) AS s FROM reg),
+        |e AS (SELECT nonempty, 1024 - nonempty AS z,
+        |  (0.7213e0 / (1.0e0 + 1.079e0 / 1024.0e0)) * 1048576.0e0
+        |    * 1099511627776.0e0 / CAST(s AS DOUBLE) AS raw FROM ag),
+        |f AS (SELECT nonempty, raw,
+        |  CASE WHEN raw <= 2.5e0 * 1024.0e0 AND z > 0 THEN
+        |    1024.0e0 * CAST(ROUND(CAST(LN(1024.0e0 / CAST(z AS DOUBLE))
+        |      AS DECIMAL(18,8)), 8) AS DOUBLE)
+        |  ELSE raw END AS est FROM e),
+        |tr AS (SELECT COUNT(*) AS true_distinct FROM r)
+        |SELECT 1024 AS m, CAST(nonempty AS BIGINT) AS nonempty,
+        |  CAST(ROUND(CAST(raw AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |    AS raw_estimate,
+        |  CAST(ROUND(CAST(est AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |    AS estimate,
+        |  CAST(true_distinct AS BIGINT) AS true_distinct,
+        |  CAST(ROUND(CAST((CAST(ROUND(CAST(est AS DECIMAL(18,8)), 6)
+        |      AS DOUBLE) - CAST(true_distinct AS DOUBLE))
+        |    / CAST(true_distinct AS DOUBLE) AS DECIMAL(18,8)), 6)
+        |    AS DOUBLE) AS rel_error
+        |FROM f CROSS JOIN tr""".stripMargin,
+
+    // KMV sketch: bottom-k distinct 48-bit md5-prefix hashes (exact
+    // in BIGINT and DOUBLE), estimate (k−1)·2^48/u as one
+    // correctly-rounded float chain — no ln, no pow; below k distinct
+    // the sketch is the exact set.
+    "x260_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT ('0x' || substr(
+        |    md5(CAST(l_partkey AS VARCHAR)), 1, 12))::BIGINT AS h
+        |  FROM lineitem WHERE l_partkey IS NOT NULL),
+        |sk AS (SELECT h FROM h ORDER BY h LIMIT 256),
+        |ag AS (SELECT COUNT(*) AS sketch_size, MAX(h) AS u FROM sk),
+        |e AS (SELECT sketch_size,
+        |  CAST(ROUND(CAST(CASE WHEN sketch_size < 256 THEN
+        |      CAST(sketch_size AS DOUBLE)
+        |    ELSE 255.0e0 * 281474976710656.0e0 / CAST(u AS DOUBLE) END
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS estimate FROM ag),
+        |tr AS (SELECT COUNT(DISTINCT CAST(l_partkey AS VARCHAR))
+        |    AS true_distinct
+        |  FROM lineitem WHERE l_partkey IS NOT NULL)
+        |SELECT 256 AS k, CAST(sketch_size AS BIGINT) AS sketch_size,
+        |  estimate, CAST(true_distinct AS BIGINT) AS true_distinct,
+        |  CAST(ROUND(CAST((estimate - CAST(true_distinct AS DOUBLE))
+        |    / CAST(true_distinct AS DOUBLE) AS DECIMAL(18,8)), 6)
+        |    AS DOUBLE) AS rel_error
+        |FROM e CROSS JOIN tr""".stripMargin,
+
+    // KMV set ops: union sketch = bottom-k of the merged bottom-k
+    // sets; Jaccard = in-both share of the union sketch; raw (not
+    // rounded) j·ue feeds the intersection round, mirroring the
+    // engine's expression tree.
+    "x261_kmv_setops" ->
+      """WITH ha AS (SELECT DISTINCT ('0x' || substr(
+        |    md5(CAST(o_custkey AS VARCHAR)), 1, 12))::BIGINT AS h
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'
+        |    AND o_custkey IS NOT NULL),
+        |hb AS (SELECT DISTINCT ('0x' || substr(
+        |    md5(CAST(o_custkey AS VARCHAR)), 1, 12))::BIGINT AS h
+        |  FROM orders WHERE o_orderpriority = '2-HIGH'
+        |    AND o_custkey IS NOT NULL),
+        |ska AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+        |skb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+        |un AS (SELECT DISTINCT h FROM
+        |  (SELECT h FROM ska UNION ALL SELECT h FROM skb)
+        |  ORDER BY h LIMIT 256),
+        |mk AS (SELECT un.h, CASE WHEN ska.h IS NOT NULL
+        |    AND skb.h IS NOT NULL THEN 1 ELSE 0 END AS bo
+        |  FROM un LEFT JOIN ska ON un.h = ska.h
+        |  LEFT JOIN skb ON un.h = skb.h),
+        |ag AS (SELECT COUNT(*) AS n, MAX(h) AS u, SUM(bo) AS c FROM mk),
+        |e AS (SELECT
+        |  CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+        |    ELSE 255.0e0 * 281474976710656.0e0 / CAST(u AS DOUBLE) END
+        |    AS ue,
+        |  CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS j FROM ag),
+        |tr AS (SELECT COUNT(*) AS true_union,
+        |  CAST(SUM(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS true_intersection
+        |  FROM (SELECT CAST(o_custkey AS VARCHAR) AS kk,
+        |    MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0
+        |      END) AS ina,
+        |    MAX(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0
+        |      END) AS inb
+        |    FROM orders WHERE o_orderpriority IN
+        |      ('1-URGENT', '2-HIGH') AND o_custkey IS NOT NULL
+        |    GROUP BY 1))
+        |SELECT 256 AS k,
+        |  CAST(ROUND(CAST(ue AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |    AS union_estimate,
+        |  CAST(ROUND(CAST(j AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |    AS jaccard_estimate,
+        |  CAST(ROUND(CAST(j * ue AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |    AS intersection_estimate,
+        |  CAST(true_union AS BIGINT) AS true_union, true_intersection,
+        |  CAST(ROUND(CAST(CAST(true_intersection AS DOUBLE)
+        |    / CAST(true_union AS DOUBLE) AS DECIMAL(18,8)), 6)
+        |    AS DOUBLE) AS true_jaccard
+        |FROM e CROSS JOIN tr""".stripMargin,
   )
 
   /** Croston/SBA with α = 0.5: every SES weight is a power of two

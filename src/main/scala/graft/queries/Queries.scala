@@ -2742,6 +2742,35 @@ object Queries {
       num = when(col("event_type") === "purchase", col("value")),
       den = lit(1L))
 
+  /** X227 — HLL-style distinct-order-count sketch over lineitem
+    * (m = 1024 registers; ≈3% error): the bounded-memory cardinality
+    * monitor next to x248's count–min frequencies. At sf0.001 the
+    * true cardinality sits under 2.5m, exercising the linear-counting
+    * correction branch; larger SFs take the raw harmonic estimate. */
+  def x259(s: SparkSession, dir: String): DataFrame =
+    Sketch.hllDistinct(Tables.lineitem(s, dir), col("l_orderkey"),
+      m = 1024)
+
+  /** X228 — KMV bottom-k distinct-part-count sketch (k = 256): below
+    * k distinct keys the sketch is exact (sf0.001's 200 parts), above
+    * it the (k−1)/u₍ₖ₎ estimator runs — both branches oracle-hashed
+    * across the SFs. */
+  def x260(s: SparkSession, dir: String): DataFrame =
+    Sketch.kmvDistinct(Tables.lineitem(s, dir), col("l_partkey"),
+      k = 256)
+
+  /** X229 — KMV set operations: customer overlap between the URGENT
+    * and HIGH order segments — union/intersection/Jaccard estimated
+    * from two bottom-k sketches (k-row joins only between the sides),
+    * exact truths riding along. */
+  def x261(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    Sketch.kmvSetOps(
+      o.filter(col("o_orderpriority") === "1-URGENT"),
+      o.filter(col("o_orderpriority") === "2-HIGH"),
+      col("o_custkey"), k = 256)
+  }
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -3013,5 +3042,8 @@ object Queries {
     "x255_srm_check" -> (x255 _),
     "x256_bh_fdr" -> (x256 _),
     "x257_sample_size" -> (x257 _),
-    "x258_ratio_metric" -> (x258 _))
+    "x258_ratio_metric" -> (x258 _),
+    "x259_hll_distinct" -> (x259 _),
+    "x260_kmv_distinct" -> (x260 _),
+    "x261_kmv_setops" -> (x261 _))
 }

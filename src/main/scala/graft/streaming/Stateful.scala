@@ -639,6 +639,49 @@ object Stateful {
       }
   }
 
+  /** Input/output shapes of [[hllRegisterMonitor]] (input reuses
+    * [[CmsEvent]] — same (seq, key) event). */
+  case class HllRegister(bucket: Long, through_seq: Long, max_rank: Int)
+
+  /** Streaming twin of [[graft.operators.Sketch.hllDistinct]] (x259):
+    * the HLL register table maintained LIVE — each arrival MAXes its
+    * register's rank, state is one (max_rank, high-water seq) pair per
+    * register (bounded at m registers TOTAL, regardless of how many
+    * distinct keys flow past — the cardinality monitor for an
+    * unbounded key domain next to [[countMinMonitor]]'s frequencies).
+    * Buckets and ranks come from [[graft.operators.Sketch.hllBucketOf]]
+    * / [[graft.operators.Sketch.hllRankOf]] — the SAME portable
+    * md5-hex arithmetic as the batch build, so the latest emission per
+    * register equals the batch [[graft.operators.Sketch.hllRegisterTable]]
+    * row-for-row (max is idempotent and order-free; spec-pinned across
+    * a mid-stream split), and rolling the live table through
+    * [[graft.operators.Sketch.hllEstimateFromRegisters]] — the EXACT
+    * batch finishing chain — gives exactly the batch estimate. */
+  def hllRegisterMonitor(
+      ds: Dataset[CmsEvent], m: Int): Dataset[HllRegister] = {
+    require(m >= 128 && (m & (m - 1)) == 0,
+      s"m must be a power of two >= 128: $m")
+    implicit val stateEnc: Encoder[HllRegister] =
+      Encoders.product[HllRegister]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val rowEnc: Encoder[(Long, Int, Long)] =
+      Encoders.product[(Long, Int, Long)]
+    ds.filter(_.key != null)
+      .map(e => (graft.operators.Sketch.hllBucketOf(e.key, m),
+        graft.operators.Sketch.hllRankOf(e.key), e.seq))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[HllRegister, HllRegister](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (bucket: Long, rows: Iterator[(Long, Int, Long)],
+            state: GroupState[HllRegister]) =>
+          var s = state.getOption.getOrElse(HllRegister(bucket, 0L, 0))
+          rows.foreach(r => s = HllRegister(bucket,
+            math.max(s.through_seq, r._3), math.max(s.max_rank, r._2)))
+          state.update(s)
+          Iterator.single(s)
+      }
+  }
+
   /** Input/output shapes of [[countMinMonitor]]. */
   case class CmsEvent(seq: Long, key: String)
   case class CmsCell(j: Int, bucket: Long, through_seq: Long, n: Long)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, conv, md5, substring}
 
 import graft.SparkSpec
 
@@ -39,5 +39,97 @@ class SketchSpec extends SparkSpec {
       Seq("id_0", "id_3"), depth = 3, width = 8)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(run() == run())
+  }
+
+  test("hll: Scala bucket/rank twins ≡ engine register table") {
+    val keys = (1 to 300).map(i => s"doc_$i")
+    val engine = Sketch.hllRegisterTable(keys.toDF("key"), col("key"),
+      m = 128).collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val scala = keys.groupBy(k => Sketch.hllBucketOf(k, 128))
+      .map { case (b, ks) => (b, ks.map(Sketch.hllRankOf).max) }.toSet
+    assert(engine == scala, s"engine registers != Scala twins")
+  }
+
+  test("hll: ~1.04/sqrt(m) accuracy at 20k keys, exact-twin determinism") {
+    val keys = (1 to 20000).map(i => s"u$i")
+    val out = Sketch.hllDistinct(keys.toDF("key"), col("key"), m = 1024)
+      .collect().head
+    val est = out.getAs[Double]("estimate")
+    val err = math.abs(est - 20000.0) / 20000.0
+    // 3 standard errors at 1.04/sqrt(1024) ≈ 3.25%: generous 10% bound
+    assert(err < 0.10, s"HLL estimate $est off by ${err * 100}%%")
+    assert(out.getAs[Long]("true_distinct") == 20000L)
+  }
+
+  test("hll: linear-counting branch on small cardinalities") {
+    val keys = (1 to 150).map(i => s"s$i")
+    val out = Sketch.hllDistinct(keys.toDF("key"), col("key"), m = 1024)
+      .collect().head
+    // raw <= 2.5m and zeros > 0 → m·ln(m/Z), which is much tighter
+    // than the raw harmonic estimate down here
+    val est = out.getAs[Double]("estimate")
+    assert(math.abs(est - 150.0) / 150.0 < 0.10,
+      s"linear counting estimate $est")
+    assert(out.getAs[Long]("nonempty") < 1024L)
+  }
+
+  test("hll: registers of a union = max-merge of the parts' registers") {
+    val a = (1 to 400).map(i => s"k$i")
+    val b = (200 to 700).map(i => s"k$i")
+    def regs(ks: Seq[String]) = Sketch.hllRegisterTable(
+        ks.toDF("key"), col("key"), m = 128)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val merged = (regs(a).keySet ++ regs(b).keySet).map(k =>
+      k -> math.max(regs(a).getOrElse(k, 0), regs(b).getOrElse(k, 0))).toMap
+    assert(regs(a ++ b) == merged, "HLL registers must merge by MAX")
+  }
+
+  test("kmv: bounded per-partition fold ≡ distinct-sort-limit reference") {
+    val df = (1 to 5000).map(i => s"k${i % 1200}").toDF("key")
+      .repartition(13)
+    val got = Sketch.kmvBottomK(df, col("key"), k = 64)
+      .collect().map(_.getLong(0)).toSeq
+    val ref = df.select(
+        conv(substring(md5(col("key")), 1, 12), 16, 10).cast("long")
+          .as("h"))
+      .distinct().orderBy("h").limit(64)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == ref, "TreeSet prefilter must be lossless for bottom-k")
+  }
+
+  test("kmv: exact below k, ~1/sqrt(k) accurate above") {
+    val small = Sketch.kmvDistinct((1 to 100).map(i => s"a$i").toDF("key"),
+      col("key"), k = 256).collect().head
+    assert(small.getAs[Double]("estimate") == 100.0 &&
+      small.getAs[Long]("sketch_size") == 100L,
+      "below k the sketch is the exact distinct set")
+    val big = Sketch.kmvDistinct((1 to 30000).map(i => s"b$i").toDF("key"),
+      col("key"), k = 256).collect().head
+    val err = math.abs(big.getAs[Double]("estimate") - 30000.0) / 30000.0
+    assert(err < 0.20, s"KMV estimate ${big.getAs[Double]("estimate")}")
+  }
+
+  test("kmvSetOps: overlap estimates near truth, truths exact") {
+    val a = (1 to 3000).map(i => s"u$i").toDF("key")
+    val b = (1501 to 4500).map(i => s"u$i").toDF("key")
+    val out = Sketch.kmvSetOps(a, b, col("key"), k = 256).collect().head
+    assert(out.getAs[Long]("true_union") == 4500L &&
+      out.getAs[Long]("true_intersection") == 1500L)
+    val j = out.getAs[Double]("jaccard_estimate")
+    assert(math.abs(j - 1.0 / 3.0) < 0.12, s"jaccard estimate $j")
+    val u = out.getAs[Double]("union_estimate")
+    assert(math.abs(u - 4500.0) / 4500.0 < 0.25, s"union estimate $u")
+    val x = out.getAs[Double]("intersection_estimate")
+    assert(math.abs(x - 1500.0) / 1500.0 < 0.35, s"intersection $x")
+  }
+
+  test("kmvSetOps: disjoint sides estimate zero intersection") {
+    val a = (1 to 500).map(i => s"left$i").toDF("key")
+    val b = (1 to 500).map(i => s"right$i").toDF("key")
+    val out = Sketch.kmvSetOps(a, b, col("key"), k = 256).collect().head
+    assert(out.getAs[Long]("true_intersection") == 0L)
+    // the union sketch samples the union; a disjoint pair can only
+    // show in-both hashes on a 48-bit collision (never, here)
+    assert(out.getAs[Double]("jaccard_estimate") == 0.0)
   }
 }

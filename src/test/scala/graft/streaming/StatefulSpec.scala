@@ -557,6 +557,44 @@ class StatefulSpec extends SparkSpec {
     assert(rolled == batch, s"stream rollup $rolled != batch $batch")
   }
 
+  test("hllRegisterMonitor: live registers ≡ batch table, rollup ≡ batch estimate") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val keys = (1 to 500).map(i => s"doc_${i % 320}")
+    val events = keys.zipWithIndex.map { case (k, i) =>
+      Stateful.CmsEvent(i.toLong, k) }
+    val mem = MemoryStream[Stateful.CmsEvent]
+    val out = Stateful.hllRegisterMonitor(mem.toDS(), m = 128)
+    val sink = s"hll_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(events.take(180): _*)
+      q.processAllAvailable()
+      mem.addData(events.drop(180): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // latest emission per register == the batch register table
+    val latest = spark.table(sink).as[Stateful.HllRegister].collect()
+      .groupBy(_.bucket).map(_._2.maxBy(_.through_seq))
+      .map(r => (r.bucket, r.max_rank)).toSet
+    val batch = graft.operators.Sketch.hllRegisterTable(
+        keys.toDF("key"), col("key"), m = 128)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(latest == batch, s"streamed registers != batch:\n$latest\nvs\n$batch")
+    // rolling the LIVE table through the exact batch finishing chain
+    // reproduces the batch estimate bit-for-bit
+    val live = latest.toSeq.toDF("__b", "__r")
+    val streamEst = graft.operators.Sketch
+      .hllEstimateFromRegisters(live, m = 128)
+      .collect().head.getAs[Double]("estimate")
+    val batchEst = graft.operators.Sketch.hllDistinct(
+        keys.toDF("key"), col("key"), m = 128)
+      .collect().head.getAs[Double]("estimate")
+    assert(streamEst == batchEst,
+      s"stream rollup $streamEst != batch $batchEst")
+  }
+
   test("countMinMonitor: live counter table ≡ batch counterTable, probe ≡ batch estimates") {
     import org.apache.spark.sql.functions.col
     implicit val sqlCtx = spark.sqlContext
