@@ -177,6 +177,146 @@ object Sketch {
           .cast("double").as("rel_error"))
   }
 
+  /** X231 — per-group HLL distinct counts ([[hllDistinct]] grouped):
+    * ONE scan builds every group's m-register sketch (groupBy
+    * (group, bucket) max-rank — ≤ m rows per group out of the
+    * aggregate, never the keys), then a bounded per-group finishing
+    * aggregate — the "distinct users per segment / distinct n-grams
+    * per source" profile that an exact per-group `count(distinct)`
+    * answers only by shuffling every (group, key) pair. Exact truths
+    * ride along for visible error. */
+  def hllDistinctBy(
+      df: DataFrame, key: Column, groupCols: Seq[String],
+      m: Int = 1024): DataFrame = {
+    require(m >= 128 && (m & (m - 1)) == 0,
+      s"m must be a power of two >= 128: $m")
+    require(groupCols.nonEmpty, "need at least one group column")
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val gcols = groupCols.map(col)
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val two40 = 1099511627776L // 2^40
+    val base = df.filter(key.isNotNull)
+      .select(gcols :+ key.cast("string").as("__k"): _*)
+    val regs = base
+      .groupBy(gcols :+ hllBucket(col("__k"), m).as("__b"): _*)
+      .agg(max(hllRank(col("__k"))).as("__r"))
+    val agg = regs.groupBy(gcols: _*).agg(
+      count(lit(1)).as("nonempty"),
+      (sum(expr("shiftleft(1L, 40 - __r)"))
+        + (lit(m.toLong) - count(lit(1))) * lit(two40)).as("__s"))
+    val raw = alpha * lit((m.toLong * m).toDouble) * lit(two40.toDouble) /
+      col("__s").cast("double")
+    val zeros = lit(m.toLong) - col("nonempty")
+    val lin = lit(m.toDouble) *
+      round(log(lit(m.toDouble) / zeros.cast("double")).cast(stable), 8)
+        .cast("double")
+    val est = agg.select(gcols ++ Seq(lit(m).as("m"), col("nonempty"),
+      round(when(raw <= lit(2.5) * lit(m.toDouble) && zeros > 0L, lin)
+        .otherwise(raw).cast(stable), 6).cast("double").as("estimate")): _*)
+    val truth = base.groupBy(gcols: _*)
+      .agg(countDistinct(col("__k")).as("true_distinct"))
+    est.join(truth, groupCols)
+      .select(gcols ++ Seq(col("m"), col("nonempty"), col("estimate"),
+        col("true_distinct"),
+        round(((col("estimate") - col("true_distinct").cast("double"))
+          / col("true_distinct").cast("double")).cast(stable), 6)
+          .cast("double").as("rel_error")): _*)
+  }
+
+  /** AMS ±1 sign of `key` under seed `j`: +1 iff the first hex char
+    * of md5("j:key") sorts below '8' (the top bit of the digest) —
+    * a fair coin, rendered identically on every engine. */
+  private def amsSign(j: Column, key: Column): Column =
+    when(substring(md5(concat(j.cast("string"), lit(":"),
+      key.cast("string"))), 1, 1) < "8", lit(1L)).otherwise(lit(-1L))
+
+  /** The depth sign-sums S_j = Σ_rows sign_j(key) (build side of the
+    * AMS sketches, shared with the streaming twin's parity spec):
+    * one map-side-combinable SUM, exactly `depth` rows out. */
+  private[graft] def amsSignSums(
+      df: DataFrame, key: Column, depth: Int): DataFrame = {
+    val rows = df.filter(key.isNotNull)
+      .select(key.cast("string").as("__k"))
+    val seeds = array((0 until depth).map(j => lit(j)): _*)
+    rows.select(col("__k"), explode(seeds).as("__j"))
+      .groupBy(col("__j"))
+      .agg(sum(amsSign(col("__j"), col("__k"))).as("__s"))
+  }
+
+  /** The SAME sign computed driver/executor-side (java MD5, identical
+    * bytes) — the streaming twin folds with it; SketchSpec pins
+    * Scala ≡ engine equality. */
+  private[graft] def amsSignOf(j: Int, key: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j:$key".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (((d(0) >> 7) & 1) == 0) 1L else -1L
+  }
+
+  /** X230 — AMS F₂ sketch (Alon–Matias–Szegedy '96): estimate the
+    * second frequency moment Σ f_k² — the SELF-JOIN SIZE — from
+    * `depth` ±1 sign-sums instead of a per-key count aggregate. Each
+    * S_j² is an unbiased F₂ estimate; the median over an odd `depth`
+    * tames the variance. This is THE classical pre-join size
+    * estimator: at 100 TB the optimizer question "how big is this
+    * join" must be answered by a sketch (depth counters per mapper,
+    * merged by plain addition), not by running the join. True F₂
+    * rides along from one exact aggregate for visible error. */
+  def amsF2(df: DataFrame, key: Column, depth: Int = 9): DataFrame = {
+    require(depth >= 1 && depth % 2 == 1 && depth <= 99,
+      s"depth must be odd in [1,99]: $depth")
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val est = amsSignSums(df, key, depth)
+      .agg(expr("percentile(__s * __s, 0.5)").as("__e"))
+    val truth = df.filter(key.isNotNull)
+      .select(key.cast("string").as("__k"))
+      .groupBy(col("__k")).agg(count(lit(1)).as("__f"))
+      .agg(sum(col("__f") * col("__f")).as("f2_true"))
+    est.crossJoin(truth).select(
+      lit(depth).as("depth"),
+      round(col("__e").cast(stable), 6).cast("double").as("f2_estimate"),
+      col("f2_true"),
+      round(((col("__e") - col("f2_true").cast("double"))
+        / col("f2_true").cast("double")).cast(stable), 6)
+        .cast("double").as("rel_error"))
+  }
+
+  /** X230 (cross form) — AMS join-size estimate: |A ⋈ B on key| =
+    * Σ_k fA(k)·fB(k), estimated by median_j(SA_j · SB_j) where each
+    * side's sign-sums use the SAME seeds (AGMS; Alon et al. '99, the
+    * join-size extension). Two scans, depth counters each, one
+    * depth-row join — the cost of knowing a join's size before
+    * paying for it. The exact truth (one per-side count aggregate +
+    * key join) rides along. */
+  def amsJoinSize(
+      dfA: DataFrame, dfB: DataFrame, keyA: Column, keyB: Column,
+      depth: Int = 9): DataFrame = {
+    require(depth >= 1 && depth % 2 == 1 && depth <= 99,
+      s"depth must be odd in [1,99]: $depth")
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val sa = amsSignSums(dfA, keyA, depth).withColumnRenamed("__s", "__sa")
+    val sb = amsSignSums(dfB, keyB, depth).withColumnRenamed("__s", "__sb")
+    val est = sa.join(sb, "__j")
+      .agg(expr("percentile(__sa * __sb, 0.5)").as("__e"))
+    val fa = dfA.filter(keyA.isNotNull)
+      .select(keyA.cast("string").as("__k"))
+      .groupBy(col("__k")).agg(count(lit(1)).as("__fa"))
+    val fb = dfB.filter(keyB.isNotNull)
+      .select(keyB.cast("string").as("__k"))
+      .groupBy(col("__k")).agg(count(lit(1)).as("__fb"))
+    val truth = fa.join(fb, "__k")
+      .agg(coalesce(sum(col("__fa") * col("__fb")), lit(0L))
+        .as("join_true"))
+    est.crossJoin(truth).select(
+      lit(depth).as("depth"),
+      round(col("__e").cast(stable), 6).cast("double")
+        .as("join_estimate"),
+      col("join_true"),
+      round(when(col("join_true") > 0L,
+        (col("__e") - col("join_true").cast("double"))
+          / col("join_true").cast("double")).cast(stable), 6)
+        .cast("double").as("rel_error"))
+  }
+
   /** 48-bit portable hash of `key`: first 12 hex chars of md5 as an
     * integer — exact in BIGINT and in DOUBLE (< 2⁵³), renders
     * identically in Spark and DuckDB. */

@@ -5770,6 +5770,97 @@ object OracleSql {
         |    / CAST(true_union AS DOUBLE) AS DECIMAL(18,8)), 6)
         |    AS DOUBLE) AS true_jaccard
         |FROM e CROSS JOIN tr""".stripMargin,
+
+    // AMS F2: ±1 sign from the md5 top hex char ('0'..'7' → +1),
+    // depth sign-sums, median of S² over an odd depth (quantile_cont
+    // at the exact middle — no interpolation), exact true Σf².
+    "x262_ams_f2" ->
+      """WITH r AS (SELECT CAST(l_suppkey AS VARCHAR) AS k
+        |  FROM lineitem WHERE l_suppkey IS NOT NULL),
+        |sd AS (SELECT unnest(range(9)) AS j),
+        |s AS (SELECT j, CAST(SUM(CASE WHEN substr(md5(
+        |    CAST(j AS VARCHAR) || ':' || k), 1, 1) < '8'
+        |  THEN 1 ELSE -1 END) AS BIGINT) AS ss
+        |  FROM r CROSS JOIN sd GROUP BY 1),
+        |e AS (SELECT quantile_cont(ss * ss, 0.5) AS est FROM s),
+        |tr AS (SELECT CAST(SUM(f * f) AS BIGINT) AS f2_true FROM
+        |  (SELECT COUNT(*) AS f FROM r GROUP BY k))
+        |SELECT 9 AS depth,
+        |  CAST(ROUND(CAST(est AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |    AS f2_estimate,
+        |  f2_true,
+        |  CAST(ROUND(CAST((est - CAST(f2_true AS DOUBLE))
+        |    / CAST(f2_true AS DOUBLE) AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |    AS rel_error
+        |FROM e CROSS JOIN tr""".stripMargin,
+
+    // AMS join size: same-seed sign-sums per side, median of SA·SB;
+    // the exact truth is the per-key count join.
+    "x263_ams_join_size" ->
+      """WITH ra AS (SELECT CAST(user_id AS VARCHAR) AS k
+        |  FROM events WHERE user_id IS NOT NULL),
+        |rb AS (SELECT CAST(o_custkey AS VARCHAR) AS k
+        |  FROM orders WHERE o_custkey IS NOT NULL),
+        |sd AS (SELECT unnest(range(9)) AS j),
+        |sa AS (SELECT j, CAST(SUM(CASE WHEN substr(md5(
+        |    CAST(j AS VARCHAR) || ':' || k), 1, 1) < '8'
+        |  THEN 1 ELSE -1 END) AS BIGINT) AS ssa
+        |  FROM ra CROSS JOIN sd GROUP BY 1),
+        |sb AS (SELECT j, CAST(SUM(CASE WHEN substr(md5(
+        |    CAST(j AS VARCHAR) || ':' || k), 1, 1) < '8'
+        |  THEN 1 ELSE -1 END) AS BIGINT) AS ssb
+        |  FROM rb CROSS JOIN sd GROUP BY 1),
+        |e AS (SELECT quantile_cont(ssa * ssb, 0.5) AS est
+        |  FROM sa JOIN sb USING (j)),
+        |tr AS (SELECT CAST(COALESCE(SUM(fa * fb), 0) AS BIGINT)
+        |    AS join_true FROM
+        |  (SELECT k, COUNT(*) AS fa FROM ra GROUP BY 1) a
+        |  JOIN (SELECT k, COUNT(*) AS fb FROM rb GROUP BY 1) b
+        |  USING (k))
+        |SELECT 9 AS depth,
+        |  CAST(ROUND(CAST(est AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |    AS join_estimate,
+        |  join_true,
+        |  CAST(ROUND(CAST(CASE WHEN join_true > 0 THEN
+        |    (est - CAST(join_true AS DOUBLE))
+        |      / CAST(join_true AS DOUBLE) END AS DECIMAL(18,8)), 6)
+        |    AS DOUBLE) AS rel_error
+        |FROM e CROSS JOIN tr""".stripMargin,
+
+    // Grouped HLL: x259's register arithmetic with the group key in
+    // every GROUP BY; per-group finishing and exact truths.
+    "x264_hll_grouped" ->
+      """WITH r AS (SELECT DISTINCT o_orderpriority AS g,
+        |    CAST(o_custkey AS VARCHAR) AS k
+        |  FROM orders WHERE o_custkey IS NOT NULL),
+        |w AS (SELECT g, k,
+        |  ('0x' || substr(md5('b:' || k), 1, 8))::BIGINT % 1024 AS b,
+        |  ('0x' || substr(md5('r:' || k), 1, 8))::BIGINT AS wd FROM r),
+        |reg AS (SELECT g, b, MAX(CASE WHEN wd = 0 THEN 33
+        |  ELSE 33 - length(bin(wd)) END) AS rk FROM w GROUP BY 1, 2),
+        |ag AS (SELECT g, COUNT(*) AS nonempty,
+        |  CAST(SUM(1::BIGINT << (40 - rk)) AS BIGINT)
+        |    + (1024 - COUNT(*)) * (1::BIGINT << 40) AS s
+        |  FROM reg GROUP BY 1),
+        |e AS (SELECT g, nonempty, 1024 - nonempty AS z,
+        |  (0.7213e0 / (1.0e0 + 1.079e0 / 1024.0e0)) * 1048576.0e0
+        |    * 1099511627776.0e0 / CAST(s AS DOUBLE) AS raw FROM ag),
+        |f AS (SELECT g, nonempty,
+        |  CASE WHEN raw <= 2.5e0 * 1024.0e0 AND z > 0 THEN
+        |    1024.0e0 * CAST(ROUND(CAST(LN(1024.0e0 / CAST(z AS DOUBLE))
+        |      AS DECIMAL(18,8)), 8) AS DOUBLE)
+        |  ELSE raw END AS est FROM e),
+        |tr AS (SELECT g, COUNT(*) AS true_distinct FROM r GROUP BY 1)
+        |SELECT f.g AS o_orderpriority,
+        |  1024 AS m, CAST(nonempty AS BIGINT) AS nonempty,
+        |  CAST(ROUND(CAST(est AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |    AS estimate,
+        |  CAST(true_distinct AS BIGINT) AS true_distinct,
+        |  CAST(ROUND(CAST((CAST(ROUND(CAST(est AS DECIMAL(18,8)), 6)
+        |      AS DOUBLE) - CAST(true_distinct AS DOUBLE))
+        |    / CAST(true_distinct AS DOUBLE) AS DECIMAL(18,8)), 6)
+        |    AS DOUBLE) AS rel_error
+        |FROM f JOIN tr ON f.g = tr.g ORDER BY o_orderpriority""".stripMargin,
   )
 
   /** Croston/SBA with α = 0.5: every SES weight is a power of two

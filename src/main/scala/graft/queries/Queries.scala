@@ -2771,6 +2771,28 @@ object Queries {
       col("o_custkey"), k = 256)
   }
 
+  /** X230 — AMS F₂ sketch: self-join size of lineitem on supplier
+    * key from 9 ±1 sign-sums (median of S²), true Σf² riding along. */
+  def x262(s: SparkSession, dir: String): DataFrame =
+    Sketch.amsF2(Tables.lineitem(s, dir), col("l_suppkey"), depth = 9)
+
+  /** X230 (cross form) — AMS join-size estimate for
+    * events.user_id ⋈ orders.o_custkey — the "how big is this join"
+    * question answered from two depth-9 sketches before paying for
+    * the join itself. */
+  def x263(s: SparkSession, dir: String): DataFrame =
+    Sketch.amsJoinSize(Tables.events(s, dir), Tables.orders(s, dir),
+      col("user_id"), col("o_custkey"), depth = 9)
+
+  /** X231 — per-priority distinct-customer profile from ONE grouped
+    * HLL scan (m = 1024): sf0.001's ~130-customer segments take the
+    * linear-counting branch, sf0.1's ~10k-customer segments the raw
+    * harmonic branch — both oracle-hashed. */
+  def x264(s: SparkSession, dir: String): DataFrame =
+    Sketch.hllDistinctBy(Tables.orders(s, dir), col("o_custkey"),
+        Seq("o_orderpriority"), m = 1024)
+      .orderBy("o_orderpriority")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -3045,5 +3067,8 @@ object Queries {
     "x258_ratio_metric" -> (x258 _),
     "x259_hll_distinct" -> (x259 _),
     "x260_kmv_distinct" -> (x260 _),
-    "x261_kmv_setops" -> (x261 _))
+    "x261_kmv_setops" -> (x261 _),
+    "x262_ams_f2" -> (x262 _),
+    "x263_ams_join_size" -> (x263 _),
+    "x264_hll_grouped" -> (x264 _))
 }

@@ -682,6 +682,45 @@ object Stateful {
       }
   }
 
+  /** Output shape of [[amsSignSumMonitor]] (input reuses
+    * [[CmsEvent]]). */
+  case class AmsSum(j: Int, through_seq: Long, s: Long)
+
+  /** Streaming twin of [[graft.operators.Sketch.amsF2]] /
+    * [[graft.operators.Sketch.amsJoinSize]] (x262/x263): the depth
+    * ±1 sign-sums maintained LIVE — each arrival adds its sign to
+    * every seed's sum, state is one (sum, high-water seq) pair per
+    * seed (`depth` rows TOTAL — a live self-join-size / join-size
+    * monitor in a dozen counters). Signs come from
+    * [[graft.operators.Sketch.amsSignOf]] — the batch build's exact
+    * md5 top-bit arithmetic — so the latest emission per seed equals
+    * the batch [[graft.operators.Sketch.amsSignSums]] row-for-row
+    * (sums are additive; spec-pinned across a mid-stream split), and
+    * median(S²) over the live table is exactly the batch estimate. */
+  def amsSignSumMonitor(
+      ds: Dataset[CmsEvent], depth: Int): Dataset[AmsSum] = {
+    require(depth >= 1 && depth % 2 == 1 && depth <= 99,
+      s"depth must be odd in [1,99]: $depth")
+    implicit val stateEnc: Encoder[AmsSum] = Encoders.product[AmsSum]
+    implicit val keyEnc: Encoder[Int] = Encoders.scalaInt
+    implicit val rowEnc: Encoder[(Int, Long, Long)] =
+      Encoders.product[(Int, Long, Long)]
+    ds.filter(_.key != null)
+      .flatMap(e => (0 until depth).map(j =>
+        (j, graft.operators.Sketch.amsSignOf(j, e.key), e.seq)))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AmsSum, AmsSum](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (j: Int, rows: Iterator[(Int, Long, Long)],
+            state: GroupState[AmsSum]) =>
+          var s = state.getOption.getOrElse(AmsSum(j, 0L, 0L))
+          rows.foreach(r => s = AmsSum(j,
+            math.max(s.through_seq, r._3), s.s + r._2))
+          state.update(s)
+          Iterator.single(s)
+      }
+  }
+
   /** Input/output shapes of [[countMinMonitor]]. */
   case class CmsEvent(seq: Long, key: String)
   case class CmsCell(j: Int, bucket: Long, through_seq: Long, n: Long)

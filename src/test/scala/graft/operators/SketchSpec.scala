@@ -123,6 +123,60 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(x - 1500.0) / 1500.0 < 0.35, s"intersection $x")
   }
 
+  test("amsF2: exact truth, signs match Scala twin, estimate unbiased-ish") {
+    val keys = (1 to 40).flatMap(k => Seq.fill(k % 5 + 1)(s"k$k"))
+    val out = Sketch.amsF2(keys.toDF("key"), col("key"), depth = 9)
+      .collect().head
+    val trueF2 = keys.groupBy(identity).values.map(g => g.size.toLong * g.size)
+      .sum
+    assert(out.getAs[Long]("f2_true") == trueF2)
+    // engine sign-sums == Scala-twin sums, seed for seed
+    val engine = Sketch.amsSignSums(keys.toDF("key"), col("key"), 9)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val scala = (0 until 9).map(j =>
+      j -> keys.map(k => Sketch.amsSignOf(j, k)).sum).toMap
+    assert(engine == scala, s"engine sums $engine != Scala twin $scala")
+    assert(out.getAs[Double]("f2_estimate") >= 0.0)
+  }
+
+  test("amsF2: estimate within 3 std errors on a uniform domain") {
+    // F2 ≈ n for near-unique keys; relative std error ~ sqrt(2/depth)
+    val keys = (1 to 20000).map(i => s"u$i")
+    val est = Sketch.amsF2(keys.toDF("key"), col("key"), depth = 9)
+      .collect().head.getAs[Double]("f2_estimate")
+    assert(math.abs(est - 20000.0) / 20000.0 < 3.0 * math.sqrt(2.0 / 9.0),
+      s"F2 estimate $est vs 20000")
+  }
+
+  test("amsJoinSize: truth is the exact join count, disjoint keys give zero truth") {
+    val a = (1 to 300).map(i => s"id${i % 50}").toDF("key") // f=6 each
+    val b = (1 to 100).map(i => s"id${i % 25}").toDF("key") // f=4 each
+    val out = Sketch.amsJoinSize(a, b, col("key"), col("key"), depth = 9)
+      .collect().head
+    // 25 shared keys × 6 × 4
+    assert(out.getAs[Long]("join_true") == 25L * 6L * 4L)
+    val dj = Sketch.amsJoinSize(
+      (1 to 50).map(i => s"l$i").toDF("key"),
+      (1 to 50).map(i => s"r$i").toDF("key"),
+      col("key"), col("key"), depth = 9).collect().head
+    assert(dj.getAs[Long]("join_true") == 0L)
+  }
+
+  test("hllDistinctBy: per-group estimates match per-group hllDistinct") {
+    val df = ((1 to 900).map(i => ("a", s"k${i % 300}"))
+      ++ (1 to 400).map(i => ("b", s"q${i % 170}"))).toDF("g", "key")
+    val grouped = Sketch.hllDistinctBy(df, col("key"), Seq("g"), m = 128)
+      .collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[Double]("estimate"), r.getAs[Long]("true_distinct"))).toMap
+    Seq("a" -> 300L, "b" -> 170L).foreach { case (g, n) =>
+      val solo = Sketch.hllDistinct(df.filter(col("g") === g), col("key"),
+        m = 128).collect().head
+      assert(grouped(g)._1 == solo.getAs[Double]("estimate"),
+        s"group $g: grouped != solo")
+      assert(grouped(g)._2 == n)
+    }
+  }
+
   test("kmvSetOps: disjoint sides estimate zero intersection") {
     val a = (1 to 500).map(i => s"left$i").toDF("key")
     val b = (1 to 500).map(i => s"right$i").toDF("key")

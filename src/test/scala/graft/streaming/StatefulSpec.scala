@@ -595,6 +595,38 @@ class StatefulSpec extends SparkSpec {
       s"stream rollup $streamEst != batch $batchEst")
   }
 
+  test("amsSignSumMonitor: live sign-sums ≡ batch, median(S²) ≡ batch estimate") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val keys = (1 to 120).map(i => s"k${i % 37}")
+    val events = keys.zipWithIndex.map { case (k, i) =>
+      Stateful.CmsEvent(i.toLong, k) }
+    val mem = MemoryStream[Stateful.CmsEvent]
+    val out = Stateful.amsSignSumMonitor(mem.toDS(), depth = 5)
+    val sink = s"ams_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(events.take(50): _*)
+      q.processAllAvailable()
+      mem.addData(events.drop(50): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val latest = spark.table(sink).as[Stateful.AmsSum].collect()
+      .groupBy(_.j).map(_._2.maxBy(_.through_seq))
+      .map(r => (r.j, r.s)).toSet
+    val batch = graft.operators.Sketch.amsSignSums(
+        keys.toDF("key"), col("key"), depth = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(latest == batch, s"streamed sums != batch:\n$latest\nvs\n$batch")
+    // median of S² over the live sums == the batch F2 estimate
+    val liveEst = latest.map(t => t._2 * t._2).toSeq.sorted.apply(2).toDouble
+    val batchEst = graft.operators.Sketch.amsF2(
+        keys.toDF("key"), col("key"), depth = 5)
+      .collect().head.getAs[Double]("f2_estimate")
+    assert(liveEst == batchEst, s"live median $liveEst != batch $batchEst")
+  }
+
   test("countMinMonitor: live counter table ≡ batch counterTable, probe ≡ batch estimates") {
     import org.apache.spark.sql.functions.col
     implicit val sqlCtx = spark.sqlContext
