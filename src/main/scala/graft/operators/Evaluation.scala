@@ -1629,6 +1629,104 @@ object Evaluation {
     * 1/n division is one float step. Constant groups land exactly at
     * 0; degenerate μ ≤ 0 cannot occur (positive values only).
     */
+  /** Poisson(1) cumulative thresholds c₀..c₉ (full-precision
+    * shortest-repr doubles — the SAME literals the oracle SQL
+    * carries, so the weight decision is identical on every engine);
+    * u < c_k → weight k, else 10. Shared with the streaming twin. */
+  private[graft] val poissonCum: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253, 0.999998874797402,
+    0.9999998885745216)
+
+  /** The per-(resample, row) Poisson weight: u from the first 12 hex
+    * chars of md5("b:key") scaled by 2⁻⁴⁸ (exact — a power-of-two
+    * scale), then the inverse-CDF CASE over [[poissonCum]]. */
+  private def poissonWeight(b: Column, key: Column): Column = {
+    val u = conv(substring(md5(concat(b.cast("string"), lit(":"),
+      key.cast("string"))), 1, 12), 16, 10).cast("double") /
+      lit(281474976710656.0d)
+    poissonCum.zipWithIndex.foldRight(lit(10L): Column) {
+      case ((c, k), rest) => when(u < lit(c), lit(k.toLong)).otherwise(rest)
+    }
+  }
+
+  /** The SAME weight computed driver/executor-side (java MD5,
+    * identical bytes) — the streaming twin folds with it;
+    * EvaluationSpec pins Scala ≡ engine equality. */
+  private[graft] def poissonWeightOf(b: Int, key: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$b:$key".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val h = java.lang.Long.parseLong(
+      d.take(6).map(x => f"$x%02x").mkString, 16)
+    val u = h.toDouble / 281474976710656.0d
+    val k = poissonCum.indexWhere(u < _)
+    if (k < 0) 10L else k.toLong
+  }
+
+  /** The B weighted resample means (build side of
+    * [[poissonBootstrapCI]], shared with the streaming twin's parity
+    * spec): explode-before-aggregate so map-side combine collapses to
+    * B rows inside the scan stage — the shuffle carries ≤ B rows per
+    * mapper. Weighted sums are exact DECIMAL(28,6); the mean is one
+    * correctly-rounded double division. */
+  private[graft] def bootstrapMeans(
+      df: DataFrame, key: Column, value: Column, b: Int): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val rows = df.filter(key.isNotNull && value.isNotNull)
+      .select(key.cast("string").as("__k"),
+        value.cast(org.apache.spark.sql.types.DecimalType(18, 6))
+          .as("__v"))
+    val seeds = array((0 until b).map(j => lit(j)): _*)
+    rows.select(col("__k"), col("__v"), explode(seeds).as("__b"))
+      .select(col("__b"), col("__v"),
+        poissonWeight(col("__b"), col("__k")).as("__w"))
+      .groupBy(col("__b"))
+      .agg(sum(col("__w")).as("__n"),
+        sum((col("__w") * col("__v")).cast(dec)).as("__s"))
+      .select(col("__b"),
+        (col("__s").cast("double") / col("__n").cast("double"))
+          .as("__m"))
+  }
+
+  /** X232 — Poisson-bootstrap confidence interval for the mean
+    * (Chamandy et al., "Estimating Uncertainty for Massive Data
+    * Streams", Google '12; Kleiner et al. BLB, JRSS-B '14): B
+    * independent resamples, each row carried with a Poisson(1)
+    * weight drawn DETERMINISTICALLY from md5(b:key) — so the
+    * resampling is reproducible across reruns, partitionings, and
+    * engines (no rand()), and the whole bootstrap is ONE
+    * explode-before-aggregate scan producing B weighted means (map-
+    * side combine; the shuffle carries ≤ B rows per mapper — at
+    * 100 TB the cost is the scan, never the resampling). This is THE
+    * way to put error bars on a pipeline metric when the n² of a
+    * closed form is unavailable or the statistic has no formula. The
+    * CI is read at EXACT order-statistic indices: B = 81 makes
+    * (B−1)·{0.025, 0.975} integral, so both engines pick the same
+    * element with no interpolation arithmetic. B must satisfy that
+    * property; the default almost always serves.
+    */
+  def poissonBootstrapCI(
+      df: DataFrame, key: Column, value: Column,
+      b: Int = 81): DataFrame = {
+    require(b >= 41 && (b - 1) % 40 == 0,
+      s"b must make (b-1)*0.025 integral (41, 81, 121, ...): $b")
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val means = bootstrapMeans(df, key, value, b)
+    val ci = means.agg(
+      expr("percentile(__m, 0.025)").as("__lo"),
+      expr("percentile(__m, 0.975)").as("__hi"))
+    val rows = df.filter(key.isNotNull && value.isNotNull)
+    val point = rows.agg(count(lit(1)).as("n"),
+      (sum(value.cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        .cast("double") / count(lit(1)).cast("double")).as("__mean"))
+    point.crossJoin(ci).select(
+      col("n"), lit(b).as("b"),
+      round(col("__mean").cast(stable), 6).cast("double").as("mean"),
+      round(col("__lo").cast(stable), 6).cast("double").as("ci_lo"),
+      round(col("__hi").cast(stable), 6).cast("double").as("ci_hi"))
+  }
+
   def theilIndex(df: DataFrame, groupCols: Seq[String], valueCol: String,
       roundDigits: Int = 6): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(28, 6)

@@ -5861,6 +5861,51 @@ object OracleSql {
         |    / CAST(true_distinct AS DOUBLE) AS DECIMAL(18,8)), 6)
         |    AS DOUBLE) AS rel_error
         |FROM f JOIN tr ON f.g = tr.g ORDER BY o_orderpriority""".stripMargin,
+
+    // Poisson bootstrap: md5-uniform u scaled by exact 2^-48, the
+    // inverse-CDF CASE over the SAME full-precision Poisson(1)
+    // cumulative literals, exact-decimal weighted sums, and the CI
+    // read at exact order-statistic indices ((81-1)*q integral — no
+    // interpolation arithmetic on either engine).
+    "x265_bootstrap_ci" ->
+      """WITH r AS (SELECT CAST(l_orderkey AS VARCHAR) || '-' ||
+        |    CAST(l_linenumber AS VARCHAR) AS k,
+        |  CAST(l_extendedprice AS DECIMAL(18,6)) AS v
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL
+        |    AND l_linenumber IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL),
+        |sd AS (SELECT unnest(range(81)) AS b),
+        |u AS (SELECT b, v, CAST(('0x' || substr(md5(
+        |    CAST(b AS VARCHAR) || ':' || k), 1, 12))::BIGINT AS DOUBLE)
+        |  / 281474976710656.0e0 AS uu FROM r CROSS JOIN sd),
+        |w AS (SELECT b, v,
+        |  CASE WHEN uu < 0.36787944117144233e0 THEN 0
+        |    WHEN uu < 0.7357588823428847e0 THEN 1
+        |    WHEN uu < 0.9196986029286058e0 THEN 2
+        |    WHEN uu < 0.9810118431238463e0 THEN 3
+        |    WHEN uu < 0.9963401531726563e0 THEN 4
+        |    WHEN uu < 0.9994058151824183e0 THEN 5
+        |    WHEN uu < 0.999916758850712e0 THEN 6
+        |    WHEN uu < 0.9999897508033253e0 THEN 7
+        |    WHEN uu < 0.999998874797402e0 THEN 8
+        |    WHEN uu < 0.9999998885745216e0 THEN 9
+        |    ELSE 10 END AS w FROM u),
+        |m AS (SELECT b, CAST(SUM(w) AS BIGINT) AS n,
+        |  SUM(CAST(w * v AS DECIMAL(28,6))) AS s FROM w GROUP BY 1),
+        |mm AS (SELECT b, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m
+        |  FROM m),
+        |ci AS (SELECT quantile_cont(m, 0.025) AS lo,
+        |  quantile_cont(m, 0.975) AS hi FROM mm),
+        |pt AS (SELECT COUNT(*) AS n, CAST(SUM(v) AS DOUBLE)
+        |  / CAST(COUNT(*) AS DOUBLE) AS mean FROM r)
+        |SELECT CAST(pt.n AS BIGINT) AS n, 81 AS b,
+        |  CAST(ROUND(CAST(mean AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |    AS mean,
+        |  CAST(ROUND(CAST(lo AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |    AS ci_lo,
+        |  CAST(ROUND(CAST(hi AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |    AS ci_hi
+        |FROM pt CROSS JOIN ci""".stripMargin,
   )
 
   /** Croston/SBA with α = 0.5: every SES weight is a power of two

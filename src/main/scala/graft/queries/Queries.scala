@@ -2793,6 +2793,15 @@ object Queries {
         Seq("o_orderpriority"), m = 1024)
       .orderBy("o_orderpriority")
 
+  /** X232 — Poisson-bootstrap 95% CI for mean extended price: 81
+    * deterministic md5-weighted resamples from ONE explode-before-
+    * aggregate scan, CI read at exact order-statistic indices. */
+  def x265(s: SparkSession, dir: String): DataFrame =
+    Evaluation.poissonBootstrapCI(Tables.lineitem(s, dir),
+      key = concat(col("l_orderkey").cast("string"), lit("-"),
+        col("l_linenumber").cast("string")),
+      value = col("l_extendedprice"), b = 81)
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -3070,5 +3079,6 @@ object Queries {
     "x261_kmv_setops" -> (x261 _),
     "x262_ams_f2" -> (x262 _),
     "x263_ams_join_size" -> (x263 _),
-    "x264_hll_grouped" -> (x264 _))
+    "x264_hll_grouped" -> (x264 _),
+    "x265_bootstrap_ci" -> (x265 _))
 }

@@ -682,6 +682,60 @@ object Stateful {
       }
   }
 
+  /** Input/output shapes of [[bootstrapMomentsMonitor]]. */
+  case class KeyedValue(seq: Long, key: String, value: Double)
+  case class ResampleSum(b: Int, through_seq: Long, n: Long,
+      sum6: java.math.BigDecimal)
+
+  /** Streaming twin of
+    * [[graft.operators.Evaluation.poissonBootstrapCI]] (x265): the B
+    * weighted resample sums maintained LIVE — each arrival adds its
+    * deterministic Poisson weight (and weight × value) to every
+    * resample's accumulators, state is (Σw, Σw·v) per resample (B
+    * rows TOTAL — an always-on bootstrap CI in 81 counters, the
+    * error-bar companion to [[msprtMomentsMonitor]]'s decision
+    * boundary). Weights come from
+    * [[graft.operators.Evaluation.poissonWeightOf]] — the batch
+    * build's exact md5 inverse-CDF — and values quantize with the
+    * batch double→DECIMAL(18,6) cast semantics, so the latest
+    * emission per resample equals the batch
+    * [[graft.operators.Evaluation.bootstrapMeans]] accumulators
+    * row-for-row (sums are additive; spec-pinned across a mid-stream
+    * split), and the exact-index quantiles over the live means give
+    * exactly the batch CI. */
+  def bootstrapMomentsMonitor(
+      ds: Dataset[KeyedValue], b: Int): Dataset[ResampleSum] = {
+    require(b >= 41 && (b - 1) % 40 == 0,
+      s"b must make (b-1)*0.025 integral (41, 81, 121, ...): $b")
+    implicit val stateEnc: Encoder[ResampleSum] =
+      Encoders.product[ResampleSum]
+    implicit val keyEnc: Encoder[Int] = Encoders.scalaInt
+    implicit val rowEnc: Encoder[(Int, Long, Long, Double)] =
+      Encoders.product[(Int, Long, Long, Double)]
+    ds.filter(_.key != null)
+      .flatMap(e => (0 until b).map(j =>
+        (j, graft.operators.Evaluation.poissonWeightOf(j, e.key),
+          e.seq, e.value)))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[ResampleSum, ResampleSum](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (j: Int, rows: Iterator[(Int, Long, Long, Double)],
+            state: GroupState[ResampleSum]) =>
+          val zero = java.math.BigDecimal.ZERO.setScale(6)
+          var s = state.getOption.getOrElse(ResampleSum(j, 0L, 0L, zero))
+          rows.foreach { r =>
+            val v6 = java.math.BigDecimal.valueOf(r._4)
+              .setScale(6, java.math.RoundingMode.HALF_UP)
+            s = ResampleSum(j, math.max(s.through_seq, r._3),
+              s.n + r._2,
+              s.sum6.add(v6.multiply(
+                java.math.BigDecimal.valueOf(r._2))))
+          }
+          state.update(s)
+          Iterator.single(s)
+      }
+  }
+
   /** Output shape of [[amsSignSumMonitor]] (input reuses
     * [[CmsEvent]]). */
   case class AmsSum(j: Int, through_seq: Long, s: Long)

@@ -703,4 +703,40 @@ class EvaluationSpec extends SparkSpec {
     assert(got(1)._4 == 1.0 && got(1)._5 == 2.5, s"got ${got(1)}")
     assert(got.last._5 == 1.0, s"full population lift is 1: ${got.last}")
   }
+
+  test("poissonBootstrap: Scala weight twin ≡ engine, weights average ~1") {
+    import spark.implicits._
+    val keys = (1 to 2000).map(i => s"row$i")
+    val df = keys.map(k => (k, 1.0)).toDF("k", "v")
+    val engine = Evaluation.bootstrapMeans(df, col("k"), col("v"), b = 41)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // value 1.0 everywhere → each resample mean is exactly 1 (Σw/Σw)
+    assert(engine.values.forall(_ == 1.0), s"constant-value means: $engine")
+    // a Poisson(1) weight averages 1: per-seed Σw within 4σ of n
+    val sums = (0 until 41).map(j =>
+      keys.map(k => Evaluation.poissonWeightOf(j, k)).sum)
+    assert(sums.forall(s => math.abs(s - 2000L) < 4 * math.sqrt(2000.0)),
+      s"per-seed weight sums: $sums")
+  }
+
+  test("poissonBootstrap: CI brackets the true mean, deterministic across partitionings") {
+    import spark.implicits._
+    val df = (1 to 5000).map(i => (s"r$i", (i % 100).toDouble))
+      .toDF("k", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Evaluation.poissonBootstrapCI(d, col("k"), col("v"), b = 41)
+        .collect().head
+    val out = run(df)
+    val mean = out.getAs[Double]("mean")
+    val (lo, hi) = (out.getAs[Double]("ci_lo"), out.getAs[Double]("ci_hi"))
+    assert(mean == 49.5 && lo < 49.5 && 49.5 < hi && lo < hi,
+      s"CI [$lo, $hi] around $mean")
+    // hash-based resampling: identical output on a different layout
+    val again = run(df.repartition(17))
+    assert(again.getAs[Double]("ci_lo") == lo &&
+      again.getAs[Double]("ci_hi") == hi, "must be partition-invariant")
+    intercept[IllegalArgumentException] {
+      Evaluation.poissonBootstrapCI(df, col("k"), col("v"), b = 50)
+    }
+  }
 }

@@ -595,6 +595,50 @@ class StatefulSpec extends SparkSpec {
       s"stream rollup $streamEst != batch $batchEst")
   }
 
+  test("bootstrapMomentsMonitor: live resample sums ≡ batch accumulators") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (1 to 200).map(i => (s"r$i", (i % 13).toDouble))
+    val events = rows.zipWithIndex.map { case ((k, v), i) =>
+      Stateful.KeyedValue(i.toLong, k, v) }
+    val mem = MemoryStream[Stateful.KeyedValue]
+    val out = Stateful.bootstrapMomentsMonitor(mem.toDS(), b = 41)
+    val sink = s"boot_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(events.take(90): _*)
+      q.processAllAvailable()
+      mem.addData(events.drop(90): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val latest = spark.table(sink).as[Stateful.ResampleSum].collect()
+      .groupBy(_.b).map(_._2.maxBy(_.through_seq))
+      .map(r => (r.b, r.n,
+        r.sum6.setScale(6).stripTrailingZeros)).toSet
+    // batch accumulators: re-derive (Σw, Σw·v) per resample from the
+    // same weights and the mean frame's inputs
+    val batch = graft.operators.Evaluation.bootstrapMeans(
+        rows.toDF("k", "v"), col("k"), col("v"), b = 41)
+    // means agree ⇒ sums agree; also check the raw fold directly
+    val direct = (0 until 41).map { j =>
+      val ws = rows.map { case (k, v) =>
+        (graft.operators.Evaluation.poissonWeightOf(j, k), v) }
+      (j, ws.map(_._1).sum,
+        ws.map { case (w, v) => java.math.BigDecimal.valueOf(v)
+          .setScale(6, java.math.RoundingMode.HALF_UP)
+          .multiply(java.math.BigDecimal.valueOf(w)) }
+          .foldLeft(java.math.BigDecimal.ZERO.setScale(6))(_.add(_))
+          .stripTrailingZeros)
+    }.toSet
+    assert(latest == direct, s"streamed sums != direct fold")
+    val batchMeans = batch.collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    latest.foreach { case (j, n, s) =>
+      assert(s.doubleValue() / n == batchMeans(j),
+        s"resample $j: live mean != batch mean") }
+  }
+
   test("amsSignSumMonitor: live sign-sums ≡ batch, median(S²) ≡ batch estimate") {
     import org.apache.spark.sql.functions.col
     implicit val sqlCtx = spark.sqlContext
