@@ -1727,6 +1727,56 @@ object Evaluation {
       round(col("__hi").cast(stable), 6).cast("double").as("ci_hi"))
   }
 
+  /** X233 — Kaplan–Meier product-limit survival estimator (Kaplan &
+    * Meier, JASA 1958): from one (duration, event) row per subject —
+    * event = 1 observed, 0 right-censored — the survival curve
+    * S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) over the EVENT times, the
+    * standard time-to-conversion / retention read when some subjects
+    * haven't converted yet (dropping them would bias the curve; so
+    * would counting them as converted).
+    *
+    * Shape: ONE aggregate collapses subjects to the per-duration
+    * (deaths, censored) table — the only shuffle, carrying ≤ distinct
+    * durations; risk sets and the running product come from windows
+    * over that duration-cardinality-bounded table (the sanctioned
+    * bounded frame). The product is portable as
+    * exp(Σ round(ln(1 − d/n), 8)) — round-then-add, one exp at the
+    * end; a step that exhausts the risk set (d = n) pins survival to
+    * exactly 0 from that time on (ln is never called on 0).
+    */
+  def kaplanMeier(
+      df: DataFrame, duration: Column, event: Column): DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val byT = df.filter(duration.isNotNull && event.isNotNull)
+      .select(duration.cast("long").as("__t"),
+        event.cast("long").as("__e"))
+      .groupBy(col("__t"))
+      .agg(sum(col("__e")).as("__d"),
+        sum(lit(1L) - col("__e")).as("__c"))
+    val ord = Window.orderBy(col("__t"))
+    val upToNow = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val withRisk = byT
+      .withColumn("__n", sum(col("__d") + col("__c")).over(ord
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .filter(col("__d") > 0L)
+    // recompute windows on the event-time-only table: n_t still counts
+    // everyone at risk at t (censoring between event times already
+    // folded into __n above, BEFORE the filter)
+    val lnTerm = round(log(lit(1.0) -
+      col("__d").cast("double") / col("__n").cast("double"))
+      .cast(stable), 8)
+    val dead = max(when(col("__d") === col("__n"), 1L).otherwise(0L))
+      .over(upToNow)
+    withRisk
+      .withColumn("__ln", when(col("__d") < col("__n"), lnTerm))
+      .withColumn("__dead", dead)
+      .select(col("__t").as("t"), col("__n").as("n_risk"),
+        col("__d").as("d_events"), col("__c").as("c_censored"),
+        when(col("__dead") === 1L, lit(0.0)).otherwise(
+          round(exp(sum(col("__ln")).over(upToNow)).cast(stable), 6)
+            .cast("double")).as("survival"))
+  }
+
   def theilIndex(df: DataFrame, groupCols: Seq[String], valueCol: String,
       roundDigits: Int = 6): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(28, 6)

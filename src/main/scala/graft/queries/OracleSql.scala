@@ -5906,6 +5906,43 @@ object OracleSql {
         |  CAST(ROUND(CAST(hi AS DECIMAL(18,8)), 6) AS DOUBLE)
         |    AS ci_hi
         |FROM pt CROSS JOIN ci""".stripMargin,
+
+    // Kaplan–Meier: per-duration (deaths, censored) table, risk sets
+    // from a reverse running sum BEFORE the event-time filter, the
+    // product as exp of an exact-decimal sum of 8dp-rounded ln terms,
+    // exhausted risk sets pinned to survival 0.
+    "x266_kaplan_meier" ->
+      """WITH pu AS (SELECT user_id, MIN(ts) AS t0,
+        |  MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+        |  FROM events GROUP BY 1),
+        |hz AS (SELECT MAX(ts) AS e FROM events),
+        |su AS (SELECT CASE WHEN tp IS NOT NULL THEN
+        |    datediff('day', CAST(t0 AS DATE), CAST(tp AS DATE))
+        |  ELSE datediff('day', CAST(t0 AS DATE), CAST(e AS DATE))
+        |  END AS dur,
+        |  CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM pu CROSS JOIN hz),
+        |bt AS (SELECT CAST(dur AS BIGINT) AS t,
+        |  CAST(SUM(ev) AS BIGINT) AS d,
+        |  CAST(SUM(1 - ev) AS BIGINT) AS c FROM su
+        |  WHERE dur IS NOT NULL GROUP BY 1),
+        |rk AS (SELECT t, d, c, CAST(SUM(d + c) OVER (ORDER BY t
+        |  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |  AS BIGINT) AS n FROM bt),
+        |evt AS (SELECT * FROM rk WHERE d > 0),
+        |lt AS (SELECT t, n, d, c,
+        |  CASE WHEN d < n THEN ROUND(CAST(LN(1.0e0
+        |    - CAST(d AS DOUBLE) / CAST(n AS DOUBLE))
+        |    AS DECIMAL(18,8)), 8) END AS l,
+        |  MAX(CASE WHEN d = n THEN 1 ELSE 0 END) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+        |  FROM evt)
+        |SELECT t, n AS n_risk, d AS d_events, c AS c_censored,
+        |  CASE WHEN dead = 1 THEN 0.0e0 ELSE
+        |    CAST(ROUND(CAST(EXP(SUM(l) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |      AS DECIMAL(18,8)), 6) AS DOUBLE) END AS survival
+        |FROM lt ORDER BY t""".stripMargin,
   )
 
   /** Croston/SBA with α = 0.5: every SES weight is a power of two

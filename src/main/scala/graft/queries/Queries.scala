@@ -2802,6 +2802,25 @@ object Queries {
         col("l_linenumber").cast("string")),
       value = col("l_extendedprice"), b = 81)
 
+  /** X233 — Kaplan–Meier time-to-first-purchase: per user, days from
+    * first event to first purchase (right-censored at the corpus'
+    * last timestamp when no purchase ever lands) — the survival read
+    * that neither drops nor mislabels the not-yet-converted. */
+  def x266(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val perUser = e.groupBy(col("user_id")).agg(
+      min(col("ts")).as("__t0"),
+      min(when(col("event_type") === "purchase", col("ts"))).as("__tp"))
+    val horizon = e.agg(max(col("ts")).as("__end"))
+    val subjects = perUser.crossJoin(horizon).select(
+      when(col("__tp").isNotNull,
+          datediff(col("__tp").cast("date"), col("__t0").cast("date")))
+        .otherwise(datediff(col("__end").cast("date"),
+          col("__t0").cast("date"))).as("dur"),
+      col("__tp").isNotNull.cast("long").as("ev"))
+    Evaluation.kaplanMeier(subjects, col("dur"), col("ev")).orderBy("t")
+  }
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -3080,5 +3099,6 @@ object Queries {
     "x262_ams_f2" -> (x262 _),
     "x263_ams_join_size" -> (x263 _),
     "x264_hll_grouped" -> (x264 _),
-    "x265_bootstrap_ci" -> (x265 _))
+    "x265_bootstrap_ci" -> (x265 _),
+    "x266_kaplan_meier" -> (x266 _))
 }

@@ -739,4 +739,34 @@ class EvaluationSpec extends SparkSpec {
       Evaluation.poissonBootstrapCI(df, col("k"), col("v"), b = 50)
     }
   }
+
+  test("kaplanMeier: hand-computed product-limit curve with censoring") {
+    import spark.implicits._
+    // subjects: death@1, death@2, censor@2, death@3, censor@4, death@5
+    val df = Seq((1L, 1L), (2L, 1L), (2L, 0L), (3L, 1L), (4L, 0L),
+      (5L, 1L)).toDF("dur", "ev")
+    val got = Evaluation.kaplanMeier(df, col("dur"), col("ev"))
+      .orderBy("t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // event times only (t=4 is censor-only: no row)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 5L))
+    val expected = Seq(
+      (1L, 6L, 1L, 0L, 5.0 / 6.0),
+      (2L, 5L, 1L, 1L, 5.0 / 6.0 * 4.0 / 5.0),
+      (3L, 3L, 1L, 0L, 5.0 / 6.0 * 4.0 / 5.0 * 2.0 / 3.0),
+      (5L, 1L, 1L, 0L, 0.0)) // risk set exhausted → exactly 0
+    got.zip(expected).foreach { case ((t, n, d, c, s), (et, en, ed, ec, es)) =>
+      assert(t == et && n == en && d == ed && c == ec,
+        s"counts at t=$t: ($n,$d,$c)")
+      assert(math.abs(s - es) < 2e-6, s"survival at t=$t: $s vs $es")
+    }
+    assert(got.last._5 == 0.0, "exhausted risk set pins survival to 0")
+    // no-censoring sanity: survival at last event = 0, monotone
+    val all = Evaluation.kaplanMeier(
+      Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("dur", "ev"),
+      col("dur"), col("ev")).orderBy("t").collect().map(_.getDouble(4))
+    assert(all.zip(all.tail).forall { case (a, b) => a >= b } &&
+      all.last == 0.0)
+  }
 }
