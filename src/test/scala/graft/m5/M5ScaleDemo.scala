@@ -1,6 +1,6 @@
 package graft.m5
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 import java.time.LocalDate
 
 import org.apache.spark.sql.SparkSession
@@ -26,9 +26,16 @@ object M5ScaleDemo {
     // the full.yaml objective at demo width
     val tweedie = args.length > 5 && args(5) == "tweedie"
 
-    val in = Files.createTempDirectory("m5scale_in").toString
-    val out = Files.createTempDirectory("m5scale_out").toString
-    MiniM5Fixture.writeSized(in, storesN, itemsN, days)
+    // args 7/8 = explicit in/out dirs: reuse a previous run's fixture
+    // and checkpoints (the DAG memoizes on existing targets), so a
+    // failed tail task can be re-driven without repaying the fixture
+    // write and the finished stages
+    val in = if (args.length > 6) args(6)
+      else Files.createTempDirectory("m5scale_in").toString
+    val out = if (args.length > 7) args(7)
+      else Files.createTempDirectory("m5scale_out").toString
+    if (!Files.exists(Paths.get(s"$in/sales_train_evaluation.csv")))
+      MiniM5Fixture.writeSized(in, storesN, itemsN, days)
 
     val start = LocalDate.of(2016, 1, 1)
     val testStart = start.plusDays(days - 7)
