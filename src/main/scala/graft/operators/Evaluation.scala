@@ -1777,6 +1777,266 @@ object Evaluation {
             .cast("double")).as("survival"))
   }
 
+  /** X234 (r16) — Kaplan–Meier with Greenwood 95% confidence bands
+    * (Greenwood 1926): Var(Ŝ(t)) = Ŝ(t)² · Σ_{tᵢ≤t} dᵢ/(nᵢ(nᵢ−dᵢ)) —
+    * the error bars [[kaplanMeier]]'s point curve needs before anyone
+    * reads a retention difference off it. Same shape as the point
+    * estimator: ONE aggregate to the per-duration table (the only
+    * shuffle, ≤ distinct durations), windows over that bounded table.
+    *
+    * Portability: each Greenwood increment d/(n(n−d)) is rounded to
+    * 8 dp BEFORE the running exact-decimal sum (round-then-add); the
+    * band is survival·√G with survival the ALREADY-6dp-rounded curve
+    * value, so both engines multiply identical doubles; √ is IEEE
+    * correctly-rounded. A step that exhausts the risk set (d = n)
+    * pins survival to 0 and the band to null from that time on (the
+    * increment would divide by zero; the curve is degenerate there
+    * anyway). Bands clamp to [0, 1].
+    */
+  def kaplanMeierGreenwood(
+      df: DataFrame, duration: Column, event: Column,
+      z: Double = 1.96): DataFrame = {
+    require(z > 0, s"z must be positive: $z")
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val byT = df.filter(duration.isNotNull && event.isNotNull)
+      .select(duration.cast("long").as("__t"),
+        event.cast("long").as("__e"))
+      .groupBy(col("__t"))
+      .agg(sum(col("__e")).as("__d"),
+        sum(lit(1L) - col("__e")).as("__c"))
+    val ord = Window.orderBy(col("__t"))
+    val upToNow = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val withRisk = byT
+      .withColumn("__n", sum(col("__d") + col("__c")).over(ord
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .filter(col("__d") > 0L)
+    val lnTerm = round(log(lit(1.0) -
+      col("__d").cast("double") / col("__n").cast("double"))
+      .cast(stable), 8)
+    val gTerm = round((col("__d").cast("double") /
+      (col("__n").cast("double") *
+        (col("__n") - col("__d")).cast("double"))).cast(stable), 8)
+    val dead = max(when(col("__d") === col("__n"), 1L).otherwise(0L))
+      .over(upToNow)
+    val curve = withRisk
+      .withColumn("__ln", when(col("__d") < col("__n"), lnTerm))
+      .withColumn("__g", when(col("__d") < col("__n"), gTerm))
+      .withColumn("__dead", dead)
+      .withColumn("__s", when(col("__dead") === 1L, lit(0.0)).otherwise(
+        round(exp(sum(col("__ln")).over(upToNow)).cast(stable), 6)
+          .cast("double")))
+      .withColumn("__G", sum(col("__g")).over(upToNow))
+    val se = round((col("__s") * sqrt(col("__G").cast("double")))
+      .cast(stable), 6).cast("double")
+    curve.select(col("__t").as("t"), col("__n").as("n_risk"),
+      col("__d").as("d_events"), col("__s").as("survival"),
+      when(col("__dead") === 0L, se).as("se"),
+      when(col("__dead") === 0L,
+        round(greatest(lit(0.0), col("__s") - lit(z) * se)
+          .cast(stable), 6).cast("double")).as("ci_lo"),
+      when(col("__dead") === 0L,
+        round(least(lit(1.0), col("__s") + lit(z) * se)
+          .cast(stable), 6).cast("double")).as("ci_hi"))
+  }
+
+  /** X235 (r16) — restricted mean survival time (RMST; Royston &
+    * Parmar, BMC Med Res 2013): the area under the Kaplan–Meier curve
+    * up to a horizon τ — "expected days survived (or not-yet-
+    * converted) in the first τ days", the single-number survival
+    * summary that stays defined under heavy censoring where the
+    * median doesn't. Reads the [[kaplanMeier]] step curve: each
+    * interval [tᵢ₋₁, tᵢ) contributes Ŝ(tᵢ₋₁)·(min(tᵢ, τ) − tᵢ₋₁),
+    * plus the tail Ŝ(t_last)·(τ − t_last) when the curve ends before
+    * τ. One lag window over the duration-bounded event table; each
+    * contribution is the 6dp-rounded survival times an integer day
+    * width, rounded to 8 dp before the exact-decimal sum.
+    */
+  def rmst(df: DataFrame, duration: Column, event: Column,
+      tau: Long): DataFrame = {
+    require(tau > 0, s"tau must be positive: $tau")
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val curve = kaplanMeier(df, duration, event)
+    val ord = Window.orderBy(col("t"))
+    val prevT = lag(col("t"), 1, 0L).over(ord)
+    val prevS = lag(col("survival"), 1, 1.0).over(ord)
+    val width = least(col("t"), lit(tau)) - prevT
+    val contrib = when(prevT < tau,
+      round((prevS * width.cast("double")).cast(stable), 8))
+      .otherwise(lit(java.math.BigDecimal.ZERO).cast(stable))
+    val steps = curve.select(col("t"), col("survival"),
+      contrib.as("__a"))
+    steps.agg(
+        count(lit(1)).as("n_steps"),
+        coalesce(sum(col("__a")),
+          lit(java.math.BigDecimal.ZERO).cast(stable)).as("__area"),
+        max(col("t")).as("__tl"),
+        max(struct(col("t"), col("survival"))).as("__last"))
+      .select(lit(tau).as("tau"), col("n_steps"),
+        round((col("__area").cast("double") +
+          when(col("__tl").isNull, lit(tau.toDouble))
+            .when(col("__tl") < tau,
+              col("__last.survival") *
+                (lit(tau) - col("__tl")).cast("double"))
+            .otherwise(lit(0.0))).cast(stable), 6)
+          .cast("double").as("rmst"))
+  }
+
+  /** X236 (r16) — Cochran–Mantel–Haenszel stratified 2×2 test
+    * (Mantel & Haenszel, JNCI 1959): pooled treatment-vs-outcome
+    * association ACROSS strata — the Simpson's-paradox-proof read an
+    * experiment sliced by country/device/cohort needs (a marginal 2×2
+    * can reverse sign under confounded stratum sizes; CMH conditions
+    * on each stratum's margins). Per stratum: observed a = treated
+    * successes, E(a) = r₁c₁/N, Var(a) = r₁r₀c₁c₀/(N²(N−1)); the
+    * statistic is (Σa − ΣE)²/ΣVar (no continuity correction — both
+    * engines would have to agree on it anyway, and at pipeline n it's
+    * noise), plus the Mantel–Haenszel common odds ratio
+    * Σ(aᵢdᵢ/Nᵢ)/Σ(bᵢcᵢ/Nᵢ).
+    *
+    * ONE aggregate to the per-stratum count table (the only shuffle,
+    * ≤ distinct strata rows); every per-stratum term is a rational of
+    * integer counts rounded to 8 dp before the exact-decimal sums.
+    * Single-subject strata (N = 1) contribute E but zero variance
+    * (the hypergeometric is degenerate there).
+    */
+  def cmhTest(df: DataFrame, stratum: Column, isTreat: Column,
+      success: Column, roundDigits: Int = 6): DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val rows = df
+      .filter(stratum.isNotNull && isTreat.isNotNull && success.isNotNull)
+      .select(stratum.as("__s"), isTreat.cast("long").as("__t"),
+        success.cast("long").as("__y"))
+    val cells = rows.groupBy(col("__s")).agg(
+      count(lit(1)).as("__n"), sum(col("__t")).as("__r1"),
+      sum(col("__y")).as("__c1"),
+      sum(col("__t") * col("__y")).as("__a"))
+    val n = col("__n").cast("double")
+    val r1 = col("__r1").cast("double")
+    val r0 = (col("__n") - col("__r1")).cast("double")
+    val c1 = col("__c1").cast("double")
+    val c0 = (col("__n") - col("__c1")).cast("double")
+    val a = col("__a").cast("double")
+    val b = (col("__r1") - col("__a")).cast("double")
+    val c = (col("__c1") - col("__a")).cast("double")
+    val d = (col("__n") - col("__r1") - col("__c1") + col("__a"))
+      .cast("double")
+    val e = round((r1 * c1 / n).cast(stable), 8)
+    val v = when(col("__n") > 1L,
+      round((r1 * r0 * c1 * c0 / (n * n * (n - lit(1.0d))))
+        .cast(stable), 8))
+      .otherwise(lit(java.math.BigDecimal.ZERO).cast(stable))
+    val agg = cells.agg(
+      count(lit(1)).as("k_strata"), sum(col("__n")).as("n_total"),
+      sum(col("__a")).as("observed"),
+      sum(e).as("__e"), sum(v).as("__v"),
+      sum(round((a * d / n).cast(stable), 8)).as("__on"),
+      sum(round((b * c / n).cast(stable), 8)).as("__od"))
+    val dev = col("observed").cast("double") - col("__e").cast("double")
+    agg.select(col("k_strata"), col("n_total"), col("observed"),
+      round(col("__e").cast(stable), roundDigits).cast("double")
+        .as("expected"),
+      round(col("__v").cast(stable), roundDigits).cast("double")
+        .as("variance"),
+      round(when(col("__v") > 0, dev * dev / col("__v").cast("double"))
+        .cast(stable), roundDigits).cast("double").as("cmh_chi2"),
+      round(when(col("__od") > 0,
+        col("__on").cast("double") / col("__od").cast("double"))
+        .cast(stable), roundDigits).cast("double").as("mh_odds_ratio"))
+  }
+
+  /** X237 (r16) — Holm step-down family-wise-error correction (Holm,
+    * Scand J Stat 1979): the FWER complement to [[bhFdr]]'s FDR —
+    * when ANY single false rejection is unacceptable (a ship/no-ship
+    * gate, not a discovery screen), Holm dominates plain Bonferroni
+    * uniformly at the same guarantee. Adjusted p₍ᵢ₎ =
+    * min(1, max_{j≤i} (m−j+1)·p₍ⱼ₎) — one rank window and one running
+    * max over the k-row metrics table ([[msprt]] with `keyCols` emits
+    * exactly this shape, so the windows are bounded by contract).
+    * Ties break by key for determinism; null p-values are excluded.
+    */
+  def holmAdjust(df: DataFrame, keyCol: String, pCol: Column,
+      alpha: Double = 0.05, roundDigits: Int = 6): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val rows = df.filter(pCol.isNotNull)
+      .select(col(keyCol), pCol.cast("double").as("__p"))
+    val w = Window.orderBy(col("__p"), col(keyCol))
+    val wAll = Window.partitionBy()
+    val upToNow = w.rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = rows
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("__m", count(lit(1)).over(wAll))
+      .withColumn("__step", round(
+        ((col("__m") - col("rank") + 1L).cast("double") * col("__p"))
+          .cast(stable), 8))
+      .withColumn("__adj", least(lit(1.0),
+        max(col("__step")).over(upToNow).cast("double")))
+    ranked.select(col(keyCol),
+      round(col("__p").cast(stable), roundDigits).cast("double")
+        .as("p_value"),
+      col("rank"), col("__m").as("m_tests"),
+      round(col("__adj").cast(stable), roundDigits).cast("double")
+        .as("holm_adjusted"),
+      (col("__adj") <= lit(alpha)).cast("int").as("rejected"))
+  }
+
+  /** X238 (r16) — difference-in-differences estimator (Card & Krueger
+    * AER '94 shape): effect = (T̄post − T̄pre) − (C̄post − C̄pre) over
+    * the four (group × period) cells — the causal read when treatment
+    * wasn't randomized but both groups share a pre-period trend
+    * (launches, staged rollouts, policy changes). Callers pass ONE
+    * row per unit×period (aggregate to units first — the
+    * [[ratioMetricCI]] clustering argument); SE is the four-cell
+    * pooled √(Σ s²ᵢ/nᵢ) on those unit-level rows.
+    *
+    * ONE aggregate over the input (4 conditional-sum cells, map-side
+    * combinable, no join); cell squares are rounded to 8 dp before
+    * the exact-decimal sums, cell means to 6 dp before the variance
+    * combine, so both engines walk identical doubles into the final
+    * float chain.
+    */
+  def didEstimate(df: DataFrame, isTreat: Column, isPost: Column,
+      value: Column, roundDigits: Int = 6): DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val rows = df
+      .filter(isTreat.isNotNull && isPost.isNotNull && value.isNotNull)
+      .select(isTreat.cast("int").as("__g"), isPost.cast("int").as("__p"),
+        value.cast("double").as("__v"))
+    // squares and variance terms ride DECIMAL(28,8): a (18,8) square
+    // would overflow (Spark nulls, DuckDB errors) once per-unit sums
+    // cross ~1e5
+    val wide = org.apache.spark.sql.types.DecimalType(28, 8)
+    val cells = rows.groupBy(col("__g"), col("__p")).agg(
+      count(lit(1)).as("__n"),
+      sum(col("__v").cast(wide)).as("__s"),
+      sum(round((col("__v") * col("__v")).cast(wide), 8)).as("__q"))
+    val mean = round((col("__s").cast("double") / col("__n").cast("double"))
+      .cast(stable), 6).cast("double")
+    val variance = when(col("__n") > 1L,
+      (col("__q").cast("double") - col("__n").cast("double") * mean * mean)
+        / (col("__n") - 1L).cast("double"))
+    val sign = ((col("__g") * 2 - 1) * (col("__p") * 2 - 1)).cast("double")
+    val enriched = cells
+      .withColumn("__mean", mean)
+      .withColumn("__vn", round((variance / col("__n").cast("double"))
+        .cast(wide), 8))
+    val agg = enriched.agg(
+      count(lit(1)).as("k_cells"), sum(col("__n")).as("n_rows"),
+      sum(round((sign * col("__mean")).cast(stable), 8)).as("__eff"),
+      sum(col("__vn")).as("__se2"),
+      min(col("__n")).as("__minN"))
+    val se = sqrt(col("__se2").cast("double"))
+    agg.select(col("k_cells"), col("n_rows"),
+      round(when(col("k_cells") === 4L, col("__eff").cast("double"))
+        .cast(stable), roundDigits).cast("double").as("did_effect"),
+      round(when(col("k_cells") === 4L && col("__minN") > 1L, se)
+        .cast(stable), roundDigits).cast("double").as("se"),
+      round(when(col("k_cells") === 4L && col("__minN") > 1L
+          && col("__se2") > 0,
+        (col("__eff").cast("double") / se)).cast(stable), roundDigits)
+        .cast("double").as("t_stat"))
+  }
+
   def theilIndex(df: DataFrame, groupCols: Seq[String], valueCol: String,
       roundDigits: Int = 6): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(28, 6)

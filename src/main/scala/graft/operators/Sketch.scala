@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed probabilistic sketches with ENGINE-PORTABLE hashing —
@@ -463,5 +464,105 @@ object Sketch {
         coalesce(col("__t"), lit(0L)).as("true_count"),
         (col("estimate") - coalesce(col("__t"), lit(0L)))
           .as("overcount"))
+  }
+
+  /** Per-group HLL estimate over a sparse (group, bucket, max-rank)
+    * register frame — [[hllEstimateFromRegisters]] with the group key
+    * carried through (the [[hllDistinctBy]] finishing aggregate,
+    * factored so [[hyperBall]] can reuse it per vertex per round).
+    * Emits (group, estimate) with the raw/linear-counting branch
+    * pinned exactly as the solo sketch pins it. */
+  private def hllEstimateByGroup(
+      regs: DataFrame, groupCol: String, m: Int): DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val two40 = 1099511627776L // 2^40
+    val agg = regs.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("__ne"),
+      (sum(expr("shiftleft(1L, 40 - __r)"))
+        + (lit(m.toLong) - count(lit(1))) * lit(two40)).as("__s"))
+    val raw = alpha * lit((m.toLong * m).toDouble) * lit(two40.toDouble) /
+      col("__s").cast("double")
+    val zeros = lit(m.toLong) - col("__ne")
+    val lin = lit(m.toDouble) *
+      round(log(lit(m.toDouble) / zeros.cast("double")).cast(stable), 8)
+        .cast("double")
+    agg.select(col(groupCol),
+      round(when(raw <= lit(2.5) * lit(m.toDouble) && zeros > 0L, lin)
+        .otherwise(raw).cast(stable), 6).cast("double").as("__est"))
+  }
+
+  /** X239 (r16) — HyperBall neighborhood function (Boldi & Vigna,
+    * "In-Core Computation of Geometric Centralities with HyperBall",
+    * 2013; the HyperANF/WebGraph lineage): estimate |ball(v, r)| for
+    * every vertex simultaneously by giving each vertex an m-register
+    * HLL sketch of its ball and iterating register MAX-merge along
+    * edges — B(v, r+1) = B(v, r) ∪ ⋃_{(v,u)∈E} B(u, r) becomes one
+    * join + one max aggregate per round. THE way to read reachability
+    * volume, effective diameter, and connectivity health off a
+    * 100 TB-scale graph: exact per-vertex BFS is O(V·E) and per-
+    * vertex frontiers are data-sized, while the register frame is
+    * bounded at V·m rows FOREVER (m = 32 ⇒ ~18% per-ball error, the
+    * paper's own operating point) and each round's shuffle is the
+    * edge join, never the ball contents.
+    *
+    * Registers are [[hllDistinct]]'s engine-portable arithmetic
+    * (md5 bucket/rank, exact 2^(40−r) harmonic terms, 8dp-pinned
+    * linear-counting ln), so a DuckDB oracle replays every round
+    * bit-for-bit. Per-round totals N(r) = Σ_v est(v, r) sum the
+    * 6dp-rounded per-vertex estimates exactly (round-then-add);
+    * `reach_frac` = N(r)/N(rounds) and the first row with
+    * frac ≥ 0.9 reads off the effective-diameter estimate.
+    *
+    * Each round's register frame is persisted via `scope` (two
+    * consumers: the estimate pass and the next round's join); rounds
+    * is a small literal by contract — the caller picks the radius the
+    * question needs, the frame size never grows past V·m.
+    */
+  def hyperBall(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int, m: Int = 32,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+    : DataFrame = {
+    require(rounds >= 1 && rounds <= 8, s"rounds must be in [1,8]: $rounds")
+    require(m >= 16 && (m & (m - 1)) == 0,
+      s"m must be a power of two >= 16: $m")
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val e = scope.persist(edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).cast("string").as("__u"),
+        col(dstCol).cast("string").as("__w"))
+      .distinct())
+    val verts = e.select(col("__u").as("__v"))
+      .union(e.select(col("__w").as("__v"))).distinct()
+    // radius 0: every ball is {v} — one register row per vertex
+    var regs = scope.persist(verts.select(col("__v"),
+      hllBucket(col("__v"), m).as("__b"), hllRank(col("__v")).as("__r")))
+    def roundTotal(r: Int): DataFrame =
+      hllEstimateByGroup(regs, "__v", m).agg(
+        count(lit(1)).as("__nv"),
+        sum(round(col("__est").cast(stable), 6)).as("__tot"))
+        .select(lit(r.toLong).as("r"),
+          round(col("__tot").cast(stable), 6).cast("double")
+            .as("n_reached"),
+          round((col("__tot").cast("double") / col("__nv").cast("double"))
+            .cast(stable), 6).cast("double").as("avg_ball"))
+    val totals = scala.collection.mutable.Buffer(roundTotal(0))
+    for (k <- 1 to rounds) {
+      val prop = e.join(regs.withColumnRenamed("__v", "__w"), Seq("__w"))
+        .select(col("__u").as("__v"), col("__b"), col("__r"))
+      regs = scope.persist(regs.union(prop)
+        .groupBy(col("__v"), col("__b")).agg(max(col("__r")).as("__r")))
+      totals += roundTotal(k)
+    }
+    val curve = totals.reduce(_.union(_))
+    val wAll = Window.partitionBy()
+    val last = max(struct(col("r"), col("n_reached"))).over(wAll)
+    curve
+      .withColumn("__final", last.getField("n_reached"))
+      .select(col("r"), col("n_reached"), col("avg_ball"),
+        round((col("n_reached") / col("__final")).cast(stable), 6)
+          .cast("double").as("reach_frac"),
+        (col("n_reached") >= lit(0.9) * col("__final")).cast("int")
+          .as("covered_90"))
   }
 }

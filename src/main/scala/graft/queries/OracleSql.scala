@@ -5943,7 +5943,327 @@ object OracleSql {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |      AS DECIMAL(18,8)), 6) AS DOUBLE) END AS survival
         |FROM lt ORDER BY t""".stripMargin,
+
+    // Kaplan–Meier with Greenwood bands: the x266 chain plus the
+    // 8dp-rounded Greenwood increments d/(n(n−d)), se = the ALREADY-
+    // 6dp survival × √(running G), bands clamped to [0,1] from the
+    // ROUNDED se — round-then-combine at every float step.
+    "x267_km_greenwood" ->
+      (kmSubjectsCte +
+      """bt AS (SELECT CAST(dur AS BIGINT) AS t,
+        |  CAST(SUM(ev) AS BIGINT) AS d,
+        |  CAST(SUM(1 - ev) AS BIGINT) AS c FROM su
+        |  WHERE dur IS NOT NULL GROUP BY 1),
+        |rk AS (SELECT t, d, c, CAST(SUM(d + c) OVER (ORDER BY t
+        |  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |  AS BIGINT) AS n FROM bt),
+        |evt AS (SELECT * FROM rk WHERE d > 0),
+        |lt AS (SELECT t, n, d,
+        |  CASE WHEN d < n THEN ROUND(CAST(LN(1.0e0
+        |    - CAST(d AS DOUBLE) / CAST(n AS DOUBLE))
+        |    AS DECIMAL(18,8)), 8) END AS l,
+        |  CASE WHEN d < n THEN ROUND(CAST(CAST(d AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(n - d AS DOUBLE))
+        |    AS DECIMAL(18,8)), 8) END AS g,
+        |  MAX(CASE WHEN d = n THEN 1 ELSE 0 END) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+        |  FROM evt),
+        |cu AS (SELECT t, n, d, dead,
+        |  CASE WHEN dead = 1 THEN 0.0e0 ELSE
+        |    CAST(ROUND(CAST(EXP(SUM(l) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |      AS DECIMAL(18,8)), 6) AS DOUBLE) END AS s,
+        |  SUM(g) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gg
+        |  FROM lt),
+        |sr AS (SELECT t, n, d, dead, s,
+        |  CAST(ROUND(CAST(s * SQRT(CAST(gg AS DOUBLE))
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS ser FROM cu)
+        |SELECT t, n AS n_risk, d AS d_events, s AS survival,
+        |  CASE WHEN dead = 0 THEN ser END AS se,
+        |  CASE WHEN dead = 0 THEN CAST(ROUND(CAST(
+        |    GREATEST(0.0e0, s - 1.96e0 * ser)
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) END AS ci_lo,
+        |  CASE WHEN dead = 0 THEN CAST(ROUND(CAST(
+        |    LEAST(1.0e0, s + 1.96e0 * ser)
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) END AS ci_hi
+        |FROM sr ORDER BY t""".stripMargin),
+
+    // RMST at τ = 30: the x266 curve, one lag window, each interval's
+    // 6dp-survival × integer width rounded to 8dp before the exact
+    // sum; tail = last survival × (τ − t_last) when the curve ends
+    // early; an empty curve integrates survival 1 to exactly τ.
+    "x268_rmst" ->
+      (kmSubjectsCte +
+      """bt AS (SELECT CAST(dur AS BIGINT) AS t,
+        |  CAST(SUM(ev) AS BIGINT) AS d,
+        |  CAST(SUM(1 - ev) AS BIGINT) AS c FROM su
+        |  WHERE dur IS NOT NULL GROUP BY 1),
+        |rk AS (SELECT t, d, c, CAST(SUM(d + c) OVER (ORDER BY t
+        |  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |  AS BIGINT) AS n FROM bt),
+        |evt AS (SELECT * FROM rk WHERE d > 0),
+        |lt AS (SELECT t, n, d,
+        |  CASE WHEN d < n THEN ROUND(CAST(LN(1.0e0
+        |    - CAST(d AS DOUBLE) / CAST(n AS DOUBLE))
+        |    AS DECIMAL(18,8)), 8) END AS l,
+        |  MAX(CASE WHEN d = n THEN 1 ELSE 0 END) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+        |  FROM evt),
+        |km AS (SELECT t,
+        |  CASE WHEN dead = 1 THEN 0.0e0 ELSE
+        |    CAST(ROUND(CAST(EXP(SUM(l) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |      AS DECIMAL(18,8)), 6) AS DOUBLE) END AS survival
+        |  FROM lt),
+        |lg AS (SELECT t, survival,
+        |  LAG(t, 1, CAST(0 AS BIGINT)) OVER (ORDER BY t) AS pt,
+        |  LAG(survival, 1, 1.0e0) OVER (ORDER BY t) AS ps FROM km),
+        |ar AS (SELECT t, survival,
+        |  CASE WHEN pt < 30 THEN ROUND(CAST(ps
+        |      * CAST(LEAST(t, 30) - pt AS DOUBLE) AS DECIMAL(18,8)), 8)
+        |    ELSE CAST(0 AS DECIMAL(18,8)) END AS a FROM lg)
+        |SELECT CAST(30 AS BIGINT) AS tau, COUNT(*) AS n_steps,
+        |  CAST(ROUND(CAST(CAST(COALESCE(SUM(a),
+        |      CAST(0 AS DECIMAL(18,8))) AS DOUBLE)
+        |    + CASE WHEN MAX(t) IS NULL THEN 30.0e0
+        |        WHEN MAX(t) < 30 THEN max_by(survival, t)
+        |          * CAST(30 - MAX(t) AS DOUBLE)
+        |        ELSE 0.0e0 END AS DECIMAL(18,8)), 6) AS DOUBLE) AS rmst
+        |FROM ar""".stripMargin),
+
+    // CMH: per-stratum 2×2 margins, E and hypergeometric Var rounded
+    // to 8dp before the exact sums, χ² and the MH odds ratio as final
+    // float chains; N = 1 strata contribute E but zero variance.
+    "x269_cmh_test" ->
+      """WITH pu AS (SELECT user_id,
+        |  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT user_id % 3 AS s,
+        |  CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t, y FROM pu),
+        |ce AS (SELECT s, COUNT(*) AS n, SUM(t) AS r1, SUM(y) AS c1,
+        |  SUM(t * y) AS a FROM r GROUP BY 1),
+        |g AS (SELECT n, a,
+        |  ROUND(CAST(CAST(r1 AS DOUBLE) * CAST(c1 AS DOUBLE)
+        |    / CAST(n AS DOUBLE) AS DECIMAL(18,8)), 8) AS e,
+        |  CASE WHEN n > 1 THEN ROUND(CAST(CAST(r1 AS DOUBLE)
+        |      * CAST(n - r1 AS DOUBLE) * CAST(c1 AS DOUBLE)
+        |      * CAST(n - c1 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |        * (CAST(n AS DOUBLE) - 1.0e0)) AS DECIMAL(18,8)), 8)
+        |    ELSE CAST(0 AS DECIMAL(18,8)) END AS v,
+        |  ROUND(CAST(CAST(a AS DOUBLE) * CAST(n - r1 - c1 + a AS DOUBLE)
+        |    / CAST(n AS DOUBLE) AS DECIMAL(18,8)), 8) AS onum,
+        |  ROUND(CAST(CAST(r1 - a AS DOUBLE) * CAST(c1 - a AS DOUBLE)
+        |    / CAST(n AS DOUBLE) AS DECIMAL(18,8)), 8) AS oden
+        |  FROM ce),
+        |f AS (SELECT COUNT(*) AS k_strata, SUM(n) AS n_total,
+        |  SUM(a) AS observed, SUM(e) AS se_, SUM(v) AS sv,
+        |  SUM(onum) AS son, SUM(oden) AS sod FROM g)
+        |SELECT CAST(k_strata AS BIGINT) AS k_strata,
+        |  CAST(n_total AS BIGINT) AS n_total,
+        |  CAST(observed AS BIGINT) AS observed,
+        |  CAST(ROUND(CAST(se_ AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |    AS expected,
+        |  CAST(ROUND(CAST(sv AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |    AS variance,
+        |  CAST(ROUND(CAST(CASE WHEN sv > 0 THEN
+        |    (CAST(observed AS DOUBLE) - CAST(se_ AS DOUBLE))
+        |    * (CAST(observed AS DOUBLE) - CAST(se_ AS DOUBLE))
+        |    / CAST(sv AS DOUBLE) END AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |    AS cmh_chi2,
+        |  CAST(ROUND(CAST(CASE WHEN sod > 0 THEN
+        |    CAST(son AS DOUBLE) / CAST(sod AS DOUBLE) END
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS mh_odds_ratio
+        |FROM f""".stripMargin,
+
+    // Holm step-down over the x256 mSPRT family: steps
+    // (m−rank+1)·p rounded to 8dp, adjusted p = clamped running max,
+    // FWER rejection at α = 0.1.
+    "x270_holm" ->
+      """WITH r AS (SELECT source,
+        |  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS t,
+        |  CAST(n_chars AS DECIMAL(18,6)) AS v
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |m AS (SELECT source, SUM(t) AS na, SUM(1 - t) AS nb,
+        |  CAST(SUM(CASE WHEN t = 1 THEN v
+        |    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(24,6)) AS sa,
+        |  CAST(SUM(CASE WHEN t = 0 THEN v
+        |    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(24,6)) AS sb,
+        |  CAST(SUM(CASE WHEN t = 1 THEN
+        |      CAST(CAST(v AS DECIMAL(19,6)) * CAST(v AS DECIMAL(19,6))
+        |        AS DECIMAL(28,12))
+        |    ELSE CAST(0 AS DECIMAL(28,12)) END) AS DECIMAL(28,12)) AS saa,
+        |  CAST(SUM(CASE WHEN t = 0 THEN
+        |      CAST(CAST(v AS DECIMAL(19,6)) * CAST(v AS DECIMAL(19,6))
+        |        AS DECIMAL(28,12))
+        |    ELSE CAST(0 AS DECIMAL(28,12)) END) AS DECIMAL(28,12)) AS sbb
+        |  FROM r GROUP BY source),
+        |g AS (SELECT source, na, nb,
+        |  CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+        |  CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+        |  (CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+        |    / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1) AS va,
+        |  (CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+        |    / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1) AS vb
+        |  FROM m),
+        |h AS (SELECT source, na, nb, ma, mb,
+        |  va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE) AS vv,
+        |  ma - mb AS delta FROM g),
+        |k AS (SELECT source, na, nb, vv, delta,
+        |  5e-1 * LN(vv / (vv + 1.0000000000000002e-2))
+        |    + delta * delta * 1.0000000000000002e-2
+        |      / (2.0e0 * vv * (vv + 1.0000000000000002e-2)) AS loglam,
+        |  (na > 1 AND nb > 1 AND vv > 0) AS ok FROM h),
+        |p AS (SELECT source,
+        |  CAST(ROUND(CAST(CASE WHEN ok THEN EXP(LEAST(0.0e0, -loglam)) END
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS pv FROM k),
+        |q AS (SELECT source, pv,
+        |  ROW_NUMBER() OVER (ORDER BY pv, source) AS rnk,
+        |  COUNT(*) OVER () AS mt FROM p WHERE pv IS NOT NULL),
+        |st AS (SELECT source, pv, rnk, mt,
+        |  ROUND(CAST(CAST(mt - rnk + 1 AS DOUBLE) * pv
+        |    AS DECIMAL(18,8)), 8) AS step FROM q),
+        |ha AS (SELECT *, LEAST(1.0e0, CAST(MAX(step) OVER (ORDER BY rnk
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE)) AS adj FROM st)
+        |SELECT source,
+        |  CAST(ROUND(CAST(pv AS DECIMAL(18,8)), 6) AS DOUBLE) AS p_value,
+        |  CAST(rnk AS BIGINT) AS rank, CAST(mt AS BIGINT) AS m_tests,
+        |  CAST(ROUND(CAST(adj AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |    AS holm_adjusted,
+        |  CAST(adj <= 1e-1 AS INT) AS rejected
+        |FROM ha ORDER BY source""".stripMargin,
+
+    // DiD: per-(user, half-year) value sums as units, four
+    // (group × period) cells from ONE aggregate, 8dp-rounded squares
+    // and 6dp cell means, effect = signed mean sum, SE = pooled
+    // √(Σ s²/n).
+    "x271_did" ->
+      """WITH uv AS (SELECT user_id,
+        |  CASE WHEN MONTH(ts) >= 7 THEN 1 ELSE 0 END AS p,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS g,
+        |  p, v FROM uv),
+        |ce AS (SELECT g, p, COUNT(*) AS n,
+        |  SUM(CAST(v AS DECIMAL(28,8))) AS s,
+        |  SUM(ROUND(CAST(v * v AS DECIMAL(28,8)), 8)) AS q
+        |  FROM r GROUP BY 1, 2),
+        |m AS (SELECT g, p, n, q,
+        |  CAST(ROUND(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS mean FROM ce),
+        |vv AS (SELECT g, p, n, mean,
+        |  CASE WHEN n > 1 THEN (CAST(q AS DOUBLE)
+        |    - CAST(n AS DOUBLE) * mean * mean)
+        |    / (CAST(n AS DOUBLE) - 1.0e0) END AS var FROM m),
+        |en AS (SELECT n, CAST((g * 2 - 1) * (p * 2 - 1) AS DOUBLE)
+        |    AS sign, mean,
+        |  ROUND(CAST(var / CAST(n AS DOUBLE) AS DECIMAL(28,8)), 8)
+        |    AS vn FROM vv),
+        |f AS (SELECT COUNT(*) AS k_cells, SUM(n) AS n_rows,
+        |  SUM(ROUND(CAST(sign * mean AS DECIMAL(18,8)), 8)) AS eff,
+        |  SUM(vn) AS se2, MIN(n) AS minn FROM en)
+        |SELECT CAST(k_cells AS BIGINT) AS k_cells,
+        |  CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(ROUND(CAST(CASE WHEN k_cells = 4 THEN
+        |    CAST(eff AS DOUBLE) END AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |    AS did_effect,
+        |  CAST(ROUND(CAST(CASE WHEN k_cells = 4 AND minn > 1 THEN
+        |    SQRT(CAST(se2 AS DOUBLE)) END AS DECIMAL(18,8)), 6)
+        |    AS DOUBLE) AS se,
+        |  CAST(ROUND(CAST(CASE WHEN k_cells = 4 AND minn > 1
+        |      AND se2 > 0 THEN CAST(eff AS DOUBLE)
+        |      / SQRT(CAST(se2 AS DOUBLE)) END AS DECIMAL(18,8)), 6)
+        |    AS DOUBLE) AS t_stat
+        |FROM f""".stripMargin,
+
+    // HyperBall: per-vertex HLL registers max-merged along edges for
+    // 3 unrolled rounds (x259's portable bucket/rank/harmonic-sum
+    // arithmetic), per-round totals from 6dp-rounded per-vertex
+    // estimates summed exactly, reach fraction against the last round.
+    "x272_hyperball" -> hyperBallSql(rounds = 3, m = 32),
   )
+
+  /** Unrolled HyperBall over the x99 part⇄supplier graph: g0 = each
+    * vertex's own register, round k = edge join + (v, bucket) MAX,
+    * estimate CTE per round replaying [[graft.operators.Sketch]]'s
+    * register arithmetic (exact 2^(40−r) harmonic terms, 8dp-pinned
+    * linear-counting ln, 6dp per-vertex rounds). */
+  private def hyperBallSql(rounds: Int, m: Int): String = {
+    val alpha = s"(0.7213e0 / (1.0e0 + 1.079e0 / $m.0e0))"
+    val two40 = "1099511627776"
+    val mm = (m.toLong * m).toDouble
+    def estCte(k: Int): String =
+      s"""es$k AS (SELECT v, COUNT(*) AS ne,
+         |  CAST(SUM(1::BIGINT << (40 - r)) AS BIGINT)
+         |    + ($m - COUNT(*)) * (1::BIGINT << 40) AS s
+         |  FROM g$k GROUP BY 1),
+         |ee$k AS (SELECT v, $m - ne AS z,
+         |  $alpha * ${mm}e0 * $two40.0e0 / CAST(s AS DOUBLE) AS raw
+         |  FROM es$k),
+         |ef$k AS (SELECT v, CAST(ROUND(CAST(
+         |  CASE WHEN raw <= 2.5e0 * $m.0e0 AND z > 0 THEN
+         |    $m.0e0 * CAST(ROUND(CAST(LN($m.0e0 / CAST(z AS DOUBLE))
+         |      AS DECIMAL(18,8)), 8) AS DOUBLE)
+         |  ELSE raw END AS DECIMAL(18,8)), 6) AS DOUBLE) AS est
+         |  FROM ee$k),
+         |tt$k AS (SELECT CAST($k AS BIGINT) AS r, COUNT(*) AS nv,
+         |  SUM(CAST(est AS DECIMAL(18,8))) AS tot FROM ef$k)""".stripMargin
+    val roundCtes = (1 to rounds).map { k =>
+      s"""g$k AS (SELECT v, b, MAX(r) AS r FROM (
+         |  SELECT v, b, r FROM g${k - 1}
+         |  UNION ALL
+         |  SELECT e.u AS v, p.b, p.r FROM e
+         |    JOIN g${k - 1} p ON p.v = e.w) GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val estCtes = (0 to rounds).map(estCte).mkString(",\n")
+    val curve = (0 to rounds).map(k => s"SELECT * FROM tt$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS u,
+       |                  's' || CAST(l_suppkey AS VARCHAR) AS w
+       |  FROM lineitem
+       |  UNION
+       |  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR),
+       |                  'p' || CAST(l_partkey AS VARCHAR) FROM lineitem),
+       |vt AS (SELECT DISTINCT vv AS v FROM
+       |  (SELECT u AS vv FROM e UNION ALL SELECT w FROM e)),
+       |g0w AS (SELECT v,
+       |  ('0x' || substr(md5('b:' || v), 1, 8))::BIGINT % $m AS b,
+       |  ('0x' || substr(md5('r:' || v), 1, 8))::BIGINT AS wd FROM vt),
+       |g0 AS (SELECT v, b, CASE WHEN wd = 0 THEN 33
+       |  ELSE 33 - length(bin(wd)) END AS r FROM g0w),
+       |$roundCtes,
+       |$estCtes,
+       |curve AS ($curve),
+       |cv AS (SELECT r,
+       |  CAST(ROUND(CAST(tot AS DECIMAL(18,8)), 6) AS DOUBLE)
+       |    AS n_reached,
+       |  CAST(ROUND(CAST(CAST(tot AS DOUBLE) / CAST(nv AS DOUBLE)
+       |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS avg_ball FROM curve),
+       |fin AS (SELECT n_reached AS f FROM cv ORDER BY r DESC LIMIT 1)
+       |SELECT r, n_reached, avg_ball,
+       |  CAST(ROUND(CAST(n_reached / f AS DECIMAL(18,8)), 6) AS DOUBLE)
+       |    AS reach_frac,
+       |  CAST(n_reached >= 0.9e0 * f AS INT) AS covered_90
+       |FROM cv CROSS JOIN fin ORDER BY r""".stripMargin
+  }
+
+  /** The x266/x267/x268 shared subject CTE: per-user first event,
+    * first purchase, right-censor at the corpus horizon. */
+  private def kmSubjectsCte: String =
+    """WITH pu AS (SELECT user_id, MIN(ts) AS t0,
+      |  MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+      |  FROM events GROUP BY 1),
+      |hz AS (SELECT MAX(ts) AS e FROM events),
+      |su AS (SELECT CASE WHEN tp IS NOT NULL THEN
+      |    datediff('day', CAST(t0 AS DATE), CAST(tp AS DATE))
+      |  ELSE datediff('day', CAST(t0 AS DATE), CAST(e AS DATE))
+      |  END AS dur,
+      |  CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+      |  FROM pu CROSS JOIN hz),
+      |""".stripMargin
 
   /** Croston/SBA with α = 0.5: every SES weight is a power of two
     * (pow(0.5, k) is IEEE-exact on any libm), so the exponential fit

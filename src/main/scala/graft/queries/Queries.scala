@@ -2821,6 +2821,91 @@ object Queries {
     Evaluation.kaplanMeier(subjects, col("dur"), col("ev")).orderBy("t")
   }
 
+  /** X234 — Kaplan–Meier with Greenwood 95% bands on the same
+    * time-to-first-purchase subjects as x266: the error bars the
+    * point curve needs before anyone reads a retention delta off it. */
+  def x267(s: SparkSession, dir: String): DataFrame =
+    Evaluation.kaplanMeierGreenwood(kmSubjects(s, dir),
+      col("dur"), col("ev")).orderBy("t")
+
+  /** X235 — restricted mean survival time at τ = 30 days over the
+    * x266 curve: "expected not-yet-converted days in the first
+    * month", defined under censoring where the median isn't. */
+  def x268(s: SparkSession, dir: String): DataFrame =
+    Evaluation.rmst(kmSubjects(s, dir), col("dur"), col("ev"), tau = 30L)
+
+  /** shared x266/x267/x268 subject construction: days from first
+    * event to first purchase, right-censored at the corpus horizon. */
+  private def kmSubjects(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val perUser = e.groupBy(col("user_id")).agg(
+      min(col("ts")).as("__t0"),
+      min(when(col("event_type") === "purchase", col("ts"))).as("__tp"))
+    val horizon = e.agg(max(col("ts")).as("__end"))
+    perUser.crossJoin(horizon).select(
+      when(col("__tp").isNotNull,
+          datediff(col("__tp").cast("date"), col("__t0").cast("date")))
+        .otherwise(datediff(col("__end").cast("date"),
+          col("__t0").cast("date"))).as("dur"),
+      col("__tp").isNotNull.cast("long").as("ev"))
+  }
+
+  /** X236 — CMH purchase-conversion test across user-id strata:
+    * even/odd arms, any-purchase outcome, stratified by user_id % 3 —
+    * an A/A family, so the pooled χ² should sit small while the MH
+    * odds ratio sits near 1. */
+  def x269(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir).groupBy(col("user_id")).agg(
+      max((col("event_type") === "purchase").cast("long")).as("__y"))
+    Evaluation.cmhTest(perUser,
+      stratum = col("user_id") % 3,
+      isTreat = col("user_id") % 2 === 0,
+      success = col("__y"))
+  }
+
+  /** X237 — Holm step-down over the same per-source mSPRT family as
+    * x256: the FWER ship-gate read next to BH's discovery screen. */
+  def x270(s: SparkSession, dir: String): DataFrame = {
+    val perSource = Evaluation.msprt(Tables.documents(s, dir),
+      isTreat = col("doc_id") % 2 === 0,
+      isControl = col("doc_id") % 2 === 1,
+      value = col("n_chars"), tau = 0.1, alpha = 0.05,
+      keyCols = Seq("source"))
+    Evaluation.holmAdjust(perSource, "source", col("p_always_valid"),
+      alpha = 0.1).orderBy("source")
+  }
+
+  /** X238 — difference-in-differences on per-user event value:
+    * units = (user, half-year period), treat = even user_id, post =
+    * July onward — an A/A layout, so the effect should hover near 0
+    * with an honest four-cell pooled SE. */
+  def x271(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val units = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("user_id"),
+        (month(col("ts")) >= 7).cast("int").as("__post"))
+      .agg(sum(col("value").cast(dec)).cast("double").as("__v"))
+    Evaluation.didEstimate(units,
+      isTreat = col("user_id") % 2 === 0,
+      isPost = col("__post"), value = col("__v"))
+  }
+
+  /** X239 — HyperBall neighborhood function over the x99 part⇄supplier
+    * bipartite graph: per-radius reachability volume from iterated
+    * register max-merge (V·m-bounded state), the effective-diameter
+    * read exact BFS can't afford at graph scale. 3 rounds, m = 32. */
+  def x272(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val fwd = li.select(
+      concat(lit("p"), col("l_partkey")).as("src"),
+      concat(lit("s"), col("l_suppkey")).as("dst"))
+    val edges = fwd.union(
+      fwd.select(col("dst").as("src"), col("src").as("dst")))
+    Sketch.hyperBall(edges, "src", "dst", rounds = 3, m = 32)
+      .orderBy("r")
+  }
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -3100,5 +3185,11 @@ object Queries {
     "x263_ams_join_size" -> (x263 _),
     "x264_hll_grouped" -> (x264 _),
     "x265_bootstrap_ci" -> (x265 _),
-    "x266_kaplan_meier" -> (x266 _))
+    "x266_kaplan_meier" -> (x266 _),
+    "x267_km_greenwood" -> (x267 _),
+    "x268_rmst" -> (x268 _),
+    "x269_cmh_test" -> (x269 _),
+    "x270_holm" -> (x270 _),
+    "x271_did" -> (x271 _),
+    "x272_hyperball" -> (x272 _))
 }

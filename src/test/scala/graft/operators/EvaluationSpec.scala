@@ -769,4 +769,122 @@ class EvaluationSpec extends SparkSpec {
     assert(all.zip(all.tail).forall { case (a, b) => a >= b } &&
       all.last == 0.0)
   }
+
+  test("kaplanMeierGreenwood: hand-computed bands, clamped and dead-nulled") {
+    import spark.implicits._
+    val df = Seq((1L, 1L), (2L, 1L), (2L, 0L), (3L, 1L), (4L, 0L),
+      (5L, 1L)).toDF("dur", "ev")
+    val got = Evaluation.kaplanMeierGreenwood(df, col("dur"), col("ev"))
+      .orderBy("t").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 5L))
+    // Greenwood: G accumulates d/(n(n-d)); se = S * sqrt(G)
+    val g1 = 1.0 / 30; val g2 = g1 + 1.0 / 20; val g3 = g2 + 1.0 / 6
+    val s = Seq(5.0 / 6, 2.0 / 3, 4.0 / 9)
+    val ses = Seq(s(0) * math.sqrt(g1), s(1) * math.sqrt(g2),
+      s(2) * math.sqrt(g3))
+    got.take(3).zipWithIndex.foreach { case (r, i) =>
+      assert(math.abs(r.getAs[Double]("se") - ses(i)) < 1e-4,
+        s"se at row $i: ${r.getAs[Double]("se")} vs ${ses(i)}")
+      assert(math.abs(r.getAs[Double]("ci_lo") -
+        math.max(0.0, s(i) - 1.96 * ses(i))) < 1e-4)
+      assert(math.abs(r.getAs[Double]("ci_hi") -
+        math.min(1.0, s(i) + 1.96 * ses(i))) < 1e-4)
+    }
+    // t=1: upper band would be 1.13 -> clamps to exactly 1
+    assert(got(0).getAs[Double]("ci_hi") == 1.0)
+    // exhausted risk set: survival 0, band null (increment undefined)
+    assert(got(3).getAs[Double]("survival") == 0.0)
+    assert(got(3).isNullAt(got(3).fieldIndex("se")))
+    assert(got(3).isNullAt(got(3).fieldIndex("ci_lo")))
+  }
+
+  test("rmst: hand-computed areas, tail and empty-curve conventions") {
+    import spark.implicits._
+    val df = Seq((1L, 1L), (2L, 1L), (2L, 0L), (3L, 1L), (4L, 0L),
+      (5L, 1L)).toDF("dur", "ev")
+    // tau=4: 1*1 + 0.833333*1 + 0.666667*1 + 0.444444*(4-3)
+    val at4 = Evaluation.rmst(df, col("dur"), col("ev"), tau = 4L).head()
+    assert(at4.getAs[Long]("tau") == 4L && at4.getAs[Long]("n_steps") == 4L)
+    assert(math.abs(at4.getAs[Double]("rmst") - 2.944444) < 1e-5)
+    // tau=10: curve ends at t=5 with survival exactly 0 -> no tail mass
+    val at10 = Evaluation.rmst(df, col("dur"), col("ev"), tau = 10L).head()
+    assert(math.abs(at10.getAs[Double]("rmst") - 3.388888) < 1e-5)
+    // all-censored input: empty curve integrates survival 1 to tau
+    val cens = Seq((3L, 0L), (7L, 0L)).toDF("dur", "ev")
+    val flat = Evaluation.rmst(cens, col("dur"), col("ev"), tau = 30L).head()
+    assert(flat.getAs[Long]("n_steps") == 0L &&
+      flat.getAs[Double]("rmst") == 30.0)
+    intercept[IllegalArgumentException] {
+      Evaluation.rmst(df, col("dur"), col("ev"), tau = 0L)
+    }
+  }
+
+  test("cmhTest: hand-computed two-stratum pooled test and MH odds ratio") {
+    import spark.implicits._
+    // stratum A: treat 3 (2 success), control 3 (1 success)
+    // stratum B: treat 2 (1 success), control 2 (0 success)
+    val rows = Seq(
+      ("A", 1, 1), ("A", 1, 1), ("A", 1, 0),
+      ("A", 0, 1), ("A", 0, 0), ("A", 0, 0),
+      ("B", 1, 1), ("B", 1, 0), ("B", 0, 0), ("B", 0, 0))
+      .toDF("s", "t", "y")
+    val got = Evaluation.cmhTest(rows, col("s"), col("t") === 1,
+      col("y") === 1).head()
+    assert(got.getAs[Long]("k_strata") == 2L)
+    assert(got.getAs[Long]("n_total") == 10L)
+    assert(got.getAs[Long]("observed") == 3L)
+    // E = 1.5 + 0.5; V = 81/180 + 12/48 = 0.45 + 0.25
+    assert(math.abs(got.getAs[Double]("expected") - 2.0) < 1e-6)
+    assert(math.abs(got.getAs[Double]("variance") - 0.7) < 1e-6)
+    assert(math.abs(got.getAs[Double]("cmh_chi2") - 1.0 / 0.7) < 1e-4)
+    // OR = (2*2/6 + 1*2/4) / (1*1/6 + 0) = 7
+    assert(math.abs(got.getAs[Double]("mh_odds_ratio") - 7.0) < 1e-4)
+    // single-subject strata: E contributes, variance does not
+    val tiny = Seq(("A", 1, 1), ("B", 1, 1), ("B", 0, 0))
+      .toDF("s", "t", "y")
+    val deg = Evaluation.cmhTest(tiny, col("s"), col("t") === 1,
+      col("y") === 1).head()
+    assert(math.abs(deg.getAs[Double]("expected") - 1.5) < 1e-6)
+    assert(math.abs(deg.getAs[Double]("variance") - 0.25) < 1e-6)
+  }
+
+  test("holmAdjust: classic step-down, monotone clamp, FWER rejection") {
+    import spark.implicits._
+    val df = Seq(("a", 0.01), ("b", 0.02), ("c", 0.03), ("d", 0.04))
+      .toDF("k", "p")
+    val got = Evaluation.holmAdjust(df, "k", col("p"), alpha = 0.05)
+      .orderBy("rank").collect()
+    // steps 0.04, 0.06, 0.06, 0.04 -> running max 0.04, 0.06, 0.06, 0.06
+    val adj = got.map(_.getAs[Double]("holm_adjusted")).toSeq
+    assert(adj == Seq(0.04, 0.06, 0.06, 0.06), s"got $adj")
+    assert(got.map(_.getAs[Int]("rejected")).toSeq == Seq(1, 0, 0, 0))
+    assert(adj.zip(adj.tail).forall { case (a, b) => a <= b },
+      "adjusted p must be monotone in rank")
+    // clamp at 1: a large p times a large factor saturates
+    val big = Evaluation.holmAdjust(
+      Seq(("a", 0.9), ("b", 0.95), ("c", 0.99)).toDF("k", "p"),
+      "k", col("p")).orderBy("rank").collect()
+    assert(big.forall(_.getAs[Double]("holm_adjusted") == 1.0))
+  }
+
+  test("didEstimate: hand-computed four-cell effect and pooled SE") {
+    import spark.implicits._
+    val rows = Seq(
+      (0, 0, 1.0), (0, 0, 3.0), (0, 1, 2.0), (0, 1, 4.0),
+      (1, 0, 1.0), (1, 0, 5.0), (1, 1, 6.0), (1, 1, 8.0))
+      .toDF("g", "p", "v")
+    val got = Evaluation.didEstimate(rows, col("g") === 1, col("p") === 1,
+      col("v")).head()
+    assert(got.getAs[Long]("k_cells") == 4L && got.getAs[Long]("n_rows") == 8L)
+    // (7-3) - (3-2) = 3; se = sqrt(1+1+4+1) = sqrt(7)
+    assert(math.abs(got.getAs[Double]("did_effect") - 3.0) < 1e-6)
+    assert(math.abs(got.getAs[Double]("se") - math.sqrt(7.0)) < 1e-5)
+    assert(math.abs(got.getAs[Double]("t_stat") - 3.0 / math.sqrt(7.0)) < 1e-5)
+    // a missing cell nulls the estimate rather than mis-reading 3 cells
+    val threeCells = rows.filter(!(col("g") === 1 && col("p") === 1))
+    val deg = Evaluation.didEstimate(threeCells, col("g") === 1,
+      col("p") === 1, col("v")).head()
+    assert(deg.getAs[Long]("k_cells") == 3L &&
+      deg.isNullAt(deg.fieldIndex("did_effect")))
+  }
 }

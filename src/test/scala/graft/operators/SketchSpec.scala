@@ -186,4 +186,33 @@ class SketchSpec extends SparkSpec {
     // show in-both hashes on a 48-bit collision (never, here)
     assert(out.getAs[Double]("jaccard_estimate") == 0.0)
   }
+
+  test("hyperBall: monotone growth, saturation fixpoint, coverage flags") {
+    // undirected path a-b-c-d (diameter 3): exact balls grow
+    // 4 -> 10 -> 14 -> 16 and freeze
+    val fwd = Seq(("a", "b"), ("b", "c"), ("c", "d"))
+    val edges = (fwd ++ fwd.map(_.swap)).toDF("s", "d")
+    val got = Sketch.hyperBall(edges, "s", "d", rounds = 4, m = 16)
+      .orderBy("r").collect()
+    assert(got.map(_.getAs[Long]("r")).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    val reached = got.map(_.getAs[Double]("n_reached")).toSeq
+    assert(reached.zip(reached.tail).forall { case (a, b) => a <= b },
+      s"N(r) must be monotone: $reached")
+    // singleton balls at r=0: 4 linear-counting estimates of 1
+    assert(math.abs(reached.head - 4.0) < 0.5, s"N(0) = ${reached.head}")
+    // diameter 3: round 4 adds nothing — the register fixpoint
+    assert(reached(3) == reached(4),
+      s"saturated rounds must agree exactly: ${reached(3)} vs ${reached(4)}")
+    // the final round covers everything by definition
+    assert(got.last.getAs[Double]("reach_frac") == 1.0 &&
+      got.last.getAs[Int]("covered_90") == 1)
+    assert(got.head.getAs[Int]("covered_90") == 0,
+      "singleton balls cannot cover 90% of a path's reachability")
+    intercept[IllegalArgumentException] {
+      Sketch.hyperBall(edges, "s", "d", rounds = 3, m = 20)
+    }
+    intercept[IllegalArgumentException] {
+      Sketch.hyperBall(edges, "s", "d", rounds = 0)
+    }
+  }
 }
