@@ -507,6 +507,94 @@ object TextAnalysis {
           .as("avg_nll"))
   }
 
+  /** X240 (r16) — stupid-backoff trigram scoring (Brants et al.,
+    * "Large Language Models in Machine Translation", EMNLP 2007 §4):
+    * S(w₃|w₁w₂) = c₃/c₂(w₁w₂) when the trigram was seen, else
+    * α·c₂(w₂w₃)/c₁(w₂), else α²·(c₁(w₃)+1)/(N+V) — the
+    * score Google built THE web-scale LM on precisely because it
+    * needs no discounting statistics: every tier is a plain count
+    * ratio, so the model is three count tables and the whole thing
+    * distributes as aggregates + broadcast joins. One context step
+    * deeper than [[bigramLogProb]] (x112): catches locally-plausible
+    * bigram salads ("the cat the cat") that any bigram model scores
+    * as fluent. The unigram floor is add-one smoothed (the x112
+    * convention) so OOV words score finite, never −∞.
+    *
+    * Shape: trigram/bigram/unigram counts each from ONE map-only
+    * zip pass over the reference (no positional explode/self-join);
+    * batch docs aggregate to per-doc distinct-trigram term frequencies;
+    * scoring is four broadcast count-table joins (the models are
+    * vocab-bounded, tiny next to the corpus). Docs under 3 tokens
+    * drop identically in both engines.
+    */
+  def stupidBackoffTrigram(batch: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, alpha: Double = 0.4,
+      roundDigits: Int = 4,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+    : DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    def trigrams(c: Column): Column = {
+      val t = Text.tokens(c)
+      val z12 = zip_with(
+        slice(t, lit(1), size(t) - 2), slice(t, lit(2), size(t) - 2),
+        (a, b) => struct(a.as("w1"), b.as("w2")))
+      zip_with(z12, slice(t, lit(3), size(t) - 2),
+        (ab, c3) => struct(ab.getField("w1").as("w1"),
+          ab.getField("w2").as("w2"), c3.as("w3")))
+    }
+    def bigrams(c: Column): Column = {
+      val t = Text.tokens(c)
+      zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (w1, w2) => struct(w1.as("w1"), w2.as("w2")))
+    }
+    val m3 = scope.persist(reference
+      .filter(size(Text.tokens(col(textCol))) >= 3)
+      .select(explode(trigrams(col(textCol))).as("tg"))
+      .groupBy(col("tg.w1").as("w1"), col("tg.w2").as("w2"),
+        col("tg.w3").as("w3"))
+      .agg(count(lit(1)).as("c3")))
+    val m2 = scope.persist(reference
+      .filter(size(Text.tokens(col(textCol))) >= 2)
+      .select(explode(bigrams(col(textCol))).as("bg"))
+      .groupBy(col("bg.w1").as("wa"), col("bg.w2").as("wb"))
+      .agg(count(lit(1)).as("c2")))
+    val m1 = scope.persist(reference
+      .select(explode(Text.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c1")))
+    val nv = m1.agg(sum(col("c1")).cast("double").as("__n"),
+      count(lit(1)).cast("double").as("__v"))
+    val tf = batch.filter(size(Text.tokens(col(textCol))) >= 3)
+      .select(col(idCol), explode(trigrams(col(textCol))).as("tg"))
+      .groupBy(col(idCol), col("tg.w1").as("w1"), col("tg.w2").as("w2"),
+        col("tg.w3").as("w3"))
+      .agg(count(lit(1)).as("tf"))
+    val c2of12 = m2.select(col("wa").as("w1"), col("wb").as("w2"),
+      col("c2").as("__c212"))
+    val c2of23 = m2.select(col("wa").as("w2"), col("wb").as("w3"),
+      col("c2").as("__c223"))
+    val c1of2 = m1.select(col("tok").as("w2"), col("c1").as("__c12"))
+    val c1of3 = m1.select(col("tok").as("w3"), col("c1").as("__c13"))
+    val score = when(coalesce(col("c3"), lit(0L)) > 0L,
+        col("c3").cast("double") / col("__c212").cast("double"))
+      .when(coalesce(col("__c223"), lit(0L)) > 0L,
+        lit(alpha) * col("__c223").cast("double")
+          / col("__c12").cast("double"))
+      .otherwise(lit(alpha * alpha)
+        * (coalesce(col("__c13"), lit(0L)).cast("double") + 1.0d)
+        / (col("__n") + col("__v")))
+    tf.join(broadcast(m3), Seq("w1", "w2", "w3"), "left")
+      .join(broadcast(c2of12), Seq("w1", "w2"), "left")
+      .join(broadcast(c2of23), Seq("w2", "w3"), "left")
+      .join(broadcast(c1of2), Seq("w2"), "left")
+      .join(broadcast(c1of3), Seq("w3"), "left")
+      .crossJoin(broadcast(nv))
+      .withColumn("__lp", log(score))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_trigrams"),
+        round(-sum(col("tf") * col("__lp")) / sum(col("tf")), roundDigits)
+          .as("avg_nll"))
+  }
+
   /** PMI collocations: the corpus's most strongly "glued" word pairs
     * — `PMI(a,b) = ln( p(ab) / (p(a)·p(b)) )` with `p(ab)` over
     * adjacent-bigram occurrences and `p(·)` over unigram occurrences —

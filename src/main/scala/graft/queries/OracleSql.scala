@@ -6178,6 +6178,53 @@ object OracleSql {
         |    AS DOUBLE) AS t_stat
         |FROM f""".stripMargin,
 
+    // Stupid-backoff trigram: positional self-joins build the three
+    // count tables (the x112 idiom one step deeper); score tiers
+    // trigram-ML → 0.4·bigram-ML → α²·add-one unigram, α² printed as
+    // the exact Scala double 0.4*0.4.
+    "x273_trigram_lm" ->
+      """WITH rp AS (
+        |  SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |        FROM documents WHERE doc_id < 400)),
+        |r3 AS (SELECT a.tok AS w1, b.tok AS w2, c.tok AS w3
+        |  FROM rp a JOIN rp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |            JOIN rp c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |m3 AS (SELECT w1, w2, w3, COUNT(*)::BIGINT AS c3 FROM r3
+        |  GROUP BY 1, 2, 3),
+        |rb AS (SELECT a.tok AS wa, b.tok AS wb FROM rp a JOIN rp b
+        |  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |m2 AS (SELECT wa, wb, COUNT(*)::BIGINT AS c2 FROM rb GROUP BY 1, 2),
+        |m1 AS (SELECT tok, COUNT(*)::BIGINT AS c1 FROM rp GROUP BY 1),
+        |nv AS (SELECT SUM(c1)::DOUBLE AS n, COUNT(*)::DOUBLE AS v FROM m1),
+        |bp AS (
+        |  SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |        FROM documents WHERE doc_id >= 400)),
+        |b3 AS (SELECT a.doc_id, a.tok AS w1, b.tok AS w2, c.tok AS w3
+        |  FROM bp a JOIN bp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |            JOIN bp c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |tf AS (SELECT doc_id, w1, w2, w3, COUNT(*)::BIGINT AS tf
+        |  FROM b3 GROUP BY 1, 2, 3, 4),
+        |sc AS (SELECT tf.doc_id, tf.tf,
+        |  CASE WHEN coalesce(m3.c3, 0) > 0 THEN
+        |      m3.c3::DOUBLE / m12.c2::DOUBLE
+        |    WHEN coalesce(m23.c2, 0) > 0 THEN
+        |      0.4e0 * m23.c2::DOUBLE / u2.c1::DOUBLE
+        |    ELSE 0.16000000000000003e0
+        |      * (coalesce(u3.c1, 0)::DOUBLE + 1.0e0) / (nv.n + nv.v)
+        |  END AS score
+        |  FROM tf
+        |  LEFT JOIN m3 ON tf.w1 = m3.w1 AND tf.w2 = m3.w2 AND tf.w3 = m3.w3
+        |  LEFT JOIN m2 m12 ON tf.w1 = m12.wa AND tf.w2 = m12.wb
+        |  LEFT JOIN m2 m23 ON tf.w2 = m23.wa AND tf.w3 = m23.wb
+        |  LEFT JOIN m1 u2 ON tf.w2 = u2.tok
+        |  LEFT JOIN m1 u3 ON tf.w3 = u3.tok
+        |  CROSS JOIN nv)
+        |SELECT doc_id, SUM(tf)::BIGINT AS n_trigrams,
+        |  ROUND(-SUM(tf * ln(score)) / SUM(tf), 4) AS avg_nll
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // HyperBall: per-vertex HLL registers max-merged along edges for
     // 3 unrolled rounds (x259's portable bucket/rank/harmonic-sum
     // arithmetic), per-round totals from 6dp-rounded per-vertex

@@ -2906,6 +2906,17 @@ object Queries {
       .orderBy("r")
   }
 
+  /** X240 — stupid-backoff trigram scoring on the x112 corpus split
+    * (reference = doc_id < 400, batch = the rest): the web-scale LM
+    * score built from three count tables and broadcast joins — one
+    * context step deeper than the bigram model. */
+  def x273(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    TextAnalysis.stupidBackoffTrigram(
+      d.filter(col("doc_id") >= 400), d.filter(col("doc_id") < 400),
+      "doc_id", "text").orderBy("doc_id")
+  }
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -3191,5 +3202,6 @@ object Queries {
     "x269_cmh_test" -> (x269 _),
     "x270_holm" -> (x270 _),
     "x271_did" -> (x271 _),
-    "x272_hyperball" -> (x272 _))
+    "x272_hyperball" -> (x272 _),
+    "x273_trigram_lm" -> (x273 _))
 }

@@ -458,4 +458,38 @@ class TextAnalysisSpec extends SparkSpec {
     // 2 replacement chars are the only non-ASCII -> round6(2/36)
     assert(bad._5 == 0.055556, s"got $bad")
   }
+
+  test("stupidBackoffTrigram: three score tiers, hand NLLs, short docs drop") {
+    import spark.implicits._
+    // reference "a b c a b d": c3 each 1; c2 ab=2, bc=1, ca=1, bd=1;
+    // c1 a=2 b=2 c=1 d=1; N=6, V=4
+    val ref = Seq((1L, "a b c a b d")).toDF("id", "text")
+    val batch = Seq(
+      (10L, "a b c"),   // trigram tier: 1 / c2(ab)=2
+      (11L, "a b x"),   // unigram floor: 0.16 * (0+1)/(6+4)
+      (12L, "x b c"),   // bigram backoff: 0.4 * c2(bc)/c1(b) = 0.4*0.5
+      (13L, "b c a b"), // two seen trigrams at score exactly 1
+      (14L, "a b")      // under 3 tokens: dropped
+    ).toDF("id", "text")
+    val got = TextAnalysis.stupidBackoffTrigram(batch, ref, "id", "text")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == Seq(10L, 11L, 12L, 13L))
+    assert(got.map(_._2).toSeq == Seq(1L, 1L, 1L, 2L))
+    val nll = got.map(_._3)
+    assert(nll(0) == math.rint(-math.log(0.5) * 1e4) / 1e4, s"got ${nll(0)}")
+    assert(math.abs(nll(1) -
+      -math.log(0.16000000000000003 * 0.1)) < 1e-4, s"got ${nll(1)}")
+    assert(math.abs(nll(2) - -math.log(0.2)) < 1e-4, s"got ${nll(2)}")
+    assert(nll(3) == 0.0, s"fully-seen doc must score exactly 0: ${nll(3)}")
+    // deeper context discriminates: a bigram-fluent trigram salad
+    // scores WORSE than the original under the trigram model
+    val ref2 = Seq((1L, "the cat sat on the mat")).toDF("id", "text")
+    val pair = Seq((20L, "the cat sat on the mat"),
+      (21L, "the cat the cat sat on")).toDF("id", "text")
+    val scored = TextAnalysis.stupidBackoffTrigram(pair, ref2, "id", "text")
+      .orderBy("id").collect().map(_.getDouble(2))
+    assert(scored(0) < scored(1),
+      s"original ${scored(0)} must beat the salad ${scored(1)}")
+  }
 }
