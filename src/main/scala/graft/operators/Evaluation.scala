@@ -1901,7 +1901,6 @@ object Evaluation {
     */
   def cmhTest(df: DataFrame, stratum: Column, isTreat: Column,
       success: Column, roundDigits: Int = 6): DataFrame = {
-    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
     val rows = df
       .filter(stratum.isNotNull && isTreat.isNotNull && success.isNotNull)
       .select(stratum.as("__s"), isTreat.cast("long").as("__t"),
@@ -1910,6 +1909,17 @@ object Evaluation {
       count(lit(1)).as("__n"), sum(col("__t")).as("__r1"),
       sum(col("__y")).as("__c1"),
       sum(col("__t") * col("__y")).as("__a"))
+    cmhFromCells(cells, roundDigits)
+  }
+
+  /** The [[cmhTest]] finishing chain over an already-built per-stratum
+    * cell table (__s, __n, __r1, __c1, __a) — factored so the
+    * streaming cell monitor
+    * ([[graft.streaming.Stateful.cmhCellsMonitor]]) rolls up through
+    * the EXACT batch arithmetic. */
+  private[graft] def cmhFromCells(
+      cells: DataFrame, roundDigits: Int = 6): DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
     val n = col("__n").cast("double")
     val r1 = col("__r1").cast("double")
     val r0 = (col("__n") - col("__r1")).cast("double")

@@ -538,6 +538,44 @@ object Stateful {
       }
   }
 
+  /** Input/output shapes of [[cmhCellsMonitor]]. */
+  case class StratumEvent(seq: Long, stratum: String, treat: Boolean,
+      success: Boolean)
+  case class CmhCell(stratum: String, through_seq: Long, n: Long,
+      r1: Long, c1: Long, a: Long)
+
+  /** Streaming twin of [[graft.operators.Evaluation.cmhTest]] (x269):
+    * live per-stratum 2×2 margins — the stratified experiment read a
+    * platform wants continuously, for the same reason as the live SRM
+    * ([[armCountsMonitor]]): a confounded stratum drift should page
+    * before the fixed-horizon readout. State is four counters + a
+    * high-water seq per stratum (k strata total, bounded by design);
+    * the latest emission per stratum renames straight into
+    * [[graft.operators.Evaluation.cmhFromCells]] — the EXACT batch
+    * finishing chain (spec-pinned across a mid-stream split).
+    */
+  def cmhCellsMonitor(ds: Dataset[StratumEvent]): Dataset[CmhCell] = {
+    implicit val stateEnc: Encoder[CmhCell] = Encoders.product[CmhCell]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    ds.filter(_.stratum != null)
+      .groupByKey(_.stratum)
+      .flatMapGroupsWithState[CmhCell, CmhCell](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (stratum: String, rows: Iterator[StratumEvent],
+            state: GroupState[CmhCell]) =>
+          var s = state.getOption
+            .getOrElse(CmhCell(stratum, 0L, 0L, 0L, 0L, 0L))
+          rows.foreach { r =>
+            val t = if (r.treat) 1L else 0L
+            val y = if (r.success) 1L else 0L
+            s = CmhCell(stratum, math.max(s.through_seq, r.seq),
+              s.n + 1L, s.r1 + t, s.c1 + y, s.a + t * y)
+          }
+          state.update(s)
+          Iterator.single(s)
+      }
+  }
+
   /** Output/state shapes of [[pageHinkleyMonitor]] (input reuses
     * [[CusumPoint]] — same (key, seq, value) event). */
   case class PhState(i: Double, s: Double, m: Double, minM: Double,

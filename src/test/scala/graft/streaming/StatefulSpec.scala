@@ -480,6 +480,41 @@ class StatefulSpec extends SparkSpec {
     assert(rolled.head.getInt(3) == 1, s"the 60/40 split must flag: $rolled")
   }
 
+  test("cmhCellsMonitor rollup ≡ batch cmhTest EXACTLY across a mid-stream split") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    // EvaluationSpec's hand fixture (chi2 = 1/0.7, OR = 7) plus a
+    // single-subject stratum (E contributes, variance doesn't),
+    // interleaved so every stratum straddles the split
+    val rows = Seq(
+      ("A", true, true), ("B", true, true), ("A", true, true),
+      ("B", true, false), ("A", true, false), ("B", false, false),
+      ("A", false, true), ("B", false, false), ("A", false, false),
+      ("C", true, true), ("A", false, false))
+    val batch = graft.operators.Evaluation.cmhTest(
+      rows.toDF("s", "t", "y"), col("s"), col("t"), col("y"))
+      .collect().toSeq
+    val events = rows.zipWithIndex.map { case ((s, t, y), i) =>
+      Stateful.StratumEvent(i.toLong, s, t, y) }
+    val mem = MemoryStream[Stateful.StratumEvent]
+    val out = Stateful.cmhCellsMonitor(mem.toDS())
+    val sink = s"cmh_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(events.take(5): _*)
+      q.processAllAvailable()
+      mem.addData(events.drop(5): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val latest = spark.table(sink).as[Stateful.CmhCell].collect()
+      .groupBy(_.stratum).map(_._2.maxBy(_.through_seq)).toSeq
+    val rolled = graft.operators.Evaluation.cmhFromCells(
+      latest.map(c => (c.stratum, c.n, c.r1, c.c1, c.a))
+        .toDF("__s", "__n", "__r1", "__c1", "__a")).collect().toSeq
+    assert(rolled == batch, s"stream rollup $rolled != batch $batch")
+  }
+
   test("pageHinkleyMonitor final emission ≡ batch pageHinkley EXACTLY across a mid-stream split") {
     import org.apache.spark.sql.functions.col
     implicit val sqlCtx = spark.sqlContext
