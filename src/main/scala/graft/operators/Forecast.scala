@@ -1088,4 +1088,62 @@ object Forecast {
       round(next.cast(stable), roundDigits).cast("double")
         .as("next_season_total"))
   }
+
+  /** X241 (r16) — negative-binomial overdispersion fit by the method
+    * of moments: per key, a count metric's mean m and sample variance
+    * v give the dispersion index v/m, and — when the data is
+    * genuinely overdispersed (v > m, the regime where a Poisson model
+    * underestimates every tail) — the NB size r = m²/(v−m) and
+    * success probability p = m/v. THE distributional read behind
+    * demand/count modeling ([[demandClasses]] labels the regimes;
+    * this fits the model the lumpy regimes need — retail demand,
+    * per-user event counts, and word frequencies are all classically
+    * NB, not Poisson). Closed-form moments: no iteration, one
+    * aggregate per key.
+    *
+    * Portability discipline: per-row squares rounded to 8 dp before
+    * the exact DECIMAL(28,8) sums, mean pinned to 6 dp before the
+    * variance combine (the didEstimate contract), final float chains
+    * rounded once. Keys with n ≤ 1 or m = 0 emit null fits;
+    * underdispersed keys (v ≤ m) emit the moments with null r/p and
+    * overdispersed = 0.
+    */
+  def negBinomialFit(df: DataFrame, keyCols: Seq[String],
+      valueCol: String, roundDigits: Int = 6): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val wide = org.apache.spark.sql.types.DecimalType(28, 8)
+    val ks = keyCols.map(col)
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(ks :+ col(valueCol).cast("double").as("__v"): _*)
+    val cells = rows.groupBy(ks: _*).agg(
+      count(lit(1)).as("__n"),
+      sum(col("__v").cast(wide)).as("__s"),
+      sum(round((col("__v") * col("__v")).cast(wide), 8)).as("__q"))
+    val mean = round((col("__s").cast("double") / col("__n").cast("double"))
+      .cast(stable), 6).cast("double")
+    val variance = when(col("__n") > 1L,
+      (col("__q").cast("double") - col("__n").cast("double") * mean * mean)
+        / (col("__n") - 1L).cast("double"))
+    val enriched = cells.withColumn("__m", mean)
+      .withColumn("__var", variance)
+    val disp = col("__var") / col("__m")
+    val over = col("__var") > col("__m")
+    val r = col("__m") * col("__m") / (col("__var") - col("__m"))
+    val p = col("__m") / col("__var")
+    enriched.select(ks ++ Seq(
+      col("__n").as("n"),
+      round(col("__m").cast(stable), roundDigits).cast("double")
+        .as("mean"),
+      round(col("__var").cast(stable), roundDigits).cast("double")
+        .as("variance"),
+      round(when(col("__m") > 0, disp).cast(stable), roundDigits)
+        .cast("double").as("dispersion"),
+      when(col("__var").isNotNull && col("__m") > 0, over.cast("int"))
+        .as("overdispersed"),
+      round(when(over && col("__m") > 0, r).cast(stable), roundDigits)
+        .cast("double").as("nb_r"),
+      round(when(over && col("__m") > 0, p).cast(stable), roundDigits)
+        .cast("double").as("nb_p")): _*)
+  }
 }

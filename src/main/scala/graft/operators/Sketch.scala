@@ -519,14 +519,19 @@ object Sketch {
     * is a small literal by contract — the caller picks the radius the
     * question needs, the frame size never grows past V·m.
     */
-  def hyperBall(edges: DataFrame, srcCol: String, dstCol: String,
-      rounds: Int, m: Int = 32,
-      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
-    : DataFrame = {
+  /** The HyperBall propagation loop, factored: per-round per-vertex
+    * ball-size estimates (__v, __est) for r = 0..rounds — the shared
+    * core of [[hyperBall]] (totals curve) and
+    * [[hyperBallHarmonic]] (per-vertex centrality). Each round's
+    * register frame is persisted via `scope` (two consumers: the
+    * estimate pass and the next round's join). */
+  private def ballEstimatesByRound(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int, m: Int, scope: graft.util.CacheScope)
+    : IndexedSeq[DataFrame] = {
     require(rounds >= 1 && rounds <= 8, s"rounds must be in [1,8]: $rounds")
     require(m >= 16 && (m & (m - 1)) == 0,
       s"m must be a power of two >= 16: $m")
-    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
     val e = scope.persist(edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .select(col(srcCol).cast("string").as("__u"),
@@ -537,8 +542,26 @@ object Sketch {
     // radius 0: every ball is {v} — one register row per vertex
     var regs = scope.persist(verts.select(col("__v"),
       hllBucket(col("__v"), m).as("__b"), hllRank(col("__v")).as("__r")))
+    val out = scala.collection.mutable.Buffer(
+      hllEstimateByGroup(regs, "__v", m))
+    for (_ <- 1 to rounds) {
+      val prop = e.join(regs.withColumnRenamed("__v", "__w"), Seq("__w"))
+        .select(col("__u").as("__v"), col("__b"), col("__r"))
+      regs = scope.persist(regs.union(prop)
+        .groupBy(col("__v"), col("__b")).agg(max(col("__r")).as("__r")))
+      out += hllEstimateByGroup(regs, "__v", m)
+    }
+    out.toIndexedSeq
+  }
+
+  def hyperBall(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int, m: Int = 32,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+    : DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val ests = ballEstimatesByRound(edges, srcCol, dstCol, rounds, m, scope)
     def roundTotal(r: Int): DataFrame =
-      hllEstimateByGroup(regs, "__v", m).agg(
+      ests(r).agg(
         count(lit(1)).as("__nv"),
         sum(round(col("__est").cast(stable), 6)).as("__tot"))
         .select(lit(r.toLong).as("r"),
@@ -546,15 +569,7 @@ object Sketch {
             .as("n_reached"),
           round((col("__tot").cast("double") / col("__nv").cast("double"))
             .cast(stable), 6).cast("double").as("avg_ball"))
-    val totals = scala.collection.mutable.Buffer(roundTotal(0))
-    for (k <- 1 to rounds) {
-      val prop = e.join(regs.withColumnRenamed("__v", "__w"), Seq("__w"))
-        .select(col("__u").as("__v"), col("__b"), col("__r"))
-      regs = scope.persist(regs.union(prop)
-        .groupBy(col("__v"), col("__b")).agg(max(col("__r")).as("__r")))
-      totals += roundTotal(k)
-    }
-    val curve = totals.reduce(_.union(_))
+    val curve = (0 to rounds).map(roundTotal).reduce(_.union(_))
     val wAll = Window.partitionBy()
     val last = max(struct(col("r"), col("n_reached"))).over(wAll)
     curve
@@ -564,5 +579,49 @@ object Sketch {
           .cast("double").as("reach_frac"),
         (col("n_reached") >= lit(0.9) * col("__final")).cast("int")
           .as("covered_90"))
+  }
+
+  /** The telescoped harmonic coefficients: H(v) = Σ_{r=1..R}
+    * (|B(v,r)| − |B(v,r−1)|)/r = Σ_r est_r·c_r with c_0 = −1,
+    * c_r = 1/r − 1/(r+1) for r < R, c_R = 1/R — shared with the
+    * oracle generator so both engines multiply IDENTICAL doubles. */
+  private[graft] def harmonicCoefs(rounds: Int): IndexedSeq[Double] =
+    (0 to rounds).map { r =>
+      if (r == 0) -1.0
+      else if (r == rounds) 1.0 / rounds
+      else 1.0 / r - 1.0 / (r + 1)
+    }
+
+  /** X242 (r16) — harmonic centrality via HyperBall (Boldi & Vigna
+    * 2013 — estimating exactly this, at web scale, is the paper's
+    * stated purpose): H(v) = Σ_{u≠v} 1/d(u,v), approximated from the
+    * per-round ball sizes as Σ_r (|B(v,r)| − |B(v,r−1)|)/r — every
+    * vertex's centrality from the SAME register iteration that powers
+    * [[hyperBall]], at V·m-bounded state, where exact all-pairs
+    * distances are O(V·E) and unthinkable at graph scale. The
+    * telescoped form Σ est_r·c_r makes the score ONE grouped sum over
+    * the unioned round frames; per-term products round to 8 dp before
+    * the exact-decimal sum (round-then-add). Top-k by the ROUNDED
+    * score (ties by node) via TakeOrderedAndProject — never a full
+    * sort of the vertex set.
+    */
+  def hyperBallHarmonic(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int, m: Int = 32, topK: Int = 20,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+    : DataFrame = {
+    require(topK > 0, s"topK must be positive: $topK")
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val ests = ballEstimatesByRound(edges, srcCol, dstCol, rounds, m, scope)
+    val coefs = harmonicCoefs(rounds)
+    val terms = (0 to rounds).map { r =>
+      ests(r).select(col("__v"),
+        round((col("__est") * lit(coefs(r))).cast(stable), 8).as("__t"))
+    }.reduce(_.union(_))
+    terms.groupBy(col("__v"))
+      .agg(round(sum(col("__t")).cast(stable), 6).cast("double")
+        .as("harmonic"))
+      .select(col("__v").as("node"), col("harmonic"))
+      .orderBy(col("harmonic").desc, col("node"))
+      .limit(topK)
   }
 }

@@ -6230,6 +6230,47 @@ object OracleSql {
     // arithmetic), per-round totals from 6dp-rounded per-vertex
     // estimates summed exactly, reach fraction against the last round.
     "x272_hyperball" -> hyperBallSql(rounds = 3, m = 32),
+
+    // NB method-of-moments fit: per-event-type moments over per-user
+    // counts under the didEstimate decimal discipline (8dp-rounded
+    // squares, 6dp-pinned mean), r = m²/(v−m) / p = m/v only in the
+    // overdispersed regime, null fits for degenerate keys.
+    "x274_negbinomial" ->
+      """WITH cu AS (SELECT event_type, user_id, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |ce AS (SELECT event_type, COUNT(*) AS n,
+        |  SUM(CAST(CAST(c AS DOUBLE) AS DECIMAL(28,8))) AS s,
+        |  SUM(ROUND(CAST(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)
+        |    AS DECIMAL(28,8)), 8)) AS q
+        |  FROM cu GROUP BY 1),
+        |m AS (SELECT event_type, n, q,
+        |  CAST(ROUND(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS mean FROM ce),
+        |vv AS (SELECT event_type, n, mean,
+        |  CASE WHEN n > 1 THEN (CAST(q AS DOUBLE)
+        |    - CAST(n AS DOUBLE) * mean * mean)
+        |    / (CAST(n AS DOUBLE) - 1.0e0) END AS var FROM m)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(ROUND(CAST(mean AS DECIMAL(18,8)), 6) AS DOUBLE) AS mean,
+        |  CAST(ROUND(CAST(var AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |    AS variance,
+        |  CAST(ROUND(CAST(CASE WHEN mean > 0 THEN var / mean END
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS dispersion,
+        |  CASE WHEN var IS NOT NULL AND mean > 0 THEN
+        |    CAST(var > mean AS INT) END AS overdispersed,
+        |  CAST(ROUND(CAST(CASE WHEN var > mean AND mean > 0 THEN
+        |    mean * mean / (var - mean) END AS DECIMAL(18,8)), 6)
+        |    AS DOUBLE) AS nb_r,
+        |  CAST(ROUND(CAST(CASE WHEN var > mean AND mean > 0 THEN
+        |    mean / var END AS DECIMAL(18,8)), 6) AS DOUBLE) AS nb_p
+        |FROM vv ORDER BY event_type""".stripMargin,
+
+    // Harmonic centrality via HyperBall: the same unrolled register
+    // rounds, telescoped per-vertex sum Σ est_r·c_r with coefficients
+    // printed from the ENGINE's own Scala doubles, top-20 by rounded
+    // score.
+    "x275_harmonic_centrality" ->
+      hyperBallHarmonicSql(rounds = 3, m = 32, topK = 20),
   )
 
   /** Unrolled HyperBall over the x99 part⇄supplier graph: g0 = each
@@ -6237,7 +6278,11 @@ object OracleSql {
     * estimate CTE per round replaying [[graft.operators.Sketch]]'s
     * register arithmetic (exact 2^(40−r) harmonic terms, 8dp-pinned
     * linear-counting ln, 6dp per-vertex rounds). */
-  private def hyperBallSql(rounds: Int, m: Int): String = {
+  /** The shared HyperBall CTE chain (edges → per-vertex registers →
+    * `rounds` unrolled max-merge rounds → per-round per-vertex
+    * estimates ef0..efN + per-round totals tt0..ttN), used by both
+    * the x272 totals curve and the x275 centrality. */
+  private def hyperBallCtes(rounds: Int, m: Int): String = {
     val alpha = s"(0.7213e0 / (1.0e0 + 1.079e0 / $m.0e0))"
     val two40 = "1099511627776"
     val mm = (m.toLong * m).toDouble
@@ -6265,9 +6310,7 @@ object OracleSql {
          |    JOIN g${k - 1} p ON p.v = e.w) GROUP BY 1, 2)""".stripMargin
     }.mkString(",\n")
     val estCtes = (0 to rounds).map(estCte).mkString(",\n")
-    val curve = (0 to rounds).map(k => s"SELECT * FROM tt$k")
-      .mkString("\nUNION ALL\n")
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS u,
        |                  's' || CAST(l_suppkey AS VARCHAR) AS w
        |  FROM lineitem
@@ -6282,7 +6325,13 @@ object OracleSql {
        |g0 AS (SELECT v, b, CASE WHEN wd = 0 THEN 33
        |  ELSE 33 - length(bin(wd)) END AS r FROM g0w),
        |$roundCtes,
-       |$estCtes,
+       |$estCtes""".stripMargin
+  }
+
+  private def hyperBallSql(rounds: Int, m: Int): String = {
+    val curve = (0 to rounds).map(k => s"SELECT * FROM tt$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${hyperBallCtes(rounds, m)},
        |curve AS ($curve),
        |cv AS (SELECT r,
        |  CAST(ROUND(CAST(tot AS DECIMAL(18,8)), 6) AS DOUBLE)
@@ -6295,6 +6344,25 @@ object OracleSql {
        |    AS reach_frac,
        |  CAST(n_reached >= 0.9e0 * f AS INT) AS covered_90
        |FROM cv CROSS JOIN fin ORDER BY r""".stripMargin
+  }
+
+  /** Harmonic-centrality finish over the shared HyperBall CTEs: the
+    * telescoped Σ est_r·c_r with coefficients printed from the SAME
+    * Scala doubles the engine multiplies
+    * ([[graft.operators.Sketch.harmonicCoefs]]). */
+  private def hyperBallHarmonicSql(rounds: Int, m: Int,
+      topK: Int): String = {
+    val coefs = graft.operators.Sketch.harmonicCoefs(rounds)
+    val terms = (0 to rounds).map { k =>
+      s"""SELECT v, ROUND(CAST(est * ${coefs(k)}e0
+         |  AS DECIMAL(18,8)), 8) AS t FROM ef$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${hyperBallCtes(rounds, m)},
+       |tm AS ($terms),
+       |h AS (SELECT v, CAST(ROUND(CAST(SUM(t) AS DECIMAL(18,8)), 6)
+       |  AS DOUBLE) AS harmonic FROM tm GROUP BY 1)
+       |SELECT v AS node, harmonic FROM h
+       |ORDER BY harmonic DESC, node LIMIT $topK""".stripMargin
   }
 
   /** The x266/x267/x268 shared subject CTE: per-user first event,

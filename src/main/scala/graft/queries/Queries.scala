@@ -2917,6 +2917,31 @@ object Queries {
       "doc_id", "text").orderBy("doc_id")
   }
 
+  /** X241 — negative-binomial overdispersion fit per event type over
+    * per-user event counts: the distributional read behind count
+    * modeling (real per-user counts are classically NB, not Poisson). */
+  def x274(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("__c"))
+    Forecast.negBinomialFit(perUser, Seq("event_type"), "__c")
+      .orderBy("event_type")
+  }
+
+  /** X242 — harmonic centrality via HyperBall on the x99 graph: every
+    * vertex's Σ 1/d(u,v) from the same V·m-bounded register iteration
+    * as x272, top-20 by rounded score. */
+  def x275(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val fwd = li.select(
+      concat(lit("p"), col("l_partkey")).as("src"),
+      concat(lit("s"), col("l_suppkey")).as("dst"))
+    val edges = fwd.union(
+      fwd.select(col("dst").as("src"), col("src").as("dst")))
+    Sketch.hyperBallHarmonic(edges, "src", "dst", rounds = 3, m = 32,
+      topK = 20)
+  }
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -3203,5 +3228,7 @@ object Queries {
     "x270_holm" -> (x270 _),
     "x271_did" -> (x271 _),
     "x272_hyperball" -> (x272 _),
-    "x273_trigram_lm" -> (x273 _))
+    "x273_trigram_lm" -> (x273 _),
+    "x274_negbinomial" -> (x274 _),
+    "x275_harmonic_centrality" -> (x275 _))
 }

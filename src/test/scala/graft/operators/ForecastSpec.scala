@@ -440,4 +440,34 @@ class ForecastSpec extends SparkSpec {
     assert(got.getDouble(2) == r4(l) && got.getDouble(3) == r4(b) &&
       got.getDouble(4) == r4(next), s"got $got vs ($l, $b, $next)")
   }
+
+  test("negBinomialFit: hand moments, regime gating, degenerate keys") {
+    import spark.implicits._
+    val rows =
+      Seq(0, 1, 2, 3, 10).map(("a", _)) ++ // overdispersed
+        Seq(2, 2, 2, 3).map(("b", _)) ++   // underdispersed
+        Seq(("c", 7)) ++                   // single row: no variance
+        Seq(("d", 0), ("d", 0))            // all-zero: mean 0
+    val got = Forecast.negBinomialFit(rows.toDF("k", "v"), Seq("k"), "v")
+      .orderBy("k").collect()
+    val a = got(0)
+    // mean 3.2, var (114 - 5*10.24)/4 = 15.7
+    assert(a.getAs[Double]("mean") == 3.2 &&
+      a.getAs[Double]("variance") == 15.7, s"got $a")
+    assert(a.getAs[Double]("dispersion") == 4.90625)
+    assert(a.getAs[Int]("overdispersed") == 1)
+    assert(a.getAs[Double]("nb_r") == 0.8192, s"got ${a.getAs[Double]("nb_r")}")
+    assert(math.abs(a.getAs[Double]("nb_p") - 3.2 / 15.7) < 1e-6)
+    val b = got(1)
+    assert(b.getAs[Int]("overdispersed") == 0 &&
+      b.isNullAt(b.fieldIndex("nb_r")) && b.isNullAt(b.fieldIndex("nb_p")),
+      s"underdispersed key must emit moments but no fit: $b")
+    val c = got(2)
+    assert(c.isNullAt(c.fieldIndex("variance")) &&
+      c.isNullAt(c.fieldIndex("overdispersed")), s"single row: $c")
+    val d = got(3)
+    assert(d.getAs[Double]("mean") == 0.0 &&
+      d.isNullAt(d.fieldIndex("dispersion")) &&
+      d.isNullAt(d.fieldIndex("overdispersed")), s"zero mean: $d")
+  }
 }

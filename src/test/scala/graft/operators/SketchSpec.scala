@@ -215,4 +215,31 @@ class SketchSpec extends SparkSpec {
       Sketch.hyperBall(edges, "s", "d", rounds = 0)
     }
   }
+
+  test("hyperBallHarmonic: hub tops a star, symmetric pair ties exactly") {
+    // star: hub-l1..l5 (undirected). H(hub) = 5 exactly; each leaf
+    // H = 1 + 4/2 = 3 — the hub must rank first under the estimate too
+    val leaves = (1 to 5).map(i => s"l$i")
+    val fwd = leaves.map(l => ("hub", l))
+    val edges = (fwd ++ fwd.map(_.swap)).toDF("s", "d")
+    val got = Sketch.hyperBallHarmonic(edges, "s", "d", rounds = 3, m = 16)
+      .collect()
+    assert(got.length == 6)
+    assert(got.head.getAs[String]("node") == "hub",
+      s"hub must rank first: ${got.toSeq}")
+    // topK limits the output
+    val top3 = Sketch.hyperBallHarmonic(edges, "s", "d", rounds = 3,
+      m = 16, topK = 3).collect()
+    assert(top3.length == 3 && top3.head.getAs[String]("node") == "hub")
+    // K2: both vertices see the SAME ball sets at every radius, so the
+    // register estimates — and the harmonic scores — tie exactly
+    val pair = Seq(("a", "b"), ("b", "a")).toDF("s", "d")
+    val two = Sketch.hyperBallHarmonic(pair, "s", "d", rounds = 2, m = 16)
+      .collect()
+    assert(two.length == 2 &&
+      two(0).getAs[Double]("harmonic") == two(1).getAs[Double]("harmonic"),
+      s"symmetric pair must tie exactly: ${two.toSeq}")
+    assert(two.map(_.getAs[String]("node")).toSeq == Seq("a", "b"),
+      "ties must break by node for determinism")
+  }
 }
