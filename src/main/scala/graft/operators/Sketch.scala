@@ -581,6 +581,96 @@ object Sketch {
           .as("covered_90"))
   }
 
+  /** DDSketch log-bucket index of a positive double under accuracy
+    * `alpha`: i = ⌈round₈(ln x / ln γ)⌉ with γ = (1+α)/(1−α) — the
+    * 8 dp pin makes the ONLY libm call in the bucket decision agree
+    * across engines (the [[hllEstimateFromRegisters]] linear-counting
+    * convention). */
+  private[graft] def ddLnGamma(alpha: Double): Double = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    math.log((1.0 + alpha) / (1.0 - alpha))
+  }
+
+  /** The Scala twin of the in-plan bucket expression (BigDecimal
+    * HALF_UP at 8 dp ≡ Spark/DuckDB ROUND) — the streaming bucket
+    * monitor keys its state with it; SketchSpec pins twin ≡ engine. */
+  private[graft] def ddBucketOf(x: Double, alpha: Double): Long = {
+    val q = BigDecimal(math.log(x) / ddLnGamma(alpha))
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    q.setScale(0, BigDecimal.RoundingMode.CEILING).toLong
+  }
+
+  /** X243 (r16) — DDSketch quantiles (Masson–Rim–Lee, VLDB 2019;
+    * Datadog's production sketch): fully-mergeable quantile estimates
+    * with a RELATIVE-error guarantee |x̂−x| ≤ α·x — the latency/price
+    * distribution read where rank-error sketches blur exactly the
+    * tail you care about. Values land in log-spaced buckets
+    * i = ⌈log_γ x⌉ (γ = (1+α)/(1−α)); the sketch IS the bucket-count
+    * table: one map-side-combinable aggregate, ≤ ln(max/min)/ln γ
+    * rows out (~1k buckets for 9 decades at α = 0.01) regardless of
+    * input size, merging across corpora/batches by count addition.
+    * Quantile q = the first bucket whose cumulative count reaches
+    * q·n, estimated at 2γⁱ/(γ+1).
+    *
+    * Portability: the bucket index pins its ln quotient to 8 dp
+    * before ⌈·⌉; the estimate's γⁱ runs as exp(round₈(i·ln γ)) with
+    * ln γ and 2/(γ+1) Scala-printed literals shared with the oracle.
+    * The cumulative walk is a window over the BUCKET-bounded table
+    * (the audited bounded-frame class); all quantiles read from ONE
+    * pass via a literal-exploded quantile frame. Non-positive values
+    * are outside the sketch's support and excluded (count visible as
+    * n vs input rows).
+    */
+  def ddsketchQuantiles(df: DataFrame, value: Column,
+      alpha: Double = 0.01,
+      qs: Seq[Double] = Seq(0.5, 0.95, 0.99)): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q < 1),
+      s"quantiles must be in (0,1): $qs")
+    val counts = ddBucketCounts(df, value, alpha)
+    ddQuantilesFromBuckets(counts, alpha, qs)
+  }
+
+  /** The bucket-count table alone (build side of
+    * [[ddsketchQuantiles]], shared with the streaming twin's parity
+    * spec): one map-side-combinable aggregate, bucket-bounded out. */
+  private[graft] def ddBucketCounts(
+      df: DataFrame, value: Column, alpha: Double): DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val lnG = ddLnGamma(alpha)
+    df.filter(value.isNotNull && value > 0)
+      .select(ceil(round((log(value.cast("double")) / lit(lnG))
+        .cast(stable), 8)).cast("long").as("__i"))
+      .groupBy(col("__i")).agg(count(lit(1)).as("__c"))
+  }
+
+  /** The quantile walk over an (already-built) bucket-count table —
+    * the SHARED rollup both the batch sketch and the streaming bucket
+    * monitor finish through, so stream ≡ batch by construction. */
+  private[graft] def ddQuantilesFromBuckets(
+      counts: DataFrame, alpha: Double, qs: Seq[Double]): DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val lnG = ddLnGamma(alpha)
+    val gamma = (1.0 + alpha) / (1.0 - alpha)
+    val coef = 2.0 / (gamma + 1.0)
+    val ord = Window.orderBy(col("__i"))
+    val cum = counts
+      .withColumn("__cum",
+        sum(col("__c")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy()))
+    val qFrame = counts.sparkSession.range(1)
+      .select(explode(array(qs.map(lit): _*)).as("q"))
+    val hit = cum.crossJoin(qFrame)
+      .groupBy(col("q"))
+      .agg(first(col("__n")).as("n"),
+        min(when(col("__cum") >= col("q") * col("__n").cast("double"),
+          col("__i"))).as("bucket"))
+    hit.select(col("q"), col("n"), col("bucket"),
+      round((exp(round((col("bucket").cast("double") * lit(lnG))
+          .cast(stable), 8).cast("double")) * lit(coef)).cast(stable), 6)
+        .cast("double").as("estimate"))
+      .orderBy(col("q"))
+  }
+
   /** The telescoped harmonic coefficients: H(v) = Σ_{r=1..R}
     * (|B(v,r)| − |B(v,r−1)|)/r = Σ_r est_r·c_r with c_0 = −1,
     * c_r = 1/r − 1/(r+1) for r < R, c_R = 1/R — shared with the

@@ -6265,6 +6265,13 @@ object OracleSql {
         |    mean / var END AS DECIMAL(18,8)), 6) AS DOUBLE) AS nb_p
         |FROM vv ORDER BY event_type""".stripMargin,
 
+    // DDSketch: log-bucket counts (⌈8dp-pinned ln quotient⌉), one
+    // cumulative walk over the bucket-bounded table, estimates via
+    // exp(round₈(i·lnγ)) with lnγ / 2/(γ+1) printed from the engine's
+    // own Scala doubles.
+    "x276_ddsketch" -> ddsketchSql(alpha = 0.01,
+      qs = Seq(0.5, 0.95, 0.99)),
+
     // Harmonic centrality via HyperBall: the same unrolled register
     // rounds, telescoped per-vertex sum Σ est_r·c_r with coefficients
     // printed from the ENGINE's own Scala doubles, top-20 by rounded
@@ -6344,6 +6351,35 @@ object OracleSql {
        |    AS reach_frac,
        |  CAST(n_reached >= 0.9e0 * f AS INT) AS covered_90
        |FROM cv CROSS JOIN fin ORDER BY r""".stripMargin
+  }
+
+  /** DDSketch oracle over lineitem extended price: literals printed
+    * from the SAME Scala doubles the engine compiles in
+    * ([[graft.operators.Sketch.ddLnGamma]]). */
+  private def ddsketchSql(alpha: Double, qs: Seq[Double]): String = {
+    val lnG = graft.operators.Sketch.ddLnGamma(alpha)
+    val gamma = (1.0 + alpha) / (1.0 - alpha)
+    val coef = 2.0 / (gamma + 1.0)
+    val qList = qs.map(q => s"${q}e0").mkString(", ")
+    s"""WITH r AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v
+       |  FROM lineitem
+       |  WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0),
+       |b AS (SELECT CAST(CEIL(ROUND(CAST(LN(v) / ${lnG}e0
+       |  AS DECIMAL(18,8)), 8)) AS BIGINT) AS i FROM r),
+       |c AS (SELECT i, COUNT(*) AS c FROM b GROUP BY 1),
+       |cu AS (SELECT i, SUM(c) OVER (ORDER BY i
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |  SUM(c) OVER () AS n FROM c),
+       |qq AS (SELECT unnest([$qList]) AS q),
+       |h AS (SELECT q, MAX(n) AS n,
+       |  MIN(CASE WHEN CAST(cum AS DOUBLE) >= q * CAST(n AS DOUBLE)
+       |    THEN i END) AS bucket
+       |  FROM cu CROSS JOIN qq GROUP BY q)
+       |SELECT q, CAST(n AS BIGINT) AS n, bucket,
+       |  CAST(ROUND(CAST(EXP(CAST(ROUND(CAST(CAST(bucket AS DOUBLE)
+       |      * ${lnG}e0 AS DECIMAL(18,8)), 8) AS DOUBLE))
+       |    * ${coef}e0 AS DECIMAL(18,8)), 6) AS DOUBLE) AS estimate
+       |FROM h ORDER BY q""".stripMargin
   }
 
   /** Harmonic-centrality finish over the shared HyperBall CTEs: the

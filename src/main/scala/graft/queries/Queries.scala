@@ -2942,6 +2942,13 @@ object Queries {
       topK = 20)
   }
 
+  /** X243 — DDSketch price quantiles (α = 0.01): relative-error
+    * p50/p95/p99 from a log-bucket count table bounded by the value
+    * RANGE, not the data — the mergeable tail-latency/price read. */
+  def x276(s: SparkSession, dir: String): DataFrame =
+    Sketch.ddsketchQuantiles(Tables.lineitem(s, dir),
+      col("l_extendedprice"), alpha = 0.01, qs = Seq(0.5, 0.95, 0.99))
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -3230,5 +3237,6 @@ object Queries {
     "x272_hyperball" -> (x272 _),
     "x273_trigram_lm" -> (x273 _),
     "x274_negbinomial" -> (x274 _),
-    "x275_harmonic_centrality" -> (x275 _))
+    "x275_harmonic_centrality" -> (x275 _),
+    "x276_ddsketch" -> (x276 _))
 }

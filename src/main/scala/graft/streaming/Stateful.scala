@@ -538,6 +538,39 @@ object Stateful {
       }
   }
 
+  /** Input/output shapes of [[ddBucketMonitor]]. */
+  case class DdPoint(seq: Long, value: Double)
+  case class DdBucket(bucket: Long, through_seq: Long, c: Long)
+
+  /** Streaming twin of [[graft.operators.Sketch.ddsketchQuantiles]]
+    * (x276): live DDSketch bucket counts — the tail-latency quantile
+    * monitor with state bounded by the VALUE RANGE (≤ ln(max/min)/ln γ
+    * buckets, ~1k for 9 decades at α = 0.01), never the stream. Keys
+    * come from the Scala bucket twin
+    * ([[graft.operators.Sketch.ddBucketOf]], pinned ≡ the in-plan
+    * expression by SketchSpec); the latest emission per bucket rolls
+    * up through [[graft.operators.Sketch.ddQuantilesFromBuckets]] —
+    * the EXACT batch walk (spec-pinned across a mid-stream split).
+    * Non-positive values are outside the sketch support and dropped,
+    * matching the batch filter. */
+  def ddBucketMonitor(ds: Dataset[DdPoint],
+      alpha: Double = 0.01): Dataset[DdBucket] = {
+    implicit val stateEnc: Encoder[DdBucket] = Encoders.product[DdBucket]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    ds.filter(_.value > 0)
+      .groupByKey(p => graft.operators.Sketch.ddBucketOf(p.value, alpha))
+      .flatMapGroupsWithState[DdBucket, DdBucket](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (bucket: Long, rows: Iterator[DdPoint],
+            state: GroupState[DdBucket]) =>
+          var s = state.getOption.getOrElse(DdBucket(bucket, 0L, 0L))
+          rows.foreach(r =>
+            s = DdBucket(bucket, math.max(s.through_seq, r.seq), s.c + 1L))
+          state.update(s)
+          Iterator.single(s)
+      }
+  }
+
   /** Input/output shapes of [[cmhCellsMonitor]]. */
   case class StratumEvent(seq: Long, stratum: String, treat: Boolean,
       success: Boolean)

@@ -216,6 +216,36 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("ddsketch: relative-error guarantee, Scala twin ≡ engine buckets") {
+    val vals = (1 to 5000).map(_.toDouble * 0.37)
+    val df = vals.toDF("v")
+    val got = Sketch.ddsketchQuantiles(df, col("v"), alpha = 0.01).collect()
+    assert(got.map(_.getAs[Double]("q")).toSeq == Seq(0.5, 0.95, 0.99))
+    val sorted = vals.sorted
+    got.foreach { r =>
+      val q = r.getAs[Double]("q")
+      val est = r.getAs[Double]("estimate")
+      val truth = sorted(math.ceil(q * vals.size).toInt - 1)
+      assert(math.abs(est - truth) / truth <= 0.0105,
+        s"q=$q: est $est vs true $truth breaks the alpha guarantee")
+    }
+    // the streaming monitor's Scala bucket twin must key EXACTLY like
+    // the in-plan expression
+    val engine = Sketch.ddBucketCounts(df, col("v"), 0.01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val twin = vals.groupBy(v => Sketch.ddBucketOf(v, 0.01))
+      .view.mapValues(_.size.toLong).toMap
+    assert(engine == twin, "Scala bucket twin diverges from the engine")
+    // non-positive values are outside the sketch support
+    val withJunk = (vals ++ Seq(-5.0, 0.0)).toDF("v")
+    val n = Sketch.ddsketchQuantiles(withJunk, col("v")).collect()
+      .head.getAs[Long]("n")
+    assert(n == vals.size, s"support filter must drop 2 rows: n=$n")
+    intercept[IllegalArgumentException] {
+      Sketch.ddsketchQuantiles(df, col("v"), qs = Seq(0.0))
+    }
+  }
+
   test("hyperBallHarmonic: hub tops a star, symmetric pair ties exactly") {
     // star: hub-l1..l5 (undirected). H(hub) = 5 exactly; each leaf
     // H = 1 + 4/2 = 3 — the hub must rank first under the estimate too

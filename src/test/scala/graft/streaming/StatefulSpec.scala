@@ -515,6 +515,37 @@ class StatefulSpec extends SparkSpec {
     assert(rolled == batch, s"stream rollup $rolled != batch $batch")
   }
 
+  test("ddBucketMonitor rollup ≡ batch ddsketchQuantiles EXACTLY across a mid-stream split") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    // wrapping residues spread values over ~2 decades; junk rows pin
+    // the support filter's batch parity
+    val vals = (1 to 400).map(i => (i % 97 + 1).toDouble * 1.37) ++
+      Seq(-3.0, 0.0)
+    val batch = graft.operators.Sketch.ddsketchQuantiles(
+      vals.toDF("v"), col("v"), alpha = 0.02, qs = Seq(0.5, 0.9))
+      .collect().toSeq
+    val events = vals.zipWithIndex.map { case (v, i) =>
+      Stateful.DdPoint(i.toLong, v) }
+    val mem = MemoryStream[Stateful.DdPoint]
+    val out = Stateful.ddBucketMonitor(mem.toDS(), alpha = 0.02)
+    val sink = s"dd_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(events.take(150): _*)
+      q.processAllAvailable()
+      mem.addData(events.drop(150): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val latest = spark.table(sink).as[Stateful.DdBucket].collect()
+      .groupBy(_.bucket).map(_._2.maxBy(_.through_seq)).toSeq
+    val rolled = graft.operators.Sketch.ddQuantilesFromBuckets(
+      latest.map(b => (b.bucket, b.c)).toDF("__i", "__c"),
+      alpha = 0.02, qs = Seq(0.5, 0.9)).collect().toSeq
+    assert(rolled == batch, s"stream rollup $rolled != batch $batch")
+  }
+
   test("pageHinkleyMonitor final emission ≡ batch pageHinkley EXACTLY across a mid-stream split") {
     import org.apache.spark.sql.functions.col
     implicit val sqlCtx = spark.sqlContext
