@@ -436,6 +436,62 @@ object Sketch {
         .cast("double").as("true_jaccard"))
   }
 
+  /** X244 (r16) — KMV set-difference cardinality ([[kmvSetOps]]'s
+    * missing direction): estimate |A\B| and |B\A| from the same two
+    * bottom-k sketches — "which corpus has content the other lacks,
+    * and how much" answered at two scans + a k-row join, the
+    * theta-sketch a-not-b operation (Datasketches' AnotB). The union
+    * sketch is a uniform sample of A∪B, so the in-A-only share of its
+    * rows scales the union estimate; the ln/pow-free estimator stays
+    * bit-identical on any engine. Exact truths ride along (drop at
+    * production scale).
+    */
+  def kmvDifference(
+      dfA: DataFrame, dfB: DataFrame, key: Column, k: Int = 256)
+    : DataFrame = {
+    require(k >= 16, s"k must be >= 16: $k")
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val skA = kmvBottomK(dfA, key, k).withColumnRenamed("__h", "__ha")
+    val skB = kmvBottomK(dfB, key, k).withColumnRenamed("__h", "__hb")
+    val union = skA.select(col("__ha").as("__h"))
+      .union(skB.select(col("__hb").as("__h")))
+      .distinct().orderBy(col("__h")).limit(k)
+    val marked = union
+      .join(skA, union("__h") === skA("__ha"), "left")
+      .join(skB, union("__h") === skB("__hb"), "left")
+      .select(col("__h"),
+        (col("__ha").isNotNull && col("__hb").isNull)
+          .cast("long").as("__aonly"),
+        (col("__ha").isNull && col("__hb").isNotNull)
+          .cast("long").as("__bonly"))
+    val agg = marked.agg(count(lit(1)).as("__n"), max(col("__h")).as("__u"),
+      sum(col("__aonly")).as("__ca"), sum(col("__bonly")).as("__cb"))
+    val unionEst = when(col("__n") < k, col("__n").cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(281474976710656.0d)
+        / col("__u").cast("double"))
+    val keys = dfA.filter(key.isNotNull)
+      .select(key.cast("string").as("__k"), lit(1L).as("__a"),
+        lit(0L).as("__b"))
+      .union(dfB.filter(key.isNotNull)
+        .select(key.cast("string").as("__k"), lit(0L).as("__a"),
+          lit(1L).as("__b")))
+      .groupBy(col("__k"))
+      .agg(max(col("__a")).as("__ina"), max(col("__b")).as("__inb"))
+    val truth = keys.agg(
+      sum((col("__ina") === 1L && col("__inb") === 0L).cast("long"))
+        .as("true_a_not_b"),
+      sum((col("__ina") === 0L && col("__inb") === 1L).cast("long"))
+        .as("true_b_not_a"))
+    agg.crossJoin(truth).select(
+      lit(k).as("k"),
+      round(unionEst.cast(stable), 6).cast("double").as("union_estimate"),
+      round((col("__ca").cast("double") / col("__n").cast("double")
+        * unionEst).cast(stable), 6).cast("double").as("a_not_b_estimate"),
+      round((col("__cb").cast("double") / col("__n").cast("double")
+        * unionEst).cast(stable), 6).cast("double").as("b_not_a_estimate"),
+      col("true_a_not_b"), col("true_b_not_a"))
+  }
+
   def countMinFrequencies(
       df: DataFrame, key: Column, queryKeys: Seq[String],
       depth: Int = 4, width: Int = 256): DataFrame = {

@@ -6265,6 +6265,59 @@ object OracleSql {
         |    mean / var END AS DECIMAL(18,8)), 6) AS DOUBLE) AS nb_p
         |FROM vv ORDER BY event_type""".stripMargin,
 
+    // KMV a-not-b: the x261 union sketch with side-exclusive marks;
+    // difference estimates scale the ln/pow-free union estimator by
+    // the exclusive shares; exact truths ride along.
+    "x277_kmv_difference" ->
+      """WITH ha AS (SELECT DISTINCT ('0x' || substr(
+        |    md5(CAST(o_custkey AS VARCHAR)), 1, 12))::BIGINT AS h
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'
+        |    AND o_custkey IS NOT NULL),
+        |hb AS (SELECT DISTINCT ('0x' || substr(
+        |    md5(CAST(o_custkey AS VARCHAR)), 1, 12))::BIGINT AS h
+        |  FROM orders WHERE o_orderpriority = '2-HIGH'
+        |    AND o_custkey IS NOT NULL),
+        |ska AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+        |skb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+        |un AS (SELECT DISTINCT h FROM
+        |  (SELECT h FROM ska UNION ALL SELECT h FROM skb)
+        |  ORDER BY h LIMIT 256),
+        |mk AS (SELECT un.h,
+        |  CASE WHEN ska.h IS NOT NULL AND skb.h IS NULL
+        |    THEN 1 ELSE 0 END AS aonly,
+        |  CASE WHEN ska.h IS NULL AND skb.h IS NOT NULL
+        |    THEN 1 ELSE 0 END AS bonly
+        |  FROM un LEFT JOIN ska ON un.h = ska.h
+        |          LEFT JOIN skb ON un.h = skb.h),
+        |ag AS (SELECT COUNT(*) AS n, MAX(h) AS u,
+        |  SUM(aonly) AS ca, SUM(bonly) AS cb FROM mk),
+        |e AS (SELECT n, ca, cb,
+        |  CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+        |    ELSE 255.0e0 * 281474976710656.0e0 / CAST(u AS DOUBLE)
+        |  END AS ue FROM ag),
+        |ks AS (SELECT kk, MAX(a) AS ina, MAX(b) AS inb FROM
+        |  (SELECT CAST(o_custkey AS VARCHAR) AS kk, 1 AS a, 0 AS b
+        |     FROM orders WHERE o_orderpriority = '1-URGENT'
+        |       AND o_custkey IS NOT NULL
+        |   UNION ALL
+        |   SELECT CAST(o_custkey AS VARCHAR), 0, 1
+        |     FROM orders WHERE o_orderpriority = '2-HIGH'
+        |       AND o_custkey IS NOT NULL) GROUP BY 1),
+        |tr AS (SELECT
+        |  CAST(SUM(CASE WHEN ina = 1 AND inb = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS ta,
+        |  CAST(SUM(CASE WHEN ina = 0 AND inb = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS tb FROM ks)
+        |SELECT 256 AS k,
+        |  CAST(ROUND(CAST(ue AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |    AS union_estimate,
+        |  CAST(ROUND(CAST(CAST(ca AS DOUBLE) / CAST(n AS DOUBLE) * ue
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS a_not_b_estimate,
+        |  CAST(ROUND(CAST(CAST(cb AS DOUBLE) / CAST(n AS DOUBLE) * ue
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS b_not_a_estimate,
+        |  ta AS true_a_not_b, tb AS true_b_not_a
+        |FROM e CROSS JOIN tr""".stripMargin,
+
     // DDSketch: log-bucket counts (⌈8dp-pinned ln quotient⌉), one
     // cumulative walk over the bucket-bounded table, estimates via
     // exp(round₈(i·lnγ)) with lnγ / 2/(γ+1) printed from the engine's

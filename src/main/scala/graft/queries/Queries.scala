@@ -2949,6 +2949,17 @@ object Queries {
     Sketch.ddsketchQuantiles(Tables.lineitem(s, dir),
       col("l_extendedprice"), alpha = 0.01, qs = Seq(0.5, 0.95, 0.99))
 
+  /** X244 — KMV a-not-b on the x261 corpus pair (urgent vs high
+    * priority customers): which side has customers the other lacks,
+    * from the same two bottom-k sketches, k-row join only. */
+  def x277(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    Sketch.kmvDifference(
+      o.filter(col("o_orderpriority") === "1-URGENT"),
+      o.filter(col("o_orderpriority") === "2-HIGH"),
+      col("o_custkey"), k = 256)
+  }
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -3238,5 +3249,6 @@ object Queries {
     "x273_trigram_lm" -> (x273 _),
     "x274_negbinomial" -> (x274 _),
     "x275_harmonic_centrality" -> (x275 _),
-    "x276_ddsketch" -> (x276 _))
+    "x276_ddsketch" -> (x276 _),
+    "x277_kmv_difference" -> (x277 _))
 }

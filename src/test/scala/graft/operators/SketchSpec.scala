@@ -216,6 +216,32 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("kmvDifference: exact below k, nested zero, accuracy above k") {
+    // union below k: the sketch IS the exact sets
+    val a = (1 to 100).map(i => s"k$i").toDF("key")
+    val b = (51 to 150).map(i => s"k$i").toDF("key")
+    val out = Sketch.kmvDifference(a, b, col("key"), k = 256).head()
+    assert(out.getAs[Long]("true_a_not_b") == 50L &&
+      out.getAs[Long]("true_b_not_a") == 50L)
+    assert(out.getAs[Double]("a_not_b_estimate") == 50.0 &&
+      out.getAs[Double]("b_not_a_estimate") == 50.0,
+      s"below k the difference must be exact: $out")
+    // nested side: B ⊂ A → b-not-a is exactly zero
+    val sub = (1 to 40).map(i => s"k$i").toDF("key")
+    val nested = Sketch.kmvDifference(a, sub, col("key"), k = 256).head()
+    assert(nested.getAs[Double]("b_not_a_estimate") == 0.0 &&
+      nested.getAs[Double]("a_not_b_estimate") == 60.0)
+    // above k: ~1/sqrt(k) sampling accuracy on both directions
+    val bigA = (1 to 5000).map(i => s"u$i").toDF("key")
+    val bigB = (2501 to 7500).map(i => s"u$i").toDF("key")
+    val big = Sketch.kmvDifference(bigA, bigB, col("key"), k = 256).head()
+    Seq("a_not_b_estimate" -> 2500.0, "b_not_a_estimate" -> 2500.0)
+      .foreach { case (c, t) =>
+        val e = big.getAs[Double](c)
+        assert(math.abs(e - t) / t < 0.3, s"$c: $e vs $t")
+      }
+  }
+
   test("ddsketch: relative-error guarantee, Scala twin ≡ engine buckets") {
     val vals = (1 to 5000).map(_.toDouble * 0.37)
     val df = vals.toDF("v")
