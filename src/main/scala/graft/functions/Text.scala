@@ -60,6 +60,25 @@ object Text {
       regexp_replace(text, EmailRe, "<EMAIL>"),
       Ipv4Re, "<IP>")
 
+  /** Luhn checksum validity of a digit string (ISO/IEC 7812 — the
+    * check digit behind every payment-card number): from the right,
+    * double every second digit, fold >9 back by −9, and the total
+    * must divide by 10. Pure HOF expression (sequence → transform →
+    * aggregate) over dynamic-position substrings, so both engines
+    * walk identical integer arithmetic — no regex lookaround, no UDF.
+    * The curation upgrade over a bare digit-run regex: a 16-digit
+    * order id is NOT card data; a Luhn-valid run almost certainly is. */
+  def luhnValid(digits: Column): Column = {
+    val rev = reverse(digits)
+    val terms = transform(sequence(lit(1), length(rev)), i => {
+      val d = substring(rev, i, lit(1)).cast("int")
+      val doubled = d * 2
+      when(i % 2 === 0,
+        when(doubled > 9, doubled - 9).otherwise(doubled)).otherwise(d)
+    })
+    aggregate(terms, lit(0), (acc, x) => acc + x) % 10 === 0
+  }
+
   /** Explicit whitespace-run class, not \s: Java regex \s includes \x0B
     * (vertical tab) while the oracle's RE2 \s does not — the engines
     * would canonicalize VT-separated words differently. */

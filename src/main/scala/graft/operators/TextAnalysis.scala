@@ -595,6 +595,35 @@ object TextAnalysis {
           .as("avg_nll"))
   }
 
+  /** X245 (r16) — checksum-validated payment-card scan: digit runs of
+    * card length (13–19) that PASS the Luhn check
+    * ([[graft.functions.Text.luhnValid]]) are counted and redacted —
+    * the PII tier's precision upgrade over x72's pattern regexes,
+    * because a 16-digit order id fails the checksum while real card
+    * numbers never do (1-in-10 false-positive floor for random runs,
+    * visible as n_candidates vs n_valid). Length gating happens in a
+    * HOF filter over all-digit runs, NOT a {13,19} regex — a bounded
+    * quantifier would clip the first 19 digits out of a longer run
+    * and need the lookarounds neither engine's oracle regex has.
+    * Redaction replaces each valid run literally (reduce-replace over
+    * the ≤-a-few-per-doc valid list); everything is per-row codegen
+    * HOF arithmetic, no UDF, no shuffle beyond the caller's. Docs
+    * without card-length runs are dropped (the report shape). */
+  def creditCardScan(df: DataFrame, idCol: String, textCol: String,
+      tag: String = "<CARD>"): DataFrame = {
+    val runs = regexp_extract_all(col(textCol), lit("[0-9]+"), lit(0))
+    val cands = filter(runs, c => length(c).between(13, 19))
+    val valid = filter(cands, Text.luhnValid(_))
+    df.select(col(idCol), col(textCol).as("__t"), cands.as("__c"),
+        valid.as("__v"))
+      .filter(size(col("__c")) > 0)
+      .select(col(idCol),
+        size(col("__c")).as("n_candidates"),
+        size(col("__v")).as("n_valid"),
+        aggregate(col("__v"), col("__t"),
+          (acc, c) => replace(acc, c, lit(tag))).as("redacted"))
+  }
+
   /** PMI collocations: the corpus's most strongly "glued" word pairs
     * — `PMI(a,b) = ln( p(ab) / (p(a)·p(b)) )` with `p(ab)` over
     * adjacent-bigram occurrences and `p(·)` over unigram occurrences —

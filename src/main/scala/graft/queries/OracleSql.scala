@@ -6265,6 +6265,32 @@ object OracleSql {
         |    mean / var END AS DECIMAL(18,8)), 6) AS DOUBLE) AS nb_p
         |FROM vv ORDER BY event_type""".stripMargin,
 
+    // Luhn card scan: all-digit runs length-gated in a list filter
+    // (no {13,19} regex clipping, no lookaround), checksum replayed as
+    // the same integer HOF arithmetic, reduce-replace redaction.
+    "x278_luhn_scan" ->
+      """WITH d AS (SELECT o_orderkey, 'ref 123 card '
+        |    || lpad(CAST(o_orderkey AS VARCHAR), 16, '4')
+        |    || ' end' AS t FROM orders),
+        |c AS (SELECT o_orderkey, t,
+        |  list_filter(regexp_extract_all(t, '[0-9]+'),
+        |    x -> length(x) BETWEEN 13 AND 19) AS cands FROM d),
+        |v AS (SELECT o_orderkey, t, cands,
+        |  list_filter(cands, x -> list_sum(list_transform(
+        |    generate_series(1, length(reverse(x))), i ->
+        |      CASE WHEN i % 2 = 0 THEN
+        |        CASE WHEN CAST(substr(reverse(x), i, 1) AS INT) * 2 > 9
+        |          THEN CAST(substr(reverse(x), i, 1) AS INT) * 2 - 9
+        |          ELSE CAST(substr(reverse(x), i, 1) AS INT) * 2 END
+        |      ELSE CAST(substr(reverse(x), i, 1) AS INT) END))
+        |    % 10 = 0) AS vals FROM c)
+        |SELECT o_orderkey,
+        |  CAST(len(cands) AS INT) AS n_candidates,
+        |  CAST(len(vals) AS INT) AS n_valid,
+        |  list_reduce(list_prepend(t, vals),
+        |    (acc, x) -> replace(acc, x, '<CARD>')) AS redacted
+        |FROM v WHERE len(cands) > 0 ORDER BY o_orderkey""".stripMargin,
+
     // KMV a-not-b: the x261 union sketch with side-exclusive marks;
     // difference estimates scale the ln/pow-free union estimator by
     // the exclusive shares; exact truths ride along.

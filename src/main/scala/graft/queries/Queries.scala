@@ -2960,6 +2960,21 @@ object Queries {
       col("o_custkey"), k = 256)
   }
 
+  /** X245 — Luhn-validated card scan over synthesized order texts
+    * (the corpus has no digit runs, so the gate manufactures one
+    * card-length candidate per order from its key): checksum-valid
+    * runs are counted and redacted, order-id-like runs that fail the
+    * checksum pass through — the PII precision upgrade, oracle-matched
+    * through the whole HOF chain. */
+  def x278(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderkey"),
+      concat(lit("ref 123 card "),
+        lpad(col("o_orderkey").cast("string"), 16, "4"),
+        lit(" end")).as("t"))
+    TextAnalysis.creditCardScan(o, "o_orderkey", "t")
+      .orderBy("o_orderkey")
+  }
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -3250,5 +3265,6 @@ object Queries {
     "x274_negbinomial" -> (x274 _),
     "x275_harmonic_centrality" -> (x275 _),
     "x276_ddsketch" -> (x276 _),
-    "x277_kmv_difference" -> (x277 _))
+    "x277_kmv_difference" -> (x277 _),
+    "x278_luhn_scan" -> (x278 _))
 }

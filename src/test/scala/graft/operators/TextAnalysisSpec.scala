@@ -459,6 +459,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(bad._5 == 0.055556, s"got $bad")
   }
 
+  test("creditCardScan: Luhn separates cards from id-like runs, redacts only valid") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      // a real (test) card number + an invalid same-length run + short noise
+      (1L, "pay 4532015112830366 not 4532015112830367 ref 123"),
+      (2L, "visa test 4111111111111111 ok"),
+      (3L, "order id 1234567890123 only"), // 13 digits, fails checksum
+      (4L, "no digits at all"),
+      (5L, "short 123 4567 runs")).toDF("id", "text")
+    val got = TextAnalysis.creditCardScan(docs, "id", "text")
+      .orderBy("id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L),
+      "docs without card-length runs must drop")
+    val byId = got.map(r => r.getLong(0) ->
+      (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(byId(1L)._1 == 2 && byId(1L)._2 == 1)
+    assert(byId(1L)._3 == "pay <CARD> not 4532015112830367 ref 123",
+      s"only the checksum-valid run redacts: ${byId(1L)._3}")
+    assert(byId(2L) == ((1, 1, "visa test <CARD> ok")))
+    assert(byId(3L) == ((1, 0, "order id 1234567890123 only")),
+      "an id-like run that fails Luhn must pass through")
+    // the checksum itself, off the classic test vectors
+    val luhn = Seq("4532015112830366", "79927398713", "4532015112830367")
+      .toDF("s").select(graft.functions.Text.luhnValid(col("s")))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(luhn == Seq(true, true, false))
+  }
+
   test("stupidBackoffTrigram: three score tiers, hand NLLs, short docs drop") {
     import spark.implicits._
     // reference "a b c a b d": c3 each 1; c2 ab=2, bc=1, ca=1, bd=1;
