@@ -1034,22 +1034,42 @@ object Profiling {
     * observed share, expected share, deviation.
     */
   def benford(df: DataFrame, valueCol: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val expected = Seq(
-      1 -> 0.3010299957d, 2 -> 0.1760912591d, 3 -> 0.1249387366d,
-      4 -> 0.0969100130d, 5 -> 0.0791812460d, 6 -> 0.0669467896d,
-      7 -> 0.0579919470d, 8 -> 0.0511525224d, 9 -> 0.0457574906d)
-      .toDF("digit", "expected_p")
     val dec = org.apache.spark.sql.types.DecimalType(28, 6)
-    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
     val cents = (round(col(valueCol).cast(dec), 2) * 100).cast("bigint")
     val counted = df
       .select(cents.as("__c")).filter(col("__c") > 0)
       .select(substring(col("__c").cast("string"), 1, 1).cast("int")
         .as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
-    // bounded: runs over the 9-row leading-digit histogram, never data
+    benfordFromDigitCounts(counted)
+  }
+
+  /** The Scala twin of [[benford]]'s cents/leading-digit mapping
+    * (BigDecimal HALF_UP ≡ Spark's decimal cast + round) — the
+    * streaming digit monitor keys its state with it; ProfilingSpec
+    * pins twin ≡ engine. Returns 0 for values outside the positive
+    * support (the batch filter). */
+  private[graft] def benfordDigitOf(v: Double): Int = {
+    val cents = (BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLong
+    if (cents <= 0) 0 else cents.toString.charAt(0) - '0'
+  }
+
+  /** The [[benford]] finishing join over an already-built
+    * (digit, n) count table — factored so the streaming digit monitor
+    * ([[graft.streaming.Stateful.benfordDigitMonitor]]) rolls up
+    * through the EXACT batch chain. Bounded: runs over the 9-row
+    * leading-digit histogram, never data. */
+  private[graft] def benfordFromDigitCounts(counted: DataFrame)
+    : DataFrame = {
+    val spark = counted.sparkSession
+    import spark.implicits._
+    val expected = Seq(
+      1 -> 0.3010299957d, 2 -> 0.1760912591d, 3 -> 0.1249387366d,
+      4 -> 0.0969100130d, 5 -> 0.0791812460d, 6 -> 0.0669467896d,
+      7 -> 0.0579919470d, 8 -> 0.0511525224d, 9 -> 0.0457574906d)
+      .toDF("digit", "expected_p")
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
     val tot = org.apache.spark.sql.expressions.Window.partitionBy()
     counted
       .join(broadcast(expected), Seq("digit"), "right")

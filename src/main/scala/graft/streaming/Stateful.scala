@@ -538,6 +538,42 @@ object Stateful {
       }
   }
 
+  /** Input/output shapes of [[benfordDigitMonitor]] (input reuses
+    * [[DdPoint]] — same (seq, value) event). */
+  case class DigitCount(digit: Int, through_seq: Long, n: Long)
+
+  /** Streaming twin of [[graft.operators.Profiling.benford]] (x157):
+    * live leading-digit counts — the fraud/data-quality tripwire a
+    * payment or metrics stream wants continuously (a bot campaign or
+    * a unit-change bug bends the first-digit curve long before any
+    * volume alarm). State is NINE counters + high-water seqs, total;
+    * keys come from the Scala cents/digit twin
+    * ([[graft.operators.Profiling.benfordDigitOf]], pinned ≡ the
+    * in-plan expression by ProfilingSpec); the latest emission per
+    * digit rolls up through
+    * [[graft.operators.Profiling.benfordFromDigitCounts]] — the EXACT
+    * batch chain (spec-pinned across a mid-stream split). Non-positive
+    * values are outside Benford's support and dropped, matching the
+    * batch filter. */
+  def benfordDigitMonitor(ds: Dataset[DdPoint]): Dataset[DigitCount] = {
+    implicit val stateEnc: Encoder[DigitCount] = Encoders.product[DigitCount]
+    implicit val keyEnc: Encoder[Int] = Encoders.scalaInt
+    ds.map(p => (graft.operators.Profiling.benfordDigitOf(p.value), p.seq))(
+        Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong))
+      .filter((t: (Int, Long)) => t._1 > 0)
+      .groupByKey((t: (Int, Long)) => t._1)
+      .flatMapGroupsWithState[DigitCount, DigitCount](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (digit: Int, rows: Iterator[(Int, Long)],
+            state: GroupState[DigitCount]) =>
+          var s = state.getOption.getOrElse(DigitCount(digit, 0L, 0L))
+          rows.foreach(r =>
+            s = DigitCount(digit, math.max(s.through_seq, r._2), s.n + 1L))
+          state.update(s)
+          Iterator.single(s)
+      }
+  }
+
   /** Input/output shapes of [[ddBucketMonitor]]. */
   case class DdPoint(seq: Long, value: Double)
   case class DdBucket(bucket: Long, through_seq: Long, c: Long)

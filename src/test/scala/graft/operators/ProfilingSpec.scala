@@ -495,4 +495,22 @@ class ProfilingSpec extends SparkSpec {
       .orderBy("prob").as[(String, Double, Double, Double)].collect().toSeq
     assert(s.forall(r => r._4 == 2.0 && r._3 - r._2 == 2.0), s"got $s")
   }
+
+  test("benfordDigitOf: Scala twin ≡ engine digit counts incl. cent rounding edges") {
+    import spark.implicits._
+    // 0.005 rounds UP to cent 1 (HALF_UP on both sides); 0.004 drops
+    // to cent 0 and leaves the support; 9.995 crosses into digit 1
+    val vals = Seq(1.0, 0.005, 0.004, 9.995, 9.994, 123.456, 0.01,
+      2.675, 19.99, 0.0, -3.2, 899.999, 900.0)
+    val engine = Profiling.benford(vals.toDF("v"), "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val twin = vals.map(Profiling.benfordDigitOf).filter(_ > 0)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    (1 to 9).foreach { d =>
+      assert(engine(d.toLong) == twin.getOrElse(d, 0L),
+        s"digit $d: engine ${engine(d.toLong)} vs twin ${twin.get(d)}")
+    }
+    assert(twin.values.sum == vals.count(_ >= 0.005),
+      "exactly the positive-cent values stay in support")
+  }
 }

@@ -515,6 +515,35 @@ class StatefulSpec extends SparkSpec {
     assert(rolled == batch, s"stream rollup $rolled != batch $batch")
   }
 
+  test("benfordDigitMonitor rollup ≡ batch benford EXACTLY across a mid-stream split") {
+    implicit val sqlCtx = spark.sqlContext
+    // geometric-ish spread hits every leading digit; junk rows pin the
+    // support filter's batch parity; 0.005 pins the cent-rounding edge
+    val vals = (1 to 300).map(i => (i * i).toDouble * 0.137) ++
+      Seq(0.005, 0.004, 0.0, -7.5)
+    val batch = graft.operators.Profiling.benford(vals.toDF("v"), "v")
+      .orderBy("digit").collect().toSeq
+    val events = vals.zipWithIndex.map { case (v, i) =>
+      Stateful.DdPoint(i.toLong, v) }
+    val mem = MemoryStream[Stateful.DdPoint]
+    val out = Stateful.benfordDigitMonitor(mem.toDS())
+    val sink = s"bf_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(events.take(120): _*)
+      q.processAllAvailable()
+      mem.addData(events.drop(120): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val latest = spark.table(sink).as[Stateful.DigitCount].collect()
+      .groupBy(_.digit).map(_._2.maxBy(_.through_seq)).toSeq
+    val rolled = graft.operators.Profiling.benfordFromDigitCounts(
+      latest.map(c => (c.digit, c.n)).toDF("digit", "n"))
+      .orderBy("digit").collect().toSeq
+    assert(rolled == batch, s"stream rollup $rolled != batch $batch")
+  }
+
   test("ddBucketMonitor rollup ≡ batch ddsketchQuantiles EXACTLY across a mid-stream split") {
     import org.apache.spark.sql.functions.col
     implicit val sqlCtx = spark.sqlContext
