@@ -2047,6 +2047,62 @@ object Evaluation {
         .cast("double").as("t_stat"))
   }
 
+  /** X246 (r16) — Weight of Evidence / Information Value feature
+    * screen (the credit-scoring standard; Siddiqi, "Credit Risk
+    * Scorecards" 2006): bin a numeric feature ([[quantize]]'s
+    * equal-width grid — the same scale knob every rank statistic here
+    * shares), then per bin WOE = ln(%events / %non-events) and
+    * IV = Σ (%events − %non-events)·WOE — "how hard does this feature
+    * separate the target", on the conventional ruler (IV < 0.02
+    * useless, > 0.3 strong). The feature-screening complement to
+    * [[infoGainReport]]'s entropy view that credit/risk teams
+    * actually quote.
+    *
+    * ONE scan to the ≤-bins cell table (the only shuffle); totals and
+    * the IV sum ride full-frame windows over that bins-bounded table.
+    * Bins empty on either side have undefined WOE (null) and
+    * contribute nothing to IV — the unsmoothed convention, visible in
+    * the output rather than hidden behind a pseudocount. WOE's ln is
+    * rounded to 6 dp, IV terms to 8 dp before the exact sum.
+    */
+  def woeIv(df: DataFrame, event: Column, value: Column,
+      bins: Int = 10, roundDigits: Int = 6): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val raw = df.filter(value.isNotNull && event.isNotNull)
+      .select(value.cast("double").as("__v"),
+        event.cast("long").as("__y"))
+    val cells = quantize(raw, "__v", bins)
+      .groupBy(col("__v").as("__bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("__e"))
+    val wAll = Window.partitionBy()
+    val ne = col("n") - col("__e")
+    val withTotals = cells
+      .withColumn("__g", sum(col("__e")).over(wAll))
+      .withColumn("__b", sum(ne).over(wAll))
+    val eShare = col("__e").cast("double") / col("__g").cast("double")
+    val neShare = ne.cast("double") / col("__b").cast("double")
+    val woe = round(when(
+      col("__e") > 0L && ne > 0L && col("__g") > 0L && col("__b") > 0L,
+      log(eShare / neShare)).cast(stable), roundDigits).cast("double")
+    val scored = withTotals
+      .withColumn("woe", woe)
+      .withColumn("__iv", round(((eShare - neShare) * col("woe"))
+        .cast(stable), 8))
+    scored
+      .withColumn("iv_total",
+        round(sum(col("__iv")).over(wAll).cast(stable), roundDigits)
+          .cast("double"))
+      .select(col("__bin").cast("long").as("bin"), col("n"),
+        col("__e").as("events"),
+        round(eShare.cast(stable), roundDigits).cast("double")
+          .as("event_share"),
+        col("woe"),
+        round(col("__iv").cast(stable), roundDigits).cast("double")
+          .as("iv_term"),
+        col("iv_total"))
+  }
+
   def theilIndex(df: DataFrame, groupCols: Seq[String], valueCol: String,
       roundDigits: Int = 6): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(28, 6)

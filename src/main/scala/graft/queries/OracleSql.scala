@@ -6265,6 +6265,41 @@ object OracleSql {
         |    mean / var END AS DECIMAL(18,8)), 6) AS DOUBLE) AS nb_p
         |FROM vv ORDER BY event_type""".stripMargin,
 
+    // WOE/IV: the shared equal-width quantize grid, one cell
+    // aggregate, totals + IV sum over the bins-bounded frame; bins
+    // empty on either side carry null WOE and no IV mass.
+    "x279_woe_iv" ->
+      """WITH r AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+        |  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |ext AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM r),
+        |b AS (SELECT CAST(CASE WHEN hi > lo THEN
+        |    LEAST(FLOOR((v - lo) * 10 / (hi - lo)), 9.0e0)
+        |  ELSE 0.0e0 END AS DOUBLE) AS bin, y FROM r CROSS JOIN ext),
+        |ce AS (SELECT bin, COUNT(*) AS n, SUM(y) AS e FROM b GROUP BY 1),
+        |tt AS (SELECT bin, n, e, SUM(e) OVER () AS g,
+        |  SUM(n - e) OVER () AS bt FROM ce),
+        |sc AS (SELECT bin, n, e, g, bt,
+        |  CAST(ROUND(CAST(CASE WHEN e > 0 AND n - e > 0
+        |      AND g > 0 AND bt > 0 THEN
+        |    LN((CAST(e AS DOUBLE) / CAST(g AS DOUBLE))
+        |      / (CAST(n - e AS DOUBLE) / CAST(bt AS DOUBLE))) END
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS woe FROM tt),
+        |iv AS (SELECT bin, n, e, g, bt, woe,
+        |  ROUND(CAST((CAST(e AS DOUBLE) / CAST(g AS DOUBLE)
+        |    - CAST(n - e AS DOUBLE) / CAST(bt AS DOUBLE)) * woe
+        |    AS DECIMAL(18,8)), 8) AS ivt FROM sc)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+        |  CAST(e AS BIGINT) AS events,
+        |  CAST(ROUND(CAST(CAST(e AS DOUBLE) / CAST(g AS DOUBLE)
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS event_share,
+        |  woe,
+        |  CAST(ROUND(CAST(ivt AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |    AS iv_term,
+        |  CAST(ROUND(CAST(SUM(ivt) OVER () AS DECIMAL(18,8)), 6)
+        |    AS DOUBLE) AS iv_total
+        |FROM iv ORDER BY bin""".stripMargin,
+
     // Luhn card scan: all-digit runs length-gated in a list filter
     // (no {13,19} regex clipping, no lookaround), checksum replayed as
     // the same integer HOF arithmetic, reduce-replace redaction.

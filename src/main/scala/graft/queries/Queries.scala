@@ -2975,6 +2975,15 @@ object Queries {
       .orderBy("o_orderkey")
   }
 
+  /** X246 — WOE / Information Value of extended price against the
+    * return flag, 10 equal-width bins: the credit-scoring feature
+    * screen on its conventional ruler. */
+  def x279(s: SparkSession, dir: String): DataFrame =
+    Evaluation.woeIv(Tables.lineitem(s, dir),
+        event = col("l_returnflag") === "R",
+        value = col("l_extendedprice"), bins = 10)
+      .orderBy("bin")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -3266,5 +3275,6 @@ object Queries {
     "x275_harmonic_centrality" -> (x275 _),
     "x276_ddsketch" -> (x276 _),
     "x277_kmv_difference" -> (x277 _),
-    "x278_luhn_scan" -> (x278 _))
+    "x278_luhn_scan" -> (x278 _),
+    "x279_woe_iv" -> (x279 _))
 }

@@ -867,6 +867,34 @@ class EvaluationSpec extends SparkSpec {
     assert(big.forall(_.getAs[Double]("holm_adjusted") == 1.0))
   }
 
+  test("woeIv: hand two-bin WOE and IV, empty-side bins null out") {
+    import spark.implicits._
+    // values 1..20, 2 bins -> bin0 = 1..10 (2 events), bin1 = 11..20
+    // (8 events): woe = ±ln 4, IV = 2 * 0.6 * ln 4
+    val rows = (1 to 20).map(v => (v.toDouble,
+      if (v <= 10) v <= 2 else v <= 18))
+    val got = Evaluation.woeIv(rows.toDF("v", "y"), col("y"), col("v"),
+      bins = 2).orderBy("bin").collect()
+    assert(got.map(_.getAs[Long]("bin")).toSeq == Seq(0L, 1L))
+    assert(got.map(_.getAs[Long]("events")).toSeq == Seq(2L, 8L))
+    val ln4 = math.log(4.0)
+    assert(math.abs(got(0).getAs[Double]("woe") - -ln4) < 1e-5)
+    assert(math.abs(got(1).getAs[Double]("woe") - ln4) < 1e-5)
+    assert(math.abs(got(0).getAs[Double]("iv_total") - 1.2 * ln4) < 1e-4)
+    assert(got(0).getAs[Double]("iv_total") ==
+      got(1).getAs[Double]("iv_total"))
+    // a bin empty on either side has undefined WOE and no IV mass
+    val deg = Evaluation.woeIv(
+      Seq((1.0, false), (2.0, false), (3.0, true), (4.0, true))
+        .toDF("v", "y"), col("y"), col("v"), bins = 2)
+      .orderBy("bin").collect()
+    assert(deg.forall(_.isNullAt(deg.head.fieldIndex("woe"))))
+    assert(deg.forall(_.isNullAt(deg.head.fieldIndex("iv_total"))))
+    intercept[IllegalArgumentException] {
+      Evaluation.woeIv(rows.toDF("v", "y"), col("y"), col("v"), bins = 1)
+    }
+  }
+
   test("didEstimate: hand-computed four-cell effect and pooled SE") {
     import spark.implicits._
     val rows = Seq(
