@@ -624,6 +624,53 @@ object TextAnalysis {
           (acc, c) => replace(acc, c, lit(tag))).as("redacted"))
   }
 
+  /** X247 (r16) — clipped n-gram overlap scoring (the ROUGE-n /
+    * BLEU-n core; Lin 2004, Papineni et al. 2002): per (reference,
+    * candidate) pair, multiset-clipped n-gram matches →
+    * precision = clip/|cand grams|, recall = clip/|ref grams|, F1 —
+    * THE eval primitive once a pipeline produces text (summaries,
+    * rewrites, distillation targets) and needs scoring against
+    * references at corpus scale. Clipping is the BLEU rule: a
+    * candidate repeating one reference gram can't farm precision.
+    *
+    * Shape: one explode + count aggregate per side to per-(pair,
+    * gram) multiset counts, one full-outer join, one per-pair
+    * aggregate — shuffle ∝ gram rows with (id, gram) keys, never a
+    * quadratic per-row scan (the per-row HOF form is O(len²) per
+    * doc — wrong at corpus scale). F1 combines the ROUNDED P/R so
+    * both engines assemble identical doubles. Pairs with grams on
+    * one side only score 0/null honestly; pairs under n tokens on
+    * both sides have no gram rows and drop (the report shape).
+    */
+  def ngramOverlap(df: DataFrame, idCol: String, refCol: String,
+      candCol: String, n: Int = 2, roundDigits: Int = 6): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val base = df.filter(col(refCol).isNotNull && col(candCol).isNotNull)
+    def grams(c: String, out: String) = base
+      .select(col(idCol), explode(Text.shingles(col(c), n)).as("__g"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as(out))
+    val joined = grams(refCol, "__rc")
+      .join(grams(candCol, "__cc"), Seq(idCol, "__g"), "full_outer")
+    val rc = coalesce(col("__rc"), lit(0L))
+    val cc = coalesce(col("__cc"), lit(0L))
+    val sums = joined.groupBy(col(idCol)).agg(
+      sum(rc).as("ref_ngrams"), sum(cc).as("cand_ngrams"),
+      sum(least(rc, cc)).as("clipped"))
+    val p = round(when(col("cand_ngrams") > 0L,
+      col("clipped").cast("double") / col("cand_ngrams").cast("double"))
+      .cast(stable), roundDigits).cast("double")
+    val r = round(when(col("ref_ngrams") > 0L,
+      col("clipped").cast("double") / col("ref_ngrams").cast("double"))
+      .cast(stable), roundDigits).cast("double")
+    sums.withColumn("precision", p).withColumn("recall", r)
+      .withColumn("f1", round(when(
+        col("precision") + col("recall") > 0.0,
+        lit(2.0) * col("precision") * col("recall")
+          / (col("precision") + col("recall"))).cast(stable), roundDigits)
+        .cast("double"))
+  }
+
   /** PMI collocations: the corpus's most strongly "glued" word pairs
     * — `PMI(a,b) = ln( p(ab) / (p(a)·p(b)) )` with `p(ab)` over
     * adjacent-bigram occurrences and `p(·)` over unigram occurrences —

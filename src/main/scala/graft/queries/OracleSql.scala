@@ -6300,6 +6300,50 @@ object OracleSql {
         |    AS DOUBLE) AS iv_total
         |FROM iv ORDER BY bin""".stripMargin,
 
+    // Clipped bigram overlap: positional-join bigrams per side (the
+    // x112 idiom), full-outer (pair, gram) join, LEAST-clipped
+    // counts; F1 assembled from the ROUNDED P/R.
+    "x280_ngram_overlap" ->
+      """WITH d AS (SELECT doc_id, text AS ref,
+        |  array_to_string(string_split(text, ' ')[1:15], ' ')
+        |    || ' alpha beta' AS cand FROM documents
+        |  WHERE text IS NOT NULL),
+        |rp AS (SELECT doc_id, generate_subscripts(w, 1) AS pos,
+        |  unnest(w) AS tok
+        |  FROM (SELECT doc_id, string_split(ref, ' ') AS w FROM d)),
+        |rg AS (SELECT doc_id, g, COUNT(*) AS rc FROM
+        |  (SELECT a.doc_id, a.tok || ' ' || b.tok AS g FROM rp a
+        |   JOIN rp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)
+        |  GROUP BY 1, 2),
+        |cp AS (SELECT doc_id, generate_subscripts(w, 1) AS pos,
+        |  unnest(w) AS tok
+        |  FROM (SELECT doc_id, string_split(cand, ' ') AS w FROM d)),
+        |cg AS (SELECT doc_id, g, COUNT(*) AS cc FROM
+        |  (SELECT a.doc_id, a.tok || ' ' || b.tok AS g FROM cp a
+        |   JOIN cp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)
+        |  GROUP BY 1, 2),
+        |j AS (SELECT COALESCE(rg.doc_id, cg.doc_id) AS doc_id,
+        |  COALESCE(rc, 0) AS rc, COALESCE(cc, 0) AS cc
+        |  FROM rg FULL OUTER JOIN cg
+        |    ON rg.doc_id = cg.doc_id AND rg.g = cg.g),
+        |s AS (SELECT doc_id, SUM(rc) AS rs, SUM(cc) AS cs,
+        |  SUM(LEAST(rc, cc)) AS cl FROM j GROUP BY 1),
+        |pr AS (SELECT doc_id, rs, cs, cl,
+        |  CAST(ROUND(CAST(CASE WHEN cs > 0 THEN CAST(cl AS DOUBLE)
+        |    / CAST(cs AS DOUBLE) END AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |    AS p,
+        |  CAST(ROUND(CAST(CASE WHEN rs > 0 THEN CAST(cl AS DOUBLE)
+        |    / CAST(rs AS DOUBLE) END AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |    AS r FROM s)
+        |SELECT doc_id, CAST(rs AS BIGINT) AS ref_ngrams,
+        |  CAST(cs AS BIGINT) AS cand_ngrams,
+        |  CAST(cl AS BIGINT) AS clipped,
+        |  p AS precision, r AS recall,
+        |  CAST(ROUND(CAST(CASE WHEN p + r > 0.0e0 THEN
+        |    2.0e0 * p * r / (p + r) END AS DECIMAL(18,8)), 6)
+        |    AS DOUBLE) AS f1
+        |FROM pr ORDER BY doc_id""".stripMargin,
+
     // Luhn card scan: all-digit runs length-gated in a list filter
     // (no {13,19} regex clipping, no lookaround), checksum replayed as
     // the same integer HOF arithmetic, reduce-replace redaction.

@@ -2984,6 +2984,18 @@ object Queries {
         value = col("l_extendedprice"), bins = 10)
       .orderBy("bin")
 
+  /** X247 — ROUGE-2-style clipped bigram overlap: each doc scored
+    * against a derived candidate (first 15 tokens + two novel words),
+    * so precision, recall, and F1 all take non-trivial values. */
+  def x280(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"),
+      col("text"),
+      concat(array_join(slice(graft.functions.Text.tokens(col("text")),
+        1, 15), " "), lit(" alpha beta")).as("cand"))
+    TextAnalysis.ngramOverlap(d, "doc_id", "text", "cand", n = 2)
+      .orderBy("doc_id")
+  }
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -3276,5 +3288,6 @@ object Queries {
     "x276_ddsketch" -> (x276 _),
     "x277_kmv_difference" -> (x277 _),
     "x278_luhn_scan" -> (x278 _),
-    "x279_woe_iv" -> (x279 _))
+    "x279_woe_iv" -> (x279 _),
+    "x280_ngram_overlap" -> (x280 _))
 }

@@ -488,6 +488,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(luhn == Seq(true, true, false))
   }
 
+  test("ngramOverlap: hand clipped P/R/F1, BLEU clipping, one-sided pairs") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, "a b c d", "a b c x"),   // 2 of 3 bigrams match both ways
+      (2L, "a b", "a b a b"),       // clipping: repeated cand gram counts once
+      (3L, "a b c", "x"),           // candidate under n tokens: no cand grams
+      (4L, "q", "q")                // both under n: no gram rows -> drops
+    ).toDF("id", "ref", "cand")
+    val got = TextAnalysis.ngramOverlap(pairs, "id", "ref", "cand", n = 2)
+      .orderBy("id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val r1 = got(0)
+    assert(r1.getAs[Long]("clipped") == 2L &&
+      r1.getAs[Double]("precision") == 0.666667 &&
+      r1.getAs[Double]("recall") == 0.666667 &&
+      r1.getAs[Double]("f1") == 0.666667, s"got $r1")
+    val r2 = got(1)
+    assert(r2.getAs[Long]("cand_ngrams") == 3L &&
+      r2.getAs[Long]("clipped") == 1L, s"clipping must cap repeats: $r2")
+    assert(r2.getAs[Double]("precision") == 0.333333 &&
+      r2.getAs[Double]("recall") == 1.0 && r2.getAs[Double]("f1") == 0.5)
+    val r3 = got(2)
+    assert(r3.getAs[Long]("cand_ngrams") == 0L &&
+      r3.isNullAt(r3.fieldIndex("precision")) &&
+      r3.getAs[Double]("recall") == 0.0 &&
+      r3.isNullAt(r3.fieldIndex("f1")), s"one-sided pair: $r3")
+  }
+
   test("stupidBackoffTrigram: three score tiers, hand NLLs, short docs drop") {
     import spark.implicits._
     // reference "a b c a b d": c3 each 1; c2 ab=2, bc=1, ca=1, bd=1;
