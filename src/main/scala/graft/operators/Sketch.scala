@@ -727,6 +727,49 @@ object Sketch {
       .orderBy(col("q"))
   }
 
+  /** X248 (r16) — per-group DDSketch quantiles ([[ddsketchQuantiles]]
+    * grouped): every segment's p50/p95/p99 from ONE scan — the
+    * "latency per endpoint / price per category" read, where an exact
+    * per-group percentile would sort every group's rows. The
+    * aggregate emits ≤ buckets rows per group; the cumulative walk
+    * partitions by group (windows over per-group BUCKET-bounded
+    * frames — the audited bounded class); all quantiles still read
+    * from one pass via the literal-exploded q frame. */
+  def ddsketchQuantilesBy(df: DataFrame, value: Column,
+      groupCols: Seq[String], alpha: Double = 0.01,
+      qs: Seq[Double] = Seq(0.5, 0.95, 0.99)): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q < 1),
+      s"quantiles must be in (0,1): $qs")
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val lnG = ddLnGamma(alpha)
+    val gamma = (1.0 + alpha) / (1.0 - alpha)
+    val coef = 2.0 / (gamma + 1.0)
+    val gcols = groupCols.map(col)
+    val counts = df.filter(value.isNotNull && value > 0)
+      .select(gcols :+ ceil(round((log(value.cast("double")) / lit(lnG))
+        .cast(stable), 8)).cast("long").as("__i"): _*)
+      .groupBy(gcols :+ col("__i"): _*).agg(count(lit(1)).as("__c"))
+    val ord = Window.partitionBy(gcols: _*).orderBy(col("__i"))
+    val grp = Window.partitionBy(gcols: _*)
+    val cum = counts
+      .withColumn("__cum",
+        sum(col("__c")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__n", sum(col("__c")).over(grp))
+    val qFrame = counts.sparkSession.range(1)
+      .select(explode(array(qs.map(lit): _*)).as("q"))
+    val hit = cum.crossJoin(qFrame)
+      .groupBy(gcols :+ col("q"): _*)
+      .agg(first(col("__n")).as("n"),
+        min(when(col("__cum") >= col("q") * col("__n").cast("double"),
+          col("__i"))).as("bucket"))
+    hit.select(gcols ++ Seq(col("q"), col("n"), col("bucket"),
+      round((exp(round((col("bucket").cast("double") * lit(lnG))
+          .cast(stable), 8).cast("double")) * lit(coef)).cast(stable), 6)
+        .cast("double").as("estimate")): _*)
+      .orderBy(gcols :+ col("q"): _*)
+  }
+
   /** The telescoped harmonic coefficients: H(v) = Σ_{r=1..R}
     * (|B(v,r)| − |B(v,r−1)|)/r = Σ_r est_r·c_r with c_0 = −1,
     * c_r = 1/r − 1/(r+1) for r < R, c_R = 1/R — shared with the

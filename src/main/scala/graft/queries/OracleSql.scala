@@ -6300,6 +6300,12 @@ object OracleSql {
         |    AS DOUBLE) AS iv_total
         |FROM iv ORDER BY bin""".stripMargin,
 
+    // Per-group DDSketch: the x276 bucket/estimate arithmetic with the
+    // group key in the aggregate and the cumulative walk PARTITIONed
+    // by group.
+    "x281_ddsketch_by" -> ddsketchBySql(alpha = 0.01,
+      qs = Seq(0.5, 0.99)),
+
     // Clipped bigram overlap: positional-join bigrams per side (the
     // x112 idiom), full-outer (pair, gram) join, LEAST-clipped
     // counts; F1 assembled from the ROUNDED P/R.
@@ -6538,6 +6544,34 @@ object OracleSql {
        |      * ${lnG}e0 AS DECIMAL(18,8)), 8) AS DOUBLE))
        |    * ${coef}e0 AS DECIMAL(18,8)), 6) AS DOUBLE) AS estimate
        |FROM h ORDER BY q""".stripMargin
+  }
+
+  /** Per-return-flag DDSketch oracle — the x276 literals with a
+    * partitioned cumulative walk. */
+  private def ddsketchBySql(alpha: Double, qs: Seq[Double]): String = {
+    val lnG = graft.operators.Sketch.ddLnGamma(alpha)
+    val gamma = (1.0 + alpha) / (1.0 - alpha)
+    val coef = 2.0 / (gamma + 1.0)
+    val qList = qs.map(q => s"${q}e0").mkString(", ")
+    s"""WITH r AS (SELECT l_returnflag AS g,
+       |  CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+       |  WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0),
+       |b AS (SELECT g, CAST(CEIL(ROUND(CAST(LN(v) / ${lnG}e0
+       |  AS DECIMAL(18,8)), 8)) AS BIGINT) AS i FROM r),
+       |c AS (SELECT g, i, COUNT(*) AS c FROM b GROUP BY 1, 2),
+       |cu AS (SELECT g, i, SUM(c) OVER (PARTITION BY g ORDER BY i
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |  SUM(c) OVER (PARTITION BY g) AS n FROM c),
+       |qq AS (SELECT unnest([$qList]) AS q),
+       |h AS (SELECT g, q, MAX(n) AS n,
+       |  MIN(CASE WHEN CAST(cum AS DOUBLE) >= q * CAST(n AS DOUBLE)
+       |    THEN i END) AS bucket
+       |  FROM cu CROSS JOIN qq GROUP BY g, q)
+       |SELECT g AS l_returnflag, q, CAST(n AS BIGINT) AS n, bucket,
+       |  CAST(ROUND(CAST(EXP(CAST(ROUND(CAST(CAST(bucket AS DOUBLE)
+       |      * ${lnG}e0 AS DECIMAL(18,8)), 8) AS DOUBLE))
+       |    * ${coef}e0 AS DECIMAL(18,8)), 6) AS DOUBLE) AS estimate
+       |FROM h ORDER BY l_returnflag, q""".stripMargin
   }
 
   /** Harmonic-centrality finish over the shared HyperBall CTEs: the

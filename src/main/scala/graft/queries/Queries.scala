@@ -2996,6 +2996,14 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** X248 — per-return-flag DDSketch price quantiles from ONE scan:
+    * the "p99 per segment" read where exact per-group percentiles
+    * would sort every group. */
+  def x281(s: SparkSession, dir: String): DataFrame =
+    Sketch.ddsketchQuantilesBy(Tables.lineitem(s, dir),
+      col("l_extendedprice"), Seq("l_returnflag"), alpha = 0.01,
+      qs = Seq(0.5, 0.99))
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -3289,5 +3297,6 @@ object Queries {
     "x277_kmv_difference" -> (x277 _),
     "x278_luhn_scan" -> (x278 _),
     "x279_woe_iv" -> (x279 _),
-    "x280_ngram_overlap" -> (x280 _))
+    "x280_ngram_overlap" -> (x280 _),
+    "x281_ddsketch_by" -> (x281 _))
 }

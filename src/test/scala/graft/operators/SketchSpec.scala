@@ -272,6 +272,26 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("ddsketchQuantilesBy: grouped ≡ per-group solo quantiles") {
+    val rows = (1 to 1000).map(i => ("a", i.toDouble * 0.37)) ++
+      (1 to 300).map(i => ("b", i.toDouble * 2.11))
+    val df = rows.toDF("g", "v")
+    val grouped = Sketch.ddsketchQuantilesBy(df, col("v"), Seq("g"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Double]("q")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("bucket"),
+          r.getAs[Double]("estimate"))).toMap
+    Seq("a", "b").foreach { g =>
+      Sketch.ddsketchQuantiles(df.filter(col("g") === g), col("v"))
+        .collect().foreach { r =>
+          val solo = (r.getAs[Long]("n"), r.getAs[Long]("bucket"),
+            r.getAs[Double]("estimate"))
+          assert(grouped((g, r.getAs[Double]("q"))) == solo,
+            s"group $g q=${r.getAs[Double]("q")}: grouped != solo")
+        }
+    }
+  }
+
   test("hyperBallHarmonic: hub tops a star, symmetric pair ties exactly") {
     // star: hub-l1..l5 (undirected). H(hub) = 5 exactly; each leaf
     // H = 1 + 4/2 = 3 — the hub must rank first under the estimate too
