@@ -1,0 +1,311 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Label- and preference-quality statistics for annotated corpora —
+  * the QA layer an LLM training-data pipeline runs over human (or
+  * model) labels before trusting them: inter-rater agreement
+  * (Fleiss' kappa, Krippendorff's alpha), pairwise-preference
+  * strength estimation (Bradley–Terry), presentation-order bias, and
+  * per-rater reliability screening. Reference scope: the M5 pipeline
+  * consumes no human labels, so this whole tier is an engine
+  * extension in the LLM-curation direction the capability tier
+  * (SURVEY §2.5) declares.
+  *
+  * Scale shape shared by every operator here: one groupBy collapses
+  * the rating/comparison log to (item,label) or (entity-pair) count
+  * cells, and everything after runs on the cell table — bounded by
+  * items × labels (or entities²), never by the raw log. Agreement
+  * coefficients are exact integer/rational arithmetic end-to-end
+  * (see [[krippendorffAlpha]]'s scaled-numerator trick), so the
+  * DuckDB oracle reproduces them bit-for-bit before the final ROUND.
+  */
+object Annotation {
+
+  private val stable = DecimalType(18, 8)
+  private val d38 = DecimalType(38, 0)
+
+  /** Fleiss' kappa (Fleiss 1971, "Measuring nominal scale agreement
+    * among many raters") over items rated by exactly `raters` raters
+    * each: `kappa = (P_bar - P_e) / (1 - P_e)` where
+    * `P_bar = (sum_i sum_j n_ij^2 - N*n) / (N*n*(n-1))` and
+    * `P_e = sum_j (sum_i n_ij)^2 / (N*n)^2`. Items whose rating count
+    * differs from `raters` are dropped (the statistic is only defined
+    * at constant n; [[krippendorffAlpha]] is the variable-n
+    * complement).
+    *
+    * Both numerators are integer sums over the (item,label) count
+    * cells — exact and engine-portable; the only division is the
+    * final one. One row out: items kept, raters, p_bar, p_e, kappa.
+    */
+  def fleissKappa(df: DataFrame, item: Column, rater: Column,
+      label: Column, raters: Int, roundDigits: Int = 6): DataFrame = {
+    require(raters >= 2, s"raters must be >= 2: $raters")
+    val r = df.filter(item.isNotNull && rater.isNotNull && label.isNotNull)
+      .select(item.cast("string").as("__i"), rater.cast("string").as("__r"),
+        label.cast("string").as("__l"))
+      .groupBy(col("__i"), col("__r")).agg(min(col("__l")).as("__l"))
+    val cells = r.groupBy(col("__i"), col("__l")).agg(count(lit(1)).as("__n"))
+    val kept = cells.groupBy(col("__i"))
+      .agg(sum(col("__n")).as("__m"),
+        sum(col("__n") * col("__n")).as("__s2"))
+      .filter(col("__m") === raters)
+    val perItem = kept.agg(count(lit(1)).as("__ni"),
+      coalesce(sum(col("__s2")), lit(0L)).as("__ss"))
+    // label marginals over kept items only
+    val marg = cells.join(kept.select(col("__i")), Seq("__i"))
+      .groupBy(col("__l")).agg(sum(col("__n")).as("__mj"))
+      .agg(coalesce(sum((col("__mj").cast(d38) * col("__mj").cast(d38))
+        .cast(d38)), lit(0).cast(d38)).as("__mm"))
+    val n = lit(raters.toLong).cast("double")
+    val ni = col("__ni").cast("double")
+    val pBar = (col("__ss").cast("double") - ni * n) /
+      (ni * n * (n - lit(1.0d)))
+    val pE = col("__mm").cast("double") / (ni * n * ni * n)
+    perItem.crossJoin(broadcast(marg))
+      .filter(col("__ni") > 0)
+      .select(col("__ni").as("items"), lit(raters).as("raters"),
+        round(pBar.cast(stable), roundDigits).cast("double").as("p_bar"),
+        round(pE.cast(stable), roundDigits).cast("double").as("p_e"),
+        round(when(pE < 1.0, (pBar - pE) / (lit(1.0d) - pE))
+          .cast(stable), roundDigits).cast("double").as("kappa"))
+  }
+
+  /** Krippendorff's alpha for nominal data (Krippendorff 2011,
+    * "Computing Krippendorff's alpha-reliability"): `alpha = 1 -
+    * D_o/D_e` over the coincidence matrix. Items may have ANY number
+    * of ratings in `[2, maxRaters]` (singletons are unpairable and
+    * drop out; larger groups are dropped so the arithmetic below
+    * stays exact — raise `maxRaters` if a real corpus needs it).
+    *
+    * Exactness trick: each item's observed-disagreement contribution
+    * is `(m_u^2 - sum_c n_uc^2) / (m_u - 1)` — a rational with a tiny
+    * denominator. Scaling every term by `S = lcm(1..maxRaters-1)`
+    * makes the sum an INTEGER (`S/(m_u-1)` is integral for every kept
+    * item), so `alpha = 1 - S_do*(n-1) / (S*(n^2 - sum_c n_c^2))` is
+    * a single exact division of two integers — no order-dependent
+    * float accumulation for the oracle to disagree with.
+    */
+  def krippendorffAlpha(df: DataFrame, item: Column, rater: Column,
+      label: Column, maxRaters: Int = 10, roundDigits: Int = 6)
+      : DataFrame = {
+    require(maxRaters >= 2 && maxRaters <= 16,
+      s"maxRaters must be in [2,16]: $maxRaters")
+    val scale = lcm(1 to (maxRaters - 1))
+    val r = df.filter(item.isNotNull && rater.isNotNull && label.isNotNull)
+      .select(item.cast("string").as("__i"), rater.cast("string").as("__r"),
+        label.cast("string").as("__l"))
+      .groupBy(col("__i"), col("__r")).agg(min(col("__l")).as("__l"))
+    val cells = r.groupBy(col("__i"), col("__l")).agg(count(lit(1)).as("__n"))
+    val items = cells.groupBy(col("__i"))
+      .agg(sum(col("__n")).as("__m"),
+        sum(col("__n") * col("__n")).as("__s2"))
+      .filter(col("__m").between(2L, maxRaters.toLong))
+    // scale/(m-1) is integral for every kept item; keep the whole
+    // numerator in DECIMAL(38,0) so the sum never rides a double
+    val doScaled = items.agg(
+      coalesce(sum((((lit(scale.toDouble) / (col("__m") - lit(1)))
+        .cast("long"))
+        * (col("__m") * col("__m") - col("__s2"))).cast(d38)),
+        lit(0).cast(d38)).as("__do"),
+      coalesce(sum(col("__m")), lit(0L)).as("__n"),
+      count(lit(1)).as("__items"))
+    val marg = cells.join(items.select(col("__i")), Seq("__i"))
+      .groupBy(col("__l")).agg(sum(col("__n")).as("__nc"))
+      .agg(coalesce(sum((col("__nc").cast(d38) * col("__nc").cast(d38))
+        .cast(d38)), lit(0).cast(d38)).as("__cc"))
+    val nD = col("__n").cast("double")
+    val deNum = nD * nD - col("__cc").cast("double")
+    doScaled.crossJoin(broadcast(marg))
+      .filter(col("__n") >= 2)
+      .select(col("__items").as("items"), col("__n").as("pairable"),
+        round((col("__do").cast("double") / (lit(scale.toDouble) * nD))
+          .cast(stable), roundDigits).cast("double").as("d_o"),
+        round((deNum / (nD * (nD - lit(1.0d))))
+          .cast(stable), roundDigits).cast("double").as("d_e"),
+        round(when(deNum > 0,
+          lit(1.0d) - col("__do").cast("double") * (nD - lit(1.0d))
+            / (lit(scale.toDouble) * deNum))
+          .cast(stable), roundDigits).cast("double").as("alpha"))
+  }
+
+  private def lcm(range: Range): Long = {
+    @annotation.tailrec
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    range.foldLeft(1L)((acc, k) => acc / gcd(acc, k.toLong) * k)
+  }
+
+  /** Bradley–Terry preference strengths via the MM algorithm (Hunter
+    * 2004, "MM algorithms for generalized Bradley-Terry models"):
+    * `p_i <- w_i / sum_j n_ij/(p_i+p_j)`, renormalized to sum 1 each
+    * round. `iters` fixed rounds from the uniform start; strengths
+    * are quantized to `quantDigits` decimals after every round (the
+    * x110 k-means trick) so an engine-portable oracle can replay the
+    * iteration bit-for-bit.
+    *
+    * Scale shape: the comparison log collapses ONCE to per-entity win
+    * totals (K rows) and unordered-pair game counts (<= K^2 rows, in
+    * practice the observed-pair count); every MM round is two
+    * broadcast joins of the K-row strength frame against the pair
+    * table plus one K-row aggregate — round cost is independent of
+    * the raw log size. Entities that never win stay at strength 0
+    * (their MM fixed point).
+    *
+    * Input: one row per comparison with entity columns `a`, `b` and
+    * `aWon` (true = a beat b). Ties should be resolved upstream.
+    * Output: entity, wins, games, strength, rank (dense by strength
+    * desc, entity asc).
+    */
+  def bradleyTerry(df: DataFrame, a: Column, b: Column, aWon: Column,
+      iters: Int = 8, quantDigits: Int = 9, roundDigits: Int = 6,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
+    require(iters >= 1 && iters <= 64, s"iters out of range: $iters")
+    val comp = df.filter(a.isNotNull && b.isNotNull && aWon.isNotNull)
+      .select(a.cast("string").as("__a"), b.cast("string").as("__b"),
+        aWon.cast("boolean").as("__w"))
+      .filter(col("__a") =!= col("__b"))
+    // directed view: one row per (entity, opponent, won) comparison
+    val directed = comp.select(col("__a").as("__e"), col("__b").as("__o"),
+        col("__w").cast("long").as("__win"))
+      .unionAll(comp.select(col("__b").as("__e"), col("__a").as("__o"),
+        (!col("__w")).cast("long").as("__win")))
+    // per-entity totals and per-directed-pair game counts — the only
+    // pass over the raw log; everything after is K- or pair-bounded
+    val ents = scope.persist(directed.groupBy(col("__e"))
+      .agg(sum(col("__win")).as("__wins"), count(lit(1)).as("__games")))
+    val pairs = scope.persist(directed.groupBy(col("__e"), col("__o"))
+      .agg(count(lit(1)).as("__n")))
+    val k = ents.count()
+    require(k >= 2, s"need >= 2 entities, got $k")
+    val p0 = ents.select(col("__e"),
+      round(lit(1.0d / k), quantDigits).as("__p"))
+    var p = scope.persist(p0)
+    p.count()
+    for (_ <- 1 to iters) {
+      val denom = pairs
+        .join(broadcast(p.select(col("__e"), col("__p").as("__pi"))), Seq("__e"))
+        .join(broadcast(p.select(col("__e").as("__o"), col("__p").as("__pj"))),
+          Seq("__o"))
+        .groupBy(col("__e"))
+        .agg(sum(col("__n").cast("double") / (col("__pi") + col("__pj")))
+          .as("__den"))
+      val raw = ents.join(denom, Seq("__e"))
+        .select(col("__e"),
+          when(col("__wins") === 0 || col("__den") <= 0, lit(0.0d))
+            .otherwise(col("__wins").cast("double") / col("__den"))
+            .as("__raw"))
+      val tot = raw.agg(sum(col("__raw")).as("__tot"))
+      // Cut per round: `raw` feeds BOTH tot and next, and next feeds
+      // both joins of the following round — without a lineage barrier
+      // the analyzed plan doubles twice per iteration (4^iters nodes,
+      // OOMs the driver before any data moves).
+      val next = scope.persist(graft.util.Cut.cut(
+        raw.crossJoin(broadcast(tot))
+          .select(col("__e"),
+            round(col("__raw") / col("__tot"), quantDigits).as("__p"))))
+      next.count()
+      p.unpersist()
+      p = next
+    }
+    val ranked = ents.join(p, Seq("__e"))
+      .select(col("__e").as("entity"), col("__wins").as("wins"),
+        col("__games").as("games"),
+        round(col("__p").cast(stable), roundDigits).cast("double")
+          .as("strength"))
+    // K-row frame: the unpartitioned rank window is bounded by entities
+    ranked.withColumn("rank",
+      row_number().over(Window.orderBy(col("strength").desc, col("entity")))
+        .cast("long"))
+  }
+
+  /** Presentation-order bias audit for pairwise preference data: the
+    * win rate of the FIRST-listed option with its Wilson interval
+    * (the x252 formula inlined). A preference log whose interval
+    * excludes 0.5 has position bias — raters (or judge models) are
+    * favoring a slot, not a response; downstream Bradley–Terry fits
+    * inherit that tilt unless presentation order was randomized.
+    * One aggregate over the log; one row out.
+    */
+  def positionalBias(df: DataFrame, firstWon: Column, z: Double = 1.96,
+      roundDigits: Int = 6): DataFrame = {
+    require(z > 0, s"z must be positive: $z")
+    val agg = df.filter(firstWon.isNotNull)
+      .agg(count(lit(1)).as("trials"),
+        sum(firstWon.cast("long")).as("first_wins"))
+      .filter(col("trials") > 0)
+    val n = col("trials").cast("double")
+    val p = col("first_wins").cast("double") / n
+    val z2 = z * z
+    val denom = lit(1.0d) + lit(z2) / n
+    val center = p + lit(z2) / (lit(2.0d) * n)
+    val spread = lit(z) * sqrt(p * (lit(1.0d) - p) / n
+      + lit(z2) / (lit(4.0d) * n * n))
+    val lo = round(((center - spread) / denom).cast(stable), roundDigits)
+      .cast("double")
+    val hi = round(((center + spread) / denom).cast(stable), roundDigits)
+      .cast("double")
+    agg.select(col("trials"), col("first_wins"),
+      round(p.cast(stable), roundDigits).cast("double").as("first_rate"),
+      lo.as("wilson_lo"), hi.as("wilson_hi"),
+      (lo > 0.5d || hi < 0.5d).as("biased"))
+  }
+
+  /** Per-rater reliability screen: each rating is compared against
+    * the LEAVE-ONE-OUT majority of the other raters on the same item
+    * (ties broken to the lexicographically smallest label; items with
+    * no other rater drop out), then rates roll up per rater with a
+    * z-score against the pooled agreement rate — the "which annotator
+    * is off-distribution" report a labeling pipeline reviews before
+    * weighting or dropping raters.
+    *
+    * Scale shape: ratings join the (item,label) count cells on item —
+    * the per-rating candidate set is the item's label cardinality
+    * (bounded by the label alphabet), and the argmax runs as one
+    * min(struct) aggregate per rating, not a window.
+    */
+  def raterConsensus(df: DataFrame, item: Column, rater: Column,
+      label: Column, roundDigits: Int = 6,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
+    val r = scope.persist(
+      df.filter(item.isNotNull && rater.isNotNull && label.isNotNull)
+        .select(item.cast("string").as("__i"),
+          rater.cast("string").as("__r"), label.cast("string").as("__l"))
+        .groupBy(col("__i"), col("__r")).agg(min(col("__l")).as("__l")))
+    val cells = r.groupBy(col("__i"), col("__l").as("__c"))
+      .agg(count(lit(1)).as("__n"))
+    // per rating x candidate label: LOO count = n_ic - [c = own label]
+    val loo = r.join(cells, Seq("__i"))
+      .select(col("__i"), col("__r"), col("__l"), col("__c"),
+        (col("__n") - when(col("__c") === col("__l"), 1L).otherwise(0L))
+          .as("__loon"))
+      .groupBy(col("__i"), col("__r"), col("__l"))
+      .agg(sum(col("__loon")).as("__others"),
+        min(struct((-col("__loon")).as("n"), col("__c").as("c")))
+          .as("__best"))
+      .filter(col("__others") > 0)
+      .select(col("__r"),
+        (col("__best.c") === col("__l")).cast("long").as("__agree"))
+    val perRater = loo.groupBy(col("__r"))
+      .agg(count(lit(1)).as("__n"), sum(col("__agree")).as("__a"))
+    val pooled = perRater.agg(sum(col("__n")).as("__tn"),
+      sum(col("__a")).as("__ta"))
+    val pBar = col("__ta").cast("double") / col("__tn").cast("double")
+    val rate = col("__a").cast("double") / col("__n").cast("double")
+    val se = sqrt(pBar * (lit(1.0d) - pBar) / col("__n").cast("double"))
+    perRater.crossJoin(broadcast(pooled))
+      .select(col("__r").as("rater"), col("__n").as("rated"),
+        col("__a").as("agreements"),
+        round(rate.cast(stable), roundDigits).cast("double")
+          .as("agree_rate"),
+        round(pBar.cast(stable), roundDigits).cast("double")
+          .as("pooled_rate"),
+        round(when(pBar > 0 && pBar < 1, (rate - pBar) / se)
+          .cast(stable), roundDigits).cast("double").as("z"))
+      .orderBy(col("rater"))
+  }
+}

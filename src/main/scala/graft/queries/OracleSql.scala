@@ -6306,6 +6306,127 @@ object OracleSql {
     "x281_ddsketch_by" -> ddsketchBySql(alpha = 0.01,
       qs = Seq(0.5, 0.99)),
 
+    // Fleiss' kappa at n = 3: both numerators are integer sums over
+    // (item,label) cells; the only divisions are the final three.
+    "x282_fleiss_kappa" ->
+      s"""WITH $annRatingsCte,
+         |cells AS (SELECT i, l, COUNT(*) AS n FROM rr GROUP BY 1, 2),
+         |kept AS (SELECT i, SUM(n) AS m, SUM(n*n) AS s2 FROM cells
+         |  GROUP BY 1 HAVING SUM(n) = 3),
+         |ag AS (SELECT COUNT(*) AS ni, COALESCE(SUM(s2), 0) AS ss
+         |  FROM kept),
+         |mg AS (SELECT COALESCE(SUM(mj*mj), 0) AS mm FROM
+         |  (SELECT c.l, SUM(c.n) AS mj FROM cells c
+         |   JOIN kept k ON c.i = k.i GROUP BY 1)),
+         |f AS (SELECT ni,
+         |  (CAST(ss AS DOUBLE) - CAST(ni AS DOUBLE) * 3.0e0)
+         |    / (CAST(ni AS DOUBLE) * 3.0e0 * 2.0e0) AS pb,
+         |  CAST(mm AS DOUBLE) / (CAST(ni AS DOUBLE) * 3.0e0
+         |    * CAST(ni AS DOUBLE) * 3.0e0) AS pe
+         |  FROM ag, mg WHERE ni > 0)
+         |SELECT CAST(ni AS BIGINT) AS items, 3 AS raters,
+         |  CAST(ROUND(CAST(pb AS DECIMAL(18,8)), 6) AS DOUBLE) AS p_bar,
+         |  CAST(ROUND(CAST(pe AS DECIMAL(18,8)), 6) AS DOUBLE) AS p_e,
+         |  CAST(ROUND(CAST(CASE WHEN pe < 1.0e0 THEN
+         |    (pb - pe) / (1.0e0 - pe) END AS DECIMAL(18,8)), 6)
+         |    AS DOUBLE) AS kappa
+         |FROM f""".stripMargin,
+
+    // Krippendorff nominal alpha: per-item disagreement scaled by
+    // lcm(1..9) = 2520 so the observed-disagreement sum is an exact
+    // integer (2520 // (m-1) is integral for every kept item).
+    "x283_kripp_alpha" ->
+      s"""WITH $annRatingsCte,
+         |cells AS (SELECT i, l, COUNT(*) AS n FROM rr GROUP BY 1, 2),
+         |it AS (SELECT i, SUM(n) AS m, SUM(n*n) AS s2 FROM cells
+         |  GROUP BY 1 HAVING SUM(n) BETWEEN 2 AND 10),
+         |ds AS (SELECT COALESCE(SUM((2520 // (m - 1)) * (m*m - s2)), 0)
+         |    AS sdo,
+         |  COALESCE(SUM(m), 0) AS np, COUNT(*) AS items FROM it),
+         |mg AS (SELECT COALESCE(SUM(nc*nc), 0) AS cc FROM
+         |  (SELECT c.l, SUM(c.n) AS nc FROM cells c
+         |   JOIN it ON c.i = it.i GROUP BY 1)),
+         |f AS (SELECT items, np, CAST(sdo AS DOUBLE) AS sdod,
+         |  CAST(np AS DOUBLE) AS nd, CAST(cc AS DOUBLE) AS ccd
+         |  FROM ds, mg WHERE np >= 2)
+         |SELECT CAST(items AS BIGINT) AS items,
+         |  CAST(np AS BIGINT) AS pairable,
+         |  CAST(ROUND(CAST(sdod / (2520.0e0 * nd) AS DECIMAL(18,8)), 6)
+         |    AS DOUBLE) AS d_o,
+         |  CAST(ROUND(CAST((nd*nd - ccd) / (nd * (nd - 1.0e0))
+         |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS d_e,
+         |  CAST(ROUND(CAST(CASE WHEN nd*nd - ccd > 0.0e0 THEN
+         |    1.0e0 - sdod * (nd - 1.0e0) / (2520.0e0 * (nd*nd - ccd))
+         |    END AS DECIMAL(18,8)), 6) AS DOUBLE) AS alpha
+         |FROM f""".stripMargin,
+
+    // Bradley-Terry MM, 8 unrolled rounds (the x110 k-means idiom):
+    // strengths quantized to 9 decimals after every round.
+    "x284_bradley_terry" -> btSql(iters = 8),
+
+    // Positional bias: Wilson interval (x252's literals) on the
+    // first-listed win rate of the derived preference log.
+    "x285_positional_bias" ->
+      s"""WITH $prefCmpCte,
+         |ag AS (SELECT COUNT(*) AS t,
+         |  SUM(CASE WHEN awon THEN 1 ELSE 0 END) AS s FROM cmp),
+         |f AS (SELECT t, s, CAST(s AS DOUBLE) / CAST(t AS DOUBLE) AS p,
+         |  CAST(t AS DOUBLE) AS n FROM ag WHERE t > 0),
+         |w AS (SELECT t, s, p,
+         |  CAST(ROUND(CAST(
+         |    (p + 3.8415999999999997e0 / (2.0e0 * n)
+         |      - 1.96e0 * SQRT(p * (1.0e0 - p) / n
+         |        + 3.8415999999999997e0 / (4.0e0 * n * n)))
+         |    / (1.0e0 + 3.8415999999999997e0 / n)
+         |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS lo,
+         |  CAST(ROUND(CAST(
+         |    (p + 3.8415999999999997e0 / (2.0e0 * n)
+         |      + 1.96e0 * SQRT(p * (1.0e0 - p) / n
+         |        + 3.8415999999999997e0 / (4.0e0 * n * n)))
+         |    / (1.0e0 + 3.8415999999999997e0 / n)
+         |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS hi
+         |  FROM f)
+         |SELECT CAST(t AS BIGINT) AS trials, CAST(s AS BIGINT)
+         |    AS first_wins,
+         |  CAST(ROUND(CAST(p AS DECIMAL(18,8)), 6) AS DOUBLE)
+         |    AS first_rate,
+         |  lo AS wilson_lo, hi AS wilson_hi,
+         |  (lo > 0.5e0 OR hi < 0.5e0) AS biased
+         |FROM w""".stripMargin,
+
+    // Leave-one-out consensus per rater slot: the argmax-with-tiebreak
+    // rides a MIN over an order-encoding string (padded inverted count
+    // || label) — same order as Spark's min(struct(-n, c)).
+    "x286_rater_consensus" ->
+      s"""WITH $annRatingsCte,
+         |cells AS (SELECT i, l AS c, COUNT(*) AS n FROM rr
+         |  GROUP BY 1, 2),
+         |lo AS (SELECT rr.i, rr.r, rr.l, cells.c,
+         |  cells.n - CASE WHEN cells.c = rr.l THEN 1 ELSE 0 END AS loon
+         |  FROM rr JOIN cells ON rr.i = cells.i),
+         |ag AS (SELECT i, r, l,
+         |  MIN(lpad(CAST(999999999999 - loon AS VARCHAR), 12, '0')
+         |    || '|' || c) AS bk
+         |  FROM lo GROUP BY 1, 2, 3 HAVING SUM(loon) > 0),
+         |pr AS (SELECT r, COUNT(*) AS n,
+         |  SUM(CASE WHEN substr(bk, 14) = l THEN 1 ELSE 0 END) AS a
+         |  FROM ag GROUP BY 1),
+         |tt AS (SELECT SUM(n) AS tn, SUM(a) AS ta FROM pr),
+         |f AS (SELECT r, n, a,
+         |  CAST(a AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+         |  CAST(ta AS DOUBLE) / CAST(tn AS DOUBLE) AS pbar,
+         |  CAST(n AS DOUBLE) AS nd FROM pr, tt)
+         |SELECT r AS rater, CAST(n AS BIGINT) AS rated,
+         |  CAST(a AS BIGINT) AS agreements,
+         |  CAST(ROUND(CAST(rate AS DECIMAL(18,8)), 6) AS DOUBLE)
+         |    AS agree_rate,
+         |  CAST(ROUND(CAST(pbar AS DECIMAL(18,8)), 6) AS DOUBLE)
+         |    AS pooled_rate,
+         |  CAST(ROUND(CAST(CASE WHEN pbar > 0.0e0 AND pbar < 1.0e0
+         |    THEN (rate - pbar) / SQRT(pbar * (1.0e0 - pbar) / nd)
+         |    END AS DECIMAL(18,8)), 6) AS DOUBLE) AS z
+         |FROM f ORDER BY rater""".stripMargin,
+
     // Clipped bigram overlap: positional-join bigrams per side (the
     // x112 idiom), full-outer (pair, gram) join, LEAST-clipped
     // counts; F1 assembled from the ROUNDED P/R.
@@ -6910,6 +7031,65 @@ object OracleSql {
   /** Centroid update: element-wise mean of each cluster's members,
     * ROUNDed to 6 digits (the portability quantize); a cluster with no
     * members keeps its previous centroid via the LEFT JOIN COALESCE. */
+  /** One rating per (item, rater-slot) from lineitem: item = order,
+    * rater = line number, label = return flag (x282/x283/x286). */
+  private def annRatingsCte: String =
+    """rr AS (SELECT CAST(l_orderkey AS VARCHAR) AS i,
+      |  CAST(l_linenumber AS VARCHAR) AS r, MIN(l_returnflag) AS l
+      |  FROM lineitem GROUP BY 1, 2)""".stripMargin
+
+  /** Derived pairwise-preference comparisons (x284/x285): within each
+    * order, line pairs (ln1 < ln2) between distinct pseudo-entities
+    * (supplier mod 25); higher extended price wins, ties to the lower
+    * entity id. */
+  private def prefCmpCte: String =
+    """li AS (SELECT l_orderkey, l_linenumber AS ln,
+      |  l_suppkey % 25 AS ent, l_extendedprice AS pr FROM lineitem),
+      |cmp AS (SELECT a.ent AS ea, b.ent AS eb,
+      |  (a.pr > b.pr OR (a.pr = b.pr AND a.ent < b.ent)) AS awon
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.ln < b.ln
+      |  WHERE a.ent <> b.ent)""".stripMargin
+
+  /** One Bradley-Terry MM round: denom_i = sum_j n_ij/(p_i+p_j), raw_i
+    * = w_i/denom_i (0 for never-winners), normalized and quantized to
+    * 9 decimals — bit-matching Annotation.bradleyTerry's round. */
+  private def btStep(prev: String): String =
+    s"""SELECT e, ROUND(raw / SUM(raw) OVER (), 9) AS p FROM (
+       |  SELECT en.e, CASE WHEN en.w = 0 OR d.den <= 0.0e0 THEN 0.0e0
+       |    ELSE CAST(en.w AS DOUBLE) / d.den END AS raw
+       |  FROM en JOIN (
+       |    SELECT pp.e AS e, SUM(CAST(pp.n AS DOUBLE) / (pi.p + pj.p))
+       |      AS den
+       |    FROM pp JOIN $prev pi ON pp.e = pi.e
+       |    JOIN $prev pj ON pp.o = pj.e
+       |    GROUP BY 1) d ON en.e = d.e)""".stripMargin
+
+  private def btSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"p$k AS (${btStep(s"p${k - 1}")})"
+    }.mkString(",\n")
+    s"""WITH $prefCmpCte,
+       |dv AS (SELECT CAST(ea AS VARCHAR) AS e, CAST(eb AS VARCHAR)
+       |    AS o, CASE WHEN awon THEN 1 ELSE 0 END AS win FROM cmp
+       |  UNION ALL
+       |  SELECT CAST(eb AS VARCHAR), CAST(ea AS VARCHAR),
+       |    CASE WHEN awon THEN 0 ELSE 1 END FROM cmp),
+       |en AS (SELECT e, SUM(win) AS w, COUNT(*) AS g FROM dv
+       |  GROUP BY 1),
+       |pp AS (SELECT e, o, COUNT(*) AS n FROM dv GROUP BY 1, 2),
+       |p0 AS (SELECT e, ROUND(1.0e0 / (SELECT COUNT(*) FROM en), 9)
+       |    AS p FROM en),
+       |$steps,
+       |f AS (SELECT en.e, en.w, en.g,
+       |  CAST(ROUND(CAST(p AS DECIMAL(18,8)), 6) AS DOUBLE) AS st
+       |  FROM en JOIN p$iters ON en.e = p$iters.e)
+       |SELECT e AS entity, CAST(w AS BIGINT) AS wins,
+       |  CAST(g AS BIGINT) AS games, st AS strength,
+       |  row_number() OVER (ORDER BY st DESC, e) AS rank
+       |FROM f ORDER BY rank""".stripMargin
+  }
+
   private def kmeansUpdate(a: String, prev: String): String =
     s"""SELECT $prev.cidx, COALESCE(u.c, $prev.c) AS c FROM $prev LEFT JOIN (
        |  SELECT cidx, list(m ORDER BY pos) AS c FROM (

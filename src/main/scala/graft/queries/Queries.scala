@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{Dedup, Evaluation, Forecast, Profiling, Relational, Retail, Sampling, Similarity, Sketch, TextAnalysis, TimeSeries}
+import graft.operators.{Annotation, Dedup, Evaluation, Forecast, Profiling, Relational, Retail, Sampling, Similarity, Sketch, TextAnalysis, TimeSeries}
 import graft.sources.Tables
 import graft.streaming.Windows
 
@@ -3004,6 +3004,61 @@ object Queries {
       col("l_extendedprice"), Seq("l_returnflag"), alpha = 0.01,
       qs = Seq(0.5, 0.99))
 
+  /** Derived pairwise-preference log shared by x284/x285: within each
+    * order, every pair of line items is a "comparison" between two
+    * pseudo-entities (supplier mod 25 — densifies the comparison
+    * graph); the higher extended price wins, price ties break to the
+    * lower entity id so the winner is deterministic. */
+  private def prefPairs(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
+      col("l_linenumber").as("ln"), (col("l_suppkey") % 25).as("ent"),
+      col("l_extendedprice").as("pr"))
+    val a = li.select(col("l_orderkey"), col("ln").as("ln1"),
+      col("ent").as("ea"), col("pr").as("pa"))
+    val b = li.select(col("l_orderkey"), col("ln").as("ln2"),
+      col("ent").as("eb"), col("pr").as("pb"))
+    a.join(b, Seq("l_orderkey")).filter(col("ln1") < col("ln2"))
+      .filter(col("ea") =!= col("eb"))
+      .select(col("ea").as("a"), col("eb").as("b"),
+        (col("pa") > col("pb")
+          || (col("pa") === col("pb") && col("ea") < col("eb")))
+          .as("a_won"))
+  }
+
+  /** X249 — Fleiss' kappa over orders with exactly 3 line items:
+    * item = order, the 3 lines are 3 "raters", label = return flag. */
+  def x282(s: SparkSession, dir: String): DataFrame =
+    Annotation.fleissKappa(Tables.lineitem(s, dir),
+      item = col("l_orderkey"), rater = col("l_linenumber"),
+      label = col("l_returnflag"), raters = 3)
+
+  /** X250 — Krippendorff's alpha (nominal) over ALL multi-line
+    * orders: the variable-rater-count agreement complement to x282. */
+  def x283(s: SparkSession, dir: String): DataFrame =
+    Annotation.krippendorffAlpha(Tables.lineitem(s, dir),
+      item = col("l_orderkey"), rater = col("l_linenumber"),
+      label = col("l_returnflag"))
+
+  /** X251 — Bradley–Terry strengths over the derived preference log,
+    * 8 MM rounds from the uniform start. */
+  def x284(s: SparkSession, dir: String): DataFrame = {
+    val p = prefPairs(s, dir)
+    Annotation.bradleyTerry(p, col("a"), col("b"), col("a_won"),
+      iters = 8).orderBy("rank")
+  }
+
+  /** X252 — presentation-order bias of the derived preference log:
+    * Wilson interval on the first-listed win rate. */
+  def x285(s: SparkSession, dir: String): DataFrame =
+    Annotation.positionalBias(prefPairs(s, dir), col("a_won"))
+
+  /** X253 — per-rater (line-slot) leave-one-out consensus agreement
+    * with z-scores against the pooled rate. */
+  def x286(s: SparkSession, dir: String): DataFrame =
+    Annotation.raterConsensus(Tables.lineitem(s, dir),
+      item = col("l_orderkey"), rater = col("l_linenumber"),
+      label = col("l_returnflag"))
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -3298,5 +3353,10 @@ object Queries {
     "x278_luhn_scan" -> (x278 _),
     "x279_woe_iv" -> (x279 _),
     "x280_ngram_overlap" -> (x280 _),
-    "x281_ddsketch_by" -> (x281 _))
+    "x281_ddsketch_by" -> (x281 _),
+    "x282_fleiss_kappa" -> (x282 _),
+    "x283_kripp_alpha" -> (x283 _),
+    "x284_bradley_terry" -> (x284 _),
+    "x285_positional_bias" -> (x285 _),
+    "x286_rater_consensus" -> (x286 _))
 }

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Annotation-QA tier: agreement coefficients, Bradley–Terry, bias
+  * audit, rater screen — hand-computed fixtures (mirrored in an
+  * independent Python implementation with identical quantization). */
+class AnnotationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ratings(rows: (String, String, String)*) =
+    rows.toDF("item", "rater", "lab")
+
+  test("fleissKappa matches the hand-computed 4x3 fixture and drops " +
+      "items at the wrong rater count") {
+    val df = ratings(
+      ("i1", "r1", "a"), ("i1", "r2", "a"), ("i1", "r3", "a"),
+      ("i2", "r1", "a"), ("i2", "r2", "b"), ("i2", "r3", "b"),
+      ("i3", "r1", "b"), ("i3", "r2", "b"), ("i3", "r3", "b"),
+      ("i4", "r1", "a"), ("i4", "r2", "b"), ("i4", "r3", "c"),
+      // only 2 raters -> excluded from the n=3 statistic
+      ("i5", "r1", "a"), ("i5", "r2", "a"))
+    val out = Annotation.fleissKappa(df, $"item", $"rater", $"lab",
+      raters = 3).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("items") === 4L)
+    assert(r.getAs[Double]("p_bar") === 0.583333)
+    assert(r.getAs[Double]("p_e") === 0.430556)
+    assert(r.getAs[Double]("kappa") === 0.268293)
+  }
+
+  test("fleissKappa is 1 at perfect agreement") {
+    val df = ratings(
+      ("i1", "r1", "a"), ("i1", "r2", "a"), ("i1", "r3", "a"),
+      ("i2", "r1", "b"), ("i2", "r2", "b"), ("i2", "r3", "b"))
+    val r = Annotation.fleissKappa(df, $"item", $"rater", $"lab",
+      raters = 3).collect().head
+    assert(r.getAs[Double]("p_bar") === 1.0)
+    assert(r.getAs[Double]("kappa") === 1.0)
+  }
+
+  test("krippendorffAlpha matches the variable-m fixture exactly " +
+      "(integer-scaled arithmetic)") {
+    val df = ratings(
+      ("u1", "r1", "a"), ("u1", "r2", "a"),
+      ("u2", "r1", "a"), ("u2", "r2", "b"), ("u2", "r3", "b"),
+      ("u3", "r1", "b"), ("u3", "r2", "b"), ("u3", "r3", "b"),
+      ("u3", "r4", "b"),
+      ("u4", "r1", "c"), // singleton: unpairable, drops out
+      ("u5", "r1", "a"), ("u5", "r2", "c"), ("u5", "r3", "c"))
+    val r = Annotation.krippendorffAlpha(df, $"item", $"rater", $"lab")
+      .collect().head
+    assert(r.getAs[Long]("items") === 4L)
+    assert(r.getAs[Long]("pairable") === 12L)
+    assert(r.getAs[Double]("d_o") === 0.333333)
+    assert(r.getAs[Double]("d_e") === 0.666667)
+    assert(r.getAs[Double]("alpha") === 0.5)
+  }
+
+  test("krippendorffAlpha is 1 at perfect agreement within items") {
+    val df = ratings(
+      ("u1", "r1", "a"), ("u1", "r2", "a"),
+      ("u2", "r1", "b"), ("u2", "r2", "b"), ("u2", "r3", "b"))
+    val r = Annotation.krippendorffAlpha(df, $"item", $"rater", $"lab")
+      .collect().head
+    assert(r.getAs[Double]("d_o") === 0.0)
+    assert(r.getAs[Double]("alpha") === 1.0)
+  }
+
+  test("bradleyTerry reproduces the Python-mirrored MM fixture " +
+      "(8 rounds, 9-digit quantization)") {
+    val comps = (Seq.fill(3)(("A", "B", true)) ++ Seq(("A", "B", false))
+      ++ Seq.fill(2)(("A", "C", true))
+      ++ Seq.fill(2)(("B", "C", true)) ++ Seq.fill(2)(("B", "C", false)))
+      .toDF("a", "b", "a_won")
+    val out = Annotation.bradleyTerry(comps, $"a", $"b", $"a_won",
+      iters = 8).orderBy("rank").collect()
+    assert(out.map(_.getAs[String]("entity")).toSeq === Seq("A", "B", "C"))
+    assert(out.map(_.getAs[Long]("wins")).toSeq === Seq(5L, 3L, 2L))
+    assert(out.map(_.getAs[Long]("games")).toSeq === Seq(6L, 8L, 6L))
+    assert(out.map(_.getAs[Double]("strength")).toSeq
+      === Seq(0.71597, 0.161784, 0.122246))
+    assert(out.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("bradleyTerry: a never-winner sits at strength 0") {
+    val comps = (Seq.fill(2)(("A", "B", true)) ++ Seq.fill(2)(("C", "B", true)))
+      .toDF("a", "b", "a_won")
+    val out = Annotation.bradleyTerry(comps, $"a", $"b", $"a_won",
+      iters = 4).collect()
+    val b = out.find(_.getAs[String]("entity") == "B").get
+    assert(b.getAs[Long]("wins") === 0L)
+    assert(b.getAs[Double]("strength") === 0.0)
+  }
+
+  test("positionalBias flags a 60/100 first-win log and clears 50/100") {
+    val biased = (Seq.fill(60)(true) ++ Seq.fill(40)(false)).toDF("fw")
+    val r1 = Annotation.positionalBias(biased, $"fw").collect().head
+    assert(r1.getAs[Long]("trials") === 100L)
+    assert(r1.getAs[Double]("first_rate") === 0.6)
+    assert(r1.getAs[Double]("wilson_lo") > 0.5)
+    assert(r1.getAs[Boolean]("biased"))
+    val fair = (Seq.fill(50)(true) ++ Seq.fill(50)(false)).toDF("fw")
+    val r2 = Annotation.positionalBias(fair, $"fw").collect().head
+    assert(!r2.getAs[Boolean]("biased"))
+    assert(r2.getAs[Double]("wilson_lo") < 0.5
+      && r2.getAs[Double]("wilson_hi") > 0.5)
+  }
+
+  test("raterConsensus: the systematic dissenter gets agree_rate 0 " +
+      "and a negative z; ties break to the smallest label") {
+    // r1,r2 always 'a'; r3 always 'b'. r1's LOO pool is {a(r2), b(r3)}
+    // -> tie -> 'a' (lexicographic), so r1/r2 agree everywhere.
+    val df = ratings((1 to 4).flatMap { i =>
+      Seq((s"i$i", "r1", "a"), (s"i$i", "r2", "a"), (s"i$i", "r3", "b"))
+    }: _*)
+    val out = Annotation.raterConsensus(df, $"item", $"rater", $"lab")
+      .collect()
+    val by = out.map(r => r.getAs[String]("rater") -> r).toMap
+    assert(by("r1").getAs[Double]("agree_rate") === 1.0)
+    assert(by("r2").getAs[Double]("agree_rate") === 1.0)
+    assert(by("r3").getAs[Double]("agree_rate") === 0.0)
+    assert(by("r1").getAs[Double]("pooled_rate") === 0.666667)
+    assert(by("r1").getAs[Double]("z") === 1.414214)
+    assert(by("r3").getAs[Double]("z") === -2.828427)
+  }
+
+  test("raterConsensus drops ratings with no other rater on the item") {
+    val df = ratings(("i1", "r1", "a"), ("i1", "r2", "a"),
+      ("solo", "r1", "b"))
+    val out = Annotation.raterConsensus(df, $"item", $"rater", $"lab")
+      .collect()
+    val r1 = out.find(_.getAs[String]("rater") == "r1").get
+    assert(r1.getAs[Long]("rated") === 1L) // the solo item dropped
+  }
+}
