@@ -1717,4 +1717,28 @@ object Dedup {
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_shared_texts"))
   }
+
+  /** URL-level dedup for a crawl frontier: group documents by their
+    * CANONICAL url ([[graft.functions.Urls.canonicalize]] — fragment /
+    * default-port / www / tracking-param / trailing-slash normalized),
+    * keep the smallest id per canonical as the representative. The
+    * cheapest dedup layer of all — it fires BEFORE fetch/parse (no
+    * content needed), in front of the digest (x40) and near-dup
+    * (x41+) layers that need the body.
+    *
+    * Shape: canonicalization is pure codegen'd string expressions at
+    * scan speed; ONE groupBy on the canonical url (the only shuffle,
+    * carrying urls + ids, never content). Output: one row per
+    * canonical url with the keeper id, the dup count, and the
+    * distinct RAW spellings merged into it.
+    */
+  def canonicalUrlDedup(df: DataFrame, urlCol: String, idCol: String)
+      : DataFrame =
+    df.filter(col(urlCol).isNotNull && col(idCol).isNotNull)
+      .select(graft.functions.Urls.canonicalize(col(urlCol))
+        .as("canonical_url"), col(idCol).as("__id"), col(urlCol).as("__raw"))
+      .groupBy(col("canonical_url"))
+      .agg(min(col("__id")).as("keeper_id"),
+        count(lit(1)).as("docs"),
+        countDistinct(col("__raw")).as("raw_spellings"))
 }

@@ -2126,4 +2126,106 @@ object Evaluation {
           .cast("double") / first(col("__n")))
           .cast(stable), roundDigits).cast("double").as("theil"))
   }
+
+  /** Qini curve — the uplift-model complement of the x221 gains
+    * table (Radcliffe 2007, "Using control groups to target on
+    * predicted lift"): rank the population by a targeting score,
+    * then at each score band compare cumulative responders in the
+    * TREATED arm against the control arm scaled to the treated
+    * volume: `qini = cumPosT - cumPosC * cumNT / cumNC`. A model
+    * that only targets sure things (who'd convert anyway) shows a
+    * flat curve; genuine incremental lift bends it up.
+    *
+    * Shape: scores quantize to `bins` equal-width buckets (the shared
+    * [[quantize]] contract — `bins <= 0` trusts the raw distinct
+    * cardinality), ONE conditional aggregate collapses the population
+    * to per-bucket arm counts, and the cumulative walk runs over the
+    * ≤-bins cell table, highest scores first.
+    */
+  def qiniCurve(df: DataFrame, score: Column, treated: Column,
+      outcome: Column, bins: Int = 20, roundDigits: Int = 6)
+      : DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val raw = df.filter(score.isNotNull && treated.isNotNull
+        && outcome.isNotNull)
+      .select(score.cast("double").as("__s"),
+        treated.cast("boolean").as("__t"),
+        outcome.cast("boolean").cast("long").as("__y"))
+    val cells = quantize(raw, "__s", bins)
+      .groupBy(col("__s"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("__nt"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("__nc"),
+        sum(when(col("__t"), col("__y")).otherwise(0L)).as("__pt"),
+        sum(when(!col("__t"), col("__y")).otherwise(0L)).as("__pc"))
+    // ≤ bins rows: the unpartitioned cumulative window is bounded
+    val w = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells.select(col("__s"),
+      col("__nt"), col("__nc"), col("__pt"), col("__pc"),
+      sum(col("__nt")).over(w).as("__cnt"),
+      sum(col("__nc")).over(w).as("__cnc"),
+      sum(col("__pt")).over(w).as("__cpt"),
+      sum(col("__pc")).over(w).as("__cpc"))
+    val cnt = col("__cnt").cast("double")
+    val cnc = col("__cnc").cast("double")
+    val qini = when(col("__cnc") > 0,
+      col("__cpt").cast("double")
+        - col("__cpc").cast("double") * cnt / cnc)
+    val uplift = when(col("__cnt") > 0 && col("__cnc") > 0,
+      col("__cpt").cast("double") / cnt
+        - col("__cpc").cast("double") / cnc)
+    cum.select(col("__s").as("score_bin"),
+      col("__cnt").as("cum_treated"), col("__cnc").as("cum_control"),
+      col("__cpt").as("cum_pos_treated"),
+      col("__cpc").as("cum_pos_control"),
+      round(qini.cast(stable), roundDigits).cast("double").as("qini"),
+      round(uplift.cast(stable), roundDigits).cast("double")
+        .as("uplift"))
+      .orderBy(col("score_bin").desc)
+  }
+
+  /** Stratified average treatment effect with its inverse-propensity
+    * twin (Imbens–Rubin ch. 17 / Horvitz–Thompson): strata come from
+    * the caller's covariate column; within each both-arm stratum the
+    * arm-mean difference weights by stratum size, and the IPW form
+    * reweights outcome sums by the WITHIN-STRATUM propensity
+    * `e_s = nT_s/n_s` — with stratum-constant propensities the two
+    * coincide, so reporting both is a built-in specification check
+    * (they diverge only when single-arm strata got dropped).
+    *
+    * Shape: ONE conditional aggregate to per-stratum arm cells;
+    * everything after runs on the ≤-distinct-strata cell table.
+    */
+  def stratifiedAte(df: DataFrame, outcome: Column, treated: Column,
+      stratum: Column, roundDigits: Int = 6): DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val cells = df.filter(outcome.isNotNull && treated.isNotNull
+        && stratum.isNotNull)
+      .select(stratum.cast("string").as("__g"),
+        treated.cast("boolean").as("__t"),
+        outcome.cast("double").as("__y"))
+      .groupBy(col("__g"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("__nt"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("__nc"),
+        sum(when(col("__t"), col("__y")).otherwise(0.0d)).as("__yt"),
+        sum(when(!col("__t"), col("__y")).otherwise(0.0d)).as("__yc"))
+      .filter(col("__nt") > 0 && col("__nc") > 0)
+    val n = (col("__nt") + col("__nc")).cast("double")
+    val delta = col("__yt") / col("__nt").cast("double") -
+      col("__yc") / col("__nc").cast("double")
+    // IPW: sumYT*(n/nT) - sumYC*(n/nC), summed then / N
+    val ipw = col("__yt") * n / col("__nt").cast("double") -
+      col("__yc") * n / col("__nc").cast("double")
+    cells.agg(count(lit(1)).as("strata"),
+        sum(col("__nt") + col("__nc")).as("__n"),
+        sum(round((delta * n).cast(stable), 8)).as("__wd"),
+        sum(round(ipw.cast(stable), 8)).as("__ipw"))
+      .filter(col("__n") > 0)
+      .select(col("strata"), col("__n").as("n"),
+        round((col("__wd").cast("double") / col("__n").cast("double"))
+          .cast(stable), roundDigits).cast("double")
+          .as("ate_stratified"),
+        round((col("__ipw").cast("double") / col("__n").cast("double"))
+          .cast(stable), roundDigits).cast("double").as("ate_ipw"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
 import org.apache.spark.sql.functions._
 
 /** Retail-analytics operators over the order/line-item model — the
@@ -754,5 +754,56 @@ object Retail {
         F.round((F.coalesce(col("overlap"), F.lit(0L)).cast("double")
           / col("depth")).cast(stable), roundDigits)
           .cast("double").as("overlap_share"))
+  }
+
+  /** Classic bilateral price indexes between two periods (ILO CPI
+    * manual ch. 15): Laspeyres (base-period quantity weights),
+    * Paasche (current-period weights), and Fisher (their geometric
+    * mean — the "ideal" index satisfying the reversal tests). Items
+    * must trade in BOTH periods (the matched-model rule); unit price
+    * per item-period is total value / total quantity.
+    *
+    * Shape: ONE aggregate to (item, period) cells; the four
+    * value-sums run over the matched-item cell table, so the heavy
+    * scan never repeats. Per-item terms round 8dp before the exact
+    * decimal sum (the house cross-engine-sum discipline).
+    */
+  def priceIndexes(df: DataFrame, item: Column, price: Column,
+      qty: Column, inBase: Column, roundDigits: Int = 6): DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val cells = df.filter(item.isNotNull && price.isNotNull
+        && qty.isNotNull && inBase.isNotNull)
+      .select(item.cast("string").as("__i"),
+        inBase.cast("boolean").as("__b"),
+        price.cast("double").as("__v"), qty.cast("double").as("__q"))
+      .groupBy(col("__i"), col("__b"))
+      .agg(F.sum(col("__v")).as("__val"), F.sum(col("__q")).as("__qty"))
+      .filter(col("__qty") > 0)
+    val base = cells.filter(col("__b"))
+      .select(col("__i"), (col("__val") / col("__qty")).as("__p0"),
+        col("__qty").as("__q0"))
+    val cur = cells.filter(!col("__b"))
+      .select(col("__i"), (col("__val") / col("__qty")).as("__p1"),
+        col("__qty").as("__q1"))
+    val m = base.join(cur, Seq("__i"))
+    val terms = m.agg(F.count(F.lit(1)).as("items"),
+      F.sum(F.round((col("__p1") * col("__q0")).cast(stable), 8))
+        .as("__l1"),
+      F.sum(F.round((col("__p0") * col("__q0")).cast(stable), 8))
+        .as("__l0"),
+      F.sum(F.round((col("__p1") * col("__q1")).cast(stable), 8))
+        .as("__p1s"),
+      F.sum(F.round((col("__p0") * col("__q1")).cast(stable), 8))
+        .as("__p0s"))
+    val lasp = col("__l1").cast("double") / col("__l0").cast("double")
+    val paas = col("__p1s").cast("double") / col("__p0s").cast("double")
+    terms.filter(col("items") > 0 && col("__l0") > 0 && col("__p0s") > 0)
+      .select(col("items"),
+        F.round(lasp.cast(stable), roundDigits).cast("double")
+          .as("laspeyres"),
+        F.round(paas.cast(stable), roundDigits).cast("double")
+          .as("paasche"),
+        F.round(F.sqrt(lasp * paas).cast(stable), roundDigits)
+          .cast("double").as("fisher"))
   }
 }

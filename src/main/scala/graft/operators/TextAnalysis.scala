@@ -1182,4 +1182,43 @@ object TextAnalysis {
           col("__na2").cast("double") / col("__ch")).cast(stable),
           roundDigits).cast("double").as("non_ascii_rate"))
   }
+
+  /** Unseen-vocabulary estimate: Chao1 species richness (Chao 1984,
+    * bias-corrected form `S + f1(f1-1)/(2(f2+1))`) plus the
+    * Good–Turing unseen-probability mass `f1/N` — the "how much
+    * vocabulary has this corpus NOT seen yet" read that tells a
+    * curation pipeline whether more data of the same source still
+    * buys coverage (high unseen mass) or has saturated (low). The
+    * bias-corrected Chao1 stays defined when no token occurs exactly
+    * twice, and both statistics are exact integer ratios.
+    *
+    * Shape: explode → token counts → ONE aggregate over the
+    * frequency-of-frequencies; shuffle carries (token, count) cells,
+    * never documents.
+    */
+  def chao1Coverage(df: DataFrame, textCol: String,
+      roundDigits: Int = 6): DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val counts = df.filter(col(textCol).isNotNull)
+      .select(explode(Text.tokens(col(textCol))).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__n"))
+    val agg = counts.agg(sum(col("__n")).as("__N"),
+      count(lit(1)).as("__S"),
+      sum(when(col("__n") === 1, 1L).otherwise(0L)).as("__f1"),
+      sum(when(col("__n") === 2, 1L).otherwise(0L)).as("__f2"))
+    val nD = col("__N").cast("double")
+    val chao = col("__S").cast("double") +
+      (col("__f1") * (col("__f1") - 1)).cast("double") /
+        (lit(2.0d) * (col("__f2") + 1).cast("double"))
+    val unseen = col("__f1").cast("double") / nD
+    agg.filter(col("__N") > 0)
+      .select(col("__N").as("tokens"), col("__S").as("vocab"),
+        col("__f1").as("f1"), col("__f2").as("f2"),
+        round(chao.cast(stable), roundDigits).cast("double").as("chao1"),
+        round(unseen.cast(stable), roundDigits).cast("double")
+          .as("gt_unseen_mass"),
+        round((lit(1.0d) - unseen).cast(stable), roundDigits)
+          .cast("double").as("coverage"))
+  }
 }

@@ -6306,6 +6306,162 @@ object OracleSql {
     "x281_ddsketch_by" -> ddsketchBySql(alpha = 0.01,
       qs = Seq(0.5, 0.99)),
 
+    // Canonical-URL dedup: the full normalizer chain replayed regex
+    // for regex (fragment, lowercase scheme+host, www, default port,
+    // tracking-param filter + sort, trailing slash).
+    "x287_url_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |  'HTTPS://WWW.' || source || '.Example.COM:443/docs/'
+        |    || CAST(n_chars % 20 AS VARCHAR)
+        |    || '/?utm_source=feed&b=2&a=' || CAST(n_chars % 3 AS VARCHAR)
+        |    || '&gclid=x#sec' AS url
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |s1 AS (SELECT doc_id, url,
+        |  regexp_replace(trim(url), '#.*', '') AS nf FROM d),
+        |s2 AS (SELECT doc_id, url, nf,
+        |  lower(regexp_extract(nf,
+        |    '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) AS pre0 FROM s1),
+        |s3 AS (SELECT doc_id, url, nf, pre0,
+        |  regexp_replace(regexp_replace(regexp_replace(pre0,
+        |    '://www\.', '://'),
+        |    '^(https://[^/:?#]*):443$', '\1'),
+        |    '^(http://[^/:?#]*):80$', '\1') AS pre,
+        |  substr(nf, length(pre0) + 1) AS rest FROM s2),
+        |s4 AS (SELECT doc_id, url, pre,
+        |  regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
+        |    '/+$', '') AS pth,
+        |  array_to_string(list_sort(list_filter(
+        |    string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
+        |    x -> x <> '' AND NOT regexp_matches(x,
+        |      '^(utm_[^=]*|gclid|fbclid|ref)(=.*)?$'))), '&') AS prm
+        |  FROM s3),
+        |c AS (SELECT doc_id, url, pre || pth ||
+        |  CASE WHEN prm <> '' THEN '?' || prm ELSE '' END AS canon
+        |  FROM s4)
+        |SELECT canon AS canonical_url,
+        |  CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+        |  CAST(COUNT(*) AS BIGINT) AS docs,
+        |  CAST(COUNT(DISTINCT url) AS BIGINT) AS raw_spellings
+        |FROM c GROUP BY 1 ORDER BY canonical_url""".stripMargin,
+
+    // Qini curve: x234's equal-width quantize + x221's cumulative
+    // walk, arms split by supplier parity.
+    "x288_qini_curve" ->
+      """WITH r0 AS (SELECT CAST(l_extendedprice AS DOUBLE) AS s,
+        |  (l_suppkey % 2 = 0) AS t,
+        |  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |    AND l_suppkey IS NOT NULL AND l_returnflag IS NOT NULL),
+        |ex AS (SELECT MIN(s) AS lo, MAX(s) AS hi FROM r0),
+        |r AS (SELECT CASE WHEN ex.hi > ex.lo THEN
+        |    CAST(LEAST(FLOOR((s - ex.lo) * 20 / (ex.hi - ex.lo)),
+        |      19) AS DOUBLE) ELSE 0.0e0 END AS s, t, y
+        |  FROM r0 CROSS JOIN ex),
+        |c AS (SELECT s, SUM(CASE WHEN t THEN 1 ELSE 0 END) AS nt,
+        |  SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS nc,
+        |  SUM(CASE WHEN t THEN y ELSE 0 END) AS pt,
+        |  SUM(CASE WHEN NOT t THEN y ELSE 0 END) AS pc
+        |  FROM r GROUP BY 1),
+        |cm AS (SELECT s, SUM(nt) OVER w AS cnt, SUM(nc) OVER w AS cnc,
+        |  SUM(pt) OVER w AS cpt, SUM(pc) OVER w AS cpc FROM c
+        |  WINDOW w AS (ORDER BY s DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT s AS score_bin, CAST(cnt AS BIGINT) AS cum_treated,
+        |  CAST(cnc AS BIGINT) AS cum_control,
+        |  CAST(cpt AS BIGINT) AS cum_pos_treated,
+        |  CAST(cpc AS BIGINT) AS cum_pos_control,
+        |  CAST(ROUND(CAST(CASE WHEN cnc > 0 THEN
+        |    CAST(cpt AS DOUBLE) - CAST(cpc AS DOUBLE)
+        |      * CAST(cnt AS DOUBLE) / CAST(cnc AS DOUBLE)
+        |    END AS DECIMAL(18,8)), 6) AS DOUBLE) AS qini,
+        |  CAST(ROUND(CAST(CASE WHEN cnt > 0 AND cnc > 0 THEN
+        |    CAST(cpt AS DOUBLE) / CAST(cnt AS DOUBLE)
+        |      - CAST(cpc AS DOUBLE) / CAST(cnc AS DOUBLE)
+        |    END AS DECIMAL(18,8)), 6) AS DOUBLE) AS uplift
+        |FROM cm ORDER BY score_bin""".stripMargin,
+
+    // Stratified + IPW ATE: per-stratum arm cells, 8dp-rounded
+    // per-stratum terms into exact decimal sums (the theil idiom).
+    "x289_stratified_ate" ->
+      """WITH r AS (SELECT CAST(l_extendedprice AS DOUBLE) AS y,
+        |  (l_suppkey % 2 = 0) AS t,
+        |  FLOOR((CAST(l_quantity AS DOUBLE) - 1) / 5) AS g
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |    AND l_suppkey IS NOT NULL AND l_quantity IS NOT NULL),
+        |c AS (SELECT g, SUM(CASE WHEN t THEN 1 ELSE 0 END) AS nt,
+        |  SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS nc,
+        |  SUM(CASE WHEN t THEN y ELSE 0.0e0 END) AS yt,
+        |  SUM(CASE WHEN NOT t THEN y ELSE 0.0e0 END) AS yc
+        |  FROM r GROUP BY 1
+        |  HAVING SUM(CASE WHEN t THEN 1 ELSE 0 END) > 0
+        |    AND SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) > 0),
+        |ag AS (SELECT COUNT(*) AS strata, SUM(nt + nc) AS n,
+        |  SUM(ROUND(CAST((yt / nt - yc / nc) * (nt + nc)
+        |    AS DECIMAL(18,8)), 8)) AS wd,
+        |  SUM(ROUND(CAST(yt * (nt + nc) / nt - yc * (nt + nc) / nc
+        |    AS DECIMAL(18,8)), 8)) AS ipw
+        |  FROM c)
+        |SELECT CAST(strata AS BIGINT) AS strata, CAST(n AS BIGINT) AS n,
+        |  CAST(ROUND(CAST(CAST(wd AS DOUBLE) / CAST(n AS DOUBLE)
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS ate_stratified,
+        |  CAST(ROUND(CAST(CAST(ipw AS DOUBLE) / CAST(n AS DOUBLE)
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS ate_ipw
+        |FROM ag WHERE n > 0""".stripMargin,
+
+    // Chao1 + Good-Turing: frequency-of-frequencies over the token
+    // counts; everything integer until the three final ratios.
+    "x290_chao1_coverage" ->
+      """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT tok, COUNT(*) AS n FROM tk WHERE tok <> ''
+        |  GROUP BY 1),
+        |a AS (SELECT SUM(n) AS nn, COUNT(*) AS s,
+        |  SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS f1,
+        |  SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS f2 FROM c)
+        |SELECT CAST(nn AS BIGINT) AS tokens, CAST(s AS BIGINT) AS vocab,
+        |  CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2,
+        |  CAST(ROUND(CAST(CAST(s AS DOUBLE)
+        |    + CAST(f1 * (f1 - 1) AS DOUBLE)
+        |      / (2.0e0 * CAST(f2 + 1 AS DOUBLE))
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS chao1,
+        |  CAST(ROUND(CAST(CAST(f1 AS DOUBLE) / CAST(nn AS DOUBLE)
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS gt_unseen_mass,
+        |  CAST(ROUND(CAST(1.0e0 - CAST(f1 AS DOUBLE)
+        |    / CAST(nn AS DOUBLE)
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS coverage
+        |FROM a WHERE nn > 0""".stripMargin,
+
+    // Bilateral price indexes: matched-model cells, 8dp-rounded
+    // per-item value terms into exact decimal sums.
+    "x291_price_index" ->
+      """WITH cells AS (SELECT CAST(l_partkey AS VARCHAR) AS i,
+        |  (year(l_shipdate) <= 1994) AS b,
+        |  SUM(CAST(l_extendedprice AS DOUBLE)) AS val,
+        |  SUM(CAST(l_quantity AS DOUBLE)) AS q
+        |  FROM lineitem WHERE l_partkey IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |    AND l_shipdate IS NOT NULL
+        |  GROUP BY 1, 2 HAVING SUM(CAST(l_quantity AS DOUBLE)) > 0),
+        |m AS (SELECT b0.i, b0.val / b0.q AS p0, b0.q AS q0,
+        |  b1.val / b1.q AS p1, b1.q AS q1
+        |  FROM (SELECT * FROM cells WHERE b) b0
+        |  JOIN (SELECT * FROM cells WHERE NOT b) b1 ON b0.i = b1.i),
+        |t AS (SELECT COUNT(*) AS items,
+        |  SUM(ROUND(CAST(p1 * q0 AS DECIMAL(18,8)), 8)) AS l1,
+        |  SUM(ROUND(CAST(p0 * q0 AS DECIMAL(18,8)), 8)) AS l0,
+        |  SUM(ROUND(CAST(p1 * q1 AS DECIMAL(18,8)), 8)) AS p1s,
+        |  SUM(ROUND(CAST(p0 * q1 AS DECIMAL(18,8)), 8)) AS p0s FROM m)
+        |SELECT CAST(items AS BIGINT) AS items,
+        |  CAST(ROUND(CAST(CAST(l1 AS DOUBLE) / CAST(l0 AS DOUBLE)
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS laspeyres,
+        |  CAST(ROUND(CAST(CAST(p1s AS DOUBLE) / CAST(p0s AS DOUBLE)
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS paasche,
+        |  CAST(ROUND(CAST(SQRT((CAST(l1 AS DOUBLE)
+        |      / CAST(l0 AS DOUBLE))
+        |    * (CAST(p1s AS DOUBLE) / CAST(p0s AS DOUBLE)))
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS fisher
+        |FROM t WHERE items > 0 AND l0 > 0 AND p0s > 0""".stripMargin,
+
     // Fleiss' kappa at n = 3: both numerators are integer sums over
     // (item,label) cells; the only divisions are the final three.
     "x282_fleiss_kappa" ->

@@ -3059,6 +3059,53 @@ object Queries {
       item = col("l_orderkey"), rater = col("l_linenumber"),
       label = col("l_returnflag"))
 
+  /** X254 — canonical-URL dedup over a derived crawl frontier: mixed
+    * case, www, default port, tracking params, trailing slash, and a
+    * fragment all normalize away; docs sharing (source, n_chars%20,
+    * n_chars%3) collapse to one canonical row. */
+  def x287(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"),
+      concat(lit("HTTPS://WWW."), col("source"),
+        lit(".Example.COM:443/docs/"),
+        (col("n_chars") % 20).cast("string"),
+        lit("/?utm_source=feed&b=2&a="),
+        (col("n_chars") % 3).cast("string"),
+        lit("&gclid=x#sec")).as("url"))
+    Dedup.canonicalUrlDedup(d, "url", "doc_id")
+      .orderBy("canonical_url")
+  }
+
+  /** X255 — Qini uplift curve: price as the targeting score (20
+    * bins), even suppliers as the "treated" arm, returns as the
+    * outcome. */
+  def x288(s: SparkSession, dir: String): DataFrame =
+    Evaluation.qiniCurve(Tables.lineitem(s, dir),
+      score = col("l_extendedprice"),
+      treated = col("l_suppkey") % 2 === 0,
+      outcome = col("l_returnflag") === "R", bins = 20)
+      .orderBy("score_bin")
+
+  /** X256 — stratified + IPW average treatment effect: price outcome,
+    * even-supplier treatment, quantity quintile-bucket strata. */
+  def x289(s: SparkSession, dir: String): DataFrame =
+    Evaluation.stratifiedAte(Tables.lineitem(s, dir),
+      outcome = col("l_extendedprice"),
+      treated = col("l_suppkey") % 2 === 0,
+      stratum = floor((col("l_quantity") - 1) / 5))
+
+  /** X257 — Chao1 unseen-vocabulary estimate + Good–Turing unseen
+    * mass over the documents corpus. */
+  def x290(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chao1Coverage(Tables.documents(s, dir), "text")
+
+  /** X258 — Laspeyres/Paasche/Fisher price indexes between the
+    * <=1994 base period and the rest, matched parts only. */
+  def x291(s: SparkSession, dir: String): DataFrame =
+    Retail.priceIndexes(Tables.lineitem(s, dir),
+      item = col("l_partkey"), price = col("l_extendedprice"),
+      qty = col("l_quantity"),
+      inBase = year(col("l_shipdate")) <= 1994)
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -3358,5 +3405,10 @@ object Queries {
     "x283_kripp_alpha" -> (x283 _),
     "x284_bradley_terry" -> (x284 _),
     "x285_positional_bias" -> (x285 _),
-    "x286_rater_consensus" -> (x286 _))
+    "x286_rater_consensus" -> (x286 _),
+    "x287_url_dedup" -> (x287 _),
+    "x288_qini_curve" -> (x288 _),
+    "x289_stratified_ate" -> (x289 _),
+    "x290_chao1_coverage" -> (x290 _),
+    "x291_price_index" -> (x291 _))
 }

@@ -915,4 +915,36 @@ class EvaluationSpec extends SparkSpec {
     assert(deg.getAs[Long]("k_cells") == 3L &&
       deg.isNullAt(deg.fieldIndex("did_effect")))
   }
+
+  test("qiniCurve matches the hand-computed three-band fixture") {
+    import spark.implicits._
+    val df = Seq(
+      (3.0, true, true), (3.0, true, false), (3.0, false, false),
+      (2.0, false, true), (2.0, true, true),
+      (1.0, false, true), (1.0, true, false)).toDF("s", "t", "y")
+    val out = Evaluation.qiniCurve(df, col("s"), col("t"), col("y"),
+      bins = 0).orderBy(col("score_bin").desc).collect()
+    assert(out.map(_.getAs[Double]("qini")).toSeq
+      === Seq(1.0, 0.5, -0.666667))
+    assert(out.map(_.getAs[Double]("uplift")).toSeq
+      === Seq(0.5, 0.166667, -0.166667))
+    assert(out.head.getAs[Long]("cum_treated") === 2L)
+    assert(out.last.getAs[Long]("cum_control") === 3L)
+  }
+
+  test("stratifiedAte: the stratified and IPW forms coincide on " +
+      "both-arm strata and drop single-arm strata") {
+    import spark.implicits._
+    val df = Seq(
+      ("A", true, 10.0), ("A", false, 0.0),
+      ("B", true, 2.0), ("B", true, 4.0), ("B", false, 1.0),
+      ("solo", true, 99.0)) // no control arm -> dropped
+      .toDF("g", "t", "y")
+    val r = Evaluation.stratifiedAte(df, col("y"), col("t"), col("g"))
+      .head()
+    assert(r.getAs[Long]("strata") === 2L)
+    assert(r.getAs[Long]("n") === 5L)
+    assert(r.getAs[Double]("ate_stratified") === 5.2)
+    assert(r.getAs[Double]("ate_ipw") === 5.2)
+  }
 }

@@ -311,4 +311,22 @@ class RetailSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq
     assert(z == Seq((2L, 0L, 0.0)), s"got $z")
   }
+
+  test("priceIndexes: hand Laspeyres/Paasche/Fisher on matched items") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // X: p0=1 (10/10), p1=2 (30/15); Y: p0=4 (20/5), p1=3 (12/4)
+    // L = (2*10+3*5)/(1*10+4*5) = 35/30; P = (2*15+3*4)/(1*15+4*4) = 42/31
+    val df = Seq(
+      ("X", 10.0, 10.0, true), ("X", 30.0, 15.0, false),
+      ("Y", 20.0, 5.0, true), ("Y", 12.0, 4.0, false),
+      ("Z", 7.0, 1.0, true)) // base-only: excluded by matched-model rule
+      .toDF("i", "v", "q", "b")
+    val r = Retail.priceIndexes(df, col("i"), col("v"), col("q"),
+      col("b")).head()
+    assert(r.getAs[Long]("items") === 2L)
+    assert(r.getAs[Double]("laspeyres") === 1.166667)
+    assert(r.getAs[Double]("paasche") === 1.354839)
+    assert(r.getAs[Double]("fisher") === 1.257237)
+  }
 }

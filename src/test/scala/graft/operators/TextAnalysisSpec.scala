@@ -549,4 +549,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(scored(0) < scored(1),
       s"original ${scored(0)} must beat the salad ${scored(1)}")
   }
+
+  test("chao1Coverage matches the hand frequency-of-frequencies") {
+    import spark.implicits._
+    // tokens: a:2 b:2 c:1 d:1 -> N=6 S=4 f1=2 f2=2
+    val df = Seq("a b a c", "d b").toDF("text")
+    val r = TextAnalysis.chao1Coverage(df, "text").head()
+    assert(r.getAs[Long]("tokens") === 6L)
+    assert(r.getAs[Long]("vocab") === 4L)
+    assert(r.getAs[Long]("f1") === 2L)
+    assert(r.getAs[Long]("f2") === 2L)
+    assert(r.getAs[Double]("chao1") === 4.333333)
+    assert(r.getAs[Double]("gt_unseen_mass") === 0.333333)
+    assert(r.getAs[Double]("coverage") === 0.666667)
+  }
+
+  test("chao1Coverage stays defined with no doubletons (f2 = 0)") {
+    import spark.implicits._
+    val r = TextAnalysis.chao1Coverage(Seq("a b c").toDF("text"), "text")
+      .head()
+    // S=3, f1=3, f2=0 -> chao1 = 3 + 3*2/2 = 6
+    assert(r.getAs[Double]("chao1") === 6.0)
+    assert(r.getAs[Double]("gt_unseen_mass") === 1.0)
+  }
 }
