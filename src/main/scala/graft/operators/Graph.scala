@@ -616,4 +616,77 @@ object Graph {
       round(when(vr > 0, cov / vr).cast(stable), roundDigits)
         .cast("double").as("assortativity"))
   }
+
+  /** HITS hubs and authorities (Kleinberg 1999, "Authoritative
+    * sources in a hyperlinked environment"): alternate
+    * `authority(v) = Σ_{u→v} hub(u)` and `hub(u) = Σ_{u→v} auth(v)`,
+    * L1-normalized and quantized to `quantDigits` decimals after
+    * every half-round (the x110/x284 iterative-oracle discipline) —
+    * the link-analysis complement to PageRank's random surfer: on a
+    * crawl graph, pages that POINT at good content (hubs) separate
+    * from the content itself (authorities).
+    *
+    * Shape: the PageRank scale template — edges dedup+persist ONCE;
+    * each half-round is one join of the thin score frame against the
+    * persisted edge table plus one 1-row L1 total broadcast back in;
+    * scores Cut per half-round so the plan stays linear in rounds.
+    * Nodes out of a side's reach sit at exactly 0 for that side.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 5, quantDigits: Int = 9, roundDigits: Int = 6,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
+    require(iterations >= 1 && iterations <= 64,
+      s"iterations out of range: $iterations")
+    val e = scope.persist(edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .distinct())
+    val nodes = scope.persist(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
+    val n = nodes.count()
+    require(n >= 1, "empty graph")
+    def normalized(contrib: DataFrame, key: String): DataFrame = {
+      // contrib: (key, __c) raw sums over the contributing side only;
+      // zeros don't move the L1 total, so summing contrib == summing
+      // the full node vector
+      val tot = contrib.agg(sum(col("__c")).as("__tot"))
+      scope.persist(graft.util.Cut.cut(
+        nodes.join(contrib.withColumnRenamed(key, "node"), Seq("node"),
+            "left")
+          .crossJoin(broadcast(tot))
+          .select(col("node"),
+            when(col("__tot") > 0,
+              round(coalesce(col("__c"), lit(0.0d)) / col("__tot"),
+                quantDigits)).otherwise(lit(0.0d)).as("__s"))))
+    }
+    var hub = scope.persist(
+      nodes.select(col("node"), round(lit(1.0d / n), quantDigits).as("__s")))
+    var auth: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val aRaw = e.join(hub.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("__s")).as("__c"))
+      val aPrev = auth
+      auth = normalized(aRaw, "dst")
+      auth.count()
+      if (aPrev != null) aPrev.unpersist()
+      val hRaw = e.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src")).agg(sum(col("__s")).as("__c"))
+      val hPrev = hub
+      hub = normalized(hRaw, "src")
+      hub.count()
+      hPrev.unpersist()
+    }
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    nodes
+      .join(hub.select(col("node"), col("__s").as("__h")), Seq("node"), "left")
+      .join(auth.select(col("node"), col("__s").as("__a")), Seq("node"),
+        "left")
+      .select(col("node"),
+        round(coalesce(col("__h"), lit(0.0d)).cast(stable), roundDigits)
+          .cast("double").as("hub"),
+        round(coalesce(col("__a"), lit(0.0d)).cast(stable), roundDigits)
+          .cast("double").as("authority"))
+  }
 }

@@ -1709,4 +1709,77 @@ object TimeSeries {
       .select(col("__d0").as("day"), col("n_new"),
         sum(col("n_new")).over(w).as("cum_reach"))
   }
+
+  /** Hurst exponent via rescaled-range analysis (Hurst 1951 /
+    * Mandelbrot–Wallis 1969): chunk the series into full blocks of
+    * each window size, compute the range of cumulative mean-deviations
+    * over the block's population std (R/S), average per window size,
+    * and fit `log(mean R/S) ~ H log(w)` by OLS over the window sizes.
+    * H ≈ 0.5 = random walk, > 0.5 = persistent trend, < 0.5 =
+    * mean-reverting — the long-memory read behind capacity planning
+    * and anomaly baselines.
+    *
+    * Input: one row per time point (caller pre-aggregates). Shape:
+    * the series indexes ONCE (a window over series length — the
+    * day-cardinality-bounded pattern), fans out to the window-size
+    * grid, and every window after that is partitioned per (w, block)
+    * with ≤ max(windows) rows; the OLS runs on ≤ |windows| rows using
+    * the ROUNDED per-w means, so both engines regress identical
+    * inputs.
+    */
+  def hurstExponent(df: DataFrame, ts: Column, value: Column,
+      windows: Seq[Int] = Seq(8, 16, 32, 64), roundDigits: Int = 6)
+      : DataFrame = {
+    require(windows.nonEmpty && windows.forall(_ >= 2),
+      s"window sizes must be >= 2: $windows")
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val series = df.filter(ts.isNotNull && value.isNotNull)
+      .select(ts.as("__t"), value.cast("double").as("__v"))
+      .withColumn("__idx",
+        row_number().over(Window.orderBy(col("__t"))).cast("long"))
+    val fanned = series.select(col("__idx"), col("__v"),
+      explode(array(windows.map(w => lit(w.toLong)): _*)).as("__w"))
+      .withColumn("__blk", floor((col("__idx") - 1) / col("__w")))
+    val blocks = fanned.groupBy(col("__w"), col("__blk"))
+      .agg(count(lit(1)).as("__cnt"), sum(col("__v")).as("__sum"))
+      .filter(col("__cnt") === col("__w"))
+      .select(col("__w"), col("__blk"),
+        (col("__sum") / col("__w").cast("double")).as("__mu"))
+    val withDev = fanned.join(blocks, Seq("__w", "__blk"))
+      .select(col("__w"), col("__blk"), col("__idx"),
+        (col("__v") - col("__mu")).as("__dev"))
+    val wcum = Window.partitionBy(col("__w"), col("__blk"))
+      .orderBy(col("__idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rs = withDev.withColumn("__z", sum(col("__dev")).over(wcum))
+      .groupBy(col("__w"), col("__blk"))
+      .agg((max(col("__z")) - min(col("__z"))).as("__r"),
+        sqrt(sum(col("__dev") * col("__dev"))
+          / first(col("__w")).cast("double")).as("__sd"))
+      .filter(col("__sd") > 0)
+      .select(col("__w"), (col("__r") / col("__sd")).as("__rs"))
+    val perW = rs.groupBy(col("__w"))
+      .agg(count(lit(1)).as("blocks"),
+        round((sum(col("__rs")) / count(lit(1))).cast(stable),
+          roundDigits).cast("double").as("mean_rs"))
+    // OLS over the <= |windows| rounded points: identical inputs in
+    // both engines, so the slope agrees to well past roundDigits
+    val pts = perW.filter(col("mean_rs") > 0)
+      .select(log(col("__w").cast("double")).as("__lx"),
+        log(col("mean_rs")).as("__ly"))
+    val slope = pts.agg(count(lit(1)).as("__k"),
+        sum(col("__lx")).as("__sx"), sum(col("__ly")).as("__sy"),
+        sum(col("__lx") * col("__lx")).as("__sxx"),
+        sum(col("__lx") * col("__ly")).as("__sxy"))
+      .select(when(
+        col("__k") * col("__sxx") - col("__sx") * col("__sx") > 0,
+        (col("__k") * col("__sxy") - col("__sx") * col("__sy")) /
+          (col("__k") * col("__sxx") - col("__sx") * col("__sx")))
+        .as("__h"))
+    perW.crossJoin(broadcast(slope))
+      .select(col("__w").as("w"), col("blocks"), col("mean_rs"),
+        round(col("__h").cast(stable), roundDigits).cast("double")
+          .as("hurst"))
+      .orderBy("w")
+  }
 }

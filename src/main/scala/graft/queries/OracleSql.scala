@@ -6462,6 +6462,45 @@ object OracleSql {
         |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS fisher
         |FROM t WHERE items > 0 AND l0 > 0 AND p0s > 0""".stripMargin,
 
+    // HITS: 5 unrolled hub/authority half-round pairs, L1-normalized
+    // + 9dp-quantized per half-round (the x110/x284 discipline).
+    "x292_hits" -> hitsSql(iters = 5),
+
+    // Hurst R/S: block stats per (w, block), OLS over the ROUNDED
+    // per-w means so both engines regress identical points.
+    "x293_hurst" ->
+      """WITH s0 AS (SELECT o_orderdate AS t,
+        |  CAST(COUNT(*) AS DOUBLE) AS v FROM orders
+        |  WHERE o_orderdate IS NOT NULL GROUP BY 1),
+        |si AS (SELECT t, v, row_number() OVER (ORDER BY t) AS idx
+        |  FROM s0),
+        |f AS (SELECT idx, v, w, (idx - 1) // w AS blk FROM si
+        |  CROSS JOIN (SELECT unnest([8, 16, 32, 64]) AS w)),
+        |b AS (SELECT w, blk, COUNT(*) AS cnt, SUM(v) AS sm FROM f
+        |  GROUP BY 1, 2),
+        |bm AS (SELECT w, blk, sm / w AS mu FROM b WHERE cnt = w),
+        |d AS (SELECT f.w, f.blk, f.idx, f.v - bm.mu AS dev FROM f
+        |  JOIN bm ON f.w = bm.w AND f.blk = bm.blk),
+        |z AS (SELECT w, blk, dev, SUM(dev) OVER (PARTITION BY w, blk
+        |  ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |  CURRENT ROW) AS zz FROM d),
+        |rs AS (SELECT w,
+        |  (MAX(zz) - MIN(zz)) / SQRT(SUM(dev * dev) / w) AS rs
+        |  FROM z GROUP BY w, blk HAVING SUM(dev * dev) > 0),
+        |pw AS (SELECT w, COUNT(*) AS blocks,
+        |  CAST(ROUND(CAST(SUM(rs) / COUNT(*) AS DECIMAL(18,8)), 6)
+        |    AS DOUBLE) AS mean_rs FROM rs GROUP BY 1),
+        |pt AS (SELECT ln(CAST(w AS DOUBLE)) AS lx, ln(mean_rs) AS ly
+        |  FROM pw WHERE mean_rs > 0),
+        |sl AS (SELECT COUNT(*) AS k, SUM(lx) AS sx, SUM(ly) AS sy,
+        |  SUM(lx * lx) AS sxx, SUM(lx * ly) AS sxy FROM pt),
+        |hv AS (SELECT CASE WHEN k * sxx - sx * sx > 0 THEN
+        |  (k * sxy - sx * sy) / (k * sxx - sx * sx) END AS h FROM sl)
+        |SELECT CAST(w AS BIGINT) AS w, CAST(blocks AS BIGINT) AS blocks,
+        |  mean_rs,
+        |  CAST(ROUND(CAST(h AS DECIMAL(18,8)), 6) AS DOUBLE) AS hurst
+        |FROM pw CROSS JOIN hv ORDER BY w""".stripMargin,
+
     // Fleiss' kappa at n = 3: both numerators are integer sums over
     // (item,label) cells; the only divisions are the final three.
     "x282_fleiss_kappa" ->
@@ -7187,6 +7226,48 @@ object OracleSql {
   /** Centroid update: element-wise mean of each cluster's members,
     * ROUNDed to 6 digits (the portability quantize); a cluster with no
     * members keeps its previous centroid via the LEFT JOIN COALESCE. */
+  /** One HITS half-round, split into a MATERIALIZED contribution CTE
+    * (so the unrolled chain evaluates each level ONCE — without it
+    * DuckDB inlines every reference and the plan doubles per
+    * half-round) and a normalize step, L1 + 9dp quantize bit-matching
+    * Graph.hits' round. */
+  private def hitsHalf(contrib: String, prev: String,
+      from: String, to: String, out: String): String =
+    s"""$contrib AS MATERIALIZED (SELECT e.$to AS node, SUM(p.s) AS c
+       |  FROM e JOIN $prev p ON e.$from = p.node GROUP BY 1),
+       |$out AS MATERIALIZED (SELECT nd.node, CASE WHEN t.tot > 0 THEN
+       |    ROUND(coalesce(s.c, 0.0e0) / t.tot, 9) ELSE 0.0e0 END AS s
+       |  FROM nodes nd
+       |  LEFT JOIN $contrib s ON s.node = nd.node
+       |  CROSS JOIN (SELECT SUM(c) AS tot FROM $contrib) t)""".stripMargin
+
+  private def hitsSql(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""${hitsHalf(s"ca$k", s"h${k - 1}", "src", "dst", s"a$k")},
+         |${hitsHalf(s"ch$k", s"a$k", "dst", "src", s"h$k")}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT
+       |    'p' || CAST(l_partkey AS VARCHAR) AS src,
+       |    's' || CAST(l_suppkey AS VARCHAR) AS dst
+       |  FROM lineitem
+       |  WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL),
+       |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION
+       |  SELECT dst FROM e),
+       |h0 AS MATERIALIZED (SELECT node,
+       |  ROUND(1.0e0 / (SELECT COUNT(*) FROM nodes), 9) AS s
+       |  FROM nodes),
+       |$rounds
+       |SELECT nd.node,
+       |  CAST(ROUND(CAST(coalesce(h.s, 0.0e0) AS DECIMAL(18,8)), 6)
+       |    AS DOUBLE) AS hub,
+       |  CAST(ROUND(CAST(coalesce(a.s, 0.0e0) AS DECIMAL(18,8)), 6)
+       |    AS DOUBLE) AS authority
+       |FROM nodes nd
+       |LEFT JOIN h$iters h ON nd.node = h.node
+       |LEFT JOIN a$iters a ON nd.node = a.node
+       |ORDER BY nd.node""".stripMargin
+  }
+
   /** One rating per (item, rater-slot) from lineitem: item = order,
     * rater = line number, label = return flag (x282/x283/x286). */
   private def annRatingsCte: String =

@@ -3106,6 +3106,28 @@ object Queries {
       qty = col("l_quantity"),
       inBase = year(col("l_shipdate")) <= 1994)
 
+  /** X259 — HITS hubs/authorities on the part→supplier link graph
+    * (5 rounds): parts that point at good suppliers separate from
+    * the suppliers themselves. */
+  def x292(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val edges = li.select(
+      concat(lit("p"), col("l_partkey")).as("src"),
+      concat(lit("s"), col("l_suppkey")).as("dst"))
+    graft.operators.Graph.hits(edges, "src", "dst", iterations = 5)
+      .orderBy("node")
+  }
+
+  /** X260 — Hurst exponent of the daily order-count series via
+    * rescaled-range analysis over dyadic block sizes. */
+  def x293(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(col("o_orderdate").as("t"))
+      .agg(count(lit(1)).cast("double").as("v"))
+    TimeSeries.hurstExponent(daily, col("t"), col("v"))
+  }
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -3410,5 +3432,7 @@ object Queries {
     "x288_qini_curve" -> (x288 _),
     "x289_stratified_ate" -> (x289 _),
     "x290_chao1_coverage" -> (x290 _),
-    "x291_price_index" -> (x291 _))
+    "x291_price_index" -> (x291 _),
+    "x292_hits" -> (x292 _),
+    "x293_hurst" -> (x293 _))
 }

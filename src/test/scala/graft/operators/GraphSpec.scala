@@ -281,4 +281,20 @@ class GraphSpec extends SparkSpec {
     assert(Graph.degreeAssortativity(messy, "src", "dst")
       .head().getLong(0) == 2L)
   }
+
+  test("hits converges to the hand fixed point on the bipartite " +
+      "fan and zeroes the unreachable sides") {
+    import spark.implicits._
+    // h1 -> {a1, a2}, h2 -> {a2, a3}: a2 is doubly endorsed
+    val edges = Seq(("h1", "a1"), ("h1", "a2"), ("h2", "a2"),
+      ("h2", "a3")).toDF("src", "dst")
+    val out = Graph.hits(edges, "src", "dst", iterations = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("hub"), r.getAs[Double]("authority"))).toMap
+    assert(out("h1") === ((0.5, 0.0)))
+    assert(out("h2") === ((0.5, 0.0)))
+    assert(out("a2") === ((0.0, 0.5)))
+    assert(out("a1") === ((0.0, 0.25)))
+    assert(out("a3") === ((0.0, 0.25)))
+  }
 }

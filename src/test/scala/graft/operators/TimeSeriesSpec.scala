@@ -801,4 +801,30 @@ class TimeSeriesSpec extends SparkSpec {
     val c = TimeSeries.pageHinkley(const, "k", "t", "v", lambda = 5.0).head()
     assert(c.getDouble(2) == 0.0 && c.getLong(3) == 0L, s"got $c")
   }
+
+  test("hurstExponent: trend reads persistent, alternation reads " +
+      "anti-persistent, partial blocks drop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // pure linear trend: R/S grows ~ w, H -> 1
+    val trend = (1 to 128).map(i => (i.toLong, i.toDouble)).toDF("t", "v")
+    val ht = TimeSeries.hurstExponent(trend, col("t"), col("v"))
+      .collect()
+    assert(ht.head.getAs[Double]("hurst") > 0.9)
+    assert(ht.map(_.getAs[Long]("w")).toSeq === Seq(8L, 16L, 32L, 64L))
+    assert(ht.head.getAs[Long]("blocks") === 16L)
+    // strict alternation: every block has R/S = 1 -> slope exactly 0
+    val alt = (1 to 64).map(i => (i.toLong, if (i % 2 == 0) 1.0 else -1.0))
+      .toDF("t", "v")
+    val ha = TimeSeries.hurstExponent(alt, col("t"), col("v"),
+      windows = Seq(8, 16, 32)).collect()
+    assert(ha.forall(_.getAs[Double]("mean_rs") === 1.0))
+    assert(ha.head.getAs[Double]("hurst") === 0.0)
+    // length 44 at w=8: the 4-row tail block is dropped
+    val short = (1 to 44).map(i => (i.toLong, math.sin(i.toDouble)))
+      .toDF("t", "v")
+    val hs = TimeSeries.hurstExponent(short, col("t"), col("v"),
+      windows = Seq(8)).head()
+    assert(hs.getAs[Long]("blocks") === 5L)
+  }
 }
