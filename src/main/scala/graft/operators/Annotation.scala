@@ -175,10 +175,24 @@ object Annotation {
         (!col("__w")).cast("long").as("__win")))
     // per-entity totals and per-directed-pair game counts — the only
     // pass over the raw log; everything after is K- or pair-bounded
-    val ents = scope.persist(directed.groupBy(col("__e"))
-      .agg(sum(col("__win")).as("__wins"), count(lit(1)).as("__games")))
-    val pairs = scope.persist(directed.groupBy(col("__e"), col("__o"))
-      .agg(count(lit(1)).as("__n")))
+    val ents = directed.groupBy(col("__e"))
+      .agg(sum(col("__win")).as("__wins"), count(lit(1)).as("__games"))
+    val pairs = directed.groupBy(col("__e"), col("__o"))
+      .agg(count(lit(1)).as("__n"))
+    bradleyTerryFromCounts(ents, pairs, iters, quantDigits,
+      roundDigits, scope)
+  }
+
+  /** The MM finishing chain behind [[bradleyTerry]], entered at the
+    * count level: `ents` = (__e, __wins, __games) per entity, `pairs`
+    * = (__e, __o, __n) directed game counts. The streaming
+    * preference monitor ([[graft.streaming.Stateful]]) rolls its live
+    * counters up through THIS exact code path. */
+  private[graft] def bradleyTerryFromCounts(entsIn: DataFrame,
+      pairsIn: DataFrame, iters: Int, quantDigits: Int,
+      roundDigits: Int, scope: graft.util.CacheScope): DataFrame = {
+    val ents = scope.persist(entsIn)
+    val pairs = scope.persist(pairsIn)
     val k = ents.count()
     require(k >= 2, s"need >= 2 entities, got $k")
     val p0 = ents.select(col("__e"),
@@ -232,11 +246,19 @@ object Annotation {
     */
   def positionalBias(df: DataFrame, firstWon: Column, z: Double = 1.96,
       roundDigits: Int = 6): DataFrame = {
-    require(z > 0, s"z must be positive: $z")
     val agg = df.filter(firstWon.isNotNull)
       .agg(count(lit(1)).as("trials"),
         sum(firstWon.cast("long")).as("first_wins"))
-      .filter(col("trials") > 0)
+    positionalBiasFromAgg(agg, z, roundDigits)
+  }
+
+  /** The Wilson finishing step behind [[positionalBias]], entered at
+    * the (trials, first_wins) count level — the streaming monitor's
+    * rollup entry point. */
+  private[graft] def positionalBiasFromAgg(aggIn: DataFrame,
+      z: Double = 1.96, roundDigits: Int = 6): DataFrame = {
+    require(z > 0, s"z must be positive: $z")
+    val agg = aggIn.filter(col("trials") > 0)
     val n = col("trials").cast("double")
     val p = col("first_wins").cast("double") / n
     val z2 = z * z

@@ -924,4 +924,56 @@ object Stateful {
           Iterator.single(CmsCell(cell._1, cell._2, s.maxSeq, s.n))
       }
   }
+
+  /** One pairwise preference comparison: `a` listed first, `aWon`
+    * true when the first-listed option won. */
+  case class PrefEvent(seq: Long, a: String, b: String, aWon: Boolean)
+
+  /** Live directed-pair counters: entity `e` vs opponent `o` —
+    * `games`/`wins` from e's perspective, plus `first_games`/
+    * `first_wins` counting only the comparisons where e was LISTED
+    * first (the positional-bias margin). */
+  case class PrefPairCount(e: String, o: String, through_seq: Long,
+      games: Long, wins: Long, first_games: Long, first_wins: Long)
+
+  /** Streaming preference-log monitor — the live RLHF/eval-preference
+    * dashboard: each comparison updates its two directed-pair
+    * counters, so state is bounded by observed entity pairs (never
+    * events). The latest row per pair rolls up through the EXACT
+    * batch finishing chains: per-entity sums + pair counts into
+    * `Annotation.bradleyTerryFromCounts` (live strengths), and the
+    * first-listed margins into `Annotation.positionalBiasFromAgg`
+    * (live slot-bias Wilson interval) — both spec-pinned ≡ batch
+    * across a mid-stream split.
+    */
+  def prefPairsMonitor(ds: Dataset[PrefEvent]): Dataset[PrefPairCount] = {
+    implicit val stateEnc: Encoder[PrefPairCount] =
+      Encoders.product[PrefPairCount]
+    implicit val keyEnc: Encoder[(String, String)] =
+      Encoders.product[(String, String)]
+    implicit val dirEnc: Encoder[(Long, String, String, Boolean, Boolean)] =
+      Encoders.product[(Long, String, String, Boolean, Boolean)]
+    ds.filter(e => e.a != null && e.b != null && e.a != e.b)
+      // two directed rows per comparison: (seq, e, o, won, listedFirst)
+      .flatMap(e => Seq((e.seq, e.a, e.b, e.aWon, true),
+        (e.seq, e.b, e.a, !e.aWon, false)))
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[PrefPairCount, PrefPairCount](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (String, String),
+            rows: Iterator[(Long, String, String, Boolean, Boolean)],
+            state: GroupState[PrefPairCount]) =>
+          var s = state.getOption.getOrElse(
+            PrefPairCount(key._1, key._2, 0L, 0L, 0L, 0L, 0L))
+          rows.foreach { r =>
+            s = PrefPairCount(key._1, key._2,
+              math.max(s.through_seq, r._1),
+              s.games + 1L, s.wins + (if (r._4) 1L else 0L),
+              s.first_games + (if (r._5) 1L else 0L),
+              s.first_wins + (if (r._5 && r._4) 1L else 0L))
+          }
+          state.update(s)
+          Iterator.single(s)
+      }
+  }
 }

@@ -803,4 +803,51 @@ class StatefulSpec extends SparkSpec {
       probeLive("k4") == batchEst("k4"),
       s"live probe != batch estimate")
   }
+
+  test("prefPairsMonitor rollup ≡ batch bradleyTerry AND " +
+      "positionalBias EXACTLY across a mid-stream split") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    // AnnotationSpec's MM fixture, interleaved so every pair
+    // straddles the split
+    val comps = Seq(("A", "B", true), ("A", "C", true), ("B", "C", true),
+      ("A", "B", true), ("B", "C", false), ("A", "B", true),
+      ("A", "C", true), ("B", "C", true), ("A", "B", false),
+      ("B", "C", false))
+    val batchBt = graft.operators.Annotation.bradleyTerry(
+      comps.toDF("a", "b", "w"), col("a"), col("b"), col("w"),
+      iters = 8).orderBy("rank").collect().toSeq
+    val batchPb = graft.operators.Annotation.positionalBias(
+      comps.toDF("a", "b", "w").select(col("w").as("fw")), col("fw"))
+      .collect().toSeq
+    val events = comps.zipWithIndex.map { case ((a, b, w), i) =>
+      Stateful.PrefEvent(i.toLong, a, b, w) }
+    val mem = MemoryStream[Stateful.PrefEvent]
+    val out = Stateful.prefPairsMonitor(mem.toDS())
+    val sink = s"pref_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(events.take(4): _*)
+      q.processAllAvailable()
+      mem.addData(events.drop(4): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val latest = spark.table(sink).as[Stateful.PrefPairCount].collect()
+      .groupBy(c => (c.e, c.o)).map(_._2.maxBy(_.through_seq)).toSeq
+    val ents = latest.groupBy(_.e).map { case (e, cs) =>
+      (e, cs.map(_.wins).sum, cs.map(_.games).sum) }.toSeq
+      .toDF("__e", "__wins", "__games")
+    val pairs = latest.map(c => (c.e, c.o, c.games))
+      .toDF("__e", "__o", "__n")
+    val rolledBt = graft.operators.Annotation.bradleyTerryFromCounts(
+      ents, pairs, iters = 8, quantDigits = 9, roundDigits = 6,
+      scope = graft.util.CacheScope.unmanaged)
+      .orderBy("rank").collect().toSeq
+    assert(rolledBt == batchBt, s"stream BT $rolledBt != batch $batchBt")
+    val rolledPb = graft.operators.Annotation.positionalBiasFromAgg(
+      Seq((latest.map(_.first_games).sum, latest.map(_.first_wins).sum))
+        .toDF("trials", "first_wins")).collect().toSeq
+    assert(rolledPb == batchPb, s"stream PB $rolledPb != batch $batchPb")
+  }
 }
