@@ -293,25 +293,9 @@ object Annotation {
       label: Column, roundDigits: Int = 6,
       scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
       : DataFrame = {
-    val r = scope.persist(
-      df.filter(item.isNotNull && rater.isNotNull && label.isNotNull)
-        .select(item.cast("string").as("__i"),
-          rater.cast("string").as("__r"), label.cast("string").as("__l"))
-        .groupBy(col("__i"), col("__r")).agg(min(col("__l")).as("__l")))
-    val cells = r.groupBy(col("__i"), col("__l").as("__c"))
-      .agg(count(lit(1)).as("__n"))
-    // per rating x candidate label: LOO count = n_ic - [c = own label]
-    val loo = r.join(cells, Seq("__i"))
-      .select(col("__i"), col("__r"), col("__l"), col("__c"),
-        (col("__n") - when(col("__c") === col("__l"), 1L).otherwise(0L))
-          .as("__loon"))
-      .groupBy(col("__i"), col("__r"), col("__l"))
-      .agg(sum(col("__loon")).as("__others"),
-        min(struct((-col("__loon")).as("n"), col("__c").as("c")))
-          .as("__best"))
-      .filter(col("__others") > 0)
+    val loo = looConsensus(df, item, rater, label, scope)
       .select(col("__r"),
-        (col("__best.c") === col("__l")).cast("long").as("__agree"))
+        (col("__c") === col("__l")).cast("long").as("__agree"))
     val perRater = loo.groupBy(col("__r"))
       .agg(count(lit(1)).as("__n"), sum(col("__agree")).as("__a"))
     val pooled = perRater.agg(sum(col("__n")).as("__tn"),
@@ -329,5 +313,58 @@ object Annotation {
         round(when(pBar > 0 && pBar < 1, (rate - pBar) / se)
           .cast(stable), roundDigits).cast("double").as("z"))
       .orderBy(col("rater"))
+  }
+
+  /** Shared LOO step behind [[raterConsensus]] and [[raterConfusion]]:
+    * one row per rating that HAS a leave-one-out consensus — `__r`
+    * rater, `__l` the rater's label, `__c` the LOO-majority of the
+    * item's other raters (ties to the smallest label). Ratings join
+    * the (item,label) cell table on item, argmax = one min(struct)
+    * aggregate per rating. */
+  private def looConsensus(df: DataFrame, item: Column, rater: Column,
+      label: Column, scope: graft.util.CacheScope): DataFrame = {
+    val r = scope.persist(
+      df.filter(item.isNotNull && rater.isNotNull && label.isNotNull)
+        .select(item.cast("string").as("__i"),
+          rater.cast("string").as("__r"), label.cast("string").as("__l"))
+        .groupBy(col("__i"), col("__r")).agg(min(col("__l")).as("__l")))
+    val cells = r.groupBy(col("__i"), col("__l").as("__cand"))
+      .agg(count(lit(1)).as("__n"))
+    // per rating x candidate label: LOO count = n_ic - [c = own label]
+    r.join(cells, Seq("__i"))
+      .select(col("__i"), col("__r"), col("__l"), col("__cand"),
+        (col("__n") - when(col("__cand") === col("__l"), 1L)
+          .otherwise(0L)).as("__loon"))
+      .groupBy(col("__i"), col("__r"), col("__l"))
+      .agg(sum(col("__loon")).as("__others"),
+        min(struct((-col("__loon")).as("n"), col("__cand").as("c")))
+          .as("__best"))
+      .filter(col("__others") > 0)
+      .select(col("__r"), col("__l"), col("__best.c").as("__c"))
+  }
+
+  /** Per-rater confusion matrix against the leave-one-out consensus:
+    * for every (rater, consensus label) pair, how the rater's own
+    * labels distribute — the Dawid–Skene-style error profile read off
+    * directly (which rater confuses WHICH classes, not just how often
+    * they disagree). `rate` shares within each (rater, consensus)
+    * block, so a row reads "when the consensus was c, rater r said l
+    * rate of the time". Same bounded shape as [[raterConsensus]].
+    */
+  def raterConfusion(df: DataFrame, item: Column, rater: Column,
+      label: Column, roundDigits: Int = 6,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
+    val loo = looConsensus(df, item, rater, label, scope)
+    val cells = loo.groupBy(col("__r"), col("__c"), col("__l"))
+      .agg(count(lit(1)).as("__n"))
+    val blocks = cells.groupBy(col("__r"), col("__c"))
+      .agg(sum(col("__n")).as("__tot"))
+    cells.join(blocks, Seq("__r", "__c"))
+      .select(col("__r").as("rater"), col("__c").as("consensus_label"),
+        col("__l").as("rater_label"), col("__n").as("n"),
+        round((col("__n").cast("double") / col("__tot").cast("double"))
+          .cast(stable), roundDigits).cast("double").as("rate"))
+      .orderBy(col("rater"), col("consensus_label"), col("rater_label"))
   }
 }

@@ -1315,4 +1315,79 @@ object Profiling {
           lit(0.6745d) * (col("__vd") - medD) / madD).cast(stable),
           roundDigits).cast("double").as("robust_z"): _*)
   }
+
+  /** Fano factor / index of dispersion per group: population
+    * variance over mean of the per-bucket event counts. 1 = Poisson
+    * (memoryless arrivals), > 1 = bursty/clumped (the usual truth of
+    * user traffic), < 1 = regular — the one-number burstiness read a
+    * capacity model starts from. Counts are integers, so both moment
+    * sums are EXACT (decimal) and the only float math is the final
+    * two divisions.
+    *
+    * Shape: one count aggregate to (group, bucket) cells, one moment
+    * aggregate per group — shuffle bounded by groups × buckets.
+    */
+  def fanoFactor(df: DataFrame, group: Column, bucket: Column,
+      roundDigits: Int = 6): DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = df.filter(group.isNotNull && bucket.isNotNull)
+      .groupBy(group.cast("string").as("__g"),
+        bucket.cast("string").as("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val m = cells.groupBy(col("__g"))
+      .agg(count(lit(1)).as("buckets"), sum(col("__n")).as("__s"),
+        sum((col("__n").cast(d38) * col("__n").cast(d38)).cast(d38))
+          .as("__s2"))
+    val k = col("buckets").cast("double")
+    val mean = col("__s").cast("double") / k
+    val variance = col("__s2").cast("double") / k - mean * mean
+    m.select(col("__g").as("group"), col("buckets"),
+        round(mean.cast(stable), roundDigits).cast("double").as("mean"),
+        round(variance.cast(stable), roundDigits).cast("double")
+          .as("variance"),
+        round(when(mean > 0, variance / mean).cast(stable), roundDigits)
+          .cast("double").as("fano"))
+      .orderBy(col("group"))
+  }
+
+  /** Theil's uncertainty coefficient U(X|Y) = I(X;Y)/H(X) — the
+    * ASYMMETRIC normalized dependence read ("how much of X does
+    * knowing Y remove") next to [[cramersV]]'s symmetric one and
+    * infoGain's raw bits. One scan to the (x,y) cell table (the
+    * x175/x228 discipline); entropy/MI terms ride DECIMAL(18,10)
+    * per-term so the sums are order-stable cross-engine.
+    */
+  def uncertaintyCoefficient(df: DataFrame, x: Column, y: Column,
+      roundDigits: Int = 6,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val dec = org.apache.spark.sql.types.DecimalType(18, 10)
+    val cells = scope.persist(
+      df.filter(x.isNotNull && y.isNotNull)
+        .groupBy(x.cast("string").as("__x"), y.cast("string").as("__y"))
+        .agg(count(lit(1)).as("__o")))
+    val n = cells.agg(sum(col("__o")).as("__n"))
+    val rowT = cells.groupBy(col("__x")).agg(sum(col("__o")).as("__rx"))
+    val colT = cells.groupBy(col("__y")).agg(sum(col("__o")).as("__cy"))
+    val nD = col("__n").cast("double")
+    val mi = cells.join(rowT, Seq("__x")).join(colT, Seq("__y"))
+      .crossJoin(broadcast(n))
+      .agg(sum(((col("__o") / nD)
+        * log(nD * col("__o")
+          / (col("__rx").cast("double") * col("__cy")))).cast(dec))
+        .as("__mi"))
+    val hx = rowT.crossJoin(broadcast(n))
+      .agg(sum((-(col("__rx") / nD) * log(col("__rx") / nD)).cast(dec))
+        .as("__hx"), first(col("__n")).as("__n"))
+    hx.crossJoin(broadcast(mi))
+      .filter(col("__n") > 0)
+      .select(col("__n").as("n"),
+        round(col("__hx").cast("double"), roundDigits).as("h_x"),
+        round(col("__mi").cast("double"), roundDigits).as("mi"),
+        round(when(col("__hx") > 0,
+          col("__mi").cast("double") / col("__hx").cast("double"))
+          .cast(stable), roundDigits).cast("double").as("uncertainty"))
+  }
 }

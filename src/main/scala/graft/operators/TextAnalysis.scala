@@ -1221,4 +1221,89 @@ object TextAnalysis {
         round((lit(1.0d) - unseen).cast(stable), roundDigits)
           .cast("double").as("coverage"))
   }
+
+  /** Pairwise cosine similarity between the sources' unigram count
+    * vectors — the "are these two crawls the same kind of text"
+    * matrix a mixing plan reads before weighting sources (near-1 =
+    * redundant vocabularies, low = genuinely complementary). The dot
+    * products and norms are INTEGER sums over (source, token) count
+    * cells (exact in DECIMAL(38,0)); the only float math is the final
+    * cosine.
+    *
+    * Shape: one explode+count to the (source, token) cell table;
+    * the pair join shuffles on token (bounded by vocabulary, never
+    * documents); sources is a bounded dimension so the output is
+    * sources²/2 rows.
+    */
+  def sourceVocabCosine(df: DataFrame, sourceCol: String,
+      textCol: String, roundDigits: Int = 6,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = scope.persist(
+      df.filter(col(sourceCol).isNotNull && col(textCol).isNotNull)
+        .select(col(sourceCol).cast("string").as("__s"),
+          explode(Text.tokens(col(textCol))).as("__tok"))
+        .filter(col("__tok") =!= "")
+        .groupBy(col("__s"), col("__tok")).agg(count(lit(1)).as("__n")))
+    val norms = cells.groupBy(col("__s"))
+      .agg(sum((col("__n").cast(d38) * col("__n").cast(d38)).cast(d38))
+        .as("__nrm2"))
+    val dots = cells.select(col("__s").as("source_a"), col("__tok"),
+        col("__n").as("__na"))
+      .join(cells.select(col("__s").as("source_b"), col("__tok"),
+        col("__n").as("__nb")), Seq("__tok"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum((col("__na").cast(d38) * col("__nb").cast(d38))
+        .cast(d38)).as("__dot"))
+    dots
+      .join(norms.select(col("__s").as("source_a"),
+        col("__nrm2").as("__n2a")), Seq("source_a"))
+      .join(norms.select(col("__s").as("source_b"),
+        col("__nrm2").as("__n2b")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"),
+        round((col("__dot").cast("double")
+          / (sqrt(col("__n2a").cast("double"))
+            * sqrt(col("__n2b").cast("double")))).cast(stable),
+          roundDigits).cast("double").as("cosine"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** Distinct-n diversity per source (the self-BLEU-adjacent corpus
+    * diversity read, Li et al. 2016 "A diversity-promoting objective
+    * function"): distinct unigrams / total unigrams and distinct
+    * bigrams / total bigrams — low distinct-2 = templated or
+    * mode-collapsed text even when individual docs look fine. One
+    * explode+count per n; all integer until the final ratios.
+    */
+  def distinctN(df: DataFrame, sourceCol: String, textCol: String,
+      roundDigits: Int = 6): DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    def stats(gram: Column, name: String): DataFrame =
+      df.filter(col(sourceCol).isNotNull && col(textCol).isNotNull)
+        .select(col(sourceCol).cast("string").as("__s"),
+          explode(gram).as("__g"))
+        .filter(col("__g") =!= "")
+        .groupBy(col("__s"), col("__g")).agg(count(lit(1)).as("__n"))
+        .groupBy(col("__s"))
+        .agg(sum(col("__n")).as(s"${name}_total"),
+          count(lit(1)).as(s"${name}_distinct"))
+    val uni = stats(Text.tokens(col(textCol)), "unigram")
+    val bi = stats(Text.shingles(col(textCol), 2), "bigram")
+    uni.join(bi, Seq("__s"), "left")
+      .select(col("__s").as("source"),
+        col("unigram_total"), col("unigram_distinct"),
+        round((col("unigram_distinct").cast("double")
+          / col("unigram_total").cast("double")).cast(stable),
+          roundDigits).cast("double").as("distinct_1"),
+        coalesce(col("bigram_total"), lit(0L)).as("bigram_total"),
+        coalesce(col("bigram_distinct"), lit(0L)).as("bigram_distinct"),
+        round(when(col("bigram_total") > 0,
+          col("bigram_distinct").cast("double")
+            / col("bigram_total").cast("double")).cast(stable),
+          roundDigits).cast("double").as("distinct_2"))
+      .orderBy(col("source"))
+  }
 }

@@ -6462,6 +6462,131 @@ object OracleSql {
         |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS fisher
         |FROM t WHERE items > 0 AND l0 > 0 AND p0s > 0""".stripMargin,
 
+    // Rater confusion vs LOO consensus: x286's argmax-string idiom,
+    // cells keyed (rater, consensus, label), rate within the block.
+    "x294_rater_confusion" ->
+      s"""WITH $annRatingsCte,
+         |cells AS (SELECT i, l AS c, COUNT(*) AS n FROM rr
+         |  GROUP BY 1, 2),
+         |lo AS (SELECT rr.i, rr.r, rr.l, cells.c,
+         |  cells.n - CASE WHEN cells.c = rr.l THEN 1 ELSE 0 END AS loon
+         |  FROM rr JOIN cells ON rr.i = cells.i),
+         |ag AS (SELECT i, r, l,
+         |  MIN(lpad(CAST(999999999999 - loon AS VARCHAR), 12, '0')
+         |    || '|' || c) AS bk
+         |  FROM lo GROUP BY 1, 2, 3 HAVING SUM(loon) > 0),
+         |cf AS (SELECT r, substr(bk, 14) AS c, l, COUNT(*) AS n
+         |  FROM ag GROUP BY 1, 2, 3),
+         |bl AS (SELECT r, c, SUM(n) AS tot FROM cf GROUP BY 1, 2)
+         |SELECT cf.r AS rater, cf.c AS consensus_label,
+         |  cf.l AS rater_label, CAST(cf.n AS BIGINT) AS n,
+         |  CAST(ROUND(CAST(CAST(cf.n AS DOUBLE) / CAST(tot AS DOUBLE)
+         |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS rate
+         |FROM cf JOIN bl ON cf.r = bl.r AND cf.c = bl.c
+         |ORDER BY rater, consensus_label, rater_label""".stripMargin,
+
+    // Fano factor: integer moment sums over (group, day) count cells.
+    "x295_fano_factor" ->
+      """WITH c AS (SELECT event_type AS g,
+        |  CAST(CAST(ts AS DATE) AS VARCHAR) AS b, COUNT(*) AS n
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |m AS (SELECT g, COUNT(*) AS buckets, SUM(n) AS s,
+        |  SUM(n * n) AS s2 FROM c GROUP BY 1)
+        |SELECT g AS "group", CAST(buckets AS BIGINT) AS buckets,
+        |  CAST(ROUND(CAST(CAST(s AS DOUBLE) / CAST(buckets AS DOUBLE)
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS mean,
+        |  CAST(ROUND(CAST(CAST(s2 AS DOUBLE) / CAST(buckets AS DOUBLE)
+        |    - (CAST(s AS DOUBLE) / CAST(buckets AS DOUBLE))
+        |      * (CAST(s AS DOUBLE) / CAST(buckets AS DOUBLE))
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS variance,
+        |  CAST(ROUND(CAST(CASE WHEN s > 0 THEN
+        |    (CAST(s2 AS DOUBLE) / CAST(buckets AS DOUBLE)
+        |      - (CAST(s AS DOUBLE) / CAST(buckets AS DOUBLE))
+        |        * (CAST(s AS DOUBLE) / CAST(buckets AS DOUBLE)))
+        |    / (CAST(s AS DOUBLE) / CAST(buckets AS DOUBLE)) END
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS fano
+        |FROM m ORDER BY "group"""".stripMargin,
+
+    // Uncertainty coefficient: the x175 per-term DECIMAL(18,10)
+    // entropy/MI discipline over one (x,y) cell table.
+    "x296_uncertainty_coef" ->
+      """WITH cells AS (SELECT CAST(l_returnflag AS VARCHAR) AS x,
+        |  CAST(year(l_shipdate) AS VARCHAR) AS y, COUNT(*) AS o
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL
+        |    AND l_shipdate IS NOT NULL GROUP BY 1, 2),
+        |nn AS (SELECT SUM(o) AS n FROM cells),
+        |rt AS (SELECT x, SUM(o) AS rx FROM cells GROUP BY 1),
+        |ct AS (SELECT y, SUM(o) AS cy FROM cells GROUP BY 1),
+        |mi AS (SELECT SUM(CAST((o / CAST(n AS DOUBLE))
+        |    * LN(CAST(n AS DOUBLE) * o
+        |      / (CAST(rx AS DOUBLE) * cy)) AS DECIMAL(18,10))) AS mi
+        |  FROM cells JOIN rt USING (x) JOIN ct USING (y) CROSS JOIN nn),
+        |hx AS (SELECT SUM(CAST(-(rx / CAST(n AS DOUBLE))
+        |    * LN(rx / CAST(n AS DOUBLE)) AS DECIMAL(18,10))) AS hx,
+        |  MAX(n) AS n FROM rt CROSS JOIN nn)
+        |SELECT CAST(hx.n AS BIGINT) AS n,
+        |  ROUND(CAST(hx AS DOUBLE), 6) AS h_x,
+        |  ROUND(CAST(mi AS DOUBLE), 6) AS mi,
+        |  CAST(ROUND(CAST(CASE WHEN hx > 0 THEN
+        |    CAST(mi AS DOUBLE) / CAST(hx AS DOUBLE) END
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS uncertainty
+        |FROM hx CROSS JOIN mi WHERE hx.n > 0""".stripMargin,
+
+    // Source vocab cosine: integer dots/norms over (source, token)
+    // count cells; float math only in the final cosine.
+    "x297_source_vocab_cosine" ->
+      """WITH cells AS (SELECT s, tok, COUNT(*) AS n FROM
+        |  (SELECT source AS s, unnest(string_split(text, ' ')) AS tok
+        |   FROM documents WHERE source IS NOT NULL
+        |     AND text IS NOT NULL)
+        |  WHERE tok <> '' GROUP BY 1, 2),
+        |norms AS (SELECT s, SUM(n * n) AS n2 FROM cells GROUP BY 1),
+        |dots AS (SELECT a.s AS source_a, b.s AS source_b,
+        |  SUM(a.n * b.n) AS dot
+        |  FROM cells a JOIN cells b ON a.tok = b.tok AND a.s < b.s
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b,
+        |  CAST(ROUND(CAST(CAST(dot AS DOUBLE)
+        |    / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE)))
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS cosine
+        |FROM dots JOIN norms na ON dots.source_a = na.s
+        |JOIN norms nb ON dots.source_b = nb.s
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    // Distinct-n diversity: unigram counts + positional-join bigrams
+    // (the x280 idiom) per source; integer until the final ratios.
+    "x298_distinct_n" ->
+      """WITH u AS (SELECT s, g, COUNT(*) AS n FROM
+        |  (SELECT source AS s, unnest(string_split(text, ' ')) AS g
+        |   FROM documents WHERE source IS NOT NULL
+        |     AND text IS NOT NULL)
+        |  WHERE g <> '' GROUP BY 1, 2),
+        |us AS (SELECT s, SUM(n) AS ut, COUNT(*) AS ud FROM u
+        |  GROUP BY 1),
+        |wp AS (SELECT doc_id, s, generate_subscripts(w, 1) AS pos,
+        |  unnest(w) AS tok FROM
+        |  (SELECT doc_id, source AS s, string_split(text, ' ') AS w
+        |   FROM documents WHERE source IS NOT NULL
+        |     AND text IS NOT NULL)),
+        |bg AS (SELECT a.s, a.tok || ' ' || b.tok AS g FROM wp a
+        |  JOIN wp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |bc AS (SELECT s, g, COUNT(*) AS n FROM bg WHERE g <> ''
+        |  GROUP BY 1, 2),
+        |bs AS (SELECT s, SUM(n) AS bt, COUNT(*) AS bd FROM bc
+        |  GROUP BY 1)
+        |SELECT us.s AS source, CAST(ut AS BIGINT) AS unigram_total,
+        |  CAST(ud AS BIGINT) AS unigram_distinct,
+        |  CAST(ROUND(CAST(CAST(ud AS DOUBLE) / CAST(ut AS DOUBLE)
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS distinct_1,
+        |  CAST(COALESCE(bt, 0) AS BIGINT) AS bigram_total,
+        |  CAST(COALESCE(bd, 0) AS BIGINT) AS bigram_distinct,
+        |  CAST(ROUND(CAST(CASE WHEN bt > 0 THEN
+        |    CAST(bd AS DOUBLE) / CAST(bt AS DOUBLE) END
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS distinct_2
+        |FROM us LEFT JOIN bs ON us.s = bs.s
+        |ORDER BY source""".stripMargin,
+
     // HITS: 5 unrolled hub/authority half-round pairs, L1-normalized
     // + 9dp-quantized per half-round (the x110/x284 discipline).
     "x292_hits" -> hitsSql(iters = 5),

@@ -3128,6 +3128,36 @@ object Queries {
     TimeSeries.hurstExponent(daily, col("t"), col("v"))
   }
 
+  /** X261 — per-rater confusion matrix vs the LOO consensus: which
+    * classes each line-slot "rater" confuses, not just how often. */
+  def x294(s: SparkSession, dir: String): DataFrame =
+    Annotation.raterConfusion(Tables.lineitem(s, dir),
+      item = col("l_orderkey"), rater = col("l_linenumber"),
+      label = col("l_returnflag"))
+
+  /** X262 — Fano dispersion of daily event counts per event type:
+    * burstiness vs the Poisson baseline. */
+  def x295(s: SparkSession, dir: String): DataFrame =
+    Profiling.fanoFactor(Tables.events(s, dir),
+      group = col("event_type"), bucket = to_date(col("ts")))
+
+  /** X263 — Theil's uncertainty coefficient U(returnflag | ship
+    * year): asymmetric normalized dependence. */
+  def x296(s: SparkSession, dir: String): DataFrame =
+    Profiling.uncertaintyCoefficient(Tables.lineitem(s, dir),
+      x = col("l_returnflag"), y = year(col("l_shipdate")))
+
+  /** X264 — pairwise cosine similarity between source unigram count
+    * vectors: the source-redundancy matrix before mixing. */
+  def x297(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sourceVocabCosine(Tables.documents(s, dir),
+      "source", "text")
+
+  /** X265 — distinct-1/distinct-2 diversity per source: templated
+    * text shows low distinct-2 even when docs look fine alone. */
+  def x298(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.distinctN(Tables.documents(s, dir), "source", "text")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -3434,5 +3464,10 @@ object Queries {
     "x290_chao1_coverage" -> (x290 _),
     "x291_price_index" -> (x291 _),
     "x292_hits" -> (x292 _),
-    "x293_hurst" -> (x293 _))
+    "x293_hurst" -> (x293 _),
+    "x294_rater_confusion" -> (x294 _),
+    "x295_fano_factor" -> (x295 _),
+    "x296_uncertainty_coef" -> (x296 _),
+    "x297_source_vocab_cosine" -> (x297 _),
+    "x298_distinct_n" -> (x298 _))
 }

@@ -129,6 +129,19 @@ class AnnotationSpec extends SparkSpec {
     assert(by("r3").getAs[Double]("z") === -2.828427)
   }
 
+  test("raterConfusion shows WHICH class the dissenter substitutes") {
+    val df = ratings((1 to 4).flatMap { i =>
+      Seq((s"i$i", "r1", "a"), (s"i$i", "r2", "a"), (s"i$i", "r3", "b"))
+    }: _*)
+    val out = Annotation.raterConfusion(df, $"item", $"rater", $"lab")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2), r.getAs[Long]("n"), r.getAs[Double]("rate")))
+    // r3's LOO consensus is 'a' everywhere, but r3 always says 'b'
+    assert(out.contains(("r3", "a", "b", 4L, 1.0)))
+    assert(out.contains(("r1", "a", "a", 4L, 1.0)))
+    assert(!out.exists(t => t._1 == "r3" && t._3 == "a"))
+  }
+
   test("raterConsensus drops ratings with no other rater on the item") {
     val df = ratings(("i1", "r1", "a"), ("i1", "r2", "a"),
       ("solo", "r1", "b"))

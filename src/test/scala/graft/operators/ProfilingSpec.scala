@@ -513,4 +513,31 @@ class ProfilingSpec extends SparkSpec {
     assert(twin.values.sum == vals.count(_ >= 0.005),
       "exactly the positive-cent values stay in support")
   }
+
+  test("fanoFactor: constant buckets read 0, a 1-vs-3 split reads 0.5") {
+    import spark.implicits._
+    val df = (Seq(("g", "b1")) ++ Seq.fill(3)(("g", "b2")) ++
+      Seq.fill(2)(("c", "b1")) ++ Seq.fill(2)(("c", "b2")))
+      .toDF("grp", "bkt")
+    val out = Profiling.fanoFactor(df, col("grp"), col("bkt"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("mean"), r.getAs[Double]("variance"),
+          r.getAs[Double]("fano"))).toMap
+    assert(out("g") === ((2.0, 1.0, 0.5)))
+    assert(out("c") === ((2.0, 0.0, 0.0)))
+  }
+
+  test("uncertaintyCoefficient: 1 under determinism, 0 under " +
+      "independence") {
+    import spark.implicits._
+    val det = Seq(("a", 1), ("a", 1), ("b", 2), ("b", 2)).toDF("x", "y")
+    val d = Profiling.uncertaintyCoefficient(det, col("x"), col("y"))
+      .head()
+    assert(d.getAs[Double]("uncertainty") === 1.0)
+    assert(d.getAs[Double]("h_x") === 0.693147)
+    val ind = Seq(("a", 1), ("a", 2), ("b", 1), ("b", 2)).toDF("x", "y")
+    val i = Profiling.uncertaintyCoefficient(ind, col("x"), col("y"))
+      .head()
+    assert(i.getAs[Double]("uncertainty") === 0.0)
+  }
 }

@@ -564,6 +564,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("coverage") === 0.666667)
   }
 
+  test("sourceVocabCosine: identical vocabularies read 1, half-shared " +
+      "read 0.5, disjoint pairs are absent") {
+    import spark.implicits._
+    val df = Seq(("s1", "a b"), ("s2", "a b"), ("s4", "a c"),
+      ("s9", "zz")).toDF("source", "text")
+    val out = TextAnalysis.sourceVocabCosine(df, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("cosine")).toMap
+    assert(out(("s1", "s2")) === 1.0)
+    assert(out(("s1", "s4")) === 0.5)
+    assert(out(("s2", "s4")) === 0.5)
+    assert(out.size === 3) // s9 shares nothing: no rows at all
+  }
+
+  test("distinctN: repeated unigrams lower distinct-1, single-token " +
+      "sources carry a null distinct-2") {
+    import spark.implicits._
+    val df = Seq(("s1", "a b a"), ("s2", "x")).toDF("source", "text")
+    val out = TextAnalysis.distinctN(df, "source", "text")
+      .orderBy("source").collect()
+    val s1 = out(0)
+    assert(s1.getAs[Long]("unigram_total") === 3L)
+    assert(s1.getAs[Long]("unigram_distinct") === 2L)
+    assert(s1.getAs[Double]("distinct_1") === 0.666667)
+    assert(s1.getAs[Long]("bigram_total") === 2L)
+    assert(s1.getAs[Double]("distinct_2") === 1.0)
+    val s2 = out(1)
+    assert(s2.getAs[Long]("bigram_total") === 0L)
+    assert(s2.isNullAt(s2.fieldIndex("distinct_2")))
+  }
+
   test("chao1Coverage stays defined with no doubletons (f2 = 0)") {
     import spark.implicits._
     val r = TextAnalysis.chao1Coverage(Seq("a b c").toDF("text"), "text")
