@@ -190,11 +190,61 @@ object Annotation {
     * counters up through THIS exact code path. */
   private[graft] def bradleyTerryFromCounts(entsIn: DataFrame,
       pairsIn: DataFrame, iters: Int, quantDigits: Int,
-      roundDigits: Int, scope: graft.util.CacheScope): DataFrame = {
+      roundDigits: Int, scope: graft.util.CacheScope,
+      maxDriverPairs: Long = 5000000L): DataFrame = {
     val ents = scope.persist(entsIn)
     val pairs = scope.persist(pairsIn)
     val k = ents.count()
     require(k >= 2, s"need >= 2 entities, got $k")
+    val nPairs = pairs.count()
+    if (nPairs <= maxDriverPairs)
+      driverMm(ents, pairs, k, iters, quantDigits, roundDigits)
+    else distributedMm(ents, pairs, k, iters, quantDigits, roundDigits,
+      scope)
+  }
+
+  /** The common case: the entity/pair tables are bounded driver state
+    * (the k-means-centroid doctrine — entities being ranked are model
+    * variants or products, not events), so after the ONE distributed
+    * pass that built the counts, the MM rounds run on the driver with
+    * zero per-round Spark jobs. Rounding is BigDecimal HALF_UP —
+    * Spark's own `round` semantics — so this path is bit-identical to
+    * [[distributedMm]] and the DuckDB oracle. */
+  private def driverMm(ents: DataFrame, pairs: DataFrame, k: Long,
+      iters: Int, quantDigits: Int, roundDigits: Int): DataFrame = {
+    def rnd(x: Double, d: Int): Double =
+      BigDecimal(x).setScale(d, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val entRows = ents.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2)))
+    val pairRows = pairs.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2)))
+    val byE = pairRows.groupBy(_._1)
+    var p: Map[String, Double] =
+      entRows.map { case (e, _) => e -> rnd(1.0d / k, quantDigits) }.toMap
+    for (_ <- 1 to iters) {
+      val raw = entRows.map { case (e, (wins, _)) =>
+        val den = byE.getOrElse(e, Array.empty[(String, String, Long)])
+          .foldLeft(0.0d)((acc, pr) => acc + pr._3 / (p(e) + p(pr._2)))
+        e -> (if (wins == 0 || den <= 0) 0.0d else wins / den)
+      }
+      val tot = raw.foldLeft(0.0d)(_ + _._2)
+      p = raw.map { case (e, r) => e -> rnd(r / tot, quantDigits) }.toMap
+    }
+    val out = entRows.map { case (e, (wins, games)) =>
+      (e, wins, games, rnd(p(e), roundDigits)) }
+      .sortBy { case (e, _, _, s) => (-s, e) }
+      .zipWithIndex
+      .map { case ((e, w, g, s), i) => (e, w, g, s, i + 1L) }
+    val spark = ents.sparkSession
+    import spark.implicits._
+    out.toSeq.toDF("entity", "wins", "games", "strength", "rank")
+  }
+
+  /** Large-K fallback: the same MM rounds as distributed jobs — for
+    * the regime where even the pair table is too big to collect. */
+  private def distributedMm(ents: DataFrame, pairs: DataFrame, k: Long,
+      iters: Int, quantDigits: Int, roundDigits: Int,
+      scope: graft.util.CacheScope): DataFrame = {
     val p0 = ents.select(col("__e"),
       round(lit(1.0d / k), quantDigits).as("__p"))
     var p = scope.persist(p0)

@@ -7428,19 +7428,24 @@ object OracleSql {
        |    GROUP BY 1) d ON en.e = d.e)""".stripMargin
 
   private def btSql(iters: Int): String = {
+    // MATERIALIZED throughout: every step references its predecessor
+    // twice (pi/pj) — inlined, the chain re-evaluates exponentially
     val steps = (1 to iters).map { k =>
-      s"p$k AS (${btStep(s"p${k - 1}")})"
+      s"p$k AS MATERIALIZED (${btStep(s"p${k - 1}")})"
     }.mkString(",\n")
     s"""WITH $prefCmpCte,
-       |dv AS (SELECT CAST(ea AS VARCHAR) AS e, CAST(eb AS VARCHAR)
+       |dv AS MATERIALIZED (SELECT CAST(ea AS VARCHAR) AS e,
+       |    CAST(eb AS VARCHAR)
        |    AS o, CASE WHEN awon THEN 1 ELSE 0 END AS win FROM cmp
        |  UNION ALL
        |  SELECT CAST(eb AS VARCHAR), CAST(ea AS VARCHAR),
        |    CASE WHEN awon THEN 0 ELSE 1 END FROM cmp),
-       |en AS (SELECT e, SUM(win) AS w, COUNT(*) AS g FROM dv
-       |  GROUP BY 1),
-       |pp AS (SELECT e, o, COUNT(*) AS n FROM dv GROUP BY 1, 2),
-       |p0 AS (SELECT e, ROUND(1.0e0 / (SELECT COUNT(*) FROM en), 9)
+       |en AS MATERIALIZED (SELECT e, SUM(win) AS w, COUNT(*) AS g
+       |  FROM dv GROUP BY 1),
+       |pp AS MATERIALIZED (SELECT e, o, COUNT(*) AS n FROM dv
+       |  GROUP BY 1, 2),
+       |p0 AS MATERIALIZED (SELECT e,
+       |    ROUND(1.0e0 / (SELECT COUNT(*) FROM en), 9)
        |    AS p FROM en),
        |$steps,
        |f AS (SELECT en.e, en.w, en.g,
