@@ -2184,6 +2184,72 @@ object Evaluation {
       .orderBy(col("score_bin").desc)
   }
 
+  /** Brier score with Murphy's (1973) reliability/resolution/
+    * uncertainty decomposition plus ECE/MCE (Naeini et al. 2015) over
+    * `bins` equal-width probability bins — the full "can I trust this
+    * model's probabilities" page in one pass: `brier` is the direct
+    * mean squared error of the probabilities; `reliability` (lower
+    * better) is calibration error mass; `resolution` (higher better)
+    * is how much the bins separate outcomes; `ece`/`mce` are the
+    * calibration-drift gauges dashboards alert on.
+    *
+    * Shape: ONE conditional aggregate to ≤ `bins` cells (probability
+    * floor-binned, p = 1 clamped into the top bin); every term after
+    * runs on the cell table.
+    */
+  def brierDecomposition(df: DataFrame, prob: Column, outcome: Column,
+      bins: Int = 10, roundDigits: Int = 6): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val raw = df.filter(prob.isNotNull && outcome.isNotNull)
+      .select(prob.cast("double").as("__p"),
+        outcome.cast("boolean").cast("long").as("__y"))
+      .filter(col("__p") >= 0 && col("__p") <= 1)
+    val cells = raw
+      .groupBy(least(floor(col("__p") * bins), lit(bins - 1).cast("long"))
+        .as("__b"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__s"),
+        sum(col("__p")).as("__sp"),
+        sum((col("__p") - col("__y")) * (col("__p") - col("__y")))
+          .as("__se"))
+    val tot = cells.agg(sum(col("__n")).as("__tn"),
+      sum(col("__s")).as("__ts"),
+      sum(round(col("__se").cast(stable), 8)).as("__tse"))
+    val nD = col("__tn").cast("double")
+    val yBar = col("__ts").cast("double") / nD
+    val pk = col("__sp") / col("__n").cast("double")
+    val yk = col("__s").cast("double") / col("__n").cast("double")
+    val terms = cells.crossJoin(broadcast(tot))
+      .select(col("__n"), col("__tn"), col("__ts"), col("__tse"),
+        round((col("__n").cast("double") * (pk - yk) * (pk - yk))
+          .cast(stable), 8).as("__rel"),
+        round((col("__n").cast("double") * (yk - yBar) * (yk - yBar))
+          .cast(stable), 8).as("__res"),
+        round((col("__n").cast("double") * abs(pk - yk)).cast(stable), 8)
+          .as("__ce"),
+        round(abs(pk - yk).cast(stable), 8).as("__gap"))
+      .agg(first(col("__tn")).as("__tn"), first(col("__ts")).as("__ts"),
+        first(col("__tse")).as("__tse"),
+        sum(col("__rel")).as("__trel"), sum(col("__res")).as("__tres"),
+        sum(col("__ce")).as("__tce"), max(col("__gap")).as("__tmce"))
+    val n2 = col("__tn").cast("double")
+    val yb2 = col("__ts").cast("double") / n2
+    terms.filter(col("__tn") > 0)
+      .select(col("__tn").as("n"),
+        round((col("__tse").cast("double") / n2).cast(stable), roundDigits)
+          .cast("double").as("brier"),
+        round((col("__trel").cast("double") / n2).cast(stable),
+          roundDigits).cast("double").as("reliability"),
+        round((col("__tres").cast("double") / n2).cast(stable),
+          roundDigits).cast("double").as("resolution"),
+        round((yb2 * (lit(1.0d) - yb2)).cast(stable), roundDigits)
+          .cast("double").as("uncertainty"),
+        round((col("__tce").cast("double") / n2).cast(stable), roundDigits)
+          .cast("double").as("ece"),
+        round(col("__tmce").cast("double").cast(stable), roundDigits)
+          .cast("double").as("mce"))
+  }
+
   /** Stratified average treatment effect with its inverse-propensity
     * twin (Imbens–Rubin ch. 17 / Horvitz–Thompson): strata come from
     * the caller's covariate column; within each both-arm stratum the

@@ -617,6 +617,41 @@ object Graph {
         .cast("double").as("assortativity"))
   }
 
+  /** Power-law exponent of the degree distribution by maximum
+    * likelihood (Clauset–Shalizi–Newman 2009 eq. 3.7, the discrete
+    * approximation): `alpha = 1 + n / Σ ln(d / (dmin - 0.5))` over
+    * nodes with degree ≥ `dmin` — the one-number "is this graph
+    * scale-free and how heavy is the tail" read that decides whether
+    * mean-degree capacity planning is even meaningful. Log terms ride
+    * DECIMAL(18,10) per-node so the sum is order-stable.
+    *
+    * Shape: one degree count + one aggregate; shuffle bounded by
+    * nodes.
+    */
+  def powerLawAlpha(edges: DataFrame, srcCol: String, dstCol: String,
+      dmin: Int = 1, roundDigits: Int = 6): DataFrame = {
+    require(dmin >= 1, s"dmin must be >= 1: $dmin")
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val dec = org.apache.spark.sql.types.DecimalType(18, 10)
+    val deg = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .distinct()
+      .groupBy(col("src")).agg(count(lit(1)).as("__d"))
+      .filter(col("__d") >= dmin)
+    val agg = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(log(col("__d").cast("double") / lit(dmin - 0.5d)).cast(dec))
+        .as("__ls"),
+      max(col("__d")).as("max_degree"))
+    agg.filter(col("n_nodes") > 0)
+      .select(col("n_nodes"), lit(dmin).as("dmin"), col("max_degree"),
+        round(when(col("__ls") > 0,
+          lit(1.0d) + col("n_nodes").cast("double")
+            / col("__ls").cast("double")).cast(stable), roundDigits)
+          .cast("double").as("alpha"))
+  }
+
   /** HITS hubs and authorities (Kleinberg 1999, "Authoritative
     * sources in a hyperlinked environment"): alternate
     * `authority(v) = Σ_{u→v} hub(u)` and `hub(u) = Σ_{u→v} auth(v)`,

@@ -1351,6 +1351,55 @@ object Profiling {
       .orderBy(col("group"))
   }
 
+  /** Feature-drift report between two eras: per numeric column, the
+    * standardized mean difference `SMD = (mean1 - mean0) /
+    * sqrt((var0 + var1)/2)` — the scale-free drift gauge (|SMD| >
+    * 0.1 is the conventional "investigate" line in the matching
+    * literature, Austin 2009) that a retrain pipeline reads before
+    * trusting last month's model on this month's data.
+    *
+    * Shape: ONE stack-unpivoted scan to (column, era) moment cells
+    * (the x175/x228 one-scan discipline) — sums and squared sums per
+    * cell, shuffle bounded by columns × 2.
+    */
+  def featureDriftReport(df: DataFrame, cols: Seq[String],
+      inBase: Column, roundDigits: Int = 6): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val packed = array(cols.map(c =>
+      struct(lit(c).as("__c"), col(c).cast("double").as("__v"))): _*)
+    val cells = df.filter(inBase.isNotNull)
+      .select(inBase.cast("boolean").as("__b"), explode(packed).as("__p"))
+      .select(col("__b"), col("__p.__c").as("__c"), col("__p.__v").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("__c"), col("__b"))
+      .agg(count(lit(1)).as("__n"), sum(col("__v")).as("__s"),
+        sum(col("__v") * col("__v")).as("__s2"))
+    def side(flag: Boolean, suffix: String): DataFrame =
+      cells.filter(col("__b") === flag)
+        .select(col("__c"), col("__n").as(s"__n$suffix"),
+          col("__s").as(s"__s$suffix"), col("__s2").as(s"__s2$suffix"))
+    val m = side(flag = true, "0").join(side(flag = false, "1"), Seq("__c"))
+      .filter(col("__n0") > 1 && col("__n1") > 1)
+    def mean(s: String, n: String): Column = col(s) / col(n).cast("double")
+    def variance(s2: String, s: String, n: String): Column = {
+      val nD = col(n).cast("double")
+      (col(s2) - col(s) * col(s) / nD) / (nD - lit(1.0d))
+    }
+    val m0 = mean("__s0", "__n0"); val m1 = mean("__s1", "__n1")
+    val v0 = variance("__s20", "__s0", "__n0")
+    val v1 = variance("__s21", "__s1", "__n1")
+    val pooled = sqrt(greatest((v0 + v1) / 2.0d, lit(0.0d)))
+    m.select(col("__c").as("column"),
+        col("__n0").as("n_base"), col("__n1").as("n_current"),
+        round(m0.cast(stable), roundDigits).cast("double").as("mean_base"),
+        round(m1.cast(stable), roundDigits).cast("double")
+          .as("mean_current"),
+        round(when(pooled > 0, (m1 - m0) / pooled).cast(stable),
+          roundDigits).cast("double").as("smd"))
+      .orderBy(col("column"))
+  }
+
   /** Theil's uncertainty coefficient U(X|Y) = I(X;Y)/H(X) — the
     * ASYMMETRIC normalized dependence read ("how much of X does
     * knowing Y remove") next to [[cramersV]]'s symmetric one and

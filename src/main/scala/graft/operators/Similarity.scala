@@ -1178,4 +1178,47 @@ object Similarity {
     ivfadcSearch(index.codes, index.cents, index.codebooks, queries,
       nProbe, k, roundDigits, excludeSelfId = excludeSelfIds)
   }
+
+  /** Simplified silhouette per cluster (Hruschka et al. 2004 — the
+    * centroid form of Rousseeuw 1987): for each vector, `a` = distance
+    * to its own centroid, `b` = distance to the nearest OTHER
+    * centroid, `s = (b-a)/max(a,b)` — the "are these clusters real"
+    * read after [[kmeans]], at O(n·k) instead of the exact
+    * silhouette's O(n²) pairwise distances (which no 100 TB corpus
+    * survives). Centroids come from [[kmeansCentroids]] (driver
+    * state, quantized per round — the x110 oracle discipline), so the
+    * whole score is one map-only pass over the corpus plus a k-row
+    * aggregate.
+    */
+  def silhouetteSimplified(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, centroidDigits: Int = 6, roundDigits: Int = 6)
+      : DataFrame = {
+    require(k >= 2, s"silhouette needs k >= 2, got $k")
+    val cents = kmeansCentroids(emb, idCol, vecCol, k, iters,
+      centroidDigits)
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val e = emb.select(col(idCol).cast("long").as("vec_id"),
+      Vectors.toDouble(col(vecCol)).as("v"))
+    val vSq = Vectors.sq(col("v"))
+    // sorted (d, cidx) structs: item 0 = own cluster, item 1 = nearest
+    // other — raw d orders, the sqrt clamps float-cancel negatives
+    val dists = array_sort(array(cents.zipWithIndex.map { case (c, i) =>
+      val cSq = c.foldLeft(0.0)((acc, x) => acc + x * x)
+      struct(
+        (vSq - lit(2.0) * Vectors.dot(col("v"), typedLit(c)) + lit(cSq))
+          .as("d"),
+        lit(i).as("cidx"))
+    }: _*))
+    val a = sqrt(greatest(dists.getItem(0).getField("d"), lit(0.0d)))
+    val b = sqrt(greatest(dists.getItem(1).getField("d"), lit(0.0d)))
+    val s = when(greatest(a, b) > 0, (b - a) / greatest(a, b))
+      .otherwise(lit(0.0d))
+    e.select(dists.getItem(0).getField("cidx").cast("long").as("cluster"),
+        s.as("__s"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        round((sum(col("__s")) / count(lit(1))).cast(stable), roundDigits)
+          .cast("double").as("mean_silhouette"))
+      .orderBy(col("cluster"))
+  }
 }

@@ -6462,6 +6462,143 @@ object OracleSql {
         |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS fisher
         |FROM t WHERE items > 0 AND l0 > 0 AND p0s > 0""".stripMargin,
 
+    // Simplified silhouette: the x110 centroid chain, then nearest +
+    // second-nearest per vector via one ranked cross join.
+    "x299_silhouette" ->
+      s"""WITH $embCte,
+         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx,
+         |  v AS c FROM (SELECT vec_id, v FROM e ORDER BY vec_id
+         |    LIMIT 4)),
+         |a1 AS (${kmeansAssign("c0")}),
+         |c1 AS (${kmeansUpdate("a1", "c0")}),
+         |a2 AS (${kmeansAssign("c1")}),
+         |c2 AS (${kmeansUpdate("a2", "c1")}),
+         |dd AS (SELECT e.vec_id, c2.cidx,
+         |  list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c2.c)
+         |    + list_dot_product(c2.c, c2.c) AS d,
+         |  ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |    list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c2.c)
+         |      + list_dot_product(c2.c, c2.c), c2.cidx) AS rn
+         |  FROM e CROSS JOIN c2),
+         |p AS (SELECT a.vec_id, a.cidx,
+         |  SQRT(GREATEST(a.d, 0.0e0)) AS sa,
+         |  SQRT(GREATEST(b.d, 0.0e0)) AS sb
+         |  FROM dd a JOIN dd b ON a.vec_id = b.vec_id
+         |  WHERE a.rn = 1 AND b.rn = 2),
+         |sc AS (SELECT cidx, CASE WHEN GREATEST(sa, sb) > 0.0e0 THEN
+         |  (sb - sa) / GREATEST(sa, sb) ELSE 0.0e0 END AS s FROM p)
+         |SELECT CAST(cidx AS BIGINT) AS cluster,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(ROUND(CAST(SUM(s) / COUNT(*) AS DECIMAL(18,8)), 6)
+         |    AS DOUBLE) AS mean_silhouette
+         |FROM sc GROUP BY 1 ORDER BY cluster""".stripMargin,
+
+    // Brier/Murphy decomposition + ECE/MCE: one binned cell table,
+    // 8dp-rounded per-cell terms into exact decimal sums.
+    "x300_brier_decomposition" ->
+      """WITH r AS (SELECT l_discount * 10 AS p,
+        |  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem WHERE l_discount IS NOT NULL
+        |    AND l_returnflag IS NOT NULL
+        |    AND l_discount * 10 >= 0 AND l_discount * 10 <= 1),
+        |c AS (SELECT LEAST(FLOOR(p * 10), 9) AS b, COUNT(*) AS n,
+        |  SUM(y) AS s, SUM(p) AS sp, SUM((p - y) * (p - y)) AS se
+        |  FROM r GROUP BY 1),
+        |t AS (SELECT SUM(n) AS nn, SUM(s) AS ss,
+        |  SUM(ROUND(CAST(se AS DECIMAL(18,8)), 8)) AS sse FROM c),
+        |q AS (SELECT
+        |  SUM(ROUND(CAST(CAST(n AS DOUBLE)
+        |    * (sp / n - CAST(s AS DOUBLE) / n)
+        |    * (sp / n - CAST(s AS DOUBLE) / n) AS DECIMAL(18,8)), 8))
+        |    AS rel,
+        |  SUM(ROUND(CAST(CAST(n AS DOUBLE)
+        |    * (CAST(s AS DOUBLE) / n - CAST(ss AS DOUBLE) / nn)
+        |    * (CAST(s AS DOUBLE) / n - CAST(ss AS DOUBLE) / nn)
+        |    AS DECIMAL(18,8)), 8)) AS res,
+        |  SUM(ROUND(CAST(CAST(n AS DOUBLE)
+        |    * ABS(sp / n - CAST(s AS DOUBLE) / n) AS DECIMAL(18,8)), 8))
+        |    AS ce,
+        |  MAX(ROUND(CAST(ABS(sp / n - CAST(s AS DOUBLE) / n)
+        |    AS DECIMAL(18,8)), 8)) AS mce,
+        |  MAX(nn) AS nn, MAX(ss) AS ss, MAX(sse) AS sse
+        |  FROM c CROSS JOIN t)
+        |SELECT CAST(nn AS BIGINT) AS n,
+        |  CAST(ROUND(CAST(CAST(sse AS DOUBLE) / CAST(nn AS DOUBLE)
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS brier,
+        |  CAST(ROUND(CAST(CAST(rel AS DOUBLE) / CAST(nn AS DOUBLE)
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS reliability,
+        |  CAST(ROUND(CAST(CAST(res AS DOUBLE) / CAST(nn AS DOUBLE)
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS resolution,
+        |  CAST(ROUND(CAST((CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE))
+        |    * (1.0e0 - CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE))
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS uncertainty,
+        |  CAST(ROUND(CAST(CAST(ce AS DOUBLE) / CAST(nn AS DOUBLE)
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS ece,
+        |  CAST(ROUND(CAST(CAST(mce AS DOUBLE) AS DECIMAL(18,8)), 6)
+        |    AS DOUBLE) AS mce
+        |FROM q WHERE nn > 0""".stripMargin,
+
+    // Power-law MLE (CSN 2009 eq. 3.7): per-node DECIMAL(18,10) log
+    // terms into an exact sum; one division at the end.
+    "x301_powerlaw_alpha" ->
+      """WITH deg AS (SELECT s, COUNT(*) AS d FROM
+        |  (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS s,
+        |     'p' || CAST(l_partkey AS VARCHAR) AS p FROM lineitem
+        |   WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL)
+        |  GROUP BY 1 HAVING COUNT(*) >= 1),
+        |a AS (SELECT COUNT(*) AS n,
+        |  SUM(CAST(LN(CAST(d AS DOUBLE) / 0.5e0) AS DECIMAL(18,10)))
+        |    AS ls,
+        |  MAX(d) AS md FROM deg)
+        |SELECT CAST(n AS BIGINT) AS n_nodes, 1 AS dmin,
+        |  CAST(md AS BIGINT) AS max_degree,
+        |  CAST(ROUND(CAST(CASE WHEN ls > 0 THEN
+        |    1.0e0 + CAST(n AS DOUBLE) / CAST(ls AS DOUBLE) END
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS alpha
+        |FROM a WHERE n > 0""".stripMargin,
+
+    // Feature drift: era moment cells per column (UNION-unpivoted),
+    // Welch-style SMD with n-1 variances.
+    "x302_feature_drift" ->
+      """WITH u AS (
+        |  SELECT (year(l_shipdate) <= 1994) AS b, 'l_quantity' AS c,
+        |    CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+        |    WHERE l_shipdate IS NOT NULL
+        |  UNION ALL
+        |  SELECT (year(l_shipdate) <= 1994), 'l_extendedprice',
+        |    CAST(l_extendedprice AS DOUBLE) FROM lineitem
+        |    WHERE l_shipdate IS NOT NULL
+        |  UNION ALL
+        |  SELECT (year(l_shipdate) <= 1994), 'l_discount',
+        |    CAST(l_discount AS DOUBLE) FROM lineitem
+        |    WHERE l_shipdate IS NOT NULL
+        |  UNION ALL
+        |  SELECT (year(l_shipdate) <= 1994), 'l_tax',
+        |    CAST(l_tax AS DOUBLE) FROM lineitem
+        |    WHERE l_shipdate IS NOT NULL),
+        |cells AS (SELECT c, b, COUNT(*) AS n, SUM(v) AS s,
+        |  SUM(v * v) AS s2 FROM u WHERE v IS NOT NULL GROUP BY 1, 2),
+        |m AS (SELECT b0.c, b0.n AS n0, b1.n AS n1, b0.s AS s0,
+        |  b1.s AS s1, b0.s2 AS s20, b1.s2 AS s21
+        |  FROM (SELECT * FROM cells WHERE b) b0
+        |  JOIN (SELECT * FROM cells WHERE NOT b) b1 ON b0.c = b1.c
+        |  WHERE b0.n > 1 AND b1.n > 1),
+        |f AS (SELECT c, n0, n1, s0 / n0 AS m0, s1 / n1 AS m1,
+        |  (s20 - s0 * s0 / n0) / (n0 - 1.0e0) AS v0,
+        |  (s21 - s1 * s1 / n1) / (n1 - 1.0e0) AS v1 FROM m),
+        |g AS (SELECT c, n0, n1, m0, m1,
+        |  SQRT(GREATEST((v0 + v1) / 2.0e0, 0.0e0)) AS pooled FROM f)
+        |SELECT c AS "column", CAST(n0 AS BIGINT) AS n_base,
+        |  CAST(n1 AS BIGINT) AS n_current,
+        |  CAST(ROUND(CAST(m0 AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |    AS mean_base,
+        |  CAST(ROUND(CAST(m1 AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |    AS mean_current,
+        |  CAST(ROUND(CAST(CASE WHEN pooled > 0.0e0 THEN
+        |    (m1 - m0) / pooled END AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |    AS smd
+        |FROM g ORDER BY "column"""".stripMargin,
+
     // Rater confusion vs LOO consensus: x286's argmax-string idiom,
     // cells keyed (rater, consensus, label), rate within the block.
     "x294_rater_confusion" ->

@@ -3158,6 +3158,36 @@ object Queries {
   def x298(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.distinctN(Tables.documents(s, dir), "source", "text")
 
+  /** X266 — simplified silhouette per k-means cluster (k=4, 2
+    * rounds): cluster-quality at O(n·k), not O(n²). */
+  def x299(s: SparkSession, dir: String): DataFrame =
+    Similarity.silhouetteSimplified(Tables.embeddings(s, dir),
+      "vec_id", "embedding", k = 4, iters = 2)
+
+  /** X267 — Brier decomposition + ECE/MCE: discount×10 as the
+    * "probability" a line is returned, 10 bins. */
+  def x300(s: SparkSession, dir: String): DataFrame =
+    Evaluation.brierDecomposition(Tables.lineitem(s, dir),
+      prob = col("l_discount") * 10,
+      outcome = col("l_returnflag") === "R", bins = 10)
+
+  /** X268 — degree power-law MLE alpha over supplier out-degrees in
+    * the supplier→part link graph. */
+  def x301(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    graft.operators.Graph.powerLawAlpha(
+      li.select(concat(lit("s"), col("l_suppkey")).as("src"),
+        concat(lit("p"), col("l_partkey")).as("dst")),
+      "src", "dst", dmin = 1)
+  }
+
+  /** X269 — feature-drift report: per numeric column SMD between the
+    * <=1994 era and the rest. */
+  def x302(s: SparkSession, dir: String): DataFrame =
+    Profiling.featureDriftReport(Tables.lineitem(s, dir),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+      inBase = year(col("l_shipdate")) <= 1994)
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -3469,5 +3499,9 @@ object Queries {
     "x295_fano_factor" -> (x295 _),
     "x296_uncertainty_coef" -> (x296 _),
     "x297_source_vocab_cosine" -> (x297 _),
-    "x298_distinct_n" -> (x298 _))
+    "x298_distinct_n" -> (x298 _),
+    "x299_silhouette" -> (x299 _),
+    "x300_brier_decomposition" -> (x300 _),
+    "x301_powerlaw_alpha" -> (x301 _),
+    "x302_feature_drift" -> (x302 _))
 }

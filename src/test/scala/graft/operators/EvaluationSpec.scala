@@ -916,6 +916,30 @@ class EvaluationSpec extends SparkSpec {
       deg.isNullAt(deg.fieldIndex("did_effect")))
   }
 
+  test("brierDecomposition: Murphy identity holds on the calibrated " +
+      "and miscalibrated fixtures") {
+    import spark.implicits._
+    // perfectly calibrated: p=.8 bin has 4/5 positives, p=.2 has 1/5
+    val cal = (Seq.fill(4)((0.8, true)) ++ Seq((0.8, false)) ++
+      Seq((0.2, true)) ++ Seq.fill(4)((0.2, false))).toDF("p", "y")
+    val c = Evaluation.brierDecomposition(cal, col("p"), col("y")).head()
+    assert(c.getAs[Double]("brier") === 0.16)
+    assert(c.getAs[Double]("reliability") === 0.0)
+    assert(c.getAs[Double]("resolution") === 0.09)
+    assert(c.getAs[Double]("uncertainty") === 0.25)
+    assert(c.getAs[Double]("ece") === 0.0)
+    assert(c.getAs[Double]("mce") === 0.0)
+    // overconfident: p=.9 everywhere, outcomes 50/50
+    val over = (Seq.fill(2)((0.9, true)) ++ Seq.fill(2)((0.9, false)))
+      .toDF("p", "y")
+    val o = Evaluation.brierDecomposition(over, col("p"), col("y")).head()
+    assert(o.getAs[Double]("brier") === 0.41)
+    assert(o.getAs[Double]("reliability") === 0.16)
+    assert(o.getAs[Double]("resolution") === 0.0)
+    assert(o.getAs[Double]("ece") === 0.4)
+    assert(o.getAs[Double]("mce") === 0.4)
+  }
+
   test("qiniCurve matches the hand-computed three-band fixture") {
     import spark.implicits._
     val df = Seq(

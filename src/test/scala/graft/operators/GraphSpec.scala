@@ -282,6 +282,18 @@ class GraphSpec extends SparkSpec {
       .head().getLong(0) == 2L)
   }
 
+  test("powerLawAlpha matches the hand MLE and dedups parallel edges") {
+    import spark.implicits._
+    // degrees 2, 1, 4 -> alpha = 1 + 3/ln(64) = 1.721348
+    val edges = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("c", "x"),
+      ("c", "y"), ("c", "z"), ("c", "w"), ("c", "w")) // dup edge
+      .toDF("src", "dst")
+    val r = Graph.powerLawAlpha(edges, "src", "dst").head()
+    assert(r.getAs[Long]("n_nodes") === 3L)
+    assert(r.getAs[Long]("max_degree") === 4L)
+    assert(r.getAs[Double]("alpha") === 1.721348)
+  }
+
   test("hits converges to the hand fixed point on the bipartite " +
       "fan and zeroes the unreachable sides") {
     import spark.implicits._

@@ -155,4 +155,24 @@ class KmeansSpec extends SparkSpec {
       .orderBy("pos").as[(Long, Double)].collect().toSeq
     assert(more == got, s"extra iterations moved a converged PC: $more")
   }
+
+  test("silhouetteSimplified: well-separated 1-D clusters score " +
+      "0.995, coincident points score 0") {
+    import spark.implicits._
+    // after 2 rounds: centroids 0.05 and 10.05; every point sits 0.05
+    // from its own centroid and ~10 from the other
+    val emb = Seq((0L, Seq(0.0)), (1L, Seq(0.1)), (2L, Seq(10.0)),
+      (3L, Seq(10.1))).toDF("vec_id", "embedding")
+    val out = Similarity.silhouetteSimplified(emb, "vec_id",
+      "embedding", k = 2, iters = 2).collect()
+    assert(out.length === 2)
+    assert(out.forall(_.getAs[Double]("mean_silhouette") === 0.995))
+    assert(out.map(_.getAs[Long]("n")).toSeq === Seq(2L, 2L))
+    // all points identical: a = b = 0 -> s defined as 0
+    val same = Seq((0L, Seq(1.0)), (1L, Seq(1.0)), (2L, Seq(1.0)))
+      .toDF("vec_id", "embedding")
+    val deg = Similarity.silhouetteSimplified(same, "vec_id",
+      "embedding", k = 2, iters = 1).collect()
+    assert(deg.map(_.getAs[Double]("mean_silhouette")).forall(_ === 0.0))
+  }
 }

@@ -527,6 +527,22 @@ class ProfilingSpec extends SparkSpec {
     assert(out("c") === ((2.0, 0.0, 0.0)))
   }
 
+  test("featureDriftReport: unit-variance shift reads SMD 2, " +
+      "zero-variance columns read null") {
+    import spark.implicits._
+    val df = Seq((true, 1.0, 5.0), (true, 2.0, 5.0), (true, 3.0, 5.0),
+      (false, 3.0, 5.0), (false, 4.0, 5.0), (false, 5.0, 5.0))
+      .toDF("base", "a", "c")
+    val out = Profiling.featureDriftReport(df, Seq("a", "c"),
+      col("base")).collect()
+    val a = out.find(_.getString(0) == "a").get
+    assert(a.getAs[Double]("mean_base") === 2.0)
+    assert(a.getAs[Double]("mean_current") === 4.0)
+    assert(a.getAs[Double]("smd") === 2.0)
+    val c = out.find(_.getString(0) == "c").get
+    assert(c.isNullAt(c.fieldIndex("smd")))
+  }
+
   test("uncertaintyCoefficient: 1 under determinism, 0 under " +
       "independence") {
     import spark.implicits._
