@@ -365,6 +365,122 @@ object Annotation {
       .orderBy(col("rater"))
   }
 
+  /** One Dawid–Skene EM round (Dawid & Skene 1979, "Maximum
+    * likelihood estimation of observer error-rates using the EM
+    * algorithm") from the majority-vote start: estimate class priors
+    * and per-rater confusion matrices against the majority labels
+    * (Laplace-smoothed so unseen (class, label) pairs stay finite),
+    * then re-vote every item by log-posterior
+    * `argmax_g ln pi_g + Σ_ratings ln c_r(l | g)`. One round already
+    * fixes the cases majority voting gets wrong — items where the
+    * reliable raters were outvoted by raters the confusion matrices
+    * expose as noisy — and each additional round is the same chain.
+    *
+    * Shape: counts-only — majority via one argmax aggregate, the
+    * confusion table is bounded by raters × labels², scoring expands
+    * ratings × labels (the label alphabet, not the corpus) and sums
+    * per (item, class) with per-term DECIMAL(18,10) logs, 8dp-rounded
+    * scores before the argmax so both engines pick identical winners.
+    */
+  def dawidSkeneRound(df: DataFrame, item: Column, rater: Column,
+      label: Column, smoothing: Double = 1.0,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
+    require(smoothing > 0, s"smoothing must be > 0: $smoothing")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 10)
+    val r = scope.persist(
+      df.filter(item.isNotNull && rater.isNotNull && label.isNotNull)
+        .select(item.cast("string").as("__i"),
+          rater.cast("string").as("__r"), label.cast("string").as("__l"))
+        .groupBy(col("__i"), col("__r")).agg(min(col("__l")).as("__l")))
+    val classes = scope.persist(
+      r.select(col("__l").as("__g")).distinct())
+    val lCount = classes.count()
+    // majority label per item (ties -> smallest label)
+    val maj = scope.persist(r.groupBy(col("__i"), col("__l"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("__i"))
+      .agg(min(struct((-col("__n")).as("n"), col("__l").as("l")))
+        .getField("l").as("__g")))
+    // smoothed class priors from the majority labels
+    val nItems = maj.count()
+    val priors = maj.groupBy(col("__g")).agg(count(lit(1)).as("__ng"))
+      .join(classes, Seq("__g"), "right")
+      .select(col("__g"),
+        log((coalesce(col("__ng"), lit(0L)).cast("double")
+          + lit(smoothing))
+          / lit(nItems + smoothing * lCount)).as("__lpi"))
+    // per-rater confusion counts against the majority labels
+    val conf = r.join(maj, Seq("__i"))
+      .groupBy(col("__r"), col("__g"), col("__l"))
+      .agg(count(lit(1)).as("__c"))
+    val confTot = conf.groupBy(col("__r"), col("__g"))
+      .agg(sum(col("__c")).as("__ct"))
+    // expand every rating across candidate classes; unseen cells get
+    // the smoothed floor
+    val expanded = r.crossJoin(broadcast(classes))
+      .join(conf, Seq("__r", "__g", "__l"), "left")
+      .join(confTot, Seq("__r", "__g"), "left")
+      .select(col("__i"), col("__g"),
+        log((coalesce(col("__c"), lit(0L)).cast("double")
+          + lit(smoothing))
+          / (coalesce(col("__ct"), lit(0L)).cast("double")
+            + lit(smoothing * lCount))).cast(dec).as("__ll"))
+    val scores = expanded.groupBy(col("__i"), col("__g"))
+      .agg(sum(col("__ll")).as("__sll"))
+      .join(broadcast(priors), Seq("__g"))
+      .select(col("__i"), col("__g"),
+        round((col("__sll").cast("double") + col("__lpi"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 8)), 8)
+          .as("__score"))
+    val voted = scores.groupBy(col("__i"))
+      .agg(min(struct((-col("__score")).as("s"), col("__g").as("g")))
+        .getField("g").as("__ds"))
+    maj.join(voted, Seq("__i"))
+      .select(col("__i").as("item"), col("__g").as("majority_label"),
+        col("__ds").as("ds_label"),
+        (col("__g") =!= col("__ds")).as("changed"))
+      .orderBy(col("item"))
+  }
+
+  /** Pairwise win-rate matrix with Wilson intervals: for every
+    * observed entity pair (a < b), a's wins, the rate, and the x252
+    * interval — the raw head-to-head table read next to
+    * [[bradleyTerry]]'s model-based strengths (BT assumes
+    * transitivity; this table is where you SEE the violations).
+    * One pass to directed counts, one k²-bounded projection.
+    */
+  def winRateMatrix(df: DataFrame, a: Column, b: Column, aWon: Column,
+      z: Double = 1.96, roundDigits: Int = 6): DataFrame = {
+    require(z > 0, s"z must be positive: $z")
+    val comp = df.filter(a.isNotNull && b.isNotNull && aWon.isNotNull)
+      .select(a.cast("string").as("__a"), b.cast("string").as("__b"),
+        aWon.cast("boolean").as("__w"))
+      .filter(col("__a") =!= col("__b"))
+    val canon = comp.select(
+      least(col("__a"), col("__b")).as("entity_a"),
+      greatest(col("__a"), col("__b")).as("entity_b"),
+      when(col("__a") < col("__b"), col("__w")).otherwise(!col("__w"))
+        .cast("long").as("__winA"))
+    val cells = canon.groupBy(col("entity_a"), col("entity_b"))
+      .agg(count(lit(1)).as("games"), sum(col("__winA")).as("wins_a"))
+    val n = col("games").cast("double")
+    val p = col("wins_a").cast("double") / n
+    val z2 = z * z
+    val denom = lit(1.0d) + lit(z2) / n
+    val center = p + lit(z2) / (lit(2.0d) * n)
+    val spread = lit(z) * sqrt(p * (lit(1.0d) - p) / n
+      + lit(z2) / (lit(4.0d) * n * n))
+    cells.select(col("entity_a"), col("entity_b"), col("games"),
+        col("wins_a"),
+        round(p.cast(stable), roundDigits).cast("double").as("rate_a"),
+        round(((center - spread) / denom).cast(stable), roundDigits)
+          .cast("double").as("wilson_lo"),
+        round(((center + spread) / denom).cast(stable), roundDigits)
+          .cast("double").as("wilson_hi"))
+      .orderBy(col("entity_a"), col("entity_b"))
+  }
+
   /** Shared LOO step behind [[raterConsensus]] and [[raterConfusion]]:
     * one row per rating that HAS a leave-one-out consensus — `__r`
     * rater, `__l` the rater's label, `__c` the LOO-majority of the

@@ -2184,6 +2184,77 @@ object Evaluation {
       .orderBy(col("score_bin").desc)
   }
 
+  /** McNemar's test with continuity correction (McNemar 1947): for
+    * two classifiers/models scored on the SAME items, only the
+    * discordant pairs carry information — `b` = A right & B wrong,
+    * `c` = A wrong & B right, `chi2 = (|b-c|-1)²/(b+c)` — the paired
+    * eval read that a two-proportion z test silently gets wrong (it
+    * ignores the pairing). One aggregate; one row.
+    */
+  def mcnemar(df: DataFrame, correctA: Column, correctB: Column,
+      roundDigits: Int = 6): DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val agg = df.filter(correctA.isNotNull && correctB.isNotNull)
+      .select(correctA.cast("boolean").as("__a"),
+        correctB.cast("boolean").as("__b"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__a") && !col("__b"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("__a") && col("__b"), 1L).otherwise(0L)).as("c"))
+    val bD = col("b").cast("double")
+    val cD = col("c").cast("double")
+    agg.filter(col("n") > 0)
+      .select(col("n"), col("b"), col("c"),
+        round(when(col("b") + col("c") > 0,
+          (abs(bD - cD) - lit(1.0d)) * (abs(bD - cD) - lit(1.0d))
+            / (bD + cD)).cast(stable), roundDigits)
+          .cast("double").as("chi2"))
+  }
+
+  /** Cochran's Q (Cochran 1950): the k-classifier generalization of
+    * McNemar — do k models scored on the same items share a success
+    * rate? `Q = (k-1)(k·ΣC_j² - N²) / (kN - ΣR_i²)` over items with
+    * a response from ALL k raters; every term is an integer sum, so
+    * the statistic is one exact division. Shape: one (item, rater)
+    * cell pass, one per-item + one per-rater aggregate.
+    */
+  def cochranQ(df: DataFrame, item: Column, rater: Column,
+      success: Column, roundDigits: Int = 6,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val r = scope.persist(
+      df.filter(item.isNotNull && rater.isNotNull && success.isNotNull)
+        .select(item.cast("string").as("__i"),
+          rater.cast("string").as("__r"),
+          success.cast("boolean").cast("long").as("__x"))
+        .groupBy(col("__i"), col("__r")).agg(max(col("__x")).as("__x")))
+    val k = r.select(col("__r")).distinct().count()
+    require(k >= 2, s"need >= 2 raters, got $k")
+    // only items every rater responded to (the matched-block rule)
+    val full = r.groupBy(col("__i"))
+      .agg(count(lit(1)).as("__m"), sum(col("__x")).as("__ri"))
+      .filter(col("__m") === k)
+    val kept = scope.persist(r.join(full.select(col("__i")), Seq("__i")))
+    val rows = full.agg(count(lit(1)).as("__items"),
+      coalesce(sum(col("__ri")), lit(0L)).as("__N"),
+      coalesce(sum((col("__ri").cast(d38) * col("__ri").cast(d38))
+        .cast(d38)), lit(0).cast(d38)).as("__r2"))
+    val cols2 = kept.groupBy(col("__r")).agg(sum(col("__x")).as("__cj"))
+      .agg(coalesce(sum((col("__cj").cast(d38) * col("__cj").cast(d38))
+        .cast(d38)), lit(0).cast(d38)).as("__c2"))
+    val nD = col("__N").cast("double")
+    val num = lit((k - 1).toDouble)
+      .*(lit(k.toDouble) * col("__c2").cast("double") - nD * nD)
+    val den = lit(k.toDouble) * nD - col("__r2").cast("double")
+    rows.crossJoin(broadcast(cols2))
+      .filter(col("__items") > 0)
+      .select(col("__items").as("items"), lit(k).as("k"),
+        col("__N").as("successes"),
+        round(when(den > 0, num / den).cast(stable), roundDigits)
+          .cast("double").as("q"))
+  }
+
   /** Brier score with Murphy's (1973) reliability/resolution/
     * uncertainty decomposition plus ECE/MCE (Naeini et al. 2015) over
     * `bins` equal-width probability bins — the full "can I trust this

@@ -1222,6 +1222,57 @@ object TextAnalysis {
           .cast("double").as("coverage"))
   }
 
+  /** "Fightin' Words" log-odds with an informative Dirichlet prior
+    * (Monroe, Colaresi & Quinn 2008 §3.5.2): for each token, the
+    * z-scored log-odds-ratio of its usage between corpus A and B,
+    * with the pooled corpus as the prior — THE principled "which
+    * words distinguish these two sources" read (raw frequency ratios
+    * over-weight rare words; the prior shrinks them). Per token:
+    * `δ_w = ln((y_aw+α_w)/(n_a+α₀-y_aw-α_w)) - ln(same for B)`,
+    * `z_w = δ_w / sqrt(1/(y_aw+α_w) + 1/(y_bw+α_w))`.
+    *
+    * Shape: one explode+count to per-side token cells, a full-outer
+    * merge on token (absent side = 0), and pure per-row math —
+    * shuffle bounded by vocabulary.
+    */
+  def fightinWords(df: DataFrame, textCol: String, inA: Column,
+      alpha0: Double = 100.0, minCount: Long = 5,
+      roundDigits: Int = 6): DataFrame = {
+    require(alpha0 > 0, s"alpha0 must be > 0: $alpha0")
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val toks = df.filter(col(textCol).isNotNull && inA.isNotNull)
+      .select(inA.cast("boolean").as("__a"),
+        explode(Text.tokens(col(textCol))).as("__tok"))
+      .filter(col("__tok") =!= "")
+    val cells = toks.groupBy(col("__tok"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("__ya"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("__yb"))
+      .filter(col("__ya") + col("__yb") >= minCount)
+    val tot = cells.agg(sum(col("__ya")).as("__na"),
+      sum(col("__yb")).as("__nb"),
+      sum(col("__ya") + col("__yb")).as("__nt"))
+    val aw = lit(alpha0) * (col("__ya") + col("__yb")).cast("double")
+      ./(col("__nt").cast("double"))
+    val withTot = cells.crossJoin(broadcast(tot))
+      .select(col("__tok"), col("__ya"), col("__yb"),
+        col("__na"), col("__nb"), aw.as("__aw"))
+    val ya = col("__ya").cast("double") + col("__aw")
+    val yb = col("__yb").cast("double") + col("__aw")
+    val ra = col("__na").cast("double") + lit(alpha0)
+      .-(col("__ya").cast("double")).-(col("__aw"))
+    val rb = col("__nb").cast("double") + lit(alpha0)
+      .-(col("__yb").cast("double")).-(col("__aw"))
+    val delta = log(ya / ra) - log(yb / rb)
+    val z = delta / sqrt(lit(1.0d) / ya + lit(1.0d) / yb)
+    withTot.filter(ra > 0 && rb > 0)
+      .select(col("__tok").as("token"),
+        col("__ya").as("count_a"), col("__yb").as("count_b"),
+        round(delta.cast(stable), roundDigits).cast("double")
+          .as("log_odds"),
+        round(z.cast(stable), roundDigits).cast("double").as("z"))
+      .orderBy(col("token"))
+  }
+
   /** Pairwise cosine similarity between the sources' unigram count
     * vectors — the "are these two crawls the same kind of text"
     * matrix a mixing plan reads before weighting sources (near-1 =

@@ -6462,6 +6462,152 @@ object OracleSql {
         |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS fisher
         |FROM t WHERE items > 0 AND l0 > 0 AND p0s > 0""".stripMargin,
 
+    // Dawid-Skene one round: majority via the argmax-string idiom,
+    // smoothed confusion + priors, per-(item,class) DECIMAL(18,10)
+    // log sums, 8dp-rounded scores before the re-vote argmax.
+    "x303_dawid_skene" ->
+      s"""WITH $annRatingsCte,
+         |cls AS MATERIALIZED (SELECT DISTINCT l AS g FROM rr),
+         |lc AS (SELECT COUNT(*) AS lk FROM cls),
+         |mj AS MATERIALIZED (SELECT i, substr(MIN(
+         |    lpad(CAST(999999999999 - n AS VARCHAR), 12, '0')
+         |    || '|' || l), 14) AS g FROM
+         |  (SELECT i, l, COUNT(*) AS n FROM rr GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |ni AS (SELECT COUNT(*) AS n_items FROM mj),
+         |pri AS MATERIALIZED (SELECT cls.g,
+         |  LN((CAST(COALESCE(m.cnt, 0) AS DOUBLE) + 1.0e0)
+         |    / (n_items + 1.0e0 * lk)) AS lpi
+         |  FROM cls LEFT JOIN
+         |    (SELECT g, COUNT(*) AS cnt FROM mj GROUP BY 1) m
+         |    ON cls.g = m.g CROSS JOIN ni CROSS JOIN lc),
+         |cf AS MATERIALIZED (SELECT rr.r, mj.g, rr.l, COUNT(*) AS c
+         |  FROM rr JOIN mj ON rr.i = mj.i GROUP BY 1, 2, 3),
+         |cft AS MATERIALIZED (SELECT r, g, SUM(c) AS ct FROM cf
+         |  GROUP BY 1, 2),
+         |ex AS (SELECT rr.i, cls.g,
+         |  CAST(LN((CAST(COALESCE(cf.c, 0) AS DOUBLE) + 1.0e0)
+         |    / (CAST(COALESCE(cft.ct, 0) AS DOUBLE)
+         |      + (SELECT 1.0e0 * lk FROM lc))) AS DECIMAL(18,10)) AS ll
+         |  FROM rr CROSS JOIN cls
+         |  LEFT JOIN cf ON cf.r = rr.r AND cf.g = cls.g AND cf.l = rr.l
+         |  LEFT JOIN cft ON cft.r = rr.r AND cft.g = cls.g),
+         |sc AS (SELECT i, ex.g,
+         |  ROUND(CAST(CAST(SUM(ll) AS DOUBLE) + MAX(lpi)
+         |    AS DECIMAL(18,8)), 8) AS score
+         |  FROM ex JOIN pri ON ex.g = pri.g GROUP BY 1, 2),
+         |vt AS (SELECT i, g, ROW_NUMBER() OVER (PARTITION BY i
+         |  ORDER BY score DESC, g) AS rn FROM sc)
+         |SELECT mj.i AS item, mj.g AS majority_label,
+         |  vt.g AS ds_label, (mj.g <> vt.g) AS changed
+         |FROM mj JOIN vt ON mj.i = vt.i AND vt.rn = 1
+         |ORDER BY item""".stripMargin,
+
+    // McNemar with continuity correction: discordant-pair counts.
+    "x304_mcnemar" ->
+      """WITH r AS (SELECT
+        |  ((l_discount >= 0.05) = (l_returnflag = 'R')) AS a,
+        |  ((l_tax >= 0.04) = (l_returnflag = 'R')) AS b
+        |  FROM lineitem WHERE l_discount IS NOT NULL
+        |    AND l_tax IS NOT NULL AND l_returnflag IS NOT NULL),
+        |ag AS (SELECT COUNT(*) AS n,
+        |  SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS b_,
+        |  SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS c_ FROM r)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(b_ AS BIGINT) AS b,
+        |  CAST(c_ AS BIGINT) AS c,
+        |  CAST(ROUND(CAST(CASE WHEN b_ + c_ > 0 THEN
+        |    (ABS(CAST(b_ AS DOUBLE) - CAST(c_ AS DOUBLE)) - 1.0e0)
+        |    * (ABS(CAST(b_ AS DOUBLE) - CAST(c_ AS DOUBLE)) - 1.0e0)
+        |    / (CAST(b_ AS DOUBLE) + CAST(c_ AS DOUBLE)) END
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS chi2
+        |FROM ag WHERE n > 0""".stripMargin,
+
+    // Cochran's Q: integer sums end-to-end, one exact division.
+    "x305_cochran_q" ->
+      """WITH r AS (SELECT CAST(l_orderkey AS VARCHAR) AS i,
+        |  CAST(l_linenumber AS VARCHAR) AS rt,
+        |  MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS x
+        |  FROM lineitem GROUP BY 1, 2),
+        |kk AS (SELECT COUNT(DISTINCT rt) AS k FROM r),
+        |f AS (SELECT i, COUNT(*) AS m, SUM(x) AS ri FROM r GROUP BY 1),
+        |fl AS (SELECT f.i, f.ri FROM f CROSS JOIN kk WHERE f.m = kk.k),
+        |rw AS (SELECT COUNT(*) AS items, COALESCE(SUM(ri), 0) AS n,
+        |  COALESCE(SUM(ri * ri), 0) AS r2 FROM fl),
+        |cj AS (SELECT rt, SUM(x) AS c FROM r
+        |  JOIN (SELECT i FROM fl) fi ON r.i = fi.i GROUP BY 1),
+        |c2 AS (SELECT COALESCE(SUM(c * c), 0) AS c2 FROM cj)
+        |SELECT CAST(items AS BIGINT) AS items,
+        |  CAST(kk.k AS BIGINT) AS k, CAST(n AS BIGINT) AS successes,
+        |  CAST(ROUND(CAST(CASE WHEN kk.k * CAST(n AS DOUBLE)
+        |      - CAST(r2 AS DOUBLE) > 0 THEN
+        |    (kk.k - 1.0e0) * (kk.k * CAST(c2 AS DOUBLE)
+        |      - CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+        |    / (kk.k * CAST(n AS DOUBLE) - CAST(r2 AS DOUBLE)) END
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS q
+        |FROM rw CROSS JOIN c2 CROSS JOIN kk WHERE items > 0""".stripMargin,
+
+    // Head-to-head win-rate matrix: canonical pair + x252's Wilson.
+    "x306_winrate_matrix" ->
+      s"""WITH $prefCmpCte,
+         |cn AS (SELECT LEAST(CAST(ea AS VARCHAR), CAST(eb AS VARCHAR))
+         |    AS a, GREATEST(CAST(ea AS VARCHAR), CAST(eb AS VARCHAR))
+         |    AS b,
+         |  CASE WHEN CAST(ea AS VARCHAR) < CAST(eb AS VARCHAR) THEN
+         |    CASE WHEN awon THEN 1 ELSE 0 END
+         |  ELSE CASE WHEN awon THEN 0 ELSE 1 END END AS wa FROM cmp),
+         |cl AS (SELECT a, b, COUNT(*) AS g, SUM(wa) AS w FROM cn
+         |  GROUP BY 1, 2),
+         |f AS (SELECT a, b, g, w,
+         |  CAST(w AS DOUBLE) / CAST(g AS DOUBLE) AS p,
+         |  CAST(g AS DOUBLE) AS n FROM cl)
+         |SELECT a AS entity_a, b AS entity_b, CAST(g AS BIGINT)
+         |    AS games, CAST(w AS BIGINT) AS wins_a,
+         |  CAST(ROUND(CAST(p AS DECIMAL(18,8)), 6) AS DOUBLE)
+         |    AS rate_a,
+         |  CAST(ROUND(CAST(
+         |    (p + 3.8415999999999997e0 / (2.0e0 * n)
+         |      - 1.96e0 * SQRT(p * (1.0e0 - p) / n
+         |        + 3.8415999999999997e0 / (4.0e0 * n * n)))
+         |    / (1.0e0 + 3.8415999999999997e0 / n)
+         |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS wilson_lo,
+         |  CAST(ROUND(CAST(
+         |    (p + 3.8415999999999997e0 / (2.0e0 * n)
+         |      + 1.96e0 * SQRT(p * (1.0e0 - p) / n
+         |        + 3.8415999999999997e0 / (4.0e0 * n * n)))
+         |    / (1.0e0 + 3.8415999999999997e0 / n)
+         |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS wilson_hi
+         |FROM f ORDER BY entity_a, entity_b""".stripMargin,
+
+    // Fightin' Words: pooled-prior log-odds z, pure per-token math
+    // over the merged count cells.
+    "x307_fightin_words" ->
+      """WITH t AS (SELECT (source = 'src0') AS a,
+        |  unnest(string_split(text, ' ')) AS tok FROM documents
+        |  WHERE text IS NOT NULL AND source IS NOT NULL),
+        |cells AS (SELECT tok,
+        |  SUM(CASE WHEN a THEN 1 ELSE 0 END) AS ya,
+        |  SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS yb
+        |  FROM t WHERE tok <> '' GROUP BY 1
+        |  HAVING COUNT(*) >= 5),
+        |tot AS (SELECT SUM(ya) AS na, SUM(yb) AS nb,
+        |  SUM(ya + yb) AS nt FROM cells),
+        |w AS (SELECT tok, ya, yb, na, nb,
+        |  100.0e0 * CAST(ya + yb AS DOUBLE) / CAST(nt AS DOUBLE) AS aw
+        |  FROM cells CROSS JOIN tot),
+        |f AS (SELECT tok, ya, yb,
+        |  CAST(ya AS DOUBLE) + aw AS pa, CAST(yb AS DOUBLE) + aw AS pb,
+        |  CAST(na AS DOUBLE) + 100.0e0 - CAST(ya AS DOUBLE) - aw AS qa,
+        |  CAST(nb AS DOUBLE) + 100.0e0 - CAST(yb AS DOUBLE) - aw AS qb
+        |  FROM w)
+        |SELECT tok AS token, CAST(ya AS BIGINT) AS count_a,
+        |  CAST(yb AS BIGINT) AS count_b,
+        |  CAST(ROUND(CAST(LN(pa / qa) - LN(pb / qb)
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS log_odds,
+        |  CAST(ROUND(CAST((LN(pa / qa) - LN(pb / qb))
+        |    / SQRT(1.0e0 / pa + 1.0e0 / pb) AS DECIMAL(18,8)), 6)
+        |    AS DOUBLE) AS z
+        |FROM f WHERE qa > 0 AND qb > 0 ORDER BY token""".stripMargin,
+
     // Simplified silhouette: the x110 centroid chain, then nearest +
     // second-nearest per vector via one ranked cross join.
     "x299_silhouette" ->

@@ -3188,6 +3188,43 @@ object Queries {
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
       inBase = year(col("l_shipdate")) <= 1994)
 
+  /** X270 — one Dawid–Skene EM round over the line-slot raters:
+    * confusion-weighted re-vote from the majority start. */
+  def x303(s: SparkSession, dir: String): DataFrame =
+    Annotation.dawidSkeneRound(Tables.lineitem(s, dir),
+      item = col("l_orderkey"), rater = col("l_linenumber"),
+      label = col("l_returnflag"))
+
+  /** X271 — McNemar paired test: two derived "models" predicting
+    * returns, scored on the same lines. */
+  def x304(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val actual = col("l_returnflag") === "R"
+    Evaluation.mcnemar(li,
+      correctA = (col("l_discount") >= 0.05) === actual,
+      correctB = (col("l_tax") >= 0.04) === actual)
+  }
+
+  /** X272 — Cochran's Q over orders rated by all 7 line slots:
+    * do the slots share a return rate? */
+  def x305(s: SparkSession, dir: String): DataFrame =
+    Evaluation.cochranQ(Tables.lineitem(s, dir),
+      item = col("l_orderkey"), rater = col("l_linenumber"),
+      success = col("l_returnflag") === "R")
+
+  /** X273 — head-to-head win-rate matrix with Wilson intervals over
+    * the derived preference log: where BT's transitivity assumption
+    * shows its violations. */
+  def x306(s: SparkSession, dir: String): DataFrame =
+    Annotation.winRateMatrix(prefPairs(s, dir), col("a"), col("b"),
+      col("a_won"))
+
+  /** X274 — Fightin' Words log-odds z per token: src0 vs the rest of
+    * the corpus, pooled-prior shrunk. */
+  def x307(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fightinWords(Tables.documents(s, dir), "text",
+      inA = col("source") === "src0")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -3503,5 +3540,10 @@ object Queries {
     "x299_silhouette" -> (x299 _),
     "x300_brier_decomposition" -> (x300 _),
     "x301_powerlaw_alpha" -> (x301 _),
-    "x302_feature_drift" -> (x302 _))
+    "x302_feature_drift" -> (x302 _),
+    "x303_dawid_skene" -> (x303 _),
+    "x304_mcnemar" -> (x304 _),
+    "x305_cochran_q" -> (x305 _),
+    "x306_winrate_matrix" -> (x306 _),
+    "x307_fightin_words" -> (x307 _))
 }

@@ -142,6 +142,44 @@ class AnnotationSpec extends SparkSpec {
     assert(!out.exists(t => t._1 == "r3" && t._3 == "a"))
   }
 
+  test("dawidSkeneRound flips exactly the item where noisy raters " +
+      "outvoted a reliable one (Python-mirrored fixture)") {
+    val rows = (1 to 8).flatMap { i =>
+      Seq((f"i$i%02d", "r1", "a"), (f"i$i%02d", "r2", "a"),
+        (f"i$i%02d", "r3", "a"), (f"i$i%02d", "r4", "b"),
+        (f"i$i%02d", "r5", "b"))
+    } ++ Seq(9, 10).flatMap { i =>
+      Seq((f"i$i%02d", "r1", "b"), (f"i$i%02d", "r2", "b"),
+        (f"i$i%02d", "r3", "b"), (f"i$i%02d", "r4", "b"),
+        (f"i$i%02d", "r5", "b"))
+    } ++ Seq(("i11", "r1", "a"), ("i11", "r4", "b"), ("i11", "r5", "b"))
+    val out = Annotation.dawidSkeneRound(ratings(rows: _*),
+      $"item", $"rater", $"lab").collect()
+    val changed = out.filter(_.getAs[Boolean]("changed"))
+    assert(changed.map(_.getString(0)).toSeq === Seq("i11"))
+    val i11 = changed.head
+    assert(i11.getAs[String]("majority_label") === "b")
+    assert(i11.getAs[String]("ds_label") === "a")
+    assert(out.length === 11)
+  }
+
+  test("winRateMatrix canonicalizes pair orientation and brackets " +
+      "the rate") {
+    import org.apache.spark.sql.functions.col
+    // A beats B 3 of 4 — once with B listed first
+    val comps = Seq(("A", "B", true), ("A", "B", true),
+      ("B", "A", false), ("A", "B", false)).toDF("a", "b", "w")
+    val r = Annotation.winRateMatrix(comps, col("a"), col("b"),
+      col("w")).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[String]("entity_a") === "A")
+    assert(r.head.getAs[Long]("games") === 4L)
+    assert(r.head.getAs[Long]("wins_a") === 3L)
+    assert(r.head.getAs[Double]("rate_a") === 0.75)
+    assert(r.head.getAs[Double]("wilson_lo") < 0.75
+      && r.head.getAs[Double]("wilson_hi") > 0.75)
+  }
+
   test("raterConsensus drops ratings with no other rater on the item") {
     val df = ratings(("i1", "r1", "a"), ("i1", "r2", "a"),
       ("solo", "r1", "b"))

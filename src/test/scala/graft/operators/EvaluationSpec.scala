@@ -916,6 +916,35 @@ class EvaluationSpec extends SparkSpec {
       deg.isNullAt(deg.fieldIndex("did_effect")))
   }
 
+  test("mcnemar counts only discordant pairs, continuity-corrected") {
+    import spark.implicits._
+    val df = (Seq.fill(6)((true, false)) ++ Seq.fill(2)((false, true)) ++
+      Seq.fill(5)((true, true)) ++ Seq.fill(3)((false, false)))
+      .toDF("ca", "cb")
+    val r = Evaluation.mcnemar(df, col("ca"), col("cb")).head()
+    assert(r.getAs[Long]("b") === 6L)
+    assert(r.getAs[Long]("c") === 2L)
+    assert(r.getAs[Double]("chi2") === 1.125) // (|6-2|-1)^2/8
+    assert(r.getAs[Long]("n") === 16L)
+  }
+
+  test("cochranQ matches the hand 3x4 fixture and drops partial items") {
+    import spark.implicits._
+    val rows = Seq(
+      ("i1", "r1", true), ("i1", "r2", true), ("i1", "r3", false),
+      ("i2", "r1", true), ("i2", "r2", true), ("i2", "r3", false),
+      ("i3", "r1", true), ("i3", "r2", false), ("i3", "r3", false),
+      ("i4", "r1", false), ("i4", "r2", false), ("i4", "r3", false),
+      ("part", "r1", true)) // missing r2/r3 -> dropped
+      .toDF("i", "r", "x")
+    val q = Evaluation.cochranQ(rows, col("i"), col("r"), col("x"))
+      .head()
+    assert(q.getAs[Long]("items") === 4L)
+    assert(q.getAs[Long]("k") === 3L)
+    assert(q.getAs[Long]("successes") === 5L)
+    assert(q.getAs[Double]("q") === 4.666667) // 2*(3*13-25)/(15-9)
+  }
+
   test("brierDecomposition: Murphy identity holds on the calibrated " +
       "and miscalibrated fixtures") {
     import spark.implicits._

@@ -564,6 +564,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("coverage") === 0.666667)
   }
 
+  test("fightinWords: an A-exclusive token z-scores above a balanced " +
+      "one; min-count drops the tail") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (true, ("x " * 10) + ("y " * 5).trim),
+      (false, ("y " * 5) + ("rare " * 2).trim))
+      .toDF("inA", "text")
+    val out = TextAnalysis.fightinWords(docs, "text", col("inA"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("count_a"), r.getAs[Long]("count_b"),
+          r.getAs[Double]("z"))).toMap
+    assert(!out.contains("rare")) // below minCount = 5
+    assert(out("x")._1 === 10L && out("x")._2 === 0L)
+    assert(out("x")._3 > 0.0, "A-exclusive token must lean positive")
+    assert(out("x")._3 > out("y")._3,
+      "exclusive token must out-z the balanced one")
+  }
+
   test("sourceVocabCosine: identical vocabularies read 1, half-shared " +
       "read 0.5, disjoint pairs are absent") {
     import spark.implicits._
