@@ -2184,6 +2184,141 @@ object Evaluation {
       .orderBy(col("score_bin").desc)
   }
 
+  /** Levene's test for variance homogeneity (Levene 1960, mean-
+    * centered form): ANOVA on the absolute deviations `Z = |x - x̄_g|`
+    * — the "can I even pool these groups' variances" check that
+    * gates Welch-vs-pooled decisions and flags heteroscedastic
+    * segments a drift report's means miss. Two passes by necessity
+    * (means, then deviations), both group-bounded aggregates.
+    */
+  def leveneTest(df: DataFrame, group: Column, value: Column,
+      roundDigits: Int = 6,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val wide = org.apache.spark.sql.types.DecimalType(28, 8)
+    val rows = scope.persist(df.filter(group.isNotNull && value.isNotNull)
+      .select(group.cast("string").as("__g"),
+        value.cast("double").as("__v")))
+    val means = rows.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"), (sum(col("__v"))
+        / count(lit(1)).cast("double")).as("__mu"))
+    val z = rows.join(means, Seq("__g"))
+      .select(col("__g"), col("__n"), abs(col("__v") - col("__mu"))
+        .as("__z"))
+    val zg = z.groupBy(col("__g"))
+      .agg(first(col("__n")).as("__n"), sum(col("__z")).as("__zs"),
+        sum(col("__z") * col("__z")).as("__zs2"))
+    val tot = zg.agg(sum(col("__n")).as("__tn"), count(lit(1)).as("__k"),
+      sum(round(col("__zs").cast(wide), 8)).as("__tzs"))
+    val zBarG = col("__zs") / col("__n").cast("double")
+    val terms = zg.crossJoin(broadcast(tot))
+      .select(col("__tn"), col("__k"),
+        round((col("__n").cast("double")
+          * (zBarG - col("__tzs").cast("double")
+            / col("__tn").cast("double"))
+          * (zBarG - col("__tzs").cast("double")
+            / col("__tn").cast("double"))).cast(wide), 8).as("__b"),
+        round((col("__zs2") - col("__zs") * col("__zs")
+          / col("__n").cast("double")).cast(wide), 8).as("__w"))
+      .agg(first(col("__tn")).as("__tn"), first(col("__k")).as("__k"),
+        sum(col("__b")).as("__B"), sum(col("__w")).as("__W"))
+    val nD = col("__tn").cast("double")
+    val kD = col("__k").cast("double")
+    terms.filter(col("__k") >= 2 && col("__tn") > col("__k"))
+      .select(col("__tn").as("n"), col("__k").as("groups"),
+        round(when(col("__W").cast("double") > 0,
+          (nD - kD) / (kD - lit(1.0d))
+            * col("__B").cast("double") / col("__W").cast("double"))
+          .cast(stable), roundDigits).cast("double").as("w_stat"))
+  }
+
+  /** One-way ANOVA F (Fisher): between-group over within-group mean
+    * squares, assembled entirely from per-group moment sums — ONE
+    * scan, shuffle bounded by groups. The parametric complement to
+    * kruskalWallis (x219) and the effect-size source behind
+    * correlationRatio (x244).
+    */
+  def anovaF(df: DataFrame, group: Column, value: Column,
+      roundDigits: Int = 6): DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val wide = org.apache.spark.sql.types.DecimalType(28, 8)
+    val cells = df.filter(group.isNotNull && value.isNotNull)
+      .select(group.cast("string").as("__g"),
+        value.cast("double").as("__v"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"), sum(col("__v")).as("__s"),
+        sum(col("__v") * col("__v")).as("__s2"))
+    val tot = cells.agg(sum(col("__n")).as("__tn"),
+      count(lit(1)).as("__k"),
+      sum(round(col("__s").cast(wide), 8)).as("__ts"))
+    val gm = col("__ts").cast("double") / col("__tn").cast("double")
+    val mu = col("__s") / col("__n").cast("double")
+    val terms = cells.crossJoin(broadcast(tot))
+      .select(col("__tn"), col("__k"),
+        round((col("__n").cast("double") * (mu - gm) * (mu - gm))
+          .cast(wide), 8).as("__b"),
+        round((col("__s2") - col("__s") * col("__s")
+          / col("__n").cast("double")).cast(wide), 8).as("__w"))
+      .agg(first(col("__tn")).as("__tn"), first(col("__k")).as("__k"),
+        sum(col("__b")).as("__B"), sum(col("__w")).as("__W"))
+    val nD = col("__tn").cast("double")
+    val kD = col("__k").cast("double")
+    val msb = col("__B").cast("double") / (kD - lit(1.0d))
+    val msw = col("__W").cast("double") / (nD - kD)
+    terms.filter(col("__k") >= 2 && col("__tn") > col("__k"))
+      .select(col("__tn").as("n"), col("__k").as("groups"),
+        round(msb.cast(stable), roundDigits).cast("double")
+          .as("ms_between"),
+        round(msw.cast(stable), roundDigits).cast("double")
+          .as("ms_within"),
+        round(when(msw > 0, msb / msw).cast(stable), roundDigits)
+          .cast("double").as("f_stat"))
+  }
+
+  /** Per-group calibration page: Brier, ECE, and MCE per segment
+    * from ONE pass — the "is the model calibrated for THIS language/
+    * source/market" read that a global x300 hides (segments can be
+    * miscalibrated in opposite directions and cancel). Cells bounded
+    * by groups × bins.
+    */
+  def calibrationByGroup(df: DataFrame, group: Column, prob: Column,
+      outcome: Column, bins: Int = 10, roundDigits: Int = 6)
+      : DataFrame = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val cells = df.filter(group.isNotNull && prob.isNotNull
+        && outcome.isNotNull)
+      .select(group.cast("string").as("__g"),
+        prob.cast("double").as("__p"),
+        outcome.cast("boolean").cast("long").as("__y"))
+      .filter(col("__p") >= 0 && col("__p") <= 1)
+      .groupBy(col("__g"),
+        least(floor(col("__p") * bins), lit(bins - 1).cast("long"))
+          .as("__b"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__s"),
+        sum(col("__p")).as("__sp"),
+        sum((col("__p") - col("__y")) * (col("__p") - col("__y")))
+          .as("__se"))
+    val pk = col("__sp") / col("__n").cast("double")
+    val yk = col("__s").cast("double") / col("__n").cast("double")
+    cells
+      .groupBy(col("__g"))
+      .agg(sum(col("__n")).as("n"),
+        sum(round(col("__se").cast(stable), 8)).as("__tse"),
+        sum(round((col("__n").cast("double") * abs(pk - yk))
+          .cast(stable), 8)).as("__tce"),
+        max(round(abs(pk - yk).cast(stable), 8)).as("__tmce"))
+      .select(col("__g").as("group"), col("n"),
+        round((col("__tse").cast("double") / col("n").cast("double"))
+          .cast(stable), roundDigits).cast("double").as("brier"),
+        round((col("__tce").cast("double") / col("n").cast("double"))
+          .cast(stable), roundDigits).cast("double").as("ece"),
+        round(col("__tmce").cast("double").cast(stable), roundDigits)
+          .cast("double").as("mce"))
+      .orderBy(col("group"))
+  }
+
   /** McNemar's test with continuity correction (McNemar 1947): for
     * two classifiers/models scored on the SAME items, only the
     * discordant pairs carry information — `b` = A right & B wrong,

@@ -1,5 +1,6 @@
 package graft.operators
 
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -236,5 +237,32 @@ object Sampling {
       .withColumn("es_key", key)
       .orderBy(col("es_key").desc, col(keyCol))
       .limit(k)
+  }
+
+  /** Kish effective sample size per group: `ESS = (Σw)²/Σw²` (Kish
+    * 1965) — how many EQUAL-weight rows this weighted group is worth.
+    * The sanity gauge on every weighted mix (x62/x68 source weights,
+    * DSIR importance weights x131): an `ess_ratio` near 0 means a few
+    * huge weights dominate and the "million-document" source
+    * contributes the information of a handful. One moment aggregate;
+    * shuffle bounded by groups.
+    */
+  def effectiveSampleSize(df: DataFrame, group: Column, weight: Column,
+      roundDigits: Int = 6): DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val cells = df.filter(group.isNotNull && weight.isNotNull)
+      .select(group.cast("string").as("__g"),
+        weight.cast("double").as("__w"))
+      .filter(col("__w") > 0)
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"), sum(col("__w")).as("__s"),
+        sum(col("__w") * col("__w")).as("__s2"))
+    val ess = col("__s") * col("__s") / col("__s2")
+    cells.filter(col("__s2") > 0)
+      .select(col("__g").as("group"), col("n"),
+        round(ess.cast(stable), roundDigits).cast("double").as("ess"),
+        round((ess / col("n").cast("double")).cast(stable), roundDigits)
+          .cast("double").as("ess_ratio"))
+      .orderBy(col("group"))
   }
 }

@@ -6462,6 +6462,115 @@ object OracleSql {
         |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS fisher
         |FROM t WHERE items > 0 AND l0 > 0 AND p0s > 0""".stripMargin,
 
+    // Levene (mean-centered): ANOVA on |x - mean_g|, 8dp-rounded
+    // group terms into exact decimal sums.
+    "x308_levene" ->
+      """WITH r AS (SELECT CAST(l_returnflag AS VARCHAR) AS g,
+        |  CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL),
+        |mn AS (SELECT g, COUNT(*) AS n,
+        |  SUM(v) / CAST(COUNT(*) AS DOUBLE) AS mu FROM r GROUP BY 1),
+        |z AS (SELECT r.g, mn.n, ABS(r.v - mn.mu) AS z FROM r
+        |  JOIN mn ON r.g = mn.g),
+        |zg AS (SELECT g, MAX(n) AS n, SUM(z) AS zs, SUM(z * z) AS zs2
+        |  FROM z GROUP BY 1),
+        |tt AS (SELECT SUM(n) AS tn, COUNT(*) AS k,
+        |  SUM(ROUND(CAST(zs AS DECIMAL(28,8)), 8)) AS tzs FROM zg),
+        |tm AS (SELECT tn, k,
+        |  SUM(ROUND(CAST(CAST(n AS DOUBLE)
+        |    * (zs / CAST(n AS DOUBLE)
+        |      - CAST(tzs AS DOUBLE) / CAST(tn AS DOUBLE))
+        |    * (zs / CAST(n AS DOUBLE)
+        |      - CAST(tzs AS DOUBLE) / CAST(tn AS DOUBLE))
+        |    AS DECIMAL(28,8)), 8)) AS bb,
+        |  SUM(ROUND(CAST(zs2 - zs * zs / CAST(n AS DOUBLE)
+        |    AS DECIMAL(28,8)), 8)) AS ww
+        |  FROM zg CROSS JOIN tt GROUP BY 1, 2)
+        |SELECT CAST(tn AS BIGINT) AS n, CAST(k AS BIGINT) AS groups,
+        |  CAST(ROUND(CAST(CASE WHEN CAST(ww AS DOUBLE) > 0 THEN
+        |    (CAST(tn AS DOUBLE) - CAST(k AS DOUBLE))
+        |      / (CAST(k AS DOUBLE) - 1.0e0)
+        |      * CAST(bb AS DOUBLE) / CAST(ww AS DOUBLE) END
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS w_stat
+        |FROM tm WHERE k >= 2 AND tn > k""".stripMargin,
+
+    // One-way ANOVA F from per-group moment sums — one scan.
+    "x309_anova_f" ->
+      """WITH c AS (SELECT event_type AS g, COUNT(*) AS n,
+        |  SUM(CAST(value AS DOUBLE)) AS s,
+        |  SUM(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)) AS s2
+        |  FROM events WHERE event_type IS NOT NULL
+        |    AND value IS NOT NULL GROUP BY 1),
+        |t AS (SELECT SUM(n) AS tn, COUNT(*) AS k,
+        |  SUM(ROUND(CAST(s AS DECIMAL(28,8)), 8)) AS ts FROM c),
+        |tm AS (SELECT tn, k,
+        |  SUM(ROUND(CAST(CAST(n AS DOUBLE)
+        |    * (s / CAST(n AS DOUBLE)
+        |      - CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE))
+        |    * (s / CAST(n AS DOUBLE)
+        |      - CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE))
+        |    AS DECIMAL(28,8)), 8)) AS bb,
+        |  SUM(ROUND(CAST(s2 - s * s / CAST(n AS DOUBLE)
+        |    AS DECIMAL(28,8)), 8)) AS ww
+        |  FROM c CROSS JOIN t GROUP BY 1, 2),
+        |f AS (SELECT tn, k,
+        |  CAST(bb AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0e0) AS msb,
+        |  CAST(ww AS DOUBLE)
+        |    / (CAST(tn AS DOUBLE) - CAST(k AS DOUBLE)) AS msw
+        |  FROM tm WHERE k >= 2 AND tn > k)
+        |SELECT CAST(tn AS BIGINT) AS n, CAST(k AS BIGINT) AS groups,
+        |  CAST(ROUND(CAST(msb AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |    AS ms_between,
+        |  CAST(ROUND(CAST(msw AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |    AS ms_within,
+        |  CAST(ROUND(CAST(CASE WHEN msw > 0 THEN msb / msw END
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS f_stat
+        |FROM f""".stripMargin,
+
+    // Kish ESS: one moment aggregate per group.
+    "x310_effective_n" ->
+      """WITH c AS (SELECT source AS g, COUNT(*) AS n,
+        |  SUM(CAST(n_chars AS DOUBLE)) AS s,
+        |  SUM(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)) AS s2
+        |  FROM documents WHERE source IS NOT NULL
+        |    AND n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0
+        |  GROUP BY 1)
+        |SELECT g AS "group", CAST(n AS BIGINT) AS n,
+        |  CAST(ROUND(CAST(s * s / s2 AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |    AS ess,
+        |  CAST(ROUND(CAST(s * s / s2 / CAST(n AS DOUBLE)
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS ess_ratio
+        |FROM c WHERE s2 > 0 ORDER BY "group"""".stripMargin,
+
+    // Per-segment calibration: x300's cells with the group key.
+    "x311_calibration_by_group" ->
+      """WITH r AS (SELECT CAST(l_linestatus AS VARCHAR) AS g,
+        |  l_discount * 10 AS p,
+        |  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem WHERE l_linestatus IS NOT NULL
+        |    AND l_discount IS NOT NULL AND l_returnflag IS NOT NULL
+        |    AND l_discount * 10 >= 0 AND l_discount * 10 <= 1),
+        |c AS (SELECT g, LEAST(FLOOR(p * 10), 9) AS b, COUNT(*) AS n,
+        |  SUM(y) AS s, SUM(p) AS sp, SUM((p - y) * (p - y)) AS se
+        |  FROM r GROUP BY 1, 2),
+        |a AS (SELECT g, SUM(n) AS nn,
+        |  SUM(ROUND(CAST(se AS DECIMAL(18,8)), 8)) AS tse,
+        |  SUM(ROUND(CAST(CAST(n AS DOUBLE)
+        |    * ABS(sp / n - CAST(s AS DOUBLE) / n)
+        |    AS DECIMAL(18,8)), 8)) AS tce,
+        |  MAX(ROUND(CAST(ABS(sp / n - CAST(s AS DOUBLE) / n)
+        |    AS DECIMAL(18,8)), 8)) AS tmce
+        |  FROM c GROUP BY 1)
+        |SELECT g AS "group", CAST(nn AS BIGINT) AS n,
+        |  CAST(ROUND(CAST(CAST(tse AS DOUBLE) / CAST(nn AS DOUBLE)
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS brier,
+        |  CAST(ROUND(CAST(CAST(tce AS DOUBLE) / CAST(nn AS DOUBLE)
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS ece,
+        |  CAST(ROUND(CAST(CAST(tmce AS DOUBLE) AS DECIMAL(18,8)), 6)
+        |    AS DOUBLE) AS mce
+        |FROM a ORDER BY "group"""".stripMargin,
+
     // Dawid-Skene one round: majority via the argmax-string idiom,
     // smoothed confusion + priors, per-(item,class) DECIMAL(18,10)
     // log sums, 8dp-rounded scores before the re-vote argmax.

@@ -3225,6 +3225,31 @@ object Queries {
     TextAnalysis.fightinWords(Tables.documents(s, dir), "text",
       inA = col("source") === "src0")
 
+  /** X275 — Levene's variance-homogeneity test across return-flag
+    * groups on price. */
+  def x308(s: SparkSession, dir: String): DataFrame =
+    Evaluation.leveneTest(Tables.lineitem(s, dir),
+      group = col("l_returnflag"), value = col("l_extendedprice"))
+
+  /** X276 — one-way ANOVA F of event value across event types. */
+  def x309(s: SparkSession, dir: String): DataFrame =
+    Evaluation.anovaF(Tables.events(s, dir),
+      group = col("event_type"), value = col("value"))
+
+  /** X277 — Kish effective sample size per source, n_chars as the
+    * stand-in importance weight. */
+  def x310(s: SparkSession, dir: String): DataFrame =
+    Sampling.effectiveSampleSize(Tables.documents(s, dir),
+      group = col("source"), weight = col("n_chars"))
+
+  /** X278 — per-segment calibration page (Brier/ECE/MCE by line
+    * status): segments can be miscalibrated in opposite directions
+    * and cancel in the global x300. */
+  def x311(s: SparkSession, dir: String): DataFrame =
+    Evaluation.calibrationByGroup(Tables.lineitem(s, dir),
+      group = col("l_linestatus"), prob = col("l_discount") * 10,
+      outcome = col("l_returnflag") === "R", bins = 10)
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -3545,5 +3570,9 @@ object Queries {
     "x304_mcnemar" -> (x304 _),
     "x305_cochran_q" -> (x305 _),
     "x306_winrate_matrix" -> (x306 _),
-    "x307_fightin_words" -> (x307 _))
+    "x307_fightin_words" -> (x307 _),
+    "x308_levene" -> (x308 _),
+    "x309_anova_f" -> (x309 _),
+    "x310_effective_n" -> (x310 _),
+    "x311_calibration_by_group" -> (x311 _))
 }

@@ -916,6 +916,43 @@ class EvaluationSpec extends SparkSpec {
       deg.isNullAt(deg.fieldIndex("did_effect")))
   }
 
+  test("leveneTest matches the hand two-group fixture") {
+    import spark.implicits._
+    // Z_A = {2,1,3}, Z_B = {2,2,4}: B = 2/3, W = 14/3
+    // -> W_stat = (6-2)/(2-1) * (2/3)/(14/3) = 4/7
+    val df = (Seq(0.0, 1.0, 5.0).map(("A", _)) ++
+      Seq(10.0, 10.0, 16.0).map(("B", _))).toDF("g", "v")
+    val r = Evaluation.leveneTest(df, col("g"), col("v")).head()
+    assert(r.getAs[Long]("n") === 6L)
+    assert(r.getAs[Long]("groups") === 2L)
+    assert(r.getAs[Double]("w_stat") === 0.571429) // 4/7
+  }
+
+  test("anovaF matches the hand fixture") {
+    import spark.implicits._
+    val df = (Seq(1.0, 2.0, 3.0).map(("A", _)) ++
+      Seq(4.0, 5.0, 6.0).map(("B", _))).toDF("g", "v")
+    val r = Evaluation.anovaF(df, col("g"), col("v")).head()
+    assert(r.getAs[Double]("ms_between") === 13.5)
+    assert(r.getAs[Double]("ms_within") === 1.0)
+    assert(r.getAs[Double]("f_stat") === 13.5)
+  }
+
+  test("calibrationByGroup separates the calibrated segment from " +
+      "the overconfident one") {
+    import spark.implicits._
+    val rows = (Seq.fill(4)(("g1", 0.8, true)) ++ Seq(("g1", 0.8, false))
+      ++ Seq(("g1", 0.2, true)) ++ Seq.fill(4)(("g1", 0.2, false))
+      ++ Seq.fill(2)(("g2", 0.9, true)) ++ Seq.fill(2)(("g2", 0.9, false)))
+      .toDF("g", "p", "y")
+    val out = Evaluation.calibrationByGroup(rows, col("g"), col("p"),
+      col("y")).collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("ece"), r.getAs[Double]("mce"),
+          r.getAs[Double]("brier"))).toMap
+    assert(out("g1") === ((0.0, 0.0, 0.16)))
+    assert(out("g2") === ((0.4, 0.4, 0.41)))
+  }
+
   test("mcnemar counts only discordant pairs, continuity-corrected") {
     import spark.implicits._
     val df = (Seq.fill(6)((true, false)) ++ Seq.fill(2)((false, true)) ++

@@ -231,4 +231,19 @@ class SamplingSpec extends SparkSpec {
       "w", k = 10).select("id").as[Long].collect().toSeq
     assert(got == again, "sample must be reproducible")
   }
+
+  test("effectiveSampleSize: equal weights read full n, a dominant " +
+      "weight collapses the ESS") {
+    import spark.implicits._
+    val df = Seq(("eq", 2.0), ("eq", 2.0), ("eq", 2.0),
+      ("skew", 1.0), ("skew", 1.0), ("skew", 8.0),
+      ("skew", 0.0)) // non-positive weights drop
+      .toDF("g", "w")
+    val out = Sampling.effectiveSampleSize(df, col("g"), col("w"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("ess"),
+          r.getAs[Double]("ess_ratio"))).toMap
+    assert(out("eq") === ((3L, 3.0, 1.0)))
+    assert(out("skew") === ((3L, 1.515152, 0.505051))) // 100/66
+  }
 }
