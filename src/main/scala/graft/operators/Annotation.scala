@@ -208,8 +208,13 @@ object Annotation {
     * variants or products, not events), so after the ONE distributed
     * pass that built the counts, the MM rounds run on the driver with
     * zero per-round Spark jobs. Rounding is BigDecimal HALF_UP —
-    * Spark's own `round` semantics — so this path is bit-identical to
-    * [[distributedMm]] and the DuckDB oracle. */
+    * Spark's own `round` semantics — so this path computes the same
+    * quantized iteration as [[distributedMm]] and the DuckDB oracle;
+    * the only residual divergence channel is a denominator sum landing
+    * EXACTLY on a 5e-10 rounding boundary under a different summation
+    * order (AnnotationScaleDemo: 499/500 strengths bitwise equal at
+    * 2 M comparisons, the one exception off by one final-round ulp =
+    * 1e-6). */
   private def driverMm(ents: DataFrame, pairs: DataFrame, k: Long,
       iters: Int, quantDigits: Int, roundDigits: Int): DataFrame = {
     def rnd(x: Double, d: Int): Double =
