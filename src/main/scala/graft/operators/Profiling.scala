@@ -1365,7 +1365,6 @@ object Profiling {
   def featureDriftReport(df: DataFrame, cols: Seq[String],
       inBase: Column, roundDigits: Int = 6): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
-    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
     val packed = array(cols.map(c =>
       struct(lit(c).as("__c"), col(c).cast("double").as("__v"))): _*)
     val cells = df.filter(inBase.isNotNull)
@@ -1375,6 +1374,17 @@ object Profiling {
       .groupBy(col("__c"), col("__b"))
       .agg(count(lit(1)).as("__n"), sum(col("__v")).as("__s"),
         sum(col("__v") * col("__v")).as("__s2"))
+    smdFromMomentCells(cells, roundDigits)
+  }
+
+  /** The SMD finishing chain behind [[featureDriftReport]], entered
+    * at the (column, era, n, sum, sum²) moment-cell level — the
+    * streaming drift monitor ([[graft.streaming.Stateful]]) rolls its
+    * live per-column moments up through THIS exact code path against
+    * a frozen base. */
+  private[graft] def smdFromMomentCells(cells: DataFrame,
+      roundDigits: Int = 6): DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
     def side(flag: Boolean, suffix: String): DataFrame =
       cells.filter(col("__b") === flag)
         .select(col("__c"), col("__n").as(s"__n$suffix"),

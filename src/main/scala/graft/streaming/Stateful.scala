@@ -925,6 +925,42 @@ object Stateful {
       }
   }
 
+  /** One numeric observation of a named feature column. */
+  case class MomentEvent(seq: Long, column: String, value: Double)
+
+  /** Live per-column moment counters: everything
+    * [[graft.operators.Profiling.smdFromMomentCells]] needs to SMD
+    * the live stream against a frozen base. */
+  case class MomentCell(column: String, through_seq: Long, n: Long,
+      s: Double, s2: Double)
+
+  /** Streaming feature-drift monitor: per-column running (n, Σv, Σv²)
+    * — state bounded by the column LIST, never events. The latest row
+    * per column, stacked against the frozen base era's moments, rolls
+    * up through the EXACT batch chain
+    * (`Profiling.smdFromMomentCells`) to the live SMD page — the
+    * "did the data change under me" gauge running against every
+    * incoming micro-batch instead of a nightly scan.
+    */
+  def momentsMonitor(ds: Dataset[MomentEvent]): Dataset[MomentCell] = {
+    implicit val stateEnc: Encoder[MomentCell] = Encoders.product[MomentCell]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    ds.filter(_.column != null)
+      .groupByKey(_.column)
+      .flatMapGroupsWithState[MomentCell, MomentCell](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (c: String, rows: Iterator[MomentEvent],
+            state: GroupState[MomentCell]) =>
+          var st = state.getOption.getOrElse(MomentCell(c, 0L, 0L, 0.0, 0.0))
+          rows.foreach { r =>
+            st = MomentCell(c, math.max(st.through_seq, r.seq),
+              st.n + 1L, st.s + r.value, st.s2 + r.value * r.value)
+          }
+          state.update(st)
+          Iterator.single(st)
+      }
+  }
+
   /** One pairwise preference comparison: `a` listed first, `aWon`
     * true when the first-listed option won. */
   case class PrefEvent(seq: Long, a: String, b: String, aWon: Boolean)

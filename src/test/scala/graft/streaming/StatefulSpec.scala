@@ -804,6 +804,46 @@ class StatefulSpec extends SparkSpec {
       s"live probe != batch estimate")
   }
 
+  test("momentsMonitor rollup ≡ batch featureDriftReport EXACTLY " +
+      "across a mid-stream split") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val base = Seq((1.0, 5.0), (2.0, 5.0), (3.0, 7.0))
+    val cur = Seq((3.0, 5.0), (4.0, 7.0), (5.0, 7.0))
+    val batchDf = (base.map { case (a, b) => (true, a, b) } ++
+      cur.map { case (a, b) => (false, a, b) }).toDF("inBase", "a", "b")
+    val batch = graft.operators.Profiling.featureDriftReport(
+      batchDf, Seq("a", "b"), col("inBase")).collect().toSeq
+    // live side: only the current era streams; base is frozen moments
+    val events = cur.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq(Stateful.MomentEvent(i.toLong * 2, "a", a),
+        Stateful.MomentEvent(i.toLong * 2 + 1, "b", b)) }
+    val mem = MemoryStream[Stateful.MomentEvent]
+    val out = Stateful.momentsMonitor(mem.toDS())
+    val sink = s"mom_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(events.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(events.drop(3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val live = spark.table(sink).as[Stateful.MomentCell].collect()
+      .groupBy(_.column).map(_._2.maxBy(_.through_seq)).toSeq
+    val baseCells = base.map { case (a, b) => ("a", a) -> ("b", b) }
+      .flatMap { case (x, y) => Seq(x, y) }
+      .groupBy(_._1).map { case (c, vs) =>
+        (c, true, vs.size.toLong, vs.map(_._2).sum,
+          vs.map(v => v._2 * v._2).sum) }.toSeq
+    val cells = (baseCells ++ live.map(m =>
+        (m.column, false, m.n, m.s, m.s2)))
+      .toDF("__c", "__b", "__n", "__s", "__s2")
+    val rolled = graft.operators.Profiling.smdFromMomentCells(cells)
+      .collect().toSeq
+    assert(rolled == batch, s"stream rollup $rolled != batch $batch")
+  }
+
   test("prefPairsMonitor rollup ≡ batch bradleyTerry AND " +
       "positionalBias EXACTLY across a mid-stream split") {
     import org.apache.spark.sql.functions.col
