@@ -486,6 +486,48 @@ object Annotation {
       .orderBy(col("entity_a"), col("entity_b"))
   }
 
+  /** Length-bias audit for pairwise preference judgments — the
+    * known failure mode of LLM judges (longer answers win regardless
+    * of quality, Zheng et al. 2023 "Judging LLM-as-a-judge"): the
+    * paired winner-minus-loser length delta with its paired-t
+    * statistic, plus the longer-option win rate over non-tied pairs.
+    * An unbiased judge reads t ≈ 0 and rate ≈ 0.5. One aggregate.
+    */
+  def lengthBiasAudit(df: DataFrame, lenA: Column, lenB: Column,
+      aWon: Column, roundDigits: Int = 6): DataFrame = {
+    val rows = df.filter(lenA.isNotNull && lenB.isNotNull
+        && aWon.isNotNull)
+      .select(when(aWon.cast("boolean"), lenA.cast("double"))
+        .otherwise(lenB.cast("double")).as("__wl"),
+        when(aWon.cast("boolean"), lenB.cast("double"))
+          .otherwise(lenA.cast("double")).as("__ll"))
+    val d = col("__wl") - col("__ll")
+    val agg = rows.agg(count(lit(1)).as("n"),
+      sum(d).as("__sd"), sum(d * d).as("__sd2"),
+      sum(col("__wl")).as("__sw"), sum(col("__ll")).as("__sl"),
+      sum(when(d > 0, 1L).otherwise(0L)).as("__longerWins"),
+      sum(when(d =!= 0, 1L).otherwise(0L)).as("__decided"))
+    val nD = col("n").cast("double")
+    val meanD = col("__sd") / nD
+    val varD = (col("__sd2") - col("__sd") * col("__sd") / nD)
+      ./(nD - lit(1.0d))
+    val t = meanD / sqrt(varD / nD)
+    agg.filter(col("n") > 1)
+      .select(col("n"),
+        round((col("__sw") / nD).cast(stable), roundDigits)
+          .cast("double").as("mean_len_winner"),
+        round((col("__sl") / nD).cast(stable), roundDigits)
+          .cast("double").as("mean_len_loser"),
+        round(meanD.cast(stable), roundDigits).cast("double")
+          .as("mean_delta"),
+        round(when(varD > 0, t).cast(stable), roundDigits)
+          .cast("double").as("paired_t"),
+        round(when(col("__decided") > 0,
+          col("__longerWins").cast("double")
+            / col("__decided").cast("double")).cast(stable), roundDigits)
+          .cast("double").as("longer_win_rate"))
+  }
+
   /** Shared LOO step behind [[raterConsensus]] and [[raterConfusion]]:
     * one row per rating that HAS a leave-one-out consensus — `__r`
     * rater, `__l` the rater's label, `__c` the LOO-majority of the

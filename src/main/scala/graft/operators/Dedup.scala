@@ -1718,6 +1718,40 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_texts"))
   }
 
+  /** Dedup attrition matrix: after exact dedup keeps min-id per
+    * digest group, which source LOSES documents to which keeper
+    * source — the survivorship ledger behind a source-mix plan
+    * (a source can look large pre-dedup and contribute almost
+    * nothing once a bigger crawl holds the same pages, the cross-
+    * source complement to [[crossSourceDupMatrix]]'s symmetric view).
+    *
+    * Shape: the digest discipline — one distinct over (id, source,
+    * sha256) so the shuffle carries 32-byte digests; a min(struct)
+    * picks the keeper per digest; one counting aggregate to the
+    * sources² matrix.
+    */
+  def dedupAttrition(df: DataFrame, textCol: String, idCol: String,
+      sourceCol: String,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
+    val rows = scope.persist(df
+      .filter(col(textCol).isNotNull && col(idCol).isNotNull
+        && col(sourceCol).isNotNull)
+      .select(col(idCol).cast("long").as("__id"),
+        col(sourceCol).cast("string").as("__src"),
+        sha2(col(textCol), 256).as("__dig")))
+    val keepers = rows.groupBy(col("__dig"))
+      .agg(min(struct(col("__id").as("id"), col("__src").as("src")))
+        .as("__k"))
+      .select(col("__dig"), col("__k.id").as("__kid"),
+        col("__k.src").as("keeper_source"))
+    rows.join(keepers, Seq("__dig"))
+      .filter(col("__id") =!= col("__kid"))
+      .groupBy(col("keeper_source"), col("__src").as("loser_source"))
+      .agg(count(lit(1)).as("docs_lost"))
+      .orderBy(col("keeper_source"), col("loser_source"))
+  }
+
   /** URL-level dedup for a crawl frontier: group documents by their
     * CANONICAL url ([[graft.functions.Urls.canonicalize]] — fragment /
     * default-port / www / tracking-param / trailing-slash normalized),

@@ -1222,6 +1222,92 @@ object TextAnalysis {
           .cast("double").as("coverage"))
   }
 
+  /** RAKE keyword extraction (Rose et al. 2010, "Automatic keyword
+    * extraction from individual documents"): candidate phrases are
+    * maximal stopword-free token runs; each word scores
+    * `degree/frequency` over the whole corpus (degree = summed length
+    * of phrases containing it — favors words that live in long
+    * collocations), a phrase scores the sum of its words. Top-k
+    * phrases by ROUNDED score (ties to the phrase text) so the cut is
+    * engine-deterministic.
+    *
+    * Shape: stopword split is one codegen'd regex pass; word stats
+    * are one explode+count bounded by vocabulary; the final rank is a
+    * TakeOrdered over distinct phrases, never a global sort.
+    */
+  def rakeKeywords(df: DataFrame, textCol: String,
+      stopwords: Seq[String], topK: Int = 20, roundDigits: Int = 6,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
+    require(stopwords.nonEmpty && topK >= 1, "need stopwords and topK >= 1")
+    val stopRe = "\\b(" + stopwords.mkString("|") + ")\\b"
+    val phrases = scope.persist(df.filter(col(textCol).isNotNull)
+      .select(explode(split(
+        regexp_replace(lower(col(textCol)), stopRe, "|"), "\\|"))
+        .as("__ph0"))
+      .select(trim(col("__ph0")).as("__ph"))
+      .filter(col("__ph") =!= "")
+      .select(col("__ph"), split(col("__ph"), " +").as("__ws"))
+      .select(col("__ph"), filter(col("__ws"), w => w =!= "").as("__ws"))
+      .select(col("__ph"), col("__ws"), size(col("__ws")).as("__len"))
+      .filter(col("__len") > 0))
+    val wordStats = phrases.select(explode(col("__ws")).as("__w"),
+        col("__len"))
+      .groupBy(col("__w"))
+      .agg(count(lit(1)).as("__freq"), sum(col("__len")).as("__deg"))
+    val distinctPh = phrases.groupBy(col("__ph"))
+      .agg(count(lit(1)).as("occurrences"), first(col("__ws")).as("__ws"))
+    val scored = distinctPh
+      .select(col("__ph"), col("occurrences"), explode(col("__ws")).as("__w"))
+      .join(wordStats, Seq("__w"))
+      .groupBy(col("__ph"), col("occurrences"))
+      .agg(round(sum(col("__deg").cast("double")
+        / col("__freq").cast("double"))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 8)), roundDigits)
+        .cast("double").as("score"))
+    scored.select(col("__ph").as("phrase"), col("occurrences"),
+        col("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(topK)
+  }
+
+  /** Smoothed KL divergence between two eras' unigram distributions
+    * (both directions — KL is asymmetric and the asymmetry is
+    * informative: new-vocab mass shows in KL(new‖old)): add-one
+    * smoothing over the UNION vocabulary keeps every term finite.
+    * One count pass to per-era token cells, per-term DECIMAL(18,10)
+    * sums. The token-level drift gauge next to x236's numeric JS.
+    */
+  def vocabKlDrift(df: DataFrame, textCol: String, inA: Column,
+      roundDigits: Int = 6): DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val dec = org.apache.spark.sql.types.DecimalType(18, 10)
+    val cells = df.filter(col(textCol).isNotNull && inA.isNotNull)
+      .select(inA.cast("boolean").as("__a"),
+        explode(Text.tokens(col(textCol))).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .groupBy(col("__tok"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("__cb"))
+    val tot = cells.agg(sum(col("__ca")).as("__na"),
+      sum(col("__cb")).as("__nb"), count(lit(1)).as("__v"))
+    val p = (col("__ca").cast("double") + lit(1.0d))
+      ./(col("__na").cast("double") + col("__v").cast("double"))
+    val q = (col("__cb").cast("double") + lit(1.0d))
+      ./(col("__nb").cast("double") + col("__v").cast("double"))
+    cells.crossJoin(broadcast(tot))
+      .agg(first(col("__v")).as("vocab"), first(col("__na")).as("tokens_a"),
+        first(col("__nb")).as("tokens_b"),
+        sum((p * log(p / q)).cast(dec)).as("__klab"),
+        sum((q * log(q / p)).cast(dec)).as("__klba"))
+      .filter(col("vocab") > 0)
+      .select(col("vocab"), col("tokens_a"), col("tokens_b"),
+        round(col("__klab").cast("double").cast(stable), roundDigits)
+          .cast("double").as("kl_ab"),
+        round(col("__klba").cast("double").cast(stable), roundDigits)
+          .cast("double").as("kl_ba"))
+  }
+
   /** "Fightin' Words" log-odds with an informative Dirichlet prior
     * (Monroe, Colaresi & Quinn 2008 §3.5.2): for each token, the
     * z-scored log-odds-ratio of its usage between corpus A and B,

@@ -6462,6 +6462,121 @@ object OracleSql {
         |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS fisher
         |FROM t WHERE items > 0 AND l0 > 0 AND p0s > 0""".stripMargin,
 
+    // RAKE: stopword-regex phrase split, corpus word degree/freq,
+    // top-20 by ROUNDED score (ties to phrase text).
+    "x312_rake_keywords" ->
+      """WITH ph0 AS (SELECT unnest(string_split(regexp_replace(
+        |    lower(text), '\b(the|a|and|of|to|is|in|it)\b', '|', 'g'),
+        |    '|')) AS p0
+        |  FROM documents WHERE text IS NOT NULL),
+        |ph AS (SELECT trim(p0) AS ph FROM ph0 WHERE trim(p0) <> ''),
+        |phl AS (SELECT ph, ws, len(ws) AS l FROM
+        |  (SELECT ph, list_filter(string_split_regex(ph, ' +'),
+        |     w -> w <> '') AS ws FROM ph)
+        |  WHERE len(ws) > 0),
+        |wstat AS (SELECT w, COUNT(*) AS freq, SUM(l) AS deg FROM
+        |  (SELECT unnest(ws) AS w, l FROM phl) GROUP BY 1),
+        |dph AS (SELECT ph, COUNT(*) AS occ FROM phl GROUP BY 1),
+        |dw AS (SELECT ph, occ, unnest(list_filter(
+        |    string_split_regex(ph, ' +'), w -> w <> '')) AS w FROM dph),
+        |sc AS (SELECT ph, occ,
+        |  CAST(ROUND(CAST(SUM(CAST(deg AS DOUBLE)
+        |    / CAST(freq AS DOUBLE)) AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |    AS score
+        |  FROM dw JOIN wstat USING (w) GROUP BY 1, 2)
+        |SELECT ph AS phrase, CAST(occ AS BIGINT) AS occurrences, score
+        |FROM sc ORDER BY score DESC, phrase LIMIT 20""".stripMargin,
+
+    // Vocab KL drift: add-one smoothing over the union vocabulary,
+    // per-term DECIMAL(18,10) sums, both directions.
+    "x313_vocab_kl_drift" ->
+      """WITH t AS (SELECT (doc_id % 2 = 0) AS a,
+        |  unnest(string_split(text, ' ')) AS tok FROM documents
+        |  WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+        |c AS (SELECT tok,
+        |  SUM(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+        |  SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS cb
+        |  FROM t WHERE tok <> '' GROUP BY 1),
+        |tt AS (SELECT SUM(ca) AS na, SUM(cb) AS nb, COUNT(*) AS v
+        |  FROM c),
+        |s AS (SELECT MAX(v) AS vocab, MAX(na) AS ta, MAX(nb) AS tb,
+        |  SUM(CAST(
+        |    ((CAST(ca AS DOUBLE) + 1.0e0)
+        |      / (CAST(na AS DOUBLE) + CAST(v AS DOUBLE)))
+        |    * LN(((CAST(ca AS DOUBLE) + 1.0e0)
+        |        / (CAST(na AS DOUBLE) + CAST(v AS DOUBLE)))
+        |      / ((CAST(cb AS DOUBLE) + 1.0e0)
+        |        / (CAST(nb AS DOUBLE) + CAST(v AS DOUBLE))))
+        |    AS DECIMAL(18,10))) AS klab,
+        |  SUM(CAST(
+        |    ((CAST(cb AS DOUBLE) + 1.0e0)
+        |      / (CAST(nb AS DOUBLE) + CAST(v AS DOUBLE)))
+        |    * LN(((CAST(cb AS DOUBLE) + 1.0e0)
+        |        / (CAST(nb AS DOUBLE) + CAST(v AS DOUBLE)))
+        |      / ((CAST(ca AS DOUBLE) + 1.0e0)
+        |        / (CAST(na AS DOUBLE) + CAST(v AS DOUBLE))))
+        |    AS DECIMAL(18,10))) AS klba
+        |  FROM c CROSS JOIN tt)
+        |SELECT CAST(vocab AS BIGINT) AS vocab,
+        |  CAST(ta AS BIGINT) AS tokens_a, CAST(tb AS BIGINT)
+        |    AS tokens_b,
+        |  CAST(ROUND(CAST(CAST(klab AS DOUBLE) AS DECIMAL(18,8)), 6)
+        |    AS DOUBLE) AS kl_ab,
+        |  CAST(ROUND(CAST(CAST(klba AS DOUBLE) AS DECIMAL(18,8)), 6)
+        |    AS DOUBLE) AS kl_ba
+        |FROM s WHERE vocab > 0""".stripMargin,
+
+    // Length-bias audit with the hash-coin judge (x54's md5 idiom).
+    "x314_length_bias" ->
+      """WITH a AS (SELECT doc_id AS ida, n_chars AS la FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |b AS (SELECT doc_id - 1 AS ida, doc_id AS idb, n_chars AS lb
+        |  FROM documents),
+        |p AS (SELECT CAST(la AS DOUBLE) AS la, CAST(lb AS DOUBLE) AS lb,
+        |  substr(md5(CAST(ida AS VARCHAR) || '|'
+        |    || CAST(idb AS VARCHAR)), 1, 4) < '8000' AS awon
+        |  FROM a JOIN b USING (ida)),
+        |r AS (SELECT CASE WHEN awon THEN la ELSE lb END AS wl,
+        |  CASE WHEN awon THEN lb ELSE la END AS ll FROM p),
+        |ag AS (SELECT COUNT(*) AS n, SUM(wl - ll) AS sd,
+        |  SUM((wl - ll) * (wl - ll)) AS sd2, SUM(wl) AS sw,
+        |  SUM(ll) AS sl,
+        |  SUM(CASE WHEN wl - ll > 0 THEN 1 ELSE 0 END) AS lw,
+        |  SUM(CASE WHEN wl - ll <> 0 THEN 1 ELSE 0 END) AS dec_
+        |  FROM r),
+        |f AS (SELECT n, sd / CAST(n AS DOUBLE) AS md,
+        |  (sd2 - sd * sd / CAST(n AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) - 1.0e0) AS vd,
+        |  sw, sl, lw, dec_ FROM ag WHERE n > 1)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(ROUND(CAST(sw / CAST(n AS DOUBLE) AS DECIMAL(18,8)), 6)
+        |    AS DOUBLE) AS mean_len_winner,
+        |  CAST(ROUND(CAST(sl / CAST(n AS DOUBLE) AS DECIMAL(18,8)), 6)
+        |    AS DOUBLE) AS mean_len_loser,
+        |  CAST(ROUND(CAST(md AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |    AS mean_delta,
+        |  CAST(ROUND(CAST(CASE WHEN vd > 0 THEN
+        |    md / SQRT(vd / CAST(n AS DOUBLE)) END
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS paired_t,
+        |  CAST(ROUND(CAST(CASE WHEN dec_ > 0 THEN
+        |    CAST(lw AS DOUBLE) / CAST(dec_ AS DOUBLE) END
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS longer_win_rate
+        |FROM f""".stripMargin,
+
+    // Dedup attrition: keeper = min (id, src) per text, matrix of
+    // who loses docs to whom.
+    "x315_dedup_attrition" ->
+      """WITH r AS (SELECT doc_id AS id, source AS src, text AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |    AND doc_id IS NOT NULL AND source IS NOT NULL),
+        |k AS (SELECT t, id AS kid, src AS ksrc FROM
+        |  (SELECT t, id, src, ROW_NUMBER() OVER (PARTITION BY t
+        |    ORDER BY id, src) AS rn FROM r) WHERE rn = 1)
+        |SELECT k.ksrc AS keeper_source, r.src AS loser_source,
+        |  CAST(COUNT(*) AS BIGINT) AS docs_lost
+        |FROM r JOIN k ON r.t = k.t WHERE r.id <> k.kid
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // Levene (mean-centered): ANOVA on |x - mean_g|, 8dp-rounded
     // group terms into exact decimal sums.
     "x308_levene" ->

@@ -3250,6 +3250,40 @@ object Queries {
       group = col("l_linestatus"), prob = col("l_discount") * 10,
       outcome = col("l_returnflag") === "R", bins = 10)
 
+  /** X279 — RAKE keyphrases over the documents corpus, top 20 by
+    * degree/frequency score. */
+  def x312(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.rakeKeywords(Tables.documents(s, dir), "text",
+      stopwords = Seq("the", "a", "and", "of", "to", "is", "in", "it"),
+      topK = 20)
+
+  /** X280 — smoothed unigram KL drift between the even- and odd-id
+    * document eras, both directions. */
+  def x313(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabKlDrift(Tables.documents(s, dir), "text",
+      inA = col("doc_id") % 2 === 0)
+
+  /** X281 — LLM-judge length-bias audit over derived doc pairs with
+    * a hash-coin judge: an unbiased judge reads t ≈ 0, rate ≈ 0.5. */
+  def x314(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val a = d.select((col("doc_id")).as("ida"), col("n_chars").as("la"))
+      .filter(col("ida") % 2 === 0)
+    val b = d.select((col("doc_id") - 1).as("ida"),
+      col("doc_id").as("idb"), col("n_chars").as("lb"))
+    val pairs = a.join(b, Seq("ida"))
+      .select(col("la"), col("lb"),
+        (substring(md5(concat(col("ida").cast("string"), lit("|"),
+          col("idb").cast("string"))), 1, 4) < "8000").as("a_won"))
+    Annotation.lengthBiasAudit(pairs, col("la"), col("lb"), col("a_won"))
+  }
+
+  /** X282 — dedup attrition matrix: who loses documents to whom once
+    * exact dedup keeps min-id per text. */
+  def x315(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupAttrition(Tables.documents(s, dir), "text", "doc_id",
+      "source")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -3574,5 +3608,9 @@ object Queries {
     "x308_levene" -> (x308 _),
     "x309_anova_f" -> (x309 _),
     "x310_effective_n" -> (x310 _),
-    "x311_calibration_by_group" -> (x311 _))
+    "x311_calibration_by_group" -> (x311 _),
+    "x312_rake_keywords" -> (x312 _),
+    "x313_vocab_kl_drift" -> (x313 _),
+    "x314_length_bias" -> (x314 _),
+    "x315_dedup_attrition" -> (x315 _))
 }

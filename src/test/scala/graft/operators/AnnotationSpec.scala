@@ -180,6 +180,19 @@ class AnnotationSpec extends SparkSpec {
       && r.head.getAs[Double]("wilson_hi") > 0.75)
   }
 
+  test("lengthBiasAudit: hand paired-t on a longer-always-wins log") {
+    import org.apache.spark.sql.functions.col
+    val pairs = Seq((5.0, 4.0, true), (7.0, 4.0, true))
+      .toDF("la", "lb", "aw")
+    val r = Annotation.lengthBiasAudit(pairs, col("la"), col("lb"),
+      col("aw")).head()
+    assert(r.getAs[Double]("mean_len_winner") === 6.0)
+    assert(r.getAs[Double]("mean_len_loser") === 4.0)
+    assert(r.getAs[Double]("mean_delta") === 2.0)
+    assert(r.getAs[Double]("paired_t") === 2.0) // d={1,3}: 2/sqrt(2/2)
+    assert(r.getAs[Double]("longer_win_rate") === 1.0)
+  }
+
   test("raterConsensus drops ratings with no other rater on the item") {
     val df = ratings(("i1", "r1", "a"), ("i1", "r2", "a"),
       ("solo", "r1", "b"))

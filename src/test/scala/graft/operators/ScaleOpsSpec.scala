@@ -473,4 +473,17 @@ class ScaleOpsSpec extends SparkSpec {
       .select("doc_id", "text").as[(Long, String)].collect().toSet
     assert(got == Set((10L, "keep me"), (11L, "also kept")), s"got $got")
   }
+
+  test("dedupAttrition: losers ledger per keeper source, unique " +
+      "texts contribute nothing") {
+    import spark.implicits._
+    val docs = Seq((1L, "s1", "t"), (2L, "s2", "t"), (3L, "s2", "t"),
+      (4L, "s3", "u")).toDF("doc_id", "source", "text")
+    val out = Dedup.dedupAttrition(docs, "text", "doc_id", "source")
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("keeper_source") === "s1")
+    assert(out.head.getAs[String]("loser_source") === "s2")
+    assert(out.head.getAs[Long]("docs_lost") === 2L)
+  }
 }

@@ -564,6 +564,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("coverage") === 0.666667)
   }
 
+  test("rakeKeywords: degree/frequency scoring on the hand fixture, " +
+      "ties break to phrase text") {
+    import spark.implicits._
+    // phrases: "deep learning", "deep networks" — deep deg 4 freq 2,
+    // others deg 2 freq 1 -> every word scores 2, each phrase 4
+    val df = Seq("deep learning of deep networks").toDF("text")
+    val out = TextAnalysis.rakeKeywords(df, "text",
+      stopwords = Seq("of"), topK = 10).collect()
+    assert(out.map(_.getString(0)).toSeq
+      === Seq("deep learning", "deep networks"))
+    assert(out.forall(_.getAs[Double]("score") === 4.0))
+    assert(out.forall(_.getAs[Long]("occurrences") === 1L))
+  }
+
+  test("vocabKlDrift: identical eras read 0, disjoint eras read the " +
+      "hand smoothed KL symmetrically") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val same = Seq((0L, "x x y"), (1L, "x x y")).toDF("doc_id", "text")
+    val s = TextAnalysis.vocabKlDrift(same, "text",
+      col("doc_id") % 2 === 0).head()
+    assert(s.getAs[Double]("kl_ab") === 0.0)
+    assert(s.getAs[Double]("kl_ba") === 0.0)
+    // A = xxx, B = yyy: KL = .8 ln4 + .2 ln(1/4) = .6 ln4 both ways
+    val dis = Seq((0L, "x x x"), (1L, "y y y")).toDF("doc_id", "text")
+    val d = TextAnalysis.vocabKlDrift(dis, "text",
+      col("doc_id") % 2 === 0).head()
+    assert(d.getAs[Double]("kl_ab") === 0.831777)
+    assert(d.getAs[Double]("kl_ba") === 0.831777)
+    assert(d.getAs[Long]("vocab") === 2L)
+  }
+
   test("fightinWords: an A-exclusive token z-scores above a balanced " +
       "one; min-count drops the tail") {
     import spark.implicits._
