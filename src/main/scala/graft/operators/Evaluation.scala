@@ -2184,6 +2184,134 @@ object Evaluation {
       .orderBy(col("score_bin").desc)
   }
 
+  /** Cochran–Armitage trend test (Armitage 1955): is an event rate
+    * MONOTONE in an ordered dose — the ordered-alternative question a
+    * plain chi-square wastes power on. `z = Σd(r_i - n_i R/N) /
+    * sqrt(p(1-p)(Σd²n - (Σdn)²/N))` over per-dose (n, events) cells;
+    * every accumulator is an integer or one-product term, one scan.
+    */
+  def cochranArmitage(df: DataFrame, dose: Column, event: Column,
+      roundDigits: Int = 6): DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = df.filter(dose.isNotNull && event.isNotNull)
+      .select(dose.cast("long").as("__d"),
+        event.cast("boolean").cast("long").as("__e"))
+      .groupBy(col("__d"))
+      .agg(count(lit(1)).as("__n"), sum(col("__e")).as("__r"))
+    val agg = cells.agg(sum(col("__n")).as("__N"), sum(col("__r")).as("__R"),
+      count(lit(1)).as("doses"),
+      sum((col("__d").cast(d38) * col("__n").cast(d38)).cast(d38))
+        .as("__dn"),
+      sum((col("__d").cast(d38) * col("__d").cast(d38)
+        * col("__n").cast(d38)).cast(d38)).as("__d2n"),
+      sum((col("__d").cast(d38) * col("__r").cast(d38)).cast(d38))
+        .as("__dr"))
+    val nD = col("__N").cast("double")
+    val p = col("__R").cast("double") / nD
+    val num = col("__dr").cast("double") - col("__dn").cast("double") * p
+    val vr = p * (lit(1.0d) - p)
+      .*(col("__d2n").cast("double")
+        - col("__dn").cast("double") * col("__dn").cast("double") / nD)
+    agg.filter(col("__N") > 0 && col("doses") >= 2)
+      .select(col("__N").as("n"), col("doses"),
+        round(p.cast(stable), roundDigits).cast("double")
+          .as("event_rate"),
+        round(when(vr > 0, num / sqrt(vr)).cast(stable), roundDigits)
+          .cast("double").as("z"))
+  }
+
+  /** Hellinger distance between two eras' distributions over `bins`
+    * equal-width buckets (with the Bhattacharyya coefficient it is
+    * built from): bounded in [0,1], symmetric, defined when bins are
+    * empty on one side — the drift gauge to reach for when PSI's
+    * log blows up on empty bins. One conditional aggregate to ≤ bins
+    * cells; per-bin sqrt terms ride DECIMAL(18,10).
+    */
+  def hellingerDrift(df: DataFrame, value: Column, inA: Column,
+      bins: Int = 20, roundDigits: Int = 6): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val dec = org.apache.spark.sql.types.DecimalType(18, 10)
+    val raw = df.filter(value.isNotNull && inA.isNotNull)
+      .select(value.cast("double").as("__v"),
+        inA.cast("boolean").as("__a"))
+    val cells = quantize(raw, "__v", bins)
+      .groupBy(col("__v").as("__b"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("__na"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("__nb"))
+    val tot = cells.agg(sum(col("__na")).as("__ta"),
+      sum(col("__nb")).as("__tb"))
+    // guard: a one-sided input (every row in one era) must yield the
+    // empty result, not an ANSI division error
+    val bc = cells.crossJoin(broadcast(tot))
+      .agg(first(col("__ta")).as("__ta"), first(col("__tb")).as("__tb"),
+        sum(when(col("__ta") > 0 && col("__tb") > 0,
+          sqrt((col("__na").cast("double") / col("__ta").cast("double"))
+            * (col("__nb").cast("double") / col("__tb").cast("double"))))
+          .cast(dec)).as("__bc"))
+    bc.filter(col("__ta") > 0 && col("__tb") > 0)
+      .select(col("__ta").as("n_a"), col("__tb").as("n_b"),
+        round(col("__bc").cast("double").cast(stable), roundDigits)
+          .cast("double").as("bhattacharyya"),
+        round(sqrt(greatest(lit(1.0d) - col("__bc").cast("double"),
+          lit(0.0d))).cast(stable), roundDigits).cast("double")
+          .as("hellinger"))
+  }
+
+  /** Operating-point selection from the score distribution: sweep
+    * every candidate threshold (one per score cell, the shared
+    * [[quantize]] `bins` contract) and report the maximizer of
+    * Youden's J (tpr − fpr, the cost-free default) AND of expected
+    * utility under the caller's cost matrix — the "where do I cut"
+    * answer served from the same one-scan cell table ROC AUC uses.
+    * Ties break to the LOWEST threshold. Predicted-positive means
+    * score >= threshold.
+    */
+  def optimalThreshold(df: DataFrame, score: Column, label: Column,
+      bins: Int = 0, utilityTp: Double = 1.0, utilityTn: Double = 0.0,
+      costFp: Double = 1.0, costFn: Double = 1.0,
+      roundDigits: Int = 6): DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val raw = df.filter(score.isNotNull && label.isNotNull)
+      .select(score.cast("double").as("__s"),
+        label.cast("boolean").cast("long").as("__y"))
+    val cells = quantize(raw, "__s", bins)
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__p"))
+    // cumulative from the top: predicted positive = score >= threshold
+    val w = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = cells.agg(sum(col("__n")).as("__tn"), sum(col("__p")).as("__tp"))
+    val curve = cells
+      .select(col("__s"), sum(col("__n")).over(w).as("__cn"),
+        sum(col("__p")).over(w).as("__cp"))
+      .crossJoin(broadcast(tot))
+      .filter(col("__tp") > 0 && col("__tn") > col("__tp"))
+    val tp = col("__cp").cast("double")
+    val fp = (col("__cn") - col("__cp")).cast("double")
+    val fn = (col("__tp") - col("__cp")).cast("double")
+    val tn = (col("__tn") - col("__cn") - col("__tp") + col("__cp"))
+      .cast("double")
+    val j = round((tp / col("__tp").cast("double")
+      - fp / (col("__tn") - col("__tp")).cast("double")).cast(stable), 8)
+    val util = round(((tp * utilityTp + tn * utilityTn
+      - fp * costFp - fn * costFn) / col("__tn").cast("double"))
+      .cast(stable), 8)
+    val scored = curve.select(col("__s"), j.as("__j"), util.as("__u"))
+    val bestJ = scored.agg(min(struct((-col("__j")).as("j"),
+      col("__s").as("s"))).as("__b"))
+      .select(col("__b.s").as("threshold_j"),
+        round((-col("__b.j")).cast(stable), roundDigits).cast("double")
+          .as("youden_j"))
+    val bestU = scored.agg(min(struct((-col("__u")).as("u"),
+      col("__s").as("s"))).as("__b"))
+      .select(col("__b.s").as("threshold_utility"),
+        round((-col("__b.u")).cast(stable), roundDigits).cast("double")
+          .as("utility"))
+    bestJ.crossJoin(bestU)
+  }
+
   /** Levene's test for variance homogeneity (Levene 1960, mean-
     * centered form): ANOVA on the absolute deviations `Z = |x - x̄_g|`
     * — the "can I even pool these groups' variances" check that

@@ -1351,6 +1351,42 @@ object Profiling {
       .orderBy(col("group"))
   }
 
+  /** G-test of independence (log-likelihood ratio, Sokal & Rohlf):
+    * `G = 2 Σ o·ln(o/e)` over the contingency cells — chi-square's
+    * likelihood-based twin, additive across partitions of the table
+    * (chi² isn't), preferred at small expected counts. Same one-scan
+    * cell shape as [[chiSquare]]; per-term DECIMAL(18,10) sums.
+    * Zero cells contribute zero by the 0·ln0 = 0 convention.
+    */
+  def gTest(df: DataFrame, colA: String, colB: String,
+      roundDigits: Int = 6,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val dec = org.apache.spark.sql.types.DecimalType(18, 10)
+    val cells = scope.persist(df
+      .filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).cast("string").as("__x"),
+        col(colB).cast("string").as("__y"))
+      .agg(count(lit(1)).as("__o")))
+    val n = cells.agg(sum(col("__o")).as("__n"))
+    val rowT = cells.groupBy(col("__x")).agg(sum(col("__o")).as("__rx"))
+    val colT = cells.groupBy(col("__y")).agg(sum(col("__o")).as("__cy"))
+    val kx = rowT.count(); val ky = colT.count()
+    val e = col("__rx").cast("double") * col("__cy").cast("double") /
+      col("__n").cast("double")
+    val g = cells.join(rowT, Seq("__x")).join(colT, Seq("__y"))
+      .crossJoin(broadcast(n))
+      .agg(first(col("__n")).as("__n"),
+        sum((col("__o").cast("double")
+          * log(col("__o").cast("double") / e)).cast(dec)).as("__g"))
+    g.filter(col("__n") > 0)
+      .select(col("__n").as("n"),
+        lit((kx - 1) * (ky - 1)).as("dof"),
+        round((lit(2.0d) * col("__g").cast("double")).cast(stable),
+          roundDigits).cast("double").as("g_stat"))
+  }
+
   /** Feature-drift report between two eras: per numeric column, the
     * standardized mean difference `SMD = (mean1 - mean0) /
     * sqrt((var0 + var1)/2)` — the scale-free drift gauge (|SMD| >

@@ -239,6 +239,42 @@ object Sampling {
       .limit(k)
   }
 
+  /** Neyman optimal stratified-sample allocation (Neyman 1934):
+    * sampling budget proportional to `N_h·σ_h` — strata that are big
+    * OR internally varied get the samples; a uniform-rate sample
+    * wastes budget on homogeneous strata. The planning read before
+    * any stratified eval/labeling pass over a corpus. One moment
+    * aggregate per stratum (population σ), shares from the stratum
+    * cell table, `alloc` = floor(share × budget).
+    */
+  def neymanAllocation(df: DataFrame, stratum: Column, value: Column,
+      budget: Long, roundDigits: Int = 6): DataFrame = {
+    require(budget > 0, s"budget must be > 0: $budget")
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val cells = df.filter(stratum.isNotNull && value.isNotNull)
+      .select(stratum.cast("string").as("__g"),
+        value.cast("double").as("__v"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"), sum(col("__v")).as("__s"),
+        sum(col("__v") * col("__v")).as("__s2"))
+    val nD = col("n").cast("double")
+    val sd = sqrt(greatest((col("__s2") - col("__s") * col("__s") / nD)
+      / nD, lit(0.0d)))
+    // N_h·σ_h rides DECIMAL(28,8): price-scale strata overflow (18,8)
+    val withSd = cells.select(col("__g"), col("n"),
+      round((nD * sd).cast(org.apache.spark.sql.types.DecimalType(28, 8)),
+        8).as("__w"))
+    val tot = withSd.agg(sum(col("__w")).as("__tw"))
+    withSd.crossJoin(broadcast(tot))
+      .filter(col("__tw").cast("double") > 0)
+      .select(col("__g").as("stratum"), col("n"),
+        round((col("__w").cast("double") / col("__tw").cast("double"))
+          .cast(stable), roundDigits).cast("double").as("share"),
+        floor(col("__w").cast("double") / col("__tw").cast("double")
+          * budget).cast("long").as("alloc"))
+      .orderBy(col("stratum"))
+  }
+
   /** Kish effective sample size per group: `ESS = (Σw)²/Σw²` (Kish
     * 1965) — how many EQUAL-weight rows this weighted group is worth.
     * The sanity gauge on every weighted mix (x62/x68 source weights,

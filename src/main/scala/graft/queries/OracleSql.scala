@@ -6462,6 +6462,133 @@ object OracleSql {
         |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS fisher
         |FROM t WHERE items > 0 AND l0 > 0 AND p0s > 0""".stripMargin,
 
+    // Cochran-Armitage: integer dose-moment sums, one z at the end;
+    // float grouping mirrors Spark's operator order exactly.
+    "x316_cochran_armitage" ->
+      """WITH c AS (SELECT CAST(FLOOR((CAST(l_quantity AS DOUBLE) - 1)
+        |    / 10) AS BIGINT) AS d,
+        |  COUNT(*) AS n,
+        |  SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |    AND l_returnflag IS NOT NULL GROUP BY 1),
+        |a AS (SELECT SUM(n) AS nn, SUM(r) AS rr, COUNT(*) AS doses,
+        |  SUM(d * n) AS dn, SUM(d * d * n) AS d2n, SUM(d * r) AS dr
+        |  FROM c),
+        |f AS (SELECT nn, doses,
+        |  CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE) AS p,
+        |  CAST(dr AS DOUBLE) - CAST(dn AS DOUBLE)
+        |    * (CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE)) AS num,
+        |  (CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE))
+        |    * ((1.0e0 - CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE))
+        |      * (CAST(d2n AS DOUBLE) - CAST(dn AS DOUBLE)
+        |        * CAST(dn AS DOUBLE) / CAST(nn AS DOUBLE))) AS vr
+        |  FROM a WHERE nn > 0 AND doses >= 2)
+        |SELECT CAST(nn AS BIGINT) AS n, CAST(doses AS BIGINT) AS doses,
+        |  CAST(ROUND(CAST(p AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |    AS event_rate,
+        |  CAST(ROUND(CAST(CASE WHEN vr > 0 THEN num / SQRT(vr) END
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS z
+        |FROM f""".stripMargin,
+
+    // G-test: per-cell DECIMAL(18,10) o·ln(o/e) terms, 2x at the end.
+    "x317_g_test" ->
+      """WITH cells AS (SELECT CAST(l_returnflag AS VARCHAR) AS x,
+        |  CAST(l_linestatus AS VARCHAR) AS y, COUNT(*) AS o
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL
+        |    AND l_linestatus IS NOT NULL GROUP BY 1, 2),
+        |nn AS (SELECT SUM(o) AS n FROM cells),
+        |rt AS (SELECT x, SUM(o) AS rx FROM cells GROUP BY 1),
+        |ct AS (SELECT y, SUM(o) AS cy FROM cells GROUP BY 1),
+        |g AS (SELECT MAX(nn.n) AS n,
+        |  SUM(CAST(CAST(o AS DOUBLE) * LN(CAST(o AS DOUBLE)
+        |    / (CAST(rx AS DOUBLE) * CAST(cy AS DOUBLE)
+        |      / CAST(nn.n AS DOUBLE))) AS DECIMAL(18,10))) AS gg
+        |  FROM cells JOIN rt USING (x) JOIN ct USING (y) CROSS JOIN nn),
+        |d AS (SELECT (COUNT(DISTINCT x) - 1)
+        |  * (COUNT(DISTINCT y) - 1) AS dof FROM cells)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(dof AS BIGINT) AS dof,
+        |  CAST(ROUND(CAST(2.0e0 * CAST(gg AS DOUBLE)
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS g_stat
+        |FROM g CROSS JOIN d WHERE n > 0""".stripMargin,
+
+    // Hellinger: equal-width bins, per-bin DECIMAL(18,10) sqrt terms.
+    "x318_hellinger" ->
+      """WITH r AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+        |  (l_suppkey % 2 = 0) AS a FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_suppkey IS NOT NULL),
+        |ex AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM r),
+        |c AS (SELECT CASE WHEN ex.hi > ex.lo THEN
+        |    LEAST(FLOOR((v - ex.lo) * 20 / (ex.hi - ex.lo)), 19)
+        |    ELSE 0 END AS b,
+        |  SUM(CASE WHEN a THEN 1 ELSE 0 END) AS na,
+        |  SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS nb
+        |  FROM r CROSS JOIN ex GROUP BY 1),
+        |t AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM c),
+        |bc AS (SELECT MAX(t.ta) AS ta, MAX(t.tb) AS tb,
+        |  SUM(CAST(SQRT((CAST(na AS DOUBLE) / CAST(t.ta AS DOUBLE))
+        |    * (CAST(nb AS DOUBLE) / CAST(t.tb AS DOUBLE)))
+        |    AS DECIMAL(18,10))) AS bc
+        |  FROM c CROSS JOIN t)
+        |SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+        |  CAST(ROUND(CAST(CAST(bc AS DOUBLE) AS DECIMAL(18,8)), 6)
+        |    AS DOUBLE) AS bhattacharyya,
+        |  CAST(ROUND(CAST(SQRT(GREATEST(1.0e0 - CAST(bc AS DOUBLE),
+        |    0.0e0)) AS DECIMAL(18,8)), 6) AS DOUBLE) AS hellinger
+        |FROM bc WHERE ta > 0 AND tb > 0""".stripMargin,
+
+    // Neyman allocation: N_h*sigma_h in DECIMAL(28,8), floor alloc.
+    "x319_neyman_alloc" ->
+      """WITH c AS (SELECT CAST(l_returnflag AS VARCHAR) AS g,
+        |  COUNT(*) AS n, SUM(CAST(l_extendedprice AS DOUBLE)) AS s,
+        |  SUM(CAST(l_extendedprice AS DOUBLE)
+        |    * CAST(l_extendedprice AS DOUBLE)) AS s2
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL GROUP BY 1),
+        |w AS (SELECT g, n, ROUND(CAST(CAST(n AS DOUBLE)
+        |  * SQRT(GREATEST((s2 - s * s / CAST(n AS DOUBLE))
+        |    / CAST(n AS DOUBLE), 0.0e0)) AS DECIMAL(28,8)), 8) AS wt
+        |  FROM c),
+        |t AS (SELECT SUM(wt) AS tw FROM w)
+        |SELECT g AS stratum, CAST(n AS BIGINT) AS n,
+        |  CAST(ROUND(CAST(CAST(wt AS DOUBLE) / CAST(tw AS DOUBLE)
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS share,
+        |  CAST(FLOOR(CAST(wt AS DOUBLE) / CAST(tw AS DOUBLE) * 1000)
+        |    AS BIGINT) AS alloc
+        |FROM w CROSS JOIN t WHERE CAST(tw AS DOUBLE) > 0
+        |ORDER BY stratum""".stripMargin,
+
+    // Operating point: cumulative confusion over score cells, argmax
+    // by 8dp-rounded J / utility, ties to the lowest threshold.
+    "x320_optimal_threshold" ->
+      """WITH r AS (SELECT CAST(l_discount AS DOUBLE) AS s,
+        |  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem WHERE l_discount IS NOT NULL
+        |    AND l_returnflag IS NOT NULL),
+        |c AS (SELECT s, COUNT(*) AS n, SUM(y) AS p FROM r GROUP BY 1),
+        |t AS (SELECT SUM(n) AS tn, SUM(p) AS tp FROM c),
+        |cm AS (SELECT s, SUM(n) OVER w AS cn, SUM(p) OVER w AS cp
+        |  FROM c WINDOW w AS (ORDER BY s DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |sc AS (SELECT s,
+        |  ROUND(CAST(CAST(cp AS DOUBLE) / CAST(t.tp AS DOUBLE)
+        |    - CAST(cn - cp AS DOUBLE) / CAST(t.tn - t.tp AS DOUBLE)
+        |    AS DECIMAL(18,8)), 8) AS j,
+        |  ROUND(CAST((CAST(cp AS DOUBLE) * 1.0e0
+        |    + CAST(t.tn - cn - t.tp + cp AS DOUBLE) * 0.0e0
+        |    - CAST(cn - cp AS DOUBLE) * 1.0e0
+        |    - CAST(t.tp - cp AS DOUBLE) * 1.0e0)
+        |    / CAST(t.tn AS DOUBLE) AS DECIMAL(18,8)), 8) AS u
+        |  FROM cm CROSS JOIN t WHERE t.tp > 0 AND t.tn > t.tp),
+        |bj AS (SELECT s, j FROM sc ORDER BY j DESC, s LIMIT 1),
+        |bu AS (SELECT s, u FROM sc ORDER BY u DESC, s LIMIT 1)
+        |SELECT bj.s AS threshold_j,
+        |  CAST(ROUND(CAST(bj.j AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |    AS youden_j,
+        |  bu.s AS threshold_utility,
+        |  CAST(ROUND(CAST(bu.u AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |    AS utility
+        |FROM bj CROSS JOIN bu""".stripMargin,
+
     // RAKE: stopword-regex phrase split, corpus word degree/freq,
     // top-20 by ROUNDED score (ties to phrase text).
     "x312_rake_keywords" ->

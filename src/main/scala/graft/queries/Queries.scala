@@ -3284,6 +3284,39 @@ object Queries {
     Dedup.dedupAttrition(Tables.documents(s, dir), "text", "doc_id",
       "source")
 
+  /** X283 — Cochran–Armitage trend: is the return rate monotone in
+    * the quantity-decile dose? */
+  def x316(s: SparkSession, dir: String): DataFrame =
+    Evaluation.cochranArmitage(Tables.lineitem(s, dir),
+      dose = floor((col("l_quantity") - 1) / 10),
+      event = col("l_returnflag") === "R")
+
+  /** X284 — G-test of independence, return flag × line status. */
+  def x317(s: SparkSession, dir: String): DataFrame =
+    Profiling.gTest(Tables.lineitem(s, dir), "l_returnflag",
+      "l_linestatus")
+
+  /** X285 — Hellinger/Bhattacharyya price-distribution distance
+    * between the even- and odd-supplier arms, 20 bins (the parity
+    * split keeps both sides populated at every SF). */
+  def x318(s: SparkSession, dir: String): DataFrame =
+    Evaluation.hellingerDrift(Tables.lineitem(s, dir),
+      value = col("l_extendedprice"),
+      inA = col("l_suppkey") % 2 === 0, bins = 20)
+
+  /** X286 — Neyman stratified-sampling allocation of a 1000-row
+    * budget across return-flag strata by price dispersion. */
+  def x319(s: SparkSession, dir: String): DataFrame =
+    Sampling.neymanAllocation(Tables.lineitem(s, dir),
+      stratum = col("l_returnflag"), value = col("l_extendedprice"),
+      budget = 1000)
+
+  /** X287 — operating-point selection: Youden-J and cost-utility
+    * thresholds over the discount score. */
+  def x320(s: SparkSession, dir: String): DataFrame =
+    Evaluation.optimalThreshold(Tables.lineitem(s, dir),
+      score = col("l_discount"), label = col("l_returnflag") === "R")
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -3612,5 +3645,10 @@ object Queries {
     "x312_rake_keywords" -> (x312 _),
     "x313_vocab_kl_drift" -> (x313 _),
     "x314_length_bias" -> (x314 _),
-    "x315_dedup_attrition" -> (x315 _))
+    "x315_dedup_attrition" -> (x315 _),
+    "x316_cochran_armitage" -> (x316 _),
+    "x317_g_test" -> (x317 _),
+    "x318_hellinger" -> (x318 _),
+    "x319_neyman_alloc" -> (x319 _),
+    "x320_optimal_threshold" -> (x320 _))
 }

@@ -916,6 +916,53 @@ class EvaluationSpec extends SparkSpec {
       deg.isNullAt(deg.fieldIndex("did_effect")))
   }
 
+  test("cochranArmitage: hand monotone fixture z = 2.828427, " +
+      "reversed trend flips the sign") {
+    import spark.implicits._
+    val rows = (Seq.fill(4)((0, false)) ++
+      Seq.fill(2)((1, true)) ++ Seq.fill(2)((1, false)) ++
+      Seq.fill(4)((2, true))).toDF("d", "e")
+    val r = Evaluation.cochranArmitage(rows, col("d"), col("e")).head()
+    assert(r.getAs[Long]("n") === 12L)
+    assert(r.getAs[Double]("event_rate") === 0.5)
+    assert(r.getAs[Double]("z") === 2.828427) // 4/sqrt(2)
+    val rev = rows.select((lit(2) - col("d")).as("d"), col("e"))
+    val z2 = Evaluation.cochranArmitage(rev, col("d"), col("e"))
+      .head().getAs[Double]("z")
+    assert(z2 === -2.828427)
+  }
+
+  test("hellingerDrift: identical arms read 0, disjoint arms read 1, " +
+      "one-sided input yields the empty result") {
+    import spark.implicits._
+    val same = Seq((1.0, true), (1.0, false), (5.0, true), (5.0, false))
+      .toDF("v", "a")
+    val s = Evaluation.hellingerDrift(same, col("v"), col("a"),
+      bins = 4).head()
+    assert(s.getAs[Double]("bhattacharyya") === 1.0)
+    assert(s.getAs[Double]("hellinger") === 0.0)
+    val dis = Seq((0.0, true), (0.0, true), (10.0, false), (10.0, false))
+      .toDF("v", "a")
+    val d = Evaluation.hellingerDrift(dis, col("v"), col("a"),
+      bins = 4).head()
+    assert(d.getAs[Double]("bhattacharyya") === 0.0)
+    assert(d.getAs[Double]("hellinger") === 1.0)
+    val oneSided = Seq((1.0, true), (2.0, true)).toDF("v", "a")
+    assert(Evaluation.hellingerDrift(oneSided, col("v"), col("a"))
+      .count() === 0L)
+  }
+
+  test("optimalThreshold picks the separating cut on clean data") {
+    import spark.implicits._
+    val df = (Seq.fill(3)((0.9, true)) ++ Seq.fill(3)((0.1, false)))
+      .toDF("s", "y")
+    val r = Evaluation.optimalThreshold(df, col("s"), col("y")).head()
+    assert(r.getAs[Double]("threshold_j") === 0.9)
+    assert(r.getAs[Double]("youden_j") === 1.0)
+    assert(r.getAs[Double]("threshold_utility") === 0.9)
+    assert(r.getAs[Double]("utility") === 0.5) // (3*1 - 0)/6
+  }
+
   test("leveneTest matches the hand two-group fixture") {
     import spark.implicits._
     // Z_A = {2,1,3}, Z_B = {2,2,4}: B = 2/3, W = 14/3

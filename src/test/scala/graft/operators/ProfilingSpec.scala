@@ -527,6 +527,17 @@ class ProfilingSpec extends SparkSpec {
     assert(out("c") === ((2.0, 0.0, 0.0)))
   }
 
+  test("gTest: 0 under independence, 8·ln2 under 2x2 determinism") {
+    import spark.implicits._
+    val det = Seq(("a", 1), ("a", 1), ("b", 2), ("b", 2)).toDF("x", "y")
+    val d = Profiling.gTest(det, "x", "y").head()
+    assert(d.getAs[Long]("dof") === 1L)
+    assert(d.getAs[Double]("g_stat") === 5.545177) // 8 ln 2
+    val ind = Seq(("a", 1), ("a", 2), ("b", 1), ("b", 2)).toDF("x", "y")
+    assert(Profiling.gTest(ind, "x", "y").head()
+      .getAs[Double]("g_stat") === 0.0)
+  }
+
   test("featureDriftReport: unit-variance shift reads SMD 2, " +
       "zero-variance columns read null") {
     import spark.implicits._

@@ -232,6 +232,18 @@ class SamplingSpec extends SparkSpec {
     assert(got == again, "sample must be reproducible")
   }
 
+  test("neymanAllocation: zero-variance strata get nothing, the " +
+      "dispersed stratum takes the whole budget") {
+    import spark.implicits._
+    val df = Seq(("A", 5.0), ("A", 5.0), ("B", 0.0), ("B", 10.0))
+      .toDF("g", "v")
+    val out = Sampling.neymanAllocation(df, col("g"), col("v"),
+      budget = 1000).collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("share"), r.getAs[Long]("alloc"))).toMap
+    assert(out("A") === ((0.0, 0L)))
+    assert(out("B") === ((1.0, 1000L)))
+  }
+
   test("effectiveSampleSize: equal weights read full n, a dominant " +
       "weight collapses the ESS") {
     import spark.implicits._
