@@ -2184,6 +2184,52 @@ object Evaluation {
       .orderBy(col("score_bin").desc)
   }
 
+  /** Black-box label-shift estimate, two-class BBSE (Lipton et al.
+    * 2018, "Detecting and correcting for label shift with black box
+    * predictors"): with a fixed classifier, the TARGET positive rate
+    * among predictions `mu` relates to the true target prior `q`
+    * through the validation confusion rates — `mu = q·tpr +
+    * (1-q)·fpr`, so `q = (mu - fpr)/(tpr - fpr)`. The "did the class
+    * balance move under me" read that needs NO target labels — only
+    * predictions. Raw estimate reported alongside its [0,1] clamp
+    * (outside [0,1] = the label-shift assumption itself is violated).
+    * One conditional aggregate over each side.
+    */
+  def labelShiftBbse(df: DataFrame, inValid: Column, label: Column,
+      pred: Column, roundDigits: Int = 6): DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val rows = df.filter(inValid.isNotNull && pred.isNotNull)
+      .select(inValid.cast("boolean").as("__v"),
+        label.cast("boolean").as("__y"), pred.cast("boolean").as("__p"))
+    val agg = rows.agg(
+      sum(when(col("__v"), 1L).otherwise(0L)).as("n_valid"),
+      sum(when(!col("__v"), 1L).otherwise(0L)).as("n_target"),
+      sum(when(col("__v") && col("__y"), 1L).otherwise(0L)).as("__pos"),
+      sum(when(col("__v") && col("__y") && col("__p"), 1L)
+        .otherwise(0L)).as("__tp"),
+      sum(when(col("__v") && !col("__y"), 1L).otherwise(0L)).as("__neg"),
+      sum(when(col("__v") && !col("__y") && col("__p"), 1L)
+        .otherwise(0L)).as("__fp"),
+      sum(when(!col("__v") && col("__p"), 1L).otherwise(0L)).as("__mp"))
+    val tpr = col("__tp").cast("double") / col("__pos").cast("double")
+    val fpr = col("__fp").cast("double") / col("__neg").cast("double")
+    val mu = col("__mp").cast("double") / col("n_target").cast("double")
+    val q = (mu - fpr) / (tpr - fpr)
+    agg.filter(col("n_valid") > 0 && col("n_target") > 0
+        && col("__pos") > 0 && col("__neg") > 0)
+      .select(col("n_valid"), col("n_target"),
+        round((col("__pos").cast("double")
+          / col("n_valid").cast("double")).cast(stable), roundDigits)
+          .cast("double").as("valid_prior"),
+        round(mu.cast(stable), roundDigits).cast("double")
+          .as("target_pred_rate"),
+        round(when(tpr =!= fpr, q).cast(stable), roundDigits)
+          .cast("double").as("shifted_prior"),
+        round(when(tpr =!= fpr,
+          greatest(least(q, lit(1.0d)), lit(0.0d))).cast(stable),
+          roundDigits).cast("double").as("shifted_prior_clamped"))
+  }
+
   /** Cochran–Armitage trend test (Armitage 1955): is an event rate
     * MONOTONE in an ordered dose — the ordered-alternative question a
     * plain chi-square wastes power on. `z = Σd(r_i - n_i R/N) /
@@ -2230,9 +2276,9 @@ object Evaluation {
     */
   def hellingerDrift(df: DataFrame, value: Column, inA: Column,
       bins: Int = 20, roundDigits: Int = 6): DataFrame = {
-    require(bins >= 2, s"bins must be >= 2: $bins")
-    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
-    val dec = org.apache.spark.sql.types.DecimalType(18, 10)
+    // bins <= 0 = the shared quantize contract's exact mode (cells
+    // keyed by the raw distinct values)
+    require(bins <= 0 || bins >= 2, s"bins must be <= 0 or >= 2: $bins")
     val raw = df.filter(value.isNotNull && inA.isNotNull)
       .select(value.cast("double").as("__v"),
         inA.cast("boolean").as("__a"))
@@ -2240,6 +2286,18 @@ object Evaluation {
       .groupBy(col("__v").as("__b"))
       .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("__na"),
         sum(when(!col("__a"), 1L).otherwise(0L)).as("__nb"))
+    hellingerFromCells(cells, roundDigits)
+  }
+
+  /** The Hellinger finishing chain behind [[hellingerDrift]], entered
+    * at the (bin, count_a, count_b) cell level — the streaming
+    * histogram monitor ([[graft.streaming.Stateful]]) rolls its live
+    * bin counters up through THIS exact code path against a frozen
+    * base histogram. */
+  private[graft] def hellingerFromCells(cells: DataFrame,
+      roundDigits: Int = 6): DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val dec = org.apache.spark.sql.types.DecimalType(18, 10)
     val tot = cells.agg(sum(col("__na")).as("__ta"),
       sum(col("__nb")).as("__tb"))
     // guard: a one-sided input (every row in one era) must yield the

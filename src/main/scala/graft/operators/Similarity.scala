@@ -1179,6 +1179,49 @@ object Similarity {
       nProbe, k, roundDigits, excludeSelfId = excludeSelfIds)
   }
 
+  /** Embedding-space drift: the cosine of every CURRENT-era vector to
+    * the REFERENCE era's centroid — when the encoder, the content
+    * mix, or an upstream normalization changes, this mean drops
+    * before any downstream metric moves. Centroid = per-dim mean,
+    * 6dp-rounded (the x110 portability quantize) and collected as
+    * dim-bounded driver state; scoring is one map-only pass;
+    * per-row cosines round 8dp before the mean so both engines
+    * aggregate identical values.
+    */
+  def embeddingDrift(emb: DataFrame, idCol: String, vecCol: String,
+      inRef: Column, threshold: Double = 0.9, centroidDigits: Int = 6,
+      roundDigits: Int = 6): DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val e = emb.filter(inRef.isNotNull)
+      .select(inRef.cast("boolean").as("__r"),
+        Vectors.toDouble(col(vecCol)).as("v"))
+    val cent: Seq[Double] = e.filter(col("__r"))
+      .select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(round(avg(col("x")), centroidDigits).as("m"))
+      .orderBy("pos").collect().map(_.getDouble(1)).toSeq
+    require(cent.nonEmpty, "reference era is empty")
+    val nRef = e.filter(col("__r")).count()
+    val cNorm = math.sqrt(cent.foldLeft(0.0)((a, x) => a + x * x))
+    val cos = round((Vectors.dot(col("v"), typedLit(cent))
+      / (sqrt(Vectors.sq(col("v"))) * lit(cNorm))), 8)
+    val cur = e.filter(!col("__r"))
+      .select(cos.as("__cos"))
+      .filter(col("__cos").isNotNull)
+    cur.agg(count(lit(1)).as("n_current"),
+        sum(col("__cos")).as("__sc"),
+        sum(when(col("__cos") < threshold, 1L).otherwise(0L))
+          .as("below_threshold"))
+      .filter(col("n_current") > 0)
+      .select(lit(nRef).as("n_ref"), col("n_current"),
+        round((col("__sc") / col("n_current").cast("double"))
+          .cast(stable), roundDigits).cast("double").as("mean_cosine"),
+        col("below_threshold"),
+        round((col("below_threshold").cast("double")
+          / col("n_current").cast("double")).cast(stable), roundDigits)
+          .cast("double").as("share_below"))
+  }
+
   /** Simplified silhouette per cluster (Hruschka et al. 2004 — the
     * centroid form of Rousseeuw 1987): for each vector, `a` = distance
     * to its own centroid, `b` = distance to the nearest OTHER

@@ -6462,6 +6462,69 @@ object OracleSql {
         |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS fisher
         |FROM t WHERE items > 0 AND l0 > 0 AND p0s > 0""".stripMargin,
 
+    // Embedding drift: x110's rounded per-dim centroid, per-row 8dp
+    // cosines, list_dot_product's sequential sum matching the driver
+    // fold bit-for-bit.
+    "x321_embedding_drift" ->
+      """WITH e AS (SELECT (vec_id % 2 = 0) AS r,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id IS NOT NULL),
+        |cm AS (SELECT list(m ORDER BY pos) AS c FROM (
+        |  SELECT pos, ROUND(AVG(x), 6) AS m FROM (
+        |    SELECT generate_subscripts(v, 1) AS pos, unnest(v) AS x
+        |    FROM e WHERE r) GROUP BY pos)),
+        |nr AS (SELECT COUNT(*) AS n FROM e WHERE r),
+        |cs AS (SELECT ROUND(list_dot_product(v, c)
+        |    / (SQRT(list_dot_product(v, v))
+        |      * SQRT(list_dot_product(c, c))), 8) AS cos
+        |  FROM e CROSS JOIN cm WHERE NOT r),
+        |a AS (SELECT COUNT(*) AS nc, SUM(cos) AS sc,
+        |  SUM(CASE WHEN cos < 0.9e0 THEN 1 ELSE 0 END) AS bt
+        |  FROM cs WHERE cos IS NOT NULL)
+        |SELECT (SELECT CAST(n AS BIGINT) FROM nr) AS n_ref,
+        |  CAST(nc AS BIGINT) AS n_current,
+        |  CAST(ROUND(CAST(sc / CAST(nc AS DOUBLE) AS DECIMAL(18,8)), 6)
+        |    AS DOUBLE) AS mean_cosine,
+        |  CAST(bt AS BIGINT) AS below_threshold,
+        |  CAST(ROUND(CAST(CAST(bt AS DOUBLE) / CAST(nc AS DOUBLE)
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS share_below
+        |FROM a WHERE nc > 0""".stripMargin,
+
+    // BBSE 2-class: q = (mu - fpr)/(tpr - fpr) from one conditional
+    // aggregate per side; raw next to the [0,1] clamp.
+    "x322_label_shift" ->
+      """WITH r AS (SELECT (l_suppkey % 2 = 0) AS v,
+        |  (l_returnflag = 'R') AS y, (l_discount >= 0.05) AS p
+        |  FROM lineitem WHERE l_suppkey IS NOT NULL
+        |    AND l_discount IS NOT NULL AND l_returnflag IS NOT NULL),
+        |a AS (SELECT
+        |  SUM(CASE WHEN v THEN 1 ELSE 0 END) AS nv,
+        |  SUM(CASE WHEN NOT v THEN 1 ELSE 0 END) AS nt,
+        |  SUM(CASE WHEN v AND y THEN 1 ELSE 0 END) AS pos,
+        |  SUM(CASE WHEN v AND y AND p THEN 1 ELSE 0 END) AS tp,
+        |  SUM(CASE WHEN v AND NOT y THEN 1 ELSE 0 END) AS neg,
+        |  SUM(CASE WHEN v AND NOT y AND p THEN 1 ELSE 0 END) AS fp,
+        |  SUM(CASE WHEN NOT v AND p THEN 1 ELSE 0 END) AS mp FROM r),
+        |f AS (SELECT nv, nt, pos,
+        |  CAST(tp AS DOUBLE) / CAST(pos AS DOUBLE) AS tpr,
+        |  CAST(fp AS DOUBLE) / CAST(neg AS DOUBLE) AS fpr,
+        |  CAST(mp AS DOUBLE) / CAST(nt AS DOUBLE) AS mu
+        |  FROM a WHERE nv > 0 AND nt > 0 AND pos > 0 AND neg > 0)
+        |SELECT CAST(nv AS BIGINT) AS n_valid,
+        |  CAST(nt AS BIGINT) AS n_target,
+        |  CAST(ROUND(CAST(CAST(pos AS DOUBLE) / CAST(nv AS DOUBLE)
+        |    AS DECIMAL(18,8)), 6) AS DOUBLE) AS valid_prior,
+        |  CAST(ROUND(CAST(mu AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |    AS target_pred_rate,
+        |  CAST(ROUND(CAST(CASE WHEN tpr <> fpr THEN
+        |    (mu - fpr) / (tpr - fpr) END AS DECIMAL(18,8)), 6)
+        |    AS DOUBLE) AS shifted_prior,
+        |  CAST(ROUND(CAST(CASE WHEN tpr <> fpr THEN
+        |    GREATEST(LEAST((mu - fpr) / (tpr - fpr), 1.0e0), 0.0e0)
+        |    END AS DECIMAL(18,8)), 6) AS DOUBLE)
+        |    AS shifted_prior_clamped
+        |FROM f""".stripMargin,
+
     // Cochran-Armitage: integer dose-moment sums, one z at the end;
     // float grouping mirrors Spark's operator order exactly.
     "x316_cochran_armitage" ->

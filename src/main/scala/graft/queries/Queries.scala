@@ -3317,6 +3317,20 @@ object Queries {
     Evaluation.optimalThreshold(Tables.lineitem(s, dir),
       score = col("l_discount"), label = col("l_returnflag") === "R")
 
+  /** X288 — embedding drift: cosine of odd-id vectors to the even-id
+    * era centroid. */
+  def x321(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingDrift(Tables.embeddings(s, dir), "vec_id",
+      "embedding", inRef = col("vec_id") % 2 === 0, threshold = 0.9)
+
+  /** X289 — two-class BBSE label-shift estimate: even suppliers as
+    * the labeled validation side, discount-rule predictions. */
+  def x322(s: SparkSession, dir: String): DataFrame =
+    Evaluation.labelShiftBbse(Tables.lineitem(s, dir),
+      inValid = col("l_suppkey") % 2 === 0,
+      label = col("l_returnflag") === "R",
+      pred = col("l_discount") >= 0.05)
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -3650,5 +3664,7 @@ object Queries {
     "x317_g_test" -> (x317 _),
     "x318_hellinger" -> (x318 _),
     "x319_neyman_alloc" -> (x319 _),
-    "x320_optimal_threshold" -> (x320 _))
+    "x320_optimal_threshold" -> (x320 _),
+    "x321_embedding_drift" -> (x321 _),
+    "x322_label_shift" -> (x322 _))
 }

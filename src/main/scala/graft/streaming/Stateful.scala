@@ -925,6 +925,36 @@ object Stateful {
       }
   }
 
+  /** One pre-binned observation (the caller quantizes upstream with
+    * the batch operator's own grid). */
+  case class BinEvent(seq: Long, bin: Double)
+
+  /** Live histogram counter per bin. */
+  case class BinCount(bin: Double, through_seq: Long, n: Long)
+
+  /** Streaming histogram monitor: per-bin running counts — state
+    * bounded by the bin GRID, never events. The latest row per bin,
+    * stacked against a frozen base histogram, rolls up through the
+    * EXACT batch chain (`Evaluation.hellingerFromCells`) to the live
+    * Hellinger/Bhattacharyya distance — distribution drift scored on
+    * every micro-batch against the training-time base.
+    */
+  def binCountsMonitor(ds: Dataset[BinEvent]): Dataset[BinCount] = {
+    implicit val stateEnc: Encoder[BinCount] = Encoders.product[BinCount]
+    implicit val keyEnc: Encoder[Double] = Encoders.scalaDouble
+    ds.groupByKey(_.bin)
+      .flatMapGroupsWithState[BinCount, BinCount](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (bin: Double, rows: Iterator[BinEvent],
+            state: GroupState[BinCount]) =>
+          var st = state.getOption.getOrElse(BinCount(bin, 0L, 0L))
+          rows.foreach(r => st = BinCount(bin,
+            math.max(st.through_seq, r.seq), st.n + 1L))
+          state.update(st)
+          Iterator.single(st)
+      }
+  }
+
   /** One numeric observation of a named feature column. */
   case class MomentEvent(seq: Long, column: String, value: Double)
 

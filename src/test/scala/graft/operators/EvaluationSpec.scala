@@ -916,6 +916,30 @@ class EvaluationSpec extends SparkSpec {
       deg.isNullAt(deg.fieldIndex("did_effect")))
   }
 
+  test("labelShiftBbse recovers the planted target prior from " +
+      "predictions alone") {
+    import spark.implicits._
+    // validation: tpr = .8 (4/5 pos pred+), fpr = .2 (1/5 neg pred+)
+    // target prior .75 -> mu = .75*.8 + .25*.2 = .65 -> q = .75
+    val valid = (Seq.fill(4)((true, true, true)) ++
+      Seq((true, true, false)) ++ Seq((true, false, true)) ++
+      Seq.fill(4)((true, false, false)))
+      .map { case (v, y, p) => (v, y, p) }
+    // target rows: label column is ignored on the target side; mu
+    // rate .65 planted directly via 13/20 positive predictions
+    val target = (Seq.fill(13)((false, false, true)) ++
+      Seq.fill(7)((false, false, false)))
+    val df = (valid ++ target).toDF("v", "y", "p")
+    val r = Evaluation.labelShiftBbse(df, col("v"), col("y"), col("p"))
+      .head()
+    assert(r.getAs[Long]("n_valid") === 10L)
+    assert(r.getAs[Long]("n_target") === 20L)
+    assert(r.getAs[Double]("valid_prior") === 0.5)
+    assert(r.getAs[Double]("target_pred_rate") === 0.65)
+    assert(r.getAs[Double]("shifted_prior") === 0.75)
+    assert(r.getAs[Double]("shifted_prior_clamped") === 0.75)
+  }
+
   test("cochranArmitage: hand monotone fixture z = 2.828427, " +
       "reversed trend flips the sign") {
     import spark.implicits._

@@ -156,6 +156,26 @@ class KmeansSpec extends SparkSpec {
     assert(more == got, s"extra iterations moved a converged PC: $more")
   }
 
+  test("embeddingDrift: same-distribution eras read cosine 1, a " +
+      "flipped era reads -1 with full share below threshold") {
+    import spark.implicits._
+    val same = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(1.0, 0.0)),
+      (2L, Seq(1.0, 0.0)), (3L, Seq(1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val s = Similarity.embeddingDrift(same, "vec_id", "embedding",
+      col("vec_id") % 2 === 0).head()
+    assert(s.getAs[Long]("n_ref") === 2L)
+    assert(s.getAs[Double]("mean_cosine") === 1.0)
+    assert(s.getAs[Double]("share_below") === 0.0)
+    val flip = Seq((0L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.0)),
+      (1L, Seq(-1.0, 0.0)), (3L, Seq(-1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val f = Similarity.embeddingDrift(flip, "vec_id", "embedding",
+      col("vec_id") % 2 === 0).head()
+    assert(f.getAs[Double]("mean_cosine") === -1.0)
+    assert(f.getAs[Double]("share_below") === 1.0)
+  }
+
   test("silhouetteSimplified: well-separated 1-D clusters score " +
       "0.995, coincident points score 0") {
     import spark.implicits._

@@ -804,6 +804,44 @@ class StatefulSpec extends SparkSpec {
       s"live probe != batch estimate")
   }
 
+  test("binCountsMonitor rollup ≡ batch hellingerDrift EXACTLY " +
+      "across a mid-stream split") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val base = Seq(1.0, 1.0, 2.0, 3.0)
+    val cur = Seq(1.0, 2.0, 2.0, 3.0, 3.0)
+    // batch: bins = 0 -> cells keyed by the raw values, so the live
+    // per-value counters ARE the batch cells
+    val batchDf = (base.map((_, true)) ++ cur.map((_, false)))
+      .toDF("v", "a")
+    val batch = graft.operators.Evaluation.hellingerDrift(batchDf,
+      col("v"), col("a"), bins = 0).collect().toSeq
+    val events = cur.zipWithIndex.map { case (v, i) =>
+      Stateful.BinEvent(i.toLong, v) }
+    val mem = MemoryStream[Stateful.BinEvent]
+    val out = Stateful.binCountsMonitor(mem.toDS())
+    val sink = s"bins_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(events.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(events.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val live = spark.table(sink).as[Stateful.BinCount].collect()
+      .groupBy(_.bin).map { case (b, cs) => b -> cs.maxBy(_.through_seq) }
+      .toMap
+    val baseCounts = base.groupBy(identity).map { case (v, vs) =>
+      v -> vs.size.toLong }
+    val cells = (baseCounts.keySet ++ live.keySet).toSeq.map { b =>
+      (b, baseCounts.getOrElse(b, 0L), live.get(b).map(_.n).getOrElse(0L))
+    }.toDF("__b", "__na", "__nb")
+    val rolled = graft.operators.Evaluation.hellingerFromCells(cells)
+      .collect().toSeq
+    assert(rolled == batch, s"stream rollup $rolled != batch $batch")
+  }
+
   test("momentsMonitor rollup ≡ batch featureDriftReport EXACTLY " +
       "across a mid-stream split") {
     import org.apache.spark.sql.functions.col
