@@ -193,6 +193,23 @@ class AnnotationSpec extends SparkSpec {
     assert(r.getAs[Double]("longer_win_rate") === 1.0)
   }
 
+  test("plan pin: the annotation chains never fall back to " +
+      "CartesianProduct (the class expansion is a broadcast)") {
+    import org.apache.spark.sql.functions.col
+    val df = ratings((1 to 6).flatMap { i =>
+      Seq((s"i$i", "r1", "a"), (s"i$i", "r2", "b"))
+    }: _*)
+    val plans = Seq(
+      Annotation.dawidSkeneRound(df, $"item", $"rater", $"lab"),
+      Annotation.raterConfusion(df, $"item", $"rater", $"lab"),
+      Annotation.winRateMatrix(
+        Seq(("A", "B", true)).toDF("a", "b", "w"),
+        col("a"), col("b"), col("w")))
+      .map(_.queryExecution.executedPlan.toString)
+    plans.foreach(p => assert(!p.contains("CartesianProduct"),
+      s"plan fell back to CartesianProduct:\n$p"))
+  }
+
   test("raterConsensus drops ratings with no other rater on the item") {
     val df = ratings(("i1", "r1", "a"), ("i1", "r2", "a"),
       ("solo", "r1", "b"))

@@ -916,6 +916,21 @@ class EvaluationSpec extends SparkSpec {
       deg.isNullAt(deg.fieldIndex("did_effect")))
   }
 
+  test("plan pin: the r16 eval chains carry no CartesianProduct and " +
+      "their windows sit above the bounded cell tables") {
+    import spark.implicits._
+    val df = (0 until 100).map(i =>
+      (i.toDouble, i % 2 == 0, i % 3 == 0)).toDF("s", "t", "y")
+    val plans = Seq(
+      Evaluation.qiniCurve(df, col("s"), col("t"), col("y"), bins = 8),
+      Evaluation.stratifiedAte(df, col("s"), col("t"), col("y")),
+      Evaluation.hellingerDrift(df, col("s"), col("t"), bins = 8),
+      Evaluation.optimalThreshold(df, col("s"), col("y"), bins = 8))
+      .map(_.queryExecution.executedPlan.toString)
+    plans.foreach(p => assert(!p.contains("CartesianProduct"),
+      s"plan fell back to CartesianProduct:\n$p"))
+  }
+
   test("labelShiftBbse recovers the planted target prior from " +
       "predictions alone") {
     import spark.implicits._
