@@ -1673,10 +1673,20 @@ object Evaluation {
   private[graft] def bootstrapMeans(
       df: DataFrame, key: Column, value: Column, b: Int): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(28, 6)
-    val rows = df.filter(key.isNotNull && value.isNotNull)
+    val rows0 = df.filter(key.isNotNull && value.isNotNull)
       .select(key.cast("string").as("__k"),
         value.cast(org.apache.spark.sql.types.DecimalType(18, 6))
           .as("__v"))
+    // The explode multiplies WORK by B but not partitions: a compact
+    // scan (one 20 MB parquet file at small SF) would push B·n md5
+    // computations through one task. Spread first when the input is
+    // narrower than the cluster — a cheap skinny-row shuffle locally,
+    // a no-op at scale where the scan is already wide. (r16: x265
+    // 91 s -> seconds at sf0.1.) Exact decimal sums make the result
+    // partitioning-independent.
+    val target = rows0.sparkSession.sparkContext.defaultParallelism
+    val rows = if (rows0.rdd.getNumPartitions < target)
+      rows0.repartition(target) else rows0
     val seeds = array((0 until b).map(j => lit(j)): _*)
     rows.select(col("__k"), col("__v"), explode(seeds).as("__b"))
       .select(col("__b"), col("__v"),
