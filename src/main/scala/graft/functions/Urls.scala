@@ -12,19 +12,29 @@ import org.apache.spark.sql.functions._
   *  - drop the fragment (`#…` never reaches the server)
   *  - lowercase scheme and host; strip a leading `www.`
   *  - strip default ports (`:80` for http, `:443` for https)
-  *  - drop tracking params (`utm_*`, `gclid`, `fbclid`, `ref`),
+  *  - drop tracking params (`utm_*`, `gclid`, `fbclid`),
   *    sort the survivors (param order is almost never semantic)
   *  - strip trailing slashes from the path
   *
   * Two URLs that canonicalize equal are retrieval-equivalent for
   * dedup purposes; the false-merge risk (a site where param ORDER
-  * matters) is the documented trade every crawl dedup makes.
+  * matters) is the documented trade every crawl dedup makes. `ref`
+  * is NOT in the default strip set (r16 ADVICE): unlike `utm_`-
+  * prefixed params, gclid, and fbclid it is commonly semantic — e.g.
+  * a forge URL's `?ref=branch` selects different content — so
+  * stripping it false-merges retrieval-distinct URLs; callers who
+  * know their corpus uses `ref` as a referrer tag pass a wider set
+  * via `trackingParamRe`.
   */
 object Urls {
 
-  private val trackingRe = "^(utm_[^=]*|gclid|fbclid|ref)(=.*)?$"
+  /** Default tracking-param matcher (full `key=value` token): the
+    * universally-safe strip set. Override per corpus. */
+  val defaultTrackingRe = "^(utm_[^=]*|gclid|fbclid)(=.*)?$"
 
-  def canonicalize(url: Column): Column = {
+  def canonicalize(url: Column,
+      trackingParamRe: String = defaultTrackingRe): Column = {
+    val trackingRe = trackingParamRe
     val noFrag = regexp_replace(trim(url), "#.*", "")
     // scheme://host[:port] prefix; everything after is path[?query]
     val prefix0 = lower(regexp_extract(noFrag,

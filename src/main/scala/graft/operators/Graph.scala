@@ -661,11 +661,18 @@ object Graph {
     * crawl graph, pages that POINT at good content (hubs) separate
     * from the content itself (authorities).
     *
-    * Shape: the PageRank scale template — edges dedup+persist ONCE;
-    * each half-round is one join of the thin score frame against the
-    * persisted edge table plus one 1-row L1 total broadcast back in;
-    * scores Cut per half-round so the plan stays linear in rounds.
-    * Nodes out of a side's reach sit at exactly 0 for that side.
+    * Shape: the PageRank scale template — edges dedup ONCE, then
+    * persist TWO copies pre-partitioned on each half-round's join key
+    * (the [[Dedup]] connected-components trick): the authority step
+    * joins on `src`, the hub step on `dst`, and a cached plan EXPOSES
+    * its partitioning, so neither half-round pays an edge-side
+    * exchange — only the thin V-row score frame moves, `iterations`×2
+    * times. One pre-partitioned copy alone would re-shuffle the full
+    * edge table every OTHER half-step, the dominant per-round cost at
+    * graph scale. Each half-round is that one join plus one 1-row L1
+    * total broadcast back in; scores Cut per half-round so the plan
+    * stays linear in rounds. Nodes out of a side's reach sit at
+    * exactly 0 for that side.
     */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 5, quantDigits: Int = 9, roundDigits: Int = 6,
@@ -673,44 +680,59 @@ object Graph {
       : DataFrame = {
     require(iterations >= 1 && iterations <= 64,
       s"iterations out of range: $iterations")
-    val e = scope.persist(edges
+    val base = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
-      .distinct())
-    val nodes = scope.persist(e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct())
+    // dedup INSIDE the src-partitioned copy: HashPartitioning(src)
+    // already clusters (src, dst), so the aggregate adds no exchange —
+    // one shuffle builds the deduped src copy, and the dst copy is one
+    // more exchange FROM THE CACHE (never a second scan + distinct).
+    val eBySrc = scope.persist(
+      base.repartition(col("src")).dropDuplicates("src", "dst"))
+    val eByDst = scope.persist(eBySrc.repartition(col("dst")))
+    val nodes = scope.persist(eBySrc.select(col("src").as("node"))
+      .union(eBySrc.select(col("dst").as("node"))).distinct())
     val n = nodes.count()
     require(n >= 1, "empty graph")
     def normalized(contrib: DataFrame, key: String): DataFrame = {
-      // contrib: (key, __c) raw sums over the contributing side only;
-      // zeros don't move the L1 total, so summing contrib == summing
-      // the full node vector
-      val tot = contrib.agg(sum(col("__c")).as("__tot"))
-      scope.persist(graft.util.Cut.cut(
-        nodes.join(contrib.withColumnRenamed(key, "node"), Seq("node"),
-            "left")
-          .crossJoin(broadcast(tot))
-          .select(col("node"),
-            when(col("__tot") > 0,
-              round(coalesce(col("__c"), lit(0.0d)) / col("__tot"),
-                quantDigits)).otherwise(lit(0.0d)).as("__s"))))
+      // contrib: (key, __c) raw sums over the contributing side only
+      // — nodes out of this side's reach carry an implicit exact 0,
+      // which neither moves the L1 total nor the next half-round's
+      // sums, so the score frame stays SPARSE until the final output
+      // re-densifies against `nodes`. The contrib frame is persisted
+      // and materialized ONCE so the L1-total pass and the normalize
+      // pass both read the cache — computing the total from the raw
+      // lineage would evaluate the half-round's edge join twice (the
+      // r16 HITS tail, measured: ~2× the per-round cost).
+      val c = scope.persist(contrib.withColumnRenamed(key, "node"))
+      // The L1 total is ONE row — collect it and inline as a literal
+      // (identical double to a broadcast column: same sum over the
+      // same per-key column), so the half-round pays no broadcast
+      // exchange and the collect doubles as c's cache materialization.
+      val tot = c.agg(sum(col("__c"))).collect().head
+      val totV = if (tot.isNullAt(0)) 0.0d else tot.getDouble(0)
+      val out = scope.persist(graft.util.Cut.cut(
+        c.select(col("node"),
+          (if (totV > 0) round(col("__c") / lit(totV), quantDigits)
+           else lit(0.0d)).as("__s"))))
+      out.count()
+      c.unpersist()
+      out
     }
     var hub = scope.persist(
       nodes.select(col("node"), round(lit(1.0d / n), quantDigits).as("__s")))
     var auth: DataFrame = null
     for (_ <- 1 to iterations) {
-      val aRaw = e.join(hub.withColumnRenamed("node", "src"), Seq("src"))
+      val aRaw = eBySrc.join(hub.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst")).agg(sum(col("__s")).as("__c"))
       val aPrev = auth
       auth = normalized(aRaw, "dst")
-      auth.count()
       if (aPrev != null) aPrev.unpersist()
-      val hRaw = e.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
+      val hRaw = eByDst.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src")).agg(sum(col("__s")).as("__c"))
       val hPrev = hub
       hub = normalized(hRaw, "src")
-      hub.count()
       hPrev.unpersist()
     }
     val stable = org.apache.spark.sql.types.DecimalType(18, 8)

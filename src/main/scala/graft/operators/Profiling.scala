@@ -1324,6 +1324,14 @@ object Profiling {
     * sums are EXACT (decimal) and the only float math is the final
     * two divisions.
     *
+    * Semantics (r16 ADVICE): moments run over OBSERVED buckets only —
+    * a (group, bucket) cell with zero events never forms a row, so
+    * for a sparse series the dispersion is conditional on occupancy
+    * and the fano≈1 Poisson baseline read assumes every bucket in the
+    * group's span is occupied. Callers measuring sparse grids should
+    * densify first (join the expected bucket frame with zero fill) so
+    * empty buckets enter the mean and variance.
+    *
     * Shape: one count aggregate to (group, bucket) cells, one moment
     * aggregate per group — shuffle bounded by groups × buckets.
     */

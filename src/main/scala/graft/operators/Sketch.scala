@@ -522,28 +522,34 @@ object Sketch {
           .as("overcount"))
   }
 
-  /** Per-group HLL estimate over a sparse (group, bucket, max-rank)
-    * register frame — [[hllEstimateFromRegisters]] with the group key
-    * carried through (the [[hllDistinctBy]] finishing aggregate,
-    * factored so [[hyperBall]] can reuse it per vertex per round).
-    * Emits (group, estimate) with the raw/linear-counting branch
-    * pinned exactly as the solo sketch pins it. */
-  private def hllEstimateByGroup(
-      regs: DataFrame, groupCol: String, m: Int): DataFrame = {
+  /** Per-vertex HLL estimate over a PACKED register frame — one row
+    * per vertex, `__a` an m-int array of max ranks with 0 = empty
+    * (the [[hyperBall]] representation). Map-only: both the harmonic
+    * sum and the nonempty count fold over the array with the
+    * `aggregate` HOF, so reading every round's estimates costs zero
+    * shuffles. Arithmetic is bit-identical to
+    * [[hllEstimateFromRegisters]]'s sparse form: an empty register's
+    * `shiftleft(1, 40 − 0)` IS the 2⁴⁰ term the sparse form adds for
+    * each absent bucket (all terms exact integers ≤ 2⁴⁰, the sum
+    * < 2⁴⁶ — order-free), and the raw/linear-counting branch pins the
+    * same 8 dp ln. */
+  private def packedEstimate(regs: DataFrame, m: Int): DataFrame = {
     val stable = org.apache.spark.sql.types.DecimalType(18, 8)
     val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
     val two40 = 1099511627776L // 2^40
-    val agg = regs.groupBy(col(groupCol)).agg(
-      count(lit(1)).as("__ne"),
-      (sum(expr("shiftleft(1L, 40 - __r)"))
-        + (lit(m.toLong) - count(lit(1))) * lit(two40)).as("__s"))
+    val folded = regs.select(col("__v"),
+      expr("aggregate(__a, CAST(0 AS BIGINT), " +
+        "(acc, x) -> acc + shiftleft(CAST(1 AS BIGINT), 40 - x))")
+        .as("__s"),
+      expr("aggregate(__a, 0, (acc, x) -> acc + IF(x > 0, 1, 0))")
+        .as("__ne"))
     val raw = alpha * lit((m.toLong * m).toDouble) * lit(two40.toDouble) /
       col("__s").cast("double")
     val zeros = lit(m.toLong) - col("__ne")
     val lin = lit(m.toDouble) *
       round(log(lit(m.toDouble) / zeros.cast("double")).cast(stable), 8)
         .cast("double")
-    agg.select(col(groupCol),
+    folded.select(col("__v"),
       round(when(raw <= lit(2.5) * lit(m.toDouble) && zeros > 0L, lin)
         .otherwise(raw).cast(stable), 6).cast("double").as("__est"))
   }
@@ -558,9 +564,10 @@ object Sketch {
     * volume, effective diameter, and connectivity health off a
     * 100 TB-scale graph: exact per-vertex BFS is O(V·E) and per-
     * vertex frontiers are data-sized, while the register frame is
-    * bounded at V·m rows FOREVER (m = 32 ⇒ ~18% per-ball error, the
-    * paper's own operating point) and each round's shuffle is the
-    * edge join, never the ball contents.
+    * bounded at V rows FOREVER — m registers bit-packed into one
+    * array per vertex (m = 32 ⇒ ~18% per-ball error, the paper's own
+    * operating point) — and each round's shuffle is the edge join,
+    * never the ball contents.
     *
     * Registers are [[hllDistinct]]'s engine-portable arithmetic
     * (md5 bucket/rank, exact 2^(40−r) harmonic terms, 8dp-pinned
@@ -573,7 +580,7 @@ object Sketch {
     * Each round's register frame is persisted via `scope` (two
     * consumers: the estimate pass and the next round's join); rounds
     * is a small literal by contract — the caller picks the radius the
-    * question needs, the frame size never grows past V·m.
+    * question needs, the frame never grows past V packed rows.
     */
   /** The HyperBall propagation loop, factored: per-round per-vertex
     * ball-size estimates (__v, __est) for r = 0..rounds — the shared
@@ -588,24 +595,40 @@ object Sketch {
     require(rounds >= 1 && rounds <= 8, s"rounds must be in [1,8]: $rounds")
     require(m >= 16 && (m & (m - 1)) == 0,
       s"m must be a power of two >= 16: $m")
+    // Pre-partitioned on __w, the per-round join key, so no round pays
+    // an edge-side exchange (the [[Dedup]] connected-components trick);
+    // dedup runs INSIDE the partitioned copy — HashPartitioning(__w)
+    // clusters (__u, __w), so one exchange builds the deduped frame.
     val e = scope.persist(edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .select(col(srcCol).cast("string").as("__u"),
         col(dstCol).cast("string").as("__w"))
-      .distinct())
+      .repartition(col("__w"))
+      .dropDuplicates("__u", "__w"))
     val verts = e.select(col("__u").as("__v"))
       .union(e.select(col("__w").as("__v"))).distinct()
-    // radius 0: every ball is {v} — one register row per vertex
-    var regs = scope.persist(verts.select(col("__v"),
-      hllBucket(col("__v"), m).as("__b"), hllRank(col("__v")).as("__r")))
-    val out = scala.collection.mutable.Buffer(
-      hllEstimateByGroup(regs, "__v", m))
+    // radius 0: every ball is {v} — registers BIT-PACKED into ONE
+    // m-int array row per vertex (0 = empty; ranks are 1..33), so the
+    // register frame is V rows, not V·m: the per-round shuffle carries
+    // E+V array rows instead of (E+V)·m register rows (~m× fewer rows,
+    // the r16 verdict's named win), and the per-round merge is m
+    // element-wise MAX aggregates — all map-side combinable.
+    val init = verts
+      .select(col("__v"), hllBucket(col("__v"), m).as("__b"),
+        hllRank(col("__v")).as("__r"))
+      .select(col("__v"), array((0 until m).map(i =>
+        when(col("__b") === i, col("__r")).otherwise(lit(0))): _*)
+        .as("__a"))
+    var regs = scope.persist(init)
+    val out = scala.collection.mutable.Buffer(packedEstimate(regs, m))
     for (_ <- 1 to rounds) {
       val prop = e.join(regs.withColumnRenamed("__v", "__w"), Seq("__w"))
-        .select(col("__u").as("__v"), col("__b"), col("__r"))
-      regs = scope.persist(regs.union(prop)
-        .groupBy(col("__v"), col("__b")).agg(max(col("__r")).as("__r")))
-      out += hllEstimateByGroup(regs, "__v", m)
+        .select(col("__u").as("__v"), col("__a"))
+      regs = scope.persist(regs.select(col("__v"), col("__a")).union(prop)
+        .groupBy(col("__v"))
+        .agg(array((0 until m).map(i =>
+          max(element_at(col("__a"), i + 1))): _*).as("__a")))
+      out += packedEstimate(regs, m)
     }
     out.toIndexedSeq
   }

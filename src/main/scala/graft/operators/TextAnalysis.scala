@@ -1240,6 +1240,14 @@ object TextAnalysis {
       scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
       : DataFrame = {
     require(stopwords.nonEmpty && topK >= 1, "need stopwords and topK >= 1")
+    // Stopwords are spliced into a regex alternation that the DuckDB
+    // oracle mirrors verbatim, so they must be plain lowercase words:
+    // a metacharacter ("c++", "don't", ".") would silently corrupt the
+    // pattern — and \b-semantics at a non-word edge differ anyway.
+    // Loud contract beats silent mis-splitting (r16 ADVICE).
+    val bad = stopwords.filterNot(_.matches("[a-z]+"))
+    require(bad.isEmpty,
+      s"stopwords must be plain lowercase words [a-z]+: ${bad.mkString(", ")}")
     val stopRe = "\\b(" + stopwords.mkString("|") + ")\\b"
     val phrases = scope.persist(df.filter(col(textCol).isNotNull)
       .select(explode(split(

@@ -1719,8 +1719,12 @@ object TimeSeries {
     * mean-reverting — the long-memory read behind capacity planning
     * and anomaly baselines.
     *
-    * Input: one row per time point (caller pre-aggregates). Shape:
-    * the series indexes ONCE (a window over series length — the
+    * Input: one row per time point (caller pre-aggregates). The
+    * index order is (ts, value) — the value tie-break makes duplicate
+    * timestamps DETERMINISTIC (r16 ADVICE): rows tied on both keys
+    * are interchangeable, so block membership, R/S, and the fitted H
+    * are identical across runs and engines. Shape: the series indexes
+    * ONCE (a window over series length — the
     * day-cardinality-bounded pattern), fans out to the window-size
     * grid, and every window after that is partitioned per (w, block)
     * with ≤ max(windows) rows; the OLS runs on ≤ |windows| rows using
@@ -1736,7 +1740,8 @@ object TimeSeries {
     val series = df.filter(ts.isNotNull && value.isNotNull)
       .select(ts.as("__t"), value.cast("double").as("__v"))
       .withColumn("__idx",
-        row_number().over(Window.orderBy(col("__t"))).cast("long"))
+        row_number().over(Window.orderBy(col("__t"), col("__v")))
+          .cast("long"))
     val fanned = series.select(col("__idx"), col("__v"),
       explode(array(windows.map(w => lit(w.toLong)): _*)).as("__w"))
       .withColumn("__blk", floor((col("__idx") - 1) / col("__w")))

@@ -6333,7 +6333,7 @@ object OracleSql {
         |  array_to_string(list_sort(list_filter(
         |    string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
         |    x -> x <> '' AND NOT regexp_matches(x,
-        |      '^(utm_[^=]*|gclid|fbclid|ref)(=.*)?$'))), '&') AS prm
+        |      '^(utm_[^=]*|gclid|fbclid)(=.*)?$'))), '&') AS prm
         |  FROM s3),
         |c AS (SELECT doc_id, url, pre || pth ||
         |  CASE WHEN prm <> '' THEN '?' || prm ELSE '' END AS canon
@@ -7294,7 +7294,7 @@ object OracleSql {
       """WITH s0 AS (SELECT o_orderdate AS t,
         |  CAST(COUNT(*) AS DOUBLE) AS v FROM orders
         |  WHERE o_orderdate IS NOT NULL GROUP BY 1),
-        |si AS (SELECT t, v, row_number() OVER (ORDER BY t) AS idx
+        |si AS (SELECT t, v, row_number() OVER (ORDER BY t, v) AS idx
         |  FROM s0),
         |f AS (SELECT idx, v, w, (idx - 1) // w AS blk FROM si
         |  CROSS JOIN (SELECT unnest([8, 16, 32, 64]) AS w)),

@@ -3040,7 +3040,12 @@ object Queries {
       label = col("l_returnflag"))
 
   /** X251 — Bradley–Terry strengths over the derived preference log,
-    * 8 MM rounds from the uniform start. */
+    * 8 MM rounds from the uniform start. The fixture's 25 entities
+    * keep every denominator in the short-sum regime, deliberately
+    * clear of the driver path's one residual divergence channel (a
+    * normalized strength landing EXACTLY on a 5e-10 HALF_UP boundary
+    * under a different summation order — ~1/500 entities at 2M pairs,
+    * see driverMm's doc; r16 ADVICE). */
   def x284(s: SparkSession, dir: String): DataFrame = {
     val p = prefPairs(s, dir)
     Annotation.bradleyTerry(p, col("a"), col("b"), col("a_won"),

@@ -20,9 +20,15 @@ class UrlsSpec extends SparkSpec {
     assert(canon("http://EXAMPLE.org:80/path") === "http://example.org/path")
     // non-default port survives
     assert(canon("https://site.com:8443/x") === "https://site.com:8443/x")
-    // gclid/fbclid/ref stripped, bare params kept
+    // gclid/fbclid stripped; ref SURVIVES the default set (it is
+    // commonly semantic — ?ref=branch selects content; r16 ADVICE)
     assert(canon("https://a.io/p?gclid=1&fbclid=2&ref=h&q=v")
-      === "https://a.io/p?q=v")
+      === "https://a.io/p?q=v&ref=h")
+    // ...but a caller-widened strip set takes it out
+    assert(Seq("https://a.io/p?ref=h&q=v").toDF("u")
+      .select(Urls.canonicalize($"u",
+        "^(utm_[^=]*|gclid|fbclid|ref)(=.*)?$").as("c"))
+      .collect().head.getString(0) === "https://a.io/p?q=v")
     // all params tracking -> no '?'
     assert(canon("https://a.io/p?utm_campaign=z") === "https://a.io/p")
     // root url: trailing slash collapses
