@@ -746,4 +746,89 @@ object Graph {
         round(coalesce(col("__a"), lit(0.0d)).cast(stable), roundDigits)
           .cast("double").as("authority"))
   }
+
+  /** Community detection by SYNCHRONOUS label propagation (Raghavan–
+    * Albert–Kumara 2007, "Near linear time algorithm to detect
+    * community structures in large-scale networks"), determinized:
+    * every node starts as its own label; each round every node
+    * simultaneously adopts the most frequent label among its
+    * neighbors PLUS itself, ties to the SMALLEST label. The paper's
+    * asynchronous random-order update finds the same communities but
+    * is unreplayable across engines; the synchronous min-label form
+    * makes every round a pure function of the previous one — the
+    * determinism choice every oracle-gated iterative op here makes
+    * (pageRank, hits, connected components) — and the self-vote
+    * breaks the classic 2-cycle oscillation on symmetric pairs (a
+    * tied pair collapses to the smaller label instead of swapping
+    * forever). A fixed round budget is the contract: `rounds` ≈
+    * observed mixing depth (5 suffices for the dense co-purchase
+    * communities this reads; label diameter, like CC, bounds it).
+    *
+    * Shape: the CC/pageRank scale template — the symmetrized deduped
+    * edge frame persists ONCE, pre-partitioned on `dst`, the
+    * per-round join key (no round pays an edge-side exchange); each
+    * round shuffles only vote rows bounded by E+V into a (node,
+    * label) count and a per-node argmax window (frames bounded by a
+    * node's distinct neighbor labels ≤ degree); rounds are
+    * checkpoint-cut with round N−1's storage released as round N
+    * materializes (the r6 eager-GC discipline).
+    *
+    * Output: (node, community, community_size), one row per node —
+    * community = the surviving label (a member node's id), size = the
+    * label's member count.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int = 5,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"rounds out of range: $rounds")
+    val sc = edges.sparkSession.sparkContext
+    val dir0 = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    // symmetrize, then dedup INSIDE the dst-partitioned copy (one
+    // exchange — HashPartitioning(dst) clusters (src, dst))
+    val e = scope.persist(
+      dir0.union(dir0.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(col("dst"))
+        .dropDuplicates("src", "dst"))
+    val nodes = scope.persist(e.select(col("src").as("node")).distinct())
+    val reliable = sc.getCheckpointDir.isDefined
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    def checkpointFile(df: DataFrame): Option[String] =
+      df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.flatMap(_.getCheckpointFile)
+    def deleteCheckpointFile(file: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(file)
+      p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+    }
+    var labels = cut(nodes.select(col("node"), col("node").as("__lab")))
+    for (_ <- 1 to rounds) {
+      val votes = e
+        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .select(col("src").as("node"), col("__lab"))
+        .union(labels)
+      val counts = votes.groupBy(col("node"), col("__lab"))
+        .agg(count(lit(1)).as("__cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("node"))
+        .orderBy(col("__cnt").desc, col("__lab"))
+      val next = cut(counts
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("node"), col("__lab")))
+      if (!reliable) Dedup.releaseCheckpointStorage(labels)
+      else checkpointFile(labels).foreach(deleteCheckpointFile)
+      labels = next
+    }
+    val sizes = labels.groupBy(col("__lab"))
+      .agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, Seq("__lab"))
+      .select(col("node"), col("__lab").as("community"),
+        col("community_size"))
+  }
 }

@@ -6525,6 +6525,11 @@ object OracleSql {
         |    AS shifted_prior_clamped
         |FROM f""".stripMargin,
 
+    // Synchronous min-label label propagation: 5 unrolled rounds over
+    // the symmetrized support->=2 co-purchase graph — all-integer
+    // counts and string tie-breaks, so the replay is exact.
+    "x323_label_propagation" -> labelPropSql(5),
+
     // Cochran-Armitage: integer dose-moment sums, one z at the end;
     // float grouping mirrors Spark's operator order exactly.
     "x316_cochran_armitage" ->
@@ -8062,6 +8067,43 @@ object OracleSql {
        |  FROM nodes nd
        |  LEFT JOIN $contrib s ON s.node = nd.node
        |  CROSS JOIN (SELECT SUM(c) AS tot FROM $contrib) t)""".stripMargin
+
+  /** Unrolled synchronous label propagation (x323): l0 = own id; each
+    * round counts neighbor labels PLUS the self-vote and keeps the
+    * (max count, min label) winner per node — literally the
+    * operator's update, integer counts and string ties only.
+    * MATERIALIZED throughout: every count CTE reads its predecessor
+    * twice (edge join + self-vote union). */
+  private def labelPropSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { k =>
+      s"""c$k AS MATERIALIZED (SELECT node, lab, COUNT(*) AS cnt FROM (
+         |    SELECT e.src AS node, p.lab FROM e
+         |    JOIN l${k - 1} p ON e.dst = p.node
+         |    UNION ALL SELECT node, lab FROM l${k - 1})
+         |  GROUP BY 1, 2),
+         |l$k AS MATERIALIZED (SELECT node, lab FROM (
+         |    SELECT node, lab, row_number()
+         |      OVER (PARTITION BY node ORDER BY cnt DESC, lab) AS rn
+         |    FROM c$k) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH oi AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i
+       |  FROM lineitem),
+       |e0 AS (SELECT CAST(l.i AS VARCHAR) AS x, CAST(r.i AS VARCHAR) AS y
+       |  FROM oi l JOIN oi r ON l.o = r.o AND l.i < r.i
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |    SELECT x AS src, y AS dst FROM e0 WHERE x <> y
+       |    UNION ALL SELECT y, x FROM e0 WHERE x <> y)),
+       |nodes AS (SELECT DISTINCT src AS node FROM e),
+       |l0 AS (SELECT node, node AS lab FROM nodes),
+       |$steps,
+       |sz AS (SELECT lab, COUNT(*) AS community_size
+       |  FROM l$rounds GROUP BY 1)
+       |SELECT l.node, l.lab AS community,
+       |  CAST(sz.community_size AS BIGINT) AS community_size
+       |FROM l$rounds l JOIN sz ON l.lab = sz.lab
+       |ORDER BY l.node""".stripMargin
+  }
 
   private def hitsSql(iters: Int): String = {
     val rounds = (1 to iters).map { k =>

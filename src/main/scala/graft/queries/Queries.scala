@@ -3336,6 +3336,23 @@ object Queries {
       label = col("l_returnflag") === "R",
       pred = col("l_discount") >= 0.05)
 
+  /** X290 — synchronous min-label label-propagation communities
+    * (5 rounds, self-vote, smallest-label tie-break) on the
+    * support-≥2 co-purchase affinity graph (x129's graph — the
+    * "which parts sell together" clusters that drive assortment and
+    * co-promotion decisions). */
+  def x323(s: SparkSession, dir: String): DataFrame = {
+    val oi = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = oi.as("l").join(oi.as("r"), Seq("l_orderkey"))
+      .filter(col("l.l_partkey") < col("r.l_partkey"))
+      .groupBy(col("l.l_partkey").as("src"), col("r.l_partkey").as("dst"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2)
+    graft.operators.Graph.labelPropagation(pairs, "src", "dst", rounds = 5)
+      .orderBy("node")
+  }
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -3671,5 +3688,6 @@ object Queries {
     "x319_neyman_alloc" -> (x319 _),
     "x320_optimal_threshold" -> (x320 _),
     "x321_embedding_drift" -> (x321 _),
-    "x322_label_shift" -> (x322 _))
+    "x322_label_shift" -> (x322 _),
+    "x323_label_propagation" -> (x323 _))
 }

@@ -309,4 +309,32 @@ class GraphSpec extends SparkSpec {
     assert(out("a1") === ((0.0, 0.25)))
     assert(out("a3") === ((0.0, 0.25)))
   }
+
+  test("labelPropagation: planted two-clique graph with one bridge " +
+      "recovers both communities; sizes are member counts") {
+    import spark.implicits._
+    // K4 on {a1..a4}, K4 on {b1..b4}, one bridge a4-b1
+    def clique(ns: Seq[String]) =
+      for { x <- ns; y <- ns if x < y } yield (x, y)
+    val edges = (clique(Seq("a1", "a2", "a3", "a4")) ++
+      clique(Seq("b1", "b2", "b3", "b4")) ++ Seq(("a4", "b1")))
+      .toDF("src", "dst")
+    val out = Graph.labelPropagation(edges, "src", "dst", rounds = 5)
+      .collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(Seq("a1", "a2", "a3", "a4").map(out(_)._1).distinct ===
+      Seq("a1"))
+    assert(Seq("b1", "b2", "b3", "b4").map(out(_)._1).distinct ===
+      Seq("b1"))
+    assert(out("a1")._2 === 4L && out("b1")._2 === 4L)
+  }
+
+  test("labelPropagation: symmetric pair collapses to the smaller " +
+      "label (the self-vote anti-oscillation contract)") {
+    import spark.implicits._
+    val out = Graph.labelPropagation(
+      Seq(("n2", "n1")).toDF("src", "dst"), "src", "dst", rounds = 4)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out === Map("n1" -> "n1", "n2" -> "n1"))
+  }
 }
