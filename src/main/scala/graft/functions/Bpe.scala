@@ -138,6 +138,66 @@ object Bpe {
     new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
   }
 
+  /** One left-to-right non-overlapping merge pass of `pair` over a
+    * symbol sequence — the inner step of [[applyMerges]], factored so
+    * the TRAINER ([[trainFromCounts]] and the distributed twin in
+    * [[graft.operators.TextAnalysis.bpeTrainMerges]]) applies each
+    * learned merge with the exact arithmetic the encoder replays. */
+  def mergeOnce(word: Vector[String], pair: (String, String))
+      : Vector[String] = {
+    val (a, b) = pair
+    val nw = Vector.newBuilder[String]
+    var j = 0
+    while (j < word.size) {
+      if (j < word.size - 1 && word(j) == a && word(j + 1) == b) {
+        nw += (a + b); j += 2
+      } else { nw += word(j); j += 1 }
+    }
+    nw.result()
+  }
+
+  /** BPE merge TRAINING over a word histogram (Sennrich et al., ACL
+    * 2016, Algorithm 1, marker-free byte-level variant): each round
+    * counts every adjacent symbol pair (overlapping occurrences, one
+    * per position, weighted by word count — the reference
+    * `get_stats`), takes the most frequent pair with ties to the
+    * LEXICOGRAPHICALLY SMALLEST (the published algorithm leaves ties
+    * unspecified; pinning them makes training replayable), records it
+    * as the next merge, and rewrites the histogram with one
+    * [[mergeOnce]] pass. Stops early when no pair remains. The
+    * histogram is distinct-word-bounded, so the loop iterates on
+    * bounded driver state — the Bradley–Terry doctrine; the
+    * distributed fan-in lives in
+    * [[graft.operators.TextAnalysis.bpeTrainMerges]]. */
+  def trainFromCounts(wordCounts: Seq[(Vector[String], Long)],
+      numMerges: Int): Seq[(String, String)] = {
+    require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")
+    var words = wordCounts.toVector
+    val merges = Vector.newBuilder[(String, String)]
+    var round = 0
+    var dry = false
+    while (round < numMerges && !dry) {
+      val counts =
+        scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (w, c) =>
+        var i = 0
+        while (i < w.size - 1) {
+          val k = (w(i), w(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) dry = true
+      else {
+        val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        words = words.map { case (w, c) => (mergeOnce(w, best), c) }
+        round += 1
+      }
+    }
+    merges.result()
+  }
+
   /** Parse a published merges file body ("left right" per line, rank
     * = order; '#'-prefixed header lines skipped) into the rank map
     * input the operators take. */

@@ -358,6 +358,94 @@ object TextAnalysis {
       .toDF(idCol, "chunk_id", "chunk", "n_chunk_tokens")
   }
 
+  /** BPE merge-table TRAINING over a corpus
+    * ([[graft.functions.Bpe.trainFromCounts]] distributed): ONE
+    * distributed pass pre-tokenizes every document and aggregates the
+    * word histogram (distinct-word-bounded — natural-language vocab,
+    * not corpus size), then the merge rounds iterate on that bounded
+    * state: on the DRIVER when the vocabulary fits
+    * `maxDriverWords` (the Bradley–Terry threshold doctrine —
+    * training loops over a ≤5M-row histogram beat 2·numMerges Spark
+    * jobs by orders of magnitude), else as distributed rounds (one
+    * adjacent-pair count aggregate + one argmax collect + one
+    * map-only rewrite per merge, the word frame checkpoint-cut every
+    * [[BpeTrainCutEvery]] rounds so the plan stays linear). Both
+    * paths count overlapping pair occurrences weighted by word count
+    * and tie-break (count desc, pair asc) — merge tables are
+    * bit-identical by construction (BpeSpec pins it).
+    *
+    * Returns the learned merge list in rank order — the exact input
+    * [[bpeTokenCounts]] / [[chunkBpeTokens]] take, so a zero-egress
+    * pipeline trains its own table and budgets tokens with it. */
+  def bpeTrainMerges(df: DataFrame, textCol: String, numMerges: Int,
+      maxDriverWords: Long = 5000000L): Seq[(String, String)] = {
+    require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hist = df.select(col(textCol)).as[String]
+      .filter((t: String) => t != null)
+      .flatMap(t => graft.functions.Bpe.preTokenize(t))
+      .groupBy(col("value").as("__w")).agg(count(lit(1)).as("__c"))
+      .select(col("__w"), col("__c")).persist()
+    try {
+      val nWords = hist.count()
+      if (nWords <= maxDriverWords) {
+        val wordCounts = hist.collect().map { r =>
+          (graft.functions.Bpe.toByteSymbols(r.getString(0)),
+            r.getLong(1))
+        }.toSeq
+        graft.functions.Bpe.trainFromCounts(wordCounts, numMerges)
+      } else distributedBpeTrain(hist, numMerges)
+    } finally { hist.unpersist(); () }
+  }
+
+  /** How often the distributed trainer's word frame is checkpoint-cut
+    * (each merge round adds one map over the previous frame). */
+  private val BpeTrainCutEvery = 16
+
+  /** The distributed merge rounds ([[bpeTrainMerges]]' big-vocabulary
+    * path): word frame = (symbols array, count), bounded by distinct
+    * words forever; per round ONE pair-count aggregate (adjacent
+    * overlapping pairs, flatMapped — shuffle bounded by distinct
+    * pairs after map-side combine), ONE 1-row argmax collect with the
+    * driver path's exact tie-break, ONE map-only
+    * [[graft.functions.Bpe.mergeOnce]] rewrite. */
+  private def distributedBpeTrain(hist: DataFrame, numMerges: Int)
+      : Seq[(String, String)] = {
+    val spark = hist.sparkSession
+    import spark.implicits._
+    var words = hist
+      .select(col("__w").as("_1"), col("__c").as("_2")).as[(String, Long)]
+      .map { case (w, c) => (graft.functions.Bpe.toByteSymbols(w), c) }
+      .localCheckpoint(true)
+    val merges = Vector.newBuilder[(String, String)]
+    var round = 0
+    var dry = false
+    while (round < numMerges && !dry) {
+      val best = words.flatMap { case (w, c) =>
+          (0 until w.size - 1).iterator.map(i => ((w(i), w(i + 1)), c))
+        }
+        .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+        .map { case ((a, b), c) => (a, b, c) }
+        .toDF("__a", "__b", "__c")
+        .orderBy(col("__c").desc, col("__a"), col("__b"))
+        .limit(1).collect()
+      if (best.isEmpty) dry = true
+      else {
+        val pair = (best.head.getString(0), best.head.getString(1))
+        merges += pair
+        val next = words.map { case (w, c) =>
+          (graft.functions.Bpe.mergeOnce(w, pair), c)
+        }
+        round += 1
+        words =
+          if (round % BpeTrainCutEvery == 0) next.localCheckpoint(true)
+          else next
+      }
+    }
+    merges.result()
+  }
+
   /** Vocabulary extraction: global word counts, top `k` by (count desc,
     * word asc). The count is one map-side-combinable hash aggregate;
     * the top-k plans as TakeOrderedAndProject (no global sort). */

@@ -114,4 +114,52 @@ class BpeSpec extends SparkSpec {
       .as[(Long, Long, String, Long)].collect().toSeq
     assert(empty == Seq((1L, 0L, "", 0L)), s"got $empty")
   }
+
+  test("trainFromCounts reproduces the reference algorithm's example " +
+      "merges (Sennrich ACL'16 Alg. 1, marker-free byte-level)") {
+    // the paper's working vocabulary {low:5, lower:2, newest:6,
+    // widest:3}; hand-derived rounds without the </w> marker:
+    //   pair counts r1: (e,s)=9 (newest+widest), (s,t)=9 -> tie to
+    //   the smaller pair (e,s); r2: (es,t)=9; r3: (l,o)=7 ties
+    //   (o,w)=7 -> (l,o); r4: (lo,w)=7; r5: (n,e)/(e,w)/(w,est)=6
+    //   -> (e,w)
+    val vocab = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L)).map { case (w, c) => (Bpe.toByteSymbols(w), c) }
+    assert(Bpe.trainFromCounts(vocab, 5) == Seq(("e", "s"), ("es", "t"),
+      ("l", "o"), ("lo", "w"), ("e", "w")))
+    // early stop: a single-symbol vocabulary has no pairs to merge
+    assert(Bpe.trainFromCounts(Seq((Vector("a"), 9L)), 3) == Seq.empty)
+  }
+
+  test("bpeTrainMerges: driver and distributed paths train " +
+      "bit-identical tables; self-trained merges round-trip the " +
+      "token counts") {
+    val docs = Seq(
+      (1L, "low low low low low lower lower"),
+      (2L, "newest newest newest newest newest newest"),
+      (3L, "widest widest widest")).toDF("doc_id", "text")
+    val driver = graft.operators.TextAnalysis
+      .bpeTrainMerges(docs, "text", numMerges = 8)
+    val dist = graft.operators.TextAnalysis
+      .bpeTrainMerges(docs, "text", numMerges = 8, maxDriverWords = 0L)
+    assert(driver == dist, s"driver $driver vs distributed $dist")
+    // the corpus pre-tokenizes to leading-space words (" low" etc.)
+    // except each doc's first; 8 merges collapse the dominant words —
+    // counts under the self-trained table must match a direct encode
+    val cache = new java.util.HashMap[String, Vector[String]]()
+    val ranks = driver.zipWithIndex.toMap
+    val expect = Seq(
+      (1L, "low low low low low lower lower"),
+      (2L, "newest newest newest newest newest newest"),
+      (3L, "widest widest widest"))
+      .map { case (id, t) => id -> Bpe.countTokens(t, ranks, cache) }
+      .toMap
+    val got = graft.operators.TextAnalysis
+      .bpeTokenCounts(docs, "doc_id", "text", driver)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expect, s"got $got expect $expect")
+    // and the learned table genuinely compresses: every repeated word
+    // is fewer tokens than its byte length
+    assert(got(1L) < "low low low low low lower lower".length)
+  }
 }

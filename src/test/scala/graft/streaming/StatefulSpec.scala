@@ -652,6 +652,73 @@ class StatefulSpec extends SparkSpec {
     assert(rolled == batch, s"stream rollup $rolled != batch $batch")
   }
 
+  test("msprt live monitor crosses the α boundary MID-STREAM at the " +
+      "exact micro-batch the batch replay decides (the always-valid " +
+      "decision-time contract)") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    // planted RAMP-IN effect: no treatment lift for the first 60
+    // rows, +0.8 afterwards — early micro-batches must NOT reject,
+    // later ones must, so the boundary crossing happens strictly
+    // mid-stream. Values are deterministic fractions that exercise
+    // the scale-6 quantization.
+    val rows = (0 until 200).map { i =>
+      val base = (i * 0.013) % 0.9
+      val lift = if (i % 2 == 0 && i >= 60) 0.8 else 0.0
+      Stateful.ArmValue(i.toLong, i % 2 == 0, base + lift)
+    }
+    val batchSize = 20
+    val batches = rows.grouped(batchSize).toSeq
+    def rollup(moments: Seq[Stateful.ArmMoments]): (Double, Int) = {
+      val t = moments.find(_.treat).get
+      val c = moments.find(!_.treat).get
+      val m = Seq((t.n, c.n, t.sum6, c.sum6, t.sumsq12, c.sumsq12))
+        .toDF("__na", "__nb", "__sa", "__sb", "__saa", "__sbb")
+      val r = graft.operators.Evaluation
+        .msprtFromMoments(m, tau = 0.5, alpha = 0.05).collect().head
+      (r.getAs[Double]("p_always_valid"), r.getAs[Int]("reject"))
+    }
+    val mem = MemoryStream[Stateful.ArmValue]
+    val out = Stateful.msprtMomentsMonitor(mem.toDS())
+    val sink = s"msprt_cross_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    val streamDecisions =
+      try {
+        batches.map { b =>
+          mem.addData(b: _*)
+          q.processAllAvailable()
+          val latest = spark.table(sink).as[Stateful.ArmMoments]
+            .collect().groupBy(_.treat)
+            .map(_._2.maxBy(_.through_seq)).toSeq
+          rollup(latest)
+        }
+      } finally q.stop()
+    // batch replay: the SAME statistic on each prefix the dashboard
+    // would have seen
+    val batchDecisions = batches.indices.map { k =>
+      val prefix = rows.take((k + 1) * batchSize)
+      val r = graft.operators.Evaluation.msprt(
+        prefix.toDF("seq", "treat", "value"),
+        col("treat"), !col("treat"), col("value"),
+        tau = 0.5, alpha = 0.05).collect().head
+      (r.getAs[Double]("p_always_valid"), r.getAs[Int]("reject"))
+    }
+    assert(streamDecisions == batchDecisions,
+      s"stream $streamDecisions != batch replay $batchDecisions")
+    val firstCross = streamDecisions.indexWhere(_._2 == 1)
+    // strictly mid-stream: not the first batch, not never
+    assert(firstCross > 0, s"crossed on the first batch: $streamDecisions")
+    assert(firstCross < batches.size - 1,
+      s"never crossed mid-stream: $streamDecisions")
+    // before the crossing the always-valid p sits above α, after it
+    // the decision HOLDS (always-valid tests never un-reject here:
+    // lnΛ keeps growing with the planted effect)
+    assert(streamDecisions.take(firstCross).forall(_._1 > 0.05))
+    assert(streamDecisions.drop(firstCross).forall(_._2 == 1),
+      s"decision did not hold: $streamDecisions")
+  }
+
   test("hllRegisterMonitor: live registers ≡ batch table, rollup ≡ batch estimate") {
     import org.apache.spark.sql.functions.col
     implicit val sqlCtx = spark.sqlContext
