@@ -1775,4 +1775,42 @@ object Dedup {
       .agg(min(col("__id")).as("keeper_id"),
         count(lit(1)).as("docs"),
         countDistinct(col("__raw")).as("raw_spellings"))
+
+  /** PAIRED-FIELD MinHash near-dup (the annotation-tier dedup): a
+    * preference/comparison log's row is a TUPLE of text fields
+    * (prompt, response, …), and two rows are duplicates when the
+    * fields match FIELD-WISE — a prompt resembling another row's
+    * RESPONSE is not a match. Per-field dedup misses these rows
+    * (each field alone may sit under threshold) while letting them
+    * inflate rater-agreement statistics (κ/α count near-identical
+    * comparison rows as independent items). Field-wise semantics by
+    * construction: field i's shingle hashes are offset by `i·P` into
+    * disjoint ranges (exact long arithmetic, trivially mirrored by
+    * the SQL oracle), so the union set's Jaccard is
+    * `(Σᵢ |Aᵢ∩Bᵢ|) / (Σᵢ |Aᵢ∪Bᵢ|)` — cross-field collisions are
+    * impossible. Downstream is the standard x41 machinery verbatim:
+    * minhash sign → LSH band → candidates only → exact-Jaccard
+    * verify ≥ threshold.
+    *
+    * Shape: one shingle pass per field off the same scan, candidates
+    * via band buckets (never all pairs), verify joins move each row's
+    * set once per surviving pair side. */
+  def pairedFieldNearDups(
+      df: DataFrame, idCol: String, fieldCols: Seq[String],
+      shingleSize: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(fieldCols.nonEmpty, "need at least one field column")
+    require(fieldCols.size.toLong * graft.functions.Hashing.P <= Long.MaxValue / 64,
+      s"too many fields to tag disjointly: ${fieldCols.size}")
+    val tagged = fieldCols.zipWithIndex.map { case (f, i) =>
+      shingleHashes(df, idCol, f, shingleSize)
+        .select(col("doc"),
+          (col("h") + lit(i.toLong * graft.functions.Hashing.P)).as("h"))
+    }.reduce(_.union(_))
+    val sh = scope.persist(tagged)
+    val pairs = lshCandidatePairs(
+      lshBandKeys(minhashSignatures(sh, numHashes), numHashes, rowsPerBand))
+    jaccard(sh, pairs, minJaccard = threshold).where(col("jac") >= threshold)
+  }
 }

@@ -6525,6 +6525,33 @@ object OracleSql {
         |    AS shifted_prior_clamped
         |FROM f""".stripMargin,
 
+    // Paired-field near-dup: per-field 3-gram shingles tagged into
+    // disjoint ranges (+0 / +P), then x41's minhash-band machinery
+    // verbatim over the union set.
+    "x324_paired_neardup" ->
+      s"""WITH d2 AS (SELECT doc_id AS doc,
+         |    substr(text, 1, CAST(FLOOR(length(text)/2) AS BIGINT))
+         |      AS f0,
+         |    substr(text, CAST(FLOOR(length(text)/2) AS BIGINT) + 1)
+         |      AS f1
+         |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         |sh0 AS (SELECT DISTINCT doc, ${chash("s")} AS h FROM
+         |  (SELECT doc, unnest([array_to_string(w[i:i+2], ' ')
+         |     for i in range(1, len(w)-1)]) AS s
+         |   FROM (SELECT doc, string_split(f0,' ') AS w FROM d2) t0) ts0),
+         |sh1 AS (SELECT DISTINCT doc, ${chash("s")} AS h FROM
+         |  (SELECT doc, unnest([array_to_string(w[i:i+2], ' ')
+         |     for i in range(1, len(w)-1)]) AS s
+         |   FROM (SELECT doc, string_split(f1,' ') AS w FROM d2) t1) ts1),
+         |sh AS (SELECT doc, h FROM sh0
+         |  UNION ALL SELECT doc, h + $P FROM sh1),
+         |$minhashBandsCtes,
+         |pairs AS (
+         |  SELECT DISTINCT x.doc AS a, y.doc AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc < y.doc),
+         |${jaccardTail(0.3)}""".stripMargin,
+
     // Synchronous min-label label propagation: 5 unrolled rounds over
     // the symmetrized support->=2 co-purchase graph — all-integer
     // counts and string tie-breaks, so the replay is exact.

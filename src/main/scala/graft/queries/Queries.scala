@@ -3353,6 +3353,25 @@ object Queries {
       .orderBy("node")
   }
 
+  /** X291 — paired-field MinHash near-dup over a derived
+    * (prompt, response) comparison log: each document splits at its
+    * midpoint into the two fields; rows match FIELD-WISE (a prompt
+    * never matches a response — field shingles are tagged into
+    * disjoint hash ranges), catching the near-identical comparison
+    * rows that inflate the x282/x283 agreement statistics. */
+  def x324(s: SparkSession, dir: String): DataFrame = {
+    val half = floor(length(col("text")) / 2).cast("long")
+    val d = Tables.documents(s, dir)
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"),
+        col("text").substr(lit(1L), half).as("prompt"),
+        col("text").substr(half + 1L, lit((1L << 20))).as("response"))
+    graft.operators.Dedup.pairedFieldNearDups(d, "doc_id",
+        Seq("prompt", "response"), shingleSize = 3, numHashes = 16,
+        rowsPerBand = 4, threshold = 0.3)
+      .orderBy("a", "b")
+  }
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -3689,5 +3708,6 @@ object Queries {
     "x320_optimal_threshold" -> (x320 _),
     "x321_embedding_drift" -> (x321 _),
     "x322_label_shift" -> (x322 _),
-    "x323_label_propagation" -> (x323 _))
+    "x323_label_propagation" -> (x323 _),
+    "x324_paired_neardup" -> (x324 _))
 }

@@ -218,4 +218,51 @@ class AnnotationSpec extends SparkSpec {
     val r1 = out.find(_.getAs[String]("rater") == "r1").get
     assert(r1.getAs[Long]("rated") === 1L) // the solo item dropped
   }
+
+  test("paired-field near-dups deflate Fleiss kappa: planted " +
+      "near-identical comparison rows inflate agreement until " +
+      "pairedFieldNearDups removes them") {
+    // comparison items: i1 and three near-copies (identical prompt,
+    // one response word swapped) — all rated unanimously, the way
+    // duplicated rows in a preference log echo one easy judgment;
+    // i2-i4 are genuinely distinct items with real disagreement
+    val p1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val r1 = "one two three four five six seven eight nine ten"
+    val items = Seq(
+      ("1", p1, r1),
+      ("5", p1, r1.replace("ten", "eleven")),
+      ("6", p1, r1.replace("one", "zero")),
+      ("7", p1, r1.replace("ten", "twelve")),
+      ("2", "totally different words live here in this prompt row two",
+        "completely other response text with nothing shared at all ok"),
+      ("3", "third prompt talks about warehouses and shipping manifests",
+        "third response covers customs duty rates and port schedules"),
+      ("4", "fourth prompt asks about quarterly revenue recognition",
+        "fourth response explains deferred income and accrual timing"))
+      .toDF("item", "prompt", "response")
+    val dups = Dedup.pairedFieldNearDups(items, "item",
+        Seq("prompt", "response"), shingleSize = 3, numHashes = 16,
+        rowsPerBand = 4, threshold = 0.5)
+      .collect().map(r => (r.getAs[String]("a"), r.getAs[String]("b")))
+    // every copy pairs with the original (and with each other)
+    val losers = dups.map(_._2).toSet
+    assert(losers === Set("5", "6", "7"), s"found $dups")
+    val rates = ratings(
+      // unanimous echoes on the duplicated item
+      ("1", "r1", "a"), ("1", "r2", "a"), ("1", "r3", "a"),
+      ("5", "r1", "a"), ("5", "r2", "a"), ("5", "r3", "a"),
+      ("6", "r1", "a"), ("6", "r2", "a"), ("6", "r3", "a"),
+      ("7", "r1", "a"), ("7", "r2", "a"), ("7", "r3", "a"),
+      // genuine disagreement on the distinct items
+      ("2", "r1", "a"), ("2", "r2", "b"), ("2", "r3", "c"),
+      ("3", "r1", "b"), ("3", "r2", "b"), ("3", "r3", "c"),
+      ("4", "r1", "a"), ("4", "r2", "c"), ("4", "r3", "c"))
+    def kappa(df: org.apache.spark.sql.DataFrame): Double =
+      Annotation.fleissKappa(df, $"item", $"rater", $"lab", raters = 3)
+        .collect().head.getAs[Double]("kappa")
+    val inflated = kappa(rates)
+    val honest = kappa(rates.filter(!$"item".isin(losers.toSeq: _*)))
+    assert(inflated > honest + 0.1,
+      s"dedup must deflate kappa: inflated=$inflated honest=$honest")
+  }
 }
