@@ -831,4 +831,77 @@ object Graph {
       .select(col("node"), col("__lab").as("community"),
         col("community_size"))
   }
+
+  /** Newman modularity of a community ASSIGNMENT (Newman & Girvan
+    * 2004, eq. 5): per community c, `Q_c = L_c/m − (D_c/2m)²` with
+    * L_c = intra-community edges, D_c = summed member degree, m =
+    * undirected edge count — the one-number "are these communities
+    * real structure or degree luck" grade for whatever produced the
+    * assignment ([[labelPropagation]], connected components, a
+    * semantic clustering): Q ≈ 0 means the partition explains nothing
+    * beyond random wiring, Q ≳ 0.3 is conventional community
+    * structure. Edges canonicalize exactly like [[triangleCount]]
+    * (undirected a<b, deduped, loops dropped); everything up to the
+    * final ratio is exact integer counting, per-community terms round
+    * through DECIMAL(18,8), `q_total` sums the ROUNDED contributions
+    * (round-then-add, the house cross-engine sum rule).
+    *
+    * Shape: one degree aggregate + two broadcast-sized joins against
+    * the assignment (nodes-bounded) + one per-community rollup —
+    * shuffles bounded by E for the edge-side community tagging and by
+    * communities for the rollup. Unassigned endpoints drop with a
+    * visible `n_unassigned_nodes` column rather than silently
+    * skewing the edge terms.
+    */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      assignment: DataFrame, nodeCol: String, communityCol: String,
+      roundDigits: Int = 6): DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val canon = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(least(col(srcCol).cast("string"), col(dstCol).cast("string"))
+        .as("a"),
+        greatest(col(srcCol).cast("string"), col(dstCol).cast("string"))
+          .as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val asg = assignment.select(col(nodeCol).cast("string").as("node"),
+      col(communityCol).cast("string").as("__c"))
+    val deg = canon.select(col("a").as("node"))
+      .union(canon.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("__d"))
+    val m = canon.agg(count(lit(1)).as("__m"))
+    val unassigned = deg.join(asg, Seq("node"), "left_anti")
+      .agg(count(lit(1)).as("__u"))
+    // intra-community edge count per community
+    val intra = canon
+      .join(asg.select(col("node").as("a"), col("__c").as("__ca")), Seq("a"))
+      .join(asg.select(col("node").as("b"), col("__c").as("__cb")), Seq("b"))
+      .filter(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("__c")).agg(count(lit(1)).as("__l"))
+    // summed member degree per community (members with no edges add 0)
+    val degC = asg.join(deg, Seq("node"), "left")
+      .groupBy(col("__c"))
+      .agg(sum(coalesce(col("__d"), lit(0L))).as("__dc"),
+        count(lit(1)).as("n_nodes"))
+    val mD = col("__m").cast("double")
+    val perC = degC.join(intra, Seq("__c"), "left")
+      .crossJoin(broadcast(m)).crossJoin(broadcast(unassigned))
+      .select(col("__c").as("community"), col("n_nodes"),
+        coalesce(col("__l"), lit(0L)).as("internal_edges"),
+        col("__dc").as("degree_sum"),
+        col("__m").as("m_edges"), col("__u").as("n_unassigned_nodes"),
+        round(when(col("__m") > 0,
+          coalesce(col("__l"), lit(0L)).cast("double") / mD -
+            (col("__dc").cast("double") / (lit(2.0d) * mD)) *
+            (col("__dc").cast("double") / (lit(2.0d) * mD)))
+          .otherwise(lit(0.0d)).cast(stable), roundDigits)
+          .cast("double").as("q_contrib"))
+    perC.select(col("community"), col("n_nodes"), col("internal_edges"),
+      col("degree_sum"), col("m_edges"), col("n_unassigned_nodes"),
+      col("q_contrib"),
+      round(sum(col("q_contrib"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy())
+        .cast(stable), roundDigits).cast("double").as("q_total"))
+  }
 }

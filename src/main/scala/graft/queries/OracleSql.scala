@@ -6557,6 +6557,10 @@ object OracleSql {
     // counts and string tie-breaks, so the replay is exact.
     "x323_label_propagation" -> labelPropSql(5),
 
+    // Modularity of the x323 assignment: exact integer counting, one
+    // float chain per community, round-then-add total.
+    "x325_modularity" -> modularitySql(5),
+
     // Cochran-Armitage: integer dose-moment sums, one z at the end;
     // float grouping mirrors Spark's operator order exactly.
     "x316_cochran_armitage" ->
@@ -8101,7 +8105,10 @@ object OracleSql {
     * operator's update, integer counts and string ties only.
     * MATERIALIZED throughout: every count CTE reads its predecessor
     * twice (edge join + self-vote union). */
-  private def labelPropSql(rounds: Int): String = {
+  /** The shared CTE body (no WITH, no final select): co-purchase
+    * graph e0/e, nodes, and the unrolled rounds through l{rounds} —
+    * reused by x323's assignment output and x325's modularity grade. */
+  private def labelPropCtes(rounds: Int): String = {
     val steps = (1 to rounds).map { k =>
       s"""c$k AS MATERIALIZED (SELECT node, lab, COUNT(*) AS cnt FROM (
          |    SELECT e.src AS node, p.lab FROM e
@@ -8113,7 +8120,7 @@ object OracleSql {
          |      OVER (PARTITION BY node ORDER BY cnt DESC, lab) AS rn
          |    FROM c$k) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH oi AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i
+    s"""oi AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i
        |  FROM lineitem),
        |e0 AS (SELECT CAST(l.i AS VARCHAR) AS x, CAST(r.i AS VARCHAR) AS y
        |  FROM oi l JOIN oi r ON l.o = r.o AND l.i < r.i
@@ -8123,14 +8130,60 @@ object OracleSql {
        |    UNION ALL SELECT y, x FROM e0 WHERE x <> y)),
        |nodes AS (SELECT DISTINCT src AS node FROM e),
        |l0 AS (SELECT node, node AS lab FROM nodes),
-       |$steps,
+       |$steps""".stripMargin
+  }
+
+  private def labelPropSql(rounds: Int): String =
+    s"""WITH ${labelPropCtes(rounds)},
        |sz AS (SELECT lab, COUNT(*) AS community_size
        |  FROM l$rounds GROUP BY 1)
        |SELECT l.node, l.lab AS community,
        |  CAST(sz.community_size AS BIGINT) AS community_size
        |FROM l$rounds l JOIN sz ON l.lab = sz.lab
        |ORDER BY l.node""".stripMargin
-  }
+
+  /** Newman modularity of the label-propagation assignment (x325):
+    * exact integer L_c/D_c/m counting over the VARCHAR-canonicalized
+    * undirected edge set, per-community `L/m − (D/2m)²` rounded at
+    * 6 dp, q_total = round-then-add of the contributions — mirroring
+    * Graph.modularity's float chain paren-for-paren. */
+  private def modularitySql(rounds: Int): String =
+    s"""WITH ${labelPropCtes(rounds)},
+       |canon AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+       |  FROM e0 WHERE x <> y),
+       |mm AS (SELECT COUNT(*) AS m FROM canon),
+       |dg AS (SELECT n AS node, COUNT(*) AS d FROM (
+       |    SELECT a AS n FROM canon UNION ALL SELECT b FROM canon)
+       |  GROUP BY 1),
+       |intra AS (SELECT la.lab AS c, COUNT(*) AS l
+       |  FROM canon cn JOIN l$rounds la ON cn.a = la.node
+       |  JOIN l$rounds lb ON cn.b = lb.node
+       |  WHERE la.lab = lb.lab GROUP BY 1),
+       |degc AS (SELECT l.lab AS c, SUM(COALESCE(dg.d, 0)) AS dc,
+       |    COUNT(*) AS n_nodes
+       |  FROM l$rounds l LEFT JOIN dg ON l.node = dg.node GROUP BY 1),
+       |una AS (SELECT COUNT(*) AS u FROM dg
+       |  WHERE node NOT IN (SELECT node FROM l$rounds)),
+       |perc AS (SELECT degc.c AS community,
+       |    CAST(degc.n_nodes AS BIGINT) AS n_nodes,
+       |    CAST(COALESCE(intra.l, 0) AS BIGINT) AS internal_edges,
+       |    CAST(degc.dc AS BIGINT) AS degree_sum,
+       |    CAST((SELECT m FROM mm) AS BIGINT) AS m_edges,
+       |    CAST((SELECT u FROM una) AS BIGINT) AS n_unassigned_nodes,
+       |    CAST(ROUND(CAST(CASE WHEN (SELECT m FROM mm) > 0 THEN
+       |      CAST(COALESCE(intra.l, 0) AS DOUBLE)
+       |        / CAST((SELECT m FROM mm) AS DOUBLE)
+       |      - (CAST(degc.dc AS DOUBLE)
+       |          / (2.0e0 * CAST((SELECT m FROM mm) AS DOUBLE)))
+       |        * (CAST(degc.dc AS DOUBLE)
+       |          / (2.0e0 * CAST((SELECT m FROM mm) AS DOUBLE)))
+       |      ELSE 0.0e0 END AS DECIMAL(18,8)), 6) AS DOUBLE) AS q_contrib
+       |  FROM degc LEFT JOIN intra ON degc.c = intra.c)
+       |SELECT community, n_nodes, internal_edges, degree_sum, m_edges,
+       |  n_unassigned_nodes, q_contrib,
+       |  CAST(ROUND(CAST(SUM(q_contrib) OVER () AS DECIMAL(18,8)), 6)
+       |    AS DOUBLE) AS q_total
+       |FROM perc ORDER BY community""".stripMargin
 
   private def hitsSql(iters: Int): String = {
     val rounds = (1 to iters).map { k =>

@@ -3372,6 +3372,25 @@ object Queries {
       .orderBy("a", "b")
   }
 
+  /** X292 — Newman modularity of the x323 label-propagation
+    * assignment on the co-purchase graph: the "are these communities
+    * real structure or degree luck" grade, one exact-integer counting
+    * pass + one float chain per community. */
+  def x325(s: SparkSession, dir: String): DataFrame = {
+    val oi = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = oi.as("l").join(oi.as("r"), Seq("l_orderkey"))
+      .filter(col("l.l_partkey") < col("r.l_partkey"))
+      .groupBy(col("l.l_partkey").as("src"), col("r.l_partkey").as("dst"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2)
+    val comm = graft.operators.Graph.labelPropagation(
+      pairs, "src", "dst", rounds = 5)
+    graft.operators.Graph.modularity(pairs, "src", "dst",
+        comm, "node", "community")
+      .orderBy("community")
+  }
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -3709,5 +3728,6 @@ object Queries {
     "x321_embedding_drift" -> (x321 _),
     "x322_label_shift" -> (x322 _),
     "x323_label_propagation" -> (x323 _),
-    "x324_paired_neardup" -> (x324 _))
+    "x324_paired_neardup" -> (x324 _),
+    "x325_modularity" -> (x325 _))
 }

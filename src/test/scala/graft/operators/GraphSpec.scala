@@ -329,6 +329,39 @@ class GraphSpec extends SparkSpec {
     assert(out("a1")._2 === 4L && out("b1")._2 === 4L)
   }
 
+  test("modularity: two planted cliques grade 0.211538 each " +
+      "(hand Newman terms); one-community partition grades 0") {
+    import spark.implicits._
+    def clique(ns: Seq[String]) =
+      for { x <- ns; y <- ns if x < y } yield (x, y)
+    val edges = (clique(Seq("a1", "a2", "a3", "a4")) ++
+      clique(Seq("b1", "b2", "b3", "b4")) ++ Seq(("a4", "b1")))
+      .toDF("src", "dst")
+    // m=13; each clique: L=6, D=13 -> Q_c = 6/13 - (13/26)^2 = .211538
+    val twoWay = Seq(("a1", "A"), ("a2", "A"), ("a3", "A"), ("a4", "A"),
+      ("b1", "B"), ("b2", "B"), ("b3", "B"), ("b4", "B"))
+      .toDF("node", "community")
+    val out = Graph.modularity(edges, "src", "dst", twoWay,
+      "node", "community").collect()
+      .map(r => r.getAs[String]("community") ->
+        (r.getAs[Long]("internal_edges"), r.getAs[Long]("degree_sum"),
+          r.getAs[Double]("q_contrib"), r.getAs[Double]("q_total"),
+          r.getAs[Long]("n_unassigned_nodes"))).toMap
+    assert(out("A") === ((6L, 13L, 0.211538, 0.423076, 0L)))
+    assert(out("B") === ((6L, 13L, 0.211538, 0.423076, 0L)))
+    // everything in one community: L=m, D=2m -> Q = 1 - 1 = 0
+    val oneWay = twoWay.select($"node", lit("ALL").as("community"))
+    val q1 = Graph.modularity(edges, "src", "dst", oneWay,
+      "node", "community").collect().head.getAs[Double]("q_total")
+    assert(q1 === 0.0)
+    // partial assignment surfaces the unassigned count
+    val partial = twoWay.filter($"node" =!= "b4")
+    val u = Graph.modularity(edges, "src", "dst", partial,
+      "node", "community").collect().head
+      .getAs[Long]("n_unassigned_nodes")
+    assert(u === 1L)
+  }
+
   test("labelPropagation: symmetric pair collapses to the smaller " +
       "label (the self-vote anti-oscillation contract)") {
     import spark.implicits._
