@@ -48,9 +48,15 @@ import org.apache.spark.sql.functions._
   * improvement, returning the model truncated at the best round — the
   * LightGBM semantics, not GBT's validationTol drift check.
   *
-  * Scale design (100 TB): the working frame carries (features, label, F)
-  * and is re-persisted per round with the previous round unpersisted —
-  * lineage is cut by `localCheckpoint` every `checkpointInterval`
+  * Scale design (100 TB): the working frame carries (bins, label, F) on
+  * the histogram path — the raw feature vector is DROPPED after the
+  * one-time binning (r17: it was the largest resident column) — and is
+  * re-persisted per round with the previous round's storage RELEASED
+  * (unpersist + checkpoint-block release: `DataFrame.unpersist` alone
+  * cannot reach a localCheckpoint's RDD blocks, and that leak — one
+  * full binned frame per checkpointed round per concurrent model — is
+  * what ran the full-width M5 tweedie demo out of a 32 GB heap).
+  * Lineage is cut by `localCheckpoint` every `checkpointInterval`
   * rounds, the same cadence Spark's own GBT uses. Per round the cost is
   * one tree fit (Spark ML's distributed histogram builder) + one narrow
   * map to update F + one 1-row deviance agg; nothing driver-side grows
@@ -318,8 +324,25 @@ object TweedieGbt {
       else None
     val base1 = histBins match {
       case Some(hb) =>
+        // the per-round loop on the histogram path reads ONLY
+        // (__bins, __y, __valid, __F): the raw vector column is dead
+        // weight in every round's resident cache — at full M5 width
+        // (≈5.9M rows/store × 8 DAG-parallel models) it is the
+        // LARGEST column (doubles vs the shorts it was binned to).
+        // Bin once, drop it (r17: half the per-model cache bytes).
         base0.withColumn("__bins", HistTree.binColumn(hb, "features"))
+          .drop("features")
       case None => base0
+    }
+    // Rotation helper: a round frame can be a plain persist OR a
+    // localCheckpoint — DataFrame.unpersist alone cannot reach a
+    // checkpoint RDD's blocks (the graft.util.Cut.release gap), so
+    // every checkpointed round's FULL binned frame stayed resident
+    // until context GC. At full M5 width × 8 concurrent models that
+    // leak is what ran a 32 GB driver out of heap (r17 tweedie run).
+    def release(df: DataFrame): Unit = {
+      df.unpersist()
+      graft.util.Cut.release(df)
     }
     var cur = base1.withColumn("__F", lit(f0)).localCheckpoint(true)
     var best = (Double.MaxValue, 0) // (valid deviance, round)
@@ -422,7 +445,7 @@ object TweedieGbt {
         if ((round + 1) % params.checkpointInterval == 0)
           next0.localCheckpoint(true)
         else { val c = next0.persist(); c.count(); c }
-      cur.unpersist()
+      release(cur)
       cur = next
 
       if (hasValid) {
@@ -435,7 +458,7 @@ object TweedieGbt {
       }
       round += 1
     }
-    cur.unpersist()
+    release(cur)
 
     // LightGBM returns the BEST-round model, not the last
     val keep = if (hasValid && best._2 > 0) best._2 else stages.size

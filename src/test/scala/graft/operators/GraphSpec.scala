@@ -362,6 +362,38 @@ class GraphSpec extends SparkSpec {
     assert(u === 1L)
   }
 
+  test("plan pin: a persisted pre-partitioned edge copy is never " +
+      "re-exchanged by the half-round join (the hits/hyperBall/" +
+      "labelPropagation per-round shape)") {
+    import spark.implicits._
+    // force the shuffle-join path: broadcast would hide the edge
+    // side's partitioning question entirely
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val edges = (1 to 200).map(i => (s"s${i % 20}", s"d${i % 33}"))
+        .toDF("src", "dst")
+      val eBySrc = edges.repartition(col("src"))
+        .dropDuplicates("src", "dst").persist()
+      eBySrc.count()
+      val hub = (0 until 20).map(i => (s"s$i", 0.05)).toDF("node", "__s")
+      val contrib = eBySrc
+        .join(hub.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("__s")).as("__c"))
+      val plan = contrib.queryExecution.executedPlan.toString
+      val exchanges =
+        "Exchange hashpartitioning".r.findAllMatchIn(plan).length
+      // exactly two: the thin score frame onto the join key and the
+      // aggregate onto the group key — an edge-side re-shuffle would
+      // make it three (what every half-round paid before r17)
+      assert(exchanges === 2,
+        s"expected score-side + agg exchanges only:\n$plan")
+      eBySrc.unpersist()
+      ()
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("labelPropagation: symmetric pair collapses to the smaller " +
       "label (the self-vote anti-oscillation contract)") {
     import spark.implicits._
