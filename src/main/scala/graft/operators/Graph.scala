@@ -855,18 +855,25 @@ object Graph {
     */
   def modularity(edges: DataFrame, srcCol: String, dstCol: String,
       assignment: DataFrame, nodeCol: String, communityCol: String,
-      roundDigits: Int = 6): DataFrame = {
+      roundDigits: Int = 6,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
     val stable = org.apache.spark.sql.types.DecimalType(18, 8)
-    val canon = edges
+    // canon feeds FOUR consumers (deg, m, intra, and deg's unassigned
+    // anti-join) and asg three — persisted, or every consumer replays
+    // the caller's edge derivation (the x325 gate's co-purchase
+    // self-join appeared 5× in the unpersisted plan)
+    val canon = scope.persist(edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .select(least(col(srcCol).cast("string"), col(dstCol).cast("string"))
         .as("a"),
         greatest(col(srcCol).cast("string"), col(dstCol).cast("string"))
           .as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct()
-    val asg = assignment.select(col(nodeCol).cast("string").as("node"),
-      col(communityCol).cast("string").as("__c"))
+      .distinct())
+    val asg = scope.persist(assignment
+      .select(col(nodeCol).cast("string").as("node"),
+        col(communityCol).cast("string").as("__c")))
     val deg = canon.select(col("a").as("node"))
       .union(canon.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("__d"))

@@ -3379,11 +3379,15 @@ object Queries {
   def x325(s: SparkSession, dir: String): DataFrame = {
     val oi = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
+    // persisted: BOTH the propagation and the grade derive their edge
+    // frames from this self-join — unshared, the order-pair blowup
+    // (the gate's dominant cost) runs twice per query
     val pairs = oi.as("l").join(oi.as("r"), Seq("l_orderkey"))
       .filter(col("l.l_partkey") < col("r.l_partkey"))
       .groupBy(col("l.l_partkey").as("src"), col("r.l_partkey").as("dst"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= 2)
+      .persist()
     val comm = graft.operators.Graph.labelPropagation(
       pairs, "src", "dst", rounds = 5)
     graft.operators.Graph.modularity(pairs, "src", "dst",

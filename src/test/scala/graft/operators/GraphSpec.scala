@@ -381,8 +381,13 @@ class GraphSpec extends SparkSpec {
         .join(hub.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst")).agg(sum(col("__s")).as("__c"))
       val plan = contrib.queryExecution.executedPlan.toString
-      val exchanges =
-        "Exchange hashpartitioning".r.findAllMatchIn(plan).length
+      // count only planner-inserted exchanges (ENSURE_REQUIREMENTS):
+      // the InMemoryRelation dump embeds its own REPARTITION_BY_COL
+      // build exchange (printed twice, initial + final plan) which is
+      // exactly the pre-partitioning under test, not a re-shuffle
+      val exchanges = plan.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") &&
+          l.contains("ENSURE_REQUIREMENTS"))
       // exactly two: the thin score frame onto the join key and the
       // aggregate onto the group key — an edge-side re-shuffle would
       // make it three (what every half-round paid before r17)
