@@ -446,6 +446,68 @@ object TextAnalysis {
     merges.result()
   }
 
+  /** BM25 document ranking (Robertson–Walker–Jones, TREC-3 Okapi;
+    * the Robertson/Zaragoza 2009 formulation with the +1 idf guard):
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    * idf(t) = ln(1 + (N−df+0.5)/(df+0.5)) — THE lexical retrieval
+    * baseline: next to the embedding ANN tier it answers "which
+    * documents match these terms" with exact, explainable term
+    * statistics (dedup triage, contamination lookups, eval-set
+    * retrieval all start here).
+    *
+    * Shape: ONE scan — per doc, the length and each query term's tf
+    * come from HOF passes over the token array (terms are a literal
+    * handful by contract), so no explode and nothing shuffles but the
+    * doc-bounded (id, dl, tf…) projection; corpus stats (N, Σdl,
+    * per-term df) are ONE 1-row aggregate broadcast back (the house
+    * scalar idiom); top-k by ROUNDED score (ties to doc id) plans as
+    * TakeOrderedAndProject. Engine parity: idf's ln is pinned to 8 dp
+    * through DECIMAL(18,8) (the linear-counting convention), each
+    * doc×term contribution rounds to 8 dp BEFORE the exact decimal
+    * row-sum (round-then-add), final score rounds at `roundDigits`.
+    */
+  def bm25TopDocs(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 20, roundDigits: Int = 6): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 16 &&
+      terms == terms.distinct, s"need 1..16 distinct terms: $terms")
+    require(k1 > 0 && b >= 0 && b <= 1, s"bad k1/b: $k1/$b")
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val toks = filter(Text.tokens(col(textCol)), t => t =!= "")
+    val perDoc = df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), toks.as("__tk"))
+      .select(col("doc_id") +: size(col("__tk")).as("__dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("__tk"), x => x === lit(t))).as(s"__tf$i")
+        }: _*)
+    val statCols = count(lit(1)).as("__n") +: sum(col("__dl")).as("__sdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    def contrib(i: Int): Column = {
+      val tf = col(s"__tf$i").cast("double")
+      val dfi = col(s"__df$i").cast("double")
+      val idf = round(log(lit(1.0d) +
+        (col("__n").cast("double") - dfi + lit(0.5d)) / (dfi + lit(0.5d)))
+        .cast(stable), 8).cast("double")
+      val avgdl = col("__sdl").cast("double") / col("__n").cast("double")
+      when(col(s"__tf$i") > 0,
+        round((idf * (tf * lit(k1 + 1.0d)) /
+          (tf + lit(k1) * (lit(1.0d - b) +
+            lit(b) * col("__dl").cast("double") / avgdl))).cast(stable), 8))
+        .otherwise(lit(0).cast(stable))
+    }
+    val scored = perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("__dl").cast("bigint").as("doc_len"),
+        terms.indices.map(i =>
+          when(col(s"__tf$i") > 0, 1).otherwise(0)).reduce(_ + _)
+          .cast("int").as("n_matched"),
+        round(terms.indices.map(contrib).reduce(_ + _).cast(stable),
+          roundDigits).cast("double").as("bm25"))
+      .filter(col("n_matched") > 0)
+    Relational.topK(scored, topK, col("bm25").desc, col("doc_id").asc)
+  }
+
   /** Vocabulary extraction: global word counts, top `k` by (count desc,
     * word asc). The count is one map-side-combinable hash aggregate;
     * the top-k plans as TakeOrderedAndProject (no global sort). */

@@ -6552,6 +6552,11 @@ object OracleSql {
          |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc < y.doc),
          |${jaccardTail(0.3)}""".stripMargin,
 
+    // BM25 top-20: HOF token passes, one 1-row stats broadcast,
+    // 8dp-pinned idf ln, per-term 8dp round-then-add.
+    "x326_bm25" -> bm25Sql(Seq("spark", "data", "join"),
+      k1 = 1.2, b = 0.75, topK = 20),
+
     // Synchronous min-label label propagation: 5 unrolled rounds over
     // the symmetrized support->=2 co-purchase graph — all-integer
     // counts and string tie-breaks, so the replay is exact.
@@ -8184,6 +8189,58 @@ object OracleSql {
        |  CAST(ROUND(CAST(SUM(q_contrib) OVER () AS DECIMAL(18,8)), 6)
        |    AS DOUBLE) AS q_total
        |FROM perc ORDER BY community""".stripMargin
+
+  /** BM25 over documents (x326): per-doc HOF token counts, one stats
+    * row, idf ln pinned at 8 dp, per-term contributions rounded at
+    * 8 dp before the exact decimal row-sum — mirroring
+    * TextAnalysis.bm25TopDocs paren-for-paren. Scala-printed float
+    * literals for k1+1 / 1−b so both engines multiply identical
+    * doubles. */
+  private def bm25Sql(terms: Seq[String], k1: Double, b: Double,
+      topK: Int): String = {
+    val k1p1 = (k1 + 1.0).toString + "e0"
+    val oneMb = (1.0 - b).toString + "e0"
+    val k1s = k1.toString + "e0"
+    val bs = b.toString + "e0"
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(w, x -> x = '$t')) AS tf$i"
+    }.mkString(",\n|    ")
+    val dfCols = terms.indices.map(i =>
+      s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
+      .mkString(",\n|    ")
+    val contribs = terms.indices.map { i =>
+      s"""(CASE WHEN tf$i > 0 THEN ROUND(CAST(
+         |      CAST(ROUND(CAST(LN(1.0e0
+         |          + (CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5e0)
+         |            / (CAST(df$i AS DOUBLE) + 0.5e0))
+         |        AS DECIMAL(18,8)), 8) AS DOUBLE)
+         |      * (CAST(tf$i AS DOUBLE) * $k1p1)
+         |      / (CAST(tf$i AS DOUBLE) + $k1s * ($oneMb
+         |          + $bs * CAST(dl AS DOUBLE)
+         |            / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))
+         |    AS DECIMAL(18,8)), 8)
+         |    ELSE CAST(0 AS DECIMAL(18,8)) END)""".stripMargin
+    }.mkString("\n|    + ")
+    val matched = terms.indices.map(i =>
+      s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH d AS (SELECT doc_id,
+       |    list_filter(string_split(text, ' '), t -> t <> '') AS w
+       |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+       |pd AS (SELECT doc_id, len(w) AS dl,
+       |    $tfCols
+       |  FROM d),
+       |st AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl,
+       |    $dfCols
+       |  FROM pd),
+       |sc AS (SELECT doc_id, CAST(dl AS BIGINT) AS doc_len,
+       |    CAST($matched AS INT) AS n_matched,
+       |    $contribs AS s
+       |  FROM pd CROSS JOIN st)
+       |SELECT doc_id, doc_len, n_matched,
+       |  CAST(ROUND(CAST(s AS DECIMAL(18,8)), 6) AS DOUBLE) AS bm25
+       |FROM sc WHERE n_matched > 0
+       |ORDER BY bm25 DESC, doc_id LIMIT $topK""".stripMargin
+  }
 
   private def hitsSql(iters: Int): String = {
     val rounds = (1 to iters).map { k =>

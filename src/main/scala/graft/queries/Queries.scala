@@ -3395,6 +3395,12 @@ object Queries {
       .orderBy("community")
   }
 
+  /** X293 — BM25 top-20 over the documents corpus for a 3-term
+    * query: the lexical retrieval baseline next to the ANN tier. */
+  def x326(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25TopDocs(Tables.documents(s, dir), "doc_id", "text",
+      terms = Seq("spark", "data", "join"))
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -3733,5 +3739,6 @@ object Queries {
     "x322_label_shift" -> (x322 _),
     "x323_label_propagation" -> (x323 _),
     "x324_paired_neardup" -> (x324 _),
-    "x325_modularity" -> (x325 _))
+    "x325_modularity" -> (x325 _),
+    "x326_bm25" -> (x326 _))
 }

@@ -654,4 +654,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("chao1") === 6.0)
     assert(r.getAs[Double]("gt_unseen_mass") === 1.0)
   }
+
+  test("bm25TopDocs matches the hand-computed Okapi fixture: length " +
+      "normalization outranks raw tf, zero-match docs drop") {
+    import spark.implicits._
+    // N=3, avgdl=10/3; idf(cat, df=2) = round8(ln(1+1.5/2.5))
+    // d1: tf=2 dl=6 -> 0.527555; d3: tf=1 dl=2 -> 0.561961 — the
+    // SHORT doc outranks the long one despite half the tf (the b
+    // normalization doing its job); d2 never matches and drops
+    val docs = Seq(
+      (1L, "cat sat on the mat cat"),
+      (2L, "dog sat"),
+      (3L, "a cat")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopDocs(docs, "doc_id", "text",
+      terms = Seq("cat"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3)))
+    // n_matched counts matched TERMS (one here), not occurrences
+    assert(out.toSeq === Seq((3L, 2L, 1, 0.561961),
+      (1L, 6L, 1, 0.527555)))
+  }
 }
