@@ -163,14 +163,69 @@ object Bench {
   private def jmap(pairs: Seq[(String, String)]): String =
     pairs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 
+  /** Where the artifact lands when SPARK_GRAFT_BENCH_OUT is unset
+    * (r17 verdict "What's wrong" #1, twice-recurring): an adjudication
+    * subset run (SPARK_GRAFT_ONLY) that omitted the env var used to
+    * default straight onto the repo-root scoreboard, so a habitual
+    * `git commit -a` shipped a 1-query scratch line as the round's
+    * board — the r16 AND r17 defect of record. Subset runs now default
+    * under /tmp; only a FULL sweep defaults to the scoreboard file. */
+  private[graft] def defaultOutPath(isSubset: Boolean): String =
+    if (isSubset) "/tmp/bench_subset.json" else "bench.json"
+
+  /** Count of the `queries` map in a bench artifact line; -1 when the
+    * content is not a bench board (missing/unparsable). Kept tiny and
+    * json4s-backed so the clobber guard below never misreads a board. */
+  private[graft] def boardQueryCount(content: String): Int = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    try {
+      (JsonMethods.parse(content) \ "queries") match {
+        case JObject(fields) => fields.size
+        case _ => -1
+      }
+    } catch { case scala.util.control.NonFatal(_) => -1 }
+  }
+
+  /** Second layer of the scoreboard guard: even with an explicit out
+    * path, a line timing strictly FEWER queries than the board already
+    * at that path is a subset/adjudication artifact, not a new board —
+    * overwriting loses the round's record. True = redirect the write. */
+  private[graft] def wouldClobberBoard(
+      existing: Option[String], newLine: String): Boolean = {
+    val oldN = existing.map(boardQueryCount).getOrElse(-1)
+    val newN = boardQueryCount(newLine)
+    oldN > 0 && newN >= 0 && newN < oldN
+  }
+
   /** Assemble + emit the artifact. The printed line is the driver
     * contract; the same line also lands in SPARK_GRAFT_BENCH_OUT so
     * round-over-round comparisons never depend on stdout tail-capture
     * luck (r3: the driver truncated the full-precision line mid-dict).
-    * Per-query times round to ms for the same reason. */
-  private def emit(line: String): Unit = {
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+    * Per-query times round to ms for the same reason. Writes that
+    * would shrink an existing multi-query board divert to
+    * `<out>.partial` (SPARK_GRAFT_BENCH_FORCE=1 overrides). */
+  private def emit(line: String, isSubset: Boolean): Unit = {
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      defaultOutPath(isSubset))
+    val target = {
+      val p = java.nio.file.Paths.get(outFile)
+      val existing =
+        try {
+          if (java.nio.file.Files.exists(p))
+            Some(new String(java.nio.file.Files.readAllBytes(p),
+              java.nio.charset.StandardCharsets.UTF_8))
+          else None
+        } catch { case scala.util.control.NonFatal(_) => None }
+      if (!sys.env.contains("SPARK_GRAFT_BENCH_FORCE") &&
+          wouldClobberBoard(existing, line)) {
+        System.err.println(s"[bench] REFUSING to overwrite $outFile: it " +
+          "holds a board with more queries than this run timed; writing " +
+          s"$outFile.partial instead (SPARK_GRAFT_BENCH_FORCE=1 overrides)")
+        java.nio.file.Paths.get(outFile + ".partial")
+      } else p
+    }
+    try java.nio.file.Files.write(target,
       line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case scala.util.control.NonFatal(_) => () } // printed line is the contract
     println(line)
@@ -407,6 +462,6 @@ object Bench {
       case Some(n) => runChunked(n, sfDir, only)
       case None    => runSweep(only, sfDir)
     }
-    emit(line)
+    emit(line, isSubset = only.isDefined)
   }
 }

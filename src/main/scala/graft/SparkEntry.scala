@@ -33,5 +33,6 @@ object SparkEntry {
       "x79_refdigest_dedup" -> (Queries.x79Setup _),
       "x85_bloom_dedup" -> (Queries.x85Setup _),
       "x95_embedding_neardup_index" -> (Queries.x95Setup _),
-      "x104_boilerplate_incremental" -> (Queries.x104Setup _))
+      "x104_boilerplate_incremental" -> (Queries.x104Setup _),
+      "x325_modularity" -> (Queries.x325Setup _))
 }

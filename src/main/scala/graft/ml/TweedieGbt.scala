@@ -440,7 +440,18 @@ object TweedieGbt {
             .drop("__leaf")
       }
       // cut lineage periodically (GBT's checkpointInterval cadence);
-      // plain persist in between keeps each round one stage deep
+      // plain persist in between keeps each round one stage deep.
+      // FAULT-TOLERANCE TRADE (r17 ADVICE): release(cur) below frees
+      // the predecessor round's only data copy while `next`'s lineage
+      // (when it's a plain persist) still roots in that released
+      // localCheckpoint — on a multi-executor cluster a lost cached
+      // partition after the release fails the job instead of
+      // recomputing. Deliberate for the single-JVM target (memory is
+      // the binding constraint — the r17 full-width run OOM'd without
+      // eager release); a cluster deployment should either set
+      // checkpointInterval=1 (every round is a cut, releases only ever
+      // free a frame with a checkpointed successor) or defer release
+      // to the next checkpoint boundary.
       val next =
         if ((round + 1) % params.checkpointInterval == 0)
           next0.localCheckpoint(true)

@@ -1784,13 +1784,19 @@ object Dedup {
     * (each field alone may sit under threshold) while letting them
     * inflate rater-agreement statistics (κ/α count near-identical
     * comparison rows as independent items). Field-wise semantics by
-    * construction: field i's shingle hashes are offset by `i·P` into
-    * disjoint ranges (exact long arithmetic, trivially mirrored by
-    * the SQL oracle), so the union set's Jaccard is
-    * `(Σᵢ |Aᵢ∩Bᵢ|) / (Σᵢ |Aᵢ∪Bᵢ|)` — cross-field collisions are
-    * impossible. Downstream is the standard x41 machinery verbatim:
-    * minhash sign → LSH band → candidates only → exact-Jaccard
-    * verify ≥ threshold.
+    * construction AT THE VERIFY STAGE: field i's shingle hashes are
+    * offset by `i·P` into disjoint ranges (exact long arithmetic,
+    * trivially mirrored by the SQL oracle), so the exact-Jaccard
+    * verify computes `(Σᵢ |Aᵢ∩Bᵢ|) / (Σᵢ |Aᵢ∪Bᵢ|)` over the tagged
+    * union — a cross-field collision can never survive to the
+    * output. Candidate GENERATION is weaker (r17 ADVICE): the
+    * minhash permutation reduces mod P, which erases the `i·P` tags,
+    * so LSH banding sees the collapsed (untagged) union and may
+    * propose a candidate pair off a cross-field resemblance — such a
+    * pair costs one verify join and is then rejected exactly.
+    * Downstream is the standard x41 machinery verbatim: minhash
+    * sign → LSH band → candidates only → exact-Jaccard verify ≥
+    * threshold.
     *
     * Shape: one shingle pass per field off the same scan, candidates
     * via band buckets (never all pairs), verify joins move each row's

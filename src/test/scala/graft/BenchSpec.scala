@@ -112,4 +112,32 @@ class BenchSpec extends SparkSpec {
     assert(!Bench.isSuspect(Seq(-1.0, -1.0, -1.0)), "failures are failed, not suspect")
     assert(!Bench.isSuspect(Seq(1.211, 0.644, 0.683)), "t01's clean shape")
   }
+
+  test("subset runs default their artifact under /tmp, full sweeps to the scoreboard (r17 verdict #1)") {
+    assert(Bench.defaultOutPath(isSubset = true).startsWith("/tmp/"),
+      "an adjudication run that omits SPARK_GRAFT_BENCH_OUT must not " +
+        "land on the repo-root scoreboard")
+    assert(Bench.defaultOutPath(isSubset = false) == "bench.json",
+      "the full sweep IS the scoreboard write")
+  }
+
+  test("the clobber guard refuses to shrink an existing board (r17 verdict #1 second layer)") {
+    def board(qs: String*): String =
+      """{"metric":"total","value":1.0,"queries":{""" +
+        qs.map(q => s""""$q":0.5""").mkString(",") + "}}"
+    val full = board("t01", "t02", "x325")
+    val one = board("x325")
+    assert(Bench.wouldClobberBoard(Some(full), one),
+      "a 1-query line must never overwrite a 3-query board")
+    assert(!Bench.wouldClobberBoard(Some(one), full),
+      "growing the board is always allowed")
+    assert(!Bench.wouldClobberBoard(Some(full), full),
+      "same-size rewrite (a fresh full sweep) is allowed")
+    assert(!Bench.wouldClobberBoard(None, one),
+      "no existing file, nothing to protect")
+    assert(!Bench.wouldClobberBoard(Some("not json at all"), one),
+      "garbage at the target is not a board")
+    assert(Bench.boardQueryCount(full) == 3 &&
+      Bench.boardQueryCount("{}") == -1)
+  }
 }
