@@ -34,5 +34,6 @@ object SparkEntry {
       "x85_bloom_dedup" -> (Queries.x85Setup _),
       "x95_embedding_neardup_index" -> (Queries.x95Setup _),
       "x104_boilerplate_incremental" -> (Queries.x104Setup _),
-      "x325_modularity" -> (Queries.x325Setup _))
+      "x325_modularity" -> (Queries.x325Setup _),
+      "x327_modularity_refine" -> (Queries.x325Setup _))
 }

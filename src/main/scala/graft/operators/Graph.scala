@@ -911,4 +911,214 @@ object Graph {
         .over(org.apache.spark.sql.expressions.Window.partitionBy())
         .cast(stable), roundDigits).cast("double").as("q_total"))
   }
+
+  /** EXACT-integer modularity numerator: Q = num/(4m²) with
+    * num = Σ_c (4m·L_c − D_c²) — the rounding-free twin of
+    * [[modularity]], for strict-improvement proofs (x327 grades a
+    * [[modularityRefine]] sweep with it: single-move gains on a
+    * sparse graph sit BELOW the grade's display rounding — measured:
+    * 16 accepted moves at m=3573 gain ≥ 32/(4m²) ≈ 6e-7, invisible
+    * at 6 dp — while the numerator difference is an exact positive
+    * long). Long arithmetic: 4m·L_c ≤ 4E², overflow only past ~10⁹
+    * edges; a deployment beyond that swaps the products to
+    * DECIMAL(38,0). Output: ONE row (q_num_4m2, m_edges). */
+  def modularityExactNumerator(edges: DataFrame, srcCol: String,
+      dstCol: String, assignment: DataFrame, nodeCol: String,
+      communityCol: String,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
+    val canon = scope.persist(edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(least(col(srcCol).cast("string"), col(dstCol).cast("string"))
+        .as("a"),
+        greatest(col(srcCol).cast("string"), col(dstCol).cast("string"))
+          .as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct())
+    val asg = scope.persist(assignment
+      .select(col(nodeCol).cast("string").as("node"),
+        col(communityCol).cast("string").as("__c")))
+    val deg = canon.select(col("a").as("node"))
+      .union(canon.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("__d"))
+    val m = canon.agg(count(lit(1)).as("__m"))
+    val intra = canon
+      .join(asg.select(col("node").as("a"), col("__c").as("__ca")), Seq("a"))
+      .join(asg.select(col("node").as("b"), col("__c").as("__cb")), Seq("b"))
+      .filter(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("__c")).agg(count(lit(1)).as("__l"))
+    val degC = asg.join(deg, Seq("node"), "left")
+      .groupBy(col("__c"))
+      .agg(sum(coalesce(col("__d"), lit(0L))).as("__dc"))
+    degC.join(intra, Seq("__c"), "left")
+      .crossJoin(broadcast(m))
+      .agg(sum(lit(4L) * col("__m") * coalesce(col("__l"), lit(0L)) -
+        col("__dc") * col("__dc")).as("q_num_4m2"),
+        max(col("__m")).as("m_edges"))
+  }
+
+  /** One-or-more Louvain-style refinement sweeps over a community
+    * ASSIGNMENT (the local-move phase of Blondel et al. 2008, "Fast
+    * unfolding of communities in large networks", §2 — without the
+    * coarsening): each sweep, every node simultaneously evaluates
+    * moving to each NEIGHBOR community and takes the best
+    * positive-gain move. [[labelPropagation]] + [[modularity]] are
+    * the two halves of Louvain without this loop — LPA votes by
+    * label frequency (blind to degree luck), this sweep moves by the
+    * modularity objective itself, turning the grade into an
+    * optimizer.
+    *
+    * Determinism (the oracle-gate requirement every iterative op here
+    * meets): the gain of moving node i from its community C to a
+    * neighbor community D,
+    *   ΔQ(i→D) = (k_iD − k_iC′)/m − k_i·(D_D − D_C + k_i)/(2m²)
+    * (k_iD = i's edges into D, k_iC′ = i's edges into C∖{i}, D_X =
+    * summed member degree with i still in C, m = undirected edge
+    * count), is compared through the 2m²-SCALED form
+    *   score(D) = 2m·(k_iD − k_iC′) − k_i·(D_D − D_C + k_i)
+    * — exact long arithmetic end-to-end (every factor is an edge
+    * count; at 2m ≈ 10¹² and k ≈ 10⁴ the product is 10¹⁶, inside
+    * long), so the argmax never rides a float rounding edge. A move
+    * candidate exists iff its score is STRICTLY positive (staying
+    * scores 0 by definition — the D=C form degenerates to −k_i² and
+    * is excluded); each node's best candidate (score desc, then
+    * smallest target label) is its PROPOSAL.
+    *
+    * MONOTONE parallel acceptance: naively applying every proposal
+    * synchronously overshoots (many nodes pile into the same target
+    * and Q can DROP — measured on the co-purchase graph: one naive
+    * sweep took 0.4492 → 0.4388). Instead each sweep accepts the
+    * LOCALLY DOMINANT proposals (Preis 1999 / Manne–Bisseling
+    * parallel greedy matching, applied to the community graph): a
+    * proposal is accepted iff it is the strongest proposal — order
+    * (score desc, node asc), total because node is unique — incident
+    * to BOTH its source and its target community. Accepted proposals
+    * therefore form a matching on communities (two accepted proposals
+    * incident to one community would both be that community's
+    * incident-max, hence equal), so they touch pairwise-disjoint
+    * community pairs; a single move's ΔQ depends only on its own two
+    * communities' terms, so the accepted moves' exact gains are
+    * exactly additive and every sweep STRICTLY improves Q whenever
+    * any strictly-positive proposal exists. Fully deterministic,
+    * replayable by the SQL oracle. Known limitation of any
+    * node-local scheme: an assignment with a SINGLE community (LPA's
+    * output on a graph whose label diameter collapses, e.g. the
+    * co-purchase graph at sf0.001) admits no move at all — isolating
+    * a node from the universal community scores −k_i² < 0 — so the
+    * sweep is a fixed point there and the gate reports
+    * q_before = q_after with n_moved = 0.
+    *
+    * Shape: the CC/LPA scale template — canonical edges persist once;
+    * per sweep ONE (node, neighbor-community) count bounded by E, one
+    * communities-bounded degree rollup, one per-node argmax window
+    * bounded by a node's distinct neighbor communities ≤ degree, one
+    * communities-bounded incident-max window; no all-pairs anywhere.
+    * Edges with an endpoint missing from the assignment contribute to
+    * degrees and m (matching [[modularity]]'s grade of the same
+    * assignment) but never to move candidates.
+    *
+    * Output: (node, community) — the refined assignment, one row per
+    * assigned node. */
+  def modularityRefine(edges: DataFrame, srcCol: String, dstCol: String,
+      assignment: DataFrame, nodeCol: String, communityCol: String,
+      sweeps: Int = 1,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
+    require(sweeps >= 1 && sweeps <= 16, s"sweeps out of range: $sweeps")
+    val sc = edges.sparkSession.sparkContext
+    // per-sweep lineage cut, the LPA/CC discipline: one sweep's plan
+    // references its predecessor ~6× (degree rollup, vote count, own
+    // row, self-edge count, candidate join) — uncut, three sweeps
+    // compose into an exponentially exploding logical plan that stalls
+    // Catalyst before a single task runs (measured: sweeps=3 hung >9
+    // min at sf0.001; cut, it's seconds)
+    val reliable = sc.getCheckpointDir.isDefined
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    val canon = scope.persist(edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(least(col(srcCol).cast("string"), col(dstCol).cast("string"))
+        .as("a"),
+        greatest(col(srcCol).cast("string"), col(dstCol).cast("string"))
+          .as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct())
+    // symmetric adjacency off the canonical set — canon is distinct
+    // and a<b, so the union is already duplicate-free
+    val e = scope.persist(
+      canon.select(col("a").as("src"), col("b").as("dst"))
+        .union(canon.select(col("b").as("src"), col("a").as("dst")))
+        .repartition(col("dst")))
+    val deg = scope.persist(e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("__k")))
+    val mRow = canon.agg(count(lit(1)).as("__m"))
+    var asg = cut(assignment
+      .select(col(nodeCol).cast("string").as("node"),
+        col(communityCol).cast("string").as("__c")))
+    for (_ <- 1 to sweeps) {
+      val prev = asg
+      val degC = prev.join(deg, Seq("node"), "left")
+        .groupBy(col("__c"))
+        .agg(sum(coalesce(col("__k"), lit(0L))).as("__tot"))
+      // i's edge count into each ASSIGNED neighbor community
+      // (includes D = C(i): that row is k_iC′)
+      val nc = e
+        .join(prev.withColumnRenamed("node", "dst")
+          .withColumnRenamed("__c", "__cd"), Seq("dst"))
+        .groupBy(col("src").as("node"), col("__cd"))
+        .agg(count(lit(1)).as("__kd"))
+      val own = prev
+        .join(deg, Seq("node"), "left")
+        .join(degC.withColumnRenamed("__tot", "__totC"), Seq("__c"))
+        .select(col("node"), col("__c"),
+          coalesce(col("__k"), lit(0L)).as("__ki"), col("__totC"))
+      val kic = nc.join(prev, Seq("node"))
+        .filter(col("__cd") === col("__c"))
+        .select(col("node"), col("__kd").as("__kic"))
+      val cand = nc.join(own, Seq("node"))
+        .filter(col("__cd") =!= col("__c"))
+        .join(kic, Seq("node"), "left")
+        .join(degC.withColumnRenamed("__c", "__cd")
+          .withColumnRenamed("__tot", "__totD"), Seq("__cd"))
+        .crossJoin(broadcast(mRow))
+        .select(col("node"), col("__c"), col("__cd"),
+          (lit(2L) * col("__m") *
+            (col("__kd") - coalesce(col("__kic"), lit(0L))) -
+            col("__ki") * (col("__totD") - col("__totC") + col("__ki")))
+            .as("__score"))
+      // per-node best strictly-positive candidate = the node's proposal
+      val wNode = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("node"))
+        .orderBy(col("__score").desc, col("__cd"))
+      val props = scope.persist(cand.filter(col("__score") > 0)
+        .withColumn("__rn", row_number().over(wNode))
+        .filter(col("__rn") === 1)
+        .select(col("node"), col("__c"), col("__cd"), col("__score")))
+      // locally-dominant acceptance: strongest incident proposal per
+      // community, accept where the proposal wins BOTH endpoints
+      val incident = props.select(col("__c").as("__comm"), col("node"),
+          col("__score"))
+        .union(props.select(col("__cd").as("__comm"), col("node"),
+          col("__score")))
+      val wComm = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__comm"))
+        .orderBy(col("__score").desc, col("node"))
+      val winners = incident
+        .withColumn("__rn", row_number().over(wComm))
+        .filter(col("__rn") === 1)
+        .select(col("__comm"), col("node").as("__winner"))
+      val accepted = props
+        .join(winners.withColumnRenamed("__comm", "__c")
+          .withColumnRenamed("__winner", "__wc"), Seq("__c"))
+        .join(winners.withColumnRenamed("__comm", "__cd")
+          .withColumnRenamed("__winner", "__wd"), Seq("__cd"))
+        .filter(col("node") === col("__wc") && col("node") === col("__wd"))
+        .select(col("node"), col("__cd").as("__move"))
+      asg = cut(prev.join(accepted, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("__move"), col("__c")).as("__c")))
+      props.unpersist()
+    }
+    asg.select(col("node"), col("__c").as("community"))
+  }
 }

@@ -6566,6 +6566,12 @@ object OracleSql {
     // float chain per community, round-then-add total.
     "x325_modularity" -> modularitySql(5),
 
+    // One Louvain-style local-move sweep over the LPA assignment,
+    // graded before/after: the argmax rides the 2m²-scaled all-long
+    // gain score, so the replay is exact; only the two Q totals are
+    // floats (6-dp decimal-pinned like x325).
+    "x327_modularity_refine" -> modularityRefineSql(5, sweeps = 3),
+
     // Cochran-Armitage: integer dose-moment sums, one z at the end;
     // float grouping mirrors Spark's operator order exactly.
     "x316_cochran_armitage" ->
@@ -8189,6 +8195,112 @@ object OracleSql {
        |  CAST(ROUND(CAST(SUM(q_contrib) OVER () AS DECIMAL(18,8)), 6)
        |    AS DOUBLE) AS q_total
        |FROM perc ORDER BY community""".stripMargin
+
+  /** Per-assignment modularity-total CTEs (the [[modularitySql]] float
+    * chain, factored so [[modularityRefineSql]] can grade TWO
+    * assignments in one statement): `${p}q` exposes (q, nc) — the
+    * round-then-add Q total (`digits` dp), the community count, and
+    * the EXACT integer numerator Σ_c(4m·L_c − D_c²) = Q·4m² — for the
+    * assignment table `$asg` (columns node, lab). Assumes `canon`,
+    * `dg`, `mm` CTEs are in scope. */
+  private def qTotalCtes(p: String, asg: String, digits: Int): String =
+    s"""${p}intra AS (SELECT la.lab AS c, COUNT(*) AS l
+       |  FROM canon cn JOIN $asg la ON cn.a = la.node
+       |  JOIN $asg lb ON cn.b = lb.node
+       |  WHERE la.lab = lb.lab GROUP BY 1),
+       |${p}degc AS (SELECT l.lab AS c, SUM(COALESCE(dg.d, 0)) AS dc
+       |  FROM $asg l LEFT JOIN dg ON l.node = dg.node GROUP BY 1),
+       |${p}perc AS (SELECT degc.c,
+       |    CAST(ROUND(CAST(CASE WHEN (SELECT m FROM mm) > 0 THEN
+       |      CAST(COALESCE(i.l, 0) AS DOUBLE)
+       |        / CAST((SELECT m FROM mm) AS DOUBLE)
+       |      - (CAST(degc.dc AS DOUBLE)
+       |          / (2.0e0 * CAST((SELECT m FROM mm) AS DOUBLE)))
+       |        * (CAST(degc.dc AS DOUBLE)
+       |          / (2.0e0 * CAST((SELECT m FROM mm) AS DOUBLE)))
+       |      ELSE 0.0e0 END AS DECIMAL(18,8)), $digits) AS DOUBLE) AS qc,
+       |    4 * (SELECT m FROM mm) * COALESCE(i.l, 0)
+       |      - degc.dc * degc.dc AS qnc
+       |  FROM ${p}degc degc LEFT JOIN ${p}intra i ON degc.c = i.c),
+       |${p}q AS (SELECT CAST(ROUND(CAST(SUM(qc) AS DECIMAL(18,8)),
+       |      $digits) AS DOUBLE) AS q, COUNT(*) AS nc,
+       |    SUM(qnc) AS qn FROM ${p}perc)""".stripMargin
+
+  /** Louvain-style refinement sweeps over the x323 LPA assignment
+    * (x327), graded before/after: per sweep, per node, per assigned
+    * neighbor community D, the 2m²-scaled move gain
+    * `2m·(k_iD − k_iC′) − k_i·(D_D − D_C + k_i)` — ALL-LONG integer
+    * arithmetic mirroring Graph.modularityRefine exactly; per-node
+    * best strictly-positive candidate is the node's proposal
+    * (ties → smallest target label); LOCALLY-DOMINANT acceptance (a
+    * proposal must be the (score desc, node asc)-max incident to BOTH
+    * its communities — the Preis matching rule, so accepted moves
+    * touch disjoint community pairs and gains add exactly); then two
+    * [[qTotalCtes]] grades (before = l$rounds, after = the last
+    * sweep's assignment). */
+  private def modularityRefineSql(rounds: Int, sweeps: Int): String = {
+    def sweepCtes(i: Int): String = {
+      val prev = if (i == 1) s"l$rounds" else s"r${i - 1}asg"
+      val p = s"r$i"
+      s"""${p}degc AS (SELECT l.lab AS c, SUM(COALESCE(dg.d, 0)) AS tot
+         |  FROM $prev l LEFT JOIN dg ON l.node = dg.node GROUP BY 1),
+         |${p}nc AS (SELECT e.src AS node, pp.lab AS cd, COUNT(*) AS kd
+         |  FROM e JOIN $prev pp ON e.dst = pp.node GROUP BY 1, 2),
+         |${p}own AS (SELECT l.node, l.lab AS c, COALESCE(dg.d, 0) AS ki,
+         |    degc.tot AS totc
+         |  FROM $prev l LEFT JOIN dg ON l.node = dg.node
+         |  JOIN ${p}degc degc ON degc.c = l.lab),
+         |${p}kic AS (SELECT nc.node, nc.kd AS kic
+         |  FROM ${p}nc nc JOIN $prev la
+         |    ON nc.node = la.node AND nc.cd = la.lab),
+         |${p}cand AS (SELECT own.node, own.c, nc.cd,
+         |    2 * (SELECT m FROM mm) * (nc.kd - COALESCE(kic.kic, 0))
+         |      - own.ki * (dd.tot - own.totc + own.ki) AS score
+         |  FROM ${p}nc nc JOIN ${p}own own
+         |    ON nc.node = own.node AND nc.cd <> own.c
+         |  LEFT JOIN ${p}kic kic ON kic.node = own.node
+         |  JOIN ${p}degc dd ON dd.c = nc.cd),
+         |${p}prop AS MATERIALIZED (SELECT node, c, cd, score FROM (
+         |    SELECT node, c, cd, score, row_number()
+         |      OVER (PARTITION BY node ORDER BY score DESC, cd) AS rn
+         |    FROM ${p}cand WHERE score > 0) WHERE rn = 1),
+         |${p}inc AS (SELECT c AS comm, node, score FROM ${p}prop
+         |  UNION ALL SELECT cd AS comm, node, score FROM ${p}prop),
+         |${p}win AS (SELECT comm, node AS winner FROM (
+         |    SELECT comm, node, row_number()
+         |      OVER (PARTITION BY comm ORDER BY score DESC, node) AS rn
+         |    FROM ${p}inc) WHERE rn = 1),
+         |${p}acc AS (SELECT pr.node, pr.cd FROM ${p}prop pr
+         |  JOIN ${p}win wc ON wc.comm = pr.c AND wc.winner = pr.node
+         |  JOIN ${p}win wd ON wd.comm = pr.cd AND wd.winner = pr.node),
+         |${p}asg AS MATERIALIZED (SELECT own.node,
+         |    COALESCE(acc.cd, own.c) AS lab
+         |  FROM ${p}own own LEFT JOIN ${p}acc acc
+         |    ON own.node = acc.node)""".stripMargin
+    }
+    val fin = s"r${sweeps}asg"
+    s"""WITH ${labelPropCtes(rounds)},
+       |canon AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+       |  FROM e0 WHERE x <> y),
+       |mm AS (SELECT COUNT(*) AS m FROM canon),
+       |dg AS (SELECT n AS node, COUNT(*) AS d FROM (
+       |    SELECT a AS n FROM canon UNION ALL SELECT b FROM canon)
+       |  GROUP BY 1),
+       |${(1 to sweeps).map(sweepCtes).mkString(",\n")},
+       |${qTotalCtes("qb", s"l$rounds", digits = 8)},
+       |${qTotalCtes("qa", fin, digits = 8)},
+       |mv AS (SELECT CAST(SUM(CASE WHEN f.lab <> p.lab THEN 1 ELSE 0
+       |    END) AS BIGINT) AS n_moved
+       |  FROM l$rounds p JOIN $fin f ON p.node = f.node)
+       |SELECT qbq.q AS q_before,
+       |  CAST(qbq.nc AS BIGINT) AS n_communities_before,
+       |  CAST((SELECT m FROM mm) AS BIGINT) AS m_edges,
+       |  qaq.q AS q_after,
+       |  CAST(qaq.nc AS BIGINT) AS n_communities_after,
+       |  CAST(qaq.qn - qbq.qn AS BIGINT) AS q_gain_4m2,
+       |  mv.n_moved
+       |FROM qbq CROSS JOIN qaq CROSS JOIN mv""".stripMargin
+  }
 
   /** BM25 over documents (x326): per-doc HOF token counts, one stats
     * row, idf ln pinned at 8 dp, per-term contributions rounded at
