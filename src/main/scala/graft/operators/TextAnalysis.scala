@@ -508,6 +508,98 @@ object TextAnalysis {
     Relational.topK(scored, topK, col("bm25").desc, col("doc_id").asc)
   }
 
+  /** The inverted-index frames behind [[bm25TopDocsForQueries]]:
+    * postings = (term, doc_id, tf) — one row per distinct (term, doc)
+    * — and doc lengths = (doc_id, dl). ONE corpus scan builds both
+    * off the same tokenization; at 100 TB these are the frames a
+    * deployment persists once (parquet, bucketed by term) and probes
+    * forever — the x77 persisted-index discipline applied to lexical
+    * retrieval. Tokenization is [[bm25TopDocs]]'s exactly, so the two
+    * BM25 forms score identically. */
+  def bm25Index(df: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame) = {
+    val toks = filter(Text.tokens(col(textCol)), t => t =!= "")
+    val docs = df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), toks.as("__tk"))
+    val lens = docs.select(col("doc_id"), size(col("__tk")).as("dl"))
+    val postings = docs
+      .select(col("doc_id"), explode(col("__tk")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    (postings, lens)
+  }
+
+  /** Query-TABLE BM25 (the decontamination-at-scale shape, r17 verdict
+    * #3): [[bm25TopDocs]] scans the corpus once PER query — fine
+    * interactively, wrong for checking 10k eval prompts against a
+    * 100 TB corpus. This form joins a tokenized query table against
+    * the inverted index from [[bm25Index]], so N queries cost ONE
+    * job: the only data-sized shuffle is query-terms ⋈ postings
+    * (bounded by the matched postings, never the corpus), corpus
+    * stats are a 1-row broadcast, per-term df a term-bounded
+    * aggregate, and the per-query top-k plans as WindowGroupLimit
+    * (rank ≤ k pushed into the shuffle, no global sort).
+    *
+    * Scoring is [[bm25TopDocs]] paren-for-paren (8-dp decimal-pinned
+    * idf ln, per-term 8-dp round-then-add, final round at
+    * `roundDigits`), so for any query the top-k here equals the
+    * literal-terms form's — TextAnalysisSpec pins the equivalence
+    * query-by-query. Query terms are deduped per query (the distinct-
+    * terms contract of the literal form); terms absent from the
+    * corpus drop (a term no document contains contributes 0 to every
+    * document in the literal form). `maxDfFraction` < 1 prunes terms
+    * matching more than that fraction of the corpus — the stopword
+    * guard that keeps a careless query from pulling a corpus-sized
+    * posting list at scale (default 1.0 = off, matching the literal
+    * form). */
+  def bm25TopDocsForQueries(postings: DataFrame, docLens: DataFrame,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 20,
+      roundDigits: Int = 6, maxDfFraction: Double = 1.0): DataFrame = {
+    require(k1 > 0 && b >= 0 && b <= 1, s"bad k1/b: $k1/$b")
+    require(maxDfFraction > 0 && maxDfFraction <= 1,
+      s"bad maxDfFraction: $maxDfFraction")
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val stats = docLens.agg(count(lit(1)).as("__n"),
+      sum(col("dl")).as("__sdl"))
+    val qt = queries
+      .filter(col(queryIdCol).isNotNull && col(queryTextCol).isNotNull)
+      .select(col(queryIdCol).as("query_id"),
+        explode(filter(Text.tokens(col(queryTextCol)), t => t =!= ""))
+          .as("term"))
+      .distinct()
+    val dfTerm = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("__df"))
+    val qTermStats = qt.join(dfTerm, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .filter(col("__df").cast("double") <=
+        lit(maxDfFraction) * col("__n").cast("double"))
+    val tf = col("tf").cast("double")
+    val dfi = col("__df").cast("double")
+    val idf = round(log(lit(1.0d) +
+      (col("__n").cast("double") - dfi + lit(0.5d)) / (dfi + lit(0.5d)))
+      .cast(stable), 8).cast("double")
+    val avgdl = col("__sdl").cast("double") / col("__n").cast("double")
+    val contrib = round((idf * (tf * lit(k1 + 1.0d)) /
+      (tf + lit(k1) * (lit(1.0d - b) +
+        lit(b) * col("dl").cast("double") / avgdl))).cast(stable), 8)
+    val scored = qTermStats
+      .join(postings, Seq("term"))
+      .join(docLens, Seq("doc_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(max(col("dl")).cast("bigint").as("doc_len"),
+        count(lit(1)).cast("int").as("n_matched"),
+        round(sum(contrib).cast(stable), roundDigits).cast("double")
+          .as("bm25"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= topK)
+      .select(col("query_id"), col("doc_id"), col("doc_len"),
+        col("n_matched"), col("bm25"))
+  }
+
   /** Vocabulary extraction: global word counts, top `k` by (count desc,
     * word asc). The count is one map-side-combinable hash aggregate;
     * the top-k plans as TakeOrderedAndProject (no global sort). */

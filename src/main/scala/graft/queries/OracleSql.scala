@@ -6572,6 +6572,11 @@ object OracleSql {
     // floats (6-dp decimal-pinned like x325).
     "x327_modularity_refine" -> modularityRefineSql(5, sweeps = 3),
 
+    // Query-table BM25: five queries in one job against the inverted
+    // index; scoring chain identical to x326's.
+    "x328_bm25_query_table" -> bm25QueryTableSql(
+      graft.queries.Queries.x328Queries, k1 = 1.2, b = 0.75, topK = 20),
+
     // Cochran-Armitage: integer dose-moment sums, one z at the end;
     // float grouping mirrors Spark's operator order exactly.
     "x316_cochran_armitage" ->
@@ -8352,6 +8357,57 @@ object OracleSql {
        |  CAST(ROUND(CAST(s AS DECIMAL(18,8)), 6) AS DOUBLE) AS bm25
        |FROM sc WHERE n_matched > 0
        |ORDER BY bm25 DESC, doc_id LIMIT $topK""".stripMargin
+  }
+
+  /** Query-table BM25 (x328): the inverted form — postings built by
+    * unnest+count, query terms deduped per query, absent terms
+    * dropped, per-(query, doc) 8-dp round-then-add over the matched
+    * postings, per-query top-k by (bm25 desc, doc_id) — mirroring
+    * TextAnalysis.bm25TopDocsForQueries paren-for-paren (identical
+    * float chain to [[bm25Sql]], Scala-printed k1/b literals). */
+  private def bm25QueryTableSql(queries: Seq[(Long, String)],
+      k1: Double, b: Double, topK: Int): String = {
+    val k1p1 = (k1 + 1.0).toString + "e0"
+    val oneMb = (1.0 - b).toString + "e0"
+    val k1s = k1.toString + "e0"
+    val bs = b.toString + "e0"
+    val vals = queries.map { case (id, t) => s"($id, '$t')" }
+      .mkString(", ")
+    s"""WITH d AS (SELECT doc_id,
+       |    list_filter(string_split(text, ' '), t -> t <> '') AS w
+       |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+       |pd AS (SELECT doc_id, len(w) AS dl FROM d),
+       |post AS (SELECT doc_id, t AS term, COUNT(*) AS tf FROM (
+       |    SELECT doc_id, unnest(w) AS t FROM d) GROUP BY 1, 2),
+       |st AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl FROM pd),
+       |q(qid, qtext) AS (VALUES $vals),
+       |qt AS (SELECT DISTINCT qid, t AS term FROM (
+       |    SELECT qid, unnest(list_filter(string_split(qtext, ' '),
+       |      x -> x <> '')) AS t FROM q)),
+       |dft AS (SELECT term, COUNT(*) AS df FROM post GROUP BY 1),
+       |mt AS (SELECT qt.qid, post.doc_id, post.tf, dft.df, pd.dl
+       |  FROM qt JOIN dft USING (term) JOIN post USING (term)
+       |  JOIN pd USING (doc_id)),
+       |sc AS (SELECT CAST(qid AS BIGINT) AS query_id, doc_id,
+       |    CAST(MAX(dl) AS BIGINT) AS doc_len,
+       |    CAST(COUNT(*) AS INT) AS n_matched,
+       |    CAST(ROUND(CAST(SUM(ROUND(CAST(
+       |      CAST(ROUND(CAST(LN(1.0e0
+       |          + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5e0)
+       |            / (CAST(df AS DOUBLE) + 0.5e0))
+       |        AS DECIMAL(18,8)), 8) AS DOUBLE)
+       |      * (CAST(tf AS DOUBLE) * $k1p1)
+       |      / (CAST(tf AS DOUBLE) + $k1s * ($oneMb
+       |          + $bs * CAST(dl AS DOUBLE)
+       |            / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))
+       |      AS DECIMAL(18,8)), 8)) AS DECIMAL(18,8)), 6)
+       |      AS DOUBLE) AS bm25
+       |  FROM mt CROSS JOIN st GROUP BY 1, 2),
+       |rk AS (SELECT sc.*, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY bm25 DESC, doc_id) AS rn FROM sc)
+       |SELECT query_id, doc_id, doc_len, n_matched, bm25
+       |FROM rk WHERE rn <= $topK
+       |ORDER BY query_id, bm25 DESC, doc_id""".stripMargin
   }
 
   private def hitsSql(iters: Int): String = {

@@ -3455,6 +3455,32 @@ object Queries {
     TextAnalysis.bm25TopDocs(Tables.documents(s, dir), "doc_id", "text",
       terms = Seq("spark", "data", "join"))
 
+  /** The x328 query batch: five queries of mixed length, one with a
+    * term absent from the corpus ("quantize", "missing") — the
+    * dropped-term path the literal form scores as 0 for every doc. */
+  private[graft] val x328Queries: Seq[(Long, String)] = Seq(
+    (1L, "spark data join"),
+    (2L, "hash merge batch"),
+    (3L, "window agg group sort"),
+    (4L, "customer order line"),
+    (5L, "vector quantize missing"))
+
+  /** X296 — query-TABLE BM25 top-20 (the decontamination shape): five
+    * queries scored in ONE job against the inverted (term, doc, tf)
+    * index — N queries never cost N corpus scans. */
+  def x328(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (postings, lens) = TextAnalysis.bm25Index(
+      Tables.documents(s, dir), "doc_id", "text")
+    // each frame feeds two consumers (df + the probe join; stats +
+    // the probe join) — persisted, the tokenize/explode pass runs once
+    val p = postings.persist()
+    val l = lens.persist()
+    val qs = x328Queries.toDF("qid", "qtext")
+    TextAnalysis.bm25TopDocsForQueries(p, l, qs, "qid", "qtext")
+      .orderBy(col("query_id"), col("bm25").desc, col("doc_id"))
+  }
+
   /** X295 — three Louvain-style refinement sweeps (locally-dominant
     * monotone acceptance) over the x323 LPA assignment on the
     * co-purchase graph, graded before/after with x325's modularity:
@@ -3834,5 +3860,6 @@ object Queries {
     "x324_paired_neardup" -> (x324 _),
     "x325_modularity" -> (x325 _),
     "x326_bm25" -> (x326 _),
-    "x327_modularity_refine" -> (x327 _))
+    "x327_modularity_refine" -> (x327 _),
+    "x328_bm25_query_table" -> (x328 _))
 }

@@ -674,4 +674,65 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq === Seq((3L, 2L, 1, 0.561961),
       (1L, 6L, 1, 0.527555)))
   }
+
+  /** Shared fixture for the two BM25 forms: enough vocabulary overlap
+    * that every query matches several docs, plus an absent term. */
+  private def bm25Corpus = Seq(
+    (1L, "cat sat on the mat cat"),
+    (2L, "dog sat on a log"),
+    (3L, "a cat and a dog"),
+    (4L, "the mat the log the cat"),
+    (5L, "fish swim"))
+
+  test("bm25TopDocsForQueries equals N independent bm25TopDocs calls " +
+      "(the query-table/literal-form equivalence, r17 verdict #3)") {
+    import spark.implicits._
+    val docs = bm25Corpus.toDF("doc_id", "text")
+    val queries = Seq((10L, "cat mat"), (20L, "dog log fish"),
+      (30L, "cat unicorn"), (40L, "sat"))
+    val (postings, lens) = TextAnalysis.bm25Index(docs, "doc_id", "text")
+    val batch = TextAnalysis.bm25TopDocsForQueries(postings, lens,
+        queries.toDF("qid", "qtext"), "qid", "qtext", topK = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4)))
+      .groupBy(_._1)
+      .map { case (q, rows) => q -> rows.map(t =>
+        (t._2, t._3, t._4, t._5)).sortBy(x => (-x._4, x._1)).toSeq }
+    queries.foreach { case (qid, qtext) =>
+      val single = TextAnalysis.bm25TopDocs(docs, "doc_id", "text",
+          terms = qtext.split(" ").toSeq, topK = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getDouble(3))).toSeq
+      assert(batch.getOrElse(qid, Seq.empty) === single,
+        s"query $qid '$qtext': batch ${batch.get(qid)} != single $single")
+    }
+  }
+
+  test("bm25TopDocsForQueries: corpus scan count is independent of the " +
+      "query count, and the per-query top-k plans as WindowGroupLimit " +
+      "(one job, never one scan per query)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bm25qt").toString
+    bm25Corpus.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(dir)
+    val docs = spark.read.parquet(dir)
+    def planOf(n: Int): String = {
+      val qs = (1 to n).map(i => (i.toLong, "cat dog mat"))
+        .toDF("qid", "qtext")
+      val (postings, lens) = TextAnalysis.bm25Index(docs, "doc_id", "text")
+      TextAnalysis.bm25TopDocsForQueries(postings, lens, qs,
+        "qid", "qtext").queryExecution.executedPlan.toString
+    }
+    def scans(plan: String): Int =
+      plan.linesIterator.count(l => l.contains("FileScan parquet") ||
+        l.contains("Scan parquet"))
+    val p1 = planOf(1)
+    val p16 = planOf(16)
+    assert(scans(p16) === scans(p1),
+      s"query-table BM25 must not scan per query: 1 query -> " +
+        s"${scans(p1)} scans, 16 queries -> ${scans(p16)}:\n$p16")
+    assert(p16.contains("WindowGroupLimit"),
+      s"rank<=k must push into the shuffle as WindowGroupLimit:\n$p16")
+  }
 }
