@@ -957,6 +957,77 @@ object Graph {
         max(col("__m")).as("m_edges"))
   }
 
+  /** Community WELL-CONNECTEDNESS guard (the Leiden critique of
+    * LPA/Louvain communities — Traag, Waltman & van Eck 2019,
+    * "From Louvain to Leiden": both can emit internally sparse, even
+    * disconnected, communities; label propagation's classic failure
+    * mode is a CHAIN flooded into one label). Full γ-connectivity is
+    * subset-exponential; this is the practical per-community screen:
+    *
+    *   - `internal_edges ≥ γ·n_nodes` for n_nodes ≥ 3 — a chain (any
+    *     tree) has size−1 < γ·size at γ = 1, while anything holding a
+    *     cycle passes; singletons and pairs are exempt (a pair with
+    *     its edge is already a clique);
+    *   - `min_internal_degree ≥ 1` for n_nodes ≥ 2 — a member with
+    *     NO intra-community edge means the community is outright
+    *     disconnected (the worst Louvain artifact).
+    *
+    * When to prefer it: run as a post-hoc screen after
+    * [[labelPropagation]] (+[[modularityRefine]]) whenever the
+    * communities feed a decision that assumes cohesion (dedup
+    * clusters, co-purchase assortments) — flagged communities should
+    * be re-split (e.g. connected components INSIDE the community)
+    * rather than trusted. Not a replacement for the modularity grade:
+    * Q measures against the null model, this measures internal
+    * cohesion; a partition can score well on one and fail the other.
+    *
+    * Shape: one canonical-edge pass tagged by the assignment (E-
+    * bounded), one per-member intra-degree aggregate (V-bounded), one
+    * communities-bounded rollup. Output: (community, n_nodes,
+    * internal_edges, min_internal_degree, well_connected). */
+  def communityConnectedness(edges: DataFrame, srcCol: String,
+      dstCol: String, assignment: DataFrame, nodeCol: String,
+      communityCol: String, gamma: Double = 1.0,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
+    require(gamma > 0, s"gamma must be positive: $gamma")
+    val canon = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(least(col(srcCol).cast("string"), col(dstCol).cast("string"))
+        .as("a"),
+        greatest(col(srcCol).cast("string"), col(dstCol).cast("string"))
+          .as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val asg = scope.persist(assignment
+      .select(col(nodeCol).cast("string").as("node"),
+        col(communityCol).cast("string").as("__c")))
+    val intraEdges = scope.persist(canon
+      .join(asg.select(col("node").as("a"), col("__c").as("__ca")), Seq("a"))
+      .join(asg.select(col("node").as("b"), col("__c").as("__cb")), Seq("b"))
+      .filter(col("__ca") === col("__cb"))
+      .select(col("a"), col("b"), col("__ca").as("__c")))
+    val intraDeg = intraEdges.select(col("a").as("node"), col("__c"))
+      .union(intraEdges.select(col("b").as("node"), col("__c")))
+      .groupBy(col("node"), col("__c"))
+      .agg(count(lit(1)).as("__id"))
+    val perC = asg.join(intraDeg, Seq("node", "__c"), "left")
+      .groupBy(col("__c"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(coalesce(col("__id"), lit(0L))).as("min_internal_degree"))
+    val intraC = intraEdges.groupBy(col("__c"))
+      .agg(count(lit(1)).as("internal_edges"))
+    perC.join(intraC, Seq("__c"), "left")
+      .select(col("__c").as("community"), col("n_nodes"),
+        coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+        col("min_internal_degree"),
+        ((col("n_nodes") === 1 || col("min_internal_degree") >= 1) &&
+          (col("n_nodes") <= 2 ||
+            coalesce(col("internal_edges"), lit(0L)).cast("double") >=
+              lit(gamma) * col("n_nodes").cast("double")))
+          .as("well_connected"))
+  }
+
   /** One-or-more Louvain-style refinement sweeps over a community
     * ASSIGNMENT (the local-move phase of Blondel et al. 2008, "Fast
     * unfolding of communities in large networks", §2 — without the

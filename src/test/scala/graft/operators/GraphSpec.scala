@@ -476,6 +476,56 @@ class GraphSpec extends SparkSpec {
     assert(out === Array("ALL"), s"no move target exists: ${out.toSeq}")
   }
 
+  test("communityConnectedness: LPA floods a chain into one label and " +
+      "the guard flags it; cliques and pairs pass (the Leiden-failure " +
+      "screen, r17 verdict #7)") {
+    import spark.implicits._
+    // a 6-node path — label "1" floods the whole chain under min-label
+    // LPA — plus a K4 and an isolated edge pair, all in one graph
+    val edges = Seq(("p1", "p2"), ("p2", "p3"), ("p3", "p4"),
+      ("p4", "p5"), ("p5", "p6"),
+      ("k1", "k2"), ("k1", "k3"), ("k1", "k4"), ("k2", "k3"),
+      ("k2", "k4"), ("k3", "k4"),
+      ("e1", "e2")).toDF("src", "dst")
+    val lpa = Graph.labelPropagation(edges, "src", "dst", rounds = 6)
+    val lpaMap = lpa.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert((1 to 6).map(i => lpaMap(s"p$i")).distinct.size === 1,
+      s"fixture requires LPA to flood the chain: $lpaMap")
+    val out = Graph.communityConnectedness(edges, "src", "dst",
+        lpa, "node", "community")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toMap
+    val chain = out(lpaMap("p1"))
+    assert(chain === ((6L, 5L, 1L, false)),
+      s"the flooded chain (5 edges < 6 nodes) must flag: $chain")
+    assert(out(lpaMap("k1")) === ((4L, 6L, 3L, true)),
+      s"the K4 community must pass: $out")
+    assert(out(lpaMap("e1")) === ((2L, 1L, 1L, true)),
+      s"a pair with its edge is already a clique: $out")
+  }
+
+  test("communityConnectedness: a disconnected member flags even a " +
+      "dense community; singletons pass") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("x", "y"))
+      .toDF("src", "dst")
+    // force-assign the stranded node z (and x) into the triangle's
+    // community; y alone; z has NO intra edge anywhere
+    val asg = Seq("a" -> "T", "b" -> "T", "c" -> "T", "x" -> "T",
+      "y" -> "S").toDF("node", "c")
+    val out = Graph.communityConnectedness(edges, "src", "dst",
+        asg, "node", "c")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toMap
+    assert(out("T") === ((4L, 3L, 0L, false)),
+      s"x has no intra-T edge -> disconnected community: $out")
+    assert(out("S") === ((1L, 0L, 0L, true)),
+      s"a singleton is trivially connected: $out")
+  }
+
   test("modularityRefine: every sweep is monotone under " +
       "locally-dominant acceptance (exact numerator never drops, " +
       "sweeps compose)") {
