@@ -208,6 +208,12 @@ object Bench {
   private def emit(line: String, isSubset: Boolean): Unit = {
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       defaultOutPath(isSubset))
+    // the guard protects BOARDS (bench.json or an explicit path) —
+    // the /tmp subset default is scratch by definition, and guarding
+    // it would make consecutive adjudication runs of different sizes
+    // silently divert to .partial
+    val scratchDefault =
+      isSubset && !sys.env.contains("SPARK_GRAFT_BENCH_OUT")
     val target = {
       val p = java.nio.file.Paths.get(outFile)
       val existing =
@@ -217,7 +223,8 @@ object Bench {
               java.nio.charset.StandardCharsets.UTF_8))
           else None
         } catch { case scala.util.control.NonFatal(_) => None }
-      if (!sys.env.contains("SPARK_GRAFT_BENCH_FORCE") &&
+      if (!scratchDefault &&
+          !sys.env.contains("SPARK_GRAFT_BENCH_FORCE") &&
           wouldClobberBoard(existing, line)) {
         System.err.println(s"[bench] REFUSING to overwrite $outFile: it " +
           "holds a board with more queries than this run timed; writing " +
