@@ -1123,6 +1123,10 @@ object Graph {
     val deg = scope.persist(e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("__k")))
     val mRow = canon.agg(count(lit(1)).as("__m"))
+    // the INPUT is cut too: a sweep references its predecessor ~6×
+    // (degree rollup, votes, own rows, self-edges, candidates), and a
+    // cached localCheckpoint is one memory read per reference instead
+    // of six re-evaluations of the caller's plan
     var asg = cut(assignment
       .select(col(nodeCol).cast("string").as("node"),
         col(communityCol).cast("string").as("__c")))
