@@ -869,13 +869,24 @@ object Evaluation {
       value: Column, roundDigits: Int = 6,
       scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
       : DataFrame = {
-    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
     val cells = scope.persist(df.filter(sideA || sideB)
       .select(value.cast("string").as("__v"),
         when(sideA, lit(1L)).otherwise(lit(0L)).as("__a"),
         when(sideB, lit(1L)).otherwise(lit(0L)).as("__b"))
       .groupBy(col("__v"))
       .agg(sum(col("__a")).as("__na"), sum(col("__b")).as("__nb")))
+    jensenShannonFromCells(cells, roundDigits)
+  }
+
+  /** [[jensenShannon]]'s tail from pre-aggregated per-category cells
+    * (__v, __na, __nb) — the from-counts entry the STREAMING
+    * community-drift monitor rolls its live size histogram through
+    * ([[graft.streaming.Stateful.membershipDeltaMonitor]]): identical
+    * float chain, so the live JSD at any point equals the batch JSD
+    * over the equivalent two-slice frame (spec-pinned). */
+  def jensenShannonFromCells(cells: DataFrame, roundDigits: Int = 6)
+      : DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
     // totals named apart from the cell counts: Spark's default
     // case-insensitive resolution would see "__NA" == "__na"
     val tot = cells.agg(sum(col("__na")).as("__ta"),
