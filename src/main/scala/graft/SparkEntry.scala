@@ -35,5 +35,6 @@ object SparkEntry {
       "x95_embedding_neardup_index" -> (Queries.x95Setup _),
       "x104_boilerplate_incremental" -> (Queries.x104Setup _),
       "x325_modularity" -> (Queries.x325Setup _),
-      "x327_modularity_refine" -> (Queries.x325Setup _))
+      "x327_modularity_refine" -> (Queries.x325Setup _),
+      "x329_bm25_index_probe" -> (Queries.x329Setup _))
 }

@@ -6577,6 +6577,11 @@ object OracleSql {
     "x328_bm25_query_table" -> bm25QueryTableSql(
       graft.queries.Queries.x328Queries, k1 = 1.2, b = 0.75, topK = 20),
 
+    // Persisted-index probe: identical scores to x328 — the oracle IS
+    // x328's (the parquet round-trip must not move a single score).
+    "x329_bm25_index_probe" -> bm25QueryTableSql(
+      graft.queries.Queries.x328Queries, k1 = 1.2, b = 0.75, topK = 20),
+
     // Cochran-Armitage: integer dose-moment sums, one z at the end;
     // float grouping mirrors Spark's operator order exactly.
     "x316_cochran_armitage" ->
