@@ -1096,52 +1096,117 @@ object Graph {
       scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
       : DataFrame = {
     require(sweeps >= 1 && sweeps <= 16, s"sweeps out of range: $sweeps")
-    val sc = edges.sparkSession.sparkContext
-    // per-sweep lineage cut, the LPA/CC discipline: one sweep's plan
-    // references its predecessor ~6× (degree rollup, vote count, own
-    // row, self-edge count, candidate join) — uncut, three sweeps
-    // compose into an exponentially exploding logical plan that stalls
-    // Catalyst before a single task runs (measured: sweeps=3 hung >9
-    // min at sf0.001; cut, it's seconds)
-    val reliable = sc.getCheckpointDir.isDefined
-    def cut(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
-    val canon = scope.persist(edges
+    val canon = scope.persist(canonicalEdges(edges, srcCol, dstCol))
+    // symmetric adjacency off the canonical set — canon is distinct
+    // and a<b, so the union is already duplicate-free; w ≡ 1 (the
+    // weighted core with unit weights computes bit-identical scores)
+    val e = scope.persist(
+      canon.select(col("a").as("src"), col("b").as("dst"))
+        .union(canon.select(col("b").as("src"), col("a").as("dst")))
+        .withColumn("__w", lit(1L))
+        .repartition(col("dst")))
+    val mRow = canon.agg(count(lit(1)).as("__m"))
+    val asg0 = assignment
+      .select(col(nodeCol).cast("string").as("node"),
+        col(communityCol).cast("string").as("__c"))
+    refineCore(e, None, mRow, asg0, sweeps, scope)
+      .select(col("node"), col("__c").as("community"))
+  }
+
+  /** The triangleCount/modularity canonicalization: undirected a<b
+    * string edges, deduped, loops dropped. */
+  private def canonicalEdges(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .select(least(col(srcCol).cast("string"), col(dstCol).cast("string"))
         .as("a"),
         greatest(col(srcCol).cast("string"), col(dstCol).cast("string"))
           .as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct())
-    // symmetric adjacency off the canonical set — canon is distinct
-    // and a<b, so the union is already duplicate-free
-    val e = scope.persist(
-      canon.select(col("a").as("src"), col("b").as("dst"))
-        .union(canon.select(col("b").as("src"), col("a").as("dst")))
-        .repartition(col("dst")))
-    val deg = scope.persist(e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("__k")))
-    val mRow = canon.agg(count(lit(1)).as("__m"))
-    // the INPUT is cut too: a sweep references its predecessor ~6×
-    // (degree rollup, votes, own rows, self-edges, candidates), and a
-    // cached localCheckpoint is one memory read per reference instead
-    // of six re-evaluations of the caller's plan
-    var asg = cut(assignment
-      .select(col(nodeCol).cast("string").as("node"),
-        col(communityCol).cast("string").as("__c")))
+      .distinct()
+
+  /** The WEIGHTED local-move engine shared by [[modularityRefine]]
+    * (w ≡ 1, no self-loops) and [[louvain]]'s aggregated level
+    * (integer inter-community weights + self-loop weights): per
+    * sweep, per node, per neighbor community D the 2m²-scaled gain
+    * `2m·(k_iD − k_iC′) − k_i·(D_D − D_C + k_i)` with k_iX = SUM of
+    * edge weights into X and k_i = weighted degree + 2·self-weight —
+    * every term an integer edge count, so the long arithmetic and
+    * the locally-dominant acceptance replay bit-exactly in SQL at
+    * both levels. `e` must be the SYMMETRIC (src, dst, __w) frame,
+    * persisted and pre-partitioned on dst; `mRow` is the ORIGINAL
+    * graph's 1-row undirected edge count (aggregation preserves m:
+    * Σw/2 + Σself = m). Per-sweep lineage cut, the LPA/CC discipline:
+    * one sweep's plan references its predecessor ~6× — uncut, three
+    * sweeps compose into an exponentially exploding logical plan that
+    * stalls Catalyst before a single task runs (measured: sweeps=3
+    * hung >9 min at sf0.001; cut, it's seconds). Returns the cut
+    * (node, __c) frame. */
+  /** Eager lineage cut (reliable checkpoint when a dir is configured,
+    * else local) that ALSO resets plan statistics. Two Catalyst-time
+    * failure modes found on the louvain fixtures (40 edges, minutes
+    * to HOURS in the optimizer before any task ran):
+    *
+    *  1. nested lazy caches — stats estimation (InjectRuntimeFilter's
+    *     canBroadcastBySize) re-recurses through unmaterialized
+    *     InMemoryRelation pyramids on every optimizer pass; flat
+    *     leaves fix the depth;
+    *  2. ORIGIN-STATS COMPOUNDING — checkpoint/localCheckpoint carry
+    *     the original plan's estimated statistics onto the LogicalRDD
+    *     leaf, and the size-only join estimator MULTIPLIES child
+    *     sizes, so each sweep's leaf inherits the previous sweep's
+    *     ~8-leaf product and the BigInteger exponent grows ~8× PER
+    *     SWEEP (doubly exponential): the two-level ring fixture
+    *     pinned the optimizer inside Toom-Cook multiplications of
+    *     million-bit integers.
+    *
+    * Rewrapping the checkpointed RDD in a fresh DataFrame keeps the
+    * materialization barrier but drops originStats to the flat
+    * default; AQE re-derives real sizes at runtime, so broadcast
+    * decisions still happen where they matter. */
+  private def cutEager(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val cp =
+      if (spark.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(true)
+      else df.localCheckpoint(true)
+    spark.createDataFrame(cp.rdd, cp.schema)
+  }
+
+  private def refineCore(e: DataFrame, selfW: Option[DataFrame],
+      mRow: DataFrame, asg0: DataFrame, sweeps: Int,
+      scope: graft.util.CacheScope): DataFrame = {
+    def cut(df: DataFrame): DataFrame = cutEager(df)
+    // node-driven degrees: an aggregated super-node with ONLY a
+    // self-loop (an isolated community) never appears in `e`.
+    // deg is CUT, not persisted: every sweep's candidate plan embeds
+    // it 3×, and a flat leaf keeps the optimizer's stats recursion
+    // constant-depth (see cutEager)
+    val edgeDeg = e.groupBy(col("src").as("node"))
+      .agg(sum(col("__w")).as("__kw"))
+    val degBase = asg0.select(col("node"))
+      .join(edgeDeg, Seq("node"), "left")
+    val deg = cut(selfW match {
+      case Some(sw) => degBase.join(sw, Seq("node"), "left")
+        .select(col("node"), (coalesce(col("__kw"), lit(0L)) +
+          lit(2L) * coalesce(col("__sw"), lit(0L))).as("__k"))
+      case None => degBase
+        .select(col("node"), coalesce(col("__kw"), lit(0L)).as("__k"))
+    })
+    var asg = cut(asg0)
     for (_ <- 1 to sweeps) {
       val prev = asg
       val degC = prev.join(deg, Seq("node"), "left")
         .groupBy(col("__c"))
         .agg(sum(coalesce(col("__k"), lit(0L))).as("__tot"))
-      // i's edge count into each ASSIGNED neighbor community
+      // i's edge weight into each ASSIGNED neighbor community
       // (includes D = C(i): that row is k_iC′)
       val nc = e
         .join(prev.withColumnRenamed("node", "dst")
           .withColumnRenamed("__c", "__cd"), Seq("dst"))
         .groupBy(col("src").as("node"), col("__cd"))
-        .agg(count(lit(1)).as("__kd"))
+        .agg(sum(col("__w")).as("__kd"))
       val own = prev
         .join(deg, Seq("node"), "left")
         .join(degC.withColumnRenamed("__tot", "__totC"), Seq("__c"))
@@ -1161,11 +1226,17 @@ object Graph {
             (col("__kd") - coalesce(col("__kic"), lit(0L))) -
             col("__ki") * (col("__totD") - col("__totC") + col("__ki")))
             .as("__score"))
-      // per-node best strictly-positive candidate = the node's proposal
+      // per-node best strictly-positive candidate = the node's
+      // proposal. CUT, not persisted: props is referenced 3× (two
+      // incident legs + the accept join) and its plan stacks ~10
+      // joins over the sweep inputs — as a lazy cache, every
+      // downstream optimizer pass re-runs stats estimation through
+      // the whole pyramid (see cutEager); as a flat leaf it's one
+      // small materialization per sweep
       val wNode = org.apache.spark.sql.expressions.Window
         .partitionBy(col("node"))
         .orderBy(col("__score").desc, col("__cd"))
-      val props = scope.persist(cand.filter(col("__score") > 0)
+      val props = cut(cand.filter(col("__score") > 0)
         .withColumn("__rn", row_number().over(wNode))
         .filter(col("__rn") === 1)
         .select(col("node"), col("__c"), col("__cd"), col("__score")))
@@ -1192,8 +1263,88 @@ object Graph {
       asg = cut(prev.join(accepted, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("__move"), col("__c")).as("__c")))
-      props.unpersist()
+      // storage reclamation: the sweep's cut blocks live behind the
+      // rewrapped frames (see cutEager), so explicit Cut.release
+      // cannot reach them — each sweep's prev/props references die
+      // here and the ContextCleaner drops their checkpoint blocks;
+      // frames are communities/V-bounded, so the in-flight footprint
+      // is two generations of small frames
     }
-    asg.select(col("node"), col("__c").as("community"))
+    asg
+  }
+
+  /** FULL two-phase Louvain (Blondel, Guillaume, Lambiotte & Lefebvre
+    * 2008, §2 — both phases): [[modularityRefine]]'s node-local moves
+    * stop at the resolution limit (Fortunato & Barthélémy 2007: on a
+    * ring of n cliques, merging ADJACENT CLIQUES raises Q once n is
+    * large, but every single-node move out of a clique scores
+    * negative — the spec pins exactly that fixture). The second phase
+    * breaks the limit: AGGREGATE each community to a super-node
+    * (inter-community edge counts as integer weights, intra counts as
+    * self-loops — m is preserved: Σw/2 + Σself = m), run the SAME
+    * weighted locally-dominant sweeps on the super-graph (whole
+    * communities now move/merge as units), then project the
+    * super-assignment back down. Every stage is exact-integer and
+    * monotone — level-0 sweeps by the [[modularityRefine]] proof,
+    * aggregation is Q-preserving by construction, super-level sweeps
+    * by the same proof over weighted gains — so the composite's Q
+    * never drops below the seed's, and the whole chain replays
+    * bit-exactly in the SQL oracle.
+    *
+    * Shape: level 0 is [[refineCore]] on the canonical edges; the
+    * aggregation is ONE tagged-edge aggregate (E-bounded) producing a
+    * communities-bounded super-graph, so the super-level sweeps cost
+    * a vanishing fraction of level 0. Seed with [[labelPropagation]]
+    * (the cheap E+V vote) and this is the standard
+    * LPA-seeded-Louvain pipeline.
+    *
+    * Output: (node, community) — community ids are level-0 community
+    * labels surviving as super-community representatives. */
+  def louvain(edges: DataFrame, srcCol: String, dstCol: String,
+      assignment: DataFrame, nodeCol: String, communityCol: String,
+      sweepsPerLevel: Int = 2,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
+    require(sweepsPerLevel >= 1 && sweepsPerLevel <= 16,
+      s"sweepsPerLevel out of range: $sweepsPerLevel")
+    val canon = scope.persist(canonicalEdges(edges, srcCol, dstCol))
+    val e1 = scope.persist(
+      canon.select(col("a").as("src"), col("b").as("dst"))
+        .union(canon.select(col("b").as("src"), col("a").as("dst")))
+        .withColumn("__w", lit(1L))
+        .repartition(col("dst")))
+    val mRow = canon.agg(count(lit(1)).as("__m"))
+    val asg0 = assignment
+      .select(col(nodeCol).cast("string").as("node"),
+        col(communityCol).cast("string").as("__c"))
+    // phase 1: node-local sweeps (returns a cut frame — read many
+    // times below)
+    val l1 = refineCore(e1, None, mRow, asg0, sweepsPerLevel, scope)
+    // phase 2: aggregate communities to a weighted super-graph. Every
+    // super frame is communities-bounded AND eagerly cut — flat
+    // LogicalRDD leaves, or the optimizer's stats recursion chokes on
+    // the cache pyramid (see cutEager)
+    val tagged = scope.persist(canon
+      .join(l1.select(col("node").as("a"), col("__c").as("__ca")), Seq("a"))
+      .join(l1.select(col("node").as("b"), col("__c").as("__cb")), Seq("b")))
+    val superEdges = tagged.filter(col("__ca") =!= col("__cb"))
+      .select(least(col("__ca"), col("__cb")).as("a"),
+        greatest(col("__ca"), col("__cb")).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("__w"))
+    val e2 = cutEager(
+      superEdges.select(col("a").as("src"), col("b").as("dst"), col("__w"))
+        .union(superEdges.select(col("b").as("src"), col("a").as("dst"),
+          col("__w")))
+        .repartition(col("dst")))
+    val superSelf = cutEager(tagged.filter(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("node")).agg(count(lit(1)).as("__sw")))
+    val superSeed = l1.select(col("__c").as("node")).distinct()
+      .select(col("node"), col("node").as("__c"))
+    val mCut = cutEager(mRow)
+    val l2 = refineCore(e2, Some(superSelf), mCut, superSeed,
+      sweepsPerLevel, scope)
+    // project the super-assignment down
+    l1.join(l2.toDF("__c", "__super"), Seq("__c"))
+      .select(col("node"), col("__super").as("community"))
   }
 }

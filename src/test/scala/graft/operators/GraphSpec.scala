@@ -526,6 +526,50 @@ class GraphSpec extends SparkSpec {
       s"a singleton is trivially connected: $out")
   }
 
+  test("louvain: the aggregation phase breaks the resolution limit " +
+      "node-local moves cannot (Fortunato ring-of-cliques; r18)") {
+    import spark.implicits._
+    // ring of 10 triangles T0..T9, single bridge edges between
+    // consecutive triangles: m = 30 + 10 = 40. Per-triangle Q
+    // numerator 4m·L − D² = 160·3 − 8² = 416 (×10 = 4160); merging
+    // adjacent triangle PAIRS scores 160·7 − 16² = 864 (×5 = 4320) —
+    // strictly better. But any SINGLE NODE move out of a triangle
+    // scores negative (ring node into the neighbor triangle:
+    // 2m(1−2) − 3·(8−8+3) = −89), so modularityRefine alone is a
+    // fixed point at 4160; only aggregated whole-triangle moves
+    // reach 4320.
+    val edges = (0 until 10).flatMap { t =>
+      val (x, y, z) = (s"t${t}a", s"t${t}b", s"t${t}c")
+      Seq((x, y), (x, z), (y, z),
+        (z, s"t${(t + 1) % 10}a")) // bridge to the next triangle
+    }.toDF("src", "dst")
+    val seed = (0 until 10).flatMap(t =>
+      Seq("a", "b", "c").map(s => (s"t$t$s", s"T$t")))
+      .toDF("node", "community")
+    def num(asg: org.apache.spark.sql.DataFrame): Long =
+      Graph.modularityExactNumerator(edges, "src", "dst",
+        asg, "node", "community").head().getAs[Long]("q_num_4m2")
+    assert(num(seed) === 4160L)
+    // node-local refinement is stuck at the seed
+    val refined = Graph.modularityRefine(edges, "src", "dst",
+      seed, "node", "community", sweeps = 3)
+    assert(num(refined) === 4160L,
+      "single-node moves must not escape the resolution limit")
+    // the full two-phase pass merges triangle pairs; equal-score ties
+    // chain under the deterministic tie-break, so give the matching
+    // enough sweeps to pair the whole ring
+    val merged = Graph.louvain(edges, "src", "dst",
+      seed, "node", "community", sweepsPerLevel = 5)
+    val byComm = merged.collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byComm.size === 5, s"expected 5 merged pairs: $byComm")
+    assert(byComm.values.forall(_.size === 6),
+      s"every super-community must be a triangle pair: $byComm")
+    assert(num(merged) === 4320L,
+      s"merged pairing must grade 4320: ${num(merged)}")
+  }
+
   test("modularityRefine: every sweep is monotone under " +
       "locally-dominant acceptance (exact numerator never drops, " +
       "sweeps compose)") {
