@@ -36,5 +36,6 @@ object SparkEntry {
       "x104_boilerplate_incremental" -> (Queries.x104Setup _),
       "x325_modularity" -> (Queries.x325Setup _),
       "x327_modularity_refine" -> (Queries.x325Setup _),
-      "x329_bm25_index_probe" -> (Queries.x329Setup _))
+      "x329_bm25_index_probe" -> (Queries.x329Setup _),
+      "x330_louvain" -> (Queries.x325Setup _))
 }

@@ -6572,6 +6572,10 @@ object OracleSql {
     // floats (6-dp decimal-pinned like x325).
     "x327_modularity_refine" -> modularityRefineSql(5, sweeps = 3),
 
+    // Full two-phase Louvain: 2 node-local + 2 whole-community
+    // weighted sweeps over the LPA seed; summary row like x327.
+    "x330_louvain" -> louvainSql(5, sweeps = 2),
+
     // Query-table BM25: five queries in one job against the inverted
     // index; scoring chain identical to x326's.
     "x328_bm25_query_table" -> bm25QueryTableSql(
@@ -8248,45 +8252,62 @@ object OracleSql {
     * touch disjoint community pairs and gains add exactly); then two
     * [[qTotalCtes]] grades (before = l$rounds, after = the last
     * sweep's assignment). */
+  /** One weighted locally-dominant sweep as CTEs (prefix `$p`,
+    * previous assignment `$prev` (node, lab), edge table `$et`
+    * (src, dst, w — symmetric), degree table `$degT` (node, k)):
+    * mirrors Graph.refineCore paren-for-paren — SUM(w) vote weights,
+    * the 2m²-scaled all-long gain, per-node best proposal, Preis
+    * acceptance. The unweighted level is the same generator with an
+    * all-ones edge table (SUM(1) = COUNT — bit-identical longs). */
+  private def wSweepCte(p: String, prev: String, et: String,
+      degT: String): String =
+    s"""${p}degc AS (SELECT l.lab AS c, SUM(kk.k) AS tot
+       |  FROM $prev l JOIN $degT kk ON l.node = kk.node GROUP BY 1),
+       |${p}nc AS (SELECT $et.src AS node, pp.lab AS cd, SUM($et.w) AS kd
+       |  FROM $et JOIN $prev pp ON $et.dst = pp.node GROUP BY 1, 2),
+       |${p}own AS (SELECT l.node, l.lab AS c, kk.k AS ki,
+       |    degc.tot AS totc
+       |  FROM $prev l JOIN $degT kk ON l.node = kk.node
+       |  JOIN ${p}degc degc ON degc.c = l.lab),
+       |${p}kic AS (SELECT nc.node, nc.kd AS kic
+       |  FROM ${p}nc nc JOIN $prev la
+       |    ON nc.node = la.node AND nc.cd = la.lab),
+       |${p}cand AS (SELECT own.node, own.c, nc.cd,
+       |    2 * (SELECT m FROM mm) * (nc.kd - COALESCE(kic.kic, 0))
+       |      - own.ki * (dd.tot - own.totc + own.ki) AS score
+       |  FROM ${p}nc nc JOIN ${p}own own
+       |    ON nc.node = own.node AND nc.cd <> own.c
+       |  LEFT JOIN ${p}kic kic ON kic.node = own.node
+       |  JOIN ${p}degc dd ON dd.c = nc.cd),
+       |${p}prop AS MATERIALIZED (SELECT node, c, cd, score FROM (
+       |    SELECT node, c, cd, score, row_number()
+       |      OVER (PARTITION BY node ORDER BY score DESC, cd) AS rn
+       |    FROM ${p}cand WHERE score > 0) WHERE rn = 1),
+       |${p}inc AS (SELECT c AS comm, node, score FROM ${p}prop
+       |  UNION ALL SELECT cd AS comm, node, score FROM ${p}prop),
+       |${p}win AS (SELECT comm, node AS winner FROM (
+       |    SELECT comm, node, row_number()
+       |      OVER (PARTITION BY comm ORDER BY score DESC, node) AS rn
+       |    FROM ${p}inc) WHERE rn = 1),
+       |${p}acc AS (SELECT pr.node, pr.cd FROM ${p}prop pr
+       |  JOIN ${p}win wc ON wc.comm = pr.c AND wc.winner = pr.node
+       |  JOIN ${p}win wd ON wd.comm = pr.cd AND wd.winner = pr.node),
+       |${p}asg AS MATERIALIZED (SELECT own.node,
+       |    COALESCE(acc.cd, own.c) AS lab
+       |  FROM ${p}own own LEFT JOIN ${p}acc acc
+       |    ON own.node = acc.node)""".stripMargin
+
+  /** The shared level-0 preamble for x327/x330: all-ones edge view +
+    * node-degree table off the canonical graph (SUM(1) ≡ COUNT keeps
+    * the longs bit-identical to the r17 unweighted form). */
+  private def level0WeightCtes: String =
+    s"""we AS (SELECT src, dst, 1 AS w FROM e),
+       |wdeg AS (SELECT node, COALESCE(d, 0) AS k FROM dg)""".stripMargin
+
   private def modularityRefineSql(rounds: Int, sweeps: Int): String = {
     def sweepCtes(i: Int): String = {
       val prev = if (i == 1) s"l$rounds" else s"r${i - 1}asg"
-      val p = s"r$i"
-      s"""${p}degc AS (SELECT l.lab AS c, SUM(COALESCE(dg.d, 0)) AS tot
-         |  FROM $prev l LEFT JOIN dg ON l.node = dg.node GROUP BY 1),
-         |${p}nc AS (SELECT e.src AS node, pp.lab AS cd, COUNT(*) AS kd
-         |  FROM e JOIN $prev pp ON e.dst = pp.node GROUP BY 1, 2),
-         |${p}own AS (SELECT l.node, l.lab AS c, COALESCE(dg.d, 0) AS ki,
-         |    degc.tot AS totc
-         |  FROM $prev l LEFT JOIN dg ON l.node = dg.node
-         |  JOIN ${p}degc degc ON degc.c = l.lab),
-         |${p}kic AS (SELECT nc.node, nc.kd AS kic
-         |  FROM ${p}nc nc JOIN $prev la
-         |    ON nc.node = la.node AND nc.cd = la.lab),
-         |${p}cand AS (SELECT own.node, own.c, nc.cd,
-         |    2 * (SELECT m FROM mm) * (nc.kd - COALESCE(kic.kic, 0))
-         |      - own.ki * (dd.tot - own.totc + own.ki) AS score
-         |  FROM ${p}nc nc JOIN ${p}own own
-         |    ON nc.node = own.node AND nc.cd <> own.c
-         |  LEFT JOIN ${p}kic kic ON kic.node = own.node
-         |  JOIN ${p}degc dd ON dd.c = nc.cd),
-         |${p}prop AS MATERIALIZED (SELECT node, c, cd, score FROM (
-         |    SELECT node, c, cd, score, row_number()
-         |      OVER (PARTITION BY node ORDER BY score DESC, cd) AS rn
-         |    FROM ${p}cand WHERE score > 0) WHERE rn = 1),
-         |${p}inc AS (SELECT c AS comm, node, score FROM ${p}prop
-         |  UNION ALL SELECT cd AS comm, node, score FROM ${p}prop),
-         |${p}win AS (SELECT comm, node AS winner FROM (
-         |    SELECT comm, node, row_number()
-         |      OVER (PARTITION BY comm ORDER BY score DESC, node) AS rn
-         |    FROM ${p}inc) WHERE rn = 1),
-         |${p}acc AS (SELECT pr.node, pr.cd FROM ${p}prop pr
-         |  JOIN ${p}win wc ON wc.comm = pr.c AND wc.winner = pr.node
-         |  JOIN ${p}win wd ON wd.comm = pr.cd AND wd.winner = pr.node),
-         |${p}asg AS MATERIALIZED (SELECT own.node,
-         |    COALESCE(acc.cd, own.c) AS lab
-         |  FROM ${p}own own LEFT JOIN ${p}acc acc
-         |    ON own.node = acc.node)""".stripMargin
+      wSweepCte(s"r$i", prev, "we", "wdeg")
     }
     val fin = s"r${sweeps}asg"
     s"""WITH ${labelPropCtes(rounds)},
@@ -8296,12 +8317,78 @@ object OracleSql {
        |dg AS (SELECT n AS node, COUNT(*) AS d FROM (
        |    SELECT a AS n FROM canon UNION ALL SELECT b FROM canon)
        |  GROUP BY 1),
+       |$level0WeightCtes,
        |${(1 to sweeps).map(sweepCtes).mkString(",\n")},
        |${qTotalCtes("qb", s"l$rounds", digits = 8)},
        |${qTotalCtes("qa", fin, digits = 8)},
        |mv AS (SELECT CAST(SUM(CASE WHEN f.lab <> p.lab THEN 1 ELSE 0
        |    END) AS BIGINT) AS n_moved
        |  FROM l$rounds p JOIN $fin f ON p.node = f.node)
+       |SELECT qbq.q AS q_before,
+       |  CAST(qbq.nc AS BIGINT) AS n_communities_before,
+       |  CAST((SELECT m FROM mm) AS BIGINT) AS m_edges,
+       |  qaq.q AS q_after,
+       |  CAST(qaq.nc AS BIGINT) AS n_communities_after,
+       |  CAST(qaq.qn - qbq.qn AS BIGINT) AS q_gain_4m2,
+       |  mv.n_moved
+       |FROM qbq CROSS JOIN qaq CROSS JOIN mv""".stripMargin
+  }
+
+  /** Full two-phase Louvain over the LPA seed (x330): `sweeps`
+    * unweighted node-local sweeps (the x327 generator), then the
+    * aggregation — super edges = inter-community edge counts, self
+    * weights = intra counts, super degrees = COALESCE'd weighted
+    * degree + 2·self — then `sweeps` WEIGHTED sweeps over the
+    * super-graph (same [[wSweepCte]] generator, SUM(w) votes), then
+    * the projection and the x327 summary. Mirrors Graph.louvain
+    * paren-for-paren; all-long arithmetic throughout. */
+  private def louvainSql(rounds: Int, sweeps: Int): String = {
+    def l0(i: Int): String = {
+      val prev = if (i == 1) s"l$rounds" else s"r${i - 1}asg"
+      wSweepCte(s"r$i", prev, "we", "wdeg")
+    }
+    def l1(i: Int): String = {
+      val prev = if (i == 1) "s0" else s"s${i - 1}asg"
+      wSweepCte(s"s$i", prev, "sedge", "sdeg")
+    }
+    val lvl0 = s"r${sweeps}asg"
+    val sfin = s"s${sweeps}asg"
+    s"""WITH ${labelPropCtes(rounds)},
+       |canon AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+       |  FROM e0 WHERE x <> y),
+       |mm AS (SELECT COUNT(*) AS m FROM canon),
+       |dg AS (SELECT n AS node, COUNT(*) AS d FROM (
+       |    SELECT a AS n FROM canon UNION ALL SELECT b FROM canon)
+       |  GROUP BY 1),
+       |$level0WeightCtes,
+       |${(1 to sweeps).map(l0).mkString(",\n")},
+       |snodes AS (SELECT DISTINCT lab AS node FROM $lvl0),
+       |sedge0 AS (SELECT least(la.lab, lb.lab) AS a,
+       |    greatest(la.lab, lb.lab) AS b, COUNT(*) AS w
+       |  FROM canon cn JOIN $lvl0 la ON cn.a = la.node
+       |  JOIN $lvl0 lb ON cn.b = lb.node
+       |  WHERE la.lab <> lb.lab GROUP BY 1, 2),
+       |sedge AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM sedge0
+       |  UNION ALL SELECT b AS src, a AS dst, w FROM sedge0),
+       |sself AS (SELECT la.lab AS node, COUNT(*) AS sw
+       |  FROM canon cn JOIN $lvl0 la ON cn.a = la.node
+       |  JOIN $lvl0 lb ON cn.b = lb.node
+       |  WHERE la.lab = lb.lab GROUP BY 1),
+       |sdeg AS MATERIALIZED (SELECT n.node,
+       |    COALESCE(dd.kw, 0) + 2 * COALESCE(ss.sw, 0) AS k
+       |  FROM snodes n
+       |  LEFT JOIN (SELECT src AS node, SUM(w) AS kw FROM sedge
+       |    GROUP BY 1) dd ON dd.node = n.node
+       |  LEFT JOIN sself ss ON ss.node = n.node),
+       |s0 AS (SELECT node, node AS lab FROM snodes),
+       |${(1 to sweeps).map(l1).mkString(",\n")},
+       |lvfin AS MATERIALIZED (SELECT l.node, s.lab
+       |  FROM $lvl0 l JOIN $sfin s ON l.lab = s.node),
+       |${qTotalCtes("qb", s"l$rounds", digits = 8)},
+       |${qTotalCtes("qa", "lvfin", digits = 8)},
+       |mv AS (SELECT CAST(SUM(CASE WHEN f.lab <> p.lab THEN 1 ELSE 0
+       |    END) AS BIGINT) AS n_moved
+       |  FROM l$rounds p JOIN lvfin f ON p.node = f.node)
        |SELECT qbq.q AS q_before,
        |  CAST(qbq.nc AS BIGINT) AS n_communities_before,
        |  CAST((SELECT m FROM mm) AS BIGINT) AS m_edges,

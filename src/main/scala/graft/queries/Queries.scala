@@ -3531,11 +3531,18 @@ object Queries {
     val (edges, assign) = ensureLpaShared(s, dir)
     val refined = g.modularityRefine(edges, "src", "dst",
       assign, "node", "community", sweeps = 3).persist()
-    // one modularity pass per assignment carries EVERYTHING: the 8-dp
-    // grade AND the exact numerator Σ(4m·L_c − D_c²) = Q·4m² derived
-    // from its per-community integer columns — no second edge pass
-    // (the first cut of this gate's 12.4 s: two extra
-    // modularityExactNumerator plans re-canonicalized the edge frame)
+    refinementSummary(edges, assign, refined)
+  }
+
+  /** The community-optimizer gate summary shared by x327 and x330:
+    * one modularity pass per assignment carries EVERYTHING — the 8-dp
+    * grade AND the exact numerator Σ(4m·L_c − D_c²) = Q·4m² derived
+    * from its per-community integer columns — no second edge pass
+    * (the first cut of x327's 12.4 s: two extra
+    * modularityExactNumerator plans re-canonicalized the edge frame). */
+  private def refinementSummary(edges: DataFrame, before0: DataFrame,
+      after0: DataFrame): DataFrame = {
+    val g = graft.operators.Graph
     def grade(asg: DataFrame, tag: String) =
       g.modularity(edges, "src", "dst", asg, "node", "community",
           roundDigits = 8)
@@ -3544,17 +3551,31 @@ object Queries {
           max(col("m_edges")).as(s"__m_$tag"),
           sum(lit(4L) * col("m_edges") * col("internal_edges") -
             col("degree_sum") * col("degree_sum")).as(s"__qn_$tag"))
-    val moved = assign.select(col("node"), col("community").as("__c0"))
-      .join(refined.withColumnRenamed("community", "__c1"), Seq("node"))
+    val moved = before0.select(col("node"), col("community").as("__c0"))
+      .join(after0.withColumnRenamed("community", "__c1"), Seq("node"))
       .agg(sum(when(col("__c0") =!= col("__c1"), 1L).otherwise(0L))
         .as("n_moved"))
-    grade(assign, "before").crossJoin(grade(refined, "after"))
+    grade(before0, "before").crossJoin(grade(after0, "after"))
       .crossJoin(moved)
       .select(col("q_before"), col("n_communities_before"),
         col("__m_before").as("m_edges"), col("q_after"),
         col("n_communities_after"),
         (col("__qn_after") - col("__qn_before")).as("q_gain_4m2"),
         col("n_moved"))
+  }
+
+  /** X298 — FULL two-phase Louvain over the x323 LPA seed on the
+    * co-purchase graph (2 node-local sweeps, aggregate communities to
+    * a weighted super-graph, 2 whole-community sweeps, project back),
+    * graded before/after like x327: the aggregation phase merges
+    * communities the node-local moves cannot (the resolution limit),
+    * so q_after here ≥ x327's on the same seed. */
+  def x330(s: SparkSession, dir: String): DataFrame = {
+    val g = graft.operators.Graph
+    val (edges, assign) = ensureLpaShared(s, dir)
+    val merged = g.louvain(edges, "src", "dst",
+      assign, "node", "community", sweepsPerLevel = 2).persist()
+    refinementSummary(edges, assign, merged)
   }
 
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
@@ -3899,5 +3920,6 @@ object Queries {
     "x326_bm25" -> (x326 _),
     "x327_modularity_refine" -> (x327 _),
     "x328_bm25_query_table" -> (x328 _),
-    "x329_bm25_index_probe" -> (x329 _))
+    "x329_bm25_index_probe" -> (x329 _),
+    "x330_louvain" -> (x330 _))
 }
