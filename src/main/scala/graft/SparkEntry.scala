@@ -37,5 +37,6 @@ object SparkEntry {
       "x325_modularity" -> (Queries.x325Setup _),
       "x327_modularity_refine" -> (Queries.x325Setup _),
       "x329_bm25_index_probe" -> (Queries.x329Setup _),
-      "x330_louvain" -> (Queries.x325Setup _))
+      "x330_louvain" -> (Queries.x325Setup _),
+      "x331_community_connectedness" -> (Queries.x325Setup _))
 }

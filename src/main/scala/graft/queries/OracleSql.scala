@@ -6576,6 +6576,10 @@ object OracleSql {
     // weighted sweeps over the LPA seed; summary row like x327.
     "x330_louvain" -> louvainSql(5, sweeps = 2),
 
+    // Well-connectedness screen over the LPA assignment: exact
+    // integer intra-community counts, INT pass/fail flag.
+    "x331_community_connectedness" -> connectednessSql(5),
+
     // Query-table BM25: five queries in one job against the inverted
     // index; scoring chain identical to x326's.
     "x328_bm25_query_table" -> bm25QueryTableSql(
@@ -8333,6 +8337,40 @@ object OracleSql {
        |  mv.n_moved
        |FROM qbq CROSS JOIN qaq CROSS JOIN mv""".stripMargin
   }
+
+  /** Community well-connectedness screen over the LPA assignment
+    * (x331): per community, intra-community edges, each member's
+    * intra-community degree (absent → 0), min over members, and the
+    * γ=1 pass/fail — mirroring Graph.communityConnectedness
+    * paren-for-paren (n=1 exempt from min-degree, n≤2 exempt from
+    * the edge-count floor). */
+  private def connectednessSql(rounds: Int): String =
+    s"""WITH ${labelPropCtes(rounds)},
+       |canon AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+       |  FROM e0 WHERE x <> y),
+       |ie AS (SELECT la.lab AS c, cn.a, cn.b
+       |  FROM canon cn JOIN l$rounds la ON cn.a = la.node
+       |  JOIN l$rounds lb ON cn.b = lb.node
+       |  WHERE la.lab = lb.lab),
+       |idg AS (SELECT n AS node, c, COUNT(*) AS idv FROM (
+       |    SELECT a AS n, c FROM ie UNION ALL SELECT b AS n, c FROM ie)
+       |  GROUP BY 1, 2),
+       |perc AS (SELECT l.lab AS c, COUNT(*) AS n_nodes,
+       |    MIN(COALESCE(idg.idv, 0)) AS mind
+       |  FROM l$rounds l LEFT JOIN idg
+       |    ON l.node = idg.node AND l.lab = idg.c
+       |  GROUP BY 1),
+       |iec AS (SELECT c, COUNT(*) AS ie_n FROM ie GROUP BY 1)
+       |SELECT perc.c AS community, CAST(perc.n_nodes AS BIGINT) AS n_nodes,
+       |  CAST(COALESCE(iec.ie_n, 0) AS BIGINT) AS internal_edges,
+       |  CAST(perc.mind AS BIGINT) AS min_internal_degree,
+       |  CAST(CASE WHEN (perc.n_nodes = 1 OR perc.mind >= 1)
+       |    AND (perc.n_nodes <= 2
+       |      OR CAST(COALESCE(iec.ie_n, 0) AS DOUBLE)
+       |        >= 1.0e0 * CAST(perc.n_nodes AS DOUBLE))
+       |    THEN 1 ELSE 0 END AS INT) AS well_connected
+       |FROM perc LEFT JOIN iec ON perc.c = iec.c
+       |ORDER BY community""".stripMargin
 
   /** Full two-phase Louvain over the LPA seed (x330): `sweeps`
     * unweighted node-local sweeps (the x327 generator), then the

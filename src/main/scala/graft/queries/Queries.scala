@@ -3515,6 +3515,23 @@ object Queries {
       .orderBy(col("query_id"), col("bm25").desc, col("doc_id"))
   }
 
+  /** X299 — community well-connectedness screen (the Leiden critique)
+    * over the x323 LPA assignment: per community, node count,
+    * internal edges, the weakest member's intra-community degree, and
+    * the pass/fail flag (chains/trees and disconnected members flag;
+    * singletons and pairs are exempt). The post-hoc audit every
+    * community-driven decision should run before trusting cohesion. */
+  def x331(s: SparkSession, dir: String): DataFrame = {
+    val (edges, assign) = ensureLpaShared(s, dir)
+    graft.operators.Graph.communityConnectedness(edges, "src", "dst",
+        assign, "node", "community")
+      .select(col("community"), col("n_nodes"), col("internal_edges"),
+        col("min_internal_degree"),
+        when(col("well_connected"), 1).otherwise(0).cast("int")
+          .as("well_connected"))
+      .orderBy("community")
+  }
+
   /** X295 — three Louvain-style refinement sweeps (locally-dominant
     * monotone acceptance) over the x323 LPA assignment on the
     * co-purchase graph, graded before/after with x325's modularity:
@@ -3921,5 +3938,6 @@ object Queries {
     "x327_modularity_refine" -> (x327 _),
     "x328_bm25_query_table" -> (x328 _),
     "x329_bm25_index_probe" -> (x329 _),
-    "x330_louvain" -> (x330 _))
+    "x330_louvain" -> (x330 _),
+    "x331_community_connectedness" -> (x331 _))
 }
