@@ -3465,7 +3465,7 @@ object Queries {
     (4L, "customer order line"),
     (5L, "vector quantize missing"))
 
-  /** X296 — query-TABLE BM25 top-20 (the decontamination shape): five
+  /** X295 — query-TABLE BM25 top-20 (the decontamination shape): five
     * queries scored in ONE job against the inverted (term, doc, tf)
     * index — N queries never cost N corpus scans. */
   def x328(s: SparkSession, dir: String): DataFrame = {
@@ -3499,7 +3499,7 @@ object Queries {
     ()
   }
 
-  /** X297 — query-table BM25 over the PERSISTED inverted index (the
+  /** X296 — query-table BM25 over the PERSISTED inverted index (the
     * decontamination steady state): same five queries as x328, zero
     * corpus scans on the probe path — ensure is a stamp check when
     * the index is fresh, a build when it isn't (Verify's cold path
@@ -3515,7 +3515,7 @@ object Queries {
       .orderBy(col("query_id"), col("bm25").desc, col("doc_id"))
   }
 
-  /** X299 — community well-connectedness screen (the Leiden critique)
+  /** X298 — community well-connectedness screen (the Leiden critique)
     * over the x323 LPA assignment: per community, node count,
     * internal edges, the weakest member's intra-community degree, and
     * the pass/fail flag (chains/trees and disconnected members flag;
@@ -3532,7 +3532,7 @@ object Queries {
       .orderBy("community")
   }
 
-  /** X295 — three Louvain-style refinement sweeps (locally-dominant
+  /** X294 — three Louvain-style refinement sweeps (locally-dominant
     * monotone acceptance) over the x323 LPA assignment on the
     * co-purchase graph, graded before/after with x325's modularity:
     * q_after ≥ q_before with q_gain_4m2 > 0 is the gate's payload —
@@ -3581,7 +3581,7 @@ object Queries {
         col("n_moved"))
   }
 
-  /** X298 — FULL two-phase Louvain over the x323 LPA seed on the
+  /** X297 — FULL two-phase Louvain over the x323 LPA seed on the
     * co-purchase graph (2 node-local sweeps, aggregate communities to
     * a weighted super-graph, 2 whole-community sweeps, project back),
     * graded before/after like x327: the aggregation phase merges
