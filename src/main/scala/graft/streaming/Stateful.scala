@@ -1043,6 +1043,78 @@ object Stateful {
       }
   }
 
+  /** Input/output shapes of [[postingsMonitor]]: a document arrival
+    * and the inverted-index rows it contributes — one row per
+    * distinct term with the doc's tf for it, the doc length carried
+    * on every row (`lens` = distinct (doc_id, dl)). */
+  case class DocEvent(seq: Long, docId: String, text: String)
+  case class PostingEmit(doc_id: String, through_seq: Long,
+      term: String, tf: Long, dl: Long)
+
+  /** Streaming maintenance of the BM25 inverted index (the live tail
+    * of the retrieval tier: [[graft.operators.TextAnalysis.bm25Index]]
+    * builds it batch, ensureBm25Index persists it, THIS keeps it
+    * current as a crawl streams in): each NEW document emits its
+    * (term, tf) postings plus its length exactly once — state is one
+    * high-water seq per doc id, so a redelivered document (at-least-
+    * once sources) emits NOTHING the second time, the idempotence an
+    * append-only index needs. Tokenization is the batch
+    * `Text.tokens` + non-empty filter verbatim (split on single
+    * space), so the rolled-up postings/lens equal
+    * [[graft.operators.TextAnalysis.bm25Index]] on the deduped corpus
+    * row-for-row, and [[graft.operators.TextAnalysis
+    * .bm25TopDocsForQueries]] over the live rollup returns the batch
+    * top-k exactly (spec-pinned across a mid-stream split with a
+    * redelivery). Corpus-level stats (N, Σdl, df) are intentionally
+    * NOT state: they are one aggregate over the rollup at query
+    * time — keeping them live would re-derive what the probe already
+    * computes from its own 1-row broadcast.
+    *
+    * State: one (seq) per doc — the same V-bounded budget as the
+    * exact-dedup digest monitors; emissions are bounded by NEW docs'
+    * distinct terms. */
+  def postingsMonitor(ds: Dataset[DocEvent]): Dataset[PostingEmit] = {
+    implicit val stateEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val outEnc: Encoder[PostingEmit] =
+      Encoders.product[PostingEmit]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    ds.filter(e => e.docId != null && e.text != null)
+      .groupByKey(_.docId)
+      .flatMapGroupsWithState[Long, PostingEmit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (doc: String, rows: Iterator[DocEvent], state: GroupState[Long]) =>
+          if (state.exists) {
+            // duplicate delivery: advance the high-water seq, emit
+            // nothing (the index already holds this doc)
+            var hw = state.get
+            rows.foreach(r => hw = math.max(hw, r.seq))
+            state.update(hw)
+            Iterator.empty
+          } else {
+            // first sight: the batch's winning copy is the max-seq
+            // event (ties to the lexically larger text, the
+            // max-seq-wins convention every monitor here uses)
+            var best: Option[DocEvent] = None
+            rows.foreach { r =>
+              best = best match {
+                case Some(b) if r.seq < b.seq ||
+                  (r.seq == b.seq && r.text <= b.text) => Some(b)
+                case _ => Some(r)
+              }
+            }
+            val e = best.get
+            state.update(e.seq)
+            // Text.tokens twin: split on single space, drop empties
+            val toks = e.text.split(" ", -1).filter(_.nonEmpty)
+            val dl = toks.length.toLong
+            toks.groupBy(identity).toSeq.sortBy(_._1).iterator.map {
+              case (t, occ) =>
+                PostingEmit(doc, e.seq, t, occ.length.toLong, dl)
+            }
+          }
+      }
+  }
+
   /** Input/output shapes of [[membershipDeltaMonitor]]: an assignment
     * event (a node observed in — or re-labeled into — a community)
     * and the community-size CHANGE-LOG row it produces. */
