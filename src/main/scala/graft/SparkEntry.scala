@@ -38,5 +38,6 @@ object SparkEntry {
       "x327_modularity_refine" -> (Queries.x325Setup _),
       "x329_bm25_index_probe" -> (Queries.x329Setup _),
       "x330_louvain" -> (Queries.x325Setup _),
-      "x331_community_connectedness" -> (Queries.x325Setup _))
+      "x331_community_connectedness" -> (Queries.x325Setup _),
+      "x332_louvain_connectedness" -> (Queries.x332Setup _))
 }

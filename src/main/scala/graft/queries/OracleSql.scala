@@ -6580,6 +6580,10 @@ object OracleSql {
     // integer intra-community counts, INT pass/fail flag.
     "x331_community_connectedness" -> connectednessSql(5),
 
+    // The same screen over the louvain output — the
+    // guard→optimizer→guard loop closed as a gate.
+    "x332_louvain_connectedness" -> louvainConnectednessSql(5, sweeps = 2),
+
     // Query-table BM25: five queries in one job against the inverted
     // index; scoring chain identical to x326's.
     "x328_bm25_query_table" -> bm25QueryTableSql(
@@ -8344,20 +8348,19 @@ object OracleSql {
     * γ=1 pass/fail — mirroring Graph.communityConnectedness
     * paren-for-paren (n=1 exempt from min-degree, n≤2 exempt from
     * the edge-count floor). */
-  private def connectednessSql(rounds: Int): String =
-    s"""WITH ${labelPropCtes(rounds)},
-       |canon AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
-       |  FROM e0 WHERE x <> y),
-       |ie AS (SELECT la.lab AS c, cn.a, cn.b
-       |  FROM canon cn JOIN l$rounds la ON cn.a = la.node
-       |  JOIN l$rounds lb ON cn.b = lb.node
+  /** The screen's CTE tail + final select over assignment table
+    * `$asg` (node, lab); assumes `canon` in scope. */
+  private def connectednessTail(asg: String): String =
+    s"""ie AS (SELECT la.lab AS c, cn.a, cn.b
+       |  FROM canon cn JOIN $asg la ON cn.a = la.node
+       |  JOIN $asg lb ON cn.b = lb.node
        |  WHERE la.lab = lb.lab),
        |idg AS (SELECT n AS node, c, COUNT(*) AS idv FROM (
        |    SELECT a AS n, c FROM ie UNION ALL SELECT b AS n, c FROM ie)
        |  GROUP BY 1, 2),
        |perc AS (SELECT l.lab AS c, COUNT(*) AS n_nodes,
        |    MIN(COALESCE(idg.idv, 0)) AS mind
-       |  FROM l$rounds l LEFT JOIN idg
+       |  FROM $asg l LEFT JOIN idg
        |    ON l.node = idg.node AND l.lab = idg.c
        |  GROUP BY 1),
        |iec AS (SELECT c, COUNT(*) AS ie_n FROM ie GROUP BY 1)
@@ -8372,6 +8375,12 @@ object OracleSql {
        |FROM perc LEFT JOIN iec ON perc.c = iec.c
        |ORDER BY community""".stripMargin
 
+  private def connectednessSql(rounds: Int): String =
+    s"""WITH ${labelPropCtes(rounds)},
+       |canon AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+       |  FROM e0 WHERE x <> y),
+       |${connectednessTail(s"l$rounds")}""".stripMargin
+
   /** Full two-phase Louvain over the LPA seed (x330): `sweeps`
     * unweighted node-local sweeps (the x327 generator), then the
     * aggregation — super edges = inter-community edge counts, self
@@ -8380,7 +8389,9 @@ object OracleSql {
     * super-graph (same [[wSweepCte]] generator, SUM(w) votes), then
     * the projection and the x327 summary. Mirrors Graph.louvain
     * paren-for-paren; all-long arithmetic throughout. */
-  private def louvainSql(rounds: Int, sweeps: Int): String = {
+  /** Everything through the projected final assignment `lvfin` —
+    * shared by [[louvainSql]] (summary tail) and the x332 screen. */
+  private def louvainCtes(rounds: Int, sweeps: Int): String = {
     def l0(i: Int): String = {
       val prev = if (i == 1) s"l$rounds" else s"r${i - 1}asg"
       wSweepCte(s"r$i", prev, "we", "wdeg")
@@ -8391,7 +8402,7 @@ object OracleSql {
     }
     val lvl0 = s"r${sweeps}asg"
     val sfin = s"s${sweeps}asg"
-    s"""WITH ${labelPropCtes(rounds)},
+    s"""${labelPropCtes(rounds)},
        |canon AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
        |  FROM e0 WHERE x <> y),
        |mm AS (SELECT COUNT(*) AS m FROM canon),
@@ -8421,7 +8432,11 @@ object OracleSql {
        |s0 AS (SELECT node, node AS lab FROM snodes),
        |${(1 to sweeps).map(l1).mkString(",\n")},
        |lvfin AS MATERIALIZED (SELECT l.node, s.lab
-       |  FROM $lvl0 l JOIN $sfin s ON l.lab = s.node),
+       |  FROM $lvl0 l JOIN $sfin s ON l.lab = s.node)""".stripMargin
+  }
+
+  private def louvainSql(rounds: Int, sweeps: Int): String =
+    s"""WITH ${louvainCtes(rounds, sweeps)},
        |${qTotalCtes("qb", s"l$rounds", digits = 8)},
        |${qTotalCtes("qa", "lvfin", digits = 8)},
        |mv AS (SELECT CAST(SUM(CASE WHEN f.lab <> p.lab THEN 1 ELSE 0
@@ -8435,7 +8450,13 @@ object OracleSql {
        |  CAST(qaq.qn - qbq.qn AS BIGINT) AS q_gain_4m2,
        |  mv.n_moved
        |FROM qbq CROSS JOIN qaq CROSS JOIN mv""".stripMargin
-  }
+
+  /** Connectedness screen over the LOUVAIN output (x332): the
+    * guard→optimizer→guard loop — same tail as x331, assignment =
+    * the two-phase final. */
+  private def louvainConnectednessSql(rounds: Int, sweeps: Int): String =
+    s"""WITH ${louvainCtes(rounds, sweeps)},
+       |${connectednessTail("lvfin")}""".stripMargin
 
   /** BM25 over documents (x326): per-doc HOF token counts, one stats
     * row, idf ln pinned at 8 dp, per-term contributions rounded at

@@ -3416,6 +3416,47 @@ object Queries {
     ensureLpaShared(s, dir); ()
   }
 
+  /** x330/x332's shared memoized LOUVAIN assignment, layered on the
+    * LPA memo (same base dir, its own stamp): louvain is
+    * deterministic, so the read-back frame is row-identical to a
+    * live run. x330 runs the optimizer LIVE (it times the two-phase
+    * pass); x332 screens the memoized output — the x323/x325
+    * division of labor, one level up. */
+  private[graft] def ensureLouvainShared(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val (edges, assign) = ensureLpaShared(s, dir)
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-lpa-${dir.replaceAll("[^A-Za-z0-9._-]", "_")}-sup2-r5")
+    val stampF = new java.io.File(base, "stamp_louvain.txt")
+    val louvP = new java.io.File(base, "louvain").getPath
+    val want = Tables.lineitem(s, dir).inputFiles.sorted.map { u =>
+      val f = new java.io.File(new java.net.URI(u).getPath)
+      s"$u:${f.length}:${f.lastModified}"
+    }.mkString("\n") + "\nsweeps=2"
+    val have =
+      if (!stampF.exists()) None
+      else scala.util.Try(new String(
+        java.nio.file.Files.readAllBytes(stampF.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)).toOption
+    val valid = have.contains(want) &&
+      new java.io.File(louvP, "_SUCCESS").exists()
+    if (!valid) {
+      java.nio.file.Files.deleteIfExists(stampF.toPath)
+      graft.operators.Graph.louvain(edges, "src", "dst",
+          assign, "node", "community", sweepsPerLevel = 2)
+        .write.mode("overwrite").parquet(louvP)
+      java.nio.file.Files.write(stampF.toPath,
+        want.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    (edges, s.read.parquet(louvP))
+  }
+
+  /** Bench setup for x332: pre-run the optimizer so the timed number
+    * is the screen (x330 times the optimizer live). */
+  def x332Setup(s: SparkSession, dir: String): Unit = {
+    ensureLouvainShared(s, dir); ()
+  }
+
   /** X291 — paired-field MinHash near-dup over a derived
     * (prompt, response) comparison log: each document splits at its
     * midpoint into the two fields; rows match FIELD-WISE (a prompt
@@ -3525,6 +3566,26 @@ object Queries {
     val (edges, assign) = ensureLpaShared(s, dir)
     graft.operators.Graph.communityConnectedness(edges, "src", "dst",
         assign, "node", "community")
+      .select(col("community"), col("n_nodes"), col("internal_edges"),
+        col("min_internal_degree"),
+        when(col("well_connected"), 1).otherwise(0).cast("int")
+          .as("well_connected"))
+      .orderBy("community")
+  }
+
+  /** X298b/x332 — the well-connectedness screen over the LOUVAIN
+    * output: the guard→optimizer→guard loop closed, and it
+    * demonstrates WHY the guard is not redundant with the Q grade.
+    * Measured at sf0.01: LPA flags 210/347 communities (x331);
+    * louvain raises Q 0.449→0.508 yet the louvain output flags
+    * 148/204 — a HIGHER fraction, because modularity gladly merges
+    * two chains joined by a bridge into a bigger tree (internal
+    * edges stay n−1). Q and internal cohesion are different axes;
+    * a pipeline that needs both runs the optimizer AND the screen. */
+  def x332(s: SparkSession, dir: String): DataFrame = {
+    val (edges, merged) = ensureLouvainShared(s, dir)
+    graft.operators.Graph.communityConnectedness(edges, "src", "dst",
+        merged, "node", "community")
       .select(col("community"), col("n_nodes"), col("internal_edges"),
         col("min_internal_degree"),
         when(col("well_connected"), 1).otherwise(0).cast("int")
@@ -3939,5 +4000,6 @@ object Queries {
     "x328_bm25_query_table" -> (x328 _),
     "x329_bm25_index_probe" -> (x329 _),
     "x330_louvain" -> (x330 _),
-    "x331_community_connectedness" -> (x331 _))
+    "x331_community_connectedness" -> (x331 _),
+    "x332_louvain_connectedness" -> (x332 _))
 }
