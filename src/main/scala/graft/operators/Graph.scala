@@ -1164,19 +1164,51 @@ object Graph {
     * Rewrapping the checkpointed RDD in a fresh DataFrame keeps the
     * materialization barrier but drops originStats to the flat
     * default; AQE re-derives real sizes at runtime, so broadcast
-    * decisions still happen where they matter. */
-  private def cutEager(df: DataFrame): DataFrame = {
+    * decisions still happen where they matter.
+    *
+    * Storage reclamation (r18 ADVICE): under localCheckpoint the cut
+    * blocks are reclaimed by the ContextCleaner when the rewrapped
+    * frame's RDD becomes unreachable. Under a RELIABLE checkpoint dir
+    * the files are NEVER auto-deleted unless
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (default
+    * false) — so the iterative loops here delete each SUPERSEDED
+    * generation's checkpoint dir explicitly (the
+    * [[graft.operators.Dedup.connectedComponents]] round-N−1
+    * protocol) via [[cutEagerFile]]'s returned path; only the FINAL
+    * returned generation survives, bounded at one V-sized frame per
+    * call. */
+  private def cutEager(df: DataFrame): DataFrame = cutEagerFile(df)._1
+
+  /** [[cutEager]] plus the reliable-checkpoint dir backing the cut
+    * (None under localCheckpoint) — captured from the PRE-rewrap
+    * frame, whose plan leaf holds the actually-checkpointed RDD. */
+  private def cutEagerFile(df: DataFrame): (DataFrame, Option[String]) = {
     val spark = df.sparkSession
     val cp =
       if (spark.sparkContext.getCheckpointDir.isDefined)
         df.checkpoint(true)
       else df.localCheckpoint(true)
-    spark.createDataFrame(cp.rdd, cp.schema)
+    val file = cp.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.flatMap(_.getCheckpointFile)
+    (spark.createDataFrame(cp.rdd, cp.schema), file)
+  }
+
+  /** Delete a superseded generation's reliable-checkpoint dir. Safe
+    * once the NEXT generation has materialized: checkpoint(true) is
+    * eager and the new leaf has no lineage back to the old file. */
+  private def deleteCheckpointDir(spark: org.apache.spark.sql.SparkSession,
+      file: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, true)
+    ()
   }
 
   private def refineCore(e: DataFrame, selfW: Option[DataFrame],
       mRow: DataFrame, asg0: DataFrame, sweeps: Int,
       scope: graft.util.CacheScope): DataFrame = {
+    val spark = e.sparkSession
     def cut(df: DataFrame): DataFrame = cutEager(df)
     // node-driven degrees: an aggregated super-node with ONLY a
     // self-loop (an isolated community) never appears in `e`.
@@ -1187,16 +1219,17 @@ object Graph {
       .agg(sum(col("__w")).as("__kw"))
     val degBase = asg0.select(col("node"))
       .join(edgeDeg, Seq("node"), "left")
-    val deg = cut(selfW match {
+    val (deg, degFile) = cutEagerFile(selfW match {
       case Some(sw) => degBase.join(sw, Seq("node"), "left")
         .select(col("node"), (coalesce(col("__kw"), lit(0L)) +
           lit(2L) * coalesce(col("__sw"), lit(0L))).as("__k"))
       case None => degBase
         .select(col("node"), coalesce(col("__kw"), lit(0L)).as("__k"))
     })
-    var asg = cut(asg0)
+    var (asg, asgFile) = cutEagerFile(asg0)
     for (_ <- 1 to sweeps) {
       val prev = asg
+      val prevFile = asgFile
       val degC = prev.join(deg, Seq("node"), "left")
         .groupBy(col("__c"))
         .agg(sum(coalesce(col("__k"), lit(0L))).as("__tot"))
@@ -1236,10 +1269,11 @@ object Graph {
       val wNode = org.apache.spark.sql.expressions.Window
         .partitionBy(col("node"))
         .orderBy(col("__score").desc, col("__cd"))
-      val props = cut(cand.filter(col("__score") > 0)
-        .withColumn("__rn", row_number().over(wNode))
-        .filter(col("__rn") === 1)
-        .select(col("node"), col("__c"), col("__cd"), col("__score")))
+      val (props, propsFile) = cutEagerFile(
+        cand.filter(col("__score") > 0)
+          .withColumn("__rn", row_number().over(wNode))
+          .filter(col("__rn") === 1)
+          .select(col("node"), col("__c"), col("__cd"), col("__score")))
       // locally-dominant acceptance: strongest incident proposal per
       // community, accept where the proposal wins BOTH endpoints
       val incident = props.select(col("__c").as("__comm"), col("node"),
@@ -1260,16 +1294,28 @@ object Graph {
           .withColumnRenamed("__winner", "__wd"), Seq("__cd"))
         .filter(col("node") === col("__wc") && col("node") === col("__wd"))
         .select(col("node"), col("__cd").as("__move"))
-      asg = cut(prev.join(accepted, Seq("node"), "left")
-        .select(col("node"),
-          coalesce(col("__move"), col("__c")).as("__c")))
-      // storage reclamation: the sweep's cut blocks live behind the
-      // rewrapped frames (see cutEager), so explicit Cut.release
-      // cannot reach them — each sweep's prev/props references die
-      // here and the ContextCleaner drops their checkpoint blocks;
-      // frames are communities/V-bounded, so the in-flight footprint
-      // is two generations of small frames
+      val (next, nextFile) = cutEagerFile(
+        prev.join(accepted, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("__move"), col("__c")).as("__c")))
+      // storage reclamation: `next` is materialized (checkpoint(true)
+      // is eager), so this sweep's props and the superseded
+      // assignment generation are unreachable — delete their
+      // reliable-checkpoint dirs NOW (under localCheckpoint the
+      // files are None and the ContextCleaner reclaims the blocks
+      // as the references die here); frames are communities/V-
+      // bounded, so the in-flight footprint is two generations of
+      // small frames plus at most one superseded file mid-delete
+      propsFile.foreach(deleteCheckpointDir(spark, _))
+      prevFile.foreach(deleteCheckpointDir(spark, _))
+      asg = next
+      asgFile = nextFile
     }
+    // deg is superseded once the final assignment is a flat leaf; the
+    // final assignment's own file intentionally survives — the caller
+    // reads it (one V-bounded frame per call, reclaimed by the
+    // caller's lifecycle / cleanCheckpoints)
+    degFile.foreach(deleteCheckpointDir(spark, _))
     asg
   }
 
@@ -1331,19 +1377,311 @@ object Graph {
       .select(least(col("__ca"), col("__cb")).as("a"),
         greatest(col("__ca"), col("__cb")).as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("__w"))
-    val e2 = cutEager(
+    val (e2, e2File) = cutEagerFile(
       superEdges.select(col("a").as("src"), col("b").as("dst"), col("__w"))
         .union(superEdges.select(col("b").as("src"), col("a").as("dst"),
           col("__w")))
         .repartition(col("dst")))
-    val superSelf = cutEager(tagged.filter(col("__ca") === col("__cb"))
-      .groupBy(col("__ca").as("node")).agg(count(lit(1)).as("__sw")))
+    val (superSelf, selfFile) = cutEagerFile(
+      tagged.filter(col("__ca") === col("__cb"))
+        .groupBy(col("__ca").as("node")).agg(count(lit(1)).as("__sw")))
     val superSeed = l1.select(col("__c").as("node")).distinct()
       .select(col("node"), col("node").as("__c"))
-    val mCut = cutEager(mRow)
+    val (mCut, mFile) = cutEagerFile(mRow)
     val l2 = refineCore(e2, Some(superSelf), mCut, superSeed,
       sweepsPerLevel, scope)
+    // l2 is a materialized flat leaf — the super-level inputs'
+    // reliable-checkpoint dirs are superseded (see cutEager doc)
+    e2File.foreach(deleteCheckpointDir(edges.sparkSession, _))
+    selfFile.foreach(deleteCheckpointDir(edges.sparkSession, _))
+    mFile.foreach(deleteCheckpointDir(edges.sparkSession, _))
     // project the super-assignment down
+    l1.join(l2.toDF("__c", "__super"), Seq("__c"))
+      .select(col("node"), col("__super").as("community"))
+  }
+
+  /** Leiden-style REPAIR of badly-connected communities (Traag,
+    * Waltman & van Eck 2019, "From Louvain to Leiden" — their central
+    * guarantee: every community in the final partition is internally
+    * CONNECTED, the property Louvain famously violates): re-split
+    * each community into the connected components of its OWN
+    * intra-community subgraph. A community that is already connected
+    * keeps its label untouched; a disconnected one splits into
+    * `label#rep` parts (rep = the part's lexicographically smallest
+    * member — deterministic, oracle-replayable); a member with no
+    * intra-community edge becomes its own singleton part.
+    *
+    * Q-MONOTONE BY CONSTRUCTION: splitting a community into its
+    * components preserves every internal edge (a cross-part pair
+    * inside one community has no edge, by definition of a component),
+    * so Σ_c L_c is unchanged, while Σ_c D_c² only shrinks
+    * ((Σᵢ Dᵢ)² ≥ Σᵢ Dᵢ² for Dᵢ ≥ 0) — hence
+    * ΔQ = (D_c² − Σ D_part²)/4m² ≥ 0, strictly positive whenever a
+    * split community has two parts with edges. The exact-integer
+    * gain is visible through [[modularityExactNumerator]] like
+    * x327's.
+    *
+    * SCREEN GUARANTEE: every output community passes
+    * [[communityConnectedness]] for any γ ≤ 2/3 — n=1 is exempt, n=2
+    * has its edge, and a connected n ≥ 3 community holds ≥ n−1 ≥
+    * (2/3)·n internal edges. The γ=1 density floor is deliberately
+    * NOT enforced by splitting: a connected tree admits no split
+    * into γ=1-passing parts except pairs/singletons, which destroys
+    * real structure — density failures remain the screen's REPORT;
+    * disconnection is the defect this operator repairs (exactly the
+    * Leiden guarantee, not more).
+    *
+    * Shape: intra-community edge tagging is one E-bounded pass; the
+    * component labels converge by min-label propagation WITH an
+    * unconditional pointer jump (label ← min(label, label∘label),
+    * the Shiloach–Vishkin shortcut [[graft.operators.Dedup
+    * .connectedComponents]] engages adaptively), so a diameter-D part
+    * needs O(log D) rounds, each one intra-E-bounded join + one
+    * V-bounded jump join, under the [[cutEager]] discipline with
+    * per-round checkpoint-dir reclamation. Both steps only ever
+    * lower labels toward the part minimum, so the fixpoint is the
+    * true component labeling regardless of round count.
+    *
+    * Output: (node, community) — one row per assigned node. */
+  def repairCommunities(edges: DataFrame, srcCol: String, dstCol: String,
+      assignment: DataFrame, nodeCol: String, communityCol: String,
+      maxRounds: Int = 24,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+    val spark = edges.sparkSession
+    val canon = canonicalEdges(edges, srcCol, dstCol)
+    val asg = scope.persist(assignment
+      .select(col(nodeCol).cast("string").as("node"),
+        col(communityCol).cast("string").as("__c")))
+    // intra-community edges, symmetric, pre-partitioned on the join
+    // key (the CC template: the per-round propagate joins on dst)
+    val intra = canon
+      .join(asg.select(col("node").as("a"), col("__c").as("__ca")),
+        Seq("a"))
+      .join(asg.select(col("node").as("b"), col("__c").as("__cb")),
+        Seq("b"))
+      .filter(col("__ca") === col("__cb"))
+      .select(col("a"), col("b"))
+    val sym = scope.persist(
+      intra.select(col("a").as("src"), col("b").as("dst"))
+        .union(intra.select(col("b").as("src"), col("a").as("dst")))
+        .repartition(col("dst")))
+    var (lab, labFile) = cutEagerFile(
+      asg.select(col("node"), col("node").as("__r")))
+    var round = 0
+    var changed = 1L
+    while (round < maxRounds && changed > 0) {
+      val prev = lab
+      val prevFile = labFile
+      val nbrMin = sym
+        .join(prev.select(col("node").as("dst"), col("__r").as("__nr")),
+          Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(min(col("__nr")).as("__nm"))
+      // cut the stepped frame: the jump reads it twice (own row +
+      // the label lookup), and a flat leaf keeps the E-bounded
+      // propagate join evaluated ONCE per round
+      val (stepped, stepFile) = cutEagerFile(
+        prev.join(nbrMin, Seq("node"), "left")
+          .select(col("node"),
+            least(col("__r"), coalesce(col("__nm"), col("__r")))
+              .as("__r1")))
+      // pointer jump: labels are node ids, so label(label) is one
+      // V-bounded self-join — reach doubles per round instead of
+      // stepping
+      val jumped = stepped
+        .join(stepped.select(col("node").as("__r1"),
+          col("__r1").as("__rr")).toDF("__r1", "__rr"), Seq("__r1"))
+        .select(col("node"), least(col("__r1"), col("__rr")).as("__r"))
+      val (next, nextFile) = cutEagerFile(jumped)
+      stepFile.foreach(deleteCheckpointDir(spark, _))
+      changed = next.join(prev.withColumnRenamed("__r", "__r0"),
+          Seq("node"))
+        .filter(col("__r") =!= col("__r0")).count()
+      prevFile.foreach(deleteCheckpointDir(spark, _))
+      lab = next
+      labFile = nextFile
+      round += 1
+    }
+    require(changed == 0L,
+      s"repairCommunities did not converge in $maxRounds rounds — " +
+        "raise maxRounds (components converge in O(log diameter))")
+    val parts = lab.join(asg, Seq("node"))
+    val nParts = parts.groupBy(col("__c"))
+      .agg(countDistinct(col("__r")).as("__np"))
+    parts.join(nParts, Seq("__c"))
+      .select(col("node"),
+        when(col("__np") === 1, col("__c"))
+          .otherwise(concat(col("__c"), lit("#"), col("__r")))
+          .as("community"))
+  }
+
+  /** [[canonicalEdges]] with an integer edge weight: undirected a<b
+    * string pairs, self-loops dropped, duplicate/reversed rows'
+    * weights SUMMED, weights cast to long (integer weights keep the
+    * whole weighted community tier oracle-exact; scale fractional
+    * weights before the call). Non-positive and null weights drop. */
+  private def canonicalWeightedEdges(edges: DataFrame, srcCol: String,
+      dstCol: String, weightCol: String): DataFrame =
+    edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(weightCol).isNotNull)
+      .select(least(col(srcCol).cast("string"), col(dstCol).cast("string"))
+        .as("a"),
+        greatest(col(srcCol).cast("string"), col(dstCol).cast("string"))
+          .as("b"),
+        col(weightCol).cast("long").as("__w"))
+      .filter(col("a") =!= col("b") && col("__w") > 0)
+      .groupBy(col("a"), col("b")).agg(sum(col("__w")).as("__w"))
+
+  /** WEIGHTED Newman modularity (Newman 2004, "Analysis of weighted
+    * networks": Q = Σ_c [W_c/W − (S_c/2W)²] with W = total edge
+    * weight, W_c = intra-community weight, S_c = summed weighted
+    * member degree) — the weighted twin of [[modularity]], graded
+    * through the same 8-dp decimal chain. Edge weights are INTEGER
+    * (long) by the [[canonicalWeightedEdges]] contract — every count
+    * in the unweighted grade generalizes to a weight sum and stays
+    * exact, so the SQL oracle replays it bit-for-bit. With w ≡ 1 the
+    * output equals [[modularity]]'s numbers column-for-column
+    * (internal_weight = internal_edges, etc.).
+    *
+    * Output: (community, n_nodes, internal_weight,
+    * weighted_degree_sum, m_weight, n_unassigned_nodes, q_contrib,
+    * q_total). */
+  def weightedModularity(edges: DataFrame, srcCol: String,
+      dstCol: String, weightCol: String, assignment: DataFrame,
+      nodeCol: String, communityCol: String, roundDigits: Int = 6,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
+    val stable = org.apache.spark.sql.types.DecimalType(18, 8)
+    val canon = scope.persist(
+      canonicalWeightedEdges(edges, srcCol, dstCol, weightCol))
+    val asg = scope.persist(assignment
+      .select(col(nodeCol).cast("string").as("node"),
+        col(communityCol).cast("string").as("__c")))
+    val deg = canon.select(col("a").as("node"), col("__w"))
+      .union(canon.select(col("b").as("node"), col("__w")))
+      .groupBy(col("node")).agg(sum(col("__w")).as("__d"))
+    val m = canon.agg(sum(col("__w")).as("__m"))
+    val unassigned = deg.join(asg, Seq("node"), "left_anti")
+      .agg(count(lit(1)).as("__u"))
+    val intra = canon
+      .join(asg.select(col("node").as("a"), col("__c").as("__ca")),
+        Seq("a"))
+      .join(asg.select(col("node").as("b"), col("__c").as("__cb")),
+        Seq("b"))
+      .filter(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("__c")).agg(sum(col("__w")).as("__l"))
+    val degC = asg.join(deg, Seq("node"), "left")
+      .groupBy(col("__c"))
+      .agg(sum(coalesce(col("__d"), lit(0L))).as("__dc"),
+        count(lit(1)).as("n_nodes"))
+    val mD = col("__m").cast("double")
+    degC.join(intra, Seq("__c"), "left")
+      .crossJoin(broadcast(m)).crossJoin(broadcast(unassigned))
+      .select(col("__c").as("community"), col("n_nodes"),
+        coalesce(col("__l"), lit(0L)).as("internal_weight"),
+        col("__dc").as("weighted_degree_sum"),
+        col("__m").as("m_weight"), col("__u").as("n_unassigned_nodes"),
+        round(when(col("__m") > 0,
+          coalesce(col("__l"), lit(0L)).cast("double") / mD -
+            (col("__dc").cast("double") / (lit(2.0d) * mD)) *
+            (col("__dc").cast("double") / (lit(2.0d) * mD)))
+          .otherwise(lit(0.0d)).cast(stable), roundDigits)
+          .cast("double").as("q_contrib"))
+      .select(col("community"), col("n_nodes"), col("internal_weight"),
+        col("weighted_degree_sum"), col("m_weight"),
+        col("n_unassigned_nodes"), col("q_contrib"),
+        round(sum(col("q_contrib"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy())
+          .cast(stable), roundDigits).cast("double").as("q_total"))
+  }
+
+  /** WEIGHTED [[modularityRefine]] — the same locally-dominant
+    * monotone sweep engine ([[refineCore]] IS weighted; the
+    * unweighted public form hardwires w ≡ 1, r18 verdict "What's
+    * missing" #4) over [[canonicalWeightedEdges]]: vote weights are
+    * SUM(w), m is the total edge weight, and the 2m²-scaled gain
+    * `2m·(k_iD − k_iC′) − k_i·(D_D − D_C + k_i)` stays all-long
+    * (integer weights; overflow only past Σw·k ~ 10¹⁸ — a deployment
+    * beyond that swaps the products to DECIMAL(38,0)). The natural
+    * weight for the co-purchase graph is the pair count itself: two
+    * parts co-bought 50 times should bind 25× tighter than a
+    * coincidence pair, and the weighted moves see exactly that. */
+  def weightedModularityRefine(edges: DataFrame, srcCol: String,
+      dstCol: String, weightCol: String, assignment: DataFrame,
+      nodeCol: String, communityCol: String, sweeps: Int = 1,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
+    require(sweeps >= 1 && sweeps <= 16, s"sweeps out of range: $sweeps")
+    val canon = scope.persist(
+      canonicalWeightedEdges(edges, srcCol, dstCol, weightCol))
+    val e = scope.persist(
+      canon.select(col("a").as("src"), col("b").as("dst"), col("__w"))
+        .union(canon.select(col("b").as("src"), col("a").as("dst"),
+          col("__w")))
+        .repartition(col("dst")))
+    val mRow = canon.agg(sum(col("__w")).as("__m"))
+    val asg0 = assignment
+      .select(col(nodeCol).cast("string").as("node"),
+        col(communityCol).cast("string").as("__c"))
+    refineCore(e, None, mRow, asg0, sweeps, scope)
+      .select(col("node"), col("__c").as("community"))
+  }
+
+  /** WEIGHTED two-phase [[louvain]] (Blondel et al. 2008 §2 state the
+    * algorithm for weighted graphs from the start — this is that
+    * form): weighted node-local sweeps, then aggregation where
+    * super-edge weights are SUMS of inter-community weights and
+    * self-loops sums of intra weights (total weight preserved:
+    * Σw/2 + Σself = W), then the same weighted engine over the
+    * super-graph. With w ≡ 1 every stage degenerates to [[louvain]]
+    * bit-for-bit (SUM(1) = COUNT in long arithmetic). */
+  def weightedLouvain(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, assignment: DataFrame, nodeCol: String,
+      communityCol: String, sweepsPerLevel: Int = 2,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
+    require(sweepsPerLevel >= 1 && sweepsPerLevel <= 16,
+      s"sweepsPerLevel out of range: $sweepsPerLevel")
+    val canon = scope.persist(
+      canonicalWeightedEdges(edges, srcCol, dstCol, weightCol))
+    val e1 = scope.persist(
+      canon.select(col("a").as("src"), col("b").as("dst"), col("__w"))
+        .union(canon.select(col("b").as("src"), col("a").as("dst"),
+          col("__w")))
+        .repartition(col("dst")))
+    val mRow = canon.agg(sum(col("__w")).as("__m"))
+    val asg0 = assignment
+      .select(col(nodeCol).cast("string").as("node"),
+        col(communityCol).cast("string").as("__c"))
+    val l1 = refineCore(e1, None, mRow, asg0, sweepsPerLevel, scope)
+    val tagged = scope.persist(canon
+      .join(l1.select(col("node").as("a"), col("__c").as("__ca")),
+        Seq("a"))
+      .join(l1.select(col("node").as("b"), col("__c").as("__cb")),
+        Seq("b")))
+    val superEdges = tagged.filter(col("__ca") =!= col("__cb"))
+      .select(least(col("__ca"), col("__cb")).as("a"),
+        greatest(col("__ca"), col("__cb")).as("b"), col("__w"))
+      .groupBy(col("a"), col("b")).agg(sum(col("__w")).as("__w"))
+    val (e2, e2File) = cutEagerFile(
+      superEdges.select(col("a").as("src"), col("b").as("dst"), col("__w"))
+        .union(superEdges.select(col("b").as("src"), col("a").as("dst"),
+          col("__w")))
+        .repartition(col("dst")))
+    val (superSelf, selfFile) = cutEagerFile(
+      tagged.filter(col("__ca") === col("__cb"))
+        .groupBy(col("__ca").as("node")).agg(sum(col("__w")).as("__sw")))
+    val superSeed = l1.select(col("__c").as("node")).distinct()
+      .select(col("node"), col("node").as("__c"))
+    val (mCut, mFile) = cutEagerFile(mRow)
+    val l2 = refineCore(e2, Some(superSelf), mCut, superSeed,
+      sweepsPerLevel, scope)
+    e2File.foreach(deleteCheckpointDir(edges.sparkSession, _))
+    selfFile.foreach(deleteCheckpointDir(edges.sparkSession, _))
+    mFile.foreach(deleteCheckpointDir(edges.sparkSession, _))
     l1.join(l2.toDF("__c", "__super"), Seq("__c"))
       .select(col("node"), col("__super").as("community"))
   }

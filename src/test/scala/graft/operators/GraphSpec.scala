@@ -596,4 +596,146 @@ class GraphSpec extends SparkSpec {
     assert(n1 >= n0, s"sweep 1 dropped Q: $n0 -> $n1")
     assert(n2 >= n1, s"sweep 2 dropped Q: $n1 -> $n2")
   }
+
+  test("repairCommunities: a disconnected community splits into its " +
+      "components, a stranded member becomes a singleton, connected " +
+      "communities keep their labels (the Leiden repair, r18 #1)") {
+    import spark.implicits._
+    // two disjoint triangles forced into ONE community D; a triangle
+    // community K carrying a stranded edge-less member s; a pair P
+    val edges = Seq(("d1", "d2"), ("d1", "d3"), ("d2", "d3"),
+      ("d4", "d5"), ("d4", "d6"), ("d5", "d6"),
+      ("k1", "k2"), ("k1", "k3"), ("k2", "k3"),
+      ("p1", "p2")).toDF("src", "dst")
+    val asg = (Seq("d1", "d2", "d3", "d4", "d5", "d6").map(_ -> "D") ++
+      Seq("k1", "k2", "k3", "s").map(_ -> "K") ++
+      Seq("p1", "p2").map(_ -> "P")).toDF("node", "c")
+    val out = Graph.repairCommunities(edges, "src", "dst",
+        asg, "node", "c")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(Seq("d1", "d2", "d3").forall(out(_) === "D#d1") &&
+      Seq("d4", "d5", "d6").forall(out(_) === "D#d4"),
+      s"D must split into its two triangles: $out")
+    assert(Seq("k1", "k2", "k3").forall(out(_) === "K#k1") &&
+      out("s") === "K#s",
+      s"the stranded member must become its own part: $out")
+    assert(out("p1") === "P" && out("p2") === "P",
+      s"a connected community keeps its label untouched: $out")
+    // Q-monotone by construction: internal edges preserved, ΣD²
+    // shrinks — hand numbers at m=10: before 96+84+36 = 216, after
+    // 84+84+84+0+36 = 288
+    def num(a: org.apache.spark.sql.DataFrame): Long =
+      Graph.modularityExactNumerator(edges, "src", "dst",
+        a, "node", "c").head().getAs[Long]("q_num_4m2")
+    val repaired = Graph.repairCommunities(edges, "src", "dst",
+      asg, "node", "c").withColumnRenamed("community", "c")
+    assert(num(asg) === 216L)
+    assert(num(repaired) === 288L)
+    // the screen guarantee: every repaired community passes at γ=0.5
+    val screen = Graph.communityConnectedness(edges, "src", "dst",
+        repaired, "node", "c", gamma = 0.5)
+      .collect().map(r => r.getString(0) -> r.getBoolean(4)).toMap
+    assert(screen.values.forall(identity),
+      s"every repaired community must pass the γ=0.5 screen: $screen")
+  }
+
+  test("repairCommunities: a connected chain community stays whole — " +
+      "density failures are the screen's report, disconnection is " +
+      "the repaired defect") {
+    import spark.implicits._
+    val edges = Seq(("p1", "p2"), ("p2", "p3"), ("p3", "p4"))
+      .toDF("src", "dst")
+    val asg = Seq("p1", "p2", "p3", "p4").map(_ -> "C").toDF("node", "c")
+    val out = Graph.repairCommunities(edges, "src", "dst",
+        asg, "node", "c")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out.values.toSet === Set("C"),
+      s"a connected community is untouched, label preserved: $out")
+    // still flags at γ=1 (3 edges < 4 nodes) — by design
+    val g1 = Graph.communityConnectedness(edges, "src", "dst",
+        asg, "node", "c").head()
+    assert(!g1.getBoolean(4), "the chain still fails the γ=1 floor")
+    // passes at the guarantee bound γ=0.5
+    val g05 = Graph.communityConnectedness(edges, "src", "dst",
+        asg, "node", "c", gamma = 0.5).head()
+    assert(g05.getBoolean(4), "a connected chain passes at γ=0.5")
+  }
+
+  test("weightedModularity: w = 1 reproduces modularity; the hand " +
+      "fixture grades by the weighted formula (r18 #4)") {
+    import spark.implicits._
+    val edges = bridgeFixture.toDF("src", "dst").withColumn("w", lit(1L))
+    val asg = (Seq("1", "2", "3", "4").map(_ -> "A") ++
+      Seq("5", "6", "7", "8", "9").map(_ -> "B")).toDF("node", "c")
+    val unw = Graph.modularity(edges, "src", "dst", asg, "node", "c")
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getDouble(7))).sortBy(_._1)
+    val w1 = Graph.weightedModularity(edges, "src", "dst", "w",
+        asg, "node", "c")
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getDouble(7))).sortBy(_._1)
+    assert(unw.toSeq === w1.toSeq,
+      s"w≡1 must degenerate to the unweighted grade: ${w1.toSeq}")
+    // hand fixture: A = {a,b} w=3 inside, B = {c,d} w=1 inside,
+    // cross (b,c) w=2; W=6, S_A=8, S_B=4 ->
+    // Q = (3/6 − (8/12)²) + (1/6 − (4/12)²) = 0.055556 + 0.055556
+    val we = Seq(("a", "b", 3L), ("c", "d", 1L), ("b", "c", 2L))
+      .toDF("src", "dst", "w")
+    val wasg = Seq("a" -> "A", "b" -> "A", "c" -> "B", "d" -> "B")
+      .toDF("node", "c")
+    val rows = Graph.weightedModularity(we, "src", "dst", "w",
+        wasg, "node", "c")
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(6), r.getDouble(7))).toMap
+    assert(rows("A") === ((3L, 8L, 6L, 0.055556d, 0.111112d)), s"$rows")
+    assert(rows("B") === ((1L, 4L, 6L, 0.055556d, 0.111112d)), s"$rows")
+  }
+
+  test("weightedModularityRefine: edge weight tips the bridge node " +
+      "to the heavier side where the unweighted sweep sees a dead tie") {
+    import spark.implicits._
+    // triangles A and B, bridge node x: x–a1 carries w=1, x–b1 w=5.
+    // Unweighted move score for x (A→B) is exactly 0 (not strictly
+    // positive -> stay); weighted: 2·12·(5−1) − 6·(11−13+6) = 72 > 0
+    val tri = Seq(("a1", "a2", 1L), ("a1", "a3", 1L), ("a2", "a3", 1L),
+      ("b1", "b2", 1L), ("b1", "b3", 1L), ("b2", "b3", 1L),
+      ("x", "a1", 1L), ("x", "b1", 5L))
+    val edges = tri.toDF("src", "dst", "w")
+    val seed = (Seq("a1", "a2", "a3", "x").map(_ -> "A") ++
+      Seq("b1", "b2", "b3").map(_ -> "B")).toDF("node", "c")
+    val unmoved = Graph.modularityRefine(edges, "src", "dst",
+        seed, "node", "c", sweeps = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(unmoved("x") === unmoved("a1"),
+      s"the unweighted sweep must see score 0 and stay: $unmoved")
+    val moved = Graph.weightedModularityRefine(edges, "src", "dst", "w",
+        seed, "node", "c", sweeps = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(moved("x") === moved("b1"),
+      s"the weighted sweep must move x to the heavy side: $moved")
+    assert(Seq("a1", "a2", "a3").forall(n => moved(n) === moved("a1")) &&
+      Seq("b1", "b2", "b3").forall(n => moved(n) === moved("b1")),
+      s"no other node may move: $moved")
+  }
+
+  test("weightedLouvain: w = 1 equals louvain bit-for-bit on the " +
+      "ring of cliques (SUM(1) = COUNT end-to-end)") {
+    import spark.implicits._
+    val edges = (0 until 10).flatMap { t =>
+      val (x, y, z) = (s"t${t}a", s"t${t}b", s"t${t}c")
+      Seq((x, y), (x, z), (y, z), (z, s"t${(t + 1) % 10}a"))
+    }.toDF("src", "dst")
+    val seed = (0 until 10).flatMap(t =>
+      Seq("a", "b", "c").map(s => (s"t$t$s", s"T$t")))
+      .toDF("node", "community")
+    val plain = Graph.louvain(edges, "src", "dst",
+        seed, "node", "community", sweepsPerLevel = 5)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    val weighted = Graph.weightedLouvain(
+        edges.withColumn("w", lit(1L)), "src", "dst", "w",
+        seed, "node", "community", sweepsPerLevel = 5)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(plain.toSeq === weighted.toSeq,
+      "w≡1 weightedLouvain must replay louvain exactly")
+  }
 }
