@@ -39,5 +39,8 @@ object SparkEntry {
       "x329_bm25_index_probe" -> (Queries.x329Setup _),
       "x330_louvain" -> (Queries.x325Setup _),
       "x331_community_connectedness" -> (Queries.x325Setup _),
-      "x332_louvain_connectedness" -> (Queries.x332Setup _))
+      "x332_louvain_connectedness" -> (Queries.x332Setup _),
+      "x333_community_repair" -> (Queries.x332Setup _),
+      "x334_repair_connectedness" -> (Queries.x334Setup _),
+      "x335_weighted_louvain" -> (Queries.x325Setup _))
 }

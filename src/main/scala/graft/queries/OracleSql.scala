@@ -6584,6 +6584,18 @@ object OracleSql {
     // guard→optimizer→guard loop closed as a gate.
     "x332_louvain_connectedness" -> louvainConnectednessSql(5, sweeps = 2),
 
+    // Leiden repair over the louvain output, graded before/after —
+    // q_gain_4m2 >= 0 is a theorem for this pass.
+    "x333_community_repair" -> repairSql(5, sweeps = 2),
+
+    // the repaired output screened at gamma=0.5: every row must read
+    // well_connected = 1 (the repair's gamma <= 2/3 guarantee).
+    "x334_repair_connectedness" -> repairConnectednessSql(5, sweeps = 2),
+
+    // weighted two-phase louvain, pair count as edge weight; weighted
+    // sweeps at both levels, weighted modularity grades.
+    "x335_weighted_louvain" -> weightedLouvainSql(5, sweeps = 2),
+
     // Query-table BM25: five queries in one job against the inverted
     // index; scoring chain identical to x326's.
     "x328_bm25_query_table" -> bm25QueryTableSql(
@@ -8155,7 +8167,8 @@ object OracleSql {
     }.mkString(",\n")
     s"""oi AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i
        |  FROM lineitem),
-       |e0 AS (SELECT CAST(l.i AS VARCHAR) AS x, CAST(r.i AS VARCHAR) AS y
+       |e0 AS (SELECT CAST(l.i AS VARCHAR) AS x, CAST(r.i AS VARCHAR) AS y,
+       |    COUNT(*) AS n
        |  FROM oi l JOIN oi r ON l.o = r.o AND l.i < r.i
        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
        |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
@@ -8269,13 +8282,13 @@ object OracleSql {
     * all-ones edge table (SUM(1) = COUNT — bit-identical longs). */
   private def wSweepCte(p: String, prev: String, et: String,
       degT: String): String =
-    s"""${p}degc AS (SELECT l.lab AS c, SUM(kk.k) AS tot
-       |  FROM $prev l JOIN $degT kk ON l.node = kk.node GROUP BY 1),
+    s"""${p}degc AS (SELECT l.lab AS c, SUM(COALESCE(kk.k, 0)) AS tot
+       |  FROM $prev l LEFT JOIN $degT kk ON l.node = kk.node GROUP BY 1),
        |${p}nc AS (SELECT $et.src AS node, pp.lab AS cd, SUM($et.w) AS kd
        |  FROM $et JOIN $prev pp ON $et.dst = pp.node GROUP BY 1, 2),
-       |${p}own AS (SELECT l.node, l.lab AS c, kk.k AS ki,
+       |${p}own AS (SELECT l.node, l.lab AS c, COALESCE(kk.k, 0) AS ki,
        |    degc.tot AS totc
-       |  FROM $prev l JOIN $degT kk ON l.node = kk.node
+       |  FROM $prev l LEFT JOIN $degT kk ON l.node = kk.node
        |  JOIN ${p}degc degc ON degc.c = l.lab),
        |${p}kic AS (SELECT nc.node, nc.kd AS kic
        |  FROM ${p}nc nc JOIN $prev la
@@ -8349,8 +8362,11 @@ object OracleSql {
     * paren-for-paren (n=1 exempt from min-degree, n≤2 exempt from
     * the edge-count floor). */
   /** The screen's CTE tail + final select over assignment table
-    * `$asg` (node, lab); assumes `canon` in scope. */
-  private def connectednessTail(asg: String): String =
+    * `$asg` (node, lab); assumes `canon` in scope. `gamma` is the
+    * density floor (x334 screens the repaired output at 0.5, inside
+    * the repair's γ ≤ 2/3 connectedness guarantee). */
+  private def connectednessTail(asg: String, gamma: Double = 1.0)
+      : String =
     s"""ie AS (SELECT la.lab AS c, cn.a, cn.b
        |  FROM canon cn JOIN $asg la ON cn.a = la.node
        |  JOIN $asg lb ON cn.b = lb.node
@@ -8370,7 +8386,7 @@ object OracleSql {
        |  CAST(CASE WHEN (perc.n_nodes = 1 OR perc.mind >= 1)
        |    AND (perc.n_nodes <= 2
        |      OR CAST(COALESCE(iec.ie_n, 0) AS DOUBLE)
-       |        >= 1.0e0 * CAST(perc.n_nodes AS DOUBLE))
+       |        >= ${gamma}e0 * CAST(perc.n_nodes AS DOUBLE))
        |    THEN 1 ELSE 0 END AS INT) AS well_connected
        |FROM perc LEFT JOIN iec ON perc.c = iec.c
        |ORDER BY community""".stripMargin
@@ -8457,6 +8473,156 @@ object OracleSql {
   private def louvainConnectednessSql(rounds: Int, sweeps: Int): String =
     s"""WITH ${louvainCtes(rounds, sweeps)},
        |${connectednessTail("lvfin")}""".stripMargin
+
+  /** The Leiden REPAIR as CTEs over assignment `$asg` (node, lab) —
+    * mirrors Graph.repairCommunities: intra-community edges, a
+    * recursive transitive closure (the x60 reach pattern — bounded
+    * within communities, so the closure is Σ n_part² rows), each
+    * node's component rep = MIN reachable node, and the relabel
+    * `lab#rep` ONLY where a community actually split. Assumes
+    * `canon` in scope; exposes `repasg` (node, lab). The iterative
+    * Spark pointer-jump loop and this closure agree exactly because
+    * the component minimum is order-independent. */
+  private def repairCtes(asg: String): String =
+    s"""ria AS (SELECT cn.a, cn.b
+       |  FROM canon cn JOIN $asg la ON cn.a = la.node
+       |  JOIN $asg lb ON cn.b = lb.node
+       |  WHERE la.lab = lb.lab),
+       |risym AS MATERIALIZED (SELECT a AS s, b AS d FROM ria
+       |  UNION ALL SELECT b AS s, a AS d FROM ria),
+       |rreach(node, r) AS (
+       |  SELECT node, node FROM $asg
+       |  UNION
+       |  SELECT rreach.node, e.d FROM rreach
+       |  JOIN risym e ON e.s = rreach.r),
+       |rcomp AS MATERIALIZED (SELECT node, MIN(r) AS rep
+       |  FROM rreach GROUP BY 1),
+       |rparts AS (SELECT la.lab AS c, COUNT(DISTINCT rc.rep) AS np
+       |  FROM $asg la JOIN rcomp rc ON la.node = rc.node GROUP BY 1),
+       |repasg AS MATERIALIZED (SELECT la.node,
+       |    CASE WHEN rp.np = 1 THEN la.lab
+       |      ELSE la.lab || '#' || rc.rep END AS lab
+       |  FROM $asg la JOIN rcomp rc ON la.node = rc.node
+       |  JOIN rparts rp ON rp.c = la.lab)""".stripMargin
+
+  /** Leiden repair over the louvain output (x333), graded
+    * before/after with the x327 summary tail: q_gain_4m2 ≥ 0 is a
+    * THEOREM for this pass (splitting a disconnected community
+    * preserves every internal edge and strictly shrinks ΣD²). */
+  private def repairSql(rounds: Int, sweeps: Int): String =
+    s"""WITH RECURSIVE ${louvainCtes(rounds, sweeps)},
+       |${repairCtes("lvfin")},
+       |${qTotalCtes("qb", "lvfin", digits = 8)},
+       |${qTotalCtes("qa", "repasg", digits = 8)},
+       |mv AS (SELECT CAST(SUM(CASE WHEN f.lab <> p.lab THEN 1 ELSE 0
+       |    END) AS BIGINT) AS n_moved
+       |  FROM lvfin p JOIN repasg f ON p.node = f.node)
+       |SELECT qbq.q AS q_before,
+       |  CAST(qbq.nc AS BIGINT) AS n_communities_before,
+       |  CAST((SELECT m FROM mm) AS BIGINT) AS m_edges,
+       |  qaq.q AS q_after,
+       |  CAST(qaq.nc AS BIGINT) AS n_communities_after,
+       |  CAST(qaq.qn - qbq.qn AS BIGINT) AS q_gain_4m2,
+       |  mv.n_moved
+       |FROM qbq CROSS JOIN qaq CROSS JOIN mv""".stripMargin
+
+  /** Connectedness screen at γ=0.5 over the REPAIRED louvain output
+    * (x334): every row must read well_connected = 1 — the repair's
+    * γ ≤ 2/3 guarantee, exercised at the driver's oracle. */
+  private def repairConnectednessSql(rounds: Int, sweeps: Int): String =
+    s"""WITH RECURSIVE ${louvainCtes(rounds, sweeps)},
+       |${repairCtes("lvfin")},
+       |${connectednessTail("repasg", gamma = 0.5)}""".stripMargin
+
+  /** Weighted per-assignment modularity-total CTEs (the
+    * [[qTotalCtes]] twin over the weighted graph): assumes
+    * `wc` (a, b, w), `wdeg` (node, k) and `mm` (m = ΣW) in scope. */
+  private def wqTotalCtes(p: String, asg: String, digits: Int): String =
+    s"""${p}intra AS (SELECT la.lab AS c, SUM(cn.w) AS l
+       |  FROM wc cn JOIN $asg la ON cn.a = la.node
+       |  JOIN $asg lb ON cn.b = lb.node
+       |  WHERE la.lab = lb.lab GROUP BY 1),
+       |${p}degc AS (SELECT l.lab AS c, SUM(COALESCE(kk.k, 0)) AS dc
+       |  FROM $asg l LEFT JOIN wdeg kk ON l.node = kk.node GROUP BY 1),
+       |${p}perc AS (SELECT degc.c,
+       |    CAST(ROUND(CAST(CASE WHEN (SELECT m FROM mm) > 0 THEN
+       |      CAST(COALESCE(i.l, 0) AS DOUBLE)
+       |        / CAST((SELECT m FROM mm) AS DOUBLE)
+       |      - (CAST(degc.dc AS DOUBLE)
+       |          / (2.0e0 * CAST((SELECT m FROM mm) AS DOUBLE)))
+       |        * (CAST(degc.dc AS DOUBLE)
+       |          / (2.0e0 * CAST((SELECT m FROM mm) AS DOUBLE)))
+       |      ELSE 0.0e0 END AS DECIMAL(18,8)), $digits) AS DOUBLE) AS qc,
+       |    4 * (SELECT m FROM mm) * COALESCE(i.l, 0)
+       |      - degc.dc * degc.dc AS qnc
+       |  FROM ${p}degc degc LEFT JOIN ${p}intra i ON degc.c = i.c),
+       |${p}q AS (SELECT CAST(ROUND(CAST(SUM(qc) AS DECIMAL(18,8)),
+       |      $digits) AS DOUBLE) AS q, COUNT(*) AS nc,
+       |    SUM(qnc) AS qn FROM ${p}perc)""".stripMargin
+
+  /** WEIGHTED two-phase Louvain over the LPA seed with the
+    * co-purchase pair count as the edge weight (x335): mirrors
+    * Graph.weightedLouvain paren-for-paren — SUM(w) votes at level 0
+    * (e0 carries the pair count n), weighted aggregation (super-edge
+    * weights/self-loops are weight SUMS; ΣW preserved), the same
+    * [[wSweepCte]] engine at both levels, and the weighted
+    * modularity grade Q = Σ[W_c/W − (S_c/2W)²]. */
+  private def weightedLouvainSql(rounds: Int, sweeps: Int): String = {
+    def l0(i: Int): String = {
+      val prev = if (i == 1) s"l$rounds" else s"r${i - 1}asg"
+      wSweepCte(s"r$i", prev, "we", "wdeg")
+    }
+    def l1(i: Int): String = {
+      val prev = if (i == 1) "s0" else s"s${i - 1}asg"
+      wSweepCte(s"s$i", prev, "sedge", "sdeg")
+    }
+    val lvl0 = s"r${sweeps}asg"
+    val sfin = s"s${sweeps}asg"
+    s"""WITH ${labelPropCtes(rounds)},
+       |wc AS (SELECT x AS a, y AS b, n AS w FROM e0 WHERE x <> y),
+       |mm AS (SELECT SUM(w) AS m FROM wc),
+       |we AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM wc
+       |  UNION ALL SELECT b AS src, a AS dst, w FROM wc),
+       |wdeg AS (SELECT nd.node, COALESCE(s.k, 0) AS k FROM nodes nd
+       |  LEFT JOIN (SELECT src AS node, SUM(w) AS k FROM we
+       |    GROUP BY 1) s ON s.node = nd.node),
+       |${(1 to sweeps).map(l0).mkString(",\n")},
+       |snodes AS (SELECT DISTINCT lab AS node FROM $lvl0),
+       |sedge0 AS (SELECT least(la.lab, lb.lab) AS a,
+       |    greatest(la.lab, lb.lab) AS b, SUM(cn.w) AS w
+       |  FROM wc cn JOIN $lvl0 la ON cn.a = la.node
+       |  JOIN $lvl0 lb ON cn.b = lb.node
+       |  WHERE la.lab <> lb.lab GROUP BY 1, 2),
+       |sedge AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM sedge0
+       |  UNION ALL SELECT b AS src, a AS dst, w FROM sedge0),
+       |sself AS (SELECT la.lab AS node, SUM(cn.w) AS sw
+       |  FROM wc cn JOIN $lvl0 la ON cn.a = la.node
+       |  JOIN $lvl0 lb ON cn.b = lb.node
+       |  WHERE la.lab = lb.lab GROUP BY 1),
+       |sdeg AS MATERIALIZED (SELECT n.node,
+       |    COALESCE(dd.kw, 0) + 2 * COALESCE(ss.sw, 0) AS k
+       |  FROM snodes n
+       |  LEFT JOIN (SELECT src AS node, SUM(w) AS kw FROM sedge
+       |    GROUP BY 1) dd ON dd.node = n.node
+       |  LEFT JOIN sself ss ON ss.node = n.node),
+       |s0 AS (SELECT node, node AS lab FROM snodes),
+       |${(1 to sweeps).map(l1).mkString(",\n")},
+       |lvfin AS MATERIALIZED (SELECT l.node, s.lab
+       |  FROM $lvl0 l JOIN $sfin s ON l.lab = s.node),
+       |${wqTotalCtes("qb", s"l$rounds", digits = 8)},
+       |${wqTotalCtes("qa", "lvfin", digits = 8)},
+       |mv AS (SELECT CAST(SUM(CASE WHEN f.lab <> p.lab THEN 1 ELSE 0
+       |    END) AS BIGINT) AS n_moved
+       |  FROM l$rounds p JOIN lvfin f ON p.node = f.node)
+       |SELECT qbq.q AS q_before,
+       |  CAST(qbq.nc AS BIGINT) AS n_communities_before,
+       |  CAST((SELECT m FROM mm) AS BIGINT) AS m_weight,
+       |  qaq.q AS q_after,
+       |  CAST(qaq.nc AS BIGINT) AS n_communities_after,
+       |  CAST(qaq.qn - qbq.qn AS BIGINT) AS q_gain_4m2,
+       |  mv.n_moved
+       |FROM qbq CROSS JOIN qaq CROSS JOIN mv""".stripMargin
+  }
 
   /** BM25 over documents (x326): per-doc HOF token counts, one stats
     * row, idf ln pinned at 8 dp, per-term contributions rounded at

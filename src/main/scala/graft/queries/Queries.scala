@@ -3457,6 +3457,48 @@ object Queries {
     ensureLouvainShared(s, dir); ()
   }
 
+  /** x334's shared memoized REPAIRED assignment, layered on the
+    * louvain memo (its own stamp): [[graft.operators.Graph
+    * .repairCommunities]] is deterministic, so the read-back frame is
+    * row-identical to a live run. x333 runs the repair LIVE (it
+    * times the re-split); x334 screens the memoized output — the
+    * x330/x332 division of labor, one stage further down the
+    * guard→optimizer→repair→screen loop. */
+  private[graft] def ensureRepairShared(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val (edges, merged) = ensureLouvainShared(s, dir)
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-lpa-${dir.replaceAll("[^A-Za-z0-9._-]", "_")}-sup2-r5")
+    val stampF = new java.io.File(base, "stamp_repair.txt")
+    val repP = new java.io.File(base, "repair").getPath
+    val want = Tables.lineitem(s, dir).inputFiles.sorted.map { u =>
+      val f = new java.io.File(new java.net.URI(u).getPath)
+      s"$u:${f.length}:${f.lastModified}"
+    }.mkString("\n") + "\nsweeps=2|repair=cc"
+    val have =
+      if (!stampF.exists()) None
+      else scala.util.Try(new String(
+        java.nio.file.Files.readAllBytes(stampF.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)).toOption
+    val valid = have.contains(want) &&
+      new java.io.File(repP, "_SUCCESS").exists()
+    if (!valid) {
+      java.nio.file.Files.deleteIfExists(stampF.toPath)
+      graft.operators.Graph.repairCommunities(edges, "src", "dst",
+          merged, "node", "community")
+        .write.mode("overwrite").parquet(repP)
+      java.nio.file.Files.write(stampF.toPath,
+        want.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    (edges, s.read.parquet(repP))
+  }
+
+  /** Bench setup for x334: pre-run louvain AND the repair so the
+    * timed number is the screen alone. */
+  def x334Setup(s: SparkSession, dir: String): Unit = {
+    ensureRepairShared(s, dir); ()
+  }
+
   /** X291 — paired-field MinHash near-dup over a derived
     * (prompt, response) comparison log: each document splits at its
     * midpoint into the two fields; rows match FIELD-WISE (a prompt
@@ -3654,6 +3696,89 @@ object Queries {
     val merged = g.louvain(edges, "src", "dst",
       assign, "node", "community", sweepsPerLevel = 2).persist()
     refinementSummary(edges, assign, merged)
+  }
+
+  /** X299 — the Leiden REPAIR pass over the louvain output (r18
+    * verdict #1: x332 flags 148/204 louvain communities at sf0.01 —
+    * the documented remedy now exists as an operator): re-split every
+    * community into the connected components of its intra-community
+    * subgraph, graded before/after with the x327 summary. The repair
+    * is Q-monotone BY CONSTRUCTION (splitting a disconnected
+    * community preserves every internal edge and shrinks ΣD²), so
+    * q_gain_4m2 ≥ 0 is a theorem here, not an observation; n_moved
+    * counts members of communities that actually split. */
+  def x333(s: SparkSession, dir: String): DataFrame = {
+    val g = graft.operators.Graph
+    val (edges, merged) = ensureLouvainShared(s, dir)
+    val repaired = g.repairCommunities(edges, "src", "dst",
+      merged, "node", "community").persist()
+    refinementSummary(edges, merged, repaired)
+  }
+
+  /** X299b — the well-connectedness screen over the REPAIRED louvain
+    * output at γ=0.5, closing the guard→optimizer→repair→screen
+    * loop: [[graft.operators.Graph.repairCommunities]] guarantees
+    * every output community is internally CONNECTED, and a connected
+    * n≥3 community holds ≥ n−1 ≥ γ·n internal edges for γ ≤ 2/3 —
+    * so EVERY row here reads well_connected = 1 (min_internal_degree
+    * ≥ 1 for every n ≥ 2 community), the property x332 shows the
+    * raw louvain output failing 148/204 times. γ=1 density failures
+    * (connected trees) remain visible through x332 by design — no
+    * split repairs a tree without destroying real structure. */
+  def x334(s: SparkSession, dir: String): DataFrame = {
+    val (edges, repaired) = ensureRepairShared(s, dir)
+    graft.operators.Graph.communityConnectedness(edges, "src", "dst",
+        repaired, "node", "community", gamma = 0.5)
+      .select(col("community"), col("n_nodes"), col("internal_edges"),
+        col("min_internal_degree"),
+        when(col("well_connected"), 1).otherwise(0).cast("int")
+          .as("well_connected"))
+      .orderBy("community")
+  }
+
+  /** The weighted twin of [[refinementSummary]]: grades both
+    * assignments with [[graft.operators.Graph.weightedModularity]]
+    * (integer weight sums end-to-end), exposing the exact weighted
+    * numerator gain Σ(4W·W_c − S_c²) = ΔQ·4W². */
+  private def weightedRefinementSummary(edges: DataFrame, wCol: String,
+      before0: DataFrame, after0: DataFrame): DataFrame = {
+    val g = graft.operators.Graph
+    def grade(asg: DataFrame, tag: String) =
+      g.weightedModularity(edges, "src", "dst", wCol, asg,
+          "node", "community", roundDigits = 8)
+        .agg(max(col("q_total")).as(s"q_$tag"),
+          count(lit(1)).as(s"n_communities_$tag"),
+          max(col("m_weight")).as(s"__m_$tag"),
+          sum(lit(4L) * col("m_weight") * col("internal_weight") -
+            col("weighted_degree_sum") * col("weighted_degree_sum"))
+            .as(s"__qn_$tag"))
+    val moved = before0.select(col("node"), col("community").as("__c0"))
+      .join(after0.withColumnRenamed("community", "__c1"), Seq("node"))
+      .agg(sum(when(col("__c0") =!= col("__c1"), 1L).otherwise(0L))
+        .as("n_moved"))
+    grade(before0, "before").crossJoin(grade(after0, "after"))
+      .crossJoin(moved)
+      .select(col("q_before"), col("n_communities_before"),
+        col("__m_before").as("m_weight"), col("q_after"),
+        col("n_communities_after"),
+        (col("__qn_after") - col("__qn_before")).as("q_gain_4m2"),
+        col("n_moved"))
+  }
+
+  /** X300 — WEIGHTED two-phase Louvain over the co-purchase graph
+    * with the pair count itself as the edge weight (r18 verdict #4:
+    * refineCore was always weighted; the public surface now is too):
+    * two parts co-bought 50 times bind 25× tighter than a threshold
+    * coincidence, and the weighted moves see exactly that. Seeded
+    * with the same memoized LPA assignment as x330, graded
+    * before/after with the WEIGHTED modularity — all-long integer
+    * weight sums, so the SQL oracle replays both levels exactly. */
+  def x335(s: SparkSession, dir: String): DataFrame = {
+    val g = graft.operators.Graph
+    val (edges, assign) = ensureLpaShared(s, dir)
+    val merged = g.weightedLouvain(edges, "src", "dst", "__n",
+      assign, "node", "community", sweepsPerLevel = 2).persist()
+    weightedRefinementSummary(edges, "__n", assign, merged)
   }
 
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
@@ -4001,5 +4126,8 @@ object Queries {
     "x329_bm25_index_probe" -> (x329 _),
     "x330_louvain" -> (x330 _),
     "x331_community_connectedness" -> (x331 _),
-    "x332_louvain_connectedness" -> (x332 _))
+    "x332_louvain_connectedness" -> (x332 _),
+    "x333_community_repair" -> (x333 _),
+    "x334_repair_connectedness" -> (x334 _),
+    "x335_weighted_louvain" -> (x335 _))
 }
