@@ -198,6 +198,19 @@ object Bench {
     oldN > 0 && newN >= 0 && newN < oldN
   }
 
+  /** The full guard decision (r18 ADVICE): the shrink guard applies
+    * ONLY to SUBSET runs — a FULL sweep times the complete current
+    * registry, so a shrink there means queries were RETIRED and the
+    * new smaller board is the truth; diverting it to `.partial`
+    * would leave automation reading the stale larger board forever.
+    * The /tmp subset default is scratch by definition and exempt,
+    * and SPARK_GRAFT_BENCH_FORCE=1 overrides everything. */
+  private[graft] def divertToPartial(isSubset: Boolean,
+      scratchDefault: Boolean, force: Boolean,
+      existing: Option[String], newLine: String): Boolean =
+    isSubset && !scratchDefault && !force &&
+      wouldClobberBoard(existing, newLine)
+
   /** Assemble + emit the artifact. The printed line is the driver
     * contract; the same line also lands in SPARK_GRAFT_BENCH_OUT so
     * round-over-round comparisons never depend on stdout tail-capture
@@ -223,9 +236,8 @@ object Bench {
               java.nio.charset.StandardCharsets.UTF_8))
           else None
         } catch { case scala.util.control.NonFatal(_) => None }
-      if (!scratchDefault &&
-          !sys.env.contains("SPARK_GRAFT_BENCH_FORCE") &&
-          wouldClobberBoard(existing, line)) {
+      if (divertToPartial(isSubset, scratchDefault,
+          sys.env.contains("SPARK_GRAFT_BENCH_FORCE"), existing, line)) {
         System.err.println(s"[bench] REFUSING to overwrite $outFile: it " +
           "holds a board with more queries than this run timed; writing " +
           s"$outFile.partial instead (SPARK_GRAFT_BENCH_FORCE=1 overrides)")

@@ -1070,6 +1070,15 @@ object Stateful {
     * time — keeping them live would re-derive what the probe already
     * computes from its own 1-row broadcast.
     *
+    * IMMUTABILITY ASSUMPTION (r18 ADVICE, explicit): this monitor is
+    * first-sight-wins across batches — correct ONLY for an
+    * append-only crawl where redeliveries carry identical payloads
+    * (pure at-least-once). A re-crawled document whose text CHANGED
+    * is treated as a redelivery and emits nothing, silently diverging
+    * the live index from a batch rebuild. A corpus with document
+    * revisions needs [[postingsMonitorVersioned]], which stores the
+    * accepted version and emits retract+insert deltas on change.
+    *
     * State: one (seq) per doc — the same V-bounded budget as the
     * exact-dedup digest monitors; emissions are bounded by NEW docs'
     * distinct terms. */
@@ -1111,6 +1120,99 @@ object Stateful {
               case (t, occ) =>
                 PostingEmit(doc, e.seq, t, occ.length.toLong, dl)
             }
+          }
+      }
+  }
+
+  /** VERSIONED streaming maintenance of the BM25 inverted index —
+    * the document-REVISION path [[postingsMonitor]] declares out of
+    * scope (r18 verdict #2): state is the ACCEPTED VERSION of each
+    * doc (seq + text), and a later event whose text CHANGED emits
+    * per-term NET DELTAS — negative tf for retracted occurrences,
+    * positive for inserted ones, every row carrying the NEW doc
+    * length — so the live rollup
+    *
+    *   postings = Σ tf per (term, doc), keep > 0
+    *   lens     = per doc, the dl of its max-through_seq row
+    *
+    * equals a batch [[graft.operators.TextAnalysis.bm25Index]]
+    * REBUILD over the latest-version corpus row-for-row at every
+    * batch boundary, and the probe over it returns the batch top-k
+    * exactly (spec-pinned across a mid-stream UPDATE, a stale
+    * redelivery of the superseded version, and an identical-payload
+    * redelivery — the first two emit nothing or retract exactly,
+    * never double-count).
+    *
+    * Version acceptance is the max-seq-wins convention every monitor
+    * here uses: the winner among {state, batch rows} is the highest
+    * seq, ties to the lexically larger text. A stale event (seq
+    * below the accepted version) is ignored; an equal-payload
+    * redelivery advances nothing and emits nothing; an update whose
+    * token multiset happens to be unchanged (pure reordering) emits
+    * nothing — the index genuinely did not change. Give re-crawls
+    * fresh seqs (any real source does): an equal-seq CONFLICTING
+    * text resolves lexically, but the lens rollup is keyed by
+    * through_seq and cannot order two generations sharing one seq.
+    *
+    * State: one (seq, accepted text) per doc — corpus-sized, the
+    * honest cost of revision support (retracting old postings
+    * requires knowing them; the alternative, probing the downstream
+    * index from inside the state function, would couple the monitor
+    * to its sink). An append-only crawl should keep the V-bounded
+    * [[postingsMonitor]]. */
+  def postingsMonitorVersioned(ds: Dataset[DocEvent])
+      : Dataset[PostingEmit] = {
+    implicit val stateEnc: Encoder[(Long, String)] =
+      Encoders.product[(Long, String)]
+    implicit val outEnc: Encoder[PostingEmit] =
+      Encoders.product[PostingEmit]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    // Text.tokens twin: split on single space, drop empties
+    def tf(text: String): Map[String, Long] =
+      text.split(" ", -1).filter(_.nonEmpty)
+        .groupBy(identity).map { case (t, occ) => t -> occ.length.toLong }
+    ds.filter(e => e.docId != null && e.text != null)
+      .groupByKey(_.docId)
+      .flatMapGroupsWithState[(Long, String), PostingEmit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (doc: String, rows: Iterator[DocEvent],
+            state: GroupState[(Long, String)]) =>
+          val prev = state.getOption
+          // fold the batch INTO the accepted version: highest seq
+          // wins, ties to the lexically larger text
+          var best = prev
+          rows.foreach { r =>
+            best = best match {
+              case Some((s0, t0)) if r.seq < s0 ||
+                (r.seq == s0 && r.text <= t0) => Some((s0, t0))
+              case _ => Some((r.seq, r.text))
+            }
+          }
+          val (seq, text) = best.get
+          if (prev.isEmpty) {
+            // first sight: full insert
+            state.update((seq, text))
+            val m = tf(text)
+            val dl = m.values.sum
+            m.toSeq.sortBy(_._1).iterator.map { case (t, n) =>
+              PostingEmit(doc, seq, t, n, dl)
+            }
+          } else if (prev.exists(_._2 == text)) {
+            // same accepted text: advance the seq high-water only
+            if (!prev.exists(_._1 == seq)) state.update((seq, text))
+            Iterator.empty
+          } else {
+            // revision: per-term net deltas, new dl on every row
+            state.update((seq, text))
+            val oldM = tf(prev.get._2)
+            val newM = tf(text)
+            val dl = newM.values.sum
+            (oldM.keySet ++ newM.keySet).toSeq.sorted.iterator
+              .flatMap { t =>
+                val d = newM.getOrElse(t, 0L) - oldM.getOrElse(t, 0L)
+                if (d == 0L) None
+                else Some(PostingEmit(doc, seq, t, d, dl))
+              }
           }
       }
   }

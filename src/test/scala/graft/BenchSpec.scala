@@ -140,4 +140,27 @@ class BenchSpec extends SparkSpec {
     assert(Bench.boardQueryCount(full) == 3 &&
       Bench.boardQueryCount("{}") == -1)
   }
+
+  test("the shrink guard exempts FULL sweeps — a retired query must " +
+      "shrink the board, not strand automation on a stale one " +
+      "(r18 ADVICE)") {
+    def board(qs: String*): String =
+      """{"metric":"total","value":1.0,"queries":{""" +
+        qs.map(q => s""""$q":0.5""").mkString(",") + "}}"
+    val full = board("t01", "t02", "x325")
+    val smaller = board("t01", "t02")
+    // a FULL sweep whose registry shrank writes the new truth
+    assert(!Bench.divertToPartial(isSubset = false,
+      scratchDefault = false, force = false, Some(full), smaller),
+      "a full sweep is the new board even when smaller")
+    // a SUBSET run shrinking a board still diverts
+    assert(Bench.divertToPartial(isSubset = true,
+      scratchDefault = false, force = false, Some(full), smaller),
+      "a subset run must never shrink a board")
+    // the /tmp scratch default and the force override stay exempt
+    assert(!Bench.divertToPartial(isSubset = true,
+      scratchDefault = true, force = false, Some(full), smaller))
+    assert(!Bench.divertToPartial(isSubset = true,
+      scratchDefault = false, force = true, Some(full), smaller))
+  }
 }

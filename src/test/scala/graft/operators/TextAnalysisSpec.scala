@@ -735,4 +735,82 @@ class TextAnalysisSpec extends SparkSpec {
     assert(p16.contains("WindowGroupLimit"),
       s"rank<=k must push into the shuffle as WindowGroupLimit:\n$p16")
   }
+
+  test("ensureBm25IndexBucketed: the probe reads both index sides " +
+      "from BUCKETED scans and drops their exchanges — the " +
+      "bucketBy(term) steady-state claim, proven on the plan " +
+      "(r18 #3); scores identical to the in-memory index") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, ShuffleQueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val corpus = Seq(
+      ("d1", "cat sat on the mat cat"), ("d2", "dog sat on a log"),
+      ("d3", "a cat and a dog"), ("d4", "the mat the log the cat"),
+      ("d5", "cat cat dog dog mat"), ("d6", "log on the mat"))
+      .toDF("doc_id", "text")
+    Seq("bm25bkt_stamp", "bm25bkt_postings", "bm25bkt_lens")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val (bp, blens) = TextAnalysis.ensureBm25IndexBucketed(
+      corpus, "doc_id", "text", "bm25bkt", numBuckets = 4)
+    // a fresh ensure is a stamp read, not a rebuild: the returned
+    // frames must come from the SAME table files
+    val again = TextAnalysis.ensureBm25IndexBucketed(
+      corpus, "doc_id", "text", "bm25bkt", numBuckets = 4)
+    assert(again._1.inputFiles.sorted.toSeq ==
+      bp.inputFiles.sorted.toSeq, "second ensure must not rewrite")
+    val queries = Seq((1L, "cat mat"), (2L, "dog log mat"))
+      .toDF("qid", "qt")
+    // force the shuffle-join path: broadcast would hide the bucket
+    // question entirely
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      def planOf(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+      def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+        planOf(df).collect {
+          case s: ShuffleExchangeExec => s
+          case s: ShuffleQueryStageExec => s
+        }.size
+      val probe = TextAnalysis.bm25TopDocsForQueries(bp, blens,
+        queries, "qid", "qt", topK = 3)
+      val plan = planOf(probe)
+      // all three index reads are bucketed scans (postings feeds the
+      // df aggregate AND the term join; lens feeds the doc_id join)
+      val bucketedScans = plan.collect {
+        case f: FileSourceScanExec if f.bucketedScan => f
+      }
+      assert(bucketedScans.size == 3,
+        s"expected 3 bucketed index scans, got ${bucketedScans.size}:\n$plan")
+      // and their exchanges are GONE: the same probe over the
+      // PARQUET-DIR index (read-back scans — the portable fallback,
+      // so the comparison is probe-path against probe-path, no build
+      // shuffles in either count) pays exactly 3 more shuffles
+      // (postings df-aggregate, postings term-join side, lens
+      // doc_id-join side)
+      val dir = java.nio.file.Files
+        .createTempDirectory("bm25bkt_ctl").toString
+      val (pp, pl) = TextAnalysis.ensureBm25Index(
+        corpus, "doc_id", "text", dir)
+      val plain = TextAnalysis.bm25TopDocsForQueries(pp, pl,
+        queries, "qid", "qt", topK = 3)
+      assert(shuffles(plain) - shuffles(probe) == 3,
+        s"bucketing must elide the 3 index-side exchanges: " +
+          s"plain=${shuffles(plain)} bucketed=${shuffles(probe)}\n$plan")
+      // identical scores (columns: query_id, doc_id, doc_len,
+      // n_matched, bm25)
+      val a = probe.orderBy(col("query_id"), col("doc_id"))
+        .collect().toSeq
+      val b = plain.orderBy(col("query_id"), col("doc_id"))
+        .collect().toSeq
+      assert(a == b, s"bucketed $a != plain $b")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
 }

@@ -1052,6 +1052,83 @@ class StatefulSpec extends SparkSpec {
       "the live index must score identically to the batch index")
   }
 
+  test("postingsMonitorVersioned: a mid-stream document REVISION " +
+      "retracts old postings and inserts new ones — rollup ≡ batch " +
+      "bm25Index REBUILD on the latest-version corpus, probe ≡ batch; " +
+      "stale and identical redeliveries emit nothing (r18 #2)") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Stateful.DocEvent]
+    val out = Stateful.postingsMonitorVersioned(mem.toDS())
+    val sink = s"postings_v_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Stateful.DocEvent(1L, "d1", "cat sat on the mat cat"),
+        Stateful.DocEvent(2L, "d2", "dog sat on a log"))
+      q.processAllAvailable()
+      // batch 2: d1 is RE-CRAWLED with changed text (seq 10), d2 is
+      // redelivered identically (must emit nothing), d3 is new
+      mem.addData(Stateful.DocEvent(10L, "d1", "cat naps on a rug"),
+        Stateful.DocEvent(2L, "d2", "dog sat on a log"),
+        Stateful.DocEvent(3L, "d3", "a cat and a dog"))
+      q.processAllAvailable()
+      // batch 3: STALE redelivery of d1's superseded version (seq 1 <
+      // accepted 10 — ignored), plus a new d4
+      mem.addData(Stateful.DocEvent(1L, "d1", "cat sat on the mat cat"),
+        Stateful.DocEvent(4L, "d4", "the mat the log the cat"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val emits = spark.table(sink).as[Stateful.PostingEmit].collect()
+    // the revision really retracts: "mat" leaves d1 with a negative
+    // delta at the revision's seq
+    assert(emits.exists(e => e.doc_id == "d1" && e.term == "mat" &&
+      e.tf < 0 && e.through_seq == 10L),
+      s"expected a retraction row for d1/mat: ${emits.toSeq}")
+    // the stale redelivery emitted nothing (no row can carry the old
+    // text's terms at through_seq 1 beyond the first batch's inserts)
+    assert(emits.count(e => e.doc_id == "d1" && e.through_seq == 1L &&
+      e.term == "mat") == 1,
+      s"the stale redelivery must not re-emit: ${emits.toSeq}")
+    // identical redelivery of d2: exactly one generation of d2 rows
+    assert(emits.filter(_.doc_id == "d2").map(_.through_seq).distinct
+      .length == 1, s"d2 must emit once: ${emits.toSeq}")
+    // live rollup = sum of deltas (keep > 0); lens = dl of the
+    // max-through_seq row per doc
+    val livePostings = emits.groupBy(e => (e.term, e.doc_id))
+      .map { case ((t, d), rs) => (t, d, rs.map(_.tf).sum) }
+      .filter(_._3 > 0L).toSeq.sortBy(x => (x._1, x._2))
+    val liveLens = emits.groupBy(_.doc_id)
+      .map { case (d, rs) => (d, rs.maxBy(_.through_seq).dl) }
+      .toSeq.sortBy(_._1)
+    // batch rebuild over the LATEST-version corpus
+    val latest = Seq(("d1", "cat naps on a rug"),
+      ("d2", "dog sat on a log"), ("d3", "a cat and a dog"),
+      ("d4", "the mat the log the cat"))
+    val (bp, bl) = graft.operators.TextAnalysis.bm25Index(
+      latest.toDF("doc_id", "text"), "doc_id", "text")
+    val batchPostings = bp.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val batchLens = bl.collect()
+      .map(r => (r.getString(0), r.getInt(1).toLong)).sortBy(_._1).toSeq
+    assert(livePostings == batchPostings,
+      s"live $livePostings != batch $batchPostings")
+    assert(liveLens == batchLens, s"live $liveLens != batch $batchLens")
+    // probe over the live rollup = probe over the batch rebuild
+    val queries = Seq((1L, "cat mat"), (2L, "dog rug")).toDF("qid", "qt")
+    def topk(p: org.apache.spark.sql.DataFrame,
+        l: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextAnalysis.bm25TopDocsForQueries(p, l,
+          queries, "qid", "qt", topK = 5)
+        .orderBy(col("query_id"), col("bm25").desc, col("doc_id"))
+        .collect().toSeq
+    val liveP = livePostings.toDF("term", "doc_id", "tf")
+    val liveL = liveLens.toDF("doc_id", "dl")
+    assert(topk(liveP, liveL) == topk(bp, bl),
+      "the live index must score identically to the batch rebuild")
+  }
+
   test("membershipDeltaMonitor: delta rollup ≡ batch community sizes, " +
       "live JSD vs the frozen baseline ≡ batch jensenShannon EXACTLY " +
       "across a mid-stream split (r17 verdict #8)") {
