@@ -34,11 +34,18 @@ object OracleSql {
   /** Distinct (doc, shingle-hash) pairs over word 3-grams — the set
     * representation shared by the minhash/jaccard oracles. */
   private def shingleCte(n: Int): String =
-    s"""sh AS (
-       |  SELECT DISTINCT doc_id AS doc, ${chash("s")} AS h
-       |  FROM (SELECT doc_id,
+    shingleCteFor("sh", "documents", "doc_id", "text", n)
+
+  /** [[shingleCte]] over an arbitrary (id, text) source — the x336
+    * pipeline shingles the prompt table and the candidate docs with
+    * the same Dedup.shingleHashes twin. */
+  private def shingleCteFor(name: String, src: String, id: String,
+      text: String, n: Int): String =
+    s"""$name AS (
+       |  SELECT DISTINCT $id AS doc, ${chash("s")} AS h
+       |  FROM (SELECT $id,
        |          unnest([array_to_string(w[i:i+${n - 1}], ' ') for i in range(1, len(w)-${n - 2})]) AS s
-       |        FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents) tw) ts)""".stripMargin
+       |        FROM (SELECT $id, string_split($text,' ') AS w FROM $src) tw) ts)""".stripMargin
 
   /** Winnowed fingerprints (k=3 grams, window w=4), positional gram
     * hashes → per-window minima, deduped; <w-gram docs take one
@@ -6596,6 +6603,13 @@ object OracleSql {
     // sweeps at both levels, weighted modularity grades.
     "x335_weighted_louvain" -> weightedLouvainSql(5, sweeps = 2),
 
+    // end-to-end decontamination: prompts = 120-char prefixes of every
+    // 40th doc; BM25 top-10 retrieve, 3-gram containment verify,
+    // flag at >= 0.05 of the prompt's distinct grams.
+    "x336_decontam_pipeline" -> decontamPipelineSql(
+      promptMod = 40, promptChars = 120, n = 3, topK = 10,
+      minFrac = 0.05),
+
     // Query-table BM25: five queries in one job against the inverted
     // index; scoring chain identical to x326's.
     "x328_bm25_query_table" -> bm25QueryTableSql(
@@ -8682,23 +8696,28 @@ object OracleSql {
     * postings, per-query top-k by (bm25 desc, doc_id) — mirroring
     * TextAnalysis.bm25TopDocsForQueries paren-for-paren (identical
     * float chain to [[bm25Sql]], Scala-printed k1/b literals). */
-  private def bm25QueryTableSql(queries: Seq[(Long, String)],
-      k1: Double, b: Double, topK: Int): String = {
+  /** The corpus side of the query-table BM25 chain (tokenized docs,
+    * lengths, postings, 1-row stats) — shared by x328/x329 and the
+    * x336 decontamination pipeline. */
+  private def bm25CorpusCtes: String =
+    """d AS (SELECT doc_id,
+      |    list_filter(string_split(text, ' '), t -> t <> '') AS w
+      |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+      |pd AS (SELECT doc_id, len(w) AS dl FROM d),
+      |post AS (SELECT doc_id, t AS term, COUNT(*) AS tf FROM (
+      |    SELECT doc_id, unnest(w) AS t FROM d) GROUP BY 1, 2),
+      |st AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl FROM pd)"""
+      .stripMargin
+
+  /** The scoring + ranking side: per-query distinct terms, df,
+    * matched postings, 8-dp round-then-add BM25, rank. Assumes
+    * [[bm25CorpusCtes]] and a CTE `q(qid, qtext)` in scope. */
+  private def bm25ScoreCtes(k1: Double, b: Double, topK: Int): String = {
     val k1p1 = (k1 + 1.0).toString + "e0"
     val oneMb = (1.0 - b).toString + "e0"
     val k1s = k1.toString + "e0"
     val bs = b.toString + "e0"
-    val vals = queries.map { case (id, t) => s"($id, '$t')" }
-      .mkString(", ")
-    s"""WITH d AS (SELECT doc_id,
-       |    list_filter(string_split(text, ' '), t -> t <> '') AS w
-       |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
-       |pd AS (SELECT doc_id, len(w) AS dl FROM d),
-       |post AS (SELECT doc_id, t AS term, COUNT(*) AS tf FROM (
-       |    SELECT doc_id, unnest(w) AS t FROM d) GROUP BY 1, 2),
-       |st AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl FROM pd),
-       |q(qid, qtext) AS (VALUES $vals),
-       |qt AS (SELECT DISTINCT qid, t AS term FROM (
+    s"""qt AS (SELECT DISTINCT qid, t AS term FROM (
        |    SELECT qid, unnest(list_filter(string_split(qtext, ' '),
        |      x -> x <> '')) AS t FROM q)),
        |dft AS (SELECT term, COUNT(*) AS df FROM post GROUP BY 1),
@@ -8721,11 +8740,54 @@ object OracleSql {
        |      AS DOUBLE) AS bm25
        |  FROM mt CROSS JOIN st GROUP BY 1, 2),
        |rk AS (SELECT sc.*, row_number() OVER (PARTITION BY query_id
-       |    ORDER BY bm25 DESC, doc_id) AS rn FROM sc)
-       |SELECT query_id, doc_id, doc_len, n_matched, bm25
-       |FROM rk WHERE rn <= $topK
-       |ORDER BY query_id, bm25 DESC, doc_id""".stripMargin
+       |    ORDER BY bm25 DESC, doc_id) AS rn FROM sc),
+       |cand AS (SELECT query_id, doc_id, doc_len, n_matched, bm25
+       |  FROM rk WHERE rn <= $topK)""".stripMargin
   }
+
+  private def bm25QueryTableSql(queries: Seq[(Long, String)],
+      k1: Double, b: Double, topK: Int): String = {
+    val vals = queries.map { case (id, t) => s"($id, '$t')" }
+      .mkString(", ")
+    s"""WITH $bm25CorpusCtes,
+       |q(qid, qtext) AS (VALUES $vals),
+       |${bm25ScoreCtes(k1, b, topK)}
+       |SELECT query_id, doc_id, doc_len, n_matched, bm25
+       |FROM cand ORDER BY query_id, bm25 DESC, doc_id""".stripMargin
+  }
+
+  /** End-to-end decontamination (x336): derived prompt table →
+    * query-table BM25 top-k retrieve → per-pair n-gram containment
+    * verify on the candidates → flagged list — mirroring
+    * TextAnalysis.decontaminate paren-for-paren (the x328 scoring
+    * chain + the x65 shingle twin). */
+  private def decontamPipelineSql(promptMod: Int, promptChars: Int,
+      n: Int, topK: Int, minFrac: Double): String =
+    s"""WITH $bm25CorpusCtes,
+       |q AS (SELECT doc_id AS qid, substr(text, 1, $promptChars)
+       |    AS qtext
+       |  FROM documents
+       |  WHERE doc_id % $promptMod = 0 AND text IS NOT NULL),
+       |${bm25ScoreCtes(1.2, 0.75, topK)},
+       |${shingleCteFor("qsh", "q", "qid", "qtext", n)},
+       |${shingleCteFor("dsh", "documents", "doc_id", "text", n)},
+       |qsz AS (SELECT doc AS qid, COUNT(*) AS qn FROM qsh GROUP BY 1),
+       |ph AS (SELECT c.query_id, c.doc_id, COUNT(*) AS ngram_hits
+       |  FROM cand c
+       |  JOIN qsh ON qsh.doc = c.query_id
+       |  JOIN dsh ON dsh.doc = c.doc_id AND dsh.h = qsh.h
+       |  GROUP BY 1, 2)
+       |SELECT c.query_id, c.doc_id, c.bm25,
+       |  CAST(COALESCE(ph.ngram_hits, 0) AS BIGINT) AS ngram_hits,
+       |  ROUND(CAST(COALESCE(ph.ngram_hits, 0) AS DOUBLE)
+       |    / CAST(qsz.qn AS DOUBLE), 4) AS ngram_frac
+       |FROM cand c
+       |LEFT JOIN ph ON ph.query_id = c.query_id
+       |  AND ph.doc_id = c.doc_id
+       |JOIN qsz ON qsz.qid = c.query_id
+       |WHERE ROUND(CAST(COALESCE(ph.ngram_hits, 0) AS DOUBLE)
+       |    / CAST(qsz.qn AS DOUBLE), 4) >= $minFrac
+       |ORDER BY c.query_id, c.doc_id""".stripMargin
 
   private def hitsSql(iters: Int): String = {
     val rounds = (1 to iters).map { k =>

@@ -3781,6 +3781,25 @@ object Queries {
     weightedRefinementSummary(edges, "__n", assign, merged)
   }
 
+  /** X301 — end-to-end DECONTAMINATION stage (eval-prompt table in,
+    * flagged-doc list out, one job): the prompts are 120-char
+    * prefixes of every 40th document — genuinely leaked eval items,
+    * so each must flag at least its own source — retrieved via
+    * query-table BM25 over the inverted index, then exact-verified
+    * by 3-gram containment on the candidates only (the x328 + x65
+    * composition, retrieve-then-verify). */
+  def x336(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val prompts = docs
+      .filter(col("doc_id") % 40 === 0 && col("text").isNotNull)
+      .select(col("doc_id").as("prompt_id"),
+        col("text").substr(1, 120).as("ptext"))
+    TextAnalysis.decontaminate(docs, "doc_id", "text",
+        prompts, "prompt_id", "ptext",
+        n = 3, topK = 10, minFrac = 0.05)
+      .orderBy("query_id", "doc_id")
+  }
+
   /** All queries keyed as they appear in CORRECTNESS_r{N}.json. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_scan_project" -> (t01 _),
@@ -4129,5 +4148,6 @@ object Queries {
     "x332_louvain_connectedness" -> (x332 _),
     "x333_community_repair" -> (x333 _),
     "x334_repair_connectedness" -> (x334 _),
-    "x335_weighted_louvain" -> (x335 _))
+    "x335_weighted_louvain" -> (x335 _),
+    "x336_decontam_pipeline" -> (x336 _))
 }
