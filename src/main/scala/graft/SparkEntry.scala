@@ -42,5 +42,6 @@ object SparkEntry {
       "x332_louvain_connectedness" -> (Queries.x332Setup _),
       "x333_community_repair" -> (Queries.x332Setup _),
       "x334_repair_connectedness" -> (Queries.x334Setup _),
-      "x335_weighted_louvain" -> (Queries.x325Setup _))
+      "x335_weighted_louvain" -> (Queries.x325Setup _),
+      "x337_delta_lpa" -> (Queries.x337Setup _))
 }

@@ -6610,6 +6610,11 @@ object OracleSql {
       promptMod = 40, promptChars = 120, n = 3, topK = 10,
       minFrac = 0.05),
 
+    // delta-LPA maintenance: the oracle is DELIBERATELY x323's
+    // full-run SQL — the gate's claim IS delta ≡ full re-run
+    // (the fixed-round locality theorem, independently replayed).
+    "x337_delta_lpa" -> labelPropSql(5),
+
     // Query-table BM25: five queries in one job against the inverted
     // index; scoring chain identical to x326's.
     "x328_bm25_query_table" -> bm25QueryTableSql(

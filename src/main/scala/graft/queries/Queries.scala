@@ -3781,6 +3781,72 @@ object Queries {
     weightedRefinementSummary(edges, "__n", assign, merged)
   }
 
+  /** The x337 edge split: ~10% of the co-purchase pairs (a
+    * deterministic key-sum modulus) play the CHANGED batch, the rest
+    * the pre-change graph. */
+  private def deltaSplit(pairs: DataFrame): (DataFrame, DataFrame) = (
+    pairs.filter(pmod(col("src") + col("dst"), lit(10)) =!= 0),
+    pairs.filter(pmod(col("src") + col("dst"), lit(10)) === 0))
+
+  /** x337's memoized BASE assignment (LPA over the 90% pre-change
+    * split at the same rounds), layered on the LPA memo dir with its
+    * own stamp — the timed region is the DELTA path, not a redundant
+    * base propagation. */
+  private[graft] def ensureDeltaBase(s: SparkSession, dir: String)
+      : DataFrame = {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-lpa-${dir.replaceAll("[^A-Za-z0-9._-]", "_")}-sup2-r5")
+    val stampF = new java.io.File(base, "stamp_deltabase.txt")
+    val asgP = new java.io.File(base, "assign_base").getPath
+    val want = Tables.lineitem(s, dir).inputFiles.sorted.map { u =>
+      val f = new java.io.File(new java.net.URI(u).getPath)
+      s"$u:${f.length}:${f.lastModified}"
+    }.mkString("\n") + "\nsplit=mod10|rounds=5"
+    val have =
+      if (!stampF.exists()) None
+      else scala.util.Try(new String(
+        java.nio.file.Files.readAllBytes(stampF.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)).toOption
+    val valid = have.contains(want) &&
+      new java.io.File(asgP, "_SUCCESS").exists()
+    if (!valid) {
+      java.nio.file.Files.createDirectories(base.toPath)
+      java.nio.file.Files.deleteIfExists(stampF.toPath)
+      val pairs = coPurchasePairs(s, dir).persist()
+      try {
+        graft.operators.Graph.labelPropagation(deltaSplit(pairs)._1,
+            "src", "dst", rounds = 5)
+          .write.mode("overwrite").parquet(asgP)
+      } finally { pairs.unpersist(); () }
+      java.nio.file.Files.write(stampF.toPath,
+        want.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    s.read.parquet(asgP)
+  }
+
+  /** Bench setup for x337: pre-build the base assignment so the
+    * timed number is the incremental maintenance alone. */
+  def x337Setup(s: SparkSession, dir: String): Unit = {
+    ensureDeltaBase(s, dir); ()
+  }
+
+  /** X302 — INCREMENTAL label-propagation maintenance (delta-LPA,
+    * r18 verdict #7): ~10% of the co-purchase edges arrive as a
+    * change batch against the memoized 90%-graph assignment;
+    * [[graft.operators.Graph.deltaLabelPropagation]] re-propagates
+    * ONLY the changed neighborhood (ball-bounded, never V), and the
+    * ORACLE IS x323's FULL-RUN SQL — deliberately: the gate's entire
+    * claim is delta ≡ full re-run row-for-row, the locality theorem
+    * checked by an independent engine. */
+  def x337(s: SparkSession, dir: String): DataFrame = {
+    val pairs = coPurchasePairs(s, dir).persist()
+    val prev = ensureDeltaBase(s, dir)
+    graft.operators.Graph.deltaLabelPropagation(pairs, "src", "dst",
+        deltaSplit(pairs)._2, "src", "dst",
+        prev, "node", "community", rounds = 5)
+      .orderBy("node")
+  }
+
   /** X301 — end-to-end DECONTAMINATION stage (eval-prompt table in,
     * flagged-doc list out, one job): the prompts are 120-char
     * prefixes of every 40th document — genuinely leaked eval items,
@@ -4149,5 +4215,6 @@ object Queries {
     "x333_community_repair" -> (x333 _),
     "x334_repair_connectedness" -> (x334 _),
     "x335_weighted_louvain" -> (x335 _),
-    "x336_decontam_pipeline" -> (x336 _))
+    "x336_decontam_pipeline" -> (x336 _),
+    "x337_delta_lpa" -> (x337 _))
 }

@@ -718,6 +718,59 @@ class GraphSpec extends SparkSpec {
       s"no other node may move: $moved")
   }
 
+  test("deltaLabelPropagation: edge ADDITIONS re-propagate only the " +
+      "changed neighborhood yet equal the full re-run bit-for-bit; " +
+      "new nodes join, far clusters keep their labels (r18 #7)") {
+    import spark.implicits._
+    // two far-apart components: a 3-triangle chain and a K4; the
+    // delta adds one edge inside the chain plus a brand-new node n9
+    val base = Seq(("a1", "a2"), ("a1", "a3"), ("a2", "a3"),
+      ("b1", "b2"), ("b1", "b3"), ("b2", "b3"), ("a3", "b1"),
+      ("k1", "k2"), ("k1", "k3"), ("k1", "k4"), ("k2", "k3"),
+      ("k2", "k4"), ("k3", "k4"))
+    val delta = Seq(("a1", "b3"), ("n9", "a2"))
+    val all = (base ++ delta).toDF("src", "dst")
+    val prev = Graph.labelPropagation(base.toDF("src", "dst"),
+      "src", "dst", rounds = 4)
+    val inc = Graph.deltaLabelPropagation(all, "src", "dst",
+        delta.toDF("src", "dst"), "src", "dst",
+        prev, "node", "community", rounds = 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    val full = Graph.labelPropagation(all, "src", "dst", rounds = 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(inc.toSeq === full.toSeq,
+      s"delta must equal the full re-run: $inc vs $full")
+    assert(inc.exists(_._1 == "n9"), "the new node must join")
+  }
+
+  test("deltaLabelPropagation: edge REMOVALS — a node losing its " +
+      "last edge leaves the assignment, the rest equals the full " +
+      "re-run on the shrunk graph") {
+    import spark.implicits._
+    val base = Seq(("a1", "a2"), ("a1", "a3"), ("a2", "a3"),
+      ("a3", "x9"), // x9 hangs by one edge
+      ("k1", "k2"), ("k1", "k3"), ("k2", "k3"))
+    val removed = Seq(("a3", "x9"))
+    val remaining = base.filterNot(removed.contains)
+    val prev = Graph.labelPropagation(base.toDF("src", "dst"),
+      "src", "dst", rounds = 3)
+    val inc = Graph.deltaLabelPropagation(remaining.toDF("src", "dst"),
+        "src", "dst", removed.toDF("src", "dst"), "src", "dst",
+        prev, "node", "community", rounds = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    val full = Graph.labelPropagation(remaining.toDF("src", "dst"),
+      "src", "dst", rounds = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(inc.toSeq === full.toSeq,
+      s"delta must equal the full re-run: $inc vs $full")
+    assert(!inc.exists(_._1 == "x9"),
+      "a node with no remaining edge must leave the assignment")
+  }
+
   test("weightedLouvain: w = 1 equals louvain bit-for-bit on the " +
       "ring of cliques (SUM(1) = COUNT end-to-end)") {
     import spark.implicits._
