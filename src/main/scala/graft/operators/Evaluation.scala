@@ -1650,17 +1650,29 @@ object Evaluation {
     0.999916758850712, 0.9999897508033253, 0.999998874797402,
     0.9999998885745216)
 
-  /** The per-(resample, row) Poisson weight: u from the first 12 hex
+  /** The per-(resample, row) uniform draw: u from the first 12 hex
     * chars of md5("b:key") scaled by 2⁻⁴⁸ (exact — a power-of-two
-    * scale), then the inverse-CDF CASE over [[poissonCum]]. */
-  private def poissonWeight(b: Column, key: Column): Column = {
-    val u = conv(substring(md5(concat(b.cast("string"), lit(":"),
+    * scale). Kept SEPARATE from [[poissonWeightFromU]]: inlining u
+    * into the 10-branch CASE re-evaluates the md5 chain once per
+    * visited branch (Spark's common-subexpression elimination only
+    * covers the always-evaluated first predicate of a CaseWhen), an
+    * average ~2× and worst-case 10× md5 per row on the hot
+    * explode-by-B path — and the 10 inlined md5 codegen copies bloat
+    * the generated method (r19: x265's cold-JIT first runs). The
+    * caller materializes u as a real column in its own projection;
+    * CollapseProject keeps non-cheap multi-referenced expressions in
+    * their own project, so the split survives optimization. */
+  private def poissonU(b: Column, key: Column): Column =
+    conv(substring(md5(concat(b.cast("string"), lit(":"),
       key.cast("string"))), 1, 12), 16, 10).cast("double") /
       lit(281474976710656.0d)
+
+  /** Inverse-CDF CASE over [[poissonCum]] for an already-materialized
+    * uniform column. */
+  private def poissonWeightFromU(u: Column): Column =
     poissonCum.zipWithIndex.foldRight(lit(10L): Column) {
       case ((c, k), rest) => when(u < lit(c), lit(k.toLong)).otherwise(rest)
     }
-  }
 
   /** The SAME weight computed driver/executor-side (java MD5,
     * identical bytes) — the streaming twin folds with it;
@@ -1701,7 +1713,9 @@ object Evaluation {
     val seeds = array((0 until b).map(j => lit(j)): _*)
     rows.select(col("__k"), col("__v"), explode(seeds).as("__b"))
       .select(col("__b"), col("__v"),
-        poissonWeight(col("__b"), col("__k")).as("__w"))
+        poissonU(col("__b"), col("__k")).as("__u"))
+      .select(col("__b"), col("__v"),
+        poissonWeightFromU(col("__u")).as("__w"))
       .groupBy(col("__b"))
       .agg(sum(col("__w")).as("__n"),
         sum((col("__w") * col("__v")).cast(dec)).as("__s"))

@@ -695,16 +695,22 @@ object Graph {
       .union(eBySrc.select(col("dst").as("node"))).distinct())
     val n = nodes.count()
     require(n >= 1, "empty graph")
-    def normalized(contrib: DataFrame, key: String): DataFrame = {
-      // contrib: (key, __c) raw sums over the contributing side only
-      // — nodes out of this side's reach carry an implicit exact 0,
-      // which neither moves the L1 total nor the next half-round's
-      // sums, so the score frame stays SPARSE until the final output
-      // re-densifies against `nodes`. The contrib frame is persisted
-      // and materialized ONCE so the L1-total pass and the normalize
-      // pass both read the cache — computing the total from the raw
-      // lineage would evaluate the half-round's edge join twice (the
-      // r16 HITS tail, measured: ~2× the per-round cost).
+    // Each half-round is ONE action (the 1-row L1 collect, which also
+    // materializes the persisted contrib cache). The normalized score
+    // frame is a LAZY Cut (flat LogicalRDD leaf immediately; its
+    // localCheckpoint blocks materialize inside the NEXT half-round's
+    // collect job) — r19, measured in both directions: the previous
+    // form eagerly counted the cut frame (a second full job per
+    // half-round, 10.8 s median), while a bare lazy projection over
+    // the cache nests each generation's full logical plan inside the
+    // next (the cutEager InMemoryRelation-pyramid failure mode — the
+    // optimizer re-walks the whole pyramid every half-round: 23.8 s).
+    // The lazy cut keeps the flat leaf AND the one-action half-round:
+    // 10.8 → ~7 s isolated. The backing cache must outlive its
+    // consumer: contrib caches release one generation LATE (after the
+    // next half-round's collect), and the final auth/hub frames
+    // survive for the output join.
+    def normalized(contrib: DataFrame, key: String): (DataFrame, DataFrame) = {
       val c = scope.persist(contrib.withColumnRenamed(key, "node"))
       // The L1 total is ONE row — collect it and inline as a literal
       // (identical double to a broadcast column: same sum over the
@@ -716,24 +722,29 @@ object Graph {
         c.select(col("node"),
           (if (totV > 0) round(col("__c") / lit(totV), quantDigits)
            else lit(0.0d)).as("__s"))))
-      out.count()
-      c.unpersist()
-      out
+      (out, c)
     }
     var hub = scope.persist(
       nodes.select(col("node"), round(lit(1.0d / n), quantDigits).as("__s")))
     var auth: DataFrame = null
+    var authBack: DataFrame = null // cache behind `auth`
+    var hubBack: DataFrame = null  // cache behind `hub` (null: nodes-backed)
     for (_ <- 1 to iterations) {
       val aRaw = eBySrc.join(hub.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst")).agg(sum(col("__s")).as("__c"))
-      val aPrev = auth
-      auth = normalized(aRaw, "dst")
-      if (aPrev != null) aPrev.unpersist()
+      val aPrevBack = authBack
+      val (a2, aBack) = normalized(aRaw, "dst")
+      auth = a2
+      authBack = aBack
+      // the collect above consumed the PREVIOUS auth's cache — release
+      if (aPrevBack != null) aPrevBack.unpersist()
       val hRaw = eByDst.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src")).agg(sum(col("__s")).as("__c"))
-      val hPrev = hub
-      hub = normalized(hRaw, "src")
-      hPrev.unpersist()
+      val hPrevBack = hubBack
+      val (h2, hBack) = normalized(hRaw, "src")
+      hub = h2
+      hubBack = hBack
+      if (hPrevBack != null) hPrevBack.unpersist()
     }
     val stable = org.apache.spark.sql.types.DecimalType(18, 8)
     nodes
@@ -1194,6 +1205,27 @@ object Graph {
     (spark.createDataFrame(cp.rdd, cp.schema), file)
   }
 
+  /** [[cutEagerFile]]'s LAZY twin for INTERMEDIATE frames consumed
+    * only inside the next eager cut's job (r19): the plan becomes a
+    * flat LogicalRDD leaf immediately (same pyramid/origin-stats
+    * protection — the rewrap drops originStats), but no job runs at
+    * cut time; the localCheckpoint blocks materialize inside the
+    * first consuming job and are cached for its other consumers, so
+    * the frame's work is paid ONCE and one whole job boundary per use
+    * disappears. Only taken when NO reliable checkpoint dir is
+    * configured: a lazy reliable checkpoint exposes no file path at
+    * cut time, which would silently defeat the superseded-generation
+    * dir reclamation the eager path guarantees (r18 ADVICE), so
+    * cluster deployments keep the eager discipline. */
+  private def cutSoftFile(df: DataFrame): (DataFrame, Option[String]) = {
+    val spark = df.sparkSession
+    if (spark.sparkContext.getCheckpointDir.isDefined) cutEagerFile(df)
+    else {
+      val cp = df.localCheckpoint(false)
+      (spark.createDataFrame(cp.rdd, cp.schema), None)
+    }
+  }
+
   /** Delete a superseded generation's reliable-checkpoint dir. Safe
     * once the NEXT generation has materialized: checkpoint(true) is
     * eager and the new leaf has no lineage back to the old file. */
@@ -1219,7 +1251,7 @@ object Graph {
       .agg(sum(col("__w")).as("__kw"))
     val degBase = asg0.select(col("node"))
       .join(edgeDeg, Seq("node"), "left")
-    val (deg, degFile) = cutEagerFile(selfW match {
+    val (deg, degFile) = cutSoftFile(selfW match {
       case Some(sw) => degBase.join(sw, Seq("node"), "left")
         .select(col("node"), (coalesce(col("__kw"), lit(0L)) +
           lit(2L) * coalesce(col("__sw"), lit(0L))).as("__k"))
@@ -1269,7 +1301,7 @@ object Graph {
       val wNode = org.apache.spark.sql.expressions.Window
         .partitionBy(col("node"))
         .orderBy(col("__score").desc, col("__cd"))
-      val (props, propsFile) = cutEagerFile(
+      val (props, propsFile) = cutSoftFile(
         cand.filter(col("__score") > 0)
           .withColumn("__rn", row_number().over(wNode))
           .filter(col("__rn") === 1)
@@ -1595,35 +1627,86 @@ object Graph {
         g.join(b.withColumnRenamed("node", "src"), Seq("src"))
           .select(col("dst").as("node"))
           .union(b).distinct())
+    // FIXED-POINT EXIT (r19 optimization): grow is monotone (the new
+    // ball is a superset of the old), so equal consecutive COUNTS mean
+    // equal SETS — every remaining round's grow would return the same
+    // frame. On a dense graph the ball saturates in a round or two and
+    // the exit saves the remaining E-sized joins + checkpoint writes;
+    // the saturated set is bit-identical to the full expansion, so the
+    // output is unchanged row-for-row. cutEagerFile is eager, so the
+    // count() reads the just-materialized RDD — a near-free job.
     var (ball, ballFile) = cutEagerFile(
       chgSym.select(col("src").as("node"))
         .union(chgSym.select(col("dst").as("node"))).distinct())
-    for (_ <- 1 to rounds) {
+    var ballN = ball.count()
+    var ballClosed = false // neighbor-closed over eU
+    var r0 = 0
+    while (r0 < rounds && !ballClosed) {
       val (b2, f2) = grow(ball, eU)
-      ballFile.foreach(deleteCheckpointDir(spark, _))
-      ball = b2
-      ballFile = f2
+      val n2 = b2.count()
+      if (n2 == ballN) {
+        // b2 == ball as a set; keep the old frame, drop the new file
+        f2.foreach(deleteCheckpointDir(spark, _))
+        ballClosed = true
+      } else {
+        ballFile.foreach(deleteCheckpointDir(spark, _))
+        ball = b2
+        ballFile = f2
+        ballN = n2
+      }
+      r0 += 1
     }
     val mayChange = ball
     // need sets walk back out over the NEW graph only; every
-    // generation stays live until the vote rounds finish
+    // generation stays live until the vote rounds finish. Same
+    // fixed-point exit: once grow over `e` adds nothing, every earlier
+    // need set equals the closed set (monotone chain), and — because
+    // the closed set contains its own e-neighbors — the vote rounds'
+    // semi-join against it is an identity that can be SKIPPED (votes
+    // only ever produce e-neighbors of label holders, which stay
+    // inside a neighbor-closed superset by induction from
+    // needs(0) = the closed set).
     val needs = new Array[DataFrame](rounds + 1)
     val needFiles = new Array[Option[String]](rounds + 1)
+    val needsClosed = new Array[Boolean](rounds + 1)
     needs(rounds) = mayChange
     needFiles(rounds) = None // mayChange's file survives (merge reads it)
+    needsClosed(rounds) = false
+    var needN = ballN
+    var needDone = false
     for (r <- rounds - 1 to 0 by -1) {
-      val (nf, ff) = grow(needs(r + 1), e)
-      needs(r) = nf
-      needFiles(r) = ff
+      if (needDone) {
+        needs(r) = needs(r + 1)
+        needFiles(r) = None
+        needsClosed(r) = true
+      } else {
+        val (nf, ff) = grow(needs(r + 1), e)
+        val n2 = nf.count()
+        if (n2 == needN) {
+          // needs(r+1) is e-neighbor-closed and nf == needs(r+1)
+          ff.foreach(deleteCheckpointDir(spark, _))
+          needs(r) = needs(r + 1)
+          needFiles(r) = None
+          needsClosed(r) = true
+          needsClosed(r + 1) = true
+          needDone = true
+        } else {
+          needs(r) = nf
+          needFiles(r) = ff
+          needN = n2
+        }
+      }
     }
     var (lab, labFile) = cutEagerFile(
       needs(0).select(col("node"), col("node").as("__lab")))
     for (r <- 1 to rounds) {
-      val votes = e
+      val votes0 = e
         .join(lab.withColumnRenamed("node", "dst"), Seq("dst"))
         .select(col("src").as("node"), col("__lab"))
         .union(lab)
-        .join(needs(r), Seq("node"), "left_semi")
+      val votes =
+        if (needsClosed(r)) votes0 // semi-join is an identity (see above)
+        else votes0.join(needs(r), Seq("node"), "left_semi")
       val counts = votes.groupBy(col("node"), col("__lab"))
         .agg(count(lit(1)).as("__cnt"))
       val w = org.apache.spark.sql.expressions.Window

@@ -679,10 +679,34 @@ object TextAnalysis {
         explode(filter(Text.tokens(col(queryTextCol)), t => t =!= ""))
           .as("term"))
       .distinct()
-    val dfTerm = postings.groupBy(col("term"))
+    // r19 plan restructure (guide §3.2/§3.3 — prune the big side
+    // before it moves, join before the explode): the BM25 contribution
+    // of a (term, doc) pair does not depend on the query, yet the old
+    // shape joined (query, term) rows against postings FIRST — on a
+    // stopword-dense corpus (x336's synthetic docs: 31-term
+    // vocabulary, df ≈ 0.5–0.8·N) that exploded to |Σ_q matched
+    // postings| rows (7.3 M at sf0.1 for 125 prompts), every one
+    // re-computing the full decimal contribution chain and shuffling
+    // TWICE (doc_id join + group-by). Now: (1) postings prune to the
+    // distinct query TERM set by broadcast semi-join before anything
+    // moves; (2) contributions compute ONCE per matched (term, doc)
+    // — a postings-bounded frame; (3) only then does the (query_id,
+    // term) table fan the per-pair rows out, carrying three thin
+    // columns into one map-side-combinable aggregate. Per-addend
+    // values are identical 8-dp decimals and the per-(query, doc) sum
+    // is an exact decimal sum (order-free), so scores are bit-equal
+    // to the old shape's. The query side is broadcast BY CONTRACT:
+    // the operator's domain is a query table orders of magnitude
+    // smaller than the corpus (eval prompts vs a 100 TB crawl).
+    val qTerms = qt.select(col("term")).distinct()
+    val pq = postings.join(broadcast(qTerms), Seq("term"), "left_semi")
+    // per-term document frequency over the pruned postings — identical
+    // to the full-postings count for every surviving term (the prune
+    // is term-exact), and the aggregate input shrinks from the corpus
+    // vocabulary to the query vocabulary
+    val dfTerm = pq.groupBy(col("term"))
       .agg(count(lit(1)).as("__df"))
-    val qTermStats = qt.join(dfTerm, Seq("term"))
-      .crossJoin(broadcast(stats))
+    val termStats = dfTerm.crossJoin(broadcast(stats))
       .filter(col("__df").cast("double") <=
         lit(maxDfFraction) * col("__n").cast("double"))
     val tf = col("tf").cast("double")
@@ -694,14 +718,18 @@ object TextAnalysis {
     val contrib = round((idf * (tf * lit(k1 + 1.0d)) /
       (tf + lit(k1) * (lit(1.0d - b) +
         lit(b) * col("dl").cast("double") / avgdl))).cast(stable), 8)
-    val scored = qTermStats
-      .join(postings, Seq("term"))
+    val contribTD = pq
+      .join(broadcast(termStats), Seq("term"))
       .join(docLens, Seq("doc_id"))
+      .select(col("term"), col("doc_id"), col("dl"),
+        contrib.as("__contrib"))
+    val scored = qt.hint("broadcast")
+      .join(contribTD, Seq("term"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(max(col("dl")).cast("bigint").as("doc_len"),
         count(lit(1)).cast("int").as("n_matched"),
-        round(sum(contrib).cast(stable), roundDigits).cast("double")
-          .as("bm25"))
+        round(sum(col("__contrib")).cast(stable), roundDigits)
+          .cast("double").as("bm25"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("bm25").desc, col("doc_id"))

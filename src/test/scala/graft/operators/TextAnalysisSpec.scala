@@ -789,17 +789,21 @@ class TextAnalysisSpec extends SparkSpec {
       // and their exchanges are GONE: the same probe over the
       // PARQUET-DIR index (read-back scans — the portable fallback,
       // so the comparison is probe-path against probe-path, no build
-      // shuffles in either count) pays exactly 3 more shuffles
-      // (postings df-aggregate, postings term-join side, lens
-      // doc_id-join side)
+      // shuffles in either count) pays exactly 2 more shuffles
+      // (postings df-aggregate, lens doc_id-join side). r19: the
+      // probe's query-side joins are broadcast BY CONTRACT (the
+      // per-(term, doc) contribution restructure), so the postings
+      // term-join exchange the r18 pin counted no longer exists in
+      // EITHER path — bucketing now elides the two remaining
+      // index-side exchanges.
       val dir = java.nio.file.Files
         .createTempDirectory("bm25bkt_ctl").toString
       val (pp, pl) = TextAnalysis.ensureBm25Index(
         corpus, "doc_id", "text", dir)
       val plain = TextAnalysis.bm25TopDocsForQueries(pp, pl,
         queries, "qid", "qt", topK = 3)
-      assert(shuffles(plain) - shuffles(probe) == 3,
-        s"bucketing must elide the 3 index-side exchanges: " +
+      assert(shuffles(plain) - shuffles(probe) == 2,
+        s"bucketing must elide the 2 index-side exchanges: " +
           s"plain=${shuffles(plain)} bucketed=${shuffles(probe)}\n$plan")
       // identical scores (columns: query_id, doc_id, doc_len,
       // n_matched, bm25)
