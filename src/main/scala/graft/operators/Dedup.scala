@@ -283,8 +283,17 @@ object Dedup {
     * via 3-band bucketing (exact for maxDist ≤ 2 by pigeonhole). */
   def simhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 2): DataFrame = {
-    val fps = simhash(df, idCol, textCol)
+      maxDist: Int = 2,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    // persisted: the band self-join reads the fingerprint frame twice
+    // (l and r project different columns below the exchange, so
+    // ReuseExchange cannot dedupe them), and callers that symmetrize
+    // the returned pairs (x60/x111's connected components) double the
+    // fan-out again — unpersisted, the full tokenize + explode +
+    // 30-vote-sum aggregate ran up to 4× per query (r19, measured:
+    // the fingerprint stage was the dominant repeated subtree in
+    // x111's plan). V-bounded rows (one per doc).
+    val fps = scope.persist(simhash(df, idCol, textCol))
     val banded = fps.select(col("doc"), col("fp"),
       explode(array((0 until 3).map { b =>
         struct(lit(b).as("band"), shiftright(col("fp"), b * 10).bitwiseAND(0x3FF).as("key"))
@@ -1364,9 +1373,18 @@ object Dedup {
     // re-shuffles each round — the dominant per-round cost, paid
     // diameter times (the frontier side stays small after round 1 and
     // is the only thing that should move).
+    // symmetrize with ONE pass over `pairs` (explode of the two
+    // orientations) instead of a self-union — the union form evaluates
+    // the caller's pair-derivation plan twice (r19: x60/x111 hand in a
+    // lazy LSH band-join whose own input is read twice, so the union
+    // quadrupled the fingerprint work). Row multiset is identical.
     val edges = scope.persist(
-      pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-        .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      pairs.select(explode(array(
+          struct(col(aCol).cast("long").as("src"),
+            col(bCol).cast("long").as("dst")),
+          struct(col(bCol).cast("long").as("src"),
+            col(aCol).cast("long").as("dst")))).as("__e"))
+        .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
         .repartition(col("dst")))
     // each round's plan is CUT at a checkpoint: without it the
     // logical plan nests one level per round and the driver dies

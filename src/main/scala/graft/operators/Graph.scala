@@ -799,10 +799,15 @@ object Graph {
       .select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
       .filter(col("src") =!= col("dst"))
-    // symmetrize, then dedup INSIDE the dst-partitioned copy (one
-    // exchange — HashPartitioning(dst) clusters (src, dst))
+    // symmetrize with ONE pass over the caller's edge plan (explode of
+    // the two orientations — the union form evaluated it twice, r19),
+    // then dedup INSIDE the dst-partitioned copy (one exchange —
+    // HashPartitioning(dst) clusters (src, dst))
     val e = scope.persist(
-      dir0.union(dir0.select(col("dst").as("src"), col("src").as("dst")))
+      dir0.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("__e"))
+        .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
         .repartition(col("dst"))
         .dropDuplicates("src", "dst"))
     val nodes = scope.persist(e.select(col("src").as("node")).distinct())
@@ -1495,9 +1500,13 @@ object Graph {
         Seq("b"))
       .filter(col("__ca") === col("__cb"))
       .select(col("a"), col("b"))
+    // one-pass explode symmetrization (r19) — the self-union form
+    // evaluated the two-join intra-edge tagging twice
     val sym = scope.persist(
-      intra.select(col("a").as("src"), col("b").as("dst"))
-        .union(intra.select(col("b").as("src"), col("a").as("dst")))
+      intra.select(explode(array(
+          struct(col("a").as("src"), col("b").as("dst")),
+          struct(col("b").as("src"), col("a").as("dst")))).as("__e"))
+        .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
         .repartition(col("dst")))
     var (lab, labFile) = cutEagerFile(
       asg.select(col("node"), col("node").as("__r")))
@@ -1601,13 +1610,20 @@ object Graph {
     require(rounds >= 1 && rounds <= 64, s"rounds out of range: $rounds")
     val spark = edges.sparkSession
     // current graph, the labelPropagation canonical form
+    def sym2(d: DataFrame): DataFrame =
+      d.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("__e"))
+        .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
     val dir0 = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
       .filter(col("src") =!= col("dst"))
+    // one-pass explode symmetrization (r19) — the self-union form
+    // evaluated the caller's edge plan twice per frame
     val e = scope.persist(
-      dir0.union(dir0.select(col("dst").as("src"), col("src").as("dst")))
+      sym2(dir0)
         .repartition(col("dst"))
         .dropDuplicates("src", "dst"))
     val chg0 = changedEdges
@@ -1615,8 +1631,7 @@ object Graph {
       .select(col(changedSrcCol).cast("string").as("src"),
         col(changedDstCol).cast("string").as("dst"))
       .filter(col("src") =!= col("dst"))
-    val chgSym = chg0
-      .union(chg0.select(col("dst").as("src"), col("src").as("dst")))
+    val chgSym = sym2(chg0)
     // influence balls expand over old ∪ new (removals only grow
     // distances, so the union bounds both graphs' reach)
     val eU = scope.persist(
