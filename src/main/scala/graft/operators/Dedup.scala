@@ -144,9 +144,15 @@ object Dedup {
     * (Σ_pairs |A| shuffled rows); the set-array join moves each doc's
     * set once per pair side and verifies in O(|A|+|B|) CPU per pair. */
   def jaccard(shingles: DataFrame, pairs: DataFrame, roundDigits: Int = 4,
-      minJaccard: Double = 0.0): DataFrame = {
-    val sets = shingles.groupBy(col("doc"))
-      .agg(sort_array(collect_list(col("h"))).as("hs"), count(lit(1)).as("sz"))
+      minJaccard: Double = 0.0,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    // persisted (r19): the set-array aggregate feeds FOUR consumers
+    // (the two prefilter size projections + the two verify-join
+    // sides), and each was re-running the groupBy + collect_list over
+    // the shingle cache — one doc-bounded frame now serves all four
+    val sets = scope.persist(shingles.groupBy(col("doc"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"),
+        count(lit(1)).as("sz")))
     // Size-ratio prefilter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so a
     // pair whose size ratio is under the caller's threshold can never
     // survive its `jac ≥ threshold` filter — prune it BEFORE shuffling
@@ -195,7 +201,8 @@ object Dedup {
     val sh = scope.persist(shingleHashes(df, idCol, textCol, shingleSize))
     val pairs = lshCandidatePairs(
       lshBandKeys(minhashSignatures(sh, numHashes), numHashes, rowsPerBand))
-    jaccard(sh, pairs, minJaccard = threshold).where(col("jac") >= threshold)
+    jaccard(sh, pairs, minJaccard = threshold, scope = scope)
+      .where(col("jac") >= threshold)
   }
 
   /** Exact n-gram Jaccard near-dups. Candidates = pairs sharing ≥1
@@ -212,17 +219,20 @@ object Dedup {
       maxShingleDf: Int = 0,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val sh = scope.persist(shingleHashes(df, idCol, textCol, shingleSize))
+    // persisted when capped (r19): the df-cap semi-join feeds both
+    // sides of the candidate self-join and re-ran twice unpersisted
     val candSh =
       if (maxShingleDf <= 0) sh
-      else sh.join(
+      else scope.persist(sh.join(
         sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
           .where(col("df") <= maxShingleDf).select("h"),
-        Seq("h"), "left_semi")
+        Seq("h"), "left_semi"))
     val la = candSh.select(col("doc").as("a"), col("h"))
     val rb = candSh.select(col("doc").as("b"), col("h"))
     val pairs = la.join(rb, Seq("h")).where(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
-    jaccard(sh, pairs, minJaccard = threshold).where(col("jac") >= threshold)
+    jaccard(sh, pairs, minJaccard = threshold, scope = scope)
+      .where(col("jac") >= threshold)
   }
 
   /** X151 — CONTAINMENT pairs (asymmetric near-dup): directed (a, b)
@@ -245,12 +255,14 @@ object Dedup {
     val stable = org.apache.spark.sql.types.DecimalType(18, 8)
     val sh = scope.persist(shingleHashes(df, idCol, textCol, shingleSize))
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    // persisted when capped (r19): the df-cap semi-join feeds both
+    // sides of the candidate self-join and re-ran twice unpersisted
     val candSh =
       if (maxShingleDf <= 0) sh
-      else sh.join(
+      else scope.persist(sh.join(
         sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
           .where(col("df") <= maxShingleDf).select("h"),
-        Seq("h"), "left_semi")
+        Seq("h"), "left_semi"))
     val la = candSh.select(col("doc").as("a"), col("h"))
     val rb = candSh.select(col("doc").as("b"), col("h"))
     la.join(rb, Seq("h")).where(col("a") =!= col("b"))
@@ -571,7 +583,7 @@ object Dedup {
       .join(rBands.select(col("band"), col("bkey"), col("doc").as("b")),
         Seq("band", "bkey"))
       .select(col("a"), col("b")).distinct()
-    jaccardCross(bs, rs, pairs, threshold)
+    jaccardCross(bs, rs, pairs, threshold, scope = scope)
   }
 
   /** Exact Jaccard for CROSS-SIDE candidate pairs: like [[jaccard]] but
@@ -580,12 +592,19 @@ object Dedup {
     * aggregations are semi-joined down to candidate docs first — the
     * verify cost is O(candidates), never O(corpus). */
   private def jaccardCross(
-      bs: DataFrame, rs: DataFrame, pairs: DataFrame, threshold: Double,
-      roundDigits: Int = 4): DataFrame = {
-    def candSets(sh: DataFrame, side: Column) = sh
+      bs: DataFrame, rs: DataFrame, pairs0: DataFrame, threshold: Double,
+      roundDigits: Int = 4,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    // persisted (r19): the candidate-pair frame feeds both candSets
+    // semi-joins AND the verify core's prefilter — unpersisted, the
+    // LSH band join re-ran three times; likewise each side's set
+    // aggregate feeds the prefilter and the verify join (2x each)
+    val pairs = scope.persist(pairs0)
+    def candSets(sh: DataFrame, side: Column) = scope.persist(sh
       .join(pairs.select(side.as("doc")).distinct(), Seq("doc"), "left_semi")
       .groupBy(col("doc"))
-      .agg(sort_array(collect_list(col("h"))).as("hs"), count(lit(1)).as("sz"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"),
+        count(lit(1)).as("sz")))
     jaccardVerifyCross(candSets(bs, col("a")), candSets(rs, col("b")),
       pairs, threshold, roundDigits)
   }
@@ -946,16 +965,21 @@ object Dedup {
       shingleHashes(batch, idCol, textCol, index.shingleSize))
     val bBands = lshBandKeys(
       minhashSignatures(bs, index.numHashes), index.numHashes, index.rowsPerBand)
-    val pairs = bBands.select(col("band"), col("bkey"), col("doc").as("a"))
-      .join(index.bands.select(col("band"), col("bkey"), col("doc").as("b")),
-        Seq("band", "bkey"))
-      .select(col("a"), col("b")).distinct()
-    val aSets = bs
+    // persisted (r19): pairs feeds both set semi-joins + the verify
+    // prefilter (3x); each set frame feeds the prefilter + verify (2x)
+    val pairs = scope.persist(
+      bBands.select(col("band"), col("bkey"), col("doc").as("a"))
+        .join(index.bands.select(col("band"), col("bkey"), col("doc").as("b")),
+          Seq("band", "bkey"))
+        .select(col("a"), col("b")).distinct())
+    val aSets = scope.persist(bs
       .join(pairs.select(col("a").as("doc")).distinct(), Seq("doc"), "left_semi")
       .groupBy(col("doc"))
-      .agg(sort_array(collect_list(col("h"))).as("hs"), count(lit(1)).as("sz"))
-    val bSets = index.sets
-      .join(pairs.select(col("b").as("doc")).distinct(), Seq("doc"), "left_semi")
+      .agg(sort_array(collect_list(col("h"))).as("hs"),
+        count(lit(1)).as("sz")))
+    val bSets = scope.persist(index.sets
+      .join(pairs.select(col("b").as("doc")).distinct(), Seq("doc"),
+        "left_semi"))
     jaccardVerifyCross(aSets, bSets, pairs, threshold)
   }
 
@@ -1835,6 +1859,7 @@ object Dedup {
     val sh = scope.persist(tagged)
     val pairs = lshCandidatePairs(
       lshBandKeys(minhashSignatures(sh, numHashes), numHashes, rowsPerBand))
-    jaccard(sh, pairs, minJaccard = threshold).where(col("jac") >= threshold)
+    jaccard(sh, pairs, minJaccard = threshold, scope = scope)
+      .where(col("jac") >= threshold)
   }
 }

@@ -1500,13 +1500,14 @@ object Graph {
         Seq("b"))
       .filter(col("__ca") === col("__cb"))
       .select(col("a"), col("b"))
-    // one-pass explode symmetrization (r19) — the self-union form
-    // evaluated the two-join intra-edge tagging twice
+    // NOTE (r19): the one-pass explode symmetrization used elsewhere
+    // was tried here and measured no better (isolated x333 medians
+    // straddled the host's noise band in both directions), so the
+    // original self-union stays — the intra tagging is two broadcast
+    // joins over cached inputs and is cheap to evaluate twice
     val sym = scope.persist(
-      intra.select(explode(array(
-          struct(col("a").as("src"), col("b").as("dst")),
-          struct(col("b").as("src"), col("a").as("dst")))).as("__e"))
-        .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
+      intra.select(col("a").as("src"), col("b").as("dst"))
+        .union(intra.select(col("b").as("src"), col("a").as("dst")))
         .repartition(col("dst")))
     var (lab, labFile) = cutEagerFile(
       asg.select(col("node"), col("node").as("__r")))
