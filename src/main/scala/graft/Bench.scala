@@ -248,6 +248,42 @@ object Bench {
       line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case scala.util.control.NonFatal(_) => () } // printed line is the contract
     println(line)
+    // r20 (r19 verdict #2): the full line above is ~12 KB for a
+    // 348-query board and the round driver keeps only a 2000-char
+    // stdout TAIL, so it has parsed nothing since r15 (PERF_r*.json:
+    // parsed null, empty per_query). ADDITIONALLY print a compact
+    // totals-only line LAST — fixed fields only, guaranteed well
+    // under 2000 chars — so the tail always ends with a parseable
+    // board summary. The full line keeps printing first and keeps
+    // landing in SPARK_GRAFT_BENCH_OUT; nothing about the timing
+    // methodology changes.
+    println(compactLine(line))
+  }
+
+  /** Totals-only summary of a full bench line: fixed keys, no
+    * per-query maps, <2000 chars by construction. Falls back to an
+    * error stub (never throws) — the compact line must not be able
+    * to kill an otherwise-finished sweep. */
+  private[graft] def compactLine(line: String): String = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    try {
+      val j = JsonMethods.parse(line)
+      def raw(k: String): String =
+        JsonMethods.compact(JsonMethods.render(j \ k))
+      val nQueries = (j \ "queries") match {
+        case JObject(fields) => fields.size
+        case _ => -1
+      }
+      s"""{"metric":"total","value":${raw("value")},"unit":"sec",""" +
+        s""""runs":${raw("runs")},"failed":${raw("failed")},""" +
+        s""""degraded":${raw("degraded")},"sf":${raw("sf")},""" +
+        s""""chunks":${raw("chunks")},"n_queries":$nQueries}"""
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        """{"metric":"total","value":-1,"unit":"sec","failed":-1,""" +
+          """"degraded":true,"n_queries":-1}"""
+    }
   }
 
   private def buildLine(

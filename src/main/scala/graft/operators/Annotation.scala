@@ -393,11 +393,17 @@ object Annotation {
       : DataFrame = {
     require(smoothing > 0, s"smoothing must be > 0: $smoothing")
     val dec = org.apache.spark.sql.types.DecimalType(18, 10)
+    // dedup with map-side combine, then ONE repartition of the cell
+    // table by item (r20, guide §2.4): every later aggregate and join
+    // here keys on __i (or an __i-prefixed tuple), so hash(__i)
+    // satisfies their clustering and maj/conf/scores/voted all run
+    // exchange-free off this single persisted layout
     val r = scope.persist(
       df.filter(item.isNotNull && rater.isNotNull && label.isNotNull)
         .select(item.cast("string").as("__i"),
           rater.cast("string").as("__r"), label.cast("string").as("__l"))
-        .groupBy(col("__i"), col("__r")).agg(min(col("__l")).as("__l")))
+        .groupBy(col("__i"), col("__r")).agg(min(col("__l")).as("__l"))
+        .repartition(col("__i")))
     val classes = scope.persist(
       r.select(col("__l").as("__g")).distinct())
     val lCount = classes.count()
@@ -423,9 +429,13 @@ object Annotation {
       .agg(sum(col("__c")).as("__ct"))
     // expand every rating across candidate classes; unseen cells get
     // the smoothed floor
+    // conf/confTot are raters × labels²-bounded (the operator's
+    // documented shape) — broadcast EXPLICITLY so a bad size estimate
+    // can never shuffle the ratings-sized expanded frame off its
+    // hash(__i) layout
     val expanded = r.crossJoin(broadcast(classes))
-      .join(conf, Seq("__r", "__g", "__l"), "left")
-      .join(confTot, Seq("__r", "__g"), "left")
+      .join(broadcast(conf), Seq("__r", "__g", "__l"), "left")
+      .join(broadcast(confTot), Seq("__r", "__g"), "left")
       .select(col("__i"), col("__g"),
         log((coalesce(col("__c"), lit(0L)).cast("double")
           + lit(smoothing))
@@ -536,11 +546,16 @@ object Annotation {
     * aggregate per rating. */
   private def looConsensus(df: DataFrame, item: Column, rater: Column,
       label: Column, scope: graft.util.CacheScope): DataFrame = {
+    // one repartition by item after the combined dedup (r20, guide
+    // §2.4): cells' groupBy, the r ⋈ cells join, and the per-rating
+    // argmax all key on __i — hash(__i) satisfies each, so the whole
+    // LOO chain runs off one exchange
     val r = scope.persist(
       df.filter(item.isNotNull && rater.isNotNull && label.isNotNull)
         .select(item.cast("string").as("__i"),
           rater.cast("string").as("__r"), label.cast("string").as("__l"))
-        .groupBy(col("__i"), col("__r")).agg(min(col("__l")).as("__l")))
+        .groupBy(col("__i"), col("__r")).agg(min(col("__l")).as("__l"))
+        .repartition(col("__i")))
     val cells = r.groupBy(col("__i"), col("__l").as("__cand"))
       .agg(count(lit(1)).as("__n"))
     // per rating x candidate label: LOO count = n_ic - [c = own label]

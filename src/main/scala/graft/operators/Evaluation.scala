@@ -2579,12 +2579,16 @@ object Evaluation {
       : DataFrame = {
     val stable = org.apache.spark.sql.types.DecimalType(18, 8)
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    // one repartition by item after the combined dedup (r20, guide
+    // §2.4): `full`'s per-item aggregate and the matched-block join
+    // both key on __i, so they run exchange-free off this layout
     val r = scope.persist(
       df.filter(item.isNotNull && rater.isNotNull && success.isNotNull)
         .select(item.cast("string").as("__i"),
           rater.cast("string").as("__r"),
           success.cast("boolean").cast("long").as("__x"))
-        .groupBy(col("__i"), col("__r")).agg(max(col("__x")).as("__x")))
+        .groupBy(col("__i"), col("__r")).agg(max(col("__x")).as("__x"))
+        .repartition(col("__i")))
     val k = r.select(col("__r")).distinct().count()
     require(k >= 2, s"need >= 2 raters, got $k")
     // only items every rater responded to (the matched-block rule)

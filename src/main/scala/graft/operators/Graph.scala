@@ -729,22 +729,43 @@ object Graph {
     var auth: DataFrame = null
     var authBack: DataFrame = null // cache behind `auth`
     var hubBack: DataFrame = null  // cache behind `hub` (null: nodes-backed)
+    var hubBackWasSet = false      // hub gen 0 is NOT a cut frame
     for (_ <- 1 to iterations) {
       val aRaw = eBySrc.join(hub.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst")).agg(sum(col("__s")).as("__c"))
       val aPrevBack = authBack
+      val aPrevOut = auth
       val (a2, aBack) = normalized(aRaw, "dst")
       auth = a2
       authBack = aBack
       // the collect above consumed the PREVIOUS auth's cache — release
+      // it AND the superseded auth score frame itself (r19 ADVICE: the
+      // lazy-cut frames' localCheckpoint blocks are unreachable to
+      // DataFrame.unpersist — Cut.release drops them; the superseded
+      // generation's last consumer was the PREVIOUS half-round's
+      // collect, so both are dead here)
       if (aPrevBack != null) aPrevBack.unpersist()
+      if (aPrevOut != null) {
+        aPrevOut.unpersist(); graft.util.Cut.release(aPrevOut)
+      }
       val hRaw = eByDst.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src")).agg(sum(col("__s")).as("__c"))
       val hPrevBack = hubBack
+      val hPrevOut = hub
       val (h2, hBack) = normalized(hRaw, "src")
       hub = h2
       hubBack = hBack
       if (hPrevBack != null) hPrevBack.unpersist()
+      // hub gen N−1's last consumer was THIS iteration's aRaw collect.
+      // The INITIAL hub is a plain projection whose plan reaches the
+      // caller's edge frame — Cut.release walks the analyzed plan and
+      // would free any caller-owned LogicalRDD, so it only runs on the
+      // normalized() generations (flat cut leaves, gen ≥ 1)
+      if (hPrevOut != null) {
+        hPrevOut.unpersist()
+        if (hubBackWasSet) graft.util.Cut.release(hPrevOut)
+      }
+      hubBackWasSet = true
     }
     val stable = org.apache.spark.sql.types.DecimalType(18, 8)
     nodes
@@ -1121,11 +1142,13 @@ object Graph {
         .union(canon.select(col("b").as("src"), col("a").as("dst")))
         .withColumn("__w", lit(1L))
         .repartition(col("dst")))
-    val mRow = canon.agg(count(lit(1)).as("__m"))
+    // m collected ONCE as a driver scalar (r20): one tiny job that
+    // also materializes the persisted canon every later pass reuses
+    val m = canon.agg(count(lit(1))).head.getLong(0)
     val asg0 = assignment
       .select(col(nodeCol).cast("string").as("node"),
         col(communityCol).cast("string").as("__c"))
-    refineCore(e, None, mRow, asg0, sweeps, scope)
+    refineCore(e, None, m, asg0, sweeps, scope)
       .select(col("node"), col("__c").as("community"))
   }
 
@@ -1151,9 +1174,10 @@ object Graph {
     * every term an integer edge count, so the long arithmetic and
     * the locally-dominant acceptance replay bit-exactly in SQL at
     * both levels. `e` must be the SYMMETRIC (src, dst, __w) frame,
-    * persisted and pre-partitioned on dst; `mRow` is the ORIGINAL
-    * graph's 1-row undirected edge count (aggregation preserves m:
-    * Σw/2 + Σself = m). Per-sweep lineage cut, the LPA/CC discipline:
+    * persisted and pre-partitioned on dst; `m` is the ORIGINAL
+    * graph's undirected edge count/weight as a driver scalar
+    * (aggregation preserves m: Σw/2 + Σself = m). Per-sweep lineage
+    * cut, the LPA/CC discipline:
     * one sweep's plan references its predecessor ~6× — uncut, three
     * sweeps compose into an exponentially exploding logical plan that
     * stalls Catalyst before a single task runs (measured: sweeps=3
@@ -1243,87 +1267,101 @@ object Graph {
   }
 
   private def refineCore(e: DataFrame, selfW: Option[DataFrame],
-      mRow: DataFrame, asg0: DataFrame, sweeps: Int,
+      m: Long, asg0: DataFrame, sweeps: Int,
       scope: graft.util.CacheScope): DataFrame = {
     val spark = e.sparkSession
-    def cut(df: DataFrame): DataFrame = cutEager(df)
     // node-driven degrees: an aggregated super-node with ONLY a
     // self-loop (an isolated community) never appears in `e`.
-    // deg is CUT, not persisted: every sweep's candidate plan embeds
-    // it 3×, and a flat leaf keeps the optimizer's stats recursion
-    // constant-depth (see cutEager)
+    // r20: k_i is STATIC across sweeps, so it rides INSIDE the cut
+    // assignment frame (node, __c, __ki) — the per-sweep deg joins
+    // (degC's and own's, two V-sized shuffles each sweep) disappear
+    // and deg itself has exactly one consumer, so it needs no cut.
     val edgeDeg = e.groupBy(col("src").as("node"))
       .agg(sum(col("__w")).as("__kw"))
     val degBase = asg0.select(col("node"))
       .join(edgeDeg, Seq("node"), "left")
-    val (deg, degFile) = cutSoftFile(selfW match {
+    val deg = selfW match {
       case Some(sw) => degBase.join(sw, Seq("node"), "left")
         .select(col("node"), (coalesce(col("__kw"), lit(0L)) +
           lit(2L) * coalesce(col("__sw"), lit(0L))).as("__k"))
       case None => degBase
         .select(col("node"), coalesce(col("__kw"), lit(0L)).as("__k"))
-    })
-    var (asg, asgFile) = cutEagerFile(asg0)
+    }
+    var (asg, asgFile) = cutEagerFile(
+      asg0.join(deg, Seq("node"), "left")
+        .select(col("node"), col("__c"),
+          coalesce(col("__k"), lit(0L)).as("__ki")))
     for (_ <- 1 to sweeps) {
       val prev = asg
       val prevFile = asgFile
-      val degC = prev.join(deg, Seq("node"), "left")
-        .groupBy(col("__c"))
-        .agg(sum(coalesce(col("__k"), lit(0L))).as("__tot"))
+      // community degree totals — communities-bounded; lazily cut so
+      // its two consumers (the __totC and __totD joins) aggregate the
+      // V-sized prev leaf once, not twice
+      val (degC, degCFile) = cutSoftFile(
+        prev.groupBy(col("__c")).agg(sum(col("__ki")).as("__tot")))
       // i's edge weight into each ASSIGNED neighbor community
       // (includes D = C(i): that row is k_iC′)
       val nc = e
-        .join(prev.withColumnRenamed("node", "dst")
-          .withColumnRenamed("__c", "__cd"), Seq("dst"))
+        .join(prev.select(col("node").as("dst"), col("__c").as("__cd")),
+          Seq("dst"))
         .groupBy(col("src").as("node"), col("__cd"))
         .agg(sum(col("__w")).as("__kd"))
-      val own = prev
-        .join(deg, Seq("node"), "left")
-        .join(degC.withColumnRenamed("__tot", "__totC"), Seq("__c"))
-        .select(col("node"), col("__c"),
-          coalesce(col("__k"), lit(0L)).as("__ki"), col("__totC"))
-      val kic = nc.join(prev, Seq("node"))
-        .filter(col("__cd") === col("__c"))
-        .select(col("node"), col("__kd").as("__kic"))
-      val cand = nc.join(own, Seq("node"))
+      // r20 single-shuffle candidate chain (guide §2.4): the old shape
+      // joined nc back against prev twice more (own + the kic
+      // self-join, each a fresh node-keyed exchange) and ranked
+      // per-node candidates with a row_number window on yet another
+      // node exchange. Now: attach __totD keyed on the candidate
+      // community FIRST (communities-bounded side), then ONE node-keyed
+      // join against (prev ⋈ degC) — its output partitioning already
+      // satisfies the per-node window, so k_iC′ comes from a
+      // max(when(cd = c)) over the SAME partitioning with no further
+      // exchange, and the per-node best candidate is a map-side-
+      // combinable min(struct) aggregate instead of a sorted window.
+      val scored = nc
+        .join(degC.select(col("__c").as("__cd"), col("__tot").as("__totD")),
+          Seq("__cd"))
+        .join(prev.join(degC.withColumnRenamed("__tot", "__totC"),
+          Seq("__c")), Seq("node"))
+      val wNode = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("node"))
+      val cand = scored
+        .withColumn("__kic",
+          max(when(col("__cd") === col("__c"), col("__kd"))).over(wNode))
         .filter(col("__cd") =!= col("__c"))
-        .join(kic, Seq("node"), "left")
-        .join(degC.withColumnRenamed("__c", "__cd")
-          .withColumnRenamed("__tot", "__totD"), Seq("__cd"))
-        .crossJoin(broadcast(mRow))
         .select(col("node"), col("__c"), col("__cd"),
-          (lit(2L) * col("__m") *
+          // m arrives as a DRIVER LITERAL (r20): it is one scalar
+          // fixed for the whole call, and carrying it as a 1-row
+          // broadcast frame cost a BroadcastExchange job per sweep
+          (lit(2L) * lit(m) *
             (col("__kd") - coalesce(col("__kic"), lit(0L))) -
             col("__ki") * (col("__totD") - col("__totC") + col("__ki")))
             .as("__score"))
+        .filter(col("__score") > 0)
       // per-node best strictly-positive candidate = the node's
-      // proposal. CUT, not persisted: props is referenced 3× (two
-      // incident legs + the accept join) and its plan stacks ~10
-      // joins over the sweep inputs — as a lazy cache, every
-      // downstream optimizer pass re-runs stats estimation through
-      // the whole pyramid (see cutEager); as a flat leaf it's one
-      // small materialization per sweep
-      val wNode = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("node"))
-        .orderBy(col("__score").desc, col("__cd"))
+      // proposal: min(struct(−score, cd)) ≡ the old
+      // orderBy(score desc, cd asc) row_number = 1 (scores are exact
+      // longs, so negation is total and ties break identically).
+      // CUT, not persisted: props is referenced 3× (two incident legs
+      // + the accept join) — as a flat leaf it's one small
+      // materialization per sweep (see cutEager)
       val (props, propsFile) = cutSoftFile(
-        cand.filter(col("__score") > 0)
-          .withColumn("__rn", row_number().over(wNode))
-          .filter(col("__rn") === 1)
-          .select(col("node"), col("__c"), col("__cd"), col("__score")))
+        cand.groupBy(col("node"), col("__c"))
+          .agg(min(struct((-col("__score")).as("__ns"), col("__cd")))
+            .as("__best"))
+          .select(col("node"), col("__c"),
+            col("__best").getField("__cd").as("__cd"),
+            (-col("__best").getField("__ns")).as("__score")))
       // locally-dominant acceptance: strongest incident proposal per
-      // community, accept where the proposal wins BOTH endpoints
+      // community, accept where the proposal wins BOTH endpoints —
+      // min(struct(−score, node)) ≡ orderBy(score desc, node asc) #1
       val incident = props.select(col("__c").as("__comm"), col("node"),
           col("__score"))
         .union(props.select(col("__cd").as("__comm"), col("node"),
           col("__score")))
-      val wComm = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("__comm"))
-        .orderBy(col("__score").desc, col("node"))
-      val winners = incident
-        .withColumn("__rn", row_number().over(wComm))
-        .filter(col("__rn") === 1)
-        .select(col("__comm"), col("node").as("__winner"))
+      val winners = incident.groupBy(col("__comm"))
+        .agg(min(struct((-col("__score")).as("__ns"), col("node")))
+          .as("__w"))
+        .select(col("__comm"), col("__w").getField("node").as("__winner"))
       val accepted = props
         .join(winners.withColumnRenamed("__comm", "__c")
           .withColumnRenamed("__winner", "__wc"), Seq("__c"))
@@ -1334,9 +1372,9 @@ object Graph {
       val (next, nextFile) = cutEagerFile(
         prev.join(accepted, Seq("node"), "left")
           .select(col("node"),
-            coalesce(col("__move"), col("__c")).as("__c")))
+            coalesce(col("__move"), col("__c")).as("__c"), col("__ki")))
       // storage reclamation: `next` is materialized (checkpoint(true)
-      // is eager), so this sweep's props and the superseded
+      // is eager), so this sweep's props/degC and the superseded
       // assignment generation are unreachable — delete their
       // reliable-checkpoint dirs NOW (under localCheckpoint the
       // files are None and the ContextCleaner reclaims the blocks
@@ -1344,16 +1382,15 @@ object Graph {
       // bounded, so the in-flight footprint is two generations of
       // small frames plus at most one superseded file mid-delete
       propsFile.foreach(deleteCheckpointDir(spark, _))
+      degCFile.foreach(deleteCheckpointDir(spark, _))
       prevFile.foreach(deleteCheckpointDir(spark, _))
       asg = next
       asgFile = nextFile
     }
-    // deg is superseded once the final assignment is a flat leaf; the
-    // final assignment's own file intentionally survives — the caller
-    // reads it (one V-bounded frame per call, reclaimed by the
+    // the final assignment's own file intentionally survives — the
+    // caller reads it (one V-bounded frame per call, reclaimed by the
     // caller's lifecycle / cleanCheckpoints)
-    degFile.foreach(deleteCheckpointDir(spark, _))
-    asg
+    asg.select(col("node"), col("__c"))
   }
 
   /** FULL two-phase Louvain (Blondel, Guillaume, Lambiotte & Lefebvre
@@ -1396,13 +1433,16 @@ object Graph {
         .union(canon.select(col("b").as("src"), col("a").as("dst")))
         .withColumn("__w", lit(1L))
         .repartition(col("dst")))
-    val mRow = canon.agg(count(lit(1)).as("__m"))
+    // m collected ONCE as a driver scalar (r20): aggregation
+    // preserves it (Σw/2 + Σself = m), so BOTH levels share the same
+    // literal and the per-sweep 1-row broadcast job disappears
+    val m = canon.agg(count(lit(1))).head.getLong(0)
     val asg0 = assignment
       .select(col(nodeCol).cast("string").as("node"),
         col(communityCol).cast("string").as("__c"))
     // phase 1: node-local sweeps (returns a cut frame — read many
     // times below)
-    val l1 = refineCore(e1, None, mRow, asg0, sweepsPerLevel, scope)
+    val l1 = refineCore(e1, None, m, asg0, sweepsPerLevel, scope)
     // phase 2: aggregate communities to a weighted super-graph. Every
     // super frame is communities-bounded AND eagerly cut — flat
     // LogicalRDD leaves, or the optimizer's stats recursion chokes on
@@ -1424,14 +1464,12 @@ object Graph {
         .groupBy(col("__ca").as("node")).agg(count(lit(1)).as("__sw")))
     val superSeed = l1.select(col("__c").as("node")).distinct()
       .select(col("node"), col("node").as("__c"))
-    val (mCut, mFile) = cutEagerFile(mRow)
-    val l2 = refineCore(e2, Some(superSelf), mCut, superSeed,
+    val l2 = refineCore(e2, Some(superSelf), m, superSeed,
       sweepsPerLevel, scope)
     // l2 is a materialized flat leaf — the super-level inputs'
     // reliable-checkpoint dirs are superseded (see cutEager doc)
     e2File.foreach(deleteCheckpointDir(edges.sparkSession, _))
     selfFile.foreach(deleteCheckpointDir(edges.sparkSession, _))
-    mFile.foreach(deleteCheckpointDir(edges.sparkSession, _))
     // project the super-assignment down
     l1.join(l2.toDF("__c", "__super"), Seq("__c"))
       .select(col("node"), col("__super").as("community"))
@@ -1521,26 +1559,32 @@ object Graph {
           Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(min(col("__nr")).as("__nm"))
-      // cut the stepped frame: the jump reads it twice (own row +
-      // the label lookup), and a flat leaf keeps the E-bounded
-      // propagate join evaluated ONCE per round
-      val (stepped, stepFile) = cutEagerFile(
+      // cut the stepped frame LAZILY (r20): the jump reads it twice
+      // (own row + the label lookup), and a lazy flat leaf still pays
+      // the E-bounded propagate join ONCE — materialized inside the
+      // next eager cut's job instead of its own job per round.
+      // prev's label rides along as __r0 so the change test below is
+      // a scan of the round's materialized leaf, not a V⋈V join.
+      val (stepped, stepFile) = cutSoftFile(
         prev.join(nbrMin, Seq("node"), "left")
           .select(col("node"),
             least(col("__r"), coalesce(col("__nm"), col("__r")))
-              .as("__r1")))
+              .as("__r1"), col("__r").as("__r0")))
       // pointer jump: labels are node ids, so label(label) is one
       // V-bounded self-join — reach doubles per round instead of
       // stepping
       val jumped = stepped
         .join(stepped.select(col("node").as("__r1"),
           col("__r1").as("__rr")).toDF("__r1", "__rr"), Seq("__r1"))
-        .select(col("node"), least(col("__r1"), col("__rr")).as("__r"))
-      val (next, nextFile) = cutEagerFile(jumped)
+        .select(col("node"), least(col("__r1"), col("__rr")).as("__r"),
+          col("__r0"))
+      val (nextR, nextFile) = cutEagerFile(jumped)
       stepFile.foreach(deleteCheckpointDir(spark, _))
-      changed = next.join(prev.withColumnRenamed("__r", "__r0"),
-          Seq("node"))
-        .filter(col("__r") =!= col("__r0")).count()
+      // labels only ever DECREASE (least of own and neighbors), so a
+      // round changed something iff any row's __r differs from its
+      // carried __r0 — one scan of the flat leaf just materialized
+      changed = nextR.filter(col("__r") =!= col("__r0")).count()
+      val next = nextR.select(col("node"), col("__r"))
       prevFile.foreach(deleteCheckpointDir(spark, _))
       lab = next
       labFile = nextFile
@@ -1863,11 +1907,13 @@ object Graph {
         .union(canon.select(col("b").as("src"), col("a").as("dst"),
           col("__w")))
         .repartition(col("dst")))
-    val mRow = canon.agg(sum(col("__w")).as("__m"))
+    // m collected ONCE as a driver scalar (r20); empty-graph sum is
+    // NULL → 0, identical downstream (no edges ⇒ no candidates)
+    val m = canon.agg(coalesce(sum(col("__w")), lit(0L))).head.getLong(0)
     val asg0 = assignment
       .select(col(nodeCol).cast("string").as("node"),
         col(communityCol).cast("string").as("__c"))
-    refineCore(e, None, mRow, asg0, sweeps, scope)
+    refineCore(e, None, m, asg0, sweeps, scope)
       .select(col("node"), col("__c").as("community"))
   }
 
@@ -1893,11 +1939,13 @@ object Graph {
         .union(canon.select(col("b").as("src"), col("a").as("dst"),
           col("__w")))
         .repartition(col("dst")))
-    val mRow = canon.agg(sum(col("__w")).as("__m"))
+    // m collected ONCE as a driver scalar (r20): aggregation
+    // preserves the total weight, so both levels share the literal
+    val m = canon.agg(coalesce(sum(col("__w")), lit(0L))).head.getLong(0)
     val asg0 = assignment
       .select(col(nodeCol).cast("string").as("node"),
         col(communityCol).cast("string").as("__c"))
-    val l1 = refineCore(e1, None, mRow, asg0, sweepsPerLevel, scope)
+    val l1 = refineCore(e1, None, m, asg0, sweepsPerLevel, scope)
     val tagged = scope.persist(canon
       .join(l1.select(col("node").as("a"), col("__c").as("__ca")),
         Seq("a"))
@@ -1917,12 +1965,10 @@ object Graph {
         .groupBy(col("__ca").as("node")).agg(sum(col("__w")).as("__sw")))
     val superSeed = l1.select(col("__c").as("node")).distinct()
       .select(col("node"), col("node").as("__c"))
-    val (mCut, mFile) = cutEagerFile(mRow)
-    val l2 = refineCore(e2, Some(superSelf), mCut, superSeed,
+    val l2 = refineCore(e2, Some(superSelf), m, superSeed,
       sweepsPerLevel, scope)
     e2File.foreach(deleteCheckpointDir(edges.sparkSession, _))
     selfFile.foreach(deleteCheckpointDir(edges.sparkSession, _))
-    mFile.foreach(deleteCheckpointDir(edges.sparkSession, _))
     l1.join(l2.toDF("__c", "__super"), Seq("__c"))
       .select(col("node"), col("__super").as("community"))
   }

@@ -662,7 +662,18 @@ object TextAnalysis {
     * matching more than that fraction of the corpus — the stopword
     * guard that keeps a careless query from pulling a corpus-sized
     * posting list at scale (default 1.0 = off, matching the literal
-    * form). */
+    * form).
+    *
+    * CONTRACT — the query table must be SMALL (r19 ADVICE): the
+    * operator's domain is an eval-prompt/probe table orders of
+    * magnitude smaller than the corpus, and the plan BROADCASTS the
+    * query-derived frames (the distinct query-term set, the per-term
+    * stats, and the (query_id, term) fan-out table) by explicit hint
+    * so the corpus side never shuffles on their account. A query
+    * table too large to broadcast (≳ the 8 GB / 512 M-row broadcast
+    * cap, or past driver memory) is out of contract here — use
+    * repeated [[bm25TopDocs]] calls or shuffle-join variants for
+    * corpus-vs-corpus workloads. */
   def bm25TopDocsForQueries(postings: DataFrame, docLens: DataFrame,
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 20,
