@@ -29,6 +29,25 @@ object Queries {
     * renders "253942.0", failing the hash on identical values. */
   private def money(c: Column): Column = round(c.cast("double"), 2)
 
+  /** Fan an UNDER-SPLIT scan out to the cluster's cores before a
+    * compute-heavy per-row stage (r20, guide §2.5 "input skew: one
+    * huge unsplittable file — repartition immediately after the
+    * read"): the test tables are single-row-group parquet files, so
+    * every scan stage — and with it all per-row hashing/regex/HOF
+    * work and every map-side partial aggregate — otherwise runs as
+    * ONE task regardless of core count (measured: the sf0.1 board's
+    * 8-core and 32-core totals were within 8%). Strictly guarded to
+    * be a NO-OP at scale: when the scan already carries at least
+    * defaultParallelism partitions (any real multi-split layout),
+    * the input is returned untouched and no shuffle is added. The
+    * round-robin assignment is deterministic under retries
+    * (sortBeforeRepartition, on by default) and row-set-preserving,
+    * so every downstream aggregate/join is value-identical. */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** T01 — scan + projection (O11). */
   def t01(s: SparkSession, dir: String): DataFrame =
     Tables.region(s, dir)
@@ -578,7 +597,9 @@ object Queries {
     * the corpus is the dedup representative set, which genuinely needs
     * an aggregation. */
   def x56(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    // spread: langid/quality scoring + digesting run per row in the
+    // scan stage — single-task on a one-split input
+    val docs = spread(Tables.documents(s, dir))
     val reps = Dedup.exactDedup(docs, "doc_id", "text").select("doc_id")
     val curated =
       TextAnalysis.withQuality(TextAnalysis.withLangId(docs, "text"), "text")
@@ -615,7 +636,9 @@ object Queries {
     * list (hamming ≤ 2) — pairwise matches become dedup clusters with
     * a canonical min-id representative. */
   def x60(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    // spread: per-doc shingle + fingerprint hashing runs in the scan
+    // stage — single-task on a one-split input
+    val docs = spread(Tables.documents(s, dir))
     val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxDist = 2)
     Dedup.connectedComponents(docs, "doc_id", pairs, "a", "b")
       .orderBy("doc_id")
@@ -1004,7 +1027,8 @@ object Queries {
     * (top 3 by quality). x56's composition plus the r10 stages: what a
     * production crawl batch actually runs end to end. */
   def x87(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    // spread: see x56 — same scan-stage scoring chain, two branches
+    val docs = spread(Tables.documents(s, dir))
     val ref = docs.filter(col("doc_id") < 400)
     val batch = docs.filter(col("doc_id") >= 400)
     val reps = Dedup.exactDedup(batch, "doc_id", "text").select("doc_id")
@@ -1038,7 +1062,9 @@ object Queries {
     * filter that x55's distinct-ratio misses when one phrase dominates
     * an otherwise-varied page. */
   def x89(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.topNgramCharFraction(Tables.documents(s, dir),
+    // spread: per-doc n-gram explode runs in the scan stage —
+    // single-task on a one-split input
+    TextAnalysis.topNgramCharFraction(spread(Tables.documents(s, dir)),
         "doc_id", "text", n = 2)
       .orderBy("doc_id")
 
@@ -1430,7 +1456,8 @@ object Queries {
     * aggregate — no window, no per-cluster sort, so cluster-count
     * cardinality (not corpus size) bounds the reduce side. */
   def x111(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    // spread: see x60 — same simhash scan-stage compute
+    val docs = spread(Tables.documents(s, dir))
     val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxDist = 2)
     val clusters = Dedup.connectedComponents(docs, "doc_id", pairs, "a", "b")
     val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
@@ -1973,7 +2000,17 @@ object Queries {
     * part's daily quantity and revenue (decimal window moments — the
     * association-free sums that survive segment-tree sliding). */
   def x164(s: SparkSession, dir: String): DataFrame = {
+    // ONE part-keyed exchange for the whole chain (r20, guide §2.4):
+    // (partkey, day) groups are near-unique here, so the old
+    // hash(partkey, day) aggregate exchange combined nothing and the
+    // rolling window re-shuffled its full decimal output by partkey
+    // right after. Shuffling the four pruned input columns by partkey
+    // once lets hash(partkey) satisfy BOTH the aggregate's clustering
+    // and the window's partitioning — the window exchange disappears.
     val daily = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_shipdate"),
+        col("l_quantity"), col("l_extendedprice"))
+      .repartition(col("l_partkey"))
       .groupBy(col("l_partkey"),
         to_date(date_trunc("DAY", col("l_shipdate"))).as("day"))
       .agg(sum(dec(col("l_quantity"))).as("x"),
@@ -2643,7 +2680,11 @@ object Queries {
     * probe list (depth 4 × width 512 counters; estimates never
     * undercount). */
   def x248(s: SparkSession, dir: String): DataFrame =
-    Sketch.countMinFrequencies(Tables.lineitem(s, dir),
+    // spread: depth md5 bucket hashes per row evaluate in the scan
+    // stage — single-task on a one-split input; only the key column
+    // crosses the fan-out exchange
+    Sketch.countMinFrequencies(
+        spread(Tables.lineitem(s, dir).select(col("l_partkey"))),
         col("l_partkey"), Seq("1", "2", "42", "199"),
         depth = 4, width = 512)
       .orderBy("key")
@@ -2967,10 +3008,12 @@ object Queries {
     * checksum pass through — the PII precision upgrade, oracle-matched
     * through the whole HOF chain. */
   def x278(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir).select(col("o_orderkey"),
+    // spread: the regex + Luhn HOF chain is the cost here, and it
+    // runs in the scan stage — single-task on a one-split input
+    val o = spread(Tables.orders(s, dir).select(col("o_orderkey"),
       concat(lit("ref 123 card "),
         lpad(col("o_orderkey").cast("string"), 16, "4"),
-        lit(" end")).as("t"))
+        lit(" end")).as("t")))
     TextAnalysis.creditCardScan(o, "o_orderkey", "t")
       .orderBy("o_orderkey")
   }
