@@ -42,13 +42,22 @@ object Annotation {
     * final one. One row out: items kept, raters, p_bar, p_e, kappa.
     */
   def fleissKappa(df: DataFrame, item: Column, rater: Column,
-      label: Column, raters: Int, roundDigits: Int = 6): DataFrame = {
+      label: Column, raters: Int, roundDigits: Int = 6,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
     require(raters >= 2, s"raters must be >= 2: $raters")
     val r = df.filter(item.isNotNull && rater.isNotNull && label.isNotNull)
       .select(item.cast("string").as("__i"), rater.cast("string").as("__r"),
         label.cast("string").as("__l"))
       .groupBy(col("__i"), col("__r")).agg(min(col("__l")).as("__l"))
-    val cells = r.groupBy(col("__i"), col("__l")).agg(count(lit(1)).as("__n"))
+    // item-keyed cell table persisted once (r20, guide §2.4): cells
+    // feeds BOTH the per-item rollup and the label marginals —
+    // unpersisted, each consumer replayed the ratings dedup from the
+    // scan; the repartition makes hash(__i) satisfy every later
+    // item-keyed aggregate and join, so they all run exchange-free
+    val cells = scope.persist(
+      r.groupBy(col("__i"), col("__l")).agg(count(lit(1)).as("__n"))
+        .repartition(col("__i")))
     val kept = cells.groupBy(col("__i"))
       .agg(sum(col("__n")).as("__m"),
         sum(col("__n") * col("__n")).as("__s2"))
@@ -90,7 +99,8 @@ object Annotation {
     * float accumulation for the oracle to disagree with.
     */
   def krippendorffAlpha(df: DataFrame, item: Column, rater: Column,
-      label: Column, maxRaters: Int = 10, roundDigits: Int = 6)
+      label: Column, maxRaters: Int = 10, roundDigits: Int = 6,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
       : DataFrame = {
     require(maxRaters >= 2 && maxRaters <= 16,
       s"maxRaters must be in [2,16]: $maxRaters")
@@ -99,7 +109,10 @@ object Annotation {
       .select(item.cast("string").as("__i"), rater.cast("string").as("__r"),
         label.cast("string").as("__l"))
       .groupBy(col("__i"), col("__r")).agg(min(col("__l")).as("__l"))
-    val cells = r.groupBy(col("__i"), col("__l")).agg(count(lit(1)).as("__n"))
+    // persisted item-keyed cell table — see [[fleissKappa]]
+    val cells = scope.persist(
+      r.groupBy(col("__i"), col("__l")).agg(count(lit(1)).as("__n"))
+        .repartition(col("__i")))
     val items = cells.groupBy(col("__i"))
       .agg(sum(col("__n")).as("__m"),
         sum(col("__n") * col("__n")).as("__s2"))

@@ -2815,7 +2815,10 @@ object Queries {
   /** X230 — AMS F₂ sketch: self-join size of lineitem on supplier
     * key from 9 ±1 sign-sums (median of S²), true Σf² riding along. */
   def x262(s: SparkSession, dir: String): DataFrame =
-    Sketch.amsF2(Tables.lineitem(s, dir), col("l_suppkey"), depth = 9)
+    // spread: 9 md5 sign draws per row evaluate in the scan stage —
+    // single-task on a one-split input; only the key column moves
+    Sketch.amsF2(spread(Tables.lineitem(s, dir).select(col("l_suppkey"))),
+      col("l_suppkey"), depth = 9)
 
   /** X230 (cross form) — AMS join-size estimate for
     * events.user_id ⋈ orders.o_custkey — the "how big is this join"
@@ -3031,7 +3034,9 @@ object Queries {
     * against a derived candidate (first 15 tokens + two novel words),
     * so precision, recall, and F1 all take non-trivial values. */
   def x280(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir).select(col("doc_id"),
+    // spread: tokenization + both sides' shingle explodes run in the
+    // scan stage — single-task on a one-split input
+    val d = spread(Tables.documents(s, dir)).select(col("doc_id"),
       col("text"),
       concat(array_join(slice(graft.functions.Text.tokens(col("text")),
         1, 15), " "), lit(" alpha beta")).as("cand"))
@@ -3204,7 +3209,10 @@ object Queries {
   /** X265 — distinct-1/distinct-2 diversity per source: templated
     * text shows low distinct-2 even when docs look fine alone. */
   def x298(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.distinctN(Tables.documents(s, dir), "source", "text")
+    // spread: per-doc unigram/bigram explode runs in the scan stage —
+    // single-task on a one-split input
+    TextAnalysis.distinctN(spread(Tables.documents(s, dir)), "source",
+      "text")
 
   /** X266 — simplified silhouette per k-means cluster (k=4, 2
     * rounds): cluster-quality at O(n·k), not O(n²). */
