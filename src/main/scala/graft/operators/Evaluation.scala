@@ -288,10 +288,15 @@ object Evaluation {
     * otherwise.
     */
   def spearman(df: DataFrame, x: Column, y: Column,
-      bins: Int = 0, roundDigits: Int = 6): DataFrame = {
+      bins: Int = 0, roundDigits: Int = 6,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
     val raw0 = df.filter(x.isNotNull && y.isNotNull)
       .select(x.cast("double").as("__x"), y.cast("double").as("__y"))
-    val raw = quantize(quantize(raw0, "__x", bins), "__y", bins)
+    // persisted: raw feeds THREE consumers (both midrank passes + the
+    // ranked join) — unpersisted, each replayed the scan (r20)
+    val raw = scope.persist(
+      quantize(quantize(raw0, "__x", bins), "__y", bins))
     def midranks(frame: DataFrame, v: String, out: String): DataFrame = {
       val perVal = frame.groupBy(col(v)).agg(count(lit(1)).as("__n"))
       val w = Window.orderBy(col(v))

@@ -847,22 +847,30 @@ object Forecast {
       keyCol: String,
       dateCol: String,
       valueCol: String,
-      roundDigits: Int = 6): DataFrame = {
+      roundDigits: Int = 6,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
     val stable = org.apache.spark.sql.types.DecimalType(18, 8)
-    val daily = df.select(col(keyCol).as("__k"), col(dateCol).as("__d"),
-      col(valueCol).cast("double").as("__y"))
+    // persisted: daily feeds THREE consumers (both self-join sides +
+    // nDays) — unpersisted, each replayed the caller's derivation (r20)
+    val daily = scope.persist(
+      df.select(col(keyCol).as("__k"), col(dateCol).as("__d"),
+        col(valueCol).cast("double").as("__y")))
     // the day gap is > 0 for every surviving row (a.__d < b.__d), but
     // the division must still be guarded: the optimizer may evaluate
     // this projection BEFORE the range predicate (observed live once
     // the RDD-backed quantile path consumed `pairs`), and an ANSI
     // divide-by-zero on an equal-date pair then kills the job
     val dd = datediff(col("b.__d"), col("a.__d"))
-    val pairs = daily.as("a").join(daily.as("b"),
+    // persisted: the C(n,2) pair explosion feeds BOTH the median's
+    // ranked pass and the n_pairs rollup — unpersisted, the self-join
+    // ran end-to-end twice (r20)
+    val pairs = scope.persist(daily.as("a").join(daily.as("b"),
         col("a.__k") === col("b.__k") && col("a.__d") < col("b.__d"))
       .select(col("a.__k").as("__k"),
         round(when(dd =!= 0,
           (col("b.__y") - col("a.__y")) / dd).cast(stable),
-          roundDigits).cast("double").as("__s"))
+          roundDigits).cast("double").as("__s")))
     val nDays = daily.groupBy(col("__k"))
       .agg(countDistinct(col("__d")).as("n_days"))
     val med = Profiling.groupedExactQuantiles(pairs, Seq("__k"),
@@ -896,12 +904,16 @@ object Forecast {
       keyCol: String,
       orderCol: String,
       valueCol: String,
-      roundDigits: Int = 4): DataFrame = {
+      roundDigits: Int = 4,
+      scope: graft.util.CacheScope = graft.util.CacheScope.unmanaged)
+      : DataFrame = {
     val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
     val stable = org.apache.spark.sql.types.DecimalType(18, 8)
-    val daily = df.filter(col(valueCol).isNotNull)
+    // persisted: three consumers (both self-join sides + nObs) — see
+    // [[theilSenSlope]] (r20)
+    val daily = scope.persist(df.filter(col(valueCol).isNotNull)
       .select(col(keyCol).as("__k"), col(orderCol).as("__o"),
-        col(valueCol).cast(dec6).as("__v"))
+        col(valueCol).cast(dec6).as("__v")))
     val s = daily.as("a").join(daily.as("b"),
         col("a.__k") === col("b.__k") && col("a.__o") < col("b.__o"))
       .select(col("a.__k").as("__k"),

@@ -911,9 +911,14 @@ object Graph {
     val asg = scope.persist(assignment
       .select(col(nodeCol).cast("string").as("node"),
         col(communityCol).cast("string").as("__c")))
-    val deg = canon.select(col("a").as("node"))
+    // deg persisted (r20): it feeds the unassigned anti-join AND the
+    // degC rollup here, and a before/after grading pair (x327/x330/
+    // x333/x335's refinementSummary) builds PLAN-IDENTICAL deg frames
+    // over the shared canon — the cache manager dedupes them, so the
+    // degree pass runs once per query instead of four times
+    val deg = scope.persist(canon.select(col("a").as("node"))
       .union(canon.select(col("b").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("__d"))
+      .groupBy(col("node")).agg(count(lit(1)).as("__d")))
     val m = canon.agg(count(lit(1)).as("__m"))
     val unassigned = deg.join(asg, Seq("node"), "left_anti")
       .agg(count(lit(1)).as("__u"))
@@ -1845,9 +1850,12 @@ object Graph {
     val asg = scope.persist(assignment
       .select(col(nodeCol).cast("string").as("node"),
         col(communityCol).cast("string").as("__c")))
-    val deg = canon.select(col("a").as("node"), col("__w"))
+    // deg persisted — see [[modularity]] (r20): two consumers here,
+    // and the before/after grading pair's plan-identical deg frames
+    // dedupe onto one cache entry
+    val deg = scope.persist(canon.select(col("a").as("node"), col("__w"))
       .union(canon.select(col("b").as("node"), col("__w")))
-      .groupBy(col("node")).agg(sum(col("__w")).as("__d"))
+      .groupBy(col("node")).agg(sum(col("__w")).as("__d")))
     val m = canon.agg(sum(col("__w")).as("__m"))
     val unassigned = deg.join(asg, Seq("node"), "left_anti")
       .agg(count(lit(1)).as("__u"))

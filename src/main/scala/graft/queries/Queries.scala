@@ -105,11 +105,16 @@ object Queries {
 
   /** T08 — composite-key large-large join (O19/O20). */
   def t08(s: SparkSession, dir: String): DataFrame = {
+    // r20: the per-(part, supp) min attached to every row is a window
+    // over the group key, not an aggregate-then-self-join — one
+    // exchange of the table instead of two plus the join (guide
+    // §2.4); row-for-row identical (every row's group exists, so the
+    // old left join never produced nulls beyond the window's own)
     val li = Tables.lineitem(s, dir)
-    val ps = li.groupBy("l_partkey", "l_suppkey")
-      .agg(money(min(dec(col("l_extendedprice")))).as("min_price"))
-    li.join(ps, Seq("l_partkey", "l_suppkey"), "left")
-      .select(col("l_orderkey"), bi(col("l_linenumber")).as("l_linenumber"), col("min_price"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_partkey"), col("l_suppkey"))
+    li.select(col("l_orderkey"), bi(col("l_linenumber")).as("l_linenumber"),
+        money(min(dec(col("l_extendedprice"))).over(w)).as("min_price"))
       .orderBy("l_orderkey", "l_linenumber", "min_price")
   }
 
@@ -2134,7 +2139,14 @@ object Queries {
   /** X177 — price elasticity (X137): per-part log-log slope of daily
     * volume on daily unit price. */
   def x177(s: SparkSession, dir: String): DataFrame =
-    Retail.priceElasticity(Tables.lineitem(s, dir), "l_partkey",
+    // one part-keyed exchange (r20, the x164 pattern): hash(partkey)
+    // satisfies both the daily (item, day) aggregate and the per-item
+    // moment rollup — (partkey, day) groups are near-unique, so the
+    // old first exchange combined nothing anyway
+    Retail.priceElasticity(Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_shipdate"),
+          col("l_extendedprice"), col("l_quantity"))
+        .repartition(col("l_partkey")), "l_partkey",
         "l_shipdate", "l_extendedprice", "l_quantity")
       .orderBy("l_partkey")
 
@@ -2552,9 +2564,14 @@ object Queries {
 
   /** X178 — weekly price-change profile per part. */
   def x216(s: SparkSession, dir: String): DataFrame = {
+    // one part-keyed exchange for the whole chain (r20, guide §2.4,
+    // the x164 pattern): hash(partkey) satisfies the weekly
+    // (key, week) aggregate, the per-key lag window, AND the final
+    // per-key rollup — they all run off this single shuffle
     val li = Tables.lineitem(s, dir).select(
       col("l_partkey"), col("l_shipdate"),
       col("l_extendedprice").as("amount"), col("l_quantity").as("qty"))
+      .repartition(col("l_partkey"))
     Retail.priceChangeProfile(li, "l_partkey", "l_shipdate",
         "amount", "qty")
       .orderBy("key")
@@ -2563,12 +2580,18 @@ object Queries {
   /** X176 — ABC–XYZ matrix over parts: net-revenue ABC × weekly-qty-CV
     * XYZ. */
   def x214(s: SparkSession, dir: String): DataFrame = {
+    // one part-keyed exchange feeding BOTH branches (r20, guide
+    // §2.4): the ABC revenue aggregate, the weekly (key, week)
+    // aggregate, the per-key CV rollup, and the abc ⋈ cv join all
+    // cluster on partkey — and the two branches' identical
+    // scan+exchange subplans collapse into one ReusedExchange
     val li = Tables.lineitem(s, dir).select(
       col("l_partkey"), col("l_shipdate"),
       round((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .cast(org.apache.spark.sql.types.DecimalType(28, 6)), 2)
         .as("amount"),
       col("l_quantity").as("qty"))
+      .repartition(col("l_partkey"))
     Retail.abcXyzMatrix(li, "l_partkey", "l_shipdate", "amount", "qty")
       .orderBy("key")
   }
