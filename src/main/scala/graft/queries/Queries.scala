@@ -1461,8 +1461,11 @@ object Queries {
     * aggregate — no window, no per-cluster sort, so cluster-count
     * cardinality (not corpus size) bounds the reduce side. */
   def x111(s: SparkSession, dir: String): DataFrame = {
-    // spread: see x60 — same simhash scan-stage compute
-    val docs = spread(Tables.documents(s, dir))
+    // NOT spread (r20): unlike x60, the added fan-out exchange read
+    // 1.10x WORSE in a 32-core interleaved A/B here — the extra
+    // stages' fixed 32-partition layout costs more task overhead
+    // across x111's longer chain than the parallel simhash pass saves
+    val docs = Tables.documents(s, dir)
     val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxDist = 2)
     val clusters = Dedup.connectedComponents(docs, "doc_id", pairs, "a", "b")
     val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
